@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/** Relational operator inventory over the driver's TPC-H-ish tables —
+  * SURVEY §2 rows S2/S3, P1/P2/P6, J1/J2/J3, A1/A5/A6, O2, F8/F13/F15.
+  *
+  * Oracle-parity conventions used across all query modules:
+  *   - every query ends in a canonical orderBy (stable hash-compare);
+  *   - double SUMs go through an exact DECIMAL(18,6) accumulation and
+  *     are cast back to double — partial-aggregation order then cannot
+  *     perturb the result (and it is the correct answer at 100 TB too);
+  *   - int aggregates are pinned to BIGINT on both engines;
+  *   - irrational math (log, stddev, division chains) is rounded to a
+  *     fixed scale on both engines before output.
+  */
+object CoreQueries {
+
+  /** Exact decimal-accumulated sum of a double column, emitted as double. */
+  def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P2/F8: project + decimal cast + null drop (transform_data.py:55-65)
+    "q01_clean_cast" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(DecimalType(15, 4)).as("qty"),
+          col("l_extendedprice").cast(DecimalType(15, 4)).as("price"))
+        .na.drop(Seq("qty", "price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // J1/A6: inner equi-join + grouped rollup with conditional tallies
+    // (transform_data.py:121-141; validate_data.py:163-199)
+    "q07_join_rollup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+          max(col("o_totalprice")).as("max_order"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // J2: left-anti join — customers with no large order
+    // (audit_pipeline.py:189-198 missing-bar detect pattern)
+    "q08_anti_join" -> ((s, dir) => {
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      Tables.customer(s, dir)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J3/F15: cross join with broadcast dim + string concat
+    // (audit_pipeline.py:185-186; transform_data.py:126)
+    "q09_cross_concat" -> ((s, dir) => {
+      Tables.region(s, dir)
+        .crossJoin(broadcast(Tables.nation(s, dir)))
+        .select(
+          concat_ws("-", col("r_name"), col("n_name")).as("pair_name"),
+          col("r_regionkey"), col("n_nationkey"))
+        .orderBy(col("pair_name"), col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    // A6: global conditional rollup (run-summary shape, validate_data.py:194-216)
+    "q14_run_summary" -> ((s, dir) => {
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("first_order"))
+    }),
+
+    // F1/F12: date part extraction + formatting (transform_data.py:53;
+    // audit_pipeline.py:196)
+    "q18_date_fns" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"), col("o_orderdate"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F9: array size + element access on the embeddings table
+    "q20_array_ops" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast(DoubleType), 6).as("e1"),
+          col("label"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_clean_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DECIMAL(15,4)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(15,4)) AS price
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         ORDER BY l_orderkey, l_linenumber""",
+    "q07_join_rollup" ->
+      """SELECT o_orderpriority,
+         count(*) AS n_items,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+         MAX(o_totalprice) AS max_order
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "q09_cross_concat" ->
+      """SELECT r_name || '-' || n_name AS pair_name, r_regionkey, n_nationkey
+         FROM region CROSS JOIN nation
+         ORDER BY pair_name, r_regionkey, n_nationkey""",
+    "q14_run_summary" ->
+      """SELECT count(*) AS n_orders,
+         CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         MAX(o_totalprice) AS max_price,
+         MIN(o_orderdate) AS first_order
+         FROM orders""",
+    "q18_date_fns" ->
+      """SELECT o_orderkey, o_orderdate,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(month(o_orderdate) AS INTEGER) AS mo,
+         CAST(day(o_orderdate) AS INTEGER) AS dom,
+         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+         strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders ORDER BY o_orderkey""",
+    "q20_array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS e1, label
+         FROM embeddings ORDER BY vec_id"""
+  )
+}

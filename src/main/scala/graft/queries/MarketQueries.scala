@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{MarketBars, PairAnalytics}
+import graft.sources.Tables
+
+/** Market/time-series operator inventory over the `events` table —
+  * SURVEY §2 rows P3/P4/P7, J1/J4, A1-A4, W1-W4, O1/O3, U1/U2,
+  * F2-F7, F10/F11/F14/F17. The `events` stream stands in for the
+  * reference's bar series (symbol ≙ event_type, price ≙ value).
+  */
+object MarketQueries {
+
+  /** DuckDB twin of MarketBars.timeBucket + bars (shared CTE text). */
+  private val barsCte =
+    """bars AS (
+         SELECT event_type AS series,
+                make_timestamp((epoch_us(ts)//300000000)*300000000) AS bar_ts,
+                min_by(value, ts) AS open,
+                max(value) AS high,
+                min(value) AS low,
+                max_by(value, ts) AS close,
+                count(*) AS n_ticks,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+         FROM events GROUP BY 1, 2)"""
+
+  private val pairCte =
+    s"""$barsCte,
+        pair AS (
+          SELECT a.bar_ts, a.close AS close1, b.close AS close2,
+                 ln(a.close) - ln(b.close) AS spread
+          FROM bars a JOIN bars b ON a.bar_ts = b.bar_ts
+          WHERE a.series = 'click' AND b.series = 'view')"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P3: time-range predicate (app.py:40-44)
+    "q02_range_filter" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(
+          col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+            col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // P4/F2/F3/F4: RTH filter — UTC→ET, Mon–Fri, 09:30–15:55 bar starts
+    // (transform_data.py:72-98)
+    "q03_rth_filter" -> ((s, dir) => {
+      val et = from_utc_timestamp(col("ts"), "America/New_York")
+      val minuteOfDay = hour(et) * 60 + minute(et)
+      Tables.events(s, dir)
+        .filter(
+          dayofweek(et).isin(2, 3, 4, 5, 6) &&
+            minuteOfDay >= 570 && minuteOfDay <= 955)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // A3 + min_by/max_by: tick → 5-min OHLCV bars (bar-builder analog)
+    "q04_bars_5min" -> ((s, dir) => {
+      MarketBars.bars(Tables.events(s, dir), "event_type", "ts", "value")
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // J1/F5: pair align inner join + log spread (transform_data.py:121-141)
+    "q05_pair_spread" -> ((s, dir) => {
+      val bars = MarketBars.bars(Tables.events(s, dir), "event_type", "ts", "value")
+      PairAnalytics.pairSpread(bars, "click", "view")
+        .select(
+          col("pair_name"), col("bar_ts"), col("close1"), col("close2"),
+          round(col("spread"), 6).as("spread_r"))
+        .orderBy(col("bar_ts"))
+    }),
+
+    // W1-W4/P7/U1/U2: flagship rolling z-score + sign-flip leg reshape
+    // (transform_data.py:145-180)
+    "q06_pair_zscore" -> ((s, dir) => {
+      val bars = MarketBars.bars(Tables.events(s, dir), "event_type", "ts", "value")
+      PairAnalytics.pairZScore(bars, "click", "view")
+        .select(
+          col("symbol"), col("pair_name"), col("bar_ts"), col("close"),
+          round(col("spread"), 6).as("spread_r"),
+          col("window_size"),
+          round(col("z_score"), 4).as("z_r"))
+        .orderBy(col("symbol"), col("bar_ts"))
+    }),
+
+    // J4/P7/F14: calendar-enrich left join + status classification
+    // (validate_calendar_alpaca.py:181-218)
+    "q10_status_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val days = ev
+        .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+        .select(explode(expr("sequence(mn, mx)")).as("trading_date"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev
+        .groupBy(to_date(col("ts")).as("trading_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      days.crossJoin(broadcast(types))
+        .join(counts, Seq("trading_date", "event_type"), "left")
+        .select(
+          col("trading_date"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("bars"),
+          greatest(lit(0L), lit(60L) - coalesce(col("n"), lit(0L))).as("missing"),
+          when(col("n").isNull, "FAIL")
+            .when(col("n") < 40, "WARN")
+            .otherwise("OK").as("status"))
+        .orderBy(col("trading_date"), col("event_type"))
+    }),
+
+    // A1/A2/A5: global min/max + latest day + count (audit_pipeline.py:105)
+    "q11_minmax" -> ((s, dir) => {
+      Tables.events(s, dir).agg(
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"),
+        max(to_date(col("ts"))).as("latest_day"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // A3/F14: per symbol-day bar counts + missing clamp
+    // (validate_data.py:138-156)
+    "q12_symbol_day_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("trading_date"))
+        .agg(count(lit(1)).as("n_bars"))
+        .withColumn("missing", greatest(lit(0L), lit(70L) - col("n_bars")))
+        .orderBy(col("event_type"), col("trading_date"))
+    }),
+
+    // A4: distinct (app.py:26)
+    "q13_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_type")).distinct()
+        .orderBy(col("event_type"))),
+
+    // O3: top-k by time, re-sorted canonically (app.py:166 tail preview)
+    "q15_topk" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(200)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F11/F17/F10: session grid — ET open/close → UTC 5-min slots
+    // (audit_pipeline.py:132-181)
+    "q16_session_grid" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+        .select(explode(expr("sequence(mn, mx)")).as("trading_date"))
+        .filter(dayofweek(col("trading_date")).isin(2, 3, 4, 5, 6))
+        .withColumn(
+          "open_utc",
+          to_utc_timestamp(
+            to_timestamp(concat_ws(" ", col("trading_date").cast("string"), lit("09:30:00"))),
+            "America/New_York"))
+        .withColumn(
+          "close_utc",
+          to_utc_timestamp(
+            to_timestamp(concat_ws(" ", col("trading_date").cast("string"), lit("16:00:00"))),
+            "America/New_York"))
+        .select(
+          col("trading_date"),
+          explode(expr("sequence(open_utc, close_utc - INTERVAL 5 MINUTES, INTERVAL 5 MINUTES)"))
+            .as("slot_utc"))
+        .orderBy(col("trading_date"), col("slot_utc"))
+    }),
+
+    // J2/J3: completeness audit — expected grid anti-join actual bars
+    // (audit_pipeline.py:168-201)
+    "q17_missing_slots" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val grid = ev
+        .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+        .select(explode(expr("sequence(mn, mx)")).as("trading_date"))
+        .filter(dayofweek(col("trading_date")).isin(2, 3, 4, 5, 6))
+        .withColumn(
+          "open_utc",
+          to_utc_timestamp(
+            to_timestamp(concat_ws(" ", col("trading_date").cast("string"), lit("09:30:00"))),
+            "America/New_York"))
+        .select(
+          col("trading_date"),
+          explode(expr("sequence(open_utc, open_utc + INTERVAL 385 MINUTES, INTERVAL 5 MINUTES)"))
+            .as("slot_utc"))
+      val types = ev.select(col("event_type")).distinct()
+      val actual = MarketBars.bars(ev, "event_type", "ts", "value")
+        .select(col("series"), col("bar_ts"))
+      grid.crossJoin(broadcast(types))
+        .join(
+          actual,
+          col("event_type") === col("series") && col("slot_utc") === col("bar_ts"),
+          "left_anti")
+        .select(col("event_type"), col("trading_date"), col("slot_utc"))
+        .orderBy(col("event_type"), col("slot_utc"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q02_range_filter" ->
+      """SELECT event_id, ts, event_type, value FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+         ORDER BY event_id""",
+    "q03_rth_filter" ->
+      """WITH e AS (
+           SELECT *, ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS ts_et
+           FROM events)
+         SELECT event_id, ts, event_type, value FROM e
+         WHERE isodow(ts_et) BETWEEN 1 AND 5
+           AND (hour(ts_et)*60 + minute(ts_et)) BETWEEN 570 AND 955
+         ORDER BY event_id""",
+    "q04_bars_5min" ->
+      s"""WITH $barsCte
+          SELECT series, bar_ts, open, high, low, close, n_ticks, volume
+          FROM bars ORDER BY series, bar_ts""",
+    "q05_pair_spread" ->
+      s"""WITH $pairCte
+          SELECT 'click-view' AS pair_name, bar_ts, close1, close2,
+                 round(spread, 6) AS spread_r
+          FROM pair ORDER BY bar_ts""",
+    "q06_pair_zscore" ->
+      s"""WITH $pairCte,
+          z AS (
+            SELECT bar_ts, close1, close2, spread,
+                   avg(spread) OVER w AS m,
+                   stddev_samp(spread) OVER w AS sd,
+                   count(*) OVER w AS window_size
+            FROM pair
+            WINDOW w AS (ORDER BY bar_ts ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)),
+          zz AS (
+            SELECT bar_ts, close1, close2, spread, window_size,
+                   CASE WHEN window_size >= 30 AND sd IS NOT NULL AND sd <> 0
+                        THEN (spread - m) / sd END AS z
+            FROM z)
+          SELECT 'click' AS symbol, 'click-view' AS pair_name, bar_ts,
+                 close1 AS close, round(spread, 6) AS spread_r,
+                 window_size, round(z, 4) AS z_r
+          FROM zz
+          UNION ALL
+          SELECT 'view', 'click-view', bar_ts, close2, round(-spread, 6),
+                 window_size, round(-z, 4)
+          FROM zz
+          ORDER BY symbol, bar_ts""",
+    "q10_status_join" ->
+      """WITH days AS (
+           SELECT CAST(unnest(generate_series(
+             (SELECT MIN(CAST(ts AS DATE)) FROM events),
+             (SELECT MAX(CAST(ts AS DATE)) FROM events),
+             INTERVAL 1 DAY)) AS DATE) AS trading_date),
+         types AS (SELECT DISTINCT event_type FROM events),
+         counts AS (
+           SELECT CAST(ts AS DATE) AS trading_date, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT d.trading_date, t.event_type,
+                COALESCE(n, 0) AS bars,
+                GREATEST(0, 60 - COALESCE(n, 0)) AS missing,
+                CASE WHEN n IS NULL THEN 'FAIL'
+                     WHEN n < 40 THEN 'WARN'
+                     ELSE 'OK' END AS status
+         FROM days d CROSS JOIN types t
+         LEFT JOIN counts c
+           ON c.trading_date = d.trading_date AND c.event_type = t.event_type
+         ORDER BY d.trading_date, t.event_type""",
+    "q11_minmax" ->
+      """SELECT min(ts) AS ts_min, max(ts) AS ts_max,
+         max(CAST(ts AS DATE)) AS latest_day, count(*) AS n_rows
+         FROM events""",
+    "q12_symbol_day_counts" ->
+      """SELECT event_type, CAST(ts AS DATE) AS trading_date,
+         count(*) AS n_bars,
+         GREATEST(0, 70 - count(*)) AS missing
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q13_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q15_topk" ->
+      """SELECT event_id, ts, event_type, value FROM
+         (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 200)
+         ORDER BY event_id""",
+    "q16_session_grid" ->
+      """WITH days AS (
+           SELECT CAST(unnest(generate_series(
+             (SELECT MIN(CAST(ts AS DATE)) FROM events),
+             (SELECT MAX(CAST(ts AS DATE)) FROM events),
+             INTERVAL 1 DAY)) AS DATE) AS trading_date),
+         wd AS (SELECT trading_date FROM days WHERE isodow(trading_date) BETWEEN 1 AND 5),
+         b AS (
+           SELECT trading_date,
+             (CAST(trading_date || ' 09:30:00' AS TIMESTAMP)
+               AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS open_utc,
+             (CAST(trading_date || ' 16:00:00' AS TIMESTAMP)
+               AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS close_utc
+           FROM wd)
+         SELECT trading_date,
+                unnest(generate_series(open_utc, close_utc - INTERVAL 5 MINUTE,
+                                       INTERVAL 5 MINUTE)) AS slot_utc
+         FROM b ORDER BY trading_date, slot_utc""",
+    "q17_missing_slots" ->
+      s"""WITH $barsCte,
+          days AS (
+            SELECT CAST(unnest(generate_series(
+              (SELECT MIN(CAST(ts AS DATE)) FROM events),
+              (SELECT MAX(CAST(ts AS DATE)) FROM events),
+              INTERVAL 1 DAY)) AS DATE) AS trading_date),
+          wd AS (SELECT trading_date FROM days WHERE isodow(trading_date) BETWEEN 1 AND 5),
+          grid AS (
+            SELECT trading_date,
+                   unnest(generate_series(open_utc, open_utc + INTERVAL 385 MINUTE,
+                                          INTERVAL 5 MINUTE)) AS slot_utc
+            FROM (SELECT trading_date,
+                    (CAST(trading_date || ' 09:30:00' AS TIMESTAMP)
+                      AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS open_utc
+                  FROM wd)),
+          types AS (SELECT DISTINCT event_type FROM events)
+          SELECT t.event_type, g.trading_date, g.slot_utc
+          FROM grid g CROSS JOIN types t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM bars b
+            WHERE b.series = t.event_type AND b.bar_ts = g.slot_utc)
+          ORDER BY t.event_type, g.slot_utc"""
+  )
+}

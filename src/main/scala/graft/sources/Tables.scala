@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's deterministic parquet tables (TESTDATA.md).
+  *
+  * Spark-native analog of the reference's sources: the reference reads
+  * multiline JSON payloads (`project/transform_data.py:36-43`) and JDBC
+  * tables (`audit_pipeline.py:92-99`); our engine's canonical columnar
+  * source is Parquet, which supports predicate pushdown and column
+  * pruning at the scan (verified via `.explain` — `PushedFilters`,
+  * `ReadSchema`).
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `events.parquet` carries parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. We read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and expose:
+    *   - `ts`    : TimestampType truncated to micros — this matches the
+    *               DuckDB oracle byte-for-byte (DuckDB 1.0 likewise
+    *               truncates parquet ns → µs on read);
+    *   - `ts_ns` : the raw nanosecond epoch long (full fidelity, used
+    *               for deterministic ordering / tie-breaks).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
