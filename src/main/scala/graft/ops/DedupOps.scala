@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+
+/** Deduplication operators for a large-scale corpus: exact hash dedup,
+  * MinHash + LSH near-dup candidate generation with exact-Jaccard
+  * verification, banded SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB):
+  *   - exact dedup is one hash-partitioned groupBy on a 128-bit text
+  *     digest — never on the raw text (shuffling full documents);
+  *   - MinHash signatures are computed map-side (per-row Column
+  *     expressions only); the ONLY shuffle is the band-key self-join,
+  *     whose key cardinality ≈ corpus size × bands, uniformly
+  *     hash-distributed — the canonical LSH-dedup layout;
+  *   - exact Jaccard runs only on the candidate pairs that share a
+  *     band (tiny vs n²);
+  *   - SimHash uses 4×8-bit pigeonhole bands, so hamming ≤ 3 pairs are
+  *     provably a subset of band-equal pairs — again no n² pass.
+  */
+object DedupOps {
+
+  /** MinHash signature length. */
+  val K = 32
+  /** LSH bands (rows-per-band = K / Bands = 2). */
+  val Bands = 16
+  val RowsPerBand: Int = K / Bands
+
+  val A: Seq[Long] = CrossHash.hashA(K)
+  val B: Seq[Long] = CrossHash.hashB(K)
+
+  /** Exact-duplicate groups: one row per distinct text digest with the
+    * surviving (minimum) id and the duplicate count. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct-shingle set + 32-bit shingle hashes for a document. */
+  def shingleSets(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("sset", array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)))
+      .withColumn("hs", transform(col("sset"), s => CrossHash.x32(s)))
+
+  /** K-element MinHash signature from the distinct shingle hashes. */
+  def minhashSignature(hs: Column): Column =
+    transform(sequence(lit(0), lit(K - 1)),
+      i =>
+        array_min(transform(hs,
+          x => (element_at(typedlit(A), i + 1) * x + element_at(typedlit(B), i + 1)) % CrossHash.P)))
+
+  /** Explode a signature into (band, band_sig) rows for the LSH
+    * bucket-join. */
+  def lshBands(sig: Column): Column =
+    explode(transform(sequence(lit(0), lit(Bands - 1)),
+      j =>
+        struct(
+          j.as("band"),
+          concat_ws("_",
+            (1 to RowsPerBand).map(r => element_at(sig, j * RowsPerBand + r)): _*).as("bsig"))))
+
+  /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard on
+    * the distinct shingle sets. Output: (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold. */
+  def minhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.3): DataFrame = {
+    val docs = shingleSets(df, textCol)
+      .select(col(idCol).as("doc"), col("sset"), col("hs"))
+      .filter(size(col("sset")) > 0)
+      .withColumn("sig", minhashSignature(col("hs")))
+    val bands = docs.select(col("doc"), lshBands(col("sig")).as("b"))
+      .select(col("doc"), col("b.band"), col("b.bsig"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .distinct()
+    val sets = docs.select(col("doc"), col("sset"))
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.doc"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("double") /
+          size(array_union(col("sa.sset"), col("sb.sset"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over token hashes (with multiplicity): per bit
+    * position, tokens vote +1/-1 by their hash bit; the sign becomes
+    * the SimHash bit. Nested higher-order aggregates with integer
+    * arithmetic identical to the DuckDB twin. */
+  def withSimhash32(df: DataFrame, textCol: String, out: String = "sh"): DataFrame =
+    df.withColumn("__xs", transform(TextOps.tokens(col(textCol)), t => CrossHash.x32(t)))
+      .withColumn(out, expr(
+        "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + " +
+          "CASE WHEN aggregate(__xs, 0L, (s, x) -> s + " +
+          "CASE WHEN (x div shiftleft(1L, j)) % 2 = 1 THEN 1L ELSE -1L END) > 0 " +
+          "THEN shiftleft(1L, j) ELSE 0L END)"))
+      .drop("__xs")
+
+  /** SimHash near-dup pairs via 4×8-bit pigeonhole bands: any pair at
+    * hamming distance <= 3 shares at least one band, so the band
+    * equi-join finds all of them without an n² pass. */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val docs = withSimhash32(df, textCol).select(col(idCol).as("doc"), col("sh"))
+    val bands = docs.select(col("doc"), col("sh"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, (sh div shiftleft(1L, b*8)) % 256 AS bval))")).as("bb"))
+      .select(col("doc"), col("sh"), col("bb.band"), col("bb.bval"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (brute force — the verify
+    * stage; at scale, feed it LSH/IVF candidates instead). Vectors are
+    * L2-normalized once so each pair costs one codegen'd dot product;
+    * the stream side is repartitioned so the O(n²) probe parallelizes
+    * instead of running in the source's single file split. */
+  def embeddingNearDups(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val unit = SimilarityOps.withUnitVec(emb, vecCol)
+    val a = unit.select(col(idCol).as("id_a"), col("nv").as("va"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val b = unit.select(col(idCol).as("id_b"), col("nv").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", SimilarityOps.dot(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.CrossHash
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, n-gram-heuristic language ID, and
+  * document fingerprinting.
+  *
+  * All operators are pure per-row `Column` expressions (no UDFs, no
+  * shuffles) — they stay inside whole-stage codegen and scale linearly
+  * with input splits; at 100 TB they run map-side at scan speed.
+  */
+object TextOps {
+
+  /** English stopword sample used for the stopword-ratio feature. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "is", "on", "for")
+
+  /** Marker words per language for the n-gram-heuristic language ID.
+    * Priority order (ties resolve to the earlier entry) is the Seq
+    * order below. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "est", "et"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Whitespace tokenization (runs of spaces collapse). */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** Word n-gram shingles; empty array when the doc is shorter than n.
+    * (Spark's `sequence(1, 0)` counts DOWN, so the short-doc case must
+    * be guarded explicitly — the DuckDB twin's generate_series(1,0)
+    * returns empty.) */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Per-document token/length statistics and a composite quality
+    * score — the LLM-corpus analog of the reference's per-row DQ
+    * checks (`project/validate_data.py:174-185`). */
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chars_m", length(col(textCol)).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("sum_tok_len",
+        aggregate(col("toks"), lit(0L), (s, t) => s + length(t)))
+      .withColumn("n_stop", countIn(col("toks"), Stopwords).cast("long"))
+      .withColumn("avg_token_len",
+        round(col("sum_tok_len").cast(DoubleType) / col("n_tokens"), 4))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 4))
+      .withColumn("stopword_ratio",
+        round(col("n_stop").cast(DoubleType) / col("n_tokens"), 4))
+      // BPE-ish token estimate: ~4 chars/token floor, never below the
+      // whitespace count.
+      .withColumn("token_est",
+        greatest(col("n_tokens"), ceil(col("n_chars_m").cast(DoubleType) / 4.0)).cast("long"))
+      .withColumn("quality_score",
+        round(
+          least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) * 0.4 +
+            (col("n_distinct").cast(DoubleType) / col("n_tokens")) * 0.4 +
+            (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")) * 0.2,
+          4))
+      .drop("toks")
+  }
+
+  /** Marker-word language scores + argmax classification with a fixed
+    * priority tie-break. */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangMarkers.foldLeft(df.withColumn("toks", toks)) {
+      case (d, (lang, markers)) =>
+        d.withColumn(s"s_$lang", countIn(col("toks"), markers).cast("long"))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.foldRight(lit(langs.last): Column) { (lang, rest) =>
+      val others = langs.filterNot(_ == lang).map(l => col(s"s_$l"))
+      when(col(s"s_$lang") >= greatest(others: _*), lang).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred).drop("toks")
+  }
+
+  /** Document fingerprints: an order-sensitive polynomial rolling hash
+    * over token hashes, a winnowing-style min-shingle-hash, and the
+    * full-text md5. */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("xs", transform(toks, t => CrossHash.x32(t)))
+      .withColumn("sh", shingles(tokens(col(textCol))))
+      .withColumn("fp_roll",
+        aggregate(col("xs"), lit(0L), (h, x) => (h * 31L + x) % 1000000007L))
+      .withColumn("fp_minshingle",
+        array_min(transform(col("sh"), s => CrossHash.x32(s))))
+      .withColumn("fp_md5", md5(col(textCol)))
+      .drop("xs", "sh")
+  }
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import graft.sources.Tables
+
+/** LLM-training-data-pipeline operator inventory over the `documents`
+  * and `embeddings` tables: text analysis, dedup (exact / MinHash-LSH /
+  * SimHash / embedding-cosine), and similarity search (brute-force +
+  * IVF). Every query has a DuckDB oracle twin built from the SAME
+  * constants (hash coefficients, thresholds, marker lists), so the
+  * hash-compare is exact.
+  */
+object LlmQueries {
+
+  // ---- shared oracle SQL fragments -------------------------------------
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val toksCte =
+    "d AS (SELECT doc_id, text, lang, regexp_split_to_array(trim(text), ' +') AS toks FROM documents)"
+
+  /** word-3-gram shingles, empty for short docs (matches TextOps.shingles). */
+  private val shingleExpr =
+    """CASE WHEN len(toks) >= 3
+       THEN list_transform(generate_series(1, len(toks)-2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       ELSE CAST([] AS VARCHAR[]) END"""
+
+  private def x32(e: String) = CrossHash.duckX32(e)
+
+  /** Vectors are pre-normalized (mirroring SimilarityOps.withUnitVec),
+    * so cosine is a single dot product per pair in both engines. */
+  private def duckCos(a: String, b: String): String =
+    s"list_dot_product($a,$b)"
+
+  private val embCte =
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       e AS (SELECT vec_id,
+               list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+             FROM e0)"""
+
+  // ---- queries ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_text_stats" -> ((s, dir) => {
+      TextOps.textStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars_m"), col("n_distinct"),
+          col("n_stop"), col("avg_token_len"), col("distinct_ratio"),
+          col("stopword_ratio"), col("token_est"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q22_lang_id" -> ((s, dir) => {
+      TextOps.langId(Tables.documents(s, dir))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .select(col("doc_id") +: col("lang") +:
+          TextOps.LangMarkers.map { case (l, _) => col(s"s_$l") } :+
+          col("pred_lang") :+ col("is_match"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q23_fingerprint" -> ((s, dir) => {
+      TextOps.fingerprints(Tables.documents(s, dir))
+        .select(col("doc_id"), col("fp_roll"), col("fp_minshingle"), col("fp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q24_exact_dedup" -> ((s, dir) => {
+      DedupOps.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("keep_id"))
+    }),
+
+    "q25_minhash_lsh" -> ((s, dir) => {
+      DedupOps.minhashNearDups(Tables.documents(s, dir), "text", "doc_id", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q26_simhash" -> ((s, dir) => {
+      DedupOps.simhashNearDups(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q27_embed_neardup" -> ((s, dir) => {
+      DedupOps.embeddingNearDups(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q28_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // multimodal plumbing: opaque binary payload + derived typed meta
+    // (decode itself is the stubbed mapPartitions path — MultimodalOps)
+    "q29_multimodal_meta" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          substring(hex(col("payload")), 1, 8).as("hex8"),
+          (ascii(substring(col("text"), 1, 1)) % 64 + 1).as("fake_w"),
+          (ascii(substring(col("text"), 2, 1)) % 64 + 1).as("fake_h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q30_ivf_topk" -> ((s, dir) => {
+      SimilarityOps.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 5, centroidEvery = 50, nprobe = 2, queryFilter = col("vid") < 10)
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  // ---- oracles ---------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q21_text_stats" ->
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(text) AS BIGINT) AS n_chars_m,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+            CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_tok_len,
+            CAST(len(list_filter(toks, t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT) AS n_stop
+          FROM d)
+          SELECT doc_id, n_tokens, n_chars_m, n_distinct, n_stop,
+            round(CAST(sum_tok_len AS DOUBLE)/n_tokens, 4) AS avg_token_len,
+            round(CAST(n_distinct AS DOUBLE)/n_tokens, 4) AS distinct_ratio,
+            round(CAST(n_stop AS DOUBLE)/n_tokens, 4) AS stopword_ratio,
+            CAST(greatest(n_tokens, ceil(CAST(n_chars_m AS DOUBLE)/4.0)) AS BIGINT) AS token_est,
+            round(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
+                  + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
+                  + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4) AS quality_score
+          FROM s ORDER BY doc_id""",
+
+    "q22_lang_id" -> {
+      val scores = TextOps.LangMarkers.map { case (l, ws) =>
+        s"CAST(len(list_filter(toks, t -> t IN ${inList(ws)})) AS BIGINT) AS s_$l"
+      }.mkString(",\n            ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val cases = langs.init.map { l =>
+        val others = langs.filterNot(_ == l).map(o => s"s_$o").mkString(", ")
+        s"WHEN s_$l >= greatest($others) THEN '$l'"
+      }.mkString("\n              ")
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, lang,
+            $scores
+          FROM d),
+          p AS (SELECT *,
+            CASE $cases ELSE '${langs.last}' END AS pred_lang
+          FROM s)
+          SELECT doc_id, lang, ${langs.map(l => s"s_$l").mkString(", ")}, pred_lang,
+                 (pred_lang = lang) AS is_match
+          FROM p ORDER BY doc_id"""
+    },
+
+    "q23_fingerprint" ->
+      s"""WITH $toksCte,
+          sh AS (SELECT doc_id, text, toks, $shingleExpr AS sh FROM d)
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, t -> ${x32("t")})),
+              (h, x) -> (h*31 + x) % 1000000007) AS fp_roll,
+            list_min(list_transform(sh, s -> ${x32("s")})) AS fp_minshingle,
+            md5(text) AS fp_md5
+          FROM sh ORDER BY doc_id""",
+
+    "q24_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "q25_minhash_lsh" -> {
+      val aList = DedupOps.A.mkString("[", ",", "]")
+      val bList = DedupOps.B.mkString("[", ",", "]")
+      s"""WITH $toksCte,
+          sh AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM d),
+          xs AS (SELECT doc_id, sset,
+                   list_transform(sset, s -> ${x32("s")}) AS hs
+                 FROM sh WHERE len(sset) > 0),
+          sig AS (SELECT doc_id, sset,
+                    list_transform(generate_series(0, ${DedupOps.K - 1}),
+                      i -> list_min(list_transform(hs,
+                             x -> (($aList)[i+1]*x + ($bList)[i+1]) % ${CrossHash.P}))) AS sig
+                  FROM xs),
+          bnd AS (SELECT doc_id, sig, unnest(generate_series(0, ${DedupOps.Bands - 1})) AS band FROM sig),
+          bs AS (SELECT doc_id, band,
+                   CAST(sig[2*band+1] AS VARCHAR) || '_' || CAST(sig[2*band+2] AS VARCHAR) AS bsig
+                 FROM bnd),
+          cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                   FROM bs x JOIN bs y
+                     ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+          pairs AS (SELECT id_a, id_b,
+                      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(sa.sset, sb.sset))) AS jac
+                    FROM cand
+                    JOIN sh sa ON sa.doc_id = id_a
+                    JOIN sh sb ON sb.doc_id = id_b)
+          SELECT id_a, id_b, round(jac, 4) AS jaccard
+          FROM pairs WHERE jac >= 0.3 ORDER BY id_a, id_b"""
+    },
+
+    "q26_simhash" ->
+      s"""WITH $toksCte,
+          x AS (SELECT doc_id, list_transform(toks, t -> ${x32("t")}) AS xs FROM d),
+          s AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(generate_series(0, 31),
+                    j -> CASE WHEN list_sum(list_transform(xs,
+                           x -> CASE WHEN (x // (CAST(1 AS BIGINT) << j)) % 2 = 1
+                                THEN 1 ELSE -1 END)) > 0
+                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sh
+                FROM x),
+          b AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS band FROM s),
+          bb AS (SELECT doc_id, sh, band,
+                   (sh // (CAST(1 AS BIGINT) << (band*8))) % 256 AS bval FROM b),
+          cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                     x.sh AS sha, y.sh AS shb
+                   FROM bb x JOIN bb y
+                     ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+          SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+          FROM cand WHERE bit_count(xor(sha, shb)) <= 3 ORDER BY id_a, id_b""",
+
+    "q27_embed_neardup" ->
+      s"""WITH $embCte
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(${duckCos("a.v", "b.v")}, 6) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE ${duckCos("a.v", "b.v")} >= 0.45
+          ORDER BY id_a, id_b""",
+
+    "q28_cosine_topk" ->
+      s"""WITH $embCte,
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+          scored AS (SELECT qid, c.vec_id AS nid, ${duckCos("qv", "c.v")} AS cosine
+                     FROM q JOIN e c ON c.vec_id <> q.qid),
+          r AS (SELECT qid, nid, cosine,
+                  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+                FROM scored)
+          SELECT qid, nid, CAST(rank AS INTEGER) AS rank, round(cosine, 6) AS cosine
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q29_multimodal_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         substr(hex(encode(text)), 1, 8) AS hex8,
+         CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER) AS fake_w,
+         CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INTEGER) AS fake_h
+         FROM documents ORDER BY doc_id""",
+
+    "q30_ivf_topk" ->
+      s"""WITH $embCte,
+          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+          ac AS (SELECT e.vec_id, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+          assigned AS (SELECT vec_id, v, cid FROM
+                         (SELECT *, row_number() OVER
+                            (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ac)
+                       WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+          pc AS (SELECT qid, qv, cid, row_number() OVER
+                   (PARTITION BY qid ORDER BY qcos DESC, cid) AS prn
+                 FROM (SELECT qid, qv, c.cid, ${duckCos("qv", "c.cv")} AS qcos
+                       FROM q CROSS JOIN c)),
+          probes AS (SELECT qid, qv, cid FROM pc WHERE prn <= 2),
+          cand AS (SELECT p.qid, a.vec_id AS nid, ${duckCos("p.qv", "a.v")} AS cosine
+                   FROM probes p JOIN assigned a
+                     ON a.cid = p.cid AND a.vec_id <> p.qid),
+          r AS (SELECT qid, nid, cosine, row_number() OVER
+                  (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+                FROM cand)
+          SELECT qid, nid, CAST(rank AS INTEGER) AS rank, round(cosine, 6) AS cosine
+          FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+  )
+}

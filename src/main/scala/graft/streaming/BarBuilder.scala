@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured-Streaming extension of the reference's batch pipeline
+  * (SURVEY §2.10): the reference re-fetches a 60-day lookback nightly
+  * and overwrites (`project/ingest_data.py:36,101`,
+  * `project/transform_data.py:207`); this module builds the same
+  * 5-minute bars and rolling z-score incrementally from a tick stream.
+  *
+  * Scale posture: the windowed aggregation state is (series × open
+  * windows) — bounded by the watermark; the z-score state is one ring
+  * buffer of 60 doubles per pair — KB-sized per key, safe for millions
+  * of keys on a 1000-executor cluster with RocksDB state store.
+  */
+object BarBuilder {
+
+  /** Tick stream → 5-minute OHLCV bars.
+    *
+    * open/close use min/max over `struct(ts, value)` — order-insensitive
+    * aggregates that Structured Streaming can maintain incrementally
+    * (ties on ts resolve to the min/max value, deterministically).
+    * Late ticks beyond `watermark` are dropped; duplicate ticks (same
+    * series+ts) can be pre-filtered with `dropDuplicatesWithinWatermark`
+    * upstream — the streaming replacement for the UNIQUE(symbol,
+    * timestamp) constraint the reference's overwrite path lost
+    * (`schema.py:42`, SURVEY §1.3).
+    */
+  def bars(
+      ticks: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    ticks
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        col(seriesCol).as("series"),
+        window(col(tsCol), windowLen).as("w"))
+      .agg(
+        min(struct(col(tsCol).as("t"), col(valueCol).as("v"))).getField("v").as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(struct(col(tsCol).as("t"), col(valueCol).as("v"))).getField("v").as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("volume"))
+      .select(col("series"), col("w.start").as("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"), col("volume"))
+  }
+
+  case class SpreadPoint(pair_name: String, bar_ts: Timestamp, spread: Double)
+
+  case class ZPoint(
+      pair_name: String,
+      bar_ts: Timestamp,
+      spread: Double,
+      window_size: Int,
+      z_score: Option[Double])
+
+  /** Ring buffer of the trailing spreads for one pair. */
+  case class ZState(values: Vector[Double], lastTs: Long)
+
+  /** Trailing 60-row z-score maintained across micro-batches with
+    * `flatMapGroupsWithState` — the streaming twin of
+    * `PairAnalytics.rollingZScore` (same warm-up gate and
+    * NULL-on-degenerate-stddev semantics, `transform_data.py:145-154`).
+    *
+    * Rows inside a micro-batch are sorted by event time before folding
+    * into the state; rows older than the last applied timestamp are
+    * ignored (upstream watermark + bar aggregation already serialize
+    * normal flow — this guards replays).
+    */
+  def rollingZScore(
+      spreads: Dataset[SpreadPoint],
+      windowRows: Int = 60,
+      minWindow: Int = 30): Dataset[ZPoint] = {
+    val spark = spreads.sparkSession
+    import spark.implicits._
+    spreads
+      .groupByKey(_.pair_name)
+      .flatMapGroupsWithState[ZState, ZPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (pair, rows, state: GroupState[ZState]) =>
+          val st0 = state.getOption.getOrElse(ZState(Vector.empty, Long.MinValue))
+          val ordered = rows.toSeq.sortBy(_.bar_ts.getTime)
+          var st = st0
+          val out = Vector.newBuilder[ZPoint]
+          ordered.foreach { p =>
+            if (p.bar_ts.getTime > st.lastTs) {
+              val values = (st.values :+ p.spread).takeRight(windowRows)
+              st = ZState(values, p.bar_ts.getTime)
+              val n = values.length
+              val z =
+                if (n < minWindow) None
+                else {
+                  val mean = values.sum / n
+                  val varS = values.map(v => (v - mean) * (v - mean)).sum / (n - 1)
+                  val sd = math.sqrt(varS)
+                  if (sd == 0.0 || sd.isNaN) None else Some((p.spread - mean) / sd)
+                }
+              out += ZPoint(pair, p.bar_ts, p.spread, n, z)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

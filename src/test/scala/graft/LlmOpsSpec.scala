@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.sources.Tables
+
+class LlmOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("text stats: ratios bounded, token estimate >= token count") {
+    val st = TextOps.textStats(docs).cache()
+    assert(st.filter(col("distinct_ratio") > 1 || col("distinct_ratio") <= 0).count() === 0)
+    assert(st.filter(col("stopword_ratio") > 1 || col("stopword_ratio") < 0).count() === 0)
+    assert(st.filter(col("token_est") < col("n_tokens")).count() === 0)
+    assert(st.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+    st.unpersist()
+  }
+
+  test("lang id: predicts a known language with fixed tie-break") {
+    val p = TextOps.langId(docs)
+    val langs = TextOps.LangMarkers.map(_._1)
+    assert(p.filter(!col("pred_lang").isin(langs: _*)).count() === 0)
+  }
+
+  test("minhash LSH finds the high-jaccard near-dup pairs") {
+    val pairs = DedupOps.minhashNearDups(docs, "text", "doc_id", threshold = 0.3).cache()
+    // planted near-dups exist in the testdata (max jaccard ~0.99)
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("jaccard") > 1 || col("jaccard") < 0.3).count() === 0)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)
+    pairs.unpersist()
+  }
+
+  test("simhash: identical text => identical hash; bands cover hamming<=3") {
+    val sh = DedupOps.withSimhash32(docs.limit(50), "text").select("doc_id", "sh")
+    val dup = sh.unionByName(sh) // every doc duplicated => hamming 0 pairs must appear
+    val renamed = dup.select(col("doc_id").as("doc"), col("sh"))
+    val pairs = DedupOps.simhashNearDups(
+      docs.limit(50).unionByName(docs.limit(50).withColumn("doc_id", col("doc_id") + 1000000)),
+      "text", "doc_id", maxHamming = 3)
+    assert(pairs.filter(col("hamming") === 0).count() >= 50)
+  }
+
+  test("cosine top-k: rank 1 neighbor has the max cosine; k respected") {
+    val topk = SimilarityOps
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .cache()
+    assert(topk.groupBy("qid").count().filter(col("count") =!= 5).count() === 0)
+    val viol = topk.as("a").join(topk.as("b"),
+        col("a.qid") === col("b.qid") && col("a.rank") < col("b.rank") &&
+          col("a.cosine") < col("b.cosine"))
+    assert(viol.count() === 0)
+    topk.unpersist()
+  }
+
+  test("ivf top-k: every hit is a true corpus vector, ranks contiguous") {
+    val r = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      k = 5, centroidEvery = 50, nprobe = 2, queryFilter = col("vid") < 5).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("qid") === col("nid")).count() === 0)
+    val ranks = r.groupBy("qid").agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("n"))
+    assert(ranks.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() === 0)
+    r.unpersist()
+  }
+
+  test("multimodal: stub decode is deterministic, features normalized, distributed") {
+    val assets = MultimodalOps.assetsFromDocuments(docs.limit(100)).repartition(4)
+    val decoded = MultimodalOps.decodeImages(assets).cache()
+    assert(decoded.count() === 100)
+    val bad = decoded.filter(abs(aggregate(col("features"), lit(0.0), (a, v) => a + v) - 1.0) > 1e-9)
+    assert(bad.count() === 0)
+    assert(decoded.filter(col("meta.width") < 1 || col("meta.width") > 64).count() === 0)
+    // determinism: decoding twice gives identical features
+    val again = MultimodalOps.decodeImages(assets)
+    assert(decoded.select("asset_id", "features").except(again.select("asset_id", "features")).count() === 0)
+    decoded.unpersist()
+  }
+
+  test("multimodal: resize meta preserves aspect cap, frame sampling steps") {
+    val assets = MultimodalOps.decodeImages(MultimodalOps.assetsFromDocuments(docs.limit(20)))
+    val resized = assets.withColumn("meta2", MultimodalOps.resizeMeta(col("meta"), 32))
+    assert(resized.filter(col("meta2.width") > 32 || col("meta2.height") > 32).count() === 0)
+    val frames = spark.range(1, 5).select(
+      MultimodalOps.frameSampleIndices(lit(10).cast("int"), 3).as("idx"))
+    assert(frames.select(size(col("idx"))).head.getInt(0) === 4) // 0,3,6,9
+  }
+}
