@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{PairAnalytics, QualityReport}
+import graft.sources.{AlpacaSource, Sinks}
+
+/** End-to-end daily pipeline: raw vendor JSON → clean → RTH filter →
+  * pair spreads → rolling z-score → per-symbol legs → sink → validate.
+  *
+  * Mirrors the reference DAG ingest → transform → validate
+  * (`/root/reference/dags/quant_pipeline_dag.py:66`) minus Airflow,
+  * with one structural improvement: the per-pair Python loop
+  * (`project/transform_data.py:187-192`) serialized three independent
+  * Spark DAGs; here all pairs live in ONE plan — the scan is shared,
+  * the pair join is a single self-join driven by a broadcast pair
+  * spec, and Catalyst sees the whole workload at once.
+  */
+object Pipeline {
+
+  /** Reference pair universe (`project/transform_data.py:19`). */
+  val DefaultPairs: Seq[(String, String)] =
+    Seq(("MSFT", "AAPL"), ("WMT", "TGT"), ("KO", "PEP"))
+
+  /** Clean + RTH-filter raw payload files. */
+  def prepare(spark: SparkSession, rawPath: String): DataFrame =
+    AlpacaSource.filterMarketHoursKeepUtc(
+      AlpacaSource.cleanBars(AlpacaSource.readRaw(spark, rawPath)))
+
+  /** All pairs in one plan: broadcast the pair spec against each leg,
+    * join leg1×leg2 on (pair, timestamp), then window per pair. */
+  def pairZScores(
+      bars: DataFrame,
+      pairs: Seq[(String, String)] = DefaultPairs,
+      windowRows: Int = PairAnalytics.DefaultWindowRows,
+      minWindow: Int = PairAnalytics.DefaultMinWindow): DataFrame = {
+    val spark = bars.sparkSession
+    import spark.implicits._
+    val spec = pairs.toDF("sym1", "sym2")
+      .withColumn("pair_name", concat_ws("-", col("sym1"), col("sym2")))
+
+    val leg1 = bars.join(broadcast(spec), col("symbol") === col("sym1"))
+      .select(col("pair_name"), col("timestamp").as("bar_ts"),
+        col("close").cast("double").as("close1"))
+    val leg2 = bars.join(broadcast(spec.select("sym2", "pair_name")), col("symbol") === col("sym2"))
+      .select(col("pair_name").as("pn2"), col("timestamp").as("ts2"),
+        col("close").cast("double").as("close2"))
+
+    val paired = leg1.join(leg2,
+        col("pair_name") === col("pn2") && col("bar_ts") === col("ts2"))
+      .select(col("pair_name"), col("bar_ts"), col("close1"), col("close2"),
+        (log(col("close1")) - log(col("close2"))).as("spread"))
+
+    val z = PairAnalytics.rollingZScore(paired, windowRows, minWindow)
+    // leg reshape with the sign flip (transform_data.py:156-180), for
+    // every pair at once
+    val symSpec = spec.select(col("pair_name"), col("sym1"), col("sym2"))
+    val withSyms = z.join(broadcast(symSpec), Seq("pair_name"))
+    val common = Seq(col("pair_name"), col("bar_ts"), col("window_size"))
+    val l1 = withSyms.select(col("sym1").as("symbol") +: common :+
+      col("close1").as("close") :+ col("spread") :+ col("z_score"): _*)
+    val l2 = withSyms.select(col("sym2").as("symbol") +: common :+
+      col("close2").as("close") :+ (-col("spread")).as("spread") :+
+      (-col("z_score")).as("z_score"): _*)
+    l1.unionByName(l2)
+  }
+
+  /** Full run: returns (final frame row count, run summary row). */
+  def run(
+      spark: SparkSession,
+      rawPath: String,
+      outPath: String,
+      pairs: Seq[(String, String)] = DefaultPairs): (Long, DataFrame) = {
+    val bars = prepare(spark, rawPath)
+    val result = pairZScores(bars, pairs)
+    Sinks.overwriteParquet(result, outPath)
+    val written = spark.read.parquet(outPath)
+    val counts = QualityReport.symbolDayCounts(written, "symbol", "bar_ts")
+    val summary = QualityReport.runSummary(QualityReport.classify(counts))
+    (written.count(), summary)
+  }
+}

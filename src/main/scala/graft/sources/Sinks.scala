@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Output sinks with the reference's safety rule: never overwrite the
+  * serving table with an empty frame
+  * (`/root/reference/project/transform_data.py:194-197` aborts before
+  * the destructive JDBC overwrite).
+  *
+  * The engine's canonical lake sink is Parquet. Full-refresh overwrite
+  * mirrors the reference (`transform_data.py:200-209`); the scale
+  * path is partitioned append + dedup (`dropDuplicates` on the
+  * natural key replaces the UNIQUE constraint the reference's
+  * overwrite silently dropped — SURVEY §1.3, §7.4).
+  */
+object Sinks {
+
+  class EmptyResultException(msg: String) extends RuntimeException(msg)
+
+  /** Overwrite `path`, aborting on an empty frame. The emptiness probe
+    * is `isEmpty` (limit-1 scan), not a full count. */
+  def overwriteParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    if (df.isEmpty)
+      throw new EmptyResultException(
+        s"refusing to overwrite $path with an empty result (transform_data.py:196-197 rule)")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Incremental append with key dedup against the incoming batch —
+    * the 100 TB replacement for full refresh. Partition by trading
+    * date so daily reruns prune to one partition. */
+  def appendDeduped(df: DataFrame, path: String, keyCols: Seq[String], partitionBy: Seq[String]): Unit = {
+    val deduped = df.dropDuplicates(keyCols)
+    val w = deduped.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CompletenessAudit, MarketCalendar, QualityReport}
+import graft.sources.{AlpacaSource, Sinks}
+
+/** Reference-parity behaviors over Alpaca-shaped fixtures: clean,
+  * RTH/DST filtering, completeness audit, DQ classifiers, and the
+  * end-to-end pipeline (SURVEY §5 test plan).
+  */
+class ParitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val fixtureDir =
+    AlpacaFixtures.write(Files.createTempDirectory("alpaca_fixtures")).toString
+
+  private lazy val cleaned =
+    AlpacaSource.cleanBars(AlpacaSource.readRaw(spark, fixtureDir)).cache()
+
+  private lazy val rth = AlpacaSource.filterMarketHoursKeepUtc(cleaned).cache()
+
+  private val calendar = Seq(
+    MarketCalendar.Session("2025-10-31", "09:30", "16:00"),
+    MarketCalendar.Session("2025-11-03", "09:30", "16:00"),
+    MarketCalendar.Session("2025-11-04", "09:30", "16:00"),
+    MarketCalendar.Session("2025-11-28", "09:30", "13:00"))
+
+  test("clean drops null-close and unparseable-timestamp bars; null volume survives") {
+    // per symbol: bad-ts bar dropped; AAPL additionally loses the null-close slot
+    assert(cleaned.filter(col("timestamp_utc").isNull).count() === 0)
+    assert(cleaned.filter(col("close").isNull).count() === 0)
+    assert(cleaned.filter(col("volume").isNull).count() === 1) // planted null-volume bar
+    assert(cleaned.schema("close").dataType.typeName.startsWith("decimal"))
+  }
+
+  test("RTH filter: 78 bars per full day minus planted gaps; pre/post/weekend dropped") {
+    val counts = rth.groupBy(col("symbol"), to_date(col("timestamp")).as("d"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(counts(("MSFT", "2025-10-31")) === 78)
+    assert(counts(("MSFT", "2025-11-03")) === 76) // 2 planted gaps
+    assert(counts(("AAPL", "2025-10-31")) === 77) // null-close slot dropped
+    assert(counts(("AAPL", "2025-11-04")) === 74) // 4 planted gaps
+    assert(counts(("AAPL", "2025-11-28")) === 42) // early close
+    assert(!counts.contains(("MSFT", "2025-11-01"))) // weekend dropped
+  }
+
+  test("DST fall-back: UTC open shifts 13:30 -> 14:30 across Nov 2 2025") {
+    val opens = rth.groupBy(to_date(col("timestamp")).as("d"))
+      .agg(min(col("timestamp")).as("open_utc")).collect()
+      .map(r => r.getDate(0).toString -> r.getTimestamp(1).toInstant.toString).toMap
+    assert(opens("2025-10-31").contains("13:30:00")) // EDT, UTC-4
+    assert(opens("2025-11-03").contains("14:30:00")) // EST, UTC-5
+  }
+
+  test("completeness audit finds exactly the planted missing slots") {
+    val calDf = MarketCalendar.sessionsDF(spark, calendar)
+    val missing = CompletenessAudit.missingBars(calDf, rth).cache()
+    val bySymDay = missing.groupBy(col("symbol"), col("trading_date")).count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(bySymDay === Map(
+      ("MSFT", "2025-11-03") -> 2L,
+      ("AAPL", "2025-10-31") -> 1L,
+      ("AAPL", "2025-11-04") -> 4L))
+    missing.unpersist()
+  }
+
+  test("quality classifier: OK/WARN/FAIL thresholds and run summary badge") {
+    val fullDays = Seq("2025-10-31", "2025-11-03", "2025-11-04")
+    val counts = QualityReport.symbolDayCounts(rth)
+      .filter(col("trading_date").cast("string").isin(fullDays: _*))
+    val classified = QualityReport.classify(counts).cache()
+    val status = classified.collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[java.sql.Date]("trading_date").toString) ->
+        r.getAs[String]("status")).toMap
+    assert(status(("MSFT", "2025-10-31")) === "OK")
+    assert(status(("MSFT", "2025-11-03")) === "WARN") // 2 missing = threshold
+    assert(status(("AAPL", "2025-10-31")) === "WARN") // 1 missing
+    assert(status(("AAPL", "2025-11-04")) === "FAIL") // 4 missing > 2
+    val summary = QualityReport.runSummary(classified).head
+    assert(summary.getAs[String]("overall_status") === "FAIL")
+    assert(summary.getAs[Long]("max_missing") === 4L)
+    classified.unpersist()
+  }
+
+  test("calendar classifier: early close passes annotated; leaked extended hours fail") {
+    val calDf = MarketCalendar.sessionsDF(spark, calendar)
+    val counts = QualityReport.symbolDayCounts(rth)
+    val classified = QualityReport.calendarClassify(counts, calDf).cache()
+    val early = classified
+      .filter(col("trading_date") === "2025-11-28" && col("symbol") === "MSFT").head
+    assert(early.getAs[Int]("expected_bars") === 42)
+    assert(early.getAs[String]("status") === "PASS")
+    assert(early.getAs[String]("notes").contains("early close"))
+    // un-filtered bars leak pre/post market -> actual > expected -> FAIL
+    val leaked = QualityReport.calendarClassify(
+      QualityReport.symbolDayCounts(cleaned, "symbol", "timestamp_utc"), calDf)
+    val leakRow = leaked
+      .filter(col("trading_date") === "2025-10-31" && col("symbol") === "MSFT").head
+    assert(leakRow.getAs[String]("status") === "FAIL")
+    assert(leakRow.getAs[String]("notes").contains("too many bars"))
+    classified.unpersist()
+  }
+
+  test("pipeline end-to-end: one unioned plan, sign-flip invariant, guarded sink") {
+    val out = Files.createTempDirectory("pipeline_out").toString + "/result"
+    val (n, summary) = Pipeline.run(spark, fixtureDir, out, Seq(("MSFT", "AAPL")))
+    assert(n > 0)
+    val written = spark.read.parquet(out)
+    // legs cancel per bar
+    val bad = written.groupBy("bar_ts")
+      .agg(sum(col("spread")).as("s"), count(lit(1)).as("c"))
+      .filter(col("c") =!= 2 || abs(col("s")) > 1e-12).count()
+    assert(bad === 0)
+    assert(summary.columns.contains("overall_status"))
+    // empty-guard rule
+    intercept[Sinks.EmptyResultException] {
+      Sinks.overwriteParquet(written.filter(lit(false)), out + "_empty")
+    }
+  }
+}
