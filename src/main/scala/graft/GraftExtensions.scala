@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CrossHash, Hash32Array, MinHashSig, VecDot}
+import graft.ops.DedupOps
+
+/** Session-extension entry point for the engine's custom Catalyst
+  * surface. Enable with:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * or programmatically `.withExtensions(new GraftExtensions)`.
+  * (Library code paths also self-register via `VecDot.register` so
+  * plain sessions work; this class is the spark-submit-friendly
+  * front door.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinHashSig(children.head, DedupOps.A, DedupOps.B, CrossHash.P)))
+    ext.injectFunction((
+      FunctionIdentifier("hash32_array"),
+      new ExpressionInfo(classOf[Hash32Array].getName, "hash32_array"),
+      (children: Seq[Expression]) => Hash32Array(children.head)))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Batch kernel: md5-prefix32 of every element of an array<string>.
+  *
+  * Arithmetic identical to `conv(substring(md5(s),1,8),16,10)` — the
+  * first 4 digest bytes read big-endian — but computed in one call per
+  * ROW with a reused MessageDigest over the raw UTF8 bytes. The
+  * declarative per-element form paid interpreted-HOF dispatch plus a
+  * hex-string round-trip per element (~10µs); at ~150 shingles × each
+  * doc it dominated the dedup pipelines.
+  */
+object CrossHashKernels {
+
+  /** 32-bit SimHash from element hashes: per bit, elements vote +1/-1
+    * by their hash bit; positive sum sets the bit. Identical result to
+    * the per-bit nested-aggregate formulation (vote order is
+    * irrelevant — it's a sum). */
+  def simhash32(arr: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((x >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  def md5Prefix32(arr: ArrayData): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class Hash32Array(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hash32_array requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CrossHashKernels.md5Prefix32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CrossHashKernels.md5Prefix32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash32Array =
+    copy(child = newChild)
+}
+
+object Hash32Array {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("hash32_array")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(
+        id,
+        new ExpressionInfo(classOf[Hash32Array].getName, "hash32_array"),
+        (children: Seq[Expression]) => Hash32Array(children.head))
+    }
+    val sid = FunctionIdentifier("simhash32")
+    if (!reg.functionExists(sid)) {
+      reg.registerFunction(
+        sid,
+        new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+        (children: Seq[Expression]) => SimHash32(children.head))
+    }
+  }
+
+  def hash(c: Column): Column = call_function("hash32_array", c)
+}
+
+/** Codegen'd 32-bit SimHash over an array of element hashes — see
+  * [[CrossHashKernels.simhash32]]; the nested-aggregate declarative
+  * form (32 bit-positions × n tokens of interpreted lambda evals) was
+  * the dominant cost of the SimHash dedup path. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    CrossHashKernels.simhash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CrossHashKernels.simhash32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  def sim(c: Column): Column = call_function("simhash32", c)
+}

@@ -38,17 +38,33 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct-shingle set + 32-bit shingle hashes for a document. */
-  def shingleSets(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
-    df.withColumn("sset", array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)))
-      .withColumn("hs", transform(col("sset"), s => CrossHash.x32(s)))
+  /** Distinct-shingle set + 32-bit shingle hashes for a document.
+    * Two materialization barriers (Dist.materialize) keep the O(n)
+    * tokenize/shingle/hash work evaluated ONCE: without them,
+    * CollapseProject inlines split() into every element_at inside the
+    * shingle lambda (O(n^2)) and the hash array into the 32-iteration
+    * signature loop (32x). */
+  def shingleSets(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    graft.functions.Hash32Array.register(df.sparkSession)
+    val tokenized = Dist.materialize(
+      df.withColumn("toks", TextOps.tokens(col(textCol))))
+    Dist.materialize(
+      tokenized
+        .withColumn("sset", array_distinct(TextOps.shingles(col("toks"), n)))
+        .withColumn("hs", graft.functions.Hash32Array.hash(col("sset")))
+        .drop("toks"))
+  }
 
-  /** K-element MinHash signature from the distinct shingle hashes. */
-  def minhashSignature(hs: Column): Column =
-    transform(sequence(lit(0), lit(K - 1)),
-      i =>
-        array_min(transform(hs,
-          x => (element_at(typedlit(A), i + 1) * x + element_at(typedlit(B), i + 1)) % CrossHash.P)))
+  /** K-element MinHash signature from the distinct shingle hashes —
+    * the codegen'd [[graft.functions.MinHashSig]] expression. The
+    * declarative equivalent (kept for reference, arithmetic identical):
+    * {{{
+    * transform(sequence(lit(0), lit(K-1)), i =>
+    *   array_min(transform(hs, x =>
+    *     (element_at(typedlit(A), i+1) * x + element_at(typedlit(B), i+1)) % CrossHash.P)))
+    * }}}
+    * ran interpreted and dominated the whole LSH pipeline. */
+  def minhashSignature(hs: Column): Column = graft.functions.MinHashSig.sig(hs)
 
   /** Explode a signature into (band, band_sig) rows for the LSH
     * bucket-join. */
@@ -68,10 +84,17 @@ object DedupOps {
       textCol: String,
       idCol: String,
       threshold: Double = 0.3): DataFrame = {
-    val docs = shingleSets(df, textCol)
-      .select(col(idCol).as("doc"), col("sset"), col("hs"))
-      .filter(size(col("sset")) > 0)
-      .withColumn("sig", minhashSignature(col("hs")))
+    graft.functions.MinHashSig.register(df.sparkSession, A, B, CrossHash.P)
+    // Pre-filter short docs on the RAW text (>=3 tokens <=> non-empty
+    // shingle set). Filtering on size(sset) AFTER deriving it looks
+    // equivalent, but predicate pushdown substitutes sset's whole
+    // defining expression into a Filter at the scan — re-running
+    // tokenize+shingle+distinct on the scan's (single) partition.
+    val eligible = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
+    val docs = Dist.materialize(
+      shingleSets(eligible, textCol)
+        .select(col(idCol).as("doc"), col("sset"), col("hs"))
+        .withColumn("sig", minhashSignature(col("hs"))))
     val bands = docs.select(col("doc"), lshBands(col("sig")).as("b"))
       .select(col("doc"), col("b.band"), col("b.bsig"))
     val cand = bands.as("x")
@@ -93,22 +116,31 @@ object DedupOps {
 
   /** 32-bit SimHash over token hashes (with multiplicity): per bit
     * position, tokens vote +1/-1 by their hash bit; the sign becomes
-    * the SimHash bit. Nested higher-order aggregates with integer
-    * arithmetic identical to the DuckDB twin. */
-  def withSimhash32(df: DataFrame, textCol: String, out: String = "sh"): DataFrame =
-    df.withColumn("__xs", transform(TextOps.tokens(col(textCol)), t => CrossHash.x32(t)))
-      .withColumn(out, expr(
-        "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + " +
-          "CASE WHEN aggregate(__xs, 0L, (s, x) -> s + " +
-          "CASE WHEN (x div shiftleft(1L, j)) % 2 = 1 THEN 1L ELSE -1L END) > 0 " +
-          "THEN shiftleft(1L, j) ELSE 0L END)"))
+    * the SimHash bit — the codegen'd [[graft.functions.SimHash32]]
+    * kernel. The declarative equivalent (arithmetic identical, and
+    * what the DuckDB oracle runs):
+    * {{{
+    * aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
+    *   CASE WHEN aggregate(__xs, 0L, (s, x) -> s +
+    *     CASE WHEN (x div shiftleft(1L, j)) % 2 = 1 THEN 1L ELSE -1L END) > 0
+    *   THEN shiftleft(1L, j) ELSE 0L END)
+    * }}}
+    * ran interpreted: 32 bit-positions × n tokens of lambda dispatch
+    * per document. */
+  def withSimhash32(df: DataFrame, textCol: String, out: String = "sh"): DataFrame = {
+    graft.functions.Hash32Array.register(df.sparkSession)
+    Dist.materialize(
+      df.withColumn("__xs", graft.functions.Hash32Array.hash(TextOps.tokens(col(textCol)))))
+      .withColumn(out, graft.functions.SimHash32.sim(col("__xs")))
       .drop("__xs")
+  }
 
   /** SimHash near-dup pairs via 4×8-bit pigeonhole bands: any pair at
     * hamming distance <= 3 shares at least one band, so the band
     * equi-join finds all of them without an n² pass. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val docs = withSimhash32(df, textCol).select(col(idCol).as("doc"), col("sh"))
+    val docs = Dist.materialize(
+      withSimhash32(df, textCol).select(col(idCol).as("doc"), col("sh")))
     val bands = docs.select(col("doc"), col("sh"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, (sh div shiftleft(1L, b*8)) % 256 AS bval))")).as("bb"))
       .select(col("doc"), col("sh"), col("bb.band"), col("bb.bval"))
@@ -118,8 +150,11 @@ object DedupOps {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: clustered simhashes make band buckets
+      // large, and deduplicating millions of non-matching candidates
+      // cost more than the whole rest of the query
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs (brute force — the verify

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-layout helpers for compute-heavy declarative stages. */
+object Dist {
+
+  /** Spread a compute-heavy map stage across the cluster when the
+    * scan produced fewer splits than cores (a small file arrives as
+    * ONE split, serializing everything downstream on one core). At
+    * real scale the scan already has >= cores splits and this is a
+    * no-op; the check reads only the plan's partitioning, it runs no
+    * job. */
+  def rebalance(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
+
+  /** Materialization barrier: force the columns computed so far to be
+    * physically produced (via a round-robin exchange) instead of being
+    * re-inlined into every consumer.
+    *
+    * Catalyst's CollapseProject substitutes a derived column's
+    * DEFINING EXPRESSION into each use site — including inside
+    * higher-order-function lambdas, where a reference like
+    * `element_at(toks, i)` becomes `element_at(split(text,' '), i)`
+    * PER ELEMENT, turning an O(n) tokenize into O(n²) interpreted
+    * regex work (observed: the minhash stage spent its whole runtime
+    * re-splitting text). An Exchange is a projection barrier no
+    * optimizer rule crosses, so one shuffle of the (small, already
+    * tokenized) rows buys single evaluation. Use after deriving an
+    * expensive array column that downstream lambdas iterate over. */
+  def materialize(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}

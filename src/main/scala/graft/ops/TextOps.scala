@@ -50,8 +50,9 @@ object TextOps {
     * score — the LLM-corpus analog of the reference's per-row DQ
     * checks (`project/validate_data.py:174-185`). */
   def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.withColumn("toks", toks)
+    // barrier: materialize toks once — otherwise CollapseProject
+    // inlines the split() into every stat column (see Dist.materialize)
+    Dist.materialize(df.withColumn("toks", tokens(col(textCol))))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chars_m", length(col(textCol)).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
@@ -80,8 +81,8 @@ object TextOps {
   /** Marker-word language scores + argmax classification with a fixed
     * priority tie-break. */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = LangMarkers.foldLeft(df.withColumn("toks", toks)) {
+    val tokenized = Dist.materialize(df.withColumn("toks", tokens(col(textCol))))
+    val scored = LangMarkers.foldLeft(tokenized) {
       case (d, (lang, markers)) =>
         d.withColumn(s"s_$lang", countIn(col("toks"), markers).cast("long"))
     }
@@ -97,14 +98,14 @@ object TextOps {
     * over token hashes, a winnowing-style min-shingle-hash, and the
     * full-text md5. */
   def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.withColumn("xs", transform(toks, t => CrossHash.x32(t)))
-      .withColumn("sh", shingles(tokens(col(textCol))))
+    graft.functions.Hash32Array.register(df.sparkSession)
+    Dist.materialize(df.withColumn("toks", tokens(col(textCol))))
       .withColumn("fp_roll",
-        aggregate(col("xs"), lit(0L), (h, x) => (h * 31L + x) % 1000000007L))
+        aggregate(graft.functions.Hash32Array.hash(col("toks")),
+          lit(0L), (h, x) => (h * 31L + x) % 1000000007L))
       .withColumn("fp_minshingle",
-        array_min(transform(col("sh"), s => CrossHash.x32(s))))
+        array_min(graft.functions.Hash32Array.hash(shingles(col("toks")))))
       .withColumn("fp_md5", md5(col(textCol)))
-      .drop("xs", "sh")
+      .drop("toks")
   }
 }

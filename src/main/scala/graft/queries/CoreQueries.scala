@@ -96,6 +96,18 @@ object CoreQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Sketch aggregates: HLL approx-distinct + quantile sketch. No
+    // DuckDB oracle (sketch implementations differ across engines by
+    // design) — the driver records a rows-only check; the ScalaTest
+    // spec bounds the approximation error against exact values.
+    "q32_approx_stats" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+    }),
+
     // F9: array size + element access on the embeddings table
     "q20_array_ops" -> ((s, dir) => {
       Tables.embeddings(s, dir)

@@ -48,7 +48,7 @@ object LlmQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats" -> ((s, dir) => {
-      TextOps.textStats(Tables.documents(s, dir))
+      TextOps.textStats(Tables.rebalance(Tables.documents(s, dir)))
         .select(col("doc_id"), col("n_tokens"), col("n_chars_m"), col("n_distinct"),
           col("n_stop"), col("avg_token_len"), col("distinct_ratio"),
           col("stopword_ratio"), col("token_est"), col("quality_score"))
@@ -56,7 +56,7 @@ object LlmQueries {
     }),
 
     "q22_lang_id" -> ((s, dir) => {
-      TextOps.langId(Tables.documents(s, dir))
+      TextOps.langId(Tables.rebalance(Tables.documents(s, dir)))
         .withColumn("is_match", col("pred_lang") === col("lang"))
         .select(col("doc_id") +: col("lang") +:
           TextOps.LangMarkers.map { case (l, _) => col(s"s_$l") } :+
@@ -65,23 +65,23 @@ object LlmQueries {
     }),
 
     "q23_fingerprint" -> ((s, dir) => {
-      TextOps.fingerprints(Tables.documents(s, dir))
+      TextOps.fingerprints(Tables.rebalance(Tables.documents(s, dir)))
         .select(col("doc_id"), col("fp_roll"), col("fp_minshingle"), col("fp_md5"))
         .orderBy(col("doc_id"))
     }),
 
     "q24_exact_dedup" -> ((s, dir) => {
-      DedupOps.exactDupGroups(Tables.documents(s, dir), "text", "doc_id")
+      DedupOps.exactDupGroups(Tables.rebalance(Tables.documents(s, dir)), "text", "doc_id")
         .orderBy(col("keep_id"))
     }),
 
     "q25_minhash_lsh" -> ((s, dir) => {
-      DedupOps.minhashNearDups(Tables.documents(s, dir), "text", "doc_id", threshold = 0.3)
+      DedupOps.minhashNearDups(Tables.rebalance(Tables.documents(s, dir)), "text", "doc_id", threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q26_simhash" -> ((s, dir) => {
-      DedupOps.simhashNearDups(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
+      DedupOps.simhashNearDups(Tables.rebalance(Tables.documents(s, dir)), "text", "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{MarketBars, PairAnalytics}
+import graft.ops.{AsOfJoin, MarketBars, PairAnalytics}
 import graft.sources.Tables
 
 /** Market/time-series operator inventory over the `events` table —
@@ -35,9 +35,16 @@ object MarketQueries {
           WHERE a.series = 'click' AND b.series = 'view')"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P3: time-range predicate (app.py:40-44)
+    // P3: time-range predicate (app.py:40-44). The ts column is
+    // computed from the raw nanos long (Tables.events), which blocks
+    // parquet pushdown of the range — so the same bounds are ALSO
+    // applied to ts_ns (the raw column), which DO reach the scan as
+    // PushedFilters and prune row groups at 100 TB.
     "q02_range_filter" -> ((s, dir) => {
+      val loNs = java.time.Instant.parse("2024-01-10T00:00:00Z").getEpochSecond * 1000000000L
+      val hiNs = java.time.Instant.parse("2024-01-20T00:00:00Z").getEpochSecond * 1000000000L
       Tables.events(s, dir)
+        .filter(col("ts_ns") >= loNs && col("ts_ns") < hiNs)
         .filter(
           col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
             col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
@@ -167,6 +174,24 @@ object MarketQueries {
         .orderBy(col("trading_date"), col("slot_utc"))
     }),
 
+    // As-of join (union-window form): each click row carries the
+    // latest view value at-or-before it within the same day — the
+    // operator the reference's exact-equality pair join approximates
+    // (SURVEY §2.3 note). DuckDB twin uses native ASOF LEFT JOIN.
+    "q31_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(to_date(col("ts")).as("d"), col("ts"), col("event_id"),
+          col("value").as("click_val"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("d"), col("ts"))
+        .agg(max(col("value")).as("view_val"))
+      AsOfJoin.backward(clicks, views, Seq("d"), "ts", Seq("view_val"))
+        .select(col("event_id"), col("ts"), col("click_val"), col("view_val"),
+          round(col("click_val") - col("view_val"), 6).as("gap"))
+        .orderBy(col("event_id"))
+    }),
+
     // J2/J3: completeness audit — expected grid anti-join actual bars
     // (audit_pipeline.py:168-201)
     "q17_missing_slots" -> ((s, dir) => {
@@ -278,6 +303,16 @@ object MarketQueries {
       """SELECT event_id, ts, event_type, value FROM
          (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 200)
          ORDER BY event_id""",
+    "q31_asof_join" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS d, ts, event_id, value AS click_val
+                    FROM events WHERE event_type = 'click'),
+         v AS (SELECT CAST(ts AS DATE) AS d, ts, max(value) AS view_val
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.event_id, c.ts, c.click_val, v.view_val,
+                round(c.click_val - v.view_val, 6) AS gap
+         FROM c ASOF LEFT JOIN v ON c.d = v.d AND c.ts >= v.ts
+         ORDER BY c.event_id""",
+
     "q16_session_grid" ->
       """WITH days AS (
            SELECT CAST(unnest(generate_series(

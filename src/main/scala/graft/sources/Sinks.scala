@@ -27,6 +27,12 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Row-oriented JSON sink (S7 — the reference writes one raw JSON
+    * payload per symbol, `project/ingest_data.py:104-106`; the
+    * distributed analog is line-delimited JSON part files). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Incremental append with key dedup against the incoming batch —
     * the 100 TB replacement for full refresh. Partition by trading
     * date so daily reruns prune to one partition. */

@@ -17,6 +17,14 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a compute-heavy map stage across the cluster when the scan
+    * produced fewer splits than cores (a small file arrives as ONE
+    * split, serializing everything downstream on one core — exactly
+    * what happened to the tokenize/minhash stages). At real scale the
+    * scan already has >= cores splits and this is a no-op; the check
+    * reads only the plan's partitioning, it runs no job. */
+  def rebalance(df: DataFrame): DataFrame = graft.ops.Dist.rebalance(df)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
