@@ -37,9 +37,9 @@ object BarBuilder {
       tsCol: String,
       valueCol: String,
       windowLen: String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
-    ticks
-      .withWatermark(tsCol, watermark)
+      watermark: Option[String] = Some("10 minutes")): DataFrame = {
+    val marked = watermark.fold(ticks)(w => ticks.withWatermark(tsCol, w))
+    marked
       .groupBy(
         col(seriesCol).as("series"),
         window(col(tsCol), windowLen).as("w"))
@@ -54,6 +54,35 @@ object BarBuilder {
         col("open"), col("high"), col("low"), col("close"),
         col("n_ticks"), col("volume"))
   }
+
+  /** Streaming ingest dedup: drop duplicate (series, ts) ticks within
+    * the watermark — the streaming replacement for the reference's
+    * lost UNIQUE(symbol, timestamp) constraint (`schema.py:42`). State
+    * is bounded by the watermark horizon. */
+  def dedupedTicks(
+      ticks: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(seriesCol, tsCol)
+
+  /** Stream bars into a date-partitioned lake path, one idempotent-ish
+    * batch at a time: foreachBatch + append with in-batch key dedup —
+    * the incremental counterpart of the reference's full-refresh
+    * overwrite (`transform_data.py:200-209`, SURVEY §7.4). */
+  def sinkBars(bars: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    bars
+      .withColumn("trading_date", org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("bar_ts")))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.appendDeduped(
+          batch, path, Seq("series", "bar_ts"), Seq("trading_date"))
+      }
+      .start()
 
   case class SpreadPoint(pair_name: String, bar_ts: Timestamp, spread: Double)
 

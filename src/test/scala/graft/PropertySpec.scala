@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CrossHash, Hash32Array, MinHashSig, SimHash32}
+import graft.ops.{AsOfJoin, DedupOps, MarketBars}
+
+/** Property-style tests over seeded random data: the codegen kernels
+  * must equal their declarative (oracle-shaped) formulations on
+  * arbitrary input, and the engine's algebraic invariants must hold
+  * beyond the fixture data. (Plain seeded generation — the
+  * scalatest/scalacheck bridge isn't available offline.)
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  private def randText(): String = {
+    val n = rnd.nextInt(41)
+    Seq.fill(n)(("" + ('a' + rnd.nextInt(26)).toChar) + ('a' + rnd.nextInt(26)).toChar).mkString(" ")
+  }
+
+  private def randHs(maxLen: Int): Seq[Long] =
+    Seq.fill(1 + rnd.nextInt(maxLen))(rnd.nextLong() & 0xffffffffL)
+
+  test("hash32_array equals the declarative conv(substr(md5)) form") {
+    Hash32Array.register(spark)
+    val docs = Seq.fill(200)(randText())
+    val df = docs.toDF("text")
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+    val both = df.select(
+      Hash32Array.hash(col("toks")).as("kernel"),
+      transform(col("toks"),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)).as("decl"))
+    assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
+  }
+
+  test("minhash_sig equals the declarative transform/array_min form") {
+    MinHashSig.register(spark, DedupOps.A, DedupOps.B, CrossHash.P)
+    val rows = Seq.fill(150)(randHs(60))
+    val df = rows.toDF("hs")
+    val decl = transform(sequence(lit(0), lit(DedupOps.K - 1)),
+      i => array_min(transform(col("hs"),
+        x => (element_at(typedlit(DedupOps.A), i + 1) * x +
+          element_at(typedlit(DedupOps.B), i + 1)) % CrossHash.P)))
+    val both = df.select(MinHashSig.sig(col("hs")).as("kernel"), decl.as("decl"))
+    assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
+  }
+
+  test("simhash32 kernel equals the declarative nested-aggregate form") {
+    Hash32Array.register(spark)
+    val rows = Seq.fill(150)(randHs(50))
+    val df = rows.toDF("__xs")
+    val decl = expr(
+      "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + " +
+        "CASE WHEN aggregate(__xs, 0L, (s, x) -> s + " +
+        "CASE WHEN (x div shiftleft(1L, j)) % 2 = 1 THEN 1L ELSE -1L END) > 0 " +
+        "THEN shiftleft(1L, j) ELSE 0L END)")
+    val both = df.select(SimHash32.sim(col("__xs")).as("kernel"), decl.as("decl"))
+    assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
+  }
+
+  test("timeBucket floors onto the grid: bucket <= ts < bucket + step") {
+    val epochs = Seq.fill(500)(math.abs(rnd.nextLong()) % 4102444800L)
+    val df = epochs.map(e => new Timestamp(e * 1000L)).toDF("ts")
+    val b = df.select(col("ts"),
+      MarketBars.timeBucket(col("ts"), MarketBars.FiveMinutesMicros).as("bucket"))
+    val bad = b.filter(
+      col("bucket") > col("ts") ||
+        unix_micros(col("ts")) - unix_micros(col("bucket")) >= MarketBars.FiveMinutesMicros ||
+        unix_micros(col("bucket")) % MarketBars.FiveMinutesMicros =!= 0)
+    assert(bad.count() === 0)
+  }
+
+  test("as-of join equals naive formulation on random keyed series") {
+    for (round <- 1 to 3) {
+      val lRows = Seq.tabulate(80)(i =>
+        (rnd.nextInt(4), rnd.nextInt(1000).toLong, i.toLong, rnd.nextInt(2000) - 1000.0))
+      val rRows = Seq.fill(50)(
+        (rnd.nextInt(4), rnd.nextInt(1000).toLong, rnd.nextInt(2000) - 1000.0))
+      val l = lRows.toDF("k", "t", "lid", "lv")
+      val r = rRows.toDF("k", "t", "rv").groupBy("k", "t").agg(max("rv").as("rv"))
+      val fast = AsOfJoin.backward(l, r, Seq("k"), "t", Seq("rv"))
+        .select("lid", "rv")
+      val naive = l.as("l").join(r.as("r"),
+          col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+        .groupBy(col("lid"))
+        .agg(max_by(col("rv"), col("r.t")).as("rv"))
+      assert(fast.except(naive).count() === 0 && naive.except(fast).count() === 0,
+        s"round $round")
+    }
+  }
+
+  test("simhash pigeonhole: hamming<=3 pairs always share an 8-bit band") {
+    for (_ <- 1 to 1000) {
+      val h = rnd.nextLong() & 0xffffffffL
+      val flips = Seq.fill(rnd.nextInt(4))(rnd.nextInt(32))
+      val h2 = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      val bandsEqual =
+        (0 until 4).exists(b => ((h >> (b * 8)) & 0xff) == ((h2 >> (b * 8)) & 0xff))
+      assert(bandsEqual, s"h=$h flips=$flips")
+    }
+  }
+}

@@ -48,6 +48,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late ticks; dedup-within-watermark kills duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // base aligned to the 5-minute grid so ts(0) starts a window
+    def ts(min: Int) = new Timestamp(1700000400000L + min * 60000L)
+    val stream = MemoryStream[Tick]
+    val deduped = BarBuilder.dedupedTicks(stream.toDF(), "event_type", "ts", "10 minutes")
+    // watermark already defined by dedupedTicks; redefining is disallowed
+    val q = BarBuilder.bars(deduped, "event_type", "ts", "value", watermark = None)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two ticks in window [0,5), duplicate of the first, watermark -> 90-10
+      stream.addData(Seq(
+        Tick("s", ts(0), 1.0), Tick("s", ts(0), 99.0), Tick("s", ts(2), 2.0),
+        Tick("s", ts(90), 5.0)))
+      q.processAllAvailable()
+      // batch 2: a tick 80+ minutes late -> beyond watermark, dropped
+      stream.addData(Seq(Tick("s", ts(1), 42.0)))
+      q.processAllAvailable()
+      // batch 3: advance watermark far so remaining windows close
+      stream.addData(Seq(Tick("s", ts(200), 6.0)))
+      q.processAllAvailable()
+      val out = spark.table("late_out").collect()
+        .map(r => (r.getAs[Timestamp]("bar_ts"), r.getAs[Long]("n_ticks"),
+          r.getAs[Double]("high"))).toList
+      val w0 = out.find(_._1 == ts(0)).getOrElse(fail(s"no [0,5) bar; emitted: $out"))
+      // duplicate (ts0, 99.0) removed -> 2 ticks, high is 2.0 not 99.0;
+      // the late 42.0 never entered
+      assert(w0._2 === 2L)
+      assert(w0._3 === 2.0)
+    } finally q.stop()
+  }
+
+  test("streaming bars sink to a date-partitioned lake path with key dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("bars_sink")
+    val stream = MemoryStream[Tick]
+    val bars = BarBuilder.bars(stream.toDF(), "event_type", "ts", "value")
+    val q = BarBuilder.sinkBars(bars, s"$tmp/data", s"$tmp/ckpt")
+    try {
+      val data = ticksFromEvents(500)
+      stream.addData(data.take(250)); q.processAllAvailable()
+      stream.addData(data.drop(250)); q.processAllAvailable()
+      val written = spark.read.parquet(s"$tmp/data")
+      assert(written.count() > 0)
+      assert(written.columns.contains("trading_date"))
+      // no duplicate (series, bar_ts) keys within what was emitted
+      assert(written.groupBy("series", "bar_ts").count().filter(col("count") > 1).count() === 0)
+    } finally q.stop()
+  }
+
   test("stateful rolling z-score matches the batch window across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
