@@ -16,6 +16,28 @@ object Dist {
     if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
   }
 
+  /** Skew-safe equi-join: replicate the (small-ish) right side
+    * `saltBuckets` times and scatter the left side's hot keys across
+    * the replicas with a deterministic salt. Use when one join key
+    * carries a disproportionate share of rows and AQE's skew-join
+    * split isn't available (e.g. the key is hot on BOTH inputs, or
+    * the shuffle is sort-merge under a hint). Result is identical to
+    * the plain join — verified by property test. */
+  def saltedJoin(
+      lhs: DataFrame,
+      rhs: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod, sequence}
+    // deterministic scatter: hash the whole left row so equal keys spread
+    val saltedLeft = lhs.withColumn("__salt",
+      pmod(hash(lhs.columns.map(c => col(c)): _*), lit(saltBuckets)))
+    val saltedRight = rhs.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Materialization barrier: force the columns computed so far to be
     * physically produced (via a round-robin exchange) instead of being
     * re-inlined into every consumer.

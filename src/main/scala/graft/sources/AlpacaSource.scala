@@ -68,6 +68,16 @@ object AlpacaSource {
         col("bar.volume").cast(IntegerType).as("volume"))
       .na.drop(Seq("close", "timestamp_utc"))
 
+  /** Raw-payload inspection report: per-file symbol, bar count, and
+    * time coverage (`/root/reference/inspect_raw_data.py:33-44` as a
+    * DataFrame op — the reference loops files in Python). */
+  def inspectRaw(raw: DataFrame): DataFrame =
+    raw.select(
+      col("symbol"),
+      size(col("bars")).as("n_bars"),
+      col("timeframe"), col("source"), col("feed"),
+      col("start_utc"), col("end_utc"))
+
   /** RTH filter, UTC kept canonical: Mon-Fri ET, bar starts in
     * [09:30, 15:55] ET — 78 bars per full session
     * (`project/transform_data.py:72-98`). DST-safe via

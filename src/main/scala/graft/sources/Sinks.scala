@@ -33,6 +33,22 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Bucketed managed table: pre-hash-partitions rows by the join key
+    * so repeated joins/aggregations on that key run WITHOUT a shuffle
+    * — the lake-layout half of "co-locate joins via bucketing"
+    * (SURVEY §7.4 / the 100 TB posture). Requires a warehouse-backed
+    * table (bucket metadata lives in the catalog). */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Incremental append with key dedup against the incoming batch —
     * the 100 TB replacement for full refresh. Partition by trading
     * date so daily reruns prune to one partition. */
