@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusPipeline, DedupOps, SimilarityOps, TextOps}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operator inventory over the `documents`
@@ -114,6 +114,13 @@ object LlmQueries {
       SimilarityOps.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 5, centroidEvery = 50, nprobe = 2, queryFilter = col("vid") < 10)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Composite corpus curation: quality gate -> exact dedup ->
+    // MinHash-LSH near-dup removal, one declarative plan
+    "q33_corpus_curation" -> ((s, dir) => {
+      CorpusPipeline.curate(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -252,6 +259,51 @@ object LlmQueries {
          CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER) AS fake_w,
          CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INTEGER) AS fake_h
          FROM documents ORDER BY doc_id""",
+
+    "q33_corpus_curation" -> {
+      val aList = DedupOps.A.mkString("[", ",", "]")
+      val bList = DedupOps.B.mkString("[", ",", "]")
+      s"""WITH $toksCte,
+          st AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+            CAST(len(list_filter(toks, t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT) AS n_stop
+          FROM d),
+          qs AS (SELECT d.doc_id, d.text, st.n_tokens,
+                   round(least(1.0, CAST(st.n_tokens AS DOUBLE)/100.0)*0.4
+                         + (CAST(st.n_distinct AS DOUBLE)/st.n_tokens)*0.4
+                         + (1.0 - CAST(st.n_stop AS DOUBLE)/st.n_tokens)*0.2, 4) AS quality_score
+                 FROM st JOIN d ON st.doc_id = d.doc_id),
+          q AS (SELECT * FROM qs WHERE quality_score >= ${CorpusPipeline.QualityThreshold}),
+          ke AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
+          q2 AS (SELECT * FROM q WHERE doc_id IN (SELECT keep_id FROM ke)),
+          t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM q2),
+          sh2 AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM t2),
+          xs2 AS (SELECT doc_id, sset, list_transform(sset, s -> ${x32("s")}) AS hs
+                  FROM sh2 WHERE len(sset) > 0),
+          sig2 AS (SELECT doc_id, sset,
+                     list_transform(generate_series(0, ${DedupOps.K - 1}),
+                       i -> list_min(list_transform(hs,
+                              x -> (($aList)[i+1]*x + ($bList)[i+1]) % ${CrossHash.P}))) AS sig
+                   FROM xs2),
+          bnd2 AS (SELECT doc_id, sig, unnest(generate_series(0, ${DedupOps.Bands - 1})) AS band FROM sig2),
+          bs2 AS (SELECT doc_id, band,
+                    CAST(sig[2*band+1] AS VARCHAR) || '_' || CAST(sig[2*band+2] AS VARCHAR) AS bsig
+                  FROM bnd2),
+          cand2 AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                    FROM bs2 x JOIN bs2 y
+                      ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+          pairs2 AS (SELECT id_a, id_b,
+                       CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.sset, sb.sset))) AS jac
+                     FROM cand2
+                     JOIN sh2 sa ON sa.doc_id = id_a
+                     JOIN sh2 sb ON sb.doc_id = id_b),
+          drops AS (SELECT DISTINCT id_b FROM pairs2 WHERE jac >= ${CorpusPipeline.JaccardThreshold})
+          SELECT doc_id, n_tokens, quality_score FROM q2
+          WHERE doc_id NOT IN (SELECT id_b FROM drops)
+          ORDER BY doc_id"""
+    },
 
     "q30_ivf_topk" ->
       s"""WITH $embCte,

@@ -33,6 +33,19 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** JDBC full-refresh sink with the same empty-guard rule (S3 —
+    * `transform_data.py:200-209`; overwrite drops and recreates the
+    * table from the frame schema, as the reference's did). Not
+    * exercised in CI (no database); overwriteParquet is the tested
+    * analog. */
+  def overwriteJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    if (df.isEmpty)
+      throw new EmptyResultException(
+        s"refusing to overwrite $table with an empty result")
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+  }
+
   /** Bucketed managed table: pre-hash-partitions rows by the join key
     * so repeated joins/aggregations on that key run WITHOUT a shuffle
     * — the lake-layout half of "co-locate joins via bucketing"

@@ -25,6 +25,14 @@ object Tables {
     * reads only the plan's partitioning, it runs no job. */
   def rebalance(df: DataFrame): DataFrame = graft.ops.Dist.rebalance(df)
 
+  /** JDBC table scan (S2 — `audit_pipeline.py:92-99`). Catalyst pushes
+    * IS NOT NULL / comparison predicates and column pruning into the
+    * generated SQL. Not exercised in CI (no database in the test
+    * environment); the parquet path above is the tested analog. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

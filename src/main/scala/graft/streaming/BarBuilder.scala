@@ -84,6 +84,24 @@ object BarBuilder {
       }
       .start()
 
+  /** Stream-stream pair alignment: the two legs of a windowed bar
+    * stream joined on exact bar timestamp (the streaming J1 —
+    * `transform_data.py:121-141`). Equality on the watermarked
+    * event-time column bounds both join states, so this chains after
+    * the windowed bar aggregation (multiple stateful operators). */
+  def pairSpreadStream(bars: DataFrame, sym1: String, sym2: String): DataFrame = {
+    val a = bars.filter(col("series") === sym1)
+      .select(col("bar_ts").as("ts_a"), col("close").as("close1"))
+    val b = bars.filter(col("series") === sym2)
+      .select(col("bar_ts").as("ts_b"), col("close").as("close2"))
+    a.join(b, col("ts_a") === col("ts_b"), "inner")
+      .select(
+        lit(s"$sym1-$sym2").as("pair_name"),
+        col("ts_a").as("bar_ts"),
+        col("close1"), col("close2"),
+        (log(col("close1")) - log(col("close2"))).as("spread"))
+  }
+
   case class SpreadPoint(pair_name: String, bar_ts: Timestamp, spread: Double)
 
   case class ZPoint(

@@ -27,7 +27,20 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join with zero shuffle exchanges") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // a previous JVM's managed-table dirs survive in spark-warehouse
+    // while the metastore entry does not — clear both
+    for (t <- Seq("li_bucketed", "o_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Sinks.writeBucketed(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
       "li_bucketed", Seq("l_orderkey"), 8)

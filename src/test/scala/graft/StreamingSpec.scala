@@ -101,6 +101,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream pair join matches the batch pair spread") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = ticksFromEvents(2000).filter(t => t.event_type == "click" || t.event_type == "view")
+    val stream = MemoryStream[Tick]
+    val bars = BarBuilder.bars(stream.toDF(), "event_type", "ts", "value")
+    val q = BarBuilder.pairSpreadStream(bars, "click", "view")
+      .writeStream.format("memory").queryName("pair_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(data.take(1000)); q.processAllAvailable()
+      stream.addData(data.drop(1000)); q.processAllAvailable()
+      // close remaining windows/join state
+      val last = data.map(_.ts.getTime).max
+      stream.addData(Seq(Tick("click", new Timestamp(last + 3600_000L), 1.0),
+        Tick("view", new Timestamp(last + 3600_000L), 1.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("pair_out")
+        .select(col("bar_ts"), round(col("spread"), 9).as("s"))
+      val batchBars = MarketBars.bars(
+        data.toDF("event_type", "ts", "value"), "event_type", "ts", "value")
+      val batch = PairAnalytics.pairSpread(batchBars, "click", "view")
+        .select(col("bar_ts"), round(col("spread"), 9).as("s"))
+        // the sentinel window closes after everything real; exclude it
+        .filter(col("bar_ts") <= new Timestamp(last))
+      assert(streamed.filter(col("bar_ts") <= new Timestamp(last)).except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      assert(batch.count() > 0)
+    } finally q.stop()
+  }
+
   test("stateful rolling z-score matches the batch window across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
