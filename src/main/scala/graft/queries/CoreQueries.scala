@@ -108,6 +108,43 @@ object CoreQueries {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
     }),
 
+    // Statistical aggregates computed from EXACT decimal co-moments:
+    // Spark's corr/covar accumulate doubles in partition order (not
+    // reproducible across engines or runs at scale), so both engines
+    // compute n/Σx/Σy/Σxy/Σx²/Σy² in DECIMAL and apply the same
+    // closed-form in double — bit-identical results by construction.
+    "q34_exact_stats" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(28, 6)))
+      Tables.lineitem(s, dir)
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+        .select(
+          col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))), 6)
+            .as("corr_xy"),
+          round((col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / col("n")) /
+            (col("n") - 1), 4).as("covar_samp"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6)
+            .as("slope"))
+    }),
+
+    // Exact percentiles (linear interpolation — same definition in
+    // both engines; Spark `percentile` ≙ DuckDB `quantile_cont`)
+    "q35_percentile" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    }),
+
     // F9: array size + element access on the embeddings table
     "q20_array_ops" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -161,6 +198,27 @@ object CoreQueries {
          CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
          strftime(o_orderdate, '%Y-%m') AS ym
          FROM orders ORDER BY o_orderkey""",
+    "q34_exact_stats" ->
+      """WITH m AS (SELECT count(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+           SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+           SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,6))) AS sxy,
+           SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS sxx,
+           SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,6))) AS syy
+         FROM lineitem)
+         SELECT n,
+           round(CAST(n*sxy - sx*sy AS DOUBLE) /
+             (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_xy,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n-1), 4) AS covar_samp,
+           round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+         FROM m""",
+
+    "q35_percentile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+         round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+         FROM lineitem""",
+
     "q20_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
          round(CAST(embedding[1] AS DOUBLE), 6) AS e1, label
