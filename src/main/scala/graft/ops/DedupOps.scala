@@ -85,16 +85,24 @@ object DedupOps {
       idCol: String,
       threshold: Double = 0.3): DataFrame = {
     graft.functions.MinHashSig.register(df.sparkSession, A, B, CrossHash.P)
+    graft.functions.Hash32Array.register(df.sparkSession)
     // Pre-filter short docs on the RAW text (>=3 tokens <=> non-empty
     // shingle set). Filtering on size(sset) AFTER deriving it looks
     // equivalent, but predicate pushdown substitutes sset's whole
     // defining expression into a Filter at the scan — re-running
     // tokenize+shingle+distinct on the scan's (single) partition.
     val eligible = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
+    // Two barriers total: one pins toks, one pins (sset, sig). sig's
+    // hash chain is composed inline (hash32_array runs once, inside
+    // minhash_sig's input) — no third exchange.
+    val tokenized = Dist.materialize(
+      eligible.withColumn("toks", TextOps.tokens(col(textCol))))
     val docs = Dist.materialize(
-      shingleSets(eligible, textCol)
-        .select(col(idCol).as("doc"), col("sset"), col("hs"))
-        .withColumn("sig", minhashSignature(col("hs"))))
+      tokenized
+        .select(col(idCol).as("doc"),
+          array_distinct(TextOps.shingles(col("toks"))).as("sset"))
+        .withColumn("sig",
+          minhashSignature(graft.functions.Hash32Array.hash(col("sset")))))
     val bands = docs.select(col("doc"), lshBands(col("sig")).as("b"))
       .select(col("doc"), col("b.band"), col("b.bsig"))
     val cand = bands.as("x")
