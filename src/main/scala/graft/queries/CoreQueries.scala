@@ -145,6 +145,16 @@ object CoreQueries {
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
     }),
 
+    // Grouping sets via ROLLUP: per (returnflag, linestatus) subtotals,
+    // per-returnflag totals, grand total — one pass
+    "q37_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // F9: array size + element access on the embeddings table
     "q20_array_ops" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -218,6 +228,12 @@ object CoreQueries {
          round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
          round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
          FROM lineitem""",
+
+    "q37_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
     "q20_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

@@ -192,6 +192,27 @@ object MarketQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Ranking/offset window functions (beyond the reference's frame
+    // windows): row_number / rank / dense_rank / lag / lead
+    "q36_window_ranks" -> ((s, dir) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      // rank/dense_rank ordered by value ALONE: ties collapse to equal
+      // ranks, which is deterministic output even though row order isn't
+      val wVal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("rk", rank().over(wVal))
+        .withColumn("drk", dense_rank().over(wVal))
+        .withColumn("prev_v", lag(col("value"), 1).over(wOrd))
+        .withColumn("next_v", lead(col("value"), 1).over(wOrd))
+        .select(col("event_id"), col("event_type"), col("rn"), col("rk"),
+          col("drk"), col("prev_v"), col("next_v"))
+        .orderBy(col("event_id"))
+    }),
+
     // J2/J3: completeness audit — expected grid anti-join actual bars
     // (audit_pipeline.py:168-201)
     "q17_missing_slots" -> ((s, dir) => {
@@ -312,6 +333,15 @@ object MarketQueries {
                 round(c.click_val - v.view_val, 6) AS gap
          FROM c ASOF LEFT JOIN v ON c.d = v.d AND c.ts >= v.ts
          ORDER BY c.event_id""",
+
+    "q36_window_ranks" ->
+      """SELECT event_id, event_type,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS INTEGER) AS rn,
+           CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS INTEGER) AS rk,
+           CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS INTEGER) AS drk,
+           lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_v,
+           lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_v
+         FROM events ORDER BY event_id""",
 
     "q16_session_grid" ->
       """WITH days AS (
