@@ -30,6 +30,16 @@ object CrossHash {
   def duckX32(e: String): String =
     s"CAST(concat('0x', substr(md5($e),1,8)) AS BIGINT)"
 
+  /** DuckDB SQL twin of [[CrossHashKernels.md5Prefix64]]: signed 64-bit
+    * from the first 16 md5 hex chars, assembled from two 32-bit halves
+    * (a direct 16-hex-char cast overflows BIGINT for values >= 2^63).
+    * `hi*2^32 + lo` stays in signed range once hi is re-signed. */
+  def duckX64(e: String): String = {
+    val hi = s"CAST(concat('0x', substr(md5($e),1,8)) AS BIGINT)"
+    val lo = s"CAST(concat('0x', substr(md5($e),9,8)) AS BIGINT)"
+    s"(($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 + $lo)"
+  }
+
   /** Deterministic universal-hash coefficients a_i ∈ [1, 2^31). */
   def hashA(k: Int): Seq[Long] =
     (0 until k).map(i => (2654435761L * (i + 1) + 1013904223L) % 2147483646L + 1)

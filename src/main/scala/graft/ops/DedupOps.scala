@@ -18,8 +18,10 @@ import graft.functions.CrossHash
   *     hash-distributed — the canonical LSH-dedup layout;
   *   - exact Jaccard runs only on the candidate pairs that share a
   *     band (tiny vs n²);
-  *   - SimHash uses 4×8-bit pigeonhole bands, so hamming ≤ 3 pairs are
-  *     provably a subset of band-equal pairs — again no n² pass.
+  *   - SimHash is 64-bit with 4×16-bit pigeonhole bands, so hamming
+  *     ≤ 3 pairs are provably a subset of band-equal pairs — again no
+  *     n² pass — and band-key cardinality (65,536 per band) keeps
+  *     bucket sizes sub-linear in corpus size.
   */
 object DedupOps {
 
@@ -122,35 +124,36 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 32-bit SimHash over token hashes (with multiplicity): per bit
-    * position, tokens vote +1/-1 by their hash bit; the sign becomes
-    * the SimHash bit — the codegen'd [[graft.functions.SimHash32]]
-    * kernel. The declarative equivalent (arithmetic identical, and
-    * what the DuckDB oracle runs):
-    * {{{
-    * aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
-    *   CASE WHEN aggregate(__xs, 0L, (s, x) -> s +
-    *     CASE WHEN (x div shiftleft(1L, j)) % 2 = 1 THEN 1L ELSE -1L END) > 0
-    *   THEN shiftleft(1L, j) ELSE 0L END)
-    * }}}
-    * ran interpreted: 32 bit-positions × n tokens of lambda dispatch
-    * per document. */
-  def withSimhash32(df: DataFrame, textCol: String, out: String = "sh"): DataFrame = {
+  /** 64-bit SimHash over token hashes (with multiplicity): per bit
+    * position, tokens vote +1/-1 by their hash bit; the sign of the
+    * vote sum becomes the SimHash bit — the codegen'd
+    * [[graft.functions.SimHash64]] kernel (the declarative nested-
+    * aggregate equivalent, which the DuckDB oracle runs, ran
+    * interpreted: 64 bit-positions × n tokens of lambda dispatch per
+    * document). 64-bit (not 32): with 32-bit hashes the banded LSH
+    * below has only 4×256 = 1,024 distinct band keys TOTAL, so bucket
+    * sizes grow O(n) and candidates O(n²) — a measured 2.8M raw
+    * candidates at just 5k docs. 16-bit bands give 65,536 keys per
+    * band; candidate volume drops ~256× per band. */
+  def withSimhash64(df: DataFrame, textCol: String, out: String = "sh"): DataFrame = {
     graft.functions.Hash32Array.register(df.sparkSession)
     Dist.materialize(
-      df.withColumn("__xs", graft.functions.Hash32Array.hash(TextOps.tokens(col(textCol)))))
-      .withColumn(out, graft.functions.SimHash32.sim(col("__xs")))
+      df.withColumn("__xs", graft.functions.Hash32Array.hash64(TextOps.tokens(col(textCol)))))
+      .withColumn(out, graft.functions.SimHash64.sim(col("__xs")))
       .drop("__xs")
   }
 
-  /** SimHash near-dup pairs via 4×8-bit pigeonhole bands: any pair at
-    * hamming distance <= 3 shares at least one band, so the band
-    * equi-join finds all of them without an n² pass. */
+  /** SimHash near-dup pairs via 4×16-bit pigeonhole bands: any pair at
+    * hamming distance <= 3 differs in at most 3 of the 4 bands, so it
+    * shares at least one — the band equi-join finds all such pairs
+    * without an n² pass. Band extraction is arithmetic-shift + mask
+    * (`(sh >> 16b) & 0xFFFF`), exact for negative simhashes (bit 63
+    * set) on both engines. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
     val docs = Dist.materialize(
-      withSimhash32(df, textCol).select(col(idCol).as("doc"), col("sh")))
+      withSimhash64(df, textCol).select(col(idCol).as("doc"), col("sh")))
     val bands = docs.select(col("doc"), col("sh"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, (sh div shiftleft(1L, b*8)) % 256 AS bval))")).as("bb"))
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh, b*16) & 65535 AS bval))")).as("bb"))
       .select(col("doc"), col("sh"), col("bb.band"), col("bb.bval"))
     bands.as("x")
       .join(bands.as("y"),
@@ -165,22 +168,31 @@ object DedupOps {
       .distinct()
   }
 
-  /** Embedding-cosine near-duplicate pairs (brute force — the verify
-    * stage; at scale, feed it LSH/IVF candidates instead). Vectors are
-    * L2-normalized once so each pair costs one codegen'd dot product;
-    * the stream side is repartitioned so the O(n²) probe parallelizes
-    * instead of running in the source's single file split. */
+  /** Embedding-cosine near-duplicate pairs: IVF-bucket candidate
+    * generation (each vector probes its `nprobe` nearest centroids
+    * map-side against the broadcast codebook; a pair is a candidate
+    * iff the probe sets intersect) followed by exact-cosine verify on
+    * the candidates only. Nothing corpus-sized is ever broadcast and
+    * no n² pass exists — candidate volume is Σ bucket², tunable via
+    * `centroidEvery`/`nprobe`. Vectors are L2-normalized once so each
+    * verified pair costs one codegen'd dot product. */
   def embeddingNearDups(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val unit = SimilarityOps.withUnitVec(emb, vecCol)
-    val a = unit.select(col(idCol).as("id_a"), col("nv").as("va"))
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    val b = unit.select(col(idCol).as("id_b"), col("nv").as("vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine", SimilarityOps.dot(col("va"), col("vb")))
+      threshold: Double,
+      centroidEvery: Int = 50,
+      nprobe: Int = 2): DataFrame = {
+    val unit = Dist.materialize(
+      SimilarityOps.withUnitVec(emb, vecCol)
+        .select(col(idCol).as("vid"), col("nv").as("v"))
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism))
+    val cand = SimilarityOps.ivfCandidatePairs(unit, centroidEvery, nprobe)
+    val vecs = unit.select(col("vid"), col("v"))
+    cand
+      .join(vecs.as("ea"), col("id_a") === col("ea.vid"))
+      .join(vecs.as("eb"), col("id_b") === col("eb.vid"))
+      .withColumn("cosine", SimilarityOps.dot(col("ea.v"), col("eb.v")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

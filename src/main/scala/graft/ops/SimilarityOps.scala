@@ -65,11 +65,31 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("rank"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** The centroid codebook folded into ONE row holding an
+    * array<struct(cid, cv)> — broadcast-joined onto every row so
+    * centroid scoring runs map-side. (A per-centroid crossJoin row
+    * expansion + row_number window costs a full-corpus Exchange+Sort
+    * just to pick an argmax; folding the codebook makes assignment a
+    * pure projection.) */
+  private def codebook(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cb"))
+
+  /** `nprobe` nearest centroids of `vec` against codebook array `cb`,
+    * map-side: score every entry as struct(-cosine, cid) — array_sort's
+    * struct order (neg-cosine asc, cid asc) IS the (cosine desc, cid
+    * asc) probe order — then slice. No Exchange, no Window. */
+  private def nearestCentroids(cb: Column, vec: Column, nprobe: Int): Column =
+    slice(array_sort(transform(cb,
+      c => struct((-dot(vec, c("cv"))).as("nc"), c("cid").as("cid")))), 1, nprobe)
+
   /** Deterministic IVF: centroids are the vectors whose id divides
     * `centroidEvery` (a stand-in for a k-means codebook — the search
     * plumbing is what matters; swap the codebook without touching the
     * query path). Each corpus vector is assigned to its highest-cosine
-    * centroid; each query probes its `nprobe` nearest buckets. */
+    * centroid; each query probes its `nprobe` nearest buckets. Both
+    * assignment and probe selection are map-side expressions over the
+    * broadcast codebook — the only shuffle in the plan is the final
+    * bucket join on `cid`. */
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -83,23 +103,19 @@ object SimilarityOps {
       .repartition(parallelism)
     val cents = e.filter(col("vid") % centroidEvery === 0)
       .select(col("vid").as("cid"), col("v").as("cv"))
+    val cb = broadcast(codebook(cents))
 
-    // corpus → nearest centroid (broadcast the centroid codebook)
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("v"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
+    // corpus → nearest centroid: map-side argmax over the codebook
+    val assigned = e.crossJoin(cb)
+      .withColumn("cid", element_at(nearestCentroids(col("cb"), col("v"), 1), 1)("cid"))
       .select(col("vid"), col("v"), col("cid"))
 
-    // query → nprobe nearest centroids
+    // query → nprobe nearest centroids, map-side
     val q = e.filter(queryFilter).select(col("vid").as("qid"), col("v").as("qv"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("qcos", dot(col("qv"), col("cv")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid"))
+    val probes = q.crossJoin(cb)
+      .select(col("qid"), col("qv"),
+        explode(nearestCentroids(col("cb"), col("qv"), nprobe)).as("p"))
+      .select(col("qid"), col("qv"), col("p.cid").as("cid"))
 
     // search only the probed buckets
     val wRank = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
@@ -110,5 +126,27 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vid").as("nid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-bucket near-dup candidates: each vector probes its `nprobe`
+    * nearest centroids (map-side, broadcast codebook); a pair is a
+    * candidate iff the probe sets intersect. Feeds the exact-cosine
+    * verify in [[DedupOps.embeddingNearDups]] — candidates shrink
+    * from n² to Σ bucket², with no corpus-sized broadcast anywhere. */
+  def ivfCandidatePairs(
+      unit: DataFrame,
+      centroidEvery: Int,
+      nprobe: Int): DataFrame = {
+    val cents = unit.filter(col("vid") % centroidEvery === 0)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val cb = broadcast(codebook(cents))
+    val probes = unit.crossJoin(cb)
+      .select(col("vid"),
+        explode(nearestCentroids(col("cb"), col("v"), nprobe)).as("p"))
+      .select(col("vid"), col("p.cid").as("cid"))
+    probes.as("x").join(probes.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+      .distinct()
   }
 }

@@ -33,7 +33,10 @@ object CoreQueries {
           col("l_quantity").cast(DecimalType(15, 4)).as("qty"),
           col("l_extendedprice").cast(DecimalType(15, 4)).as("price"))
         .na.drop(Seq("qty", "price"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
+        // data — include the value columns so the sort is a total order and
+        // the driver's order-sensitive hash is stable.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"), col("price"))
     }),
 
     // J1/A6: inner equi-join + grouped rollup with conditional tallies
@@ -96,16 +99,28 @@ object CoreQueries {
         .orderBy(col("o_orderkey"))
     }),
 
-    // Sketch aggregates: HLL approx-distinct + quantile sketch. No
-    // DuckDB oracle (sketch implementations differ across engines by
-    // design) — the driver records a rows-only check; the ScalaTest
-    // spec bounds the approximation error against exact values.
+    // Sketch aggregates: HLL approx-distinct + quantile sketch. Sketch
+    // *values* differ across engines by design, so the query emits
+    // error-bound BOOLEANS (approx within tolerance of exact) — both
+    // engines then produce identical deterministic TRUE rows, and the
+    // driver's hash gate verifies the sketches actually met the bound.
+    // Tolerances: HLL rsd=0.01 → 4σ = 4%; quantile sketch at
+    // accuracy=10000 on this data → ≤1% relative rank error.
     "q32_approx_stats" -> ((s, dir) => {
-      Tables.lineitem(s, dir).agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        count_distinct(col("l_orderkey")).as("exact_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+      Tables.lineitem(s, dir)
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
+          expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+          expr("percentile(l_extendedprice, 0.99)").as("ep99"))
+        .select(
+          col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")).cast(DoubleType) /
+            col("exact_orders") <= 0.04).as("hll_ok"),
+          (abs(col("ap50") - col("ep50")) / col("ep50") <= 0.01).as("p50_ok"),
+          (abs(col("ap99") - col("ep99")) / col("ep99") <= 0.01).as("p99_ok"))
     }),
 
     // Statistical aggregates computed from EXACT decimal co-moments:
@@ -174,7 +189,7 @@ object CoreQueries {
          CAST(l_extendedprice AS DECIMAL(15,4)) AS price
          FROM lineitem
          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, qty, price""",
     "q07_join_rollup" ->
       """SELECT o_orderpriority,
          count(*) AS n_items,
@@ -208,6 +223,16 @@ object CoreQueries {
          CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
          strftime(o_orderdate, '%Y-%m') AS ym
          FROM orders ORDER BY o_orderkey""",
+    // Twin computes the same booleans from exact values (zero error is
+    // trivially inside every bound) — a deterministic TRUE row on both
+    // sides; Spark's side only matches if its sketches met the bound.
+    "q32_approx_stats" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+         abs(count(DISTINCT l_orderkey) - count(DISTINCT l_orderkey)) <= 0.04 * count(DISTINCT l_orderkey) AS hll_ok,
+         abs(quantile_cont(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5)) <= 0.01 * quantile_cont(l_extendedprice, 0.5) AS p50_ok,
+         abs(quantile_cont(l_extendedprice, 0.99) - quantile_cont(l_extendedprice, 0.99)) <= 0.01 * quantile_cont(l_extendedprice, 0.99) AS p99_ok
+         FROM lineitem""",
+
     "q34_exact_stats" ->
       """WITH m AS (SELECT count(*) AS n,
            SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,

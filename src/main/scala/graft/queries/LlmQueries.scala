@@ -213,31 +213,47 @@ object LlmQueries {
           FROM pairs WHERE jac >= 0.3 ORDER BY id_a, id_b"""
     },
 
-    "q26_simhash" ->
+    "q26_simhash" -> {
+      // signed powers of two: pow2[64] is Long.MIN_VALUE — DuckDB's
+      // `1::BIGINT << 63` raises overflow, so emit the literals
+      val pow2 = (0 to 63).map(j => (1L << j).toString).mkString("[", ",", "]")
       s"""WITH $toksCte,
-          x AS (SELECT doc_id, list_transform(toks, t -> ${x32("t")}) AS xs FROM d),
+          x AS (SELECT doc_id, list_transform(toks, t -> ${CrossHash.duckX64("t")}) AS xs FROM d),
           s AS (SELECT doc_id,
-                  CAST(list_sum(list_transform(generate_series(0, 31),
+                  CAST(list_sum(list_transform(generate_series(0, 63),
                     j -> CASE WHEN list_sum(list_transform(xs,
-                           x -> CASE WHEN (x // (CAST(1 AS BIGINT) << j)) % 2 = 1
+                           x -> CASE WHEN (x >> j) & 1 = 1
                                 THEN 1 ELSE -1 END)) > 0
-                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sh
+                         THEN ($pow2)[j+1] ELSE 0 END)) AS BIGINT) AS sh
                 FROM x),
           b AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS band FROM s),
           bb AS (SELECT doc_id, sh, band,
-                   (sh // (CAST(1 AS BIGINT) << (band*8))) % 256 AS bval FROM b),
+                   (sh >> (band*16)) & 65535 AS bval FROM b),
           cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
                      x.sh AS sha, y.sh AS shb
                    FROM bb x JOIN bb y
                      ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
           SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
-          FROM cand WHERE bit_count(xor(sha, shb)) <= 3 ORDER BY id_a, id_b""",
+          FROM cand WHERE bit_count(xor(sha, shb)) <= 3 ORDER BY id_a, id_b"""
+    },
 
+    // mirrors the IVF-candidate path: probe 2 nearest centroids per
+    // vector, pair-candidates share a probed bucket, exact verify
     "q27_embed_neardup" ->
-      s"""WITH $embCte
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 round(${duckCos("a.v", "b.v")}, 6) AS cosine
-          FROM e a JOIN e b ON a.vec_id < b.vec_id
+      s"""WITH $embCte,
+          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+          pr AS (SELECT vec_id AS vid, cid FROM
+                   (SELECT e.vec_id, c.cid, row_number() OVER
+                      (PARTITION BY e.vec_id
+                       ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid) AS prn
+                    FROM e CROSS JOIN c)
+                 WHERE prn <= 2),
+          cand AS (SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+                   FROM pr x JOIN pr y ON x.cid = y.cid AND x.vid < y.vid)
+          SELECT id_a, id_b, round(${duckCos("a.v", "b.v")}, 6) AS cosine
+          FROM cand
+          JOIN e a ON a.vec_id = id_a
+          JOIN e b ON b.vec_id = id_b
           WHERE ${duckCos("a.v", "b.v")} >= 0.45
           ORDER BY id_a, id_b""",
 

@@ -37,7 +37,7 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical text => identical hash; bands cover hamming<=3") {
-    val sh = DedupOps.withSimhash32(docs.limit(50), "text").select("doc_id", "sh")
+    val sh = DedupOps.withSimhash64(docs.limit(50), "text").select("doc_id", "sh")
     val dup = sh.unionByName(sh) // every doc duplicated => hamming 0 pairs must appear
     val renamed = dup.select(col("doc_id").as("doc"), col("sh"))
     val pairs = DedupOps.simhashNearDups(

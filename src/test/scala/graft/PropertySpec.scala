@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CrossHash, Hash32Array, MinHashSig, SimHash32}
+import graft.functions.{CrossHash, Hash32Array, MinHashSig, SimHash32, SimHash64}
 import graft.ops.{AsOfJoin, DedupOps, MarketBars}
 
 /** Property-style tests over seeded random data: the codegen kernels
@@ -68,6 +68,36 @@ class PropertySpec extends AnyFunSuite {
     assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
   }
 
+  test("hash64_array equals the declarative md5-halves reconstruction") {
+    Hash32Array.register(spark)
+    val docs = Seq.fill(200)(randText())
+    val df = docs.toDF("text")
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+    // signed-64 from two 32-bit md5 halves: (hi re-signed) * 2^32 + lo
+    val decl = transform(col("toks"), t => {
+      val hi = conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+      val lo = conv(substring(md5(t), 9, 8), 16, 10).cast(LongType)
+      (hi - when(hi >= 2147483648L, 4294967296L).otherwise(0L)) * 4294967296L + lo
+    })
+    val both = df.select(
+      Hash32Array.hash64(col("toks")).as("kernel"), decl.as("decl"))
+    assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
+  }
+
+  test("simhash64 kernel equals the declarative nested-aggregate form") {
+    Hash32Array.register(spark)
+    // full-range signed 64-bit element hashes
+    val rows = Seq.fill(150)(Seq.fill(1 + rnd.nextInt(50))(rnd.nextLong()))
+    val df = rows.toDF("__xs")
+    val decl = expr(
+      "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + " +
+        "CASE WHEN aggregate(__xs, 0L, (s, x) -> s + " +
+        "CASE WHEN shiftright(x, j) & 1 = 1 THEN 1L ELSE -1L END) > 0 " +
+        "THEN shiftleft(1L, j) ELSE 0L END)")
+    val both = df.select(SimHash64.sim(col("__xs")).as("kernel"), decl.as("decl"))
+    assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
+  }
+
   test("timeBucket floors onto the grid: bucket <= ts < bucket + step") {
     val epochs = Seq.fill(500)(math.abs(rnd.nextLong()) % 4102444800L)
     val df = epochs.map(e => new Timestamp(e * 1000L)).toDF("ts")
@@ -99,13 +129,13 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("simhash pigeonhole: hamming<=3 pairs always share an 8-bit band") {
+  test("simhash pigeonhole: hamming<=3 pairs always share a 16-bit band") {
     for (_ <- 1 to 1000) {
-      val h = rnd.nextLong() & 0xffffffffL
-      val flips = Seq.fill(rnd.nextInt(4))(rnd.nextInt(32))
+      val h = rnd.nextLong()
+      val flips = Seq.fill(rnd.nextInt(4))(rnd.nextInt(64))
       val h2 = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
       val bandsEqual =
-        (0 until 4).exists(b => ((h >> (b * 8)) & 0xff) == ((h2 >> (b * 8)) & 0xff))
+        (0 until 4).exists(b => ((h >> (b * 16)) & 0xffff) == ((h2 >> (b * 16)) & 0xffff))
       assert(bandsEqual, s"h=$h flips=$flips")
     }
   }

@@ -3,8 +3,11 @@
 
 Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
 testdata parquet tables, loads the corresponding Spark result parquet from
-<outDir>/<name>/, and compares: row count, column names, and values
-(sorted by all columns, column order normalized by name).
+<outDir>/<name>/, and compares: row count, column names, and values IN
+QUERY OUTPUT ORDER (column order normalized by name). The driver's hash
+gate is order-sensitive, so every query must end in a total-order sort —
+comparing in order catches nondeterministic tie-breaks that a
+sort-by-all-columns compare would mask (the round-1 q01 failure mode).
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 """
@@ -33,8 +36,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+    return df.reset_index(drop=True)
 
 
 def cmp_frames(a: pd.DataFrame, b: pd.DataFrame, name: str):
