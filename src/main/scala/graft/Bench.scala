@@ -16,22 +16,34 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Two timed passes, report the per-query MIN: this host shows
-    // intermittent external contention that inflates arbitrary queries
-    // 10-30x; the minimum reflects what the engine actually costs.
-    def timedPass(): Map[String, Double] =
+    // Three timed passes. Per query we report:
+    //   - min    — engine cost net of host noise (this host shows
+    //     intermittent external contention inflating arbitrary queries
+    //     10-30x);
+    //   - median — robust to one contended pass but still sensitive to
+    //     real regressions that min alone can mask.
+    // A query that THROWS is reported in "failures" with -1 timings —
+    // never as a (fast-looking) elapsed time of the exception path.
+    def timedPass(): Map[String, (Double, Boolean)] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
-    val p1 = timedPass()
-    val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val names = SparkEntry.queries.keys.toSeq
+    val failures = names.filter(n => passes.exists(!_(n)._2))
+    def minOf(n: String): Double = passes.map(_(n)._1).min
+    def medianOf(n: String): Double = passes.map(_(n)._1).sorted.apply(1)
+    def fmt(f: String => Double): String =
+      names.map(n => s"\"" + n + "\":" + (if (failures.contains(n)) -1.0 else f(n)))
+        .mkString("{", ",", "}")
+    val total = names.filterNot(failures.contains).map(minOf).sum
+    val failList = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${fmt(minOf)},"queries_median":${fmt(medianOf)},""" +
+      s""""failures":$failList,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CrossHash, Hash32Array, MinHashSig, VecDot}
+import graft.functions.{CrossHash, Hash32Array, Hash64Array, MinHashSig, SimHash32, SimHash64, VecDot}
 import graft.ops.DedupOps
 
 /** Session-extension entry point for the engine's custom Catalyst
@@ -34,5 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hash32_array"),
       new ExpressionInfo(classOf[Hash32Array].getName, "hash32_array"),
       (children: Seq[Expression]) => Hash32Array(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hash64_array"),
+      new ExpressionInfo(classOf[Hash64Array].getName, "hash64_array"),
+      (children: Seq[Expression]) => Hash64Array(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => SimHash32(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }

@@ -19,6 +19,11 @@ import graft.sources.{AlpacaSource, Sinks}
   */
 object Pipeline {
 
+  /** Raised when the post-load validator reports overall FAIL —
+    * the engine analog of `validate_data.py:225-227`, which exits 1
+    * so the reference DAG marks the run failed. */
+  class ValidationFailedException(msg: String) extends RuntimeException(msg)
+
   /** Reference pair universe (`project/transform_data.py:19`). */
   val DefaultPairs: Seq[(String, String)] =
     Seq(("MSFT", "AAPL"), ("WMT", "TGT"), ("KO", "PEP"))
@@ -66,18 +71,32 @@ object Pipeline {
     l1.unionByName(l2)
   }
 
-  /** Full run: returns (final frame row count, run summary row). */
+  /** Full run: returns (final frame row count, run summary row).
+    * With `strict` (the default, mirroring the reference DAG), an
+    * overall FAIL badge raises [[ValidationFailedException]] AFTER the
+    * sink write — the data lands for inspection, the run is marked
+    * failed, exactly the reference's validate-task semantics
+    * (`validate_data.py:225-227`). */
   def run(
       spark: SparkSession,
       rawPath: String,
       outPath: String,
-      pairs: Seq[(String, String)] = DefaultPairs): (Long, DataFrame) = {
+      pairs: Seq[(String, String)] = DefaultPairs,
+      strict: Boolean = true): (Long, DataFrame) = {
     val bars = prepare(spark, rawPath)
     val result = pairZScores(bars, pairs)
     Sinks.overwriteParquet(result, outPath)
     val written = spark.read.parquet(outPath)
     val counts = QualityReport.symbolDayCounts(written, "symbol", "bar_ts")
     val summary = QualityReport.runSummary(QualityReport.classify(counts))
+    if (strict) {
+      val s = summary.head
+      if (s.getAs[String]("overall_status") == "FAIL")
+        throw new ValidationFailedException(
+          s"validation FAIL: ${s.getAs[Long]("symbols_fail")} of " +
+            s"${s.getAs[Long]("symbols_total")} symbol-days failed " +
+            s"(max ${s.getAs[Long]("max_missing")} missing bars)")
+    }
     (written.count(), summary)
   }
 }

@@ -19,6 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * vectors), with identical semantics: sequential left-to-right double
   * accumulation, so results stay bit-identical to the interpreted form
   * and to DuckDB's `list_dot_product`.
+  *
+  * Mismatched vector dimensions yield NULL (they indicate malformed
+  * embedding data; DuckDB's `list_dot_product` raises on them, and a
+  * silent shorter-prefix dot product would return a wrong score that
+  * no gate could catch).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,7 +48,8 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
@@ -64,12 +70,16 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality gate (TextOps.textStats composite score);
   *   2. exact dedup (keep the minimum id per text digest);
-  *   3. MinHash-LSH near-dup removal (drop the higher id of every
-  *      verified pair — greedy, one pass; a connected-components
-  *      clusterer slots in here when transitive dedup is required).
+  *   3. MinHash-LSH near-dup removal, TRANSITIVE: verified pairs form
+  *      a graph, [[GraphOps.connectedComponents]] clusters them, and
+  *      only each cluster's minimum id survives (greedy per-pair
+  *      dropping under-drops: (a,c),(b,c) kept both a and b).
   *
-  * Each stage is one of the engine's primitive ops, so the whole
-  * curation is a single declarative plan: scan → map-side stats →
-  * digest shuffle → LSH band shuffle → two anti-joins.
+  * Each stage is one of the engine's primitive ops; stages 1–2 are a
+  * single declarative plan (scan → map-side stats → digest shuffle →
+  * LSH band shuffle), stage 3 adds the iterative star-contraction
+  * rounds of the clusterer over the (tiny) verified-pair set.
   */
 object CorpusPipeline {
 
@@ -33,10 +35,10 @@ object CorpusPipeline {
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"))
     val unique = scored.join(keep, col(idCol) === col("keep_id"), "left_semi")
-    val drops = DedupOps
-      .minhashNearDups(unique, textCol, idCol, jaccardThreshold)
-      .select(col("id_b").as(idCol))
-      .distinct()
+    val pairs = DedupOps.minhashNearDups(unique, textCol, idCol, jaccardThreshold)
+    val drops = GraphOps.connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
     unique
       .join(drops, Seq(idCol), "left_anti")
       .select(col(idCol), col("n_tokens"), col("quality_score"))

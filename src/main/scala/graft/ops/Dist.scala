@@ -29,6 +29,11 @@ object Dist {
       keys: Seq[String],
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched RIGHT row once per
+    // salt replica — fail fast rather than silently multiply rows
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"saltedJoin replicates the right side; only inner/left joins are " +
+        s"correct (got '$joinType')")
     import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod, sequence}
     // deterministic scatter: hash the whole left row so equal keys spread
     val saltedLeft = lhs.withColumn("__salt",

@@ -14,8 +14,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *
   * Scale notes: one `groupBy(series, bucket)` → a single hash
   * aggregation with map-side partial aggregation; no window functions,
-  * no per-series single-partition skew. `min_by`/`max_by` give
-  * open/close in the same pass (no self-join, no sort).
+  * no per-series single-partition skew. Open/close come from
+  * `min`/`max` over `struct(ts, value)` in the same pass (no
+  * self-join, no sort) — NOT `min_by`/`max_by`, whose tie-break on
+  * duplicate timestamps is nondeterministic across partial-aggregation
+  * orders; the struct form totally orders ties by value, making batch
+  * bars, streaming bars (graft.streaming.BarBuilder uses the same
+  * struct trick), and the DuckDB oracle agree bit-for-bit.
   */
 object MarketBars {
 
@@ -44,10 +49,10 @@ object MarketBars {
         col(seriesCol).as("series"),
         timeBucket(col(tsCol), stepMicros).as("bar_ts"))
       .agg(
-        min_by(col(valueCol), col(tsCol)).as("open"),
+        min(struct(col(tsCol).as("t"), col(valueCol).as("v"))).getField("v").as("open"),
         max(col(valueCol)).as("high"),
         min(col(valueCol)).as("low"),
-        max_by(col(valueCol), col(tsCol)).as("close"),
+        max(struct(col(tsCol).as("t"), col(valueCol).as("v"))).getField("v").as("close"),
         count(lit(1)).as("n_ticks"),
         // exact decimal accumulation → stable double, independent of
         // partial-aggregation order (double-sum order varies at scale)

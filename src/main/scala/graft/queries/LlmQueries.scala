@@ -279,7 +279,7 @@ object LlmQueries {
     "q33_corpus_curation" -> {
       val aList = DedupOps.A.mkString("[", ",", "]")
       val bList = DedupOps.B.mkString("[", ",", "]")
-      s"""WITH $toksCte,
+      s"""WITH RECURSIVE $toksCte,
           st AS (SELECT doc_id,
             CAST(len(toks) AS BIGINT) AS n_tokens,
             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
@@ -315,9 +315,15 @@ object LlmQueries {
                      FROM cand2
                      JOIN sh2 sa ON sa.doc_id = id_a
                      JOIN sh2 sb ON sb.doc_id = id_b),
-          drops AS (SELECT DISTINCT id_b FROM pairs2 WHERE jac >= ${CorpusPipeline.JaccardThreshold})
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs2 WHERE jac >= ${CorpusPipeline.JaccardThreshold}
+                    UNION SELECT id_b, id_a FROM pairs2 WHERE jac >= ${CorpusPipeline.JaccardThreshold}),
+          reach AS (SELECT a AS node, a AS lab FROM edges
+                    UNION
+                    SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node),
+          drops AS (SELECT node FROM comp WHERE root <> node)
           SELECT doc_id, n_tokens, quality_score FROM q2
-          WHERE doc_id NOT IN (SELECT id_b FROM drops)
+          WHERE doc_id NOT IN (SELECT node FROM drops)
           ORDER BY doc_id"""
     },
 

@@ -18,10 +18,10 @@ object MarketQueries {
     """bars AS (
          SELECT event_type AS series,
                 make_timestamp((epoch_us(ts)//300000000)*300000000) AS bar_ts,
-                min_by(value, ts) AS open,
+                (min(struct_pack(t := ts, v := value))).v AS open,
                 max(value) AS high,
                 min(value) AS low,
-                max_by(value, ts) AS close,
+                (max(struct_pack(t := ts, v := value))).v AS close,
                 count(*) AS n_ticks,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
          FROM events GROUP BY 1, 2)"""

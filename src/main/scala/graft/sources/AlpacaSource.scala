@@ -19,7 +19,14 @@ import org.apache.spark.sql.types._
   */
 object AlpacaSource {
 
-  /** Explicit schema of the raw payload (FIXTURES.md A1). */
+  /** Name of the PERMISSIVE-mode corrupt-payload capture column. */
+  val CorruptCol = "_corrupt_payload"
+
+  /** Explicit schema of the raw payload (FIXTURES.md A1), plus the
+    * corrupt-record capture column: without it PERMISSIVE mode nulls
+    * malformed payloads SILENTLY; with it the raw text survives so
+    * [[inspectRaw]] can report per-file errors the way the reference's
+    * inspector does (`inspect_raw_data.py:39-44`). */
   val rawSchema: StructType = StructType(Seq(
     StructField("symbol", StringType),
     StructField("timeframe", StringType),
@@ -33,17 +40,20 @@ object AlpacaSource {
       StructField("high", DoubleType),
       StructField("low", DoubleType),
       StructField("close", DoubleType),
-      StructField("volume", LongType)))))))
+      StructField("volume", LongType))))),
+    StructField(CorruptCol, StringType)))
 
   /** ISO-8601 with offset, as produced by the vendor API
     * (`project/transform_data.py:53`). */
   val TsFormat = "yyyy-MM-dd'T'HH:mm:ssXXX"
 
-  /** Multiline PERMISSIVE JSON scan (S1). */
+  /** Multiline PERMISSIVE JSON scan (S1); malformed payloads land in
+    * [[CorruptCol]] instead of being silently nulled. */
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("multiline", "true")
       .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(rawSchema)
       .json(path)
 
@@ -68,15 +78,19 @@ object AlpacaSource {
         col("bar.volume").cast(IntegerType).as("volume"))
       .na.drop(Seq("close", "timestamp_utc"))
 
-  /** Raw-payload inspection report: per-file symbol, bar count, and
-    * time coverage (`/root/reference/inspect_raw_data.py:33-44` as a
-    * DataFrame op — the reference loops files in Python). */
+  /** Raw-payload inspection report: per-file symbol, bar count, time
+    * coverage, and the corrupt flag + error snippet for unparseable
+    * payloads (`/root/reference/inspect_raw_data.py:33-44` as a
+    * DataFrame op — the reference loops files in Python and prints
+    * per-file errors; here they're rows you can filter/alert on). */
   def inspectRaw(raw: DataFrame): DataFrame =
     raw.select(
       col("symbol"),
       size(col("bars")).as("n_bars"),
       col("timeframe"), col("source"), col("feed"),
-      col("start_utc"), col("end_utc"))
+      col("start_utc"), col("end_utc"),
+      col(CorruptCol).isNotNull.as("is_corrupt"),
+      substring(col(CorruptCol), 1, 80).as("error_snippet"))
 
   /** RTH filter, UTC kept canonical: Mon-Fri ET, bar starts in
     * [09:30, 15:55] ET — 78 bars per full session

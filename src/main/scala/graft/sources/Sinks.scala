@@ -35,9 +35,9 @@ object Sinks {
 
   /** JDBC full-refresh sink with the same empty-guard rule (S3 —
     * `transform_data.py:200-209`; overwrite drops and recreates the
-    * table from the frame schema, as the reference's did). Not
-    * exercised in CI (no database); overwriteParquet is the tested
-    * analog. */
+    * table from the frame schema, as the reference's did). Round-trip,
+    * refresh, and guard semantics are covered by JdbcSpec against
+    * embedded Derby. */
   def overwriteJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties): Unit = {
     if (df.isEmpty)

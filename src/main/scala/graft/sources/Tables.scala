@@ -27,8 +27,8 @@ object Tables {
 
   /** JDBC table scan (S2 — `audit_pipeline.py:92-99`). Catalyst pushes
     * IS NOT NULL / comparison predicates and column pruning into the
-    * generated SQL. Not exercised in CI (no database in the test
-    * environment); the parquet path above is the tested analog. */
+    * generated SQL (asserted plan-level in JdbcSpec, which round-trips
+    * against embedded Derby). */
   def jdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)

@@ -108,7 +108,8 @@ class ParitySpec extends AnyFunSuite {
 
   test("pipeline end-to-end: one unioned plan, sign-flip invariant, guarded sink") {
     val out = Files.createTempDirectory("pipeline_out").toString + "/result"
-    val (n, summary) = Pipeline.run(spark, fixtureDir, out, Seq(("MSFT", "AAPL")))
+    // non-strict: the fixture plants FAIL-grade gaps on purpose
+    val (n, summary) = Pipeline.run(spark, fixtureDir, out, Seq(("MSFT", "AAPL")), strict = false)
     assert(n > 0)
     val written = spark.read.parquet(out)
     // legs cancel per bar
@@ -121,5 +122,32 @@ class ParitySpec extends AnyFunSuite {
     intercept[Sinks.EmptyResultException] {
       Sinks.overwriteParquet(written.filter(lit(false)), out + "_empty")
     }
+  }
+
+  test("corrupt payload files surface in inspectRaw instead of silently nulling") {
+    val dir = Files.createTempDirectory("alpaca_corrupt")
+    AlpacaFixtures.write(dir)
+    Files.writeString(dir.resolve("BROKEN_intraday_5min.json"),
+      """{"symbol": "BRKN", "bars": [{"timestamp": """)
+    val raw = AlpacaSource.readRaw(spark, dir.toString)
+    val report = AlpacaSource.inspectRaw(raw).cache()
+    assert(report.filter(col("is_corrupt")).count() === 1)
+    assert(report.filter(col("is_corrupt")).head
+      .getAs[String]("error_snippet").contains("BRKN"))
+    // healthy payloads unaffected; the corrupt file contributes no bars
+    assert(report.filter(!col("is_corrupt")).count() === 2)
+    assert(AlpacaSource.cleanBars(raw).filter(col("symbol") === "BRKN").count() === 0)
+    report.unpersist()
+  }
+
+  test("strict run fails the DAG on a FAIL validation badge (validate_data.py:225-227)") {
+    // AAPL's planted 4-bar gap day classifies FAIL (> 2 missing), so a
+    // strict run must throw — after the sink write, like the reference
+    val out = Files.createTempDirectory("pipeline_strict").toString + "/result"
+    intercept[Pipeline.ValidationFailedException] {
+      Pipeline.run(spark, fixtureDir, out, Seq(("MSFT", "AAPL")))
+    }
+    // the data still landed for inspection
+    assert(spark.read.parquet(out).count() > 0)
   }
 }

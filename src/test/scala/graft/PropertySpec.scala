@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.LongType
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{CrossHash, Hash32Array, MinHashSig, SimHash32, SimHash64}
-import graft.ops.{AsOfJoin, DedupOps, MarketBars}
+import graft.ops.{AsOfJoin, DedupOps, GraphOps, MarketBars}
 
 /** Property-style tests over seeded random data: the codegen kernels
   * must equal their declarative (oracle-shaped) formulations on
@@ -126,6 +126,54 @@ class PropertySpec extends AnyFunSuite {
         .agg(max_by(col("rv"), col("r.t")).as("rv"))
       assert(fast.except(naive).count() === 0 && naive.except(fast).count() === 0,
         s"round $round")
+    }
+  }
+
+  test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
+    graft.functions.VecDot.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      (Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val got = df.select(graft.functions.VecDot.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === Seq(Some(11.0), None))
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    val l = Seq((1, "a")).toDF("k", "lv")
+    val r = Seq((1, "b")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      graft.ops.Dist.saltedJoin(l, r, Seq("k"), 4, "right")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Dist.saltedJoin(l, r, Seq("k"), 4, "full_outer")
+    }
+  }
+
+  test("connected components equals union-find on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(v => v -> find(v)).toMap
+    }
+    // random sparse graphs (stress chains/trees), plus a worst-case path
+    val cases = Seq.fill(3) {
+      Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)).filter(e => e._1 != e._2)
+    } :+ (0L until 40L).sliding(2).map(s => (s(1), s(0))).toSeq
+    cases.zipWithIndex.foreach { case (edges, i) =>
+      val df = edges.toDF("id_a", "id_b")
+      val got = GraphOps.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(50, edges)
+      assert(got === want, s"case $i")
     }
   }
 

@@ -38,11 +38,14 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       stream.addData(data.drop(1000))
       q.processAllAvailable()
-      val streamed = spark.table("bars_out")
-        .select("series", "bar_ts", "high", "low", "n_ticks", "volume")
+      // open/close included: both paths use the deterministic
+      // min/max(struct(ts, value)) tie-break, so they must agree even
+      // on duplicate-(series, ts) ticks
+      val cols = Seq("series", "bar_ts", "open", "high", "low", "close", "n_ticks", "volume")
+      val streamed = spark.table("bars_out").select(cols.head, cols.tail: _*)
       val batch = MarketBars.bars(
           data.toDF("event_type", "ts", "value"), "event_type", "ts", "value")
-        .select("series", "bar_ts", "high", "low", "n_ticks", "volume")
+        .select(cols.head, cols.tail: _*)
       assert(streamed.except(batch).count() === 0)
       assert(batch.except(streamed).count() === 0)
     } finally q.stop()
