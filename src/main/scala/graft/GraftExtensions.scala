@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CrossHash, Hash32Array, Hash64Array, MinHashSig, SimHash32, SimHash64, VecDot}
+import graft.functions.{CrossHash, Hash32Array, Hash64Array, MinHashDoc, MinHashSig, SetJaccard, SimHash32, SimHash64, VecDot}
 import graft.ops.DedupOps
 
 /** Session-extension entry point for the engine's custom Catalyst
@@ -46,5 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_doc"),
+      new ExpressionInfo(classOf[MinHashDoc].getName, "minhash_doc"),
+      (children: Seq[Expression]) =>
+        MinHashDoc(children.head, DedupOps.A, DedupOps.B, CrossHash.P)))
+    ext.injectFunction((
+      FunctionIdentifier("set_jaccard"),
+      new ExpressionInfo(classOf[SetJaccard].getName, "set_jaccard"),
+      (children: Seq[Expression]) => SetJaccard(children.head, children(1))))
   }
 }

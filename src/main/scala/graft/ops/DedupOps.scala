@@ -12,10 +12,12 @@ import graft.functions.CrossHash
   * Scale posture (100 TB):
   *   - exact dedup is one hash-partitioned groupBy on a 128-bit text
   *     digest — never on the raw text (shuffling full documents);
-  *   - MinHash signatures are computed map-side (per-row Column
-  *     expressions only); the ONLY shuffle is the band-key self-join,
-  *     whose key cardinality ≈ corpus size × bands, uniformly
-  *     hash-distributed — the canonical LSH-dedup layout;
+  *   - MinHash signatures are computed map-side by ONE fused codegen
+  *     kernel (text → sig + shingle-hash set, no intermediate columns,
+  *     no materialization barriers); the only shuffles are the
+  *     band-key self-join — key cardinality ≈ corpus size × bands,
+  *     uniformly hash-distributed, the canonical LSH-dedup layout —
+  *     and the candidate set-lookups;
   *   - exact Jaccard runs only on the candidate pairs that share a
   *     band (tiny vs n²);
   *   - SimHash is 64-bit with 4×16-bit pigeonhole bands, so hamming
@@ -40,23 +42,6 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct-shingle set + 32-bit shingle hashes for a document.
-    * Two materialization barriers (Dist.materialize) keep the O(n)
-    * tokenize/shingle/hash work evaluated ONCE: without them,
-    * CollapseProject inlines split() into every element_at inside the
-    * shingle lambda (O(n^2)) and the hash array into the 32-iteration
-    * signature loop (32x). */
-  def shingleSets(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    graft.functions.Hash32Array.register(df.sparkSession)
-    val tokenized = Dist.materialize(
-      df.withColumn("toks", TextOps.tokens(col(textCol))))
-    Dist.materialize(
-      tokenized
-        .withColumn("sset", array_distinct(TextOps.shingles(col("toks"), n)))
-        .withColumn("hs", graft.functions.Hash32Array.hash(col("sset")))
-        .drop("toks"))
-  }
-
   /** K-element MinHash signature from the distinct shingle hashes —
     * the codegen'd [[graft.functions.MinHashSig]] expression. The
     * declarative equivalent (kept for reference, arithmetic identical):
@@ -79,32 +64,30 @@ object DedupOps {
             (1 to RowsPerBand).map(r => element_at(sig, j * RowsPerBand + r)): _*).as("bsig"))))
 
   /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard on
-    * the distinct shingle sets. Output: (id_a, id_b, jaccard) with
-    * id_a < id_b and jaccard >= threshold. */
+    * the distinct shingle-hash sets. Output: (id_a, id_b, jaccard)
+    * with id_a < id_b and jaccard >= threshold.
+    *
+    * Signature derivation is the FUSED [[graft.functions.MinHashDoc]]
+    * kernel (text → struct(sig, sset) in one codegen'd pass), so the
+    * plan needs NO materialization barriers: the staged form's
+    * intermediate array columns — which CollapseProject re-inlined
+    * into every consumer unless pinned behind two full-corpus
+    * Exchanges — never exist. The LSH band self-join and the two
+    * candidate set-lookups are the only shuffles; per-doc kernel work
+    * re-runs map-side in each branch, which at 100 TB is far cheaper
+    * than shuffling the tokenized corpus twice. */
   def minhashNearDups(
       df: DataFrame,
       textCol: String,
       idCol: String,
       threshold: Double = 0.3): DataFrame = {
-    graft.functions.MinHashSig.register(df.sparkSession, A, B, CrossHash.P)
-    graft.functions.Hash32Array.register(df.sparkSession)
+    graft.functions.MinHashDoc.register(df.sparkSession, A, B, CrossHash.P)
     // Pre-filter short docs on the RAW text (>=3 tokens <=> non-empty
-    // shingle set). Filtering on size(sset) AFTER deriving it looks
-    // equivalent, but predicate pushdown substitutes sset's whole
-    // defining expression into a Filter at the scan — re-running
-    // tokenize+shingle+distinct on the scan's (single) partition.
+    // shingle set) — cheap split+size, keeps the kernel off empty docs.
     val eligible = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
-    // Two barriers total: one pins toks, one pins (sset, sig). sig's
-    // hash chain is composed inline (hash32_array runs once, inside
-    // minhash_sig's input) — no third exchange.
-    val tokenized = Dist.materialize(
-      eligible.withColumn("toks", TextOps.tokens(col(textCol))))
-    val docs = Dist.materialize(
-      tokenized
-        .select(col(idCol).as("doc"),
-          array_distinct(TextOps.shingles(col("toks"))).as("sset"))
-        .withColumn("sig",
-          minhashSignature(graft.functions.Hash32Array.hash(col("sset")))))
+    val docs = eligible
+      .select(col(idCol).as("doc"), graft.functions.MinHashDoc.doc(col(textCol)).as("d"))
+      .select(col("doc"), col("d.sig").as("sig"), col("d.sset").as("sset"))
     val bands = docs.select(col("doc"), lshBands(col("sig")).as("b"))
       .select(col("doc"), col("b.band"), col("b.bsig"))
     val cand = bands.as("x")
@@ -118,8 +101,7 @@ object DedupOps {
       .join(sets.as("sa"), col("id_a") === col("sa.doc"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc"))
       .withColumn("jaccard",
-        size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("double") /
-          size(array_union(col("sa.sset"), col("sb.sset"))))
+        graft.functions.SetJaccard.jac(col("sa.sset"), col("sb.sset")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

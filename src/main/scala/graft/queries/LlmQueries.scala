@@ -186,14 +186,16 @@ object LlmQueries {
     "q25_minhash_lsh" -> {
       val aList = DedupOps.A.mkString("[", ",", "]")
       val bList = DedupOps.B.mkString("[", ",", "]")
+      // jaccard verifies on the distinct shingle-HASH sets (what the
+      // fused minhash_doc kernel carries), not the string shingles
       s"""WITH $toksCte,
           sh AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM d),
-          xs AS (SELECT doc_id, sset,
-                   list_transform(sset, s -> ${x32("s")}) AS hs
+          xs AS (SELECT doc_id,
+                   list_distinct(list_transform(sset, s -> ${x32("s")})) AS hset
                  FROM sh WHERE len(sset) > 0),
-          sig AS (SELECT doc_id, sset,
+          sig AS (SELECT doc_id, hset,
                     list_transform(generate_series(0, ${DedupOps.K - 1}),
-                      i -> list_min(list_transform(hs,
+                      i -> list_min(list_transform(hset,
                              x -> (($aList)[i+1]*x + ($bList)[i+1]) % ${CrossHash.P}))) AS sig
                   FROM xs),
           bnd AS (SELECT doc_id, sig, unnest(generate_series(0, ${DedupOps.Bands - 1})) AS band FROM sig),
@@ -204,11 +206,11 @@ object LlmQueries {
                    FROM bs x JOIN bs y
                      ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
           pairs AS (SELECT id_a, id_b,
-                      CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
-                        / len(list_distinct(list_concat(sa.sset, sb.sset))) AS jac
+                      CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(sa.hset, sb.hset))) AS jac
                     FROM cand
-                    JOIN sh sa ON sa.doc_id = id_a
-                    JOIN sh sb ON sb.doc_id = id_b)
+                    JOIN xs sa ON sa.doc_id = id_a
+                    JOIN xs sb ON sb.doc_id = id_b)
           SELECT id_a, id_b, round(jac, 4) AS jaccard
           FROM pairs WHERE jac >= 0.3 ORDER BY id_a, id_b"""
     },
@@ -295,11 +297,12 @@ object LlmQueries {
           q2 AS (SELECT * FROM q WHERE doc_id IN (SELECT keep_id FROM ke)),
           t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM q2),
           sh2 AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM t2),
-          xs2 AS (SELECT doc_id, sset, list_transform(sset, s -> ${x32("s")}) AS hs
+          xs2 AS (SELECT doc_id,
+                    list_distinct(list_transform(sset, s -> ${x32("s")})) AS hset
                   FROM sh2 WHERE len(sset) > 0),
-          sig2 AS (SELECT doc_id, sset,
+          sig2 AS (SELECT doc_id, hset,
                      list_transform(generate_series(0, ${DedupOps.K - 1}),
-                       i -> list_min(list_transform(hs,
+                       i -> list_min(list_transform(hset,
                               x -> (($aList)[i+1]*x + ($bList)[i+1]) % ${CrossHash.P}))) AS sig
                    FROM xs2),
           bnd2 AS (SELECT doc_id, sig, unnest(generate_series(0, ${DedupOps.Bands - 1})) AS band FROM sig2),
@@ -310,11 +313,11 @@ object LlmQueries {
                     FROM bs2 x JOIN bs2 y
                       ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
           pairs2 AS (SELECT id_a, id_b,
-                       CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
-                         / len(list_distinct(list_concat(sa.sset, sb.sset))) AS jac
+                       CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.hset, sb.hset))) AS jac
                      FROM cand2
-                     JOIN sh2 sa ON sa.doc_id = id_a
-                     JOIN sh2 sb ON sb.doc_id = id_b),
+                     JOIN xs2 sa ON sa.doc_id = id_a
+                     JOIN xs2 sb ON sb.doc_id = id_b),
           edges AS (SELECT id_a AS a, id_b AS b FROM pairs2 WHERE jac >= ${CorpusPipeline.JaccardThreshold}
                     UNION SELECT id_b, id_a FROM pairs2 WHERE jac >= ${CorpusPipeline.JaccardThreshold}),
           reach AS (SELECT a AS node, a AS lab FROM edges

@@ -129,6 +129,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused minhash_doc equals the staged tokenize/shingle/hash/sig pipeline") {
+    graft.functions.MinHashDoc.register(spark, DedupOps.A, DedupOps.B, CrossHash.P)
+    MinHashSig.register(spark, DedupOps.A, DedupOps.B, CrossHash.P)
+    Hash32Array.register(spark)
+    val docs = Seq.fill(150)(randText()).filter(_.trim.split(" +").length >= 3)
+    val df = docs.toDF("text")
+    val staged = df
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+      .withColumn("hset", array_sort(array_distinct(
+        Hash32Array.hash(graft.ops.TextOps.shingles(col("toks"))))))
+      .select(
+        MinHashSig.sig(col("hset")).as("sig_s"),
+        col("hset"),
+        graft.functions.MinHashDoc.doc(col("text")).as("d"))
+    assert(staged.filter(col("sig_s") =!= col("d.sig")).count() === 0)
+    assert(staged.filter(col("hset") =!= col("d.sset")).count() === 0)
+  }
+
+  test("set_jaccard equals the declarative intersect/union form") {
+    graft.functions.MinHashDoc.register(spark, DedupOps.A, DedupOps.B, CrossHash.P)
+    val rows = Seq.fill(200)((
+      randHs(30).distinct.sorted,
+      randHs(30).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val decl = size(array_intersect(col("a"), col("b"))).cast("double") /
+      size(array_union(col("a"), col("b")))
+    val both = df.select(
+      graft.functions.SetJaccard.jac(col("a"), col("b")).as("kernel"), decl.as("decl"))
+    assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
+  }
+
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
     graft.functions.VecDot.register(spark)
     val df = Seq(
