@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * with the decode step running batch-wise inside `mapPartitions`
   * (the JVM analog of a vectorized Pandas-UDF decode stage).
   *
-  * The actual codecs are NOT available in this environment, so the
-  * decode kernels below are clearly-marked DETERMINISTIC STUBS: they
-  * derive plausible metadata and features purely from the payload
-  * bytes. Everything around them — schemas, encoders, batching,
-  * partitioning, the query surface — is real and tested, so swapping
-  * in a real codec (javax.imageio, ffmpeg bindings, …) changes one
+  * Decoding: uncompressed 24-bit BMP payloads are decoded FOR REAL by
+  * [[decodeBmp24]] (pure JVM header+pixel parsing — no codec library
+  * needed), producing true dimensions and a 16-bin luminance
+  * histogram. Compressed formats (JPEG/PNG/…) have no codec in this
+  * environment, so they fall through to a clearly-marked DETERMINISTIC
+  * STUB deriving stable pseudo-features from the bytes. Everything
+  * around the kernels — schemas, encoders, batching, partitioning, the
+  * query surface — is identical for both paths, so swapping the stub
+  * for a real codec (javax.imageio, ffmpeg bindings, …) changes one
   * function body and nothing else.
   */
 object MultimodalOps {
@@ -38,7 +41,50 @@ object MultimodalOps {
   val DecodeBatchSize = 64
 
   // ------------------------------------------------------------------
-  // STUB decode kernels (deterministic fakes; see object Scaladoc)
+  // REAL decode kernel: uncompressed 24-bit BMP (pure JVM)
+  // ------------------------------------------------------------------
+
+  /** Decode an uncompressed 24-bit BMP payload: parses the
+    * BITMAPFILEHEADER/BITMAPINFOHEADER (little-endian), walks the
+    * 4-byte-aligned bottom-up (or top-down, negative height) pixel
+    * rows, and emits true (width, height, 3) metadata plus a 16-bin
+    * normalized luminance histogram (ITU-R BT.601 integer weights) as
+    * the feature vector. Returns None for anything that is not a
+    * well-formed uncompressed 24bpp BMP. */
+  private[graft] def decodeBmp24(p: Array[Byte]): Option[(ImageMeta, Array[Double])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val off = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0 || off < 54) return None
+    val height = math.abs(h)
+    val bottomUp = h > 0
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off.toLong + rowSize.toLong * height > p.length) return None
+    val hist = new Array[Double](16)
+    var y = 0
+    while (y < height) {
+      val row = off + (if (bottomUp) height - 1 - y else y) * rowSize
+      var x = 0
+      while (x < w) {
+        val b = u8(row + x * 3); val g = u8(row + x * 3 + 1); val r = u8(row + x * 3 + 2)
+        val lum = (299 * r + 587 * g + 114 * b) / 1000
+        hist(lum / 16) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * height
+    Some((ImageMeta(w, height, 3), hist.map(_ / n)))
+  }
+
+  // ------------------------------------------------------------------
+  // STUB decode kernel (deterministic fake; see object Scaladoc)
   // ------------------------------------------------------------------
 
   /** STUB: a real implementation would hand `payload` to an image
@@ -63,7 +109,10 @@ object MultimodalOps {
       iter.grouped(DecodeBatchSize).flatMap { batch =>
         // one codec-setup per batch in a real implementation
         batch.iterator.map { a =>
-          val (meta, features) = decodeImageStub(a.payload)
+          // real decode for uncompressed BMP; stub for formats whose
+          // codecs aren't in this environment
+          val (meta, features) = decodeBmp24(a.payload)
+            .getOrElse(decodeImageStub(a.payload))
           DecodedImage(a.asset_id, meta, features)
         }
       }

@@ -81,6 +81,41 @@ class LlmOpsSpec extends AnyFunSuite {
     decoded.unpersist()
   }
 
+  test("multimodal: real BMP decode yields true dims and luminance histogram") {
+    import spark.implicits._
+    def bmp24(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowSize * h
+      val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) { // stored bottom-up
+        for (x <- 0 until w) {
+          val (r, g, bl) = rgb(x, y)
+          b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        }
+        for (_ <- 0 until rowSize - w * 3) b.put(0.toByte)
+      }
+      b.array()
+    }
+    // solid mid-gray 8x5 -> all mass in luminance bin 8; true dims decoded
+    val gray = MultimodalOps.decodeImages(
+      Seq(MultimodalOps.MediaAsset(1L, "image", bmp24(8, 5, (_, _) => (128, 128, 128)))).toDS()).head()
+    assert(gray.meta === MultimodalOps.ImageMeta(8, 5, 3))
+    assert(gray.features(8) === 1.0)
+    // 4x4 with one white row, three black -> 0.25 / 0.75 split
+    val grad = MultimodalOps.decodeImages(
+      Seq(MultimodalOps.MediaAsset(2L, "image",
+        bmp24(4, 4, (_, y) => if (y == 0) (255, 255, 255) else (0, 0, 0)))).toDS()).head()
+    assert(math.abs(grad.features(15) - 0.25) < 1e-12)
+    assert(math.abs(grad.features(0) - 0.75) < 1e-12)
+    // non-BMP payloads still take the stub path (count unchanged)
+    val stub = MultimodalOps.decodeImages(
+      Seq(MultimodalOps.MediaAsset(3L, "image", "not a bitmap".getBytes)).toDS()).head()
+    assert(stub.features.sum > 0)
+  }
+
   test("multimodal: resize meta preserves aspect cap, frame sampling steps") {
     val assets = MultimodalOps.decodeImages(MultimodalOps.assetsFromDocuments(docs.limit(20)))
     val resized = assets.withColumn("meta2", MultimodalOps.resizeMeta(col("meta"), 32))

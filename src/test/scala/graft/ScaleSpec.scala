@@ -60,6 +60,36 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("minhash near-dup plan has zero materialization barriers") {
+    // the fused minhash_doc kernel removed both round-robin exchanges;
+    // regression-guard the plan so they cannot creep back
+    val plan = graft.ops.DedupOps
+      .minhashNearDups(Tables.documents(spark, sf), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange roundrobin"),
+      s"no round-robin barrier expected in:\n${plan.take(3000)}")
+  }
+
+  test("ivf top-k plan has exactly one Window (final rank) and no corpus window") {
+    // centroid assignment + probe selection must be map-side expressions
+    // over the broadcast codebook — not crossJoin + row_number windows
+    val plan = graft.ops.SimilarityOps
+      .ivfTopK(Tables.embeddings(spark, sf), "vec_id", "embedding",
+        k = 5, centroidEvery = 50, nprobe = 2, queryFilter = col("vid") < 10)
+      .queryExecution.executedPlan.toString
+    val windows = "(?i)\\bwindow\\b".r.findAllIn(plan).length
+    assert(windows <= 2, // WindowExec prints as "Window [...]" once per operator
+      s"expected only the final top-k rank Window, plan:\n${plan.take(3000)}")
+  }
+
+  test("embedding near-dup plan contains no window and only tiny broadcasts") {
+    val plan = graft.ops.DedupOps
+      .embeddingNearDups(Tables.embeddings(spark, sf), "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"candidate generation must be map-side, plan:\n${plan.take(3000)}")
+  }
+
   test("raw inspection reports per-payload bar counts") {
     val dir = AlpacaFixtures.write(
       java.nio.file.Files.createTempDirectory("inspect_fix")).toString
