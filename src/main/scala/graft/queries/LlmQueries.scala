@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.ops.{CorpusPipeline, DedupOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, CorpusPipeline, DedupOps, SimilarityOps, TextOps}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operator inventory over the `documents`
@@ -121,6 +121,24 @@ object LlmQueries {
     "q33_corpus_curation" -> ((s, dir) => {
       CorpusPipeline.curate(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget sequence packing (shard-parallel running-sum bins)
+    "q38_doc_pack" -> ((s, dir) => {
+      CorpusOps.packByBudget(Tables.rebalance(Tables.documents(s, dir)), budget = 2000)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus term/document frequency, deterministic top-k cut
+    "q39_term_freq" -> ((s, dir) => {
+      CorpusOps.termFrequency(Tables.rebalance(Tables.documents(s, dir)), k = 100)
+        .orderBy(col("tf").desc, col("term"))
+    }),
+
+    // Per-label embedding centroids (decimal-accumulated means)
+    "q40_label_centroid" -> ((s, dir) => {
+      CorpusOps.labelCentroids(Tables.embeddings(s, dir))
+        .orderBy(col("label"), col("pos"))
     })
   )
 
@@ -329,6 +347,36 @@ object LlmQueries {
           WHERE doc_id NOT IN (SELECT node FROM drops)
           ORDER BY doc_id"""
     },
+
+    "q38_doc_pack" ->
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(text) AS BIGINT) AS n_chars FROM d),
+          t AS (SELECT doc_id,
+                  CAST(greatest(n_tokens, ceil(CAST(n_chars AS DOUBLE)/4.0)) AS BIGINT) AS token_est,
+                  CAST(doc_id % 8 AS INTEGER) AS shard FROM s),
+          c AS (SELECT *, CAST(SUM(token_est) OVER
+                  (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_tokens FROM t)
+          SELECT doc_id, token_est, shard, cum_tokens,
+                 CAST(floor((cum_tokens - 1) / 2000.0) AS BIGINT) AS bin
+          FROM c ORDER BY doc_id""",
+
+    "q39_term_freq" ->
+      s"""WITH $toksCte,
+          u AS (SELECT doc_id, unnest(toks) AS term FROM d),
+          g AS (SELECT term, count(*) AS tf,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM u GROUP BY 1)
+          SELECT term, tf, df FROM g ORDER BY tf DESC, term LIMIT 100""",
+
+    "q40_label_centroid" ->
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         u AS (SELECT label, CAST(i-1 AS INTEGER) AS pos,
+                 CAST(v[i] AS DECIMAL(28,12)) AS xd
+               FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
+         a AS (SELECT label, pos, count(*) AS n, SUM(xd) AS sx FROM u GROUP BY 1, 2)
+         SELECT label, pos, n, round(CAST(sx AS DOUBLE)/n, 6) AS centroid
+         FROM a ORDER BY label, pos""",
 
     "q30_ivf_topk" ->
       s"""WITH $embCte,
