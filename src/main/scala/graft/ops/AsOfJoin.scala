@@ -4,9 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for every left row, attach the latest right
-  * row whose timestamp is <= the left timestamp, within matching
-  * partition keys.
+/** As-of joins: for every left row, attach the nearest right row at or
+  * before ([[backward]]) / at or after ([[forward]]) the left
+  * timestamp, within matching partition keys.
   *
   * This is the operator a production pair-alignment pipeline uses
   * where the reference settles for exact-equality inner join + a
@@ -39,7 +39,27 @@ object AsOfJoin {
       right: DataFrame,
       partitionCols: Seq[String],
       tsCol: String,
-      carryCols: Seq[String]): DataFrame = {
+      carryCols: Seq[String]): DataFrame =
+    joined(left, right, partitionCols, tsCol, carryCols, fwd = false)
+
+  /** Forward as-of: attach the EARLIEST right row whose timestamp is
+    * >= the left timestamp (equal timestamps match). Same union-window
+    * mechanics as [[backward]], traversed in descending time order. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      partitionCols: Seq[String],
+      tsCol: String,
+      carryCols: Seq[String]): DataFrame =
+    joined(left, right, partitionCols, tsCol, carryCols, fwd = true)
+
+  private def joined(
+      left: DataFrame,
+      right: DataFrame,
+      partitionCols: Seq[String],
+      tsCol: String,
+      carryCols: Seq[String],
+      fwd: Boolean): DataFrame = {
     val leftOnly = left.columns.filterNot(c => partitionCols.contains(c) || c == tsCol).toSeq
     val keyCols = (partitionCols :+ tsCol).map(col)
     val lCols = keyCols ++ leftOnly.map(col) ++ Seq(lit(1).as("__side")) ++
@@ -51,9 +71,13 @@ object AsOfJoin {
     val l = left.select(lCols: _*)
     val r = right.select(rCols: _*)
 
+    // backward walks time ascending (carry the latest past quote);
+    // forward walks descending (carry the nearest future quote). The
+    // right side sorts first at equal timestamps either way, so ties
+    // match in both directions.
     val w = Window
       .partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(if (fwd) col(tsCol).desc else col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = carryCols.foldLeft(l.unionByName(r)) { (d, c) =>

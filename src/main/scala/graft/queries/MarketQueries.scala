@@ -192,6 +192,21 @@ object MarketQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: nearest view AT OR AFTER each click
+    "q41_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(to_date(col("ts")).as("d"), col("ts"), col("event_id"),
+          col("value").as("click_val"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("d"), col("ts"))
+        .agg(max(col("value")).as("view_val"))
+      AsOfJoin.forward(clicks, views, Seq("d"), "ts", Seq("view_val"))
+        .select(col("event_id"), col("ts"), col("click_val"), col("view_val"),
+          round(col("click_val") - col("view_val"), 6).as("gap"))
+        .orderBy(col("event_id"))
+    }),
+
     // Ranking/offset window functions (beyond the reference's frame
     // windows): row_number / rank / dense_rank / lag / lead
     "q36_window_ranks" -> ((s, dir) => {
@@ -332,6 +347,16 @@ object MarketQueries {
          SELECT c.event_id, c.ts, c.click_val, v.view_val,
                 round(c.click_val - v.view_val, 6) AS gap
          FROM c ASOF LEFT JOIN v ON c.d = v.d AND c.ts >= v.ts
+         ORDER BY c.event_id""",
+
+    "q41_asof_forward" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS d, ts, event_id, value AS click_val
+                    FROM events WHERE event_type = 'click'),
+         v AS (SELECT CAST(ts AS DATE) AS d, ts, max(value) AS view_val
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.event_id, c.ts, c.click_val, v.view_val,
+                round(c.click_val - v.view_val, 6) AS gap
+         FROM c ASOF LEFT JOIN v ON c.d = v.d AND c.ts <= v.ts
          ORDER BY c.event_id""",
 
     "q36_window_ranks" ->

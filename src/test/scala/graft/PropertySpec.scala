@@ -126,6 +126,14 @@ class PropertySpec extends AnyFunSuite {
         .agg(max_by(col("rv"), col("r.t")).as("rv"))
       assert(fast.except(naive).count() === 0 && naive.except(fast).count() === 0,
         s"round $round")
+      val fastF = AsOfJoin.forward(l, r, Seq("k"), "t", Seq("rv"))
+        .select("lid", "rv")
+      val naiveF = l.as("l").join(r.as("r"),
+          col("l.k") === col("r.k") && col("r.t") >= col("l.t"), "left")
+        .groupBy(col("lid"))
+        .agg(min_by(col("rv"), col("r.t")).as("rv"))
+      assert(fastF.except(naiveF).count() === 0 && naiveF.except(fastF).count() === 0,
+        s"forward round $round")
     }
   }
 
