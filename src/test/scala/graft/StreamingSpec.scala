@@ -12,6 +12,8 @@ import graft.streaming.BarBuilder
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -169,6 +171,36 @@ class StreamingSpec extends AnyFunSuite {
           case (a, b) => assert(a === b, s"z null-ness@$ts")
         }
       }
+    } finally q.stop()
+  }
+
+  test("streaming corpus curation: cross-batch exact dedup + quality gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2025-11-03 10:00:00")
+    def at(m: Int) = new Timestamp(base.getTime + m * 60000L)
+    // 120 distinct words -> quality ~1.0; the all-stopword doc gates out
+    val good = (1 to 120).map(i => s"word$i").mkString(" ")
+    val junk = "the the the the the the the the the the"
+    val b1 = Seq(Doc(1L, at(0), good), Doc(2L, at(1), junk))
+    // batch 2: doc 3 duplicates doc 1's text within the watermark ->
+    // dropped; doc 4 is distinct and good
+    val b2 = Seq(Doc(3L, at(2), good), Doc(4L, at(3), good + "extra words here"))
+    val stream = MemoryStream[Doc]
+    val q = graft.streaming.CorpusStream.curate(stream.toDF(), "ts")
+      .writeStream.format("memory").queryName("corpus_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // close the watermark so pending rows emit
+      stream.addData(Seq(Doc(99L, at(600), good + "sentinel"))); q.processAllAvailable()
+      val ids = spark.table("corpus_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L), "first-seen copy survives")
+      assert(!ids.contains(3L), "cross-batch duplicate dropped")
+      assert(ids.contains(4L), "distinct good doc survives")
+      assert(!ids.contains(2L), "low-quality doc gated out")
     } finally q.stop()
   }
 }
