@@ -207,6 +207,28 @@ object MarketQueries {
         .orderBy(col("event_id"))
     }),
 
+    // PIVOT: per-day event-type value totals as columns (explicit value
+    // list keeps the plan single-pass; decimal-exact sums)
+    "q42_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(graft.queries.CoreQueries.exactSum(col("value")))
+        .orderBy(col("d"))
+    }),
+
+    // Distribution window functions: percent_rank / cume_dist / ntile
+    "q43_window_dist" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(10).over(w).as("decile"))
+        .orderBy(col("event_id"))
+    }),
+
     // Ranking/offset window functions (beyond the reference's frame
     // windows): row_number / rank / dense_rank / lag / lead
     "q36_window_ranks" -> ((s, dir) => {
@@ -358,6 +380,24 @@ object MarketQueries {
                 round(c.click_val - v.view_val, 6) AS gap
          FROM c ASOF LEFT JOIN v ON c.d = v.d AND c.ts <= v.ts
          ORDER BY c.event_id""",
+
+    "q42_pivot" ->
+      """SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS error,
+           CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
+         FROM events GROUP BY 1 ORDER BY d""",
+
+    "q43_window_dist" ->
+      """SELECT event_id, event_type, value,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_id""",
 
     "q36_window_ranks" ->
       """SELECT event_id, event_type,
