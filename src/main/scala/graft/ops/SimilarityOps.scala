@@ -98,26 +98,90 @@ object SimilarityOps {
       centroidEvery: Int,
       nprobe: Int,
       queryFilter: Column): DataFrame = {
+    val cents = withUnitVec(emb, vecCol)
+      .select(col(idCol).as("vid"), col("nv").as("v"))
+      .filter(col("vid") % centroidEvery === 0)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    ivfTopKWithCodebook(emb, idCol, vecCol, cents, k, nprobe, queryFilter)
+  }
+
+  /** Spherical k-means codebook trainer — replaces [[ivfTopK]]'s
+    * id-modulo stand-in centroids with real learned ones; the search
+    * path is untouched (swap the codebook, keep the plan).
+    *
+    * Per Lloyd iteration: map-side nearest-centroid assignment against
+    * the broadcast codebook (no Exchange), then one shuffle to mean
+    * the assigned vectors per (centroid, dimension) and one to
+    * re-assemble + L2-renormalize — the canonical distributed k-means
+    * cost of one data pass + a small aggregation per iteration.
+    * Initialization is deterministic (first k vectors by id).
+    * Clusters that lose all members drop out (k shrinks), standard
+    * Lloyd behavior. Double means here are order-sensitive in the last
+    * ulp; the trainer is a numeric optimizer, not an oracle-checked
+    * query, so that is acceptable (convergence is what's tested). */
+  def kmeansCodebook(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val unit = withUnitVec(emb, vecCol).select(col(idCol).as("vid"), col("nv").as("v"))
+    var cents = unit.orderBy("vid").limit(k)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val cb = broadcast(codebook(cents))
+      val assigned = unit.crossJoin(cb)
+        .withColumn("cid", element_at(nearestCentroids(col("cb"), col("v"), 1), 1)("cid"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      val means = assigned.groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, s -> s.m)").as("mv"))
+      // spherical k-means: renormalize the mean back onto the sphere
+      cents = means
+        .withColumn("nrm", sqrt(dot(col("mv"), col("mv"))))
+        .filter(col("nrm") > 0)
+        .select(col("cid"), transform(col("mv"), x => x / col("nrm")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Objective for [[kmeansCodebook]]: total cosine of every vector to
+    * its nearest centroid (spherical k-means maximizes this). */
+  def assignmentObjective(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame): Double = {
+    val unit = withUnitVec(emb, vecCol).select(col(idCol).as("vid"), col("nv").as("v"))
+    val cb = broadcast(codebook(cents))
+    unit.crossJoin(cb)
+      .select((-element_at(nearestCentroids(col("cb"), col("v"), 1), 1)("nc")).as("cos"))
+      .agg(sum(col("cos"))).head.getDouble(0)
+  }
+
+  /** [[ivfTopK]] with a caller-supplied codebook (e.g. a trained
+    * [[kmeansCodebook]]) instead of the deterministic id-modulo
+    * stand-in. Same plan shape: map-side assignment + probe selection,
+    * bucket join on cid. */
+  def ivfTopKWithCodebook(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      k: Int,
+      nprobe: Int,
+      queryFilter: Column): DataFrame = {
     val parallelism = emb.sparkSession.sparkContext.defaultParallelism
     val e = withUnitVec(emb, vecCol).select(col(idCol).as("vid"), col("nv").as("v"))
       .repartition(parallelism)
-    val cents = e.filter(col("vid") % centroidEvery === 0)
-      .select(col("vid").as("cid"), col("v").as("cv"))
     val cb = broadcast(codebook(cents))
-
-    // corpus → nearest centroid: map-side argmax over the codebook
     val assigned = e.crossJoin(cb)
       .withColumn("cid", element_at(nearestCentroids(col("cb"), col("v"), 1), 1)("cid"))
       .select(col("vid"), col("v"), col("cid"))
-
-    // query → nprobe nearest centroids, map-side
     val q = e.filter(queryFilter).select(col("vid").as("qid"), col("v").as("qv"))
     val probes = q.crossJoin(cb)
       .select(col("qid"), col("qv"),
         explode(nearestCentroids(col("cb"), col("qv"), nprobe)).as("p"))
       .select(col("qid"), col("qv"), col("p.cid").as("cid"))
-
-    // search only the probed buckets
     val wRank = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vid"))
     probes.join(assigned, Seq("cid"))
       .filter(col("vid") =!= col("qid"))

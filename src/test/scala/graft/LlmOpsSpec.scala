@@ -68,6 +68,25 @@ class LlmOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("kmeans codebook: unit centroids, objective never decreases, search works") {
+    val init = SimilarityOps.kmeansCodebook(emb, "vec_id", "embedding", k = 8, iters = 0)
+    val trained = SimilarityOps.kmeansCodebook(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(trained.count() > 0 && trained.count() <= 8)
+    // centroids live on the unit sphere
+    val offSphere = trained
+      .filter(abs(SimilarityOps.dot(col("cv"), col("cv")) - 1.0) > 1e-9).count()
+    assert(offSphere === 0)
+    // spherical k-means objective (total cosine) is non-decreasing
+    val before = SimilarityOps.assignmentObjective(emb, "vec_id", "embedding", init)
+    val after = SimilarityOps.assignmentObjective(emb, "vec_id", "embedding", trained)
+    assert(after >= before - 1e-6, s"objective regressed: $before -> $after")
+    // the search path accepts the trained codebook unchanged
+    val r = SimilarityOps.ivfTopKWithCodebook(emb, "vec_id", "embedding",
+      trained, k = 5, nprobe = 2, queryFilter = col("vid") < 5)
+    assert(r.count() > 0)
+    assert(r.filter(col("qid") === col("nid")).count() === 0)
+  }
+
   test("multimodal: stub decode is deterministic, features normalized, distributed") {
     val assets = MultimodalOps.assetsFromDocuments(docs.limit(100)).repartition(4)
     val decoded = MultimodalOps.decodeImages(assets).cache()
