@@ -207,6 +207,20 @@ object MarketQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Grouped sketches: per-event-type HLL vs exact, emitted as
+    // error-bound booleans (same oracle-checkable form as q32)
+    "q44_group_sketch" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("event_id"), rsd = 0.02).as("approx_ids"),
+          count_distinct(col("event_id")).as("exact_ids"))
+        .select(col("event_type"), col("exact_ids"),
+          (abs(col("approx_ids") - col("exact_ids")).cast("double") /
+            col("exact_ids") <= 0.08).as("hll_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // PIVOT: per-day event-type value totals as columns (explicit value
     // list keeps the plan single-pass; decimal-exact sums)
     "q42_pivot" -> ((s, dir) => {
@@ -380,6 +394,13 @@ object MarketQueries {
                 round(c.click_val - v.view_val, 6) AS gap
          FROM c ASOF LEFT JOIN v ON c.d = v.d AND c.ts <= v.ts
          ORDER BY c.event_id""",
+
+    "q44_group_sketch" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS exact_ids,
+           abs(count(DISTINCT event_id) - count(DISTINCT event_id))
+             <= 0.08 * count(DISTINCT event_id) AS hll_ok
+         FROM events GROUP BY 1 ORDER BY event_type""",
 
     "q42_pivot" ->
       """SELECT CAST(ts AS DATE) AS d,
