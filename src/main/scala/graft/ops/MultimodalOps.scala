@@ -28,6 +28,17 @@ object MultimodalOps {
 
   case class ImageMeta(width: Int, height: Int, channels: Int)
 
+  case class AudioMeta(sample_rate: Int, channels: Int, n_samples: Long)
+
+  /** Decoded audio: metadata + signal statistics (RMS, peak, zero
+    * crossing rate) standing in for learned audio features. */
+  case class DecodedAudio(
+      asset_id: Long,
+      meta: AudioMeta,
+      rms: Double,
+      peak: Double,
+      zcr: Double)
+
   /** Decoded image: metadata + a fixed-width feature vector (here a
     * 16-bin normalized byte histogram standing in for model
     * embeddings / pixel statistics). */
@@ -81,6 +92,76 @@ object MultimodalOps {
     }
     val n = w.toDouble * height
     Some((ImageMeta(w, height, 3), hist.map(_ / n)))
+  }
+
+  // ------------------------------------------------------------------
+  // REAL decode kernel: RIFF/WAVE PCM-16 audio (pure JVM)
+  // ------------------------------------------------------------------
+
+  /** Decode a 16-bit PCM WAV payload: parses the RIFF header and walks
+    * the chunk list to the `fmt ` and `data` chunks (little-endian),
+    * then computes per-signal statistics over the interleaved samples.
+    * Returns None for anything that is not well-formed PCM-16 WAV. */
+  private[graft] def decodeWavPcm16(p: Array[Byte]): Option[(AudioMeta, Double, Double, Double)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int, s: String): Boolean =
+      p.length >= i + 4 && (0 until 4).forall(j => p(i + j) == s.charAt(j).toByte)
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= p.length && (dataOff < 0 || !fmtOk)) {
+      val sz = le32(pos + 4)
+      if (sz < 0 || pos + 8 + sz > p.length) return None
+      if (tag(pos, "fmt ")) {
+        if (sz < 16) return None
+        fmtOk = le16(pos + 8) == 1 // PCM
+        channels = le16(pos + 10)
+        rate = le32(pos + 12)
+        bits = le16(pos + 22)
+      } else if (tag(pos, "data")) {
+        dataOff = pos + 8; dataLen = sz
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || bits != 16 || channels < 1 || rate <= 0 || dataOff < 0) return None
+    val n = dataLen / 2
+    if (n == 0) return Some((AudioMeta(rate, channels, 0L), 0.0, 0.0, 0.0))
+    var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < n) {
+      val s = (le16(dataOff + i * 2) << 16 >> 16) / 32768.0 // sign-extend
+      sumSq += s * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+      if (prevSign != 0 && sign != prevSign) crossings += 1
+      prevSign = sign
+      i += 1
+    }
+    Some((AudioMeta(rate, channels, n.toLong / channels),
+      math.sqrt(sumSq / n), peak, crossings.toDouble / n))
+  }
+
+  /** Decode a partition of PCM-16 WAV assets — same batched
+    * mapPartitions layout as [[decodeImages]]; non-WAV payloads are
+    * dropped (a production pipeline would route them to a dead-letter
+    * table). */
+  def decodeAudio(assets: Dataset[MediaAsset]): Dataset[DecodedAudio] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { iter =>
+      iter.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          decodeWavPcm16(a.payload).map { case (meta, rms, peak, zcr) =>
+            DecodedAudio(a.asset_id, meta, rms, peak, zcr)
+          }
+        }
+      }
+    }
   }
 
   // ------------------------------------------------------------------

@@ -135,6 +135,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(stub.features.sum > 0)
   }
 
+  test("multimodal: real WAV decode yields true meta and signal stats") {
+    import spark.implicits._
+    def wav16(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(dataLen)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+    // square wave +-16384, period 8 -> rms = peak = 0.5, zcr = 199/800
+    val square = Array.tabulate(800)(i =>
+      (if ((i / 4) % 2 == 0) 16384 else -16384).toShort)
+    val decoded = MultimodalOps.decodeAudio(
+      Seq(MultimodalOps.MediaAsset(1L, "audio", wav16(8000, square)),
+        MultimodalOps.MediaAsset(2L, "audio", "not audio".getBytes)).toDS())
+      .collect()
+    assert(decoded.length === 1) // non-WAV payload dropped
+    val d = decoded.head
+    assert(d.meta === MultimodalOps.AudioMeta(8000, 1, 800L))
+    assert(math.abs(d.rms - 0.5) < 1e-12)
+    assert(math.abs(d.peak - 0.5) < 1e-12)
+    assert(math.abs(d.zcr - 199.0 / 800.0) < 1e-12)
+  }
+
   test("multimodal: resize meta preserves aspect cap, frame sampling steps") {
     val assets = MultimodalOps.decodeImages(MultimodalOps.assetsFromDocuments(docs.limit(20)))
     val resized = assets.withColumn("meta2", MultimodalOps.resizeMeta(col("meta"), 32))
