@@ -170,6 +170,41 @@ object CoreQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // J2-mirror: left-semi join — customers WITH a large order (q08 is
+    // the anti side; semi completes the existence-join family)
+    "q48_semi_join" -> ((s, dir) => {
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      Tables.customer(s, dir)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Set operations: INTERSECT / EXCEPT over distinct day sets
+    "q47_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def days(t: String) = ev.filter(col("event_type") === t)
+        .select(to_date(col("ts")).as("d")).distinct()
+      val both = days("click").intersect(days("error"))
+        .withColumn("op", lit("click_and_error"))
+      val only = days("click").except(days("purchase"))
+        .withColumn("op", lit("click_not_purchase"))
+      both.unionByName(only).orderBy(col("op"), col("d"))
+    }),
+
+    // Regex functions over document text (patterns restricted to
+    // simple character classes, identical in Java regex and RE2)
+    "q45_regex" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "(s[a-z]+)", 1).as("first_s"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("novowel_len"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "table", ""))) / 5)
+            .cast("long").as("n_table"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F9: array size + element access on the embeddings table
     "q20_array_ops" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -259,6 +294,31 @@ object CoreQueries {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q48_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+         ORDER BY c_custkey""",
+
+    "q47_set_ops" ->
+      """WITH c AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events WHERE event_type='click'),
+         e AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events WHERE event_type='error'),
+         p AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events WHERE event_type='purchase'),
+         bo AS (SELECT d FROM c INTERSECT SELECT d FROM e),
+         oy AS (SELECT d FROM c EXCEPT SELECT d FROM p)
+         SELECT d, 'click_and_error' AS op FROM bo
+         UNION ALL
+         SELECT d, 'click_not_purchase' AS op FROM oy
+         ORDER BY op, d""",
+
+    "q45_regex" ->
+      """SELECT doc_id,
+           regexp_extract(text, '(s[a-z]+)', 1) AS first_s,
+           CAST(len(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
+           CAST((len(text) - len(regexp_replace(text, 'table', '', 'g'))) // 5 AS BIGINT) AS n_table
+         FROM documents ORDER BY doc_id""",
 
     "q20_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
