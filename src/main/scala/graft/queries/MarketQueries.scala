@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.ops.{AsOfJoin, MarketBars, PairAnalytics}
 import graft.sources.Tables
@@ -207,6 +208,24 @@ object MarketQueries {
         .orderBy(col("event_id"))
     }),
 
+    // RANGE-frame window: 10-minute trailing count/sum per event type,
+    // keyed on the numeric epoch so the frame is value-based (peers at
+    // equal ts are all included — deterministic under ties, unlike a
+    // ROWS frame over a non-total order)
+    "q49_range_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("us"))
+        .rangeBetween(-600000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("event_type"), col("ts"),
+          count(lit(1)).over(w).as("n_10m"),
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast(DoubleType).as("sum_10m"))
+        .orderBy(col("event_id"))
+    }),
+
     // Grouped sketches: per-event-type HLL vs exact, emitted as
     // error-bound booleans (same oracle-checkable form as q32)
     "q44_group_sketch" -> ((s, dir) => {
@@ -394,6 +413,15 @@ object MarketQueries {
                 round(c.click_val - v.view_val, 6) AS gap
          FROM c ASOF LEFT JOIN v ON c.d = v.d AND c.ts <= v.ts
          ORDER BY c.event_id""",
+
+    "q49_range_window" ->
+      """SELECT event_id, event_type, ts,
+           count(*) OVER w AS n_10m,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10m
+         FROM (SELECT *, epoch_us(ts) AS us FROM events)
+         WINDOW w AS (PARTITION BY event_type ORDER BY us
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     "q44_group_sketch" ->
       """SELECT event_type,
