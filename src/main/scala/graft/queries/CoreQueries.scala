@@ -205,6 +205,35 @@ object CoreQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Array higher-order functions: filter / transform / aggregate /
+    // element extremes over the embedding vectors
+    "q50_array_hof" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)), 6).as("sum_sq"),
+          round(array_max(col("embedding")).cast(DoubleType), 6).as("mx"),
+          round(array_min(col("embedding")).cast(DoubleType), 6).as("mn"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // String functions: case, substring, padding, reverse, exact edit
+    // distance — all integer/string-exact across engines
+    "q51_string_fns" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 10)).as("head10"),
+          lpad(col("lang"), 5, "_").as("lang_pad"),
+          reverse(substring(col("text"), 1, 10)).as("rev10"),
+          levenshtein(substring(col("text"), 1, 10),
+            reverse(substring(col("text"), 1, 10))).as("lev"),
+          ascii(col("text")).as("first_cp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F9: array size + element access on the embeddings table
     "q20_array_ops" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -318,6 +347,25 @@ object CoreQueries {
            regexp_extract(text, '(s[a-z]+)', 1) AS first_s,
            CAST(len(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
            CAST((len(text) - len(regexp_replace(text, 'table', '', 'g'))) // 5 AS BIGINT) AS n_table
+         FROM documents ORDER BY doc_id""",
+
+    "q50_array_hof" ->
+      """SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a, b) -> a + b), 6) AS sum_sq,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn
+         FROM embeddings ORDER BY vec_id""",
+
+    "q51_string_fns" ->
+      """SELECT doc_id,
+           upper(substr(text, 1, 10)) AS head10,
+           lpad(lang, 5, '_') AS lang_pad,
+           reverse(substr(text, 1, 10)) AS rev10,
+           CAST(levenshtein(substr(text, 1, 10), reverse(substr(text, 1, 10))) AS INTEGER) AS lev,
+           CAST(ascii(text) AS INTEGER) AS first_cp
          FROM documents ORDER BY doc_id""",
 
     "q20_array_ops" ->
