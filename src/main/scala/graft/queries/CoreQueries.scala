@@ -30,8 +30,14 @@ object CoreQueries {
       Tables.lineitem(s, dir)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast(DecimalType(15, 4)).as("qty"),
-          col("l_extendedprice").cast(DecimalType(15, 4)).as("price"))
+          // The DECIMAL(15,4) cast is the operator under test; the final
+          // cast back to DOUBLE canonicalizes the OUTPUT representation —
+          // pyarrow reads Spark's parquet DECIMAL as python Decimal('x.0000')
+          // while DuckDB's fetchdf() lowers DECIMAL(15,4) to float64, so a
+          // raw decimal column hash-mismatches on representation even when
+          // every value is equal (round-2 q01 failure mode).
+          col("l_quantity").cast(DecimalType(15, 4)).cast(DoubleType).as("qty"),
+          col("l_extendedprice").cast(DecimalType(15, 4)).cast(DoubleType).as("price"))
         .na.drop(Seq("qty", "price"))
         // (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
         // data — include the value columns so the sort is a total order and
@@ -249,8 +255,8 @@ object CoreQueries {
   def oracleSql: Map[String, String] = Map(
     "q01_clean_cast" ->
       """SELECT l_orderkey, l_linenumber,
-         CAST(l_quantity AS DECIMAL(15,4)) AS qty,
-         CAST(l_extendedprice AS DECIMAL(15,4)) AS price
+         CAST(CAST(l_quantity AS DECIMAL(15,4)) AS DOUBLE) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(15,4)) AS DOUBLE) AS price
          FROM lineitem
          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
          ORDER BY l_orderkey, l_linenumber, qty, price""",
