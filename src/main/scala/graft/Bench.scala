@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional arg: comma-separated query-name filter (iteration aid;
+    // the driver passes no args and benches everything)
+    val only: Option[Set[String]] = args.headOption.map(_.split(',').toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,7 +16,8 @@ object Bench {
     // Untimed warm-up pass: JIT-compile the codegen'd stages and prime
     // the parquet footer caches, then measure. Run-to-run variance on a
     // cold JVM was 2-4x on the heavier queries.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    picked.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Three timed passes. Per query we report:
@@ -25,14 +29,14 @@ object Bench {
     // A query that THROWS is reported in "failures" with -1 timings —
     // never as a (fast-looking) elapsed time of the exception path.
     def timedPass(): Map[String, (Double, Boolean)] =
-      SparkEntry.queries.map { case (name, fn) =>
+      picked.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     val passes = Seq(timedPass(), timedPass(), timedPass())
-    val names = SparkEntry.queries.keys.toSeq
+    val names = picked.keys.toSeq
     val failures = names.filter(n => passes.exists(!_(n)._2))
     def minOf(n: String): Double = passes.map(_(n)._1).min
     def medianOf(n: String): Double = passes.map(_(n)._1).sorted.apply(1)

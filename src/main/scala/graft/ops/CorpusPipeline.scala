@@ -34,7 +34,13 @@ object CorpusPipeline {
     val keep = scored
       .groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"))
+    // checkpoint before the iterative stage: `unique` is consumed twice
+    // (minhash pair generation AND the final anti-join), and the
+    // clusterer's per-round actions would otherwise recompute the whole
+    // scan -> stats -> digest-dedup chain for each consumer. Lazy — the
+    // CC initializer's first action materializes it.
     val unique = scored.join(keep, col(idCol) === col("keep_id"), "left_semi")
+      .localCheckpoint(eager = false)
     val pairs = DedupOps.minhashNearDups(unique, textCol, idCol, jaccardThreshold)
     val drops = GraphOps.connectedComponents(pairs)
       .filter(col("node") =!= col("component"))

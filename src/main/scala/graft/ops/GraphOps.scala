@@ -8,15 +8,33 @@ import org.apache.spark.sql.functions._
   * pair under-drops: for edges (a,c),(b,c) with a<b<c it keeps both a
   * and b even though all three are one duplicate cluster).
   *
-  * Algorithm: alternating large-star / small-star (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) — each
-  * round is a groupBy + join on node id, and the edge set converges to
-  * a forest of stars rooted at each component's minimum id in
-  * O(log² n) rounds (2–3 in practice for LSH dup graphs, whose
-  * components are near-cliques). Per-round lineage is truncated with
-  * localCheckpoint so iteration cost stays linear.
+  * Two-tier execution, chosen by the measured edge count:
+  *
+  *   - **single-task union-find** when the (verified-pair) edge set
+  *     fits one task — path-compressed, union-by-min, one narrow job.
+  *     The near-dup pair set after exact Jaccard verification is
+  *     orders of magnitude smaller than the corpus, so this is the
+  *     common case even for very large corpora; the iterative
+  *     alternative costs several shuffle rounds of pure overhead on a
+  *     graph that fits in one executor's memory.
+  *   - **alternating large-star / small-star** (Kiveris et al.,
+  *     "Connected Components in MapReduce and Beyond", SoCC'14) above
+  *     the threshold — each round is a groupBy + join on node id, and
+  *     the edge set converges to a forest of stars rooted at each
+  *     component's minimum id in O(log² n) rounds (2–3 in practice for
+  *     LSH dup graphs, whose components are near-cliques). Per-round
+  *     lineage is truncated with localCheckpoint so iteration cost
+  *     stays linear.
+  *
+  * Both tiers run on executors (no driver-side collect) and produce
+  * identical output — property-tested against each other.
   */
 object GraphOps {
+
+  /** Above this many edges the iterative distributed algorithm runs;
+    * at or below, a single-task union-find (5M edges ≈ 80 MB of longs
+    * plus map overhead — comfortable in one task). */
+  val SingleTaskMaxEdges: Long = 5000000L
 
   /** Connected components of the undirected graph given by two id
     * columns. Returns one row per node appearing in any pair:
@@ -26,11 +44,50 @@ object GraphOps {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      singleTaskMaxEdges: Long = SingleTaskMaxEdges): DataFrame = {
     val init = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      // LAZY checkpoint: the sizing count below is the materializing
+      // action, so sizing + lineage truncation is one job
+      .localCheckpoint(eager = false)
+    val n = init.count()
+    if (n <= singleTaskMaxEdges) singleTask(init)
+    else starContraction(init, maxIter)
+  }
+
+  /** One-task path-compressed union-find (union-by-min keeps the root
+    * at the component minimum). Runs as a single executor task — NOT a
+    * driver collect — so it composes with the rest of the plan. */
+  private def singleTask(init: DataFrame): DataFrame = {
+    val spark = init.sparkSession
+    import spark.implicits._
+    init.select(col("u"), col("v")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (u, v) =>
+          add(u); add(v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        val ks = parent.keys.toArray
+        ks.iterator.map(k => (k, find(k)))
+      }
+      .toDF("node", "component")
+  }
+
+  private def starContraction(init: DataFrame, maxIter: Int): DataFrame = {
     val nodes = init.select(col("u").as("node"))
       .union(init.select(col("v").as("node"))).distinct()
 
@@ -44,7 +101,9 @@ object GraphOps {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // no distinct here: smallStar's terminal distinct dedups the round's
+      // edge set, and CC is set-semantic throughout (min aggregates are
+      // multiplicity-blind) — dropping it removes one shuffle per round
     }
 
     // small-star: every node connects its smaller neighbors (and
@@ -72,12 +131,15 @@ object GraphOps {
       (r.getLong(0), r.getLong(1))
     }
 
-    var edges = init.localCheckpoint()
+    // LAZY checkpoints throughout: the fingerprint aggregate is the
+    // materializing action, so each round runs ONE job (compute+cache+
+    // digest) instead of two (eager checkpoint, then digest)
+    var edges = init
     var fp = fingerprint(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nfp = fingerprint(next)
       converged = nfp == fp &&
         next.except(edges).isEmpty && edges.except(next).isEmpty

@@ -209,10 +209,15 @@ class PropertySpec extends AnyFunSuite {
     } :+ (0L until 40L).sliding(2).map(s => (s(1), s(0))).toSeq
     cases.zipWithIndex.foreach { case (edges, i) =>
       val df = edges.toDF("id_a", "id_b")
+      // default tier (single-task union-find at this size)
       val got = GraphOps.connectedComponents(df)
         .as[(Long, Long)].collect().toMap
+      // force the distributed star-contraction tier: same answer
+      val gotDist = GraphOps.connectedComponents(df, singleTaskMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
       val want = unionFind(50, edges)
-      assert(got === want, s"case $i")
+      assert(got === want, s"case $i (single-task)")
+      assert(gotDist === want, s"case $i (star-contraction)")
     }
   }
 
