@@ -240,6 +240,108 @@ object CoreQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // JSON functions: path extraction (get_json_object) and typed
+    // parsing (from_json) over the events.props payload column — both
+    // engines agree on extracted VALUES; constructed-JSON output is
+    // deliberately avoided (key order/whitespace differ across engines)
+    "q52_json_fns" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k_typed"),
+          pmod(get_json_object(col("props"), "$.k").cast("long"), lit(7L)).as("k_mod"),
+          get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Grouping sets via CUBE + grouping() flags (completes the
+    // rollup/cube family started by q37); NULL group keys are coalesced
+    // to a sentinel so the sort order is engine-independent
+    "q53_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          exactSum(col("o_totalprice")).as("total"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("g_status"), col("g_prio"), col("n"), col("total"))
+        .orderBy(col("g_status"), col("g_prio"), col("status"), col("priority"))
+    }),
+
+    // FULL OUTER join: order days vs ship days (ship dates extend past
+    // the last order date, so both unmatched sides are exercised)
+    "q54_full_outer" -> ((s, dir) => {
+      val od = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d")).agg(count(lit(1)).as("n_orders"))
+      val sd = Tables.lineitem(s, dir)
+        .groupBy(col("l_shipdate").as("d")).agg(count(lit(1)).as("n_ships"))
+      od.join(sd, Seq("d"), "full_outer")
+        .select(
+          col("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"),
+          (col("n_orders").isNotNull && col("n_ships").isNotNull).as("both"))
+        .orderBy(col("d"))
+    }),
+
+    // Deterministic hash sampling — the reproducible, engine-portable
+    // TABLESAMPLE: an md5-derived bucket on the row key selects an
+    // exact, stable 10% subset at any scale (no RNG, no seed drift
+    // across partitionings), then aggregates it
+    "q55_hash_sample" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("hk", graft.functions.CrossHash.x32(
+          concat_ws("#", col("l_orderkey"), col("l_linenumber"))))
+        .filter(pmod(col("hk"), lit(10L)) === 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Sessionization (gaps-and-islands): per-user sessions split at
+    // >30-min inactivity gaps, on integer epoch-microseconds so the
+    // gap predicate is identical across engines; (us, event_id) is a
+    // total order within each user
+    "q56_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_n", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("session_n"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        .orderBy(col("user_id"), col("session_n"))
+    }),
+
+    // Bitwise aggregates (bit_and/bit_or/bit_xor) + scalar bit ops per
+    // group — ids are non-negative so &/%/<< agree across engines
+    "q58_bitwise" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("bit_and(user_id)").as("band"),
+          expr("bit_or(user_id)").as("bor"),
+          expr("bit_xor(user_id)").as("bxor"),
+          max(col("user_id").bitwiseAND(lit(255L))).as("max_low8"),
+          min(shiftleft(col("user_id").bitwiseAND(lit(15L)), 2)).as("min_nib_sh"))
+        .orderBy(col("event_type"))
+    }),
+
     // F9: array size + element access on the embeddings table
     "q20_array_ops" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -377,6 +479,72 @@ object CoreQueries {
     "q20_array_ops" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
          round(CAST(embedding[1] AS DOUBLE), 6) AS e1, label
-         FROM embeddings ORDER BY vec_id"""
+         FROM embeddings ORDER BY vec_id""",
+
+    "q52_json_fns" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k
+         FROM events ORDER BY event_id""",
+
+    "q53_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_prio, status, priority""",
+
+    "q54_full_outer" ->
+      """WITH od AS (SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS n_orders
+                     FROM orders GROUP BY 1),
+         sd AS (SELECT l_shipdate AS d, CAST(count(*) AS BIGINT) AS n_ships
+                FROM lineitem GROUP BY 1)
+         SELECT coalesce(od.d, sd.d) AS d,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_ships, 0) AS n_ships,
+           n_orders IS NOT NULL AND n_ships IS NOT NULL AS both
+         FROM od FULL OUTER JOIN sd ON od.d = sd.d
+         ORDER BY d""",
+
+    "q55_hash_sample" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE CAST(concat('0x', substr(md5(
+             concat_ws('#', l_orderkey, l_linenumber)), 1, 8)) AS BIGINT) % 10 = 0
+         GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q56_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+             SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_n
+           FROM g)
+         SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts
+         FROM s GROUP BY user_id, session_n
+         ORDER BY user_id, session_n""",
+
+    "q58_bitwise" ->
+      """SELECT event_type,
+           bit_and(user_id) AS band,
+           bit_or(user_id) AS bor,
+           bit_xor(user_id) AS bxor,
+           max(user_id & 255) AS max_low8,
+           min((user_id & 15) << 2) AS min_nib_sh
+         FROM events GROUP BY 1 ORDER BY event_type"""
   )
 }
