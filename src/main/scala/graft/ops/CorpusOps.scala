@@ -14,7 +14,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *   - [[termFrequency]] — corpus term/document frequencies with a
   *     deterministic top-k cut (vocabulary building, stopword mining);
   *   - [[labelCentroids]] — per-label embedding centroids (cluster
-  *     summaries, classifier prototypes, drift monitoring).
+  *     summaries, classifier prototypes, drift monitoring);
+  *   - [[chunk]] — overlapping token-window chunking (the
+  *     context-window split step before embedding or training);
+  *   - [[tfidf]] — per-document top-k TF-IDF terms (keyword
+  *     extraction, relevance features).
   *
   * Scale posture: packing windows are partitioned by shard (parallel;
   * shard count scales with the cluster — a global pack order would
@@ -48,6 +52,74 @@ object CorpusOps {
       .withColumn("cum_tokens", sum(col("token_est")).over(w))
       .withColumn("bin",
         floor((col("cum_tokens") - 1) / lit(budget.toDouble)).cast("long"))
+  }
+
+  /** Overlapping token-window chunking: window c of a document covers
+    * tokens [c·stride+1, c·stride+chunkLen]; a document shorter than
+    * one window yields a single (shorter) chunk, and the final window
+    * may be partial. Pure map-side (tokenize → per-row explode) — no
+    * shuffle; at 100 TB this runs at scan speed and the output
+    * partitioning inherits the input's.
+    */
+  def chunk(
+      docs: DataFrame,
+      chunkLen: Int = 64,
+      stride: Int = 48,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(stride >= 1 && chunkLen >= stride,
+      s"need 1 <= stride <= chunkLen (got chunkLen=$chunkLen stride=$stride)")
+    val toks = Dist.materialize(
+      docs.withColumn("toks", TextOps.tokens(col(textCol)))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") >= 1))
+    toks
+      .withColumn("n_chunks",
+        when(col("n") <= chunkLen, lit(1L))
+          .otherwise(ceil((col("n") - lit(chunkLen)).cast(DoubleType) / stride)
+            .cast("long") + 1L))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(
+        col(idCol), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkLen))).as("chunk_text"),
+        least(lit(chunkLen.toLong), col("n") - col("chunk_id") * stride).as("chunk_tokens"))
+  }
+
+  /** Per-document top-k TF-IDF terms: tf(d,t)·ln(N/df(t)), ranked by
+    * (rounded score desc, term asc) — rounding BEFORE ranking makes the
+    * cut deterministic across engines (raw doubles can differ by an
+    * ulp; at 6 dp near-ties collapse and break on the term).
+    *
+    * Scale posture: one explode → (doc, term) partial-aggregated count;
+    * df is a second map-side-combined aggregate of the SAME exploded
+    * relation; N broadcasts as a 1-row join. The per-doc rank window
+    * partitions by doc_id — no global sort.
+    */
+  def tfidf(
+      docs: DataFrame,
+      topPerDoc: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = Dist.materialize(
+      docs.withColumn("toks", TextOps.tokens(col(textCol)))
+        .filter(size(col("toks")) >= 1))
+      .select(col(idCol), explode(col("toks")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val n = docs.filter(size(TextOps.tokens(col(textCol))) >= 1)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topPerDoc)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
   /** Corpus term frequency (tf) and document frequency (df), top `k`

@@ -139,6 +139,49 @@ object LlmQueries {
     "q40_label_centroid" -> ((s, dir) => {
       CorpusOps.labelCentroids(Tables.embeddings(s, dir))
         .orderBy(col("label"), col("pos"))
+    }),
+
+    // Overlapping token-window chunking (context-window split; pure
+    // map-side explode — no shuffle)
+    "q57_chunking" -> ((s, dir) => {
+      CorpusOps.chunk(Tables.rebalance(Tables.documents(s, dir)),
+        chunkLen = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Per-document top-3 TF-IDF terms (rounded-then-ranked so the
+    // cut is engine-deterministic)
+    "q59_tfidf" -> ((s, dir) => {
+      CorpusOps.tfidf(Tables.rebalance(Tables.documents(s, dir)), topPerDoc = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // L2 vector normalization + self-consistency bound: |1 − ‖unit‖²|
+    // below 1e-9 everywhere, emitted as an oracle-checkable boolean
+    "q60_vec_norm" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val unit = SimilarityOps.withUnitVec(Tables.embeddings(s, dir), "embedding")
+      unit.select(
+        col("vec_id"),
+        round(sqrt(SimilarityOps.dot(col("embedding"), col("embedding"))), 6).as("nrm"),
+        round(element_at(col("nv"), 1), 6).as("unit_e1"),
+        (abs(SimilarityOps.dot(col("nv"), col("nv")) - 1.0) < 1e-9).as("unit_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Stratified deterministic sampling — per-language training-mix
+    // rates applied via the portable md5 hash (no RNG, reproducible at
+    // any scale/partitioning), then audited per stratum
+    "q61_stratified" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", 50L)
+        .when(col("lang") === "de", 30L)
+        .otherwise(20L)
+      Tables.documents(s, dir)
+        .filter(pmod(CrossHash.x32(concat(lit("strat#"), col("doc_id"))), lit(100L)) < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -400,6 +443,52 @@ object LlmQueries {
                   (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
                 FROM cand)
           SELECT qid, nid, CAST(rank AS INTEGER) AS rank, round(cosine, 6) AS cosine
-          FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q57_chunking" ->
+      s"""WITH $toksCte,
+          p AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                  CASE WHEN len(toks) <= 64 THEN 1
+                       ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+                FROM d WHERE len(toks) >= 1)
+          SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+            array_to_string(toks[c*48+1 : c*48+64], ' ') AS chunk_text,
+            least(64, n - c*48) AS chunk_tokens
+          FROM p, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS c) g
+          ORDER BY doc_id, chunk_id""",
+
+    "q59_tfidf" ->
+      s"""WITH $toksCte,
+          terms AS (SELECT doc_id, unnest(toks) AS term FROM d WHERE len(toks) >= 1),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM terms GROUP BY 1, 2),
+          df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM terms GROUP BY 1),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d WHERE len(toks) >= 1),
+          scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+                     FROM tf JOIN df USING (term) CROSS JOIN nd),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+                FROM scored)
+          SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf
+          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q60_vec_norm" ->
+      s"""WITH $embCte,
+          b AS (SELECT e0.vec_id, e0.v0, e.v FROM e0 JOIN e USING (vec_id))
+          SELECT vec_id,
+            round(sqrt(list_dot_product(v0, v0)), 6) AS nrm,
+            round(v[1], 6) AS unit_e1,
+            abs(list_dot_product(v, v) - 1.0) < 1e-9 AS unit_ok
+          FROM b ORDER BY vec_id""",
+
+    "q61_stratified" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents
+          WHERE ${x32("'strat#' || doc_id")} % 100 <
+            CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 20 END
+          GROUP BY 1 ORDER BY lang"""
   )
 }
