@@ -14,6 +14,8 @@ case class Tick(event_type: String, ts: Timestamp, value: Double)
 
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+case class UserEvent(user_id: Long, ts: Timestamp)
+
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -201,6 +203,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(!ids.contains(3L), "cross-batch duplicate dropped")
       assert(ids.contains(4L), "distinct good doc survives")
       assert(!ids.contains(2L), "low-quality doc gated out")
+    } finally q.stop()
+  }
+
+  test("streaming session windows match batch gaps-and-islands sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"))
+      .orderBy("ts").limit(2000)
+      .collect()
+      .map(r => UserEvent(r.getLong(0), r.getTimestamp(1)))
+      .toSeq
+    val stream = MemoryStream[UserEvent]
+    val q = graft.streaming.Sessionizer.userSessions(stream.toDF(), "user_id", "ts")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(data.take(1000)); q.processAllAvailable()
+      stream.addData(data.drop(1000)); q.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+        .select("user_id", "n_events", "start_ts", "end_ts")
+      // batch twin with the STRICT merge rule (diff >= gap breaks),
+      // matching session_window's [start, last+gap) semantics
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us")
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val batch = data.toDF("user_id", "ts")
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev", lag($"us", 1).over(w))
+        .withColumn("brk",
+          when($"prev".isNull || $"us" - $"prev" >= 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum($"brk").over(wRun))
+        .groupBy($"user_id", $"sess")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("start_ts"), max($"ts").as("end_ts"))
+        .select("user_id", "n_events", "start_ts", "end_ts")
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      assert(streamed.count() > 0)
     } finally q.stop()
   }
 }
