@@ -342,6 +342,38 @@ object CoreQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Approximate percentile (KLL-style sketch) audited against the
+    // exact percentile as error-bound booleans (the q32/q44 pattern:
+    // sketches aren't bit-identical across engines, bounds are)
+    "q63_approx_pct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.5)").as("e50"),
+          expr("percentile(l_extendedprice, 0.9)").as("e90"))
+        .select(
+          round(col("e50"), 4).as("p50"),
+          round(col("e90"), 4).as("p90"),
+          (abs(element_at(col("ap"), 1) - col("e50")) / col("e50") <= 0.01).as("p50_ok"),
+          (abs(element_at(col("ap"), 2) - col("e90")) / col("e90") <= 0.01).as("p90_ok"))
+    }),
+
+    // SQL front door: a full SQL query through the parser/analyzer with
+    // a correlated scalar subquery (Catalyst decorrelates it to an
+    // aggregate + join — the declarative plan survives optimization)
+    "q64_sql_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name,
+          (SELECT count(*) FROM orders_v o
+           WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_v c
+        WHERE (SELECT count(*) FROM orders_v o
+               WHERE o.o_custkey = c.c_custkey) >= 12
+        ORDER BY c.c_custkey""")
+    }),
+
     // F9: array size + element access on the embeddings table
     "q20_array_ops" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -480,6 +512,24 @@ object CoreQueries {
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
          round(CAST(embedding[1] AS DOUBLE), 6) AS e1, label
          FROM embeddings ORDER BY vec_id""",
+
+    "q63_approx_pct" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           abs(quantile_cont(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+             <= 0.01 * quantile_cont(l_extendedprice, 0.5) AS p50_ok,
+           abs(quantile_cont(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
+             <= 0.01 * quantile_cont(l_extendedprice, 0.9) AS p90_ok
+         FROM lineitem""",
+
+    "q64_sql_subquery" ->
+      """SELECT c.c_custkey, c.c_name,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) >= 12
+         ORDER BY c.c_custkey""",
 
     "q52_json_fns" ->
       """SELECT event_id,

@@ -169,6 +169,17 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // UDTF-family: posexplode — vector rows to (vec_id, pos, value)
+    // triples with the generator's own 0-based position column
+    "q65_posexplode" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          round(col("col").cast("double"), 6).as("x"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // Stratified deterministic sampling — per-language training-mix
     // rates applied via the portable md5 hash (no RNG, reproducible at
     // any scale/partitioning), then audited per stratum
@@ -482,6 +493,13 @@ object LlmQueries {
             round(v[1], 6) AS unit_e1,
             abs(list_dot_product(v, v) - 1.0) < 1e-9 AS unit_ok
           FROM b ORDER BY vec_id""",
+
+    "q65_posexplode" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                     WHERE vec_id < 20)
+         SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, round(v[i], 6) AS x
+         FROM e0, unnest(generate_series(1, len(v))) AS g(i)
+         ORDER BY vec_id, pos""",
 
     "q61_stratified" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,

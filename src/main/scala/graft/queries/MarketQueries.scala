@@ -250,6 +250,21 @@ object MarketQueries {
         .orderBy(col("d"))
     }),
 
+    // UNPIVOT via stack(): the inverse of q42's pivot — wide per-day
+    // columns back to (day, event_type, total) rows; missing combos
+    // (NULL cells) drop, so the round-trip equals the direct group-by
+    "q62_unpivot" -> ((s, dir) => {
+      val wide = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(graft.queries.CoreQueries.exactSum(col("value")))
+      wide.select(col("d"), expr(
+          "stack(5, 'click', click, 'error', error, 'purchase', purchase, " +
+            "'signup', signup, 'view', view) AS (event_type, total)"))
+        .filter(col("total").isNotNull)
+        .orderBy(col("d"), col("event_type"))
+    }),
+
     // Distribution window functions: percent_rank / cume_dist / ntile
     "q43_window_dist" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -438,6 +453,13 @@ object MarketQueries {
            CAST(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
            CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
          FROM events GROUP BY 1 ORDER BY d""",
+
+    "q62_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+         FROM events
+         WHERE event_type IN ('click','error','purchase','signup','view')
+         GROUP BY 1, 2 ORDER BY d, event_type""",
 
     "q43_window_dist" ->
       """SELECT event_id, event_type, value,
