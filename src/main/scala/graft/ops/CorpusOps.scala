@@ -101,16 +101,19 @@ object CorpusOps {
       topPerDoc: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // ONE tokenize+explode pass, checkpointed: tf, df, AND the corpus
+    // doc count all derive from the same (doc, term) relation — without
+    // the checkpoint each consumer re-scans and re-tokenizes the corpus
     val terms = Dist.materialize(
       docs.withColumn("toks", TextOps.tokens(col(textCol)))
         .filter(size(col("toks")) >= 1))
       .select(col(idCol), explode(col("toks")).as("term"))
+      .localCheckpoint(eager = false)
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = terms.groupBy(col("term"))
       .agg(count_distinct(col(idCol)).as("df"))
-    val n = docs.filter(size(TextOps.tokens(col(textCol))) >= 1)
-      .agg(count(lit(1)).as("n_docs"))
+    val n = terms.agg(count_distinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(df, "term")

@@ -144,15 +144,16 @@ object LlmQueries {
     // Overlapping token-window chunking (context-window split; pure
     // map-side explode — no shuffle)
     "q57_chunking" -> ((s, dir) => {
-      CorpusOps.chunk(Tables.rebalance(Tables.documents(s, dir)),
-        chunkLen = 64, stride = 48)
+      // no Tables.rebalance here: chunk's internal tokenize barrier
+      // already spreads the scan (a second round-robin would stack)
+      CorpusOps.chunk(Tables.documents(s, dir), chunkLen = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     // Per-document top-3 TF-IDF terms (rounded-then-ranked so the
     // cut is engine-deterministic)
     "q59_tfidf" -> ((s, dir) => {
-      CorpusOps.tfidf(Tables.rebalance(Tables.documents(s, dir)), topPerDoc = 3)
+      CorpusOps.tfidf(Tables.documents(s, dir), topPerDoc = 3)
         .orderBy(col("doc_id"), col("rank"))
     }),
 
