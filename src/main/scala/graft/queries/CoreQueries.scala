@@ -374,6 +374,40 @@ object CoreQueries {
         ORDER BY c.c_custkey""")
     }),
 
+    // Date arithmetic + null-handling functions: date_add / last_day /
+    // date_trunc / datediff / quarter, nullif / coalesce
+    "q67_date_arith" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("od", to_date(col("o_orderdate")))
+        .select(
+          col("o_orderkey"),
+          col("od"),
+          date_add(col("od"), 30).as("due_30"),
+          last_day(col("od")).as("month_end"),
+          date_trunc("month", col("od")).cast("date").as("month_start"),
+          datediff(to_date(lit("1998-12-31")), col("od")).as("days_to_end"),
+          quarter(col("od")).as("qtr"),
+          nullif(col("o_orderstatus"), lit("O")).as("closed_status"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_nz"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Explicit GROUPING SETS through the SQL front door (the third
+    // member of the rollup/cube family, with per-column grouping flags)
+    "q68_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+          coalesce(l_linestatus, '(all)') AS ls,
+          CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          count(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, rf, ls""")
+    }),
+
     // F9: array size + element access on the embeddings table
     "q20_array_ops" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -530,6 +564,30 @@ object CoreQueries {
          WHERE (SELECT count(*) FROM orders o
                 WHERE o.o_custkey = c.c_custkey) >= 12
          ORDER BY c.c_custkey""",
+
+    "q67_date_arith" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_orderstatus
+                    FROM orders)
+         SELECT o_orderkey, od,
+           od + 30 AS due_30,
+           last_day(od) AS month_end,
+           CAST(date_trunc('month', od) AS DATE) AS month_start,
+           CAST(datediff('day', od, DATE '1998-12-31') AS INTEGER) AS days_to_end,
+           CAST(quarter(od) AS INTEGER) AS qtr,
+           nullif(o_orderstatus, 'O') AS closed_status,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_nz
+         FROM o ORDER BY o_orderkey""",
+
+    "q68_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY g_rf, g_ls, rf, ls""",
 
     "q52_json_fns" ->
       """SELECT event_id,

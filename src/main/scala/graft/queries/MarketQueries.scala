@@ -265,6 +265,53 @@ object MarketQueries {
         .orderBy(col("d"), col("event_type"))
     }),
 
+    // Map columns: per-day (event_type -> total) map built with
+    // map_from_entries over sorted entries, read back with element_at /
+    // size; scalar extractions only (map literals don't hash-compare
+    // across engines, their extracted values do)
+    "q66_map_ops" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(graft.queries.CoreQueries.exactSum(col("value")).as("total"))
+        .groupBy(col("d"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("total")))))
+          .as("m"))
+        .select(
+          col("d"),
+          size(col("m")).as("n_types"),
+          round(coalesce(element_at(col("m"), "click"), lit(0.0)), 4).as("click_total"),
+          round(coalesce(element_at(col("m"), "purchase"), lit(0.0)), 4).as("purchase_total"),
+          array_join(map_keys(col("m")), ",").as("types"))
+        .orderBy(col("d"))
+    }),
+
+    // Centered / forward window frames + first_value / last_value /
+    // nth_value: the ROWS-frame variants q06's trailing window doesn't
+    // exercise (5-row centered mean, leading max, positional picks)
+    "q69_window_frames" -> ((s, dir) => {
+      val base = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+      val centered = base.rowsBetween(-2, 2)
+      val fwd = base.rowsBetween(1, 3)
+      val full = base.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("event_type"), col("value"), col("us"))
+        .withColumn("ma5",
+          round(sum(col("value").cast(DecimalType(18, 6))).over(centered)
+            .cast(DoubleType) / count(lit(1)).over(centered), 6))
+        .withColumn("fwd_max", max(col("value")).over(fwd))
+        .withColumn("first_v", first(col("value")).over(full))
+        .withColumn("last_v", last(col("value")).over(full))
+        .withColumn("third_v", nth_value(col("value"), 3).over(full))
+        .select(col("event_id"), col("event_type"), col("ma5"),
+          col("fwd_max"), col("first_v"), col("last_v"), col("third_v"))
+        .orderBy(col("event_id"))
+    }),
+
     // Distribution window functions: percent_rank / cume_dist / ntile
     "q43_window_dist" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -460,6 +507,36 @@ object MarketQueries {
          FROM events
          WHERE event_type IN ('click','error','purchase','signup','view')
          GROUP BY 1, 2 ORDER BY d, event_type""",
+
+    "q66_map_ops" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+                    FROM events GROUP BY 1, 2)
+         SELECT d, CAST(count(*) AS INTEGER) AS n_types,
+           round(coalesce(max(CASE WHEN event_type='click' THEN total END), 0), 4)
+             AS click_total,
+           round(coalesce(max(CASE WHEN event_type='purchase' THEN total END), 0), 4)
+             AS purchase_total,
+           string_agg(event_type, ',' ORDER BY event_type) AS types
+         FROM g GROUP BY d ORDER BY d""",
+
+    "q69_window_frames" ->
+      """SELECT event_id, event_type,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wc AS DOUBLE)
+             / count(*) OVER wc, 6) AS ma5,
+           max(value) OVER wf AS fwd_max,
+           first_value(value) OVER wu AS first_v,
+           last_value(value) OVER wu AS last_v,
+           nth_value(value, 3) OVER wu AS third_v
+         FROM (SELECT *, epoch_us(ts) AS us FROM events)
+         WINDOW
+           wc AS (PARTITION BY event_type ORDER BY us, event_id
+                  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING),
+           wf AS (PARTITION BY event_type ORDER BY us, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING),
+           wu AS (PARTITION BY event_type ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id""",
 
     "q43_window_dist" ->
       """SELECT event_id, event_type, value,
