@@ -213,4 +213,53 @@ object SimilarityOps {
       .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
       .distinct()
   }
+
+  /** Product-quantization ENCODE: split the vector into `m` equal
+    * subspaces and record, per subspace, the id of the L2-nearest
+    * centroid — the compression step that turns a 100 TB float corpus
+    * into RAM-resident byte codes (64 floats → m small ints here;
+    * real deployments use 8-bit codes per subspace).
+    *
+    * Plan shape: the codebook folds into ONE broadcast row; encoding is
+    * a pure map-side projection (argmin folds over the broadcast array
+    * inside codegen'd HOFs) — no Exchange anywhere. The argmin fold
+    * keeps the LOWEST centroid id on exact distance ties and sums
+    * subspace squared-differences in index order, so the DuckDB twin
+    * (row_number over (dist, cid)) reproduces codes bit-for-bit.
+    *
+    * Centroids default to the id-modulo stand-in ([[ivfTopK]]'s
+    * convention); pass a trained [[kmeansCodebook]] per subspace for
+    * real deployments — the encode path is codebook-agnostic. */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      centroidEvery: Int = 50): DataFrame = {
+    val cents = emb
+      .filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // sort by cid so the fold's strict-< keeps the lowest cid on ties
+    val cb = broadcast(cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb")))
+    val sd = (size(col(vecCol)) / m).cast("int")
+    def subL2(x: Column, c: Column, j: Int): Column =
+      aggregate(
+        zip_with(
+          slice(x, lit(j) * sd + 1, sd),
+          slice(c, lit(j) * sd + 1, sd),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0), (s, z) => s + z)
+    def code(j: Int): Column =
+      aggregate(
+        col("cb"),
+        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+        (acc, e) => {
+          val d = subL2(col(vecCol), e("cv"), j)
+          when(d < acc("d"), struct(d.as("d"), e("cid").as("cid"))).otherwise(acc)
+        })("cid")
+    emb.crossJoin(cb)
+      .select(col(idCol) +: (0 until m).map(j => code(j).as(s"c$j")): _*)
+  }
 }
