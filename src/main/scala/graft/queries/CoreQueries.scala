@@ -306,9 +306,12 @@ object CoreQueries {
     }),
 
     // Sessionization (gaps-and-islands): per-user sessions split at
-    // >30-min inactivity gaps, on integer epoch-microseconds so the
+    // 30-min inactivity gaps, on integer epoch-microseconds so the
     // gap predicate is identical across engines; (us, event_id) is a
-    // total order within each user
+    // total order within each user. The break rule is STRICT
+    // (diff >= gap splits) — the same half-open-window semantics as
+    // streaming session_window, so batch, oracle, and the streaming
+    // Sessionizer share one definition of a session.
     "q56_sessionize" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
@@ -319,7 +322,7 @@ object CoreQueries {
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
         .withColumn("brk",
-          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+          when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("session_n", sum(col("brk")).over(wRun))
         .groupBy(col("user_id"), col("session_n"))
@@ -635,7 +638,7 @@ object CoreQueries {
            FROM events),
          s AS (
            SELECT user_id, ts,
-             SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
                  THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY us, event_id
                      ROWS UNBOUNDED PRECEDING) AS session_n

@@ -15,11 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Merge rule is STRICT: an event exactly `gap` after the session's
   * last event starts a NEW session (the window is [start, last+gap)).
-  * A batch twin must therefore break on `diff >= gap` — q56's oracle
-  * breaks on `diff > gap`, which differs only for events landing
-  * exactly on the gap boundary (impossible-by-construction in
-  * microsecond event data, but documented here for exactness;
-  * StreamingSpec's batch comparator uses the strict rule).
+  * The batch twin (q56), its DuckDB oracle, and StreamingSpec's batch
+  * comparator all break on the same strict `diff >= gap` rule, so the
+  * three definitions of a session agree even for events landing
+  * exactly on the gap boundary.
   */
 object Sessionizer {
 
