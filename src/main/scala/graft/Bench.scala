@@ -44,10 +44,16 @@ object Bench {
       names.map(n => s"\"" + n + "\":" + (if (failures.contains(n)) -1.0 else f(n)))
         .mkString("{", ",", "}")
     val total = names.filterNot(failures.contains).map(minOf).sum
+    val totalMedian = names.filterNot(failures.contains).map(medianOf).sum
     val failList = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${fmt(minOf)},"queries_median":${fmt(medianOf)},""" +
       s""""failures":$failList,"sf":"$sfDir"}""")
+    // Trailing compact summary: the driver captures the TAIL of stdout, so
+    // when the full per-query line above gets truncated the totals must
+    // survive on their own. Keep this line last and short.
+    println(s"""{"total_min":$total,"total_median":$totalMedian,""" +
+      s""""n":${names.size},"failures":$failList,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,19 +76,56 @@ object Pipeline {
     * overall FAIL badge raises [[ValidationFailedException]] AFTER the
     * sink write — the data lands for inspection, the run is marked
     * failed, exactly the reference's validate-task semantics
-    * (`validate_data.py:225-227`). */
+    * (`validate_data.py:225-227`).
+    *
+    * Holiday short-circuit (`validate_data.py:25,62-64`): when the
+    * latest written trading day appears in `fullCloseDates`, validation
+    * is SKIPPED with an OK badge — a full-closure holiday must not fail
+    * the run on 0/few bars. Like the reference, nothing is persisted to
+    * the DQ tables on the skip path (the reference exits before its
+    * table writes).
+    *
+    * DQ persistence (`validate_calendar_alpaca.py:104-168` /
+    * `validate_data.py:67-101,188-220`): every validated run APPENDS
+    * its per-symbol-day detail and 1-row summary — both stamped with
+    * `run_id` + `run_ts_utc` — as parquet under `<outPath>_dq/`, the
+    * lake analog of the reference's `intraday_quality_report` /
+    * `intraday_quality_run_summary` inserts keyed by
+    * (run_id, trading_date, symbol). History accumulates across runs;
+    * readers filter by run_id. */
   def run(
       spark: SparkSession,
       rawPath: String,
       outPath: String,
       pairs: Seq[(String, String)] = DefaultPairs,
-      strict: Boolean = true): (Long, DataFrame) = {
+      strict: Boolean = true,
+      fullCloseDates: Set[String] = Set.empty,
+      runId: String = java.util.UUID.randomUUID().toString): (Long, DataFrame) = {
     val bars = prepare(spark, rawPath)
     val result = pairZScores(bars, pairs)
     Sinks.overwriteParquet(result, outPath)
     val written = spark.read.parquet(outPath)
+    val latestDay = written.agg(max(to_date(col("bar_ts"))).cast("string")).head.getString(0)
+    if (fullCloseDates.contains(latestDay)) {
+      import spark.implicits._
+      val summary = Seq((runId, 0L, 0L, 0L, 0L, 0L, "OK",
+        s"Holiday full close (skipped validation): $latestDay"))
+        .toDF("run_id", "symbols_total", "symbols_ok", "symbols_warn",
+          "symbols_fail", "max_missing", "overall_status", "notes")
+        .withColumn("run_ts_utc", current_timestamp())
+      return (written.count(), summary)
+    }
     val counts = QualityReport.symbolDayCounts(written, "symbol", "bar_ts")
-    val summary = QualityReport.runSummary(QualityReport.classify(counts))
+    val detail = QualityReport.classify(counts)
+      .withColumn("run_id", lit(runId))
+      .withColumn("run_ts_utc", current_timestamp())
+    Sinks.appendDeduped(detail, s"${outPath}_dq/intraday_quality_report",
+      keyCols = Seq("run_id", "trading_date", "symbol"), partitionBy = Nil)
+    val summary = QualityReport.runSummary(detail)
+      .withColumn("run_id", lit(runId))
+      .withColumn("run_ts_utc", current_timestamp())
+    Sinks.appendDeduped(summary, s"${outPath}_dq/intraday_quality_run_summary",
+      keyCols = Seq("run_id"), partitionBy = Nil)
     if (strict) {
       val s = summary.head
       if (s.getAs[String]("overall_status") == "FAIL")

@@ -36,16 +36,24 @@ object CorpusOps {
     * token total − 1) / budget). A document that crosses a budget
     * boundary belongs to the bin its cumulative count lands in — the
     * standard one-window approximation of greedy packing that stays
-    * embarrassingly parallel across shards. */
+    * embarrassingly parallel across shards.
+    *
+    * `nShards <= 0` (the default) resolves to the cluster's default
+    * parallelism, so the packing windows scale with the cluster
+    * instead of capping at a constant; pass an explicit count when the
+    * shard assignment itself must be reproducible across cluster
+    * sizes (the q38 oracle twin pins 8). */
   def packByBudget(
       docs: DataFrame,
       budget: Long,
-      nShards: Int = 8,
+      nShards: Int = 0,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val shards =
+      if (nShards > 0) nShards else docs.sparkSession.sparkContext.defaultParallelism
     val stats = TextOps.textStats(docs, textCol)
       .select(col(idCol), col("token_est"))
-      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)).cast("int"))
+      .withColumn("shard", pmod(col(idCol), lit(shards.toLong)).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     stats
@@ -57,22 +65,31 @@ object CorpusOps {
   /** Overlapping token-window chunking: window c of a document covers
     * tokens [c·stride+1, c·stride+chunkLen]; a document shorter than
     * one window yields a single (shorter) chunk, and the final window
-    * may be partial. Pure map-side (tokenize → per-row explode) — no
-    * shuffle; at 100 TB this runs at scan speed and the output
-    * partitioning inherits the input's.
-    */
+    * may be partial. Map-side by default (tokenize → per-row explode,
+    * no shuffle): at 100 TB the parquet scan supplies plenty of splits,
+    * the output partitioning inherits the input's, and this runs at
+    * scan speed.
+    *
+    * `materializeTokens` (opt-in) inserts one round-robin Exchange of
+    * the tokenized rows before the explode — [[Dist.materialize]]. Use
+    * it when the input arrives as a handful of splits (tiny files, a
+    * bench-scale scan) so the chunk expansion spreads across the
+    * cluster; leave it off at real scale, where the same Exchange
+    * would shuffle the whole tokenized corpus and cap parallelism at
+    * `defaultParallelism`. */
   def chunk(
       docs: DataFrame,
       chunkLen: Int = 64,
       stride: Int = 48,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      materializeTokens: Boolean = false): DataFrame = {
     require(stride >= 1 && chunkLen >= stride,
       s"need 1 <= stride <= chunkLen (got chunkLen=$chunkLen stride=$stride)")
-    val toks = Dist.materialize(
-      docs.withColumn("toks", TextOps.tokens(col(textCol)))
-        .withColumn("n", size(col("toks")).cast("long"))
-        .filter(col("n") >= 1))
+    val tokenized = docs.withColumn("toks", TextOps.tokens(col(textCol)))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1)
+    val toks = if (materializeTokens) Dist.materialize(tokenized) else tokenized
     toks
       .withColumn("n_chunks",
         when(col("n") <= chunkLen, lit(1L))

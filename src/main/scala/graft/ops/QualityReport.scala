@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   *   - [[classify]] / [[runSummary]]: per-symbol completeness with
   *     OK/WARN/FAIL thresholds (`/root/reference/project/
   *     validate_data.py:138-216`);
+  *   - [[classifyDynamic]]: the latest-day validator with
+  *     early-close session-shape detection from observed min/max
+  *     timestamps (`validate_data.py:52-135`);
   *   - [[calendarClassify]]: calendar-aware PASS/FAIL/WARN with
   *     too-many-bars (extended-hours leak) detection and early-close
   *     annotation (`/root/reference/validate_calendar_alpaca.py:
@@ -28,6 +31,11 @@ object QualityReport {
 
   /** Bars per full 5-min session (`validate_data.py:9-10`). */
   val ExpectedBarsFull = 78
+
+  /** Early-close detection window (`validate_data.py:29-33`): the
+    * dynamic validator switches to observed-session expected bars only
+    * when the session is at least this many minutes short of full. */
+  val EarlyCloseDetectMinutes = 120
 
   /** Per-(symbol, trading day) bar counts. */
   def symbolDayCounts(bars: DataFrame, symbolCol: String = "symbol", tsCol: String = "timestamp"): DataFrame =
@@ -49,7 +57,7 @@ object QualityReport {
         when(col("missing_bars") === 0, lit("complete"))
           .otherwise(format_string("Missing %d bars", col("missing_bars"))))
 
-  /** Run rollup: totals + overall badge
+  /** Run rollup: totals + overall badge + badge notes
     * (`validate_data.py:194-216`). */
   def runSummary(classified: DataFrame): DataFrame =
     classified.agg(
@@ -62,6 +70,71 @@ object QualityReport {
         when(col("symbols_fail") > 0, "FAIL")
           .when(col("symbols_warn") > 0, "WARN")
           .otherwise("OK"))
+      .withColumn("notes",
+        when(col("symbols_fail") > 0,
+          concat(col("symbols_fail").cast("string"),
+            lit(" symbols failed completeness.")))
+          .when(col("symbols_warn") > 0,
+            concat(col("symbols_warn").cast("string"),
+              lit(" symbols have missing bars (within threshold).")))
+          .otherwise(lit("All symbols complete.")))
+
+  /** Dynamic latest-day validator (`validate_data.py:52-135`): find the
+    * latest trading day present, infer the session shape from that
+    * day's observed first/last bar, and classify per symbol against
+    * dynamic expected bars when the session is clearly short (early
+    * close) or the full-day constant otherwise. Everything — latest-day
+    * selection, session detection, per-symbol classification — is ONE
+    * declarative plan: the latest day and the 1-row session stats come
+    * back as broadcast joins, so no collect() and no driver loop.
+    * Per-row notes carry the session note exactly as the reference
+    * formats it (`validate_data.py:130-135,175-185`). */
+  def classifyDynamic(
+      bars: DataFrame,
+      symbolCol: String = "symbol",
+      tsCol: String = "timestamp",
+      expectedBarsFull: Int = ExpectedBarsFull,
+      barMinutes: Int = 5,
+      earlyCloseDetectMinutes: Int = EarlyCloseDetectMinutes): DataFrame = {
+    val d = to_date(col(tsCol))
+    val latestDay = bars.agg(max(d).as("trading_date"))
+    val latest = bars.withColumn("trading_date", d)
+      .join(broadcast(latestDay), "trading_date")
+    // ceil_div(detect_minutes, bar_minutes) — validate_data.py:35-36,129
+    val detectBars = (earlyCloseDetectMinutes + barMinutes - 1) / barMinutes
+    val sess = latest
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+      .withColumn("expected_dynamic",
+        MarketCalendar.expectedBarsDynamic(col("first_ts"), col("last_ts"), barMinutes))
+      .withColumn("is_short",
+        col("expected_dynamic") < lit(expectedBarsFull - detectBars))
+      .withColumn("expected_bars",
+        when(col("is_short"), col("expected_dynamic"))
+          .otherwise(lit(expectedBarsFull)))
+      .withColumn("session_note",
+        when(col("is_short"),
+          concat(lit("Short session detected; expected_bars="),
+            col("expected_bars").cast("string"), lit(" (dynamic)")))
+          .otherwise(concat(lit("Regular session assumed; expected_bars="),
+            col("expected_bars").cast("string"), lit(" (full)"))))
+      .select(col("expected_bars"), col("session_note"))
+    latest
+      .groupBy(col(symbolCol).as("symbol"), col("trading_date"))
+      .agg(count(lit(1)).as("actual_bars"))
+      .crossJoin(broadcast(sess))
+      .withColumn("missing_bars",
+        greatest(lit(0L), col("expected_bars").cast("long") - col("actual_bars")))
+      .withColumn("status",
+        when(col("missing_bars") === 0, "OK")
+          .when(col("missing_bars") <= FailMissingBarsGt, "WARN")
+          .otherwise("FAIL"))
+      .withColumn("notes",
+        when(col("missing_bars") === 0, col("session_note"))
+          .otherwise(concat(col("session_note"), lit("; Missing "),
+            col("missing_bars").cast("string"), lit(" bars"))))
+      .select(col("symbol"), col("trading_date"), col("expected_bars"),
+        col("actual_bars"), col("missing_bars"), col("status"), col("notes"))
+  }
 
   /** Calendar-aware classifier (`validate_calendar_alpaca.py:203-245`):
     *   - day not in the calendar → WARN "unexpected trading day";

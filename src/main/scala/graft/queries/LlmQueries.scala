@@ -123,9 +123,12 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Token-budget sequence packing (shard-parallel running-sum bins)
+    // Token-budget sequence packing (shard-parallel running-sum bins);
+    // nShards pinned to 8 so the oracle twin's doc_id % 8 matches at
+    // any test parallelism (the default scales with the cluster)
     "q38_doc_pack" -> ((s, dir) => {
-      CorpusOps.packByBudget(Tables.rebalance(Tables.documents(s, dir)), budget = 2000)
+      CorpusOps.packByBudget(Tables.rebalance(Tables.documents(s, dir)), budget = 2000,
+        nShards = 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -141,12 +144,14 @@ object LlmQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
-    // Overlapping token-window chunking (context-window split; pure
-    // map-side explode — no shuffle)
+    // Overlapping token-window chunking (context-window split; map-side
+    // explode). materializeTokens spreads the tiny bench scan — at real
+    // scale the default (no barrier) is the right plan
     "q57_chunking" -> ((s, dir) => {
-      // no Tables.rebalance here: chunk's internal tokenize barrier
+      // no Tables.rebalance here: chunk's opt-in tokenize barrier
       // already spreads the scan (a second round-robin would stack)
-      CorpusOps.chunk(Tables.documents(s, dir), chunkLen = 64, stride = 48)
+      CorpusOps.chunk(Tables.documents(s, dir), chunkLen = 64, stride = 48,
+        materializeTokens = true)
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
@@ -179,6 +184,14 @@ object LlmQueries {
         .select(col("vec_id"), col("pos"),
           round(col("col").cast("double"), 6).as("x"))
         .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // Product-quantization encode: per-subspace nearest-centroid codes
+    // (broadcast codebook, pure map-side argmin fold — no Exchange)
+    "q70_pq_encode" -> ((s, dir) => {
+      SimilarityOps.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 4, centroidEvery = 50)
+        .orderBy(col("vec_id"))
     }),
 
     // Stratified deterministic sampling — per-language training-mix
@@ -501,6 +514,30 @@ object LlmQueries {
          SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, round(v[i], 6) AS x
          FROM e0, unnest(generate_series(1, len(v))) AS g(i)
          ORDER BY vec_id, pos""",
+
+    // twin of the pqEncode argmin fold: per-(vector, subspace) squared
+    // L2 to every centroid with a SEQUENTIAL list_reduce sum (matching
+    // Spark's aggregate-fold order bit-for-bit), lowest (dist, cid) wins
+    "q70_pq_encode" ->
+      """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST(len(embedding) // 4 AS INTEGER) AS sd FROM embeddings),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 50 = 0),
+         d AS (SELECT x.vec_id, c.cid, g.j,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, x.sd),
+                     i -> (x.v[g.j*x.sd+i] - c.cv[g.j*x.sd+i])
+                        * (x.v[g.j*x.sd+i] - c.cv[g.j*x.sd+i]))),
+                   (s, z) -> s + z) AS dist
+               FROM x CROSS JOIN c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) g),
+         r AS (SELECT vec_id, j, cid,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM d)
+         SELECT vec_id,
+           max(CASE WHEN j = 0 THEN cid END) AS c0,
+           max(CASE WHEN j = 1 THEN cid END) AS c1,
+           max(CASE WHEN j = 2 THEN cid END) AS c2,
+           max(CASE WHEN j = 3 THEN cid END) AS c3
+         FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
 
     "q61_stratified" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.ops.{AsOfJoin, MarketBars, PairAnalytics}
+import graft.ops.{AsOfJoin, MarketBars, PairAnalytics, QualityReport}
 import graft.sources.Tables
 
 /** Market/time-series operator inventory over the `events` table —
@@ -372,6 +372,18 @@ object MarketQueries {
           "left_anti")
         .select(col("event_type"), col("trading_date"), col("slot_utc"))
         .orderBy(col("event_type"), col("slot_utc"))
+    }),
+
+    // Dynamic latest-day validator (validate_data.py:52-135): session
+    // shape inferred from the latest day's observed first/last event,
+    // dynamic expected bars on a detected short session. expectedFull
+    // is set so the events table (a ~24h stream, ~288 five-minute
+    // slots) exercises the DYNAMIC branch; the full-day branch is
+    // covered by ParitySpec on the market fixtures.
+    "q71_dynamic_validator" -> ((s, dir) => {
+      QualityReport.classifyDynamic(Tables.events(s, dir),
+        symbolCol = "event_type", tsCol = "ts", expectedBarsFull = 400)
+        .orderBy(col("symbol"))
     })
   )
 
@@ -596,6 +608,41 @@ object MarketQueries {
           WHERE NOT EXISTS (
             SELECT 1 FROM bars b
             WHERE b.series = t.event_type AND b.bar_ts = g.slot_utc)
-          ORDER BY t.event_type, g.slot_utc"""
+          ORDER BY t.event_type, g.slot_utc""",
+    // twin of QualityReport.classifyDynamic: whole observed minutes
+    // (integer // like the reference's total_seconds()//60), inclusive
+    // ceil-div, early-close switch at expectedFull - ceil_div(120, 5)
+    "q71_dynamic_validator" ->
+      """WITH b AS (SELECT event_type AS symbol, ts,
+                      CAST(ts AS DATE) AS trading_date FROM events),
+         ld AS (SELECT max(trading_date) AS trading_date FROM b),
+         lb AS (SELECT b.* FROM b JOIN ld USING (trading_date)),
+         sess AS (SELECT min(ts) AS first_ts, max(ts) AS last_ts FROM lb),
+         ex AS (SELECT CAST(ceil(((epoch_us(last_ts) - epoch_us(first_ts))
+                  // 60000000) / 5.0) + 1 AS INTEGER) AS expected_dynamic FROM sess),
+         ch AS (SELECT CASE WHEN expected_dynamic < (400 - 24)
+                       THEN expected_dynamic ELSE 400 END AS expected_bars,
+                       expected_dynamic < (400 - 24) AS is_short FROM ex),
+         nt AS (SELECT expected_bars,
+                  CASE WHEN is_short
+                    THEN 'Short session detected; expected_bars='
+                         || CAST(expected_bars AS VARCHAR) || ' (dynamic)'
+                    ELSE 'Regular session assumed; expected_bars='
+                         || CAST(expected_bars AS VARCHAR) || ' (full)'
+                  END AS session_note
+                FROM ch),
+         c AS (SELECT symbol, trading_date, count(*) AS actual_bars
+               FROM lb GROUP BY 1, 2)
+         SELECT symbol, trading_date, expected_bars, actual_bars,
+           greatest(0, expected_bars - actual_bars) AS missing_bars,
+           CASE WHEN greatest(0, expected_bars - actual_bars) = 0 THEN 'OK'
+                WHEN greatest(0, expected_bars - actual_bars) <= 2 THEN 'WARN'
+                ELSE 'FAIL' END AS status,
+           CASE WHEN greatest(0, expected_bars - actual_bars) = 0 THEN session_note
+                ELSE session_note || '; Missing ' ||
+                     CAST(greatest(0, expected_bars - actual_bars) AS VARCHAR) || ' bars'
+           END AS notes
+         FROM c CROSS JOIN nt
+         ORDER BY symbol"""
   )
 }

@@ -85,6 +85,59 @@ class LlmOpsSpec extends AnyFunSuite {
       trained, k = 5, nprobe = 2, queryFilter = col("vid") < 5)
     assert(r.count() > 0)
     assert(r.filter(col("qid") === col("nid")).count() === 0)
+    // recall@5 against brute-force ground truth: training must not
+    // retrieve WORSE than the id-modulo stand-in codebook
+    val truth = SimilarityOps.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .select("qid", "nid")
+    val trainedHits = r.select("qid", "nid").intersect(truth).count()
+    val moduloHits = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+      k = 5, centroidEvery = 50, nprobe = 2, queryFilter = col("vid") < 5)
+      .select("qid", "nid").intersect(truth).count()
+    assert(trainedHits >= moduloHits,
+      s"trained recall@5 ($trainedHits/${truth.count()}) below id-modulo ($moduloHits)")
+  }
+
+  test("pq encode: codes valid, centroids self-code, reconstruction beats a fixed code") {
+    val m = 4
+    val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", m = m, centroidEvery = 50).cache()
+    assert(codes.count() === emb.count())
+    val centIds = emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // every code is a real centroid id
+    for (j <- 0 until m)
+      assert(codes.filter(!col(s"c$j").isin(centIds: _*)).count() === 0, s"subspace $j")
+    // a centroid's nearest sub-centroid is itself (distance 0)
+    val selfViol = codes.filter(col("vec_id") % 50 === 0)
+      .filter((0 until m).map(j => col(s"c$j") =!= col("vec_id")).reduce(_ || _))
+    assert(selfViol.count() === 0)
+    // reconstruction error: per subspace, the coded centroid's squared
+    // L2 must beat coding everything to one fixed centroid
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    def mse(codeFor: Int => org.apache.spark.sql.Column): Double = {
+      var joined = codes.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      var err: org.apache.spark.sql.Column = lit(0.0)
+      val sd = (size(col("embedding")) / m).cast("int")
+      for (j <- 0 until m) {
+        joined = joined.join(
+          cents.select(col("cid").as(s"jc$j"), col("cv").as(s"cv$j")),
+          codeFor(j) === col(s"jc$j"))
+        err = err + aggregate(
+          zip_with(
+            slice(col("embedding"), lit(j) * sd + 1, sd),
+            slice(col(s"cv$j"), lit(j) * sd + 1, sd),
+            (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+          lit(0.0), (s, z) => s + z)
+      }
+      joined.agg(avg(err)).head.getDouble(0)
+    }
+    val msePq = mse(j => col(s"c$j"))
+    val mseFixed = mse(_ => lit(centIds.min))
+    assert(msePq > 0.0 && msePq.isFinite)
+    assert(msePq < mseFixed,
+      s"pq reconstruction MSE $msePq should beat fixed-centroid MSE $mseFixed")
+    codes.unpersist()
   }
 
   test("multimodal: stub decode is deterministic, features normalized, distributed") {

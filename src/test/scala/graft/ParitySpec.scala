@@ -106,6 +106,80 @@ class ParitySpec extends AnyFunSuite {
     classified.unpersist()
   }
 
+  test("dynamic validator: early-close latest day detected, classified OK (validate_data.py:104-135)") {
+    // fixture latest day = 2025-11-28, a 42-bar early close: observed
+    // 09:30-12:55 ET span = 205 min -> ceil(205/5)+1 = 42 (dynamic),
+    // and 42 < 78 - 24, so the dynamic branch is taken
+    val classified = QualityReport.classifyDynamic(rth).cache()
+    val rows = classified.collect()
+    assert(rows.map(_.getAs[java.sql.Date]("trading_date").toString).toSet === Set("2025-11-28"))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("expected_bars") === 42)
+      assert(r.getAs[Long]("actual_bars") === 42L)
+      assert(r.getAs[Long]("missing_bars") === 0L)
+      assert(r.getAs[String]("status") === "OK")
+      assert(r.getAs[String]("notes") ===
+        "Short session detected; expected_bars=42 (dynamic)")
+    }
+    classified.unpersist()
+  }
+
+  test("dynamic validator: full latest day takes the regular branch; gaps classify WARN/FAIL") {
+    // restrict to <= 2025-11-04: latest day is a full session (09:30-
+    // 15:55 observed = 385 min -> dynamic 78, NOT < 54 -> regular 78)
+    val classified = QualityReport.classifyDynamic(
+      rth.filter(to_date(col("timestamp")) <= "2025-11-04"))
+    val by = classified.collect()
+      .map(r => r.getAs[String]("symbol") -> r).toMap
+    assert(by("MSFT").getAs[Int]("expected_bars") === 78)
+    assert(by("MSFT").getAs[String]("status") === "OK")
+    assert(by("MSFT").getAs[String]("notes") ===
+      "Regular session assumed; expected_bars=78 (full)")
+    assert(by("AAPL").getAs[Long]("missing_bars") === 4L) // planted 4-bar gap day
+    assert(by("AAPL").getAs[String]("status") === "FAIL")
+    assert(by("AAPL").getAs[String]("notes") ===
+      "Regular session assumed; expected_bars=78 (full); Missing 4 bars")
+  }
+
+  test("holiday full-closure short-circuit: strict run passes with OK badge (validate_data.py:25,62-64)") {
+    val out = Files.createTempDirectory("pipeline_holiday").toString + "/result"
+    // same fixture that throws under strict validation (see below test)
+    // passes when the latest day is a declared full-close holiday
+    val (n, summary) = Pipeline.run(spark, fixtureDir, out, Seq(("MSFT", "AAPL")),
+      strict = true, fullCloseDates = Set("2025-11-28"))
+    assert(n > 0)
+    val s = summary.head
+    assert(s.getAs[String]("overall_status") === "OK")
+    assert(s.getAs[String]("notes").startsWith("Holiday full close (skipped validation)"))
+    // like the reference, the skip path persists nothing
+    assert(!new java.io.File(out + "_dq").exists())
+  }
+
+  test("DQ persistence: detail + summary land stamped with run_id and run_ts_utc") {
+    val out = Files.createTempDirectory("pipeline_dq").toString + "/result"
+    val runId = "test-run-0001"
+    val (_, _) = Pipeline.run(spark, fixtureDir, out, Seq(("MSFT", "AAPL")),
+      strict = false, runId = runId)
+    val detail = spark.read.parquet(out + "_dq/intraday_quality_report")
+      .filter(col("run_id") === runId)
+    // one row per (symbol, trading day) written by THIS run
+    assert(detail.count() === detail.select("trading_date", "symbol").distinct().count())
+    assert(detail.count() > 0)
+    assert(detail.filter(col("run_ts_utc").isNull).count() === 0)
+    assert(detail.columns.toSet ===
+      Set("symbol", "trading_date", "expected_bars", "actual_bars",
+        "missing_bars", "status", "notes", "run_id", "run_ts_utc"))
+    val summary = spark.read.parquet(out + "_dq/intraday_quality_run_summary")
+      .filter(col("run_id") === runId)
+    assert(summary.count() === 1)
+    assert(summary.head.getAs[String]("overall_status") === "FAIL") // planted gaps
+    // a second run with a new id APPENDS — history accumulates
+    Pipeline.run(spark, fixtureDir, out, Seq(("MSFT", "AAPL")),
+      strict = false, runId = "test-run-0002")
+    val all = spark.read.parquet(out + "_dq/intraday_quality_run_summary")
+    assert(all.select("run_id").distinct().count() === 2)
+  }
+
   test("pipeline end-to-end: one unioned plan, sign-flip invariant, guarded sink") {
     val out = Files.createTempDirectory("pipeline_out").toString + "/result"
     // non-strict: the fixture plants FAIL-grade gaps on purpose

@@ -90,6 +90,18 @@ class ScaleSpec extends AnyFunSuite {
       s"candidate generation must be map-side, plan:\n${plan.take(3000)}")
   }
 
+  test("packByBudget default shard count scales with cluster parallelism") {
+    // the packing windows partition by shard — one task per shard — so
+    // the DEFAULT must track the cluster size, not a constant
+    val packed = graft.ops.CorpusOps.packByBudget(Tables.documents(spark, sf), budget = 2000)
+    val distinctShards = packed.select("shard").distinct().count()
+    assert(distinctShards === spark.sparkContext.defaultParallelism.toLong)
+    // the oracle twin pins 8 explicitly and must stay pinned
+    val pinned = graft.ops.CorpusOps.packByBudget(
+      Tables.documents(spark, sf), budget = 2000, nShards = 8)
+    assert(pinned.select("shard").distinct().count() === 8L)
+  }
+
   test("raw inspection reports per-payload bar counts") {
     val dir = AlpacaFixtures.write(
       java.nio.file.Files.createTempDirectory("inspect_fix")).toString
