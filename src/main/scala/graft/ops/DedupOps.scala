@@ -106,6 +106,41 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Benchmark decontamination — the test-set n-gram overlap check an
+    * LLM pretraining pipeline runs before training: flag every
+    * training document that shares at least `minShared` distinct
+    * word-3-gram shingle hashes with any benchmark document. Output:
+    * (doc_id, bench_id, n_shared), one row per contaminated
+    * (training doc, benchmark doc) pair.
+    *
+    * Scale posture: shingle-hash sets come from the SAME fused
+    * map-side [[graft.functions.MinHashDoc]] kernel as LSH dedup (no
+    * barriers); the benchmark side is tiny by construction (a test
+    * set, not a corpus) so its exploded shingles BROADCAST — the
+    * training corpus streams map-side through one hash join, and the
+    * only shuffle is the (doc, bench) overlap count, whose volume is
+    * bounded by actual collisions, not the corpus. */
+  def decontaminate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      benchFilter: Column,
+      minShared: Int = 2): DataFrame = {
+    graft.functions.MinHashDoc.register(df.sparkSession, A, B, CrossHash.P)
+    val eligible = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
+    val exploded = eligible
+      .select(col(idCol).as("doc"), benchFilter.as("is_bench"),
+        explode(graft.functions.MinHashDoc.doc(col(textCol))("sset")).as("h"))
+    val bench = exploded.filter(col("is_bench"))
+      .select(col("doc").as("bench_id"), col("h"))
+    val train = exploded.filter(!col("is_bench"))
+      .select(col("doc").as("doc_id"), col("h"))
+    train.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash over token hashes (with multiplicity): per bit
     * position, tokens vote +1/-1 by their hash bit; the sign of the
     * vote sum becomes the SimHash bit — the codegen'd

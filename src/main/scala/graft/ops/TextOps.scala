@@ -94,6 +94,45 @@ object TextOps {
     scored.withColumn("pred_lang", pred).drop("toks")
   }
 
+  /** Gopher/RefinedWeb-style repetition signals over word bigrams:
+    * per document, the share of the single most frequent bigram
+    * (`top_share`) and the fraction of bigram occurrences beyond each
+    * bigram's first (`dup_ratio`) — the standard boilerplate /
+    * degenerate-repetition quality gates a pretraining corpus applies
+    * before training.
+    *
+    * Plan: bigrams come from `zip_with` over two SLICES of the token
+    * array — the lambda binds only its own variables, so CollapseProject
+    * cannot re-inline the tokenize per element (no barrier needed,
+    * unlike the element_at-indexed shingle form); then one explode and
+    * two partial-aggregated groupBys on (doc, gram) / (doc). Map-side
+    * combine absorbs hot bigrams; nothing is broadcast or collected. */
+  def repetitionStats(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    df.filter(n >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(toks, lit(1), n - 1),
+          slice(toks, lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b))).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        max(col("cnt")).as("top_cnt"))
+      .withColumn("top_share",
+        round(col("top_cnt").cast(DoubleType) / col("n_bigrams"), 4))
+      .withColumn("dup_ratio",
+        round((col("n_bigrams") - col("distinct_bigrams")).cast(DoubleType)
+          / col("n_bigrams"), 4))
+  }
+
   /** Document fingerprints: an order-sensitive polynomial rolling hash
     * over token hashes, a winnowing-style min-shingle-hash, and the
     * full-text md5. */

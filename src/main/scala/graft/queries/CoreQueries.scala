@@ -411,6 +411,31 @@ object CoreQueries {
         ORDER BY g_rf, g_ls, rf, ls""")
     }),
 
+    // (beyond ref) MERGE/upsert semantics as a declarative plan: a new
+    // snapshot = updates override base, unmatched updates insert,
+    // unmatched base rows keep — the scale path the reference's
+    // full-refresh overwrite grows into (SURVEY §1.3). One full-outer
+    // shuffle on the key (zero with bucketed layouts).
+    "q74_merge_upsert" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val base = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("key"),
+          col("o_totalprice").cast(DoubleType).as("b_price"),
+          col("o_orderstatus").as("b_status"))
+      val updates = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("key"),
+          (col("o_totalprice").cast(DoubleType) + 100.0).as("u_price"),
+          lit("U").as("u_status"))
+      base.join(updates, Seq("key"), "full_outer")
+        .select(col("key"),
+          coalesce(col("u_price"), col("b_price")).as("price"),
+          coalesce(col("u_status"), col("b_status")).as("status"),
+          when(col("b_price").isNull, "insert")
+            .when(col("u_price").isNotNull, "update")
+            .otherwise("keep").as("action"))
+        .orderBy(col("key"))
+    }),
+
     // F9: array size + element access on the embeddings table
     "q20_array_ops" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -656,6 +681,24 @@ object CoreQueries {
            bit_xor(user_id) AS bxor,
            max(user_id & 255) AS max_low8,
            min((user_id & 15) << 2) AS min_nib_sh
-         FROM events GROUP BY 1 ORDER BY event_type"""
+         FROM events GROUP BY 1 ORDER BY event_type""",
+
+    "q74_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS key,
+              CAST(o_totalprice AS DOUBLE) AS b_price,
+              o_orderstatus AS b_status
+            FROM orders WHERE o_orderkey % 2 = 0),
+         upd AS (SELECT o_orderkey AS key,
+              CAST(o_totalprice AS DOUBLE) + 100.0 AS u_price,
+              'U' AS u_status
+            FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT key,
+           COALESCE(u_price, b_price) AS price,
+           COALESCE(u_status, b_status) AS status,
+           CASE WHEN b_price IS NULL THEN 'insert'
+                WHEN u_price IS NOT NULL THEN 'update'
+                ELSE 'keep' END AS action
+         FROM base FULL JOIN upd USING (key)
+         ORDER BY key"""
   )
 }

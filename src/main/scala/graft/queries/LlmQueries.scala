@@ -207,6 +207,42 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_sampled"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // Repetition / boilerplate quality signals (Gopher-style): top
+    // bigram share + duplicate-bigram ratio, map-side bigrams via
+    // zip_with over slices (no materialization barrier needed)
+    "q72_repetition" -> ((s, dir) => {
+      TextOps.repetitionStats(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: training docs sharing >= 2 shingle
+    // hashes with any doc of the deterministic stand-in benchmark
+    // (doc_id % 37 == 0); bench side broadcasts, corpus streams
+    "q73_decontaminate" -> ((s, dir) => {
+      DedupOps.decontaminate(Tables.rebalance(Tables.documents(s, dir)),
+        "text", "doc_id", benchFilter = col("doc_id") % 37 === 0, minShared = 2)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Training-mix temperature weights: per-language share^0.5
+    // renormalized (sqrt IS correctly rounded IEEE — bit-identical in
+    // both engines, unlike pow); DECIMAL-accumulated normalizer
+    "q75_mixture_weights" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val total = counts.agg(sum(col("n_docs")).as("n_total"))
+      val scored = counts.crossJoin(broadcast(total))
+        .withColumn("share", col("n_docs").cast("double") / col("n_total"))
+        .withColumn("w_raw", sqrt(col("share")))
+      val z = scored.agg(
+        sum(col("w_raw").cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("z"))
+      scored.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"),
+          round(col("share"), 6).as("share"),
+          round(col("w_raw") / col("z").cast("double"), 6).as("weight"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -545,6 +581,49 @@ object LlmQueries {
           FROM documents
           WHERE ${x32("'strat#' || doc_id")} % 100 <
             CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 20 END
-          GROUP BY 1 ORDER BY lang"""
+          GROUP BY 1 ORDER BY lang""",
+
+    "q72_repetition" ->
+      s"""WITH $toksCte,
+          g AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks)-1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM d WHERE len(toks) >= 2),
+          c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+          a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                  count(*) AS distinct_bigrams, CAST(max(cnt) AS BIGINT) AS top_cnt
+                FROM c GROUP BY 1)
+          SELECT doc_id, n_bigrams, distinct_bigrams, top_cnt,
+            round(CAST(top_cnt AS DOUBLE)/n_bigrams, 4) AS top_share,
+            round(CAST(n_bigrams - distinct_bigrams AS DOUBLE)/n_bigrams, 4) AS dup_ratio
+          FROM a ORDER BY doc_id""",
+
+    // same shingle-hash sets as the q25 LSH twin, then a plain overlap
+    // join: bench = doc_id % 37 = 0, train = the rest
+    "q73_decontaminate" ->
+      s"""WITH $toksCte,
+          sh AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM d),
+          xs AS (SELECT doc_id,
+                   list_distinct(list_transform(sset, s -> ${x32("s")})) AS hset
+                 FROM sh WHERE len(sset) > 0),
+          e AS (SELECT doc_id, unnest(hset) AS h FROM xs),
+          bench AS (SELECT doc_id AS bench_id, h FROM e WHERE doc_id % 37 = 0),
+          train AS (SELECT doc_id, h FROM e WHERE doc_id % 37 <> 0),
+          j AS (SELECT t.doc_id, b.bench_id, count(*) AS n_shared
+                FROM train t JOIN bench b USING (h) GROUP BY 1, 2)
+          SELECT doc_id, bench_id, n_shared FROM j WHERE n_shared >= 2
+          ORDER BY doc_id, bench_id""",
+
+    "q75_mixture_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+         s AS (SELECT lang, n_docs,
+                 CAST(n_docs AS DOUBLE)/n_total AS share,
+                 sqrt(CAST(n_docs AS DOUBLE)/n_total) AS w_raw
+               FROM c CROSS JOIN t),
+         z AS (SELECT SUM(CAST(w_raw AS DECIMAL(28,12))) AS z FROM s)
+         SELECT lang, n_docs, round(share, 6) AS share,
+           round(w_raw / CAST(z AS DOUBLE), 6) AS weight
+         FROM s CROSS JOIN z ORDER BY lang"""
   )
 }

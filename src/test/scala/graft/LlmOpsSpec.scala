@@ -98,6 +98,32 @@ class LlmOpsSpec extends AnyFunSuite {
       s"trained recall@5 ($trainedHits/${truth.count()}) below id-modulo ($moduloHits)")
   }
 
+  test("repetition stats: ratios bounded, top bigram at least as frequent as uniform") {
+    val st = TextOps.repetitionStats(docs).cache()
+    assert(st.count() > 0)
+    assert(st.filter(col("top_share") <= 0 || col("top_share") > 1).count() === 0)
+    assert(st.filter(col("dup_ratio") < 0 || col("dup_ratio") >= 1).count() === 0)
+    // the max bigram count can never be below the per-bigram mean
+    assert(st.filter(
+      col("top_cnt").cast("double") * col("distinct_bigrams") < col("n_bigrams")).count() === 0)
+    // word-salad testdata repeats bigrams: some doc must show duplication
+    assert(st.filter(col("dup_ratio") > 0).count() > 0)
+    st.unpersist()
+  }
+
+  test("decontaminate: flags only training docs, counts are symmetric-set overlaps") {
+    val hits = DedupOps.decontaminate(docs, "text", "doc_id",
+      benchFilter = col("doc_id") % 37 === 0, minShared = 2).cache()
+    // planted near-dups overlap the %37 stand-in benchmark
+    assert(hits.count() > 0)
+    assert(hits.filter(col("doc_id") % 37 === 0).count() === 0) // no bench doc flagged
+    assert(hits.filter(col("bench_id") % 37 =!= 0).count() === 0)
+    assert(hits.filter(col("n_shared") < 2).count() === 0)
+    // a doc is a contamination pair with ITSELF never (bench/train disjoint)
+    assert(hits.filter(col("doc_id") === col("bench_id")).count() === 0)
+    hits.unpersist()
+  }
+
   test("pq encode: codes valid, centroids self-code, reconstruction beats a fixed code") {
     val m = 4
     val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", m = m, centroidEvery = 50).cache()
