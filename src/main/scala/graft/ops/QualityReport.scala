@@ -84,9 +84,11 @@ object QualityReport {
     * day's observed first/last bar, and classify per symbol against
     * dynamic expected bars when the session is clearly short (early
     * close) or the full-day constant otherwise. Everything — latest-day
-    * selection, session detection, per-symbol classification — is ONE
-    * declarative plan: the latest day and the 1-row session stats come
-    * back as broadcast joins, so no collect() and no driver loop.
+    * selection, session detection, per-symbol classification — derives
+    * from ONE scan and one partial-aggregated shuffle: counts and
+    * observed min/max share a (symbol, day) groupBy, and the latest day
+    * + 1-row session stats re-aggregate that tiny frame (broadcast back
+    * in) — no collect(), no driver loop, no second pass over the input.
     * Per-row notes carry the session note exactly as the reference
     * formats it (`validate_data.py:130-135,175-185`). */
   def classifyDynamic(
@@ -97,13 +99,21 @@ object QualityReport {
       barMinutes: Int = 5,
       earlyCloseDetectMinutes: Int = EarlyCloseDetectMinutes): DataFrame = {
     val d = to_date(col(tsCol))
-    val latestDay = bars.agg(max(d).as("trading_date"))
-    val latest = bars.withColumn("trading_date", d)
-      .join(broadcast(latestDay), "trading_date")
+    // ONE scan + one partial-aggregated shuffle: per-(symbol, day)
+    // counts AND observed min/max come out of the same tiny grouped
+    // frame (symbols × days rows); latest-day selection and the 1-row
+    // session stats then aggregate that frame, not the input again
+    val grouped = bars
+      .groupBy(col(symbolCol).as("symbol"), d.as("trading_date"))
+      .agg(count(lit(1)).as("actual_bars"),
+        min(col(tsCol)).as("sym_first_ts"), max(col(tsCol)).as("sym_last_ts"))
+      .localCheckpoint(eager = false)
+    val latestDay = grouped.agg(max(col("trading_date")).as("trading_date"))
+    val latest = grouped.join(broadcast(latestDay), "trading_date")
     // ceil_div(detect_minutes, bar_minutes) — validate_data.py:35-36,129
     val detectBars = (earlyCloseDetectMinutes + barMinutes - 1) / barMinutes
     val sess = latest
-      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+      .agg(min(col("sym_first_ts")).as("first_ts"), max(col("sym_last_ts")).as("last_ts"))
       .withColumn("expected_dynamic",
         MarketCalendar.expectedBarsDynamic(col("first_ts"), col("last_ts"), barMinutes))
       .withColumn("is_short",
@@ -119,8 +129,7 @@ object QualityReport {
             col("expected_bars").cast("string"), lit(" (full)"))))
       .select(col("expected_bars"), col("session_note"))
     latest
-      .groupBy(col(symbolCol).as("symbol"), col("trading_date"))
-      .agg(count(lit(1)).as("actual_bars"))
+      .select(col("symbol"), col("trading_date"), col("actual_bars"))
       .crossJoin(broadcast(sess))
       .withColumn("missing_bars",
         greatest(lit(0L), col("expected_bars").cast("long") - col("actual_bars")))
