@@ -384,6 +384,20 @@ object MarketQueries {
       QualityReport.classifyDynamic(Tables.events(s, dir),
         symbolCol = "event_type", tsCol = "ts", expectedBarsFull = 400)
         .orderBy(col("symbol"))
+    }),
+
+    // Skew-safe trailing window: (key, day)-scoped partitions with
+    // previous-day carry-in — the SURVEY §7.4 mitigation for q49/W1
+    // class hot-key windows, implemented. The ORACLE is the plain
+    // GLOBAL per-key window: a hash match proves the day-scoped
+    // rewrite is exactly the global semantics, cross-engine.
+    "q76_window_scalable" -> ((s, dir) => {
+      graft.ops.ScalableWindow.trailingStats(Tables.events(s, dir),
+        keyCols = Seq("event_type"), orderCols = Seq("ts", "event_id"),
+        tsCol = "ts", valCol = "value", w = 40)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          col("r_mean"), col("r_std"), col("n_win"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -643,6 +657,26 @@ object MarketQueries {
                      CAST(greatest(0, expected_bars - actual_bars) AS VARCHAR) || ' bars'
            END AS notes
          FROM c CROSS JOIN nt
-         ORDER BY symbol"""
+         ORDER BY symbol""",
+    // deliberately the GLOBAL window — the Spark side computes the
+    // (key, day)+carry-in rewrite; matching hashes prove equivalence.
+    // Frame sums in DECIMAL (exact), stats derived in scalar double.
+    "q76_window_scalable" ->
+      """WITH x AS (SELECT event_id, event_type, ts,
+                      CAST(value AS DECIMAL(18,6)) AS dv FROM events),
+         a AS (SELECT event_id, event_type, ts,
+                 CAST(sum(dv) OVER w AS DOUBLE) AS s1,
+                 CAST(sum(dv*dv) OVER w AS DOUBLE) AS s2,
+                 count(*) OVER w AS n_win
+               FROM x
+               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN 39 PRECEDING AND CURRENT ROW))
+         SELECT event_id, event_type, ts,
+           round(s1 / n_win, 6) AS r_mean,
+           CASE WHEN n_win > 1
+                THEN round(sqrt(greatest((s2 - s1*s1/n_win) / (n_win - 1), 0.0)), 6)
+           END AS r_std,
+           n_win
+         FROM a ORDER BY event_id"""
   )
 }

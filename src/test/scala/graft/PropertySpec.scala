@@ -221,6 +221,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("day-scoped carry-in window equals the global per-key window bit-for-bit") {
+    // 2 keys x 6 days x 40 rows/day, deterministic values; w = 30 so
+    // every interior day holds >= w-1 = 29 rows (the equivalence
+    // condition) and frames regularly span the day boundary
+    val rows = for {
+      k <- Seq("A", "B"); d <- 1 to 6; i <- 1 to 40
+    } yield (k,
+      Timestamp.valueOf(f"2024-01-0$d 00:$i%02d:00"),
+      ((k.hashCode.abs + d * 37 + i * 17) % 1000).toDouble,
+      (d * 100 + i).toLong)
+    val df = rows.toDF("pair_name", "bar_ts", "spread", "rid")
+    val global = graft.ops.PairAnalytics.rollingZScore(df, 30, 10)
+    val scoped = graft.ops.ScalableWindow.rollingZScoreByDay(df, 30, 10)
+    assert(scoped.count() === global.count())
+    // exact set equality — doubles must be bit-identical, not approximate
+    assert(scoped.except(global).count() === 0)
+    assert(global.except(scoped).count() === 0)
+    // the validator: carry 29 fits every interior day; carry 41 cannot
+    // (10 violating slices = 2 keys x days 2..6)
+    assert(graft.ops.ScalableWindow.validateCarry(df, Seq("pair_name"), "bar_ts", 29) === 0L)
+    assert(graft.ops.ScalableWindow.validateCarry(df, Seq("pair_name"), "bar_ts", 41) === 10L)
+  }
+
   test("simhash pigeonhole: hamming<=3 pairs always share a 16-bit band") {
     for (_ <- 1 to 1000) {
       val h = rnd.nextLong()
