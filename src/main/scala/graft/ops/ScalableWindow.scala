@@ -136,16 +136,21 @@ object ScalableWindow {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-(w - 1), Window.currentRow)
     val dv = col(valCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
-    val s1 = sum(dv).over(win).cast("double")
-    val s2 = sum(dv * dv).over(win).cast("double")
-    val n = count(lit(1)).over(win)
+    // all three frame reductions in ONE projection so they share a
+    // single Window operator (chained withColumns stacked three)
+    val s1 = col("__s1")
+    val s2 = col("__s2")
+    val n = col("n_win")
     aug
-      .withColumn("n_win", n)
+      .select(col("*"),
+        sum(dv).over(win).cast("double").as("__s1"),
+        sum(dv * dv).over(win).cast("double").as("__s2"),
+        count(lit(1)).over(win).as("n_win"))
       .withColumn("r_mean", round(s1 / n, 6))
       .withColumn("r_std",
-        when(col("n_win") > 1,
+        when(n > 1,
           round(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0))), 6)))
       .filter(col("__emit"))
-      .drop("__emit", "__day", "__day_idx")
+      .drop("__emit", "__day", "__day_idx", "__s1", "__s2")
   }
 }
