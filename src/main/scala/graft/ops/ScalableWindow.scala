@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-safe trailing ROWS windows: partition by (key, day) instead of
-  * key alone, with a previous-day carry-in so results are IDENTICAL to
-  * the global per-key window.
+  * key alone, with a multi-day carry-in so results are IDENTICAL to
+  * the global per-key window — unconditionally, for any data density.
   *
   * Why: `Window.partitionBy(key)` puts a key's ENTIRE history in one
   * task — the skew hazard SURVEY §7.4 flags for the reference's
@@ -14,33 +14,45 @@ import org.apache.spark.sql.functions._
   * windows. At 100 TB a hot key serializes on one core and can exceed
   * task memory. Scoping the partition to (key, day) restores
   * parallelism ∝ days; the frame still sees the true trailing history
-  * because each day's partition is prepended with a copy of the
-  * previous day's last `carryRows` rows (flagged non-emitting).
+  * because each day's partition is prepended with copies of the rows
+  * within trailing reach of the day's start (flagged non-emitting).
   *
-  * Equivalence condition (checked by [[validateCarry]], property-tested
-  * in PropertySpec): a trailing frame of `w` rows never reaches past
-  * the previous day, i.e. every day that HAS an earlier day carries at
-  * least `w − 1` rows. Frame contents and their order are then
-  * identical to the global window's for every emitted row, so
-  * aggregates are bit-identical (same fold over the same buffer).
+  * Exactness: a row needed by day d from an earlier day d' has fewer
+  * than `carryRows` rows between itself and day d's first row, so (a)
+  * it is among the last `carryRows` rows of its OWN day — the per-day
+  * tail candidates — and (b) whether it reaches day d is decided by
+  * the per-day cumulative counts alone. Attaching each tail candidate
+  * to exactly the later days it reaches reconstructs every emitted
+  * row's frame contents and order bit-for-bit (same fold over the
+  * same buffer), with at most `carryRows` carried rows per (key, day)
+  * — the minimal exact tail. Property-tested in PropertySpec on dense
+  * AND sparse (rows/day ≪ frame) data.
   *
-  * Scale posture: the day-index map is a per-key distinct-day frame
-  * (keys × days rows — broadcast); carry selection is one row_number
-  * window over the SAME (key, day) partitioning the stats use; no
-  * per-key global sort ever happens.
+  * Scale posture: the day map is a per-(key, day) count frame
+  * (keys × days rows — broadcast twice: index attach + destination
+  * fan-out); tail selection is one row_number window over the SAME
+  * (key, day) partitioning the stats use; no per-key global sort ever
+  * happens.
   */
 object ScalableWindow {
 
   /** Augment `df` with `__day_idx` (dense per-key day rank) and
     * `__emit`, unioning in non-emitting copies of each (key, day)'s
-    * last `carryRows` rows tagged to the NEXT day index. Build the
-    * stats window as `partitionBy(keyCols :+ "__day_idx")` ordered by
-    * `orderCols`, then `filter(col("__emit"))` and drop the helpers.
+    * trailing tail attached to every later day within frame reach.
+    * Build the stats window as `partitionBy(keyCols :+ "__day_idx")`
+    * ordered by `orderCols`, then `filter(col("__emit"))` and drop the
+    * helpers.
     *
     * `orderCols` must totally order rows within a key (add a
     * tie-breaker id when the timestamp can repeat) — the carried tail
     * is selected by the same order reversed.
-    */
+    *
+    * Reach rule: a tail row with reverse rank rn (1 = day's last row)
+    * in day d' reaches day d iff
+    * `cum[d−1] − cum[d'] + rn <= carryRows` — i.e. fewer than
+    * `carryRows` rows separate it from day d's first row. With dense
+    * days only d = d'+1 qualifies (the single-day carry); with sparse
+    * days the tail spans as many days as the frame actually needs. */
   def dayScoped(
       df: DataFrame,
       keyCols: Seq[String],
@@ -49,29 +61,44 @@ object ScalableWindow {
       carryRows: Int): DataFrame = {
     require(carryRows >= 1, s"carryRows must be >= 1 (got $carryRows)")
     val keys = keyCols.map(col)
-    val days = df.select(keys :+ to_date(col(tsCol)).as("__day"): _*).distinct()
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
-    val dayIdx = days.withColumn("__day_idx", row_number().over(idxW))
+    // small per-(key, day) map: row count, dense rank, cumulative count
+    val dayIdx = df
+      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__day_idx", row_number().over(idxW))
+      .withColumn("__cum", sum(col("__n")).over(idxW))
     val withIdx = df.withColumn("__day", to_date(col(tsCol)))
-      .join(broadcast(dayIdx), keyCols :+ "__day")
+      .join(broadcast(dayIdx.select(
+        (keys :+ col("__day") :+ col("__day_idx") :+ col("__cum")): _*)),
+        keyCols :+ "__day")
     val tailW = Window
       .partitionBy((keys :+ col("__day_idx")): _*)
       .orderBy(orderCols.map(col(_).desc): _*)
-    val carried = withIdx
+    val tails = withIdx
       .withColumn("__rn", row_number().over(tailW))
       .filter(col("__rn") <= carryRows)
-      .drop("__rn")
-      .withColumn("__day_idx", col("__day_idx") + 1)
+    val destDays = dayIdx.select(
+      (keys :+ col("__day_idx").as("__dst_idx") :+
+        (col("__cum") - col("__n")).as("__cum_prev")): _*)
+    val carried = tails
+      .join(broadcast(destDays), keyCols)
+      .where(col("__dst_idx") > col("__day_idx") &&
+        col("__cum_prev") - col("__cum") + col("__rn") <= carryRows)
+      .withColumn("__day_idx", col("__dst_idx"))
+      .drop("__dst_idx", "__cum_prev", "__rn", "__cum")
       .withColumn("__emit", lit(false))
-    withIdx.withColumn("__emit", lit(true)).unionByName(carried)
+    withIdx.drop("__cum").withColumn("__emit", lit(true)).unionByName(carried)
   }
 
-  /** Runtime check of the equivalence condition: every (key, day) with
-    * an earlier day present must hold at least `carryRows` rows.
-    * Returns the number of violating (key, day) slices (0 = the
-    * day-scoped window is exactly the global window). One aggregate
-    * job over the (key, day) counts — call it when ingesting a NEW
-    * data shape, not per query. */
+  /** Diagnostic (no longer a correctness precondition — the multi-day
+    * carry is unconditionally exact): counts the (key, day) slices
+    * holding fewer than `carryRows` rows despite having an earlier
+    * day, i.e. the slices whose tails fan out past the adjacent day.
+    * 0 means the data is dense enough that the carry never spans more
+    * than one day boundary. One aggregate job over the (key, day)
+    * counts — call it when profiling a NEW data shape, not per
+    * query. */
   def validateCarry(
       df: DataFrame,
       keyCols: Seq[String],

@@ -223,8 +223,8 @@ class PropertySpec extends AnyFunSuite {
 
   test("day-scoped carry-in window equals the global per-key window bit-for-bit") {
     // 2 keys x 6 days x 40 rows/day, deterministic values; w = 30 so
-    // every interior day holds >= w-1 = 29 rows (the equivalence
-    // condition) and frames regularly span the day boundary
+    // frames regularly span one day boundary (dense case: the carry
+    // never reaches past the adjacent day)
     val rows = for {
       k <- Seq("A", "B"); d <- 1 to 6; i <- 1 to 40
     } yield (k,
@@ -238,10 +238,54 @@ class PropertySpec extends AnyFunSuite {
     // exact set equality — doubles must be bit-identical, not approximate
     assert(scoped.except(global).count() === 0)
     assert(global.except(scoped).count() === 0)
-    // the validator: carry 29 fits every interior day; carry 41 cannot
-    // (10 violating slices = 2 keys x days 2..6)
+    // the diagnostic: with carry 29 no slice fans out past the
+    // adjacent day; with 41 every interior slice does (10 = 2 keys x
+    // days 2..6)
     assert(graft.ops.ScalableWindow.validateCarry(df, Seq("pair_name"), "bar_ts", 29) === 0L)
     assert(graft.ops.ScalableWindow.validateCarry(df, Seq("pair_name"), "bar_ts", 41) === 10L)
+  }
+
+  test("day-scoped window stays exact on SPARSE days (frame spans many days)") {
+    // 7 rows/day << w-1 = 29: every frame reaches 4+ days back, and
+    // days hold uneven counts (7,8,7,8,...) so the reach rule must use
+    // the true cumulative counts, not a fixed day span. This is the
+    // sf0.001 q76 shape that the single-day carry got wrong.
+    val rows = for {
+      k <- Seq("A", "B"); d <- 1 to 9; i <- 1 to (7 + d % 2)
+    } yield (k,
+      Timestamp.valueOf(f"2024-01-0$d 00:$i%02d:00"),
+      ((k.hashCode.abs + d * 37 + i * 17) % 1000).toDouble,
+      (d * 100 + i).toLong)
+    val df = rows.toDF("pair_name", "bar_ts", "spread", "rid")
+    val global = graft.ops.PairAnalytics.rollingZScore(df, 30, 10)
+    val scoped = graft.ops.ScalableWindow.rollingZScoreByDay(df, 30, 10)
+    assert(scoped.count() === global.count())
+    assert(scoped.except(global).count() === 0)
+    assert(global.except(scoped).count() === 0)
+    // trailingStats over the same sparse shape: compare against the
+    // plain global-window formulation (the q76 oracle shape)
+    val ev = rows.map { case (k, t, v, r) => (r, t, k, v) }
+      .toDF("event_id", "ts", "event_type", "value")
+    val sw = graft.ops.ScalableWindow.trailingStats(ev,
+      keyCols = Seq("event_type"), orderCols = Seq("ts", "event_id"),
+      tsCol = "ts", valCol = "value", w = 30)
+      .select("event_id", "event_type", "ts", "r_mean", "r_std", "n_win")
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-29, org.apache.spark.sql.expressions.Window.currentRow)
+    val dv = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val gsum = ev.select(col("event_id"), col("event_type"), col("ts"),
+      sum(dv).over(gw).cast("double").as("s1"),
+      sum(dv * dv).over(gw).cast("double").as("s2"),
+      count(lit(1)).over(gw).as("n_win"))
+      .select(col("event_id"), col("event_type"), col("ts"),
+        round(col("s1") / col("n_win"), 6).as("r_mean"),
+        when(col("n_win") > 1,
+          round(sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n_win")) /
+            (col("n_win") - 1), lit(0.0))), 6)).as("r_std"),
+        col("n_win"))
+    assert(sw.except(gsum).count() === 0)
+    assert(gsum.except(sw).count() === 0)
   }
 
   test("simhash pigeonhole: hamming<=3 pairs always share a 16-bit band") {
