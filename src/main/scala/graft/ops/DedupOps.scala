@@ -213,4 +213,67 @@ object DedupOps {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Direct word-n-gram Jaccard near-duplicate pairs — the exact-set
+    * sibling of [[minhashNearDups]]: no signatures, no probabilistic
+    * bands. Pairs come from an inverted index on the n-grams
+    * themselves and Jaccard is computed exactly from shared-gram
+    * counts: |A∩B| / (|A| + |B| − |A∩B|). Output (id_a, id_b,
+    * n_shared, jaccard) with id_a < id_b and jaccard >= threshold.
+    *
+    * Stop-gram pruning: n-grams occurring in more than `maxDf`
+    * documents are removed from the vocabulary BEFORE set sizes and
+    * intersections are computed (engine and oracle apply the same
+    * rule), so Jaccard is exact over the pruned vocabulary and stays
+    * deterministic. The cap is what makes the inverted index scale: a
+    * boilerplate gram shared by k documents alone creates k²/2 join
+    * rows, so the self-join fan-out is bounded by maxDf² per gram
+    * instead of corpus².
+    *
+    * Scale posture (100 TB): grams shuffle as 128-bit md5 digests,
+    * never raw text (the same narrow-shuffle rule as exact dedup).
+    * Pairs come from posting-list buckets — ONE groupBy on the digest
+    * builds the per-gram doc list, the maxDf filter drops stop-gram
+    * buckets before any pair exists, and pair explosion is map-side
+    * over the surviving (≤ maxDf-element) lists — strictly cheaper
+    * than a digest self-join, which shuffles the posting relation
+    * twice and materializes the quadratic blow-up inside the join
+    * instead of capping it first. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.3,
+      maxDf: Int = 100): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("g"))
+      .select(col("doc"), md5(col("g")).as("gk"))
+      .distinct()
+    // posting list per gram, stop-grams dropped while still one row
+    // each; lazily checkpointed — three consumers below
+    val buckets = grams.groupBy(col("gk"))
+      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+      .localCheckpoint(eager = false)
+    val sz = buckets.select(explode(col("docs")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+           transform(slice(docs, i + 2, size(docs)),
+                     y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sz.as("sa"), col("id_a") === col("sa.doc"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
 }

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-stream analytics operators: LOCF gap-fill onto a dense time
+  * grid, robust (median/MAD) outlier detection, funnel conversion, and
+  * cohort retention — the standard session/user analytics a
+  * market-data or product-events pipeline layers on top of the raw
+  * feed (the reference stops at completeness auditing,
+  * `project/validate_data.py`; these are the downstream consumers of
+  * that audited feed).
+  *
+  * All aggregates that touch doubles accumulate in DECIMAL and emit
+  * doubles, so results are partitioning-independent (the q34 exact-sum
+  * rule).
+  */
+object EventAnalytics {
+
+  private def exactSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** Dense per-minute grid with last-observation-carried-forward fill.
+    *
+    * For each key (event_type): build the minute grid spanning the
+    * key's [min(ts), max(ts)], attach the per-minute decimal-exact
+    * mean of `value` where observations exist, then fill empty minutes
+    * with the most recent observed mean (LOCF). Output one row per
+    * (event_type, minute): n_obs, filled value, and an is_filled flag.
+    *
+    * Scale posture: the grid derives from a per-key 1-row aggregate
+    * (map-side partial agg; grid explode is map-side); the per-minute
+    * aggregate is one hash shuffle on (key, minute); the LOCF window
+    * partitions by key only — the same hot-key hazard class as q49,
+    * with the same documented mitigation ([[ScalableWindow]]'s
+    * (key, day) + carry-in rewrite applies verbatim: last_value
+    * carries exactly one value across day boundaries).
+    */
+  def gapFillLocf(events: DataFrame): DataFrame = {
+    val perMin = events
+      .groupBy(col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n_obs"),
+        (exactSum(col("value")) / count(lit(1))).as("v"))
+    val grid = events
+      .groupBy(col("event_type"))
+      .agg(date_trunc("minute", min(col("ts"))).as("t0"),
+        date_trunc("minute", max(col("ts"))).as("t1"))
+      .select(col("event_type"),
+        explode(sequence(col("t0"), col("t1"),
+          expr("INTERVAL 1 MINUTE"))).as("minute"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perMin, Seq("event_type", "minute"), "left")
+      .select(col("event_type"), col("minute"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        round(last(col("v"), ignoreNulls = true).over(w), 4).as("value_locf"),
+        col("v").isNull.as("is_filled"))
+  }
+
+  /** Robust per-key outlier detection: median + MAD (median absolute
+    * deviation), flagging observations with |x − med| > k·MAD.
+    *
+    * Exact percentiles (Spark `percentile` ≙ DuckDB `quantile_cont`,
+    * the q35 rule), so three passes over the input: median, MAD,
+    * outlier count — the honest cost of exact MAD. At 100 TB swap the
+    * first two for `approx_percentile` (one pass, bounded error) and
+    * keep the same final scan; the per-key reductions here are all
+    * map-side partial-aggregated and the joined medians broadcast
+    * (key-cardinality rows, tiny by construction).
+    *
+    * med/MAD are rounded to 6dp BEFORE the threshold comparison —
+    * identically in the oracle — so the boundary predicate cannot flip
+    * on engine-specific last-bit interpolation differences. */
+  def robustOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ratio",
+        round(col("n_outliers").cast(DoubleType) / col("n"), 4))
+  }
+
+  /** Ordered-step funnel with per-step time windows: for each user,
+    * step 1 anchors at the user's FIRST step-1 event; each later step
+    * matches the first qualifying event strictly after the previous
+    * step within `windowMinutes`. Output one row per step with the
+    * surviving-user count and conversion vs step 1.
+    *
+    * Scale posture: each step is one hash shuffle on user_id (groupBy
+    * min) plus one join back to the events relation on user_id — no
+    * window over the full event history, no driver-side action. Step
+    * frames are user-cardinality (≪ events) and lazily checkpointed,
+    * so the events relation is scanned once per step, not once per
+    * downstream consumer; at 100 TB the user-side join broadcasts when
+    * users fit and degrades to a co-partitioned sort-merge join when
+    * they don't. */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      windowMinutes: Int = 60): DataFrame = {
+    require(steps.nonEmpty)
+    val winExpr = expr(s"INTERVAL $windowMinutes MINUTES")
+    val first0 = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      .localCheckpoint(eager = false)
+    val stages = steps.tail.scanLeft(first0) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+        .filter(col("ts") > col("pt") && col("ts") <= col("pt") + winExpr)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .localCheckpoint(eager = false)
+    }
+    val n0 = first0.agg(count(lit(1)).as("n0"))
+    val rows = stages.zip(steps).zipWithIndex.map {
+      case ((df, step), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(n0))
+          .select(lit(i + 1).as("step"), lit(step).as("event_type"),
+            col("n_users"),
+            round(col("n_users").cast(DoubleType) / col("n0"), 4)
+              .as("conv_from_first"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: users cohorted by their first active day;
+    * output (cohort_day, day_offset, n_users) for every offset with
+    * at least one returning user. Counts are exact — (user, day)
+    * activity is deduplicated before counting, so a user counts once
+    * per (cohort, offset) cell.
+    *
+    * Scale posture: one shuffle to distinct (user, day), one groupBy
+    * user for cohort assignment, one join back on user_id (user-
+    * cardinality right side), one final (cohort, offset) aggregate —
+    * all partially aggregated map-side. */
+  def retention(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"))
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

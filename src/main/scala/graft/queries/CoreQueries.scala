@@ -445,6 +445,21 @@ object CoreQueries {
           round(element_at(col("embedding"), 1).cast(DoubleType), 6).as("e1"),
           col("label"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Ordered-step funnel: view → click → purchase, each step within
+    // 60 min of the previous step's first qualifying event
+    "q80_funnel" -> ((s, dir) => {
+      graft.ops.EventAnalytics.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), windowMinutes = 60)
+        .orderBy(col("step"))
+    }),
+
+    // Cohort retention: users cohorted by first active day, exact
+    // distinct-user counts per (cohort, day-offset) cell
+    "q81_retention" -> ((s, dir) => {
+      graft.ops.EventAnalytics.retention(Tables.events(s, dir))
+        .orderBy(col("cohort_day"), col("day_offset"))
     })
   )
 
@@ -699,6 +714,41 @@ object CoreQueries {
                 WHEN u_price IS NOT NULL THEN 'update'
                 ELSE 'keep' END AS action
          FROM base FULL JOIN upd USING (key)
-         ORDER BY key"""
+         ORDER BY key""",
+
+    "q80_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click'
+                  AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 60 MINUTE
+                GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 60 MINUTE
+                GROUP BY 1),
+         n0 AS (SELECT count(*) AS n0 FROM s1)
+         SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users,
+           round(CAST(count(*) AS DOUBLE)/(SELECT n0 FROM n0), 4)
+             AS conv_from_first FROM s1
+         UNION ALL
+         SELECT 2, 'click', count(*),
+           round(CAST(count(*) AS DOUBLE)/(SELECT n0 FROM n0), 4) FROM s2
+         UNION ALL
+         SELECT 3, 'purchase', count(*),
+           round(CAST(count(*) AS DOUBLE)/(SELECT n0 FROM n0), 4) FROM s3
+         ORDER BY step""",
+
+    "q81_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events),
+         c AS (SELECT user_id, min(d) AS cohort_day FROM a GROUP BY 1)
+         SELECT c.cohort_day,
+           CAST(datediff('day', c.cohort_day, a.d) AS INTEGER) AS day_offset,
+           count(*) AS n_users
+         FROM a JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
   )
 }

@@ -243,6 +243,15 @@ object LlmQueries {
           round(col("share"), 6).as("share"),
           round(col("w_raw") / col("z").cast("double"), 6).as("weight"))
         .orderBy(col("lang"))
+    }),
+
+    // Direct n-gram Jaccard near-dup: exact inverted-index pairs (the
+    // deterministic sibling of q25's MinHash estimate), grams shuffle
+    // as md5 digests, stop-grams with df > 100 pruned in both engines
+    "q77_ngram_jaccard" -> ((s, dir) => {
+      DedupOps.ngramJaccardPairs(Tables.rebalance(Tables.documents(s, dir)),
+        "text", "doc_id", n = 3, threshold = 0.3, maxDf = 100)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -624,6 +633,31 @@ object LlmQueries {
          z AS (SELECT SUM(CAST(w_raw AS DECIMAL(28,12))) AS z FROM s)
          SELECT lang, n_docs, round(share, 6) AS share,
            round(w_raw / CAST(z AS DOUBLE), 6) AS weight
-         FROM s CROSS JOIN z ORDER BY lang"""
+         FROM s CROSS JOIN z ORDER BY lang""",
+
+    // inverted index on md5(gram) digests; stop-grams (df > 100)
+    // pruned BEFORE sizes and intersections in both engines, so
+    // Jaccard is exact over the pruned vocabulary
+    "q77_ngram_jaccard" ->
+      s"""WITH $toksCte,
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, md5(g) AS gk FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b ON a.gk = b.gk AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT id_a, id_b, n_shared,
+            round(CAST(n_shared AS DOUBLE)/(sa.sz + sb.sz - n_shared), 4)
+              AS jaccard
+          FROM sh
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE CAST(n_shared AS DOUBLE)/(sa.sz + sb.sz - n_shared) >= 0.3
+          ORDER BY id_a, id_b"""
   )
 }

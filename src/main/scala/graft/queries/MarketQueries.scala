@@ -398,6 +398,21 @@ object MarketQueries {
         .select(col("event_id"), col("event_type"), col("ts"),
           col("r_mean"), col("r_std"), col("n_win"))
         .orderBy(col("event_id"))
+    }),
+
+    // Dense minute grid + last-observation-carried-forward fill — the
+    // downstream consumer of q17's missing-slot audit (fill instead
+    // of flag); per-minute means accumulate in DECIMAL
+    "q78_gap_fill" -> ((s, dir) => {
+      graft.ops.EventAnalytics.gapFillLocf(Tables.events(s, dir))
+        .orderBy(col("event_type"), col("minute"))
+    }),
+
+    // Robust per-type outliers: exact median + MAD (q35's
+    // percentile ≙ quantile_cont rule), threshold at 3×MAD
+    "q79_robust_outliers" -> ((s, dir) => {
+      graft.ops.EventAnalytics.robustOutliers(Tables.events(s, dir), k = 3.0)
+        .orderBy(col("event_type"))
     })
   )
 
@@ -677,6 +692,50 @@ object MarketQueries {
                 THEN round(sqrt(greatest((s2 - s1*s1/n_win) / (n_win - 1), 0.0)), 6)
            END AS r_std,
            n_win
-         FROM a ORDER BY event_id"""
+         FROM a ORDER BY event_id""",
+
+    "q78_gap_fill" ->
+      """WITH pm AS (
+           SELECT event_type, date_trunc('minute', ts) AS minute,
+             count(*) AS n_obs,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS v
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type,
+             unnest(generate_series(date_trunc('minute', min(ts)),
+                                    date_trunc('minute', max(ts)),
+                                    INTERVAL 1 MINUTE)) AS minute
+           FROM events GROUP BY event_type),
+         j AS (
+           SELECT g.event_type, g.minute,
+             coalesce(pm.n_obs, 0) AS n_obs, pm.v
+           FROM g LEFT JOIN pm
+             ON pm.event_type = g.event_type AND pm.minute = g.minute)
+         SELECT event_type, minute, n_obs,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY minute
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS value_locf,
+           (v IS NULL) AS is_filled
+         FROM j ORDER BY event_type, minute""",
+
+    "q79_robust_outliers" ->
+      """WITH med AS (
+           SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+           FROM events GROUP BY 1),
+         dev AS (
+           SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (
+           SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+           FROM dev GROUP BY 1)
+         SELECT d.event_type, count(*) AS n,
+           any_value(d.med) AS med, any_value(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+             AS DOUBLE)/count(*), 4) AS outlier_ratio
+         FROM dev d JOIN mad m USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type"""
   )
 }

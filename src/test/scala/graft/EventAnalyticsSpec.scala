@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventAnalytics
+
+/** Handcrafted-fixture tests for the event-analytics operators:
+  * expected outputs computed by hand, not by re-running the engine's
+  * own formula.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFillLocf fills empty minutes with the last observed mean") {
+    val ev = Seq(
+      // minute 00:00 has two obs (mean 2.0), 00:01-00:02 empty, 00:03 one
+      (1L, ts("2024-01-01 00:00:10"), 7L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:00:40"), 7L, "a", 3.0, "{}"),
+      (3L, ts("2024-01-01 00:03:30"), 7L, "a", 5.0, "{}"),
+      (4L, ts("2024-01-01 00:00:05"), 8L, "b", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventAnalytics.gapFillLocf(ev)
+      .orderBy("event_type", "minute")
+      .select("event_type", "n_obs", "value_locf", "is_filled")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out === Seq(
+      ("a", 2L, 2.0, false),
+      ("a", 0L, 2.0, true),
+      ("a", 0L, 2.0, true),
+      ("a", 1L, 5.0, false),
+      ("b", 1L, 9.0, false)))
+  }
+
+  test("robustOutliers finds the hand-computed median/MAD outlier") {
+    // values 1..9 + 100: med = 5.5, devs sorted
+    // [.5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5] -> MAD = 2.5,
+    // threshold 7.5 -> exactly the 100 is out
+    val ev = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, ts("2024-01-01 00:00:01"), 1L, "a", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.robustOutliers(ev, k = 3.0).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("med") === 5.5)
+    assert(r.getAs[Double]("mad") === 2.5)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Double]("outlier_ratio") === 0.1)
+  }
+
+  test("funnel counts survivors per step with the 60-min window") {
+    val t0 = "2024-01-01 10:00:00"
+    val ev = Seq(
+      // u1 completes all three steps inside the windows
+      (1L, ts(t0), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:30:00"), 1L, "purchase", 1.0, "{}"),
+      // u2's click is 90 min after the view — outside the window
+      (4L, ts(t0), 2L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 11:30:00"), 2L, "click", 1.0, "{}"),
+      // u3 clicks in-window, purchases 70 min later — out
+      (6L, ts(t0), 3L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-01 10:05:00"), 3L, "click", 1.0, "{}"),
+      (8L, ts("2024-01-01 11:15:00"), 3L, "purchase", 1.0, "{}"),
+      // u4 never views — not in the funnel at all
+      (9L, ts(t0), 4L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventAnalytics
+      .funnel(ev, Seq("view", "click", "purchase"), windowMinutes = 60)
+      .orderBy("step")
+      .collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("conv_from_first")))
+    assert(out === Seq((1, 3L, 1.0), (2, 2L, 0.6667), (3, 1L, 0.3333)))
+  }
+
+  test("retention counts distinct users per (cohort, offset) cell") {
+    def e(id: Long, day: Int, u: Long) =
+      (id, ts(f"2024-01-${day + 1}%02d 12:00:00"), u, "view", 1.0, "{}")
+    val ev = Seq(
+      e(1, 0, 1), e(2, 1, 1), e(3, 3, 1), // u1 cohort day0, back on 1 and 3
+      e(4, 1, 2), e(5, 3, 2), // u2 cohort day1, back on 3 (offset 2)
+      e(6, 1, 2)) // same-day dup for u2 — must not double count
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventAnalytics.retention(ev)
+      .orderBy("cohort_day", "day_offset")
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Int]("day_offset"), r.getAs[Long]("n_users")))
+    assert(out === Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-01", 3, 1L),
+      ("2024-01-02", 0, 1L), ("2024-01-02", 2, 1L)))
+  }
+}

@@ -250,4 +250,56 @@ class LlmOpsSpec extends AnyFunSuite {
       MultimodalOps.frameSampleIndices(lit(10).cast("int"), 3).as("idx"))
     assert(frames.select(size(col("idx"))).head.getInt(0) === 4) // 0,3,6,9
   }
+
+  test("ngram jaccard equals brute-force set jaccard, pruning drops stop-grams") {
+    import spark.implicits._
+    // 20 docs over a tiny vocab: heavy 3-gram overlap between
+    // consecutive docs; every doc shares the "common common common"
+    // boilerplate gram
+    val texts = (0 until 20).map { i =>
+      val body = (0 until 12).map(j => s"w${(i + j) % 15}").mkString(" ")
+      s"common common common $body"
+    }
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    def gramSet(t: String): Set[String] =
+      t.split(" +").sliding(3).map(_.mkString(" ")).toSet
+    val sets = texts.map(gramSet)
+    val expect = (for {
+      a <- 0 until 20; b <- (a + 1) until 20
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a) | sets(b)).size
+      if j >= 0.3
+    } yield (a.toLong, b.toLong,
+      BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).sorted
+
+    // maxDf above corpus size -> no pruning -> must equal brute force
+    val got = DedupOps.ngramJaccardPairs(df, "text", "doc_id",
+      n = 3, threshold = 0.3, maxDf = 1000)
+      .orderBy("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      .toSeq
+    assert(got === expect)
+    assert(expect.nonEmpty) // fixture actually exercises the threshold
+
+    // maxDf = 10 prunes grams shared by >10 docs (the boilerplate
+    // prefix, in all 20) — a pair survives only via a shared
+    // SURVIVING gram, so the pruned pair set is a subset of the full
+    // one (per-pair jaccard over the pruned vocabulary may move
+    // either way; only the candidate-set containment is invariant)
+    val pruned = DedupOps.ngramJaccardPairs(df, "text", "doc_id",
+      n = 3, threshold = 0.0, maxDf = 10)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard")))
+      .toMap
+    val full = DedupOps.ngramJaccardPairs(df, "text", "doc_id",
+      n = 3, threshold = 0.0, maxDf = 1000)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard")))
+      .toMap
+    assert(pruned.keySet.subsetOf(full.keySet))
+  }
 }
