@@ -157,6 +157,36 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
 
+  /** Vocabulary frequency spectrum (Zipf curve): global term counts,
+    * rank by (tf desc, term), and cumulative corpus share — the
+    * "how much of the corpus do the top-k terms cover" diagnostic a
+    * tokenizer/vocab decision needs.
+    *
+    * The running-sum window is GLOBAL (one partition) — safe by the
+    * q39 top-k rule: it runs over the vocabulary AGGREGATE, orders of
+    * magnitude smaller than the corpus, while all corpus-sized work
+    * (tokenize, explode, count) stays hash-partitioned. Counts are
+    * longs, so the running sum is exact; the share divides by the
+    * broadcast 1-row total only at emission. */
+  def termCdf(
+      docs: DataFrame,
+      k: Int,
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).as("total"))
+    val ord = Window.orderBy(col("tf").desc, col("term"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("tf"),
+        row_number().over(ord).as("rank"),
+        round(sum(col("tf")).over(cum).cast(DoubleType) / col("total"), 6)
+          .as("cum_share"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-(label, dimension) embedding centroid: mean of each vector
     * position, decimal-accumulated, rounded to 6 places. Output one
     * row per (label, pos) — dims × labels rows. */

@@ -155,4 +155,33 @@ object EventAnalytics {
         datediff(col("d"), col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-key maximum drawdown: treat `value` ordered by (ts, event_id)
+    * as a price path, track the running peak (running max — the
+    * prefix-extremum window the reference's z-score windows don't
+    * cover), and report the deepest absolute and relative drop below
+    * that peak. The relative drawdown is guarded to positive peaks
+    * (null when the peak at the trough is <= 0).
+    *
+    * Per-row `value - peak` is a single double subtraction (no
+    * accumulation), so results are engine- and partitioning-exact
+    * before the final round. The window partitions by event_type only
+    * — same hot-key hazard class as q49/q78, with the same documented
+    * mitigation: running max carries exactly one value across day
+    * boundaries, so [[ScalableWindow]]'s (key, day) + carry-in rewrite
+    * applies verbatim at 100 TB. */
+  def drawdown(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("peak", max(col("value")).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("value")), 6).as("peak_value"),
+        round(min(col("value") - col("peak")), 6).as("max_drawdown"),
+        round(min(when(col("peak") > 0,
+          (col("value") - col("peak")) / col("peak"))), 6)
+          .as("max_drawdown_pct"))
+  }
 }

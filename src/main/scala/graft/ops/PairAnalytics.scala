@@ -85,6 +85,52 @@ object PairAnalytics {
     leg1.unionByName(leg2)
   }
 
+  /** Trailing-frame rolling Pearson correlation between the two legs
+    * of an aligned pair — the co-movement signal a pairs desk reads
+    * next to the q06 z-score.
+    *
+    * Spark's `corr(...).over(w)` accumulates doubles in frame order —
+    * fine within one engine, but not bit-reproducible against another.
+    * So this applies the q34 exact-stats rule to a MOVING frame: the
+    * five co-moments (Σx, Σy, Σxy, Σx², Σy²) are DECIMAL window sums
+    * (exact, order-independent), combined with the closed-form in
+    * double arithmetic identical to the oracle's, then rounded.
+    * NULL until the frame holds `nBars` rows and when either leg is
+    * degenerate (zero variance).
+    *
+    * Scale posture: one window pass computes all five sums (a single
+    * Window operator — the q76 stacking rule); partition key is
+    * pair_name, the reference's own skew tradeoff documented on
+    * [[rollingZScore]], with the same (key, day)+carry-in escape. */
+  def rollingCorr(pair: DataFrame, nBars: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // Products are formed in DOUBLE (one deterministic multiply per
+    // row) and cast to decimal BEFORE summing — decimal×decimal would
+    // overflow the 38-digit width in the oracle engine (the q34 rule).
+    val x = col("close1")
+    val y = col("close2")
+    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
+      .rowsBetween(-(nBars - 1), Window.currentRow)
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(28, 6))).over(w)
+    val withSums = pair.select(
+      col("pair_name"), col("bar_ts"), col("close1"), col("close2"),
+      count(lit(1)).over(w).as("n_win"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * y).as("sxy"),
+      dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+    val n = col("n_win")
+    val varX = dbl(n * col("sxx") - col("sx") * col("sx"))
+    val varY = dbl(n * col("syy") - col("sy") * col("sy"))
+    withSums.select(
+      col("pair_name"), col("bar_ts"), col("close1"), col("close2"),
+      col("n_win"),
+      when(n >= nBars && varX > 0 && varY > 0,
+        round(dbl(n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(varX) * sqrt(varY)), 6)).as("r_corr"))
+  }
+
   /** Full flagship chain for one pair over a bar frame. */
   def pairZScore(
       bars: DataFrame,

@@ -147,4 +147,38 @@ object TextOps {
       .withColumn("fp_md5", md5(col(textCol)))
       .drop("toks")
   }
+
+  /** Email-like spans, then digit runs. Kept in the RE2 ∩ Java-regex
+    * common subset (char classes + bounded quantifiers only — no
+    * backrefs, no lookaround) so other engines execute the IDENTICAL
+    * pattern. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumberPattern = "[0-9]+"
+
+  /** PII-style redaction for training corpora: mask email addresses
+    * and digit runs with typed placeholders and count each class of
+    * replacement. Pure map-side — regexp_replace/regexp_extract_all
+    * are codegen'd, no shuffle, no UDF.
+    *
+    * Emails are masked BEFORE digit runs (a digit pass first would
+    * chew the local part out of every address). CollapseProject
+    * inlines the email-masked intermediate into both consumers, so
+    * the email regex evaluates twice per row — deliberate: one extra
+    * linear regex pass is far cheaper than the Exchange a
+    * Dist.materialize barrier would spend to avoid it (the PERF.md
+    * rule cuts the other way here: no downstream lambda iterates the
+    * inlined expression, so the blow-up is 2×, not O(n²)). */
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame =
+    df
+      .withColumn("__e1",
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+          .cast("long"))
+      .withColumn("n_nums",
+        size(regexp_extract_all(col("__e1"), lit(NumberPattern), lit(0)))
+          .cast("long"))
+      .withColumn("redacted",
+        regexp_replace(col("__e1"), NumberPattern, "<NUM>"))
+      .drop("__e1")
 }

@@ -460,6 +460,34 @@ object CoreQueries {
     "q81_retention" -> ((s, dir) => {
       graft.ops.EventAnalytics.retention(Tables.events(s, dir))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Arg-extremum aggregates: max_by/min_by with a STRUCT ordering
+    // value — the struct's lexicographic compare makes the tie-break
+    // explicit (price desc then orderkey desc / date asc then orderkey
+    // asc), so the pick is deterministic where bare max_by(k, price)
+    // would not be. One hash aggregate, fully map-side partial.
+    "q82_argmax" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("top_order"),
+          max(col("o_totalprice")).as("top_price"),
+          min_by(col("o_orderkey"),
+            struct(col("o_orderdate"), col("o_orderkey"))).as("first_order"),
+          min(col("o_orderdate")).as("first_date"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Single-pass column profiler: one scan + one aggregate yields
+    // completeness/cardinality/range/mass per numeric column, then
+    // stack-unpivots to a row per column (ops/Profiler)
+    "q87_profile" -> ((s, dir) => {
+      graft.ops.Profiler.profile(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -749,6 +777,42 @@ object CoreQueries {
            CAST(datediff('day', c.cohort_day, a.d) AS INTEGER) AS day_offset,
            count(*) AS n_users
          FROM a JOIN c USING (user_id)
-         GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+
+    "q82_argmax" ->
+      """WITH r AS (
+           SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS rmin
+           FROM orders)
+         SELECT o_custkey,
+           max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+           max(o_totalprice) AS top_price,
+           max(CASE WHEN rmin = 1 THEN o_orderkey END) AS first_order,
+           min(o_orderdate) AS first_date,
+           count(*) AS n_orders
+         FROM r GROUP BY 1 ORDER BY o_custkey""",
+
+    "q87_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggCols = cols.map { c =>
+        s"""count($c) AS ${c}__n, count(DISTINCT $c) AS ${c}__nd,
+            min($c) AS ${c}__min, max($c) AS ${c}__max,
+            CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) AS ${c}__sum"""
+      }.mkString(",\n            ")
+      val branches = cols.map { c =>
+        s"""SELECT '$c' AS col_name, n_rows, ${c}__n AS n_non_null,
+            n_rows - ${c}__n AS n_null, ${c}__nd AS n_distinct,
+            round(CAST(${c}__min AS DOUBLE), 6) AS min_v,
+            round(CAST(${c}__max AS DOUBLE), 6) AS max_v,
+            round(${c}__sum, 6) AS sum_v FROM a"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH a AS (SELECT count(*) AS n_rows,
+            $aggCols
+          FROM lineitem)
+          SELECT * FROM ($branches) ORDER BY col_name"""
+    }
   )
 }

@@ -252,6 +252,24 @@ object LlmQueries {
       DedupOps.ngramJaccardPairs(Tables.rebalance(Tables.documents(s, dir)),
         "text", "doc_id", n = 3, threshold = 0.3, maxDf = 100)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Vocabulary frequency spectrum (Zipf curve): top-100 terms with
+    // rank and cumulative corpus share; the global running-sum window
+    // runs over the vocabulary AGGREGATE only (q39 top-k rule)
+    "q86_term_cdf" -> ((s, dir) => {
+      CorpusOps.termCdf(Tables.rebalance(Tables.documents(s, dir)), k = 100)
+        .orderBy(col("rank"))
+    }),
+
+    // PII-style redaction: email spans then digit runs masked with
+    // typed placeholders, per-class counts; pure map-side, patterns
+    // in the RE2 ∩ Java-regex common subset
+    "q88_redact" -> ((s, dir) => {
+      TextOps.redact(Tables.rebalance(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_emails"), col("n_nums"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -658,6 +676,34 @@ object LlmQueries {
           JOIN sz sa ON sa.doc_id = id_a
           JOIN sz sb ON sb.doc_id = id_b
           WHERE CAST(n_shared AS DOUBLE)/(sa.sz + sb.sz - n_shared) >= 0.3
-          ORDER BY id_a, id_b"""
+          ORDER BY id_a, id_b""",
+
+    "q86_term_cdf" ->
+      s"""WITH $toksCte,
+          u AS (SELECT unnest(toks) AS term FROM d),
+          g AS (SELECT term, count(*) AS tf FROM u GROUP BY 1),
+          t AS (SELECT SUM(tf) AS total FROM g),
+          r AS (SELECT term, tf,
+                  row_number() OVER (ORDER BY tf DESC, term) AS rank,
+                  SUM(tf) OVER (ORDER BY tf DESC, term
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM g)
+          SELECT term, tf, CAST(rank AS INTEGER) AS rank,
+            round(CAST(cum AS DOUBLE)/(SELECT CAST(total AS DOUBLE) FROM t), 6)
+              AS cum_share
+          FROM r WHERE rank <= 100 ORDER BY rank""",
+
+    "q88_redact" ->
+      """WITH e AS (SELECT doc_id, text,
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS e1
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(e1, '[0-9]+')) AS BIGINT) AS n_nums,
+           regexp_replace(e1, '[0-9]+', '<NUM>', 'g') AS redacted
+         FROM e ORDER BY doc_id"""
   )
 }

@@ -413,6 +413,45 @@ object MarketQueries {
     "q79_robust_outliers" -> ((s, dir) => {
       graft.ops.EventAnalytics.robustOutliers(Tables.events(s, dir), k = 3.0)
         .orderBy(col("event_type"))
+    }),
+
+    // Running-peak (prefix-extremum) window + max drawdown per series
+    "q83_drawdown" -> ((s, dir) => {
+      graft.ops.EventAnalytics.drawdown(Tables.events(s, dir))
+        .orderBy(col("event_type"))
+    }),
+
+    // Containment join of events into the top-5 busiest 5-minute
+    // windows, bin-bucketed so it plans as a hash equi-join instead
+    // of a nested loop (ops/IntervalJoin)
+    "q84_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val win = ev
+        .groupBy(date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("m")).limit(5)
+        .select((col("m") - expr("INTERVAL 2 MINUTES")).as("t0"),
+          (col("m") + expr("INTERVAL 3 MINUTES")).as("t1"))
+      graft.ops.IntervalJoin
+        .binnedContainmentJoin(ev, "ts", win, "t0", "t1",
+          binMicros = 5L * 60 * 1000000)
+        .groupBy(col("t0"))
+        .agg(count(lit(1)).as("n_ev"),
+          count_distinct(col("event_type")).as("n_types"),
+          round(graft.queries.CoreQueries.exactSum(col("value")), 6)
+            .as("sum_v"))
+        .orderBy(col("t0"))
+    }),
+
+    // Rolling 12-bar pair correlation from decimal-exact co-moments
+    // (the q34 rule applied to a moving frame)
+    "q85_rolling_corr" -> ((s, dir) => {
+      val bars = MarketBars.bars(Tables.events(s, dir), "event_type", "ts", "value")
+      PairAnalytics
+        .rollingCorr(
+          PairAnalytics.pairSpread(bars, "click", "view").drop("spread"),
+          nBars = 12)
+        .orderBy(col("bar_ts"))
     })
   )
 
@@ -736,6 +775,54 @@ object MarketQueries {
            round(CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
              AS DOUBLE)/count(*), 4) AS outlier_ratio
          FROM dev d JOIN mad m USING (event_type)
-         GROUP BY d.event_type ORDER BY d.event_type"""
+         GROUP BY d.event_type ORDER BY d.event_type""",
+
+    "q83_drawdown" ->
+      """WITH p AS (
+           SELECT event_type, value,
+             max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM events)
+         SELECT event_type, count(*) AS n,
+           round(max(value), 6) AS peak_value,
+           round(min(value - peak), 6) AS max_drawdown,
+           round(min(CASE WHEN peak > 0 THEN (value - peak)/peak END), 6)
+             AS max_drawdown_pct
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    "q84_interval_join" ->
+      """WITH pm AS (
+           SELECT date_trunc('minute', ts) AS m, count(*) AS c
+           FROM events GROUP BY 1),
+         top5 AS (SELECT m FROM pm ORDER BY c DESC, m LIMIT 5),
+         win AS (SELECT m - INTERVAL 2 MINUTE AS t0,
+                        m + INTERVAL 3 MINUTE AS t1 FROM top5)
+         SELECT w.t0, count(*) AS n_ev,
+           CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_v
+         FROM win w JOIN events e ON e.ts >= w.t0 AND e.ts < w.t1
+         GROUP BY 1 ORDER BY 1""",
+
+    "q85_rolling_corr" ->
+      s"""WITH $pairCte,
+          s AS (
+            SELECT bar_ts, close1, close2,
+              count(*) OVER w AS n_win,
+              SUM(CAST(close1 AS DECIMAL(28,6))) OVER w AS sx,
+              SUM(CAST(close2 AS DECIMAL(28,6))) OVER w AS sy,
+              SUM(CAST(close1*close2 AS DECIMAL(28,6))) OVER w AS sxy,
+              SUM(CAST(close1*close1 AS DECIMAL(28,6))) OVER w AS sxx,
+              SUM(CAST(close2*close2 AS DECIMAL(28,6))) OVER w AS syy
+            FROM pair
+            WINDOW w AS (ORDER BY bar_ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+          SELECT 'click-view' AS pair_name, bar_ts, close1, close2, n_win,
+            CASE WHEN n_win >= 12 AND CAST(n_win*sxx - sx*sx AS DOUBLE) > 0
+                      AND CAST(n_win*syy - sy*sy AS DOUBLE) > 0
+                 THEN round(CAST(n_win*sxy - sx*sy AS DOUBLE) /
+                      (sqrt(CAST(n_win*sxx - sx*sx AS DOUBLE)) *
+                       sqrt(CAST(n_win*syy - sy*sy AS DOUBLE))), 6)
+            END AS r_corr
+          FROM s ORDER BY bar_ts"""
   )
 }

@@ -96,4 +96,85 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-01", 3, 1L),
       ("2024-01-02", 0, 1L), ("2024-01-02", 2, 1L)))
   }
+
+  test("drawdown tracks the running peak and the deepest drop") {
+    // path 10, 8, 12, 6, 9 -> peaks 10,10,12,12,12
+    // drawdowns 0,-2,0,-6,-3 -> max_dd -6, pct -6/12 = -0.5
+    val ev = Seq(10.0, 8.0, 12.0, 6.0, 9.0).zipWithIndex.map {
+      case (v, i) =>
+        (i.toLong, ts(f"2024-01-01 00:0$i:00"), 1L, "a", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventAnalytics.drawdown(ev).collect().head
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("peak_value") === 12.0)
+    assert(r.getAs[Double]("max_drawdown") === -6.0)
+    assert(r.getAs[Double]("max_drawdown_pct") === -0.5)
+  }
+
+  test("binnedContainmentJoin matches the containment semantics, " +
+    "drops empty intervals, and emits each pair once") {
+    val pts = Seq(
+      (1L, ts("2024-01-01 00:00:30")),
+      (2L, ts("2024-01-01 00:04:00")),
+      (3L, ts("2024-01-01 00:10:00")))
+      .toDF("pid", "t")
+    val ivs = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00")),
+      // spans three 5-min bins — must still match each point once
+      (20L, ts("2024-01-01 00:04:00"), ts("2024-01-01 00:12:00")),
+      // empty (t1 == t0) — must vanish, not fabricate descending bins
+      (30L, ts("2024-01-01 00:20:00"), ts("2024-01-01 00:20:00")))
+      .toDF("iid", "t0", "t1")
+    val out = graft.ops.IntervalJoin
+      .binnedContainmentJoin(pts, "t", ivs, "t0", "t1",
+        binMicros = 5L * 60 * 1000000)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out === Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
+  }
+
+  test("rollingCorr: exact +1/-1 on linear legs, null on warm-up " +
+    "and degenerate variance") {
+    def t(i: Int) = ts(f"2024-01-01 00:0$i:00")
+    val pair = Seq(
+      ("p", t(0), 1.0, 2.0), ("p", t(1), 2.0, 4.0),
+      ("p", t(2), 3.0, 6.0), ("p", t(3), 4.0, 8.0),
+      // anti-correlated pair, separate key
+      ("q", t(0), 1.0, 9.0), ("q", t(1), 2.0, 7.0), ("q", t(2), 3.0, 5.0),
+      // degenerate: constant right leg
+      ("r", t(0), 1.0, 5.0), ("r", t(1), 2.0, 5.0), ("r", t(2), 3.0, 5.0))
+      .toDF("pair_name", "bar_ts", "close1", "close2")
+    val out = graft.ops.PairAnalytics.rollingCorr(pair, nBars = 3)
+      .orderBy("pair_name", "bar_ts").collect()
+      .map(r => (r.getAs[String]("pair_name"),
+        Option(r.getAs[java.lang.Double]("r_corr")).map(_.toDouble)))
+    assert(out.toSeq === Seq(
+      ("p", None), ("p", None), ("p", Some(1.0)), ("p", Some(1.0)),
+      ("q", None), ("q", None), ("q", Some(-1.0)),
+      ("r", None), ("r", None), ("r", None)))
+  }
+
+  test("profile summarizes each column from one aggregate") {
+    val df = Seq(
+      (1.0, Option(3.0)), (2.0, Option(4.0)), (2.0, Option.empty[Double]))
+      .toDF("a", "b")
+    val out = graft.ops.Profiler.profile(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getAs[String]("col_name"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_non_null"), r.getAs[Long]("n_null"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("min_v"),
+        r.getAs[Double]("max_v"), r.getAs[Double]("sum_v")))
+    assert(out.toSeq === Seq(
+      ("a", 3L, 3L, 0L, 2L, 1.0, 2.0, 5.0),
+      ("b", 3L, 2L, 1L, 2L, 3.0, 4.0, 7.0)))
+  }
+
+  test("termCdf ranks by frequency and accumulates corpus share") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.termCdf(docs, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cum_share")))
+    assert(out.toSeq === Seq(("a", 3L, 1, 0.6), ("b", 1L, 2, 0.8)))
+  }
 }

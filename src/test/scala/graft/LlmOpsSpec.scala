@@ -302,4 +302,19 @@ class LlmOpsSpec extends AnyFunSuite {
       .toMap
     assert(pruned.keySet.subsetOf(full.keySet))
   }
+
+  test("redact masks emails before digit runs and counts each class") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a1@b.com x 42 7"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.redact(docs).orderBy("doc_id")
+      .select("redacted", "n_emails", "n_nums").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      // digits inside the address are already masked by <EMAIL> —
+      // the email pass must run first
+      ("mail <EMAIL> x <NUM> <NUM>", 1L, 2L),
+      ("no pii here", 0L, 0L)))
+  }
 }
