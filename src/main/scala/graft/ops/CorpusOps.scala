@@ -172,9 +172,13 @@ object CorpusOps {
       docs: DataFrame,
       k: Int,
       textCol: String = "text"): DataFrame = {
+    // lazily checkpointed: both the total and the ranked output read
+    // the counted vocabulary, and without the cut the corpus-sized
+    // tokenize+count would run twice (the q59 tfidf rule)
     val counts = docs
       .select(explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val total = counts.agg(sum(col("tf")).as("total"))
     val ord = Window.orderBy(col("tf").desc, col("term"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -185,6 +189,42 @@ object CorpusOps {
         round(sum(col("tf")).over(cum).cast(DoubleType) / col("total"), 6)
           .as("cum_share"))
       .filter(col("rank") <= k)
+  }
+
+  /** Unigram negative log-likelihood per document — the cheap
+    * stand-in for the LM-perplexity quality filter (CCNet-style):
+    * score each doc by the mean −ln p(token) under the corpus's OWN
+    * unigram distribution. High avg_nll ⇒ rare-token-heavy
+    * (boilerplate, noise, off-language); the filter cut is a
+    * percentile over this column.
+    *
+    * Determinism: each token's nll is rounded to 8dp, then
+    * decimal-summed (exact, order-independent); the one double
+    * division happens at emission. Scale posture: the corpus
+    * tokenizes ONCE (lazily checkpointed tokens relation feeds both
+    * the vocabulary and the scoring join — the q59 rule); the join on
+    * term carries a vocab-sized build side (broadcast when it fits,
+    * shuffled hash otherwise); the grand total is a broadcast 1-row
+    * aggregate. */
+  def unigramNll(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .localCheckpoint(eager = false)
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val total = vocab.agg(sum(col("tf")).as("total"))
+    toks.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(-log(col("tf").cast(DoubleType) / col("total").cast(DoubleType)), 8)
+          .as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll").cast(DecimalType(28, 8))).cast(DoubleType) /
+          count(lit(1)), 4).as("avg_nll"))
   }
 
   /** Per-(label, dimension) embedding centroid: mean of each vector

@@ -262,4 +262,53 @@ object SimilarityOps {
     emb.crossJoin(cb)
       .select(col(idCol) +: (0 until m).map(j => code(j).as(s"c$j")): _*)
   }
+
+  /** Broadcast linear-classifier inference — the "quality/toxicity
+    * model scoring" stage of a corpus pipeline. Train side derives a
+    * Fisher-style linear discriminant from two label centroids
+    * (w = c_B − c_A, bias = −w·midpoint); inference side scores every
+    * vector with one codegen dot product plus the bias.
+    *
+    * The model folds to ONE broadcast row — nothing corpus-sized
+    * leaves the executors, and scoring is pure map-side (the same
+    * shape real fasttext-/logreg-style quality filters run at 100 TB:
+    * broadcast the weights, map the corpus). Centroid dims are
+    * rounded to 6dp BEFORE w is built (the q40 contract), so every
+    * engine folds the IDENTICAL model; margins round at emission, and
+    * the predicted class derives from the ROUNDED margin so the
+    * boundary cannot flip cross-engine. */
+  def linearScore(
+      emb: DataFrame,
+      labelA: Int = 0,
+      labelB: Int = 1,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    VecDot.register(emb.sparkSession)
+    val cents = CorpusOps.labelCentroids(
+      emb.filter(col(labelCol).isin(labelA, labelB)), labelCol, vecCol)
+    // (label, pos, centroid) rows → one row holding the two ordered
+    // centroid arrays → (w, bias); max() over the single non-null
+    // array per label is a deterministic pick
+    val model = cents
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("cs"))
+      .select(col("label"),
+        transform(col("cs"), s => s.getField("centroid")).as("cv"))
+      .groupBy()
+      .agg(
+        max(when(col("label") === labelA, col("cv"))).as("ca"),
+        max(when(col("label") === labelB, col("cv"))).as("cb"))
+      .select(
+        zip_with(col("cb"), col("ca"), (b, a) => b - a).as("w"),
+        zip_with(col("cb"), col("ca"), (b, a) => (b + a) / 2).as("mid"))
+      .select(col("w"), (-dot(col("w"), col("mid"))).as("bias"))
+    emb
+      .crossJoin(broadcast(model))
+      .select(col(idCol), col(labelCol).as("label"),
+        round(dot(col("w"), transform(col(vecCol), _.cast("double")))
+          + col("bias"), 6).as("margin"))
+      .withColumn("pred", (col("margin") > 0).cast("int"))
+  }
 }

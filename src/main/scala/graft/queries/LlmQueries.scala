@@ -270,6 +270,20 @@ object LlmQueries {
         .select(col("doc_id"), col("n_emails"), col("n_nums"),
           col("redacted"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Broadcast linear-classifier inference: Fisher-style discriminant
+    // from two label centroids, one codegen dot product per vector
+    "q89_linear_score" -> ((s, dir) => {
+      SimilarityOps.linearScore(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Unigram-LM quality scoring: per-doc mean −ln p(token) under the
+    // corpus's own unigram distribution (the perplexity-filter proxy)
+    "q90_unigram_nll" -> ((s, dir) => {
+      CorpusOps.unigramNll(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -704,6 +718,40 @@ object LlmQueries {
              AS n_emails,
            CAST(len(regexp_extract_all(e1, '[0-9]+')) AS BIGINT) AS n_nums,
            regexp_replace(e1, '[0-9]+', '<NUM>', 'g') AS redacted
-         FROM e ORDER BY doc_id"""
+         FROM e ORDER BY doc_id""",
+
+    "q89_linear_score" ->
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         u AS (SELECT label, CAST(i-1 AS INTEGER) AS pos,
+                 CAST(v[i] AS DECIMAL(28,12)) AS xd
+               FROM e0, unnest(generate_series(1, len(v))) AS g(i)
+               WHERE label IN (0, 1)),
+         a AS (SELECT label, pos, count(*) AS n, SUM(xd) AS sx FROM u GROUP BY 1, 2),
+         c AS (SELECT label, pos, round(CAST(sx AS DOUBLE)/n, 6) AS m FROM a),
+         wm AS (SELECT c1.pos, c1.m - c0.m AS wv, (c1.m + c0.m)/2 AS mid
+                FROM c c1 JOIN c c0 ON c1.pos = c0.pos
+                WHERE c1.label = 1 AND c0.label = 0),
+         mdl AS (SELECT list(wv ORDER BY pos) AS w,
+                        list(mid ORDER BY pos) AS midv FROM wm),
+         mdl2 AS (SELECT w, -list_dot_product(w, midv) AS bias FROM mdl),
+         sc AS (SELECT e0.vec_id, e0.label,
+                  round(list_dot_product(m.w, e0.v) + m.bias, 6) AS margin
+                FROM e0 CROSS JOIN mdl2 m)
+         SELECT vec_id, label, margin,
+           CAST(margin > 0 AS INTEGER) AS pred
+         FROM sc ORDER BY vec_id""",
+
+    "q90_unigram_nll" ->
+      s"""WITH $toksCte,
+          tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+          g AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),
+          t AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM g),
+          x AS (SELECT tk.doc_id,
+                  CAST(round(-ln(CAST(g.tf AS DOUBLE)/(SELECT total FROM t)), 8)
+                    AS DECIMAL(28,8)) AS nll
+                FROM tk JOIN g USING (term))
+          SELECT doc_id, count(*) AS n_tokens,
+            round(CAST(SUM(nll) AS DOUBLE)/count(*), 4) AS avg_nll
+          FROM x GROUP BY 1 ORDER BY doc_id"""
   )
 }

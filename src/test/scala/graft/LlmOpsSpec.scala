@@ -303,6 +303,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pruned.keySet.subsetOf(full.keySet))
   }
 
+  test("linearScore: hand-computed discriminant separates the labels") {
+    import spark.implicits._
+    // c0 = (0,1), c1 = (4,1) -> w = (4,0), mid = (2,1), bias = -8
+    val emb = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 2f), 0),
+      (3L, Array(4f, 0f), 1), (4L, Array(4f, 2f), 1),
+      // untrained label still gets scored
+      (5L, Array(10f, 10f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ops.SimilarityOps.linearScore(emb)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("margin"),
+        r.getAs[Int]("pred")))
+    assert(out.toSeq === Seq(
+      (1L, -8.0, 0), (2L, -8.0, 0), (3L, 8.0, 1), (4L, 8.0, 1),
+      (5L, 32.0, 1)))
+  }
+
+  test("unigramNll: hand-computed mean -ln p(token)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // tf: a=3 b=1 c=1, total=5; nll(a)=.51082562, nll(b|c)=1.60943791
+    val out = graft.ops.CorpusOps.unigramNll(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("avg_nll")))
+    assert(out.toSeq === Seq((1L, 3L, 0.877), (2L, 2L, 1.0601)))
+  }
+
   test("redact masks emails before digit runs and counts each class") {
     import spark.implicits._
     val docs = Seq(
