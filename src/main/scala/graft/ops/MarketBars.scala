@@ -58,4 +58,28 @@ object MarketBars {
         // partial-aggregation order (double-sum order varies at scale)
         sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("volume"))
   }
+
+  val OneHourMicros: Long = 60L * 60 * 1000 * 1000
+
+  /** Re-aggregate fine bars into coarser bars (5-min → 1-h etc.) —
+    * the bar-hierarchy rollup that lets every coarser granularity
+    * derive from the bar store instead of rescanning raw ticks.
+    * Same one-shuffle OHLCV shape as [[bars]]; open/close pick by
+    * min/max struct over the (unique within a bucket) fine bar_ts, so
+    * the pick is deterministic; volumes/counts re-sum exactly
+    * (decimal in, decimal rollup). */
+  def resample(bars: DataFrame, stepMicros: Long): DataFrame =
+    bars.groupBy(
+        col("series"),
+        timeBucket(col("bar_ts"), stepMicros).as("bar_ts"))
+      .agg(
+        min(struct(col("bar_ts").as("t"), col("open").as("v")))
+          .getField("v").as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max(struct(col("bar_ts").as("t"), col("close").as("v")))
+          .getField("v").as("close"),
+        sum(col("n_ticks")).as("n_ticks"),
+        sum(col("volume").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("volume"))
 }

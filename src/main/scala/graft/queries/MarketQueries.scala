@@ -452,6 +452,68 @@ object MarketQueries {
           PairAnalytics.pairSpread(bars, "click", "view").drop("spread"),
           nBars = 12)
         .orderBy(col("bar_ts"))
+    }),
+
+    // Bar-hierarchy rollup: 5-min bars → 1-hour bars without
+    // rescanning ticks (ops/MarketBars.resample)
+    "q91_bar_resample" -> ((s, dir) => {
+      val b5 = MarketBars.bars(Tables.events(s, dir), "event_type", "ts", "value")
+      MarketBars.resample(b5, MarketBars.OneHourMicros)
+        .select(col("series"), col("bar_ts"), col("open"), col("high"),
+          col("low"), col("close"), col("n_ticks"),
+          round(col("volume"), 6).as("volume_r"))
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Per-(series, day) realized volatility: sqrt of the decimal-exact
+    // sum of squared 5-min log returns; the overnight return belongs
+    // to the later day (lag crosses the boundary by design). Returns
+    // round to 8dp BEFORE squaring so both engines square the
+    // identical value.
+    "q92_realized_vol" -> ((s, dir) => {
+      val b = MarketBars.bars(Tables.events(s, dir), "event_type", "ts", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("series")).orderBy(col("bar_ts"))
+      b.withColumn("prev_c", lag(col("close"), 1).over(w))
+        .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
+        .select(col("series"), to_date(col("bar_ts")).as("d"),
+          round(log(col("close") / col("prev_c")), 8).as("r"))
+        .groupBy(col("series"), col("d"))
+        .agg(count(lit(1)).as("n_rets"),
+          round(sqrt(sum((col("r") * col("r")).cast(DecimalType(28, 12)))
+            .cast(DoubleType)), 6).as("rv"))
+        .orderBy(col("series"), col("d"))
+    }),
+
+    // Cross-sectional factor snapshot: per bar_ts ACROSS series, rank
+    // by close and z-score vs the decimal-exact cross-sectional
+    // mean/stddev. The window partitions by bar_ts — key cardinality
+    // GROWS with data (one partition per bar), so this window is
+    // scale-safe without any carry-in rewrite.
+    "q93_cross_sectional" -> ((s, dir) => {
+      val b = MarketBars.bars(Tables.events(s, dir), "event_type", "ts", "value")
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("bar_ts"))
+      val rnk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bar_ts")).orderBy(col("close").desc, col("series"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(28, 6))).over(wp)
+      b.select(col("series"), col("bar_ts"), col("close"),
+          count(lit(1)).over(wp).as("n_cs"),
+          dsum(col("close")).as("sy"),
+          dsum(col("close") * col("close")).as("syy"),
+          row_number().over(rnk).as("cs_rank"))
+        .withColumn("vars",
+          // guarded: n_cs = 1 would divide by zero under ANSI
+          when(col("n_cs") > 1,
+            (dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / col("n_cs")) /
+              (col("n_cs") - 1)))
+        .select(col("series"), col("bar_ts"), col("close"), col("n_cs"),
+          col("cs_rank"),
+          when(col("n_cs") > 1 && col("vars") > 0,
+            round((col("close") - dbl(col("sy")) / col("n_cs")) /
+              sqrt(col("vars")), 4)).as("cs_z"))
+        .orderBy(col("bar_ts"), col("series"))
     })
   )
 
@@ -823,6 +885,53 @@ object MarketQueries {
                       (sqrt(CAST(n_win*sxx - sx*sx AS DOUBLE)) *
                        sqrt(CAST(n_win*syy - sy*sy AS DOUBLE))), 6)
             END AS r_corr
-          FROM s ORDER BY bar_ts"""
+          FROM s ORDER BY bar_ts""",
+
+    "q91_bar_resample" ->
+      s"""WITH $barsCte,
+          h AS (SELECT series,
+              make_timestamp((epoch_us(bar_ts)//3600000000)*3600000000) AS hbar,
+              (min(struct_pack(t := bar_ts, v := open))).v AS open,
+              max(high) AS high, min(low) AS low,
+              (max(struct_pack(t := bar_ts, v := close))).v AS close,
+              CAST(SUM(n_ticks) AS BIGINT) AS n_ticks,
+              CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS volume
+            FROM bars GROUP BY 1, 2)
+          SELECT series, hbar AS bar_ts, open, high, low, close, n_ticks,
+            round(volume, 6) AS volume_r
+          FROM h ORDER BY series, bar_ts""",
+
+    "q92_realized_vol" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts) AS prev_c
+                FROM bars),
+          r AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                  round(ln(close/prev_c), 8) AS r
+                FROM l WHERE prev_c IS NOT NULL AND prev_c > 0 AND close > 0)
+          SELECT series, d, count(*) AS n_rets,
+            round(sqrt(CAST(SUM(CAST(r*r AS DECIMAL(28,12))) AS DOUBLE)), 6)
+              AS rv
+          FROM r GROUP BY 1, 2 ORDER BY series, d""",
+
+    "q93_cross_sectional" ->
+      s"""WITH $barsCte,
+          s AS (SELECT series, bar_ts, close,
+              count(*) OVER wp AS n_cs,
+              SUM(CAST(close AS DECIMAL(28,6))) OVER wp AS sy,
+              SUM(CAST(close*close AS DECIMAL(28,6))) OVER wp AS syy,
+              row_number() OVER (PARTITION BY bar_ts
+                ORDER BY close DESC, series) AS cs_rank
+            FROM bars
+            WINDOW wp AS (PARTITION BY bar_ts)),
+          v AS (SELECT *,
+              (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n_cs)
+                / (n_cs - 1) AS vars
+            FROM s)
+          SELECT series, bar_ts, close, n_cs, CAST(cs_rank AS INTEGER) AS cs_rank,
+            CASE WHEN n_cs > 1 AND vars > 0
+                 THEN round((close - CAST(sy AS DOUBLE)/n_cs)/sqrt(vars), 4)
+            END AS cs_z
+          FROM v ORDER BY bar_ts, series"""
   )
 }

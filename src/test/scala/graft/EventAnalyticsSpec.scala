@@ -154,6 +154,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("r", None), ("r", None), ("r", None)))
   }
 
+  test("resample rolls 5-min bars into the hour, picking true open/close") {
+    // two 5-min bars inside 10:00 hour + one in 11:00
+    val bars = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1.0, 5.0, 0.5, 2.0, 3L, 10.0),
+      ("a", ts("2024-01-01 10:55:00"), 2.5, 6.0, 2.0, 4.0, 2L, 20.0),
+      ("a", ts("2024-01-01 11:00:00"), 4.5, 4.5, 4.5, 4.5, 1L, 4.5))
+      .toDF("series", "bar_ts", "open", "high", "low", "close",
+        "n_ticks", "volume")
+    val out = graft.ops.MarketBars
+      .resample(bars, graft.ops.MarketBars.OneHourMicros)
+      .orderBy("bar_ts").collect()
+      .map(r => (r.getAs[Timestamp]("bar_ts").toString,
+        r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"),
+        r.getAs[Long]("n_ticks"), r.getAs[Double]("volume")))
+    assert(out.toSeq === Seq(
+      // open from the FIRST fine bar, close from the LAST
+      ("2024-01-01 10:00:00.0", 1.0, 6.0, 0.5, 4.0, 5L, 30.0),
+      ("2024-01-01 11:00:00.0", 4.5, 4.5, 4.5, 4.5, 1L, 4.5)))
+  }
+
   test("profile summarizes each column from one aggregate") {
     val df = Seq(
       (1.0, Option(3.0)), (2.0, Option(4.0)), (2.0, Option.empty[Double]))
