@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   *
   * Ties (right.ts == left.ts) match, like DuckDB/kdb ASOF semantics:
   * the right side sorts before the left at equal timestamps.
+  *
+  * Staleness tolerance (kdb `wj`/pandas `tolerance=`) composes on
+  * top rather than needing a variant: carry the quote's own
+  * timestamp as an extra carry column and null-out matches older
+  * than the budget afterwards (q94 does exactly this — the carry
+  * machinery is unchanged, the tolerance is one post-window
+  * predicate).
   */
 object AsOfJoin {
 

@@ -454,6 +454,28 @@ object MarketQueries {
         .orderBy(col("bar_ts"))
     }),
 
+    // As-of join with a staleness tolerance (kdb wj / pandas
+    // tolerance= semantics): quotes older than 2 minutes don't match.
+    // Pure composition over AsOfJoin — the quote's own ts rides along
+    // as a carry column, one post-window predicate nulls stale fills
+    "q94_asof_tolerance" -> ((s, dir) => {
+      val tolUs = 2L * 60 * 1000000
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(to_date(col("ts")).as("d"), col("ts"), col("event_id"),
+          col("value").as("click_val"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("d"), col("ts"))
+        .agg(max(col("value")).as("view_val"))
+        .withColumn("qts", col("ts"))
+      AsOfJoin.backward(clicks, views, Seq("d"), "ts", Seq("view_val", "qts"))
+        .withColumn("age_us", unix_micros(col("ts")) - unix_micros(col("qts")))
+        .select(col("event_id"), col("ts"), col("click_val"),
+          when(col("age_us") <= tolUs, col("view_val")).as("view_val_tol"),
+          when(col("age_us") <= tolUs, col("age_us")).as("age_us_tol"))
+        .orderBy(col("event_id"))
+    }),
+
     // Bar-hierarchy rollup: 5-min bars → 1-hour bars without
     // rescanning ticks (ops/MarketBars.resample)
     "q91_bar_resample" -> ((s, dir) => {
@@ -886,6 +908,20 @@ object MarketQueries {
                        sqrt(CAST(n_win*syy - sy*sy AS DOUBLE))), 6)
             END AS r_corr
           FROM s ORDER BY bar_ts""",
+
+    "q94_asof_tolerance" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS d, ts, event_id, value AS click_val
+                    FROM events WHERE event_type = 'click'),
+         v AS (SELECT CAST(ts AS DATE) AS d, ts, max(value) AS view_val,
+                 ts AS qts
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.event_id, c.ts, c.click_val,
+           CASE WHEN epoch_us(c.ts) - epoch_us(v.qts) <= 120000000
+                THEN v.view_val END AS view_val_tol,
+           CASE WHEN epoch_us(c.ts) - epoch_us(v.qts) <= 120000000
+                THEN epoch_us(c.ts) - epoch_us(v.qts) END AS age_us_tol
+         FROM c ASOF LEFT JOIN v ON c.d = v.d AND c.ts >= v.ts
+         ORDER BY c.event_id""",
 
     "q91_bar_resample" ->
       s"""WITH $barsCte,

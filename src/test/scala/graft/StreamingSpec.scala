@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{MarketBars, PairAnalytics}
 import graft.sources.Tables
-import graft.streaming.BarBuilder
+import graft.streaming.{BarBuilder, DrawdownMonitor}
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
@@ -172,6 +172,45 @@ class StreamingSpec extends AnyFunSuite {
           case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"z@$ts")
           case (a, b) => assert(a === b, s"z null-ness@$ts")
         }
+      }
+    } finally q.stop()
+  }
+
+  test("streaming drawdown path matches the batch running-max window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch reference: running peak over (ts, event_id) order per type
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // one tick per (type, ts) so stream (keyed by ts alone) and batch agree
+    val ticks = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts"))
+      .agg(max(col("value")).as("value"))
+    val batch = ticks
+      .withColumn("peak", max(col("value")).over(w))
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getAs[Double]("peak")))
+      .toMap
+
+    val points = ticks.collect()
+      .map(r => DrawdownMonitor.Tick(r.getString(0), r.getTimestamp(1),
+        r.getDouble(2))).toSeq.sortBy(_.ts.getTime)
+    val stream = MemoryStream[DrawdownMonitor.Tick]
+    val q = DrawdownMonitor.drawdowns(stream.toDS())
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = points.splitAt(points.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("dd_out").collect()
+      assert(streamed.length === points.length)
+      streamed.foreach { r =>
+        val key = (r.getAs[String]("series"), r.getAs[Timestamp]("ts"))
+        assert(r.getAs[Double]("peak") === batch(key), s"peak@$key")
+        assert(r.getAs[Double]("drawdown") ===
+          r.getAs[Double]("value") - batch(key), s"dd@$key")
       }
     } finally q.stop()
   }
