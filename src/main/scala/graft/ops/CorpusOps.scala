@@ -191,6 +191,36 @@ object CorpusOps {
       .filter(col("rank") <= k)
   }
 
+  /** Per-document token entropy — the self-information quality signal
+    * (a doc whose tokens are all the same word has entropy 0; rich
+    * vocabulary pushes it toward ln of the distinct count): the
+    * classic repetition/boilerplate discriminator alongside q72's
+    * ratio signals.
+    *
+    * H = −Σ p ln p over the doc's OWN token distribution. Each term's
+    * contribution is rounded to 8dp then decimal-summed (the q90
+    * rule), so the per-doc sum is engine- and partitioning-exact.
+    * Scale posture: two hash shuffles — (doc, term) counts, then the
+    * per-doc fold; both map-side partial-aggregated, nothing global. */
+  def tokenEntropy(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col(idCol))))
+      .withColumn("p", col("cnt").cast(DoubleType) / col("n"))
+      .groupBy(col(idCol))
+      .agg(first(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        // abs() normalizes the all-same-token doc's -0.0 to 0.0 (H >= 0
+        // mathematically) so the hash gate can't see a sign-bit diff
+        round(abs(-sum(round(col("p") * log(col("p")), 8)
+          .cast(DecimalType(28, 8))).cast(DoubleType)), 4).as("entropy"))
+
   /** Unigram negative log-likelihood per document — the cheap
     * stand-in for the LM-perplexity quality filter (CCNet-style):
     * score each doc by the mean −ln p(token) under the corpus's OWN

@@ -284,6 +284,13 @@ object LlmQueries {
     "q90_unigram_nll" -> ((s, dir) => {
       CorpusOps.unigramNll(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-doc token entropy: −Σ p ln p over the doc's own token
+    // distribution (repetition/boilerplate discriminator)
+    "q96_token_entropy" -> ((s, dir) => {
+      CorpusOps.tokenEntropy(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -752,6 +759,21 @@ object LlmQueries {
                 FROM tk JOIN g USING (term))
           SELECT doc_id, count(*) AS n_tokens,
             round(CAST(SUM(nll) AS DOUBLE)/count(*), 4) AS avg_nll
+          FROM x GROUP BY 1 ORDER BY doc_id""",
+
+    "q96_token_entropy" ->
+      s"""WITH $toksCte,
+          tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+          c AS (SELECT doc_id, term, count(*) AS cnt FROM tk GROUP BY 1, 2),
+          cn AS (SELECT doc_id, term, cnt,
+                   SUM(cnt) OVER (PARTITION BY doc_id) AS n FROM c),
+          x AS (SELECT doc_id, n,
+                  CAST(round((CAST(cnt AS DOUBLE)/n) * ln(CAST(cnt AS DOUBLE)/n), 8)
+                    AS DECIMAL(28,8)) AS h
+                FROM cn)
+          SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_tokens,
+            count(*) AS n_distinct,
+            round(abs(-CAST(SUM(h) AS DOUBLE)), 4) AS entropy
           FROM x GROUP BY 1 ORDER BY doc_id"""
   )
 }

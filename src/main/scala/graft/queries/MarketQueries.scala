@@ -454,6 +454,32 @@ object MarketQueries {
         .orderBy(col("bar_ts"))
     }),
 
+    // Grouped boxplot profile: exact per-key quartiles (q35's
+    // percentile ≙ quantile_cont rule), IQR, and Tukey-fence outlier
+    // counts — fences rounded to 6dp BEFORE the boundary compare so
+    // the predicate cannot flip cross-engine. Two passes: quartiles,
+    // then a broadcast-join fence count (the q79 shape).
+    "q95_boxplot" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val qs = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"))
+        .withColumn("iqr", round(col("p75") - col("p25"), 6))
+        .withColumn("lo_fence", round(col("p25") - lit(1.5) * col("iqr"), 6))
+        .withColumn("hi_fence", round(col("p75") + lit(1.5) * col("iqr"), 6))
+      ev.join(broadcast(qs), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          first(col("p25")).as("p25"), first(col("p50")).as("p50"),
+          first(col("p75")).as("p75"), first(col("iqr")).as("iqr"),
+          sum(when(col("value") < col("lo_fence"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("value") > col("hi_fence"), 1L).otherwise(0L))
+            .as("n_above"))
+        .orderBy(col("event_type"))
+    }),
+
     // As-of join with a staleness tolerance (kdb wj / pandas
     // tolerance= semantics): quotes older than 2 minutes don't match.
     // Pure composition over AsOfJoin — the quote's own ts rides along
@@ -908,6 +934,27 @@ object MarketQueries {
                        sqrt(CAST(n_win*syy - sy*sy AS DOUBLE))), 6)
             END AS r_corr
           FROM s ORDER BY bar_ts""",
+
+    "q95_boxplot" ->
+      """WITH q AS (
+           SELECT event_type,
+             round(quantile_cont(value, 0.25), 6) AS p25,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.75), 6) AS p75
+           FROM events GROUP BY 1),
+         f AS (SELECT *, round(p75 - p25, 6) AS iqr,
+                 round(p25 - 1.5*round(p75 - p25, 6), 6) AS lo_fence,
+                 round(p75 + 1.5*round(p75 - p25, 6), 6) AS hi_fence
+               FROM q)
+         SELECT e.event_type, count(*) AS n,
+           any_value(f.p25) AS p25, any_value(f.p50) AS p50,
+           any_value(f.p75) AS p75, any_value(f.iqr) AS iqr,
+           CAST(SUM(CASE WHEN e.value < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN e.value > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above
+         FROM events e JOIN f USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
 
     "q94_asof_tolerance" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS d, ts, event_id, value AS click_val

@@ -332,6 +332,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 3L, 0.877), (2L, 2L, 1.0601)))
   }
 
+  test("tokenEntropy: 0 for constant docs, ln k for uniform docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"), (2L, "x y z"), (3L, "w w w w"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.tokenEntropy(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("entropy")))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, 0.6365), // -(2/3 ln 2/3 + 1/3 ln 1/3)
+      (2L, 3L, 3L, 1.0986), // ln 3
+      (3L, 4L, 1L, 0.0)))  // abs() normalizes the -0.0 sign bit
+  }
+
   test("redact masks emails before digit runs and counts each class") {
     import spark.implicits._
     val docs = Seq(
