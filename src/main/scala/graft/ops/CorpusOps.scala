@@ -273,4 +273,31 @@ object CorpusOps {
         sum(col("x").cast(DoubleType).cast(DecimalType(28, 12))).as("sx"))
       .select(col("label"), col("pos"), col("n"),
         round(col("sx").cast(DoubleType) / col("n"), 6).as("centroid"))
+
+  /** Per-domain cap sampling — the anti-domination rule of corpus
+    * mixes (no single source may contribute more than `cap` docs):
+    * docs rank within their domain by the portable md5 hash (a
+    * deterministic stand-in for a random draw — reproducible under any
+    * partitioning, any scale, no RNG state), and ranks above the cap
+    * drop.
+    *
+    * One shuffle on the domain key. Domain cardinality GROWS with
+    * corpus size (millions of hosts at 100 TB), so the per-domain
+    * window has no hot-key ceiling; a pathological mega-domain is
+    * exactly the doc set the cap is about to cut, and top-`cap`-per-key
+    * can fall back to the q39 aggregate-then-limit shape if one key
+    * ever dominates a partition. */
+  def capPerDomain(
+      docs: DataFrame,
+      domainCol: String = "source",
+      idCol: String = "doc_id",
+      cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("hk"), col(idCol))
+    docs
+      .withColumn("hk",
+        graft.functions.CrossHash.x32(concat(lit("cap#"), col(idCol))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select(col(idCol), col(domainCol), col("rank").cast("int").as("rank"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
@@ -166,9 +167,27 @@ object DedupOps {
     * without an n² pass. Band extraction is arithmetic-shift + mask
     * (`(sh >> 16b) & 0xFFFF`), exact for negative simhashes (bit 63
     * set) on both engines. */
-  def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Dist.materialize(
-      withSimhash64(df, textCol).select(col(idCol).as("doc"), col("sh")))
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
+    hammingNearDups(
+      Dist.materialize(
+        withSimhash64(df, textCol).select(col(idCol).as("doc"), col("sh"))),
+      "doc", "sh", maxHamming)
+
+  /** Generic 64-bit hamming near-dup band join — the machinery behind
+    * [[simhashNearDups]], reusable for ANY 64-bit perceptual
+    * fingerprint (text SimHash, image aHash from
+    * [[graft.ops.MultimodalOps.imageHashes]], audio chromaprints…):
+    * any pair at hamming distance <= 3 differs in at most 3 of the 4
+    * 16-bit bands, so it shares at least one — the band equi-join
+    * finds all such pairs without an n² pass. Band extraction is
+    * arithmetic-shift + mask (`(h >> 16b) & 0xFFFF`), exact for
+    * negative hashes (bit 63 set) on both engines. */
+  def hammingNearDups(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = hashes.select(col(idCol).as("doc"), col(hashCol).as("sh"))
     val bands = docs.select(col("doc"), col("sh"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh, b*16) & 65535 AS bval))")).as("bb"))
       .select(col("doc"), col("sh"), col("bb.band"), col("bb.bval"))
@@ -178,7 +197,7 @@ object DedupOps {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-      // filter BEFORE distinct: clustered simhashes make band buckets
+      // filter BEFORE distinct: clustered hashes make band buckets
       // large, and deduplicating millions of non-matching candidates
       // cost more than the whole rest of the query
       .filter(col("hamming") <= maxHamming)
@@ -275,5 +294,60 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_shared"),
         round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Sub-document (span-level) dedup — the C4/RefinedWeb rule that
+    * EXACT doc dedup can't express: boilerplate repeated ACROSS
+    * different documents (headers, license blocks, navigation chrome)
+    * is removed from every doc except the first one to contain it,
+    * while each doc's unique content survives.
+    *
+    * Docs split into NON-overlapping `spanLen`-token spans (remainder
+    * tail span kept). A span instance survives iff its `(doc, pos)` is
+    * the global minimum for that span's content — deterministic
+    * first-occurrence ownership, independent of partitioning. Output
+    * per doc: span counts, kept share, and the doc re-assembled from
+    * surviving spans in position order.
+    *
+    * Plan shape: tokenize + span explode are map-side; ownership is ONE
+    * shuffle on the span digest (rows per digest = duplicate count, so
+    * no hot keys at any scale); re-assembly is one shuffle back on the
+    * doc id. Spans travel as md5 digests + their text (needed for
+    * re-assembly) — at 100 TB the digest shuffle is the same size class
+    * as the exact-dedup shuffle, ~1× corpus bytes. */
+  def spanDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      spanLen: Int = 8): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1 (got $spanLen)")
+    val spans = docs
+      .select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1)
+      // integer-exact span count: (n-1) div spanLen + 1 in both engines
+      .withColumn("n_spans",
+        ((col("n") - 1).cast("double") / spanLen).cast("long") + 1)
+      .withColumn("pos", explode(sequence(lit(0L), col("n_spans") - 1)))
+      .select(col("doc"), col("pos"),
+        concat_ws(" ", slice(col("toks"), (col("pos") * spanLen + 1).cast("int"),
+          lit(spanLen))).as("span"))
+      .withColumn("sk", md5(col("span")))
+    val firstOwner = Window.partitionBy(col("sk")).orderBy(col("doc"), col("pos"))
+    spans
+      .withColumn("keep", row_number().over(firstOwner) === 1)
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("span"))))),
+            s => s.getField("span")), " ").as("clean_text"))
+      .select(col("doc").as(idCol), col("n_spans"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_spans").cast("double"), 6)
+          .as("share_kept"),
+        col("clean_text"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -82,4 +83,54 @@ object MarketBars {
         sum(col("n_ticks")).as("n_ticks"),
         sum(col("volume").cast(DecimalType(18, 6))).cast(DoubleType)
           .as("volume"))
+
+  /** Per-(series, day) VWAP + TWAP over OHLCV bars: price = bar close,
+    * size = bar tick count. Each bar's price×size product is ONE
+    * double multiply (correctly rounded, engine-identical), then sums
+    * accumulate in DECIMAL so the result is independent of
+    * partial-aggregation order — the [[bars]] volume rule applied to a
+    * weighted mean. One map-side-partial hash aggregate; the (series,
+    * day) key grows with data, so no hot keys at scale. */
+  def vwap(bars: DataFrame): DataFrame =
+    bars.groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        sum(col("n_ticks")).as("n_ticks"),
+        sum((col("close") * col("n_ticks").cast(DoubleType))
+          .cast(DecimalType(28, 12))).as("pv"),
+        sum(col("close").cast(DecimalType(28, 12))).as("pc"))
+      .select(col("series"), col("d"), col("n_bars"), col("n_ticks"),
+        round(col("pv").cast(DoubleType) / col("n_ticks").cast(DoubleType), 6)
+          .as("vwap"),
+        round(col("pc").cast(DoubleType) / col("n_bars").cast(DoubleType), 6)
+          .as("twap"))
+
+  /** Trailing exponentially-weighted moving average of bar closes:
+    * weight 2^-lag over a finite `window`-row frame (alpha = 1/2 —
+    * halving is EXACT in doubles, so no pow() rounding anywhere).
+    *
+    * Both engines materialize the frame as a list in frame-row order
+    * (oldest first) and fold it SEQUENTIALLY with the EWMA recurrence
+    * `s' = s/2 + x` (Spark `aggregate`, DuckDB `list_reduce`) — the
+    * identical op sequence on identical values, so numerator and
+    * denominator are bit-identical without decimal help. Per-series
+    * trailing frame = the q49/q83 hot-key class — the
+    * [[graft.ops.ScalableWindow]] (key, day) + carry-in rewrite
+    * applies unchanged when one series outgrows a partition. */
+  def ewma(bars: DataFrame, window: Int = 20): DataFrame = {
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+      .rowsBetween(-(window - 1), 0)
+    bars
+      .withColumn("cs", collect_list(col("close")).over(w))
+      .withColumn("n", size(col("cs")))
+      // fold oldest->newest: after the last step each element x at lag
+      // L has been halved L times, i.e. carries weight 2^-L
+      .withColumn("num",
+        aggregate(col("cs"), lit(0.0), (s, x) => s / 2.0 + x))
+      .withColumn("den",
+        aggregate(col("cs"), lit(0.0), (s, _) => s / 2.0 + 1.0))
+      .select(col("series"), col("bar_ts"), col("close"), col("n"),
+        round(col("num") / col("den"), 6).as("ewma"))
+  }
 }

@@ -200,6 +200,72 @@ object MultimodalOps {
     }
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of a 24-bit
+    * BMP: box-average the luminance onto an 8×8 grid, threshold each
+    * cell against the grid mean, pack row-major (bit cy*8+cx). Small
+    * edits flip few bits, so image near-dup detection reduces to a
+    * hamming band join — the IMAGE twin of text SimHash (q26). Needs
+    * at least 8×8 pixels (every grid cell must own >= 1 pixel);
+    * smaller or non-BMP payloads return None. */
+  private[graft] def aHash64(p: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val off = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (bpp != 24 || compression != 0 || w < 8 || h == 0 || off < 54) return None
+    val height = math.abs(h)
+    if (height < 8) return None
+    val bottomUp = h > 0
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off.toLong + rowSize.toLong * height > p.length) return None
+    val sum = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < height) {
+      val row = off + (if (bottomUp) height - 1 - y else y) * rowSize
+      val cy = (y.toLong * 8 / height).toInt
+      var x = 0
+      while (x < w) {
+        val b = u8(row + x * 3); val g = u8(row + x * 3 + 1); val r = u8(row + x * 3 + 2)
+        val cell = cy * 8 + (x.toLong * 8 / w).toInt
+        sum(cell) += (299 * r + 587 * g + 114 * b) / 1000
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i => sum(i).toDouble / cnt(i))
+    val gridMean = means.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (means(i) >= gridMean) bits |= (1L << i)
+      i += 1
+    }
+    Some(bits)
+  }
+
+  /** Perceptual hashes for a distributed image collection — batched
+    * [[aHash64]] inside `mapPartitions` (same shape as
+    * [[decodeImages]]: decode stays on the executors, pipelined with
+    * the scan). Payloads that aren't decodable BMPs drop out; feed
+    * the result to [[graft.ops.DedupOps.hammingNearDups]] for the
+    * image near-dup pass. */
+  def imageHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { iter =>
+      iter.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap(a => aHash64(a.payload).map(hh => (a.asset_id, hh)))
+      }
+    }.toDF("asset_id", "ahash")
+  }
+
   /** STUB resize: recomputes metadata for the target box preserving
     * aspect ratio (payload untouched — a real kernel would re-encode). */
   def resizeMeta(meta: Column, maxSide: Int): Column = {

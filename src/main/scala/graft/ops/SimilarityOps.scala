@@ -243,24 +243,85 @@ object SimilarityOps {
     val cb = broadcast(cents.agg(
       sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb")))
     val sd = (size(col(vecCol)) / m).cast("int")
-    def subL2(x: Column, c: Column, j: Int): Column =
-      aggregate(
-        zip_with(
-          slice(x, lit(j) * sd + 1, sd),
-          slice(c, lit(j) * sd + 1, sd),
-          (a, b) => (a.cast("double") - b.cast("double")) *
-            (a.cast("double") - b.cast("double"))),
-        lit(0.0), (s, z) => s + z)
     def code(j: Int): Column =
       aggregate(
         col("cb"),
         struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
         (acc, e) => {
-          val d = subL2(col(vecCol), e("cv"), j)
+          val d = subL2(col(vecCol), e("cv"), j, sd)
           when(d < acc("d"), struct(d.as("d"), e("cid").as("cid"))).otherwise(acc)
         })("cid")
     emb.crossJoin(cb)
       .select(col(idCol) +: (0 until m).map(j => code(j).as(s"c$j")): _*)
+  }
+
+  /** Squared L2 between subspace `j` (width `sd`) of vectors `x` and
+    * `c` — a SEQUENTIAL left fold of squared differences in index
+    * order, bit-identical to the DuckDB twin's `list_reduce` (shared
+    * by [[pqEncode]] and [[pqAdcTopK]], so codes and query distance
+    * tables derive from the one arithmetic rule). */
+  private def subL2(x: Column, c: Column, j: Int, sd: Column): Column =
+    aggregate(
+      zip_with(
+        slice(x, lit(j) * sd + 1, sd),
+        slice(c, lit(j) * sd + 1, sd),
+        (a, b) => (a.cast("double") - b.cast("double")) *
+          (a.cast("double") - b.cast("double"))),
+      lit(0.0), (s, z) => s + z)
+
+  /** PQ asymmetric-distance (ADC) top-k search — the read path that
+    * makes [[pqEncode]]'s compression useful: the corpus is scanned as
+    * CODES only (m small ints per vector, never the float arrays), and
+    * each query precomputes one distance TABLE per subspace (distance
+    * from the query's subvector to every centroid). A corpus vector's
+    * approximate distance is then m map lookups + a fixed-order sum —
+    * no float math against corpus data at all.
+    *
+    * Plan shape at 100 TB: the codebook folds to one broadcast row;
+    * the per-query tables (queries × m maps of `centroids` entries)
+    * broadcast with the query batch; scoring is pure map-side over the
+    * code stream; the ONLY shuffle is the per-query top-k window over
+    * rows that survive nothing (all corpus rows score — same shape as
+    * [[bruteForceTopK]], but each row costs m lookups instead of a
+    * d-element dot product, and the scan reads m ints instead of d
+    * floats — the 10-50× I/O cut is the point of PQ).
+    *
+    * Determinism: the ADC sum is an explicit left-assoc chain
+    * d0+d1+d2+... (both engines evaluate in j order), each d_j comes
+    * from the shared [[subL2]] fold, and ranks break ties by neighbor
+    * id on the EXACT double — the DuckDB twin reproduces the ranking
+    * bit-for-bit. */
+  def pqAdcTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryFilter: Column,
+      k: Int = 5,
+      m: Int = 4,
+      centroidEvery: Int = 50): DataFrame = {
+    val codes = pqEncode(emb, idCol, vecCol, m, centroidEvery)
+    val cents = emb
+      .filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val cb = broadcast(cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb")))
+    val sd = (size(col("qv")) / m).cast("int")
+    // per-query ADC tables: one map cid -> subspace distance per j
+    val q = emb.filter(queryFilter)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(cb)
+      .select(col("qid") +: (0 until m).map(j =>
+        map_from_entries(transform(col("cb"),
+          e => struct(e("cid"), subL2(col("qv"), e("cv"), j, sd)))).as(s"dt$j")): _*)
+    val scored = codes.join(broadcast(q), col("qid") =!= col(idCol))
+      .withColumn("adc",
+        (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j"))).reduce(_ + _))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("nid"), col("rank").cast("int").as("rank"),
+        round(col("adc"), 6).as("adc"))
   }
 
   /** Broadcast linear-classifier inference — the "quality/toxicity

@@ -194,6 +194,14 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // PQ asymmetric-distance search: corpus scanned as CODES only,
+    // per-query distance tables broadcast, score = m map lookups
+    "q97_pq_adc_topk" -> ((s, dir) => {
+      SimilarityOps.pqAdcTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryFilter = col("vec_id") < 10, k = 5, m = 4, centroidEvery = 50)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Stratified deterministic sampling — per-language training-mix
     // rates applied via the portable md5 hash (no RNG, reproducible at
     // any scale/partitioning), then audited per stratum
@@ -291,6 +299,22 @@ object LlmQueries {
     "q96_token_entropy" -> ((s, dir) => {
       CorpusOps.tokenEntropy(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))
+    }),
+
+    // Sub-document span dedup (C4/RefinedWeb rule): cross-doc repeated
+    // 8-token spans survive only in the first (doc, pos) to contain
+    // them; docs re-assembled from surviving spans
+    "q98_span_dedup" -> ((s, dir) => {
+      DedupOps.spanDedup(Tables.rebalance(Tables.documents(s, dir)), spanLen = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain cap sampling (C4/RefinedWeb anti-domination rule):
+    // keep at most `cap` docs per source, picked by the portable
+    // deterministic md5 order — no RNG, partitioning-independent
+    "q99_domain_cap" -> ((s, dir) => {
+      CorpusOps.capPerDomain(Tables.documents(s, dir), cap = 10)
+        .orderBy(col("source"), col("rank"))
     })
   )
 
@@ -623,6 +647,41 @@ object LlmQueries {
            max(CASE WHEN j = 3 THEN cid END) AS c3
          FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
 
+    // ADC twin: re-derive the q70 codes, build per-(query, subspace)
+    // distance tables with the SAME sequential list_reduce fold, then
+    // score each corpus code row with an explicit left-assoc d0+d1+d2+d3
+    // (matching Spark's reduce order) and rank on the exact double
+    "q97_pq_adc_topk" ->
+      """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST(len(embedding) // 4 AS INTEGER) AS sd FROM embeddings),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 50 = 0),
+         d AS (SELECT x.vec_id, c.cid, g.j,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, x.sd),
+                     i -> (x.v[g.j*x.sd+i] - c.cv[g.j*x.sd+i])
+                        * (x.v[g.j*x.sd+i] - c.cv[g.j*x.sd+i]))),
+                   (s, z) -> s + z) AS dist
+               FROM x CROSS JOIN c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) g),
+         codes AS (SELECT vec_id, j, cid FROM (
+                     SELECT vec_id, j, cid,
+                       row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+                     FROM d) WHERE rn = 1),
+         qd AS (SELECT vec_id AS qid, cid, j, dist FROM d WHERE vec_id < 10),
+         scored AS (SELECT qd0.qid, cd.vec_id AS nid,
+                      ((max(CASE WHEN cd.j = 0 THEN qd0.dist END)
+                        + max(CASE WHEN cd.j = 1 THEN qd0.dist END))
+                        + max(CASE WHEN cd.j = 2 THEN qd0.dist END))
+                        + max(CASE WHEN cd.j = 3 THEN qd0.dist END) AS adc
+                    FROM codes cd
+                    JOIN qd qd0 ON qd0.cid = cd.cid AND qd0.j = cd.j AND qd0.qid <> cd.vec_id
+                    GROUP BY qd0.qid, cd.vec_id),
+         r AS (SELECT qid, nid, adc,
+                 row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+               FROM scored)
+         SELECT qid, nid, CAST(rank AS INTEGER) AS rank, round(adc, 6) AS adc
+         FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
     "q61_stratified" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
@@ -774,6 +833,40 @@ object LlmQueries {
           SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_tokens,
             count(*) AS n_distinct,
             round(abs(-CAST(SUM(h) AS DOUBLE)), 4) AS entropy
-          FROM x GROUP BY 1 ORDER BY doc_id"""
+          FROM x GROUP BY 1 ORDER BY doc_id""",
+
+    // span dedup twin: same non-overlapping 8-token spans ((n-1)//8+1
+    // integer-exact), same (doc, pos) first-occurrence ownership, doc
+    // re-assembled by position-ordered string_agg of surviving spans
+    "q98_span_dedup" ->
+      s"""WITH $toksCte,
+          t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                FROM d WHERE len(toks) >= 1),
+          s0 AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, (n-1)//8)) AS pos FROM t),
+          s AS (SELECT doc_id, pos,
+                  array_to_string(list_slice(toks, pos*8+1, pos*8+8), ' ') AS span
+                FROM s0),
+          k AS (SELECT doc_id, pos, span,
+                  row_number() OVER (PARTITION BY md5(span)
+                    ORDER BY doc_id, pos) AS rn
+                FROM s)
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 6) AS share_kept,
+            coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+              ORDER BY pos), '') AS clean_text
+          FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+    "q99_domain_cap" ->
+      s"""WITH h AS (SELECT doc_id, source,
+                ${x32("'cap#' || doc_id")} AS hk FROM documents),
+          r AS (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
+                FROM h)
+          SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 10 ORDER BY source, rank"""
   )
 }

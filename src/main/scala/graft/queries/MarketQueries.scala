@@ -562,6 +562,23 @@ object MarketQueries {
             round((col("close") - dbl(col("sy")) / col("n_cs")) /
               sqrt(col("vars")), 4)).as("cs_z"))
         .orderBy(col("bar_ts"), col("series"))
+    }),
+
+    // Per-(series, day) VWAP + TWAP over the 5-min bars: one double
+    // product per bar, DECIMAL-accumulated sums (MarketBars.vwap)
+    "q100_vwap" -> ((s, dir) => {
+      MarketBars.vwap(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
+    // Trailing exponential moving average of bar closes, alpha = 1/2
+    // over a 20-row frame — both engines fold the SAME frame list
+    // sequentially, so the doubles are bit-identical (MarketBars.ewma)
+    "q101_ewma" -> ((s, dir) => {
+      MarketBars.ewma(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), window = 20)
+        .orderBy(col("series"), col("bar_ts"))
     })
   )
 
@@ -1015,6 +1032,38 @@ object MarketQueries {
             CASE WHEN n_cs > 1 AND vars > 0
                  THEN round((close - CAST(sy AS DOUBLE)/n_cs)/sqrt(vars), 4)
             END AS cs_z
-          FROM v ORDER BY bar_ts, series"""
+          FROM v ORDER BY bar_ts, series""",
+
+    "q100_vwap" ->
+      s"""WITH $barsCte
+          SELECT series, CAST(bar_ts AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS n_bars,
+            CAST(SUM(n_ticks) AS BIGINT) AS n_ticks,
+            round(CAST(SUM(CAST(close * CAST(n_ticks AS DOUBLE)
+                AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(SUM(n_ticks) AS DOUBLE), 6) AS vwap,
+            round(CAST(SUM(CAST(close AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS twap
+          FROM bars GROUP BY 1, 2 ORDER BY series, d""",
+
+    // ewma twin: list() materializes the trailing frame in frame-row
+    // order (oldest first) and list_reduce folds it with the SAME
+    // sequential recurrence s/2 + x that Spark's aggregate() runs —
+    // identical op sequence on identical doubles, bit-identical result
+    "q101_ewma" ->
+      s"""WITH $barsCte,
+          f AS (SELECT series, bar_ts, close,
+                  list(close) OVER (PARTITION BY series ORDER BY bar_ts
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cs
+                FROM bars),
+          x AS (SELECT series, bar_ts, close,
+                  CAST(len(cs) AS INTEGER) AS n,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                    (s, z) -> s/2 + z) AS num,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                    (s, z) -> s/2 + 1.0) AS den
+                FROM f)
+          SELECT series, bar_ts, close, n, round(num/den, 6) AS ewma
+          FROM x ORDER BY series, bar_ts"""
   )
 }

@@ -198,4 +198,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
         r.getAs[Int]("rank"), r.getAs[Double]("cum_share")))
     assert(out.toSeq === Seq(("a", 3L, 1, 0.6), ("b", 1L, 2, 0.8)))
   }
+
+  test("vwap weighs closes by tick count; twap is the plain bar mean") {
+    // day 1: (close 10 x 2 ticks) + (close 20 x 3 ticks)
+    //   vwap = (10*2 + 20*3)/5 = 16, twap = 15
+    val bars = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 10.0, 2L),
+      ("a", ts("2024-01-01 10:05:00"), 20.0, 3L),
+      ("a", ts("2024-01-02 10:00:00"), 7.0, 4L))
+      .toDF("series", "bar_ts", "close", "n_ticks")
+    val out = graft.ops.MarketBars.vwap(bars).orderBy("d").collect()
+      .map(r => (r.getAs[Long]("n_bars"), r.getAs[Long]("n_ticks"),
+        r.getAs[Double]("vwap"), r.getAs[Double]("twap")))
+    assert(out.toSeq === Seq((2L, 5L, 16.0, 15.0), (1L, 4L, 7.0, 7.0)))
+  }
+
+  test("ewma follows the s/2 + x recurrence over the trailing frame") {
+    // closes 1, 2, 4:
+    //   row1 num=1      den=1    -> 1
+    //   row2 num=2.5    den=1.5  -> 1.666667
+    //   row3 num=5.25   den=1.75 -> 3
+    val bars = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1.0),
+      ("a", ts("2024-01-01 10:05:00"), 2.0),
+      ("a", ts("2024-01-01 10:10:00"), 4.0),
+      ("b", ts("2024-01-01 10:00:00"), 9.0)) // other series unaffected
+      .toDF("series", "bar_ts", "close")
+    val out = graft.ops.MarketBars.ewma(bars, window = 20)
+      .orderBy("series", "bar_ts").collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Int]("n"),
+        r.getAs[Double]("ewma")))
+    assert(out.toSeq === Seq(
+      ("a", 1, 1.0), ("a", 2, 1.666667), ("a", 3, 3.0), ("b", 1, 9.0)))
+    // window=1 degenerates to the close itself
+    val w1 = graft.ops.MarketBars.ewma(bars, window = 1)
+      .filter(col("ewma") =!= col("close"))
+    assert(w1.count() === 0)
+  }
 }

@@ -361,4 +361,93 @@ class LlmOpsSpec extends AnyFunSuite {
       ("mail <EMAIL> x <NUM> <NUM>", 1L, 2L),
       ("no pii here", 0L, 0L)))
   }
+
+  test("image aHash: near-identical BMPs pair up, inverted image stays apart") {
+    import spark.implicits._
+    def bmp24(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowSize * h
+      val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) {
+        for (x <- 0 until w) {
+          val (r, g, bl) = rgb(x, y)
+          b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        }
+        for (_ <- 0 until rowSize - w * 3) b.put(0.toByte)
+      }
+      b.array()
+    }
+    def grad(x: Int, y: Int): (Int, Int, Int) = { val v = x * 255 / 15; (v, v, v) }
+    val base = bmp24(16, 16, grad)
+    val tweak = bmp24(16, 16, (x, y) =>
+      if (x == 0 && y == 0) (40, 40, 40) else grad(x, y)) // one-pixel edit
+    val inverted = bmp24(16, 16, (x, y) => { val v = 255 - x * 255 / 15; (v, v, v) })
+    // determinism + the hash ignores a sub-cell edit's direction
+    assert(MultimodalOps.aHash64(base) === MultimodalOps.aHash64(base))
+    assert(MultimodalOps.aHash64("not a bmp".getBytes) === None)
+    val assets = Seq(
+      MultimodalOps.MediaAsset(1L, "image", base),
+      MultimodalOps.MediaAsset(2L, "image", tweak),
+      MultimodalOps.MediaAsset(3L, "image", inverted),
+      MultimodalOps.MediaAsset(4L, "image", "junk".getBytes)).toDS()
+    val hashes = MultimodalOps.imageHashes(assets).cache()
+    assert(hashes.count() === 3) // junk payload dropped
+    val pairs = graft.ops.DedupOps.hammingNearDups(hashes, "asset_id", "ahash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"expected near-dup pair, got ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"inverted image must not band-match: ${pairs.toSeq}")
+    hashes.unpersist()
+  }
+
+  test("spanDedup: cross-doc span kept only in first owner, within-doc repeat dropped") {
+    import spark.implicits._
+    val eight = "a b c d e f g h" // one full 8-token span
+    val fixture = Seq(
+      (1L, s"$eight x1 x2"),     // owns the shared span + unique tail
+      (2L, s"$eight y1 y2"),     // loses the shared span, keeps its tail
+      (3L, "z z z z z z z z z z z z z z z z")) // 2 identical spans in ONE doc
+      .toDF("doc_id", "text")
+    val out = DedupOps.spanDedup(fixture, spanLen = 8).orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_kept", "share_kept", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 1.0, s"$eight x1 x2"),
+      (2L, 2L, 1L, 0.5, "y1 y2"),
+      (3L, 2L, 1L, 0.5, "z z z z z z z z")))
+  }
+
+  test("capPerDomain: caps each domain, ranks contiguous, deterministic") {
+    import spark.implicits._
+    val fixture = ((1 to 15).map(i => (i.toLong, "big")) ++
+      (16 to 20).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val out = graft.ops.CorpusOps.capPerDomain(fixture, cap = 10).cache()
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 10L, "small" -> 5L))
+    // ranks are 1..n per domain
+    val ranks = out.filter(col("source") === "big")
+      .select("rank").collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq === (1 to 10))
+    // deterministic: a second run picks the identical doc set
+    val again = graft.ops.CorpusOps.capPerDomain(fixture, cap = 10)
+    assert(out.select("doc_id").except(again.select("doc_id")).count() === 0)
+    out.unpersist()
+  }
+
+  test("pqAdcTopK: ranks contiguous, adc monotone in rank, no self hits") {
+    val topk = SimilarityOps.pqAdcTopK(emb, "vec_id", "embedding",
+      queryFilter = col("vec_id") < 5, k = 5).cache()
+    assert(topk.groupBy("qid").count().filter(col("count") =!= 5).count() === 0)
+    assert(topk.filter(col("qid") === col("nid")).count() === 0)
+    // within a query, higher rank must never have a smaller ADC distance
+    val viol = topk.as("a").join(topk.as("b"),
+      col("a.qid") === col("b.qid") && col("a.rank") < col("b.rank") &&
+        col("a.adc") > col("b.adc"))
+    assert(viol.count() === 0)
+    topk.unpersist()
+  }
 }
