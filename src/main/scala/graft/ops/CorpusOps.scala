@@ -300,4 +300,101 @@ object CorpusOps {
       .filter(col("rank") <= cap)
       .select(col(idCol), col(domainCol), col("rank").cast("int").as("rank"))
   }
+
+  /** BM25 keyword retrieval (Okapi, Lucene idf form): global top-`k`
+    * documents for a fixed bag of query terms.
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))
+    *   idf(t)   = ln( (N − df + 0.5)/(df + 0.5) + 1 )
+    *
+    * Scores round to 6 dp BEFORE ranking (q59's rule) and tie-break on
+    * doc_id, so the global cut is engine-deterministic.
+    *
+    * Scale posture: the term filter lands BEFORE the (doc, term)
+    * aggregate, so only postings of the |q| query terms shuffle —
+    * corpus-sized token traffic never leaves the map side. df/N/avgdl
+    * fold to |q|+1 rows and broadcast. The final top-k is a sort-limit
+    * (TakeOrdered — per-partition heaps, no global sort); the rank
+    * window runs on the k surviving rows only.
+    */
+  def bm25(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    // one tokenize pass feeds doc lengths AND query-term tf
+    val toks = Dist.materialize(
+      docs.withColumn("toks", TextOps.tokens(col(textCol)))
+        .filter(size(col("toks")) >= 1))
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint(eager = false)
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      // decimal-accumulated so partial-agg order cannot perturb avgdl
+      sum(col("dl").cast(DecimalType(28, 6))).as("sum_dl"))
+    val hits = toks
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfAgg = hits.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val scored = tf
+      .join(broadcast(dfAgg), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol), col("dl"))
+      // contributions sum in DECIMAL (q34 rule) so partial-agg order
+      // cannot perturb the rounded score
+      .agg(round(sum(col("contrib").cast(DecimalType(28, 12))).cast(DoubleType), 6)
+        .as("score"),
+        count(lit(1)).as("n_terms"))
+    val top = scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("int"))
+      .select(col("rank"), col(idCol), col("dl"), col("n_terms"), col("score"))
+  }
+
+  /** Inverted-index build: posting lists for the `topTerms` most
+    * frequent terms (df desc, term asc — rounded-free, so the cut is
+    * exact). Postings emit as a comma-joined sorted doc_id string —
+    * canonical and hash-stable across engines.
+    *
+    * Scale posture: df is a map-side-combined aggregate; the top-k cut
+    * folds to `topTerms` rows and BROADCASTS back as a semi-join, so
+    * only postings of surviving terms shuffle into collect_list. A
+    * posting list's width is bounded by df — at 100 TB the top terms
+    * are stopwords with corpus-sized postings, which is why real
+    * deployments cap or skip-list them; the broadcast-prune shape here
+    * is the right frame for that cap (add `maxDf` like q77's).
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      topTerms: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .distinct()
+    val top = pairs.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(topTerms)
+    pairs.join(broadcast(top), "term")
+      .groupBy(col("term"), col("df"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .select(col("term"), col("df"),
+        size(col("ids")).cast("long").as("n_postings"),
+        // sort NUMERICALLY first, cast after — string sort would put 10 < 2
+        array_join(transform(col("ids"), x => x.cast("string")), ",").as("postings"))
+  }
 }

@@ -142,6 +142,57 @@ object DedupOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-accelerated [[decontaminate]] — bit-identical output, but
+    * the corpus side is pre-filtered by a Bloom filter of the bench
+    * shingle hashes BEFORE the join, so at scale the broadcast join
+    * probes only the (tiny) candidate fraction instead of every corpus
+    * shingle row.
+    *
+    * Why this matters at 100 TB: the exact path broadcasts the bench
+    * hash TABLE and probes it with every corpus shingle — the probe is
+    * cheap but every row still flows through the join operator. A
+    * Bloom of the same keys is ~10 bits/key (a 100M-shingle benchmark
+    * ≈ 125 MB), and `mightContain` rejects ~99% of corpus shingles in
+    * a tight primitive loop before any join machinery. False positives
+    * are harmless: the exact join after the filter discards them, so
+    * the result equals [[decontaminate]] exactly — which is why this
+    * query shares q73's oracle family.
+    *
+    * The membership probe is a lambda filter over a typed projection
+    * (no built-in exposes sketch membership as a Column); it sits on
+    * an (id, hash) pair stream, not on document text, so the
+    * deserialization surface is two longs per row.
+    */
+  def decontaminateBloom(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      benchFilter: Column,
+      minShared: Int = 2,
+      fpp: Double = 0.01): DataFrame = {
+    graft.functions.MinHashDoc.register(df.sparkSession, A, B, CrossHash.P)
+    val eligible = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
+    val exploded = eligible
+      .select(col(idCol).as("doc"), benchFilter.as("is_bench"),
+        explode(graft.functions.MinHashDoc.doc(col(textCol))("sset")).as("h"))
+    val bench = exploded.filter(col("is_bench"))
+      .select(col("doc").as("bench_id"), col("h"))
+      .localCheckpoint(eager = false)
+    val nBench = math.max(1L, bench.count())
+    val bf = bench.stat.bloomFilter("h", nBench, fpp)
+    val bcBf = df.sparkSession.sparkContext.broadcast(bf)
+    import df.sparkSession.implicits._
+    val candidates = exploded.filter(!col("is_bench"))
+      .select(col("doc").as("doc_id"), col("h"))
+      .as[(Long, Long)]
+      .filter(t => bcBf.value.mightContainLong(t._2))
+      .toDF("doc_id", "h")
+    candidates.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash over token hashes (with multiplicity): per bit
     * position, tokens vote +1/-1 by their hash bit; the sign of the
     * vote sum becomes the SimHash bit — the codegen'd

@@ -131,6 +131,41 @@ object PairAnalytics {
           (sqrt(varX) * sqrt(varY)), 6)).as("r_corr"))
   }
 
+  /** Rolling OLS hedge ratio (beta) + intercept of leg2 on leg1 over a
+    * trailing `nBars` frame — the pairs-trading position-sizing twin
+    * of [[rollingCorr]]: beta = cov(x,y)/var(x), alpha = ȳ − β·x̄.
+    * Same decimal-accumulated running sums (the q34 rule: products
+    * form in DOUBLE, sum in DECIMAL so partial order can't perturb),
+    * same warm-up gate (null until the frame fills or var(x) = 0).
+    *
+    * Scale posture identical to [[rollingCorr]]: one per-pair window —
+    * the q49 hot-key class; the (key, day)+carry-in escape
+    * (ScalableWindow) applies when one pair's history outgrows a task.
+    */
+  def rollingBeta(pair: DataFrame, nBars: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val x = col("close1")
+    val y = col("close2")
+    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
+      .rowsBetween(-(nBars - 1), Window.currentRow)
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(28, 6))).over(w)
+    val withSums = pair.select(
+      col("pair_name"), col("bar_ts"), col("close1"), col("close2"),
+      count(lit(1)).over(w).as("n_win"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * y).as("sxy"), dsum(x * x).as("sxx"))
+    val n = col("n_win")
+    val varX = dbl(n * col("sxx") - col("sx") * col("sx"))
+    val beta = dbl(n * col("sxy") - col("sx") * col("sy")) / varX
+    withSums.select(
+      col("pair_name"), col("bar_ts"), col("n_win"),
+      when(n >= nBars && varX > 0, round(beta, 6)).as("beta"),
+      when(n >= nBars && varX > 0,
+        round((dbl(col("sy")) - beta * dbl(col("sx"))) / dbl(n), 6)).as("alpha"))
+  }
+
   /** Full flagship chain for one pair over a bar frame. */
   def pairZScore(
       bars: DataFrame,

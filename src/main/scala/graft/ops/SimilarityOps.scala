@@ -372,4 +372,52 @@ object SimilarityOps {
           + col("bias"), 6).as("margin"))
       .withColumn("pred", (col("margin") > 0).cast("int"))
   }
+
+  /** Symmetric int8 scalar quantization — the 4× storage cut that
+    * usually precedes PQ: per-dimension scale s_i = max|x_i| over the
+    * corpus, code c_i = floor(x_i / s_i · 127 + 0.5) clamped to
+    * [-127, 127]. `floor(·+0.5)` is used instead of `round` so the
+    * tie rule is a single IEEE-exact formula in both engines.
+    *
+    * Emits per-vector codes (first dim as a spot-check column), the
+    * max absolute reconstruction error and its L2 — the quality report
+    * a quantized index ships with.
+    *
+    * Scale posture: per-dim maxima are a (pos)-keyed map-side-combined
+    * aggregate (dim-sized, tiny); they fold to ONE array row and
+    * broadcast, so encode + error are pure map-side array math over
+    * the corpus scan. No corpus-sized shuffle anywhere.
+    */
+  def int8Quantize(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val scales = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(max(abs(col("x").cast("double"))).as("s"))
+    // fold dim rows into one ordered array; guard s=0 dims (constant 0
+    // column) by mapping them to scale 1 — code 0 either way
+    val sArr = broadcast(scales.agg(
+      transform(
+        array_sort(collect_list(struct(col("pos"), col("s")))),
+        e => when(e("s") > 0.0, e("s")).otherwise(1.0)).as("scales")))
+    val codes = zip_with(col(vecCol), col("scales"),
+      (x, s) => greatest(lit(-127.0),
+        least(lit(127.0), floor(x.cast("double") / s * 127.0 + 0.5))).cast("int"))
+    val err = zip_with(
+      zip_with(col("codes"), col("scales"),
+        (c, s) => c.cast("double") / 127.0 * s),
+      col(vecCol),
+      (r, x) => abs(r - x.cast("double")))
+    emb.crossJoin(sArr)
+      .withColumn("codes", codes)
+      .withColumn("errv", err)
+      .select(col(idCol),
+        element_at(col("codes"), 1).as("c1"),
+        round(aggregate(col("errv"), lit(0.0), (a, e) => greatest(a, e)), 6)
+          .as("max_err"),
+        round(sqrt(aggregate(col("errv"), lit(0.0), (a, e) => a + e * e)), 6)
+          .as("err_l2"))
+  }
 }

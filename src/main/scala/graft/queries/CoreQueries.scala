@@ -488,6 +488,18 @@ object CoreQueries {
       graft.ops.Profiler.profile(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("col_name"))
+    }),
+
+    // Z-order clustering key: Morton-interleave (l_partkey, l_suppkey)
+    // low 16 bits — the write-side layout that lets ONE sort order
+    // prune parquet row groups on BOTH keys; pure map-side codegen bit
+    // math, first 100 rows of the clustered order as the gate sample
+    "q105_zorder" -> ((s, dir) => {
+      graft.ops.LayoutOps.zOrdered(Tables.lineitem(s, dir), "l_partkey", "l_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
     })
   )
 
@@ -813,6 +825,20 @@ object CoreQueries {
             $aggCols
           FROM lineitem)
           SELECT * FROM ($branches) ORDER BY col_name"""
+    },
+
+    // z-value twin: the identical flat sum of 32 shift/mask terms the
+    // Spark expression unrolls to
+    "q105_zorder" -> {
+      val terms = (0 until 16).flatMap { i =>
+        Seq(
+          s"(((l_partkey >> $i) & 1) << ${2 * i})",
+          s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+            CAST($terms AS BIGINT) AS z
+          FROM lineitem
+          ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""
     }
   )
 }

@@ -21,6 +21,9 @@ object LlmQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Fixed q102 keyword query (terms from the testdata vocabulary). */
+  private val Bm25Terms = Seq("spark", "window", "hash")
+
   private val toksCte =
     "d AS (SELECT doc_id, text, lang, regexp_split_to_array(trim(text), ' +') AS toks FROM documents)"
 
@@ -315,6 +318,42 @@ object LlmQueries {
     "q99_domain_cap" -> ((s, dir) => {
       CorpusOps.capPerDomain(Tables.documents(s, dir), cap = 10)
         .orderBy(col("source"), col("rank"))
+    }),
+
+    // BM25 keyword retrieval: global top-10 for a fixed 3-term query;
+    // postings of the query terms are the ONLY corpus tokens that
+    // shuffle (term filter before the aggregate)
+    "q102_bm25" -> ((s, dir) => {
+      CorpusOps.bm25(Tables.rebalance(Tables.documents(s, dir)),
+        queryTerms = Bm25Terms, k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    // Symmetric int8 scalar quantization: per-dim max|x| scales fold
+    // to one broadcast array row; encode + reconstruction-error audit
+    // are pure map-side array math
+    "q103_int8_quant" -> ((s, dir) => {
+      SimilarityOps.int8Quantize(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Inverted-index build: posting lists of the 20 most frequent
+    // terms (df desc, term asc), postings as the canonical sorted
+    // comma-joined doc_id string
+    "q104_inverted_index" -> ((s, dir) => {
+      CorpusOps.invertedIndex(Tables.rebalance(Tables.documents(s, dir)),
+        topTerms = 20)
+        .orderBy(col("df").desc, col("term"))
+    }),
+
+    // Bloom-accelerated decontamination: bit-identical to the exact
+    // q73 join (bloom only PREFILTERS; the join discards false
+    // positives), different bench modulus so the two rows gate
+    // independently
+    "q107_bloom_decontam" -> ((s, dir) => {
+      DedupOps.decontaminateBloom(Tables.rebalance(Tables.documents(s, dir)),
+        "text", "doc_id", benchFilter = col("doc_id") % 41 === 0, minShared = 2)
+        .orderBy(col("doc_id"), col("bench_id"))
     })
   )
 
@@ -867,6 +906,96 @@ object LlmQueries {
                   row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
                 FROM h)
           SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
-          FROM r WHERE rank <= 10 ORDER BY source, rank"""
+          FROM r WHERE rank <= 10 ORDER BY source, rank""",
+
+    // BM25 (Okapi, Lucene idf): per-(doc, term) contributions cast to
+    // DECIMAL before the per-doc sum (q34 rule), rounded BEFORE the
+    // global rank cut (q59 rule)
+    "q102_bm25" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH $toksCte,
+          t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+                FROM d WHERE len(toks) >= 1),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      SUM(CAST(dl AS DECIMAL(28,6))) AS sum_dl FROM t),
+          qh AS (SELECT doc_id, dl, unnest(toks) AS term FROM t),
+          qf AS (SELECT * FROM qh WHERE term IN $terms),
+          tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM qf GROUP BY 1, 2, 3),
+          dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM qf GROUP BY 1),
+          c AS (SELECT tf.doc_id, tf.dl,
+                  ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * tf.dl
+                         / (CAST(sum_dl AS DOUBLE)/n_docs))) AS contrib
+                FROM tf JOIN dfx USING (term) CROSS JOIN stats),
+          sc AS (SELECT doc_id, dl,
+                   round(CAST(SUM(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6)
+                     AS score,
+                   CAST(count(*) AS BIGINT) AS n_terms
+                 FROM c GROUP BY 1, 2),
+          r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS rank FROM sc)
+          SELECT CAST(rank AS INTEGER) AS rank, doc_id, dl, n_terms, score
+          FROM r WHERE rank <= 10 ORDER BY rank"""
+    },
+
+    // int8 quantization twin: identical floor(x/s*127 + 0.5) tie rule,
+    // identical sequential error folds
+    "q103_int8_quant" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         px AS (SELECT vec_id, i, v[i] AS x
+                FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
+         scp AS (SELECT i, CASE WHEN max(abs(x)) > 0 THEN max(abs(x)) ELSE 1.0 END AS s
+                 FROM px GROUP BY 1),
+         sl AS (SELECT list(s ORDER BY i) AS scales FROM scp),
+         enc AS (SELECT vec_id, v, scales,
+                   list_transform(generate_series(1, len(v)),
+                     i -> greatest(-127.0, least(127.0,
+                            floor(v[i] / scales[i] * 127.0 + 0.5)))) AS codes
+                 FROM e0 CROSS JOIN sl),
+         er AS (SELECT vec_id, codes,
+                  list_transform(generate_series(1, len(v)),
+                    i -> abs(codes[i] / 127.0 * scales[i] - v[i])) AS ev
+                FROM enc)
+         SELECT vec_id, CAST(codes[1] AS INTEGER) AS c1,
+           round(list_reduce(list_prepend(0.0, ev), (a, e) -> greatest(a, e)), 6)
+             AS max_err,
+           round(sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(ev, e -> e*e)), (a, e) -> a + e)), 6) AS err_l2
+         FROM er ORDER BY vec_id""",
+
+    // inverted-index twin: distinct (doc, term) pairs, df-ranked
+    // top-20 cut (df desc, term asc — tie-exact), postings string
+    // aggregated in NUMERIC doc_id order
+    "q104_inverted_index" ->
+      s"""WITH $toksCte,
+          pairs AS (SELECT DISTINCT doc_id, term
+                    FROM (SELECT doc_id, unnest(toks) AS term FROM d)),
+          top AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM pairs GROUP BY 1
+                  ORDER BY df DESC, term ASC LIMIT 20)
+          SELECT p.term, df, CAST(count(*) AS BIGINT) AS n_postings,
+            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+          FROM pairs p JOIN top USING (term)
+          GROUP BY 1, 2 ORDER BY df DESC, term""",
+
+    // bloom decontamination twin = the EXACT overlap join (the bloom
+    // is a pruning detail the result is provably independent of),
+    // bench modulus 41
+    "q107_bloom_decontam" ->
+      s"""WITH $toksCte,
+          sh AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM d),
+          xs AS (SELECT doc_id,
+                   list_distinct(list_transform(sset, s -> ${x32("s")})) AS hset
+                 FROM sh WHERE len(sset) > 0),
+          e AS (SELECT doc_id, unnest(hset) AS h FROM xs),
+          bench AS (SELECT doc_id AS bench_id, h FROM e WHERE doc_id % 41 = 0),
+          train AS (SELECT doc_id, h FROM e WHERE doc_id % 41 <> 0),
+          j AS (SELECT t.doc_id, b.bench_id, count(*) AS n_shared
+                FROM train t JOIN bench b USING (h) GROUP BY 1, 2)
+          SELECT doc_id, bench_id, n_shared FROM j WHERE n_shared >= 2
+          ORDER BY doc_id, bench_id"""
   )
 }

@@ -454,6 +454,18 @@ object MarketQueries {
         .orderBy(col("bar_ts"))
     }),
 
+    // Rolling OLS hedge ratio (beta) + intercept over a trailing
+    // 12-bar frame — q85's position-sizing twin: beta = cov/var(x),
+    // alpha = ȳ − β·x̄, decimal-accumulated running sums, warm-up gate
+    "q106_rolling_beta" -> ((s, dir) => {
+      val bars = MarketBars.bars(Tables.events(s, dir), "event_type", "ts", "value")
+      PairAnalytics
+        .rollingBeta(
+          PairAnalytics.pairSpread(bars, "click", "view").drop("spread"),
+          nBars = 12)
+        .orderBy(col("bar_ts"))
+    }),
+
     // Grouped boxplot profile: exact per-key quartiles (q35's
     // percentile ≙ quantile_cont rule), IQR, and Tukey-fence outlier
     // counts — fences rounded to 6dp BEFORE the boundary compare so
@@ -950,6 +962,32 @@ object MarketQueries {
                       (sqrt(CAST(n_win*sxx - sx*sx AS DOUBLE)) *
                        sqrt(CAST(n_win*syy - sy*sy AS DOUBLE))), 6)
             END AS r_corr
+          FROM s ORDER BY bar_ts""",
+
+    // rolling-beta twin: same decimal running sums as q85; alpha uses
+    // the UNROUNDED beta (rounding applies per output column only)
+    "q106_rolling_beta" ->
+      s"""WITH $pairCte,
+          s AS (
+            SELECT bar_ts, close1, close2,
+              count(*) OVER w AS n_win,
+              SUM(CAST(close1 AS DECIMAL(28,6))) OVER w AS sx,
+              SUM(CAST(close2 AS DECIMAL(28,6))) OVER w AS sy,
+              SUM(CAST(close1*close2 AS DECIMAL(28,6))) OVER w AS sxy,
+              SUM(CAST(close1*close1 AS DECIMAL(28,6))) OVER w AS sxx
+            FROM pair
+            WINDOW w AS (ORDER BY bar_ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+          SELECT 'click-view' AS pair_name, bar_ts, n_win,
+            CASE WHEN n_win >= 12 AND CAST(n_win*sxx - sx*sx AS DOUBLE) > 0
+                 THEN round(CAST(n_win*sxy - sx*sy AS DOUBLE) /
+                            CAST(n_win*sxx - sx*sx AS DOUBLE), 6)
+            END AS beta,
+            CASE WHEN n_win >= 12 AND CAST(n_win*sxx - sx*sx AS DOUBLE) > 0
+                 THEN round((CAST(sy AS DOUBLE)
+                        - (CAST(n_win*sxy - sx*sy AS DOUBLE) /
+                           CAST(n_win*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                       / CAST(n_win AS DOUBLE), 6)
+            END AS alpha
           FROM s ORDER BY bar_ts""",
 
     "q95_boxplot" ->

