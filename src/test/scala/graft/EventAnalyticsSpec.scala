@@ -175,7 +175,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-01 11:00:00.0", 4.5, 4.5, 4.5, 4.5, 1L, 4.5)))
   }
 
-  test("profile summarizes each column from one aggregate") {
+  test("profile summarizes each column from one unpivoted pass") {
     val df = Seq(
       (1.0, Option(3.0)), (2.0, Option(4.0)), (2.0, Option.empty[Double]))
       .toDF("a", "b")
