@@ -236,23 +236,22 @@ object SimilarityOps {
       vecCol: String,
       m: Int = 4,
       centroidEvery: Int = 50): DataFrame = {
+    graft.functions.PqCodes.register(emb.sparkSession)
     val cents = emb
       .filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // sort by cid so the fold's strict-< keeps the lowest cid on ties
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+    // sort by cid so the kernel's strict-< keeps the lowest cid on ties
     val cb = broadcast(cents.agg(
       sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb")))
-    val sd = (size(col(vecCol)) / m).cast("int")
-    def code(j: Int): Column =
-      aggregate(
-        col("cb"),
-        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
-        (acc, e) => {
-          val d = subL2(col(vecCol), e("cv"), j, sd)
-          when(d < acc("d"), struct(d.as("d"), e("cid").as("cid"))).otherwise(acc)
-        })("cid")
+    // encode via the codegen'd pq_codes kernel — the declarative
+    // aggregate-argmin twin (PropertySpec asserts bit-equality) ran
+    // interpreted at subspaces × centroids × subdim lambda dispatches
+    // per corpus row and dominated q70/q97
     emb.crossJoin(cb)
-      .select(col(idCol) +: (0 until m).map(j => code(j).as(s"c$j")): _*)
+      .withColumn("__codes",
+        graft.functions.PqCodes.codes(col(vecCol), col("cb"), lit(m)))
+      .select(col(idCol) +:
+        (0 until m).map(j => element_at(col("__codes"), j + 1).as(s"c$j")): _*)
   }
 
   /** Squared L2 between subspace `j` (width `sd`) of vectors `x` and

@@ -168,6 +168,38 @@ class PropertySpec extends AnyFunSuite {
     assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
   }
 
+  test("pq_codes equals the declarative aggregate-argmin fold") {
+    graft.functions.PqCodes.register(spark)
+    val m = 4
+    val dim = 32
+    def randVec(): Seq[Double] = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val cbRows = (0 until 7).map(c => (c.toLong * 10, randVec()))
+    // include exact centroid copies so the tie path (strict <, lowest
+    // cid wins) is exercised
+    val vecs = Seq.fill(120)(randVec()) ++ cbRows.take(3).map(_._2)
+    val df = vecs.toDF("v")
+      .crossJoin(cbRows.toDF("cid", "cv")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb")))
+    val sd = (size(col("v")) / m).cast("int")
+    def codeDecl(j: Int) =
+      aggregate(
+        col("cb"),
+        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+        (acc, e) => {
+          val d = aggregate(
+            zip_with(
+              slice(col("v"), lit(j) * sd + 1, sd),
+              slice(e("cv"), lit(j) * sd + 1, sd),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (s, z) => s + z)
+          when(d < acc("d"), struct(d.as("d"), e("cid").as("cid"))).otherwise(acc)
+        })("cid")
+    val both = df.select(
+      graft.functions.PqCodes.codes(col("v"), col("cb"), lit(m)).as("kernel"),
+      array((0 until m).map(codeDecl): _*).as("decl"))
+    assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
+  }
+
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
     graft.functions.VecDot.register(spark)
     val df = Seq(
