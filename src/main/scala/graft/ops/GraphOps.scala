@@ -183,4 +183,68 @@ object GraphOps {
     nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
+
+  /** Bounded-iteration PageRank over a directed edge list — the
+    * canonical iterative-shuffle workload (domain/link authority for
+    * web-corpus curation). Simple variant: dangling-node mass is NOT
+    * redistributed (r sums to < 1 when sinks exist) — the same rule
+    * the oracle twin unrolls.
+    *
+    * Determinism (the cross-engine contract): per-edge contributions
+    * round to 12 dp and accumulate in DECIMAL, so neither partial-agg
+    * order nor partitioning can perturb an iteration; the damping
+    * update happens in DOUBLE on the exact decimal sum and re-rounds
+    * to 12 dp — every iteration's state is an exact decimal relation
+    * both engines agree on bit-for-bit.
+    *
+    * Scale posture: state is one (node, rank) relation; each
+    * iteration is one edges ⋈ ranks join on src (edges dominate; a
+    * real deployment pre-partitions edges by src ONCE so every
+    * iteration's join reuses that layout with no edge movement) plus
+    * one dst-keyed partial-aggregated shuffle of contribution rows.
+    * Rank relations are lazily checkpointed per iteration — lineage
+    * stays constant-depth instead of growing by two joins per round.
+    */
+  def pageRank(
+      edgesIn: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val base = 1.0 - damping
+    val e = edgesIn
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(eager = false)
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 12))
+    var r = nodes.crossJoin(nRow)
+      .select(col("id"), dec(round(lit(1.0) / col("n"), 12)).as("r"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val contrib = eDeg.join(r, eDeg("src") === r("id"))
+        .select(col("dst").as("id"),
+          dec(round(col("r").cast(DoubleType) / col("deg"), 12)).as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, Seq("id"), "left").crossJoin(nRow)
+        .select(col("id"),
+          dec(round(
+            lit(base) / col("n") +
+              lit(damping) * coalesce(col("s").cast(DoubleType), lit(0.0)),
+            12)).as("r"))
+        .localCheckpoint(eager = false)
+    }
+    r.select(col("id"), round(col("r").cast(DoubleType), 8).as("rank"))
+  }
 }

@@ -500,6 +500,18 @@ object CoreQueries {
           col("l_partkey"), col("l_suppkey"), col("z"))
         .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
         .limit(100)
+    }),
+
+    // Bounded-iteration PageRank (5 rounds, d=0.85) over the directed
+    // supplier→part graph (part ids offset into their own node space);
+    // per-edge contributions round 12dp then DECIMAL-sum, so every
+    // iteration is a bit-exact relation in both engines
+    "q108_pagerank" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000L).as("dst"))
+      graft.ops.GraphOps.pageRank(edges, "src", "dst", iters = 5)
+        .orderBy(col("id"))
     })
   )
 
@@ -839,6 +851,35 @@ object CoreQueries {
             CAST($terms AS BIGINT) AS z
           FROM lineitem
           ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""
+    },
+
+    // PageRank twin: 5 unrolled iterations; base constant written as
+    // (1.0 - 0.85) so the SQL double equals the Scala 1.0 - damping
+    "q108_pagerank" -> {
+      def iter(k: Int): String =
+        s"""r$k AS (
+              SELECT nodes.id,
+                CAST(round((1.0 - 0.85)/n + 0.85 * coalesce(c.s, 0.0), 12)
+                  AS DECIMAL(28,12)) AS r
+              FROM nodes CROSS JOIN nn LEFT JOIN (
+                SELECT e.dst AS id,
+                  CAST(SUM(CAST(round(CAST(r${k - 1}.r AS DOUBLE)/od.deg, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS s
+                FROM e
+                JOIN r${k - 1} ON r${k - 1}.id = e.src
+                JOIN od ON od.src = e.src
+                GROUP BY 1) c ON c.id = nodes.id)"""
+      val iters = (1 to 5).map(iter).mkString(",\n          ")
+      s"""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                       CAST(l_partkey AS BIGINT) + 1000000 AS dst FROM lineitem),
+          nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+          r0 AS (SELECT id, CAST(round(1.0/n, 12) AS DECIMAL(28,12)) AS r
+                 FROM nodes CROSS JOIN nn),
+          $iters
+          SELECT id, round(CAST(r AS DOUBLE), 8) AS rank
+          FROM r5 ORDER BY id"""
     }
   )
 }

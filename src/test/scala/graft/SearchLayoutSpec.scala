@@ -100,6 +100,23 @@ class SearchLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: cycle fixed point exact, dangling mass leaks as specified") {
+    import spark.implicits._
+    // 2-cycle: 0.5 is an exact fixed point (0.075 + 0.85*0.5 = 0.5)
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rc = graft.ops.GraphOps.pageRank(cyc, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rc(1L) - 0.5) < 1e-8 && math.abs(rc(2L) - 0.5) < 1e-8)
+    // dangler: A→B only. rA settles at base/2, rB at base/2 + 0.85*rA;
+    // total < 1 (simple variant: sink mass not redistributed)
+    val dag = Seq((1L, 2L)).toDF("src", "dst")
+    val rd = graft.ops.GraphOps.pageRank(dag, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rd(1L) - 0.075) < 1e-8)
+    assert(math.abs(rd(2L) - 0.13875) < 1e-8)
+    assert(rd.values.sum < 1.0)
+  }
+
   test("bloom decontamination == exact decontamination (bloom only prunes)") {
     val exact = DedupOps.decontaminate(docs, "text", "doc_id",
       benchFilter = col("doc_id") % 41 === 0, minShared = 2)
