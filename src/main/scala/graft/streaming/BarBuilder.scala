@@ -55,6 +55,50 @@ object BarBuilder {
         col("n_ticks"), col("volume"))
   }
 
+  /** Streaming daily VWAP/TWAP — the chained-stateful twin of
+    * `MarketBars.vwap(MarketBars.bars(...))`: a 5-minute bar window
+    * aggregation feeding a 1-day window aggregation in ONE query
+    * (Spark's multiple-stateful-operator chain; the day window keys on
+    * `window_time` of the bar window, so event-time propagates and the
+    * watermark finalizes day rows in append mode).
+    *
+    * Arithmetic is the batch rule verbatim: one double multiply per
+    * bar, DECIMAL-accumulated sums — incremental merge order cannot
+    * perturb the emitted values, so stream == batch bit-for-bit
+    * (StreamingSpec). State: (series × open 5-min windows) + (series ×
+    * open days), both watermark-bounded. */
+  def dailyVwap(
+      ticks: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      valueCol: String,
+      barLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val bars5 = ticks
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        col(seriesCol).as("series"),
+        window(col(tsCol), barLen).as("w"))
+      .agg(
+        max(struct(col(tsCol).as("t"), col(valueCol).as("v")))
+          .getField("v").as("close"),
+        count(lit(1)).as("n_ticks"))
+    bars5
+      .groupBy(col("series"), window(window_time(col("w")), "1 day").as("dw"))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        sum(col("n_ticks")).as("n_ticks"),
+        sum((col("close") * col("n_ticks").cast(DoubleType))
+          .cast(DecimalType(28, 12))).as("pv"),
+        sum(col("close").cast(DecimalType(28, 12))).as("pc"))
+      .select(col("series"), to_date(col("dw.start")).as("d"),
+        col("n_bars"), col("n_ticks"),
+        round(col("pv").cast(DoubleType) / col("n_ticks").cast(DoubleType), 6)
+          .as("vwap"),
+        round(col("pc").cast(DoubleType) / col("n_bars").cast(DoubleType), 6)
+          .as("twap"))
+  }
+
   /** Streaming ingest dedup: drop duplicate (series, ts) ticks within
     * the watermark — the streaming replacement for the reference's
     * lost UNIQUE(symbol, timestamp) constraint (`schema.py:42`). State

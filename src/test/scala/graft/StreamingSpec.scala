@@ -89,6 +89,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained streaming daily VWAP matches the batch vwap/twap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = ticksFromEvents(2000)
+    val stream = MemoryStream[Tick]
+    val q = BarBuilder.dailyVwap(stream.toDF(), "event_type", "ts", "value")
+      .writeStream.format("memory").queryName("vwap_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(data.take(1000))
+      q.processAllAvailable()
+      stream.addData(data.drop(1000))
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past
+      // every real day (takes effect NEXT batch), the second triggers
+      // finalization; the sentinel's own still-open windows never emit
+      val maxTs = data.map(_.ts.getTime).max
+      stream.addData(Seq(Tick("click", new Timestamp(maxTs + 3L * 86400000L), 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Tick("click", new Timestamp(maxTs + 3L * 86400000L + 1000L), 1.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("vwap_out")
+      val batch = MarketBars.vwap(MarketBars.bars(
+        data.toDF("event_type", "ts", "value"), "event_type", "ts", "value"))
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming bars sink to a date-partitioned lake path with key dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
