@@ -198,19 +198,24 @@ object GraphOps {
     * both engines agree on bit-for-bit.
     *
     * Scale posture: state is one (node, rank) relation; each
-    * iteration is one edges ⋈ ranks join on src (edges dominate; a
-    * real deployment pre-partitions edges by src ONCE so every
-    * iteration's join reuses that layout with no edge movement) plus
+    * iteration is one edges ⋈ ranks join on src (edges dominate) plus
     * one dst-keyed partial-aggregated shuffle of contribution rows.
-    * Rank relations are lazily checkpointed per iteration — lineage
-    * stays constant-depth instead of growing by two joins per round.
+    * With `broadcastRanks` (default) the per-iteration rank and
+    * contribution relations ship as broadcasts, so edges NEVER move —
+    * right whenever the node set fits an executor (it did until the
+    * graph has ~10⁸ nodes). Past that, set it false: the joins become
+    * shuffle joins, and a real deployment pre-partitions edges by src
+    * ONCE so every iteration's edge side is exchange-free. Rank
+    * relations are lazily checkpointed per iteration — lineage stays
+    * constant-depth instead of growing by two joins per round.
     */
   def pageRank(
       edgesIn: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
       iters: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      broadcastRanks: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(iters >= 1 && damping > 0 && damping < 1)
     val base = 1.0 - damping
@@ -228,16 +233,17 @@ object GraphOps {
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(eager = false)
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 12))
+    def bc(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     var r = nodes.crossJoin(nRow)
       .select(col("id"), dec(round(lit(1.0) / col("n"), 12)).as("r"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
-      val contrib = eDeg.join(r, eDeg("src") === r("id"))
+      val contrib = eDeg.join(bc(r), eDeg("src") === r("id"))
         .select(col("dst").as("id"),
           dec(round(col("r").cast(DoubleType) / col("deg"), 12)).as("c"))
         .groupBy(col("id"))
         .agg(sum(col("c")).as("s"))
-      r = nodes.join(contrib, Seq("id"), "left").crossJoin(nRow)
+      r = nodes.join(bc(contrib), Seq("id"), "left").crossJoin(nRow)
         .select(col("id"),
           dec(round(
             lit(base) / col("n") +
