@@ -316,10 +316,17 @@ object DedupOps {
       n: Int = 3,
       threshold: Double = 0.3,
       maxDf: Int = 100): DataFrame = {
+    graft.functions.Hash32Array.register(df.sparkSession)
+    // grams travel as PRIMITIVE 64-bit digests from the start: the
+    // hash64_array kernel hashes the whole shingle array in one
+    // codegen pass BEFORE the explode, so the distinct and the
+    // posting-list groupBy shuffle 8-byte keys instead of 32-char md5
+    // strings (64-bit collisions are ~1e-8 at corpus scale, and both
+    // engines hash identically, so the gate still compares exactly)
     val grams = df
       .select(col(idCol).as("doc"),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("g"))
-      .select(col("doc"), md5(col("g")).as("gk"))
+        explode(graft.functions.Hash32Array.hash64(
+          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("gk"))
       .distinct()
     // posting list per gram, stop-grams dropped while still one row
     // each; lazily checkpointed — three consumers below

@@ -778,7 +778,7 @@ object LlmQueries {
     "q77_ngram_jaccard" ->
       s"""WITH $toksCte,
           g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
-          gkt AS (SELECT DISTINCT doc_id, md5(g) AS gk FROM g0),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk FROM g0),
           rare AS (SELECT gk FROM
                      (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
                    WHERE dfc <= 100),
