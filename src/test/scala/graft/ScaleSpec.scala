@@ -90,6 +90,39 @@ class ScaleSpec extends AnyFunSuite {
       s"candidate generation must be map-side, plan:\n${plan.take(3000)}")
   }
 
+  test("pq encode plan: broadcast codebook only, no hash-partition exchange") {
+    // encode must run at scan speed: the codebook arrives as one
+    // broadcast array row and pq_codes is a map-side expression
+    val plan = graft.ops.SimilarityOps
+      .pqEncode(Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle for PQ encode:\n${plan.take(3000)}")
+    assert(plan.contains("pqcodes"), "codegen kernel expected in plan")
+  }
+
+  test("bm25 plan: query-term filter lands before the tf aggregate") {
+    // only query-term postings may shuffle — the isin filter must sit
+    // below the (doc, term) aggregate, not above it
+    val plan = graft.ops.CorpusOps
+      .bm25(Tables.documents(spark, sf), Seq("spark", "window", "hash"))
+      .queryExecution.executedPlan.toString
+    val filterAt = plan.indexOf("spark,window,hash")
+    val aggAt = plan.indexOf("HashAggregate")
+    assert(filterAt >= 0, s"term filter missing:\n${plan.take(3000)}")
+    assert(plan.lastIndexOf("spark,window,hash") > aggAt,
+      "term filter must appear below (after, in plan print order) an aggregate")
+  }
+
+  test("z-order key is pure map-side codegen bit math") {
+    val df = graft.ops.LayoutOps.zOrdered(
+      Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"no shuffle expected:\n${plan.take(2000)}")
+    // "*(1)" is the whole-stage-codegen stage marker in plan toString
+    assert(plan.contains("*(1)"), s"z-value must codegen:\n${plan.take(500)}")
+  }
+
   test("packByBudget default shard count scales with cluster parallelism") {
     // the packing windows partition by shard — one task per shard — so
     // the DEFAULT must track the cluster size, not a constant
