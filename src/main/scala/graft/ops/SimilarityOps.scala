@@ -372,6 +372,48 @@ object SimilarityOps {
       .withColumn("pred", (col("margin") > 0).cast("int"))
   }
 
+  /** Reproducible negative sampling for contrastive training: for
+    * each vector, `k` pseudo-random "negative" partners drawn by the
+    * portable md5 hash over (id, draw index) — no RNG state, so the
+    * SAME pairs come out at any scale, partitioning, or retry (the
+    * property a distributed sampler must have for resumable training
+    * jobs). Self-draws step to the next id. Each pair is annotated
+    * with the raw dot product (the training-signal sanity column) via
+    * the codegen [[graft.functions.VecDot]] kernel.
+    *
+    * Assumes ids are dense 0..N−1 (the testdata layout); production
+    * corpora get there with one `row_number` pass, which is also the
+    * standard trick for O(1) random access into a parquet corpus.
+    *
+    * Scale posture: draws are map-side expression math; the single
+    * shuffle is the join that fetches each negative's vector (k ×
+    * corpus rows on a uniformly-hashed key — no hot spots by
+    * construction). N folds to one broadcast row.
+    */
+  def negativeSample(
+      emb: DataFrame,
+      k: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1)
+    VecDot.register(emb.sparkSession)
+    val nRow = broadcast(emb.agg(count(lit(1)).as("n")))
+    val draws = emb.crossJoin(nRow)
+      .select(col(idCol), col(vecCol).as("av"),
+        explode(transform(sequence(lit(1), lit(k)), i => {
+          val h = graft.functions.CrossHash.x32(
+            concat(lit("neg#"), col(idCol).cast("string"), lit("#"), i.cast("string")))
+          val m = pmod(h, col("n"))
+          struct(i.cast("int").as("i"),
+            when(m === col(idCol), pmod(m + 1, col("n"))).otherwise(m).as("neg_id"))
+        })).as("d"))
+      .select(col(idCol), col("av"), col("d.i").as("i"), col("d.neg_id").as("neg_id"))
+    draws
+      .join(emb.select(col(idCol).as("neg_id"), col(vecCol).as("bv")), "neg_id")
+      .select(col(idCol), col("i"), col("neg_id"),
+        round(dot(col("av"), col("bv")), 6).as("dot"))
+  }
+
   /** Symmetric int8 scalar quantization — the 4× storage cut that
     * usually precedes PQ: per-dimension scale s_i = max|x_i| over the
     * corpus, code c_i = floor(x_i / s_i · 127 + 0.5) clamped to

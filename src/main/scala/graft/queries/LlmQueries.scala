@@ -354,6 +354,26 @@ object LlmQueries {
       DedupOps.decontaminateBloom(Tables.rebalance(Tables.documents(s, dir)),
         "text", "doc_id", benchFilter = col("doc_id") % 41 === 0, minShared = 2)
         .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Perplexity-percentile corpus filter (the CCNet-style cut): keep
+    // docs at or below the corpus's own 90th-percentile unigram NLL;
+    // the cut rounds 6dp BEFORE the boundary compare (q95 fence rule)
+    // and broadcasts as one row
+    "q109_nll_filter" -> ((s, dir) => {
+      val nll = CorpusOps.unigramNll(Tables.rebalance(Tables.documents(s, dir)))
+      val cut = nll.agg(round(expr("percentile(avg_nll, 0.9)"), 6).as("cut"))
+      nll.crossJoin(broadcast(cut))
+        .filter(col("avg_nll") <= col("cut"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_nll"), col("cut"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Reproducible hash-derived negative sampling (contrastive
+    // training pairs) + dot-product annotation via the vec_dot kernel
+    "q110_negative_sample" -> ((s, dir) => {
+      SimilarityOps.negativeSample(Tables.embeddings(s, dir), k = 3)
+        .orderBy(col("vec_id"), col("i"))
     })
   )
 
@@ -996,6 +1016,43 @@ object LlmQueries {
           j AS (SELECT t.doc_id, b.bench_id, count(*) AS n_shared
                 FROM train t JOIN bench b USING (h) GROUP BY 1, 2)
           SELECT doc_id, bench_id, n_shared FROM j WHERE n_shared >= 2
-          ORDER BY doc_id, bench_id"""
+          ORDER BY doc_id, bench_id""",
+
+    // q90's NLL relation + an exact 90th-percentile cut (percentile ≙
+    // quantile_cont), rounded 6dp before the boundary compare
+    "q109_nll_filter" ->
+      s"""WITH $toksCte,
+          tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+          g AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),
+          t AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM g),
+          x AS (SELECT tk.doc_id,
+                  CAST(round(-ln(CAST(g.tf AS DOUBLE)/(SELECT total FROM t)), 8)
+                    AS DECIMAL(28,8)) AS nll
+                FROM tk JOIN g USING (term)),
+          nl AS (SELECT doc_id, count(*) AS n_tokens,
+                   round(CAST(SUM(nll) AS DOUBLE)/count(*), 4) AS avg_nll
+                 FROM x GROUP BY 1),
+          c AS (SELECT round(quantile_cont(avg_nll, 0.9), 6) AS cut FROM nl)
+          SELECT doc_id, n_tokens, avg_nll, cut
+          FROM nl CROSS JOIN c WHERE avg_nll <= cut ORDER BY doc_id""",
+
+    // negative-sampling twin: identical md5-derived draws (self-draws
+    // step to the next id mod N), identical list_dot_product
+    "q110_negative_sample" -> {
+      val h = CrossHash.duckX32("'neg#' || vec_id || '#' || i")
+      s"""WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+          g AS (SELECT vec_id, v, i, $h % n AS m, n
+                FROM a CROSS JOIN nn,
+                     unnest(generate_series(1, 3)) AS s(i)),
+          q AS (SELECT vec_id, v, CAST(i AS INTEGER) AS i,
+                  CASE WHEN m = vec_id THEN (m + 1) % n ELSE m END AS neg_id
+                FROM g)
+          SELECT q.vec_id, q.i, q.neg_id,
+            round(list_dot_product(q.v, b.v), 6) AS dot
+          FROM q JOIN a b ON b.vec_id = q.neg_id
+          ORDER BY q.vec_id, q.i"""
+    }
   )
 }

@@ -117,6 +117,28 @@ class SearchLayoutSpec extends AnyFunSuite {
     assert(rd.values.sum < 1.0)
   }
 
+  test("negative sampling: k draws per anchor, no self-pairs, partitioning-independent") {
+    val a = SimilarityOps.negativeSample(emb, k = 3).cache()
+    val n = emb.count()
+    assert(a.count() === 3L * n)
+    assert(a.filter(col("vec_id") === col("neg_id")).count() === 0)
+    // determinism under a different physical layout
+    val b = SimilarityOps.negativeSample(emb.repartition(13), k = 3)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    a.unpersist()
+  }
+
+  test("nll percentile filter keeps ~90% and respects the boundary") {
+    val nll = graft.ops.CorpusOps.unigramNll(docs).cache()
+    val cut = nll.agg(round(expr("percentile(avg_nll, 0.9)"), 6).as("cut"))
+    val kept = nll.crossJoin(broadcast(cut)).filter(col("avg_nll") <= col("cut"))
+    val total = nll.count().toDouble
+    val k = kept.count().toDouble
+    assert(k / total >= 0.85 && k / total <= 0.95, s"kept ${k / total}")
+    assert(kept.filter(col("avg_nll") > col("cut")).count() === 0)
+    nll.unpersist()
+  }
+
   test("bloom decontamination == exact decontamination (bloom only prunes)") {
     val exact = DedupOps.decontaminate(docs, "text", "doc_id",
       benchFilter = col("doc_id") % 41 === 0, minShared = 2)
