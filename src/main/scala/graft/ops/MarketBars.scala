@@ -105,6 +105,44 @@ object MarketBars {
         round(col("pc").cast(DoubleType) / col("n_bars").cast(DoubleType), 6)
           .as("twap"))
 
+  /** Roll (1984) effective-spread estimator per (series, day):
+    * s = 2·√(−cov(Δp_t, Δp_{t−1})) over consecutive bar-close changes,
+    * 0 when the serial covariance is non-negative (no bid-ask bounce
+    * signal). The day partitions the lag chain, so day boundaries
+    * reset cleanly and the (series, day) key grows with data — no hot
+    * keys at scale (q100's layout).
+    *
+    * Determinism: Δ products form in DOUBLE then sum in DECIMAL (q85's
+    * covariance rule); the sample-covariance division and sqrt happen
+    * once per (series, day) at emission, rounded 6dp. */
+  def rollSpread(bars: DataFrame): DataFrame = {
+    val dayW = Window.partitionBy(col("series"), col("d")).orderBy(col("bar_ts"))
+    val withD = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("dp", col("close") - lag(col("close"), 1).over(dayW))
+      .withColumn("dp1", lag(col("dp"), 1).over(dayW))
+      .filter(col("dp").isNotNull && col("dp1").isNotNull)
+    // per-row terms round to 12dp then DECIMAL-sum (partial-agg-order
+    // proof); the covariance forms in DOUBLE from the exact sums —
+    // one identical expression in both engines
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast(DecimalType(28, 12)))
+    val agg0 = withD.groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum(col("dp")).as("sx"),
+        dsum(col("dp1")).as("sy"),
+        dsum(col("dp") * col("dp1")).as("sxy"))
+      .filter(col("n_pairs") >= 2)
+    val cov =
+      (col("n_pairs").cast(DoubleType) * col("sxy").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+        (col("n_pairs") * (col("n_pairs") - 1)).cast(DoubleType)
+    agg0.select(col("series"), col("d"), col("n_pairs"),
+      round(cov, 6).as("serial_cov"),
+      round(when(cov < 0, lit(2.0) * sqrt(-cov)).otherwise(0.0), 6)
+        .as("roll_spread"))
+  }
+
   /** Trailing exponentially-weighted moving average of bar closes:
     * weight 2^-lag over a finite `window`-row frame (alpha = 1/2 —
     * halving is EXACT in doubles, so no pow() rounding anywhere).

@@ -33,6 +33,14 @@ object TextOps {
   /** Whitespace tokenization (runs of spaces collapse). */
   def tokens(text: Column): Column = split(trim(text), " +")
 
+  /** Canonical text form for normalization-robust dedup (the C4-style
+    * rule): lowercase, non-alphanumerics to spaces, runs of spaces
+    * collapsed, trimmed. Patterns sit in the RE2 ∩ Java-regex common
+    * subset, so the DuckDB twin byte-matches. */
+  def canonical(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Word n-gram shingles; empty array when the doc is shorter than n.
     * (Spark's `sequence(1, 0)` counts DOWN, so the short-doc case must
     * be guarded explicitly — the DuckDB twin's generate_series(1,0)

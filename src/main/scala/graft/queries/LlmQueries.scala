@@ -78,6 +78,17 @@ object LlmQueries {
         .orderBy(col("keep_id"))
     }),
 
+    // Normalization-robust exact dedup: digests over the CANONICAL
+    // text (lowercase, punctuation→space, whitespace collapsed) — the
+    // C4 rule that catches case/punct near-copies exact digests miss
+    "q112_canonical_dedup" -> ((s, dir) => {
+      val docs = Tables.rebalance(Tables.documents(s, dir))
+        .withColumn("ctext", TextOps.canonical(col("text")))
+      DedupOps.exactDupGroups(docs, "ctext", "doc_id")
+        .withColumnRenamed("text_md5", "canon_md5")
+        .orderBy(col("keep_id"))
+    }),
+
     "q25_minhash_lsh" -> ((s, dir) => {
       DedupOps.minhashNearDups(Tables.rebalance(Tables.documents(s, dir)), "text", "doc_id", threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
@@ -435,6 +446,16 @@ object LlmQueries {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
          count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // canonical-dedup twin: same lowercase/punct/whitespace fold
+    "q112_canonical_dedup" ->
+      """WITH c AS (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ctext
+           FROM documents)
+         SELECT md5(ctext) AS canon_md5, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+         FROM c GROUP BY 1 ORDER BY keep_id""",
 
     "q25_minhash_lsh" -> {
       val aList = DedupOps.A.mkString("[", ",", "]")

@@ -454,6 +454,15 @@ object MarketQueries {
         .orderBy(col("bar_ts"))
     }),
 
+    // Roll effective-spread estimator per (series, day):
+    // 2·√(−serial cov of consecutive close changes), 0 when cov ≥ 0;
+    // day-partitioned lag chain, decimal-accumulated sums
+    "q111_roll_spread" -> ((s, dir) => {
+      MarketBars.rollSpread(
+        MarketBars.bars(Tables.events(s, dir), "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
     // Rolling OLS hedge ratio (beta) + intercept over a trailing
     // 12-bar frame — q85's position-sizing twin: beta = cov/var(x),
     // alpha = ȳ − β·x̄, decimal-accumulated running sums, warm-up gate
@@ -963,6 +972,33 @@ object MarketQueries {
                        sqrt(CAST(n_win*syy - sy*sy AS DOUBLE))), 6)
             END AS r_corr
           FROM s ORDER BY bar_ts""",
+
+    // Roll-spread twin: identical day-partitioned lag chain, 12dp
+    // rounded decimal sums, covariance formed in DOUBLE from them
+    "q111_roll_spread" -> {
+      val cov = """(n_pairs*CAST(sxy AS DOUBLE) -
+                    CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / CAST(n_pairs*(n_pairs-1) AS DOUBLE)"""
+      s"""WITH $barsCte,
+          b AS (SELECT series, bar_ts, CAST(bar_ts AS DATE) AS d, close FROM bars),
+          l AS (SELECT series, d, bar_ts, close,
+                  close - lag(close) OVER w AS dp
+                FROM b WINDOW w AS (PARTITION BY series, d ORDER BY bar_ts)),
+          l2 AS (SELECT series, d, bar_ts, dp,
+                   lag(dp) OVER (PARTITION BY series, d ORDER BY bar_ts) AS dp1
+                 FROM l),
+          f AS (SELECT * FROM l2 WHERE dp IS NOT NULL AND dp1 IS NOT NULL),
+          a AS (SELECT series, d, count(*) AS n_pairs,
+                  SUM(CAST(round(dp, 12) AS DECIMAL(28,12))) AS sx,
+                  SUM(CAST(round(dp1, 12) AS DECIMAL(28,12))) AS sy,
+                  SUM(CAST(round(dp*dp1, 12) AS DECIMAL(28,12))) AS sxy
+                FROM f GROUP BY 1, 2)
+          SELECT series, d, n_pairs,
+            round($cov, 6) AS serial_cov,
+            CASE WHEN $cov < 0 THEN round(2.0*sqrt(-($cov)), 6)
+                 ELSE 0.0 END AS roll_spread
+          FROM a WHERE n_pairs >= 2 ORDER BY series, d"""
+    },
 
     // rolling-beta twin: same decimal running sums as q85; alpha uses
     // the UNROUNDED beta (rounding applies per output column only)

@@ -139,6 +139,38 @@ class SearchLayoutSpec extends AnyFunSuite {
     nll.unpersist()
   }
 
+  test("roll spread: alternating bounce recovers 2*sqrt(-cov); trend gives 0") {
+    import spark.implicits._
+    // closes 10,11,10,11,... → dp alternates +1/-1 → cov(dp,dp1) = -n/(n-1)... < 0
+    val bounce = (0 until 20).map { i =>
+      ("b", java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"),
+        if (i % 2 == 0) 10.0 else 11.0)
+    }.toDF("series", "bar_ts", "close")
+    val rb = graft.ops.MarketBars.rollSpread(bounce).collect().head
+    assert(rb.getAs[Double]("serial_cov") < 0)
+    assert(rb.getAs[Double]("roll_spread") > 0)
+    // strictly trending closes → dp constant 1 → cov 0 → spread 0
+    val trend = (0 until 20).map { i =>
+      ("t", java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 10.0 + i)
+    }.toDF("series", "bar_ts", "close")
+    val rt = graft.ops.MarketBars.rollSpread(trend).collect().head
+    assert(rt.getAs[Double]("roll_spread") === 0.0)
+  }
+
+  test("canonical dedup merges case/punctuation variants exact digests miss") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "something else")).toDF("doc_id", "text")
+      .withColumn("ctext", graft.ops.TextOps.canonical(col("text")))
+    val groups = graft.ops.DedupOps.exactDupGroups(docs, "ctext", "doc_id")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(groups(1L) === 3L)
+    assert(groups(4L) === 1L)
+  }
+
   test("bloom decontamination == exact decontamination (bloom only prunes)") {
     val exact = DedupOps.decontaminate(docs, "text", "doc_id",
       benchFilter = col("doc_id") % 41 === 0, minShared = 2)
