@@ -46,6 +46,29 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
   }
 
+  /** Z-order-clustered parquet write: compute the Morton key over two
+    * columns, range-partition on it, sort within partitions, drop the
+    * key. Each output file then covers a NARROW rectangle of the
+    * (a, b) key space, so parquet row-group min/max stats prune scans
+    * filtered on EITHER column — one sort order serving two predicate
+    * dimensions (the ScaleSpec test measures per-file z-spans at a few
+    * % of the global span). This is the write-side application of
+    * [[graft.ops.LayoutOps.zValue]]; `nFiles` sizes the range
+    * partitioning (at 100 TB: total bytes / target file size). */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      aCol: String,
+      bCol: String,
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.ops.LayoutOps.zOrdered(df, aCol, bCol)
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed managed table: pre-hash-partitions rows by the join key
     * so repeated joins/aggregations on that key run WITHOUT a shuffle
     * — the lake-layout half of "co-locate joins via bucketing"

@@ -123,6 +123,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), s"z-value must codegen:\n${plan.take(500)}")
   }
 
+  test("z-ordered write yields narrow per-file key rectangles") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    graft.sources.Sinks.writeZOrdered(
+      Tables.lineitem(spark, sf), dir, "l_partkey", "l_suppkey", nFiles = 8)
+    // re-derive z on read and measure each file's z-span vs the global
+    val back = graft.ops.LayoutOps.zOrdered(
+        spark.read.parquet(dir), "l_partkey", "l_suppkey")
+      .select(input_file_name().as("f"), col("z"))
+    val per = back.groupBy(col("f"))
+      .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .agg(sum(col("hi") - col("lo")).as("span_sum"), count(lit(1)).as("nf"))
+      .head
+    val g = back.agg(max(col("z")) - min(col("z"))).head.getLong(0)
+    val nf = per.getLong(1)
+    assert(nf >= 8, s"expected >= 8 files, got $nf")
+    // range partitioning on z makes file spans disjoint: the file
+    // spans SUM to at most the global span (overlapping layouts sum
+    // to ~nFiles × global)
+    assert(per.getLong(0) <= g, s"file spans overlap: sum=${per.getLong(0)} global=$g")
+  }
+
   test("packByBudget default shard count scales with cluster parallelism") {
     // the packing windows partition by shard — one task per shard — so
     // the DEFAULT must track the cluster size, not a constant
