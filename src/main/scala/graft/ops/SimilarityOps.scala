@@ -372,6 +372,41 @@ object SimilarityOps {
       .withColumn("pred", (col("margin") > 0).cast("int"))
   }
 
+  /** ANN index-quality evaluation IN the engine: recall@k of the IVF
+    * index against the exact brute-force top-k for the same query set
+    * — the acceptance metric every approximate index ships with, run
+    * as one plan over the corpus instead of a driver-side eval script.
+    * Both rankings use the identical (cosine desc, nid) tie-break, so
+    * the metric is deterministic cross-engine.
+    *
+    * Scale posture = the union of its parts: the exact side streams
+    * the corpus against a broadcast query batch; the IVF side probes
+    * buckets; the final join/agg runs on 2·|q|·k rows — nothing new
+    * shuffles at corpus size. At 100 TB the exact side is the
+    * expensive half — run it on a SAMPLE of queries (the standard
+    * recall-eval protocol), which is what `queryFilter` expresses. */
+  def annRecall(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      centroidEvery: Int = 50,
+      nprobe: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(emb, emb.filter(col(idCol) < 10), idCol, vecCol, k)
+      .select(col("qid"), col("nid"))
+    val approx = ivfTopK(emb, idCol, vecCol, k, centroidEvery, nprobe,
+      queryFilter = col("vid") < 10)
+      .select(col("qid"), col("nid"))
+    val matched = approx.join(exact, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_matched"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(matched, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)).cast("double") / k, 4)
+          .as("recall"))
+  }
+
   /** Reproducible negative sampling for contrastive training: for
     * each vector, `k` pseudo-random "negative" partners drawn by the
     * portable md5 hash over (id, draw index) — no RNG state, so the

@@ -385,6 +385,15 @@ object LlmQueries {
     "q110_negative_sample" -> ((s, dir) => {
       SimilarityOps.negativeSample(Tables.embeddings(s, dir), k = 3)
         .orderBy(col("vec_id"), col("i"))
+    }),
+
+    // ANN index acceptance metric: recall@5 of the IVF index (q30)
+    // against the exact brute-force ranking (q28), per query — the
+    // eval every approximate index ships with, as one engine plan
+    "q113_ann_recall" -> ((s, dir) => {
+      SimilarityOps.annRecall(Tables.embeddings(s, dir),
+        k = 5, centroidEvery = 50, nprobe = 2)
+        .orderBy(col("qid"))
     })
   )
 
@@ -1056,6 +1065,45 @@ object LlmQueries {
           c AS (SELECT round(quantile_cont(avg_nll, 0.9), 6) AS cut FROM nl)
           SELECT doc_id, n_tokens, avg_nll, cut
           FROM nl CROSS JOIN c WHERE avg_nll <= cut ORDER BY doc_id""",
+
+    // recall twin: q30's IVF CTE chain ∩ q28's exact ranking, joined
+    // on (qid, nid); both use the (cosine desc, nid) tie-break
+    "q113_ann_recall" ->
+      s"""WITH $embCte,
+          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+          ac AS (SELECT e.vec_id, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+          assigned AS (SELECT vec_id, v, cid FROM
+                         (SELECT *, row_number() OVER
+                            (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ac)
+                       WHERE rn = 1),
+          qq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+          pc AS (SELECT qid, qv, cid, row_number() OVER
+                   (PARTITION BY qid ORDER BY qcos DESC, cid) AS prn
+                 FROM (SELECT qid, qv, c.cid, ${duckCos("qv", "c.cv")} AS qcos
+                       FROM qq CROSS JOIN c)),
+          probes AS (SELECT qid, qv, cid FROM pc WHERE prn <= 2),
+          icand AS (SELECT p.qid, a.vec_id AS nid, ${duckCos("p.qv", "a.v")} AS cosine
+                    FROM probes p JOIN assigned a
+                      ON a.cid = p.cid AND a.vec_id <> p.qid),
+          ivf AS (SELECT qid, nid FROM
+                    (SELECT qid, nid, row_number() OVER
+                       (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+                     FROM icand)
+                  WHERE rank <= 5),
+          xs AS (SELECT qid, c2.vec_id AS nid, ${duckCos("qv", "c2.v")} AS cosine
+                 FROM qq JOIN e c2 ON c2.vec_id <> qq.qid),
+          exact AS (SELECT qid, nid FROM
+                      (SELECT qid, nid, row_number() OVER
+                         (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+                       FROM xs)
+                    WHERE rank <= 5),
+          m AS (SELECT i.qid, CAST(count(*) AS BIGINT) AS n_matched
+                FROM ivf i JOIN exact x ON x.qid = i.qid AND x.nid = i.nid
+                GROUP BY 1)
+          SELECT qq.qid, coalesce(m.n_matched, 0) AS n_matched,
+            round(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / 5, 4) AS recall
+          FROM qq LEFT JOIN m ON m.qid = qq.qid ORDER BY qq.qid""",
 
     // negative-sampling twin: identical md5-derived draws (self-draws
     // step to the next id mod N), identical list_dot_product

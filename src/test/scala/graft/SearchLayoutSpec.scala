@@ -171,6 +171,16 @@ class SearchLayoutSpec extends AnyFunSuite {
     assert(groups(4L) === 1L)
   }
 
+  test("ann recall: bounded in [0,1]; probing every bucket recovers exact (recall 1)") {
+    val r = SimilarityOps.annRecall(emb, k = 5, centroidEvery = 50, nprobe = 2)
+    assert(r.filter(col("recall") < 0 || col("recall") > 1).count() === 0)
+    // with nprobe >= number of centroids the candidate set is the full
+    // corpus, so the IVF ranking must equal the exact ranking
+    val full = SimilarityOps.annRecall(emb, k = 5, centroidEvery = 50, nprobe = 1000)
+    assert(full.filter(col("recall") < 1.0).count() === 0,
+      "all-bucket probe must have recall 1")
+  }
+
   test("bloom decontamination == exact decontamination (bloom only prunes)") {
     val exact = DedupOps.decontaminate(docs, "text", "doc_id",
       benchFilter = col("doc_id") % 41 === 0, minShared = 2)
