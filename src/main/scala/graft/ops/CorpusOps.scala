@@ -118,19 +118,22 @@ object CorpusOps {
       topPerDoc: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // ONE tokenize+explode pass, checkpointed: tf, df, AND the corpus
-    // doc count all derive from the same (doc, term) relation — without
-    // the checkpoint each consumer re-scans and re-tokenizes the corpus
+    // ONE tokenize+explode pass feeds ONE token-level shuffle (the
+    // (doc, term) tf aggregate); df and the corpus doc count then
+    // derive from the much smaller tf relation — df(term) is its
+    // per-term row count and n_docs its distinct doc count, exactly
+    // the values the token-level forms compute (oracle unchanged).
+    // The checkpoint pins tf for its three consumers.
     val terms = Dist.materialize(
       docs.withColumn("toks", TextOps.tokens(col(textCol)))
         .filter(size(col("toks")) >= 1))
       .select(col(idCol), explode(col("toks")).as("term"))
-      .localCheckpoint(eager = false)
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy(col("term"))
-      .agg(count_distinct(col(idCol)).as("df"))
-    val n = terms.agg(count_distinct(col(idCol)).as("n_docs"))
+      .localCheckpoint(eager = false)
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = tf.agg(count_distinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(df, "term")
@@ -240,21 +243,28 @@ object CorpusOps {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = docs
+    // aggregate to (doc, term, cnt) FIRST: the token-level relation
+    // feeds exactly one shuffle; the vocabulary and the scoring join
+    // then run on the collapsed counts. Σ cnt·round(nll) equals the
+    // token-level decimal sum exactly (multiplicity-weighted decimal
+    // multiply), so the oracle is unchanged.
+    val dtf = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = false)
-    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val vocab = dtf.groupBy(col("term")).agg(sum(col("cnt")).as("tf"))
       .localCheckpoint(eager = false)
     val total = vocab.agg(sum(col("tf")).as("total"))
-    toks.join(vocab, "term")
+    dtf.join(vocab, "term")
       .crossJoin(broadcast(total))
-      .select(col(idCol),
+      .select(col(idCol), col("cnt"),
         round(-log(col("tf").cast(DoubleType) / col("total").cast(DoubleType)), 8)
           .as("nll"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("nll").cast(DecimalType(28, 8))).cast(DoubleType) /
-          count(lit(1)), 4).as("avg_nll"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("nll").cast(DecimalType(28, 8)) * col("cnt")).cast(DoubleType) /
+          sum(col("cnt")), 4).as("avg_nll"))
   }
 
   /** Per-(label, dimension) embedding centroid: mean of each vector
