@@ -351,8 +351,11 @@ object CorpusOps {
       .filter(col("term").isin(queryTerms: _*))
     val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfAgg = hits.groupBy(col("term"))
-      .agg(count_distinct(col(idCol)).as("df"))
+      .localCheckpoint(eager = false)
+    // df = rows per term in the tf aggregate (≡ distinct docs per
+    // term) — no second pass over the exploded tokens
+    val dfAgg = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfAgg), "term")
       .crossJoin(broadcast(stats))
