@@ -164,6 +164,91 @@ object MultimodalOps {
     }
   }
 
+  /** One fixed-length audio frame's features (the VAD/segmentation
+    * primitive): per-frame RMS + peak + an energy-gate voiced flag. */
+  case class AudioFrame(
+      asset_id: Long,
+      frame_idx: Int,
+      n_samples: Int,
+      rms: Double,
+      peak: Double,
+      voiced: Boolean)
+
+  /** Frame-level feature extraction over PCM-16 WAV payloads: split
+    * the signal into fixed `frameMs` windows (remainder tail kept) and
+    * emit RMS/peak/voiced per frame — the row-explosion "feature
+    * extract" shape of an audio pipeline (each binary asset becomes
+    * O(duration) feature rows). Same batched mapPartitions layout as
+    * [[decodeAudio]]; malformed payloads drop. Frames are derived
+    * per-asset in one pass, so the op is map-side — the output
+    * inherits the input partitioning. */
+  def audioFrameEnergy(
+      assets: Dataset[MediaAsset],
+      frameMs: Int = 20,
+      voicedRms: Double = 0.1): Dataset[AudioFrame] = {
+    require(frameMs >= 1)
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { iter =>
+      iter.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { a =>
+          val p = a.payload
+          wavData(p).iterator.flatMap { case (rate, _, dataOff, n) =>
+            val frameLen = math.max(1, rate * frameMs / 1000)
+            def u8(i: Int): Int = p(i) & 0xff
+            def sample(i: Int): Double =
+              (((u8(dataOff + i * 2) | (u8(dataOff + i * 2 + 1) << 8)) << 16) >> 16) / 32768.0
+            (0 until (n + frameLen - 1) / frameLen).iterator.map { f =>
+              val start = f * frameLen
+              val len = math.min(frameLen, n - start)
+              var sumSq = 0.0; var peak = 0.0; var i = 0
+              while (i < len) {
+                val s = sample(start + i)
+                sumSq += s * s
+                val abs = math.abs(s); if (abs > peak) peak = abs
+                i += 1
+              }
+              val rms = math.sqrt(sumSq / len)
+              AudioFrame(a.asset_id, f, len, rms, peak, rms >= voicedRms)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** WAV header walk shared by the frame extractor: (rate, channels,
+    * data offset, sample count) for a PCM-16 payload, None otherwise.
+    * (Kept alongside [[decodeWavPcm16]], whose stats loop is fused
+    * into its header walk for the single-pass whole-clip path.) */
+  private[graft] def wavData(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def tag(i: Int, s: String): Boolean =
+      p.length >= i + 4 && (0 until 4).forall(j => p(i + j) == s.charAt(j).toByte)
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= p.length && (dataOff < 0 || !fmtOk)) {
+      val sz = le32(pos + 4)
+      if (sz < 0 || pos + 8 + sz > p.length) return None
+      if (tag(pos, "fmt ")) {
+        if (sz < 16) return None
+        fmtOk = le16(pos + 8) == 1
+        channels = le16(pos + 10)
+        rate = le32(pos + 12)
+        bits = le16(pos + 22)
+      } else if (tag(pos, "data")) {
+        dataOff = pos + 8; dataLen = sz
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (!fmtOk || bits != 16 || channels < 1 || rate <= 0 || dataOff < 0) None
+    else Some((rate, channels, dataOff, dataLen / 2))
+  }
+
   // ------------------------------------------------------------------
   // STUB decode kernel (deterministic fake; see object Scaladoc)
   // ------------------------------------------------------------------

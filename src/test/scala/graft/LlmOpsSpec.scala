@@ -242,6 +242,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(d.zcr - 199.0 / 800.0) < 1e-12)
   }
 
+  test("multimodal: frame-level audio energy segments voiced/silent regions") {
+    import spark.implicits._
+    def wav16(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(dataLen)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+    // 8 kHz, 20 ms frames = 160 samples; 400 loud then 400 silent
+    // samples -> frames 0-1 loud (rms 0.5), frame 2 mixed, 3-4 silent
+    val sig = Array.tabulate(800)(i =>
+      (if (i < 400) { if ((i / 4) % 2 == 0) 16384 else -16384 } else 0).toShort)
+    val frames = MultimodalOps.audioFrameEnergy(
+      Seq(MultimodalOps.MediaAsset(1L, "audio", wav16(8000, sig))).toDS(),
+      frameMs = 20, voicedRms = 0.1)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 5)
+    assert(frames.forall(_.n_samples === 160))
+    assert(math.abs(frames(0).rms - 0.5) < 1e-12 && frames(0).voiced)
+    assert(math.abs(frames(1).rms - 0.5) < 1e-12 && frames(1).voiced)
+    assert(frames(3).rms === 0.0 && !frames(3).voiced)
+    assert(frames(4).rms === 0.0 && !frames(4).voiced)
+    // mixed frame: 80 loud of 160 -> rms = 0.5/sqrt(2)
+    assert(math.abs(frames(2).rms - 0.5 / math.sqrt(2)) < 1e-12)
+  }
+
   test("multimodal: resize meta preserves aspect cap, frame sampling steps") {
     val assets = MultimodalOps.decodeImages(MultimodalOps.assetsFromDocuments(docs.limit(20)))
     val resized = assets.withColumn("meta2", MultimodalOps.resizeMeta(col("meta"), 32))

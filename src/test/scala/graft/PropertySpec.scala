@@ -200,6 +200,27 @@ class PropertySpec extends AnyFunSuite {
     assert(both.filter(col("kernel") =!= col("decl")).count() === 0)
   }
 
+  test("decimal-accumulated ops are partitioning-invariant (pagerank, roll spread, bm25)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val edges = li.select(col("l_suppkey").cast("long").as("src"),
+      (col("l_partkey").cast("long") + 1000000L).as("dst"))
+    same(
+      graft.ops.GraphOps.pageRank(edges.repartition(3), iters = 3),
+      graft.ops.GraphOps.pageRank(edges.repartition(17), iters = 3))
+    val bars = MarketBars.bars(
+      graft.sources.Tables.events(spark, sf), "event_type", "ts", "value")
+    same(
+      graft.ops.MarketBars.rollSpread(bars.repartition(3)),
+      graft.ops.MarketBars.rollSpread(bars.repartition(17)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    same(
+      graft.ops.CorpusOps.bm25(docs.repartition(3), Seq("spark", "window", "hash")),
+      graft.ops.CorpusOps.bm25(docs.repartition(17), Seq("spark", "window", "hash")))
+  }
+
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
     graft.functions.VecDot.register(spark)
     val df = Seq(
