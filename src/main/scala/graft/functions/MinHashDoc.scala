@@ -92,6 +92,21 @@ object MinHashDocKernels {
     val union = n + m - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  /** |x ∩ y| over two sorted distinct long arrays — the same linear
+    * merge as [[setJaccard]], returning the raw count (for verifies
+    * that need the overlap itself, e.g. q77's n_shared). */
+  def setIntersect(x: ArrayData, y: ArrayData): Long = {
+    val n = x.numElements(); val m = y.numElements()
+    var ia = 0; var ib = 0; var inter = 0L
+    while (ia < n && ib < m) {
+      val xv = x.getLong(ia); val yv = y.getLong(ib)
+      if (xv == yv) { inter += 1; ia += 1; ib += 1 }
+      else if (xv < yv) ia += 1
+      else ib += 1
+    }
+    inter
+  }
 }
 
 case class MinHashDoc(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
@@ -180,4 +195,48 @@ case class SetJaccard(left: Expression, right: Expression) extends BinaryExpress
 
 object SetJaccard {
   def jac(a: Column, b: Column): Column = call_function("set_jaccard", a, b)
+}
+
+/** Codegen'd |x ∩ y| over two sorted distinct array<long> columns —
+  * [[MinHashDocKernels.setIntersect]]. */
+case class SetIntersect(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"set_intersect requires array<bigint> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    MinHashDocKernels.setIntersect(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.MinHashDocKernels.setIntersect($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SetIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
+object SetIntersect {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("set_intersect")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(
+        id,
+        new ExpressionInfo(classOf[SetIntersect].getName, "set_intersect"),
+        (children: Seq[Expression]) => SetIntersect(children.head, children(1)))
+    }
+  }
+
+  def count(a: Column, b: Column): Column = call_function("set_intersect", a, b)
 }

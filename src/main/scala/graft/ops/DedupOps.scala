@@ -329,26 +329,43 @@ object DedupOps {
           TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("gk"))
       .distinct()
     // posting list per gram, stop-grams dropped while still one row
-    // each; lazily checkpointed — three consumers below
+    // each
     val buckets = grams.groupBy(col("gk"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
+    // pruned postings re-derive from the buckets (no join), fold to
+    // one sorted gram set per doc — the verify side AND the prefix
+    // source; lazily checkpointed, two consumers
+    val hs = buckets.select(col("gk"), explode(col("docs")).as("doc"))
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(col("gk"))).as("set"))
+      .withColumn("sz", size(col("set")))
       .localCheckpoint(eager = false)
-    val sz = buckets.select(explode(col("docs")).as("doc"))
-      .groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val pairs = buckets
+    // PPJoin prefix filter (lossless for jaccard >= t): a qualifying
+    // pair must collide inside the first sz − ⌊t·sz⌋ + 1 grams of the
+    // GLOBAL hash order, so candidate pairs generate from prefix
+    // buckets only (~(1−t)² of the full bucket fan-out) and the exact
+    // overlap is recomputed per candidate by the codegen sorted-merge
+    // — the 4M-row count-every-collision aggregate disappears
+    val prefLen = (col("sz") - floor(lit(threshold) * col("sz")).cast("int") + 1)
+    val cand = hs
+      .select(col("doc"), explode(slice(col("set"), lit(1), prefLen)).as("gk"))
+      .groupBy(col("gk"))
+      .agg(array_sort(collect_list(col("doc"))).as("docs"))
       .select(explode(expr(
         """flatten(transform(docs, (x, i) ->
            transform(slice(docs, i + 2, size(docs)),
                      y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(sz.as("sa"), col("id_a") === col("sa.doc"))
-      .join(sz.as("sb"), col("id_b") === col("sb.doc"))
+      .distinct()
+    graft.functions.SetIntersect.register(df.sparkSession)
+    cand
+      .join(hs.select(col("doc").as("id_a"), col("set").as("seta"), col("sz").as("sza")), "id_a")
+      .join(hs.select(col("doc").as("id_b"), col("set").as("setb"), col("sz").as("szb")), "id_b")
+      .withColumn("n_shared",
+        graft.functions.SetIntersect.count(col("seta"), col("setb")))
       .withColumn("jaccard", col("n_shared").cast("double") /
-        (col("sa.sz") + col("sb.sz") - col("n_shared")).cast("double"))
+        (col("sza") + col("szb") - col("n_shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_shared"),
         round(col("jaccard"), 4).as("jaccard"))
