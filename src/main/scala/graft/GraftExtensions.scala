@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CrossHash, Hash32Array, Hash64Array, MinHashDoc, MinHashSig, PqCodes, SetJaccard, SimHash32, SimHash64, VecDot}
+import graft.functions.{CrossHash, Hash32Array, Hash64Array, MinHashDoc, MinHashSig, PqCodes, SetIntersect, SetJaccard, SimHash32, SimHash64, VecDot}
 import graft.ops.DedupOps
 
 /** Session-extension entry point for the engine's custom Catalyst
@@ -59,5 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_codes"),
       new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
       (children: Seq[Expression]) => PqCodes(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("set_intersect"),
+      new ExpressionInfo(classOf[SetIntersect].getName, "set_intersect"),
+      (children: Seq[Expression]) => SetIntersect(children.head, children(1))))
   }
 }
