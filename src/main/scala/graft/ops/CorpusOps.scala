@@ -334,7 +334,11 @@ object CorpusOps {
       k1: Double = 1.2,
       b: Double = 0.75,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      // pin the tf aggregate for its two consumers (df + scoring);
+      // false exposes the full unbroken plan (ScaleSpec's filter-
+      // position audit — a checkpoint truncates what explain shows)
+      pinTf: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     // one tokenize pass feeds doc lengths AND query-term tf
     val toks = Dist.materialize(
@@ -349,9 +353,9 @@ object CorpusOps {
     val hits = toks
       .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-    val tf = hits.groupBy(col(idCol), col("dl"), col("term"))
+    val tf0 = hits.groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+    val tf = if (pinTf) tf0.localCheckpoint(eager = false) else tf0
     // df = rows per term in the tf aggregate (≡ distinct docs per
     // term) — no second pass over the exploded tokens
     val dfAgg = tf.groupBy(col("term"))

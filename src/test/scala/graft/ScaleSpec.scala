@@ -104,8 +104,10 @@ class ScaleSpec extends AnyFunSuite {
   test("bm25 plan: query-term filter lands before the tf aggregate") {
     // only query-term postings may shuffle — the isin filter must sit
     // below the (doc, term) aggregate, not above it
+    // pinTf=false: the checkpoint would truncate the visible plan
     val plan = graft.ops.CorpusOps
-      .bm25(Tables.documents(spark, sf), Seq("spark", "window", "hash"))
+      .bm25(Tables.documents(spark, sf), Seq("spark", "window", "hash"),
+        pinTf = false)
       .queryExecution.executedPlan.toString
     val filterAt = plan.indexOf("spark,window,hash")
     val aggAt = plan.indexOf("HashAggregate")
