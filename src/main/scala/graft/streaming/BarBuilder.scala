@@ -99,6 +99,37 @@ object BarBuilder {
           .as("twap"))
   }
 
+  /** Stream-stream time-range join — trade↔quote matching: each trade
+    * pairs with the same series' quotes from the trailing `lookback`
+    * window ([ts − lookback, ts], inclusive). The range condition on
+    * BOTH event-time columns plus the two watermarks bound both join
+    * states, so state stays O(rate × lookback) per series regardless
+    * of stream length. Inner matches emit as soon as both sides
+    * arrive — no window close needed. Batch semantics are the plain
+    * range join on the same frames (StreamingSpec: stream == batch).
+    */
+  def tradeQuoteJoin(
+      trades: DataFrame,
+      quotes: DataFrame,
+      lookbackMinutes: Int = 5,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(lookbackMinutes >= 1)
+    val t = trades
+      .select(col("event_type").as("series"), col("ts"),
+        col("value").as("trade_px"))
+      .withWatermark("ts", watermark)
+    val q = quotes
+      .select(col("event_type").as("qseries"), col("ts").as("qts"),
+        col("value").as("quote_px"))
+      .withWatermark("qts", watermark)
+    t.join(q, expr(
+      s"""series = qseries
+          AND qts >= ts - INTERVAL $lookbackMinutes MINUTES
+          AND qts <= ts"""))
+      .select(col("series"), col("ts"), col("trade_px"),
+        col("qts"), col("quote_px"))
+  }
+
   /** Streaming ingest dedup: drop duplicate (series, ts) ticks within
     * the watermark — the streaming replacement for the reference's
     * lost UNIQUE(symbol, timestamp) constraint (`schema.py:42`). State

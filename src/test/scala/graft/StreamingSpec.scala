@@ -119,6 +119,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream trade-quote range join matches the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = ticksFromEvents(1200)
+    // same series on both sides so the equality key matches; quotes
+    // get a distinct value stream (shifted) to tell the columns apart
+    val trades = data.map(t => Tick("s", t.ts, t.value))
+    val quotes = data.map(t => Tick("s", new Timestamp(t.ts.getTime + 30000L), t.value + 1000))
+    val ts = MemoryStream[Tick]
+    val qs = MemoryStream[Tick]
+    val out = BarBuilder.tradeQuoteJoin(ts.toDF(), qs.toDF(), lookbackMinutes = 5)
+      .writeStream.format("memory").queryName("tq_out")
+      .outputMode("append").start()
+    try {
+      // interleave the two sides across micro-batches
+      ts.addData(trades.take(600)); qs.addData(quotes.take(600))
+      out.processAllAvailable()
+      ts.addData(trades.drop(600)); qs.addData(quotes.drop(600))
+      out.processAllAvailable()
+      val streamed = spark.table("tq_out")
+      val batch = BarBuilder.tradeQuoteJoin(
+        trades.toDF("event_type", "ts", "value"),
+        quotes.toDF("event_type", "ts", "value"), lookbackMinutes = 5)
+      assert(streamed.count() > 0)
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally out.stop()
+  }
+
   test("streaming bars sink to a date-partitioned lake path with key dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
