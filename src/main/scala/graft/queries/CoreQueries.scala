@@ -24,6 +24,40 @@ object CoreQueries {
   def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
 
+  /** Pairwise Pearson correlation over numeric columns in ONE pass:
+    * every raw/cross sum accumulates in DECIMAL(28,6) (products formed
+    * in DOUBLE — the q85 covariance rule), the co-moments form in
+    * DOUBLE from the exact sums, and the pairs stack-unpivot from the
+    * single aggregate row. Spark's own `corr` accumulates co-moments
+    * in doubles whose value depends on partition merge ORDER — fine as
+    * an estimator, unusable for a hash-compared gate; this shape is
+    * order-proof AND the one-pass plan you'd want at 100 TB. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2)
+    def dsum(e: org.apache.spark.sql.Column) = sum(e.cast(DecimalType(28, 6)))
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs =
+      cols.flatMap(c => Seq(
+        dsum(col(c)).as(s"s__$c"),
+        dsum(col(c) * col(c)).as(s"ss__$c"))) ++
+      pairs.map { case (a, b) => dsum(col(a) * col(b)).as(s"sp__${a}__$b") }
+    val one = df.agg(count(lit(1)).as("n"), aggs: _*)
+    def d(name: String) = col(name).cast(DoubleType)
+    def rFor(a: String, b: String) = {
+      val n = col("n").cast(DoubleType)
+      val num = n * d(s"sp__${a}__$b") - d(s"s__$a") * d(s"s__$b")
+      val va = n * d(s"ss__$a") - d(s"s__$a") * d(s"s__$a")
+      val vb = n * d(s"ss__$b") - d(s"s__$b") * d(s"s__$b")
+      when(va > 0 && vb > 0, round(num / (sqrt(va) * sqrt(vb)), 6))
+    }
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), rFor(a, b).as("r"))
+    }
+    one.select(col("n"), explode(array(stacked: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.r"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1/P2/F8: project + decimal cast + null drop (transform_data.py:55-65)
     "q01_clean_cast" -> ((s, dir) => {
@@ -502,6 +536,53 @@ object CoreQueries {
         .limit(100)
     }),
 
+    // Fuzzy dimension self-join: nation-name pairs within edit
+    // distance 1 (levenshtein is exact integer math — identical in
+    // both engines); broadcast build side — the entity-resolution
+    // shape for small dims
+    "q114_fuzzy_join" -> ((s, dir) => {
+      val a = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("id_a"), col("n_name").as("name_a"))
+      val b = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("id_b"), col("n_name").as("name_b"))
+      a.join(broadcast(b),
+        col("id_a") < col("id_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 1)
+        .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Equi-width histogram per event series: 10 bins over the series'
+    // own [min, max] range (stats broadcast back; identical double
+    // bin math in both engines; degenerate zero-width range -> bin 0)
+    "q115_histogram" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val st = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.join(broadcast(st), "event_type")
+        .withColumn("w", (col("hi") - col("lo")) / 10.0)
+        .withColumn("bin",
+          when(col("w") > 0,
+            least(lit(9), floor((col("value") - col("lo")) / col("w")).cast("int")))
+            .otherwise(0).cast("int"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("v_min"),
+          round(max(col("value")), 6).as("v_max"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // Pairwise Pearson correlation matrix over the lineitem measures:
+    // ONE pass accumulates every sum in DECIMAL (q34 rule), the
+    // co-moment arithmetic forms in DOUBLE from the exact sums (the
+    // q111 rule), and the 6 pairs unpivot from the single row
+    "q116_corr_matrix" -> ((s, dir) => {
+      CoreQueries.corrMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // Bounded-iteration PageRank (5 rounds, d=0.85) over the directed
     // supplier→part graph (part ids offset into their own node space);
     // per-edge contributions round 12dp then DECIMAL-sum, so every
@@ -851,6 +932,60 @@ object CoreQueries {
             CAST($terms AS BIGINT) AS z
           FROM lineitem
           ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""
+    },
+
+    "q114_fuzzy_join" ->
+      """SELECT a.n_nationkey AS id_a, a.n_name AS name_a,
+           b.n_nationkey AS id_b, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+         FROM nation a JOIN nation b
+           ON a.n_nationkey < b.n_nationkey
+          AND levenshtein(a.n_name, b.n_name) <= 1
+         ORDER BY id_a, id_b""",
+
+    "q115_histogram" ->
+      """WITH st AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+                     FROM events GROUP BY 1),
+          x AS (SELECT e.event_type, value, (hi - lo)/10.0 AS w, lo
+                FROM events e JOIN st USING (event_type)),
+          bi AS (SELECT event_type, value,
+                   CASE WHEN w > 0
+                        THEN least(9, CAST(floor((value - lo)/w) AS INTEGER))
+                        ELSE 0 END AS bin
+                 FROM x)
+          SELECT event_type, CAST(bin AS INTEGER) AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            round(min(value), 6) AS v_min, round(max(value), 6) AS v_max
+          FROM bi GROUP BY 1, 2 ORDER BY event_type, bin""",
+
+    // correlation-matrix twin: identical one-row decimal sums,
+    // identical double co-moment expressions, 6-branch unpivot
+    "q116_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+        yield (cols(i), cols(j))
+      val aggs = (cols.flatMap(c => Seq(
+          s"SUM(CAST($c AS DECIMAL(28,6))) AS s__$c",
+          s"SUM(CAST($c*$c AS DECIMAL(28,6))) AS ss__$c")) ++
+        pairs.map { case (a, b) =>
+          s"SUM(CAST($a*$b AS DECIMAL(28,6))) AS sp__${a}__$b" })
+        .mkString(",\n            ")
+      val branches = pairs.map { case (a, b) =>
+        val num = s"(CAST(n AS DOUBLE)*CAST(sp__${a}__$b AS DOUBLE) " +
+          s"- CAST(s__$a AS DOUBLE)*CAST(s__$b AS DOUBLE))"
+        val va = s"(CAST(n AS DOUBLE)*CAST(ss__$a AS DOUBLE) " +
+          s"- CAST(s__$a AS DOUBLE)*CAST(s__$a AS DOUBLE))"
+        val vb = s"(CAST(n AS DOUBLE)*CAST(ss__$b AS DOUBLE) " +
+          s"- CAST(s__$b AS DOUBLE)*CAST(s__$b AS DOUBLE))"
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+              CASE WHEN $va > 0 AND $vb > 0
+                   THEN round($num/(sqrt($va)*sqrt($vb)), 6) END AS r
+            FROM a"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            $aggs
+          FROM lineitem)
+          SELECT * FROM ($branches) ORDER BY col_a, col_b"""
     },
 
     // PageRank twin: 5 unrolled iterations; base constant written as

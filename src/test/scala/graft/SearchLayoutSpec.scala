@@ -181,6 +181,30 @@ class SearchLayoutSpec extends AnyFunSuite {
       "all-bucket probe must have recall 1")
   }
 
+  test("corr matrix: exact ±1 on linear columns, bounded elsewhere") {
+    import spark.implicits._
+    val df = (1 to 100).map(i =>
+      (i.toDouble, 2.0 * i + 3.0, -1.0 * i, (i % 7).toDouble))
+      .toDF("x", "y2x", "zneg", "w")
+    val m = graft.queries.CoreQueries.corrMatrix(df, Seq("x", "y2x", "zneg", "w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("r")).toMap
+    assert(m(("x", "y2x")) === 1.0)
+    assert(m(("x", "zneg")) === -1.0)
+    assert(math.abs(m(("x", "w"))) < 0.3)
+    assert(m.size === 6)
+  }
+
+  test("histogram bins are 0..9 and partition each series exactly") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val h = SparkEntry.queries("q115_histogram")(spark, sf).cache()
+    assert(h.filter(col("bin") < 0 || col("bin") > 9).count() === 0)
+    val perType = h.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+    val truth = ev.groupBy(col("event_type")).agg(count(lit(1)).as("total"))
+    assert(perType.except(truth).count() === 0)
+    h.unpersist()
+  }
+
   test("bloom decontamination == exact decontamination (bloom only prunes)") {
     val exact = DedupOps.decontaminate(docs, "text", "doc_id",
       benchFilter = col("doc_id") % 41 === 0, minShared = 2)
