@@ -536,6 +536,52 @@ object CoreQueries {
         .limit(100)
     }),
 
+    // TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈ lineitem
+    // with date predicates on both fact sides, revenue decimal-summed,
+    // global top-10 with a total-order tie-break. The plan showcase:
+    // the segment-filtered customer dim broadcasts, both date filters
+    // push to the scans, the agg is map-side partial, and the top-10
+    // is a TakeOrdered — no global sort
+    "q117_shipping_priority" -> ((s, dir) => {
+      val cut = to_timestamp(lit("1998-06-01 00:00:00"))
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cut)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cut)
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 6))).cast(DoubleType), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-way snowflake join
+    // — customer/supplier co-located by nation, revenue per (region,
+    // nation), dims broadcast, facts shuffle on their join keys only
+    "q118_regional_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 6))).cast(DoubleType), 2).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // Fuzzy dimension self-join: nation-name pairs within edit
     // distance 1 (levenshtein is exact integer math — identical in
     // both engines); broadcast build side — the entity-resolution
@@ -933,6 +979,34 @@ object CoreQueries {
           FROM lineitem
           ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""
     },
+
+    "q117_shipping_priority" ->
+      """SELECT l_orderkey,
+           round(CAST(SUM(CAST(l_extendedprice*(1.0 - l_discount)
+             AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+           o_orderdate, o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+
+    "q118_regional_revenue" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(SUM(CAST(l_extendedprice*(1.0 - l_discount)
+             AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
 
     "q114_fuzzy_join" ->
       """SELECT a.n_nationkey AS id_a, a.n_name AS name_a,
