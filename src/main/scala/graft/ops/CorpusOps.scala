@@ -414,4 +414,59 @@ object CorpusOps {
         // sort NUMERICALLY first, cast after — string sort would put 10 < 2
         array_join(transform(col("ids"), x => x.cast("string")), ",").as("postings"))
   }
+
+  /** Bigram collocations ranked by pointwise mutual information —
+    * the statistic behind BPE-style merge candidates, multi-word
+    * expression mining, and tokenizer-vocabulary analysis:
+    * pmi(x,y) = ln( p(xy) / (p(x)·p(y)) ) with p(xy) = c_xy/N_bi and
+    * p(w) = c_w/N_uni.
+    *
+    * Plan: ONE tokenize+explode pass emits (w, next) per token —
+    * `zip_with` against the tail of the token array pads the final
+    * token's `next` with null, so unigram AND bigram counts both
+    * derive from the single (w, next) aggregate (one token-level
+    * shuffle, checkpointed for its consumers; same shape as
+    * [[tfidf]]). Unigram/bigram totals fold to one broadcast row;
+    * vocabulary-sized count relations broadcast onto the bigram side.
+    *
+    * Determinism: every count is an exact BIGINT; the pmi argument is
+    * formed as (c_xy·N_uni·N_uni) / (N_bi·c_x·c_y) — two exact integer
+    * products cast to double, one divide, one ln, round 6 — so both
+    * engines evaluate the identical float expression.
+    */
+  def collocations(
+      docs: DataFrame,
+      minCount: Int = 5,
+      k: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = docs
+      .select(TextOps.tokens(col(textCol)).as("t"))
+      .select(explode(zip_with(
+        col("t"),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w"), b.as("nxt")))).as("p"))
+      .select(col("p.w"), col("p.nxt"))
+      .groupBy(col("w"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val uni = pairs.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val totals = pairs.agg(
+      sum(col("c")).as("nu"),
+      sum(when(col("nxt").isNotNull, col("c"))).as("nb"))
+    pairs.filter(col("nxt").isNotNull)
+      .filter(col("c") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cw", "c_w1")), col("w") === col("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cw", "c_w2")), col("nxt") === col("w2"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("w1"), col("w2"), col("c").as("c_pair"),
+        col("c_w1"), col("c_w2"),
+        round(log((col("c") * col("nu") * col("nu")).cast(DoubleType) /
+          (col("nb") * col("c_w1") * col("c_w2")).cast(DoubleType)), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -184,4 +184,33 @@ object EventAnalytics {
           (col("value") - col("peak")) / col("peak"))), 6)
           .as("max_drawdown_pct"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each (prev_type → next_type) edge, the transition
+    * count, the row-normalized probability p(next | prev), and the
+    * decimal-exact mean of `value` at the destination event (sequence
+    * mining / behavioral-model fitting over the event log).
+    *
+    * Plan: one lag window partitioned by user (users are many and
+    * small — no hot-key hazard), one |types|²-bounded aggregate, and a
+    * tiny window over the aggregate for row normalization. Counts are
+    * exact BIGINTs; p and avg_value form as one double divide from
+    * exact integer / decimal sums, so partition merge order cannot
+    * perturb them. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val g = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).as("sv"))
+    val row = Window.partitionBy(col("prev_type"))
+    g.select(col("prev_type"), col("next_type"), col("n"),
+      round(col("n").cast(DoubleType) /
+        sum(col("n")).over(row).cast(DoubleType), 6).as("p"),
+      round(col("sv").cast(DoubleType) / col("n").cast(DoubleType), 6)
+        .as("avg_value"))
+  }
 }

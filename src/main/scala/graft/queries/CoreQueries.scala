@@ -58,6 +58,38 @@ object CoreQueries {
       .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.r"))
   }
 
+  /** Per-group simple OLS fit y = a + b·x — slope, intercept, and R²
+    * per group in ONE map-side-combinable aggregate (grouped linear
+    * trend fitting; the same co-moment machinery as [[corrMatrix]]
+    * but grouped and solved for the regression line).
+    *
+    * Spark's own `regr_slope` accumulates co-moments in doubles whose
+    * value depends on partition merge order — fine as an estimator,
+    * unusable for a hash-compared gate. Here the five sums accumulate
+    * in DECIMAL (exact, order-proof); slope/intercept/R² then form in
+    * DOUBLE from the exact sums with one expression shape shared with
+    * the oracle. */
+  def olsFit(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    def dsum(e: org.apache.spark.sql.Column) = sum(e.cast(DecimalType(28, 6)))
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      dsum(col(xCol)).as("sx"),
+      dsum(col(yCol)).as("sy"),
+      dsum(col(xCol) * col(yCol)).as("sxy"),
+      dsum(col(xCol) * col(xCol)).as("sxx"),
+      dsum(col(yCol) * col(yCol)).as("syy"))
+    def d(name: String) = col(name).cast(DoubleType)
+    val n = col("n").cast(DoubleType)
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val den = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    g.select(col(groupCol), col("n"),
+      when(den > 0, round(num / den, 6)).as("slope"),
+      when(den > 0,
+        round((d("sy") - (num / den) * d("sx")) / n, 6)).as("intercept"),
+      when(den > 0 && vy > 0, round((num * num) / (den * vy), 6)).as("r2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1/P2/F8: project + decimal cast + null drop (transform_data.py:55-65)
     "q01_clean_cast" -> ((s, dir) => {
@@ -639,6 +671,22 @@ object CoreQueries {
           (col("l_partkey").cast("long") + 1000000L).as("dst"))
       graft.ops.GraphOps.pageRank(edges, "src", "dst", iters = 5)
         .orderBy(col("id"))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: lag window keyed by user (many small partitions),
+    // |types|²-bounded aggregate, row-normalized probabilities
+    "q120_transitions" -> ((s, dir) => {
+      graft.ops.EventAnalytics.transitions(Tables.events(s, dir))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // Per-group OLS fit (slope/intercept/R²) from decimal-exact
+    // co-moment sums — grouped regr_slope with order-proof results
+    "q121_group_ols" -> ((s, dir) => {
+      CoreQueries.olsFit(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -1089,6 +1137,56 @@ object CoreQueries {
           $iters
           SELECT id, round(CAST(r AS DOUBLE), 8) AS rank
           FROM r5 ORDER BY id"""
-    }
+    },
+
+    // transition twin: identical lag partitioning and tie-break
+    // (ts, event_id); p and avg_value form as one double divide
+    "q120_transitions" ->
+      """WITH x AS (
+           SELECT event_type, value,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         g AS (
+           SELECT prev_type, event_type AS next_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(28,6))) AS sv
+           FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) /
+             CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p,
+           round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_value
+         FROM g ORDER BY prev_type, next_type""",
+
+    // OLS twin: the five DECIMAL sums then the identical double
+    // expression shapes for slope / intercept / R²
+    "q121_group_ols" ->
+      """WITH g AS (
+           SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS syy
+           FROM lineitem GROUP BY 1),
+         d AS (
+           SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+           FROM g)
+         SELECT l_returnflag, n,
+           CASE WHEN den > 0 THEN round(num / den, 6) END AS slope,
+           CASE WHEN den > 0
+             THEN round((syd - (num / den) * sxd) / CAST(n AS DOUBLE), 6)
+           END AS intercept,
+           CASE WHEN den > 0 AND vy > 0
+             THEN round((num * num) / (den * vy), 6)
+           END AS r2
+         FROM d ORDER BY l_returnflag"""
   )
 }

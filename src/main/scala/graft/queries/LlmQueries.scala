@@ -394,6 +394,14 @@ object LlmQueries {
       SimilarityOps.annRecall(Tables.embeddings(s, dir),
         k = 5, centroidEvery = 50, nprobe = 2)
         .orderBy(col("qid"))
+    }),
+
+    // Bigram PMI collocations (BPE merge-candidate / multi-word
+    // expression statistics): one tokenize+explode pass, one
+    // token-level shuffle, pmi from exact-integer products
+    "q119_pmi_colloc" -> ((s, dir) => {
+      CorpusOps.collocations(Tables.rebalance(Tables.documents(s, dir)),
+        minCount = 5, k = 50)
     })
   )
 
@@ -1104,6 +1112,27 @@ object LlmQueries {
           SELECT qq.qid, coalesce(m.n_matched, 0) AS n_matched,
             round(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / 5, 4) AS recall
           FROM qq LEFT JOIN m ON m.qid = qq.qid ORDER BY qq.qid""",
+
+    // collocation twin: bigrams via 1-based list indexing over
+    // range(1, len); identical exact-integer pmi argument
+    "q119_pmi_colloc" ->
+      s"""WITH $toksCte,
+          b0 AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM d),
+          bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM b0),
+          bc AS (SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY 1, 2),
+          u AS (SELECT unnest(toks) AS w FROM d),
+          uc AS (SELECT w, count(*) AS cw FROM u GROUP BY 1),
+          t AS (SELECT (SELECT count(*) FROM u) AS nu,
+                       (SELECT count(*) FROM bg) AS nb)
+          SELECT bc.w1, bc.w2, bc.c_pair, u1.cw AS c_w1, u2.cw AS c_w2,
+            round(ln(CAST(bc.c_pair * t.nu * t.nu AS DOUBLE) /
+                     CAST(t.nb * u1.cw * u2.cw AS DOUBLE)), 6) AS pmi
+          FROM bc
+          JOIN uc u1 ON u1.w = bc.w1
+          JOIN uc u2 ON u2.w = bc.w2
+          CROSS JOIN t
+          WHERE bc.c_pair >= 5
+          ORDER BY pmi DESC, w1, w2 LIMIT 50""",
 
     // negative-sampling twin: identical md5-derived draws (self-draws
     // step to the next id mod N), identical list_dot_product

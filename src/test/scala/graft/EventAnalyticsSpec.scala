@@ -53,6 +53,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("outlier_ratio") === 0.1)
   }
 
+  test("transitions: hand-computed counts, row-normalized p, dest-value mean") {
+    val ev = Seq(
+      // u1: a -> b -> a ; u2: a -> a -> b
+      (1L, ts("2024-01-01 00:00:01"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:00:02"), 1L, "b", 2.0, "{}"),
+      (3L, ts("2024-01-01 00:00:03"), 1L, "a", 3.0, "{}"),
+      (4L, ts("2024-01-01 00:00:01"), 2L, "a", 4.0, "{}"),
+      (5L, ts("2024-01-01 00:00:02"), 2L, "a", 5.0, "{}"),
+      (6L, ts("2024-01-01 00:00:03"), 2L, "b", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventAnalytics.transitions(ev)
+      .orderBy("prev_type", "next_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // edges: (a,a) n=1 dest 5.0; (a,b) n=2 dest {2.0, 6.0}; (b,a) n=1 dest 3.0
+    assert(out === Seq(
+      ("a", "a", 1L, 0.333333, 5.0),
+      ("a", "b", 2L, 0.666667, 4.0),
+      ("b", "a", 1L, 1.0, 3.0)))
+  }
+
   test("funnel counts survivors per step with the 60-min window") {
     val t0 = "2024-01-01 10:00:00"
     val ev = Seq(

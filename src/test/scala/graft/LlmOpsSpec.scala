@@ -363,6 +363,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 3L, 0.877), (2L, 2L, 1.0601)))
   }
 
+  test("collocations: hand-computed PMI over a 3-doc corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x y w"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    // unigrams x:3 y:3 z:1 w:1 (Nu=8); bigrams (x,y):3 (y,z):1 (y,w):1
+    // (Nb=5); minCount=2 keeps only (x,y):
+    //   pmi = ln(3·8·8 / (5·3·3)) = ln(192/45)
+    val out = graft.ops.CorpusOps.collocations(docs, minCount = 2, k = 10)
+      .collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_pair"), r.getAs[Long]("c_w1"),
+        r.getAs[Long]("c_w2"), r.getAs[Double]("pmi")))
+    val pmi = BigDecimal(math.log(192.0 / 45.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(("x", "y", 3L, 3L, 3L, pmi)))
+  }
+
   test("tokenEntropy: 0 for constant docs, ln k for uniform docs") {
     import spark.implicits._
     val docs = Seq(

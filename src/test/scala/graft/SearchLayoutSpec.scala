@@ -181,6 +181,26 @@ class SearchLayoutSpec extends AnyFunSuite {
       "all-bucket probe must have recall 1")
   }
 
+  test("olsFit: exact line recovered; hand-computed noisy fit; degenerate x -> null") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: exactly y = 2x + 1
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),
+      // group b: n=3 sx=6 sy=8 sxy=19 sxx=14 syy=26 ->
+      //   slope = 9/6 = 1.5, intercept = (8-9)/3, r2 = 81/84
+      ("b", 1.0, 1.0), ("b", 2.0, 3.0), ("b", 3.0, 4.0),
+      // group c: zero x-variance -> undefined fit
+      ("c", 5.0, 1.0), ("c", 5.0, 2.0))
+      .toDF("g", "x", "y")
+    val out = graft.queries.CoreQueries.olsFit(df, "g", "x", "y")
+      .orderBy("g").collect()
+    assert((out(0).getDouble(2), out(0).getDouble(3), out(0).getDouble(4))
+      === ((2.0, 1.0, 1.0)))
+    assert((out(1).getDouble(2), out(1).getDouble(3), out(1).getDouble(4))
+      === ((1.5, -0.333333, 0.964286)))
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
   test("corr matrix: exact ±1 on linear columns, bounded elsewhere") {
     import spark.implicits._
     val df = (1 to 100).map(i =>
