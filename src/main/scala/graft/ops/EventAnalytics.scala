@@ -185,6 +185,30 @@ object EventAnalytics {
           .as("max_drawdown_pct"))
   }
 
+  /** Hour-of-day seasonal baseline per event type: the decimal-exact
+    * mean of `value` for each (type, hour) cell plus the seasonal
+    * index baseline/overall-type-mean — the normalization table a
+    * monitoring pipeline divides by before alerting on level shifts
+    * (de-seasonalized residuals).
+    *
+    * One grouped aggregate (|types|·24 cells) and a tiny window over
+    * it for the per-type totals; both ratios form as double divides
+    * from exact DECIMAL/BIGINT sums, so results are
+    * partitioning-independent. */
+  def seasonalBaseline(events: DataFrame): DataFrame = {
+    val g = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).as("sv"))
+    val tot = Window.partitionBy(col("event_type"))
+    val cell = col("sv").cast(DoubleType) / col("n").cast(DoubleType)
+    val overall = sum(col("sv")).over(tot).cast(DoubleType) /
+      sum(col("n")).over(tot).cast(DoubleType)
+    g.select(col("event_type"), col("hr"), col("n"),
+      round(cell, 6).as("baseline"),
+      round(cell / overall, 6).as("seasonal_idx"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: for each (prev_type → next_type) edge, the transition
     * count, the row-normalized probability p(next | prev), and the

@@ -166,6 +166,55 @@ object PairAnalytics {
         round((dbl(col("sy")) - beta * dbl(col("sx"))) / dbl(n), 6)).as("alpha"))
   }
 
+  /** Lead-lag cross-correlation function: Pearson r between close1_t
+    * and close2_{t+k} for every lag k in [-maxLag, maxLag] — the
+    * lead-lag discovery step before fitting a pairs model (which leg
+    * moves first, and by how many bars).
+    *
+    * Plan: ONE window pass computes all 2·maxLag+1 shifted series
+    * (lead/lag share the per-pair (bar_ts) window spec, so Catalyst
+    * stacks them into a single Window operator), an explode unpivots
+    * (k, y) pairs map-side, and one |pairs|·(2·maxLag+1)-group
+    * aggregate accumulates the co-moment sums in DECIMAL (the q34
+    * rule). r then forms in DOUBLE from the exact sums with the
+    * [[graft.queries.CoreQueries.olsFit]] expression shape. Per-pair
+    * window = the q49 hot-key class, same documented escape. */
+  def ccf(pair: DataFrame, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
+    val ks = (-maxLag to maxLag).toSeq
+    // window exprs are not allowed inside a generator: materialize the
+    // shifted columns first (one stacked Window operator), explode after
+    val shiftCols = ks.map { k =>
+      (if (k >= 0) lead(col("close2"), k).over(w)
+       else lag(col("close2"), -k).over(w)).as(s"y_${k + maxLag}")
+    }
+    val shifted = pair.select(
+      Seq(col("pair_name"), col("close1")) ++ shiftCols: _*)
+    val stacked = ks.map(k =>
+      struct(lit(k).as("k"), col(s"y_${k + maxLag}").as("y")))
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(28, 6)))
+    def d(name: String) = col(name).cast(DoubleType)
+    val g = shifted
+      .select(col("pair_name"), col("close1").as("x"),
+        explode(array(stacked: _*)).as("s"))
+      .select(col("pair_name"), col("x"), col("s.k").as("k"), col("s.y").as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("pair_name"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast(DoubleType)
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    g.select(col("pair_name"), col("k"), col("n"),
+      when(vx > 0 && vy > 0,
+        round(num / (sqrt(vx) * sqrt(vy)), 6)).as("r_ccf"))
+  }
+
   /** Full flagship chain for one pair over a bar frame. */
   def pairZScore(
       bars: DataFrame,

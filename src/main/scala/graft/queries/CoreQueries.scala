@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -34,7 +35,12 @@ object CoreQueries {
     * order-proof AND the one-pass plan you'd want at 100 TB. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2)
-    def dsum(e: org.apache.spark.sql.Column) = sum(e.cast(DecimalType(28, 6)))
+    // sum_fixed6 ≡ sum(cast(e as decimal(28,6))) — the 15 BigDecimal
+    // aggregates were this query's entire runtime (4.0 s -> ~0.3 s at
+    // sf0.1); see functions/FixedPoint.scala
+    graft.functions.FixedPoint.register(df.sparkSession)
+    def dsum(e: org.apache.spark.sql.Column) =
+      graft.functions.FixedPoint.sumFixed6(e)
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
     val aggs =
@@ -88,6 +94,32 @@ object CoreQueries {
       when(den > 0,
         round((d("sy") - (num / den) * d("sx")) / n, 6)).as("intercept"),
       when(den > 0 && vy > 0, round((num * num) / (den * vy), 6)).as("r2"))
+  }
+
+  /** Per-group Herfindahl–Hirschman concentration index: entity
+    * shares of a decimal-exact value total, HHI = Σ share², plus the
+    * top entity share (market-concentration / data-source-dominance
+    * audit — e.g. "is one supplier 80% of a nation's volume" or "is
+    * one domain 80% of the corpus").
+    *
+    * Entity totals accumulate in DECIMAL (one shuffle); shares form
+    * as one double divide against the window-summed exact total;
+    * per-entity share² rounds 12dp then DECIMAL-sums (the q108
+    * pagerank rule) so the group fold is order-proof. */
+  def concentration(
+      df: DataFrame, groupCol: String, entityCol: String,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    val rev = df.groupBy(col(groupCol), col(entityCol))
+      .agg(sum(value.cast(DecimalType(28, 6))).as("r"))
+    val w = Window.partitionBy(col(groupCol))
+    val share = col("r").cast(DoubleType) /
+      sum(col("r")).over(w).cast(DoubleType)
+    rev.select(col(groupCol), share.as("share"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_entities"),
+        round(sum(round(col("share") * col("share"), 12)
+          .cast(DecimalType(28, 12))).cast(DoubleType), 6).as("hhi"),
+        round(max(col("share")), 6).as("top_share"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -687,6 +719,28 @@ object CoreQueries {
       CoreQueries.olsFit(Tables.lineitem(s, dir),
         "l_returnflag", "l_quantity", "l_extendedprice")
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Hour-of-day seasonal baseline + per-type seasonal index (the
+    // de-seasonalization table monitoring divides by)
+    "q123_seasonal" -> ((s, dir) => {
+      graft.ops.EventAnalytics.seasonalBaseline(Tables.events(s, dir))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+    // Supplier-concentration audit: HHI + top share of revenue per
+    // nation (fact-side aggregate first, dims broadcast)
+    "q124_hhi" -> ((s, dir) => {
+      val joined = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+      CoreQueries.concentration(joined, "n_name", "l_suppkey",
+        col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .orderBy(col("n_name"))
     })
   )
 
@@ -1187,6 +1241,41 @@ object CoreQueries {
            CASE WHEN den > 0 AND vy > 0
              THEN round((num * num) / (den * vy), 6)
            END AS r2
-         FROM d ORDER BY l_returnflag"""
+         FROM d ORDER BY l_returnflag""",
+
+    // seasonal twin: identical exact-sum cells and double ratio forms
+    "q123_seasonal" ->
+      """WITH g AS (
+           SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n,
+             sum(CAST(value AS DECIMAL(28,6))) AS sv
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, hr, n,
+           round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS baseline,
+           round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 (CAST(sum(sv) OVER (PARTITION BY event_type) AS DOUBLE) /
+                  CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)), 6)
+             AS seasonal_idx
+         FROM g ORDER BY event_type, hr""",
+
+    // HHI twin: per-entity share² rounds 12dp then DECIMAL-sums (the
+    // q108 rule), so the per-nation fold is order-proof
+    "q124_hhi" ->
+      """WITH r AS (
+           SELECT n_name, l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS r
+           FROM lineitem
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+           GROUP BY 1, 2),
+         s AS (
+           SELECT n_name,
+             CAST(r AS DOUBLE) /
+               CAST(sum(r) OVER (PARTITION BY n_name) AS DOUBLE) AS share
+           FROM r)
+         SELECT n_name, count(*) AS n_entities,
+           round(CAST(sum(CAST(round(share * share, 12) AS DECIMAL(28,12)))
+             AS DOUBLE), 6) AS hhi,
+           round(max(share), 6) AS top_share
+         FROM s GROUP BY 1 ORDER BY n_name"""
   )
 }

@@ -600,6 +600,17 @@ object MarketQueries {
       MarketBars.ewma(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"), window = 20)
         .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Lead-lag cross-correlation function over the aligned pair: which
+    // leg moves first, and by how many bars (PairAnalytics.ccf)
+    "q122_ccf" -> ((s, dir) => {
+      val bars = MarketBars.bars(Tables.events(s, dir),
+        "event_type", "ts", "value")
+      PairAnalytics.ccf(
+        PairAnalytics.pairSpread(bars, "click", "view").drop("spread"),
+        maxLag = 3)
+        .orderBy(col("k"))
     })
   )
 
@@ -1138,6 +1149,37 @@ object MarketQueries {
                     (s, z) -> s/2 + 1.0) AS den
                 FROM f)
           SELECT series, bar_ts, close, n, round(num/den, 6) AS ewma
-          FROM x ORDER BY series, bar_ts"""
+          FROM x ORDER BY series, bar_ts""",
+
+    // CCF twin: one unrolled lead/lag branch per k over the pair CTE,
+    // then the olsFit-shaped co-moment forms from exact decimal sums
+    "q122_ccf" -> {
+      val branches = (-3 to 3).map { k =>
+        val sh = if (k >= 0) s"lead(close2, $k)" else s"lag(close2, ${-k})"
+        s"SELECT $k AS k, close1 AS x, $sh OVER (ORDER BY bar_ts) AS y FROM pair"
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH $pairCte,
+          sh AS (
+          $branches),
+          g AS (SELECT k, count(*) AS n,
+                  sum(CAST(x AS DECIMAL(28,6))) AS sx,
+                  sum(CAST(y AS DECIMAL(28,6))) AS sy,
+                  sum(CAST(x*y AS DECIMAL(28,6))) AS sxy,
+                  sum(CAST(x*x AS DECIMAL(28,6))) AS sxx,
+                  sum(CAST(y*y AS DECIMAL(28,6))) AS syy
+                FROM sh WHERE y IS NOT NULL GROUP BY 1),
+          d AS (SELECT k, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+                FROM g)
+          SELECT 'click-view' AS pair_name, k, n,
+            CASE WHEN vx > 0 AND vy > 0
+              THEN round(num / (sqrt(vx)*sqrt(vy)), 6) END AS r_ccf
+          FROM d ORDER BY k"""
+    }
   )
 }

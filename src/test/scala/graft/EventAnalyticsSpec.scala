@@ -53,6 +53,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("outlier_ratio") === 0.1)
   }
 
+  test("seasonalBaseline: hand-computed cell means and seasonal index") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-02 00:20:00"), 2L, "a", 3.0, "{}"),
+      (3L, ts("2024-01-01 01:10:00"), 1L, "a", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventAnalytics.seasonalBaseline(ev)
+      .orderBy("event_type", "hr").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // hour 0: mean (1+3)/2 = 2; hour 1: 4; overall 8/3 -> idx .75 / 1.5
+    assert(out === Seq((0, 2L, 2.0, 0.75), (1, 1L, 4.0, 1.5)))
+  }
+
+  test("ccf: delayed copy peaks at exactly +1 lag") {
+    val pair = (2 to 21).map { t =>
+      ("p", ts(f"2024-01-01 00:$t%02d:00"),
+        (t * t).toDouble, ((t - 1) * (t - 1)).toDouble)
+    }.toDF("pair_name", "bar_ts", "close1", "close2")
+    val out = graft.ops.PairAnalytics.ccf(pair, maxLag = 2)
+      .collect()
+      .map(r => r.getAs[Int]("k") -> (r.getAs[Long]("n"), r.getAs[Double]("r_ccf")))
+      .toMap
+    assert(out.size === 5)
+    // close2 is close1 delayed one bar: lead(close2, 1) == close1 exactly
+    assert(out(1)._1 === 19L)
+    assert(out(1)._2 === 1.0)
+    assert(Seq(-2, -1, 0, 2).forall(k => out(k)._2 < 1.0 && out(k)._2 > 0.9))
+  }
+
   test("transitions: hand-computed counts, row-normalized p, dest-value mean") {
     val ev = Seq(
       // u1: a -> b -> a ; u2: a -> a -> b

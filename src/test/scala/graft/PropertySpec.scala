@@ -341,6 +341,65 @@ class PropertySpec extends AnyFunSuite {
     assert(gsum.except(sw).count() === 0)
   }
 
+  test("sum_fixed6 == sum(cast decimal) on random, boundary, null, and empty inputs") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import spark.implicits._
+    graft.functions.FixedPoint.register(spark)
+    val r = new Random(42)
+    // groups: g0 random normals (±, arbitrary significands); g1 large
+    // product-scale magnitudes (~1e10); g2 authored 6-7dp values that
+    // sit ON the HALF_UP boundary (the BigDecimal-fallback zone);
+    // g3 all null; g4 mixed null/values
+    val rows: Seq[(Int, Option[Double])] =
+      (1 to 20000).map(_ => (0, Some(r.nextGaussian() * 1e4))) ++
+      (1 to 5000).map(_ => (1, Some((r.nextDouble() - 0.5) * 2e10))) ++
+      Seq.tabulate(2000)(i => (2, Some(i * 1e-1 + 5e-7))) ++
+      Seq.tabulate(2000)(i => (2, Some(-(i * 1e-1 + 5e-7)))) ++
+      Seq.fill(50)((3, Option.empty[Double])) ++
+      (1 to 500).map(i => (4, if (i % 3 == 0) None else Some(i * 0.123456)))
+    val df = rows.toDF("g", "v").repartition(13)
+    def agg(d: org.apache.spark.sql.DataFrame) = d.groupBy($"g").agg(
+      sum($"v".cast(DecimalType(28, 6))).cast(DoubleType).as("dec"),
+      graft.functions.FixedPoint.sumFixed6($"v").as("fix"),
+      count($"v").as("nv"))
+    val out = agg(df).collect()
+    assert(out.length === 5)
+    out.foreach { row =>
+      // same null pattern; values match the decimal path to one 1e-6
+      // unit per row (the shortest-repr vs exact-binary cast nuance —
+      // see FixedPoint's scaladoc); bit-equal on the ≤6dp groups
+      assert(row.isNullAt(1) === row.isNullAt(2), s"null mismatch: $row")
+      if (!row.isNullAt(1)) {
+        val (dec, fix, nv) = (row.getDouble(1), row.getDouble(2), row.getLong(3))
+        assert(math.abs(dec - fix) <= nv * 1e-6 + math.ulp(dec), s"sum mismatch: $row")
+        if (row.getInt(0) == 4) assert(dec === fix, s"6dp group not exact: $row")
+      }
+    }
+    // the exact sum is partitioning-invariant BIT-FOR-BIT
+    val p1 = agg(df.coalesce(1)).collect().map(r => r.getInt(0) ->
+      (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    val p13 = out.map(r => r.getInt(0) ->
+      (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(p1 === p13)
+    // scalar invariant: toFixed6 == HALF_UP of the EXACT binary value,
+    // for every double — dense sweep incl. exact .5 representables
+    for (_ <- 1 to 200000) {
+      val v = r.nextInt(7) match {
+        case 0 => r.nextGaussian()
+        case 1 => (r.nextDouble() - 0.5) * 2e11
+        case 2 => r.nextInt(2000000) * 5e-7 * (if (r.nextBoolean()) 1 else -1)
+        case 3 => r.nextInt(1000) / 128.0 * (if (r.nextBoolean()) 1 else -1)
+        case 4 => java.lang.Double.longBitsToDouble(
+          (r.nextLong() & 0x3fffffffffffffffL) | 0x3ff0000000000000L) // [1,4)
+        case 5 => r.nextInt(100000) * 1e-6
+        case _ => r.nextInt() * 1e-2
+      }
+      val want = new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+      assert(graft.functions.FixedPoint.toFixed6(v) === want, s"v=$v")
+    }
+  }
+
   test("simhash pigeonhole: hamming<=3 pairs always share a 16-bit band") {
     for (_ <- 1 to 1000) {
       val h = rnd.nextLong()

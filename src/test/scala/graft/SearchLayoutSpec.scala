@@ -181,6 +181,17 @@ class SearchLayoutSpec extends AnyFunSuite {
       "all-bucket probe must have recall 1")
   }
 
+  test("concentration: hand-computed HHI shares; single entity -> 1.0") {
+    import spark.implicits._
+    val df = Seq(("n1", "s1", 3.0), ("n1", "s2", 1.0), ("n2", "s3", 5.0))
+      .toDF("g", "e", "v")
+    val out = graft.queries.CoreQueries.concentration(df, "g", "e", col("v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // n1 shares .75/.25 -> hhi .5625 + .0625 = .625
+    assert(out === Seq(("n1", 2L, 0.625, 0.75), ("n2", 1L, 1.0, 1.0)))
+  }
+
   test("olsFit: exact line recovered; hand-computed noisy fit; degenerate x -> null") {
     import spark.implicits._
     val df = Seq(
