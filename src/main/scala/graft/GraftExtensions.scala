@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CrossHash, Hash32Array, Hash64Array, MinHashDoc, MinHashSig, PqCodes, SetIntersect, SetJaccard, SimHash32, SimHash64, SumFixed6, VecDot}
+import graft.functions.{CrossHash, Hash32Array, Hash64Array, MinHashDoc, MinHashSig, PqCodes, SetIntersect, SetJaccard, SimHash32, SimHash64, SumFixedN, VecDot}
 import graft.ops.DedupOps
 
 /** Session-extension entry point for the engine's custom Catalyst
@@ -65,7 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SetIntersect(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("sum_fixed6"),
-      new ExpressionInfo(classOf[SumFixed6].getName, "sum_fixed6"),
-      (children: Seq[Expression]) => SumFixed6(children.head)))
+      new ExpressionInfo(classOf[SumFixedN].getName, "sum_fixed6"),
+      (children: Seq[Expression]) => SumFixedN(children.head, 6)))
+    ext.injectFunction((
+      FunctionIdentifier("sum_fixed12"),
+      new ExpressionInfo(classOf[SumFixedN].getName, "sum_fixed12"),
+      (children: Seq[Expression]) => SumFixedN(children.head, 12)))
   }
 }

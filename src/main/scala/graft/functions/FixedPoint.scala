@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
 
-/** Exact fixed-point (6 dp) summation kernel.
+/** Exact fixed-point (6 or 12 dp) summation kernel.
   *
   * The gate's exact-sum rule — accumulate doubles in DECIMAL so
   * partition merge order cannot perturb the result — is semantically
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
   *
   * This kernel keeps the EXACT same math in pure long arithmetic:
   *
-  *   - [[ToFixed6]]: double → unscaled long at scale 6 — HALF_UP of
+  *   - [[ToFixedN]]: double → unscaled long at scale 6 — HALF_UP of
   *     the EXACT binary value of the double (`new BigDecimal(v)`
   *     semantics, which is also what engines that scale-and-round in
   *     double arithmetic compute). The fast path splits v into exact
@@ -50,7 +50,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
   *     This kernel picks the exact-binary convention: deterministic,
   *     partitioning-proof, and the one a scale-and-round engine
   *     agrees with.
-  *   - [[SumFixed6]]: a DeclarativeAggregate over (hi, lo) longs in
+  *   - [[SumFixedN]]: a DeclarativeAggregate over (hi, lo) longs in
   *     base 2^60 — carry is one shift and one mask, so update/merge
   *     stay inside whole-stage codegen with zero allocation. The
   *     128-bit width holds ~2^63 rows of maximal 6-dp addends; the
@@ -70,60 +70,80 @@ object FixedPoint {
   private val Base = 60 // accumulate in base 2^60
   private val Mask = (1L << Base) - 1
 
-  /** double → unscaled long @ scale 6, Spark-cast-identical. */
-  def toFixed6(v: Double): Long = {
-    if (v >= 1e12 || v <= -1e12) {
+  /** double → unscaled long @ `scale` dp, HALF_UP of the exact binary
+    * value. `pow` = 10^scale, `bound` = 10^(18-scale), `zone` = the
+    * classification slack: half-ulp of the max |frac·pow| (6e-11 at
+    * scale 6, 1.2e-4 at scale 12) with an order of magnitude to spare.
+    */
+  def toFixed(v: Double, scale: Int, pow: Double, bound: Double, zone: Double): Long = {
+    if (v >= bound || v <= -bound) {
       throw new ArithmeticException(
-        s"sum_fixed6 addend $v outside the DECIMAL(18,6) integral range")
+        s"sum_fixed$scale addend $v outside the DECIMAL(18,$scale) integral range")
     }
     val whole = v.toLong // toward zero; exact
     val frac = v - whole // exact: |v - whole| < 1, operands within 2x
-    val p = frac * 1e6
+    val p = frac * pow
     val f = p.toLong // toward zero
     val rem = math.abs(p - f) // exact: f is p's integral part
-    if (rem > 0.5 + 1e-9) {
-      whole * 1000000L + f + (if (frac < 0) -1L else 1L)
-    } else if (rem < 0.5 - 1e-9) {
-      whole * 1000000L + f
+    val powL = pow.toLong
+    if (rem > 0.5 + zone) {
+      whole * powL + f + (if (frac < 0) -1L else 1L)
+    } else if (rem < 0.5 - zone) {
+      whole * powL + f
     } else {
-      // ambiguity zone: double rounding error (< 6e-11 at |p| < 1e6)
-      // cannot settle the HALF_UP comparison — defer to the exact
-      // binary expansion (`new BigDecimal(double)`, not `valueOf`)
+      // ambiguity zone: double rounding error cannot settle the
+      // HALF_UP comparison — defer to the exact binary expansion
+      // (`new BigDecimal(double)`, not `valueOf`)
       new java.math.BigDecimal(v)
-        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
     }
   }
 
-  /** (hi, lo) base-2^60 accumulator → double, = DECIMAL(38,6)→double. */
-  def toDouble(hi: Long, lo: Long): Double =
+  /** double → unscaled long @ scale 6 (see [[toFixed]]). */
+  def toFixed6(v: Double): Long = toFixed(v, 6, 1e6, 1e12, 1e-9)
+
+  /** double → unscaled long @ scale 12 (see [[toFixed]]). */
+  def toFixed12(v: Double): Long = toFixed(v, 12, 1e12, 1e6, 1e-3)
+
+  /** (hi, lo) base-2^60 accumulator → double, = DECIMAL(38,s)→double. */
+  def toDouble(hi: Long, lo: Long, scale: Int): Double =
     new java.math.BigDecimal(
       java.math.BigInteger.valueOf(hi).shiftLeft(Base)
-        .add(java.math.BigInteger.valueOf(lo)), 6)
+        .add(java.math.BigInteger.valueOf(lo)), scale)
       .doubleValue()
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("sum_fixed6")
-    if (!reg.functionExists(id)) {
-      reg.registerFunction(
-        id,
-        new ExpressionInfo(classOf[SumFixed6].getName, "sum_fixed6"),
-        (children: Seq[Expression]) => SumFixed6(children.head))
+    for (scale <- Seq(6, 12)) {
+      val id = FunctionIdentifier(s"sum_fixed$scale")
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(
+          id,
+          new ExpressionInfo(classOf[SumFixedN].getName, s"sum_fixed$scale"),
+          (children: Seq[Expression]) => SumFixedN(children.head, scale))
+      }
     }
   }
 
-  /** Exact order-proof sum of a double column, emitted as double. */
+  /** Exact order-proof 6-dp sum of a double column, emitted as double. */
   def sumFixed6(c: Column): Column = call_function("sum_fixed6", c)
+
+  /** Exact order-proof 12-dp sum of a double column, emitted as double. */
+  def sumFixed12(c: Column): Column = call_function("sum_fixed12", c)
 }
 
-/** See [[FixedPoint.toFixed6]]. */
-case class ToFixed6(child: Expression) extends UnaryExpression {
+/** See [[FixedPoint.toFixed]]. */
+case class ToFixedN(child: Expression, scale: Int) extends UnaryExpression {
+
+  private def pow = if (scale == 6) "1.0E6" else "1.0E12"
+  private def bound = if (scale == 6) "1.0E12" else "1.0E6"
+  private def zone = if (scale == 6) "1.0E-9" else "1.0E-3"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"to_fixed6 requires a double input, got ${child.dataType.catalogString}")
+      s"to_fixed$scale requires a double input, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -133,7 +153,8 @@ case class ToFixed6(child: Expression) extends UnaryExpression {
     if (v == null) null
     else {
       val d = v.asInstanceOf[Double]
-      if (d.isNaN || d.isInfinite) null else FixedPoint.toFixed6(d)
+      if (d.isNaN || d.isInfinite) null
+      else FixedPoint.toFixed(d, scale, pow.toDouble, bound.toDouble, zone.toDouble)
     }
   }
 
@@ -146,29 +167,29 @@ case class ToFixed6(child: Expression) extends UnaryExpression {
         long ${ev.value} = 0L;
         if (!${c.isNull} && !Double.isNaN(${c.value}) && !Double.isInfinite(${c.value})) {
           ${ev.isNull} = false;
-          ${ev.value} = graft.functions.FixedPoint.toFixed6(${c.value});
+          ${ev.value} = graft.functions.FixedPoint.toFixed(${c.value}, $scale, $pow, $bound, $zone);
         }
       """
     ev.copy(code = code)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ToFixed6 =
+  override protected def withNewChildInternal(newChild: Expression): ToFixedN =
     copy(child = newChild)
 }
 
 /** See [[FixedPoint.toDouble]]. */
-case class FixedToDouble(left: Expression, right: Expression)
+case class FixedToDouble(left: Expression, right: Expression, scale: Int)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
 
   override def nullSafeEval(hi: Any, lo: Any): Any =
-    FixedPoint.toDouble(hi.asInstanceOf[Long], lo.asInstanceOf[Long])
+    FixedPoint.toDouble(hi.asInstanceOf[Long], lo.asInstanceOf[Long], scale)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (hi, lo) =>
-      s"graft.functions.FixedPoint.toDouble($hi, $lo)")
+      s"graft.functions.FixedPoint.toDouble($hi, $lo, $scale)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FixedToDouble =
@@ -176,17 +197,17 @@ case class FixedToDouble(left: Expression, right: Expression)
 }
 
 /** See [[FixedPoint]] — the aggregate itself. */
-case class SumFixed6(child: Expression)
+case class SumFixedN(child: Expression, scale: Int)
     extends DeclarativeAggregate with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
-  override def prettyName: String = "sum_fixed6"
+  override def prettyName: String = s"sum_fixed$scale"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sum_fixed6 requires a double input, got ${child.dataType.catalogString}")
+      s"sum_fixed$scale requires a double input, got ${child.dataType.catalogString}")
 
   private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
   private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
@@ -200,7 +221,7 @@ case class SumFixed6(child: Expression)
     Seq(Literal(0L), Literal(0L), Literal(true))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val s = ToFixed6(child)
+    val s = ToFixedN(child, scale)
     // null addend folds as +0: carry = lo >> 60 = 0, lo unchanged
     val t = Add(lo, Coalesce(Seq(s, Literal(0L))))
     Seq(
@@ -218,8 +239,8 @@ case class SumFixed6(child: Expression)
   }
 
   override lazy val evaluateExpression: Expression =
-    If(isEmpty, Literal(null, DoubleType), FixedToDouble(hi, lo))
+    If(isEmpty, Literal(null, DoubleType), FixedToDouble(hi, lo, scale))
 
-  override protected def withNewChildInternal(newChild: Expression): SumFixed6 =
+  override protected def withNewChildInternal(newChild: Expression): SumFixedN =
     copy(child = newChild)
 }

@@ -237,17 +237,23 @@ object GraphOps {
     var r = nodes.crossJoin(nRow)
       .select(col("id"), dec(round(lit(1.0) / col("n"), 12)).as("r"))
       .localCheckpoint(eager = false)
+    graft.functions.FixedPoint.register(edgesIn.sparkSession)
     for (_ <- 1 to iters) {
+      // the per-edge contributions are exact 12-dp values; sum_fixed12
+      // folds them in pure long arithmetic (the decimal sum here was
+      // ~1/3 of each iteration's cost) and emits the same
+      // correctly-rounded double the old decimal sum's .cast(Double)
+      // produced — iteration relations stay bit-identical
       val contrib = eDeg.join(bc(r), eDeg("src") === r("id"))
         .select(col("dst").as("id"),
-          dec(round(col("r").cast(DoubleType) / col("deg"), 12)).as("c"))
+          round(col("r").cast(DoubleType) / col("deg"), 12).as("c"))
         .groupBy(col("id"))
-        .agg(sum(col("c")).as("s"))
+        .agg(graft.functions.FixedPoint.sumFixed12(col("c")).as("s"))
       r = nodes.join(bc(contrib), Seq("id"), "left").crossJoin(nRow)
         .select(col("id"),
           dec(round(
             lit(base) / col("n") +
-              lit(damping) * coalesce(col("s").cast(DoubleType), lit(0.0)),
+              lit(damping) * coalesce(col("s"), lit(0.0)),
             12)).as("r"))
         .localCheckpoint(eager = false)
     }
