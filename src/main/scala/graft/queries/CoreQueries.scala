@@ -728,6 +728,37 @@ object CoreQueries {
         .orderBy(col("event_type"), col("hr"))
     }),
 
+    // TPC-H Q1-shape pricing summary: the canonical scan-heavy
+    // aggregate, money sums on the sum_fixed6 kernel (exact 6dp fold
+    // in pure long arithmetic — see functions/FixedPoint.scala), all
+    // ratios formed from the exact sums
+    "q125_pricing_summary" -> ((s, dir) => {
+      graft.functions.FixedPoint.register(s)
+      def sf6(c: org.apache.spark.sql.Column) =
+        graft.functions.FixedPoint.sumFixed6(c)
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sf6(col("l_quantity")).as("sq"),
+          sf6(col("l_extendedprice")).as("sb"),
+          sf6(disc).as("sd"),
+          sf6(disc * (lit(1) + col("l_tax"))).as("sc"),
+          sf6(col("l_discount")).as("sdisc"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sq"), 4).as("sum_qty"),
+          round(col("sb"), 4).as("sum_base_price"),
+          round(col("sd"), 4).as("sum_disc_price"),
+          round(col("sc"), 4).as("sum_charge"),
+          round(col("sq") / col("n"), 6).as("avg_qty"),
+          round(col("sb") / col("n"), 6).as("avg_price"),
+          round(col("sdisc") / col("n"), 6).as("avg_disc"),
+          col("n").as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Supplier-concentration audit: HHI + top share of revenue per
     // nation (fact-side aggregate first, dims broadcast)
     "q124_hhi" -> ((s, dir) => {
@@ -1256,6 +1287,33 @@ object CoreQueries {
                   CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)), 6)
              AS seasonal_idx
          FROM g ORDER BY event_type, hr""",
+
+    // Q1 twin: DECIMAL(28,6) money sums cast to double — exactly what
+    // sum_fixed6 computes in scaled-long arithmetic (2-dp inputs, so
+    // every per-row conversion is unambiguous in both engines)
+    "q125_pricing_summary" ->
+      """WITH g AS (
+           SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sb,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               AS DECIMAL(28,6))) AS DOUBLE) AS sc,
+             CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sdisc
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus,
+           round(sq, 4) AS sum_qty,
+           round(sb, 4) AS sum_base_price,
+           round(sd, 4) AS sum_disc_price,
+           round(sc, 4) AS sum_charge,
+           round(sq / n, 6) AS avg_qty,
+           round(sb / n, 6) AS avg_price,
+           round(sdisc / n, 6) AS avg_disc,
+           n AS count_order
+         FROM g ORDER BY l_returnflag, l_linestatus""",
 
     // HHI twin: per-entity share² rounds 12dp then DECIMAL-sums (the
     // q108 rule), so the per-nation fold is order-proof

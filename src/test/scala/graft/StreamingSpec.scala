@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{MarketBars, PairAnalytics}
 import graft.sources.Tables
-import graft.streaming.{BarBuilder, DrawdownMonitor}
+import graft.streaming.{BarBuilder, DrawdownMonitor, TransitionStream}
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
@@ -270,6 +270,53 @@ class StreamingSpec extends AnyFunSuite {
         assert(r.getAs[Double]("peak") === batch(key), s"peak@$key")
         assert(r.getAs[Double]("drawdown") ===
           r.getAs[Double]("value") - batch(key), s"dd@$key")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming transition edges aggregate to the batch Markov matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    // batch reference: the q120 operator
+    val batch = graft.ops.EventAnalytics.transitions(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+
+    val rows = ev.select("user_id", "ts", "event_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)]
+      .collect()
+      .map(t => TransitionStream.Ev(t._1, t._2, t._3, t._4, t._5))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = MemoryStream[TransitionStream.Ev]
+    val q = TransitionStream.transitions(stream.toDS())
+      .writeStream.format("memory").queryName("tr_out")
+      .outputMode("append").start()
+    try {
+      // three micro-batches so edges span batch boundaries
+      val third = rows.length / 3
+      stream.addData(rows.take(third)); q.processAllAvailable()
+      stream.addData(rows.slice(third, 2 * third)); q.processAllAvailable()
+      stream.addData(rows.drop(2 * third)); q.processAllAvailable()
+      // aggregate the streamed edges exactly as q120 aggregates
+      val streamed = spark.table("tr_out")
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .as("sv"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("sv").cast("double") / col("n").cast("double"), 6)
+            .as("avg_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (k, (n, avg)) =>
+        assert(n === batch(k)._1, s"n@$k")
+        assert(avg === batch(k)._3, s"avg@$k")
       }
     } finally q.stop()
   }
