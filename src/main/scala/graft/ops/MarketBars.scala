@@ -143,6 +143,64 @@ object MarketBars {
         .as("roll_spread"))
   }
 
+  /** Candlestick pattern screen over OHLC bars — the standard shape
+    * taxonomy (engulfing / doji / marubozu / hammer / shooting star)
+    * as one deterministic CASE cascade. Every rule is a comparison of
+    * double expressions computed identically in both engines (body,
+    * range, wicks, previous-bar body via one lag), so the label is
+    * hash-exact; rule order is most-specific-first and a bar gets
+    * exactly one label ('none' when nothing fires). The lag partitions
+    * by series — the per-key window class shared with q49/q83, same
+    * documented (key, day) escape at scale. */
+  def candlePatterns(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val body = abs(col("close") - col("open"))
+    val rng = col("high") - col("low")
+    val upper = col("high") - greatest(col("open"), col("close"))
+    val lower = least(col("open"), col("close")) - col("low")
+    bars
+      .withColumn("prev_open", lag(col("open"), 1).over(w))
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .select(col("series"), col("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"),
+        when(col("prev_close").isNotNull &&
+          col("close") > col("open") && col("prev_close") < col("prev_open") &&
+          col("close") >= col("prev_open") && col("open") <= col("prev_close"),
+          "bull_engulf")
+        .when(col("prev_close").isNotNull &&
+          col("close") < col("open") && col("prev_close") > col("prev_open") &&
+          col("close") <= col("prev_open") && col("open") >= col("prev_close"),
+          "bear_engulf")
+        .when(body <= lit(0.1) * rng, "doji")
+        .when(body >= lit(0.95) * rng, "marubozu")
+        .when(lower >= lit(2.0) * body && upper <= body, "hammer")
+        .when(upper >= lit(2.0) * body && lower <= body, "shooting_star")
+        .otherwise("none").as("pattern"))
+  }
+
+  /** Amihud (2002) daily illiquidity per series: mean of
+    * |bar return| / bar volume within each (series, day), scaled 1e6 —
+    * the workhorse price-impact proxy. Returns chain within the day
+    * only (no overnight gap, the q111 rule); per-bar terms round 12dp
+    * then DECIMAL-sum so the daily mean is partial-agg-order-proof;
+    * zero/negative-volume bars and the day's first bar are excluded
+    * from the mean. */
+  def amihudIlliquidity(bars: DataFrame): DataFrame = {
+    val dayW = Window.partitionBy(col("series"), col("d")).orderBy(col("bar_ts"))
+    val withRet = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("prev_close", lag(col("close"), 1).over(dayW))
+      .filter(col("prev_close").isNotNull && col("prev_close") =!= 0.0 &&
+        col("volume") > 0)
+      .withColumn("term", abs(col("close") / col("prev_close") - 1) / col("volume"))
+    withRet.groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n_rets"),
+        sum(round(col("term"), 12).cast(DecimalType(28, 12))).as("s"))
+      .select(col("series"), col("d"), col("n_rets"),
+        round(lit(1e6) * col("s").cast(DoubleType) /
+          col("n_rets").cast(DoubleType), 6).as("amihud"))
+  }
+
   /** Trailing exponentially-weighted moving average of bar closes:
     * weight 2^-lag over a finite `window`-row frame (alpha = 1/2 —
     * halving is EXACT in doubles, so no pow() rounding anywhere).

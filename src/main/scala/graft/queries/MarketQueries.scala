@@ -602,6 +602,22 @@ object MarketQueries {
         .orderBy(col("series"), col("bar_ts"))
     }),
 
+    // Candlestick pattern screen: one deterministic CASE cascade over
+    // OHLC shape ratios + a prev-bar lag (MarketBars.candlePatterns)
+    "q126_candles" -> ((s, dir) => {
+      MarketBars.candlePatterns(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Amihud daily illiquidity: |return|/volume day-mean, 12dp-rounded
+    // decimal terms (MarketBars.amihudIlliquidity)
+    "q127_amihud" -> ((s, dir) => {
+      MarketBars.amihudIlliquidity(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
     // Lead-lag cross-correlation function over the aligned pair: which
     // leg moves first, and by how many bars (PairAnalytics.ccf)
     "q122_ccf" -> ((s, dir) => {
@@ -1150,6 +1166,51 @@ object MarketQueries {
                 FROM f)
           SELECT series, bar_ts, close, n, round(num/den, 6) AS ewma
           FROM x ORDER BY series, bar_ts""",
+
+    // candle twin: identical CASE cascade on identical double shapes
+    "q126_candles" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, bar_ts, open, high, low, close,
+                  lag(open) OVER w AS prev_open,
+                  lag(close) OVER w AS prev_close,
+                  abs(close - open) AS body,
+                  high - low AS rng,
+                  high - greatest(open, close) AS upper,
+                  least(open, close) - low AS lower
+                FROM bars WINDOW w AS (PARTITION BY series ORDER BY bar_ts))
+          SELECT series, bar_ts, open, high, low, close,
+            CASE
+              WHEN prev_close IS NOT NULL AND close > open
+                AND prev_close < prev_open AND close >= prev_open
+                AND open <= prev_close THEN 'bull_engulf'
+              WHEN prev_close IS NOT NULL AND close < open
+                AND prev_close > prev_open AND close <= prev_open
+                AND open >= prev_close THEN 'bear_engulf'
+              WHEN body <= 0.1 * rng THEN 'doji'
+              WHEN body >= 0.95 * rng THEN 'marubozu'
+              WHEN lower >= 2.0 * body AND upper <= body THEN 'hammer'
+              WHEN upper >= 2.0 * body AND lower <= body THEN 'shooting_star'
+              ELSE 'none' END AS pattern
+          FROM b ORDER BY series, bar_ts""",
+
+    // Amihud twin: day-scoped return chain, 12dp-rounded decimal terms
+    "q127_amihud" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts, close, volume,
+                  lag(close) OVER (PARTITION BY series, CAST(bar_ts AS DATE)
+                                   ORDER BY bar_ts) AS prev_close
+                FROM bars),
+          f AS (SELECT series, d,
+                  abs(close / prev_close - 1) / volume AS term
+                FROM b
+                WHERE prev_close IS NOT NULL AND prev_close <> 0
+                  AND volume > 0),
+          a AS (SELECT series, d, count(*) AS n_rets,
+                  SUM(CAST(round(term, 12) AS DECIMAL(28,12))) AS s
+                FROM f GROUP BY 1, 2)
+          SELECT series, d, n_rets,
+            round(1e6 * CAST(s AS DOUBLE) / CAST(n_rets AS DOUBLE), 6) AS amihud
+          FROM a ORDER BY series, d""",
 
     // CCF twin: one unrolled lead/lag branch per k over the pair CTE,
     // then the olsFit-shaped co-moment forms from exact decimal sums

@@ -53,6 +53,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("outlier_ratio") === 0.1)
   }
 
+  test("candlePatterns: each rule fires on its handcrafted bar") {
+    val bars = Seq(
+      // plain red bar: nothing fires
+      ("s", ts("2024-01-01 00:00:00"), 10.0, 10.2, 9.0, 9.1),
+      // green body engulfing the previous red body
+      ("s", ts("2024-01-01 00:05:00"), 9.0, 10.1, 8.9, 10.05),
+      // tiny body vs range
+      ("s", ts("2024-01-01 00:10:00"), 10.0, 10.5, 9.6, 10.01),
+      // body ~ whole range
+      ("s", ts("2024-01-01 00:15:00"), 10.0, 11.02, 9.99, 11.0),
+      // long lower wick, tiny upper
+      ("s", ts("2024-01-01 00:20:00"), 10.9, 11.02, 10.5, 11.0),
+      // long upper wick, tiny lower
+      ("s", ts("2024-01-01 00:25:00"), 10.5, 10.9, 10.38, 10.4))
+      .toDF("series", "bar_ts", "open", "high", "low", "close")
+    val out = graft.ops.MarketBars.candlePatterns(bars)
+      .orderBy("bar_ts").collect().map(_.getAs[String]("pattern"))
+    assert(out === Seq("none", "bull_engulf", "doji", "marubozu",
+      "hammer", "shooting_star"))
+  }
+
+  test("amihudIlliquidity: hand-computed |ret|/volume day mean") {
+    val bars = Seq(
+      ("s", ts("2024-01-01 00:00:00"), 100.0, 10.0),
+      ("s", ts("2024-01-01 00:05:00"), 102.0, 50.0),
+      ("s", ts("2024-01-01 00:10:00"), 101.0, 100.0))
+      .toDF("series", "bar_ts", "close", "volume")
+    val r = graft.ops.MarketBars.amihudIlliquidity(bars).collect().head
+    assert(r.getAs[Long]("n_rets") === 2L)
+    // terms: |102/100-1|/50 = 4e-4; |101/102-1|/100 -> 9.8039215686e-5
+    // (12dp); mean * 1e6 = 249.019608
+    assert(r.getAs[Double]("amihud") === 249.019608)
+  }
+
   test("seasonalBaseline: hand-computed cell means and seasonal index") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:10:00"), 1L, "a", 1.0, "{}"),
