@@ -122,6 +122,36 @@ object CoreQueries {
         round(max(col("share")), 6).as("top_share"))
   }
 
+  /** Per-group mean / population variance / skewness / excess
+    * kurtosis in ONE map-side-combinable aggregate: raw-moment sums
+    * x..x⁴ on the [[graft.functions.FixedPoint]] kernel (exact,
+    * order-proof), central-moment forms in DOUBLE from the exact sums
+    * (one expression shape shared with the oracle). Degenerate groups
+    * (zero variance) yield null skew/kurtosis. Addends must fit the
+    * kernel's DECIMAL(18,6) range — x⁴ < 1e12, i.e. |x| < ~1000. */
+  def momentProfile(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    graft.functions.FixedPoint.register(df.sparkSession)
+    def sf6(c: org.apache.spark.sql.Column) =
+      graft.functions.FixedPoint.sumFixed6(c)
+    val x = col(xCol)
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sf6(x).as("s1"), sf6(x * x).as("s2"),
+        sf6(x * x * x).as("s3"), sf6(x * x * x * x).as("s4"))
+    val n = col("n").cast(DoubleType)
+    val mu = col("s1") / n
+    val m2 = col("s2") / n - mu * mu
+    val m3 = col("s3") / n - lit(3.0) * mu * (col("s2") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / n - lit(4.0) * mu * (col("s3") / n) +
+      lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
+    g.select(col(groupCol), col("n"),
+      round(mu, 6).as("mean_x"),
+      round(m2, 6).as("var_pop"),
+      when(m2 > 0, round(m3 / sqrt(m2 * m2 * m2), 6)).as("skewness"),
+      when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1/P2/F8: project + decimal cast + null drop (transform_data.py:55-65)
     "q01_clean_cast" -> ((s, dir) => {
@@ -728,6 +758,32 @@ object CoreQueries {
         .orderBy(col("event_type"), col("hr"))
     }),
 
+    // Grouped higher-moment profile: mean/variance/skewness/kurtosis
+    // per group from exact raw-moment sums (x..x⁴ on the sum_fixed6
+    // kernel — one map-side-combinable aggregate; the central-moment
+    // forms share one double expression shape with the oracle)
+    "q128_moments" -> ((s, dir) => {
+      CoreQueries.momentProfile(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Event-path trigram mining: top (t1 → t2 → t3) sequences over
+    // per-user (ts, event_id)-ordered histories — two lags, one
+    // |types|³-bounded aggregate, deterministic top-k cut
+    "q129_path_ngrams" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("t1", lag(col("event_type"), 2).over(w))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .filter(col("t1").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(25)
+    }),
+
     // TPC-H Q1-shape pricing summary: the canonical scan-heavy
     // aggregate, money sums on the sum_fixed6 kernel (exact 6dp fold
     // in pure long arithmetic — see functions/FixedPoint.scala), all
@@ -1287,6 +1343,57 @@ object CoreQueries {
                   CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)), 6)
              AS seasonal_idx
          FROM g ORDER BY event_type, hr""",
+
+    // moments twin: identical raw-moment decimal sums and the same
+    // left-associated central-moment double forms
+    "q128_moments" ->
+      """WITH g AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+               AS DOUBLE) AS s2,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+               AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+               AS DECIMAL(28,6))) AS DOUBLE) AS s4
+           FROM lineitem GROUP BY 1),
+         m AS (
+           SELECT l_returnflag, n,
+             s1 / CAST(n AS DOUBLE) AS mu,
+             s2 / CAST(n AS DOUBLE)
+               - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2,
+             s3 / CAST(n AS DOUBLE)
+               - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+               + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s1 / CAST(n AS DOUBLE)) AS m3,
+             s4 / CAST(n AS DOUBLE)
+               - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+               + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s2 / CAST(n AS DOUBLE))
+               - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m4
+           FROM g)
+         SELECT l_returnflag, n,
+           round(mu, 6) AS mean_x,
+           round(m2, 6) AS var_pop,
+           CASE WHEN m2 > 0 THEN round(m3 / sqrt(m2 * m2 * m2), 6) END
+             AS skewness,
+           CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END
+             AS kurtosis
+         FROM m ORDER BY l_returnflag""",
+
+    // trigram twin: identical lag chain and deterministic top-k cut
+    "q129_path_ngrams" ->
+      """WITH x AS (
+           SELECT event_type AS t3,
+             lag(event_type, 2) OVER w AS t1,
+             lag(event_type, 1) OVER w AS t2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT t1, t2, t3, count(*) AS n
+         FROM x WHERE t1 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, t1, t2, t3 LIMIT 25""",
 
     // Q1 twin: DECIMAL(28,6) money sums cast to double — exactly what
     // sum_fixed6 computes in scaled-long arithmetic (2-dp inputs, so

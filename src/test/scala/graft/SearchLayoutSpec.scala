@@ -181,6 +181,22 @@ class SearchLayoutSpec extends AnyFunSuite {
       "all-bucket probe must have recall 1")
   }
 
+  test("momentProfile: symmetric data -> skew 0, hand-computed kurtosis") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0)).toDF("g", "x")
+    val out = graft.queries.CoreQueries.momentProfile(df, "g", "x")
+      .orderBy("g").collect()
+    // a: mu=2, m2=2/3, m3=0 -> skew 0; m4=2/3 -> kurt = 1.5 - 3 = -1.5
+    assert(out(0).getDouble(2) === 2.0)
+    assert(out(0).getDouble(3) === 0.666667)
+    assert(out(0).getDouble(4) === 0.0)
+    assert(out(0).getDouble(5) === -1.5)
+    // b: zero variance -> null skew/kurt
+    assert(out(1).getDouble(3) === 0.0)
+    assert(out(1).isNullAt(4) && out(1).isNullAt(5))
+  }
+
   test("concentration: hand-computed HHI shares; single entity -> 1.0") {
     import spark.implicits._
     val df = Seq(("n1", "s1", 3.0), ("n1", "s2", 1.0), ("n2", "s3", 5.0))
