@@ -179,12 +179,18 @@ object MarketBars {
   }
 
   /** Amihud (2002) daily illiquidity per series: mean of
-    * |bar return| / bar volume within each (series, day), scaled 1e6 —
-    * the workhorse price-impact proxy. Returns chain within the day
-    * only (no overnight gap, the q111 rule); per-bar terms round 12dp
-    * then DECIMAL-sum so the daily mean is partial-agg-order-proof;
-    * zero/negative-volume bars and the day's first bar are excluded
-    * from the mean. */
+    * 1e6·|bar return| / bar volume within each (series, day) — the
+    * workhorse price-impact proxy. Returns chain within the day only
+    * (no overnight gap, the q111 rule); per-bar terms round 12dp then
+    * DECIMAL-sum so the daily mean is partial-agg-order-proof;
+    * zero/negative-volume bars and the day's first bar are excluded.
+    *
+    * The 1e6 scale is applied BEFORE the 12dp term rounding: the two
+    * engines' `round(double, 12)` can disagree by one 1e-12 unit on
+    * arbitrary doubles, and scaling afterwards would amplify that to
+    * the output's own 6dp resolution (caught by the sf0.001 gate —
+    * one flipped last digit). Scaled first, per-term disagreement
+    * stays at 1e-12 in OUTPUT units and the 6dp mean is stable. */
   def amihudIlliquidity(bars: DataFrame): DataFrame = {
     val dayW = Window.partitionBy(col("series"), col("d")).orderBy(col("bar_ts"))
     val withRet = bars
@@ -192,12 +198,13 @@ object MarketBars {
       .withColumn("prev_close", lag(col("close"), 1).over(dayW))
       .filter(col("prev_close").isNotNull && col("prev_close") =!= 0.0 &&
         col("volume") > 0)
-      .withColumn("term", abs(col("close") / col("prev_close") - 1) / col("volume"))
+      .withColumn("term",
+        lit(1e6) * abs(col("close") / col("prev_close") - 1) / col("volume"))
     withRet.groupBy(col("series"), col("d"))
       .agg(count(lit(1)).as("n_rets"),
         sum(round(col("term"), 12).cast(DecimalType(28, 12))).as("s"))
       .select(col("series"), col("d"), col("n_rets"),
-        round(lit(1e6) * col("s").cast(DoubleType) /
+        round(col("s").cast(DoubleType) /
           col("n_rets").cast(DoubleType), 6).as("amihud"))
   }
 

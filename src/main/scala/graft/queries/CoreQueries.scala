@@ -784,6 +784,52 @@ object CoreQueries {
         .limit(25)
     }),
 
+    // Winsorized robust mean per series: exact p05/p95 fences
+    // (percentile ≙ quantile_cont, rounded 6dp before the boundary
+    // compare — the q95/q109 fence rule), clamp, exact clamped mean +
+    // clip counts; fences broadcast back onto the scan
+    "q130_winsorize" -> ((s, dir) => {
+      graft.functions.FixedPoint.register(s)
+      val ev = Tables.events(s, dir)
+      val fences = ev.groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.05)"), 6).as("lo"),
+        round(expr("percentile(value, 0.95)"), 6).as("hi"))
+      val clamped = least(greatest(col("value"), col("lo")), col("hi"))
+      ev.join(broadcast(fences), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          graft.functions.FixedPoint.sumFixed6(clamped).as("s"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"),
+          col("n_lo"), col("n_hi"),
+          round(col("s") / col("n").cast(DoubleType), 6).as("wins_mean"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Last-touch attribution: each purchase attributed to the user's
+    // most recent click within 60 min (AsOfJoin.backward + the q94
+    // tolerance null-out — no range-join explosion)
+    "q131_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ts", col("ts"))
+      val fresh = col("click_ts") >=
+        col("ts") - expr("INTERVAL 60 MINUTES")
+      graft.ops.AsOfJoin.backward(purchases, clicks,
+          Seq("user_id"), "ts", Seq("click_ts", "click_id"))
+        .select(col("purchase_id"), col("user_id"), col("ts"), col("value"),
+          when(fresh, col("click_ts")).as("click_ts"),
+          when(fresh, col("click_id")).as("click_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // TPC-H Q1-shape pricing summary: the canonical scan-heavy
     // aggregate, money sums on the sum_fixed6 kernel (exact 6dp fold
     // in pure long arithmetic — see functions/FixedPoint.scala), all
@@ -1394,6 +1440,43 @@ object CoreQueries {
          FROM x WHERE t1 IS NOT NULL
          GROUP BY 1, 2, 3
          ORDER BY n DESC, t1, t2, t3 LIMIT 25""",
+
+    // winsorize twin: quantile_cont fences rounded 6dp pre-compare,
+    // identical clamp and exact-mean forms
+    "q130_winsorize" ->
+      """WITH f AS (
+           SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+           FROM events GROUP BY 1)
+         SELECT e.event_type, count(*) AS n, f.lo, f.hi,
+           CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           round(CAST(sum(CAST(least(greatest(e.value, f.lo), f.hi)
+               AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS wins_mean
+         FROM events e JOIN f ON f.event_type = e.event_type
+         GROUP BY 1, 3, 4 ORDER BY e.event_type""",
+
+    // attribution twin: the as-of pick expressed as a windowed
+    // latest-click-within-60min left join
+    "q131_attribution" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id AS purchase_id, value
+           FROM events WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         j AS (
+           SELECT p.purchase_id, p.user_id, p.ts, p.value,
+             c.click_ts, c.click_id,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC) AS rn
+           FROM p LEFT JOIN c
+             ON c.user_id = p.user_id AND c.click_ts <= p.ts
+             AND c.click_ts >= p.ts - INTERVAL 60 MINUTE)
+         SELECT purchase_id, user_id, ts, value, click_ts, click_id
+         FROM j WHERE rn = 1 ORDER BY purchase_id""",
 
     // Q1 twin: DECIMAL(28,6) money sums cast to double — exactly what
     // sum_fixed6 computes in scaled-long arithmetic (2-dp inputs, so

@@ -1201,7 +1201,7 @@ object MarketQueries {
                                    ORDER BY bar_ts) AS prev_close
                 FROM bars),
           f AS (SELECT series, d,
-                  abs(close / prev_close - 1) / volume AS term
+                  1e6 * abs(close / prev_close - 1) / volume AS term
                 FROM b
                 WHERE prev_close IS NOT NULL AND prev_close <> 0
                   AND volume > 0),
@@ -1209,7 +1209,7 @@ object MarketQueries {
                   SUM(CAST(round(term, 12) AS DECIMAL(28,12))) AS s
                 FROM f GROUP BY 1, 2)
           SELECT series, d, n_rets,
-            round(1e6 * CAST(s AS DOUBLE) / CAST(n_rets AS DOUBLE), 6) AS amihud
+            round(CAST(s AS DOUBLE) / CAST(n_rets AS DOUBLE), 6) AS amihud
           FROM a ORDER BY series, d""",
 
     // CCF twin: one unrolled lead/lag branch per k over the pair CTE,
