@@ -101,6 +101,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("pqcodes"), "codegen kernel expected in plan")
   }
 
+  test("q125 pricing-summary plan: pushed shipdate filter + fixed-point partial agg") {
+    val plan = SparkEntry.queries("q125_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate must reach the scan:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum_fixed6"),
+      s"money sums must partial-aggregate on the fixed-point kernel:\n${plan.take(3000)}")
+  }
+
+  test("q116 corr-matrix plan: ONE pruned scan, no Expand, fixed-point sums") {
+    val plan = SparkEntry.queries("q116_corr_matrix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"corr matrix must be a single pass:\n${plan.take(3000)}")
+    assert(!plan.contains("Expand"), "no Expand for the pair unpivot")
+    assert(plan.contains("sum_fixed6"), "fixed-point kernel expected")
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_tax:double>"), s"scan must prune to the 4 columns:\n${plan.take(3000)}")
+  }
+
+  test("q131 attribution plan: no cartesian/range explosion (union + one window)") {
+    val plan = SparkEntry.queries("q131_attribution")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not explode into a product join:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), "as-of carry window expected")
+  }
+
   test("bm25 plan: query-term filter lands before the tf aggregate") {
     // only query-term postings may shuffle — the isin filter must sit
     // below the (doc, term) aggregate, not above it
