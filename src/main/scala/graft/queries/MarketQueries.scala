@@ -345,6 +345,21 @@ object MarketQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Quantile normalization (feature engineering): per-series
+    // percent_rank of value (ties collapse — deterministic) + decile
+    // bucket over the (value, event_id) total order
+    "q132_quantile_norm" -> ((s, dir) => {
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("pr", round(percent_rank().over(wv), 6))
+        .withColumn("decile", ntile(10).over(wt))
+        .orderBy(col("event_id"))
+    }),
+
     // J2/J3: completeness audit — expected grid anti-join actual bars
     // (audit_pipeline.py:168-201)
     "q17_missing_slots" -> ((s, dir) => {
@@ -809,6 +824,16 @@ object MarketQueries {
            CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS INTEGER) AS drk,
            lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_v,
            lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_v
+         FROM events ORDER BY event_id""",
+
+    // quantile-norm twin: identical window definitions; percent_rank
+    // is (rank-1)/(n-1) from the same integers in both engines
+    "q132_quantile_norm" ->
+      """SELECT event_id, event_type, value,
+           round(percent_rank() OVER
+             (PARTITION BY event_type ORDER BY value), 6) AS pr,
+           CAST(ntile(10) OVER (PARTITION BY event_type
+             ORDER BY value, event_id) AS INTEGER) AS decile
          FROM events ORDER BY event_id""",
 
     "q16_session_grid" ->
