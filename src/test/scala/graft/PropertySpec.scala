@@ -221,6 +221,43 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.CorpusOps.bm25(docs.repartition(17), Seq("spark", "window", "hash")))
   }
 
+  test("round-5 operators are partitioning-invariant (transitions, ccf, seasonal, hhi, ols, moments, pmi, amihud, candles)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val ev = graft.sources.Tables.events(spark, sf)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    same(graft.ops.EventAnalytics.transitions(ev.repartition(3)),
+      graft.ops.EventAnalytics.transitions(ev.repartition(17)))
+    same(graft.ops.EventAnalytics.seasonalBaseline(ev.repartition(3)),
+      graft.ops.EventAnalytics.seasonalBaseline(ev.repartition(17)))
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    val pair3 = graft.ops.PairAnalytics.pairSpread(bars3, "click", "view").drop("spread")
+    val pair17 = graft.ops.PairAnalytics.pairSpread(bars17, "click", "view").drop("spread")
+    same(graft.ops.PairAnalytics.ccf(pair3, maxLag = 2),
+      graft.ops.PairAnalytics.ccf(pair17, maxLag = 2))
+    same(graft.ops.MarketBars.amihudIlliquidity(bars3),
+      graft.ops.MarketBars.amihudIlliquidity(bars17))
+    same(graft.ops.MarketBars.candlePatterns(bars3),
+      graft.ops.MarketBars.candlePatterns(bars17))
+    same(graft.queries.CoreQueries.olsFit(
+        li.repartition(3), "l_returnflag", "l_quantity", "l_extendedprice"),
+      graft.queries.CoreQueries.olsFit(
+        li.repartition(17), "l_returnflag", "l_quantity", "l_extendedprice"))
+    same(graft.queries.CoreQueries.momentProfile(
+        li.repartition(3), "l_returnflag", "l_quantity"),
+      graft.queries.CoreQueries.momentProfile(
+        li.repartition(17), "l_returnflag", "l_quantity"))
+    same(graft.queries.CoreQueries.concentration(
+        li.repartition(3), "l_returnflag", "l_suppkey", col("l_extendedprice")),
+      graft.queries.CoreQueries.concentration(
+        li.repartition(17), "l_returnflag", "l_suppkey", col("l_extendedprice")))
+    same(graft.ops.CorpusOps.collocations(docs.repartition(3), minCount = 2, k = 40),
+      graft.ops.CorpusOps.collocations(docs.repartition(17), minCount = 2, k = 40))
+  }
+
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
     graft.functions.VecDot.register(spark)
     val df = Seq(
