@@ -256,15 +256,27 @@ object CorpusOps {
     val vocab = dtf.groupBy(col("term")).agg(sum(col("cnt")).as("tf"))
       .localCheckpoint(eager = false)
     val total = vocab.agg(sum(col("tf")).as("total"))
+    // Cross-engine determinism (the hard-won sf0.1 lesson): short docs
+    // make avg_nll a small-denominator rational that lands EXACTLY on
+    // 4dp half boundaries, so any engine disagreement upstream — the
+    // round() libraries' shortest-repr vs scaled-binary conventions,
+    // or a 1-ulp ln() difference — flips the last output digit. The
+    // chain therefore uses NO library round(): each term becomes a
+    // scaled LONG via floor(x·1e8 + 0.5 + 1e-6) — the same IEEE op
+    // sequence in both engines, with the 1e-6 epsilon absorbing
+    // sub-ulp ln() jitter at half boundaries — and the per-doc fold
+    // is an exact integer sum; the 4dp average then floors a quotient
+    // of exactly-representable values.
     dtf.join(vocab, "term")
       .crossJoin(broadcast(total))
       .select(col(idCol), col("cnt"),
-        round(-log(col("tf").cast(DoubleType) / col("total").cast(DoubleType)), 8)
-          .as("nll"))
+        floor(-log(col("tf").cast(DoubleType) / col("total").cast(DoubleType)) *
+          lit(1e8) + lit(0.5) + lit(1e-6)).as("nll8"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_tokens"),
-        round(sum(col("nll").cast(DecimalType(28, 8)) * col("cnt")).cast(DoubleType) /
-          sum(col("cnt")), 4).as("avg_nll"))
+        (floor(sum(col("nll8") * col("cnt")).cast(DoubleType) /
+          sum(col("cnt")) / lit(1e8) * lit(10000.0) + lit(0.5)) /
+          lit(10000.0)).as("avg_nll"))
   }
 
   /** Per-(label, dimension) embedding centroid: mean of each vector

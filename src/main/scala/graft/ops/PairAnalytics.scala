@@ -34,8 +34,13 @@ object PairAnalytics {
   /** Inner-join two bar series on exact bar timestamp; emit the
     * log-close spread. Expects MarketBars.bars output shape. */
   def pairSpread(bars: DataFrame, sym1: String, sym2: String): DataFrame = {
-    val a = bars.filter(col("series") === sym1).alias("a")
-    val b = bars.filter(col("series") === sym2).alias("b")
+    // log-price needs a positive price: a zero/negative close (possible
+    // in raw synthetic/bad-tick data) must be EXCLUDED, not silently
+    // null-spread — Spark's log returns null on it while the oracle
+    // engine raises, so the guard is also what keeps both engines on
+    // the same relation (caught by the sf0.1 sweep: one zero close)
+    val a = bars.filter(col("series") === sym1 && col("close") > 0).alias("a")
+    val b = bars.filter(col("series") === sym2 && col("close") > 0).alias("b")
     a.join(b, col("a.bar_ts") === col("b.bar_ts"), "inner")
       .select(
         lit(s"$sym1-$sym2").as("pair_name"),

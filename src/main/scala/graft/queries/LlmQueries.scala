@@ -910,11 +910,12 @@ object LlmQueries {
           g AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),
           t AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM g),
           x AS (SELECT tk.doc_id,
-                  CAST(round(-ln(CAST(g.tf AS DOUBLE)/(SELECT total FROM t)), 8)
-                    AS DECIMAL(28,8)) AS nll
+                  CAST(floor(-ln(CAST(g.tf AS DOUBLE)/(SELECT total FROM t))
+                    * 1e8 + 0.5 + 1e-6) AS BIGINT) AS nll8
                 FROM tk JOIN g USING (term))
           SELECT doc_id, count(*) AS n_tokens,
-            round(CAST(SUM(nll) AS DOUBLE)/count(*), 4) AS avg_nll
+            floor(CAST(SUM(nll8) AS DOUBLE)/count(*) / 1e8 * 10000.0 + 0.5)
+              / 10000.0 AS avg_nll
           FROM x GROUP BY 1 ORDER BY doc_id""",
 
     "q96_token_entropy" ->
@@ -1064,11 +1065,12 @@ object LlmQueries {
           g AS (SELECT term, count(*) AS tf FROM tk GROUP BY 1),
           t AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM g),
           x AS (SELECT tk.doc_id,
-                  CAST(round(-ln(CAST(g.tf AS DOUBLE)/(SELECT total FROM t)), 8)
-                    AS DECIMAL(28,8)) AS nll
+                  CAST(floor(-ln(CAST(g.tf AS DOUBLE)/(SELECT total FROM t))
+                    * 1e8 + 0.5 + 1e-6) AS BIGINT) AS nll8
                 FROM tk JOIN g USING (term)),
           nl AS (SELECT doc_id, count(*) AS n_tokens,
-                   round(CAST(SUM(nll) AS DOUBLE)/count(*), 4) AS avg_nll
+                   floor(CAST(SUM(nll8) AS DOUBLE)/count(*) / 1e8 * 10000.0 + 0.5)
+                     / 10000.0 AS avg_nll
                  FROM x GROUP BY 1),
           c AS (SELECT round(quantile_cont(avg_nll, 0.9), 6) AS cut FROM nl)
           SELECT doc_id, n_tokens, avg_nll, cut

@@ -33,7 +33,8 @@ object MarketQueries {
           SELECT a.bar_ts, a.close AS close1, b.close AS close2,
                  ln(a.close) - ln(b.close) AS spread
           FROM bars a JOIN bars b ON a.bar_ts = b.bar_ts
-          WHERE a.series = 'click' AND b.series = 'view')"""
+          WHERE a.series = 'click' AND b.series = 'view'
+            AND a.close > 0 AND b.close > 0)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P3: time-range predicate (app.py:40-44). The ts column is

@@ -165,9 +165,10 @@ object BarBuilder {
     * event-time column bounds both join states, so this chains after
     * the windowed bar aggregation (multiple stateful operators). */
   def pairSpreadStream(bars: DataFrame, sym1: String, sym2: String): DataFrame = {
-    val a = bars.filter(col("series") === sym1)
+    // same positive-price guard as the batch pairSpread (stream==batch)
+    val a = bars.filter(col("series") === sym1 && col("close") > 0)
       .select(col("bar_ts").as("ts_a"), col("close").as("close1"))
-    val b = bars.filter(col("series") === sym2)
+    val b = bars.filter(col("series") === sym2 && col("close") > 0)
       .select(col("bar_ts").as("ts_b"), col("close").as("close2"))
     a.join(b, col("ts_a") === col("ts_b"), "inner")
       .select(
