@@ -481,4 +481,66 @@ object CorpusOps {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Per-label term keyness (χ²): which terms are over-represented in
+    * one label's documents vs the rest of the corpus — the classic
+    * corpus-linguistics keyness statistic, used here for domain/source
+    * drift inspection and classifier feature mining. Contingency cells
+    * are token-occurrence counts: a = term in label, with margins
+    * t_term (term total), n_l (label total), N (corpus total); the
+    * remaining cells derive as b = t_term−a, c = n_l−a,
+    * d = N−n_l−b, and χ² = N·(ad−bc)² / (t_term·(N−t_term)·n_l·(N−n_l)).
+    * Top `k` terms per label by (χ² desc, term), keeping terms with
+    * a ≥ `minCount` in-label occurrences.
+    *
+    * Determinism: every margin is an exact long; products form in
+    * DOUBLE (a long up to 2^53 converts exactly; long×long would
+    * overflow at corpus scale) with ONE explicit op order shared
+    * verbatim with the oracle, flooring at 6dp (the q90 rule — no
+    * library round()).
+    *
+    * Scale: one (label, term) count shuffle (map-side-combined); term
+    * and label totals are aggregates OF that aggregate, broadcast back
+    * onto it. The top-k window runs over the vocabulary-sized
+    * (label, term) relation, never the corpus (q39 top-k rule). */
+  def chi2Keyness(
+      docs: DataFrame,
+      minCount: Long = 5,
+      k: Int = 25,
+      labelCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val lt = docs
+      .select(col(labelCol).as("label"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("label"), col("term"))
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint(eager = false)
+    val termTot = lt.groupBy(col("term")).agg(sum(col("a")).as("t_term"))
+    val labelTot = lt.groupBy(col("label")).agg(sum(col("a")).as("n_l"))
+    val total = lt.agg(sum(col("a")).as("n"))
+    // all-long cell completion, then the χ² ratio in DOUBLE with the
+    // oracle's exact op order: N·det·det / (t_term·(N−t_term)) /
+    // (n_l·(N−n_l))
+    val b = col("t_term") - col("a")
+    val c = col("n_l") - col("a")
+    val d = col("n") - col("n_l") - b
+    val det = col("a").cast(DoubleType) * d.cast(DoubleType) -
+      b.cast(DoubleType) * c.cast(DoubleType)
+    val chi2 = col("n").cast(DoubleType) * det * det /
+      (col("t_term").cast(DoubleType) *
+        (col("n") - col("t_term")).cast(DoubleType)) /
+      (col("n_l").cast(DoubleType) *
+        (col("n") - col("n_l")).cast(DoubleType))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("chi2").desc, col("term"))
+    lt.filter(col("a") >= minCount)
+      .join(termTot, "term")
+      .join(broadcast(labelTot), "label")
+      .crossJoin(broadcast(total))
+      .select(col("label"), col("term"), col("a"), col("t_term"),
+        (floor(chi2 * lit(1e6) + lit(0.5)) / lit(1e6)).as("chi2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("label"), col("rn"))
+  }
 }

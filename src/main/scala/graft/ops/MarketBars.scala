@@ -236,4 +236,77 @@ object MarketBars {
       .select(col("series"), col("bar_ts"), col("close"), col("n"),
         round(col("num") / col("den"), 6).as("ewma"))
   }
+
+  /** Cutler's RSI: 100·G/(G+L) where G/L are the trailing `period`-bar
+    * sums of positive/negative close-to-close changes, per series.
+    * (Cutler's SMA form, not Wilder's recursive EMA — the SMA variant
+    * is a pure sliding-window aggregate, so it stays in one window
+    * pass instead of an unbounded recurrence.)
+    *
+    * Determinism (the q90 rule — no library round() in the chain):
+    * each Δclose becomes an exact scaled long via floor(Δ·1e6 + 0.5)
+    * (identical IEEE op sequence in both engines), the gain/loss
+    * window sums fold in pure long arithmetic, and the final quotient
+    * floors at 6dp. Warm-up rows (< period observed changes) emit a
+    * null RSI; a flat window (G+L = 0) emits the 50.0 midpoint.
+    *
+    * Scale: per-series trailing frame = the q49/q83 hot-key class;
+    * the [[graft.ops.ScalableWindow]] (key, day) + carry-in rewrite
+    * applies unchanged when one series outgrows a partition. */
+  def rsi(bars: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 1, s"period must be >= 1 (got $period)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val frame = w.rowsBetween(-(period - 1), 0)
+    val q = lit(100.0) * col("g").cast(DoubleType) /
+      (col("g") + col("l")).cast(DoubleType)
+    bars
+      .withColumn("d6",
+        floor((col("close") - lag(col("close"), 1).over(w)) * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .withColumn("nd",
+        sum(when(col("d6").isNotNull, 1L).otherwise(0L)).over(frame))
+      .withColumn("g",
+        sum(when(col("d6") > 0, col("d6")).otherwise(0L)).over(frame))
+      .withColumn("l",
+        sum(when(col("d6") < 0, -col("d6")).otherwise(0L)).over(frame))
+      .select(col("series"), col("bar_ts"), col("close"),
+        when(col("nd") === period,
+          when(col("g") + col("l") > 0,
+            floor(q * lit(1e6) + lit(0.5)) / lit(1e6))
+            .otherwise(lit(50.0)))
+          .as("rsi"))
+  }
+
+  /** Stale-price profile per series (gaps-and-islands): consecutive
+    * equal closes collapse into runs via the classic island id
+    * (running sum of change flags), then one per-series rollup reports
+    * run counts, the longest run, and how many runs reach `staleLen`
+    * bars — the flat-series / stuck-feed data-quality signal.
+    *
+    * All-integer arithmetic except the mean run length, which floors
+    * at 6dp from an exact long/long quotient (no library round()).
+    * Two shuffles on growing keys — (series, island) then series —
+    * both map-side-combined; the island-id window is the per-series
+    * frame class with the usual ScalableWindow escape hatch. */
+  def staleRuns(bars: DataFrame, staleLen: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val runs = bars
+      .withColumn("new_run",
+        when(lag(col("close"), 1).over(w).isNull ||
+          col("close") =!= lag(col("close"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("new_run")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("series"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("run_len")).as("n_bars"),
+        max(col("run_len")).as("max_run"),
+        sum(when(col("run_len") >= staleLen, 1L).otherwise(0L)).as("n_stale"))
+      .select(col("series"), col("n_runs"), col("n_bars"), col("max_run"),
+        col("n_stale"),
+        (floor(col("n_bars").cast(DoubleType) /
+          col("n_runs").cast(DoubleType) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("avg_run"))
+  }
 }

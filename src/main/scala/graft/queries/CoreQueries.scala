@@ -808,6 +808,30 @@ object CoreQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Benford first-digit audit on lineitem prices: leading digit via
+    // exact cents→long→string (NO log10 on doubles — double→string
+    // reprs differ between engines, long→string doesn't), observed
+    // share vs the log10(1+1/d) expectation, both floor-form 6dp (the
+    // q90 rule). Map-only scan + a 9-row aggregate + broadcast total.
+    "q134_benford" -> ((s, dir) => {
+      val cents =
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+      val byDigit = Tables.lineitem(s, dir)
+        .select(cents.as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = byDigit.agg(sum(col("n")).as("total"))
+      byDigit.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          (floor(col("n").cast(DoubleType) / col("total").cast(DoubleType) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("obs_p"),
+          (floor(log(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)) /
+            log(lit(10.0)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("benford_p"))
+        .orderBy(col("digit"))
+    }),
+
     // Last-touch attribution: each purchase attributed to the user's
     // most recent click within 60 min (AsOfJoin.backward + the q94
     // tolerance null-out — no range-join explosion)
@@ -1457,6 +1481,25 @@ object CoreQueries {
              AS wins_mean
          FROM events e JOIN f ON f.event_type = e.event_type
          GROUP BY 1, 3, 4 ORDER BY e.event_type""",
+
+    // Benford twin: identical cents→long→string digit extraction and
+    // floor-form shares
+    "q134_benford" ->
+      """WITH c AS (
+           SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             AS cents
+           FROM lineitem),
+         b AS (
+           SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+             AS digit, count(*) AS n
+           FROM c WHERE cents > 0 GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+         SELECT digit, n,
+           floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS obs_p,
+           floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+             * 1e6 + 0.5) / 1e6 AS benford_p
+         FROM b CROSS JOIN t ORDER BY digit""",
 
     // attribution twin: the as-of pick expressed as a windowed
     // latest-click-within-60min left join

@@ -402,6 +402,15 @@ object LlmQueries {
     "q119_pmi_colloc" -> ((s, dir) => {
       CorpusOps.collocations(Tables.rebalance(Tables.documents(s, dir)),
         minCount = 5, k = 50)
+    }),
+
+    // Per-source term keyness (χ² over the token contingency table):
+    // domain-drift / feature-mining statistic; one (label, term)
+    // shuffle, margins broadcast, floor-form 6dp χ² (CorpusOps
+    // .chi2Keyness)
+    "q135_chi2_keyness" -> ((s, dir) => {
+      CorpusOps.chi2Keyness(Tables.rebalance(Tables.documents(s, dir)),
+        minCount = 5, k = 25)
     })
   )
 
@@ -1153,6 +1162,45 @@ object LlmQueries {
             round(list_dot_product(q.v, b.v), 6) AS dot
           FROM q JOIN a b ON b.vec_id = q.neg_id
           ORDER BY q.vec_id, q.i"""
-    }
+    },
+
+    // keyness twin: same all-long contingency completion, same
+    // explicit DOUBLE op order N·det²/(t·(N−t))/(nl·(N−nl)), same
+    // floor-form 6dp — term margins join, label/corpus totals inline
+    "q135_chi2_keyness" ->
+      """WITH tk AS (
+           SELECT source AS label,
+             unnest(regexp_split_to_array(trim(text), ' +')) AS term
+           FROM documents),
+         lt AS (SELECT label, term, count(*) AS a FROM tk GROUP BY 1, 2),
+         tt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS t_term
+                FROM lt GROUP BY 1),
+         lb AS (SELECT label, CAST(SUM(a) AS BIGINT) AS n_l
+                FROM lt GROUP BY 1),
+         nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM lt),
+         x AS (
+           SELECT lt.label, lt.term, lt.a, tt.t_term, lb.n_l, nn.n,
+             tt.t_term - lt.a AS b,
+             lb.n_l - lt.a AS c,
+             nn.n - lb.n_l - (tt.t_term - lt.a) AS dd
+           FROM lt
+           JOIN tt USING (term) JOIN lb USING (label) CROSS JOIN nn
+           WHERE lt.a >= 5),
+         s AS (
+           SELECT label, term, a, t_term,
+             floor(CAST(n AS DOUBLE) *
+               (CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) *
+               (CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) /
+               (CAST(t_term AS DOUBLE) * CAST(n - t_term AS DOUBLE)) /
+               (CAST(n_l AS DOUBLE) * CAST(n - n_l AS DOUBLE))
+               * 1e6 + 0.5) / 1e6 AS chi2
+           FROM x),
+         r AS (SELECT *, row_number() OVER (PARTITION BY label
+                 ORDER BY chi2 DESC, term) AS rn
+               FROM s)
+         SELECT label, term, a, t_term, chi2, CAST(rn AS INTEGER) AS rn
+         FROM r WHERE rn <= 25 ORDER BY label, rn"""
   )
 }

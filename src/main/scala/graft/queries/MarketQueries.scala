@@ -643,6 +643,24 @@ object MarketQueries {
         PairAnalytics.pairSpread(bars, "click", "view").drop("spread"),
         maxLag = 3)
         .orderBy(col("k"))
+    }),
+
+    // Cutler's RSI-14 on the 5-min bars: scaled-long Δclose window
+    // sums, floor-form 6dp quotient — no library round() in the chain
+    // (MarketBars.rsi)
+    "q133_rsi" -> ((s, dir) => {
+      MarketBars.rsi(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), period = 14)
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Stale-price run profile (gaps-and-islands): consecutive equal
+    // closes collapse to runs; per-series run counts + longest run
+    // (MarketBars.staleRuns)
+    "q136_stale_runs" -> ((s, dir) => {
+      MarketBars.staleRuns(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), staleLen = 3)
+        .orderBy(col("series"))
     })
   )
 
@@ -1267,6 +1285,57 @@ object MarketQueries {
             CASE WHEN vx > 0 AND vy > 0
               THEN round(num / (sqrt(vx)*sqrt(vy)), 6) END AS r_ccf
           FROM d ORDER BY k"""
-    }
+    },
+
+    // RSI twin: identical scaled-long Δ windows + the same floor-form
+    // quotient (no library round() — the q90 determinism rule)
+    "q133_rsi" ->
+      s"""WITH $barsCte,
+          d AS (SELECT series, bar_ts, close,
+                  CAST(floor((close - lag(close) OVER w) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                FROM bars
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          f AS (SELECT series, bar_ts, close,
+                  SUM(CASE WHEN d6 IS NOT NULL THEN 1 ELSE 0 END) OVER fr AS nd,
+                  SUM(CASE WHEN d6 > 0 THEN d6 ELSE 0 END) OVER fr AS g,
+                  SUM(CASE WHEN d6 < 0 THEN -d6 ELSE 0 END) OVER fr AS l
+                FROM d
+                WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT series, bar_ts, close,
+            CASE WHEN nd = 14 THEN
+              CASE WHEN g + l > 0
+                THEN floor(100.0 * CAST(g AS DOUBLE) / CAST(g + l AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6
+                ELSE 50.0 END
+            END AS rsi
+          FROM f ORDER BY series, bar_ts""",
+
+    // stale-run twin: same island id (running sum of change flags),
+    // same all-long rollup, floor-form mean run length
+    "q136_stale_runs" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, bar_ts, close,
+                  CASE WHEN lag(close) OVER w IS NULL
+                         OR close <> lag(close) OVER w
+                       THEN 1 ELSE 0 END AS new_run
+                FROM bars
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          g AS (SELECT series, close,
+                  SUM(new_run) OVER (PARTITION BY series ORDER BY bar_ts
+                    ROWS UNBOUNDED PRECEDING) AS grp
+                FROM b),
+          r AS (SELECT series, grp, count(*) AS run_len
+                FROM g GROUP BY 1, 2)
+          SELECT series,
+            count(*) AS n_runs,
+            CAST(SUM(run_len) AS BIGINT) AS n_bars,
+            MAX(run_len) AS max_run,
+            CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_stale,
+            floor(CAST(SUM(run_len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              * 1e6 + 0.5) / 1e6 AS avg_run
+          FROM r GROUP BY series ORDER BY series"""
   )
 }

@@ -327,4 +327,54 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .filter(col("ewma") =!= col("close"))
     assert(w1.count() === 0)
   }
+
+  test("rsi: hand-computed gains/losses, warm-up nulls, flat midpoint") {
+    val bars = Seq(
+      // Δ chain for a: +1.0, -0.5, 0.0, +1.5
+      ("a", ts("2024-01-01 00:00:00"), 10.0),
+      ("a", ts("2024-01-01 00:05:00"), 11.0),
+      ("a", ts("2024-01-01 00:10:00"), 10.5),
+      ("a", ts("2024-01-01 00:15:00"), 10.5),
+      ("a", ts("2024-01-01 00:20:00"), 12.0),
+      // flat series: both window sums zero -> 50.0 midpoint
+      ("b", ts("2024-01-01 00:00:00"), 5.0),
+      ("b", ts("2024-01-01 00:05:00"), 5.0),
+      ("b", ts("2024-01-01 00:10:00"), 5.0))
+      .toDF("series", "bar_ts", "close")
+    val out = graft.ops.MarketBars.rsi(bars, period = 2)
+      .orderBy("series", "bar_ts").collect()
+      .map(r => (r.getAs[String]("series"),
+        Option(r.getAs[java.lang.Double]("rsi")).map(_.toDouble)))
+    assert(out.toSeq === Seq(
+      ("a", None),                 // no change yet
+      ("a", None),                 // 1 of 2 changes observed
+      ("a", Some(66.666667)),      // g=1.0, l=0.5 -> 100*2/3
+      ("a", Some(0.0)),            // g=0, l=0.5
+      ("a", Some(100.0)),          // g=1.5, l=0
+      ("b", None),
+      ("b", None),
+      ("b", Some(50.0))))          // flat window midpoint
+  }
+
+  test("staleRuns collapses equal-close islands and profiles them") {
+    val bars = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 00:05:00"), 1.0),
+      ("a", ts("2024-01-01 00:10:00"), 1.0),
+      ("a", ts("2024-01-01 00:15:00"), 2.0),
+      ("a", ts("2024-01-01 00:20:00"), 2.0),
+      ("a", ts("2024-01-01 00:25:00"), 3.0),
+      ("b", ts("2024-01-01 00:00:00"), 4.0),
+      ("b", ts("2024-01-01 00:05:00"), 5.0))
+      .toDF("series", "bar_ts", "close")
+    val out = graft.ops.MarketBars.staleRuns(bars, staleLen = 3)
+      .orderBy("series").collect()
+      .map(r => (r.getAs[String]("series"), r.getAs[Long]("n_runs"),
+        r.getAs[Long]("n_bars"), r.getAs[Long]("max_run"),
+        r.getAs[Long]("n_stale"), r.getAs[Double]("avg_run")))
+    assert(out.toSeq === Seq(
+      // runs for a: 1.0 x3, 2.0 x2, 3.0 x1
+      ("a", 3L, 6L, 3L, 1L, 2.0),
+      ("b", 2L, 2L, 1L, 0L, 1.0)))
+  }
 }

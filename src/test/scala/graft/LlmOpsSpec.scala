@@ -498,4 +498,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viol.count() === 0)
     topk.unpersist()
   }
+
+  test("chi2Keyness: hand-computed chi-square on a 2x2 token table") {
+    import spark.implicits._
+    // label X is all 'aa', label Y all 'bb': for (X, aa) the table is
+    // a=5 b=0 c=0 d=5, N=10, det=25, chi2 = 10*625/(5*5)/(5*5) = 10.0
+    val d = Seq(
+      (1L, "aa aa aa aa aa", "X"),
+      (2L, "bb bb bb bb bb", "Y"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.CorpusOps.chi2Keyness(d, minCount = 5, k = 25)
+      .orderBy("label").collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[String]("term"),
+        r.getAs[Long]("a"), r.getAs[Long]("t_term"),
+        r.getAs[Double]("chi2"), r.getAs[Int]("rn")))
+    assert(out.toSeq === Seq(
+      ("X", "aa", 5L, 5L, 10.0, 1),
+      ("Y", "bb", 5L, 5L, 10.0, 1)))
+  }
 }
