@@ -258,6 +258,22 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.CorpusOps.collocations(docs.repartition(17), minCount = 2, k = 40))
   }
 
+  test("q133-q136 operators are partitioning-invariant (rsi, stale runs, chi2 keyness)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val ev = graft.sources.Tables.events(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(graft.ops.MarketBars.rsi(bars3, period = 5),
+      graft.ops.MarketBars.rsi(bars17, period = 5))
+    same(graft.ops.MarketBars.staleRuns(bars3),
+      graft.ops.MarketBars.staleRuns(bars17))
+    same(graft.ops.CorpusOps.chi2Keyness(docs.repartition(3), minCount = 2, k = 10),
+      graft.ops.CorpusOps.chi2Keyness(docs.repartition(17), minCount = 2, k = 10))
+  }
+
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
     graft.functions.VecDot.register(spark)
     val df = Seq(
