@@ -543,4 +543,53 @@ object CorpusOps {
       .filter(col("rn") <= k)
       .orderBy(col("label"), col("rn"))
   }
+
+  /** Jensen–Shannon divergence between the term distributions of a
+    * corpus slice (rows where `slice` is true) and its complement —
+    * the distribution-drift statistic for "did this source/language/
+    * date-range shift the corpus mix", with the top-k contributing
+    * terms for drift debugging. Per-term contribution
+    * ½p·ln(p/m) + ½q·ln(q/m) (m the midpoint) is non-negative by
+    * the log-sum inequality, so the top-k ranking is meaningful; the
+    * global JSD rides along as the exact sum of the per-term terms.
+    *
+    * Determinism (the q90 scaled-long rule): p, q, m derive from
+    * exact long counts via correctly-rounded divisions; each ln()
+    * contribution becomes a long via floor(x·1e8 + 0.5 + 1e-6) — the
+    * epsilon absorbs sub-ulp ln() jitter — and both the total and the
+    * ranking run on exact longs. The single-partition rank/total
+    * window sees only the vocabulary AGGREGATE (q39 rule); all
+    * corpus-sized work is hash-partitioned map-side counting. */
+  def jsDivergence(
+      docs: DataFrame,
+      slice: org.apache.spark.sql.Column,
+      k: Int = 25,
+      textCol: String = "text"): DataFrame = {
+    val cnt = docs
+      .select(slice.as("in_p"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("in_p"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("in_p"), 1L).otherwise(0L)).as("b"))
+      .localCheckpoint(eager = false)
+    val tot = cnt.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val p = col("a").cast(DoubleType) / col("na").cast(DoubleType)
+    val q = col("b").cast(DoubleType) / col("nb").cast(DoubleType)
+    val m = (p + q) / lit(2.0)
+    val contrib =
+      when(col("a") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("b") > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("jsd8").desc, col("term"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("term"), col("a"), col("b"),
+        floor(contrib * lit(1e8) + lit(0.5) + lit(1e-6)).cast("long").as("jsd8"))
+      .withColumn("jsd_total",
+        sum(col("jsd8")).over(wAll).cast(DoubleType) / lit(1e8))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("term"), col("a"), col("b"),
+        (col("jsd8").cast(DoubleType) / lit(1e8)).as("contrib"),
+        col("jsd_total"), col("rn"))
+      .orderBy(col("rn"))
+  }
 }

@@ -411,6 +411,14 @@ object LlmQueries {
     "q135_chi2_keyness" -> ((s, dir) => {
       CorpusOps.chi2Keyness(Tables.rebalance(Tables.documents(s, dir)),
         minCount = 5, k = 25)
+    }),
+
+    // Jensen–Shannon drift between the 'en' slice and the rest of the
+    // corpus: top-25 contributing terms + the exact global JSD
+    // (CorpusOps.jsDivergence — scaled-long ln chain, q90 rule)
+    "q137_js_drift" -> ((s, dir) => {
+      CorpusOps.jsDivergence(Tables.rebalance(Tables.documents(s, dir)),
+        col("lang") === "en", k = 25)
     })
   )
 
@@ -1201,6 +1209,41 @@ object LlmQueries {
                  ORDER BY chi2 DESC, term) AS rn
                FROM s)
          SELECT label, term, a, t_term, chi2, CAST(rn AS INTEGER) AS rn
-         FROM r WHERE rn <= 25 ORDER BY label, rn"""
+         FROM r WHERE rn <= 25 ORDER BY label, rn""",
+
+    // JS-drift twin: identical slice counts, identical midpoint op
+    // order, identical scaled-long contribution floor with the
+    // jitter-absorbing epsilon
+    "q137_js_drift" ->
+      """WITH tk AS (
+           SELECT lang = 'en' AS in_p,
+             unnest(regexp_split_to_array(trim(text), ' +')) AS term
+           FROM documents),
+         c AS (SELECT term,
+                 CAST(SUM(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN NOT in_p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b
+               FROM tk GROUP BY 1),
+         t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                      CAST(SUM(b) AS BIGINT) AS nb FROM c),
+         x AS (SELECT term, a, b,
+                 CAST(a AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+                 CAST(b AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+               FROM c CROSS JOIN t),
+         y AS (SELECT term, a, b,
+                 CAST(floor((
+                   CASE WHEN a > 0
+                     THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+                   + CASE WHEN b > 0
+                     THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+                   * 1e8 + 0.5 + 1e-6) AS BIGINT) AS jsd8
+               FROM x),
+         z AS (SELECT term, a, b, jsd8,
+                 CAST(SUM(jsd8) OVER () AS DOUBLE) / 1e8 AS jsd_total,
+                 row_number() OVER (ORDER BY jsd8 DESC, term) AS rn
+               FROM y)
+         SELECT term, a, b, CAST(jsd8 AS DOUBLE) / 1e8 AS contrib,
+           jsd_total, CAST(rn AS INTEGER) AS rn
+         FROM z WHERE rn <= 25 ORDER BY rn"""
   )
 }

@@ -516,4 +516,20 @@ class LlmOpsSpec extends AnyFunSuite {
       ("X", "aa", 5L, 5L, 10.0, 1),
       ("Y", "bb", 5L, 5L, 10.0, 1)))
   }
+
+  test("jsDivergence: disjoint unigram corpora give the ln2 bound") {
+    import spark.implicits._
+    // P = {x}, Q = {y}: each term contributes (ln 2)/2 and the total
+    // hits the JSD maximum ln 2; scaled-long floor at 8dp
+    val d = Seq((1L, "x", "en"), (2L, "y", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.CorpusOps.jsDivergence(d, col("lang") === "en", k = 5)
+      .collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("a"),
+        r.getAs[Long]("b"), r.getAs[Double]("contrib"),
+        r.getAs[Double]("jsd_total"), r.getAs[Int]("rn")))
+    assert(out.toSeq === Seq(
+      ("x", 1L, 0L, 0.34657359, 0.69314718, 1),
+      ("y", 0L, 1L, 0.34657359, 0.69314718, 2)))
+  }
 }
