@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{MarketBars, PairAnalytics}
 import graft.sources.Tables
-import graft.streaming.{BarBuilder, DrawdownMonitor, TransitionStream}
+import graft.streaming.{BarBuilder, DrawdownMonitor, StaleRunMonitor, TransitionStream}
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
@@ -386,6 +386,52 @@ class StreamingSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n_events"),
           min($"ts").as("start_ts"), max($"ts").as("end_ts"))
         .select("user_id", "n_events", "start_ts", "end_ts")
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
+  test("streaming completed stale runs match the batch islands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // quantize closes so equal-close runs actually occur in the
+    // synthetic feed (raw doubles are almost surely distinct)
+    val bars = MarketBars.bars(Tables.events(spark, sf),
+        "event_type", "ts", "value")
+      .select($"series", $"bar_ts",
+        floor($"close").cast("double").as("close"))
+    // batch islands, dropping each series' LAST island (the stream
+    // keeps the trailing run open in state — unknowable length)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"series").orderBy($"bar_ts")
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val islands = bars
+      .withColumn("brk",
+        when(lag($"close", 1).over(w).isNull ||
+          $"close" =!= lag($"close", 1).over(w), 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(wRun))
+      .groupBy($"series", $"grp")
+      .agg(min($"bar_ts").as("start_ts"), max($"bar_ts").as("end_ts"),
+        first($"close").as("close"), count(lit(1)).as("run_len"))
+    val lastGrp = islands.groupBy($"series").agg(max($"grp").as("grp"))
+    val batch = islands.join(lastGrp, Seq("series", "grp"), "left_anti")
+      .select("series", "start_ts", "end_ts", "close", "run_len")
+
+    val points = bars.collect()
+      .map(r => StaleRunMonitor.Bar(r.getString(0), r.getTimestamp(1),
+        r.getDouble(2))).toSeq.sortBy(_.ts.getTime)
+    val stream = MemoryStream[StaleRunMonitor.Bar]
+    val q = StaleRunMonitor.completedRuns(stream.toDS())
+      .writeStream.format("memory").queryName("stale_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = points.splitAt(points.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("stale_out")
+        .select("series", "start_ts", "end_ts", "close", "run_len")
       assert(streamed.except(batch).count() === 0)
       assert(batch.except(streamed).count() === 0)
       assert(streamed.count() > 0)
