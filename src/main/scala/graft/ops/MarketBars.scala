@@ -277,6 +277,113 @@ object MarketBars {
           .as("rsi"))
   }
 
+
+  /** Lo–MacKinlay variance-ratio diagnostic VR(k) per series: the
+    * variance of overlapping k-bar log returns over k times the 1-bar
+    * return variance. VR ≈ 1 under a random walk; > 1 flags momentum,
+    * < 1 mean reversion — the standard microstructure test next to
+    * the Roll estimator (q111) and Amihud (q127).
+    *
+    * Determinism (the q90 rule): each 1-bar ln return becomes an
+    * exact scaled long via floor(r·1e8 + 0.5) (ln is bit-identical in
+    * both engines — the q92 precedent), k-bar returns are exact long
+    * window sums of those, and both population variances form from
+    * DECIMAL-exact (n, Σx, Σx²) in ONE explicit double op order
+    * shared with the oracle. The ratio rounds 6dp at the end.
+    *
+    * Scale: one per-series window pass (the q49/q83 hot-key class,
+    * same ScalableWindow escape) feeding one map-side-combined
+    * per-series aggregate — output is |series| rows. */
+  def varianceRatio(bars: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val wk = w.rowsBetween(-(k - 1), 0)
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    bars
+      .withColumn("prev_c", lag(col("close"), 1).over(w))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
+      .select(col("series"), col("bar_ts"),
+        floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
+          .cast("long").as("r8"))
+      .withColumn("nk", count(lit(1)).over(wk))
+      .withColumn("rk", sum(col("r8")).over(wk))
+      .groupBy(col("series"))
+      .agg(
+        count(lit(1)).as("n_rets"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum((col("r8") * col("r8")).cast(dec)).as("q1"),
+        sum(when(col("nk") === k, 1L).otherwise(0L)).as("n_k"),
+        sum(when(col("nk") === k, col("rk")).cast(dec)).as("sk"),
+        sum(when(col("nk") === k, col("rk") * col("rk")).cast(dec)).as("qk"))
+      .withColumn("var1", when(col("n_rets") > 0,
+        (dbl(col("q1")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n_rets"))) /
+          dbl(col("n_rets"))))
+      .withColumn("vark", when(col("n_k") > 0,
+        (dbl(col("qk")) - dbl(col("sk")) * dbl(col("sk")) / dbl(col("n_k"))) /
+          dbl(col("n_k"))))
+      .select(col("series"), col("n_rets"), col("n_k"),
+        when(col("var1") > 0 && col("vark").isNotNull,
+          round(col("vark") / (col("var1") * lit(k.toDouble)), 6)).as("vr"))
+  }
+
+  /** Per-series performance tearsheet over daily closes: annualized
+    * log return, annualized volatility, Sharpe ratio, and maximum
+    * drawdown — the four headline numbers of a strategy/asset report,
+    * in ONE window pass + ONE aggregate.
+    *
+    * Daily close = the day's last bar close via max(struct(bar_ts,
+    * close)) (the bars-CTE tie rule, not max_by). Determinism: daily
+    * ln returns become exact scaled longs (q90 rule), mean/variance
+    * form from DECIMAL-exact sums in one shared double op order;
+    * drawdown = close/running-max − 1 floors at 6dp BEFORE the min,
+    * so the aggregate folds exact values. Zero-variance series emit
+    * null Sharpe; non-positive closes are excluded from returns and
+    * drawdown (ln/divide guards), matching the q92 rule.
+    *
+    * Scale: the daily rollup shuffles on (series, day) — a growing
+    * key; the per-series day window is tiny (days, not ticks). */
+  def tearsheet(bars: DataFrame, periodsPerYear: Double = 252.0): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("d"))
+    val wrm = w.rowsBetween(Window.unboundedPreceding, 0)
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val ppy = lit(periodsPerYear)
+    bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .withColumn("prev_c", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0,
+          floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .withColumn("runmax", max(col("close")).over(wrm))
+      .withColumn("dd", when(col("runmax") > 0,
+        floor((col("close") / col("runmax") - lit(1.0)) * lit(1e6) + lit(0.5)) /
+          lit(1e6)))
+      .groupBy(col("series"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        count(col("r8")).as("n_rets"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum((col("r8") * col("r8")).cast(dec)).as("q1"),
+        min(col("dd")).as("max_drawdown"))
+      .withColumn("mu",
+        when(col("n_rets") > 0, dbl(col("s1")) / dbl(col("n_rets"))))
+      .withColumn("varp", when(col("n_rets") > 0,
+        (dbl(col("q1")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n_rets"))) /
+          dbl(col("n_rets"))))
+      .select(col("series"), col("n_days"), col("n_rets"),
+        when(col("mu").isNotNull,
+          round(col("mu") * ppy / lit(1e8), 6)).as("ann_return"),
+        when(col("varp").isNotNull,
+          round(sqrt(col("varp") * ppy) / lit(1e8), 6)).as("ann_vol"),
+        when(col("varp") > 0,
+          round(col("mu") * ppy / sqrt(col("varp") * ppy), 6)).as("sharpe"),
+        col("max_drawdown"))
+  }
+
   /** Stale-price profile per series (gaps-and-islands): consecutive
     * equal closes collapse into runs via the classic island id
     * (running sum of change flags), then one per-series rollup reports

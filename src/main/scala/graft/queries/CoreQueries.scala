@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import graft.ops.WarehouseOps
 import graft.sources.Tables
 
 /** Relational operator inventory over the driver's TPC-H-ish tables —
@@ -898,6 +899,19 @@ object CoreQueries {
       CoreQueries.concentration(joined, "n_name", "l_suppkey",
         col("l_extendedprice") * (lit(1) - col("l_discount")))
         .orderBy(col("n_name"))
+    }),
+
+    // SCD Type 2 build (WarehouseOps.scd2): collapse each customer's
+    // order-status snapshot log into validity intervals — one row per
+    // status change with effective_from/to, version, is_current
+    "q138_scd2" -> ((s, dir) => {
+      val snaps = Tables.rebalance(Tables.orders(s, dir))
+        .select(col("o_custkey").as("custkey"),
+          to_date(col("o_orderdate")).as("snap_d"),
+          col("o_orderkey").as("tie"),
+          col("o_orderstatus").as("status"))
+      WarehouseOps.scd2(snaps, "custkey", "snap_d", "tie", "status")
+        .orderBy(col("custkey"), col("version"))
     })
   )
 
@@ -1567,6 +1581,30 @@ object CoreQueries {
            round(CAST(sum(CAST(round(share * share, 12) AS DECIMAL(28,12)))
              AS DOUBLE), 6) AS hhi,
            round(max(share), 6) AS top_share
-         FROM s GROUP BY 1 ORDER BY n_name"""
+         FROM s GROUP BY 1 ORDER BY n_name""",
+
+    // SCD2 twin: same (ts, tie) total order drives the change filter,
+    // version numbering, and the lead that closes each interval
+    "q138_scd2" ->
+      """WITH ch AS (
+           SELECT o_custkey AS custkey,
+             CAST(o_orderdate AS DATE) AS snap_d,
+             o_orderkey AS tie,
+             o_orderstatus AS status,
+             lag(o_orderstatus) OVER
+               (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+                o_orderkey) AS prev_attr
+           FROM orders),
+         c2 AS (SELECT * FROM ch
+                WHERE prev_attr IS NULL OR prev_attr <> status)
+         SELECT custkey,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           status,
+           snap_d AS effective_from,
+           lead(snap_d) OVER w AS effective_to,
+           (lead(snap_d) OVER w IS NULL) AS is_current
+         FROM c2
+         WINDOW w AS (PARTITION BY custkey ORDER BY snap_d, tie)
+         ORDER BY custkey, version"""
   )
 }

@@ -661,6 +661,23 @@ object MarketQueries {
       MarketBars.staleRuns(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"), staleLen = 3)
         .orderBy(col("series"))
+    }),
+
+    // Lo–MacKinlay variance ratio VR(4) per series (MarketBars
+    // .varianceRatio): momentum / mean-reversion diagnostic from
+    // exact scaled-long return sums
+    "q139_variance_ratio" -> ((s, dir) => {
+      MarketBars.varianceRatio(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), k = 4)
+        .orderBy(col("series"))
+    }),
+
+    // Per-series performance tearsheet over daily closes (MarketBars
+    // .tearsheet): annualized return/vol, Sharpe, max drawdown
+    "q140_tearsheet" -> ((s, dir) => {
+      MarketBars.tearsheet(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -1336,6 +1353,97 @@ object MarketQueries {
               AS n_stale,
             floor(CAST(SUM(run_len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
               * 1e6 + 0.5) / 1e6 AS avg_run
-          FROM r GROUP BY series ORDER BY series"""
+          FROM r GROUP BY series ORDER BY series""",
+
+    // variance-ratio twin: identical scaled-long returns, identical
+    // exact-sum population variances, one shared double op order
+    "q139_variance_ratio" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT) AS r8
+                FROM l
+                WHERE prev_c IS NOT NULL AND prev_c > 0 AND close > 0),
+          kw AS (SELECT series, r8,
+                  count(*) OVER fr AS nk,
+                  CAST(SUM(r8) OVER fr AS BIGINT) AS rk
+                FROM r
+                WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+          a AS (SELECT series,
+                  count(*) AS n_rets,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(r8*r8 AS DECIMAL(38,0))) AS q1,
+                  CAST(SUM(CASE WHEN nk = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_k,
+                  SUM(CASE WHEN nk = 4
+                        THEN CAST(rk AS DECIMAL(38,0)) END) AS sk,
+                  SUM(CASE WHEN nk = 4
+                        THEN CAST(rk*rk AS DECIMAL(38,0)) END) AS qk
+                FROM kw GROUP BY series),
+          v AS (SELECT *,
+                  CASE WHEN n_rets > 0 THEN
+                    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)
+                       /CAST(n_rets AS DOUBLE)) / CAST(n_rets AS DOUBLE)
+                  END AS var1,
+                  CASE WHEN n_k > 0 THEN
+                    (CAST(qk AS DOUBLE) - CAST(sk AS DOUBLE)*CAST(sk AS DOUBLE)
+                       /CAST(n_k AS DOUBLE)) / CAST(n_k AS DOUBLE)
+                  END AS vark
+                FROM a)
+          SELECT series, n_rets, n_k,
+            CASE WHEN var1 > 0 AND vark IS NOT NULL
+                 THEN round(vark / (var1 * 4.0), 6) END AS vr
+          FROM v ORDER BY series""",
+
+    // tearsheet twin: daily close via the bars-CTE max(struct) tie
+    // rule, scaled-long daily returns, floor-form 6dp drawdown BEFORE
+    // the min, one shared double op order for the annualized stats
+    "q140_tearsheet" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   (max(struct_pack(t := bar_ts, c := close))).c AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER w AS prev_c,
+                  MAX(close) OVER (PARTITION BY series ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS runmax
+                FROM dcl
+                WINDOW w AS (PARTITION BY series ORDER BY d)),
+          e AS (SELECT series, d, close,
+                  CASE WHEN prev_c IS NOT NULL AND prev_c > 0 AND close > 0
+                       THEN CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT)
+                  END AS r8,
+                  CASE WHEN runmax > 0
+                       THEN floor((close/runmax - 1.0) * 1e6 + 0.5) / 1e6
+                  END AS dd
+                FROM l),
+          a AS (SELECT series,
+                  count(*) AS n_days,
+                  count(r8) AS n_rets,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(r8*r8 AS DECIMAL(38,0))) AS q1,
+                  MIN(dd) AS max_drawdown
+                FROM e GROUP BY series),
+          v AS (SELECT *,
+                  CASE WHEN n_rets > 0
+                       THEN CAST(s1 AS DOUBLE)/CAST(n_rets AS DOUBLE) END AS mu,
+                  CASE WHEN n_rets > 0 THEN
+                    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)
+                       /CAST(n_rets AS DOUBLE)) / CAST(n_rets AS DOUBLE)
+                  END AS varp
+                FROM a)
+          SELECT series, n_days, n_rets,
+            CASE WHEN mu IS NOT NULL
+                 THEN round(mu * 252.0 / 1e8, 6) END AS ann_return,
+            CASE WHEN varp IS NOT NULL
+                 THEN round(sqrt(varp * 252.0) / 1e8, 6) END AS ann_vol,
+            CASE WHEN varp > 0
+                 THEN round(mu * 252.0 / sqrt(varp * 252.0), 6) END AS sharpe,
+            max_drawdown
+          FROM v ORDER BY series"""
   )
 }

@@ -377,4 +377,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("a", 3L, 6L, 3L, 1L, 2.0),
       ("b", 2L, 2L, 1L, 0L, 1.0)))
   }
+
+  test("varianceRatio recovers the hand-computed VR on ±u returns") {
+    // closes 100·e^cum with returns [u, u, -u, -u], u = 1e-3:
+    // r8 = [1e5, 1e5, -1e5, -1e5], var1 = R². k=2 overlapping sums
+    // rk = [2R, 0, -2R] -> vark = 8R²/3, VR = (8/3)/2 = 4/3
+    val c = Seq(0.0, 0.001, 0.002, 0.001, 0.0).map(x => 100.0 * math.exp(x))
+    val bars = c.zipWithIndex.map { case (v, i) =>
+      ("a", ts(f"2024-01-01 00:${i * 5}%02d:00"), v)
+    }.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.varianceRatio(bars, k = 2).collect().head
+    assert(r.getAs[Long]("n_rets") === 4L)
+    assert(r.getAs[Long]("n_k") === 3L)
+    assert(r.getAs[Double]("vr") === 1.333333)
+  }
+
+  test("varianceRatio: trending and flat series have zero var1 -> null") {
+    val bars = (0 to 4).map { i =>
+      // constant +u return every bar: var1 = 0, VR undefined
+      ("t", ts(f"2024-01-01 00:${i * 5}%02d:00"), 100.0 * math.exp(0.001 * i))
+    }.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.varianceRatio(bars, k = 2).collect().head
+    assert(r.getAs[Long]("n_rets") === 4L)
+    assert(r.isNullAt(r.fieldIndex("vr")))
+  }
+
+  test("tearsheet matches the hand-computed annualized stats") {
+    // day1 has TWO bars (daily close must pick the later, 100.0);
+    // daily r8 = [1e5, -5e4] -> mu = 25e3, varp = 5.625e9
+    val c1 = 100.0 * math.exp(0.001)
+    val c2 = c1 * math.exp(-0.0005)
+    val bars = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 99.0),
+      ("a", ts("2024-01-01 15:00:00"), 100.0),
+      ("a", ts("2024-01-02 15:00:00"), c1),
+      ("a", ts("2024-01-03 15:00:00"), c2))
+      .toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.tearsheet(bars).collect().head
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Long]("n_rets") === 2L)
+    assert(r.getAs[Double]("ann_return") === 0.063)
+    assert(r.getAs[Double]("ann_vol") === 0.011906)
+    assert(r.getAs[Double]("sharpe") === 5.291503)
+    // peak is day2's close; day3 sits 0.0005 below it (floor-form 6dp)
+    assert(r.getAs[Double]("max_drawdown") === -0.0005)
+  }
 }

@@ -81,4 +81,32 @@ class PipelineSpec extends AnyFunSuite {
     val counts = grid.groupBy("trading_date").count()
     assert(counts.filter(col("count") =!= 78).count() === 0)
   }
+
+  test("scd2 collapses a snapshot log into validity intervals") {
+    import spark.implicits._
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val snaps = Seq(
+      // key A: X, X (collapses), Y -> two versions
+      ("A", d("2024-01-01"), 1L, "X"),
+      ("A", d("2024-01-05"), 2L, "X"),
+      ("A", d("2024-01-09"), 3L, "Y"),
+      // key B: single snapshot -> one open interval
+      ("B", d("2024-02-01"), 4L, "P"),
+      // key C: same-date tie -> tie order decides; first closes at
+      // zero length, second is current
+      ("C", d("2024-03-01"), 5L, "P"),
+      ("C", d("2024-03-01"), 6L, "Q"))
+      .toDF("k", "snap_d", "tie", "attr")
+    val out = graft.ops.WarehouseOps.scd2(snaps, "k", "snap_d", "tie", "attr")
+      .orderBy("k", "version").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getDate(3).toString, Option(r.getDate(4)).map(_.toString),
+        r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      ("A", 1, "X", "2024-01-01", Some("2024-01-09"), false),
+      ("A", 2, "Y", "2024-01-09", None, true),
+      ("B", 1, "P", "2024-02-01", None, true),
+      ("C", 1, "P", "2024-03-01", Some("2024-03-01"), false),
+      ("C", 2, "Q", "2024-03-01", None, true)))
+  }
 }
