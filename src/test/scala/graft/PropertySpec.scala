@@ -274,6 +274,23 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.CorpusOps.chi2Keyness(docs.repartition(17), minCount = 2, k = 10))
   }
 
+  test("q138-q140 operators are partitioning-invariant (scd2, variance ratio, tearsheet)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.varianceRatio(bars3, k = 4),
+      MarketBars.varianceRatio(bars17, k = 4))
+    same(MarketBars.tearsheet(bars3), MarketBars.tearsheet(bars17))
+    val snaps3 = graft.sources.Tables.orders(spark, sf).repartition(3)
+      .select(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey").as("tie"), col("o_orderstatus").as("a"))
+    same(graft.ops.WarehouseOps.scd2(snaps3, "k", "d", "tie", "a"),
+      graft.ops.WarehouseOps.scd2(snaps3.repartition(17), "k", "d", "tie", "a"))
+  }
+
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
     graft.functions.VecDot.register(spark)
     val df = Seq(
