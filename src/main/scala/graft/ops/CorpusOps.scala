@@ -279,6 +279,99 @@ object CorpusOps {
           lit(10000.0)).as("avg_nll"))
   }
 
+  /** Per-doc bigram language-model score — the KenLM-style fluency
+    * filter next to [[unigramNll]]'s frequency filter: avg −ln
+    * p̂(w2|w1) under the corpus's own add-one-smoothed bigram model,
+    * p̂(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). Word-order-scrambled
+    * boilerplate scores high here even when its unigrams are common.
+    *
+    * Model convention: c(w1) is the full unigram count (every token
+    * appears exactly once as a bigram head, the final token with a
+    * null successor — the q119 zip trick), and V is the full distinct
+    * vocabulary; docs with < 2 tokens emit no row.
+    *
+    * Determinism: the q90 scaled-long chain — each bigram's nll
+    * floors to a long at 1e8 (with the 1e-6 sub-ulp-ln guard), the
+    * per-doc fold is an exact integer sum, the 4dp average floors a
+    * quotient of exactly-representable values. Zero library round().
+    *
+    * Scale: the token stream feeds exactly ONE shuffle — the
+    * (doc, w1, w2) aggregate; bigram counts, unigram counts, and the
+    * vocabulary all derive from it (the q59/q90 rework rule). The
+    * scoring join runs on collapsed (doc, bigram) counts; only the
+    * 1-row vocabulary broadcasts. */
+  def bigramNll(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val dbf = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("t"))
+      .select(col(idCol), explode(zip_with(
+        col("t"),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val big = dbf.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+      .localCheckpoint(eager = false)
+    val uni = big.groupBy(col("w1")).agg(sum(col("c2")).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    dbf.filter(col("w2").isNotNull)
+      .join(big.filter(col("w2").isNotNull), Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("cnt"),
+        floor(-log((col("c2") + lit(1L)).cast(DoubleType) /
+          (col("cu") + col("v")).cast(DoubleType)) * lit(1e8) +
+          lit(0.5) + lit(1e-6)).as("nll8"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        (floor(sum(col("nll8") * col("cnt")).cast(DoubleType) /
+          sum(col("cnt")) / lit(1e8) * lit(10000.0) + lit(0.5)) /
+          lit(10000.0)).as("avg_nll2"))
+  }
+
+  /** Per-label Gini coefficient of the term-frequency distribution —
+    * the rank-based concentration measure next to HHI's share-based
+    * one (q124): G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over frequencies
+    * sorted ascending. 0 = perfectly uniform vocabulary use, → 1 =
+    * a few terms dominate (boilerplate / template corpora).
+    *
+    * Exactness: every sum is an exact BIGINT/DECIMAL fold (rank ×
+    * frequency products are longs), and Σ i·xᵢ is INVARIANT under
+    * permuting equal frequencies, so the tie order inside the rank
+    * window cannot perturb the result; the single double divide
+    * floors at 6dp.
+    *
+    * Scale: one (label, term) token-level shuffle (chi2Keyness's
+    * shape); the rank window runs over the vocabulary-sized aggregate
+    * only (q39 rule). */
+  def termGini(
+      docs: DataFrame,
+      labelCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("label")).orderBy(col("tf"), col("term"))
+    docs
+      .select(col(labelCol).as("label"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("label"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf").cast(dec)).as("st"),
+        sum((col("i") * col("tf")).cast(dec)).as("s1"))
+      .select(col("label"), col("n_terms"),
+        col("st").cast("long").as("n_tokens"),
+        (floor((lit(2).cast(dec) * col("s1") -
+          (col("n_terms") + lit(1)).cast(dec) * col("st")).cast(DoubleType) /
+          (col("n_terms").cast(dec) * col("st")).cast(DoubleType) *
+          lit(1e6) + lit(0.5)) / lit(1e6)).as("gini"))
+  }
+
   /** Per-(label, dimension) embedding centroid: mean of each vector
     * position, decimal-accumulated, rounded to 6 places. Output one
     * row per (label, pos) — dims × labels rows. */

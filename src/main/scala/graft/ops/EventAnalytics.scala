@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -236,5 +236,49 @@ object EventAnalytics {
         sum(col("n")).over(row).cast(DoubleType), 6).as("p"),
       round(col("sv").cast(DoubleType) / col("n").cast(DoubleType), 6)
         .as("avg_value"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per event type:
+    * D = max over v of |F_slice(v) − F_rest(v)| between the `slice`
+    * rows and their complement — numeric distribution drift (feed
+    * regime change, A/B sanity) complementing the term-based JSD
+    * (q137). No binning, no approximation.
+    *
+    * Exactness: the core is ALL-INTEGER — per distinct value the
+    * slice/rest counts are exact longs, running and total counts are
+    * exact window sums, and the sup statistic maximizes
+    * |ca·nb − cb·na| in DECIMAL before the ONE double divide by
+    * na·nb, floored at 6dp. Ties are handled exactly by aggregating
+    * to distinct values first (F evaluates at each distinct v
+    * inclusively, the textbook definition).
+    *
+    * Scale: one (type, value) hash shuffle collapses the input to
+    * distinct values; the CDF window runs over that collapsed
+    * relation only (the q39 aggregate-sized-window rule); the final
+    * max is a map-side-combined aggregate. */
+  def ksDrift(events: DataFrame, slice: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    events
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(slice, 1L).otherwise(0L)).as("a"),
+        sum(when(!slice, 1L).otherwise(0L)).as("b"))
+      .select(col("event_type"),
+        sum(col("a")).over(wRun).as("ca"),
+        sum(col("b")).over(wRun).as("cb"),
+        sum(col("a")).over(wAll).as("na"),
+        sum(col("b")).over(wAll).as("nb"))
+      .select(col("event_type"), col("na"), col("nb"),
+        abs(col("ca").cast(dec) * col("nb").cast(dec) -
+          col("cb").cast(dec) * col("na").cast(dec)).as("diff"))
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(max(col("diff")).as("dmax"))
+      .select(col("event_type"), col("na"), col("nb"),
+        when(col("na") > 0 && col("nb") > 0,
+          floor(col("dmax").cast(DoubleType) /
+            (col("na").cast(DoubleType) * col("nb").cast(DoubleType)) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("ks"))
   }
 }

@@ -912,6 +912,15 @@ object CoreQueries {
           col("o_orderstatus").as("status"))
       WarehouseOps.scd2(snaps, "custkey", "snap_d", "tie", "status")
         .orderBy(col("custkey"), col("version"))
+    }),
+
+    // Exact two-sample KS drift per event type (EventAnalytics
+    // .ksDrift): value-distribution shift between the first half of
+    // the period and the rest — all-integer sup-CDF core
+    "q142_ks_drift" -> ((s, dir) => {
+      graft.ops.EventAnalytics.ksDrift(Tables.events(s, dir),
+        col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1605,6 +1614,40 @@ object CoreQueries {
            (lead(snap_d) OVER w IS NULL) AS is_current
          FROM c2
          WINDOW w AS (PARTITION BY custkey ORDER BY snap_d, tie)
-         ORDER BY custkey, version"""
+         ORDER BY custkey, version""",
+
+    // KS twin: identical all-integer sup-CDF — counts per distinct
+    // value, running/total window sums, |ca·nb − cb·na| maximized in
+    // DECIMAL, ONE double divide floored 6dp
+    "q142_ks_drift" ->
+      """WITH g AS (
+           SELECT event_type, value,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00')
+                 THEN 1 ELSE 0 END) AS b
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type,
+             CAST(SUM(a) OVER wr AS BIGINT) AS ca,
+             CAST(SUM(b) OVER wr AS BIGINT) AS cb,
+             CAST(SUM(a) OVER wa AS BIGINT) AS na,
+             CAST(SUM(b) OVER wa AS BIGINT) AS nb
+           FROM g
+           WINDOW wr AS (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING),
+                  wa AS (PARTITION BY event_type)),
+         dd AS (
+           SELECT event_type, na, nb,
+             abs(CAST(ca AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) -
+                 CAST(cb AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0)))
+               AS diff
+           FROM r)
+         SELECT event_type, na, nb,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             floor(CAST(max(diff) AS DOUBLE) /
+               (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS ks
+         FROM dd GROUP BY event_type, na, nb ORDER BY event_type"""
   )
 }

@@ -419,6 +419,22 @@ object LlmQueries {
     "q137_js_drift" -> ((s, dir) => {
       CorpusOps.jsDivergence(Tables.rebalance(Tables.documents(s, dir)),
         col("lang") === "en", k = 25)
+    }),
+
+    // Bigram LM fluency score (CorpusOps.bigramNll): avg −ln of the
+    // add-one-smoothed p(w2|w1) under the corpus's own bigram model —
+    // the KenLM-style filter next to q90's unigram frequency filter
+    "q141_bigram_nll" -> ((s, dir) => {
+      CorpusOps.bigramNll(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-language Gini of the term-frequency distribution (CorpusOps
+    // .termGini): rank-based vocabulary concentration next to q124's
+    // share-based HHI
+    "q143_term_gini" -> ((s, dir) => {
+      CorpusOps.termGini(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("label"))
     })
   )
 
@@ -1244,6 +1260,57 @@ object LlmQueries {
                FROM y)
          SELECT term, a, b, CAST(jsd8 AS DOUBLE) / 1e8 AS contrib,
            jsd_total, CAST(rn AS INTEGER) AS rn
-         FROM z WHERE rn <= 25 ORDER BY rn"""
+         FROM z WHERE rn <= 25 ORDER BY rn""",
+
+    // bigram-LM twin: same null-successor zip (every token heads
+    // exactly one bigram), same add-one smoothing over the full
+    // unigram count + vocabulary, same q90 scaled-long nll chain
+    "q141_bigram_nll" ->
+      s"""WITH $toksCte,
+          b0 AS (SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1)) AS i FROM d),
+          bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM b0),
+          dbf AS (SELECT doc_id, w1, w2, count(*) AS cnt
+                  FROM bg GROUP BY 1, 2, 3),
+          big AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2
+                  FROM dbf GROUP BY 1, 2),
+          uni AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cu
+                  FROM big GROUP BY 1),
+          vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+          sc AS (SELECT dbf.doc_id, dbf.cnt,
+                   CAST(floor(-ln(CAST(big.c2 + 1 AS DOUBLE) /
+                     CAST(uni.cu + vv.v AS DOUBLE)) * 1e8 + 0.5 + 1e-6)
+                     AS BIGINT) AS nll8
+                 FROM dbf
+                 JOIN big ON big.w1 = dbf.w1 AND big.w2 = dbf.w2
+                 JOIN uni ON uni.w1 = dbf.w1
+                 CROSS JOIN vv
+                 WHERE dbf.w2 IS NOT NULL)
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+            floor(CAST(SUM(nll8 * cnt) AS DOUBLE) / SUM(cnt) / 1e8
+              * 10000.0 + 0.5) / 10000.0 AS avg_nll2
+          FROM sc GROUP BY 1 ORDER BY doc_id""",
+
+    // Gini twin: Σ i·xᵢ is invariant under permuting equal
+    // frequencies, so the rank tie order cannot diverge; one double
+    // divide from exact integer sums, floored 6dp
+    "q143_term_gini" ->
+      s"""WITH $toksCte,
+          tk AS (SELECT lang AS label, unnest(toks) AS term FROM d),
+          tf AS (SELECT label, term, count(*) AS tf
+                 FROM tk GROUP BY 1, 2),
+          r AS (SELECT label, tf,
+                  row_number() OVER (PARTITION BY label
+                    ORDER BY tf, term) AS i
+                FROM tf),
+          a AS (SELECT label,
+                  count(*) AS n_terms,
+                  CAST(SUM(tf) AS DECIMAL(38,0)) AS st,
+                  CAST(SUM(i * tf) AS DECIMAL(38,0)) AS s1
+                FROM r GROUP BY 1)
+          SELECT label, n_terms, CAST(st AS BIGINT) AS n_tokens,
+            floor(CAST(2 * s1 - (n_terms + 1) * st AS DOUBLE) /
+              CAST(n_terms * st AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
+          FROM a ORDER BY label"""
   )
 }

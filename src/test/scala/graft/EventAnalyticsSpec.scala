@@ -378,6 +378,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("b", 2L, 2L, 1L, 0L, 1.0)))
   }
 
+  test("ksDrift: hand-computed sup-CDF distance; zero on identical slices") {
+    // type t: slice values {1,2}, rest {2,3,3} -> sup at v=2:
+    // |2·3 − 1·2| = 4 -> D = 4/6 = 0.666667 (floor-form 6dp)
+    // type u: identical distributions -> D = 0
+    val ev = Seq(
+      ("t", 1L, 1.0), ("t", 1L, 2.0),
+      ("t", 2L, 2.0), ("t", 2L, 3.0), ("t", 2L, 3.0),
+      ("u", 1L, 5.0), ("u", 1L, 6.0), ("u", 2L, 5.0), ("u", 2L, 6.0))
+      .map { case (ty, u, v) => (0L, ts("2024-01-01 00:00:01"), u, ty, v, "{}") }
+      .zipWithIndex
+      .map { case ((_, t, u, ty, v, p), i) => (i.toLong, t, u, ty, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.EventAnalytics.ksDrift(ev, col("user_id") === 1L)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        r.getAs[Double]("ks")))
+    assert(out.toSeq === Seq(("t", 2L, 3L, 0.666667), ("u", 2L, 2L, 0.0)))
+  }
+
   test("varianceRatio recovers the hand-computed VR on ±u returns") {
     // closes 100·e^cum with returns [u, u, -u, -u], u = 1e-3:
     // r8 = [1e5, 1e5, -1e5, -1e5], var1 = R². k=2 overlapping sums

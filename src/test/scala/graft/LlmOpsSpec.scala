@@ -532,4 +532,41 @@ class LlmOpsSpec extends AnyFunSuite {
       ("x", 1L, 0L, 0.34657359, 0.69314718, 1),
       ("y", 0L, 1L, 0.34657359, 0.69314718, 2)))
   }
+
+  test("bigramNll matches the hand-computed add-one bigram model") {
+    import spark.implicits._
+    // corpus: "a b a b" + "b b" -> cu(a)=2, cu(b)=4, V=2
+    // c(a,b)=2, c(b,a)=1, c(b,b)=1
+    // p(b|a)=(2+1)/(2+2)=3/4, p(a|b)=p(b|b)=(1+1)/(4+2)=1/3
+    // doc1: (2·nll(3/4)+nll(1/3))/3 -> 0.558; doc2: nll(1/3) -> 1.0986
+    val docs = Seq((1L, "a b a b", "en"), (2L, "b b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.CorpusOps.bigramNll(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("avg_nll2")))
+    assert(out.toSeq === Seq((1L, 3L, 0.558), (2L, 1L, 1.0986)))
+  }
+
+  test("bigramNll: single-token and empty docs emit no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b", "en"), (2L, "solo", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.CorpusOps.bigramNll(docs).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L))
+  }
+
+  test("termGini: hand-computed inequality, zero on uniform use") {
+    import spark.implicits._
+    // X: tf [1,2,3] -> G = (2·14 − 4·6)/(3·6) = 0.222222
+    // Y: tf [2,2]   -> G = 0
+    val docs = Seq((1L, "a b b c c c", "X"), (2L, "d d e e", "Y"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.ops.CorpusOps.termGini(docs)
+      .orderBy("label").collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("gini")))
+    assert(out.toSeq === Seq(("X", 3L, 6L, 0.222222), ("Y", 2L, 4L, 0.0)))
+  }
 }

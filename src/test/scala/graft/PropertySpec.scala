@@ -291,6 +291,20 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.WarehouseOps.scd2(snaps3.repartition(17), "k", "d", "tie", "a"))
   }
 
+  test("q141-q143 operators are partitioning-invariant (bigram nll, ks drift, gini)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    same(graft.ops.CorpusOps.bigramNll(docs.repartition(3)),
+      graft.ops.CorpusOps.bigramNll(docs.repartition(17)))
+    same(graft.ops.CorpusOps.termGini(docs.repartition(3)),
+      graft.ops.CorpusOps.termGini(docs.repartition(17)))
+    same(graft.ops.EventAnalytics.ksDrift(ev.repartition(3), col("user_id") % 2 === 0),
+      graft.ops.EventAnalytics.ksDrift(ev.repartition(17), col("user_id") % 2 === 0))
+  }
+
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
     graft.functions.VecDot.register(spark)
     val df = Seq(
