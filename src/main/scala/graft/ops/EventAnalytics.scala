@@ -238,6 +238,51 @@ object EventAnalytics {
         .as("avg_value"))
   }
 
+  /** Mann–Whitney rank-sum drift per event type: U statistic and its
+    * AUC normalization U/(na·nb) — P(slice value > rest value, ties
+    * half) — between the `slice` rows and their complement. Reads as
+    * a probability: 0.5 = no stochastic dominance, 1 = slice
+    * stochastically above. The effect-size companion to [[ksDrift]]'s
+    * sup-distance (KS detects ANY shape change; AUC measures
+    * directional shift).
+    *
+    * Exactness: doubled mid-ranks clear the tie rationals — per
+    * distinct value, 2·avgrank = 2·c_prev + m + 1 is an exact
+    * integer, so 2·R1 and 2·U1 = 2·R1 − na(na+1) fold in DECIMAL
+    * exactly; the single double divide by 2·na·nb floors at 6dp.
+    *
+    * Scale: identical shape to [[ksDrift]] — one (type, value)
+    * shuffle, CDF-style window over the distinct-value aggregate,
+    * map-side-combined final fold. */
+  def rankSumDrift(events: DataFrame, slice: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    events
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(slice, 1L).otherwise(0L)).as("a"),
+        sum(when(!slice, 1L).otherwise(0L)).as("b"))
+      .select(col("event_type"), col("a"), col("b"),
+        (sum(col("a") + col("b")).over(wRun) - col("a") - col("b"))
+          .as("cprev"),
+        sum(col("a")).over(wAll).as("na"),
+        sum(col("b")).over(wAll).as("nb"))
+      .groupBy(col("event_type"), col("na"), col("nb"))
+      .agg(sum(col("a").cast(dec) *
+        (lit(2L) * col("cprev") + col("a") + col("b") + lit(1L)).cast(dec))
+        .as("r1x2"))
+      .withColumn("u1x2",
+        col("r1x2") - (col("na").cast(dec) * (col("na") + lit(1L)).cast(dec)))
+      .select(col("event_type"), col("na"), col("nb"),
+        col("u1x2").cast("long").as("u1_x2"),
+        when(col("na") > 0 && col("nb") > 0,
+          floor(col("u1x2").cast(DoubleType) /
+            (lit(2.0) * col("na").cast(DoubleType) *
+              col("nb").cast(DoubleType)) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("auc"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic per event type:
     * D = max over v of |F_slice(v) − F_rest(v)| between the `slice`
     * rows and their complement — numeric distribution drift (feed

@@ -327,6 +327,50 @@ object MarketBars {
           round(col("vark") / (col("var1") * lit(k.toDouble)), 6)).as("vr"))
   }
 
+  /** CUSUM change-point detection per series: the bar index/timestamp
+    * maximizing |Σ_{j≤i} (x_j − x̄)| — the classic "WHERE did the
+    * level shift" estimator next to q142's KS "DID the distribution
+    * shift". A series with no shift has a small, wandering CUSUM; a
+    * mean step makes |C| peak exactly at the step.
+    *
+    * Exactness: closes become scaled longs x6 = floor(x·1e6 + 0.5);
+    * the rational C_i = Σx6_j − i·(Σx6)/n is cleared of its
+    * denominator as C'_i = n·P_i − i·S (P = running prefix sum, all
+    * DECIMAL-exact), so the argmax compares exact integers — no
+    * running double fold anywhere. The reported magnitude divides
+    * once at emission (C'/n scaled back), floored 6dp. Ties on
+    * |C'| break to the earliest bar — total order in both engines.
+    *
+    * Scale: one per-series window pass (prefix sum + row_number +
+    * totals share the sort; q49 hot-key class, ScalableWindow escape
+    * applies) and a 1-row-per-series argmax filter. */
+  def cusum(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("series"))
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    bars
+      .select(col("series"), col("bar_ts"),
+        floor(col("close") * lit(1e6) + lit(0.5)).cast("long").as("x6"))
+      .select(col("series"), col("bar_ts"),
+        row_number().over(w).as("i"),
+        sum(col("x6")).over(wRun).as("p"),
+        count(lit(1)).over(wAll).as("n"),
+        sum(col("x6")).over(wAll).as("s"))
+      .withColumn("absc",
+        abs(col("n").cast(dec) * col("p").cast(dec) -
+          col("i").cast(dec) * col("s").cast(dec)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("series"))
+          .orderBy(col("absc").desc, col("bar_ts"))))
+      .filter(col("rk") === 1)
+      .select(col("series"), col("n").as("n_bars"),
+        col("bar_ts").as("cp_ts"), col("i").as("cp_idx"),
+        (floor(dbl(col("absc")) / dbl(col("n")) / lit(1e6) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("cusum_max"))
+  }
+
   /** Per-series performance tearsheet over daily closes: annualized
     * log return, annualized volatility, Sharpe ratio, and maximum
     * drawdown — the four headline numbers of a strategy/asset report,

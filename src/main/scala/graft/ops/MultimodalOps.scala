@@ -351,8 +351,84 @@ object MultimodalOps {
     }.toDF("asset_id", "ahash")
   }
 
-  /** STUB resize: recomputes metadata for the target box preserving
-    * aspect ratio (payload untouched — a real kernel would re-encode). */
+  private[graft] def resizeBmpNN(
+      p: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val off = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0 || off < 54) return None
+    val height = math.abs(h)
+    val bottomUp = h > 0
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off.toLong + rowSize.toLong * height > p.length) return None
+    val outRow = ((outW * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + outRow * outH)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    put32(2, out.length); put32(10, 54); put32(14, 40)
+    put32(18, outW); put32(22, outH) // positive height = bottom-up
+    put16(26, 1); put16(28, 24); put32(30, 0); put32(34, outRow * outH)
+    var y = 0
+    while (y < outH) {
+      val srcY = (y.toLong * height / outH).toInt // top-down logical row
+      val srcRow = off + (if (bottomUp) height - 1 - srcY else srcY) * rowSize
+      val dstRow = 54 + (outH - 1 - y) * outRow // write bottom-up
+      var x = 0
+      while (x < outW) {
+        val srcX = (x.toLong * w / outW).toInt
+        out(dstRow + x * 3) = p(srcRow + srcX * 3)
+        out(dstRow + x * 3 + 1) = p(srcRow + srcX * 3 + 1)
+        out(dstRow + x * 3 + 2) = p(srcRow + srcX * 3 + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  case class ResizedImage(
+      asset_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** REAL nearest-neighbor resize over the 24-bit BMP decoder: each
+    * output pixel samples src[floor(y·H/outH)][floor(x·W/outW)] and
+    * the result re-encodes as a well-formed bottom-up 24-bit BMP —
+    * so resized payloads flow back through [[decodeImages]] /
+    * [[imageHashes]] unchanged (tested round-trip). Same batched
+    * mapPartitions shape as the other decoders: the kernel runs on
+    * the executors, pipelined with the scan, map-side (output
+    * partitioning inherits the input's). Undecodable payloads drop
+    * out. Replaces the former metadata-only stub for the one format
+    * this container can decode; [[resizeMeta]] remains the
+    * plan-level helper for codec-less formats. */
+  def resizeImages(
+      assets: Dataset[MediaAsset], outW: Int, outH: Int): Dataset[ResizedImage] = {
+    require(outW > 0 && outH > 0, "target box must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { iter =>
+      iter.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap(a =>
+          resizeBmpNN(a.payload, outW, outH)
+            .map(bytes => ResizedImage(a.asset_id, outW, outH, bytes)))
+      }
+    }
+  }
+
+  /** Metadata-only resize for codec-less formats: recomputes the
+    * target box preserving aspect ratio (payload untouched — the BMP
+    * path has the real kernel, [[resizeImages]]). */
   def resizeMeta(meta: Column, maxSide: Int): Column = {
     val w = meta.getField("width")
     val h = meta.getField("height")

@@ -921,6 +921,15 @@ object CoreQueries {
       graft.ops.EventAnalytics.ksDrift(Tables.events(s, dir),
         col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
         .orderBy(col("event_type"))
+    }),
+
+    // Mann–Whitney rank-sum AUC per event type (EventAnalytics
+    // .rankSumDrift): directional-shift effect size next to q142's
+    // KS sup-distance, exact doubled-mid-rank core
+    "q145_rank_sum" -> ((s, dir) => {
+      graft.ops.EventAnalytics.rankSumDrift(Tables.events(s, dir),
+        col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1648,6 +1657,44 @@ object CoreQueries {
              floor(CAST(max(diff) AS DOUBLE) /
                (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e6 + 0.5) / 1e6
            END AS ks
-         FROM dd GROUP BY event_type, na, nb ORDER BY event_type"""
+         FROM dd GROUP BY event_type, na, nb ORDER BY event_type""",
+
+    // rank-sum twin: identical doubled mid-ranks (2·avgrank =
+    // 2·c_prev + m + 1 — exact integers), identical DECIMAL folds,
+    // one shared double divide floored 6dp
+    "q145_rank_sum" ->
+      """WITH g AS (
+           SELECT event_type, value,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00')
+                 THEN 1 ELSE 0 END) AS b
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, a, b,
+             CAST(SUM(a + b) OVER wr - a - b AS BIGINT) AS cprev,
+             CAST(SUM(a) OVER wa AS BIGINT) AS na,
+             CAST(SUM(b) OVER wa AS BIGINT) AS nb
+           FROM g
+           WINDOW wr AS (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING),
+                  wa AS (PARTITION BY event_type)),
+         s AS (
+           SELECT event_type, na, nb,
+             SUM(CAST(a AS DECIMAL(38,0)) *
+                 CAST(2 * cprev + a + b + 1 AS DECIMAL(38,0))) AS r1x2
+           FROM r GROUP BY 1, 2, 3),
+         u AS (
+           SELECT event_type, na, nb,
+             r1x2 - CAST(na AS DECIMAL(38,0)) * CAST(na + 1 AS DECIMAL(38,0))
+               AS u1x2
+           FROM s)
+         SELECT event_type, na, nb, CAST(u1x2 AS BIGINT) AS u1_x2,
+           CASE WHEN na > 0 AND nb > 0 THEN
+             floor(CAST(u1x2 AS DOUBLE) /
+               (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6
+           END AS auc
+         FROM u ORDER BY event_type"""
   )
 }

@@ -678,6 +678,15 @@ object MarketQueries {
       MarketBars.tearsheet(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // CUSUM change-point per series (MarketBars.cusum): the bar
+    // maximizing |Σ (x_j − x̄)| — WHERE the level shifted, the
+    // denominator-cleared exact-integer argmax
+    "q144_cusum" -> ((s, dir) => {
+      MarketBars.cusum(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -1444,6 +1453,34 @@ object MarketQueries {
             CASE WHEN varp > 0
                  THEN round(mu * 252.0 / sqrt(varp * 252.0), 6) END AS sharpe,
             max_drawdown
-          FROM v ORDER BY series"""
+          FROM v ORDER BY series""",
+
+    // CUSUM twin: same denominator-cleared exact integers
+    // C' = n·P − i·S, same (|C'| desc, bar_ts) argmax tie rule
+    "q144_cusum" ->
+      s"""WITH $barsCte,
+          x AS (SELECT series, bar_ts,
+                  CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS x6 FROM bars),
+          r AS (SELECT series, bar_ts,
+                  row_number() OVER w AS i,
+                  CAST(SUM(x6) OVER (PARTITION BY series ORDER BY bar_ts
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+                  count(*) OVER wa AS n,
+                  CAST(SUM(x6) OVER wa AS BIGINT) AS s
+                FROM x
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts),
+                       wa AS (PARTITION BY series)),
+          c AS (SELECT series, bar_ts, i, n,
+                  abs(CAST(n AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0)) -
+                      CAST(i AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+                    AS absc
+                FROM r),
+          k AS (SELECT *, row_number() OVER (PARTITION BY series
+                  ORDER BY absc DESC, bar_ts) AS rk FROM c)
+          SELECT series, CAST(n AS BIGINT) AS n_bars, bar_ts AS cp_ts,
+            CAST(i AS INTEGER) AS cp_idx,
+            floor(CAST(absc AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e6 + 0.5)
+              / 1e6 AS cusum_max
+          FROM k WHERE rk = 1 ORDER BY series"""
   )
 }

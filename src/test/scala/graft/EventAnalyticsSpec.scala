@@ -378,6 +378,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("b", 2L, 2L, 1L, 0L, 1.0)))
   }
 
+  test("cusum peaks exactly at a planted level shift") {
+    // closes [1,1,1,5,5]: C'_i = 5·P_i − i·13e6 (x6 units) gives
+    // |C'| = [8,16,24,12,0]e6 -> argmax i=3 (the last pre-shift bar),
+    // magnitude 24e6/5/1e6 = 4.8
+    val bars = Seq(1.0, 1.0, 1.0, 5.0, 5.0).zipWithIndex.map {
+      case (v, i) => ("a", ts(f"2024-01-01 00:${i * 5}%02d:00"), v)
+    }.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.cusum(bars).collect().head
+    assert(r.getAs[Long]("n_bars") === 5L)
+    assert(r.getAs[Int]("cp_idx") === 3)
+    assert(r.getAs[Timestamp]("cp_ts") === ts("2024-01-01 00:10:00"))
+    assert(r.getAs[Double]("cusum_max") === 4.8)
+  }
+
+  test("rankSumDrift: hand-computed AUC; 0.5 on identical slices") {
+    // t: slice {1,2} vs rest {2,3,3}: 2R1 = 2 + 5 = 7,
+    // 2U1 = 7 − 2·3 = 1, AUC = 1/12 = 0.083333
+    // u: identical {5,6} vs {5,6}: AUC = 0.5
+    val ev = Seq(
+      ("t", 1L, 1.0), ("t", 1L, 2.0),
+      ("t", 2L, 2.0), ("t", 2L, 3.0), ("t", 2L, 3.0),
+      ("u", 1L, 5.0), ("u", 1L, 6.0), ("u", 2L, 5.0), ("u", 2L, 6.0))
+      .zipWithIndex
+      .map { case ((ty, u, v), i) =>
+        (i.toLong, ts("2024-01-01 00:00:01"), u, ty, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.EventAnalytics.rankSumDrift(ev, col("user_id") === 1L)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        r.getAs[Long]("u1_x2"), r.getAs[Double]("auc")))
+    assert(out.toSeq === Seq(
+      ("t", 2L, 3L, 1L, 0.083333), ("u", 2L, 2L, 4L, 0.5)))
+  }
+
   test("ksDrift: hand-computed sup-CDF distance; zero on identical slices") {
     // type t: slice values {1,2}, rest {2,3,3} -> sup at v=2:
     // |2·3 − 1·2| = 4 -> D = 4/6 = 0.666667 (floor-form 6dp)

@@ -451,6 +451,61 @@ class LlmOpsSpec extends AnyFunSuite {
     hashes.unpersist()
   }
 
+  test("resizeImages: NN kernel places exact source pixels; round-trip recovers them") {
+    import spark.implicits._
+    def bmp24(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowSize * h
+      val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) {
+        for (x <- 0 until w) {
+          val (r, g, bl) = rgb(x, y)
+          b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        }
+        for (_ <- 0 until rowSize - w * 3) b.put(0.toByte)
+      }
+      b.array()
+    }
+    def px(p: Array[Byte], w: Int, h: Int, x: Int, y: Int): (Int, Int, Int) = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val row = 54 + (h - 1 - y) * rowSize
+      ((p(row + x * 3 + 2) & 0xff, p(row + x * 3 + 1) & 0xff,
+        p(row + x * 3) & 0xff))
+    }
+    // 2x2 quadrant colors: red, green / blue, white (logical top-down)
+    val img = bmp24(2, 2, {
+      case (0, 0) => (255, 0, 0)
+      case (1, 0) => (0, 255, 0)
+      case (0, 1) => (0, 0, 255)
+      case _      => (255, 255, 255)
+    })
+    val up = MultimodalOps.resizeBmpNN(img, 4, 4).get
+    // each source pixel becomes an exact 2x2 block
+    assert(px(up, 4, 4, 0, 0) === ((255, 0, 0)))
+    assert(px(up, 4, 4, 1, 1) === ((255, 0, 0)))
+    assert(px(up, 4, 4, 2, 0) === ((0, 255, 0)))
+    assert(px(up, 4, 4, 0, 2) === ((0, 0, 255)))
+    assert(px(up, 4, 4, 3, 3) === ((255, 255, 255)))
+    // round-trip down to 2x2 recovers the original pixels exactly
+    val down = MultimodalOps.resizeBmpNN(up, 2, 2).get
+    for (x <- 0 to 1; y <- 0 to 1)
+      assert(px(down, 2, 2, x, y) === px(img, 2, 2, x, y))
+    // re-encoded output flows back through the decoder; proportions
+    // (luminance histogram) survive the exact 2x upscale
+    assert(MultimodalOps.decodeBmp24(up).get._2.toSeq ===
+      MultimodalOps.decodeBmp24(img).get._2.toSeq)
+    // Dataset path drops undecodable payloads
+    val assets = Seq(
+      MultimodalOps.MediaAsset(1L, "image", img),
+      MultimodalOps.MediaAsset(2L, "image", "junk".getBytes)).toDS()
+    val out = MultimodalOps.resizeImages(assets, 4, 4).collect()
+    assert(out.map(_.asset_id).toSeq === Seq(1L))
+    assert(out.head.payload.sameElements(up))
+  }
+
   test("spanDedup: cross-doc span kept only in first owner, within-doc repeat dropped") {
     import spark.implicits._
     val eight = "a b c d e f g h" // one full 8-token span

@@ -303,6 +303,11 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.CorpusOps.termGini(docs.repartition(17)))
     same(graft.ops.EventAnalytics.ksDrift(ev.repartition(3), col("user_id") % 2 === 0),
       graft.ops.EventAnalytics.ksDrift(ev.repartition(17), col("user_id") % 2 === 0))
+    val bars3b = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17b = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.cusum(bars3b), MarketBars.cusum(bars17b))
+    same(graft.ops.EventAnalytics.rankSumDrift(ev.repartition(3), col("user_id") % 2 === 0),
+      graft.ops.EventAnalytics.rankSumDrift(ev.repartition(17), col("user_id") % 2 === 0))
   }
 
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
