@@ -371,6 +371,60 @@ object MarketBars {
           lit(0.5)) / lit(1e6)).as("cusum_max"))
   }
 
+  /** Page CUSUM alarm path per series: S_i = max(0, S_{i−1} + (x_i −
+    * μ0 − k)) — the sequential drift detector (Page 1954) that q144's
+    * offline argmax cannot give you LIVE; this batch form is the
+    * replayable twin of `streaming/PageCusumMonitor` (bit-identical,
+    * tested). The recursion is window-expressible via the prefix-sum
+    * identity S_i = P_i − min(0, min_{j≤i} P_j), so no sequential
+    * fold: one window pass computes the whole path.
+    *
+    * Exactness: closes and the per-series baseline μ0 floor to scaled
+    * longs, d6 = x6 − m6 − k6 is exact, prefix sums and running mins
+    * fold in pure long arithmetic — S is an exact integer in 1e-6
+    * units in BOTH engines and in the stream.
+    *
+    * `baseline` carries (series, mu0); at scale it is a per-key
+    * relation orders of magnitude below the bar store (broadcast).
+    * The path window is the q49 hot-key class (ScalableWindow escape
+    * applies). */
+  def pageCusumPath(
+      bars: DataFrame, baseline: DataFrame, slack: Double): DataFrame = {
+    val k6 = math.floor(slack * 1e6 + 0.5).toLong
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    bars.join(broadcast(baseline), "series")
+      .select(col("series"), col("bar_ts"),
+        (floor(col("close") * lit(1e6) + lit(0.5)).cast("long") -
+          floor(col("mu0") * lit(1e6) + lit(0.5)).cast("long") -
+          lit(k6)).as("d6"))
+      .withColumn("p", sum(col("d6")).over(wRun))
+      .withColumn("m", least(min(col("p")).over(wRun), lit(0L)))
+      .select(col("series"), col("bar_ts"), (col("p") - col("m")).as("s6"))
+  }
+
+  /** Per-series Page-CUSUM alarm profile over [[pageCusumPath]]:
+    * alarm bars are those with S > h; reports the alarm count, the
+    * first alarm timestamp, and the path maximum in value units
+    * (floor-form 6dp from the exact integer S). */
+  def pageCusum(
+      bars: DataFrame,
+      baseline: DataFrame,
+      slack: Double,
+      h: Double): DataFrame = {
+    val h6 = math.floor(h * 1e6 + 0.5).toLong
+    pageCusumPath(bars, baseline, slack)
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(when(col("s6") > h6, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("s6") > h6, col("bar_ts"))).as("first_alarm_ts"),
+        max(col("s6")).as("smax6"))
+      .select(col("series"), col("n_bars"), col("n_alarms"),
+        col("first_alarm_ts"),
+        (floor(col("smax6").cast(DoubleType) / lit(1e6) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("s_max"))
+  }
+
   /** Per-series performance tearsheet over daily closes: annualized
     * log return, annualized volatility, Sharpe ratio, and maximum
     * drawdown — the four headline numbers of a strategy/asset report,

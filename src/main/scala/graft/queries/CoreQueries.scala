@@ -930,6 +930,36 @@ object CoreQueries {
       graft.ops.EventAnalytics.rankSumDrift(Tables.events(s, dir),
         col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
         .orderBy(col("event_type"))
+    }),
+
+    // Point-in-time join onto the SCD2 dimension (q138's build +
+    // AsOfJoin.backward): annotate each order with the status version
+    // valid at its date — the PIT-correctness pattern of feature
+    // stores and training-data joins. Same-date versions collapse to
+    // the highest (the state holding at end of day), making the as-of
+    // tie-free and deterministic.
+    "q147_pit_join" -> ((s, dir) => {
+      val snaps = Tables.rebalance(Tables.orders(s, dir))
+        .select(col("o_custkey").as("custkey"),
+          to_date(col("o_orderdate")).as("snap_d"),
+          col("o_orderkey").as("tie"),
+          col("o_orderstatus").as("status"))
+      val dim = WarehouseOps.scd2(snaps, "custkey", "snap_d", "tie", "status")
+      val wf = Window.partitionBy(col("custkey"), col("effective_from"))
+        .orderBy(col("version").desc)
+      val dim1 = dim.withColumn("rn", row_number().over(wf))
+        .filter(col("rn") === 1)
+        .select(col("custkey"), col("effective_from").as("pit_d"),
+          col("status"), col("version"))
+      val facts = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"),
+          to_date(col("o_orderdate")).as("pit_d"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.ops.AsOfJoin.backward(facts, dim1, Seq("custkey"), "pit_d",
+          Seq("status", "version"))
+        .select(col("o_orderkey"), col("custkey"), col("pit_d"),
+          col("status"), col("version"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1695,6 +1725,42 @@ object CoreQueries {
                (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e6 + 0.5)
                / 1e6
            END AS auc
-         FROM u ORDER BY event_type"""
+         FROM u ORDER BY event_type""",
+
+    // PIT twin: q138's SCD2 chain, same-date versions collapsed to
+    // the highest, DuckDB ASOF join picks the latest effective_from
+    // at or before each order date — tie-free by construction
+    "q147_pit_join" ->
+      """WITH ch AS (
+           SELECT o_custkey AS custkey,
+             CAST(o_orderdate AS DATE) AS snap_d,
+             o_orderkey AS tie,
+             o_orderstatus AS status,
+             lag(o_orderstatus) OVER
+               (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+                o_orderkey) AS prev_attr
+           FROM orders),
+         c2 AS (SELECT * FROM ch
+                WHERE prev_attr IS NULL OR prev_attr <> status),
+         scd AS (SELECT custkey,
+                   CAST(row_number() OVER w AS INTEGER) AS version,
+                   status, snap_d AS effective_from
+                 FROM c2
+                 WINDOW w AS (PARTITION BY custkey ORDER BY snap_d, tie)),
+         dim1 AS (SELECT custkey, effective_from AS pit_d, status, version,
+                    row_number() OVER (PARTITION BY custkey, effective_from
+                      ORDER BY version DESC) AS rn
+                  FROM scd),
+         d1 AS (SELECT custkey, pit_d, status, version
+                FROM dim1 WHERE rn = 1),
+         f AS (SELECT o_custkey AS custkey,
+                 CAST(o_orderdate AS DATE) AS pit_d,
+                 o_orderkey, o_totalprice
+               FROM orders)
+         SELECT f.o_orderkey, f.custkey, f.pit_d, d1.status, d1.version,
+           f.o_totalprice
+         FROM f ASOF LEFT JOIN d1
+           ON f.custkey = d1.custkey AND f.pit_d >= d1.pit_d
+         ORDER BY f.o_orderkey"""
   )
 }

@@ -687,6 +687,23 @@ object MarketQueries {
       MarketBars.cusum(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // Page-CUSUM drift alarms per series (MarketBars.pageCusum):
+    // sequential S = max(0, S + x − μ0 − k) replayed as a prefix-sum
+    // window; baseline μ0 = the series' first-day mean close
+    "q146_page_cusum" -> ((s, dir) => {
+      val b = MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value")
+        .localCheckpoint(eager = false)
+      val withD = b.withColumn("d", to_date(col("bar_ts")))
+      val d0 = withD.groupBy(col("series")).agg(min(col("d")).as("d0"))
+      val base = withD.join(d0, "series").filter(col("d") === col("d0"))
+        .groupBy(col("series"))
+        .agg((sum(col("close").cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1))).as("mu0"))
+      MarketBars.pageCusum(b, base, slack = 0.5, h = 5.0)
+        .orderBy(col("series"))
     })
   )
 
@@ -1481,6 +1498,40 @@ object MarketQueries {
             CAST(i AS INTEGER) AS cp_idx,
             floor(CAST(absc AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e6 + 0.5)
               / 1e6 AS cusum_max
-          FROM k WHERE rk = 1 ORDER BY series"""
+          FROM k WHERE rk = 1 ORDER BY series""",
+
+    // Page-CUSUM twin: same first-day baseline, same scaled-long d6,
+    // same prefix-sum identity S = P − min(0, running-min P)
+    "q146_page_cusum" ->
+      s"""WITH $barsCte,
+          bd AS (SELECT series, bar_ts, close, CAST(bar_ts AS DATE) AS d
+                 FROM bars),
+          d0 AS (SELECT series, min(d) AS d0 FROM bd GROUP BY 1),
+          base AS (SELECT bd.series,
+                     CAST(SUM(CAST(close AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*) AS mu0
+                   FROM bd
+                   JOIN d0 ON d0.series = bd.series AND bd.d = d0.d0
+                   GROUP BY 1),
+          p0 AS (SELECT bd.series, bd.bar_ts,
+                   CAST(floor(close * 1e6 + 0.5) AS BIGINT) -
+                   CAST(floor(mu0 * 1e6 + 0.5) AS BIGINT) - 500000 AS d6
+                 FROM bd JOIN base ON base.series = bd.series),
+          pp AS (SELECT series, bar_ts,
+                   CAST(SUM(d6) OVER wr AS BIGINT) AS p
+                 FROM p0
+                 WINDOW wr AS (PARTITION BY series ORDER BY bar_ts
+                   ROWS UNBOUNDED PRECEDING)),
+          ss AS (SELECT series, bar_ts,
+                   p - least(CAST(MIN(p) OVER wr AS BIGINT), 0) AS s6
+                 FROM pp
+                 WINDOW wr AS (PARTITION BY series ORDER BY bar_ts
+                   ROWS UNBOUNDED PRECEDING))
+          SELECT series, count(*) AS n_bars,
+            CAST(SUM(CASE WHEN s6 > 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_alarms,
+            MIN(CASE WHEN s6 > 5000000 THEN bar_ts END) AS first_alarm_ts,
+            floor(CAST(MAX(s6) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS s_max
+          FROM ss GROUP BY series ORDER BY series"""
   )
 }

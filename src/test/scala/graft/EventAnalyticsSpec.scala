@@ -392,6 +392,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("cusum_max") === 4.8)
   }
 
+  test("pageCusum: hand-run recursion — alarms, reset, first-alarm ts") {
+    import spark.implicits._
+    // mu0=1, k=0.5: d = [-0.5, 1.5, 1.5, -1.5, 2.5] (x6 units)
+    // S  = [0, 1.5e6, 3e6, 1.5e6, 4e6]; h=2 -> alarms at bars 3, 5
+    val bars = Seq(1.0, 3.0, 3.0, 0.0, 4.0).zipWithIndex.map {
+      case (v, i) => ("a", ts(f"2024-01-01 00:${i * 5}%02d:00"), v)
+    }.toDF("series", "bar_ts", "close")
+    val base = Seq(("a", 1.0)).toDF("series", "mu0")
+    val r = graft.ops.MarketBars.pageCusum(bars, base, slack = 0.5, h = 2.0)
+      .collect().head
+    assert(r.getAs[Long]("n_bars") === 5L)
+    assert(r.getAs[Long]("n_alarms") === 2L)
+    assert(r.getAs[Timestamp]("first_alarm_ts") === ts("2024-01-01 00:10:00"))
+    assert(r.getAs[Double]("s_max") === 4.0)
+  }
+
   test("rankSumDrift: hand-computed AUC; 0.5 on identical slices") {
     // t: slice {1,2} vs rest {2,3,3}: 2R1 = 2 + 5 = 7,
     // 2U1 = 7 − 2·3 = 1, AUC = 1/12 = 0.083333

@@ -109,4 +109,34 @@ class PipelineSpec extends AnyFunSuite {
       ("C", 1, "P", "2024-03-01", Some("2024-03-01"), false),
       ("C", 2, "Q", "2024-03-01", None, true)))
   }
+
+  test("point-in-time join picks the version valid at each fact date") {
+    import spark.implicits._
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    // dim log: day1 P (superseded same-day by Q), day3 R
+    val snaps = Seq(
+      ("A", d("2024-01-01"), 1L, "P"),
+      ("A", d("2024-01-01"), 2L, "Q"),
+      ("A", d("2024-01-03"), 3L, "R"))
+      .toDF("custkey", "snap_d", "tie", "status")
+    val dim = graft.ops.WarehouseOps.scd2(snaps, "custkey", "snap_d", "tie", "status")
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("custkey"), col("effective_from"))
+      .orderBy(col("version").desc)
+    val dim1 = dim.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") === 1)
+      .select(col("custkey"), col("effective_from").as("pit_d"),
+        col("status"), col("version"))
+    val facts = Seq(
+      (10L, "A", d("2024-01-01")),  // same-date: end-of-day state Q
+      (11L, "A", d("2024-01-02")),  // mid-interval: still Q
+      (12L, "A", d("2024-01-05")))  // after the R change
+      .toDF("fact_id", "custkey", "pit_d")
+    val out = graft.ops.AsOfJoin.backward(facts, dim1, Seq("custkey"),
+        "pit_d", Seq("status", "version"))
+      .orderBy("fact_id").collect()
+      .map(r => (r.getAs[Long]("fact_id"), r.getAs[String]("status"),
+        r.getAs[Int]("version")))
+    assert(out.toSeq === Seq((10L, "Q", 2), (11L, "Q", 2), (12L, "R", 3)))
+  }
 }

@@ -291,7 +291,7 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.WarehouseOps.scd2(snaps3.repartition(17), "k", "d", "tie", "a"))
   }
 
-  test("q141-q143 operators are partitioning-invariant (bigram nll, ks drift, gini)") {
+  test("q141-q146 operators are partitioning-invariant (bigram nll, ks/rank-sum drift, gini, cusum, page-cusum)") {
     def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
       assert(a.except(b).count() === 0 && b.except(a).count() === 0)
     }
@@ -308,6 +308,10 @@ class PropertySpec extends AnyFunSuite {
     same(MarketBars.cusum(bars3b), MarketBars.cusum(bars17b))
     same(graft.ops.EventAnalytics.rankSumDrift(ev.repartition(3), col("user_id") % 2 === 0),
       graft.ops.EventAnalytics.rankSumDrift(ev.repartition(17), col("user_id") % 2 === 0))
+    val base3 = bars3b.groupBy(col("series"))
+      .agg(min(col("close")).as("mu0"))
+    same(MarketBars.pageCusum(bars3b, base3, slack = 0.1, h = 0.5),
+      MarketBars.pageCusum(bars17b, base3, slack = 0.1, h = 0.5))
   }
 
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{MarketBars, PairAnalytics}
 import graft.sources.Tables
-import graft.streaming.{BarBuilder, DrawdownMonitor, StaleRunMonitor, TransitionStream}
+import graft.streaming.{BarBuilder, DrawdownMonitor, PageCusumMonitor, StaleRunMonitor, TransitionStream}
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
@@ -386,6 +386,44 @@ class StreamingSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n_events"),
           min($"ts").as("start_ts"), max($"ts").as("end_ts"))
         .select("user_id", "n_events", "start_ts", "end_ts")
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
+  test("streaming Page-CUSUM alarms match the batch prefix-sum path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bars = MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    // baseline = each series' first bar close (collected once, shared
+    // verbatim by both engines' paths)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"series").orderBy($"bar_ts")
+    val mu0 = bars.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select("series", "close").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val slack = 0.1
+    val h = 0.5
+    val h6 = math.floor(h * 1e6 + 0.5).toLong
+    val baseDf = mu0.toSeq.toDF("series", "mu0")
+    val batch = MarketBars.pageCusumPath(bars, baseDf, slack)
+      .filter($"s6" > h6)
+      .select($"series", $"bar_ts".as("ts"), $"s6")
+
+    val points = bars.collect()
+      .map(r => PageCusumMonitor.Bar(r.getString(0), r.getTimestamp(1),
+        r.getAs[Double]("close"))).toSeq.sortBy(_.ts.getTime)
+    val stream = MemoryStream[PageCusumMonitor.Bar]
+    val q = PageCusumMonitor.alarms(stream.toDS(), mu0, slack, h)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = points.splitAt(points.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("cusum_out").select("series", "ts", "s6")
       assert(streamed.except(batch).count() === 0)
       assert(batch.except(streamed).count() === 0)
       assert(streamed.count() > 0)
