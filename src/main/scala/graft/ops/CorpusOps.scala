@@ -279,6 +279,81 @@ object CorpusOps {
           lit(10000.0)).as("avg_nll"))
   }
 
+  /** Reciprocal-rank fusion of two rankings — the standard hybrid-
+    * retrieval merge (lexical BM25 + a second signal, e.g. a quality
+    * prior or ANN ranks): score = Σ 1/(c + rank) over the rankers
+    * that listed the doc, re-ranked by (score desc, id). Rank-based,
+    * so the two rankers' score scales never need calibrating.
+    *
+    * Determinism: each term 1/(c + rank) is one double divide from
+    * small integers and the two-term sum has a FIXED operand order
+    * (ranker-1 term + ranker-2 term) — identical doubles in both
+    * engines; ties break on the id. Scores round 8dp at emission,
+    * AFTER the re-rank cut.
+    *
+    * Scale: both inputs are top-k relations (k rows each) — the
+    * fusion join, re-rank window, and cut all run on 2k rows. */
+  def rrfFuse(
+      r1: DataFrame,
+      r2: DataFrame,
+      idCol: String,
+      c: Int = 60,
+      k: Int = 25): DataFrame = {
+    val a = r1.select(col(idCol), col("rank").as("rank1"))
+    val b = r2.select(col(idCol), col("rank").as("rank2"))
+    val wr = Window.orderBy(col("rrf").desc, col(idCol))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rank1")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank2")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(wr))
+      .filter(col("fused_rank") <= k)
+      .select(col("fused_rank"), col(idCol), col("rank1"), col("rank2"),
+        round(col("rrf"), 8).as("rrf_score"))
+      .orderBy(col("fused_rank"))
+  }
+
+  /** Efraimidis–Spirakis weighted sampling without replacement, k per
+    * label: each doc draws key = ln(u)/w (the log form of u^(1/w))
+    * with u a PORTABLE md5-derived uniform in (0,1] — no RNG state,
+    * so the draw is identical at any partitioning, scale, or retry
+    * (the q55/q61/q110 reproducibility requirement, here with
+    * per-item WEIGHTS — the corpus-mixing "sample long docs
+    * proportionally" rule). Weight = token count.
+    *
+    * Determinism: u = (h32 + 1)/2^32 ∈ (0,1] from the md5 prefix,
+    * one ln + one divide — identical doubles in both engines; the
+    * per-label rank breaks ties on the id. Keys round 8dp at
+    * emission, AFTER the cut.
+    *
+    * Scale: the rank window partitions by label over the corpus-sized
+    * relation — the q49 hot-key class when labels are few; the
+    * standard escape is a per-partition local top-k pre-prune (any
+    * local top-k superset contains the global top-k) before the final
+    * k·P-row window. */
+  def weightedSample(
+      docs: DataFrame,
+      k: Int = 5,
+      labelCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val u = (graft.functions.CrossHash.x32(
+      concat_ws("#", lit("ws"), col(idCol))) + lit(1L))
+      .cast(DoubleType) / lit(4294967296.0)
+    val wr = Window.partitionBy(col("label"))
+      .orderBy(col("skey").desc, col(idCol))
+    docs
+      .select(col(labelCol).as("label"), col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("skey", log(u) / col("w").cast(DoubleType))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col(idCol), col("w"),
+        round(col("skey"), 8).as("skey_r"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   /** Per-doc bigram language-model score — the KenLM-style fluency
     * filter next to [[unigramNll]]'s frequency filter: avg −ln
     * p̂(w2|w1) under the corpus's own add-one-smoothed bigram model,

@@ -238,6 +238,70 @@ object EventAnalytics {
         .as("avg_value"))
   }
 
+  /** CUPED variance-reduced A/B lift — the experimentation-platform
+    * estimator (Deng et al. 2013): per user, pre-period metric x and
+    * post-period metric y (decimal-exact sums split by `cutoff`),
+    * variants assigned by the portable md5 hash (reproducible at any
+    * partitioning — the q55 rule); θ = cov(x, y)/var(x) from one
+    * co-moment aggregate, and the lift compares group means of the
+    * adjusted metric y − θ·(x − x̄), which strips the pre-period
+    * variance component out of the comparison.
+    *
+    * Determinism: x/y are DECIMAL-exact; co-moments use the q85
+    * covariance rule (per-row product rounds 12dp then DECIMAL-sums);
+    * θ/x̄ form once in a shared double op order; per-user adjusted
+    * values round 12dp before the group-mean DECIMAL fold. Output
+    * rounds 6dp.
+    *
+    * Scale: one shuffle to the per-user relation (checkpointed —
+    * both the moment pass and the lift pass read it, not the raw
+    * events), one 1-row co-moment broadcast, one tiny final fold. */
+  def cupedLift(events: DataFrame, cutoff: Column): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val dec12 = DecimalType(28, 12)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(cutoff, col("value")).otherwise(0.0).cast(dec)).as("xd"),
+        sum(when(!cutoff, col("value")).otherwise(0.0).cast(dec)).as("yd"))
+      .select(col("user_id"),
+        (pmod(graft.functions.CrossHash.x32(
+          concat_ws("#", lit("ab"), col("user_id"))), lit(2L)) === 1L)
+          .as("grp_b"),
+        dbl(col("xd")).as("x"), dbl(col("yd")).as("y"))
+      .localCheckpoint(eager = false)
+    val mom = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec12)).as("sx"),
+      sum(col("y").cast(dec12)).as("sy"),
+      sum(round(col("x") * col("x"), 12).cast(dec12)).as("sxx"),
+      sum(round(col("x") * col("y"), 12).cast(dec12)).as("sxy"))
+    val varx = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val covxy = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    users.crossJoin(broadcast(mom))
+      .withColumn("theta", when(varx > 0, covxy / varx).otherwise(lit(0.0)))
+      .withColumn("adj",
+        col("y") - col("theta") * (col("x") - dbl(col("sx")) / dbl(col("n"))))
+      .groupBy()
+      .agg(
+        sum(when(!col("grp_b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp_b"), 1L).otherwise(0L)).as("n_b"),
+        max(col("theta")).as("th"),
+        sum(when(!col("grp_b"), col("y").cast(dec12))).as("ya"),
+        sum(when(col("grp_b"), col("y").cast(dec12))).as("yb"),
+        sum(when(!col("grp_b"), round(col("adj"), 12).cast(dec12))).as("aa"),
+        sum(when(col("grp_b"), round(col("adj"), 12).cast(dec12))).as("ab"))
+      .select(col("n_a"), col("n_b"),
+        round(col("th"), 6).as("theta"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(dbl(col("yb")) / dbl(col("n_b")) -
+            dbl(col("ya")) / dbl(col("n_a")), 6)).as("lift_raw"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(dbl(col("ab")) / dbl(col("n_b")) -
+            dbl(col("aa")) / dbl(col("n_a")), 6)).as("lift_cuped"))
+  }
+
   /** Mann–Whitney rank-sum drift per event type: U statistic and its
     * AUC normalization U/(na·nb) — P(slice value > rest value, ties
     * half) — between the `slice` rows and their complement. Reads as

@@ -960,6 +960,14 @@ object CoreQueries {
         .select(col("o_orderkey"), col("custkey"), col("pit_d"),
           col("status"), col("version"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // CUPED variance-reduced A/B lift (EventAnalytics.cupedLift):
+    // hash-assigned variants, θ = cov(x,y)/var(x) from pre/post-period
+    // per-user sums, lift on the adjusted metric y − θ(x − x̄)
+    "q149_cuped_lift" -> ((s, dir) => {
+      graft.ops.EventAnalytics.cupedLift(Tables.events(s, dir),
+        col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
     })
   )
 
@@ -1761,6 +1769,62 @@ object CoreQueries {
            f.o_totalprice
          FROM f ASOF LEFT JOIN d1
            ON f.custkey = d1.custkey AND f.pit_d >= d1.pit_d
-         ORDER BY f.o_orderkey"""
+         ORDER BY f.o_orderkey""",
+
+    // CUPED twin: identical hash variant split, q85-rule co-moments
+    // (12dp-round-then-DECIMAL products), one shared θ/x̄ op order,
+    // adjusted values 12dp-rounded before the group-mean fold
+    "q149_cuped_lift" -> {
+      val h = graft.functions.CrossHash.duckX32("concat_ws('#','ab',user_id)")
+      """WITH u0 AS (
+           SELECT user_id,
+             CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                 THEN value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS x,
+             CAST(SUM(CAST(CASE WHEN NOT (ts < TIMESTAMP '2024-01-15 00:00:00')
+                 THEN value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS y,
+             (HASHX % 2 = 1) AS grp_b
+           FROM events GROUP BY user_id),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+                 SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+                 SUM(CAST(round(x*x, 12) AS DECIMAL(28,12))) AS sxx,
+                 SUM(CAST(round(x*y, 12) AS DECIMAL(28,12))) AS sxy
+               FROM u0),
+         t AS (SELECT *,
+                 CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+                   THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                   ELSE 0.0 END AS theta
+               FROM m),
+         a AS (SELECT u0.grp_b, u0.y, t.theta,
+                 y - theta * (x - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) AS adj
+               FROM u0 CROSS JOIN t),
+         f AS (SELECT
+                 CAST(SUM(CASE WHEN NOT grp_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN grp_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 MAX(theta) AS th,
+                 SUM(CASE WHEN NOT grp_b
+                     THEN CAST(y AS DECIMAL(28,12)) END) AS ya,
+                 SUM(CASE WHEN grp_b
+                     THEN CAST(y AS DECIMAL(28,12)) END) AS yb,
+                 SUM(CASE WHEN NOT grp_b
+                     THEN CAST(round(adj, 12) AS DECIMAL(28,12)) END) AS aa,
+                 SUM(CASE WHEN grp_b
+                     THEN CAST(round(adj, 12) AS DECIMAL(28,12)) END) AS ab
+               FROM a)
+         SELECT n_a, n_b, round(th, 6) AS theta,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             round(CAST(yb AS DOUBLE)/CAST(n_b AS DOUBLE)
+               - CAST(ya AS DOUBLE)/CAST(n_a AS DOUBLE), 6) END AS lift_raw,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             round(CAST(ab AS DOUBLE)/CAST(n_b AS DOUBLE)
+               - CAST(aa AS DOUBLE)/CAST(n_a AS DOUBLE), 6) END AS lift_cuped
+         FROM f""".replace("HASHX", h)
+    }
   )
 }

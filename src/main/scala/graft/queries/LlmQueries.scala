@@ -435,6 +435,29 @@ object LlmQueries {
     "q143_term_gini" -> ((s, dir) => {
       CorpusOps.termGini(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("label"))
+    }),
+
+    // Hybrid retrieval via reciprocal-rank fusion (CorpusOps.rrfFuse):
+    // BM25 lexical top-100 merged with the quality-prior top-100,
+    // re-ranked by Σ 1/(60 + rank)
+    "q148_rrf_fusion" -> ((s, dir) => {
+      val docs = Tables.rebalance(Tables.documents(s, dir))
+      val lex = CorpusOps.bm25(docs, queryTerms = Bm25Terms, k = 100)
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val qual = TextOps.textStats(docs)
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 100)
+        .select(col("doc_id"), col("rank"))
+      CorpusOps.rrfFuse(lex, qual, "doc_id", c = 60, k = 25)
+    }),
+
+    // Weighted sampling without replacement (CorpusOps.weightedSample):
+    // Efraimidis–Spirakis keys from the portable md5 uniform, weight =
+    // token count — the reproducible corpus-mixing draw
+    "q150_weighted_sample" -> ((s, dir) => {
+      CorpusOps.weightedSample(Tables.rebalance(Tables.documents(s, dir)),
+        k = 5)
     })
   )
 
@@ -1311,6 +1334,83 @@ object LlmQueries {
           SELECT label, n_terms, CAST(st AS BIGINT) AS n_tokens,
             floor(CAST(2 * s1 - (n_terms + 1) * st AS DOUBLE) /
               CAST(n_terms * st AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
-          FROM a ORDER BY label"""
+          FROM a ORDER BY label""",
+
+    // RRF twin: the q102 BM25 chain cut at 100 + the q21 quality
+    // score ranked, fused with the fixed-order two-term 1/(60+rank)
+    // sum; ranks compare as exact small integers
+    "q148_rrf_fusion" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH $toksCte,
+          t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+                FROM d WHERE len(toks) >= 1),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      SUM(CAST(dl AS DECIMAL(28,6))) AS sum_dl FROM t),
+          qh AS (SELECT doc_id, dl, unnest(toks) AS term FROM t),
+          qf AS (SELECT * FROM qh WHERE term IN $terms),
+          tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM qf GROUP BY 1, 2, 3),
+          dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM qf GROUP BY 1),
+          cb AS (SELECT tf.doc_id, tf.dl,
+                  ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * tf.dl
+                         / (CAST(sum_dl AS DOUBLE)/n_docs))) AS contrib
+                FROM tf JOIN dfx USING (term) CROSS JOIN stats),
+          sc AS (SELECT doc_id,
+                   round(CAST(SUM(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE),
+                     6) AS score
+                 FROM cb GROUP BY 1),
+          rr1 AS (SELECT doc_id, row_number() OVER
+                    (ORDER BY score DESC, doc_id ASC) AS rank1 FROM sc),
+          r1c AS (SELECT doc_id, rank1 FROM rr1 WHERE rank1 <= 100),
+          qs AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter(toks,
+                     tk -> tk IN ${inList(TextOps.Stopwords)})) AS BIGINT)
+                     AS n_stop
+                 FROM d),
+          q2 AS (SELECT doc_id,
+                   round(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
+                     + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
+                     + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4)
+                     AS quality_score
+                 FROM qs),
+          rr2 AS (SELECT doc_id, row_number() OVER
+                    (ORDER BY quality_score DESC, doc_id ASC) AS rank2
+                  FROM q2),
+          r2c AS (SELECT doc_id, rank2 FROM rr2 WHERE rank2 <= 100),
+          fu AS (SELECT COALESCE(r1c.doc_id, r2c.doc_id) AS doc_id,
+                   rank1, rank2,
+                   COALESCE(1.0/(60 + rank1), 0.0)
+                     + COALESCE(1.0/(60 + rank2), 0.0) AS rrf
+                 FROM r1c FULL OUTER JOIN r2c ON r1c.doc_id = r2c.doc_id),
+          fr AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)
+                   AS fused_rank FROM fu)
+          SELECT CAST(fused_rank AS INTEGER) AS fused_rank, doc_id,
+            CAST(rank1 AS INTEGER) AS rank1, CAST(rank2 AS INTEGER) AS rank2,
+            round(rrf, 8) AS rrf_score
+          FROM fr WHERE fused_rank <= 25 ORDER BY fused_rank"""
+    },
+
+    // weighted-sample twin: identical md5 uniform u = (h+1)/2^32,
+    // identical ln(u)/w key, identical (key desc, doc_id) rank
+    "q150_weighted_sample" ->
+      s"""WITH $toksCte,
+          w0 AS (SELECT lang AS label, doc_id,
+                   CAST(len(toks) AS BIGINT) AS w
+                 FROM d WHERE len(toks) > 0),
+          kk AS (SELECT label, doc_id, w,
+                   ln((${CrossHash.duckX32("concat_ws('#', 'ws', doc_id)")}
+                     + 1) / 4294967296.0) / w AS skey
+                 FROM w0),
+          rk AS (SELECT *, row_number() OVER
+                   (PARTITION BY label ORDER BY skey DESC, doc_id) AS rank
+                 FROM kk)
+          SELECT label, CAST(rank AS INTEGER) AS rank, doc_id, w,
+            round(skey, 8) AS skey_r
+          FROM rk WHERE rank <= 5 ORDER BY label, rank"""
   )
 }

@@ -392,6 +392,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("cusum_max") === 4.8)
   }
 
+  test("cupedLift: y==x gives theta 1 and zero adjusted lift; constant x gives theta 0") {
+    import spark.implicits._
+    val pre = ts("2024-01-10 00:00:00")
+    val post = ts("2024-01-20 00:00:00")
+    val cutoff = col("ts") < to_timestamp(lit("2024-01-15 00:00:00"))
+    // y == x per user: theta = cov/var = 1, adj = x̄ for every user
+    // -> cuped lift exactly 0 whatever the hash split
+    val ev1 = (1 to 20).flatMap { u =>
+      Seq((u.toLong * 2, pre, u.toLong, "a", u.toDouble, "{}"),
+        (u.toLong * 2 + 1, post, u.toLong, "a", u.toDouble, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r1 = graft.ops.EventAnalytics.cupedLift(ev1, cutoff).collect().head
+    assert(r1.getAs[Long]("n_a") + r1.getAs[Long]("n_b") === 20L)
+    assert(r1.getAs[Double]("theta") === 1.0)
+    assert(r1.getAs[Double]("lift_cuped") === 0.0)
+    // constant x: var(x) = 0 -> theta 0 -> cuped == raw
+    val ev2 = (1 to 20).flatMap { u =>
+      Seq((u.toLong * 2, pre, u.toLong, "a", 5.0, "{}"),
+        (u.toLong * 2 + 1, post, u.toLong, "a", u.toDouble, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r2 = graft.ops.EventAnalytics.cupedLift(ev2, cutoff).collect().head
+    assert(r2.getAs[Double]("theta") === 0.0)
+    assert(r2.getAs[Double]("lift_cuped") === r2.getAs[Double]("lift_raw"))
+  }
+
   test("pageCusum: hand-run recursion — alarms, reset, first-alarm ts") {
     import spark.implicits._
     // mu0=1, k=0.5: d = [-0.5, 1.5, 1.5, -1.5, 2.5] (x6 units)

@@ -612,6 +612,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(1L))
   }
 
+  test("rrfFuse merges two rankings by the hand-computed RRF score") {
+    import spark.implicits._
+    val r1 = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val r2 = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val out = graft.ops.CorpusOps.rrfFuse(r1, r2, "doc_id", c = 60, k = 3)
+      .collect()
+      .map(r => (r.getAs[Int]("fused_rank"), r.getLong(1),
+        r.getAs[Double]("rrf_score")))
+    // doc2 in both lists: 1/61 + 1/62; doc1: 1/61; doc3: 1/62
+    assert(out.toSeq === Seq(
+      (1, 2L, 0.03252247), (2, 1L, 0.01639344), (3, 3L, 0.01612903)))
+  }
+
+  test("weightedSample: reproducible, contiguous ranks, keys <= 0") {
+    val s1 = graft.ops.CorpusOps.weightedSample(docs, k = 5)
+    val s2 = graft.ops.CorpusOps.weightedSample(docs.repartition(7), k = 5)
+    assert(s1.collect().toSeq === s2.collect().toSeq)
+    val rows = s1.collect()
+    assert(rows.nonEmpty)
+    // per-label ranks are 1..n with no gaps; ES keys ln(u)/w are <= 0
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rs.length))
+    }
+    assert(rows.forall(_.getAs[Double]("skey_r") <= 0.0))
+  }
+
   test("termGini: hand-computed inequality, zero on uniform use") {
     import spark.implicits._
     // X: tf [1,2,3] -> G = (2·14 − 4·6)/(3·6) = 0.222222

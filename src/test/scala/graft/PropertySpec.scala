@@ -312,6 +312,9 @@ class PropertySpec extends AnyFunSuite {
       .agg(min(col("close")).as("mu0"))
     same(MarketBars.pageCusum(bars3b, base3, slack = 0.1, h = 0.5),
       MarketBars.pageCusum(bars17b, base3, slack = 0.1, h = 0.5))
+    val cut = col("ts") < to_timestamp(lit("2024-01-15 00:00:00"))
+    same(graft.ops.EventAnalytics.cupedLift(ev.repartition(3), cut),
+      graft.ops.EventAnalytics.cupedLift(ev.repartition(17), cut))
   }
 
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
