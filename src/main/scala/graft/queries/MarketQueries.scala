@@ -37,11 +37,12 @@ object MarketQueries {
             AND a.close > 0 AND b.close > 0)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P3: time-range predicate (app.py:40-44). The ts column is
-    // computed from the raw nanos long (Tables.events), which blocks
-    // parquet pushdown of the range — so the same bounds are ALSO
-    // applied to ts_ns (the raw column), which DO reach the scan as
-    // PushedFilters and prune row groups at 100 TB.
+    // P3: time-range predicate (app.py:40-44). One of ts / ts_ns is
+    // the file's raw column and the other is derived (Tables.events is
+    // schema-adaptive), and filters on a derived column don't reach the
+    // scan — so the same bounds are applied to BOTH, guaranteeing the
+    // raw one lands in PushedFilters and prunes row groups at 100 TB
+    // regardless of which encoding the file carries.
     "q02_range_filter" -> ((s, dir) => {
       val loNs = java.time.Instant.parse("2024-01-10T00:00:00Z").getEpochSecond * 1000000000L
       val hiNs = java.time.Instant.parse("2024-01-20T00:00:00Z").getEpochSecond * 1000000000L

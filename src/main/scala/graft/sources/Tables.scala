@@ -43,20 +43,35 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.parquet` carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. We read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and expose:
-    *   - `ts`    : TimestampType truncated to micros — this matches the
-    *               DuckDB oracle byte-for-byte (DuckDB 1.0 likewise
-    *               truncates parquet ns → µs on read);
-    *   - `ts_ns` : the raw nanosecond epoch long (full fidelity, used
-    *               for deterministic ordering / tie-breaks).
+  /** `events.parquet` — schema-adaptive load. The driver has shipped
+    * `ts` in two physical encodings across rounds:
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it,
+    *     so we read nanos as a raw long
+    *     (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild the µs
+    *     timestamp; the range filter on the raw `ts_ns` long is the one
+    *     that reaches the scan as PushedFilters;
+    *   - parquet TIMESTAMP(MICROS) (NTZ): read natively; the naive
+    *     value is UTC by the generator's contract, and the session zone
+    *     is UTC, so the NTZ→LTZ cast is value-preserving. Here `ts`
+    *     itself is the raw column (its filters push down) and `ts_ns`
+    *     is derived.
+    * Either way the exposed contract is identical:
+    *   - `ts`    : TimestampType at µs — matches the DuckDB oracle
+    *               byte-for-byte (DuckDB likewise reads/truncates to µs);
+    *   - `ts_ns` : nanosecond epoch long (deterministic ordering and
+    *               tie-breaks; full fidelity when the file carries ns).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TimestampType / TimestampNTZType (µs)
+        raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }
