@@ -160,6 +160,37 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
 
+  /** One BPE merge round over the corpus: global counts of ADJACENT
+    * token pairs — the statistic a byte-pair / wordpiece vocabulary
+    * builder maximizes each round (the top pair is the next merge).
+    * Emits the top-k pairs with a deterministic dense ranking.
+    *
+    * Plan shape: pairs build MAP-SIDE as an array comprehension over
+    * the token array (one `transform(sequence)` — no posexplode
+    * self-join, no shuffle before the count), then one hash aggregate
+    * on the pair key and a TakeOrderedAndProject top-k cut (per-
+    * partition top-k + single merge — never a global sort of the
+    * pair vocabulary). The rank window runs AFTER the cut, over k
+    * rows. Tie-break (n_occ desc, pair asc) is total — pair is
+    * unique post-aggregate. */
+  def bpePairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      topK: Int = 20): DataFrame = {
+    val pairs = transform(sequence(lit(1), size(col("toks")) - 1),
+      i => concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + 1)))
+    docs
+      .select(TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("pair"))))
+  }
+
   /** Vocabulary frequency spectrum (Zipf curve): global term counts,
     * rank by (tf desc, term), and cumulative corpus share — the
     * "how much of the corpus do the top-k terms cover" diagnostic a

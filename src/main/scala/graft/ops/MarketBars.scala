@@ -482,6 +482,217 @@ object MarketBars {
         col("max_drawdown"))
   }
 
+  /** Return-autocorrelation function per series: Pearson r between the
+    * 1-bar close change and its k-bar lag, for k = 1..maxLag — the
+    * serial-dependence profile behind the variance-ratio headline
+    * (q139 says IF returns mean-revert; the ACF says at WHICH lag).
+    *
+    * Determinism (the q90/q122 rule): Δcloses become exact scaled
+    * longs, ALL maxLag lag columns come out of ONE window sort, the
+    * (x, y-at-lag-k) pairs stack into rows, and each (series, k) cell
+    * folds DECIMAL-exact (n, Σx, Σy, Σxy, Σx², Σy²) finished in the
+    * q122 double op order. Cells with a degenerate variance emit null.
+    *
+    * Scale: one per-series window pass (q49 hot-key class,
+    * ScalableWindow escape applies) + one map-side-combined aggregate
+    * on (series, k) — output is |series|·maxLag rows. */
+  def acf(bars: DataFrame, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val d = bars
+      .withColumn("d6",
+        floor((col("close") - lag(col("close"), 1).over(w)) * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .filter(col("d6").isNotNull)
+    val withLags = d.select(
+      col("series") +: col("bar_ts") +: col("d6") +:
+        (1 to maxLag).map(k => lag(col("d6"), k).over(w).as(s"y$k")): _*)
+    val stacked = withLags.select(col("series"), col("d6").as("x"),
+      expr(s"stack($maxLag, " +
+        (1 to maxLag).map(k => s"$k, y$k").mkString(", ") + ") as (k, y)"))
+    stacked.filter(col("y").isNotNull)
+      .groupBy(col("series"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+      .withColumn("num",
+        dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+      .withColumn("vx",
+        dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .withColumn("vy",
+        dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+      .select(col("series"), col("k"), col("n"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("num") / (sqrt(col("vx")) * sqrt(col("vy"))), 6))
+          .as("r_acf"))
+  }
+
+  /** Tick-rule signed order flow per (series, day): each bar gets the
+    * sign of its close change, zeros inherit the LAST NON-ZERO sign
+    * within the day (the Lee–Ready tick test applied at bar
+    * granularity), and the day rolls up to buy/sell tick counts and a
+    * signed-flow imbalance (buys − sells)/(buys + sells) over
+    * `n_ticks` — the order-flow pressure gauge next to Amihud's
+    * price-impact proxy (q127).
+    *
+    * All-integer chain: the sign comes off the exact scaled-long
+    * Δclose, the carry-forward is `last(_, ignoreNulls)` over the
+    * day frame (bars before the first move stay 0 and are counted
+    * unsigned), tick counts fold as longs, and the imbalance floors
+    * at 6dp from an exact long/long quotient. Day boundaries reset
+    * the lag chain (the q111 rule).
+    *
+    * Scale: one (series, day) window pass — growing key, no hot
+    * partition — then one map-side-combined rollup on the same key. */
+  def tickRuleFlow(bars: DataFrame): DataFrame = {
+    val dayW = Window.partitionBy(col("series"), col("d")).orderBy(col("bar_ts"))
+    val run = dayW.rowsBetween(Window.unboundedPreceding, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("d6",
+        floor((col("close") - lag(col("close"), 1).over(dayW)) * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .withColumn("sgn",
+        when(col("d6") > 0, 1).when(col("d6") < 0, -1))
+      .withColumn("tick_sign",
+        coalesce(last(col("sgn"), ignoreNulls = true).over(run), lit(0)))
+      .groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(when(col("tick_sign") === 1, col("n_ticks")).otherwise(0L))
+          .as("buy_ticks"),
+        sum(when(col("tick_sign") === -1, col("n_ticks")).otherwise(0L))
+          .as("sell_ticks"))
+      .select(col("series"), col("d"), col("n_bars"),
+        col("buy_ticks"), col("sell_ticks"),
+        when(col("buy_ticks") + col("sell_ticks") > 0,
+          floor((dbl(col("buy_ticks")) - dbl(col("sell_ticks"))) /
+            (dbl(col("buy_ticks")) + dbl(col("sell_ticks"))) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("flow_imbalance"))
+  }
+
+  /** Hurst exponent per series by the aggregated-variance method: the
+    * population variance of NON-OVERLAPPING k-bar log-return block
+    * sums scales as k^(2H), so H is half the OLS slope of ln Var(k)
+    * on ln k over k ∈ {1, 2, 4, 8} — H ≈ 0.5 random walk, > 0.5
+    * trending, < 0.5 mean-reverting. The long-memory diagnostic next
+    * to the fixed-k variance ratio (q139).
+    *
+    * Determinism: ln returns become exact scaled longs (q92 rule);
+    * blocks form by integer index division (complete blocks only), so
+    * block sums are exact longs; each k-cell folds DECIMAL-exact
+    * (n, Σb, Σb²) finished in the q139 double op order; ln(k) and
+    * ln(Var) are bit-identical libm calls on identical doubles, and
+    * the 4-point OLS slope is one shared expression, rounded 6dp.
+    * Cells with non-positive variance drop out; series with < 2
+    * usable cells emit null H.
+    *
+    * Scale: one per-series window pass (row index), a 4× explode, and
+    * one map-side-combined aggregate on (series, k, block) — growing
+    * keys throughout; output is |series| rows. */
+  def hurst(bars: DataFrame, ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1 (got $ks)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val rets = bars
+      .withColumn("prev_c", lag(col("close"), 1).over(w))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
+      .select(col("series"), col("bar_ts"),
+        floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
+          .cast("long").as("r8"))
+      .withColumn("rn", row_number().over(w) - 1)
+    val cells = rets
+      .withColumn("k", explode(typedLit(ks)))
+      .withColumn("blk", (col("rn") / col("k")).cast("long"))
+      .groupBy(col("series"), col("k"), col("blk"))
+      .agg(count(lit(1)).as("nb"), sum(col("r8")).as("b"))
+      .filter(col("nb") === col("k"))
+      .groupBy(col("series"), col("k"))
+      .agg(count(lit(1)).as("n_blk"),
+        sum(col("b").cast(dec)).as("sb"),
+        sum((col("b") * col("b")).cast(dec)).as("qb"))
+      .withColumn("vark",
+        (dbl(col("qb")) - dbl(col("sb")) * dbl(col("sb")) / dbl(col("n_blk"))) /
+          dbl(col("n_blk")))
+      .filter(col("vark") > 0)
+      // snap the regression points to exact scaled longs so the final
+      // per-series sums fold in integer arithmetic (partial-agg-order
+      // proof); the common 1e6 scale cancels exactly in the slope's
+      // numerator/denominator ratio
+      .select(col("series"),
+        floor(log(col("k").cast(DoubleType)) * lit(1e6) + lit(0.5))
+          .cast("long").as("x6"),
+        floor(log(col("vark")) * lit(1e6) + lit(0.5))
+          .cast("long").as("y6"))
+    cells.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("x6").cast(dec)).as("sx"),
+        sum(col("y6").cast(dec)).as("sy"),
+        sum((col("x6") * col("y6")).cast(dec)).as("sxy"),
+        sum((col("x6") * col("x6")).cast(dec)).as("sxx"))
+      .select(col("series"), col("n_pts"),
+        when(col("n_pts") >= 2,
+          round((dbl(col("n_pts")) * dbl(col("sxy")) -
+            dbl(col("sx")) * dbl(col("sy"))) /
+            (dbl(col("n_pts")) * dbl(col("sxx")) -
+              dbl(col("sx")) * dbl(col("sx"))) / lit(2.0), 6)).as("hurst"))
+  }
+
+  /** Triple-barrier labeling per (series, entry bar): the
+    * training-label generator for price-move classifiers — label +1 if
+    * the upper barrier (close·upFactor) is touched first within the
+    * next `horizon` bars, −1 if the lower (close·dnFactor) is first,
+    * 0 on no touch (vertical barrier) or when both barriers are hit
+    * in the SAME bar (direction ambiguous at bar granularity).
+    *
+    * Plan shape: NOT a self-join — all `horizon` future highs/lows
+    * come out of ONE window sort as two lead arrays, and the first
+    * touch is a map-side array scan (`filter(sequence)[1]`), so the
+    * operator costs one sort + a bounded 2·horizon-wide row, not a
+    * horizon× row explosion. Barrier levels are single multiplies by
+    * factors passed as exact double literals shared with the oracle;
+    * every comparison is on bit-identical doubles.
+    *
+    * Scale: the per-series window is the q49 hot-key class
+    * (ScalableWindow escape applies); everything after the sort is
+    * map-side. */
+  def tripleBarrier(
+      bars: DataFrame,
+      horizon: Int = 12,
+      upFactor: Double = 1.005,
+      dnFactor: Double = 0.995): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1 (got $horizon)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val hs = array((1 to horizon).map(j => lead(col("high"), j).over(w)): _*)
+    val ls = array((1 to horizon).map(j => lead(col("low"), j).over(w)): _*)
+    def hAt(i: Column) = element_at(col("hs"), i)
+    def lAt(i: Column) = element_at(col("ls"), i)
+    bars
+      .select(col("series"), col("bar_ts"), col("close"),
+        hs.as("hs"), ls.as("ls"))
+      .withColumn("up", col("close") * lit(upFactor))
+      .withColumn("dn", col("close") * lit(dnFactor))
+      .withColumn("touch",
+        // try_element_at: the filter result is EMPTY on no touch (ANSI
+        // element_at throws on index 1 of an empty array)
+        try_element_at(filter(sequence(lit(1), lit(horizon)),
+          i => hAt(i).isNotNull &&
+            (hAt(i) >= col("up") || lAt(i) <= col("dn"))), lit(1)))
+      .select(col("series"), col("bar_ts").as("entry_ts"), col("close"),
+        col("touch").as("touch_k"),
+        when(col("touch").isNull, 0)
+          .when(hAt(col("touch")) >= col("up") &&
+            lAt(col("touch")) <= col("dn"), 0)
+          .when(hAt(col("touch")) >= col("up"), 1)
+          .otherwise(-1).as("label"))
+  }
+
   /** Stale-price profile per series (gaps-and-islands): consecutive
     * equal closes collapse into runs via the classic island id
     * (running sum of change flags), then one per-series rollup reports

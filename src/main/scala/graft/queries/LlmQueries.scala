@@ -458,6 +458,32 @@ object LlmQueries {
     "q150_weighted_sample" -> ((s, dir) => {
       CorpusOps.weightedSample(Tables.rebalance(Tables.documents(s, dir)),
         k = 5)
+    }),
+
+    // One BPE merge round (CorpusOps.bpePairs): top adjacent-token-pair
+    // counts — map-side pair build, hash agg, top-k cut
+    "q155_bpe_pairs" -> ((s, dir) => {
+      CorpusOps.bpePairs(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("rk"))
+    }),
+
+    // Duplication spectrum (DedupOps.dupClusterHist): exact-dup cluster
+    // size histogram — the "how much is boilerplate" dedup diagnostic
+    "q156_dup_hist" -> ((s, dir) => {
+      DedupOps.dupClusterHist(Tables.documents(s, dir), "text")
+        .orderBy(col("sz"))
+    }),
+
+    // Language-ID confusion matrix: declared lang × predicted lang doc
+    // counts over TextOps.langId — the labeling-quality audit on top
+    // of q22's per-doc prediction
+    "q157_lang_confusion" -> ((s, dir) => {
+      // no outer rebalance: langId materializes its tokenized input
+      // itself (a second round-robin Exchange would be pure overhead)
+      TextOps.langId(Tables.documents(s, dir))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))
     })
   )
 
@@ -1411,6 +1437,49 @@ object LlmQueries {
                  FROM kk)
           SELECT label, CAST(rank AS INTEGER) AS rank, doc_id, w,
             round(skey, 8) AS skey_r
-          FROM rk WHERE rank <= 5 ORDER BY label, rank"""
+          FROM rk WHERE rank <= 5 ORDER BY label, rank""",
+
+    // BPE-pair twin: same adjacent-pair comprehension over the same
+    // tokenizer, same (n_occ desc, pair) total-order cut
+    "q155_bpe_pairs" ->
+      s"""WITH $toksCte,
+          p AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                              for i in range(1, len(toks))]) AS pair
+                FROM d WHERE len(toks) >= 2),
+          g AS (SELECT pair, count(*) AS n_occ FROM p GROUP BY 1),
+          r AS (SELECT pair, n_occ,
+                  CAST(row_number() OVER (ORDER BY n_occ DESC, pair)
+                    AS INTEGER) AS rk
+                FROM g)
+          SELECT pair, n_occ, rk FROM r WHERE rk <= 20 ORDER BY rk""",
+
+    // dup-histogram twin: same md5 digest grouping, all-integer rollup
+    "q156_dup_hist" ->
+      """WITH c AS (SELECT md5(text) AS digest, count(*) AS sz
+                    FROM documents GROUP BY 1)
+         SELECT sz, count(*) AS n_clusters, sz * count(*) AS n_docs
+         FROM c GROUP BY sz ORDER BY sz""",
+
+    // confusion twin: the q22 score/argmax construction rolled up to
+    // (declared, predicted) counts
+    "q157_lang_confusion" -> {
+      val scores = TextOps.LangMarkers.map { case (l, ws) =>
+        s"CAST(len(list_filter(toks, t -> t IN ${inList(ws)})) AS BIGINT) AS s_$l"
+      }.mkString(",\n            ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val cases = langs.init.map { l =>
+        val others = langs.filterNot(_ == l).map(o => s"s_$o").mkString(", ")
+        s"WHEN s_$l >= greatest($others) THEN '$l'"
+      }.mkString("\n              ")
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, lang,
+            $scores
+          FROM d),
+          p AS (SELECT *,
+            CASE $cases ELSE '${langs.last}' END AS pred_lang
+          FROM s)
+          SELECT lang, pred_lang, count(*) AS n_docs
+          FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+    }
   )
 }

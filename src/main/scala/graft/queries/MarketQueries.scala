@@ -705,6 +705,40 @@ object MarketQueries {
           count(lit(1))).as("mu0"))
       MarketBars.pageCusum(b, base, slack = 0.5, h = 5.0)
         .orderBy(col("series"))
+    }),
+
+    // Return-ACF at lags 1..5 per series (MarketBars.acf): the
+    // serial-dependence profile behind q139's variance ratio
+    "q151_acf" -> ((s, dir) => {
+      MarketBars.acf(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), maxLag = 5)
+        .orderBy(col("series"), col("k"))
+    }),
+
+    // Tick-rule signed order flow per (series, day) (MarketBars
+    // .tickRuleFlow): Lee–Ready sign carry-forward + all-integer
+    // buy/sell tick imbalance
+    "q152_tick_flow" -> ((s, dir) => {
+      MarketBars.tickRuleFlow(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
+    // Hurst exponent per series by aggregated variance over block
+    // sizes {1,2,4,8} (MarketBars.hurst): long-memory diagnostic
+    "q153_hurst" -> ((s, dir) => {
+      MarketBars.hurst(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Triple-barrier labels per (series, entry bar) (MarketBars
+    // .tripleBarrier): ±0.5% barriers, 12-bar horizon — the
+    // training-label generator, window-sorted NOT self-joined
+    "q154_triple_barrier" -> ((s, dir) => {
+      MarketBars.tripleBarrier(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("entry_ts"))
     })
   )
 
@@ -1533,6 +1567,147 @@ object MarketQueries {
               AS n_alarms,
             MIN(CASE WHEN s6 > 5000000 THEN bar_ts END) AS first_alarm_ts,
             floor(CAST(MAX(s6) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS s_max
-          FROM ss GROUP BY series ORDER BY series"""
+          FROM ss GROUP BY series ORDER BY series""",
+
+    // ACF twin: same scaled-long Δcloses, same one-sort lag stack
+    // (UNION ALL branches), same q122 correlation op order
+    "q151_acf" -> {
+      val branches = (1 to 5).map { k =>
+        s"""SELECT series, $k AS k, d6 AS x, lag(d6, $k) OVER w$k AS y
+            FROM dd WINDOW w$k AS (PARTITION BY series ORDER BY bar_ts)"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH $barsCte,
+          d AS (SELECT series, bar_ts,
+                  CAST(floor((close - lag(close) OVER
+                    (PARTITION BY series ORDER BY bar_ts)) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                FROM bars),
+          dd AS (SELECT * FROM d WHERE d6 IS NOT NULL),
+          sh AS (
+          $branches),
+          g AS (SELECT series, k, count(*) AS n,
+                  sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                  sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                  sum(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+                  sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+                  sum(CAST(y*y AS DECIMAL(38,0))) AS syy
+                FROM sh WHERE y IS NOT NULL GROUP BY 1, 2),
+          f AS (SELECT series, k, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+                FROM g)
+          SELECT series, k, n,
+            CASE WHEN vx > 0 AND vy > 0
+              THEN round(num / (sqrt(vx)*sqrt(vy)), 6) END AS r_acf
+          FROM f ORDER BY series, k"""
+    },
+
+    // tick-flow twin: same day-partitioned Δ sign, same IGNORE NULLS
+    // carry-forward, same all-long rollup + floor-form imbalance
+    "q152_tick_flow" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts, close,
+                  n_ticks FROM bars),
+          dd AS (SELECT *, CAST(floor((close - lag(close) OVER
+                    (PARTITION BY series, d ORDER BY bar_ts)) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                 FROM b),
+          sg AS (SELECT *, CASE WHEN d6 > 0 THEN 1
+                                WHEN d6 < 0 THEN -1 END AS sgn
+                 FROM dd),
+          cf AS (SELECT *, coalesce(last_value(sgn IGNORE NULLS) OVER
+                    (PARTITION BY series, d ORDER BY bar_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                    AS tick_sign
+                 FROM sg),
+          g AS (SELECT series, d, count(*) AS n_bars,
+                  CAST(sum(CASE WHEN tick_sign = 1 THEN n_ticks ELSE 0 END)
+                    AS BIGINT) AS buy_ticks,
+                  CAST(sum(CASE WHEN tick_sign = -1 THEN n_ticks ELSE 0 END)
+                    AS BIGINT) AS sell_ticks
+                FROM cf GROUP BY 1, 2)
+          SELECT series, d, n_bars, buy_ticks, sell_ticks,
+            CASE WHEN buy_ticks + sell_ticks > 0
+              THEN floor((CAST(buy_ticks AS DOUBLE) - CAST(sell_ticks AS DOUBLE))
+                / (CAST(buy_ticks AS DOUBLE) + CAST(sell_ticks AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 END AS flow_imbalance
+          FROM g ORDER BY series, d""",
+
+    // Hurst twin: same scaled-long returns, same integer block sums,
+    // same q139 variance op order, same scaled-long regression points
+    // (the 1e6 scale cancels in the slope ratio)
+    "q153_hurst" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close / prev_c) * 1e8 + 0.5) AS BIGINT) AS r8,
+                  CAST(row_number() OVER
+                    (PARTITION BY series ORDER BY bar_ts) AS BIGINT) - 1 AS rn
+                FROM p
+                WHERE prev_c IS NOT NULL AND prev_c > 0 AND close > 0),
+          cells AS (SELECT series, k, rn // k AS blk, r8
+                    FROM r CROSS JOIN (VALUES (1),(2),(4),(8)) ks(k)),
+          b AS (SELECT series, k, blk, count(*) AS nb,
+                  CAST(sum(r8) AS BIGINT) AS bsum
+                FROM cells GROUP BY 1, 2, 3),
+          v AS (SELECT series, k, count(*) AS n_blk,
+                  sum(CAST(bsum AS DECIMAL(38,0))) AS sb,
+                  sum(CAST(bsum*bsum AS DECIMAL(38,0))) AS qb
+                FROM b WHERE nb = k GROUP BY 1, 2),
+          vv AS (SELECT series, k,
+                  (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)
+                    / CAST(n_blk AS DOUBLE)) / CAST(n_blk AS DOUBLE) AS vark
+                 FROM v),
+          pts AS (SELECT series,
+                  CAST(floor(ln(CAST(k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                    AS x6,
+                  CAST(floor(ln(vark) * 1e6 + 0.5) AS BIGINT) AS y6
+                  FROM vv WHERE vark > 0),
+          g AS (SELECT series, count(*) AS n_pts,
+                  sum(CAST(x6 AS DECIMAL(38,0))) AS sx,
+                  sum(CAST(y6 AS DECIMAL(38,0))) AS sy,
+                  sum(CAST(x6*y6 AS DECIMAL(38,0))) AS sxy,
+                  sum(CAST(x6*x6 AS DECIMAL(38,0))) AS sxx
+                FROM pts GROUP BY 1)
+          SELECT series, n_pts,
+            CASE WHEN n_pts >= 2 THEN
+              round((CAST(n_pts AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                / (CAST(n_pts AS DOUBLE)*CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / 2.0, 6) END
+              AS hurst
+          FROM g ORDER BY series""",
+
+    // triple-barrier twin: same one-sort lead arrays, same first-touch
+    // array scan, same exact-double barrier literals
+    "q154_triple_barrier" -> {
+      val hsList = (1 to 12).map(j => s"lead(high, $j) OVER w").mkString(", ")
+      val lsList = (1 to 12).map(j => s"lead(low, $j) OVER w").mkString(", ")
+      s"""WITH $barsCte,
+          tb AS (SELECT series, bar_ts, close,
+                   close * 1.005 AS up, close * 0.995 AS dn,
+                   [$hsList] AS hs,
+                   [$lsList] AS ls
+                 FROM bars
+                 WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          t2 AS (SELECT *,
+                   list_filter(range(1, 13), i -> hs[i] IS NOT NULL AND
+                     (hs[i] >= up OR ls[i] <= dn))[1] AS touch
+                 FROM tb)
+          SELECT series, bar_ts AS entry_ts, close,
+            CAST(touch AS INTEGER) AS touch_k,
+            CASE WHEN touch IS NULL THEN 0
+                 WHEN hs[touch] >= up AND ls[touch] <= dn THEN 0
+                 WHEN hs[touch] >= up THEN 1
+                 ELSE -1 END AS label
+          FROM t2 ORDER BY series, entry_ts"""
+    }
   )
 }

@@ -317,6 +317,56 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.EventAnalytics.cupedLift(ev.repartition(17), cut))
   }
 
+  test("q151-q157 operators are partitioning-invariant (acf, tick flow, hurst, triple barrier, bpe pairs, dup hist, lang confusion)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.acf(bars3, maxLag = 3), MarketBars.acf(bars17, maxLag = 3))
+    same(MarketBars.tickRuleFlow(bars3), MarketBars.tickRuleFlow(bars17))
+    same(MarketBars.hurst(bars3), MarketBars.hurst(bars17))
+    same(MarketBars.tripleBarrier(bars3, horizon = 6),
+      MarketBars.tripleBarrier(bars17, horizon = 6))
+    same(graft.ops.CorpusOps.bpePairs(docs.repartition(3)),
+      graft.ops.CorpusOps.bpePairs(docs.repartition(17)))
+    same(graft.ops.DedupOps.dupClusterHist(docs.repartition(3), "text"),
+      graft.ops.DedupOps.dupClusterHist(docs.repartition(17), "text"))
+    val conf3 = graft.ops.TextOps.langId(docs.repartition(3))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+    val conf17 = graft.ops.TextOps.langId(docs.repartition(17))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+    same(conf3, conf17)
+  }
+
+  test("triple-barrier labels: first-touch semantics on a planted path") {
+    // one series, closes flat at 100 then a +1% jump at bar 5: entries
+    // 0..4 must label +1 with touch_k = distance to bar 5; entries in
+    // the flat tail beyond reach label 0
+    val rows = (0 until 20).map { i =>
+      val v = if (i >= 5 && i <= 6) 101.0 else 100.0
+      (java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds(i * 300L)), v)
+    }
+    val ticks = rows.toDF("ts", "value").withColumn("s", lit("x"))
+    val bars = MarketBars.bars(ticks, "s", "ts", "value")
+    val got = MarketBars.tripleBarrier(bars, horizon = 3,
+      upFactor = 1.005, dnFactor = 0.995)
+      .orderBy(col("entry_ts")).collect()
+    // bars 2,3,4 see the jump within 3 bars (labels +1); bar 0,1 do not
+    assert(got(2).getAs[Int]("label") === 1 && got(2).getAs[Int]("touch_k") === 3)
+    assert(got(4).getAs[Int]("label") === 1 && got(4).getAs[Int]("touch_k") === 1)
+    assert(got(0).getAs[Int]("label") === 0)
+    assert(got(10).getAs[Int]("label") === 0)
+    // ACF on the same bars: lag-1 cell exists with |r| <= 1
+    val acf = MarketBars.acf(bars, maxLag = 2).orderBy(col("k")).collect()
+    assert(acf.forall(r => r.isNullAt(r.fieldIndex("r_acf")) ||
+      math.abs(r.getAs[Double]("r_acf")) <= 1.0 + 1e-9))
+  }
+
   test("vec_dot yields null on mismatched dims (oracle raises; no silent prefix)") {
     graft.functions.VecDot.register(spark)
     val df = Seq(
