@@ -191,6 +191,46 @@ object CorpusOps {
         Window.orderBy(col("n_occ").desc, col("pair"))))
   }
 
+  /** Intra-corpus n-gram novelty per document: the share of a doc's
+    * DISTINCT word-3-gram shingles that appear in NO other document —
+    * the within-corpus boilerplate/contamination gauge next to q73's
+    * against-a-benchmark decontamination (a doc full of shared
+    * shingles is template text even when no single doc duplicates it).
+    *
+    * Shingles shuffle as 32-bit hashes (the MinHash x32 — identical
+    * in the oracle), never as strings; collisions only ever LOWER
+    * novelty and do so identically in both engines. Plan: distinct
+    * (doc, hash) pairs → shingle-keyed df count → join back on the
+    * SAME key (exchange reused) → per-doc rollup; docs too short for
+    * a shingle keep n_shingles = 0 and a null score via the left
+    * join. Floor-form 6dp ratio (q90 rule). */
+  def ngramNovelty(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.Hash32Array.register(docs.sparkSession)
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.Hash32Array.hash(
+          TextOps.shingles(TextOps.tokens(col(textCol))))).as("h"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val per = sh.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_sh") > 0,
+          floor((lit(1.0) - col("n_shared").cast(DoubleType) /
+            col("n_sh").cast(DoubleType)) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("novelty"))
+  }
+
   /** Vocabulary frequency spectrum (Zipf curve): global term counts,
     * rank by (tf desc, term), and cumulative corpus share — the
     * "how much of the corpus do the top-k terms cover" diagnostic a

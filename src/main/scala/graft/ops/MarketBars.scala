@@ -549,10 +549,12 @@ object MarketBars {
     *
     * Scale: one (series, day) window pass — growing key, no hot
     * partition — then one map-side-combined rollup on the same key. */
-  def tickRuleFlow(bars: DataFrame): DataFrame = {
+  /** Shared sign chain for [[tickRuleFlow]] and [[kyleLambda]]: the
+    * day-partitioned scaled-long Δclose, its sign, and the last-non-
+    * zero carry-forward — one (series, day) window pass. */
+  private def withTickSigns(bars: DataFrame): DataFrame = {
     val dayW = Window.partitionBy(col("series"), col("d")).orderBy(col("bar_ts"))
     val run = dayW.rowsBetween(Window.unboundedPreceding, 0)
-    def dbl(c: Column) = c.cast(DoubleType)
     bars
       .withColumn("d", to_date(col("bar_ts")))
       .withColumn("d6",
@@ -562,6 +564,11 @@ object MarketBars {
         when(col("d6") > 0, 1).when(col("d6") < 0, -1))
       .withColumn("tick_sign",
         coalesce(last(col("sgn"), ignoreNulls = true).over(run), lit(0)))
+  }
+
+  def tickRuleFlow(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    withTickSigns(bars)
       .groupBy(col("series"), col("d"))
       .agg(count(lit(1)).as("n_bars"),
         sum(when(col("tick_sign") === 1, col("n_ticks")).otherwise(0L))
@@ -574,6 +581,85 @@ object MarketBars {
           floor((dbl(col("buy_ticks")) - dbl(col("sell_ticks"))) /
             (dbl(col("buy_ticks")) + dbl(col("sell_ticks"))) * lit(1e6) +
             lit(0.5)) / lit(1e6)).as("flow_imbalance"))
+  }
+
+  /** Kyle's lambda per (series, day): the OLS slope of the bar's
+    * scaled-long Δclose on its SIGNED tick flow (tick_sign · n_ticks,
+    * signs from the [[tickRuleFlow]] carry-forward chain) — the
+    * price-impact coefficient ("how much does one signed tick move
+    * the price"), the regression form of q127's Amihud ratio.
+    *
+    * Determinism: x (signed flow) and y (Δclose·1e6) are exact longs;
+    * the per-day moment sums fold DECIMAL-exact and the slope forms
+    * in the q121 double op order, rounded 6dp. Days with zero flow
+    * variance (all x equal) emit null.
+    *
+    * Scale: the [[withTickSigns]] (series, day) window pass feeds a
+    * map-side-combined rollup on the SAME key — exchange reused,
+    * growing key, no hot partition. */
+  def kyleLambda(bars: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    withTickSigns(bars)
+      .filter(col("d6").isNotNull)
+      .withColumn("x", col("tick_sign").cast("long") * col("n_ticks"))
+      .groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("d6").cast(dec)).as("sy"),
+        sum((col("x") * col("d6")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .withColumn("num",
+        dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+      .withColumn("den",
+        dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .select(col("series"), col("d"), col("n"),
+        when(col("den") > 0, round(col("num") / col("den"), 6))
+          .as("kyle_lambda"))
+  }
+
+  /** Information-driven TICK bars: a bar closes every `ticksPerBar`
+    * ticks instead of every N minutes — the de Prado event-time bar
+    * family (constant information per bar; busy periods produce more
+    * bars, quiet ones fewer). Bar id = row index ÷ ticksPerBar under
+    * the (ts, id) total order — the id tie-break makes equal-timestamp
+    * ticks deterministic.
+    *
+    * Same one-aggregate OHLCV shape as [[bars]], with open/close
+    * picked by min/max struct over the UNIQUE in-bar row index (no
+    * max_by tie hazard). `start_ts`/`end_ts` bound the bar's span.
+    *
+    * Scale: the per-series row index is the one inherently sequential
+    * step (information bars are path-dependent by definition); it
+    * needs only a per-partition count + offset two-pass rather than a
+    * single-task sort when a series outgrows one partition — the
+    * ScalableWindow escape applies verbatim since row_number is a
+    * ROWS-frame rank. Everything after is a map-side-combined hash
+    * aggregate on the growing (series, bar_id) key. */
+  def tickBars(
+      df: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      valueCol: String,
+      idCol: String,
+      ticksPerBar: Int = 50): DataFrame = {
+    require(ticksPerBar >= 1, s"ticksPerBar must be >= 1 (got $ticksPerBar)")
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("id"))
+    df.select(col(seriesCol).as("series"), col(tsCol).as("ts"),
+        col(valueCol).as("v"), col(idCol).as("id"))
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("bar_id", (col("rn") / ticksPerBar).cast("long"))
+      .groupBy(col("series"), col("bar_id"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        min(struct(col("rn").as("r"), col("v").as("v")))
+          .getField("v").as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max(struct(col("rn").as("r"), col("v").as("v")))
+          .getField("v").as("close"))
   }
 
   /** Hurst exponent per series by the aggregated-variance method: the

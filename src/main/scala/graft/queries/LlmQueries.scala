@@ -484,6 +484,14 @@ object LlmQueries {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // Intra-corpus n-gram novelty (CorpusOps.ngramNovelty): share of a
+    // doc's distinct 3-gram shingles appearing in no other doc — the
+    // within-corpus boilerplate gauge next to q73's benchmark decontam
+    "q160_ngram_novelty" -> ((s, dir) => {
+      CorpusOps.ngramNovelty(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1480,6 +1488,27 @@ object LlmQueries {
           FROM s)
           SELECT lang, pred_lang, count(*) AS n_docs
           FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
-    }
+    },
+
+    // novelty twin: same shingle set, same x32 hash (collisions merge
+    // identically), same distinct-pair → df → per-doc rollup
+    "q160_ngram_novelty" ->
+      s"""WITH $toksCte,
+          sh AS (SELECT doc_id, $shingleExpr AS sh FROM d),
+          u AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+          e AS (SELECT DISTINCT doc_id, ${x32("s")} AS h FROM u),
+          fr AS (SELECT h, count(*) AS df FROM e GROUP BY 1),
+          per AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_sh,
+                    CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_shared
+                  FROM e JOIN fr USING (h) GROUP BY 1)
+          SELECT d.doc_id,
+            coalesce(n_sh, 0) AS n_shingles,
+            coalesce(n_shared, 0) AS n_shared,
+            CASE WHEN n_sh > 0 THEN
+              floor((1.0 - CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE))
+                * 1e6 + 0.5) / 1e6 END AS novelty
+          FROM d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
   )
 }

@@ -739,6 +739,22 @@ object MarketQueries {
       MarketBars.tripleBarrier(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"), col("entry_ts"))
+    }),
+
+    // Information-driven TICK bars (MarketBars.tickBars): a bar every
+    // 50 ticks under the (ts, event_id) total order — event-time bars
+    "q158_tick_bars" -> ((s, dir) => {
+      MarketBars.tickBars(Tables.events(s, dir),
+          "event_type", "ts", "value", "event_id", ticksPerBar = 50)
+        .orderBy(col("series"), col("bar_id"))
+    }),
+
+    // Kyle's lambda per (series, day) (MarketBars.kyleLambda): OLS of
+    // Δclose on signed tick flow — the price-impact regression
+    "q159_kyle_lambda" -> ((s, dir) => {
+      MarketBars.kyleLambda(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
     })
   )
 
@@ -1708,6 +1724,61 @@ object MarketQueries {
                  WHEN hs[touch] >= up THEN 1
                  ELSE -1 END AS label
           FROM t2 ORDER BY series, entry_ts"""
-    }
+    },
+
+    // tick-bar twin: same (ts, id) total order, same min/max-struct
+    // open/close pick over the unique in-series row index
+    "q158_tick_bars" ->
+      """WITH t AS (SELECT event_type AS series, ts, value AS v,
+                      event_id AS id FROM events),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (PARTITION BY series ORDER BY ts, id) AS BIGINT) - 1 AS rn
+                FROM t),
+          b AS (SELECT series, rn // 50 AS bar_id,
+                  count(*) AS n_ticks,
+                  min(ts) AS start_ts, max(ts) AS end_ts,
+                  (min(struct_pack(r := rn, v := v))).v AS open,
+                  max(v) AS high, min(v) AS low,
+                  (max(struct_pack(r := rn, v := v))).v AS close
+                FROM r GROUP BY 1, 2)
+         SELECT series, bar_id, n_ticks, start_ts, end_ts,
+           open, high, low, close
+         FROM b ORDER BY series, bar_id""",
+
+    // Kyle-lambda twin: the q152 sign chain + q121 OLS slope op order
+    "q159_kyle_lambda" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts, close,
+                  n_ticks FROM bars),
+          dd AS (SELECT *, CAST(floor((close - lag(close) OVER
+                    (PARTITION BY series, d ORDER BY bar_ts)) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                 FROM b),
+          sg AS (SELECT *, CASE WHEN d6 > 0 THEN 1
+                                WHEN d6 < 0 THEN -1 END AS sgn
+                 FROM dd),
+          cf AS (SELECT *, coalesce(last_value(sgn IGNORE NULLS) OVER
+                    (PARTITION BY series, d ORDER BY bar_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                    AS tick_sign
+                 FROM sg),
+          x AS (SELECT series, d, d6,
+                  CAST(tick_sign AS BIGINT) * n_ticks AS x
+                FROM cf WHERE d6 IS NOT NULL),
+          g AS (SELECT series, d, count(*) AS n,
+                  sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                  sum(CAST(d6 AS DECIMAL(38,0))) AS sy,
+                  sum(CAST(x*d6 AS DECIMAL(38,0))) AS sxy,
+                  sum(CAST(x*x AS DECIMAL(38,0))) AS sxx
+                FROM x GROUP BY 1, 2),
+          f AS (SELECT series, d, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den
+                FROM g)
+          SELECT series, d, n,
+            CASE WHEN den > 0 THEN round(num / den, 6) END AS kyle_lambda
+          FROM f ORDER BY series, d"""
   )
 }

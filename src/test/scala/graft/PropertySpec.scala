@@ -341,6 +341,34 @@ class PropertySpec extends AnyFunSuite {
     same(conf3, conf17)
   }
 
+  test("q158-q160 operators are partitioning-invariant (tick bars, kyle lambda, ngram novelty)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    same(MarketBars.tickBars(ev.repartition(3),
+        "event_type", "ts", "value", "event_id", ticksPerBar = 50),
+      MarketBars.tickBars(ev.repartition(17),
+        "event_type", "ts", "value", "event_id", ticksPerBar = 50))
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.kyleLambda(bars3), MarketBars.kyleLambda(bars17))
+    same(graft.ops.CorpusOps.ngramNovelty(docs.repartition(3)),
+      graft.ops.CorpusOps.ngramNovelty(docs.repartition(17)))
+    // tick bars partition the tick stream exactly: sizes sum to the
+    // row count and only the last bar per series may be short
+    val tb = MarketBars.tickBars(ev, "event_type", "ts", "value", "event_id",
+      ticksPerBar = 50)
+    val total = tb.agg(sum(col("n_ticks"))).head().getLong(0)
+    assert(total === ev.count())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("series"))
+    val short = tb
+      .withColumn("mx", max(col("bar_id")).over(w))
+      .filter(col("n_ticks") =!= 50 && col("bar_id") =!= col("mx"))
+    assert(short.count() === 0)
+  }
+
   test("triple-barrier labels: first-touch semantics on a planted path") {
     // one series, closes flat at 100 then a +1% jump at bar 5: entries
     // 0..4 must label +1 with touch_k = distance to bar 5; entries in

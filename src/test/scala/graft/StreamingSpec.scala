@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{MarketBars, PairAnalytics}
 import graft.sources.Tables
-import graft.streaming.{BarBuilder, DrawdownMonitor, PageCusumMonitor, StaleRunMonitor, TransitionStream}
+import graft.streaming.{BarBuilder, DrawdownMonitor, PageCusumMonitor, StaleRunMonitor, TickFlowMonitor, TransitionStream}
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
@@ -424,6 +424,46 @@ class StreamingSpec extends AnyFunSuite {
       stream.addData(h1); q.processAllAvailable()
       stream.addData(h2); q.processAllAvailable()
       val streamed = spark.table("cusum_out").select("series", "ts", "s6")
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
+  test("streaming tick-rule signs aggregate to the batch daily flow") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bars = MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    val batch = MarketBars.tickRuleFlow(bars)
+      .select($"series", $"d", $"n_bars", $"buy_ticks", $"sell_ticks",
+        $"flow_imbalance")
+
+    val points = bars.collect()
+      .map(r => TickFlowMonitor.Bar(r.getString(0), r.getTimestamp(1),
+        r.getAs[Double]("close"), r.getAs[Long]("n_ticks")))
+      .toSeq.sortBy(_.ts.getTime)
+    val stream = MemoryStream[TickFlowMonitor.Bar]
+    val q = TickFlowMonitor.signs(stream.toDS())
+      .writeStream.format("memory").queryName("tickflow_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = points.splitAt(points.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      // roll the emitted per-bar signs up to the batch daily-flow shape
+      val streamed = spark.table("tickflow_out")
+        .groupBy($"series", $"d")
+        .agg(count(lit(1)).as("n_bars"),
+          sum(when($"tickSign" === 1, $"nTicks").otherwise(0L))
+            .as("buy_ticks"),
+          sum(when($"tickSign" === -1, $"nTicks").otherwise(0L))
+            .as("sell_ticks"))
+        .select($"series", $"d", $"n_bars", $"buy_ticks", $"sell_ticks",
+          when($"buy_ticks" + $"sell_ticks" > 0,
+            floor(($"buy_ticks".cast("double") - $"sell_ticks".cast("double")) /
+              ($"buy_ticks".cast("double") + $"sell_ticks".cast("double")) *
+              lit(1e6) + lit(0.5)) / lit(1e6)).as("flow_imbalance"))
       assert(streamed.except(batch).count() === 0)
       assert(batch.except(streamed).count() === 0)
       assert(streamed.count() > 0)
