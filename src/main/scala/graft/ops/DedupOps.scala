@@ -49,6 +49,35 @@ object DedupOps {
     * Two shuffles on growing keys (digest, then the tiny size domain),
     * both map-side-combined; raw text never shuffles — only the 32-hex
     * digest. All-integer output. */
+  /** Cross-source duplicate leakage: for every source pair, how many
+    * DISTINCT lead fingerprints (md5 of the first `prefixTokens`
+    * tokens — the "same article, different boilerplate tail" match
+    * key; full-text digests almost never collide across feeds) appear
+    * in both — the "which feeds recycle each other's content"
+    * provenance matrix that decides dedup ORDER (dedup the leakier
+    * pair first) and flags contamination between corpus slices.
+    * Only (digest, source) distinct pairs join — one digest-keyed
+    * shuffle of 32-hex strings, never text; the source-pair output
+    * domain is |sources|², tiny. */
+  def crossSourceDups(
+      df: DataFrame,
+      textCol: String = "text",
+      srcCol: String = "source",
+      prefixTokens: Int = 5): DataFrame = {
+    require(prefixTokens >= 1, s"prefixTokens must be >= 1 (got $prefixTokens)")
+    val ds = df.select(
+        md5(concat_ws(" ",
+          slice(TextOps.tokens(col(textCol)), 1, prefixTokens))).as("digest"),
+        col(srcCol).as("src"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    ds.alias("a")
+      .join(ds.alias("b"),
+        col("a.digest") === col("b.digest") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+  }
+
   def dupClusterHist(df: DataFrame, textCol: String): DataFrame =
     df.select(md5(col(textCol)).as("digest"))
       .groupBy(col("digest")).agg(count(lit(1)).as("sz"))

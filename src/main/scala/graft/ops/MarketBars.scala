@@ -618,6 +618,95 @@ object MarketBars {
           .as("kyle_lambda"))
   }
 
+  /** Intraday on-balance-volume path per (series, day): the running
+    * sum of signed tick flow (tick_sign · n_ticks, signs from the
+    * [[withTickSigns]] carry-forward chain) — the accumulation/
+    * distribution line at bar granularity, the PATH whose day-end
+    * value q152 reports. All-integer (exact at any partitioning);
+    * day keying caps window state and resets overnight.
+    *
+    * Scale: the sign chain and the running sum share ONE (series,
+    * day) window sort — growing key, no hot partition. */
+  def obvPath(bars: DataFrame): DataFrame = {
+    val run = Window.partitionBy(col("series"), col("d"))
+      .orderBy(col("bar_ts")).rowsBetween(Window.unboundedPreceding, 0)
+    withTickSigns(bars)
+      .withColumn("obv",
+        sum(col("tick_sign").cast("long") * col("n_ticks")).over(run))
+      .select(col("series"), col("d"), col("bar_ts"), col("obv"))
+  }
+
+  /** Intraday seasonality profile per (series, five-minute slot of
+    * the UTC day): mean absolute close move and tick activity by
+    * time-of-day across all days — the U-shaped "volatility smile"
+    * diagnostic that decides session-aware bar/volatility weighting.
+    *
+    * Slot = (µs-of-day ÷ 5 min) in pure long arithmetic. Absolute
+    * moves fold as exact scaled longs off the [[withTickSigns]] day
+    * chain (day boundaries contribute no move, matching q111's
+    * no-overnight rule); the mean floors to a whole 1e-6 unit from an
+    * exact long/long quotient.
+    *
+    * Scale: one (series, day) window pass, then a map-side-combined
+    * aggregate onto the TINY (series, slot ≤ 288) key — safe because
+    * its input is already one row per bar. */
+  def intradayProfile(bars: DataFrame): DataFrame = {
+    val slot = ((unix_micros(col("bar_ts")) % lit(86400000000L)) /
+      lit(300000000L)).cast("long")
+    def dbl(c: Column) = c.cast(DoubleType)
+    withTickSigns(bars)
+      .groupBy(col("series"), slot.as("slot"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("n_ticks")).as("n_ticks"),
+        sum(when(col("d6").isNotNull, abs(col("d6"))).otherwise(0L)).as("sabs"),
+        sum(when(col("d6").isNotNull, 1L).otherwise(0L)).as("n_moves"))
+      .select(col("series"), col("slot"), col("n_bars"), col("n_ticks"),
+        when(col("n_moves") > 0,
+          floor(dbl(col("sabs")) / dbl(col("n_moves")) + lit(0.5)) / lit(1e6))
+          .as("mean_abs_move"))
+  }
+
+  /** Garman–Klass and Parkinson daily volatility per (series, day):
+    * the OHLC range-based estimators — 5–7× more efficient than
+    * close-to-close (q92's realized vol) at the same bar count.
+    * Per-bar terms: u = ln(H/L), c = ln(C/O); GK = 0.5u² − (2ln2−1)c²,
+    * PK = u²/(4ln2); daily volatility = √(Σ terms).
+    *
+    * Determinism: ln/× are bit-identical libm/IEEE ops in one shared
+    * order (the q92 ln precedent — the 2ln2−1 coefficient is COMPUTED
+    * identically in both engines, never a decimal literal that could
+    * round differently); each term floors to a 1e-12 scaled long, so
+    * the daily sums are exact integers; the final √ floors 6dp. Bars
+    * with non-positive OHLC or H < L are excluded; a negative GK sum
+    * (possible — the c² term subtracts) emits null.
+    *
+    * Scale: map-side terms + one map-side-combined (series, day)
+    * aggregate — no window at all. */
+  def garmanKlass(bars: DataFrame): DataFrame = {
+    val valid = col("open") > 0 && col("high") > 0 && col("low") > 0 &&
+      col("close") > 0 && col("low") <= col("high")
+    val u = log(col("high") / col("low"))
+    val c = log(col("close") / col("open"))
+    val gk = lit(0.5) * u * u - (lit(2.0) * log(lit(2.0)) - lit(1.0)) * c * c
+    val pk = u * u / (lit(4.0) * log(lit(2.0)))
+    def dbl(cc: Column) = cc.cast(DoubleType)
+    bars
+      .filter(valid)
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("t_gk", floor(gk * lit(1e12) + lit(0.5)).cast("long"))
+      .withColumn("t_pk", floor(pk * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("t_gk")).as("sgk"),
+        sum(col("t_pk")).as("spk"))
+      .select(col("series"), col("d"), col("n_bars"),
+        when(col("sgk") >= 0,
+          floor(sqrt(dbl(col("sgk")) / lit(1e12)) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("vol_gk"),
+        (floor(sqrt(dbl(col("spk")) / lit(1e12)) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("vol_pk"))
+  }
+
   /** Information-driven TICK bars: a bar closes every `ticksPerBar`
     * ticks instead of every N minutes — the de Prado event-time bar
     * family (constant information per bar; busy periods produce more

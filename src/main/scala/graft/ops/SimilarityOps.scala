@@ -230,6 +230,58 @@ object SimilarityOps {
     * Centroids default to the id-modulo stand-in ([[ivfTopK]]'s
     * convention); pass a trained [[kmeansCodebook]] per subspace for
     * real deployments — the encode path is codebook-agnostic. */
+  /** Embedding-space outlier audit: each vector's Euclidean distance
+    * to its label centroid, flagged when it exceeds 1.5× the label's
+    * mean distance — the "mislabeled / junk embedding" data-quality
+    * gate over a labeled corpus (the geometric sibling of q79's
+    * robust scalar outliers).
+    *
+    * Determinism: centroids are [[graft.ops.CorpusOps.labelCentroids]]'
+    * 6dp-rounded doubles (identical cross-engine); per-dimension
+    * squared deviations floor to 1e-12 scaled longs and fold in a
+    * SEQUENTIAL `aggregate` (exact integers — order could not matter
+    * anyway); distances floor to 1e-6 longs; the outlier rule
+    * 2·dist·n > 3·Σdist compares pure integers — no mean division.
+    *
+    * Scale: the centroid table (|labels|·dim rows) folds to one array
+    * per label and BROADCASTS; the squared-deviation fold is map-side
+    * `zip_with` (no per-dimension explode of the corpus); the only
+    * corpus shuffles are the label-keyed stats rollup and its
+    * broadcast join back. */
+  def embedOutliers(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val dbl = (c: Column) => c.cast(org.apache.spark.sql.types.DoubleType)
+    val carr = graft.ops.CorpusOps.labelCentroids(emb, labelCol, vecCol)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("pc"))
+      .select(col("label"),
+        transform(col("pc"), p => p.getField("centroid")).as("cvec"))
+    val j = emb
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(carr), "label")
+      .withColumn("d12", aggregate(
+        zip_with(col("v"), col("cvec"),
+          (a, b) => floor((a - b) * (a - b) * lit(1e12) + lit(0.5))
+            .cast("long")),
+        lit(0L), (s, t) => s + t))
+      .withColumn("dist6",
+        floor(sqrt(dbl(col("d12")) / lit(1e12)) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .localCheckpoint(eager = false)
+    val stats = j.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist6")).as("sd6"))
+    j.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"),
+        (col("dist6") / lit(1e6)).as("dist_r"),
+        (col("dist6") * 2 * col("n_vecs") > lit(3L) * col("sd6"))
+          .as("is_outlier"))
+  }
+
   def pqEncode(
       emb: DataFrame,
       idCol: String,

@@ -492,6 +492,21 @@ object LlmQueries {
     "q160_ngram_novelty" -> ((s, dir) => {
       CorpusOps.ngramNovelty(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-space outlier audit (SimilarityOps.embedOutliers):
+    // distance to the label centroid, integer 1.5×-mean flag — the
+    // mislabeled/junk-embedding gate
+    "q164_embed_outlier" -> ((s, dir) => {
+      SimilarityOps.embedOutliers(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Cross-source duplicate leakage (DedupOps.crossSourceDups):
+    // distinct shared texts per source pair — dedup-order/provenance
+    "q165_cross_source_dup" -> ((s, dir) => {
+      DedupOps.crossSourceDups(Tables.documents(s, dir))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
@@ -1509,6 +1524,49 @@ object LlmQueries {
             CASE WHEN n_sh > 0 THEN
               floor((1.0 - CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE))
                 * 1e6 + 0.5) / 1e6 END AS novelty
-          FROM d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id"""
+          FROM d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+
+    // outlier twin: the q40 centroid chain folded to per-label arrays,
+    // same 1e-12 term flooring (exact integer distance sums), same
+    // pure-integer 2·d·n > 3·Σd flag
+    "q164_embed_outlier" ->
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          u AS (SELECT label, CAST(i-1 AS INTEGER) AS pos,
+                  CAST(v[i] AS DECIMAL(28,12)) AS xd
+                FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
+          a AS (SELECT label, pos, count(*) AS n, SUM(xd) AS sx
+                FROM u GROUP BY 1, 2),
+          c AS (SELECT label, pos,
+                  round(CAST(sx AS DOUBLE)/n, 6) AS centroid FROM a),
+          carr AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+                   FROM c GROUP BY 1),
+          j AS (SELECT vec_id, e0.label,
+                  list_sum(list_transform(generate_series(1, len(v)), i ->
+                    CAST(floor((v[i] - cvec[i]) * (v[i] - cvec[i]) * 1e12
+                      + 0.5) AS BIGINT))) AS d12
+                FROM e0 JOIN carr USING (label)),
+          dj AS (SELECT vec_id, label,
+                  CAST(floor(sqrt(CAST(d12 AS DOUBLE)/1e12) * 1e6 + 0.5)
+                    AS BIGINT) AS dist6
+                 FROM j),
+          st AS (SELECT label, count(*) AS n_vecs,
+                  CAST(sum(dist6) AS BIGINT) AS sd6
+                 FROM dj GROUP BY 1)
+          SELECT vec_id, dj.label, dist6 / 1e6 AS dist_r,
+            (dist6 * 2 * n_vecs > 3 * sd6) AS is_outlier
+          FROM dj JOIN st USING (label) ORDER BY vec_id""",
+
+    // leakage twin: same 5-token lead fingerprint (list slicing caps
+    // at length in both engines), same src_a < src_b half-matrix
+    "q165_cross_source_dup" ->
+      s"""WITH $toksCte,
+          ds AS (SELECT DISTINCT
+                   md5(array_to_string(toks[1:5], ' ')) AS digest,
+                   source AS src
+                 FROM d JOIN documents USING (doc_id))
+         SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared_texts
+         FROM ds a JOIN ds b ON a.digest = b.digest AND a.src < b.src
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

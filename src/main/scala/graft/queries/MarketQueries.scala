@@ -755,6 +755,30 @@ object MarketQueries {
       MarketBars.kyleLambda(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"), col("d"))
+    }),
+
+    // Intraday OBV path (MarketBars.obvPath): running signed tick flow
+    // per (series, day) — all-integer accumulation/distribution line
+    "q161_obv" -> ((s, dir) => {
+      MarketBars.obvPath(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Intraday seasonality profile (MarketBars.intradayProfile): mean
+    // |move| + tick activity by five-minute slot of the UTC day
+    "q162_intraday_profile" -> ((s, dir) => {
+      MarketBars.intradayProfile(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("slot"))
+    }),
+
+    // Garman–Klass + Parkinson daily range volatility (MarketBars
+    // .garmanKlass): OHLC estimators, exact 1e-12 term sums
+    "q163_garman_klass" -> ((s, dir) => {
+      MarketBars.garmanKlass(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
     })
   )
 
@@ -1779,6 +1803,81 @@ object MarketQueries {
                 FROM g)
           SELECT series, d, n,
             CASE WHEN den > 0 THEN round(num / den, 6) END AS kyle_lambda
-          FROM f ORDER BY series, d"""
+          FROM f ORDER BY series, d""",
+
+    // OBV twin: the q152 sign chain + an all-integer running sum
+    "q161_obv" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts, close,
+                  n_ticks FROM bars),
+          dd AS (SELECT *, CAST(floor((close - lag(close) OVER
+                    (PARTITION BY series, d ORDER BY bar_ts)) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                 FROM b),
+          sg AS (SELECT *, CASE WHEN d6 > 0 THEN 1
+                                WHEN d6 < 0 THEN -1 END AS sgn
+                 FROM dd),
+          cf AS (SELECT *, coalesce(last_value(sgn IGNORE NULLS) OVER
+                    (PARTITION BY series, d ORDER BY bar_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                    AS tick_sign
+                 FROM sg)
+          SELECT series, d, bar_ts,
+            CAST(sum(CAST(tick_sign AS BIGINT) * n_ticks) OVER
+              (PARTITION BY series, d ORDER BY bar_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS obv
+          FROM cf ORDER BY series, bar_ts""",
+
+    // intraday-profile twin: same µs-of-day slot math, same exact
+    // long |move| sums, same floor-form whole-micro mean
+    "q162_intraday_profile" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts, close,
+                  n_ticks,
+                  (epoch_us(bar_ts) % 86400000000) // 300000000 AS slot
+                FROM bars),
+          dd AS (SELECT *, CAST(floor((close - lag(close) OVER
+                    (PARTITION BY series, d ORDER BY bar_ts)) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                 FROM b),
+          g AS (SELECT series, slot, count(*) AS n_bars,
+                  CAST(sum(n_ticks) AS BIGINT) AS n_ticks,
+                  CAST(sum(CASE WHEN d6 IS NOT NULL THEN abs(d6)
+                           ELSE 0 END) AS BIGINT) AS sabs,
+                  CAST(sum(CASE WHEN d6 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moves
+                FROM dd GROUP BY 1, 2)
+          SELECT series, slot, n_bars, n_ticks,
+            CASE WHEN n_moves > 0 THEN
+              floor(CAST(sabs AS DOUBLE) / CAST(n_moves AS DOUBLE) + 0.5)
+                / 1e6 END AS mean_abs_move
+          FROM g ORDER BY series, slot""",
+
+    // GK/Parkinson twin: identical ln/× op order (the 2ln2−1
+    // coefficient is COMPUTED, not a literal), same 1e-12 term
+    // flooring, same guarded √ finish
+    "q163_garman_klass" ->
+      s"""WITH $barsCte,
+          t AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                  CAST(floor((0.5 * ln(high/low) * ln(high/low)
+                      - (2.0*ln(2.0) - 1.0) * ln(close/open) * ln(close/open))
+                    * 1e12 + 0.5) AS BIGINT) AS t_gk,
+                  CAST(floor((ln(high/low) * ln(high/low) / (4.0*ln(2.0)))
+                    * 1e12 + 0.5) AS BIGINT) AS t_pk
+                FROM bars
+                WHERE open > 0 AND high > 0 AND low > 0 AND close > 0
+                  AND low <= high),
+          g AS (SELECT series, d, count(*) AS n_bars,
+                  CAST(sum(t_gk) AS BIGINT) AS sgk,
+                  CAST(sum(t_pk) AS BIGINT) AS spk
+                FROM t GROUP BY 1, 2)
+          SELECT series, d, n_bars,
+            CASE WHEN sgk >= 0 THEN
+              floor(sqrt(CAST(sgk AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6 END
+              AS vol_gk,
+            floor(sqrt(CAST(spk AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6
+              AS vol_pk
+          FROM g ORDER BY series, d"""
   )
 }

@@ -369,6 +369,32 @@ class PropertySpec extends AnyFunSuite {
     assert(short.count() === 0)
   }
 
+  test("q161-q165 operators are partitioning-invariant (obv, intraday profile, garman-klass, embed outlier, cross-source dup)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.obvPath(bars3), MarketBars.obvPath(bars17))
+    same(MarketBars.intradayProfile(bars3), MarketBars.intradayProfile(bars17))
+    same(MarketBars.garmanKlass(bars3), MarketBars.garmanKlass(bars17))
+    same(graft.ops.SimilarityOps.embedOutliers(emb.repartition(3)),
+      graft.ops.SimilarityOps.embedOutliers(emb.repartition(17)))
+    same(graft.ops.DedupOps.crossSourceDups(docs.repartition(3)),
+      graft.ops.DedupOps.crossSourceDups(docs.repartition(17)))
+    // OBV day-end value equals q152's daily signed flow
+    val dayEnd = MarketBars.obvPath(bars3)
+      .groupBy(col("series"), col("d"))
+      .agg(max(struct(col("bar_ts"), col("obv"))).getField("obv").as("obv"))
+    val flow = MarketBars.tickRuleFlow(bars3)
+      .select(col("series"), col("d"),
+        (col("buy_ticks") - col("sell_ticks")).as("obv"))
+    same(dayEnd, flow)
+  }
+
   test("triple-barrier labels: first-touch semantics on a planted path") {
     // one series, closes flat at 100 then a +1% jump at bar 5: entries
     // 0..4 must label +1 with touch_k = distance to bar 5; entries in
