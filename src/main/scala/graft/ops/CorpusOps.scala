@@ -191,6 +191,41 @@ object CorpusOps {
         Window.orderBy(col("n_occ").desc, col("pair"))))
   }
 
+  /** Tokenizer vocabulary coverage: build the top-`vocabSize` term
+    * vocabulary (the q39 total-order cut), then score every document's
+    * out-of-vocabulary token rate against it — the "how much of the
+    * corpus does a K-term vocab explain" decision input for tokenizer
+    * sizing (the doc-level view of [[termCdf]]'s corpus-level curve).
+    *
+    * Token occurrences join the vocabulary BROADCAST (the vocab is
+    * K rows by construction — never a shuffle); the per-doc rollup is
+    * the only doc-keyed aggregate. OOV rate floors at 6dp from exact
+    * long counts. */
+  def vocabCoverage(
+      docs: DataFrame,
+      vocabSize: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1 (got $vocabSize)")
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (floor(col("n_oov").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("oov_rate"))
+  }
+
   /** Intra-corpus n-gram novelty per document: the share of a doc's
     * DISTINCT word-3-gram shingles that appear in NO other document —
     * the within-corpus boilerplate/contamination gauge next to q73's

@@ -868,6 +868,109 @@ object MarketBars {
           .otherwise(-1).as("label"))
   }
 
+  /** VPIN — volume-synchronized probability of informed trading
+    * (Easley/López de Prado/O'Hara) over TICK buckets: ticks sign by
+    * the tick rule (Δvalue sign, zeros inherit the last non-zero,
+    * day-agnostic — the chain runs over the whole series), group into
+    * `ticksPerBucket`-tick buckets (the [[tickBars]] id), each bucket
+    * reports |buys − sells| / n, and VPIN is the trailing
+    * `nBuckets`-bucket mean — the flow-toxicity gauge that front-ran
+    * the flash crash literature.
+    *
+    * All-integer chain: signs are exact (scaled-long Δ), bucket
+    * imbalances floor to 1e-6 longs, and the trailing mean floors to
+    * a whole micro from exact long sums.
+    *
+    * Scale: one per-series tick sort shared by the row index AND the
+    * sign chain (single window pass), then a growing (series, bucket)
+    * aggregate and a tiny per-series bucket window. */
+  def vpin(
+      df: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      valueCol: String,
+      idCol: String,
+      ticksPerBucket: Int = 50,
+      nBuckets: Int = 10): DataFrame = {
+    require(ticksPerBucket >= 1 && nBuckets >= 1,
+      s"bad params ($ticksPerBucket, $nBuckets)")
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val signed = df
+      .select(col(seriesCol).as("series"), col(tsCol).as("ts"),
+        col(valueCol).as("v"), col(idCol).as("id"))
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("d6",
+        floor((col("v") - lag(col("v"), 1).over(w)) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .withColumn("sgn", when(col("d6") > 0, 1).when(col("d6") < 0, -1))
+      .withColumn("tick_sign",
+        coalesce(last(col("sgn"), ignoreNulls = true).over(run), lit(0)))
+    val buckets = signed
+      .groupBy(col("series"),
+        (col("rn") / ticksPerBucket).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(when(col("tick_sign") === 1, 1L).otherwise(0L)).as("buys"),
+        sum(when(col("tick_sign") === -1, 1L).otherwise(0L)).as("sells"))
+      .withColumn("imb6",
+        floor(abs(col("buys") - col("sells")).cast(DoubleType) /
+          dbl(col("n_ticks")) * lit(1e6) + lit(0.5)).cast("long"))
+    val bw = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(-(nBuckets - 1), 0)
+    buckets
+      .withColumn("nb", count(lit(1)).over(bw))
+      .withColumn("s6", sum(col("imb6")).over(bw))
+      .select(col("series"), col("bucket"), col("n_ticks"),
+        col("buys"), col("sells"),
+        (col("imb6") / lit(1e6)).as("imbalance"),
+        when(col("nb") === nBuckets,
+          floor(dbl(col("s6")) / dbl(col("nb")) + lit(0.5)) / lit(1e6))
+          .as("vpin"))
+  }
+
+  /** Underwater (time-under-water) profile per series: spells of
+    * consecutive bars strictly below the running-maximum close — the
+    * DURATION face of drawdown (q83 reports the DEPTH). Gaps-and-
+    * islands over the `close < runmax` flag; reports spell count,
+    * the longest spell, and the underwater bar fraction.
+    *
+    * All-integer except the final fraction (floor-form 6dp from an
+    * exact long/long quotient). The first bar of a series is at its
+    * running max, so a leading spell cannot start before bar 2 —
+    * island ids stay aligned across engines by construction.
+    *
+    * Scale: one per-series window pass (running max + island id share
+    * the sort; q49 hot-key class, ScalableWindow escape), then two
+    * map-side-combined growing-key aggregates. */
+  def underwater(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val flagged = bars
+      .withColumn("runmax", max(col("close")).over(run))
+      .withColumn("under", (col("close") < col("runmax")).cast("int"))
+      .withColumn("brk",
+        when(lag(col("under"), 1).over(w).isNull ||
+          col("under") =!= lag(col("under"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(run))
+    val spells = flagged
+      .groupBy(col("series"), col("grp"))
+      .agg(max(col("under")).as("under"), count(lit(1)).as("len"))
+    spells.groupBy(col("series"))
+      .agg(
+        sum(col("len")).as("n_bars"),
+        sum(when(col("under") === 1, 1L).otherwise(0L)).as("n_spells"),
+        max(when(col("under") === 1, col("len")).otherwise(0L))
+          .as("longest_spell"),
+        sum(when(col("under") === 1, col("len")).otherwise(0L))
+          .as("bars_under"))
+      .select(col("series"), col("n_bars"), col("n_spells"),
+        col("longest_spell"),
+        (floor(dbl(col("bars_under")) / dbl(col("n_bars")) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("frac_under"))
+  }
+
   /** Stale-price profile per series (gaps-and-islands): consecutive
     * equal closes collapse into runs via the classic island id
     * (running sum of change flags), then one per-series rollup reports

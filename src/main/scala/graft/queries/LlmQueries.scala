@@ -507,6 +507,14 @@ object LlmQueries {
     "q165_cross_source_dup" -> ((s, dir) => {
       DedupOps.crossSourceDups(Tables.documents(s, dir))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Tokenizer vocabulary coverage (CorpusOps.vocabCoverage): per-doc
+    // OOV rate against the top-1000 vocab — the doc-level view of
+    // q86's corpus-level CDF
+    "q166_vocab_coverage" -> ((s, dir) => {
+      CorpusOps.vocabCoverage(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1567,6 +1575,25 @@ object LlmQueries {
                  FROM d JOIN documents USING (doc_id))
          SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared_texts
          FROM ds a JOIN ds b ON a.digest = b.digest AND a.src < b.src
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // coverage twin: same (tf desc, term) vocab cut, same left-join
+    // OOV count, same floor-form rate
+    "q166_vocab_coverage" ->
+      s"""WITH $toksCte,
+          occ AS (SELECT doc_id, unnest(toks) AS term FROM d),
+          vocab AS (SELECT term FROM
+                      (SELECT term, count(*) AS tf FROM occ GROUP BY 1
+                       ORDER BY tf DESC, term LIMIT 1000)),
+          g AS (SELECT o.doc_id,
+                  count(*) AS n_tokens,
+                  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+                FROM occ o LEFT JOIN vocab v USING (term)
+                GROUP BY 1)
+          SELECT doc_id, n_tokens, n_oov,
+            floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              * 1e6 + 0.5) / 1e6 AS oov_rate
+          FROM g ORDER BY doc_id"""
   )
 }

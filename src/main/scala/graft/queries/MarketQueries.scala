@@ -779,6 +779,22 @@ object MarketQueries {
       MarketBars.garmanKlass(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"), col("d"))
+    }),
+
+    // VPIN flow toxicity over 50-tick buckets (MarketBars.vpin):
+    // tick-rule signs, bucket imbalance, trailing 10-bucket mean
+    "q167_vpin" -> ((s, dir) => {
+      MarketBars.vpin(Tables.events(s, dir),
+          "event_type", "ts", "value", "event_id")
+        .orderBy(col("series"), col("bucket"))
+    }),
+
+    // Underwater spells per series (MarketBars.underwater): drawdown
+    // DURATION (q83 reports depth) via gaps-and-islands on close<runmax
+    "q168_underwater" -> ((s, dir) => {
+      MarketBars.underwater(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -1878,6 +1894,80 @@ object MarketQueries {
               AS vol_gk,
             floor(sqrt(CAST(spk AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6
               AS vol_pk
-          FROM g ORDER BY series, d"""
+          FROM g ORDER BY series, d""",
+
+    // VPIN twin: same tick-level sign chain, same 50-tick buckets,
+    // same all-long imbalance and trailing-mean floors
+    "q167_vpin" ->
+      """WITH t AS (SELECT event_type AS series, ts, value AS v,
+                      event_id AS id FROM events),
+          r AS (SELECT *,
+                  CAST(row_number() OVER w AS BIGINT) - 1 AS rn,
+                  CAST(floor((v - lag(v) OVER w) * 1e6 + 0.5) AS BIGINT)
+                    AS d6
+                FROM t WINDOW w AS (PARTITION BY series ORDER BY ts, id)),
+          sg AS (SELECT *, CASE WHEN d6 > 0 THEN 1
+                                WHEN d6 < 0 THEN -1 END AS sgn
+                 FROM r),
+          cf AS (SELECT *, coalesce(last_value(sgn IGNORE NULLS) OVER
+                    (PARTITION BY series ORDER BY ts, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                    AS tick_sign
+                 FROM sg),
+          b AS (SELECT series, rn // 50 AS bucket, count(*) AS n_ticks,
+                  CAST(sum(CASE WHEN tick_sign = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS buys,
+                  CAST(sum(CASE WHEN tick_sign = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sells
+                FROM cf GROUP BY 1, 2),
+          i AS (SELECT *, CAST(floor(CAST(abs(buys - sells) AS DOUBLE)
+                    / CAST(n_ticks AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    AS imb6
+                FROM b),
+          v AS (SELECT *, count(*) OVER tw AS nb,
+                  CAST(sum(imb6) OVER tw AS BIGINT) AS s6
+                FROM i
+                WINDOW tw AS (PARTITION BY series ORDER BY bucket
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+          SELECT series, bucket, n_ticks, buys, sells,
+            imb6 / 1e6 AS imbalance,
+            CASE WHEN nb = 10 THEN
+              floor(CAST(s6 AS DOUBLE) / CAST(nb AS DOUBLE) + 0.5) / 1e6 END
+              AS vpin
+          FROM v ORDER BY series, bucket""",
+
+    // underwater twin: same running max, same island id off the
+    // under-flag change points, all-integer rollups
+    "q168_underwater" ->
+      s"""WITH $barsCte,
+          f AS (SELECT series, bar_ts, close,
+                  CASE WHEN close < max(close) OVER rw THEN 1 ELSE 0 END
+                    AS under
+                FROM bars
+                WINDOW rw AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          g AS (SELECT *, CAST(SUM(CASE WHEN prev_u IS NULL
+                      OR under <> prev_u THEN 1 ELSE 0 END) OVER rw2
+                    AS BIGINT) AS grp
+                FROM (SELECT *, lag(under) OVER
+                        (PARTITION BY series ORDER BY bar_ts) AS prev_u
+                      FROM f)
+                WINDOW rw2 AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          s AS (SELECT series, grp, max(under) AS under,
+                  count(*) AS len FROM g GROUP BY 1, 2),
+          a AS (SELECT series,
+                  CAST(sum(len) AS BIGINT) AS n_bars,
+                  CAST(sum(CASE WHEN under = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_spells,
+                  CAST(max(CASE WHEN under = 1 THEN len ELSE 0 END)
+                    AS BIGINT) AS longest_spell,
+                  CAST(sum(CASE WHEN under = 1 THEN len ELSE 0 END)
+                    AS BIGINT) AS bars_under
+                FROM s GROUP BY 1)
+          SELECT series, n_bars, n_spells, longest_spell,
+            floor(CAST(bars_under AS DOUBLE) / CAST(n_bars AS DOUBLE)
+              * 1e6 + 0.5) / 1e6 AS frac_under
+          FROM a ORDER BY series"""
   )
 }

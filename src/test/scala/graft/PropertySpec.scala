@@ -395,6 +395,37 @@ class PropertySpec extends AnyFunSuite {
     same(dayEnd, flow)
   }
 
+  test("q166-q168 operators are partitioning-invariant (vocab coverage, vpin, underwater)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    same(graft.ops.CorpusOps.vocabCoverage(docs.repartition(3), vocabSize = 100),
+      graft.ops.CorpusOps.vocabCoverage(docs.repartition(17), vocabSize = 100))
+    same(MarketBars.vpin(ev.repartition(3),
+        "event_type", "ts", "value", "event_id"),
+      MarketBars.vpin(ev.repartition(17),
+        "event_type", "ts", "value", "event_id"))
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.underwater(bars3), MarketBars.underwater(bars17))
+    // underwater invariants: spells bounded by bars, longest <= bars_under sum
+    val uw = MarketBars.underwater(bars3).collect()
+    uw.foreach { r =>
+      assert(r.getAs[Long]("longest_spell") <= r.getAs[Long]("n_bars"))
+      assert(r.getAs[Double]("frac_under") >= 0.0 &&
+        r.getAs[Double]("frac_under") <= 1.0)
+    }
+    // vpin bounded in [0, 1] where defined
+    MarketBars.vpin(ev, "event_type", "ts", "value", "event_id")
+      .collect().foreach { r =>
+        val i = r.fieldIndex("vpin")
+        if (!r.isNullAt(i))
+          assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
+      }
+  }
+
   test("triple-barrier labels: first-touch semantics on a planted path") {
     // one series, closes flat at 100 then a +1% jump at bar 5: entries
     // 0..4 must label +1 with touch_k = distance to bar 5; entries in
