@@ -226,6 +226,76 @@ object CorpusOps {
           .as("oov_rate"))
   }
 
+  /** Heaps-law vocabulary growth: bucket the corpus into `nBuckets`
+    * doc-id ranges, track the CUMULATIVE token count and distinct
+    * vocabulary after each bucket, and fit Heaps' V = k·Nᵝ as the OLS
+    * slope of ln V on ln N — the "how fast does vocabulary keep
+    * growing" corpus diagnostic that, with [[termCdf]] and
+    * [[vocabCoverage]], completes the tokenizer-sizing panel.
+    *
+    * Buckets come from pure integer math on broadcast id bounds
+    * ((id − min)·nB ÷ span — NO global row_number over the corpus);
+    * each term contributes to the bucket where it FIRST appears
+    * (min-bucket per term), so cumulative vocabulary is an exact
+    * running long sum over ≤ nBuckets rows. The β fit reuses the
+    * q153 exact-scaled-long regression (the 1e6 scale cancels in the
+    * slope ratio); every output row repeats the corpus-level β.
+    *
+    * Scale: token explode is map-side against broadcast bounds; the
+    * only corpus shuffles are the (term) min-bucket aggregate and the
+    * per-bucket token counts; everything after runs on nBuckets
+    * rows. */
+  def heapsLaw(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    val dec = DecimalType(38, 0)
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val bounds = docs.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+    val bucketed = docs
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        ((col(idCol) - col("mn")) * nBuckets /
+          (col("mx") - col("mn") + 1)).cast("long"))
+      .select(col("bucket"), explode(TextOps.tokens(col(textCol))).as("term"))
+    val tokCounts = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTerms = bucketed.groupBy(col("term"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_terms"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = tokCounts
+      .join(newTerms, Seq("bucket"), "left")
+      .withColumn("n_new_terms", coalesce(col("n_new_terms"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new_terms")).over(w))
+      .localCheckpoint(eager = false)
+    val fit = curve
+      .filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
+      .select(
+        floor(log(dbl(col("cum_tokens"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("x6"),
+        floor(log(dbl(col("cum_vocab"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("y6"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("x6").cast(dec)).as("sx"),
+        sum(col("y6").cast(dec)).as("sy"),
+        sum((col("x6") * col("y6")).cast(dec)).as("sxy"),
+        sum((col("x6") * col("x6")).cast(dec)).as("sxx"))
+      .select(when(col("n_pts") >= 2,
+        round((dbl(col("n_pts")) * dbl(col("sxy")) -
+          dbl(col("sx")) * dbl(col("sy"))) /
+          (dbl(col("n_pts")) * dbl(col("sxx")) -
+            dbl(col("sx")) * dbl(col("sx"))), 6)).as("heaps_beta"))
+    curve
+      .crossJoin(broadcast(fit))
+      .select(col("bucket"), col("n_tokens"), col("n_new_terms"),
+        col("cum_tokens"), col("cum_vocab"), col("heaps_beta"))
+  }
+
   /** Intra-corpus n-gram novelty per document: the share of a doc's
     * DISTINCT word-3-gram shingles that appear in NO other document —
     * the within-corpus boilerplate/contamination gauge next to q73's

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.CrossHash
 
@@ -147,6 +148,64 @@ object DedupOps {
         graft.functions.SetJaccard.jac(col("sa.sset"), col("sb.sset")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash sketch-quality audit: on the LSH candidate pairs, compare
+    * the K-function signature ESTIMATE of Jaccard (matching-position
+    * fraction) against the EXACT set Jaccard, and report the
+    * absolute-error distribution — the "is K big enough" calibration
+    * a dedup pipeline should run before trusting its sketches (the
+    * sketch sibling of q113's ANN recall audit). Theory says
+    * E[est] = J with σ = √(J(1−J)/K); the histogram makes the actual
+    * tail visible.
+    *
+    * Determinism: the match count m is an integer zip_with fold; est =
+    * m/K and the exact Jaccard are rationals evaluated in one shared
+    * op order, so err and its decile bucket are identical doubles in
+    * both engines; per-bucket mean errors floor from 1e-6 scaled-long
+    * sums.
+    *
+    * Scale: identical plan shape to [[minhashNearDups]] (fused kernel
+    * map-side, band join the only corpus shuffle, verify on candidates
+    * only) + one tiny 11-key rollup. */
+  def sketchError(
+      df: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    graft.functions.MinHashDoc.register(df.sparkSession, A, B, CrossHash.P)
+    val eligible = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
+    val docs = eligible
+      .select(col(idCol).as("doc"),
+        graft.functions.MinHashDoc.doc(col(textCol)).as("d"))
+      .select(col("doc"), col("d.sig").as("sig"), col("d.sset").as("sset"))
+    val bands = docs.select(col("doc"), lshBands(col("sig")).as("b"))
+      .select(col("doc"), col("b.band"), col("b.bsig"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .distinct()
+    val sides = docs.select(col("doc"), col("sig"), col("sset"))
+    val pairs = cand
+      .join(sides.as("sa"), col("id_a") === col("sa.doc"))
+      .join(sides.as("sb"), col("id_b") === col("sb.doc"))
+      .withColumn("m", aggregate(
+        zip_with(col("sa.sig"), col("sb.sig"),
+          (a, b) => when(a === b, 1L).otherwise(0L)),
+        lit(0L), (s, t) => s + t))
+      .withColumn("jac",
+        graft.functions.SetJaccard.jac(col("sa.sset"), col("sb.sset")))
+      .withColumn("err",
+        abs(col("m").cast(DoubleType) / lit(K.toDouble) - col("jac")))
+    pairs
+      .groupBy(floor(col("err") * lit(10.0)).cast("int").as("err_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("err") * lit(1e6) + lit(0.5)).cast("long")).as("se6"))
+      .select(col("err_decile"), col("n_pairs"),
+        (floor(col("se6").cast(DoubleType) /
+          col("n_pairs").cast(DoubleType) + lit(0.5)) / lit(1e6))
+          .as("mean_abs_err"))
   }
 
   /** Benchmark decontamination — the test-set n-gram overlap check an

@@ -868,6 +868,55 @@ object MarketBars {
           .otherwise(-1).as("label"))
   }
 
+  /** Corwin–Schultz (2012) high–low spread estimator per (series,
+    * day): bid-ask spread recovered from two-bar high/low ranges —
+    * β (sum of the two bars' squared log ranges), γ (squared log
+    * range of the two-bar span), the closed-form α, and
+    * S = 2(e^α − 1)/(1 + e^α), day-averaged over consecutive bar
+    * pairs with negative estimates clamped to 0 (the standard
+    * treatment). Completes the microstructure panel: Roll (q111)
+    * from serial covariance, Amihud (q127) impact, Kyle (q159)
+    * regression, VPIN (q167) toxicity — this one needs only H/L.
+    *
+    * Determinism: ln/√/exp and all arithmetic run in ONE shared op
+    * order with COMPUTED constants (3 − 2√2 is never a decimal
+    * literal); each pair's clamped spread floors to a 1e-12 long so
+    * the day sum is exact; the mean floors to a whole micro. Pairs
+    * stay within the day (q111 no-overnight rule); bars with
+    * non-positive or inverted H/L are excluded before pairing.
+    *
+    * Scale: one (series, day) window pass + one map-side-combined
+    * rollup on the same key (exchange reused). */
+  def corwinSchultz(bars: DataFrame): DataFrame = {
+    val dayW = Window.partitionBy(col("series"), col("d")).orderBy(col("bar_ts"))
+    def dbl(c: Column) = c.cast(DoubleType)
+    val denom = lit(3.0) - lit(2.0) * sqrt(lit(2.0))
+    val lr = log(col("high") / col("low"))
+    val lrp = log(col("ph") / col("pl"))
+    val beta = lr * lr + lrp * lrp
+    val gamma = {
+      val g = log(greatest(col("high"), col("ph")) /
+        least(col("low"), col("pl")))
+      g * g
+    }
+    val alpha = (sqrt(lit(2.0) * beta) - sqrt(beta)) / denom -
+      sqrt(gamma / denom)
+    val s = lit(2.0) * (exp(alpha) - lit(1.0)) / (lit(1.0) + exp(alpha))
+    bars
+      .filter(col("high") > 0 && col("low") > 0 && col("low") <= col("high"))
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("ph", lag(col("high"), 1).over(dayW))
+      .withColumn("pl", lag(col("low"), 1).over(dayW))
+      .filter(col("ph").isNotNull)
+      .withColumn("t12",
+        floor(greatest(s, lit(0.0)) * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("t12")).as("s12"))
+      .select(col("series"), col("d"), col("n_pairs"),
+        (floor(dbl(col("s12")) / dbl(col("n_pairs")) / lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("cs_spread"))
+  }
+
   /** VPIN — volume-synchronized probability of informed trading
     * (Easley/López de Prado/O'Hara) over TICK buckets: ticks sign by
     * the tick rule (Δvalue sign, zeros inherit the last non-zero,

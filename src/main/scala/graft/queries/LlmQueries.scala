@@ -515,6 +515,22 @@ object LlmQueries {
     "q166_vocab_coverage" -> ((s, dir) => {
       CorpusOps.vocabCoverage(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))
+    }),
+
+    // MinHash sketch-quality audit (DedupOps.sketchError): est-vs-
+    // exact Jaccard error histogram over the LSH candidates — the
+    // sketch sibling of q113's ANN recall audit
+    "q170_sketch_error" -> ((s, dir) => {
+      DedupOps.sketchError(Tables.rebalance(Tables.documents(s, dir)),
+        "text", "doc_id")
+        .orderBy(col("err_decile"))
+    }),
+
+    // Heaps-law vocabulary growth (CorpusOps.heapsLaw): cumulative
+    // vocab vs tokens over doc-id buckets + the exact-scaled OLS β
+    "q171_heaps_law" -> ((s, dir) => {
+      CorpusOps.heapsLaw(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -1594,6 +1610,92 @@ object LlmQueries {
           SELECT doc_id, n_tokens, n_oov,
             floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
               * 1e6 + 0.5) / 1e6 AS oov_rate
-          FROM g ORDER BY doc_id"""
+          FROM g ORDER BY doc_id""",
+
+    // sketch-error twin: the q25 scaffolding + signature match count;
+    // est, exact, err, and the decile bucket evaluate in one shared
+    // op order (integer-backed rationals)
+    "q170_sketch_error" -> {
+      val aList = DedupOps.A.mkString("[", ",", "]")
+      val bList = DedupOps.B.mkString("[", ",", "]")
+      val k = DedupOps.K
+      s"""WITH $toksCte,
+          sh AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM d),
+          xs AS (SELECT doc_id,
+                   list_distinct(list_transform(sset, s -> ${x32("s")})) AS hset
+                 FROM sh WHERE len(sset) > 0),
+          sig AS (SELECT doc_id, hset,
+                    list_transform(generate_series(0, ${k - 1}),
+                      i -> list_min(list_transform(hset,
+                             x -> (($aList)[i+1]*x + ($bList)[i+1]) % ${graft.functions.CrossHash.P}))) AS sig
+                  FROM xs),
+          bnd AS (SELECT doc_id, sig, unnest(generate_series(0, ${DedupOps.Bands - 1})) AS band FROM sig),
+          bs AS (SELECT doc_id, band,
+                   CAST(sig[2*band+1] AS VARCHAR) || '_' || CAST(sig[2*band+2] AS VARCHAR) AS bsig
+                 FROM bnd),
+          cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                   FROM bs x JOIN bs y
+                     ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+          pairs AS (SELECT id_a, id_b,
+                      CAST(list_sum(list_transform(generate_series(1, $k),
+                        i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS m,
+                      CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(sa.hset, sb.hset))) AS jac
+                    FROM cand
+                    JOIN sig sa ON sa.doc_id = id_a
+                    JOIN sig sb ON sb.doc_id = id_b),
+          e AS (SELECT abs(CAST(m AS DOUBLE)/$k.0 - jac) AS err FROM pairs),
+          g AS (SELECT CAST(floor(err*10.0) AS INTEGER) AS err_decile,
+                  count(*) AS n_pairs,
+                  CAST(sum(CAST(floor(err*1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS se6
+                FROM e GROUP BY 1)
+          SELECT err_decile, n_pairs,
+            floor(CAST(se6 AS DOUBLE) / CAST(n_pairs AS DOUBLE) + 0.5) / 1e6
+              AS mean_abs_err
+          FROM g ORDER BY err_decile"""
+    },
+
+    // Heaps twin: same integer bucket math off broadcast id bounds,
+    // same min-bucket first appearance, same q153 scaled-long fit
+    "q171_heaps_law" ->
+      s"""WITH bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+                          FROM documents),
+          b0 AS (SELECT ((doc_id - mn) * 10) // (mx - mn + 1) AS bucket,
+                   unnest(regexp_split_to_array(trim(text), ' +')) AS term
+                 FROM documents, bounds),
+          tok AS (SELECT bucket, count(*) AS n_tokens FROM b0 GROUP BY 1),
+          nt AS (SELECT bucket, count(*) AS n_new_terms FROM
+                   (SELECT term, min(bucket) AS bucket FROM b0 GROUP BY 1)
+                 GROUP BY 1),
+          curve AS (SELECT bucket, n_tokens,
+                      coalesce(n_new_terms, 0) AS n_new_terms,
+                      CAST(sum(n_tokens) OVER wc AS BIGINT) AS cum_tokens,
+                      CAST(sum(coalesce(n_new_terms, 0)) OVER wc AS BIGINT)
+                        AS cum_vocab
+                    FROM tok LEFT JOIN nt USING (bucket)
+                    WINDOW wc AS (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          pts AS (SELECT
+                    CAST(floor(ln(CAST(cum_tokens AS DOUBLE))*1e6 + 0.5)
+                      AS BIGINT) AS x6,
+                    CAST(floor(ln(CAST(cum_vocab AS DOUBLE))*1e6 + 0.5)
+                      AS BIGINT) AS y6
+                  FROM curve WHERE cum_tokens > 0 AND cum_vocab > 0),
+          fit AS (SELECT count(*) AS n_pts,
+                    sum(CAST(x6 AS DECIMAL(38,0))) AS sx,
+                    sum(CAST(y6 AS DECIMAL(38,0))) AS sy,
+                    sum(CAST(x6*y6 AS DECIMAL(38,0))) AS sxy,
+                    sum(CAST(x6*x6 AS DECIMAL(38,0))) AS sxx
+                  FROM pts)
+          SELECT bucket, n_tokens, n_new_terms, cum_tokens, cum_vocab,
+            (SELECT CASE WHEN n_pts >= 2 THEN
+               round((CAST(n_pts AS DOUBLE)*CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / (CAST(n_pts AS DOUBLE)*CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) END
+             FROM fit) AS heaps_beta
+          FROM curve ORDER BY bucket"""
   )
 }

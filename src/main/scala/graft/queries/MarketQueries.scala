@@ -795,6 +795,16 @@ object MarketQueries {
       MarketBars.underwater(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // Corwin–Schultz two-bar high-low spread per (series, day)
+    // (MarketBars.corwinSchultz): the H/L-only estimator completing
+    // the microstructure panel (Roll q111, Amihud q127, Kyle q159,
+    // VPIN q167)
+    "q169_corwin_schultz" -> ((s, dir) => {
+      MarketBars.corwinSchultz(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
     })
   )
 
@@ -1968,6 +1978,39 @@ object MarketQueries {
           SELECT series, n_bars, n_spells, longest_spell,
             floor(CAST(bars_under AS DOUBLE) / CAST(n_bars AS DOUBLE)
               * 1e6 + 0.5) / 1e6 AS frac_under
-          FROM a ORDER BY series"""
+          FROM a ORDER BY series""",
+
+    // Corwin–Schultz twin: identical ln/√/exp op order, computed
+    // constants, same 1e-12 pair flooring + whole-micro day mean
+    "q169_corwin_schultz" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts,
+                  high, low FROM bars
+                WHERE high > 0 AND low > 0 AND low <= high),
+          p AS (SELECT *, lag(high) OVER w AS ph, lag(low) OVER w AS pl
+                FROM b
+                WINDOW w AS (PARTITION BY series, d ORDER BY bar_ts)),
+          m AS (SELECT series, d,
+                  ln(high/low)*ln(high/low) + ln(ph/pl)*ln(ph/pl) AS beta,
+                  ln(greatest(high, ph)/least(low, pl))
+                    * ln(greatest(high, ph)/least(low, pl)) AS gamma,
+                  3.0 - 2.0*sqrt(2.0) AS denom
+                FROM p WHERE ph IS NOT NULL),
+          a AS (SELECT series, d,
+                  (sqrt(2.0*beta) - sqrt(beta))/denom
+                    - sqrt(gamma/denom) AS alpha
+                FROM m),
+          t AS (SELECT series, d,
+                  CAST(floor(greatest(
+                    2.0*(exp(alpha) - 1.0)/(1.0 + exp(alpha)), 0.0)
+                    * 1e12 + 0.5) AS BIGINT) AS t12
+                FROM a),
+          g AS (SELECT series, d, count(*) AS n_pairs,
+                  CAST(sum(t12) AS BIGINT) AS s12
+                FROM t GROUP BY 1, 2)
+          SELECT series, d, n_pairs,
+            floor(CAST(s12 AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6 + 0.5)
+              / 1e6 AS cs_spread
+          FROM g ORDER BY series, d"""
   )
 }

@@ -426,6 +426,35 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("q169-q171 operators are partitioning-invariant (corwin-schultz, sketch error, heaps law)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.corwinSchultz(bars3), MarketBars.corwinSchultz(bars17))
+    same(DedupOps.sketchError(docs.repartition(3), "text", "doc_id"),
+      DedupOps.sketchError(docs.repartition(17), "text", "doc_id"))
+    same(graft.ops.CorpusOps.heapsLaw(docs.repartition(3)),
+      graft.ops.CorpusOps.heapsLaw(docs.repartition(17)))
+    // heaps curve invariants: cumulative vocab/token monotone, beta in (0, 1]
+    val hl = graft.ops.CorpusOps.heapsLaw(docs)
+      .orderBy(col("bucket")).collect()
+    hl.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_tokens") <= b.getAs[Long]("cum_tokens"))
+        assert(a.getAs[Long]("cum_vocab") <= b.getAs[Long]("cum_vocab"))
+      case _ =>
+    }
+    // β ∈ [0, 1]: 0 exactly when the vocabulary saturates in the first
+    // bucket (this synthetic corpus reuses ~40 words, so cum_vocab is
+    // flat and the slope is a true zero)
+    assert(hl.head.getAs[Double]("heaps_beta") >= 0.0 &&
+      hl.head.getAs[Double]("heaps_beta") <= 1.0)
+  }
+
   test("triple-barrier labels: first-touch semantics on a planted path") {
     // one series, closes flat at 100 then a +1% jump at bar 5: entries
     // 0..4 must label +1 with touch_k = distance to bar 5; entries in

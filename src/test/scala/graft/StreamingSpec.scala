@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{MarketBars, PairAnalytics}
 import graft.sources.Tables
-import graft.streaming.{BarBuilder, DrawdownMonitor, PageCusumMonitor, StaleRunMonitor, TickFlowMonitor, TransitionStream}
+import graft.streaming.{BarBuilder, DrawdownMonitor, PageCusumMonitor, StaleRunMonitor, TickBarMonitor, TickFlowMonitor, TransitionStream}
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
@@ -464,6 +464,45 @@ class StreamingSpec extends AnyFunSuite {
             floor(($"buy_ticks".cast("double") - $"sell_ticks".cast("double")) /
               ($"buy_ticks".cast("double") + $"sell_ticks".cast("double")) *
               lit(1e6) + lit(0.5)) / lit(1e6)).as("flow_imbalance"))
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
+  test("streaming completed tick bars match the batch information bars") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    // batch truth: COMPLETED bars only (the stream's tail bar is open)
+    val batch = MarketBars.tickBars(ev, "event_type", "ts", "value",
+        "event_id", ticksPerBar = 50)
+      .filter($"n_ticks" === 50)
+      .select($"series", $"bar_id", $"n_ticks", $"start_ts", $"end_ts",
+        $"open", $"high", $"low", $"close")
+
+    val points = ev
+      .select($"event_type", $"ts", $"value", $"event_id")
+      .collect()
+      .map(r => TickBarMonitor.Tick(r.getString(0), r.getTimestamp(1),
+        r.getDouble(2), r.getLong(3)))
+      .toSeq
+      // feed in full-µs (ts, id) order: the replay guard would drop a
+      // same-millisecond-but-earlier-µs tick arriving late
+      .sortBy(t => (t.ts.getTime * 1000L + (t.ts.getNanos / 1000L) % 1000L,
+        t.id))
+    val stream = MemoryStream[TickBarMonitor.Tick]
+    val q = TickBarMonitor.bars(stream.toDS(), ticksPerBar = 50)
+      .writeStream.format("memory").queryName("tickbars_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = points.splitAt(points.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("tickbars_out")
+        .select($"series", $"barId".as("bar_id"), $"nTicks".as("n_ticks"),
+          $"startTs".as("start_ts"), $"endTs".as("end_ts"),
+          $"open", $"high", $"low", $"close")
       assert(streamed.except(batch).count() === 0)
       assert(batch.except(streamed).count() === 0)
       assert(streamed.count() > 0)
