@@ -226,6 +226,55 @@ object CorpusOps {
           .as("oov_rate"))
   }
 
+  /** Corpus bigram conditional entropy H(w₂|w₁) = −Σ p(w₁,w₂)·
+    * ln p(w₂|w₁) and its perplexity e^H — how predictable the next
+    * token is given the previous one: the corpus-level companion to
+    * q96's unigram token entropy and q141's per-doc bigram NLL (a
+    * low-entropy corpus is template text even when its unigram mix
+    * looks rich).
+    *
+    * Determinism: p(w₁,w₂) = c₁₂/N and p(w₂|w₁) = c₁₂/c₁ are
+    * integer-backed rationals; each term (one shared ×/ln op order)
+    * floors to a 1e-12 scaled long, so the entropy sum is an exact
+    * integer; perplexity exponentiates once at emission, both floored
+    * 6dp. Output is ONE row.
+    *
+    * Scale: pairs build map-side (the q155 comprehension); ONE
+    * (w₁,w₂) shuffle feeds c₁₂, c₁ (same-prefix re-aggregate), and N;
+    * the final fold is a 1-row aggregate. */
+  def bigramEntropy(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val pairs = transform(sequence(lit(1), size(col("toks")) - 1),
+      i => concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + 1)))
+    val c12 = docs
+      .select(TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .localCheckpoint(eager = false)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val n = c12.agg(sum(col("c12")).as("nn"))
+    c12.join(c1, "w1")
+      .crossJoin(broadcast(n))
+      .withColumn("t12",
+        floor(dbl(col("c12")) / dbl(col("nn")) *
+          log(dbl(col("c12")) / dbl(col("c1"))) * lit(1e12) + lit(0.5))
+          .cast("long"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c12")).as("n_pairs"),
+        sum(col("t12").cast(dec)).as("s12"))
+      .select(col("n_bigrams"), col("n_pairs"),
+        (floor(-dbl(col("s12")) / lit(1e12) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("h_cond"),
+        (floor(exp(-dbl(col("s12")) / lit(1e12)) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("ppl"))
+  }
+
   /** Heaps-law vocabulary growth: bucket the corpus into `nBuckets`
     * doc-id ranges, track the CUMULATIVE token count and distinct
     * vocabulary after each bucket, and fit Heaps' V = k·Nᵝ as the OLS

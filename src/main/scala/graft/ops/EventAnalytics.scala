@@ -256,6 +256,35 @@ object EventAnalytics {
     * Scale: one shuffle to the per-user relation (checkpointed —
     * both the moment pass and the lift pass read it, not the raw
     * events), one 1-row co-moment broadcast, one tiny final fold. */
+  /** Snapshot diff (CDC audit): compare each user's LAST event type
+    * as of two cutoffs and roll up the transition matrix — added
+    * (absent at t₁), unchanged, or old→new changed — the "what moved
+    * between the two loads" report a warehouse reconciliation job
+    * emits next to the q74 MERGE and the q138 SCD2 build.
+    *
+    * Each snapshot is an argmax per user via max(struct(ts, id,
+    * type)) — the bars-CTE tie rule (id breaks equal timestamps), so
+    * both snapshots and the oracle pick identical rows. One full
+    * outer join on user_id, one tiny (old, new) rollup; all counts.
+    *
+    * Scale: two map-side-combined per-user aggregates off the SAME
+    * scan (the cutoff filter is a partial scan each), a user-keyed
+    * join, and a tiny-key rollup. */
+  def snapshotDiff(
+      events: DataFrame, cutoff1: Column, cutoff2: Column): DataFrame = {
+    def snap(cut: Column) = events.filter(col("ts") < cut)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .getField("event_type").as("state"))
+    snap(cutoff1).alias("s1")
+      .join(snap(cutoff2).alias("s2"), Seq("user_id"), "full_outer")
+      .select(
+        coalesce(col("s1.state"), lit("(absent)")).as("old_state"),
+        coalesce(col("s2.state"), lit("(absent)")).as("new_state"))
+      .groupBy(col("old_state"), col("new_state"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def cupedLift(events: DataFrame, cutoff: Column): DataFrame = {
     val dec = DecimalType(28, 6)
     val dec12 = DecimalType(28, 12)

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Pair-trading analytics: align two series, compute the log-price
   * spread and a trailing-window z-score, and reshape into per-symbol
@@ -48,6 +49,73 @@ object PairAnalytics {
         col("a.close").as("close1"),
         col("b.close").as("close2"),
         (log(col("a.close")) - log(col("b.close"))).as("spread"))
+  }
+
+  /** Engle–Granger two-step cointegration test over the aligned pair:
+    * step 1 regresses close1 on close2 (OLS hedge ratio β + intercept
+    * α); step 2 runs the lag-0 no-constant Dickey–Fuller regression
+    * Δr_t = φ·r_{t−1} + ε on the residual path and reports the ADF
+    * t-statistic — the "is this pair actually mean-reverting or is
+    * the q06 z-score trading noise" gate (t ≲ −2.9 rejects the unit
+    * root at 5%).
+    *
+    * Determinism: closes snap to exact 1e-6 scaled longs, the step-1
+    * moments fold DECIMAL-exact and α/β form in the q121 double op
+    * order; residuals (one shared expression on identical doubles)
+    * snap back to scaled longs, so the step-2 sums (Σr², ΣrΔ, ΣΔ²)
+    * are exact integers; φ, SSE = ΣΔ² − φ·ΣrΔ, and
+    * t = φ·√(Σr²)/√(SSE/(n−1)) evaluate once per pair, rounded 6dp.
+    * Degenerate denominators emit nulls.
+    *
+    * Scale: the pair relation is one bar-ts-aligned join; both
+    * regression passes are map-side-combined 1-row aggregates plus
+    * ONE per-pair lag window (q49 class). */
+  def cointegration(pair: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val snapped = pair.select(col("pair_name"), col("bar_ts"),
+        col("close1"), col("close2"),
+        floor(col("close1") * lit(1e6) + lit(0.5)).cast("long").as("y6"),
+        floor(col("close2") * lit(1e6) + lit(0.5)).cast("long").as("x6"))
+      .localCheckpoint(eager = false)
+    val m = snapped.groupBy(col("pair_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x6").cast(dec)).as("sx"),
+        sum(col("y6").cast(dec)).as("sy"),
+        sum((col("x6") * col("y6")).cast(dec)).as("sxy"),
+        sum((col("x6") * col("x6")).cast(dec)).as("sxx"))
+      .withColumn("beta",
+        (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))))
+      .withColumn("alpha",
+        (dbl(col("sy")) - col("beta") * dbl(col("sx"))) / dbl(col("n")) /
+          lit(1e6))
+      .select(col("pair_name"), col("n"), col("beta"), col("alpha"))
+    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
+    val resid = snapped.join(broadcast(m), "pair_name")
+      .withColumn("r6",
+        floor((col("close1") - col("alpha") - col("beta") * col("close2")) *
+          lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rl", lag(col("r6"), 1).over(w))
+      .filter(col("rl").isNotNull)
+      .withColumn("dr", col("r6") - col("rl"))
+    resid.groupBy(col("pair_name"), col("beta"), col("alpha"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum((col("rl") * col("rl")).cast(dec)).as("srr"),
+        sum((col("rl") * col("dr")).cast(dec)).as("srd"),
+        sum((col("dr") * col("dr")).cast(dec)).as("sdd"))
+      .withColumn("phi",
+        when(col("srr") > 0, dbl(col("srd")) / dbl(col("srr"))))
+      .withColumn("sse",
+        dbl(col("sdd")) - col("phi") * dbl(col("srd")))
+      .select(col("pair_name"), col("n_obs"),
+        round(col("beta"), 6).as("beta"),
+        round(col("alpha"), 6).as("alpha"),
+        round(col("phi"), 6).as("phi"),
+        when(col("phi").isNotNull && col("sse") > 0 && col("n_obs") > 1,
+          round(col("phi") * sqrt(dbl(col("srr"))) /
+            sqrt(col("sse") / (dbl(col("n_obs")) - lit(1.0))), 6))
+          .as("adf_t"))
   }
 
   /** Trailing-window z-score over the spread, gated on warm-up and a

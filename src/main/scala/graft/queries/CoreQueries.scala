@@ -968,6 +968,16 @@ object CoreQueries {
     "q149_cuped_lift" -> ((s, dir) => {
       graft.ops.EventAnalytics.cupedLift(Tables.events(s, dir),
         col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+    }),
+
+    // Snapshot diff / CDC audit (EventAnalytics.snapshotDiff): each
+    // user's argmax state at two cutoffs full-outer-joined into the
+    // added/changed/unchanged transition matrix
+    "q174_snapshot_diff" -> ((s, dir) => {
+      graft.ops.EventAnalytics.snapshotDiff(Tables.events(s, dir),
+        to_timestamp(lit("2024-01-15 00:00:00")),
+        to_timestamp(lit("2024-02-01 00:00:00")))
+        .orderBy(col("old_state"), col("new_state"))
     })
   )
 
@@ -1825,6 +1835,27 @@ object CoreQueries {
              round(CAST(ab AS DOUBLE)/CAST(n_b AS DOUBLE)
                - CAST(aa AS DOUBLE)/CAST(n_a AS DOUBLE), 6) END AS lift_cuped
          FROM f""".replace("HASHX", h)
-    }
+    },
+
+    // snapshot-diff twin: same max-struct argmax (id breaks ts ties),
+    // same full outer join + (absent) sentinel
+    "q174_snapshot_diff" ->
+      """WITH s1 AS (SELECT user_id,
+                      (max(struct_pack(ts := ts, id := event_id,
+                          tp := event_type))).tp AS state
+                    FROM events
+                    WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+                    GROUP BY 1),
+          s2 AS (SELECT user_id,
+                      (max(struct_pack(ts := ts, id := event_id,
+                          tp := event_type))).tp AS state
+                    FROM events
+                    WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+                    GROUP BY 1)
+         SELECT coalesce(s1.state, '(absent)') AS old_state,
+                coalesce(s2.state, '(absent)') AS new_state,
+                count(*) AS n_users
+         FROM s1 FULL OUTER JOIN s2 USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

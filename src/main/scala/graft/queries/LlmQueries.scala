@@ -531,6 +531,13 @@ object LlmQueries {
     "q171_heaps_law" -> ((s, dir) => {
       CorpusOps.heapsLaw(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("bucket"))
+    }),
+
+    // Corpus bigram conditional entropy + perplexity (CorpusOps
+    // .bigramEntropy): how predictable is the next token — corpus
+    // twin of q96/q141
+    "q173_bigram_entropy" -> ((s, dir) => {
+      CorpusOps.bigramEntropy(Tables.rebalance(Tables.documents(s, dir)))
     })
   )
 
@@ -1696,6 +1703,33 @@ object LlmQueries {
                  / (CAST(n_pts AS DOUBLE)*CAST(sxx AS DOUBLE)
                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) END
              FROM fit) AS heaps_beta
-          FROM curve ORDER BY bucket"""
+          FROM curve ORDER BY bucket""",
+
+    // entropy twin: same map-side pair build, same integer-backed
+    // rationals, same 1e-12 term floors and 6dp finishes
+    "q173_bigram_entropy" ->
+      s"""WITH $toksCte,
+          p AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                              for i in range(1, len(toks))]) AS pair
+                FROM d WHERE len(toks) >= 2),
+          cc AS (SELECT pair, count(*) AS c12,
+                   split_part(pair, ' ', 1) AS w1
+                 FROM p GROUP BY 1),
+          c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                 FROM cc GROUP BY 1),
+          nn AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM cc),
+          t AS (SELECT CAST(floor(CAST(c12 AS DOUBLE) / CAST(nn AS DOUBLE)
+                    * ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                    * 1e12 + 0.5) AS BIGINT) AS t12,
+                  c12
+                FROM cc JOIN c1 USING (w1) CROSS JOIN nn),
+          g AS (SELECT count(*) AS n_bigrams,
+                  CAST(sum(c12) AS BIGINT) AS n_pairs,
+                  sum(CAST(t12 AS DECIMAL(38,0))) AS s12
+                FROM t)
+          SELECT n_bigrams, n_pairs,
+            floor(-CAST(s12 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS h_cond,
+            floor(exp(-CAST(s12 AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6 AS ppl
+          FROM g"""
   )
 }

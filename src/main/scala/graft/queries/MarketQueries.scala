@@ -805,6 +805,17 @@ object MarketQueries {
       MarketBars.corwinSchultz(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"), col("d"))
+    }),
+
+    // Engle–Granger cointegration + ADF t-stat on the click/view pair
+    // (PairAnalytics.cointegration): is the q06 spread actually
+    // mean-reverting?
+    "q172_coint" -> ((s, dir) => {
+      val bars = MarketBars.bars(Tables.events(s, dir),
+        "event_type", "ts", "value")
+      PairAnalytics.cointegration(
+        PairAnalytics.pairSpread(bars, "click", "view").drop("spread"))
+        .orderBy(col("pair_name"))
     })
   )
 
@@ -2011,6 +2022,59 @@ object MarketQueries {
           SELECT series, d, n_pairs,
             floor(CAST(s12 AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6 + 0.5)
               / 1e6 AS cs_spread
-          FROM g ORDER BY series, d"""
+          FROM g ORDER BY series, d""",
+
+    // cointegration twin: same scaled-long step-1 moments and q121
+    // β/α op order, same snapped residuals, same exact-integer step-2
+    // sums and t-statistic chain
+    "q172_coint" ->
+      s"""WITH $pairCte,
+          s AS (SELECT 'click-view' AS pair_name, bar_ts, close1, close2,
+                  CAST(floor(close1 * 1e6 + 0.5) AS BIGINT) AS y6,
+                  CAST(floor(close2 * 1e6 + 0.5) AS BIGINT) AS x6
+                FROM pair),
+          m0 AS (SELECT pair_name, count(*) AS n,
+                  sum(CAST(x6 AS DECIMAL(38,0))) AS sx,
+                  sum(CAST(y6 AS DECIMAL(38,0))) AS sy,
+                  sum(CAST(x6*y6 AS DECIMAL(38,0))) AS sxy,
+                  sum(CAST(x6*x6 AS DECIMAL(38,0))) AS sxx
+                FROM s GROUP BY 1),
+          m1 AS (SELECT *, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS beta
+                 FROM m0),
+          m AS (SELECT pair_name, n, beta,
+                  (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE) / 1e6 AS alpha
+                FROM m1),
+          r AS (SELECT s.pair_name, bar_ts, beta, alpha,
+                  CAST(floor((close1 - alpha - beta * close2) * 1e6 + 0.5)
+                    AS BIGINT) AS r6
+                FROM s JOIN m ON m.pair_name = s.pair_name),
+          rr AS (SELECT *, lag(r6) OVER
+                   (PARTITION BY pair_name ORDER BY bar_ts) AS rl
+                 FROM r),
+          d AS (SELECT pair_name, beta, alpha, r6 - rl AS dr, rl
+                FROM rr WHERE rl IS NOT NULL),
+          g AS (SELECT pair_name, beta, alpha, count(*) AS n_obs,
+                  sum(CAST(rl*rl AS DECIMAL(38,0))) AS srr,
+                  sum(CAST(rl*dr AS DECIMAL(38,0))) AS srd,
+                  sum(CAST(dr*dr AS DECIMAL(38,0))) AS sdd
+                FROM d GROUP BY 1, 2, 3),
+          f AS (SELECT pair_name, n_obs, beta, alpha,
+                  CASE WHEN srr > 0
+                    THEN CAST(srd AS DOUBLE) / CAST(srr AS DOUBLE) END AS phi,
+                  srr, srd, sdd
+                FROM g),
+          f2 AS (SELECT *, CAST(sdd AS DOUBLE) - phi * CAST(srd AS DOUBLE)
+                    AS sse
+                 FROM f)
+          SELECT pair_name, n_obs, round(beta, 6) AS beta,
+            round(alpha, 6) AS alpha, round(phi, 6) AS phi,
+            CASE WHEN phi IS NOT NULL AND sse > 0 AND n_obs > 1
+              THEN round(phi * sqrt(CAST(srr AS DOUBLE))
+                / sqrt(sse / (CAST(n_obs AS DOUBLE) - 1.0)), 6) END AS adf_t
+          FROM f2 ORDER BY pair_name"""
   )
 }

@@ -455,6 +455,46 @@ class PropertySpec extends AnyFunSuite {
       hl.head.getAs[Double]("heaps_beta") <= 1.0)
   }
 
+  test("q172-q174 operators are partitioning-invariant (coint, bigram entropy, snapshot diff)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    def coint(n: Int) = {
+      val bars = MarketBars.bars(ev.repartition(n), "event_type", "ts", "value")
+      graft.ops.PairAnalytics.cointegration(
+        graft.ops.PairAnalytics.pairSpread(bars, "click", "view")
+          .drop("spread"))
+    }
+    same(coint(3), coint(17))
+    same(graft.ops.CorpusOps.bigramEntropy(docs.repartition(3)),
+      graft.ops.CorpusOps.bigramEntropy(docs.repartition(17)))
+    val c1 = to_timestamp(lit("2024-01-15 00:00:00"))
+    val c2 = to_timestamp(lit("2024-02-01 00:00:00"))
+    same(graft.ops.EventAnalytics.snapshotDiff(ev.repartition(3), c1, c2),
+      graft.ops.EventAnalytics.snapshotDiff(ev.repartition(17), c1, c2))
+  }
+
+  test("cointegration recovers a planted hedge ratio and flags the stationary residual") {
+    // y = 2x + 1 + alternating ±0.5: OLS slope -> 2, residual flips
+    // sign every bar -> phi ≈ -2, ADF t strongly negative
+    val rows = (0 until 200).map { i =>
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 300L))
+      val x = 100.0 + i * 0.25
+      val y = 2.0 * x + 1.0 + (if (i % 2 == 0) 0.5 else -0.5)
+      (ts, x, y)
+    }
+    import spark.implicits._
+    val pair = rows.toDF("bar_ts", "close2", "close1")
+      .withColumn("pair_name", lit("y-x"))
+    val got = graft.ops.PairAnalytics.cointegration(pair).collect()(0)
+    assert(math.abs(got.getAs[Double]("beta") - 2.0) < 1e-3)
+    assert(math.abs(got.getAs[Double]("phi") + 2.0) < 1e-2)
+    assert(got.getAs[Double]("adf_t") < -5.0)
+  }
+
   test("triple-barrier labels: first-touch semantics on a planted path") {
     // one series, closes flat at 100 then a +1% jump at bar 5: entries
     // 0..4 must label +1 with touch_k = distance to bar 5; entries in
