@@ -226,6 +226,36 @@ object CorpusOps {
           .as("oov_rate"))
   }
 
+  /** Per-source dataset card: the one-screen corpus summary a data
+    * release ships — docs, token volume, language spread, distinct-
+    * text share, mean doc length — per source feed. The roll-up every
+    * mixing/weighting decision starts from (q61 stratified rates, q75
+    * mixture weights, q99 domain caps all consume exactly these
+    * numbers).
+    *
+    * Single map-side token-length pass into ONE (source) aggregate —
+    * count_distinct folds md5 digests, never text; the mean floors to
+    * 6dp from exact long counts. */
+  def datasetCard(
+      docs: DataFrame,
+      srcCol: String = "source",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    docs
+      .select(col(srcCol).as("source"), col(langCol).as("lang"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"),
+        md5(col(textCol)).as("digest"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("digest")).as("n_distinct_texts"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("n_distinct_texts"),
+        (floor(col("n_tokens").cast(DoubleType) /
+          col("n_docs").cast(DoubleType) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("mean_doc_tokens"))
+
   /** Corpus bigram conditional entropy H(w₂|w₁) = −Σ p(w₁,w₂)·
     * ln p(w₂|w₁) and its perplexity e^H — how predictable the next
     * token is given the previous one: the corpus-level companion to

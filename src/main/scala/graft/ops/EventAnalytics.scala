@@ -285,6 +285,48 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Funnel conversion latency: per user, the time from the FIRST
+    * `fromType` event to the first `toType` event strictly after it,
+    * rolled up to conversion counts and latency stats — the "how
+    * long does the funnel take" companion to q80's "how many
+    * convert" (a funnel can look healthy by rate and still be broken
+    * by latency).
+    *
+    * All-integer: latencies are exact µs differences; the mean floors
+    * to 1e-6 s from an exact long sum; min/max are exact µs→s floor
+    * divisions. First-event picks are min(ts) per user with ties
+    * resolved by min itself (identical both engines).
+    *
+    * Scale: two user-keyed map-side-combined aggregates off partial
+    * scans (the type filters prune), one user join, one 1-row
+    * rollup. */
+  def conversionLatency(
+      events: DataFrame, fromType: String, toType: String): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val firstA = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("a_ts"))
+    val firstB = events.filter(col("event_type") === toType).alias("b")
+      .join(firstA.alias("a"), Seq("user_id"))
+      .filter(col("b.ts") > col("a_ts"))
+      .groupBy(col("user_id"), col("a_ts"))
+      .agg(min(col("b.ts")).as("b_ts"))
+      .withColumn("lat_us", unix_micros(col("b_ts")) - unix_micros(col("a_ts")))
+    firstA.alias("fa")
+      .join(firstB.select(col("user_id"), col("lat_us")).alias("fb"),
+        Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_entered"),
+        count(col("lat_us")).as("n_converted"),
+        sum(col("lat_us")).as("sum_us"),
+        min(col("lat_us")).as("min_us"),
+        max(col("lat_us")).as("max_us"))
+      .select(col("n_entered"), col("n_converted"),
+        when(col("n_converted") > 0,
+          floor(dbl(col("sum_us")) / dbl(col("n_converted")) + lit(0.5)) /
+            lit(1e6)).as("mean_latency_s"),
+        (col("min_us") / lit(1e6)).as("min_latency_s"),
+        (col("max_us") / lit(1e6)).as("max_latency_s"))
+  }
+
   def cupedLift(events: DataFrame, cutoff: Column): DataFrame = {
     val dec = DecimalType(28, 6)
     val dec12 = DecimalType(28, 12)

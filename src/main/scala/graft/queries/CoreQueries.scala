@@ -978,6 +978,14 @@ object CoreQueries {
         to_timestamp(lit("2024-01-15 00:00:00")),
         to_timestamp(lit("2024-02-01 00:00:00")))
         .orderBy(col("old_state"), col("new_state"))
+    }),
+
+    // Funnel conversion latency view→purchase (EventAnalytics
+    // .conversionLatency): how LONG the funnel takes, next to q80's
+    // how many convert — all-integer µs chain
+    "q176_conversion_latency" -> ((s, dir) => {
+      graft.ops.EventAnalytics.conversionLatency(Tables.events(s, dir),
+        "view", "purchase")
     })
   )
 
@@ -1856,6 +1864,32 @@ object CoreQueries {
                 coalesce(s2.state, '(absent)') AS new_state,
                 count(*) AS n_users
          FROM s1 FULL OUTER JOIN s2 USING (user_id)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // latency twin: same first-A / first-B-after-A min picks, same
+    // exact µs chain and floor-form mean
+    "q176_conversion_latency" ->
+      """WITH fa AS (SELECT user_id, min(ts) AS a_ts FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+          fb AS (SELECT b.user_id, a_ts, min(b.ts) AS b_ts
+                 FROM events b JOIN fa USING (user_id)
+                 WHERE b.event_type = 'purchase' AND b.ts > a_ts
+                 GROUP BY 1, 2),
+          lat AS (SELECT user_id,
+                    epoch_us(b_ts) - epoch_us(a_ts) AS lat_us
+                  FROM fb),
+          g AS (SELECT count(*) AS n_entered,
+                  count(lat_us) AS n_converted,
+                  CAST(sum(lat_us) AS BIGINT) AS sum_us,
+                  CAST(min(lat_us) AS BIGINT) AS min_us,
+                  CAST(max(lat_us) AS BIGINT) AS max_us
+                FROM fa LEFT JOIN lat USING (user_id))
+         SELECT n_entered, n_converted,
+           CASE WHEN n_converted > 0 THEN
+             floor(CAST(sum_us AS DOUBLE) / CAST(n_converted AS DOUBLE)
+               + 0.5) / 1e6 END AS mean_latency_s,
+           min_us / 1e6 AS min_latency_s,
+           max_us / 1e6 AS max_latency_s
+         FROM g"""
   )
 }

@@ -538,6 +538,13 @@ object LlmQueries {
     // twin of q96/q141
     "q173_bigram_entropy" -> ((s, dir) => {
       CorpusOps.bigramEntropy(Tables.rebalance(Tables.documents(s, dir)))
+    }),
+
+    // Per-source dataset card (CorpusOps.datasetCard): the release
+    // summary every mixing decision starts from (q61/q75/q99 inputs)
+    "q175_dataset_card" -> ((s, dir) => {
+      CorpusOps.datasetCard(Tables.documents(s, dir))
+        .orderBy(col("source"))
     })
   )
 
@@ -1730,6 +1737,23 @@ object LlmQueries {
           SELECT n_bigrams, n_pairs,
             floor(-CAST(s12 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS h_cond,
             floor(exp(-CAST(s12 AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6 AS ppl
-          FROM g"""
+          FROM g""",
+
+    // dataset-card twin: same token-length pass, digest-based distinct
+    "q175_dataset_card" ->
+      """WITH s AS (SELECT source, lang,
+                      CAST(len(regexp_split_to_array(trim(text), ' +'))
+                        AS BIGINT) AS n_toks,
+                      md5(text) AS digest
+                    FROM documents),
+          g AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                  count(DISTINCT lang) AS n_langs,
+                  count(DISTINCT digest) AS n_distinct_texts
+                FROM s GROUP BY 1)
+         SELECT source, n_docs, n_tokens, n_langs, n_distinct_texts,
+           floor(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS mean_doc_tokens
+         FROM g ORDER BY source"""
   )
 }

@@ -476,6 +476,29 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.EventAnalytics.snapshotDiff(ev.repartition(17), c1, c2))
   }
 
+  test("q175-q176 operators are partitioning-invariant (dataset card, conversion latency)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    same(graft.ops.CorpusOps.datasetCard(docs.repartition(3)),
+      graft.ops.CorpusOps.datasetCard(docs.repartition(17)))
+    same(graft.ops.EventAnalytics.conversionLatency(
+        ev.repartition(3), "view", "purchase"),
+      graft.ops.EventAnalytics.conversionLatency(
+        ev.repartition(17), "view", "purchase"))
+    // card totals reconcile with the corpus
+    val card = graft.ops.CorpusOps.datasetCard(docs).collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // latency sanity: converted <= entered, min <= max
+    val lat = graft.ops.EventAnalytics.conversionLatency(
+      ev, "view", "purchase").collect()(0)
+    assert(lat.getAs[Long]("n_converted") <= lat.getAs[Long]("n_entered"))
+    assert(lat.getAs[Double]("min_latency_s") <=
+      lat.getAs[Double]("max_latency_s"))
+  }
+
   test("cointegration recovers a planted hedge ratio and flags the stationary residual") {
     // y = 2x + 1 + alternating ±0.5: OLS slope -> 2, residual flips
     // sign every bar -> phi ≈ -2, ADF t strongly negative
