@@ -327,6 +327,36 @@ object EventAnalytics {
         (col("max_us") / lit(1e6)).as("max_latency_s"))
   }
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the product-
+    * analytics engagement ratio next to q81's cohort retention (DAU/
+    * WAU ≈ how many of the week's users come back daily). WAU(d)
+    * counts distinct users active in [d−6, d]: each (user, day)
+    * activity pair fans out map-side to the ≤7 window-ending days and
+    * distinct-counts per day; only days observed in the data emit
+    * (inner join back to the DAU days). Stickiness floors at 6dp from
+    * exact long counts.
+    *
+    * Scale: the fanout is bounded (×7) and map-side off the distinct
+    * (user, day) aggregate — corpus-sized work stays in the two
+    * distinct aggregates, both map-side-combined on growing keys. */
+  def stickiness(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val dau = userDays.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("d"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "d")
+      .select(col("d"), col("dau"), col("wau"),
+        (floor(dbl(col("dau")) / dbl(col("wau")) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("stickiness"))
+  }
+
   def cupedLift(events: DataFrame, cutoff: Column): DataFrame = {
     val dec = DecimalType(28, 6)
     val dec12 = DecimalType(28, 12)

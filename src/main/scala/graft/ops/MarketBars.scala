@@ -1020,6 +1020,51 @@ object MarketBars {
           lit(0.5)) / lit(1e6)).as("frac_under"))
   }
 
+  /** Wald–Wolfowitz runs test per series: are the SIGNS of close
+    * changes random? Counts up-moves, down-moves, and sign runs
+    * (zeros excluded, the standard treatment), then
+    * z = (R − μ)/σ with μ = 2n⁺n⁻/n + 1, σ² = (μ−1)(μ−2)/(n−1) —
+    * the non-parametric randomness check next to the parametric ACF
+    * (q151) / variance-ratio (q139) / Hurst (q153) panel: it sees
+    * sign streaks those moment tests can miss.
+    *
+    * All counts are exact integers off the scaled-long Δ chain; the
+    * μ/σ/z chain evaluates once per series in one shared double op
+    * order, rounded 6dp; degenerate series (n⁺ = 0, n⁻ = 0, or
+    * n ≤ 1) emit null z.
+    *
+    * Scale: one per-series window pass (Δ sign + island id share the
+    * sort), one map-side-combined rollup — output |series| rows. */
+  def runsTest(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    def dbl(c: Column) = c.cast(DoubleType)
+    val signs = bars
+      .withColumn("d6",
+        floor((col("close") - lag(col("close"), 1).over(w)) * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .filter(col("d6").isNotNull && col("d6") =!= 0L)
+      .withColumn("sgn", when(col("d6") > 0, 1).otherwise(-1))
+    // islands over the FILTERED sign sequence: re-sort is the same
+    // (series, bar_ts) order, so Catalyst reuses the exchange
+    val w2 = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val runs = signs
+      .withColumn("brk",
+        when(lag(col("sgn"), 1).over(w2).isNull ||
+          col("sgn") =!= lag(col("sgn"), 1).over(w2), 1L).otherwise(0L))
+      .groupBy(col("series"))
+      .agg(
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_neg"),
+        sum(col("brk")).as("n_runs"))
+    val n = col("n_pos") + col("n_neg")
+    val mu = lit(2.0) * dbl(col("n_pos")) * dbl(col("n_neg")) / dbl(n) +
+      lit(1.0)
+    val varr = (mu - lit(1.0)) * (mu - lit(2.0)) / (dbl(n) - lit(1.0))
+    runs.select(col("series"), col("n_pos"), col("n_neg"), col("n_runs"),
+      when(col("n_pos") > 0 && col("n_neg") > 0 && n > 1 && varr > 0,
+        round((dbl(col("n_runs")) - mu) / sqrt(varr), 6)).as("z_runs"))
+  }
+
   /** Stale-price profile per series (gaps-and-islands): consecutive
     * equal closes collapse into runs via the classic island id
     * (running sum of change flags), then one per-series rollup reports

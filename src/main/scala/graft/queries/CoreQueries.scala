@@ -986,6 +986,13 @@ object CoreQueries {
     "q176_conversion_latency" -> ((s, dir) => {
       graft.ops.EventAnalytics.conversionLatency(Tables.events(s, dir),
         "view", "purchase")
+    }),
+
+    // DAU/WAU stickiness per day (EventAnalytics.stickiness): the
+    // engagement ratio next to q81's cohort retention
+    "q178_stickiness" -> ((s, dir) => {
+      graft.ops.EventAnalytics.stickiness(Tables.events(s, dir))
+        .orderBy(col("d"))
     })
   )
 
@@ -1890,6 +1897,22 @@ object CoreQueries {
                + 0.5) / 1e6 END AS mean_latency_s,
            min_us / 1e6 AS min_latency_s,
            max_us / 1e6 AS max_latency_s
-         FROM g"""
+         FROM g""",
+
+    // stickiness twin: same distinct (user, day) base, same bounded
+    // 7-day fanout, same observed-days inner join
+    "q178_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+          dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+          wau AS (SELECT d, count(*) AS wau FROM
+                    (SELECT DISTINCT user_id, unnest(generate_series(
+                       d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS d
+                     FROM ud)
+                  GROUP BY 1)
+         SELECT d, dau, wau,
+           floor(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS stickiness
+         FROM dau JOIN wau USING (d) ORDER BY d"""
   )
 }

@@ -807,6 +807,14 @@ object MarketQueries {
         .orderBy(col("series"), col("d"))
     }),
 
+    // Wald–Wolfowitz runs test per series (MarketBars.runsTest):
+    // sign-streak randomness next to the ACF/VR/Hurst moment panel
+    "q177_runs_test" -> ((s, dir) => {
+      MarketBars.runsTest(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Engle–Granger cointegration + ADF t-stat on the click/view pair
     // (PairAnalytics.cointegration): is the q06 spread actually
     // mean-reverting?
@@ -2023,6 +2031,42 @@ object MarketQueries {
             floor(CAST(s12 AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6 + 0.5)
               / 1e6 AS cs_spread
           FROM g ORDER BY series, d""",
+
+    // runs-test twin: same zero-excluded sign chain, same island
+    // count, same μ/σ/z double op order
+    "q177_runs_test" ->
+      s"""WITH $barsCte,
+          dd AS (SELECT series, bar_ts,
+                   CAST(floor((close - lag(close) OVER
+                     (PARTITION BY series ORDER BY bar_ts)) * 1e6 + 0.5)
+                     AS BIGINT) AS d6
+                 FROM bars),
+          sg AS (SELECT series, bar_ts,
+                   CASE WHEN d6 > 0 THEN 1 ELSE -1 END AS sgn
+                 FROM dd WHERE d6 IS NOT NULL AND d6 <> 0),
+          rn AS (SELECT series,
+                   CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos,
+                   CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_neg,
+                   CAST(sum(brk) AS BIGINT) AS n_runs
+                 FROM (SELECT series, sgn,
+                         CASE WHEN lag(sgn) OVER w IS NULL
+                           OR sgn <> lag(sgn) OVER w THEN 1 ELSE 0 END AS brk
+                       FROM sg
+                       WINDOW w AS (PARTITION BY series ORDER BY bar_ts))
+                 GROUP BY 1),
+          f AS (SELECT *, n_pos + n_neg AS n,
+                  2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                    / CAST(n_pos + n_neg AS DOUBLE) + 1.0 AS mu
+                FROM rn)
+          SELECT series, n_pos, n_neg, n_runs,
+            CASE WHEN n_pos > 0 AND n_neg > 0 AND n > 1
+                  AND (mu - 1.0)*(mu - 2.0)/(CAST(n AS DOUBLE) - 1.0) > 0
+              THEN round((CAST(n_runs AS DOUBLE) - mu)
+                / sqrt((mu - 1.0)*(mu - 2.0)/(CAST(n AS DOUBLE) - 1.0)), 6)
+              END AS z_runs
+          FROM f ORDER BY series""",
 
     // cointegration twin: same scaled-long step-1 moments and q121
     // β/α op order, same snapped residuals, same exact-integer step-2

@@ -499,6 +499,41 @@ class PropertySpec extends AnyFunSuite {
       lat.getAs[Double]("max_latency_s"))
   }
 
+  test("q177-q178 operators are partitioning-invariant (runs test, stickiness)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.runsTest(bars3), MarketBars.runsTest(bars17))
+    same(graft.ops.EventAnalytics.stickiness(ev.repartition(3)),
+      graft.ops.EventAnalytics.stickiness(ev.repartition(17)))
+    // planted alternation: +1,-1,+1,... maximizes runs (z > 0); a
+    // monotone ramp collapses to one run (z < 0)
+    import spark.implicits._
+    val alt = (0 until 40).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i * 300L)), 100.0 + (if (i % 2 == 0) 1.0 else 0.0))
+    }.toDF("ts", "value").withColumn("s", lit("alt"))
+    val ramp = (0 until 40).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i * 300L)), 100.0 + i)
+    }.toDF("ts", "value").withColumn("s", lit("ramp"))
+    val z = MarketBars.runsTest(
+      MarketBars.bars(alt.union(ramp), "s", "ts", "value"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("z_runs"))) None
+         else Some(r.getDouble(r.fieldIndex("z_runs"))))).toMap
+    assert(z("alt").exists(_ > 3.0))
+    assert(z("ramp").isEmpty) // monotone ramp: n_neg = 0 -> null z
+    // stickiness bounded in (0, 1]
+    graft.ops.EventAnalytics.stickiness(ev).collect().foreach { r =>
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
   test("cointegration recovers a planted hedge ratio and flags the stationary residual") {
     // y = 2x + 1 + alternating ±0.5: OLS slope -> 2, residual flips
     // sign every bar -> phi ≈ -2, ADF t strongly negative
