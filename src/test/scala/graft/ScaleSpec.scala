@@ -129,6 +129,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Window"), "as-of carry window expected")
   }
 
+  test("q154 triple-barrier plan: lead arrays off one window, never a self-join") {
+    val plan = SparkEntry.queries("q154_triple_barrier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"first-touch must come from lead arrays, not a horizon-fanout join:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), "lead-array window expected")
+  }
+
+  test("q155 bpe-pairs plan: top-k via TakeOrderedAndProject, pairs built map-side") {
+    val plan = SparkEntry.queries("q155_bpe_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k cut must be per-partition heads + merge, not a global sort:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"),
+      s"adjacent pairs must build from the token array, not a posexplode self-join:\n${plan.take(3000)}")
+  }
+
+  test("q164 embed-outlier plan: centroids broadcast, no per-dimension corpus explode") {
+    val plan = SparkEntry.queries("q164_embed_outlier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label centroid arrays and stats must broadcast:\n${plan.take(3000)}")
+    // the corpus side must NOT appear under a Generate (posexplode):
+    // the only Generate allowed is inside the tiny centroid build
+    val generates = plan.split("BroadcastExchange").head
+    assert(!generates.contains("Generate"),
+      s"deviation fold must be zip_with on the probe side, not an explode:\n${plan.take(3000)}")
+  }
+
   test("bm25 plan: query-term filter lands before the tf aggregate") {
     // only query-term postings may shuffle — the isin filter must sit
     // below the (doc, term) aggregate, not above it
