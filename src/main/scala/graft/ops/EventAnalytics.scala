@@ -327,6 +327,45 @@ object EventAnalytics {
         (col("max_us") / lit(1e6)).as("max_latency_s"))
   }
 
+  /** Per-user session-depth statistics over the q56 session rule
+    * (strict `gap >= 30 min` splits on epoch-µs): how DEEP and how
+    * LONG sessions run, per user — the engagement-intensity rollup
+    * next to q56's session list and q178's breadth ratio.
+    *
+    * All-integer: session ids are running sums of break flags, depths
+    * are counts, durations exact µs diffs; the means floor to whole
+    * micros from exact long sums.
+    *
+    * Scale: one (user) window pass (the q56 chain) + two map-side-
+    * combined growing-key aggregates. */
+  def sessionStats(
+      events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sessions = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("depth"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("depth")).as("n_events"),
+        max(col("depth")).as("max_depth"),
+        sum(col("dur_us")).as("sum_dur_us"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        col("max_depth"),
+        (floor(dbl(col("n_events")) / dbl(col("n_sessions")) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("mean_depth"),
+        (floor(dbl(col("sum_dur_us")) / dbl(col("n_sessions")) + lit(0.5)) /
+          lit(1e6)).as("mean_dur_s"))
+  }
+
   /** DAU / trailing-7-day WAU / stickiness per day — the product-
     * analytics engagement ratio next to q81's cohort retention (DAU/
     * WAU ≈ how many of the week's users come back daily). WAU(d)

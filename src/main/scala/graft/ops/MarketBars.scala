@@ -1020,6 +1020,39 @@ object MarketBars {
           lit(0.5)) / lit(1e6)).as("frac_under"))
   }
 
+  /** Volume profile per series: tick volume aggregated into integer
+    * price levels (floor(close)), reporting the point of control
+    * (the level holding the most volume), its share, and the level
+    * count — the where-did-trading-concentrate view that complements
+    * the when views (q162 intraday profile, q167 VPIN buckets).
+    *
+    * All-integer: level = floor(close) exact, n_ticks sums are longs,
+    * the POC argmax breaks ties to the LOWEST level (total order),
+    * and the share floors at 6dp from exact longs.
+    *
+    * Scale: one map-side-combined (series, level) aggregate, then a
+    * per-series argmax window over the LEVEL aggregate (vocabulary-
+    * sized, the q39 rule — never the tick stream). */
+  def volumeProfile(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val levels = bars
+      .groupBy(col("series"), floor(col("close")).cast("long").as("level"))
+      .agg(sum(col("n_ticks")).as("v"))
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("v").desc, col("level"))
+    levels
+      .withColumn("rk", row_number().over(w))
+      .withColumn("tot", sum(col("v")).over(Window.partitionBy(col("series"))))
+      .withColumn("n_levels",
+        count(lit(1)).over(Window.partitionBy(col("series"))))
+      .filter(col("rk") === 1)
+      .select(col("series"), col("level").as("poc_level"),
+        col("v").as("poc_volume"), col("tot").as("total_volume"),
+        col("n_levels"),
+        (floor(dbl(col("v")) / dbl(col("tot")) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("poc_share"))
+  }
+
   /** Wald–Wolfowitz runs test per series: are the SIGNS of close
     * changes random? Counts up-moves, down-moves, and sign runs
     * (zeros excluded, the standard treatment), then

@@ -993,6 +993,13 @@ object CoreQueries {
     "q178_stickiness" -> ((s, dir) => {
       graft.ops.EventAnalytics.stickiness(Tables.events(s, dir))
         .orderBy(col("d"))
+    }),
+
+    // Per-user session-depth stats over the q56 rule (EventAnalytics
+    // .sessionStats): engagement intensity next to q178's breadth
+    "q180_session_stats" -> ((s, dir) => {
+      graft.ops.EventAnalytics.sessionStats(Tables.events(s, dir))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1913,6 +1920,36 @@ object CoreQueries {
          SELECT d, dau, wau,
            floor(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) * 1e6 + 0.5)
              / 1e6 AS stickiness
-         FROM dau JOIN wau USING (d) ORDER BY d"""
+         FROM dau JOIN wau USING (d) ORDER BY d""",
+
+    // session-stats twin: the q56 session rule verbatim, all-long
+    // depth/duration rollups, floor-form means
+    "q180_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                    FROM events),
+          b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+                    AS brk
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          s AS (SELECT *, CAST(SUM(brk) OVER
+                  (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sid
+                FROM b),
+          g AS (SELECT user_id, sid, count(*) AS depth,
+                  CAST(max(us) - min(us) AS BIGINT) AS dur_us
+                FROM s GROUP BY 1, 2),
+          a AS (SELECT user_id, count(*) AS n_sessions,
+                  CAST(sum(depth) AS BIGINT) AS n_events,
+                  CAST(max(depth) AS BIGINT) AS max_depth,
+                  CAST(sum(dur_us) AS BIGINT) AS sum_dur_us
+                FROM g GROUP BY 1)
+         SELECT user_id, n_sessions, n_events, max_depth,
+           floor(CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS mean_depth,
+           floor(CAST(sum_dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+             + 0.5) / 1e6 AS mean_dur_s
+         FROM a ORDER BY user_id"""
   )
 }

@@ -807,6 +807,14 @@ object MarketQueries {
         .orderBy(col("series"), col("d"))
     }),
 
+    // Volume profile / point of control per series (MarketBars
+    // .volumeProfile): where trading concentrated, next to q162's when
+    "q179_volume_profile" -> ((s, dir) => {
+      MarketBars.volumeProfile(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Wald–Wolfowitz runs test per series (MarketBars.runsTest):
     // sign-streak randomness next to the ACF/VR/Hurst moment panel
     "q177_runs_test" -> ((s, dir) => {
@@ -2031,6 +2039,24 @@ object MarketQueries {
             floor(CAST(s12 AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6 + 0.5)
               / 1e6 AS cs_spread
           FROM g ORDER BY series, d""",
+
+    // volume-profile twin: same integer price levels, same
+    // (v desc, level) POC tie rule, same floor-form share
+    "q179_volume_profile" ->
+      s"""WITH $barsCte,
+          lv AS (SELECT series, CAST(floor(close) AS BIGINT) AS level,
+                   CAST(sum(n_ticks) AS BIGINT) AS v
+                 FROM bars GROUP BY 1, 2),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY series ORDER BY v DESC, level) AS rk,
+                  CAST(sum(v) OVER (PARTITION BY series) AS BIGINT) AS tot,
+                  count(*) OVER (PARTITION BY series) AS n_levels
+                FROM lv)
+          SELECT series, level AS poc_level, v AS poc_volume,
+            tot AS total_volume, n_levels,
+            floor(CAST(v AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6 + 0.5) / 1e6
+              AS poc_share
+          FROM r WHERE rk = 1 ORDER BY series""",
 
     // runs-test twin: same zero-excluded sign chain, same island
     // count, same μ/σ/z double op order

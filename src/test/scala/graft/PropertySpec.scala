@@ -534,6 +534,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q179-q180 operators are partitioning-invariant (volume profile, session stats)") {
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    }
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.volumeProfile(bars3), MarketBars.volumeProfile(bars17))
+    same(graft.ops.EventAnalytics.sessionStats(ev.repartition(3)),
+      graft.ops.EventAnalytics.sessionStats(ev.repartition(17)))
+    // session event totals reconcile with the event count; POC share
+    // bounded by 1
+    val ss = graft.ops.EventAnalytics.sessionStats(ev).collect()
+    assert(ss.map(_.getAs[Long]("n_events")).sum === ev.count())
+    MarketBars.volumeProfile(bars3).collect().foreach { r =>
+      assert(r.getAs[Double]("poc_share") > 0.0 &&
+        r.getAs[Double]("poc_share") <= 1.0)
+    }
+  }
+
   test("cointegration recovers a planted hedge ratio and flags the stationary residual") {
     // y = 2x + 1 + alternating ±0.5: OLS slope -> 2, residual flips
     // sign every bar -> phi ≈ -2, ADF t strongly negative
