@@ -105,7 +105,7 @@ object Pipeline {
     val result = pairZScores(bars, pairs)
     Sinks.overwriteParquet(result, outPath)
     val written = spark.read.parquet(outPath)
-    val latestDay = written.agg(max(to_date(col("bar_ts"))).cast("string")).head.getString(0)
+    val latestDay = written.agg(max(to_date(col("bar_ts"))).cast("string")).head().getString(0)
     if (fullCloseDates.contains(latestDay)) {
       import spark.implicits._
       val summary = Seq((runId, 0L, 0L, 0L, 0L, 0L, "OK",
@@ -127,7 +127,7 @@ object Pipeline {
     Sinks.appendDeduped(summary, s"${outPath}_dq/intraday_quality_run_summary",
       keyCols = Seq("run_id"), partitionBy = Nil)
     if (strict) {
-      val s = summary.head
+      val s = summary.head()
       if (s.getAs[String]("overall_status") == "FAIL")
         throw new ValidationFailedException(
           s"validation FAIL: ${s.getAs[Long]("symbols_fail")} of " +

@@ -37,7 +37,7 @@ object Dist {
     import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod, sequence}
     // deterministic scatter: hash the whole left row so equal keys spread
     val saltedLeft = lhs.withColumn("__salt",
-      pmod(hash(lhs.columns.map(c => col(c)): _*), lit(saltBuckets)))
+      pmod(hash(lhs.columns.toIndexedSeq.map(c => col(c)): _*), lit(saltBuckets)))
     val saltedRight = rhs.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")

@@ -156,7 +156,7 @@ object GraphOps {
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(
         count(lit(1)),
-        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
 

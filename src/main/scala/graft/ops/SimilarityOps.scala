@@ -155,7 +155,7 @@ object SimilarityOps {
     val cb = broadcast(codebook(cents))
     unit.crossJoin(cb)
       .select((-element_at(nearestCentroids(col("cb"), col("v"), 1), 1)("nc")).as("cos"))
-      .agg(sum(col("cos"))).head.getDouble(0)
+      .agg(sum(col("cos"))).head().getDouble(0)
   }
 
   /** [[ivfTopK]] with a caller-supplied codebook (e.g. a trained
