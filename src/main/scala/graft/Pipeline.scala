@@ -57,7 +57,12 @@ object Pipeline {
       .select(col("pair_name"), col("bar_ts"), col("close1"), col("close2"),
         (log(col("close1")) - log(col("close2"))).as("spread"))
 
-    val z = PairAnalytics.rollingZScore(paired, windowRows, minWindow)
+    // (pair, day)+carry-in window (ScalableWindow) — bit-identical to
+    // the reference's per-pair global window (PropertySpec) without its
+    // one-task-per-pair skew hazard (SURVEY §7.4(a)): task granularity
+    // is (pair, day), so one pair's full history never serializes on a
+    // single core at 100 TB
+    val z = graft.ops.ScalableWindow.rollingZScoreByDay(paired, windowRows, minWindow)
     // leg reshape with the sign flip (transform_data.py:156-180), for
     // every pair at once
     val symSpec = spec.select(col("pair_name"), col("sym1"), col("sym2"))

@@ -335,9 +335,11 @@ object CorpusOps {
     val bounds = docs.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
     val bucketed = docs
       .crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        ((col(idCol) - col("mn")) * nBuckets /
-          (col("mx") - col("mn") + 1)).cast("long"))
+      // integer `div`, not Column `/` (double division): keeps the
+      // bucket exact for any 64-bit id range, matching DuckDB's `//`
+      .withColumn("bkt_num", (col(idCol) - col("mn")) * nBuckets)
+      .withColumn("bkt_den", col("mx") - col("mn") + 1)
+      .withColumn("bucket", expr("bkt_num div bkt_den"))
       .select(col("bucket"), explode(TextOps.tokens(col(textCol))).as("term"))
     val tokCounts = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_tokens"))

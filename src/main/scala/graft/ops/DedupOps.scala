@@ -44,12 +44,6 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Duplication spectrum: the cluster-SIZE histogram over exact-dup
-    * digest groups — how much of the corpus is unique (sz = 1) vs
-    * boilerplate replicated N× (the long tail a dedup pass removes).
-    * Two shuffles on growing keys (digest, then the tiny size domain),
-    * both map-side-combined; raw text never shuffles — only the 32-hex
-    * digest. All-integer output. */
   /** Cross-source duplicate leakage: for every source pair, how many
     * DISTINCT lead fingerprints (md5 of the first `prefixTokens`
     * tokens — the "same article, different boilerplate tail" match
@@ -79,6 +73,12 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared_texts"))
   }
 
+  /** Duplication spectrum: the cluster-SIZE histogram over exact-dup
+    * digest groups — how much of the corpus is unique (sz = 1) vs
+    * boilerplate replicated N× (the long tail a dedup pass removes).
+    * Two shuffles on growing keys (digest, then the tiny size domain),
+    * both map-side-combined; raw text never shuffles — only the 32-hex
+    * digest. All-integer output. */
   def dupClusterHist(df: DataFrame, textCol: String): DataFrame =
     df.select(md5(col(textCol)).as("digest"))
       .groupBy(col("digest")).agg(count(lit(1)).as("sz"))

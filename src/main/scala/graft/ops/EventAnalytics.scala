@@ -238,24 +238,6 @@ object EventAnalytics {
         .as("avg_value"))
   }
 
-  /** CUPED variance-reduced A/B lift — the experimentation-platform
-    * estimator (Deng et al. 2013): per user, pre-period metric x and
-    * post-period metric y (decimal-exact sums split by `cutoff`),
-    * variants assigned by the portable md5 hash (reproducible at any
-    * partitioning — the q55 rule); θ = cov(x, y)/var(x) from one
-    * co-moment aggregate, and the lift compares group means of the
-    * adjusted metric y − θ·(x − x̄), which strips the pre-period
-    * variance component out of the comparison.
-    *
-    * Determinism: x/y are DECIMAL-exact; co-moments use the q85
-    * covariance rule (per-row product rounds 12dp then DECIMAL-sums);
-    * θ/x̄ form once in a shared double op order; per-user adjusted
-    * values round 12dp before the group-mean DECIMAL fold. Output
-    * rounds 6dp.
-    *
-    * Scale: one shuffle to the per-user relation (checkpointed —
-    * both the moment pass and the lift pass read it, not the raw
-    * events), one 1-row co-moment broadcast, one tiny final fold. */
   /** Snapshot diff (CDC audit): compare each user's LAST event type
     * as of two cutoffs and roll up the transition matrix — added
     * (absent at t₁), unchanged, or old→new changed — the "what moved
@@ -396,6 +378,24 @@ object EventAnalytics {
           lit(1e6)).as("stickiness"))
   }
 
+  /** CUPED variance-reduced A/B lift — the experimentation-platform
+    * estimator (Deng et al. 2013): per user, pre-period metric x and
+    * post-period metric y (decimal-exact sums split by `cutoff`),
+    * variants assigned by the portable md5 hash (reproducible at any
+    * partitioning — the q55 rule); θ = cov(x, y)/var(x) from one
+    * co-moment aggregate, and the lift compares group means of the
+    * adjusted metric y − θ·(x − x̄), which strips the pre-period
+    * variance component out of the comparison.
+    *
+    * Determinism: x/y are DECIMAL-exact; co-moments use the q85
+    * covariance rule (per-row product rounds 12dp then DECIMAL-sums);
+    * θ/x̄ form once in a shared double op order; per-user adjusted
+    * values round 12dp before the group-mean DECIMAL fold. Output
+    * rounds 6dp.
+    *
+    * Scale: one shuffle to the per-user relation (checkpointed —
+    * both the moment pass and the lift pass read it, not the raw
+    * events), one 1-row co-moment broadcast, one tiny final fold. */
   def cupedLift(events: DataFrame, cutoff: Column): DataFrame = {
     val dec = DecimalType(28, 6)
     val dec12 = DecimalType(28, 12)

@@ -200,12 +200,16 @@ object GraphOps {
     * Scale posture: state is one (node, rank) relation; each
     * iteration is one edges ⋈ ranks join on src (edges dominate) plus
     * one dst-keyed partial-aggregated shuffle of contribution rows.
-    * With `broadcastRanks` (default) the per-iteration rank and
-    * contribution relations ship as broadcasts, so edges NEVER move —
-    * right whenever the node set fits an executor (it did until the
-    * graph has ~10⁸ nodes). Past that, set it false: the joins become
-    * shuffle joins, and a real deployment pre-partitions edges by src
-    * ONCE so every iteration's edge side is exchange-free. Rank
+    * The mode AUTO-SELECTS from the node count (override with
+    * `broadcastRanks`): up to `broadcastMaxNodes` the per-iteration
+    * rank and contribution relations ship as broadcasts, so edges
+    * NEVER move — right whenever the node set fits an executor. Past
+    * that, the joins become shuffle joins, and the edge relation is
+    * hash-partitioned by src ONCE before its checkpoint (the node
+    * relation by id) — `localCheckpoint` preserves outputPartitioning,
+    * so every iteration's src-join and id-join reuse the stored
+    * layout and the ONLY per-iteration exchange is the dst-keyed
+    * contribution shuffle (ScaleSpec asserts exactly this). Rank
     * relations are lazily checkpointed per iteration — lineage stays
     * constant-depth instead of growing by two joins per round.
     */
@@ -215,7 +219,8 @@ object GraphOps {
       dstCol: String = "dst",
       iters: Int = 5,
       damping: Double = 0.85,
-      broadcastRanks: Boolean = true): DataFrame = {
+      broadcastRanks: Option[Boolean] = None,
+      broadcastMaxNodes: Long = 50000000L): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(iters >= 1 && damping > 0 && damping < 1)
     val base = 1.0 - damping
@@ -224,16 +229,24 @@ object GraphOps {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(eager = false)
-    val nodes = e.select(col("src").as("id"))
+    val nodesRaw = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(eager = false)
+    // auto mode: one count over the deduped node relation (off the
+    // already-checkpointed edges) decides broadcast vs shuffle
+    val useBroadcast =
+      broadcastRanks.getOrElse(nodesRaw.count() <= broadcastMaxNodes)
+    val nodes =
+      (if (useBroadcast) nodesRaw else nodesRaw.repartition(col("id")))
+        .localCheckpoint(eager = false)
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val eDeg = e
+    val eDegRaw = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(eager = false)
+    val eDeg =
+      (if (useBroadcast) eDegRaw else eDegRaw.repartition(col("src")))
+        .localCheckpoint(eager = false)
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 12))
-    def bc(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
+    def bc(df: DataFrame) = if (useBroadcast) broadcast(df) else df
     var r = nodes.crossJoin(nRow)
       .select(col("id"), dec(round(lit(1.0) / col("n"), 12)).as("r"))
       .localCheckpoint(eager = false)
@@ -249,14 +262,21 @@ object GraphOps {
           round(col("r").cast(DoubleType) / col("deg"), 12).as("c"))
         .groupBy(col("id"))
         .agg(graft.functions.FixedPoint.sumFixed12(col("c")).as("s"))
-      r = nodes.join(bc(contrib), Seq("id"), "left").crossJoin(nRow)
+      val rNext = nodes.join(bc(contrib), Seq("id"), "left").crossJoin(nRow)
         .select(col("id"),
           dec(round(
             lit(base) / col("n") +
               lit(damping) * coalesce(col("s"), lit(0.0)),
             12)).as("r"))
-        .localCheckpoint(eager = false)
+      lastIterPlan = rNext.queryExecution.executedPlan.toString
+      r = rNext.localCheckpoint(eager = false)
     }
     r.select(col("id"), round(col("r").cast(DoubleType), 8).as("rank"))
   }
+
+  /** Test hook: executedPlan of the most recent [[pageRank]] iteration
+    * (checkpoints hide iteration plans from the returned frame — each
+    * round's plan is compiled for the checkpoint anyway, so capturing
+    * its string costs nothing extra). */
+  @volatile private[graft] var lastIterPlan: String = ""
 }

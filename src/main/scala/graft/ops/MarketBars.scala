@@ -532,23 +532,6 @@ object MarketBars {
           .as("r_acf"))
   }
 
-  /** Tick-rule signed order flow per (series, day): each bar gets the
-    * sign of its close change, zeros inherit the LAST NON-ZERO sign
-    * within the day (the Lee–Ready tick test applied at bar
-    * granularity), and the day rolls up to buy/sell tick counts and a
-    * signed-flow imbalance (buys − sells)/(buys + sells) over
-    * `n_ticks` — the order-flow pressure gauge next to Amihud's
-    * price-impact proxy (q127).
-    *
-    * All-integer chain: the sign comes off the exact scaled-long
-    * Δclose, the carry-forward is `last(_, ignoreNulls)` over the
-    * day frame (bars before the first move stay 0 and are counted
-    * unsigned), tick counts fold as longs, and the imbalance floors
-    * at 6dp from an exact long/long quotient. Day boundaries reset
-    * the lag chain (the q111 rule).
-    *
-    * Scale: one (series, day) window pass — growing key, no hot
-    * partition — then one map-side-combined rollup on the same key. */
   /** Shared sign chain for [[tickRuleFlow]] and [[kyleLambda]]: the
     * day-partitioned scaled-long Δclose, its sign, and the last-non-
     * zero carry-forward — one (series, day) window pass. */
@@ -566,6 +549,23 @@ object MarketBars {
         coalesce(last(col("sgn"), ignoreNulls = true).over(run), lit(0)))
   }
 
+  /** Tick-rule signed order flow per (series, day): each bar gets the
+    * sign of its close change, zeros inherit the LAST NON-ZERO sign
+    * within the day (the Lee–Ready tick test applied at bar
+    * granularity), and the day rolls up to buy/sell tick counts and a
+    * signed-flow imbalance (buys − sells)/(buys + sells) over
+    * `n_ticks` — the order-flow pressure gauge next to Amihud's
+    * price-impact proxy (q127).
+    *
+    * All-integer chain: the sign comes off the exact scaled-long
+    * Δclose, the carry-forward is `last(_, ignoreNulls)` over the
+    * day frame (bars before the first move stay 0 and are counted
+    * unsigned), tick counts fold as longs, and the imbalance floors
+    * at 6dp from an exact long/long quotient. Day boundaries reset
+    * the lag chain (the q111 rule).
+    *
+    * Scale: one (series, day) window pass — growing key, no hot
+    * partition — then one map-side-combined rollup on the same key. */
   def tickRuleFlow(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     withTickSigns(bars)

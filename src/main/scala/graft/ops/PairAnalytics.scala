@@ -288,12 +288,18 @@ object PairAnalytics {
         round(num / (sqrt(vx) * sqrt(vy)), 6)).as("r_ccf"))
   }
 
-  /** Full flagship chain for one pair over a bar frame. */
+  /** Full flagship chain for one pair over a bar frame. The rolling
+    * stats run day-scoped ([[ScalableWindow.rollingZScoreByDay]]) —
+    * bit-identical to [[rollingZScore]] (PropertySpec) but with
+    * (pair, day) task granularity instead of one task per pair. */
   def pairZScore(
       bars: DataFrame,
       sym1: String,
       sym2: String,
       windowRows: Int = DefaultWindowRows,
       minWindow: Int = DefaultMinWindow): DataFrame =
-    legReshape(rollingZScore(pairSpread(bars, sym1, sym2), windowRows, minWindow), sym1, sym2)
+    legReshape(
+      ScalableWindow.rollingZScoreByDay(
+        pairSpread(bars, sym1, sym2), windowRows, minWindow),
+      sym1, sym2)
 }

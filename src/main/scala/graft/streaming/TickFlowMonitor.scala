@@ -17,10 +17,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per (series, UTC day) is three longs (last close, last sign,
   * replay guard) — constant memory, the PageCusumMonitor class. Rows
-  * inside a micro-batch fold in event-time order; rows at or before
-  * the last applied timestamp are dropped (replay guard). Keying by
-  * (series, day) gives the day-boundary reset for free AND keeps one
-  * hot series spread across day-keyed state entries at scale.
+  * inside a micro-batch fold in event-time order at FULL microsecond
+  * precision (the same `micros` key TickBarMonitor uses — `getTime`
+  * alone is millisecond-truncated and would misorder or drop equal-ms
+  * bars); rows at or before the last applied microsecond are dropped
+  * (replay guard). Keying by (series, day) gives the day-boundary
+  * reset for free AND keeps one hot series spread across day-keyed
+  * state entries at scale.
   */
 object TickFlowMonitor {
 
@@ -35,6 +38,9 @@ object TickFlowMonitor {
     java.time.Instant.ofEpochMilli(ts.getTime)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
 
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   def signs(bars: Dataset[Bar]): Dataset[Signed] = {
     val spark = bars.sparkSession
     import spark.implicits._
@@ -45,8 +51,8 @@ object TickFlowMonitor {
         case ((series, day), rows, state: GroupState[St]) =>
           var st = state.getOption.getOrElse(St(Long.MinValue, 0, Long.MinValue))
           val out = Vector.newBuilder[Signed]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { b =>
-            val t = b.ts.getTime
+          rows.toSeq.sortBy(b => micros(b.ts)).foreach { b =>
+            val t = micros(b.ts)
             if (t > st.lastTs) {
               val c6 = math.floor(b.close * 1e6 + 0.5).toLong
               val sign =

@@ -215,6 +215,64 @@ class ScaleSpec extends AnyFunSuite {
     assert(pinned.select("shard").distinct().count() === 8L)
   }
 
+  test("flagship z-score plan is day-scoped: no per-pair global window remains") {
+    // SURVEY §7.4(a): the reference windows by pair_name alone — one
+    // task per pair for its entire history. The flagship must instead
+    // window by (pair_name, __day_idx) via ScalableWindow.dayScoped.
+    import spark.implicits._
+    val bars = Seq(
+      ("MSFT", java.sql.Timestamp.valueOf("2024-01-02 14:30:00"), 10.0),
+      ("AAPL", java.sql.Timestamp.valueOf("2024-01-02 14:30:00"), 20.0),
+      ("MSFT", java.sql.Timestamp.valueOf("2024-01-02 14:35:00"), 11.0),
+      ("AAPL", java.sql.Timestamp.valueOf("2024-01-02 14:35:00"), 21.0)
+    ).toDF("symbol", "timestamp", "close")
+    val plan = Pipeline.pairZScores(bars, Seq(("MSFT", "AAPL")))
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(pair_name#\\d+, bar_ts#\\d+ ASC".r
+      .findFirstIn(plan).isEmpty,
+      s"per-pair global window found (skew hazard):\n${plan.take(3000)}")
+    assert(plan.contains("__day_idx"),
+      s"day-scoped window expected in plan:\n${plan.take(3000)}")
+  }
+
+  test("pageRank shuffle mode: one contribution Exchange per iteration, edges never move") {
+    // broadcastRanks=Some(false) simulates the >broadcastMaxNodes
+    // regime: edges and nodes are hash-partitioned once before their
+    // checkpoints, so each iteration's src-join and id-join reuse the
+    // stored layout — the ONLY per-iteration exchange is the dst-keyed
+    // contribution shuffle.
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (2L, 4L)
+    ).toDF("src", "dst")
+    val auto = graft.ops.GraphOps.pageRank(edges, iters = 2)
+    // pin the planner to the at-scale regime the mode models: no AQE
+    // partition coalescing (tiny test data would collapse everything
+    // to 1 partition) and no auto-broadcast of the "huge" edge side
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val shuffled =
+      try {
+        val s = graft.ops.GraphOps.pageRank(
+          edges, iters = 2, broadcastRanks = Some(false))
+        s.collect() // materialize under the pinned confs
+        s
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      }
+    val plan = graft.ops.GraphOps.lastIterPlan
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx === 1,
+      s"expected exactly 1 per-iteration exchange (contributions), got $nEx:\n" +
+        plan.take(4000))
+    // both modes produce identical ranks
+    assert(auto.orderBy("id").collect().toSeq ===
+      shuffled.orderBy("id").collect().toSeq)
+  }
+
   test("raw inspection reports per-payload bar counts") {
     val dir = AlpacaFixtures.write(
       java.nio.file.Files.createTempDirectory("inspect_fix")).toString
