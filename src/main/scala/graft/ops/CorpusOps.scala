@@ -783,6 +783,24 @@ object CorpusOps {
         .filter(size(col("toks")) >= 1))
       .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl"))
       .localCheckpoint(eager = false)
+    bm25FromToks(toks, queryTerms, k, k1, b, idCol, pinTf)
+  }
+
+  /** [[bm25]] over a PRE-TOKENIZED `(id, toks, dl)` relation — the
+    * shared-scan entry for hybrid-retrieval plans (q148) whose other
+    * leg reads the same tokens: tokenize + checkpoint ONCE upstream,
+    * feed both legs, and the corpus scans exactly once. Callers must
+    * pass the relation already filtered to non-empty `toks` and
+    * materialized/checkpointed (this function adds no barrier). */
+  def bm25FromToks(
+      toks: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      pinTf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
     val stats = toks.agg(
       count(lit(1)).as("n_docs"),
       // decimal-accumulated so partial-agg order cannot perturb avgdl

@@ -57,10 +57,17 @@ object TextOps {
   /** Per-document token/length statistics and a composite quality
     * score — the LLM-corpus analog of the reference's per-row DQ
     * checks (`project/validate_data.py:174-185`). */
-  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame =
     // barrier: materialize toks once — otherwise CollapseProject
     // inlines the split() into every stat column (see Dist.materialize)
-    Dist.materialize(df.withColumn("toks", tokens(col(textCol))))
+    textStatsPretok(
+      Dist.materialize(df.withColumn("toks", tokens(col(textCol)))), textCol)
+
+  /** [[textStats]] over a relation that ALREADY carries a `toks`
+    * column behind a materialization barrier (shared-scan callers:
+    * q148 tokenizes once and feeds both retrieval legs). */
+  def textStatsPretok(df: DataFrame, textCol: String = "text"): DataFrame = {
+    df
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chars_m", length(col(textCol)).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))

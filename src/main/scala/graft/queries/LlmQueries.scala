@@ -441,11 +441,22 @@ object LlmQueries {
     // BM25 lexical top-100 merged with the quality-prior top-100,
     // re-ranked by Σ 1/(60 + rank)
     "q148_rrf_fusion" -> ((s, dir) => {
-      val docs = Tables.rebalance(Tables.documents(s, dir))
-      val lex = CorpusOps.bm25(docs, queryTerms = Bm25Terms, k = 100)
+      // ONE corpus scan + ONE tokenize: the shared checkpointed
+      // relation feeds BOTH legs — the bm25 leg otherwise re-reads and
+      // re-splits exactly what the quality leg just processed, so
+      // fusion must cost the fusion, not a second corpus pass
+      val shared = graft.ops.Dist.materialize(
+          Tables.rebalance(Tables.documents(s, dir))
+            .withColumn("toks", TextOps.tokens(col("text"))))
+        .localCheckpoint(eager = false)
+      val lex = CorpusOps.bm25FromToks(
+        shared.filter(size(col("toks")) >= 1)
+          .select(col("doc_id"), col("toks"),
+            size(col("toks")).cast("long").as("dl")),
+        queryTerms = Bm25Terms, k = 100)
       val wq = org.apache.spark.sql.expressions.Window
         .orderBy(col("quality_score").desc, col("doc_id"))
-      val qual = TextOps.textStats(docs)
+      val qual = TextOps.textStatsPretok(shared)
         .withColumn("rank", row_number().over(wq))
         .filter(col("rank") <= 100)
         .select(col("doc_id"), col("rank"))

@@ -93,4 +93,33 @@ object Sinks {
     val w = deduped.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Incremental JDBC append with key dedup — the UNIQUE constraint
+    * the reference's full-refresh overwrite silently dropped
+    * (`transform_data.py:200-209`, SURVEY §1.3/§7.4(b)) re-expressed
+    * engine-side: the batch drops its internal key duplicates, then
+    * anti-joins the target's EXISTING keys (a key-columns-only JDBC
+    * scan — column pruning reaches the generated SQL) and appends only
+    * the survivors. Creates the table when absent. Idempotent:
+    * replaying a delivered batch appends nothing, so at-least-once
+    * upstream delivery yields exactly-once table contents. A batch
+    * that dedups to empty is a silent no-op (an incremental day may
+    * legitimately already be loaded), unlike the destructive
+    * overwrite's empty GUARD. */
+  def appendDedupedJdbc(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String],
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val deduped = df.dropDuplicates(keyCols)
+    val fresh = scala.util.Try(
+        spark.read.jdbc(url, table, props).select(keyCols.map(col): _*)
+      ) match {
+      case scala.util.Success(existingKeys) =>
+        deduped.join(existingKeys, keyCols, "left_anti")
+      case scala.util.Failure(_) => deduped // table absent: first load
+    }
+    if (!fresh.isEmpty)
+      fresh.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
 }

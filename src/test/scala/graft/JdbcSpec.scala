@@ -58,6 +58,27 @@ class JdbcSpec extends AnyFunSuite {
     assert(Tables.jdbc(spark, url, "bars_guard").count() === 3)
   }
 
+  test("jdbc dedup-append: replay appends nothing, new keys append once") {
+    // first load creates the table
+    Sinks.appendDedupedJdbc(sample, url, "bars_inc", Seq("bar_id"))
+    assert(Tables.jdbc(spark, url, "bars_inc").count() === 3)
+    // exact replay (at-least-once delivery) is a no-op
+    Sinks.appendDedupedJdbc(sample, url, "bars_inc", Seq("bar_id"))
+    assert(Tables.jdbc(spark, url, "bars_inc").count() === 3)
+    // a batch with one known key, one new key, and an internal dup of
+    // the new key appends exactly one row
+    val next = Seq(
+      (3L, "AAPL", 190.02, "2025-11-04"), // already loaded
+      (4L, "MSFT", 405.77, "2025-11-04"), // new
+      (4L, "MSFT", 405.77, "2025-11-04")) // internal dup of the new key
+      .toDF("bar_id", "symbol", "close", "trading_date")
+      .withColumn("trading_date", to_date(col("trading_date")))
+    Sinks.appendDedupedJdbc(next, url, "bars_inc", Seq("bar_id"))
+    val after = Tables.jdbc(spark, url, "bars_inc")
+    assert(after.count() === 4)
+    assert(after.filter(col("bar_id") === 4L).count() === 1)
+  }
+
   test("jdbc scan pushes comparison predicates into the generated SQL") {
     Sinks.overwriteJdbc(sample, url, "bars_push")
     val filtered = Tables.jdbc(spark, url, "bars_push").filter(col("bar_id") > 1)

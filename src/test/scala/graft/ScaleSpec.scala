@@ -235,6 +235,65 @@ class ScaleSpec extends AnyFunSuite {
       s"day-scoped window expected in plan:\n${plan.take(3000)}")
   }
 
+  test("q158 tick-bars plan: per-series row index, never a global sort") {
+    // information bars need one sequential step (the per-series row
+    // index); it must stay a partition-local window sort — a global
+    // sort would serialize the whole tick store on one core
+    val plan = graft.ops.MarketBars.tickBars(Tables.events(spark, sf),
+        "event_type", "ts", "value", "event_id", ticksPerBar = 50)
+      .queryExecution.executedPlan.toString
+    assert("], true, 0".r.findAllIn(plan).isEmpty,
+      s"global sort found in tick-bars plan:\n${plan.take(3000)}")
+    assert("Window \\[".r.findAllIn(plan).size === 1,
+      s"expected exactly one Window (row index):\n${plan.take(3000)}")
+  }
+
+  test("q146 page-cusum plan: the whole alarm path is ONE window pass") {
+    import spark.implicits._
+    val bars = Seq(
+      ("A", java.sql.Timestamp.valueOf("2024-01-02 14:30:00"), 10.0),
+      ("A", java.sql.Timestamp.valueOf("2024-01-02 14:35:00"), 11.0),
+      ("B", java.sql.Timestamp.valueOf("2024-01-02 14:30:00"), 20.0)
+    ).toDF("series", "bar_ts", "close")
+    val base = Seq(("A", 10.0), ("B", 20.0)).toDF("series", "mu0")
+    // prefix-sum identity: S_i = P_i − min(0, min P_j). The running
+    // min DEPENDS on the running sum, so Catalyst keeps two Window
+    // operators — but they share one windowspec, so the path must cost
+    // ONE shuffle + ONE sort (the second Window reads the first's
+    // output in place; a re-sort/re-exchange between them would double
+    // the dominant cost at scale)
+    val plan = graft.ops.MarketBars.pageCusum(bars, base, slack = 0.5, h = 5.0)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected one series shuffle:\n${plan.take(3000)}")
+    assert("Sort \\[".r.findAllIn(plan).size === 1,
+      s"expected one partition-local sort shared by both Windows:\n${plan.take(3000)}")
+    assert("Window \\[".r.findAllIn(plan).size === 2,
+      s"expected the two dependent Windows, nothing more:\n${plan.take(3000)}")
+  }
+
+  test("q171 heaps-law plan: id-math buckets, no corpus row_number") {
+    // vocabulary-growth buckets come from pure id arithmetic against a
+    // broadcast bounds row — a row_number over the corpus would force
+    // a global rank just to assign buckets
+    val plan = graft.ops.CorpusOps.heapsLaw(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"),
+      s"corpus row_number found in heaps-law plan:\n${plan.take(3000)}")
+  }
+
+  test("q102 bm25 plan: global top-k is TakeOrdered, not a full sort") {
+    // the k-cut must be per-partition heaps (TakeOrderedAndProject);
+    // a global Sort of all scored docs would shuffle the corpus once
+    // more just to keep 10 rows
+    val plan = graft.ops.CorpusOps
+      .bm25(Tables.documents(spark, sf), Seq("spark", "window", "hash"),
+        pinTf = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"TakeOrderedAndProject missing from bm25 plan:\n${plan.take(3000)}")
+  }
+
   test("pageRank shuffle mode: one contribution Exchange per iteration, edges never move") {
     // broadcastRanks=Some(false) simulates the >broadcastMaxNodes
     // regime: edges and nodes are hash-partitioned once before their

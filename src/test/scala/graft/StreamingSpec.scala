@@ -430,6 +430,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Page-CUSUM survives a kill + checkpoint restart: no lost, no duplicate alarm") {
+    // the one production Structured-Streaming property the parity
+    // tests can't show: stateful recovery. Phase 1 processes half the
+    // bars and STOPS; phase 2 restarts FROM THE CHECKPOINT (same
+    // MemoryStream instance — the checkpoint's offsets address it) and
+    // processes the rest. The parquet sink is exactly-once under
+    // checkpointing, so the union must equal the batch alarm set —
+    // any lost state shows as a missing/shifted alarm (S carries
+    // across the restart), any replay as a duplicate row.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bars = MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"series").orderBy($"bar_ts")
+    val mu0 = bars.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select("series", "close").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val slack = 0.1
+    val h = 0.5
+    val h6 = math.floor(h * 1e6 + 0.5).toLong
+    val baseDf = mu0.toSeq.toDF("series", "mu0")
+    val batch = MarketBars.pageCusumPath(bars, baseDf, slack)
+      .filter($"s6" > h6)
+      .select($"series", $"bar_ts".as("ts"), $"s6")
+
+    val points = bars.collect()
+      .map(r => PageCusumMonitor.Bar(r.getString(0), r.getTimestamp(1),
+        r.getAs[Double]("close"))).toSeq.sortBy(_.ts.getTime)
+    val ckpt = java.nio.file.Files.createTempDirectory("cusum_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cusum_rec").toString
+    val stream = MemoryStream[PageCusumMonitor.Bar]
+    def start() = PageCusumMonitor.alarms(stream.toDS(), mu0, slack, h)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val (h1, h2) = points.splitAt(points.length / 2)
+    val q1 = start()
+    try {
+      stream.addData(h1); q1.processAllAvailable()
+    } finally q1.stop() // kill mid-stream; h2 not yet seen
+    stream.addData(h2)
+    val q2 = start() // recover from the checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+
+    val recovered = spark.read.parquet(outDir).select("series", "ts", "s6")
+    assert(recovered.count() === recovered.distinct().count(),
+      "duplicate alarm after restart")
+    assert(recovered.except(batch).count() === 0, "spurious alarm")
+    assert(batch.except(recovered).count() === 0, "lost alarm")
+    assert(recovered.count() > 0)
+  }
+
   test("streaming tick-rule signs aggregate to the batch daily flow") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
