@@ -1130,4 +1130,131 @@ object MarketBars {
           col("n_runs").cast(DoubleType) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("avg_run"))
   }
+
+  /** Barndorff-Nielsen & Shephard (2004) bipower variation and jump
+    * fraction per (series, day): RV = Σ r², BV = (π/2)·(m/(m−1))·
+    * Σ|r_i||r_{i−1}|, jump_frac = max(0, 1 − BV/RV). BV is robust to
+    * jumps, so the RV−BV gap isolates the jump contribution — the
+    * standard high-frequency jump screen.
+    *
+    * Determinism: returns round 8dp before any product (q92's rule);
+    * per-row r² and |r||r_prev| terms round 12dp then DECIMAL-sum, so
+    * partial-aggregation order can't move the result; the π/2 scale
+    * and the ratio form once per output row in DOUBLE with the exact
+    * op order mirrored in the oracle. Day-scoped lag chain — the
+    * (series, day) key grows with data, no hot partitions (q111's
+    * layout); two same-key window passes share one sort. */
+  def bipowerJump(bars: DataFrame): DataFrame = {
+    val dayW = Window.partitionBy(col("series"), col("d")).orderBy(col("bar_ts"))
+    def dbl(c: Column) = c.cast(DoubleType)
+    val rets = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("prev_c", lag(col("close"), 1).over(dayW))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
+      .withColumn("r", round(log(col("close") / col("prev_c")), 8))
+    val terms = rets
+      .withColumn("r_prev", lag(col("r"), 1).over(dayW))
+    def dsum(c: Column) = sum(round(c, 12).cast(DecimalType(28, 12)))
+    val agg = terms.groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n_rets"),
+        dsum(col("r") * col("r")).as("srr"),
+        count(col("r_prev")).as("m_pairs"),
+        dsum(abs(col("r")) * abs(col("r_prev"))).as("sbv"))
+    val rv = dbl(col("srr"))
+    val bv = lit(math.Pi) / 2 *
+      (dbl(col("m_pairs")) / (dbl(col("m_pairs")) - 1)) * dbl(col("sbv"))
+    agg.filter(col("m_pairs") >= 2)
+      .select(col("series"), col("d"), col("n_rets"), col("m_pairs"),
+        round(rv, 10).as("rv"),
+        round(bv, 10).as("bv"),
+        when(rv > 0, round(greatest(lit(0.0), lit(1.0) - bv / rv), 6))
+          .as("jump_frac"))
+  }
+
+  /** Cross-sectional momentum portfolio: each day, rank series by the
+    * PREVIOUS day's close-to-close return (no look-ahead), go long the
+    * top `nSide` and short the bottom `nSide`, and realize today's
+    * equal-weighted long/short returns. The daily-rebalanced
+    * winners-minus-losers spread — the classic cross-sectional factor
+    * backtest shape.
+    *
+    * Scale: daily closes collapse the bar relation to |series|·|days|
+    * rows FIRST (argmax-by-struct, one hash aggregate); every window
+    * after that runs on the collapsed relation — the per-day rank key
+    * grows with data, and the per-series day chain is |days| rows per
+    * partition (q49 small-key class on an already-tiny input). Returns
+    * round 8dp before ranking and averaging; leg means DECIMAL-sum
+    * rounded terms then divide in DOUBLE (q111's covariance rule). */
+  def xsMomentum(bars: DataFrame, nSide: Int = 2): DataFrame = {
+    require(nSide >= 1, s"nSide must be >= 1 (got $nSide)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val daily = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .groupBy(col("series"), col("d"))
+      .agg(max(struct(col("bar_ts"), col("close"))).getField("close")
+        .as("close"))
+    val serW = Window.partitionBy(col("series")).orderBy(col("d"))
+    val withRet = daily
+      .withColumn("prev_close", lag(col("close"), 1).over(serW))
+      .withColumn("dret",
+        when(col("prev_close") > 0,
+          round(col("close") / col("prev_close") - 1, 8)))
+      .withColumn("signal", lag(col("dret"), 1).over(serW))
+      .filter(col("signal").isNotNull && col("dret").isNotNull)
+    val dayRank = Window.partitionBy(col("d"))
+      .orderBy(col("signal").desc, col("series"))
+    val ranked = withRet
+      .withColumn("rnk", row_number().over(dayRank))
+      .withColumn("n_series",
+        count(lit(1)).over(Window.partitionBy(col("d"))))
+      .filter(col("n_series") >= 2 * nSide)
+      .withColumn("pos",
+        when(col("rnk") <= nSide, 1)
+          .when(col("rnk") > col("n_series") - nSide, -1)
+          .otherwise(0))
+    def legSum(p: Int) =
+      sum(when(col("pos") === p, col("dret").cast(DecimalType(28, 12))))
+    ranked.groupBy(col("d"))
+      .agg(max(col("n_series")).as("n_series"),
+        legSum(1).as("sl"), legSum(-1).as("ss"))
+      .select(col("d"), col("n_series"),
+        round(dbl(col("sl")) / nSide, 6).as("long_ret"),
+        round(dbl(col("ss")) / nSide, 6).as("short_ret"),
+        round(dbl(col("sl")) / nSide - dbl(col("ss")) / nSide, 6)
+          .as("ls_spread"))
+  }
+
+  /** Ljung–Box portmanteau test on the [[acf]] lags: Q = L(L+2)·
+    * Σ_k ρ_k²/(L−k) where L is the per-series return count — "is there
+    * ANY serial dependence in the first `maxLag` autocorrelations?"
+    * Emits Q, the lag count actually used, and the 95% χ² decision for
+    * that df (critical values pinned for df 1..5 — both engines CASE
+    * on the same literals).
+    *
+    * Runs entirely on the |series|·maxLag ACF aggregate — the corpus
+    * is touched only by [[acf]] itself. ρ is the 6dp-rounded r_acf, so
+    * both engines fold identical inputs; ρ²/(L−k) terms round 12dp and
+    * DECIMAL-sum before the one DOUBLE scale at emission. */
+  def ljungBox(bars: DataFrame, maxLag: Int = 5): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    // at lag k the pair count n = L − k, so L = n + k on every row
+    val base = acf(bars, maxLag)
+      .filter(col("r_acf").isNotNull)
+      .withColumn("l_obs", col("n") + col("k"))
+    val crit = // χ²(df, 0.95), df = number of lags summed
+      when(col("df_used") === 1, 3.8415)
+        .when(col("df_used") === 2, 5.9915)
+        .when(col("df_used") === 3, 7.8147)
+        .when(col("df_used") === 4, 9.4877)
+        .otherwise(11.0705)
+    base.groupBy(col("series"))
+      .agg(max(col("l_obs")).as("l_obs"),
+        count(lit(1)).as("df_used"),
+        sum(round(col("r_acf") * col("r_acf") / col("n"), 12)
+          .cast(DecimalType(28, 12))).as("sterm"))
+      .select(col("series"), col("l_obs"), col("df_used"),
+        round(dbl(col("l_obs")) * (dbl(col("l_obs")) + 2) *
+          dbl(col("sterm")), 4).as("q_stat"))
+      .withColumn("reject_white", col("q_stat") > crit)
+  }
 }

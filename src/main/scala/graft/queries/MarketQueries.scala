@@ -832,6 +832,32 @@ object MarketQueries {
       PairAnalytics.cointegration(
         PairAnalytics.pairSpread(bars, "click", "view").drop("spread"))
         .orderBy(col("pair_name"))
+    }),
+
+    // Bipower variation + jump fraction per (series, day)
+    // (MarketBars.bipowerJump): the jump-robust sibling of q92's RV
+    "q181_bipower_jump" -> ((s, dir) => {
+      MarketBars.bipowerJump(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
+    // Daily-rebalanced cross-sectional momentum backtest
+    // (MarketBars.xsMomentum): winners-minus-losers on yesterday's
+    // daily return, long/short 2 of the 5 series
+    "q182_xs_momentum" -> ((s, dir) => {
+      MarketBars.xsMomentum(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), nSide = 2)
+        .orderBy(col("d"))
+    }),
+
+    // Ljung–Box portmanteau Q over the q151 ACF lags
+    // (MarketBars.ljungBox): one number per series answering "any
+    // serial dependence at all?"
+    "q183_ljung_box" -> ((s, dir) => {
+      MarketBars.ljungBox(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -2145,6 +2171,133 @@ object MarketQueries {
             CASE WHEN phi IS NOT NULL AND sse > 0 AND n_obs > 1
               THEN round(phi * sqrt(CAST(srr AS DOUBLE))
                 / sqrt(sse / (CAST(n_obs AS DOUBLE) - 1.0)), 6) END AS adf_t
-          FROM f2 ORDER BY pair_name"""
+          FROM f2 ORDER BY pair_name""",
+
+    // bipower twin: same day-scoped 8dp return chain, same 12dp-rounded
+    // decimal term sums, same pi()/2 scale + ratio double op order
+    "q181_bipower_jump" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts, close
+                FROM bars),
+          p AS (SELECT *, lag(close) OVER
+                  (PARTITION BY series, d ORDER BY bar_ts) AS prev_c
+                FROM b),
+          r AS (SELECT series, d, bar_ts, round(ln(close/prev_c), 8) AS r
+                FROM p
+                WHERE prev_c IS NOT NULL AND prev_c > 0 AND close > 0),
+          t AS (SELECT *, lag(r) OVER
+                  (PARTITION BY series, d ORDER BY bar_ts) AS r_prev
+                FROM r),
+          g AS (SELECT series, d, count(*) AS n_rets,
+                  sum(CAST(round(r*r, 12) AS DECIMAL(28,12))) AS srr,
+                  count(r_prev) AS m_pairs,
+                  sum(CAST(round(abs(r)*abs(r_prev), 12) AS DECIMAL(28,12)))
+                    AS sbv
+                FROM t GROUP BY 1, 2)
+          SELECT series, d, n_rets, m_pairs,
+            round(CAST(srr AS DOUBLE), 10) AS rv,
+            round(pi() / 2 * (CAST(m_pairs AS DOUBLE)
+              / (CAST(m_pairs AS DOUBLE) - 1)) * CAST(sbv AS DOUBLE), 10)
+              AS bv,
+            CASE WHEN CAST(srr AS DOUBLE) > 0
+              THEN round(greatest(0.0, 1.0 - (pi() / 2
+                * (CAST(m_pairs AS DOUBLE) / (CAST(m_pairs AS DOUBLE) - 1))
+                * CAST(sbv AS DOUBLE)) / CAST(srr AS DOUBLE)), 6) END
+              AS jump_frac
+          FROM g WHERE m_pairs >= 2 ORDER BY series, d""",
+
+    // momentum twin: same struct-argmax daily close, same 8dp return
+    // rounding before rank/average, same (signal DESC, series) rank
+    // tie-break and decimal leg sums
+    "q182_xs_momentum" ->
+      s"""WITH $barsCte,
+          dc AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   (max(struct_pack(t := bar_ts, v := close))).v AS close
+                 FROM bars GROUP BY 1, 2),
+          w AS (SELECT *, lag(close) OVER
+                  (PARTITION BY series ORDER BY d) AS prev_close
+                FROM dc),
+          r AS (SELECT series, d,
+                  CASE WHEN prev_close > 0
+                    THEN round(close/prev_close - 1, 8) END AS dret
+                FROM w),
+          sg AS (SELECT *, lag(dret) OVER
+                   (PARTITION BY series ORDER BY d) AS signal
+                 FROM r),
+          f AS (SELECT * FROM sg
+                WHERE signal IS NOT NULL AND dret IS NOT NULL),
+          rk AS (SELECT *, row_number() OVER
+                   (PARTITION BY d ORDER BY signal DESC, series) AS rnk,
+                   count(*) OVER (PARTITION BY d) AS n_series
+                 FROM f),
+          ps AS (SELECT *, CASE WHEN rnk <= 2 THEN 1
+                   WHEN rnk > n_series - 2 THEN -1 ELSE 0 END AS pos
+                 FROM rk WHERE n_series >= 4),
+          g AS (SELECT d, max(n_series) AS n_series,
+                  sum(CASE WHEN pos = 1
+                    THEN CAST(dret AS DECIMAL(28,12)) END) AS sl,
+                  sum(CASE WHEN pos = -1
+                    THEN CAST(dret AS DECIMAL(28,12)) END) AS ss
+                FROM ps GROUP BY 1)
+          SELECT d, CAST(n_series AS BIGINT) AS n_series,
+            round(CAST(sl AS DOUBLE) / 2, 6) AS long_ret,
+            round(CAST(ss AS DOUBLE) / 2, 6) AS short_ret,
+            round(CAST(sl AS DOUBLE) / 2 - CAST(ss AS DOUBLE) / 2, 6)
+              AS ls_spread
+          FROM g ORDER BY d""",
+
+    // Ljung–Box twin: replays the q151 ACF chain verbatim, then the
+    // same 12dp term rounding, decimal sum, and L(L+2) double scale
+    "q183_ljung_box" -> {
+      val branches = (1 to 5).map { k =>
+        s"""SELECT series, $k AS k, d6 AS x, lag(d6, $k) OVER w$k AS y
+            FROM dd WINDOW w$k AS (PARTITION BY series ORDER BY bar_ts)"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH $barsCte,
+          d AS (SELECT series, bar_ts,
+                  CAST(floor((close - lag(close) OVER
+                    (PARTITION BY series ORDER BY bar_ts)) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                FROM bars),
+          dd AS (SELECT * FROM d WHERE d6 IS NOT NULL),
+          sh AS (
+          $branches),
+          g AS (SELECT series, k, count(*) AS n,
+                  sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                  sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                  sum(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+                  sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+                  sum(CAST(y*y AS DECIMAL(38,0))) AS syy
+                FROM sh WHERE y IS NOT NULL GROUP BY 1, 2),
+          f AS (SELECT series, k, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+                FROM g),
+          af AS (SELECT series, k, n,
+                  CASE WHEN vx > 0 AND vy > 0
+                    THEN round(num / (sqrt(vx)*sqrt(vy)), 6) END AS r_acf
+                FROM f),
+          lb AS (SELECT series, n + k AS l_obs, k, n, r_acf
+                 FROM af WHERE r_acf IS NOT NULL),
+          lg AS (SELECT series, max(l_obs) AS l_obs, count(*) AS df_used,
+                   sum(CAST(round(r_acf*r_acf/n, 12) AS DECIMAL(28,12)))
+                     AS sterm
+                 FROM lb GROUP BY 1),
+          q AS (SELECT series, l_obs, df_used,
+                  round(CAST(l_obs AS DOUBLE)*(CAST(l_obs AS DOUBLE)+2)
+                    *CAST(sterm AS DOUBLE), 4) AS q_stat
+                FROM lg)
+          SELECT series, l_obs, df_used, q_stat,
+            q_stat > CASE WHEN df_used = 1 THEN 3.8415
+                          WHEN df_used = 2 THEN 5.9915
+                          WHEN df_used = 3 THEN 7.8147
+                          WHEN df_used = 4 THEN 9.4877
+                          ELSE 11.0705 END AS reject_white
+          FROM q ORDER BY series"""
+    }
   )
 }
