@@ -530,4 +530,93 @@ object EventAnalytics {
             (col("na").cast(DoubleType) * col("nb").cast(DoubleType)) *
             lit(1e6) + lit(0.5)) / lit(1e6)).as("ks"))
   }
+
+  /** RFM (recency / frequency / monetary) segmentation: per-user
+    * recency in days from the stream's latest event, event count, and
+    * decimal-exact purchase value; quintile scores via ntile(5) with a
+    * user_id tie-break (deterministic under any partitioning), then
+    * the standard marketing segments rolled up with per-segment means.
+    *
+    * Scale posture: the corpus collapses to ONE row per user first
+    * (hash aggregate with map-side partials); every window after that
+    * runs on the user relation. The three unpartitioned ntiles are the
+    * q158 global-row-number class — at a billion users each becomes
+    * the documented two-pass form (per-partition counts + offsets on
+    * range-partitioned sort output); the reference-of-day anchor is a
+    * 1-row broadcast, never a driver collect. */
+  def rfm(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val anchor = events.agg(max(to_date(col("ts"))).as("ref_d"))
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 6)))),
+          lit(0).cast(DecimalType(18, 6))).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("ref_d"), col("last_d")))
+    def quintile(order: Column*) =
+      lit(6) - ntile(5).over(Window.orderBy(order: _*))
+    val scored = perUser
+      .withColumn("r_score",
+        quintile(col("recency_days").asc, col("user_id")))
+      .withColumn("f_score",
+        quintile(col("frequency").desc, col("user_id")))
+      .withColumn("m_score",
+        quintile(col("monetary").desc, col("user_id")))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champions")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new_or_recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+    scored.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("recency_days").cast(DecimalType(18, 0))).as("sr"),
+        sum(col("frequency").cast(DecimalType(18, 0))).as("sf"),
+        sum(col("monetary")).as("sm"))
+      .select(col("segment"), col("n_users"),
+        round(dbl(col("sr")) / dbl(col("n_users")), 6).as("avg_recency"),
+        round(dbl(col("sf")) / dbl(col("n_users")), 6).as("avg_frequency"),
+        round(dbl(col("sm")) / dbl(col("n_users")), 6).as("avg_monetary"))
+  }
+
+  /** Engagement concentration: Gini coefficient and top-decile share
+    * of per-user event counts — "how unequal is activity?", the
+    * audience-health number next to q178's stickiness.
+    *
+    * All-integer until emission: with users ranked ascending by count
+    * (user_id tie-break), Gini = 2·Σ i·cᵢ / (n·Σc) − (n+1)/n; the
+    * rank-weighted sum accumulates in DECIMAL(38,0) so it is exact and
+    * partial-order-proof. Top-decile share counts the n÷10 (integer
+    * division) heaviest users. Corpus collapses to one row per user
+    * first; the ascending rank is the q158 global-row-number class
+    * with the same two-pass escape at scale; the final fold is 1 row. */
+  def engagementGini(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    // rank ascending + total user count share ONE unpartitioned sort;
+    // integer division via floor-cast (exact for n < 2^53, same as the
+    // oracle's //)
+    val ranked = perUser
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("c"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("c")).as("total_events"),
+        sum((col("i") * col("c")).cast(dec)).as("swc"),
+        sum(when(col("i") > col("n") -
+          floor(col("n") / lit(10)).cast("long"), col("c"))).as("topc"))
+      .select(col("n_users"), col("total_events"),
+        round(lit(2.0) * dbl(col("swc")) /
+          (dbl(col("n_users")) * dbl(col("total_events"))) -
+          (dbl(col("n_users")) + 1) / dbl(col("n_users")), 6).as("gini"),
+        round(dbl(col("topc")) / dbl(col("total_events")), 6)
+          .as("top_decile_share"))
+  }
 }

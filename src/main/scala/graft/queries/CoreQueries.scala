@@ -1000,6 +1000,19 @@ object CoreQueries {
     "q180_session_stats" -> ((s, dir) => {
       graft.ops.EventAnalytics.sessionStats(Tables.events(s, dir))
         .orderBy(col("user_id"))
+    }),
+
+    // RFM quintile segmentation (EventAnalytics.rfm): the classic
+    // user-value taxonomy over recency/frequency/purchase-monetary
+    "q184_rfm" -> ((s, dir) => {
+      graft.ops.EventAnalytics.rfm(Tables.events(s, dir))
+        .orderBy(col("segment"))
+    }),
+
+    // Engagement Gini + top-decile share (EventAnalytics
+    // .engagementGini): activity-concentration next to q178
+    "q185_engagement_gini" -> ((s, dir) => {
+      graft.ops.EventAnalytics.engagementGini(Tables.events(s, dir))
     })
   )
 
@@ -1950,6 +1963,67 @@ object CoreQueries {
              * 1e6 + 0.5) / 1e6 AS mean_depth,
            floor(CAST(sum_dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE)
              + 0.5) / 1e6 AS mean_dur_s
-         FROM a ORDER BY user_id"""
+         FROM a ORDER BY user_id""",
+
+    // RFM twin: same per-user collapse, same (metric, user_id) ntile
+    // tie-breaks, same decimal sums and 6dp segment means
+    "q184_rfm" ->
+      """WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS ref_d FROM events),
+         pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+                  count(*) AS frequency,
+                  coalesce(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,6)) END),
+                    CAST(0 AS DECIMAL(18,6))) AS monetary
+                FROM events GROUP BY 1),
+         w AS (SELECT pu.*, datediff('day', last_d, ref_d) AS recency_days
+               FROM pu, anchor),
+         sc AS (SELECT *,
+                  6 - ntile(5) OVER (ORDER BY recency_days, user_id)
+                    AS r_score,
+                  6 - ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                    AS f_score,
+                  6 - ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                    AS m_score
+                FROM w),
+         lb AS (SELECT *,
+                  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+                       WHEN f_score >= 4 THEN 'loyal'
+                       WHEN r_score >= 4 AND f_score <= 2
+                         THEN 'new_or_recent'
+                       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                       WHEN r_score <= 2 AND f_score <= 2
+                         THEN 'hibernating'
+                       ELSE 'regular' END AS segment
+                FROM sc),
+         g AS (SELECT segment, count(*) AS n_users,
+                 sum(CAST(recency_days AS DECIMAL(18,0))) AS sr,
+                 sum(CAST(frequency AS DECIMAL(18,0))) AS sf,
+                 sum(monetary) AS sm
+               FROM lb GROUP BY 1)
+         SELECT segment, n_users,
+           round(CAST(sr AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS avg_recency,
+           round(CAST(sf AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS avg_frequency,
+           round(CAST(sm AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS avg_monetary
+         FROM g ORDER BY segment""",
+
+    // Gini twin: same ascending (count, user_id) rank, same exact
+    // DECIMAL(38,0) rank-weighted sum, same // 10 top-decile cut
+    "q185_engagement_gini" ->
+      """WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         rk AS (SELECT *, row_number() OVER (ORDER BY c, user_id) AS i,
+                  count(*) OVER () AS n
+                FROM pu)
+         SELECT count(*) AS n_users,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           round(2.0 * CAST(sum(CAST(i*c AS DECIMAL(38,0))) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+             - (CAST(count(*) AS DOUBLE) + 1) / CAST(count(*) AS DOUBLE),
+             6) AS gini,
+           round(CAST(sum(CASE WHEN i > n - n // 10 THEN c END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE), 6) AS top_decile_share
+         FROM rk"""
   )
 }
