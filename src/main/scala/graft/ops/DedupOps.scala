@@ -526,4 +526,103 @@ object DedupOps {
           .as("share_kept"),
         col("clean_text"))
   }
+
+  /** Soft n-gram contamination share — the graded sibling of
+    * [[decontaminate]]'s pair report: for every training document, the
+    * fraction of its DISTINCT word-3-gram hashes that appear anywhere
+    * in the benchmark subset (the union set, not per-bench-doc), plus
+    * a flag at `flagAt`. This is the GPT-3-style "n-gram overlap with
+    * eval" screen where a document is discounted by how much of it is
+    * benchmark material, rather than dropped on a 2-shingle match.
+    *
+    * Scale: the benchmark collapses to a distinct 32-bit hash set and
+    * BROADCASTS (eval suites are small by construction); corpus
+    * shingles probe it map-side, so the only shuffle is the doc-keyed
+    * rollup of (hash, hit) pairs — raw text never moves. */
+  def contaminationShare(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      benchFilter: Column,
+      flagAt: Double = 0.2): DataFrame = {
+    graft.functions.MinHashDoc.register(df.sparkSession, A, B, CrossHash.P)
+    val eligible = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
+    val exploded = eligible
+      .select(col(idCol).as("doc_id"), benchFilter.as("is_bench"),
+        explode(graft.functions.MinHashDoc.doc(col(textCol))("sset")).as("h"))
+    val bench = exploded.filter(col("is_bench"))
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    exploded.filter(!col("is_bench"))
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles").cast("double"),
+          6).as("contam_frac"))
+      .withColumn("flagged", col("contam_frac") >= flagAt)
+  }
+
+  /** Quality-aware duplicate-cluster representative selection: cluster
+    * by the canonical-text digest (so near-identical variants that
+    * differ only in case/punctuation/whitespace collide — q112's
+    * cluster rule), then keep the variant with the MOST original
+    * characters, lowest id on ties — instead of [[exactDupGroups]]'
+    * blind min-id. The "keep the richest copy" policy every curation
+    * pipeline wants once duplicates carry different formatting.
+    *
+    * One digest-keyed shuffle; the argmax is a `max(struct(len, -id))`
+    * inside the same hash aggregate (no window, no second pass), and
+    * only digests + two longs move — never text. */
+  def keepBestCanonical(
+      df: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val d = df.select(col(idCol).as("doc_id"),
+      length(col(textCol)).as("len"),
+      md5(TextOps.canonical(col(textCol))).as("canon_md5"))
+    val best = d.groupBy(col("canon_md5"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("len").as("l"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("canon_md5"), col("cluster_size"),
+        (-col("b.nid")).as("keep_id"))
+    d.join(best, "canon_md5")
+      .select(col("doc_id"), col("canon_md5"), col("cluster_size"),
+        col("len"), col("keep_id"), (col("doc_id") === col("keep_id"))
+          .as("is_kept"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023) semantic deduplication: assign each
+    * embedding to its nearest deterministic IVF cell, then drop any
+    * vector that has a lower-id neighbor at cosine ≥ `threshold`
+    * among the IVF candidate pairs. First-occurrence ownership — the
+    * same partitioning-independent convention as [[spanDedup]]; the
+    * candidate set probes `nprobe` cells so boundary pairs straddling
+    * two cells are still seen.
+    *
+    * Scale: identical posture to [[embeddingNearDups]] (broadcast
+    * codebook, bucket-join candidates, nothing corpus-sized collected)
+    * plus one map-side cell projection and an id-keyed anti-join-shaped
+    * left join for the drop flag. */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      centroidEvery: Int = 50,
+      nprobe: Int = 2): DataFrame = {
+    val unit = Dist.materialize(
+      SimilarityOps.withUnitVec(emb, vecCol)
+        .select(col(idCol).as("vid"), col("nv").as("v"))
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism))
+    val vecs = unit.select(col("vid"), col("v"))
+    val dropped = SimilarityOps.ivfCandidatePairs(unit, centroidEvery, nprobe)
+      .join(vecs.as("ea"), col("id_a") === col("ea.vid"))
+      .join(vecs.as("eb"), col("id_b") === col("eb.vid"))
+      .filter(SimilarityOps.dot(col("ea.v"), col("eb.v")) >= threshold)
+      .select(col("id_b")).distinct().withColumn("is_dropped", lit(true))
+    SimilarityOps.cellAssignments(unit, centroidEvery)
+      .join(dropped, col("vid") === col("id_b"), "left")
+      .select(col("vid").as("vec_id"), col("cell"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.VecDot
 
@@ -212,6 +213,59 @@ object SimilarityOps {
         col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
       .distinct()
+  }
+
+  /** Hard cell assignment: each unit vector's single nearest centroid
+    * (cosine, lowest-cid tie-break) — the nprobe=1 slice of
+    * [[ivfCandidatePairs]]'s probe step as a reusable relation.
+    * Map-side over a broadcast codebook; no shuffle. */
+  def cellAssignments(unit: DataFrame, centroidEvery: Int): DataFrame = {
+    val cents = unit.filter(col("vid") % centroidEvery === 0)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val cb = broadcast(codebook(cents))
+    unit.crossJoin(cb)
+      .select(col("vid"), col("v"),
+        element_at(nearestCentroids(col("cb"), col("v"), 1), 1)
+          .getField("cid").as("cell"))
+  }
+
+  /** Per-dimension embedding statistics: count, mean, sample variance
+    * for every coordinate, ranked by variance — the anisotropy /
+    * dead-dimension audit run before indexing a corpus (a handful of
+    * dominant dimensions ruins PQ and IVF cell balance; near-zero
+    * variance dimensions are free to drop).
+    *
+    * Scale: posexplode is map-side; the (dim) aggregate key is fixed
+    * at the dimensionality, so the shuffle carries dim·P partial rows
+    * (map-side combine); the rank window runs on |dims| rows only.
+    * float→double casts are exact; per-row x and x² terms round 12dp
+    * and DECIMAL-sum (partial-order-proof); mean/variance form once
+    * per dim in DOUBLE mirrored by the oracle. */
+  def dimStats(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topK: Int = 10): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    def dsum(c: Column) = sum(round(c, 12).cast(DecimalType(28, 12)))
+    val ex = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).as("dim"), col("xf").cast(DoubleType).as("x"))
+    val agg = ex.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"),
+        dsum(col("x") * col("x")).as("sxx"))
+    val mean = dbl(col("sx")) / dbl(col("n"))
+    val variance =
+      (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / dbl(col("n"))) /
+        (dbl(col("n")) - 1)
+    agg.filter(col("n") > 1)
+      .withColumn("mean_x", round(mean, 8))
+      .withColumn("var_x", round(variance, 8))
+      .withColumn("var_rank",
+        row_number().over(Window.orderBy(col("var_x").desc, col("dim"))))
+      .select(col("dim"), col("n"), col("mean_x"), col("var_x"),
+        col("var_rank"), (col("var_rank") <= topK).as("is_top"))
   }
 
   /** Product-quantization ENCODE: split the vector into `m` equal

@@ -556,6 +556,39 @@ object LlmQueries {
     "q175_dataset_card" -> ((s, dir) => {
       CorpusOps.datasetCard(Tables.documents(s, dir))
         .orderBy(col("source"))
+    }),
+
+    // Soft n-gram contamination share vs the bench subset (DedupOps
+    // .contaminationShare): the graded sibling of q73's hard pairs
+    "q186_contam_ngram" -> ((s, dir) => {
+      DedupOps.contaminationShare(Tables.rebalance(Tables.documents(s, dir)),
+        "text", "doc_id", benchFilter = col("doc_id") % 37 === 0,
+        flagAt = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-dimension embedding mean/variance + anisotropy rank
+    // (SimilarityOps.dimStats): the pre-indexing audit for q70/q97
+    "q187_embed_dims" -> ((s, dir) => {
+      SimilarityOps.dimStats(Tables.embeddings(s, dir), "vec_id",
+          "embedding", topK = 10)
+        .orderBy(col("dim"))
+    }),
+
+    // Keep-the-richest-copy dedup representative (DedupOps
+    // .keepBestCanonical): q112's clusters, quality-argmax selection
+    "q188_keep_best" -> ((s, dir) => {
+      DedupOps.keepBestCanonical(Tables.rebalance(Tables.documents(s, dir)),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup semantic dedup over IVF cells (DedupOps.semDedup):
+    // first-occurrence drop rule on cosine >= 0.45 candidate pairs
+    "q189_semdedup" -> ((s, dir) => {
+      DedupOps.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1765,6 +1798,92 @@ object LlmQueries {
          SELECT source, n_docs, n_tokens, n_langs, n_distinct_texts,
            floor(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
              * 1e6 + 0.5) / 1e6 AS mean_doc_tokens
-         FROM g ORDER BY source"""
+         FROM g ORDER BY source""",
+
+    // contamination-share twin: q73's distinct-shingle-hash chain, but
+    // a LEFT join against the UNION bench set + per-doc share
+    "q186_contam_ngram" ->
+      s"""WITH $toksCte,
+          sh AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM d),
+          xs AS (SELECT doc_id,
+                   list_distinct(list_transform(sset, s -> ${x32("s")}))
+                     AS hset
+                 FROM sh WHERE len(sset) > 0),
+          e AS (SELECT doc_id, unnest(hset) AS h FROM xs),
+          bench AS (SELECT DISTINCT h FROM e WHERE doc_id % 37 = 0),
+          train AS (SELECT doc_id, h FROM e WHERE doc_id % 37 <> 0),
+          j AS (SELECT t.doc_id, count(*) AS n_shingles,
+                  count(b.h) AS n_hit
+                FROM train t LEFT JOIN bench b ON t.h = b.h GROUP BY 1),
+          f AS (SELECT doc_id, n_shingles, n_hit,
+                  round(CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE),
+                    6) AS contam_frac
+                FROM j)
+          SELECT doc_id, n_shingles, n_hit, contam_frac,
+            contam_frac >= 0.2 AS flagged
+          FROM f ORDER BY doc_id""",
+
+    // dim-stats twin: same 12dp term rounding + decimal sums, same
+    // mean/variance double op order, same (var DESC, dim) rank
+    "q187_embed_dims" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+                     FROM embeddings),
+         x AS (SELECT CAST(generate_subscripts(v0, 1) AS INTEGER) AS dim,
+                 unnest(v0) AS x
+               FROM e0),
+         g AS (SELECT dim, count(*) AS n,
+                 sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+                 sum(CAST(round(x*x, 12) AS DECIMAL(28,12))) AS sxx
+               FROM x GROUP BY 1),
+         v AS (SELECT dim, n,
+                 round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 8) AS mean_x,
+                 round((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1), 8) AS var_x
+               FROM g WHERE n > 1),
+         r AS (SELECT *, CAST(row_number() OVER
+                 (ORDER BY var_x DESC, dim) AS INTEGER) AS var_rank
+               FROM v)
+         SELECT dim, n, mean_x, var_x, var_rank,
+           var_rank <= 10 AS is_top
+         FROM r ORDER BY dim""",
+
+    // keep-best twin: q112's canonical digest, argmax via the same
+    // (len, -id) struct max inside the group aggregate
+    "q188_keep_best" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_md5
+           FROM documents),
+         b AS (SELECT canon_md5, count(*) AS cluster_size,
+                 -((max(struct_pack(l := len, nid := -doc_id))).nid)
+                   AS keep_id
+               FROM d GROUP BY 1)
+         SELECT d.doc_id, d.canon_md5, b.cluster_size, d.len, b.keep_id,
+           d.doc_id = b.keep_id AS is_kept
+         FROM d JOIN b USING (canon_md5) ORDER BY doc_id""",
+
+    // SemDeDup twin: q27's probe/candidate chain, prn<=1 hard cell,
+    // distinct higher-id drop set at the same 0.45 cosine cut
+    "q189_semdedup" ->
+      s"""WITH $embCte,
+          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+          pn AS (SELECT e.vec_id AS vid, c.cid, row_number() OVER
+                   (PARTITION BY e.vec_id
+                    ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid) AS prn
+                 FROM e CROSS JOIN c),
+          pr AS (SELECT vid, cid FROM pn WHERE prn <= 2),
+          asn AS (SELECT vid, cid AS cell FROM pn WHERE prn <= 1),
+          cand AS (SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+                   FROM pr x JOIN pr y ON x.cid = y.cid AND x.vid < y.vid),
+          drp AS (SELECT DISTINCT id_b
+                  FROM cand
+                  JOIN e a ON a.vec_id = id_a
+                  JOIN e b ON b.vec_id = id_b
+                  WHERE ${duckCos("a.v", "b.v")} >= 0.45)
+          SELECT asn.vid AS vec_id, asn.cell,
+            (drp.id_b IS NOT NULL) AS is_dropped
+          FROM asn LEFT JOIN drp ON asn.vid = drp.id_b
+          ORDER BY vec_id"""
   )
 }
