@@ -516,4 +516,72 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // peak is day2's close; day3 sits 0.0005 below it (floor-form 6dp)
     assert(r.getAs[Double]("max_drawdown") === -0.0005)
   }
+
+  test("bipowerJump: planted jump shows, smooth geometric walk clamps to zero") {
+    def bars(closes: Seq[Double]) = closes.zipWithIndex.map { case (c, i) =>
+      ("a", ts(f"2024-01-01 10:${i * 5}%02d:00"), c)
+    }.toDF("series", "bar_ts", "close")
+    val jump = graft.ops.MarketBars
+      .bipowerJump(bars(Seq(100.0, 101, 102, 103, 150, 151)))
+      .collect().head
+    assert(jump.getAs[Long]("n_rets") === 5L)
+    assert(jump.getAs[Long]("m_pairs") === 4L)
+    // the 103->150 return dominates RV but not BV
+    assert(jump.getAs[Double]("jump_frac") > 0.3)
+    assert(jump.getAs[Double]("rv") > jump.getAs[Double]("bv"))
+    val smooth = graft.ops.MarketBars
+      .bipowerJump(bars(Seq.tabulate(7)(k => 100.0 * math.pow(1.01, k))))
+      .collect().head
+    // equal |r| everywhere: BV's (pi/2)(m/(m-1))m factor exceeds n -> clamp
+    assert(smooth.getAs[Double]("jump_frac") === 0.0)
+  }
+
+  test("ljungBox: alternation rejects whiteness; constant increments yield no rows") {
+    def bars(closes: Seq[Double]) = closes.zipWithIndex.map { case (c, i) =>
+      ("a", ts(f"2024-01-01 ${10 + i / 12}%02d:${(i % 12) * 5}%02d:00"), c)
+    }.toDF("series", "bar_ts", "close")
+    val alt = graft.ops.MarketBars
+      .ljungBox(bars(Seq.tabulate(50)(k => if (k % 2 == 0) 100.0 else 101.0)))
+      .collect().head
+    assert(alt.getAs[Boolean]("reject_white"))
+    assert(alt.getAs[Double]("q_stat") > 10.0)
+    assert(alt.getAs[Long]("df_used") === 5L)
+    // constant increments: zero variance at every lag -> r_acf all null
+    val const = graft.ops.MarketBars
+      .ljungBox(bars(Seq.tabulate(50)(k => 100.0 + k)))
+      .collect()
+    assert(const.isEmpty)
+  }
+
+  test("rfm: quintile scores and segment taxonomy on a 5-user ladder") {
+    // user k: k purchase events of value 10 on day k -> user 5 is the
+    // most recent, most frequent, highest spender
+    val events = (1 to 5).flatMap { k =>
+      (1 to k).map(i =>
+        (100L + k, ts(f"2024-01-0$k%d 10:0$i%d:00"), "purchase", 10.0))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.rfm(events).collect()
+      .map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("avg_frequency"),
+          r.getAs[Double]("avg_monetary"), r.getAs[Double]("avg_recency")))
+      .toMap
+    assert(out.keySet === Set("champions", "regular", "hibernating"))
+    assert(out("champions") === ((2L, 4.5, 45.0, 0.5)))
+    assert(out("regular") === ((1L, 3.0, 30.0, 2.0)))
+    assert(out("hibernating") === ((2L, 1.5, 15.0, 3.5)))
+  }
+
+  test("engagementGini: zero on uniform counts, hand value on a dominant user") {
+    def ev(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, u) =>
+      (1 to c).map(i => (u.toLong, ts("2024-01-01 10:00:00"), "view", 1.0))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val flat = EventAnalytics.engagementGini(ev(Seq(3, 3, 3, 3))).collect().head
+    assert(flat.getAs[Double]("gini") === 0.0)
+    // counts asc [1,1,1,97]: G = 2*394/(4*100) - 5/4 = 0.72
+    val skew = EventAnalytics.engagementGini(ev(Seq(97, 1, 1, 1))).collect().head
+    assert(skew.getAs[Double]("gini") === 0.72)
+    assert(skew.getAs[Long]("total_events") === 100L)
+    // fewer than 10 users: the top decile is empty -> null share
+    assert(skew.isNullAt(skew.fieldIndex("top_decile_share")))
+  }
 }

@@ -650,4 +650,57 @@ class LlmOpsSpec extends AnyFunSuite {
         r.getAs[Long]("n_tokens"), r.getAs[Double]("gini")))
     assert(out.toSeq === Seq(("X", 3L, 6L, 0.222222), ("Y", 2L, 4L, 0.0)))
   }
+
+  test("keepBestCanonical: longest copy wins, lowest id on ties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"),      // canonical "hello world", len 13
+      (2L, "hello world"),        // len 11
+      (3L, "HELLO... world!!!"),  // len 17 -> representative
+      (4L, "other doc"),          // singleton
+      (5L, "OTHER doc"))          // ties len 9 with id 4 -> id 4 kept
+      .toDF("doc_id", "text")
+    val out = DedupOps.keepBestCanonical(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("keep_id")).toSeq === Seq(3L, 3L, 3L, 4L, 4L))
+    assert(out.map(_.getAs[Boolean]("is_kept")).toSeq ===
+      Seq(false, false, true, true, false))
+    assert(out.map(_.getAs[Long]("cluster_size")).toSeq ===
+      Seq(3L, 3L, 3L, 2L, 2L))
+  }
+
+  test("semDedup: duplicate vectors drop to the lowest id, orthogonal ones survive") {
+    import spark.implicits._
+    val dim = 8
+    def unit(i: Int) = Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    // ids 0..2 identical (cell seed is id 0), id 3 orthogonal
+    val e = Seq(
+      (0L, unit(0)), (1L, unit(0)), (2L, unit(0)), (3L, unit(1)))
+      .toDF("vec_id", "embedding")
+    val out = DedupOps.semDedup(e, "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Boolean]("is_dropped")).toSeq ===
+      Seq(false, true, true, false))
+    // everyone lands in the single seeded cell (id 0)
+    assert(out.map(_.getAs[Long]("cell")).distinct.toSeq === Seq(0L))
+  }
+
+  test("contaminationShare: full-overlap doc flagged, disjoint doc clean") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),          // bench (id % 37 == 0)
+      (1L, "alpha beta gamma delta epsilon"),  // 3 of 3 shingles...
+      (2L, "zeta eta theta iota kappa"))       // disjoint
+      .toDF("doc_id", "text")
+    val out = DedupOps.contaminationShare(d, "text", "doc_id",
+        benchFilter = col("doc_id") % 37 === 0, flagAt = 0.5)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("contam_frac"), r.getAs[Boolean]("flagged"))).toMap
+    // doc 1 has 3 shingles, 2 of them ("alpha beta gamma",
+    // "beta gamma delta") are bench shingles -> 2/3
+    assert(byId(1L) === ((0.666667, true)))
+    assert(byId(2L) === ((0.0, false)))
+    assert(!byId.contains(0L)) // bench doc is not scored
+  }
 }

@@ -484,6 +484,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(recovered.count() > 0)
   }
 
+  test("stateful z-score runs on the RocksDB state store with kill + restart") {
+    // production state backend: the default HDFS-backed memory store
+    // caps state at executor heap; RocksDB spills to local disk and is
+    // what a 100 TB deployment runs. Same recovery protocol as the
+    // Page-CUSUM test, now with the provider swapped — proves our
+    // stateful operators and checkpoints are provider-agnostic.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bars = MarketBars.bars(Tables.events(spark, sf),
+        "event_type", "ts", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"series").orderBy($"bar_ts")
+      val mu0 = bars.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select("series", "close").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val slack = 0.1
+      val h = 0.5
+      val h6 = math.floor(h * 1e6 + 0.5).toLong
+      val baseDf = mu0.toSeq.toDF("series", "mu0")
+      val batch = MarketBars.pageCusumPath(bars, baseDf, slack)
+        .filter($"s6" > h6)
+        .select($"series", $"bar_ts".as("ts"), $"s6")
+
+      val points = bars.collect()
+        .map(r => PageCusumMonitor.Bar(r.getString(0), r.getTimestamp(1),
+          r.getAs[Double]("close"))).toSeq.sortBy(_.ts.getTime)
+      val ckpt = java.nio.file.Files.createTempDirectory("rocks_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("rocks_out").toString
+      val stream = MemoryStream[PageCusumMonitor.Bar]
+      def start() = PageCusumMonitor.alarms(stream.toDS(), mu0, slack, h)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+      val (h1, h2) = points.splitAt(points.length / 2)
+      val q1 = start()
+      try { stream.addData(h1); q1.processAllAvailable() } finally q1.stop()
+      stream.addData(h2)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val recovered = spark.read.parquet(outDir).select("series", "ts", "s6")
+      assert(recovered.count() === recovered.distinct().count())
+      assert(recovered.except(batch).count() === 0)
+      assert(batch.except(recovered).count() === 0)
+      assert(recovered.count() > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming tick-rule signs aggregate to the batch daily flow") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
