@@ -302,4 +302,70 @@ object PairAnalytics {
       ScalableWindow.rollingZScoreByDay(
         pairSpread(bars, sym1, sym2), windowRows, minWindow),
       sym1, sym2)
+
+  /** Mean-reversion backtest of the flagship z-score signal: enter the
+    * spread at |z| ≥ `entryZ` (long when z ≤ −entryZ, short when
+    * z ≥ entryZ), flatten at |z| < `exitZ`, hold otherwise; the
+    * position set by bar t's signal is held OVER bar t+1 (no
+    * look-ahead), and per-bar P&L is position × Δspread. One summary
+    * row per pair: bars, trades (entries + flips), win/loss bars,
+    * decimal-exact total P&L, and the floor-form hit rate — "does
+    * trading q06's signal actually make money?", the natural
+    * consumer of q172's cointegration gate.
+    *
+    * Determinism: signals branch on the 4dp-ROUNDED z (what q06
+    * emits), P&L differences form on 6dp-rounded spreads, and per-bar
+    * P&L terms round 8dp before the DECIMAL sum. Every window ORDERs
+    * BY bar_ts on the single-pair relation and shares one sort — the
+    * documented flagship window class (SURVEY §7.4); the LOCF position
+    * carry is `last(signal, ignoreNulls)` over the preceding frame,
+    * exactly q78's gap-fill convention. */
+  def pairsBacktest(
+      bars: DataFrame,
+      sym1: String,
+      sym2: String,
+      entryZ: Double = 2.0,
+      exitZ: Double = 0.5,
+      windowRows: Int = DefaultWindowRows,
+      minWindow: Int = DefaultMinWindow): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val wRoll = Window.orderBy(col("bar_ts"))
+      .rowsBetween(-(windowRows - 1), 0)
+    val wSeq = Window.orderBy(col("bar_ts"))
+    val z = pairSpread(bars, sym1, sym2)
+      .withColumn("m", avg(col("spread")).over(wRoll))
+      .withColumn("sd", stddev_samp(col("spread")).over(wRoll))
+      .withColumn("nw", count(lit(1)).over(wRoll))
+      .withColumn("z_r",
+        round(when(col("nw") >= minWindow && col("sd").isNotNull &&
+          col("sd") =!= 0, (col("spread") - col("m")) / col("sd")), 4))
+      .withColumn("spread_r", round(col("spread"), 6))
+    val sig = z.withColumn("signal",
+      when(col("z_r") <= -entryZ, 1)
+        .when(col("z_r") >= entryZ, -1)
+        .when(abs(col("z_r")) < exitZ, 0))
+    val pos = sig
+      .withColumn("pos",
+        coalesce(last(col("signal"), ignoreNulls = true)
+          .over(wSeq.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .withColumn("prev_pos",
+        coalesce(lag(col("pos"), 1).over(wSeq), lit(0)))
+      .withColumn("dsp",
+        col("spread_r") - lag(col("spread_r"), 1).over(wSeq))
+      .withColumn("pnl",
+        when(col("dsp").isNotNull, round(col("pos") * col("dsp"), 8)))
+    pos.groupBy(col("pair_name"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(when(col("pos") =!= col("prev_pos") && col("pos") =!= 0, 1L)
+          .otherwise(0L)).as("n_trades"),
+        sum(when(col("pnl") > 0, 1L).otherwise(0L)).as("n_win"),
+        sum(when(col("pnl") < 0, 1L).otherwise(0L)).as("n_loss"),
+        sum(col("pnl").cast(DecimalType(28, 12))).as("sp"))
+      .select(col("pair_name"), col("n_bars"), col("n_trades"),
+        col("n_win"), col("n_loss"),
+        round(dbl(col("sp")), 6).as("total_pnl"),
+        when(col("n_win") + col("n_loss") > 0,
+          floor(dbl(col("n_win")) / (dbl(col("n_win")) + dbl(col("n_loss")))
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("hit_rate"))
+  }
 }

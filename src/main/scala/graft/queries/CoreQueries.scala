@@ -1013,6 +1013,25 @@ object CoreQueries {
     // .engagementGini): activity-concentration next to q178
     "q185_engagement_gini" -> ((s, dir) => {
       graft.ops.EventAnalytics.engagementGini(Tables.events(s, dir))
+    }),
+
+    // TPC-H Q10 shape (returned-item revenue): who sent the most value
+    // back — lineitem filter pushes to the scan, facts shuffle on
+    // their join keys, nation broadcasts, top-20 via TakeOrdered
+    "q191_returned_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 6))).cast(DoubleType), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("n_items"), col("revenue"))
     })
   )
 
@@ -2024,6 +2043,21 @@ object CoreQueries {
              6) AS gini,
            round(CAST(sum(CASE WHEN i > n - n // 10 THEN c END) AS DOUBLE)
              / CAST(sum(c) AS DOUBLE), 6) AS top_decile_share
-         FROM rk"""
+         FROM rk""",
+
+    // Q10 twin: same decimal revenue, same (revenue DESC, c_custkey)
+    // top-20 cut
+    "q191_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name, count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20"""
   )
 }

@@ -858,6 +858,14 @@ object MarketQueries {
       MarketBars.ljungBox(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // Mean-reversion backtest of the flagship signal (PairAnalytics
+    // .pairsBacktest): trade q06's z-score, report trades/P&L/hit rate
+    "q190_pairs_backtest" -> ((s, dir) => {
+      PairAnalytics.pairsBacktest(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), "click", "view")
+        .orderBy(col("pair_name"))
     })
   )
 
@@ -2298,6 +2306,54 @@ object MarketQueries {
                           WHEN df_used = 4 THEN 9.4877
                           ELSE 11.0705 END AS reject_white
           FROM q ORDER BY series"""
-    }
+    },
+
+    // backtest twin: q06's z chain, 4dp z signals, IGNORE NULLS LOCF
+    // position with the 1-PRECEDING no-look-ahead frame, 8dp pnl
+    // terms decimal-summed, floor-form hit rate
+    "q190_pairs_backtest" ->
+      s"""WITH $pairCte,
+          z AS (SELECT bar_ts, spread,
+                  avg(spread) OVER w AS m,
+                  stddev_samp(spread) OVER w AS sd,
+                  count(*) OVER w AS nw
+                FROM pair
+                WINDOW w AS (ORDER BY bar_ts
+                  ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)),
+          zz AS (SELECT bar_ts, round(spread, 6) AS spread_r,
+                   round(CASE WHEN nw >= 30 AND sd IS NOT NULL AND sd <> 0
+                     THEN (spread - m) / sd END, 4) AS z_r
+                 FROM z),
+          sg AS (SELECT *, CASE WHEN z_r <= -2.0 THEN 1
+                                WHEN z_r >= 2.0 THEN -1
+                                WHEN abs(z_r) < 0.5 THEN 0 END AS signal
+                 FROM zz),
+          ps AS (SELECT *, coalesce(last_value(signal IGNORE NULLS) OVER
+                   (ORDER BY bar_ts ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS pos
+                 FROM sg),
+          pp AS (SELECT *,
+                   coalesce(lag(pos) OVER (ORDER BY bar_ts), 0) AS prev_pos,
+                   spread_r - lag(spread_r) OVER (ORDER BY bar_ts) AS dsp
+                 FROM ps),
+          pn AS (SELECT *, CASE WHEN dsp IS NOT NULL
+                   THEN round(pos * dsp, 8) END AS pnl
+                 FROM pp),
+          g AS (SELECT count(*) AS n_bars,
+                  CAST(sum(CASE WHEN pos <> prev_pos AND pos <> 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
+                  CAST(sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_win,
+                  CAST(sum(CASE WHEN pnl < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_loss,
+                  sum(CAST(pnl AS DECIMAL(28,12))) AS sp
+                FROM pn)
+          SELECT 'click-view' AS pair_name, n_bars, n_trades, n_win,
+            n_loss, round(CAST(sp AS DOUBLE), 6) AS total_pnl,
+            CASE WHEN n_win + n_loss > 0
+              THEN floor(CAST(n_win AS DOUBLE)
+                / (CAST(n_win AS DOUBLE) + CAST(n_loss AS DOUBLE))
+                * 1e4 + 0.5) / 1e4 END AS hit_rate
+          FROM g ORDER BY pair_name"""
   )
 }
