@@ -568,6 +568,7 @@ object EventAnalytics {
       .withColumn("segment",
         when(col("r_score") >= 4 && col("f_score") >= 4, "champions")
           .when(col("f_score") >= 4, "loyal")
+          .when(col("m_score") >= 4, "big_spender")
           .when(col("r_score") >= 4 && col("f_score") <= 2, "new_or_recent")
           .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
           .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")

@@ -2007,6 +2007,7 @@ object CoreQueries {
          lb AS (SELECT *,
                   CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
                        WHEN f_score >= 4 THEN 'loyal'
+                       WHEN m_score >= 4 THEN 'big_spender'
                        WHEN r_score >= 4 AND f_score <= 2
                          THEN 'new_or_recent'
                        WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'

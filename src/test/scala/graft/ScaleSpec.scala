@@ -294,6 +294,71 @@ class ScaleSpec extends AnyFunSuite {
       s"TakeOrderedAndProject missing from bm25 plan:\n${plan.take(3000)}")
   }
 
+  test("q184 rfm plan: corpus collapses per-user before any window") {
+    // the three quintile ntiles must run on the user relation, never
+    // the raw event stream: exactly two hash exchanges (user collapse,
+    // segment rollup) and exactly three Windows (the ntiles)
+    val plan = graft.ops.EventAnalytics.rfm(Tables.events(spark, sf))
+      .queryExecution.executedPlan.toString
+    // user collapse is the only hash exchange (the segment rollup
+    // rides the already-single-partition window output)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"unexpected extra exchanges:\n${plan.take(3000)}")
+    assert("Window \\[".r.findAllIn(plan).size === 3,
+      s"expected exactly the three ntile Windows:\n${plan.take(3000)}")
+    // every Window sorts on a per-user metric — none on the raw stream
+    assert(!plan.contains("windowspecdefinition(ts#"),
+      s"a Window runs on the raw event stream:\n${plan.take(3000)}")
+  }
+
+  test("q190 backtest plan: every window shares ONE bar_ts sort") {
+    // rolling stats, LOCF position, and the lag chain all ORDER BY
+    // bar_ts on the single-pair relation — Catalyst must sort once and
+    // stack the Window operators on it; a re-sort between them doubles
+    // the dominant cost at scale
+    val bars = graft.ops.MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    val plan = graft.ops.PairAnalytics.pairsBacktest(bars, "click", "view")
+      .queryExecution.executedPlan.toString
+    // exactly one bar_ts sort (the bars build's struct-aggregate sorts
+    // on (series, bucket) are a different, pre-windows cost)
+    assert("Sort \\[bar_ts".r.findAllIn(plan).size === 1,
+      s"expected one shared bar_ts sort under the window stack:\n${plan.take(3000)}")
+    assert("Window \\[".r.findAllIn(plan).size === 3,
+      s"expected the three stacked Windows:\n${plan.take(3000)}")
+    assert("Exchange SinglePartition".r.findAllIn(plan).size === 1,
+      s"the pair relation must single-partition once:\n${plan.take(3000)}")
+  }
+
+  test("q191 returned-revenue plan: pushed flag filter, broadcast nation, TakeOrdered cut") {
+    val plan = SparkEntry.queries("q191_returned_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation should broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n${plan.take(3000)}")
+  }
+
+  test("q187 dim-stats plan: one fixed-cardinality exchange, map-side explode") {
+    val plan = graft.ops.SimilarityOps.dimStats(
+        Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected only the (dim) aggregate exchange:\n${plan.take(3000)}")
+    assert(plan.contains("Generate posexplode"),
+      s"expected a map-side posexplode:\n${plan.take(3000)}")
+  }
+
+  test("q189 semdedup plan: no Window anywhere, candidates via bucket join") {
+    val plan = graft.ops.DedupOps.semDedup(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", threshold = 0.45)
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).isEmpty,
+      s"semdedup must not window the corpus:\n${plan.take(3000)}")
+  }
+
   test("pageRank shuffle mode: one contribution Exchange per iteration, edges never move") {
     // broadcastRanks=Some(false) simulates the >broadcastMaxNodes
     // regime: edges and nodes are hash-partitioned once before their
