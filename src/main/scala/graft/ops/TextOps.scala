@@ -93,6 +93,54 @@ object TextOps {
       .drop("toks")
   }
 
+  /** Gopher stopword probe (Rae et al. 2021 §A1.1 use an 8-word list;
+    * ours keeps the members that actually occur in the synthetic
+    * vocabulary so the rule discriminates). */
+  val GopherStops: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, Appendix
+    * A1.1): per-document word-count bounds, mean-word-length band,
+    * minimum alphabetic-word fraction, and a ≥2-distinct-stopwords
+    * probe, plus the conjunction `pass_gopher`. Each rule emits its
+    * own flag so downstream mixing can weight rather than drop.
+    * Thresholds are parameters; the defaults are tuned to the
+    * synthetic corpus bands (the paper's 50/100k word bounds would
+    * pass or fail everything here and test nothing).
+    *
+    * Pure map-side over one tokenize pass (the [[textStats]] barrier
+    * rule); no shuffle anywhere — at 100 TB this is a single scan. */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String = "text",
+      minWords: Long = 20L,
+      maxWords: Long = 80L,
+      minWordLen: Double = 4.0,
+      maxWordLen: Double = 5.0,
+      minAlphaFrac: Double = 0.8,
+      minStopKinds: Long = 2L): DataFrame = {
+    val d = Dist.materialize(df.withColumn("toks", tokens(col(textCol))))
+    d.withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mean_wlen",
+        round(aggregate(col("toks"), lit(0L), (s, t) => s + length(t))
+          .cast(DoubleType) / col("n_words"), 4))
+      .withColumn("alpha_frac",
+        round(size(filter(col("toks"), t => t.rlike("[a-z]")))
+          .cast(DoubleType) / col("n_words"), 4))
+      .withColumn("n_stop_kinds",
+        size(array_intersect(array_distinct(col("toks")),
+          array(GopherStops.map(lit): _*))).cast("long"))
+      .withColumn("word_count_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("word_len_ok",
+        col("mean_wlen") >= minWordLen && col("mean_wlen") <= maxWordLen)
+      .withColumn("alpha_ok", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("stop_ok", col("n_stop_kinds") >= minStopKinds)
+      .withColumn("pass_gopher",
+        col("word_count_ok") && col("word_len_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+      .drop("toks")
+  }
+
   /** Marker-word language scores + argmax classification with a fixed
     * priority tie-break. */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {

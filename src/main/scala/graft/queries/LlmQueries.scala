@@ -589,6 +589,17 @@ object LlmQueries {
       DedupOps.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.45)
         .orderBy(col("vec_id"))
+    }),
+
+    // Gopher rule-based quality gate (TextOps.gopherRules): the
+    // named-rule composite next to q21's scalar quality_score
+    "q192_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherRules(Tables.rebalance(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+          col("alpha_frac"), col("n_stop_kinds"), col("word_count_ok"),
+          col("word_len_ok"), col("alpha_ok"), col("stop_ok"),
+          col("pass_gopher"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1884,6 +1895,31 @@ object LlmQueries {
           SELECT asn.vid AS vec_id, asn.cell,
             (drp.id_b IS NOT NULL) AS is_dropped
           FROM asn LEFT JOIN drp ON asn.vid = drp.id_b
-          ORDER BY vec_id"""
+          ORDER BY vec_id""",
+
+    // gopher twin: same tokenize, same 4dp rounding before the band
+    // compares, same 5-word stop probe
+    "q192_gopher_rules" ->
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                  round(CAST(list_sum(list_transform(toks, t -> len(t)))
+                    AS DOUBLE) / len(toks), 4) AS mean_wlen,
+                  round(CAST(len(list_filter(toks,
+                    t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                    / len(toks), 4) AS alpha_frac,
+                  CAST(len(list_intersect(list_distinct(toks),
+                    ['the','a','of','to','and'])) AS BIGINT) AS n_stop_kinds
+                FROM d),
+          f AS (SELECT *,
+                  n_words >= 20 AND n_words <= 80 AS word_count_ok,
+                  mean_wlen >= 4.0 AND mean_wlen <= 5.0 AS word_len_ok,
+                  alpha_frac >= 0.8 AS alpha_ok,
+                  n_stop_kinds >= 2 AS stop_ok
+                FROM s)
+          SELECT doc_id, n_words, mean_wlen, alpha_frac, n_stop_kinds,
+            word_count_ok, word_len_ok, alpha_ok, stop_ok,
+            word_count_ok AND word_len_ok AND alpha_ok AND stop_ok
+              AS pass_gopher
+          FROM f ORDER BY doc_id"""
   )
 }
