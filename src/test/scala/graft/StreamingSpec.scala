@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{MarketBars, PairAnalytics}
 import graft.sources.Tables
-import graft.streaming.{BarBuilder, DrawdownMonitor, PageCusumMonitor, StaleRunMonitor, TickBarMonitor, TickFlowMonitor, TransitionStream}
+import graft.streaming.{BarBuilder, DrawdownMonitor, JumpMonitor, PageCusumMonitor, StaleRunMonitor, TickBarMonitor, TickFlowMonitor, TransitionStream}
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
@@ -539,6 +539,51 @@ class StreamingSpec extends AnyFunSuite {
       case Some(v) => spark.conf.set(provKey, v)
       case None => spark.conf.unset(provKey)
     }
+  }
+
+  test("streaming bipower terms roll up to the batch RV/BV/jump rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bars = MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    val batch = MarketBars.bipowerJump(bars)
+      .select($"series", $"d", $"n_rets", $"m_pairs", $"rv", $"bv",
+        $"jump_frac")
+
+    val points = bars.collect()
+      .map(r => JumpMonitor.Bar(r.getString(0), r.getTimestamp(1),
+        r.getAs[Double]("close"))).toSeq.sortBy(_.ts.getTime)
+    val stream = MemoryStream[JumpMonitor.Bar]
+    val q = JumpMonitor.terms(stream.toDS())
+      .writeStream.format("memory").queryName("jump_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = points.splitAt(points.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      // the scaled-long term sums ARE the batch decimal sums; the
+      // final double expressions below are the batch emission verbatim
+      // (sums stay far below 2^53, so long/1e12 division is exact-in,
+      // correctly-rounded-out — identical to decimal.toDouble)
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      val g = spark.table("jump_out")
+        .groupBy($"series", $"d")
+        .agg(count(lit(1)).as("n_rets"),
+          sum($"rr12").as("srr12"),
+          count($"bv12").as("m_pairs"),
+          sum($"bv12").as("sbv12"))
+        .filter($"m_pairs" >= 2)
+      val rv = dbl($"srr12") / lit(1e12)
+      val bv = lit(math.Pi) / 2 *
+        (dbl($"m_pairs") / (dbl($"m_pairs") - 1)) * (dbl($"sbv12") / lit(1e12))
+      val streamed = g.select($"series", $"d", $"n_rets", $"m_pairs",
+        round(rv, 10).as("rv"), round(bv, 10).as("bv"),
+        when(rv > 0, round(greatest(lit(0.0), lit(1.0) - bv / rv), 6))
+          .as("jump_frac"))
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
   }
 
   test("streaming tick-rule signs aggregate to the batch daily flow") {
