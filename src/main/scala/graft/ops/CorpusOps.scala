@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -534,6 +534,58 @@ object CorpusOps {
         (floor(sum(col("nll8") * col("cnt")).cast(DoubleType) /
           sum(col("cnt")) / lit(1e8) * lit(10000.0) + lit(0.5)) /
           lit(10000.0)).as("avg_nll"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document mean
+    * log-likelihood ratio between a TARGET-domain unigram LM and the
+    * raw-corpus LM, both add-one smoothed over the shared vocabulary —
+    * the score you resample raw data by to match a target domain.
+    * Only non-target documents are scored (they are the resampling
+    * candidates); positive weight = looks like the target.
+    *
+    * Numeric recipe is [[unigramNll]]'s verbatim: each per-term log
+    * becomes a scaled long via floor(ln·1e8 + 0.5 + 1e-6) (no library
+    * round anywhere), the ratio is an exact integer difference, the
+    * per-doc fold is an exact integer sum, and the 4dp weight floors
+    * a quotient of exactly-representable values.
+    *
+    * Scale: one tokenize pass into ONE (doc, flag, term) shuffle; the
+    * LM collapse and the scoring join run on vocabulary-sized counts
+    * (broadcast/hashed by the planner); totals are a 1-row broadcast. */
+  def dsirWeights(
+      docs: DataFrame,
+      targetFilter: Column,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dtf = docs
+      .select(col(idCol), targetFilter.as("is_target"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("is_target"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val termAgg = dtf.groupBy(col("term"))
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), col("cnt")).otherwise(0L)).as("cr"))
+      .localCheckpoint(eager = false)
+    val tot = termAgg.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    def lg8(num: Column, den: Column) =
+      floor(log(dbl(num) / dbl(den)) * lit(1e8) + lit(0.5) + lit(1e-6))
+        .cast("long")
+    val lr = termAgg.crossJoin(broadcast(tot))
+      .select(col("term"),
+        (lg8(col("ct") + 1, col("nt") + col("v")) -
+          lg8(col("cr") + 1, col("nr") + col("v"))).as("lr8"))
+    dtf.filter(!col("is_target"))
+      .join(lr, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("lr8") * col("cnt")).as("s8"))
+      .select(col(idCol), col("n_tokens"),
+        (floor(dbl(col("s8")) / dbl(col("n_tokens")) / lit(1e8) *
+          lit(1e4) + lit(0.5)) / lit(1e4)).as("dsir_w"))
   }
 
   /** Reciprocal-rank fusion of two rankings — the standard hybrid-

@@ -591,6 +591,14 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // DSIR importance weights vs the src0/src1 target domain
+    // (CorpusOps.dsirWeights): what to resample the raw pool by
+    "q193_dsir_weights" -> ((s, dir) => {
+      CorpusOps.dsirWeights(Tables.rebalance(Tables.documents(s, dir)),
+          targetFilter = col("source").isin("src0", "src1"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher rule-based quality gate (TextOps.gopherRules): the
     // named-rule composite next to q21's scalar quality_score
     "q192_gopher_rules" -> ((s, dir) => {
@@ -1920,6 +1928,37 @@ object LlmQueries {
             word_count_ok, word_len_ok, alpha_ok, stop_ok,
             word_count_ok AND word_len_ok AND alpha_ok AND stop_ok
               AS pass_gopher
-          FROM f ORDER BY doc_id"""
+          FROM f ORDER BY doc_id""",
+
+    // DSIR twin: same scaled-long log terms (floor ln*1e8 + 0.5 +
+    // 1e-6 epsilon), exact integer ratio/fold, floor-form 4dp weight
+    "q193_dsir_weights" ->
+      """WITH t0 AS (SELECT doc_id, source IN ('src0','src1') AS is_target,
+                  unnest(regexp_split_to_array(trim(text), ' +')) AS term
+                FROM documents),
+         dtf AS (SELECT doc_id, is_target, term, count(*) AS cnt
+                 FROM t0 GROUP BY 1, 2, 3),
+         ta AS (SELECT term,
+                  sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct,
+                  sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS cr
+                FROM dtf GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                   CAST(sum(cr) AS BIGINT) AS nr,
+                   count(*) AS v
+                 FROM ta),
+         lr AS (SELECT term,
+                  CAST(floor(ln(CAST(ct + 1 AS DOUBLE) / (nt + v)) * 1e8
+                    + 0.5 + 1e-6) AS BIGINT)
+                  - CAST(floor(ln(CAST(cr + 1 AS DOUBLE) / (nr + v)) * 1e8
+                    + 0.5 + 1e-6) AS BIGINT) AS lr8
+                FROM ta CROSS JOIN tot),
+         sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                  CAST(sum(lr8 * cnt) AS BIGINT) AS s8
+                FROM dtf JOIN lr USING (term)
+                WHERE NOT is_target GROUP BY 1)
+         SELECT doc_id, n_tokens,
+           floor(CAST(s8 AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1e8
+             * 1e4 + 0.5) / 1e4 AS dsir_w
+         FROM sc ORDER BY doc_id"""
   )
 }
