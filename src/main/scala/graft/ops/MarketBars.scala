@@ -1224,6 +1224,60 @@ object MarketBars {
           .as("ls_spread"))
   }
 
+  /** Event study around marker bars: average abnormal return (AAR) and
+    * its cumulative path (CAR) at bar offsets −maxOffset..+maxOffset
+    * relative to each "event" — the classic announcement-impact curve.
+    * Markers are the `markerSeries`' bars whose |8dp log return| ≥
+    * `absCut`; every OTHER series contributes its own bar return at
+    * each offset (bars share the 5-minute grid, so alignment is an
+    * equi-join on bar_ts).
+    *
+    * Scale: the per-series row index is the ONE sequential step (the
+    * q158 two-pass class); markers are a filtered sliver and
+    * BROADCAST into the offset join; the offset fan-out is a bounded
+    * map-side explode (2·maxOffset+1); the (series, idx) join back to
+    * returns is one hash join on a growing key; the AAR aggregate and
+    * the |series|·offsets CAR window run on the event-aligned slice
+    * only. Returns round 8dp before any sum (decimal-accumulated), so
+    * AAR/CAR are partial-order-proof. */
+  def eventStudy(
+      bars: DataFrame,
+      markerSeries: String = "error",
+      absCut: Double = 0.02,
+      maxOffset: Int = 5): DataFrame = {
+    require(maxOffset >= 1, s"maxOffset must be >= 1 (got $maxOffset)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val rets = bars
+      .withColumn("idx", row_number().over(w))
+      .withColumn("prev_c", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0,
+          round(log(col("close") / col("prev_c")), 8)))
+      .select(col("series"), col("bar_ts"), col("idx"), col("r8"))
+    val markers = rets
+      .filter(col("series") === markerSeries && abs(col("r8")) >= absCut)
+      .select(col("bar_ts").as("ev_ts"))
+    val anchored = rets.filter(col("series") =!= markerSeries)
+      .join(broadcast(markers), col("bar_ts") === col("ev_ts"))
+      .select(col("series").as("s"), col("idx").as("idx0"),
+        explode(sequence(lit(-maxOffset), lit(maxOffset))).as("off"))
+    val aligned = anchored
+      .join(rets, col("s") === col("series") &&
+        rets("idx") === col("idx0") + col("off"))
+      .filter(col("r8").isNotNull)
+    val aar = aligned.groupBy(col("series"), col("off"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("r8").cast(DecimalType(28, 12))).as("sr"))
+      .select(col("series"), col("off"), col("n_obs"),
+        round(dbl(col("sr")) / dbl(col("n_obs")), 8).as("aar"))
+    val wOff = Window.partitionBy(col("series")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    aar.withColumn("car",
+      round(sum(col("aar").cast(DecimalType(28, 12))).over(wOff)
+        .cast(DoubleType), 8))
+  }
+
   /** Ljung–Box portmanteau test on the [[acf]] lags: Q = L(L+2)·
     * Σ_k ρ_k²/(L−k) where L is the per-series return count — "is there
     * ANY serial dependence in the first `maxLag` autocorrelations?"

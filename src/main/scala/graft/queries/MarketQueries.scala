@@ -866,6 +866,14 @@ object MarketQueries {
       PairAnalytics.pairsBacktest(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"), "click", "view")
         .orderBy(col("pair_name"))
+    }),
+
+    // Event-study AAR/CAR curve around error-series shocks
+    // (MarketBars.eventStudy): does an error spike move the others?
+    "q194_event_study" -> ((s, dir) => {
+      MarketBars.eventStudy(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("off"))
     })
   )
 
@@ -2354,6 +2362,42 @@ object MarketQueries {
               THEN floor(CAST(n_win AS DOUBLE)
                 / (CAST(n_win AS DOUBLE) + CAST(n_loss AS DOUBLE))
                 * 1e4 + 0.5) / 1e4 END AS hit_rate
-          FROM g ORDER BY pair_name"""
+          FROM g ORDER BY pair_name""",
+
+    // event-study twin: same per-series row index and 8dp return
+    // chain, same |r| >= cut marker rule, same decimal AAR/CAR folds
+    "q194_event_study" ->
+      s"""WITH $barsCte,
+          rt AS (SELECT series, bar_ts,
+                   row_number() OVER
+                     (PARTITION BY series ORDER BY bar_ts) AS idx,
+                   lag(close) OVER
+                     (PARTITION BY series ORDER BY bar_ts) AS prev_c,
+                   close
+                 FROM bars),
+          r AS (SELECT series, bar_ts, idx,
+                  CASE WHEN prev_c IS NOT NULL AND prev_c > 0
+                    AND close > 0 THEN round(ln(close/prev_c), 8) END AS r8
+                FROM rt),
+          mk AS (SELECT bar_ts AS ev_ts FROM r
+                 WHERE series = 'error' AND abs(r8) >= 0.02),
+          an AS (SELECT r.series AS s, r.idx AS idx0, o.off
+                 FROM r JOIN mk ON r.bar_ts = mk.ev_ts,
+                   (SELECT unnest(generate_series(-5, 5)) AS off) o
+                 WHERE r.series <> 'error'),
+          al AS (SELECT an.s AS series, an.off, r.r8
+                 FROM an JOIN r
+                   ON an.s = r.series AND r.idx = an.idx0 + an.off
+                 WHERE r.r8 IS NOT NULL),
+          aa AS (SELECT series, off, count(*) AS n_obs,
+                   round(CAST(sum(CAST(r8 AS DECIMAL(28,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 8) AS aar
+                 FROM al GROUP BY 1, 2)
+          SELECT series, CAST(off AS INTEGER) AS off, n_obs, aar,
+            round(CAST(sum(CAST(aar AS DECIMAL(28,12))) OVER
+              (PARTITION BY series ORDER BY off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE), 8) AS car
+          FROM aa ORDER BY series, off"""
   )
 }
