@@ -536,6 +536,44 @@ object CorpusOps {
           lit(10000.0)).as("avg_nll"))
   }
 
+  /** Positional phrase search over the inverted-index layout: exact
+    * adjacent-token phrase matching via the positional postings the
+    * q104 index omits — filter the token stream to the phrase's terms
+    * FIRST (the q102 rule: the corpus-sized relation shrinks to the
+    * phrase terms' postings before any join), then chain
+    * (doc, pos+k) equi-joins, one per additional word. Emits per
+    * matching document the occurrence count and first position
+    * (0-based).
+    *
+    * Scale: each join key is (doc, pos) — fully distributable, no
+    * window, no index build; join fan-out is bounded by the rarest
+    * term's posting list. For a static phrase workload the same plan
+    * shape serves a positional-index materialization. */
+  def phraseSearch(
+      docs: DataFrame,
+      phrase: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 words (got $phrase)")
+    val pos = Dist.materialize(docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*)))
+    val p0 = pos.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matches = phrase.tail.zipWithIndex.foldLeft(p0) {
+      case (acc, (w, i)) =>
+        val nxt = pos.filter(col("term") === w)
+          .select(col(idCol).as("jid"), col("pos").as("jpos"))
+        acc.join(nxt,
+          acc(idCol) === col("jid") && col("jpos") === acc("pos") + (i + 1))
+          .select(acc(idCol), acc("pos"))
+    }
+    matches.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).as("first_pos"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document mean
     * log-likelihood ratio between a TARGET-domain unigram LM and the

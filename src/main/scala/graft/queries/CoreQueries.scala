@@ -1015,6 +1015,19 @@ object CoreQueries {
       graft.ops.EventAnalytics.engagementGini(Tables.events(s, dir))
     }),
 
+    // Incremental daily-aggregate refresh under late data
+    // (WarehouseOps.incrementalDailyAgg): every 97th event arrives
+    // late; the refresh recomputes only the touched days and must
+    // equal the from-scratch rollup (the oracle IS the full rollup)
+    "q195_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val late = ev.filter(col("event_id") % 97 === 0)
+      val early = ev.filter(col("event_id") % 97 =!= 0)
+      graft.ops.WarehouseOps.incrementalDailyAgg(
+          graft.ops.WarehouseOps.dailyAgg(early), ev, late)
+        .orderBy(col("d"), col("event_type"))
+    }),
+
     // TPC-H Q10 shape (returned-item revenue): who sent the most value
     // back — lineitem filter pushes to the scan, facts shuffle on
     // their join keys, nation broadcasts, top-20 via TakeOrdered
@@ -2045,6 +2058,14 @@ object CoreQueries {
            round(CAST(sum(CASE WHEN i > n - n // 10 THEN c END) AS DOUBLE)
              / CAST(sum(c) AS DOUBLE), 6) AS top_decile_share
          FROM rk""",
+
+    // incremental-refresh twin: the oracle is the FULL from-scratch
+    // rollup — late-day splicing must be invisible in the result
+    "q195_incremental_agg" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY d, event_type""",
 
     // Q10 twin: same decimal revenue, same (revenue DESC, c_custkey)
     // top-20 cut

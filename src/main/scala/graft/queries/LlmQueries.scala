@@ -591,6 +591,14 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Positional phrase search (CorpusOps.phraseSearch): exact
+    // adjacent-token matching the q104 index can't answer
+    "q196_phrase_search" -> ((s, dir) => {
+      CorpusOps.phraseSearch(Tables.rebalance(Tables.documents(s, dir)),
+          Seq("spark", "join"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights vs the src0/src1 target domain
     // (CorpusOps.dsirWeights): what to resample the raw pool by
     "q193_dsir_weights" -> ((s, dir) => {
@@ -1959,6 +1967,23 @@ object LlmQueries {
          SELECT doc_id, n_tokens,
            floor(CAST(s8 AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1e8
              * 1e4 + 0.5) / 1e4 AS dsir_w
-         FROM sc ORDER BY doc_id"""
+         FROM sc ORDER BY doc_id""",
+
+    // phrase twin: same 0-based positions, same term-pruned postings,
+    // same pos+1 adjacency join
+    "q196_phrase_search" ->
+      s"""WITH $toksCte,
+          p AS (SELECT doc_id,
+                  generate_subscripts(toks, 1) - 1 AS pos,
+                  unnest(toks) AS term
+                FROM d),
+          pp AS (SELECT * FROM p WHERE term IN ('spark','join')),
+          m AS (SELECT a.doc_id, a.pos
+                FROM pp a JOIN pp b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                WHERE a.term = 'spark' AND b.term = 'join')
+          SELECT doc_id, count(*) AS n_matches,
+            CAST(min(pos) AS INTEGER) AS first_pos
+          FROM m GROUP BY 1 ORDER BY doc_id"""
   )
 }
