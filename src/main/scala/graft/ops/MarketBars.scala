@@ -1224,6 +1224,41 @@ object MarketBars {
           .as("ls_spread"))
   }
 
+  /** Volatility signature plot: whole-sample realized volatility at
+    * several bar sampling scales (5m/15m/30m/1h) — flat when returns
+    * are a clean martingale, rising at fine scales under
+    * microstructure noise; the diagnostic that picks q92's sampling
+    * interval. Each coarser scale [[resample]]s the SAME bar relation
+    * (one tick scan behind a materialization barrier; Catalyst reuses
+    * the exchange across all four branches) and runs q92's exact
+    * return recipe: 8dp log returns over a per-series chain, 12dp
+    * decimal r² sums, sqrt at emission. Output one row per (series,
+    * scale). */
+  def volSignature(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val b0 = Dist.materialize(bars)
+    val scales = Seq(
+      ("05m", 5L, FiveMinutesMicros),
+      ("15m", 15L, 15L * 60 * 1000 * 1000),
+      ("30m", 30L, 30L * 60 * 1000 * 1000),
+      ("60m", 60L, OneHourMicros))
+    scales.map { case (label, mins, step) =>
+      val b = if (step == FiveMinutesMicros) b0 else resample(b0, step)
+      val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+      b.withColumn("prev_c", lag(col("close"), 1).over(w))
+        .filter(col("prev_c").isNotNull && col("prev_c") > 0 &&
+          col("close") > 0)
+        .select(col("series"), round(log(col("close") / col("prev_c")), 8)
+          .as("r"))
+        .groupBy(col("series"))
+        .agg(count(lit(1)).as("n_rets"),
+          sum((col("r") * col("r")).cast(DecimalType(28, 12))).as("srr"))
+        .select(col("series"), lit(label).as("scale"),
+          lit(mins).as("scale_min"), col("n_rets"),
+          round(sqrt(dbl(col("srr"))), 6).as("rv"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Event study around marker bars: average abnormal return (AAR) and
     * its cumulative path (CAR) at bar offsets −maxOffset..+maxOffset
     * relative to each "event" — the classic announcement-impact curve.

@@ -1015,6 +1015,23 @@ object CoreQueries {
       graft.ops.EventAnalytics.engagementGini(Tables.events(s, dir))
     }),
 
+    // Order-to-ship latency distribution per priority: exact
+    // interpolated percentiles over the orders x lineitem join (q35's
+    // percentile <-> quantile_cont mapping)
+    "q198_ship_latency" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .withColumn("lat_days",
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          min(col("lat_days")).as("min_days"),
+          round(expr("percentile(lat_days, 0.5)"), 4).as("p50"),
+          round(expr("percentile(lat_days, 0.9)"), 4).as("p90"),
+          max(col("lat_days")).as("max_days"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Incremental daily-aggregate refresh under late data
     // (WarehouseOps.incrementalDailyAgg): every 97th event arrives
     // late; the refresh recomputes only the touched days and must
@@ -2058,6 +2075,19 @@ object CoreQueries {
            round(CAST(sum(CASE WHEN i > n - n // 10 THEN c END) AS DOUBLE)
              / CAST(sum(c) AS DOUBLE), 6) AS top_decile_share
          FROM rk""",
+
+    // latency twin: same day difference, same quantile_cont mapping
+    "q198_ship_latency" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+           CAST(min(lat) AS INTEGER) AS min_days,
+           round(quantile_cont(lat, 0.5), 4) AS p50,
+           round(quantile_cont(lat, 0.9), 4) AS p90,
+           CAST(max(lat) AS INTEGER) AS max_days
+         FROM (SELECT o_orderpriority,
+                 datediff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS lat
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+         GROUP BY 1 ORDER BY o_orderpriority""",
 
     // incremental-refresh twin: the oracle is the FULL from-scratch
     // rollup — late-day splicing must be invisible in the result

@@ -874,6 +874,14 @@ object MarketQueries {
       MarketBars.eventStudy(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"), col("off"))
+    }),
+
+    // Volatility signature plot across sampling scales
+    // (MarketBars.volSignature): the diagnostic that picks q92's bar
+    "q197_vol_signature" -> ((s, dir) => {
+      MarketBars.volSignature(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("scale"))
     })
   )
 
@@ -2398,6 +2406,35 @@ object MarketQueries {
               (PARTITION BY series ORDER BY off
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS DOUBLE), 8) AS car
-          FROM aa ORDER BY series, off"""
+          FROM aa ORDER BY series, off""",
+
+    // signature twin: same resample bucket math and struct-argmax
+    // closes, same q92 return/decimal recipe per scale
+    "q197_vol_signature" -> {
+      def block(label: String, mins: Long, stepUs: Long) = {
+        val src =
+          if (stepUs == 300000000L) "bars"
+          else s"""(SELECT series,
+                 make_timestamp((epoch_us(bar_ts)//$stepUs)*$stepUs)
+                   AS bar_ts,
+                 (max(struct_pack(t := bar_ts, v := close))).v AS close
+               FROM bars GROUP BY 1, 2)"""
+        s"""SELECT series, '$label' AS scale, CAST($mins AS BIGINT)
+              AS scale_min, count(*) AS n_rets,
+              round(sqrt(CAST(sum(CAST(r*r AS DECIMAL(28,12)))
+                AS DOUBLE)), 6) AS rv
+            FROM (SELECT series, round(ln(close/prev_c), 8) AS r
+                  FROM (SELECT series, close, lag(close) OVER
+                          (PARTITION BY series ORDER BY bar_ts) AS prev_c
+                        FROM $src)
+                  WHERE prev_c IS NOT NULL AND prev_c > 0 AND close > 0)
+            GROUP BY series"""
+      }
+      s"""WITH $barsCte
+          ${Seq(block("05m", 5, 300000000L), block("15m", 15, 900000000L),
+              block("30m", 30, 1800000000L), block("60m", 60, 3600000000L))
+            .mkString("", "\n          UNION ALL\n          ", "")}
+          ORDER BY series, scale"""
+    }
   )
 }
