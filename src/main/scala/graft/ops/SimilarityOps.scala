@@ -429,6 +429,72 @@ object SimilarityOps {
         round(col("adc"), 6).as("adc"))
   }
 
+  /** IVF-shortlist + PQ-ADC re-rank — the composed production ANN
+    * shape (FAISS's IVFPQ): the query probes its `nprobe` nearest
+    * (cosine) cells, only vectors whose HARD cell is probed enter the
+    * candidate set, and candidates are ranked by the [[pqAdcTopK]]
+    * asymmetric distance over byte codes — the corpus is touched as
+    * (cell, codes) only, never as floats.
+    *
+    * Scale: the two prior postures compose unchanged — broadcast
+    * codebooks, map-side cell projection and encode, ONE bucket join
+    * (cell) for the shortlist, ADC tables broadcast per query batch,
+    * and the rank window runs over candidate rows (Σ probed-bucket
+    * sizes per query), not the corpus. Same deterministic tie-breaks
+    * as both parents (lowest cid on encode ties, (adc, nid) on rank
+    * ties), so the DuckDB twin reproduces ranks exactly. */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryFilter: Column,
+      k: Int = 5,
+      m: Int = 4,
+      centroidEvery: Int = 50,
+      nprobe: Int = 2): DataFrame = {
+    val unit = withUnitVec(emb, vecCol)
+      .select(col(idCol).as("vid"), col("nv").as("v"))
+    val corpusCells = cellAssignments(unit, centroidEvery)
+      .select(col("vid"), col("cell"))
+    val cents0 = unit.filter(col("vid") % centroidEvery === 0)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val cbU = broadcast(codebook(cents0))
+    val probes = withUnitVec(emb.filter(queryFilter), vecCol)
+      .select(col(idCol).as("pqid"), col("nv").as("pv"))
+      .crossJoin(cbU)
+      .select(col("pqid"),
+        explode(nearestCentroids(col("cb"), col("pv"), nprobe)).as("p"))
+      .select(col("pqid"), col("p.cid").as("cell"))
+    val cand = probes.join(corpusCells, "cell")
+      .filter(col("pqid") =!= col("vid"))
+      .select(col("pqid"), col("vid")).distinct()
+    val codes = pqEncode(emb, idCol, vecCol, m, centroidEvery)
+    val cents = emb
+      .filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val cb = broadcast(cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb")))
+    val sd = (size(col("qv")) / m).cast("int")
+    val q = emb.filter(queryFilter)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(cb)
+      .select(col("qid") +: (0 until m).map(j =>
+        map_from_entries(transform(col("cb"),
+          e => struct(e("cid"), subL2(col("qv"), e("cv"), j, sd))))
+          .as(s"dt$j")): _*)
+    val scored = cand.join(codes, col("vid") === col(idCol))
+      .join(broadcast(q), col("pqid") === col("qid"))
+      .withColumn("adc",
+        (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j")))
+          .reduce(_ + _))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol).as("nid"),
+        col("rank").cast("int").as("rank"), round(col("adc"), 6).as("adc"))
+  }
+
   /** Broadcast linear-classifier inference — the "quality/toxicity
     * model scoring" stage of a corpus pipeline. Train side derives a
     * Fisher-style linear discriminant from two label centroids

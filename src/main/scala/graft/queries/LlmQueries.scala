@@ -591,6 +591,14 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // IVF-shortlist + PQ-ADC re-rank (SimilarityOps.ivfPqTopK): the
+    // composed FAISS-IVFPQ production shape of q30 + q97
+    "q199_ivf_pq_topk" -> ((s, dir) => {
+      SimilarityOps.ivfPqTopK(Tables.embeddings(s, dir), "vec_id",
+          "embedding", queryFilter = col("vec_id") < 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Positional phrase search (CorpusOps.phraseSearch): exact
     // adjacent-token matching the q104 index can't answer
     "q196_phrase_search" -> ((s, dir) => {
@@ -1984,6 +1992,60 @@ object LlmQueries {
                 WHERE a.term = 'spark' AND b.term = 'join')
           SELECT doc_id, count(*) AS n_matches,
             CAST(min(pos) AS INTEGER) AS first_pos
-          FROM m GROUP BY 1 ORDER BY doc_id"""
+          FROM m GROUP BY 1 ORDER BY doc_id""",
+
+    // IVFPQ twin: q27's unit-vector probe chain (prn<=1 corpus cell,
+    // prn<=2 query probes) gating q97's code/ADC machinery
+    "q199_ivf_pq_topk" ->
+      s"""WITH $embCte,
+          cu AS (SELECT vec_id AS cid, v AS cv FROM e
+                 WHERE vec_id % 50 = 0),
+          pn AS (SELECT e.vec_id AS vid, cu.cid, row_number() OVER
+                   (PARTITION BY e.vec_id
+                    ORDER BY ${duckCos("e.v", "cu.cv")} DESC, cu.cid) AS prn
+                 FROM e CROSS JOIN cu),
+          cells AS (SELECT vid, cid AS cell FROM pn WHERE prn <= 1),
+          probes AS (SELECT vid AS pqid, cid AS cell FROM pn
+                     WHERE prn <= 2 AND vid < 10),
+          cand AS (SELECT DISTINCT p.pqid, cl.vid
+                   FROM probes p JOIN cells cl ON p.cell = cl.cell
+                   WHERE p.pqid <> cl.vid),
+          x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  CAST(len(embedding) // 4 AS INTEGER) AS sd
+                FROM embeddings),
+          c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id % 50 = 0),
+          d AS (SELECT x.vec_id, c.cid, g.j,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(generate_series(1, x.sd),
+                      i -> (x.v[g.j*x.sd+i] - c.cv[g.j*x.sd+i])
+                         * (x.v[g.j*x.sd+i] - c.cv[g.j*x.sd+i]))),
+                    (s, z) -> s + z) AS dist
+                FROM x CROSS JOIN c
+                  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) g),
+          codes AS (SELECT vec_id, j, cid FROM (
+                      SELECT vec_id, j, cid,
+                        row_number() OVER (PARTITION BY vec_id, j
+                          ORDER BY dist, cid) AS rn
+                      FROM d) WHERE rn = 1),
+          qd AS (SELECT vec_id AS qid, cid, j, dist FROM d
+                 WHERE vec_id < 10),
+          scored AS (SELECT qd0.qid, cd.vec_id AS nid,
+                       ((max(CASE WHEN cd.j = 0 THEN qd0.dist END)
+                         + max(CASE WHEN cd.j = 1 THEN qd0.dist END))
+                         + max(CASE WHEN cd.j = 2 THEN qd0.dist END))
+                         + max(CASE WHEN cd.j = 3 THEN qd0.dist END) AS adc
+                     FROM codes cd
+                     JOIN cand ON cand.vid = cd.vec_id
+                     JOIN qd qd0 ON qd0.cid = cd.cid AND qd0.j = cd.j
+                       AND qd0.qid = cand.pqid
+                     GROUP BY qd0.qid, cd.vec_id),
+          r AS (SELECT qid, nid, adc,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY adc, nid) AS rank
+                FROM scored)
+          SELECT qid, nid, CAST(rank AS INTEGER) AS rank,
+            round(adc, 6) AS adc
+          FROM r WHERE rank <= 5 ORDER BY qid, rank"""
   )
 }
