@@ -1224,6 +1224,78 @@ object MarketBars {
           .as("ls_spread"))
   }
 
+  /** Equal-weight portfolio risk decomposition over the aligned
+    * series change vector: sample covariance matrix from exact
+    * scaled-long Δcloses (q151's 1e6 convention), then each series'
+    * variance contribution w·(Σw) and its share of total portfolio
+    * variance — "who drives the book's risk".
+    *
+    * One (bar_ts) pivot aligns the series (rows where any series is
+    * missing drop — covariance needs the complete vector); ALL pair
+    * co-moments accumulate as exact DECIMAL(38,0) integer sums in ONE
+    * aggregate pass; covariances form in DOUBLE from the exact sums
+    * (q111 rule), round 10dp, and the per-series fold DECIMAL-sums the
+    * rounded values so contribution order can't perturb. Output
+    * |series| rows; everything after the pivot is constant-size. */
+  def riskDecomposition(
+      bars: DataFrame,
+      seriesNames: Seq[String]): DataFrame = {
+    require(seriesNames.size >= 2, "need at least two series")
+    val names = seriesNames.sorted
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec0 = DecimalType(38, 0)
+    val pivoted = bars
+      .withColumn("d6",
+        floor((col("close") -
+          lag(col("close"), 1).over(
+            Window.partitionBy(col("series")).orderBy(col("bar_ts")))) *
+          lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("d6").isNotNull)
+      .groupBy(col("bar_ts"))
+      .agg(max(when(col("series") === names.head, col("d6")))
+          .as(s"x_${names.head}"),
+        names.tail.map(s =>
+          max(when(col("series") === s, col("d6"))).as(s"x_$s")): _*)
+      .filter(names.map(s => col(s"x_$s").isNotNull).reduce(_ && _))
+    val pairs = for { i <- names.indices; j <- i until names.size }
+      yield (names(i), names(j))
+    val sums = pivoted.agg(
+      count(lit(1)).as("n"),
+      (names.map(s => sum(col(s"x_$s").cast(dec0)).as(s"s_$s")) ++
+        pairs.map { case (a, b) =>
+          sum((col(s"x_$a") * col(s"x_$b")).cast(dec0)).as(s"p_${a}_$b")
+        }): _*)
+    // covariances leave the 1e6-scaled-long domain here (/1e12 → price²
+    // units) BEFORE rounding: the decimal contribution sums then stay
+    // small enough that decimal→double conversion is exact in both
+    // engines (a 1e14-magnitude decimal differed by one ulp cross-engine
+    // — caught by the sf0.01 gate)
+    def cov(a: String, b: String) = round(
+      (dbl(col("n")) * dbl(col(s"p_${a}_$b")) -
+        dbl(col(s"s_$a")) * dbl(col(s"s_$b"))) /
+        (dbl(col("n")) * (dbl(col("n")) - 1)) / lit(1e12), 10)
+    // long-form symmetric cov relation off the single sums row
+    val longForm = names.flatMap { s =>
+      names.map { t =>
+        val (a, b) = if (s <= t) (s, t) else (t, s)
+        sums.select(lit(s).as("series"), cov(a, b).as("c"))
+      }
+    }.reduce(_ unionByName _)
+    val w2 = 1.0 / (names.size.toLong * names.size)
+    val contrib = longForm.groupBy(col("series"))
+      .agg((sum(col("c").cast(DecimalType(38, 10))).cast(DoubleType) *
+        lit(w2)).as("contrib_raw"))
+    val total = contrib.agg(
+      sum(round(col("contrib_raw"), 10).cast(DecimalType(38, 10)))
+        .cast(DoubleType).as("port_var"))
+    contrib.crossJoin(broadcast(total))
+      .select(col("series"),
+        round(col("contrib_raw"), 6).as("contribution"),
+        round(col("port_var"), 6).as("port_var"),
+        when(col("port_var") > 0,
+          round(col("contrib_raw") / col("port_var"), 6)).as("pct_share"))
+  }
+
   /** Volatility signature plot: whole-sample realized volatility at
     * several bar sampling scales (5m/15m/30m/1h) — flat when returns
     * are a clean martingale, rising at fine scales under

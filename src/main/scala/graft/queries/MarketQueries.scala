@@ -882,6 +882,15 @@ object MarketQueries {
       MarketBars.volSignature(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"), col("scale"))
+    }),
+
+    // Equal-weight portfolio risk decomposition over aligned series
+    // changes (MarketBars.riskDecomposition): who drives book risk
+    "q200_risk_decomp" -> ((s, dir) => {
+      MarketBars.riskDecomposition(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"),
+          Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy(col("series"))
     })
   )
 
@@ -2435,6 +2444,61 @@ object MarketQueries {
               block("30m", 30, 1800000000L), block("60m", 60, 3600000000L))
             .mkString("", "\n          UNION ALL\n          ", "")}
           ORDER BY series, scale"""
+    },
+
+    // risk-decomposition twin: generated from the SAME series list and
+    // pair canonicalization as the Spark side — exact integer
+    // co-moments, 10dp covariances, decimal contribution folds
+    "q200_risk_decomp" -> {
+      val names = Seq("click", "error", "purchase", "signup", "view").sorted
+      val pivotCols = names.map(s =>
+        s"max(CASE WHEN series = '$s' THEN d6 END) AS x_$s").mkString(",\n                  ")
+      val notNull = names.map(s => s"x_$s IS NOT NULL").mkString(" AND ")
+      val pairs = for { i <- names.indices; j <- i until names.size }
+        yield (names(i), names(j))
+      val sumCols = (names.map(s =>
+        s"sum(CAST(x_$s AS DECIMAL(38,0))) AS s_$s") ++
+        pairs.map { case (a, b) =>
+          s"sum(CAST(x_$a*x_$b AS DECIMAL(38,0))) AS p_${a}_$b" })
+        .mkString(",\n                  ")
+      def covSql(a: String, b: String) =
+        s"""round((CAST(n AS DOUBLE)*CAST(p_${a}_$b AS DOUBLE)
+            - CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE))
+            / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) / 1e12, 10)"""
+      val branches = names.flatMap { s =>
+        names.map { t =>
+          val (a, b) = if (s <= t) (s, t) else (t, s)
+          s"SELECT '$s' AS series, ${covSql(a, b)} AS c FROM sm"
+        }
+      }.mkString("\n          UNION ALL\n          ")
+      val w2 = 1.0 / (names.size.toLong * names.size)
+      s"""WITH $barsCte,
+          dd AS (SELECT series, bar_ts,
+                   CAST(floor((close - lag(close) OVER
+                     (PARTITION BY series ORDER BY bar_ts)) * 1e6 + 0.5)
+                     AS BIGINT) AS d6
+                 FROM bars),
+          pv AS (SELECT bar_ts,
+                  $pivotCols
+                 FROM dd WHERE d6 IS NOT NULL GROUP BY 1),
+          fv AS (SELECT * FROM pv WHERE $notNull),
+          sm AS (SELECT count(*) AS n,
+                  $sumCols
+                 FROM fv),
+          lf AS (
+          $branches),
+          ct AS (SELECT series,
+                   CAST(sum(CAST(c AS DECIMAL(38,10))) AS DOUBLE) * $w2
+                     AS contrib_raw
+                 FROM lf GROUP BY 1),
+          tt AS (SELECT CAST(sum(CAST(round(contrib_raw, 10)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS port_var
+                 FROM ct)
+          SELECT series, round(contrib_raw, 6) AS contribution,
+            round(port_var, 6) AS port_var,
+            CASE WHEN port_var > 0
+              THEN round(contrib_raw / port_var, 6) END AS pct_share
+          FROM ct CROSS JOIN tt ORDER BY series"""
     }
   )
 }
