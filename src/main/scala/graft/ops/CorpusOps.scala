@@ -555,10 +555,14 @@ object CorpusOps {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(phrase.size >= 2, s"phrase needs >= 2 words (got $phrase)")
-    val pos = Dist.materialize(docs
+    // lazily CHECKPOINT (not just barrier) the pruned postings: every
+    // phrase word reads this relation, and without the checkpoint each
+    // join side re-tokenized the corpus (caught by the plan lock)
+    val pos = docs
       .select(col(idCol),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
-      .filter(col("term").isin(phrase.distinct: _*)))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .localCheckpoint(eager = false)
     val p0 = pos.filter(col("term") === phrase.head)
       .select(col(idCol), col("pos"))
     val matches = phrase.tail.zipWithIndex.foldLeft(p0) {

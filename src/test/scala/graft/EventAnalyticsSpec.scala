@@ -584,4 +584,98 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // fewer than 10 users: the top decile is empty -> null share
     assert(skew.isNullAt(skew.fieldIndex("top_decile_share")))
   }
+
+  test("eventStudy: single marker, hand AAR/CAR on a two-series fixture") {
+    // series m (marker) jumps at bar 3; series a has constant log
+    // return ln(1.01) everywhere -> AAR = that return at every offset
+    // with data, CAR = cumulative
+    val mkBars = (s: String, closes: Seq[Double]) =>
+      closes.zipWithIndex.map { case (c, i) =>
+        (s, ts(f"2024-01-01 10:${i * 5}%02d:00"), c)
+      }
+    val bars = (mkBars("error", Seq(100, 100, 100, 110, 110, 110)) ++
+      mkBars("a", Seq(100, 101, 102.01, 103.0301, 104.060401, 105.10100501)))
+      .toDF("series", "bar_ts", "close")
+    val out = graft.ops.MarketBars.eventStudy(bars, "error",
+        absCut = 0.05, maxOffset = 2)
+      .orderBy("off").collect()
+    val r = BigDecimal(math.log(1.01)).setScale(8,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // marker at idx 4 (bar 3) -> offsets -2..2 hit idx 2..6; idx 2..6
+    // of series a have returns except idx 7 doesn't exist -> off +2
+    // missing when out of range
+    assert(out.map(_.getAs[Int]("off")).toSeq === Seq(-2, -1, 0, 1, 2))
+    out.foreach { row =>
+      assert(math.abs(row.getAs[Double]("aar") - r) < 2e-8,
+        s"off ${row.getAs[Int]("off")}")
+    }
+    assert(math.abs(out.last.getAs[Double]("car") - 5 * r) < 1e-6)
+  }
+
+  test("riskDecomposition: identical series split risk 50/50") {
+    val closes = Seq(100.0, 101, 99.5, 102, 100.7, 103)
+    val bars = (for {
+      s <- Seq("p", "q"); (c, i) <- closes.zipWithIndex
+    } yield (s, ts(f"2024-01-01 10:${i * 5}%02d:00"), c))
+      .toDF("series", "bar_ts", "close")
+    val out = graft.ops.MarketBars.riskDecomposition(bars, Seq("p", "q"))
+      .orderBy("series").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("pct_share") === 0.5)
+      assert(r.getAs[Double]("contribution") > 0)
+    }
+    // port_var of two identical equal-weight series = var of one
+    val varOne = {
+      val d = closes.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+      val m = d.sum / d.size
+      d.map(x => (x - m) * (x - m)).sum / (d.size - 1)
+    }
+    assert(math.abs(out.head.getAs[Double]("port_var") - varOne) < 1e-4)
+  }
+
+  test("volSignature: coarser scales shrink return counts, 5m matches hand RV") {
+    val bars = (for {
+      (c, i) <- Seq.tabulate(24)(k => 100.0 + (k % 3)).zipWithIndex
+    } yield ("a", ts(f"2024-01-01 ${10 + i / 12}%02d:${(i % 12) * 5}%02d:00"),
+        c, c, c, c, 1L, c))
+      .toDF("series", "bar_ts", "open", "high", "low", "close",
+        "n_ticks", "volume")
+    val out = graft.ops.MarketBars.volSignature(bars)
+      .orderBy("scale").collect()
+      .map(r => r.getAs[String]("scale") ->
+        (r.getAs[Long]("n_rets"), r.getAs[Double]("rv"))).toMap
+    assert(out("05m")._1 === 23L)
+    assert(out("15m")._1 === 7L)
+    assert(out("60m")._1 === 1L)
+    val rv5 = {
+      val rs = Seq.tabulate(24)(k => 100.0 + (k % 3)).sliding(2).collect {
+        case Seq(a, b) => BigDecimal(math.log(b / a)).setScale(8,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toSeq
+      math.sqrt(rs.map(r => r * r).sum)
+    }
+    assert(math.abs(out("05m")._2 - rv5) < 1e-5)
+  }
+
+  test("incrementalDailyAgg: splice equals the from-scratch rollup and is idempotent") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1.5),
+      (2L, ts("2024-01-01 11:00:00"), "view", 2.5),
+      (3L, ts("2024-01-02 10:00:00"), "click", 4.0),
+      (4L, ts("2024-01-03 10:00:00"), "view", 8.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val late = ev.filter(col("event_id") === 2L) // day 1 is affected
+    val early = ev.filter(col("event_id") =!= 2L)
+    val base = graft.ops.WarehouseOps.dailyAgg(early)
+    val full = graft.ops.WarehouseOps.dailyAgg(ev)
+    val refreshed = graft.ops.WarehouseOps.incrementalDailyAgg(base, ev, late)
+    assert(refreshed.except(full).count() === 0)
+    assert(full.except(refreshed).count() === 0)
+    // applying the same delta again changes nothing (recompute is
+    // from the full source, not base + delta arithmetic)
+    val again = graft.ops.WarehouseOps.incrementalDailyAgg(refreshed, ev, late)
+    assert(again.except(full).count() === 0)
+    assert(full.except(again).count() === 0)
+  }
 }

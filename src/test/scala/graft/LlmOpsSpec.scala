@@ -703,4 +703,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(byId(2L) === ((0.0, false)))
     assert(!byId.contains(0L)) // bench doc is not scored
   }
+
+  test("phraseSearch: adjacency only, occurrence count, 0-based first position") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spark join spark join end"), // two occurrences, first at 0
+      (2L, "join spark nothing"),        // reversed order: no match
+      (3L, "spark window join"))         // gap: no match
+      .toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.phraseSearch(d, Seq("spark", "join"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_matches"),
+        r.getAs[Int]("first_pos")))
+    assert(out.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("dsirWeights: target-like docs score positive, alien docs negative") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta alpha beta", "tgt"),
+      (2L, "alpha beta gamma alpha", "tgt"),
+      (3L, "alpha beta alpha beta", "raw"),  // pure target vocabulary
+      (4L, "zeta zeta omega zeta", "raw"))   // unseen by target
+      .toDF("doc_id", "text", "source")
+    val w = graft.ops.CorpusOps.dsirWeights(d, col("source") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dsir_w")).toMap
+    assert(w.keySet === Set(3L, 4L))
+    assert(w(3L) > 0, s"target-like doc should score positive: ${w(3L)}")
+    assert(w(4L) < 0, s"alien doc should score negative: ${w(4L)}")
+  }
+
+  test("ivfPqTopK equals pqAdcTopK when every cell is probed") {
+    import spark.implicits._
+    val dim = 8
+    // 8 vectors, centroids at ids 0 and 4 -> 2 cells; nprobe=2 probes
+    // both, so the IVF shortlist is the full corpus and the composed
+    // search must reproduce the flat ADC ranking exactly
+    val vecs = (0L until 8L).map { i =>
+      (i, Array.tabulate(dim)(j => ((i * 7 + j * 3) % 10 + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val flat = SimilarityOps.pqAdcTopK(vecs, "vec_id", "embedding",
+      queryFilter = col("vec_id") < 3, k = 4, m = 4, centroidEvery = 4)
+    val comp = SimilarityOps.ivfPqTopK(vecs, "vec_id", "embedding",
+      queryFilter = col("vec_id") < 3, k = 4, m = 4, centroidEvery = 4,
+      nprobe = 2)
+    assert(comp.except(flat).count() === 0)
+    assert(flat.except(comp).count() === 0)
+    assert(comp.count() > 0)
+  }
 }

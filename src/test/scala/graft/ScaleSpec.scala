@@ -359,6 +359,56 @@ class ScaleSpec extends AnyFunSuite {
       s"semdedup must not window the corpus:\n${plan.take(3000)}")
   }
 
+  test("q195 incremental-agg plan: anti join keeps base, semi join prunes the recompute") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val late = ev.filter(col("event_id") % 97 === 0)
+    val early = ev.filter(col("event_id") % 97 =!= 0)
+    val plan = graft.ops.WarehouseOps.incrementalDailyAgg(
+        graft.ops.WarehouseOps.dailyAgg(early), ev, late)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"base rows must survive via an anti join:\n${plan.take(3000)}")
+    assert(plan.contains("LeftSemi"),
+      s"the recompute scan must be day-pruned via a semi join:\n${plan.take(3000)}")
+  }
+
+  test("q196 phrase plan: the posting explode is computed once (exchange reused)") {
+    val df = graft.ops.CorpusOps.phraseSearch(
+      Tables.documents(spark, sf), Seq("spark", "join"))
+    df.collect() // finalize the adaptive plan so reuse is visible
+    val plan = df.queryExecution.executedPlan.toString
+    // both join sides read the SAME lazily-checkpointed posting RDD —
+    // the tokenize/explode runs once, behind the checkpoint boundary
+    assert("Generate posexplode".r.findAllIn(plan).size <= 1,
+      s"postings recomputed per side:\n${plan.take(4000)}")
+    assert("Window \\[".r.findAllIn(plan).isEmpty,
+      s"phrase search must not window:\n${plan.take(3000)}")
+  }
+
+  test("q193 dsir plan: no window, no cartesian corpus product") {
+    import spark.implicits._
+    val plan = graft.ops.CorpusOps.dsirWeights(
+        Tables.documents(spark, sf), col("source").isin("src0", "src1"))
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).isEmpty,
+      s"dsir must not window the corpus:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"only the 1-row totals may cross-join (broadcast):\n${plan.take(3000)}")
+  }
+
+  test("q199 ivf+pq plan: exactly one Window (the candidate rank)") {
+    import spark.implicits._
+    val plan = graft.ops.SimilarityOps.ivfPqTopK(
+        Tables.embeddings(spark, sf), "vec_id", "embedding",
+        queryFilter = col("vec_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).size === 1,
+      s"only the per-query rank may window:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"codebook joins must broadcast:\n${plan.take(3000)}")
+  }
+
   test("pageRank shuffle mode: one contribution Exchange per iteration, edges never move") {
     // broadcastRanks=Some(false) simulates the >broadcastMaxNodes
     // regime: edges and nodes are hash-partitioned once before their
