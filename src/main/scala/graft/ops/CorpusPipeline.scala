@@ -49,4 +49,50 @@ object CorpusPipeline {
       .join(drops, Seq(idCol), "left_anti")
       .select(col(idCol), col("n_tokens"), col("quality_score"))
   }
+
+  /** Curation funnel: document and token counts surviving each stage
+    * of [[curate]] (raw → quality gate → exact dedup → transitive
+    * near-dup removal) plus each stage's retained-token share of raw —
+    * the "what did curation cost me" dashboard every corpus release
+    * starts from. Same stage rules and constants as [[curate]], so the
+    * final stage's counts ARE q33's output totals.
+    *
+    * Scale: each stage relation is lazily checkpointed and feeds both
+    * the next stage and its own 1-row aggregate — the corpus is
+    * scanned once, the funnel itself is four 1-row folds unioned. */
+  def curationFunnel(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      qualityThreshold: Double = QualityThreshold,
+      jaccardThreshold: Double = JaccardThreshold): DataFrame = {
+    val scored = TextOps.textStats(docs).localCheckpoint(eager = false)
+    val gated = scored.filter(col("quality_score") >= qualityThreshold)
+      .localCheckpoint(eager = false)
+    val keep = gated
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"))
+    val unique = gated.join(keep, col(idCol) === col("keep_id"), "left_semi")
+      .localCheckpoint(eager = false)
+    val pairs = DedupOps.minhashNearDups(unique, textCol, idCol, jaccardThreshold)
+    val drops = GraphOps.connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    val fin = unique.join(drops, Seq(idCol), "left_anti")
+    def stage(df: DataFrame, i: Int, name: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val funnel = Seq(
+      stage(scored, 0, "raw"),
+      stage(gated, 1, "quality_gate"),
+      stage(unique, 2, "exact_dedup"),
+      stage(fin, 3, "near_dedup")).reduce(_ unionByName _)
+    val raw = scored.agg(sum(col("n_tokens")).as("raw_tokens"))
+    funnel.crossJoin(broadcast(raw))
+      .select(col("stage"), col("stage_name"), col("n_docs"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("raw_tokens").cast("double"), 6).as("token_share"))
+  }
 }

@@ -1224,6 +1224,61 @@ object MarketBars {
           .as("ls_spread"))
   }
 
+  /** Day-of-week effect test: one-way ANOVA of 8dp log returns
+    * grouped by weekday, per series — F statistic and η² effect size
+    * for the classic calendar-anomaly screen ("are Monday returns
+    * different?").
+    *
+    * Determinism: group sums are DECIMAL over 8dp returns and
+    * 12dp-rounded squares (all magnitudes stay exactly
+    * double-convertible — the q200 rescaling lesson); the
+    * between-group fold Σ S_g²/n_g runs as a SEQUENTIAL
+    * sorted-by-group list fold (Spark `aggregate` == DuckDB
+    * `list_reduce`, the q101 EWMA convention) because a 7-element
+    * double sum through a hash aggregate would be partial-order
+    * nondeterministic. Two growing-key shuffles ((series, dow) then
+    * series); output |series| rows. */
+  def dowAnova(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val rets = bars
+      .withColumn("prev_c", lag(col("close"), 1).over(w))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 &&
+        col("close") > 0)
+      .select(col("series"),
+        (dayofweek(col("bar_ts")) - 1).as("dow"),
+        round(log(col("close") / col("prev_c")), 8).as("r"))
+    val byG = rets.groupBy(col("series"), col("dow"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("r").cast(DecimalType(28, 12))).as("sg"),
+        sum(round(col("r") * col("r"), 12).cast(DecimalType(28, 12)))
+          .as("qg"))
+    val perSeries = byG.groupBy(col("series"))
+      .agg(count(lit(1)).as("k_groups"),
+        sum(col("ng")).as("n_obs"),
+        sum(col("sg")).as("s_all"),
+        sum(col("qg")).as("q_all"),
+        sort_array(collect_list(struct(col("dow"),
+          dbl(col("sg")).as("s"), dbl(col("ng")).as("n")))).as("gs"))
+    val ssbPart = aggregate(col("gs"), lit(0.0),
+      (acc, g) => acc + g.getField("s") * g.getField("s") / g.getField("n"))
+    val sst = dbl(col("q_all")) - dbl(col("s_all")) * dbl(col("s_all")) /
+      dbl(col("n_obs"))
+    val ssb = ssbPart - dbl(col("s_all")) * dbl(col("s_all")) /
+      dbl(col("n_obs"))
+    val ssw = sst - ssb
+    perSeries
+      .withColumn("ssb", ssb)
+      .withColumn("ssw", ssw)
+      .select(col("series"), col("k_groups"), col("n_obs"),
+        when(col("k_groups") > 1 && col("n_obs") > col("k_groups") &&
+          col("ssw") > 0,
+          round((col("ssb") / (col("k_groups") - 1)) /
+            (col("ssw") / (col("n_obs") - col("k_groups"))), 4))
+          .as("f_stat"),
+        when(sst > 0, round(ssb / sst, 6)).as("eta2"))
+  }
+
   /** Equal-weight portfolio risk decomposition over the aligned
     * series change vector: sample covariance matrix from exact
     * scaled-long Δcloses (q151's 1e6 convention), then each series'

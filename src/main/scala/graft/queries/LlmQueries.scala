@@ -591,6 +591,13 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Curation funnel: docs/tokens surviving each q33 stage plus the
+    // retained-token share (CorpusPipeline.curationFunnel)
+    "q201_curation_funnel" -> ((s, dir) => {
+      CorpusPipeline.curationFunnel(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("stage"))
+    }),
+
     // IVF-shortlist + PQ-ADC re-rank (SimilarityOps.ivfPqTopK): the
     // composed FAISS-IVFPQ production shape of q30 + q97
     "q199_ivf_pq_topk" -> ((s, dir) => {
@@ -2046,6 +2053,77 @@ object LlmQueries {
                 FROM scored)
           SELECT qid, nid, CAST(rank AS INTEGER) AS rank,
             round(adc, 6) AS adc
-          FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+          FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // funnel twin: q33's stage chain verbatim, folded to per-stage
+    // doc/token counts + raw-relative share
+    "q201_curation_funnel" -> {
+      val aList = DedupOps.A.mkString("[", ",", "]")
+      val bList = DedupOps.B.mkString("[", ",", "]")
+      s"""WITH RECURSIVE $toksCte,
+          st AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+            CAST(len(list_filter(toks, t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT) AS n_stop
+          FROM d),
+          qs AS (SELECT d.doc_id, d.text, st.n_tokens,
+                   round(least(1.0, CAST(st.n_tokens AS DOUBLE)/100.0)*0.4
+                         + (CAST(st.n_distinct AS DOUBLE)/st.n_tokens)*0.4
+                         + (1.0 - CAST(st.n_stop AS DOUBLE)/st.n_tokens)*0.2, 4) AS quality_score
+                 FROM st JOIN d ON st.doc_id = d.doc_id),
+          q AS (SELECT * FROM qs WHERE quality_score >= ${CorpusPipeline.QualityThreshold}),
+          ke AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
+          q2 AS (SELECT * FROM q WHERE doc_id IN (SELECT keep_id FROM ke)),
+          t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM q2),
+          sh2 AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM t2),
+          xs2 AS (SELECT doc_id,
+                    list_distinct(list_transform(sset, s -> ${x32("s")})) AS hset
+                  FROM sh2 WHERE len(sset) > 0),
+          sig2 AS (SELECT doc_id, hset,
+                     list_transform(generate_series(0, ${DedupOps.K - 1}),
+                       i -> list_min(list_transform(hset,
+                              x -> (($aList)[i+1]*x + ($bList)[i+1]) % ${CrossHash.P}))) AS sig
+                   FROM xs2),
+          bnd2 AS (SELECT doc_id, sig, unnest(generate_series(0, ${DedupOps.Bands - 1})) AS band FROM sig2),
+          bs2 AS (SELECT doc_id, band,
+                    CAST(sig[2*band+1] AS VARCHAR) || '_' || CAST(sig[2*band+2] AS VARCHAR) AS bsig
+                  FROM bnd2),
+          cand2 AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                    FROM bs2 x JOIN bs2 y
+                      ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+          pairs2 AS (SELECT id_a, id_b,
+                       CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.hset, sb.hset))) AS jac
+                     FROM cand2
+                     JOIN xs2 sa ON sa.doc_id = id_a
+                     JOIN xs2 sb ON sb.doc_id = id_b),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs2 WHERE jac >= ${CorpusPipeline.JaccardThreshold}
+                    UNION SELECT id_b, id_a FROM pairs2 WHERE jac >= ${CorpusPipeline.JaccardThreshold}),
+          reach AS (SELECT a AS node, a AS lab FROM edges
+                    UNION
+                    SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node),
+          drops AS (SELECT node FROM comp WHERE root <> node),
+          fin AS (SELECT * FROM q2
+                  WHERE doc_id NOT IN (SELECT node FROM drops)),
+          fn AS (
+            SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM qs
+            UNION ALL
+            SELECT 1, 'quality_gate', count(*),
+              CAST(sum(n_tokens) AS BIGINT) FROM q
+            UNION ALL
+            SELECT 2, 'exact_dedup', count(*),
+              CAST(sum(n_tokens) AS BIGINT) FROM q2
+            UNION ALL
+            SELECT 3, 'near_dedup', count(*),
+              CAST(sum(n_tokens) AS BIGINT) FROM fin),
+          rw AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS raw_tokens FROM qs)
+          SELECT CAST(stage AS INTEGER) AS stage, stage_name, n_docs,
+            n_tokens,
+            round(CAST(n_tokens AS DOUBLE) / CAST(raw_tokens AS DOUBLE), 6)
+              AS token_share
+          FROM fn CROSS JOIN rw ORDER BY stage"""
+    }
   )
 }

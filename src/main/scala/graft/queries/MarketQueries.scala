@@ -884,6 +884,14 @@ object MarketQueries {
         .orderBy(col("series"), col("scale"))
     }),
 
+    // Day-of-week return ANOVA per series (MarketBars.dowAnova):
+    // the calendar-anomaly screen next to q123's seasonal baseline
+    "q202_dow_anova" -> ((s, dir) => {
+      MarketBars.dowAnova(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Equal-weight portfolio risk decomposition over aligned series
     // changes (MarketBars.riskDecomposition): who drives book risk
     "q200_risk_decomp" -> ((s, dir) => {
@@ -2499,6 +2507,46 @@ object MarketQueries {
             CASE WHEN port_var > 0
               THEN round(contrib_raw / port_var, 6) END AS pct_share
           FROM ct CROSS JOIN tt ORDER BY series"""
-    }
+    },
+
+    // ANOVA twin: same 8dp return chain, same decimal group sums, same
+    // SEQUENTIAL sorted list fold for the between-group term
+    "q202_dow_anova" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS prev_c
+                FROM bars),
+          r AS (SELECT series, dayofweek(bar_ts) AS dow,
+                  round(ln(close/prev_c), 8) AS r
+                FROM p
+                WHERE prev_c IS NOT NULL AND prev_c > 0 AND close > 0),
+          g AS (SELECT series, dow, count(*) AS ng,
+                  sum(CAST(r AS DECIMAL(28,12))) AS sg,
+                  sum(CAST(round(r*r, 12) AS DECIMAL(28,12))) AS qg
+                FROM r GROUP BY 1, 2),
+          ps AS (SELECT series, count(*) AS k_groups,
+                   CAST(sum(ng) AS BIGINT) AS n_obs,
+                   sum(sg) AS s_all, sum(qg) AS q_all,
+                   list_sort(list(struct_pack(dow := dow,
+                     s := CAST(sg AS DOUBLE), n := CAST(ng AS DOUBLE))))
+                     AS gs
+                 FROM g GROUP BY 1),
+          f0 AS (SELECT *, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(gs, x -> x.s * x.s / x.n)),
+                   (acc, t) -> acc + t) AS ssb_part
+                 FROM ps),
+          f1 AS (SELECT *,
+                   ssb_part - CAST(s_all AS DOUBLE)*CAST(s_all AS DOUBLE)
+                     /CAST(n_obs AS DOUBLE) AS ssb,
+                   CAST(q_all AS DOUBLE) - CAST(s_all AS DOUBLE)
+                     *CAST(s_all AS DOUBLE)/CAST(n_obs AS DOUBLE) AS sst
+                 FROM f0),
+          f2 AS (SELECT *, sst - ssb AS ssw FROM f1)
+          SELECT series, CAST(k_groups AS BIGINT) AS k_groups, n_obs,
+            CASE WHEN k_groups > 1 AND n_obs > k_groups AND ssw > 0
+              THEN round((ssb / (k_groups - 1))
+                / (ssw / (n_obs - k_groups)), 4) END AS f_stat,
+            CASE WHEN sst > 0 THEN round(ssb / sst, 6) END AS eta2
+          FROM f2 ORDER BY series"""
   )
 }
