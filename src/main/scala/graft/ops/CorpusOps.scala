@@ -536,6 +536,61 @@ object CorpusOps {
           lit(10000.0)).as("avg_nll"))
   }
 
+  /** Token-budget mixture allocation: distribute a training budget
+    * (a fraction of the corpus's total tokens) across sources by
+    * q75's temperature weights (sqrt-share renormalized), cap each
+    * source at its available tokens, and redistribute the capped
+    * surplus proportionally among sources with headroom — ONE
+    * waterfall round, the standard "fill the mix without oversampling
+    * small domains" step between q75's weights and q61's sampler.
+    *
+    * Determinism: weights form exactly as in q75 (12dp-rounded decimal
+    * normalizer); every cross-source sum (allocated, open weight)
+    * DECIMAL-sums 6/12dp-rounded terms; per-source arithmetic is
+    * identical double op order both engines. Scale: one corpus
+    * tokenize+aggregate; everything after runs on |sources| rows with
+    * two 1-row broadcast folds. */
+  def budgetAllocation(
+      docs: DataFrame,
+      budgetFrac: Double = 0.6,
+      srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val bySrc = docs
+      .select(col(srcCol), size(TextOps.tokens(col(textCol))).cast("long")
+        .as("nt"))
+      .groupBy(col(srcCol))
+      .agg(sum(col("nt")).as("avail"))
+    val tot = bySrc.agg(sum(col("avail")).as("total"))
+    val scored = bySrc.crossJoin(broadcast(tot))
+      .withColumn("w_raw", sqrt(dbl(col("avail")) / dbl(col("total"))))
+    val z = scored.agg(
+      sum(round(col("w_raw"), 12).cast(DecimalType(28, 12))).as("z"))
+    val alloc1 = scored.crossJoin(broadcast(z))
+      .withColumn("weight", col("w_raw") / dbl(col("z")))
+      .withColumn("budget", floor(dbl(col("total")) * lit(budgetFrac)))
+      .withColumn("target", col("budget") * col("weight"))
+      .withColumn("a1", least(col("target"), dbl(col("avail"))))
+      .withColumn("open", col("target") < dbl(col("avail")))
+    val fold = alloc1.agg(
+      sum(round(col("a1"), 6).cast(DecimalType(28, 6))).as("allocated"),
+      sum(when(col("open"), round(col("weight"), 12)
+        .cast(DecimalType(28, 12)))).as("w_open"))
+    alloc1.crossJoin(broadcast(fold))
+      .withColumn("leftover", dbl(col("budget")) - dbl(col("allocated")))
+      .withColumn("a2",
+        when(col("leftover") > 0 && col("open") && col("w_open").isNotNull &&
+          dbl(col("w_open")) > 0,
+          least(dbl(col("avail")),
+            col("a1") + col("leftover") * col("weight") / dbl(col("w_open"))))
+          .otherwise(col("a1")))
+      .select(col(srcCol), col("avail"),
+        round(col("weight"), 6).as("weight"),
+        round(col("target"), 2).as("target"),
+        round(col("a2"), 2).as("alloc"),
+        round(col("a2") / dbl(col("avail")), 4).as("fill_rate"))
+  }
+
   /** Positional phrase search over the inverted-index layout: exact
     * adjacent-token phrase matching via the positional postings the
     * q104 index omits — filter the token stream to the phrase's terms

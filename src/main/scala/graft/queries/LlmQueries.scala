@@ -591,6 +591,14 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Token-budget waterfall allocation across sources (CorpusOps
+    // .budgetAllocation): q75's weights -> capped fills -> one
+    // surplus redistribution round
+    "q203_budget_alloc" -> ((s, dir) => {
+      CorpusOps.budgetAllocation(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
+    }),
+
     // Curation funnel: docs/tokens surviving each q33 stage plus the
     // retained-token share (CorpusPipeline.curationFunnel)
     "q201_curation_funnel" -> ((s, dir) => {
@@ -2124,6 +2132,51 @@ object LlmQueries {
             round(CAST(n_tokens AS DOUBLE) / CAST(raw_tokens AS DOUBLE), 6)
               AS token_share
           FROM fn CROSS JOIN rw ORDER BY stage"""
-    }
+    },
+
+    // allocation twin: q75's weight chain, same 6/12dp-rounded decimal
+    // cross-source folds, same double waterfall op order
+    "q203_budget_alloc" ->
+      s"""WITH $toksCte,
+          bs AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS avail
+                 FROM (SELECT d.doc_id, d.toks, doc.source
+                       FROM d JOIN documents doc ON d.doc_id = doc.doc_id)
+                 GROUP BY 1),
+          tt AS (SELECT CAST(sum(avail) AS BIGINT) AS total FROM bs),
+          sc AS (SELECT bs.*, tt.total,
+                   sqrt(CAST(avail AS DOUBLE)/CAST(total AS DOUBLE)) AS w_raw
+                 FROM bs CROSS JOIN tt),
+          z AS (SELECT sum(CAST(round(w_raw, 12) AS DECIMAL(28,12))) AS z
+                FROM sc),
+          a1 AS (SELECT sc.*,
+                   w_raw / CAST(z.z AS DOUBLE) AS weight,
+                   floor(CAST(total AS DOUBLE) * 0.6) AS budget
+                 FROM sc CROSS JOIN z),
+          a2 AS (SELECT *,
+                   budget * weight AS target,
+                   least(budget * weight, CAST(avail AS DOUBLE)) AS a1v,
+                   budget * weight < CAST(avail AS DOUBLE) AS open
+                 FROM a1),
+          fd AS (SELECT sum(CAST(round(a1v, 6) AS DECIMAL(28,6)))
+                     AS allocated,
+                   sum(CASE WHEN open THEN CAST(round(weight, 12)
+                     AS DECIMAL(28,12)) END) AS w_open
+                 FROM a2),
+          a3 AS (SELECT a2.*,
+                   CAST(budget AS DOUBLE) - CAST(fd.allocated AS DOUBLE)
+                     AS leftover,
+                   fd.w_open
+                 FROM a2 CROSS JOIN fd),
+          a4 AS (SELECT *,
+                   CASE WHEN leftover > 0 AND open AND w_open IS NOT NULL
+                     AND CAST(w_open AS DOUBLE) > 0
+                     THEN least(CAST(avail AS DOUBLE),
+                       a1v + leftover * weight / CAST(w_open AS DOUBLE))
+                     ELSE a1v END AS a2v
+                 FROM a3)
+          SELECT source, avail, round(weight, 6) AS weight,
+            round(target, 2) AS target, round(a2v, 2) AS alloc,
+            round(a2v / CAST(avail AS DOUBLE), 4) AS fill_rate
+          FROM a4 ORDER BY source"""
   )
 }
