@@ -732,6 +732,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(w(4L) < 0, s"alien doc should score negative: ${w(4L)}")
   }
 
+  test("curationFunnel: monotone stages, final stage equals curate's survivors") {
+    val funnel = graft.ops.CorpusPipeline.curationFunnel(docs)
+      .orderBy("stage").collect()
+    assert(funnel.map(_.getAs[String]("stage_name")).toSeq ===
+      Seq("raw", "quality_gate", "exact_dedup", "near_dedup"))
+    val nd = funnel.map(_.getAs[Long]("n_docs"))
+    assert(nd.zip(nd.tail).forall { case (a, b) => b <= a },
+      s"stages must be monotone non-increasing: ${nd.toSeq}")
+    assert(funnel.head.getAs[Double]("token_share") === 1.0)
+    val curated = graft.ops.CorpusPipeline.curate(docs)
+    assert(funnel.last.getAs[Long]("n_docs") === curated.count())
+  }
+
+  test("budgetAllocation: caps respected, budget not exceeded, weights normalized") {
+    val out = graft.ops.CorpusOps.budgetAllocation(docs).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("alloc") <=
+        r.getAs[Long]("avail").toDouble + 0.01)
+      assert(r.getAs[Double]("fill_rate") <= 1.0001)
+      assert(r.getAs[Double]("alloc") >= 0.0)
+    }
+    val totalAvail = out.map(_.getAs[Long]("avail")).sum
+    val budget = math.floor(totalAvail * 0.6)
+    val totalAlloc = out.map(_.getAs[Double]("alloc")).sum
+    assert(totalAlloc <= budget + 1.0,
+      s"allocated $totalAlloc exceeds budget $budget")
+    // one redistribution round over near-uniform sources should land
+    // close to the full budget
+    assert(totalAlloc >= budget * 0.95)
+    val wSum = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-3)
+  }
+
   test("ivfPqTopK equals pqAdcTopK when every cell is probed") {
     import spark.implicits._
     val dim = 8
