@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{MarketBars, PairAnalytics}
 import graft.sources.Tables
-import graft.streaming.{BarBuilder, DrawdownMonitor, JumpMonitor, PageCusumMonitor, StaleRunMonitor, TickBarMonitor, TickFlowMonitor, TransitionStream}
+import graft.streaming.{BarBuilder, ConversionMonitor, DrawdownMonitor, JumpMonitor, PageCusumMonitor, StaleRunMonitor, TickBarMonitor, TickFlowMonitor, TransitionStream}
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
@@ -539,6 +539,42 @@ class StreamingSpec extends AnyFunSuite {
       case Some(v) => spark.conf.set(provKey, v)
       case None => spark.conf.unset(provKey)
     }
+  }
+
+  test("streaming conversions match the batch first-signup->first-purchase pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    // batch reference: q176's per-user pair relation (the summary's
+    // input), same min-first / strictly-after rules
+    val firstA = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("a_ts"))
+    val batch = ev.filter($"event_type" === "purchase").alias("b")
+      .join(firstA.alias("a"), Seq("user_id"))
+      .filter($"b.ts" > $"a_ts")
+      .groupBy($"user_id", $"a_ts")
+      .agg(min($"b.ts").as("b_ts"))
+      .select($"user_id", $"a_ts", $"b_ts",
+        (unix_micros($"b_ts") - unix_micros($"a_ts")).as("lat_us"))
+
+    val points = ev.filter($"event_type".isin("signup", "purchase"))
+      .select($"user_id", $"ts", $"event_type").collect()
+      .map(r => ConversionMonitor.Ev(r.getLong(0), r.getTimestamp(1),
+        r.getString(2))).toSeq.sortBy(_.ts.getTime)
+    val stream = MemoryStream[ConversionMonitor.Ev]
+    val q = ConversionMonitor.conversions(stream.toDS(), "signup", "purchase")
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = points.splitAt(points.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("conv_out")
+        .select($"user_id", $"a_ts", $"b_ts", $"lat_us")
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
   }
 
   test("streaming bipower terms roll up to the batch RV/BV/jump rows") {
