@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,66 @@ object WarehouseOps {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col(valCol).cast(DecimalType(18, 6)))
           .cast(DoubleType), 6).as("sum_value"))
+  }
+
+  /** Deequ-style relational expectation suite over the star schema:
+    * one row per named check with checked/violation counts and a pass
+    * flag — the table-level data-quality audit the reference's
+    * per-bar validators (`validate_data.py`) never get to
+    * (uniqueness, referential integrity, value ranges, temporal
+    * sanity). On the synthetic data two checks genuinely FIRE
+    * (duplicate (orderkey, linenumber) pairs; ship-before-order
+    * lines), so the suite is exercised, not decorative.
+    *
+    * Scale: every check is one map-side-combined aggregate or one
+    * key-join (anti joins for FKs — the q08 shape; the temporal check
+    * joins on the natural fact key); checks run as independent
+    * branches of one union — at 100 TB each branch prunes to the
+    * columns it needs and nothing is collected. */
+  def tableExpectations(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def check(name: String, checked: Column, violations: Column,
+        src: DataFrame) =
+      src.agg(checked.as("n_checked"), violations.as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"), (col("n_violations") === 0).as("pass"))
+    val cnt = count(lit(1))
+    val pkDups = check("lineitem_pk_unique", cnt,
+      cnt - count_distinct(struct(col("l_orderkey"), col("l_linenumber"))),
+      lineitem)
+    def fkCheck(name: String, fact: DataFrame, factKey: String,
+        dim: DataFrame, dimKey: String) = {
+      val total = fact.agg(count(lit(1)).as("n_checked"))
+      val orphans = fact
+        .join(dim.select(col(dimKey)), col(factKey) === col(dimKey),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"), (col("n_violations") === 0).as("pass"))
+    }
+    val checks = Seq(
+      pkDups,
+      fkCheck("orders_custkey_fk", orders, "o_custkey",
+        customer, "c_custkey"),
+      fkCheck("lineitem_orderkey_fk", lineitem, "l_orderkey",
+        orders.select(col("o_orderkey")), "o_orderkey"),
+      check("discount_in_unit_range", cnt,
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)), lineitem),
+      check("quantity_positive", cnt,
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)), lineitem),
+      check("price_positive", cnt,
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)), lineitem),
+      check("orderdate_not_null", cnt,
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)), orders),
+      check("ship_not_before_order", cnt,
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)),
+        lineitem.join(orders.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))))
+    checks.reduce(_ unionByName _)
   }
 
   /** Incremental refresh of a standing daily aggregate under LATE

@@ -1015,6 +1015,16 @@ object CoreQueries {
       graft.ops.EventAnalytics.engagementGini(Tables.events(s, dir))
     }),
 
+    // Relational expectation suite over the star schema
+    // (WarehouseOps.tableExpectations): uniqueness / FK / range /
+    // temporal checks, one row per named check
+    "q204_dq_expectations" -> ((s, dir) => {
+      graft.ops.WarehouseOps.tableExpectations(
+          Tables.lineitem(s, dir), Tables.orders(s, dir),
+          Tables.customer(s, dir))
+        .orderBy(col("check_name"))
+    }),
+
     // Order-to-ship latency distribution per priority: exact
     // interpolated percentiles over the orders x lineitem join (q35's
     // percentile <-> quantile_cont mapping)
@@ -2075,6 +2085,54 @@ object CoreQueries {
            round(CAST(sum(CASE WHEN i > n - n // 10 THEN c END) AS DOUBLE)
              / CAST(sum(c) AS DOUBLE), 6) AS top_decile_share
          FROM rk""",
+
+    // expectation-suite twin: same checks, same counts
+    "q204_dq_expectations" ->
+      """WITH checks AS (
+         SELECT 'lineitem_pk_unique' AS check_name,
+           count(*) AS n_checked,
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             AS n_violations
+         FROM lineitem
+         UNION ALL
+         SELECT 'orders_custkey_fk', count(*),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+           ON o.o_custkey = c.c_custkey
+         UNION ALL
+         SELECT 'lineitem_orderkey_fk', count(*),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           ON l.l_orderkey = o.o_orderkey
+         UNION ALL
+         SELECT 'discount_in_unit_range', count(*),
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+             THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'quantity_positive', count(*),
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'price_positive', count(*),
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'orderdate_not_null', count(*),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'ship_not_before_order', count(*),
+           CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT check_name, n_checked, n_violations,
+           n_violations = 0 AS pass
+         FROM checks ORDER BY check_name""",
 
     // latency twin: same day difference, same quantile_cont mapping
     "q198_ship_latency" ->
