@@ -1224,6 +1224,39 @@ object MarketBars {
           .as("ls_spread"))
   }
 
+  /** Historical VaR and expected shortfall per series: the empirical
+    * `alpha`-quantile of 8dp log returns (interpolated, q35's exact
+    * percentile) and the decimal-exact mean of returns at or below it
+    * — the risk numbers every book reports daily. ES averages the
+    * 6dp-ROUNDED VaR-tail so the tail-membership comparison is
+    * identical cross-engine.
+    *
+    * One per-series return chain + two growing-key aggregates; the
+    * quantile broadcasts back per series for the tail mean. */
+  def varEs(bars: DataFrame, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha in (0, 0.5) (got $alpha)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val rets = bars
+      .withColumn("prev_c", lag(col("close"), 1).over(w))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 &&
+        col("close") > 0)
+      .select(col("series"),
+        round(log(col("close") / col("prev_c")), 8).as("r"))
+    val q = rets.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_rets"),
+        round(expr(s"percentile(r, $alpha)"), 6).as("var_q"))
+    rets.join(q, "series")
+      .filter(col("r") <= col("var_q"))
+      .groupBy(col("series"), col("n_rets"), col("var_q"))
+      .agg(count(lit(1)).as("n_tail"),
+        sum(col("r").cast(DecimalType(28, 12))).as("sr"))
+      .select(col("series"), col("n_rets"),
+        col("var_q").as("var_cut"),
+        col("n_tail"),
+        round(dbl(col("sr")) / dbl(col("n_tail")), 6).as("es"))
+  }
+
   /** Day-of-week effect test: one-way ANOVA of 8dp log returns
     * grouped by weekday, per series — F statistic and η² effect size
     * for the classic calendar-anomaly screen ("are Monday returns

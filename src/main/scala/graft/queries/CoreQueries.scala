@@ -1015,6 +1015,41 @@ object CoreQueries {
       graft.ops.EventAnalytics.engagementGini(Tables.events(s, dir))
     }),
 
+    // Market-basket part affinity: co-occurrence support/confidence/
+    // lift over orders — pair build is q155's map-side array
+    // comprehension (no posexplode self-join); part-count join sides
+    // are item-level aggregates
+    "q206_basket_lift" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val baskets = li.groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      val pairs = baskets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS pa, y AS pb))))")).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 3)
+      val partCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val tot = li.agg(count_distinct(col("ok")).as("n_orders"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      pairs
+        .join(partCnt.select(col("pk").as("pa"), col("c").as("ca")), "pa")
+        .join(partCnt.select(col("pk").as("pb"), col("c").as("cb")), "pb")
+        .crossJoin(broadcast(tot))
+        .select(col("pa"), col("pb"), col("n_both"), col("ca"), col("cb"),
+          round(dbl(col("n_both")) / dbl(col("n_orders")), 6).as("support"),
+          round(dbl(col("n_both")) / dbl(col("ca")), 4).as("confidence"),
+          round(dbl(col("n_both")) * dbl(col("n_orders")) /
+            (dbl(col("ca")) * dbl(col("cb"))), 4).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+
     // Relational expectation suite over the star schema
     // (WarehouseOps.tableExpectations): uniqueness / FK / range /
     // temporal checks, one row per named check
@@ -2085,6 +2120,29 @@ object CoreQueries {
            round(CAST(sum(CASE WHEN i > n - n // 10 THEN c END) AS DOUBLE)
              / CAST(sum(c) AS DOUBLE), 6) AS top_decile_share
          FROM rk""",
+
+    // basket twin: relational pair self-join == the map-side array
+    // comprehension on set semantics; same count cut and lift order
+    "q206_basket_lift" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         pr AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_both
+                FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+         pc AS (SELECT pk, count(*) AS c FROM pp GROUP BY 1),
+         tt AS (SELECT count(DISTINCT ok) AS n_orders FROM pp)
+         SELECT pa, pb, n_both, ca.c AS ca, cb.c AS cb,
+           round(CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+             AS support,
+           round(CAST(n_both AS DOUBLE) / CAST(ca.c AS DOUBLE), 4)
+             AS confidence,
+           round(CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 4) AS lift
+         FROM pr
+         JOIN pc ca ON ca.pk = pr.pa
+         JOIN pc cb ON cb.pk = pr.pb
+         CROSS JOIN tt
+         ORDER BY lift DESC, pa, pb LIMIT 20""",
 
     // expectation-suite twin: same checks, same counts
     "q204_dq_expectations" ->

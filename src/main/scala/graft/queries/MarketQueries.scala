@@ -884,6 +884,14 @@ object MarketQueries {
         .orderBy(col("series"), col("scale"))
     }),
 
+    // Historical VaR + expected shortfall per series (MarketBars
+    // .varEs): the daily risk report next to q140's tearsheet
+    "q205_var_es" -> ((s, dir) => {
+      MarketBars.varEs(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Day-of-week return ANOVA per series (MarketBars.dowAnova):
     // the calendar-anomaly screen next to q123's seasonal baseline
     "q202_dow_anova" -> ((s, dir) => {
@@ -2547,6 +2555,27 @@ object MarketQueries {
               THEN round((ssb / (k_groups - 1))
                 / (ssw / (n_obs - k_groups)), 4) END AS f_stat,
             CASE WHEN sst > 0 THEN round(ssb / sst, 6) END AS eta2
-          FROM f2 ORDER BY series"""
+          FROM f2 ORDER BY series""",
+
+    // VaR/ES twin: same 8dp return chain, same quantile_cont cut
+    // rounded 6dp BEFORE the tail-membership compare, decimal tail sum
+    "q205_var_es" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS prev_c
+                FROM bars),
+          r AS (SELECT series, round(ln(close/prev_c), 8) AS r
+                FROM p
+                WHERE prev_c IS NOT NULL AND prev_c > 0 AND close > 0),
+          q AS (SELECT series, count(*) AS n_rets,
+                  round(quantile_cont(r, 0.05), 6) AS var_q
+                FROM r GROUP BY 1)
+          SELECT r.series, q.n_rets, q.var_q AS var_cut,
+            count(*) AS n_tail,
+            round(CAST(sum(CAST(r.r AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS es
+          FROM r JOIN q ON r.series = q.series
+          WHERE r.r <= q.var_q
+          GROUP BY 1, 2, 3 ORDER BY r.series"""
   )
 }
