@@ -536,6 +536,49 @@ object CorpusOps {
           lit(10000.0)).as("avg_nll"))
   }
 
+  /** Per-source release scorecard: the one-row-per-source summary a
+    * corpus release gate reads — Gopher-rule pass rate, mean document
+    * length, canonical-duplicate rate, and benchmark-contamination
+    * flag rate, composed from [[TextOps.gopherRules]],
+    * [[TextOps.canonical]] digests, and
+    * [[DedupOps.contaminationShare]]. The "which feeds are clean
+    * enough to ship" table that q203's allocator consumes next.
+    *
+    * Scale: three independent source-keyed aggregates (each with
+    * map-side partials; the contamination leg inherits its broadcast
+    * bench-set posture) joined on the tiny source key. */
+  def sourceScorecard(
+      docs: DataFrame,
+      benchFilter: Column,
+      srcCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val base = TextOps.gopherRules(docs)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass_gopher"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("n_words")).as("sum_words"),
+        count_distinct(md5(TextOps.canonical(col(textCol)))).as("n_uniq"))
+    val contam = DedupOps
+      .contaminationShare(docs, textCol, idCol, benchFilter)
+      .join(docs.select(col(idCol), col(srcCol)), idCol)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+    base.join(contam, Seq(srcCol), "left")
+      .select(col(srcCol), col("n_docs"),
+        round(dbl(col("n_pass")) / dbl(col("n_docs")), 4)
+          .as("gopher_pass_rate"),
+        round(dbl(col("sum_words")) / dbl(col("n_docs")), 2)
+          .as("mean_words"),
+        round(dbl(col("n_docs") - col("n_uniq")) / dbl(col("n_docs")), 4)
+          .as("dup_rate"),
+        when(col("n_scored") > 0,
+          round(dbl(col("n_flagged")) / dbl(col("n_scored")), 4))
+          .as("contam_flag_rate"))
+  }
+
   /** Token-budget mixture allocation: distribute a training budget
     * (a fraction of the corpus's total tokens) across sources by
     * q75's temperature weights (sqrt-share renormalized), cap each

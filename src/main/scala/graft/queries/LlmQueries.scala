@@ -591,6 +591,14 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Per-source release scorecard (CorpusOps.sourceScorecard): the
+    // q192/q112/q186 signals rolled to one row per source
+    "q207_source_scorecard" -> ((s, dir) => {
+      CorpusOps.sourceScorecard(Tables.rebalance(Tables.documents(s, dir)),
+          benchFilter = col("doc_id") % 37 === 0)
+        .orderBy(col("source"))
+    }),
+
     // Token-budget waterfall allocation across sources (CorpusOps
     // .budgetAllocation): q75's weights -> capped fills -> one
     // surplus redistribution round
@@ -2177,6 +2185,70 @@ object LlmQueries {
           SELECT source, avail, round(weight, 6) AS weight,
             round(target, 2) AS target, round(a2v, 2) AS alloc,
             round(a2v / CAST(avail AS DOUBLE), 4) AS fill_rate
-          FROM a4 ORDER BY source"""
+          FROM a4 ORDER BY source""",
+
+    // scorecard twin: q192's gopher chain + q112's canonical digest +
+    // q186's contamination chain, each rolled per source
+    "q207_source_scorecard" ->
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                  round(CAST(list_sum(list_transform(toks, t -> len(t)))
+                    AS DOUBLE) / len(toks), 4) AS mean_wlen,
+                  round(CAST(len(list_filter(toks,
+                    t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                    / len(toks), 4) AS alpha_frac,
+                  CAST(len(list_intersect(list_distinct(toks),
+                    ['the','a','of','to','and'])) AS BIGINT) AS n_stop_kinds
+                FROM d),
+          f AS (SELECT *,
+                  n_words >= 20 AND n_words <= 80 AS word_count_ok,
+                  mean_wlen >= 4.0 AND mean_wlen <= 5.0 AS word_len_ok,
+                  alpha_frac >= 0.8 AS alpha_ok,
+                  n_stop_kinds >= 2 AS stop_ok
+                FROM s),
+          gj AS (SELECT doc.source, doc.text, f.*
+                 FROM f JOIN documents doc USING (doc_id)),
+          base AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(CASE WHEN word_count_ok AND word_len_ok
+                       AND alpha_ok AND stop_ok THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_pass,
+                     CAST(sum(n_words) AS BIGINT) AS sum_words,
+                     count(DISTINCT md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +', ' ', 'g')))) AS n_uniq
+                   FROM gj GROUP BY 1),
+          sh AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM d),
+          xs AS (SELECT doc_id,
+                   list_distinct(list_transform(sset, s -> ${x32("s")}))
+                     AS hset
+                 FROM sh WHERE len(sset) > 0),
+          e AS (SELECT doc_id, unnest(hset) AS h FROM xs),
+          bench AS (SELECT DISTINCT h FROM e WHERE doc_id % 37 = 0),
+          train AS (SELECT doc_id, h FROM e WHERE doc_id % 37 <> 0),
+          j AS (SELECT t.doc_id, count(*) AS n_shingles,
+                  count(b.h) AS n_hit
+                FROM train t LEFT JOIN bench b ON t.h = b.h GROUP BY 1),
+          cf AS (SELECT doc_id,
+                   round(CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE),
+                     6) AS contam_frac
+                 FROM j),
+          cj AS (SELECT doc.source, cf.*
+                 FROM cf JOIN documents doc USING (doc_id)),
+          ct AS (SELECT source, count(*) AS n_scored,
+                   CAST(sum(CASE WHEN contam_frac >= 0.2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_flagged
+                 FROM cj GROUP BY 1)
+          SELECT b.source, b.n_docs,
+            round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+              AS gopher_pass_rate,
+            round(CAST(sum_words AS DOUBLE) / CAST(n_docs AS DOUBLE), 2)
+              AS mean_words,
+            round(CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE),
+              4) AS dup_rate,
+            CASE WHEN n_scored > 0
+              THEN round(CAST(n_flagged AS DOUBLE)
+                / CAST(n_scored AS DOUBLE), 4) END AS contam_flag_rate
+          FROM base b LEFT JOIN ct ON b.source = ct.source
+          ORDER BY b.source"""
   )
 }
