@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.CrossHash
 
@@ -525,6 +525,46 @@ object DedupOps {
         round(col("n_kept").cast("double") / col("n_spans").cast("double"), 6)
           .as("share_kept"),
         col("clean_text"))
+  }
+
+  /** SimHash precision audit, per hamming distance: for every
+    * [[simhashNearDups]] pair, the EXACT Jaccard over the distinct
+    * shingle-hash sets (q25's ground truth), folded to pair count,
+    * mean Jaccard, and the share at or above the near-dup threshold —
+    * the precision side of the sketch-tuning story next to q170's
+    * MinHash error (how many SimHash "near-dups" are real?).
+    *
+    * Scale: rides the band-join pair plan; hash sets attach by id
+    * join (lazily checkpointed — one tokenize), the verify is
+    * set-intersection on candidate pairs only; output ≤ maxHamming+1
+    * rows. Docs under 3 tokens carry no shingle set and drop from the
+    * audit (both engines). */
+  def simhashPrecision(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      jacThreshold: Double = 0.3): DataFrame = {
+    graft.functions.MinHashDoc.register(df.sparkSession, A, B, CrossHash.P)
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pairs = simhashNearDups(df, textCol, idCol, maxHamming)
+    val hsets = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
+      .select(col(idCol).as("hd"),
+        graft.functions.MinHashDoc.doc(col(textCol))("sset").as("hset"))
+      .localCheckpoint(eager = false)
+    pairs
+      .join(hsets.select(col("hd").as("id_a"), col("hset").as("ha")), "id_a")
+      .join(hsets.select(col("hd").as("id_b"), col("hset").as("hb")), "id_b")
+      .withColumn("jac",
+        round(dbl(size(array_intersect(col("ha"), col("hb")))) /
+          dbl(size(array_union(col("ha"), col("hb")))), 6))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jac").cast(DecimalType(28, 12))).as("sj"),
+        sum(when(col("jac") >= jacThreshold, 1L).otherwise(0L)).as("n_good"))
+      .select(col("hamming"), col("n_pairs"),
+        round(dbl(col("sj")) / dbl(col("n_pairs")), 6).as("mean_jac"),
+        round(dbl(col("n_good")) / dbl(col("n_pairs")), 4).as("precision"))
   }
 
   /** Soft n-gram contamination share — the graded sibling of

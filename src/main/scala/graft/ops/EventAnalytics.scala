@@ -531,6 +531,50 @@ object EventAnalytics {
             lit(1e6) + lit(0.5)) / lit(1e6)).as("ks"))
   }
 
+  /** Within-session conversion funnel: sessions via the q56 strict
+    * ≥gap rule, then per session "did a `toType` follow the FIRST
+    * `fromType` inside the SAME session?", rolled up per session-start
+    * day — the session-scoped sibling of [[conversionLatency]]'s
+    * lifetime funnel (a purchase tomorrow doesn't count here).
+    *
+    * All-integer µs comparisons; conversion = the session's LAST
+    * `toType` strictly after its first `fromType`. One (user) window
+    * chain (q56's, one sort) + two growing-key rollups. */
+  def sessionFunnel(
+      events: DataFrame,
+      fromType: String = "signup",
+      toType: String = "purchase",
+      gapMinutes: Int = 30): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val s = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= gapUs,
+          1L).otherwise(0L))
+      .withColumn("session_n",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSession = s.groupBy(col("user_id"), col("session_n"))
+      .agg(min(col("us")).as("start_us"),
+        min(when(col("event_type") === fromType, col("us"))).as("a_us"),
+        max(when(col("event_type") === toType, col("us"))).as("b_us"))
+    perSession
+      .withColumn("d", to_date(timestamp_micros(col("start_us"))))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("a_us").isNotNull, 1L).otherwise(0L)).as("n_entered"),
+        sum(when(col("a_us").isNotNull && col("b_us").isNotNull &&
+          col("b_us") > col("a_us"), 1L).otherwise(0L)).as("n_converted"))
+      .select(col("d"), col("n_sessions"), col("n_entered"),
+        col("n_converted"),
+        when(col("n_entered") > 0,
+          round(dbl(col("n_converted")) / dbl(col("n_entered")), 4))
+          .as("conv_rate"))
+  }
+
   /** RFM (recency / frequency / monetary) segmentation: per-user
     * recency in days from the stream's latest event, event count, and
     * decimal-exact purchase value; quintile scores via ntile(5) with a

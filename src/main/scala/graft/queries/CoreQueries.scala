@@ -1015,6 +1015,13 @@ object CoreQueries {
       graft.ops.EventAnalytics.engagementGini(Tables.events(s, dir))
     }),
 
+    // Within-session conversion funnel (EventAnalytics.sessionFunnel):
+    // q56's sessions, q176's A-then-B rule scoped to one session
+    "q209_session_funnel" -> ((s, dir) => {
+      graft.ops.EventAnalytics.sessionFunnel(Tables.events(s, dir))
+        .orderBy(col("d"))
+    }),
+
     // Market-basket part affinity: co-occurrence support/confidence/
     // lift over orders — pair build is q155's map-side array
     // comprehension (no posexplode self-join); part-count join sides
@@ -2120,6 +2127,40 @@ object CoreQueries {
            round(CAST(sum(CASE WHEN i > n - n // 10 THEN c END) AS DOUBLE)
              / CAST(sum(c) AS DOUBLE), 6) AS top_decile_share
          FROM rk""",
+
+    // session-funnel twin: q56's exact session chain, same first-A /
+    // last-B strict compare, same day rollup
+    "q209_session_funnel" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT *, SUM(CASE WHEN prev_us IS NULL
+                 OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_n
+           FROM g),
+         ps AS (SELECT user_id, session_n, min(us) AS start_us,
+                  min(CASE WHEN event_type = 'signup' THEN us END) AS a_us,
+                  max(CASE WHEN event_type = 'purchase' THEN us END)
+                    AS b_us
+                FROM s GROUP BY 1, 2),
+         dd AS (SELECT CAST(make_timestamp(start_us) AS DATE) AS d, *
+                FROM ps),
+         g2 AS (SELECT d, count(*) AS n_sessions,
+                  CAST(sum(CASE WHEN a_us IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_entered,
+                  CAST(sum(CASE WHEN a_us IS NOT NULL
+                    AND b_us IS NOT NULL AND b_us > a_us
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+                FROM dd GROUP BY 1)
+         SELECT d, n_sessions, n_entered, n_converted,
+           CASE WHEN n_entered > 0
+             THEN round(CAST(n_converted AS DOUBLE)
+               / CAST(n_entered AS DOUBLE), 4) END AS conv_rate
+         FROM g2 ORDER BY d""",
 
     // basket twin: relational pair self-join == the map-side array
     // comprehension on set semantics; same count cut and lift order

@@ -591,6 +591,14 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // SimHash precision audit per hamming distance (DedupOps
+    // .simhashPrecision): the precision side of q170's sketch story
+    "q208_simhash_precision" -> ((s, dir) => {
+      DedupOps.simhashPrecision(Tables.rebalance(Tables.documents(s, dir)),
+          "text", "doc_id")
+        .orderBy(col("hamming"))
+    }),
+
     // Per-source release scorecard (CorpusOps.sourceScorecard): the
     // q192/q112/q186 signals rolled to one row per source
     "q207_source_scorecard" -> ((s, dir) => {
@@ -2249,6 +2257,51 @@ object LlmQueries {
               THEN round(CAST(n_flagged AS DOUBLE)
                 / CAST(n_scored AS DOUBLE), 4) END AS contam_flag_rate
           FROM base b LEFT JOIN ct ON b.source = ct.source
-          ORDER BY b.source"""
+          ORDER BY b.source""",
+
+    // precision twin: q26's simhash/band/hamming chain + q25's exact
+    // shingle-hash-set Jaccard on the surviving pairs
+    "q208_simhash_precision" -> {
+      val pow2 = (0 to 63).map(j => (1L << j).toString).mkString("[", ",", "]")
+      s"""WITH $toksCte,
+          x AS (SELECT doc_id, list_transform(toks,
+                  t -> ${CrossHash.duckX64("t")}) AS xs1 FROM d),
+          s AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(generate_series(0, 63),
+                    j -> CASE WHEN list_sum(list_transform(xs1,
+                           x -> CASE WHEN (x >> j) & 1 = 1
+                                THEN 1 ELSE -1 END)) > 0
+                         THEN ($pow2)[j+1] ELSE 0 END)) AS BIGINT) AS sh
+                FROM x),
+          b AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS band
+                FROM s),
+          bb AS (SELECT doc_id, sh, band,
+                   (sh >> (band*16)) & 65535 AS bval FROM b),
+          cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                     CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+                   FROM bb x JOIN bb y
+                     ON x.band = y.band AND x.bval = y.bval
+                       AND x.doc_id < y.doc_id
+                   WHERE bit_count(xor(x.sh, y.sh)) <= 3),
+          sh2 AS (SELECT doc_id, list_distinct($shingleExpr) AS sset FROM d),
+          xs AS (SELECT doc_id,
+                   list_distinct(list_transform(sset, s -> ${x32("s")}))
+                     AS hset
+                 FROM sh2 WHERE len(sset) > 0),
+          pj AS (SELECT cand.hamming,
+                   round(CAST(len(list_intersect(sa.hset, sb.hset))
+                     AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.hset, sb.hset))),
+                     6) AS jac
+                 FROM cand
+                 JOIN xs sa ON sa.doc_id = cand.id_a
+                 JOIN xs sb ON sb.doc_id = cand.id_b)
+          SELECT hamming, count(*) AS n_pairs,
+            round(CAST(sum(CAST(jac AS DECIMAL(28,12))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS mean_jac,
+            round(CAST(sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS precision
+          FROM pj GROUP BY 1 ORDER BY hamming"""
+    }
   )
 }
