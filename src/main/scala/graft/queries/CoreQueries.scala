@@ -1114,6 +1114,192 @@ object CoreQueries {
         .limit(20)
         .select(col("c_custkey"), col("c_name"), col("n_name"),
           col("n_items"), col("revenue"))
+    }),
+
+    // TPC-H Q7 shape (nation trade volume): the two-role nation join —
+    // lineitem reaches the CUSTOMER nation through orders and the
+    // SUPPLIER nation directly; both nation dims broadcast (two
+    // distinct aliases of one 25-row table), the facts shuffle once
+    // each on their join keys, revenue per (supp_nation, cust_nation,
+    // year) triple in exact DECIMAL
+    "q210_nation_trade" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      val nSupp = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val nCust = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      li.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          // round the DECIMAL (exact HALF_UP), THEN cast — a sum
+          // landing exactly on .xx5 would tie-break differently after
+          // a double cast (the q200 rescale-before-round lesson)
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 6))), 2).cast(DoubleType).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape (market share): of the STANDARD-part revenue sold
+    // into ASIA-region customers, the share supplied from NATION_3 by
+    // order year — the conditional-numerator / total-denominator ratio
+    // from ONE aggregate pass over the snowflake join (no second scan)
+    "q211_market_share" -> ((s, dir) => {
+      val asiaCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val nSupp = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(28, 6))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast(DecimalType(28, 6)))).as("nat_rev"),
+          sum(rev).as("tot_rev"))
+        .select(col("o_year"),
+          round(col("nat_rev"), 2).cast(DoubleType).as("nation_revenue"),
+          round(col("tot_rev"), 2).cast(DoubleType).as("total_revenue"),
+          round((col("nat_rev").cast(DoubleType) /
+            col("tot_rev").cast(DoubleType)), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): per ship month, the
+    // PROMO-type fraction of revenue — part dim broadcasts, the
+    // numerator is a conditional DECIMAL sum inside the same aggregate
+    "q212_promo_share" -> ((s, dir) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(28, 6))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(trunc(to_date(col("l_shipdate")), "month").as("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(28, 6)))).as("pr"),
+          sum(rev).as("tr"))
+        .select(col("ship_month"), col("n_items"),
+          round(col("pr"), 2).cast(DoubleType).as("promo_revenue"),
+          round(lit(100.0) * col("pr").cast(DoubleType) /
+            col("tr").cast(DoubleType), 6).as("promo_pct"))
+        .orderBy(col("ship_month"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity orders): lineitems below HALF the
+    // part's own average quantity, revenue per brand — the correlated
+    // scalar subquery decorrelated into a pre-aggregated per-part
+    // threshold joined back to the fact (two scans, one shuffle each;
+    // the threshold relation is |part|-sized and broadcasts)
+    "q213_small_qty" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((sum(col("l_quantity").cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          round((sum(col("l_extendedprice").cast(DecimalType(28, 6)))
+            .cast(DoubleType) / lit(7.0)), 2).as("avg_yearly"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total
+    // quantity exceeds 250 — the group-filter-join shape: lineitem
+    // pre-aggregates per order FIRST (map-side combine), the HAVING
+    // cut shrinks the relation before it ever joins customer/orders,
+    // top-20 via TakeOrdered
+    "q214_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (idle wealthy customers): customers with an
+    // above-average (positive-balance) account who placed NO order in
+    // the final year — scalar-subquery threshold broadcast back, then
+    // a left-anti join against the recent-orders key set, rolled up by
+    // nation
+    "q215_idle_customers" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(28, 6)))
+          .cast(DoubleType) / count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast(DecimalType(28, 6))), 2)
+            .cast(DoubleType).as("total_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): orders per
+    // customer INCLUDING zero-order customers (left join), then the
+    // distribution of those counts — the double-aggregate shape whose
+    // first groupBy pre-shrinks to |customer| rows so the second is
+    // trivial
+    "q216_order_count_dist" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_cust").desc, col("n_orders").desc)
+    }),
+
+    // TPC-H Q6 shape (forecast revenue change): the pure scan-filter-
+    // aggregate — every predicate pushes to the parquet scan, the
+    // answer is one DECIMAL-exact row; the query that measures scan
+    // efficiency and nothing else
+    "q217_discount_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(count(lit(1)).as("n_items"),
+          round(sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(28, 6))), 2).cast(DoubleType).as("revenue"))
     })
   )
 
@@ -2267,6 +2453,136 @@ object CoreQueries {
          WHERE l_returnflag = 'R'
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, c_custkey
-         LIMIT 20"""
+         LIMIT 20""",
+
+    // Q7 twin: same two-role nation join, same decimal revenue
+    "q210_nation_trade" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           count(*) AS n_items,
+           CAST(round(SUM(CAST(l_extendedprice*(1.0 - l_discount)
+             AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ns ON s_nationkey = ns.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation nc ON c_nationkey = nc.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND ns.n_name <> nc.n_name
+         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
+
+    // Q8 twin: conditional numerator + total denominator in one pass
+    "q211_market_share" ->
+      """WITH x AS (
+           SELECT year(o_orderdate) AS o_year,
+             SUM(CASE WHEN ns.n_name = 'NATION_3'
+               THEN CAST(l_extendedprice*(1.0 - l_discount) AS DECIMAL(28,6))
+               ELSE CAST(0 AS DECIMAL(28,6)) END) AS nat_rev,
+             SUM(CAST(l_extendedprice*(1.0 - l_discount)
+               AS DECIMAL(28,6))) AS tot_rev
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation nc ON c_nationkey = nc.n_nationkey
+           JOIN region ON nc.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ns ON s_nationkey = ns.n_nationkey
+           WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+           GROUP BY 1)
+         SELECT CAST(o_year AS INTEGER) AS o_year,
+           CAST(round(nat_rev, 2) AS DOUBLE) AS nation_revenue,
+           CAST(round(tot_rev, 2) AS DOUBLE) AS total_revenue,
+           round(CAST(nat_rev AS DOUBLE)/CAST(tot_rev AS DOUBLE), 6)
+             AS mkt_share
+         FROM x ORDER BY o_year""",
+
+    // Q14 twin: same month bucket, same conditional decimal numerator
+    "q212_promo_share" ->
+      """SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
+           count(*) AS n_items,
+           CAST(round(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice*(1.0 - l_discount) AS DECIMAL(28,6))
+             ELSE CAST(0 AS DECIMAL(28,6)) END), 2) AS DOUBLE)
+             AS promo_revenue,
+           round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice*(1.0 - l_discount) AS DECIMAL(28,6))
+             ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice*(1.0 - l_discount)
+               AS DECIMAL(28,6))) AS DOUBLE), 6) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY ship_month""",
+
+    // Q17 twin: decorrelated per-part threshold, same exact avg form
+    "q213_small_qty" ->
+      """WITH thr AS (
+           SELECT l_partkey AS t_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS avg_qty
+           FROM lineitem GROUP BY 1)
+         SELECT p_brand, count(*) AS n_small,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+             AS DOUBLE) / 7.0, 2) AS avg_yearly
+         FROM lineitem
+         JOIN thr ON l_partkey = t_partkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE l_quantity < 0.5 * avg_qty
+         GROUP BY 1 ORDER BY p_brand""",
+
+    // Q18 twin: same pre-aggregated HAVING cut, same top-20 tie-break
+    "q214_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             > 250.0)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           sum_qty
+         FROM big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY sum_qty DESC, o_orderkey LIMIT 20""",
+
+    // Q22 twin: same positive-balance average, same anti-join window
+    "q215_idle_customers" ->
+      """WITH avg_bal AS (
+           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*) AS ab
+           FROM customer WHERE c_acctbal > 0.0),
+          recent AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+         SELECT n_name, count(*) AS n_cust,
+           CAST(round(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS total_bal
+         FROM customer
+         CROSS JOIN avg_bal
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_acctbal > ab
+           AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+         GROUP BY 1 ORDER BY n_name""",
+
+    // Q13 twin: zero-order customers kept by the left join
+    "q216_order_count_dist" ->
+      """SELECT n_orders, count(*) AS n_cust
+         FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY 1)
+         GROUP BY 1 ORDER BY n_cust DESC, n_orders DESC""",
+
+    // Q6 twin: identical pushed predicates, one decimal-exact row
+    "q217_discount_revenue" ->
+      """SELECT count(*) AS n_items,
+           CAST(round(SUM(CAST(l_extendedprice * l_discount
+             AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24.0"""
   )
 }
