@@ -1506,4 +1506,174 @@ object MarketBars {
           dbl(col("sterm")), 4).as("q_stat"))
       .withColumn("reject_white", col("q_stat") > crit)
   }
+
+  /** Average True Range (Wilder's TR, Cutler-style SMA smoothing):
+    * TR = max(high − low, |high − prev_close|, |low − prev_close|)
+    * captures gap risk the plain high−low range misses; ATR is the
+    * trailing `period`-bar mean of TR — the position-sizing / stop
+    * width primitive next to RSI (q133) and the candle screen (q126).
+    *
+    * Determinism (the q90 rule): TR snaps to an exact scaled long via
+    * floor(tr·1e6 + 0.5) — greatest/abs on identical doubles is
+    * bit-identical first — the window sum folds in pure long
+    * arithmetic, and the final mean floors at 6dp. Rows before a full
+    * `period` of TRs (the first bar has no prev_close) emit null.
+    *
+    * Scale: one per-series trailing frame (the q49/q83 hot-key
+    * class; the [[ScalableWindow]] (key, day)+carry-in rewrite
+    * applies when one series outgrows a partition). */
+  def atr(bars: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 1, s"period must be >= 1 (got $period)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val frame = w.rowsBetween(-(period - 1), 0)
+    bars
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("tr6",
+        when(col("pc").isNotNull,
+          floor(greatest(
+            col("high") - col("low"),
+            abs(col("high") - col("pc")),
+            abs(col("low") - col("pc"))) * lit(1e6) + lit(0.5))
+            .cast("long")))
+      .withColumn("nt",
+        sum(when(col("tr6").isNotNull, 1L).otherwise(0L)).over(frame))
+      .withColumn("st", sum(col("tr6")).over(frame))
+      .select(col("series"), col("bar_ts"), col("close"),
+        when(col("nt") === period,
+          floor(col("st").cast(DoubleType) / lit(period.toDouble) +
+            lit(0.5)) / lit(1e6)).as("atr"))
+  }
+
+  /** Stochastic oscillator %K/%D: %K = 100·(close − LL)/(HH − LL)
+    * with LL/HH the trailing `period`-bar low/high extremes, %D the
+    * 3-bar simple mean of %K — WHERE the close sits inside its recent
+    * range, the overbought/oversold screen complementing RSI's
+    * velocity view.
+    *
+    * Determinism: LL/HH are exact (min/max of raw doubles), %K snaps
+    * to a scaled long via floor(q·1e6 + 0.5) (identical IEEE quotient
+    * first), and %D re-averages THOSE longs — exact integer sum, one
+    * double division, one floor. A degenerate flat window (HH = LL)
+    * pins %K to the 50 midpoint (the q133 convention). Warm-up rows
+    * (< period bars, or < 3 %K values for %D) emit nulls.
+    *
+    * Scale: two nested per-series trailing frames, same q49/q83
+    * hot-key class and [[ScalableWindow]] escape as [[atr]]. */
+  def stochastic(bars: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 1, s"period must be >= 1 (got $period)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val frame = w.rowsBetween(-(period - 1), 0)
+    val d3 = w.rowsBetween(-2, 0)
+    bars
+      .withColumn("nb", count(lit(1)).over(frame))
+      .withColumn("ll", min(col("low")).over(frame))
+      .withColumn("hh", max(col("high")).over(frame))
+      .withColumn("k6",
+        when(col("nb") === period,
+          when(col("hh") > col("ll"),
+            floor(lit(100.0) * (col("close") - col("ll")) /
+              (col("hh") - col("ll")) * lit(1e6) + lit(0.5)).cast("long"))
+            .otherwise(lit(50000000L))))
+      .withColumn("nk",
+        sum(when(col("k6").isNotNull, 1L).otherwise(0L)).over(d3))
+      .withColumn("sk", sum(col("k6")).over(d3))
+      .select(col("series"), col("bar_ts"), col("close"),
+        (col("k6").cast(DoubleType) / lit(1e6)).as("pct_k"),
+        when(col("nk") === 3,
+          floor(col("sk").cast(DoubleType) / lit(3.0) + lit(0.5)) /
+            lit(1e6)).as("pct_d"))
+  }
+
+  /** Overnight-vs-intraday return split: each (series, day) collapses
+    * to its first open and last close; the overnight leg is
+    * open_d / close_{d−1} − 1 (the close-to-open gap), the intraday
+    * leg close_d / open_d − 1 — the classic decomposition showing
+    * WHERE a series earns its return (gaps vs session drift).
+    *
+    * Determinism: first/last collapse via min_by/max_by on the unique
+    * bar_ts (arg_min/arg_max in the twin), each leg snaps to a scaled
+    * long via floor(r·1e6 + 0.5) on identical double quotients, and
+    * the per-series means re-divide the exact long sums once. Zero /
+    * non-positive anchors null the leg (the q05 log guard class).
+    *
+    * Scale: one (series, day) map-side-combined aggregate, one
+    * per-series day-ordered lag (tiny — |series|·|days| rows), one
+    * final rollup. The corpus-sized relation is touched once. */
+  def overnightIntraday(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("series")).orderBy(col("d"))
+    val daily = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .groupBy(col("series"), col("d"))
+      .agg(min_by(col("open"), col("bar_ts")).as("day_open"),
+        max_by(col("close"), col("bar_ts")).as("day_close"))
+    daily
+      .withColumn("pc", lag(col("day_close"), 1).over(w))
+      .withColumn("on6",
+        when(col("pc") > 0 && col("day_open") > 0,
+          floor((col("day_open") / col("pc") - lit(1.0)) * lit(1e6) +
+            lit(0.5)).cast("long")))
+      .withColumn("in6",
+        when(col("day_open") > 0 && col("day_close") > 0,
+          floor((col("day_close") / col("day_open") - lit(1.0)) * lit(1e6) +
+            lit(0.5)).cast("long")))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("on6").isNotNull, 1L).otherwise(0L)).as("n_on"),
+        sum(col("on6")).as("s_on"),
+        sum(when(col("in6").isNotNull, 1L).otherwise(0L)).as("n_in"),
+        sum(col("in6")).as("s_in"))
+      .select(col("series"), col("n_days"),
+        when(col("n_on") > 0,
+          floor(dbl(col("s_on")) / dbl(col("n_on")) + lit(0.5)) / lit(1e6))
+          .as("avg_overnight"),
+        when(col("n_in") > 0,
+          floor(dbl(col("s_in")) / dbl(col("n_in")) + lit(0.5)) / lit(1e6))
+          .as("avg_intraday"))
+  }
+
+  /** MACD(12, 26, 9) over a finite trailing frame: fast/slow EMAs of
+    * the close fold over the SAME `frameRows`-bar list with
+    * alpha = 2/(n+1), macd = fast − slow, and the signal line is the
+    * 9-row EMA of the (6dp-snapped) macd path — trend-following's
+    * standard crossover telemetry on top of the q101 EWMA machinery.
+    *
+    * Determinism (the q101 rule): both engines materialize each frame
+    * as a list in frame-row order and fold it SEQUENTIALLY with
+    * s' = s·(1−α) + x·α (Spark `aggregate`, DuckDB `list_reduce`) —
+    * identical op sequence on identical doubles is bit-identical, so
+    * no decimal help is needed until macd snaps to 6dp (floor-form)
+    * for the second fold. Finite-frame truncation is normalized by
+    * the matching weight-sum fold (num/den), so warm-up rows are
+    * usable, not biased toward zero.
+    *
+    * Scale: two window passes per series (frame collect + signal
+    * collect) — the q49/q83 hot-key class, [[ScalableWindow]] escape
+    * unchanged. The frame list is bounded (`frameRows`), so state per
+    * row is O(frame), never O(history). */
+  def macd(bars: DataFrame, frameRows: Int = 26): DataFrame = {
+    require(frameRows >= 2, s"frameRows must be >= 2 (got $frameRows)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val frame = w.rowsBetween(-(frameRows - 1), 0)
+    val sig = w.rowsBetween(-8, 0)
+    val aF = lit(2.0 / 13.0) // fast EMA-12 alpha
+    val aS = lit(2.0 / 27.0) // slow EMA-26 alpha
+    val aG = lit(2.0 / 10.0) // signal EMA-9 alpha
+    def emaNum(lst: Column, a: Column) =
+      aggregate(lst, lit(0.0), (s, x) => s * (lit(1.0) - a) + x * a)
+    def emaDen(lst: Column, a: Column) =
+      aggregate(lst, lit(0.0), (s, _) => s * (lit(1.0) - a) + a)
+    bars
+      .withColumn("cs", collect_list(col("close")).over(frame))
+      .withColumn("m6",
+        floor((emaNum(col("cs"), aF) / emaDen(col("cs"), aF) -
+          emaNum(col("cs"), aS) / emaDen(col("cs"), aS)) * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .withColumn("ms",
+        collect_list(col("m6").cast(DoubleType) / lit(1e6)).over(sig))
+      .select(col("series"), col("bar_ts"), col("close"),
+        (col("m6").cast(DoubleType) / lit(1e6)).as("macd"),
+        round(emaNum(col("ms"), aG) / emaDen(col("ms"), aG), 6)
+          .as("macd_signal"))
+  }
 }

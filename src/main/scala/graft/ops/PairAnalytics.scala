@@ -118,6 +118,45 @@ object PairAnalytics {
           .as("adf_t"))
   }
 
+  /** Mean-reversion half-life of the pair spread: the lag-0
+    * no-constant AR(1) regression Δs_t = φ·s_{t−1} + ε gives the
+    * reversion speed, and half-life = −ln 2 / ln(1 + φ) converts it to
+    * "bars until half a shock decays" — the horizon calibration for
+    * the q06 z-score window (a 60-bar window on a 6-bar half-life
+    * over-smooths; on a 600-bar one it trades noise).
+    *
+    * Determinism (the q172 pattern): the spread snaps to exact 1e-8
+    * scaled longs, the regression sums (Σs², ΣsΔ) fold DECIMAL-exact,
+    * φ forms in one double division, and ln evaluates once per pair
+    * (bit-identical in both engines — the q92 precedent), rounded at
+    * emission. Half-life is only defined for a stationary path
+    * (−1 < φ < 0 ⇒ 0 < 1+φ < 1); anything else emits null.
+    *
+    * Scale: one per-pair lag window (q49 class) + one
+    * map-side-combined 1-row-per-pair aggregate. */
+  def halfLife(pair: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
+    pair
+      .withColumn("s8",
+        floor(col("spread") * lit(1e8) + lit(0.5)).cast("long"))
+      .withColumn("sl", lag(col("s8"), 1).over(w))
+      .filter(col("sl").isNotNull)
+      .withColumn("ds", col("s8") - col("sl"))
+      .groupBy(col("pair_name"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum((col("sl") * col("sl")).cast(dec)).as("sll"),
+        sum((col("sl") * col("ds")).cast(dec)).as("sld"))
+      .withColumn("phi",
+        when(col("sll") > 0, dbl(col("sld")) / dbl(col("sll"))))
+      .select(col("pair_name"), col("n_obs"),
+        round(col("phi"), 6).as("phi"),
+        when(col("phi") > -1.0 && col("phi") < 0.0,
+          round(-log(lit(2.0)) / log(lit(1.0) + col("phi")), 4))
+          .as("half_life_bars"))
+  }
+
   /** Trailing-window z-score over the spread, gated on warm-up and a
     * degenerate (zero/null) stddev — NULL, never NaN, in both cases. */
   def rollingZScore(

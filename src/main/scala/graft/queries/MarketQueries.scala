@@ -907,6 +907,50 @@ object MarketQueries {
           "event_type", "ts", "value"),
           Seq("click", "error", "purchase", "signup", "view"))
         .orderBy(col("series"))
+    }),
+
+    // ATR-14 over the 5-min bars (MarketBars.atr): gap-aware range
+    // for stop-width / position sizing, scaled-long TR window sums
+    "q218_atr" -> ((s, dir) => {
+      MarketBars.atr(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), period = 14)
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Stochastic oscillator %K/%D-14 (MarketBars.stochastic): where
+    // the close sits in its trailing range; %D re-averages the exact
+    // %K scaled longs
+    "q219_stochastic" -> ((s, dir) => {
+      MarketBars.stochastic(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), period = 14)
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Overnight-vs-intraday return decomposition per series
+    // (MarketBars.overnightIntraday): gap return vs session drift
+    "q221_overnight_intraday" -> ((s, dir) => {
+      MarketBars.overnightIntraday(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // MACD(12,26,9) finite-frame crossover telemetry (MarketBars
+    // .macd): two sequential EMA folds + a signal fold over the
+    // 6dp-snapped macd path — the q101 bit-identical-fold machinery
+    "q222_macd" -> ((s, dir) => {
+      MarketBars.macd(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), frameRows = 26)
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Mean-reversion half-life of the pair spread (PairAnalytics
+    // .halfLife): the AR(1) decay horizon that calibrates the q06
+    // z-score window
+    "q223_half_life" -> ((s, dir) => {
+      PairAnalytics.halfLife(
+          PairAnalytics.pairSpread(MarketBars.bars(Tables.events(s, dir),
+            "event_type", "ts", "value"), "click", "view"))
+        .orderBy(col("pair_name"))
     })
   )
 
@@ -2576,6 +2620,154 @@ object MarketQueries {
               / CAST(count(*) AS DOUBLE), 6) AS es
           FROM r JOIN q ON r.series = q.series
           WHERE r.r <= q.var_q
-          GROUP BY 1, 2, 3 ORDER BY r.series"""
+          GROUP BY 1, 2, 3 ORDER BY r.series""",
+
+    // ATR twin: same scaled-long TR, same 14-bar long sum, same
+    // floor-form mean
+    "q218_atr" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, high, low,
+                  lag(close) OVER w AS pc
+                FROM bars
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          t AS (SELECT series, bar_ts, close,
+                  CASE WHEN pc IS NOT NULL THEN
+                    CAST(floor(greatest(high - low, abs(high - pc),
+                      abs(low - pc)) * 1e6 + 0.5) AS BIGINT) END AS tr6
+                FROM p),
+          f AS (SELECT series, bar_ts, close,
+                  SUM(CASE WHEN tr6 IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER fr AS nt,
+                  SUM(tr6) OVER fr AS st
+                FROM t
+                WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT series, bar_ts, close,
+            CASE WHEN nt = 14
+              THEN floor(CAST(st AS DOUBLE) / 14.0 + 0.5) / 1e6 END AS atr
+          FROM f ORDER BY series, bar_ts""",
+
+    // stochastic twin: exact window extremes, same %K scaled long,
+    // %D re-averages the longs
+    "q219_stochastic" ->
+      s"""WITH $barsCte,
+          f AS (SELECT series, bar_ts, close,
+                  count(*) OVER fr AS nb,
+                  min(low) OVER fr AS ll,
+                  max(high) OVER fr AS hh
+                FROM bars
+                WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+          k AS (SELECT series, bar_ts, close,
+                  CASE WHEN nb = 14 THEN
+                    CASE WHEN hh > ll THEN
+                      CAST(floor(100.0 * (close - ll) / (hh - ll) * 1e6
+                        + 0.5) AS BIGINT)
+                    ELSE 50000000 END END AS k6
+                FROM f),
+          g AS (SELECT series, bar_ts, close, k6,
+                  SUM(CASE WHEN k6 IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER d3 AS nk,
+                  SUM(k6) OVER d3 AS sk
+                FROM k
+                WINDOW d3 AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+          SELECT series, bar_ts, close,
+            CAST(k6 AS DOUBLE) / 1e6 AS pct_k,
+            CASE WHEN nk = 3
+              THEN floor(CAST(sk AS DOUBLE) / 3.0 + 0.5) / 1e6 END AS pct_d
+          FROM g ORDER BY series, bar_ts""",
+
+    // overnight/intraday twin: arg_min/arg_max day collapse, same
+    // scaled-long legs, same floor-form means
+    "q221_overnight_intraday" ->
+      s"""WITH $barsCte,
+          daily AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                      arg_min(open, bar_ts) AS day_open,
+                      arg_max(close, bar_ts) AS day_close
+                    FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, day_open, day_close,
+                  lag(day_close) OVER
+                    (PARTITION BY series ORDER BY d) AS pc
+                FROM daily),
+          r AS (SELECT series,
+                  CASE WHEN pc > 0 AND day_open > 0 THEN
+                    CAST(floor((day_open / pc - 1.0) * 1e6 + 0.5)
+                      AS BIGINT) END AS on6,
+                  CASE WHEN day_open > 0 AND day_close > 0 THEN
+                    CAST(floor((day_close / day_open - 1.0) * 1e6 + 0.5)
+                      AS BIGINT) END AS in6
+                FROM l)
+          SELECT series, count(*) AS n_days,
+            CASE WHEN SUM(CASE WHEN on6 IS NOT NULL THEN 1 ELSE 0 END) > 0
+              THEN floor(CAST(SUM(on6) AS DOUBLE) /
+                CAST(SUM(CASE WHEN on6 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) + 0.5) / 1e6 END AS avg_overnight,
+            CASE WHEN SUM(CASE WHEN in6 IS NOT NULL THEN 1 ELSE 0 END) > 0
+              THEN floor(CAST(SUM(in6) AS DOUBLE) /
+                CAST(SUM(CASE WHEN in6 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) + 0.5) / 1e6 END AS avg_intraday
+          FROM r GROUP BY 1 ORDER BY series""",
+
+    // MACD twin: identical sequential num/den folds (list_reduce ≡
+    // aggregate — the q101 bit-identity), macd 6dp-snapped before the
+    // signal fold
+    "q222_macd" ->
+      s"""WITH $barsCte,
+          f AS (SELECT series, bar_ts, close,
+                  list(close) OVER (PARTITION BY series ORDER BY bar_ts
+                    ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS cs
+                FROM bars),
+          m AS (SELECT series, bar_ts, close,
+                  CAST(floor((
+                    list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                      (s, z) -> s * (1.0 - 2.0/13.0) + z * (2.0/13.0)) /
+                    list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                      (s, z) -> s * (1.0 - 2.0/13.0) + (2.0/13.0)) -
+                    list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                      (s, z) -> s * (1.0 - 2.0/27.0) + z * (2.0/27.0)) /
+                    list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                      (s, z) -> s * (1.0 - 2.0/27.0) + (2.0/27.0))
+                  ) * 1e6 + 0.5) AS BIGINT) AS m6
+                FROM f),
+          g AS (SELECT series, bar_ts, close, m6,
+                  list(CAST(m6 AS DOUBLE) / 1e6) OVER
+                    (PARTITION BY series ORDER BY bar_ts
+                     ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS ms
+                FROM m)
+          SELECT series, bar_ts, close,
+            CAST(m6 AS DOUBLE) / 1e6 AS macd,
+            round(
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), ms),
+                (s, z) -> s * (1.0 - 2.0/10.0) + z * (2.0/10.0)) /
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), ms),
+                (s, z) -> s * (1.0 - 2.0/10.0) + (2.0/10.0)), 6)
+              AS macd_signal
+          FROM g ORDER BY series, bar_ts""",
+
+    // half-life twin: same 1e-8 spread snap, same no-constant AR(1)
+    // decimal sums, ln once on the same double quotient
+    "q223_half_life" ->
+      s"""WITH $pairCte,
+          s AS (SELECT bar_ts,
+                  CAST(floor(spread * 1e8 + 0.5) AS BIGINT) AS s8
+                FROM pair),
+          l AS (SELECT s8, lag(s8) OVER (ORDER BY bar_ts) AS sl FROM s),
+          d AS (SELECT sl, s8 - sl AS ds FROM l WHERE sl IS NOT NULL),
+          m AS (SELECT count(*) AS n_obs,
+                  SUM(CAST(sl * sl AS DECIMAL(38,0))) AS sll,
+                  SUM(CAST(sl * ds AS DECIMAL(38,0))) AS sld
+                FROM d)
+          SELECT 'click-view' AS pair_name, n_obs,
+            round(CASE WHEN sll > 0
+              THEN CAST(sld AS DOUBLE) / CAST(sll AS DOUBLE) END, 6)
+              AS phi,
+            CASE WHEN sll > 0
+              AND CAST(sld AS DOUBLE) / CAST(sll AS DOUBLE) > -1.0
+              AND CAST(sld AS DOUBLE) / CAST(sll AS DOUBLE) < 0.0
+              THEN round(-ln(2.0) /
+                ln(1.0 + CAST(sld AS DOUBLE) / CAST(sll AS DOUBLE)), 4)
+              END AS half_life_bars
+          FROM m ORDER BY pair_name"""
   )
 }
