@@ -1227,4 +1227,87 @@ object CorpusOps {
         col("jsd_total"), col("rn"))
       .orderBy(col("rn"))
   }
+
+  /** Distinct-n lexical diversity per source: for n = 1..`maxN`, the
+    * share of n-grams that are unique — the standard repetitiveness /
+    * mode-collapse telemetry for generated or scraped text (low
+    * distinct-2 ⇒ the source loops the same phrases). Counts are pure
+    * integers; the only double is the final ratio.
+    *
+    * Scale: the corpus tokenizes ONCE behind a materialization
+    * barrier ([[graft.ops.Dist.materialize]] — otherwise
+    * CollapseProject re-splits per n-level), each n-level is a
+    * map-side n-gram explode into a (source, n, gram) count-distinct
+    * pair of aggregates (two-level, no distinct-within-window), and
+    * the three levels union AFTER aggregation — |sources|·maxN rows. */
+  def distinctN(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1 (got $maxN)")
+    val tok = Dist.materialize(
+      docs.select(col(sourceCol).as("source"),
+        TextOps.tokens(col(textCol)).as("toks")))
+    val levels = (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) col("toks") else TextOps.shingles(col("toks"), n)
+      tok
+        .select(col("source"), explode(grams).as("gram"))
+        .groupBy(col("source"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"))
+        .select(col("source"), lit(n).as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast(DoubleType) /
+            col("total_ngrams").cast(DoubleType), 6).as("distinct_ratio"))
+    }
+    levels.reduce(_.unionByName(_))
+  }
+
+  /** Class-based TF-IDF (the BERTopic weighting): treating each source
+    * as a class, W(t, c) = tf_{t,c} · ln(1 + A / f_t) with f_t the
+    * corpus-wide frequency of t and A the average token count per
+    * class — the "what words CHARACTERIZE this source" keyword list,
+    * the per-class sibling of q59's per-document TF-IDF.
+    *
+    * Determinism: tf, f_t, and A's inputs are exact integers; A and
+    * each score evaluate in one fixed double op order (ln is the q92
+    * bit-identical precedent) and round 6dp before the (score desc,
+    * term) rank — ties cut lexically.
+    *
+    * Scale: one tokenize pass, one (source, term) shuffle; f_t and A
+    * live on vocabulary-sized aggregates (f_t joined back BY TERM on
+    * the vocab relation, A a 1-row broadcast), and the per-source
+    * top-k window runs on the aggregate, never the corpus (q39 rule). */
+  def ctfidf(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      topK: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("f_t"))
+    val avgClass = tf.groupBy(col("source"))
+      .agg(sum(col("tf")).as("class_toks"))
+      .agg((sum(col("class_toks")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("a_avg"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(ft, "term")
+      .crossJoin(broadcast(avgClass))
+      .withColumn("score",
+        round(col("tf").cast(DoubleType) *
+          log(lit(1.0) + col("a_avg") / col("f_t").cast(DoubleType)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("term"), col("tf"),
+        col("f_t"), col("score"))
+  }
 }

@@ -668,4 +668,80 @@ object SimilarityOps {
         round(sqrt(aggregate(col("errv"), lit(0.0), (a, e) => a + e * e)), 6)
           .as("err_l2"))
   }
+
+  /** Embedding isotropy per label: the EXACT mean pairwise cosine of
+    * the label's unit vectors, computed without any pairwise join via
+    * the Gram identity  Σ_{i≠j} cos(u_i, u_j) = ‖Σu‖² − Σ‖u‖²  — the
+    * anisotropy audit (embeddings clumping into a cone score near 1;
+    * a well-spread space near 0) next to q187's per-dimension stats.
+    * At 100 TB the identity is the whole point: the naive form is an
+    * O(n²) self-join; this is one per-dimension aggregate.
+    *
+    * Determinism: unit components round 12dp and DECIMAL-sum per
+    * (label, dim) — exact, order-free; the d per-dim squares round
+    * 8dp and DECIMAL-sum again (a 64-term double sum would be
+    * merge-order-sensitive); one double division at the end. */
+  def isotropy(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val perDim = withUnitVec(emb, vecCol)
+      .select(col(labelCol).as("label"), posexplode(col("nv")).as(Seq("pos", "u")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("u"), 12).cast(DecimalType(28, 12))).as("su"),
+        sum(round(col("u") * col("u"), 12).cast(DecimalType(28, 12)))
+          .as("su2"))
+    perDim
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(round(dbl(col("su")) * dbl(col("su")), 8)
+          .cast(DecimalType(28, 8))).as("norm2"),
+        sum(col("su2")).as("self2"))
+      .select(col("label"), col("n_vecs"),
+        round((dbl(col("norm2")) - dbl(col("self2"))) /
+          (dbl(col("n_vecs")) * (dbl(col("n_vecs")) - lit(1.0))), 8)
+          .as("mean_pairwise_cos"))
+  }
+
+  /** Reliability bins for a scored relation (the calibration curve):
+    * the score range splits into `bins` equal-width buckets (the q115
+    * histogram rule — degenerate zero-width range collapses to bin
+    * 0), and each bucket reports its size, mean score, and positive
+    * rate — how monotone the scorer actually is, the acceptance
+    * check before its threshold gates anything (q89's margins are the
+    * canonical input).
+    *
+    * Determinism: scores arrive pre-rounded (6dp from linearScore),
+    * so the bin edges, the DECIMAL mean sums, and the integer counts
+    * are all exact; the two emitted ratios divide once each.
+    *
+    * Scale: one 2-value global aggregate broadcast back (the q115
+    * stats shape), then one map-side-combined per-bin rollup. */
+  def calibrationBins(
+      scores: DataFrame,
+      scoreCol: String = "margin",
+      labelCol: String = "label",
+      posLabel: Int = 1,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1 (got $bins)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val st = scores.agg(min(col(scoreCol)).as("lo"), max(col(scoreCol)).as("hi"))
+    scores.crossJoin(broadcast(st))
+      .withColumn("w", (col("hi") - col("lo")) / lit(bins.toDouble))
+      .withColumn("bin",
+        when(col("w") > 0,
+          least(lit(bins - 1),
+            floor((col(scoreCol) - col("lo")) / col("w")).cast("int")))
+          .otherwise(0).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === posLabel, 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreCol).cast(DecimalType(28, 6))).as("ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(dbl(col("ss")) / dbl(col("n")), 6).as("mean_score"),
+        round(dbl(col("n_pos")) / dbl(col("n")), 6).as("pos_rate"))
+  }
 }

@@ -655,6 +655,36 @@ object LlmQueries {
           col("word_len_ok"), col("alpha_ok"), col("stop_ok"),
           col("pass_gopher"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Distinct-n lexical diversity per source (CorpusOps.distinctN):
+    // the repetitiveness / mode-collapse telemetry, n = 1..3 from one
+    // tokenize pass
+    "q224_distinct_n" -> ((s, dir) => {
+      CorpusOps.distinctN(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"), col("n"))
+    }),
+
+    // Class-based TF-IDF keywords per source (CorpusOps.ctfidf): the
+    // BERTopic weighting — what words characterize each source
+    "q225_ctfidf" -> ((s, dir) => {
+      CorpusOps.ctfidf(Tables.rebalance(Tables.documents(s, dir)), topK = 5)
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // Embedding isotropy per label (SimilarityOps.isotropy): exact
+    // mean pairwise cosine via the Gram identity — no O(n²) join
+    "q226_isotropy" -> ((s, dir) => {
+      SimilarityOps.isotropy(Tables.embeddings(s, dir))
+        .orderBy(col("label"))
+    }),
+
+    // Calibration curve for the q89 linear scorer (SimilarityOps
+    // .calibrationBins): per-decile positive rate vs mean margin
+    "q227_calibration" -> ((s, dir) => {
+      SimilarityOps.calibrationBins(
+          SimilarityOps.linearScore(Tables.embeddings(s, dir)))
+        .orderBy(col("bin"))
     })
   )
 
@@ -2302,6 +2332,125 @@ object LlmQueries {
             round(CAST(sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END)
               AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS precision
           FROM pj GROUP BY 1 ORDER BY hamming"""
-    }
+    },
+
+    // distinct-n twin: one token CTE, three n-levels unioned AFTER
+    // the (source, n, gram) count aggregate — all-integer until the
+    // final ratio
+    "q224_distinct_n" ->
+      s"""WITH d AS (SELECT source,
+                       regexp_split_to_array(trim(text), ' +') AS toks
+                     FROM documents),
+          u AS (
+            SELECT source, 1 AS n, unnest(toks) AS gram FROM d
+            UNION ALL
+            SELECT source, 2,
+              unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks)-1),
+                       i -> toks[i] || ' ' || toks[i+1])
+                ELSE CAST([] AS VARCHAR[]) END)
+            FROM d
+            UNION ALL
+            SELECT source, 3, unnest($shingleExpr) FROM d),
+          g AS (SELECT source, n, gram, count(*) AS cnt
+                FROM u GROUP BY 1, 2, 3)
+          SELECT source, CAST(n AS INTEGER) AS n,
+            CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+            count(*) AS distinct_ngrams,
+            round(CAST(count(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+              AS distinct_ratio
+          FROM g GROUP BY 1, 2 ORDER BY source, n""",
+
+    // c-TF-IDF twin: same integer tf/f_t, same one-ln score, same
+    // (score desc, term) lexical tie-cut
+    "q225_ctfidf" ->
+      """WITH d AS (SELECT source,
+                      regexp_split_to_array(trim(text), ' +') AS toks
+                    FROM documents),
+          tk AS (SELECT source, unnest(toks) AS term FROM d),
+          tf AS (SELECT source, term, count(*) AS tf
+                 FROM tk GROUP BY 1, 2),
+          ft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f_t
+                 FROM tf GROUP BY 1),
+          a AS (SELECT CAST(SUM(tf) AS DOUBLE)
+                  / CAST(count(DISTINCT source) AS DOUBLE) AS a_avg
+                FROM tf),
+          sc AS (SELECT tf.source, tf.term, tf.tf, ft.f_t,
+                   round(CAST(tf.tf AS DOUBLE) *
+                     ln(1.0 + a.a_avg / CAST(ft.f_t AS DOUBLE)), 6)
+                     AS score
+                 FROM tf JOIN ft USING (term) CROSS JOIN a),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (PARTITION BY source ORDER BY score DESC, term)
+                  AS INTEGER) AS rank
+                FROM sc)
+          SELECT source, rank, term, tf, f_t, score
+          FROM r WHERE rank <= 5 ORDER BY source, rank""",
+
+    // isotropy twin: same unit vectors, same per-dim 12dp decimal
+    // sums, same 8dp decimal square sum, one division
+    "q226_isotropy" ->
+      s"""WITH l0 AS (SELECT vec_id, label,
+                        CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+          el AS (SELECT vec_id, label,
+                   list_transform(v0,
+                     x -> x / sqrt(list_dot_product(v0, v0))) AS v
+                 FROM l0),
+          x AS (SELECT label,
+                  CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+                  unnest(v) AS u
+                FROM el),
+          g AS (SELECT label, pos, count(*) AS n,
+                  sum(CAST(round(u, 12) AS DECIMAL(28,12))) AS su,
+                  sum(CAST(round(u*u, 12) AS DECIMAL(28,12))) AS su2
+                FROM x GROUP BY 1, 2),
+          f AS (SELECT label, max(n) AS n_vecs,
+                  sum(CAST(round(CAST(su AS DOUBLE)*CAST(su AS DOUBLE), 8)
+                    AS DECIMAL(28,8))) AS norm2,
+                  sum(su2) AS self2
+                FROM g GROUP BY 1)
+          SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+            round((CAST(norm2 AS DOUBLE) - CAST(self2 AS DOUBLE)) /
+              (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1.0)), 8)
+              AS mean_pairwise_cos
+          FROM f ORDER BY label""",
+
+    // calibration twin: the q89 scoring chain verbatim, then the q115
+    // equal-width binning over the margin range
+    "q227_calibration" ->
+      """WITH e0 AS (SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          u AS (SELECT label, CAST(i-1 AS INTEGER) AS pos,
+                  CAST(v[i] AS DECIMAL(28,12)) AS xd
+                FROM e0, unnest(generate_series(1, len(v))) AS g(i)
+                WHERE label IN (0, 1)),
+          a AS (SELECT label, pos, count(*) AS n, SUM(xd) AS sx
+                FROM u GROUP BY 1, 2),
+          c AS (SELECT label, pos, round(CAST(sx AS DOUBLE)/n, 6) AS m
+                FROM a),
+          wm AS (SELECT c1.pos, c1.m - c0.m AS wv, (c1.m + c0.m)/2 AS mid
+                 FROM c c1 JOIN c c0 ON c1.pos = c0.pos
+                 WHERE c1.label = 1 AND c0.label = 0),
+          mdl AS (SELECT list(wv ORDER BY pos) AS w,
+                         list(mid ORDER BY pos) AS midv FROM wm),
+          mdl2 AS (SELECT w, -list_dot_product(w, midv) AS bias FROM mdl),
+          sc AS (SELECT e0.vec_id, e0.label,
+                   round(list_dot_product(m.w, e0.v) + m.bias, 6) AS margin
+                 FROM e0 CROSS JOIN mdl2 m),
+          st AS (SELECT min(margin) AS lo, max(margin) AS hi FROM sc),
+          bi AS (SELECT margin, label, (hi - lo)/10.0 AS w, lo
+                 FROM sc CROSS JOIN st),
+          b AS (SELECT CASE WHEN w > 0
+                  THEN least(9, CAST(floor((margin - lo)/w) AS INTEGER))
+                  ELSE 0 END AS bin, margin, label
+                FROM bi)
+          SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n,
+            CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            round(CAST(sum(CAST(margin AS DECIMAL(28,6))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+            round(CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+          FROM b GROUP BY 1 ORDER BY bin"""
   )
 }
