@@ -1,0 +1,212 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CorpusOps, MarketBars, PairAnalytics, SimilarityOps}
+import graft.sources.Tables
+
+/** Round-6 batch: hand-computed fixtures for the new indicator /
+  * corpus / embedding ops, partitioning invariance, and plan locks
+  * for the new TPC-H shapes (q210-q227).
+  */
+class Round6Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def barsFixture: DataFrame = {
+    import spark.implicits._
+    // (series, bar_ts, open, high, low, close)
+    Seq(
+      ("A", ts("2024-01-01 09:00:00"), 10.0, 10.0, 8.0, 9.0),
+      ("A", ts("2024-01-01 09:05:00"), 9.0, 11.0, 9.0, 10.0),
+      ("A", ts("2024-01-01 09:10:00"), 10.0, 15.0, 10.0, 14.0))
+      .toDF("series", "bar_ts", "open", "high", "low", "close")
+  }
+
+  test("atr: hand-computed true ranges, warm-up null, floor-form mean") {
+    val out = MarketBars.atr(barsFixture, period = 2)
+      .orderBy(col("bar_ts")).collect()
+    assert(out(0).isNullAt(3), "first bar has no prev_close -> null ATR")
+    assert(out(1).isNullAt(3), "one TR observed < period -> null ATR")
+    // TR2 = max(11-9, |11-9|, |9-9|) = 2; TR3 = max(5, |15-10|, 0) = 5
+    assert(out(2).getDouble(3) === 3.5, "ATR = (2+5)/2")
+  }
+
+  test("stochastic: %K range position, flat-window midpoint, %D re-average") {
+    import spark.implicits._
+    val bars = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 10.0, 8.0, 9.0),
+      ("A", ts("2024-01-01 09:05:00"), 11.0, 9.0, 10.0),
+      ("A", ts("2024-01-01 09:10:00"), 11.0, 9.0, 11.0),
+      ("A", ts("2024-01-01 09:15:00"), 11.0, 11.0, 11.0),
+      ("A", ts("2024-01-01 09:20:00"), 11.0, 11.0, 11.0))
+      .toDF("series", "bar_ts", "high", "low", "close")
+    val out = MarketBars.stochastic(bars, period = 2)
+      .orderBy(col("bar_ts")).collect()
+    assert(out(0).isNullAt(3), "warm-up %K is null")
+    // t2: ll=8 hh=11 c=10 -> 100*2/3
+    assert(out(1).getDouble(3) === 66.666667)
+    // t3: ll=9 hh=11 c=11 -> 100
+    assert(out(2).getDouble(3) === 100.0)
+    // t5: flat window (hh == ll) pins to the 50 midpoint
+    assert(out(4).getDouble(3) === 50.0)
+    // %D at t5 = (100e6 + 100e6 + 50e6)/3 floor-form
+    assert(out(4).getDouble(4) === 83.333333)
+  }
+
+  test("overnightIntraday: gap vs session legs on a 2-day fixture") {
+    import spark.implicits._
+    val bars = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 10.0, 11.0),
+      ("A", ts("2024-01-01 10:00:00"), 11.0, 12.0),
+      ("A", ts("2024-01-02 09:00:00"), 13.0, 13.0),
+      ("A", ts("2024-01-02 10:00:00"), 13.0, 14.4))
+      .toDF("series", "bar_ts", "open", "close")
+    val out = MarketBars.overnightIntraday(bars).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(1) === 2L, "n_days")
+    // overnight: 13/12 - 1 = 0.083333 (one observation)
+    assert(r.getDouble(2) === 0.083333)
+    // intraday: mean(12/10-1 = 0.2, 14.4/13-1 = 0.107692) = 0.153846
+    assert(r.getDouble(3) === 0.153846)
+  }
+
+  test("macd: constant series collapses to zero macd and zero signal") {
+    import spark.implicits._
+    val bars = (1 to 40)
+      .map(i => ("A", ts(f"2024-01-01 09:${i % 60}%02d:00"), 10.0))
+      .toDF("series", "bar_ts", "close")
+    val out = MarketBars.macd(bars).collect()
+    assert(out.forall(r => r.getDouble(3) === 0.0), "macd != 0 on flat closes")
+    assert(out.forall(r => r.getDouble(4) === 0.0), "signal != 0 on flat closes")
+  }
+
+  test("halfLife: geometric half-decay path gives phi=-0.5, HL=1 bar") {
+    import spark.implicits._
+    val pair = Seq(0.64, 0.32, 0.16, 0.08, 0.04).zipWithIndex.map {
+      case (s, i) => ("click-view", ts(f"2024-01-01 09:${i * 5}%02d:00"), s)
+    }.toDF("pair_name", "bar_ts", "spread")
+    val r = PairAnalytics.halfLife(pair).collect()(0)
+    assert(r.getDouble(2) === -0.5, "phi")
+    assert(r.getDouble(3) === 1.0, "half-life of s' = s/2 is exactly 1 bar")
+  }
+
+  test("distinctN: counts per n-level; short docs emit no row at that level") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b", "s1"), (2L, "x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.distinctN(docs)
+      .orderBy(col("source"), col("n")).collect()
+    // s1: unigrams 3 total / 2 distinct; bigrams 2/2; trigrams 1/1
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("s1", 1, 3L, 2L), ("s1", 2, 2L, 2L), ("s1", 3, 1L, 1L),
+        ("s2", 1, 1L, 1L)))
+    assert(out(0).getDouble(4) === 0.666667, "distinct-1 ratio of s1")
+  }
+
+  test("ctfidf: BERTopic weighting ranks the class-exclusive term first") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b", "s1"), (2L, "b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.ctfidf(docs, topK = 2)
+      .orderBy(col("source"), col("rank")).collect()
+    // A = 5 tokens / 2 classes = 2.5; f_a=2 f_b=2 f_c=1
+    assert(out.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq ===
+      Seq(("s1", 1, "a"), ("s1", 2, "b"), ("s2", 1, "c"), ("s2", 2, "b")))
+    assert(out(0).getDouble(5) === 2.0 * math.log(1 + 2.5 / 2) +- 1e-6)
+  }
+
+  test("isotropy: identical pair -> 1, orthogonal pair -> 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(2.0f, 0.0f), 0), (2L, Array(3.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(0.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.isotropy(emb).orderBy(col("label")).collect()
+    assert(out(0).getDouble(2) === 1.0, "parallel unit vectors")
+    assert(out(1).getDouble(2) === 0.0, "orthogonal unit vectors")
+  }
+
+  test("calibrationBins: edges, top-edge clamp, per-bin positive rate") {
+    import spark.implicits._
+    val sc = Seq((-1.0, 0), (-0.5, 0), (0.5, 1), (1.0, 1))
+      .toDF("margin", "label")
+    val out = SimilarityOps.calibrationBins(sc).orderBy(col("bin")).collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0, 1L, 0L), (2, 1L, 0L), (7, 1L, 1L), (9, 1L, 1L)))
+    assert(out(3).getDouble(4) === 1.0, "max margin clamps into the last bin")
+  }
+
+  test("round-6 ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.atr(bars3), MarketBars.atr(bars17))
+    same(MarketBars.stochastic(bars3), MarketBars.stochastic(bars17))
+    same(MarketBars.overnightIntraday(bars3), MarketBars.overnightIntraday(bars17))
+    same(MarketBars.macd(bars3), MarketBars.macd(bars17))
+    same(
+      PairAnalytics.halfLife(PairAnalytics.pairSpread(bars3, "click", "view")),
+      PairAnalytics.halfLife(PairAnalytics.pairSpread(bars17, "click", "view")))
+    val docs = Tables.documents(spark, sf)
+    same(CorpusOps.distinctN(docs.repartition(3)),
+      CorpusOps.distinctN(docs.repartition(17)))
+    same(CorpusOps.ctfidf(docs.repartition(3)),
+      CorpusOps.ctfidf(docs.repartition(17)))
+    val emb = Tables.embeddings(spark, sf)
+    same(SimilarityOps.isotropy(emb.repartition(3)),
+      SimilarityOps.isotropy(emb.repartition(17)))
+  }
+
+  test("q217 plan: every predicate reaches the lineitem scan") {
+    val plan = SparkEntry.queries("q217_discount_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // PushedFilters is truncated in toString — assert the data filters
+    // sit directly on the scan (regex over the Filter-on-FileScan node)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate not in the pushdown set:\n${plan.take(3000)}")
+    for (f <- Seq("l_discount#\\d+ >= 0\\.05", "l_discount#\\d+ <= 0\\.07",
+        "l_quantity#\\d+ < 24\\.0"))
+      assert(f.r.findFirstIn(plan).isDefined,
+        s"$f not at the scan:\n${plan.take(3000)}")
+  }
+
+  test("q214 plan: pre-aggregated HAVING cut, top-20 via TakeOrdered") {
+    val plan = SparkEntry.queries("q214_large_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort:\n${plan.take(3000)}")
+  }
+
+  test("q225 plan: one tokenize pass, the rank window runs on the vocab aggregate") {
+    val df = CorpusOps.ctfidf(Tables.documents(spark, sf))
+    df.collect() // finalize adaptive plan so checkpoint reuse is visible
+    // AQE's toString repeats the tree (Final + Initial) — lock the final
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    assert("Generate explode".r.findAllIn(plan).size <= 1,
+      s"corpus re-tokenized per leg:\n${plan.take(4000)}")
+    assert("Window \\[".r.findAllIn(plan).size === 1,
+      s"only the per-source rank may window:\n${plan.take(3000)}")
+  }
+
+  test("q226 plan: no window, no cartesian, map-side posexplode") {
+    val plan = SimilarityOps.isotropy(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).isEmpty,
+      s"isotropy must not window:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the Gram identity needs no pairwise product:\n${plan.take(3000)}")
+    assert(plan.contains("Generate posexplode"),
+      s"expected a map-side posexplode:\n${plan.take(3000)}")
+  }
+}
