@@ -1310,4 +1310,70 @@ object CorpusOps {
       .select(col("source"), col("rank"), col("term"), col("tf"),
         col("f_t"), col("score"))
   }
+
+  /** Term burstiness (index of dispersion): for the corpus' top-k
+    * terms by frequency, the variance-to-mean ratio of the term's
+    * per-document count ACROSS ALL documents (absent docs count as
+    * zero) — ≈1 for Poisson "function words", ≫1 for topical terms
+    * that clump into few documents. The keyword/topicality signal
+    * that pure frequency can't give.
+    *
+    * Determinism: with Σc, Σc², N, tf all exact integers the
+    * dispersion is (N·Σc² − tf²)/(N·tf) — exact BIGINT numerator and
+    * denominator, ONE double division, round 6.
+    *
+    * Scale: one tokenize pass into the (doc, term) aggregate, a
+    * vocab-sized rollup, a 1-row doc-count broadcast; the top-k
+    * window runs on the vocab aggregate (q39 rule). */
+  def burstiness(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      topK: Int = 20): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dt = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("tf").desc, col("term"))
+    dt.groupBy(col("term"))
+      .agg(sum(col("c")).as("tf"),
+        sum((col("c") * col("c")).cast(dec)).as("s2"),
+        count(lit(1)).as("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(nDocs))
+      .select(col("rank"), col("term"), col("tf"), col("df"),
+        round((dbl(col("n_docs")) * dbl(col("s2")) -
+          dbl(col("tf")) * dbl(col("tf"))) /
+          (dbl(col("n_docs")) * dbl(col("tf"))), 6).as("dispersion"))
+  }
+
+  /** Hapax/dis legomena share per source: the fraction of each
+    * source's vocabulary seen exactly once (hapax) and exactly twice
+    * (dis) — the vocabulary-freshness companion to Heaps' law (q171);
+    * a source whose hapax share collapses is recycling its text.
+    * All-integer until the two final ratios. One tokenize pass, one
+    * (source, term) shuffle, one source-keyed rollup. */
+  def hapaxShare(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("vocab"), col("n_hapax"), col("n_dis"),
+        round(dbl(col("n_hapax")) / dbl(col("vocab")), 6).as("hapax_share"),
+        round(dbl(col("n_dis")) / dbl(col("vocab")), 6).as("dis_share"))
+  }
 }

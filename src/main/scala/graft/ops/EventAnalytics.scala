@@ -664,4 +664,38 @@ object EventAnalytics {
         round(dbl(col("topc")) / dbl(col("total_events")), 6)
           .as("top_decile_share"))
   }
+
+  /** Transition dwell times: for each (prev_type → next_type) edge of
+    * the q120 Markov matrix, how LONG users sit on it — count, mean,
+    * and median inter-event gap in microseconds. The latency face of
+    * the transition matrix (q120 gives where users go, this gives how
+    * fast).
+    *
+    * Determinism: per-user ordering is (ts, event_id) — the q120 tie
+    * rule — gaps are exact µs integers (unix_micros ≙ epoch_us), the
+    * mean floors from the exact long sum, and the median is the exact
+    * interpolated percentile over integers (the q198 percentile ≙
+    * quantile_cont mapping).
+    *
+    * Scale: one user-keyed lag window (many small partitions — no hot
+    * key) into a \|types\|²-bounded rollup. */
+  def transitionDwell(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .withColumn("dt_us", col("us") - col("prev_us"))
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dt_us")).as("sdt"),
+        expr("percentile(dt_us, 0.5)").as("p50_raw"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        floor(dbl(col("sdt")) / dbl(col("n")) + lit(0.5)).cast("long")
+          .as("mean_dt_us"),
+        round(col("p50_raw"), 4).as("p50_dt_us"))
+  }
 }

@@ -1632,6 +1632,146 @@ object MarketBars {
           .as("avg_intraday"))
   }
 
+  /** Aroon(up/down): 100·(p − bars-since-extreme)/p over the trailing
+    * `period`-bar frame — how RECENTLY the window high/low printed,
+    * the trend-freshness gauge complementing [[stochastic]]'s
+    * where-in-range view.
+    *
+    * Determinism: highs/lows snap to scaled longs, the extreme's
+    * POSITION comes from a lexicographic struct extreme over (price6,
+    * seq) — max picks the most recent equal high, min the EARLIEST
+    * equal low, identically in both engines (the q174 struct-argmax
+    * rule); bars-since is pure integer math and the final percentage
+    * floors at 4dp from one identical double quotient.
+    *
+    * Scale: one per-series window pass (q49/q83 hot-key class,
+    * [[ScalableWindow]] escape applies). */
+  def aroon(bars: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"period must be >= 2 (got $period)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val frame = w.rowsBetween(-(period - 1), 0)
+    def pct(bs: Column) =
+      floor(lit(100.0) * (lit(period.toDouble) - bs.cast(DoubleType)) /
+        lit(period.toDouble) * lit(1e4) + lit(0.5)) / lit(1e4)
+    bars
+      .withColumn("h6", floor(col("high") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("l6", floor(col("low") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("nb", count(lit(1)).over(frame))
+      .withColumn("hseq",
+        max(struct(col("h6").as("p"), col("seq").as("s"))).over(frame)("s"))
+      .withColumn("lseq",
+        min(struct(col("l6").as("p"), col("seq").as("s"))).over(frame)("s"))
+      .select(col("series"), col("bar_ts"), col("close"),
+        when(col("nb") === period, pct(col("seq") - col("hseq")))
+          .as("aroon_up"),
+        when(col("nb") === period, pct(col("seq") - col("lseq")))
+          .as("aroon_down"))
+  }
+
+  /** Money Flow Index: volume-weighted RSI — typical price
+    * (h+l+c)/3 classifies each bar's raw money flow (tp·volume) as
+    * positive/negative by the tp direction, and
+    * MFI = 100·pos/(pos+neg) over the trailing `period` flows. The
+    * "is the move carrying volume" confirmation next to [[rsi]].
+    *
+    * Determinism: tp snaps to a scaled long for the DIRECTION compare
+    * (exact), each flow snaps via floor(tp·volume·1e4 + 0.5) (one
+    * identical double product), window sums fold in long arithmetic,
+    * and the final quotient floors at 6dp; a zero-flow window emits
+    * the 50 midpoint (q133 convention); warm-up (< period direction
+    * observations) emits null. */
+  def mfi(bars: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 1, s"period must be >= 1 (got $period)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val frame = w.rowsBetween(-(period - 1), 0)
+    val q = lit(100.0) * col("pf").cast(DoubleType) /
+      (col("pf") + col("nf")).cast(DoubleType)
+    bars
+      .withColumn("tp", (col("high") + col("low") + col("close")) / lit(3.0))
+      .withColumn("tp6", floor(col("tp") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("dtp", col("tp6") - lag(col("tp6"), 1).over(w))
+      .withColumn("flow4",
+        floor(col("tp") * col("volume") * lit(1e4) + lit(0.5)).cast("long"))
+      .withColumn("nd",
+        sum(when(col("dtp").isNotNull, 1L).otherwise(0L)).over(frame))
+      .withColumn("pf",
+        sum(when(col("dtp") > 0, col("flow4")).otherwise(0L)).over(frame))
+      .withColumn("nf",
+        sum(when(col("dtp") < 0, col("flow4")).otherwise(0L)).over(frame))
+      .select(col("series"), col("bar_ts"), col("close"),
+        when(col("nd") === period,
+          when(col("pf") + col("nf") > 0,
+            floor(q * lit(1e6) + lit(0.5)) / lit(1e6))
+            .otherwise(lit(50.0)))
+          .as("mfi"))
+  }
+
+  /** Chaikin Money Flow: the volume-weighted close-location sum
+    * CMF = Σ(mfm·vol) / Σvol over the trailing `period` bars, with
+    * mfm = ((c−l) − (h−c))/(h−l) ∈ [−1, 1] (0 on a degenerate h = l
+    * bar) — WHERE inside the bar the volume traded, the
+    * accumulation/distribution read.
+    *
+    * Determinism: each mfm·vol term and each vol snap to scaled longs
+    * (identical double products first), both window sums fold in long
+    * arithmetic, one floor-form 6dp quotient. */
+  def cmf(bars: DataFrame, period: Int = 20): DataFrame = {
+    require(period >= 1, s"period must be >= 1 (got $period)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val frame = w.rowsBetween(-(period - 1), 0)
+    val mfm = when(col("high") > col("low"),
+      ((col("close") - col("low")) - (col("high") - col("close"))) /
+        (col("high") - col("low"))).otherwise(lit(0.0))
+    bars
+      .withColumn("mfv4",
+        floor(mfm * col("volume") * lit(1e4) + lit(0.5)).cast("long"))
+      .withColumn("vol4",
+        floor(col("volume") * lit(1e4) + lit(0.5)).cast("long"))
+      .withColumn("nb", count(lit(1)).over(frame))
+      .withColumn("smf", sum(col("mfv4")).over(frame))
+      .withColumn("svol", sum(col("vol4")).over(frame))
+      .select(col("series"), col("bar_ts"), col("close"),
+        when(col("nb") === period && col("svol") > 0,
+          floor(col("smf").cast(DoubleType) / col("svol").cast(DoubleType) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("cmf"))
+  }
+
+  /** Bollinger bands + %B over the trailing `period` closes: middle =
+    * SMA, bands = ±`k`·σ (population), %B = (close − lower)/(upper −
+    * lower) — the mean-reversion position gauge generalizing the q06
+    * z-score to a banded display.
+    *
+    * Determinism (the q139 variance discipline): closes snap to exact
+    * 1e-6 longs, (n, Σx, Σx²) fold DECIMAL-exact, mean and population
+    * variance form in ONE double op order shared with the oracle, and
+    * each output rounds 6dp at emission. Warm-up rows drop (the frame
+    * must be full); a flat window (σ = 0) nulls %B only. */
+  def bollinger(bars: DataFrame, period: Int = 20, k: Double = 2.0): DataFrame = {
+    require(period >= 2, s"period must be >= 2 (got $period)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val frame = w.rowsBetween(-(period - 1), 0)
+    bars
+      .withColumn("c6", floor(col("close") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("nb", count(lit(1)).over(frame))
+      .withColumn("s1", sum(col("c6").cast(dec)).over(frame))
+      .withColumn("s2", sum((col("c6") * col("c6")).cast(dec)).over(frame))
+      .filter(col("nb") === period)
+      .withColumn("mid", dbl(col("s1")) / dbl(col("nb")) / lit(1e6))
+      .withColumn("sd",
+        sqrt((dbl(col("nb")) * dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1"))) /
+          (dbl(col("nb")) * dbl(col("nb")))) / lit(1e6))
+      .select(col("series"), col("bar_ts"), col("close"),
+        round(col("mid"), 6).as("bb_mid"),
+        round(col("mid") + lit(k) * col("sd"), 6).as("bb_upper"),
+        round(col("mid") - lit(k) * col("sd"), 6).as("bb_lower"),
+        when(col("sd") > 0,
+          round((col("close") - (col("mid") - lit(k) * col("sd"))) /
+            (lit(2.0 * k) * col("sd")), 6)).as("pct_b"))
+  }
+
   /** MACD(12, 26, 9) over a finite trailing frame: fast/slow EMAs of
     * the close fold over the SAME `frameRows`-bar list with
     * alpha = 2/(n+1), macd = fast − slow, and the signal line is the

@@ -244,4 +244,39 @@ object TextOps {
       .withColumn("redacted",
         regexp_replace(col("__e1"), NumberPattern, "<NUM>"))
       .drop("__e1")
+
+  /** Flesch reading-ease per document, with syllables approximated as
+    * vowel-group runs ([aeiouy]+ per lowercased word, min 1) and
+    * sentences as terminator runs ([.!?]+, min 1) — the classic
+    * readability gate corpus filters stack next to the Gopher rules
+    * (q192); the vowel-run proxy is the standard dictionary-free
+    * approximation.
+    *
+    * Determinism: words/sentences/syllables are exact integers (the
+    * syllable fold is an integer `aggregate`), the Flesch polynomial
+    * evaluates in ONE literal op order on identical double quotients,
+    * and the score floors at 4dp. Pure map-side — no shuffle at all. */
+  def readability(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    docs
+      .withColumn("n_words", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_sentences",
+        greatest(lit(1),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))))
+          .cast("long"))
+      .withColumn("n_syllables",
+        aggregate(
+          transform(tokens(col(textCol)),
+            w => greatest(lit(1),
+              size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))
+              .cast("long")),
+          lit(0L), (a, x) => a + x))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (floor((lit(206.835) -
+          lit(1.015) * (dbl(col("n_words")) / dbl(col("n_sentences"))) -
+          lit(84.6) * (dbl(col("n_syllables")) / dbl(col("n_words")))) *
+          lit(1e4) + lit(0.5)) / lit(1e4)).as("flesch"))
+  }
 }

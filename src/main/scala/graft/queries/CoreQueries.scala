@@ -1300,6 +1300,45 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_items"),
           round(sum((col("l_extendedprice") * col("l_discount"))
             .cast(DecimalType(28, 6))), 2).cast(DoubleType).as("revenue"))
+    }),
+
+    // TPC-H Q4 shape (order priority checking): orders in one quarter
+    // with at least one lineitem shipped >90 days after the order —
+    // the correlated EXISTS as a conditional LEFT SEMI join (the
+    // probe side never duplicates orders however many lineitems
+    // match), counted per priority
+    "q228_late_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): suppliers hitting the MAX
+    // half-year revenue — the view + scalar-max self-reference
+    // decorrelated into a 1-row broadcast; the equality compares the
+    // exact DECIMALS (never the rounded doubles), so float noise
+    // cannot split the winners
+    "q229_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-07-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 6))).as("r"))
+      val mx = rev.agg(max(col("r")).as("mr"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("r") === col("mr"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("r"), 2).cast(DoubleType).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -2583,6 +2622,34 @@ object CoreQueries {
          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
            AND l_discount >= 0.05 AND l_discount <= 0.07
-           AND l_quantity < 24.0"""
+           AND l_quantity < 24.0""",
+
+    // Q4 twin: correlated EXISTS with the same +90-day bound
+    "q228_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY 1 ORDER BY o_orderpriority""",
+
+    // Q15 twin: same decimal revenue view, winners by exact-decimal
+    // max equality
+    "q229_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             SUM(CAST(l_extendedprice*(1.0 - l_discount)
+               AS DECIMAL(28,6))) AS r
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name,
+           CAST(round(r, 2) AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE r = (SELECT max(r) FROM rev)
+         ORDER BY s_suppkey"""
   )
 }

@@ -685,6 +685,28 @@ object LlmQueries {
       SimilarityOps.calibrationBins(
           SimilarityOps.linearScore(Tables.embeddings(s, dir)))
         .orderBy(col("bin"))
+    }),
+
+    // Flesch reading-ease with vowel-run syllables (TextOps
+    // .readability): the dictionary-free readability gate next to
+    // q192's Gopher rules — pure map-side
+    "q234_readability" -> ((s, dir) => {
+      TextOps.readability(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Term burstiness / index of dispersion for the corpus top-20
+    // (CorpusOps.burstiness): topicality the raw frequency can't see
+    "q235_burstiness" -> ((s, dir) => {
+      CorpusOps.burstiness(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("rank"))
+    }),
+
+    // Hapax/dis legomena share per source (CorpusOps.hapaxShare):
+    // vocabulary freshness next to q171's Heaps exponent
+    "q236_hapax" -> ((s, dir) => {
+      CorpusOps.hapaxShare(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
     })
   )
 
@@ -2451,6 +2473,69 @@ object LlmQueries {
               / CAST(count(*) AS DOUBLE), 6) AS mean_score,
             round(CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
-          FROM b GROUP BY 1 ORDER BY bin"""
+          FROM b GROUP BY 1 ORDER BY bin""",
+
+    // readability twin: same vowel-run syllables (min 1 per word),
+    // same terminator-run sentences, same literal Flesch op order
+    "q234_readability" ->
+      s"""WITH $toksCte,
+          x AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  CAST(greatest(1,
+                    len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+                    AS n_sentences,
+                  CAST(list_sum(list_transform(toks,
+                    w -> greatest(1,
+                      len(regexp_extract_all(lower(w), '[aeiouy]+')))))
+                    AS BIGINT) AS n_syllables
+                FROM d)
+          SELECT doc_id, n_words, n_sentences, n_syllables,
+            floor((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE)
+                / CAST(n_sentences AS DOUBLE))
+              - 84.6 * (CAST(n_syllables AS DOUBLE)
+                / CAST(n_words AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS flesch
+          FROM x ORDER BY doc_id""",
+
+    // burstiness twin: exact integer dispersion arguments, one double
+    // division, same (tf desc, term) top-20 cut
+    "q235_burstiness" ->
+      s"""WITH $toksCte,
+          dt AS (SELECT doc_id, term, count(*) AS c
+                 FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+                 GROUP BY 1, 2),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          v AS (SELECT term, CAST(SUM(c) AS BIGINT) AS tf,
+                  SUM(CAST(c*c AS DECIMAL(38,0))) AS s2,
+                  count(*) AS df
+                FROM dt GROUP BY 1),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY tf DESC, term) AS INTEGER) AS rank
+                FROM v)
+          SELECT rank, term, tf, df,
+            round((CAST(n_docs AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE))
+              / (CAST(n_docs AS DOUBLE) * CAST(tf AS DOUBLE)), 6)
+              AS dispersion
+          FROM r CROSS JOIN n WHERE rank <= 20 ORDER BY rank""",
+
+    // hapax twin: all-integer vocabulary spectrum, two final ratios
+    "q236_hapax" ->
+      """WITH d AS (SELECT source,
+                      regexp_split_to_array(trim(text), ' +') AS toks
+                    FROM documents),
+          tf AS (SELECT source, term, count(*) AS tf
+                 FROM (SELECT source, unnest(toks) AS term FROM d)
+                 GROUP BY 1, 2)
+          SELECT source, count(*) AS vocab,
+            CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hapax,
+            CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dis,
+            round(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS hapax_share,
+            round(CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS dis_share
+          FROM tf GROUP BY 1 ORDER BY source"""
   )
 }

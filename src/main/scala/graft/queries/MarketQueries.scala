@@ -951,6 +951,45 @@ object MarketQueries {
           PairAnalytics.pairSpread(MarketBars.bars(Tables.events(s, dir),
             "event_type", "ts", "value"), "click", "view"))
         .orderBy(col("pair_name"))
+    }),
+
+    // Aroon up/down-14 (MarketBars.aroon): bars-since-extreme trend
+    // freshness via the lexicographic struct argmax position
+    "q230_aroon" -> ((s, dir) => {
+      MarketBars.aroon(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), period = 14)
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Money Flow Index-14 (MarketBars.mfi): the volume-weighted RSI —
+    // is the move carrying volume
+    "q231_mfi" -> ((s, dir) => {
+      MarketBars.mfi(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), period = 14)
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Chaikin Money Flow-20 (MarketBars.cmf): close-location
+    // volume-weighted accumulation/distribution
+    "q232_cmf" -> ((s, dir) => {
+      MarketBars.cmf(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), period = 20)
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Bollinger bands + %B (MarketBars.bollinger): the banded q06
+    // z-score view from decimal-exact window moments
+    "q233_bollinger" -> ((s, dir) => {
+      MarketBars.bollinger(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("bar_ts"))
+    }),
+
+    // Transition dwell times (EventAnalytics.transitionDwell): the
+    // latency face of q120's Markov matrix — exact µs gaps
+    "q237_transition_dwell" -> ((s, dir) => {
+      graft.ops.EventAnalytics.transitionDwell(Tables.events(s, dir))
+        .orderBy(col("prev_type"), col("next_type"))
     })
   )
 
@@ -2768,6 +2807,136 @@ object MarketQueries {
               THEN round(-ln(2.0) /
                 ln(1.0 + CAST(sld AS DOUBLE) / CAST(sll AS DOUBLE)), 4)
               END AS half_life_bars
-          FROM m ORDER BY pair_name"""
+          FROM m ORDER BY pair_name""",
+
+    // aroon twin: same struct argmax position (max = most recent
+    // equal high, min = earliest equal low), same 4dp floor quotient
+    "q230_aroon" ->
+      s"""WITH $barsCte,
+          s AS (SELECT series, bar_ts, close,
+                  CAST(floor(high*1e6 + 0.5) AS BIGINT) AS h6,
+                  CAST(floor(low*1e6 + 0.5) AS BIGINT) AS l6,
+                  CAST(row_number() OVER w AS INTEGER) AS seq
+                FROM bars
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          f AS (SELECT series, bar_ts, close, seq,
+                  count(*) OVER fr AS nb,
+                  (max(struct_pack(p := h6, s := seq)) OVER fr).s AS hseq,
+                  (min(struct_pack(p := l6, s := seq)) OVER fr).s AS lseq
+                FROM s
+                WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT series, bar_ts, close,
+            CASE WHEN nb = 14 THEN
+              floor(100.0 * (14.0 - CAST(seq - hseq AS DOUBLE)) / 14.0
+                * 1e4 + 0.5) / 1e4 END AS aroon_up,
+            CASE WHEN nb = 14 THEN
+              floor(100.0 * (14.0 - CAST(seq - lseq AS DOUBLE)) / 14.0
+                * 1e4 + 0.5) / 1e4 END AS aroon_down
+          FROM f ORDER BY series, bar_ts""",
+
+    // MFI twin: same scaled-long direction + flow, same floor-form
+    // quotient with the 50 midpoint on a zero-flow window
+    "q231_mfi" ->
+      s"""WITH $barsCte,
+          t AS (SELECT series, bar_ts, close, volume,
+                  (high + low + close)/3.0 AS tp
+                FROM bars),
+          d AS (SELECT series, bar_ts, close,
+                  CAST(floor(tp*1e6 + 0.5) AS BIGINT)
+                    - lag(CAST(floor(tp*1e6 + 0.5) AS BIGINT)) OVER w
+                    AS dtp,
+                  CAST(floor(tp*volume*1e4 + 0.5) AS BIGINT) AS flow4
+                FROM t
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          f AS (SELECT series, bar_ts, close,
+                  SUM(CASE WHEN dtp IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER fr AS nd,
+                  SUM(CASE WHEN dtp > 0 THEN flow4 ELSE 0 END)
+                    OVER fr AS pf,
+                  SUM(CASE WHEN dtp < 0 THEN flow4 ELSE 0 END)
+                    OVER fr AS nf
+                FROM d
+                WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          SELECT series, bar_ts, close,
+            CASE WHEN nd = 14 THEN
+              CASE WHEN pf + nf > 0
+                THEN floor(100.0 * CAST(pf AS DOUBLE)
+                  / CAST(pf + nf AS DOUBLE) * 1e6 + 0.5) / 1e6
+                ELSE 50.0 END END AS mfi
+          FROM f ORDER BY series, bar_ts""",
+
+    // CMF twin: same scaled-long mfm·vol and vol terms, same 6dp
+    // floor quotient
+    "q232_cmf" ->
+      s"""WITH $barsCte,
+          t AS (SELECT series, bar_ts, close,
+                  CAST(floor((CASE WHEN high > low
+                    THEN ((close - low) - (high - close))/(high - low)
+                    ELSE 0.0 END) * volume * 1e4 + 0.5) AS BIGINT)
+                    AS mfv4,
+                  CAST(floor(volume*1e4 + 0.5) AS BIGINT) AS vol4
+                FROM bars),
+          f AS (SELECT series, bar_ts, close,
+                  count(*) OVER fr AS nb,
+                  SUM(mfv4) OVER fr AS smf,
+                  SUM(vol4) OVER fr AS svol
+                FROM t
+                WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          SELECT series, bar_ts, close,
+            CASE WHEN nb = 20 AND svol > 0
+              THEN floor(CAST(smf AS DOUBLE) / CAST(svol AS DOUBLE)
+                * 1e6 + 0.5) / 1e6 END AS cmf
+          FROM f ORDER BY series, bar_ts""",
+
+    // bollinger twin: same decimal window moments, same double op
+    // order for mean/population-variance (the q139 discipline)
+    "q233_bollinger" ->
+      s"""WITH $barsCte,
+          s AS (SELECT series, bar_ts, close,
+                  CAST(floor(close*1e6 + 0.5) AS BIGINT) AS c6
+                FROM bars),
+          f AS (SELECT series, bar_ts, close,
+                  count(*) OVER fr AS nb,
+                  SUM(CAST(c6 AS DECIMAL(38,0))) OVER fr AS s1,
+                  SUM(CAST(c6*c6 AS DECIMAL(38,0))) OVER fr AS s2
+                FROM s
+                WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+          m AS (SELECT series, bar_ts, close, nb,
+                  CAST(s1 AS DOUBLE)/CAST(nb AS DOUBLE)/1e6 AS mid,
+                  sqrt((CAST(nb AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    /(CAST(nb AS DOUBLE)*CAST(nb AS DOUBLE)))/1e6 AS sd
+                FROM f WHERE nb = 20)
+          SELECT series, bar_ts, close,
+            round(mid, 6) AS bb_mid,
+            round(mid + 2.0*sd, 6) AS bb_upper,
+            round(mid - 2.0*sd, 6) AS bb_lower,
+            CASE WHEN sd > 0
+              THEN round((close - (mid - 2.0*sd))/(4.0*sd), 6)
+              END AS pct_b
+          FROM m ORDER BY series, bar_ts""",
+
+    // dwell twin: same (ts, event_id) tie rule, exact µs gaps, same
+    // floor-form mean and quantile_cont median
+    "q237_transition_dwell" ->
+      """WITH p AS (SELECT user_id, event_type, event_id,
+                      epoch_us(ts) AS us,
+                      lag(event_type) OVER w AS prev_type,
+                      lag(epoch_us(ts)) OVER w AS prev_us
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                      ORDER BY ts, event_id)),
+          g AS (SELECT prev_type, event_type AS next_type,
+                  us - prev_us AS dt_us
+                FROM p WHERE prev_type IS NOT NULL)
+          SELECT prev_type, next_type, count(*) AS n,
+            CAST(floor(CAST(SUM(dt_us) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_dt_us,
+            round(quantile_cont(dt_us, 0.5), 4) AS p50_dt_us
+          FROM g GROUP BY 1, 2 ORDER BY prev_type, next_type"""
   )
 }
