@@ -167,6 +167,153 @@ class Round6Spec extends AnyFunSuite {
       SimilarityOps.isotropy(emb.repartition(17)))
   }
 
+  test("aroon: recent high vs stale low positions; tie rules") {
+    import spark.implicits._
+    // highs: 10, 12, 11, 11; lows: 9, 8, 8, 9  (period 3)
+    val bars = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 10.0, 9.0, 9.5),
+      ("A", ts("2024-01-01 09:05:00"), 12.0, 8.0, 9.0),
+      ("A", ts("2024-01-01 09:10:00"), 11.0, 8.0, 9.2),
+      ("A", ts("2024-01-01 09:15:00"), 11.0, 9.0, 9.1))
+      .toDF("series", "bar_ts", "high", "low", "close")
+    val out = MarketBars.aroon(bars, period = 3)
+      .orderBy(col("bar_ts")).collect()
+    assert(out(0).isNullAt(3) && out(1).isNullAt(3), "warm-up")
+    // t3: window high 12 printed 1 bar ago -> 100*(3-1)/3 = 66.6667
+    assert(out(2).getDouble(3) === 66.6667)
+    // t3: equal lows 8 at t2/t3 — min struct picks the EARLIEST (t2,
+    // 1 bar back) -> 100*(3-1)/3 = 66.6667
+    assert(out(2).getDouble(4) === 66.6667)
+    // t4: that same earliest low is now 2 bars back -> 33.3333
+    assert(out(3).getDouble(4) === 33.3333)
+    // t4: window high is still the 12 at t2, now 2 bars back
+    assert(out(3).getDouble(3) === 33.3333)
+  }
+
+  test("mfi: all-up flows hit 100, warm-up null, flat window 50") {
+    import spark.implicits._
+    val up = (1 to 4).map(i =>
+      ("A", ts(f"2024-01-01 09:${i * 5}%02d:00"),
+        10.0 + i, 8.0 + i, 9.0 + i, 100.0))
+    val bars = up.toDF("series", "bar_ts", "high", "low", "close", "volume")
+    val out = MarketBars.mfi(bars, period = 3).orderBy(col("bar_ts")).collect()
+    // the first bar has no tp diff, so 3 observed directions need 4 bars
+    assert(out(0).isNullAt(3) && out(1).isNullAt(3) && out(2).isNullAt(3))
+    assert(out(3).getDouble(3) === 100.0, "monotone tp -> all flow positive")
+    val flat = (1 to 4).map(i =>
+      ("A", ts(f"2024-01-01 09:${i * 5}%02d:00"), 10.0, 10.0, 10.0, 50.0))
+      .toDF("series", "bar_ts", "high", "low", "close", "volume")
+    val fout = MarketBars.mfi(flat, period = 3).orderBy(col("bar_ts")).collect()
+    assert(fout(3).getDouble(3) === 50.0, "zero-flow window pins midpoint")
+  }
+
+  test("cmf: close at high -> +1, close at low -> -1, degenerate bar 0") {
+    import spark.implicits._
+    val bars = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 11.0, 9.0, 11.0, 100.0), // mfm +1
+      ("A", ts("2024-01-01 09:05:00"), 11.0, 9.0, 11.0, 100.0), // mfm +1
+      ("B", ts("2024-01-01 09:00:00"), 11.0, 9.0, 9.0, 100.0),  // mfm -1
+      ("B", ts("2024-01-01 09:05:00"), 10.0, 10.0, 10.0, 100.0)) // degenerate
+      .toDF("series", "bar_ts", "high", "low", "close", "volume")
+    val out = MarketBars.cmf(bars, period = 2)
+      .orderBy(col("series"), col("bar_ts")).collect()
+    assert(out(1).getDouble(3) === 1.0, "A: both bars close at the high")
+    assert(out(3).getDouble(3) === -0.5, "B: (-100 + 0)/200")
+  }
+
+  test("bollinger: constant closes give sd=0, mid=close, null %B") {
+    import spark.implicits._
+    val bars = (1 to 25).map(i =>
+      ("A", ts(f"2024-01-01 09:${i * 2 % 60}%02d:${i * 7 % 60}%02d"), 10.0))
+      .toDF("series", "bar_ts", "close")
+    val out = MarketBars.bollinger(bars).collect()
+    assert(out.length === 6, "rows before a full 20-frame drop")
+    assert(out.forall(r => r.getDouble(3) === 10.0 &&
+      r.getDouble(4) === 10.0 && r.getDouble(5) === 10.0 && r.isNullAt(6)))
+  }
+
+  test("readability: hand-counted Flesch on a two-sentence doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat. the dog ran!"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextOps.readability(docs).collect()(0)
+    assert(r.getLong(1) === 6L, "words")
+    assert(r.getLong(2) === 2L, "sentences ([.!?]+ runs)")
+    assert(r.getLong(3) === 6L, "syllables (one vowel run per word)")
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(r.getDouble(4) === 119.19)
+  }
+
+  test("burstiness: clumped term disperses above the even term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x"), (2L, "y z"), (3L, "y z"), (4L, "y z"), (5L, "y z"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.burstiness(docs, topK = 3)
+      .orderBy(col("rank")).collect()
+    val byTerm = out.map(r => r.getString(1) -> r.getDouble(4)).toMap
+    // x: N=5 tf=4 s2=16 -> (80-16)/20 = 3.2 ; y: tf=4 s2=4 -> (20-16)/20 = 0.2
+    assert(byTerm("x") === 3.2)
+    assert(byTerm("y") === 0.2)
+  }
+
+  test("hapaxShare: spectrum counts on a fixed vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b b c c c", "s1")).toDF("doc_id", "text", "source")
+    val r = CorpusOps.hapaxShare(docs).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 1L, 1L)))
+    assert(r.getDouble(4) === 0.333333)
+  }
+
+  test("transitionDwell: exact microsecond gaps with the event_id tie rule") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L, "a", 1.0),
+      (2L, ts("2024-01-01 09:00:01"), 7L, "b", 1.0),
+      (3L, ts("2024-01-01 09:00:03"), 7L, "b", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.EventAnalytics.transitionDwell(ev)
+      .orderBy(col("prev_type"), col("next_type")).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      Seq(("a", "b", 1L, 1000000L), ("b", "b", 1L, 2000000L)))
+  }
+
+  test("batch-D ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.aroon(bars3), MarketBars.aroon(bars17))
+    same(MarketBars.mfi(bars3), MarketBars.mfi(bars17))
+    same(MarketBars.cmf(bars3), MarketBars.cmf(bars17))
+    same(MarketBars.bollinger(bars3), MarketBars.bollinger(bars17))
+    same(graft.ops.EventAnalytics.transitionDwell(ev.repartition(3)),
+      graft.ops.EventAnalytics.transitionDwell(ev.repartition(17)))
+    val docs = Tables.documents(spark, sf)
+    same(graft.ops.TextOps.readability(docs.repartition(3)),
+      graft.ops.TextOps.readability(docs.repartition(17)))
+    same(CorpusOps.burstiness(docs.repartition(3)),
+      CorpusOps.burstiness(docs.repartition(17)))
+    same(CorpusOps.hapaxShare(docs.repartition(3)),
+      CorpusOps.hapaxShare(docs.repartition(17)))
+  }
+
+  test("q228 plan: EXISTS runs as a semi join (orders never duplicate)") {
+    val plan = SparkEntry.queries("q228_late_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"the EXISTS must be a semi join:\n${plan.take(3000)}")
+  }
+
+  test("q234 plan: readability is map-only (no exchange at all)") {
+    val plan = graft.ops.TextOps.readability(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"readability must not shuffle:\n${plan.take(3000)}")
+  }
+
   test("q217 plan: every predicate reaches the lineitem scan") {
     val plan = SparkEntry.queries("q217_discount_revenue")(spark, sf)
       .queryExecution.executedPlan.toString
