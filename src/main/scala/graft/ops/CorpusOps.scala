@@ -1376,4 +1376,39 @@ object CorpusOps {
         round(dbl(col("n_hapax")) / dbl(col("vocab")), 6).as("hapax_share"),
         round(dbl(col("n_dis")) / dbl(col("vocab")), 6).as("dis_share"))
   }
+
+  /** Inter-centroid distance matrix: Euclidean distance between every
+    * label pair's mean embedding — the class-separability audit
+    * (labels whose centroids nearly coincide are candidates for merge
+    * or label noise), read next to the isotropy score (q226) and the
+    * per-label scorer (q89).
+    *
+    * Determinism: centroids arrive 6dp-rounded from [[labelCentroids]]
+    * (exact decimal sums underneath), each squared difference rounds
+    * 12dp and DECIMAL-sums across dims (a d-term double sum would be
+    * merge-order-sensitive), one sqrt at the end.
+    *
+    * Scale: the corpus collapses to \|labels\|·d centroid rows first;
+    * the pairwise join runs on THAT (broadcast, \|labels\|² output) —
+    * the corpus itself is touched exactly once. */
+  def centroidDistances(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val cents = labelCentroids(emb, labelCol, vecCol)
+      .select(col("label"), col("pos"), col("centroid"))
+      .localCheckpoint(eager = false)
+    val a = cents.select(col("label").as("label_a"), col("pos"),
+      col("centroid").as("ma"))
+    val b = cents.select(col("label").as("label_b"), col("pos"),
+      col("centroid").as("mb"))
+    a.join(broadcast(b), Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(round((col("ma") - col("mb")) * (col("ma") - col("mb")), 12)
+        .cast(DecimalType(28, 12))).as("d2"))
+      .select(col("label_a"), col("label_b"),
+        round(sqrt(dbl(col("d2"))), 6).as("dist"))
+  }
 }

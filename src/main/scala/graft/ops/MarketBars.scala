@@ -1772,6 +1772,93 @@ object MarketBars {
             (lit(2.0 * k) * col("sd")), 6)).as("pct_b"))
   }
 
+  /** Donchian-channel breakout census: a bar breaks out UP when its
+    * close exceeds the max high of the PREVIOUS `period` bars (frame
+    * excludes the current row — the channel must pre-exist the
+    * break), symmetrically down vs the min low; per series the count
+    * of each and the latest break timestamps — the
+    * trend-initiation telemetry next to [[aroon]]'s freshness gauge.
+    *
+    * Determinism: closes/highs/lows snap to scaled longs so every
+    * compare is integer-exact; output is counts + max timestamps.
+    *
+    * Scale: one per-series window pass (q49/q83 class) into a
+    * map-side-combined |series|-row rollup. */
+  def donchianBreakouts(bars: DataFrame, period: Int = 20): DataFrame = {
+    require(period >= 1, s"period must be >= 1 (got $period)")
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val prior = w.rowsBetween(-period, -1)
+    bars
+      .withColumn("c6", floor(col("close") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("h6", floor(col("high") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("l6", floor(col("low") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("nb", count(lit(1)).over(prior))
+      .withColumn("ch", max(col("h6")).over(prior))
+      .withColumn("cl", min(col("l6")).over(prior))
+      .withColumn("up", col("nb") === period && col("c6") > col("ch"))
+      .withColumn("dn", col("nb") === period && col("c6") < col("cl"))
+      .groupBy(col("series"))
+      .agg(
+        sum(when(col("up"), 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("dn"), 1L).otherwise(0L)).as("n_down"),
+        max(when(col("up"), col("bar_ts"))).as("last_up_ts"),
+        max(when(col("dn"), col("bar_ts"))).as("last_down_ts"))
+  }
+
+  /** Volatility cone: the distribution (min / median / max) of the
+    * rolling realized vol at several horizons — per (series, horizon)
+    * the envelope a current vol reading is judged against ("is 6-bar
+    * vol rich vs its own history?"). The multi-horizon sibling of
+    * q197's signature plot.
+    *
+    * Determinism: 1-bar ln returns snap to exact 1e-8 longs (q92
+    * precedent), each horizon's population σ forms from DECIMAL-exact
+    * (n, Σr, Σr²) in the q139 double op order and ROUNDS 8dp before
+    * the distribution pass, so min/median/max act on identical
+    * doubles (median = exact interpolated percentile, the q198
+    * mapping).
+    *
+    * Scale: ONE per-series sort serves every horizon's frame (same
+    * window spec family); the distribution pass runs on the rolled
+    * vol column, map-side-combined per (series, horizon). */
+  def volCone(bars: DataFrame, horizons: Seq[Int] = Seq(6, 12, 24)): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 2), "horizons must be >= 2")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val withR = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .localCheckpoint(eager = false)
+    val perH = horizons.map { h =>
+      val frame = w.rowsBetween(-(h - 1), 0)
+      withR
+        .withColumn("nb", count(col("r8")).over(frame))
+        .withColumn("s1", sum(col("r8").cast(dec)).over(frame))
+        .withColumn("s2", sum((col("r8") * col("r8")).cast(dec)).over(frame))
+        .filter(col("nb") === h)
+        .select(col("series"), lit(h).as("horizon"),
+          round(sqrt((dbl(col("nb")) * dbl(col("s2")) -
+            dbl(col("s1")) * dbl(col("s1"))) /
+            (dbl(col("nb")) * dbl(col("nb")))) / lit(1e8), 8).as("vol"))
+    }
+    perH.reduce(_.unionByName(_))
+      .groupBy(col("series"), col("horizon"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(min(col("vol")), 8).as("vol_min"),
+        // floor-form: the interpolated median averages two 8dp values
+        // and can land EXACTLY on a half-boundary, where library
+        // round() tie rules diverge cross-engine (caught at sf0.001)
+        (floor(expr("percentile(vol, 0.5)") * lit(1e8) + lit(0.5)) /
+          lit(1e8)).as("vol_p50"),
+        round(max(col("vol")), 8).as("vol_max"))
+  }
+
   /** MACD(12, 26, 9) over a finite trailing frame: fast/slow EMAs of
     * the close fold over the SAME `frameRows`-bar list with
     * alpha = 2/(n+1), macd = fast − slow, and the signal line is the

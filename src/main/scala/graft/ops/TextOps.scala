@@ -279,4 +279,45 @@ object TextOps {
           lit(84.6) * (dbl(col("n_syllables")) / dbl(col("n_words")))) *
           lit(1e4) + lit(0.5)) / lit(1e4)).as("flesch"))
   }
+
+  /** Code-vs-prose heuristic: symbol density ([{}()\[\];=<>] runs),
+    * digit density, and an underscore_identifier count — the
+    * mixed-corpus router that decides whether a document should flow
+    * through the prose filters (q192, q234) or a code pipeline. A doc
+    * flags as code when symbol density crosses `symbolAt` or it
+    * carries snake_case identifiers with above-threshold symbols.
+    *
+    * Determinism: all three counts are exact regex-match integers
+    * (RE2 ∩ Java character-class subset — the q112 rule), char counts
+    * are exact, ratios divide once and round 6; the flag compares the
+    * ROUNDED ratio (q95 fence rule). Pure map-side. */
+  def codeDetect(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      symbolAt: Double = 0.05): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    docs
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_sym",
+        size(regexp_extract_all(col(textCol), lit("[{}()\\[\\];=<>]"), lit(0)))
+          .cast("long"))
+      .withColumn("n_digit",
+        size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0)))
+          .cast("long"))
+      .withColumn("n_snake",
+        size(regexp_extract_all(col(textCol),
+          lit("[a-z0-9]+_[a-z0-9_]+"), lit(0))).cast("long"))
+      .withColumn("sym_ratio",
+        when(col("n_chars") > 0,
+          round(dbl(col("n_sym")) / dbl(col("n_chars")), 6)).otherwise(0.0))
+      .withColumn("digit_ratio",
+        when(col("n_chars") > 0,
+          round(dbl(col("n_digit")) / dbl(col("n_chars")), 6)).otherwise(0.0))
+      .select(col(idCol), col("n_chars"), col("n_sym"), col("n_digit"),
+        col("n_snake"), col("sym_ratio"), col("digit_ratio"),
+        (col("sym_ratio") >= symbolAt ||
+          (col("n_snake") >= 2 && col("sym_ratio") >= symbolAt / 2))
+          .as("is_code"))
+  }
 }

@@ -1339,6 +1339,54 @@ object CoreQueries {
         .select(col("s_suppkey"), col("s_name"),
           round(col("r"), 2).cast(DoubleType).as("total_revenue"))
         .orderBy(col("s_suppkey"))
+    }),
+
+    // Weekly revenue + week-over-week growth: the KPI time series —
+    // corpus collapses to ISO weeks FIRST (map-side combine), the lag
+    // window runs on the tiny weekly aggregate (q39 rule)
+    "q238_revenue_wow" -> ((s, dir) => {
+      val weekly = Tables.orders(s, dir)
+        .groupBy(trunc(to_date(col("o_orderdate")), "week").as("wk"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(28, 6))).as("rd"))
+      val w = Window.orderBy(col("wk"))
+      weekly
+        .withColumn("prev", lag(col("rd"), 1).over(w))
+        .select(col("wk"), col("n_orders"),
+          round(col("rd"), 2).cast(DoubleType).as("revenue"),
+          when(col("prev").isNotNull && col("prev") > 0,
+            round((col("rd").cast(DoubleType) - col("prev").cast(DoubleType)) /
+              col("prev").cast(DoubleType), 6)).as("wow_growth"))
+        .orderBy(col("wk"))
+    }),
+
+    // ABC / Pareto classification of parts by cumulative revenue
+    // share: A carries the first 80%, B to 95%, C the tail — the
+    // inventory-policy rollup. The cumulative window runs on the
+    // |part|-sized aggregate with an exact DECIMAL running sum, and
+    // the class fences compare one identical double quotient
+    "q239_abc_pareto" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 6))).as("rd"))
+      val tot = rev.agg(sum(col("rd")).as("td"))
+      val w = Window.orderBy(col("rd").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("rd")).over(w))
+        .withColumn("cum_share",
+          col("cum").cast(DoubleType) / col("td").cast(DoubleType))
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("rd")), 2).cast(DoubleType).as("class_revenue"),
+          round(sum(col("rd")).cast(DoubleType) /
+            max(col("td")).cast(DoubleType), 6).as("revenue_share"))
+        .orderBy(col("abc_class"))
     })
   )
 
@@ -2650,6 +2698,49 @@ object CoreQueries {
            CAST(round(r, 2) AS DOUBLE) AS total_revenue
          FROM rev JOIN supplier ON l_suppkey = s_suppkey
          WHERE r = (SELECT max(r) FROM rev)
-         ORDER BY s_suppkey"""
+         ORDER BY s_suppkey""",
+
+    // WoW twin: ISO-Monday week bucket, decimal lag, same quotient
+    "q238_revenue_wow" ->
+      """WITH weekly AS (
+           SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+             count(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rd
+           FROM orders GROUP BY 1),
+          l AS (SELECT wk, n_orders, rd,
+                  lag(rd) OVER (ORDER BY wk) AS prev
+                FROM weekly)
+          SELECT wk, n_orders,
+            CAST(round(rd, 2) AS DOUBLE) AS revenue,
+            CASE WHEN prev IS NOT NULL AND prev > 0
+              THEN round((CAST(rd AS DOUBLE) - CAST(prev AS DOUBLE))
+                / CAST(prev AS DOUBLE), 6) END AS wow_growth
+          FROM l ORDER BY wk""",
+
+    // ABC twin: exact decimal running sum, same 0.80/0.95 fences on
+    // one identical double quotient
+    "q239_abc_pareto" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             SUM(CAST(l_extendedprice*(1.0 - l_discount)
+               AS DECIMAL(28,6))) AS rd
+           FROM lineitem GROUP BY 1),
+          tot AS (SELECT SUM(rd) AS td FROM rev),
+          c AS (SELECT l_partkey, rd, td,
+                  SUM(rd) OVER (ORDER BY rd DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                FROM rev CROSS JOIN tot),
+          k AS (SELECT rd, td,
+                  CASE WHEN CAST(cum AS DOUBLE)/CAST(td AS DOUBLE) <= 0.80
+                    THEN 'A'
+                    WHEN CAST(cum AS DOUBLE)/CAST(td AS DOUBLE) <= 0.95
+                    THEN 'B' ELSE 'C' END AS abc_class
+                FROM c)
+          SELECT abc_class, count(*) AS n_parts,
+            CAST(round(SUM(rd), 2) AS DOUBLE) AS class_revenue,
+            round(CAST(SUM(rd) AS DOUBLE) / CAST(max(td) AS DOUBLE), 6)
+              AS revenue_share
+          FROM k GROUP BY 1 ORDER BY abc_class"""
   )
 }

@@ -707,6 +707,20 @@ object LlmQueries {
     "q236_hapax" -> ((s, dir) => {
       CorpusOps.hapaxShare(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("source"))
+    }),
+
+    // Code-vs-prose router (TextOps.codeDetect): symbol/digit density
+    // + snake_case identifiers, pure map-side
+    "q242_code_detect" -> ((s, dir) => {
+      TextOps.codeDetect(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Inter-centroid distance matrix (CorpusOps.centroidDistances):
+    // class separability over the q40 centroids
+    "q243_centroid_dist" -> ((s, dir) => {
+      CorpusOps.centroidDistances(Tables.embeddings(s, dir))
+        .orderBy(col("label_a"), col("label_b"))
     })
   )
 
@@ -2536,6 +2550,54 @@ object LlmQueries {
               / CAST(count(*) AS DOUBLE), 6) AS hapax_share,
             round(CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS DOUBLE)
               / CAST(count(*) AS DOUBLE), 6) AS dis_share
-          FROM tf GROUP BY 1 ORDER BY source"""
+          FROM tf GROUP BY 1 ORDER BY source""",
+
+    // code-detect twin: same RE2∩Java character classes, rounded
+    // ratios compared at the same fences
+    "q242_code_detect" ->
+      """WITH x AS (SELECT doc_id,
+                      CAST(length(text) AS BIGINT) AS n_chars,
+                      CAST(len(regexp_extract_all(text,
+                        '[{}()\[\];=<>]')) AS BIGINT) AS n_sym,
+                      CAST(len(regexp_extract_all(text, '[0-9]'))
+                        AS BIGINT) AS n_digit,
+                      CAST(len(regexp_extract_all(text,
+                        '[a-z0-9]+_[a-z0-9_]+')) AS BIGINT) AS n_snake
+                    FROM documents),
+          r AS (SELECT *,
+                  CASE WHEN n_chars > 0
+                    THEN round(CAST(n_sym AS DOUBLE)
+                      / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END
+                    AS sym_ratio,
+                  CASE WHEN n_chars > 0
+                    THEN round(CAST(n_digit AS DOUBLE)
+                      / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END
+                    AS digit_ratio
+                FROM x)
+          SELECT doc_id, n_chars, n_sym, n_digit, n_snake, sym_ratio,
+            digit_ratio,
+            (sym_ratio >= 0.05 OR (n_snake >= 2 AND sym_ratio >= 0.025))
+              AS is_code
+          FROM r ORDER BY doc_id""",
+
+    // centroid-distance twin: q40's 6dp centroids, 12dp decimal-sum
+    // of squared differences, one sqrt
+    "q243_centroid_dist" ->
+      """WITH e0 AS (SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          u AS (SELECT label, CAST(i-1 AS INTEGER) AS pos,
+                  CAST(v[i] AS DECIMAL(28,12)) AS xd
+                FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
+          c AS (SELECT label, pos,
+                  round(CAST(SUM(xd) AS DOUBLE)/count(*), 6) AS m
+                FROM u GROUP BY 1, 2),
+          p AS (SELECT a.label AS label_a, b.label AS label_b,
+                  SUM(CAST(round((a.m - b.m)*(a.m - b.m), 12)
+                    AS DECIMAL(28,12))) AS d2
+                FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+                GROUP BY 1, 2)
+          SELECT label_a, label_b,
+            round(sqrt(CAST(d2 AS DOUBLE)), 6) AS dist
+          FROM p ORDER BY label_a, label_b"""
   )
 }

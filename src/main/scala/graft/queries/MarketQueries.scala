@@ -990,6 +990,22 @@ object MarketQueries {
     "q237_transition_dwell" -> ((s, dir) => {
       graft.ops.EventAnalytics.transitionDwell(Tables.events(s, dir))
         .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // Donchian-channel breakout census (MarketBars.donchianBreakouts):
+    // integer-exact channel compares, counts + last-break timestamps
+    "q240_donchian" -> ((s, dir) => {
+      MarketBars.donchianBreakouts(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), period = 20)
+        .orderBy(col("series"))
+    }),
+
+    // Volatility cone (MarketBars.volCone): min/median/max of rolling
+    // realized vol at 6/12/24-bar horizons
+    "q241_vol_cone" -> ((s, dir) => {
+      MarketBars.volCone(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("horizon"))
     })
   )
 
@@ -2937,6 +2953,89 @@ object MarketQueries {
             CAST(floor(CAST(SUM(dt_us) AS DOUBLE)
               / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_dt_us,
             round(quantile_cont(dt_us, 0.5), 4) AS p50_dt_us
-          FROM g GROUP BY 1, 2 ORDER BY prev_type, next_type"""
+          FROM g GROUP BY 1, 2 ORDER BY prev_type, next_type""",
+
+    // donchian twin: prior-frame channel (current row excluded), all
+    // compares on scaled longs
+    "q240_donchian" ->
+      s"""WITH $barsCte,
+          s AS (SELECT series, bar_ts,
+                  CAST(floor(close*1e6 + 0.5) AS BIGINT) AS c6,
+                  CAST(floor(high*1e6 + 0.5) AS BIGINT) AS h6,
+                  CAST(floor(low*1e6 + 0.5) AS BIGINT) AS l6
+                FROM bars),
+          f AS (SELECT series, bar_ts, c6,
+                  count(*) OVER fr AS nb,
+                  max(h6) OVER fr AS ch,
+                  min(l6) OVER fr AS cl
+                FROM s
+                WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+          g AS (SELECT series, bar_ts,
+                  nb = 20 AND c6 > ch AS up,
+                  nb = 20 AND c6 < cl AS dn
+                FROM f)
+          SELECT series,
+            CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+            CAST(SUM(CASE WHEN dn THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+            max(CASE WHEN up THEN bar_ts END) AS last_up_ts,
+            max(CASE WHEN dn THEN bar_ts END) AS last_down_ts
+          FROM g GROUP BY 1 ORDER BY series""",
+
+    // vol-cone twin: same 1e-8 return snap, same q139 sigma op order
+    // rounded 8dp BEFORE the distribution pass, quantile_cont median
+    "q241_vol_cone" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/pc) * 1e8 + 0.5) AS BIGINT) AS r8
+                FROM p WHERE pc IS NOT NULL AND pc > 0),
+          v AS (
+            SELECT series, h, vol FROM (
+              SELECT series, 6 AS h,
+                count(*) OVER fr AS nb,
+                round(sqrt((CAST(count(*) OVER fr AS DOUBLE)
+                  * CAST(SUM(CAST(r8*r8 AS DECIMAL(38,0))) OVER fr AS DOUBLE)
+                  - CAST(SUM(CAST(r8 AS DECIMAL(38,0))) OVER fr AS DOUBLE)
+                  * CAST(SUM(CAST(r8 AS DECIMAL(38,0))) OVER fr AS DOUBLE))
+                  / (CAST(count(*) OVER fr AS DOUBLE)
+                    * CAST(count(*) OVER fr AS DOUBLE))) / 1e8, 8) AS vol
+              FROM r
+              WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) WHERE nb = 6
+            UNION ALL
+            SELECT series, h, vol FROM (
+              SELECT series, 12 AS h,
+                count(*) OVER fr AS nb,
+                round(sqrt((CAST(count(*) OVER fr AS DOUBLE)
+                  * CAST(SUM(CAST(r8*r8 AS DECIMAL(38,0))) OVER fr AS DOUBLE)
+                  - CAST(SUM(CAST(r8 AS DECIMAL(38,0))) OVER fr AS DOUBLE)
+                  * CAST(SUM(CAST(r8 AS DECIMAL(38,0))) OVER fr AS DOUBLE))
+                  / (CAST(count(*) OVER fr AS DOUBLE)
+                    * CAST(count(*) OVER fr AS DOUBLE))) / 1e8, 8) AS vol
+              FROM r
+              WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)) WHERE nb = 12
+            UNION ALL
+            SELECT series, h, vol FROM (
+              SELECT series, 24 AS h,
+                count(*) OVER fr AS nb,
+                round(sqrt((CAST(count(*) OVER fr AS DOUBLE)
+                  * CAST(SUM(CAST(r8*r8 AS DECIMAL(38,0))) OVER fr AS DOUBLE)
+                  - CAST(SUM(CAST(r8 AS DECIMAL(38,0))) OVER fr AS DOUBLE)
+                  * CAST(SUM(CAST(r8 AS DECIMAL(38,0))) OVER fr AS DOUBLE))
+                  / (CAST(count(*) OVER fr AS DOUBLE)
+                    * CAST(count(*) OVER fr AS DOUBLE))) / 1e8, 8) AS vol
+              FROM r
+              WINDOW fr AS (PARTITION BY series ORDER BY bar_ts
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) WHERE nb = 24)
+          SELECT series, CAST(h AS INTEGER) AS horizon,
+            count(*) AS n_obs,
+            round(min(vol), 8) AS vol_min,
+            floor(quantile_cont(vol, 0.5) * 1e8 + 0.5) / 1e8 AS vol_p50,
+            round(max(vol), 8) AS vol_max
+          FROM v GROUP BY 1, 2 ORDER BY series, horizon"""
   )
 }
