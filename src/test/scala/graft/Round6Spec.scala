@@ -300,6 +300,71 @@ class Round6Spec extends AnyFunSuite {
       CorpusOps.hapaxShare(docs.repartition(17)))
   }
 
+  test("donchianBreakouts: break needs a FULL pre-existing channel") {
+    import spark.implicits._
+    val bars = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 10.0, 9.0, 9.5),
+      ("A", ts("2024-01-01 09:05:00"), 10.5, 9.5, 10.0),
+      ("A", ts("2024-01-01 09:10:00"), 11.0, 10.0, 10.8), // close > max(10, 10.5)
+      ("A", ts("2024-01-01 09:15:00"), 10.9, 8.0, 9.0))   // close < min(9.5, 10.0)
+      .toDF("series", "bar_ts", "high", "low", "close")
+    val r = MarketBars.donchianBreakouts(bars, period = 2).collect()(0)
+    assert(r.getLong(1) === 1L, "one up break (t3)")
+    assert(r.getLong(2) === 1L, "one down break (t4)")
+    assert(r.getTimestamp(3) === ts("2024-01-01 09:10:00"))
+    assert(r.getTimestamp(4) === ts("2024-01-01 09:15:00"))
+  }
+
+  test("volCone: constant-ratio closes give zero vol at every horizon") {
+    import spark.implicits._
+    val bars = (1 to 30).map(i =>
+      ("A", ts(f"2024-01-01 ${9 + i / 12}%02d:${(i * 5) % 60}%02d:00"),
+        10.0 * math.pow(1.01, i)))
+      .toDF("series", "bar_ts", "close")
+    val out = MarketBars.volCone(bars).collect()
+    assert(out.length === 3, "three horizons")
+    assert(out.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0 &&
+      r.getDouble(5) === 0.0), "identical returns -> sigma 0")
+  }
+
+  test("codeDetect: symbol-dense doc flags, prose does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "def f(x): return my_var + other_var; } { (y) = <z>"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.codeDetect(docs).orderBy(col("doc_id")).collect()
+    assert(out(0).getBoolean(7) === true, "code flags")
+    assert(out(1).getBoolean(7) === false, "prose passes")
+  }
+
+  test("centroidDistances: hand-placed centroids recover the Euclidean gap") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0), // centroid (1, 0)
+      (3L, Array(4.0f, 3.0f), 1), (4L, Array(4.0f, 3.0f), 1)) // centroid (4, 3)
+      .toDF("vec_id", "embedding", "label")
+    val r = CorpusOps.centroidDistances(emb).collect()(0)
+    // distance between (1,0) and (4,3) = sqrt(9 + 9) = 4.242641
+    assert(r.getDouble(2) === 4.242641)
+  }
+
+  test("batch-E ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.donchianBreakouts(bars3), MarketBars.donchianBreakouts(bars17))
+    same(MarketBars.volCone(bars3), MarketBars.volCone(bars17))
+    val docs = Tables.documents(spark, sf)
+    same(graft.ops.TextOps.codeDetect(docs.repartition(3)),
+      graft.ops.TextOps.codeDetect(docs.repartition(17)))
+    val emb = Tables.embeddings(spark, sf)
+    same(CorpusOps.centroidDistances(emb.repartition(3)),
+      CorpusOps.centroidDistances(emb.repartition(17)))
+  }
+
   test("q228 plan: EXISTS runs as a semi join (orders never duplicate)") {
     val plan = SparkEntry.queries("q228_late_orders")(spark, sf)
       .queryExecution.executedPlan.toString

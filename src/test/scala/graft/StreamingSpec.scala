@@ -746,4 +746,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.count() > 0)
     } finally q.stop()
   }
+  test("streaming Bollinger bands match the batch window bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bars = graft.ops.MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    val batch = graft.ops.MarketBars.bollinger(bars)
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)))))
+      .toMap
+
+    val points = bars.select("series", "bar_ts", "close").collect()
+      .map(r => graft.streaming.BollingerMonitor.Bar(
+        r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSeq.sortBy(_.ts.getTime)
+    val stream = MemoryStream[graft.streaming.BollingerMonitor.Bar]
+    val q = graft.streaming.BollingerMonitor.bands(stream.toDS())
+      .writeStream.format("memory").queryName("bb_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = points.splitAt(points.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("bb_out").collect()
+      assert(streamed.length === batch.size,
+        "one streamed band per full batch frame")
+      streamed.foreach { r =>
+        val key = (r.getAs[String]("series"), r.getAs[Timestamp]("ts"))
+        val (m, u, l, p) = batch(key)
+        assert(r.getAs[Double]("bbMid") === m, s"mid@$key")
+        assert(r.getAs[Double]("bbUpper") === u, s"upper@$key")
+        assert(r.getAs[Double]("bbLower") === l, s"lower@$key")
+        assert(Option(r.getAs[java.lang.Double]("pctB"))
+          .map(_.doubleValue) === p, s"pctB@$key")
+      }
+    } finally q.stop()
+  }
 }
