@@ -1411,4 +1411,45 @@ object CorpusOps {
       .select(col("label_a"), col("label_b"),
         round(sqrt(dbl(col("d2"))), 6).as("dist"))
   }
+
+  /** Pairwise source vocabulary overlap: exact Jaccard between every
+    * source pair's distinct-term sets — the source-redundancy audit
+    * ("are src3 and src7 the same crawl twice?") that the per-doc
+    * dedup family (q24/q25/q165) can't see when the DOCUMENTS differ
+    * but the LANGUAGE doesn't.
+    *
+    * Determinism: all-integer — intersection counts from an exact
+    * term equi-join, union by inclusion-exclusion, one final rounded
+    * ratio.
+    *
+    * Scale: the corpus collapses to the (source, term) DISTINCT
+    * relation first (one token-level shuffle); the pair join runs on
+    * term-keyed vocab rows, so a term shared by s sources fans out
+    * s·(s−1)/2 pair rows — bounded by \|sources\|², never by docs. */
+  def vocabOverlap(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val vocab = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val a = vocab.select(col("source").as("source_a"), col("term"))
+    val b = vocab.select(col("source").as("source_b"), col("term"))
+    a.join(b, Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("v", "va")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("v", "vb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+        (col("va") + col("vb") - col("n_inter")).as("n_union"),
+        round(dbl(col("n_inter")) /
+          dbl(col("va") + col("vb") - col("n_inter")), 6).as("jaccard"))
+  }
 }

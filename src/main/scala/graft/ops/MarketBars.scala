@@ -1772,6 +1772,105 @@ object MarketBars {
             (lit(2.0 * k) * col("sd")), 6)).as("pct_b"))
   }
 
+  /** Up/down streak census: consecutive same-direction closes
+    * collapse to runs (the gaps-and-islands trick on the Δclose
+    * sign), reported per (series, direction) as run count, longest
+    * run, and mean length — the momentum-persistence telemetry the
+    * runs test (q177) summarizes into one z, kept here as the full
+    * distribution. Flat bars (Δ = 0) form their own runs.
+    *
+    * Determinism: direction is the exact sign of the scaled-long
+    * Δclose; run ids are integer prefix sums; the mean floors at 2dp
+    * from the exact (Σlen, n) pair.
+    *
+    * Scale: one per-series lag+prefix-sum window pass (q49/q83
+    * class), then a map-side-combined (series, direction) rollup. */
+  def streakStats(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    bars
+      .withColumn("d6",
+        floor((col("close") - lag(col("close"), 1).over(w)) * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .filter(col("d6").isNotNull)
+      .withColumn("dir",
+        when(col("d6") > 0, "up").when(col("d6") < 0, "down")
+          .otherwise("flat"))
+      .withColumn("brk",
+        when(lag(col("dir"), 1).over(w).isNull ||
+          col("dir") =!= lag(col("dir"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(run))
+      .groupBy(col("series"), col("dir"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("series"), col("dir"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("n_bars"))
+      .select(col("series"), col("dir"), col("n_runs"), col("max_len"),
+        col("n_bars"),
+        (floor(dbl(col("n_bars")) / dbl(col("n_runs")) * lit(100.0) +
+          lit(0.5)) / lit(100.0)).as("mean_len"))
+  }
+
+  /** ARCH-effect screen: the lag-1..`maxLag` autocorrelation of
+    * SQUARED returns — returns themselves may be white (q151/q183)
+    * while their squares stay correlated, which is exactly
+    * volatility clustering; a significant r here is the "fit a GARCH
+    * / scale your risk window" flag next to [[volCone]].
+    *
+    * Determinism: each squared return snaps to an exact 1e-8 long
+    * (r·r first — identical doubles), every correlation moment folds
+    * DECIMAL-exact over the (x, x_lag) pairs, r forms in the q122 op
+    * order and rounds 6dp; the 1.96/√n significance fence compares
+    * the ROUNDED r against one identically-computed threshold.
+    *
+    * Scale: `maxLag` lag columns from ONE per-series sort, then a
+    * map-side-combined (series, k) rollup. */
+  def archEffect(bars: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val sq = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r", when(col("pc") > 0, log(col("close") / col("pc"))))
+      .filter(col("r").isNotNull)
+      .withColumn("sq8",
+        floor(col("r") * col("r") * lit(1e8) + lit(0.5)).cast("long"))
+      .localCheckpoint(eager = false)
+    val lags = (1 to maxLag).map { k =>
+      sq.withColumn("y", lag(col("sq8"), k).over(w))
+        .filter(col("y").isNotNull)
+        .select(col("series"), lit(k).as("k"),
+          col("sq8").as("x"), col("y"))
+    }
+    lags.reduce(_.unionByName(_))
+      .groupBy(col("series"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        // cast BEFORE multiplying: squared returns of a jumpy series
+        // reach ~1e10, so the long×long product overflows (caught by
+        // ANSI mode at sf0.001); decimal×decimal stays exact
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      .withColumn("num",
+        dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+      .withColumn("vx",
+        dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .withColumn("vy",
+        dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+      .select(col("series"), col("k"), col("n"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("num") / (sqrt(col("vx")) * sqrt(col("vy"))), 6))
+          .as("r_sq_acf"))
+      .withColumn("arch_flag",
+        col("r_sq_acf") > lit(1.96) / sqrt(dbl(col("n"))))
+  }
+
   /** Donchian-channel breakout census: a bar breaks out UP when its
     * close exceeds the max high of the PREVIOUS `period` bars (frame
     * excludes the current row — the channel must pre-exist the

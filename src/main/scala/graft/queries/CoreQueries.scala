@@ -1387,6 +1387,75 @@ object CoreQueries {
           round(sum(col("rd")).cast(DoubleType) /
             max(col("td")).cast(DoubleType), 6).as("revenue_share"))
         .orderBy(col("abc_class"))
+    }),
+
+    // Customer inter-order gap by segment: days between a customer's
+    // consecutive orders ((o_orderdate, o_orderkey) tie rule), rolled
+    // up per market segment — the purchase-cadence face of q184's RFM
+    "q244_order_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_d", lag(to_date(col("o_orderdate")), 1).over(w))
+        .filter(col("prev_d").isNotNull)
+        .withColumn("gap_days",
+          datediff(to_date(col("o_orderdate")), col("prev_d")).cast("long"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_gaps"),
+          floor(sum(col("gap_days")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType) + lit(0.5)).cast("long")
+            .as("mean_gap_days"),
+          round(expr("percentile(gap_days, 0.5)"), 4).as("p50_gap_days"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Part revenue growth movers, 1999 -> 2000: both year legs as
+    // conditional DECIMAL sums in ONE scan pass; growth only above a
+    // base-revenue floor (tiny denominators are noise, not movers),
+    // top-20 via TakeOrdered with a full tie-break
+    "q245_part_yoy" -> ((s, dir) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(28, 6))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-01-01 00:00:00")))
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(when(col("l_shipdate") < to_timestamp(lit("2000-01-01 00:00:00")),
+            rev).otherwise(lit(0).cast(DecimalType(28, 6)))).as("r1"),
+          sum(when(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")),
+            rev).otherwise(lit(0).cast(DecimalType(28, 6)))).as("r2"))
+        .filter(col("r1") > 1000.0)
+        .withColumn("growth",
+          round((col("r2").cast(DoubleType) - col("r1").cast(DoubleType)) /
+            col("r1").cast(DoubleType), 6))
+        .select(col("l_partkey"),
+          round(col("r1"), 2).cast(DoubleType).as("rev_1999"),
+          round(col("r2"), 2).cast(DoubleType).as("rev_2000"),
+          col("growth"))
+        .orderBy(col("growth").desc, col("l_partkey"))
+        .limit(20)
+    }),
+
+    // Average-order-value distribution per segment: exact
+    // interpolated percentiles (q198 mapping) + a decimal-exact mean
+    "q246_segment_aov" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast(DecimalType(28, 6))), 2)
+            .cast(DoubleType).as("total_value"),
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -2741,6 +2810,64 @@ object CoreQueries {
             CAST(round(SUM(rd), 2) AS DOUBLE) AS class_revenue,
             round(CAST(SUM(rd) AS DOUBLE) / CAST(max(td) AS DOUBLE), 6)
               AS revenue_share
-          FROM k GROUP BY 1 ORDER BY abc_class"""
+          FROM k GROUP BY 1 ORDER BY abc_class""",
+
+    // order-gap twin: same (date, orderkey) tie rule, exact day
+    // integers, floor-form mean + quantile_cont median
+    "q244_order_gap" ->
+      """WITH g AS (
+           SELECT o_custkey,
+             datediff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER w,
+               CAST(o_orderdate AS DATE)) AS gap_days
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey))
+          SELECT c_mktsegment, count(*) AS n_gaps,
+            CAST(floor(CAST(SUM(gap_days) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+              AS mean_gap_days,
+            round(quantile_cont(gap_days, 0.5), 4) AS p50_gap_days
+          FROM g JOIN customer ON o_custkey = c_custkey
+          WHERE gap_days IS NOT NULL
+          GROUP BY 1 ORDER BY c_mktsegment""",
+
+    // YoY twin: one conditional-sum scan, same revenue floor, same
+    // (growth desc, partkey) top-20
+    "q245_part_yoy" ->
+      """WITH r AS (
+           SELECT l_partkey,
+             SUM(CASE WHEN l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+               THEN CAST(l_extendedprice*(1.0 - l_discount)
+                 AS DECIMAL(28,6))
+               ELSE CAST(0 AS DECIMAL(28,6)) END) AS r1,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+               THEN CAST(l_extendedprice*(1.0 - l_discount)
+                 AS DECIMAL(28,6))
+               ELSE CAST(0 AS DECIMAL(28,6)) END) AS r2
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+           GROUP BY 1
+           HAVING r1 > 1000.0)
+          SELECT l_partkey,
+            CAST(round(r1, 2) AS DOUBLE) AS rev_1999,
+            CAST(round(r2, 2) AS DOUBLE) AS rev_2000,
+            round((CAST(r2 AS DOUBLE) - CAST(r1 AS DOUBLE))
+              / CAST(r1 AS DOUBLE), 6) AS growth
+          FROM r
+          ORDER BY growth DESC, l_partkey LIMIT 20""",
+
+    // AOV twin: decimal total + the q198 percentile mapping
+    "q246_segment_aov" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+             AS DOUBLE) AS total_value,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment"""
   )
 }

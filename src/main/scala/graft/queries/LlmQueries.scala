@@ -721,6 +721,13 @@ object LlmQueries {
     "q243_centroid_dist" -> ((s, dir) => {
       CorpusOps.centroidDistances(Tables.embeddings(s, dir))
         .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // Pairwise source vocabulary Jaccard (CorpusOps.vocabOverlap):
+    // the source-redundancy audit doc-level dedup can't see
+    "q249_vocab_overlap" -> ((s, dir) => {
+      CorpusOps.vocabOverlap(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -2598,6 +2605,28 @@ object LlmQueries {
                 GROUP BY 1, 2)
           SELECT label_a, label_b,
             round(sqrt(CAST(d2 AS DOUBLE)), 6) AS dist
-          FROM p ORDER BY label_a, label_b"""
+          FROM p ORDER BY label_a, label_b""",
+
+    // vocab-overlap twin: exact distinct-term join, inclusion-
+    // exclusion union, one rounded ratio
+    "q249_vocab_overlap" ->
+      """WITH d AS (SELECT source,
+                      regexp_split_to_array(trim(text), ' +') AS toks
+                    FROM documents),
+          v AS (SELECT DISTINCT source, unnest(toks) AS term FROM d),
+          sz AS (SELECT source, count(*) AS vs FROM v GROUP BY 1),
+          i AS (SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS n_inter
+                FROM v a JOIN v b ON a.term = b.term
+                  AND a.source < b.source
+                GROUP BY 1, 2)
+          SELECT source_a, source_b, n_inter,
+            CAST(sa.vs + sb.vs - n_inter AS BIGINT) AS n_union,
+            round(CAST(n_inter AS DOUBLE)
+              / CAST(sa.vs + sb.vs - n_inter AS DOUBLE), 6) AS jaccard
+          FROM i
+          JOIN sz sa ON i.source_a = sa.source
+          JOIN sz sb ON i.source_b = sb.source
+          ORDER BY source_a, source_b"""
   )
 }

@@ -1006,6 +1006,22 @@ object MarketQueries {
       MarketBars.volCone(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"), col("horizon"))
+    }),
+
+    // Up/down streak census (MarketBars.streakStats): the full
+    // run-length distribution behind q177's runs-test z
+    "q247_streak_stats" -> ((s, dir) => {
+      MarketBars.streakStats(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("dir"))
+    }),
+
+    // ARCH-effect screen (MarketBars.archEffect): autocorrelation of
+    // SQUARED returns — volatility clustering the plain ACF misses
+    "q248_arch_effect" -> ((s, dir) => {
+      MarketBars.archEffect(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), maxLag = 3)
+        .orderBy(col("series"), col("k"))
     })
   )
 
@@ -3036,6 +3052,87 @@ object MarketQueries {
             round(min(vol), 8) AS vol_min,
             floor(quantile_cont(vol, 0.5) * 1e8 + 0.5) / 1e8 AS vol_p50,
             round(max(vol), 8) AS vol_max
-          FROM v GROUP BY 1, 2 ORDER BY series, horizon"""
+          FROM v GROUP BY 1, 2 ORDER BY series, horizon""",
+
+    // streak twin: same sign/break/prefix-sum islands, floor-form
+    // 2dp mean
+    "q247_streak_stats" ->
+      s"""WITH $barsCte,
+          d AS (SELECT series, bar_ts,
+                  CAST(floor((close - lag(close) OVER w) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                FROM bars
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          s AS (SELECT series, bar_ts,
+                  CASE WHEN d6 > 0 THEN 'up' WHEN d6 < 0 THEN 'down'
+                    ELSE 'flat' END AS dir
+                FROM d WHERE d6 IS NOT NULL),
+          b AS (SELECT series, bar_ts, dir,
+                  CASE WHEN lag(dir) OVER w IS NULL
+                    OR dir <> lag(dir) OVER w THEN 1 ELSE 0 END AS brk
+                FROM s
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          g AS (SELECT series, bar_ts, dir,
+                  SUM(brk) OVER (PARTITION BY series ORDER BY bar_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS grp
+                FROM b),
+          runs AS (SELECT series, dir, grp, count(*) AS len
+                   FROM g GROUP BY 1, 2, 3)
+          SELECT series, dir, count(*) AS n_runs,
+            CAST(max(len) AS BIGINT) AS max_len,
+            CAST(SUM(len) AS BIGINT) AS n_bars,
+            floor(CAST(SUM(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              * 100.0 + 0.5) / 100.0 AS mean_len
+          FROM runs GROUP BY 1, 2 ORDER BY series, dir""",
+
+    // ARCH twin: same 1e-8 squared-return snap, q122 correlation op
+    // order, rounded-r significance fence
+    "q248_arch_effect" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/pc) * ln(close/pc) * 1e8 + 0.5)
+                    AS BIGINT) AS sq8
+                FROM p WHERE pc IS NOT NULL AND pc > 0),
+          l AS (
+            SELECT series, 1 AS k, sq8 AS x,
+              lag(sq8, 1) OVER wl1 AS y FROM r
+              WINDOW wl1 AS (PARTITION BY series ORDER BY bar_ts)
+            UNION ALL
+            SELECT series, 2, sq8,
+              lag(sq8, 2) OVER wl2 FROM r
+              WINDOW wl2 AS (PARTITION BY series ORDER BY bar_ts)
+            UNION ALL
+            SELECT series, 3, sq8,
+              lag(sq8, 3) OVER wl3 FROM r
+              WINDOW wl3 AS (PARTITION BY series ORDER BY bar_ts)),
+          m AS (SELECT series, k, count(*) AS n,
+                  SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                  SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                  SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS sxy,
+                  SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                    AS sxx,
+                  SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS syy
+                FROM l WHERE y IS NOT NULL GROUP BY 1, 2),
+          c AS (SELECT series, CAST(k AS INTEGER) AS k, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+                FROM m)
+          SELECT series, k, n,
+            CASE WHEN vx > 0 AND vy > 0
+              THEN round(num / (sqrt(vx)*sqrt(vy)), 6) END AS r_sq_acf,
+            CASE WHEN vx > 0 AND vy > 0
+              THEN round(num / (sqrt(vx)*sqrt(vy)), 6)
+                > 1.96 / sqrt(CAST(n AS DOUBLE)) END AS arch_flag
+          FROM c ORDER BY series, k"""
   )
 }

@@ -365,6 +365,77 @@ class Round6Spec extends AnyFunSuite {
       CorpusOps.centroidDistances(emb.repartition(17)))
   }
 
+  test("streakStats: islands collapse with exact lengths and directions") {
+    import spark.implicits._
+    // closes: 10, 11, 12, 11, 11, 12 -> dirs: up, up, down, flat, up
+    val bars = (Seq(10.0, 11.0, 12.0, 11.0, 11.0, 12.0)).zipWithIndex.map {
+      case (c, i) => ("A", ts(f"2024-01-01 09:${i * 5}%02d:00"), c)
+    }.toDF("series", "bar_ts", "close")
+    val out = MarketBars.streakStats(bars)
+      .orderBy(col("dir")).collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("down", 1L, 1L), ("flat", 1L, 1L), ("up", 2L, 2L)))
+    // up: runs of 2 and 1 -> mean 1.5
+    assert(out(2).getDouble(5) === 1.5)
+  }
+
+  test("archEffect: alternating big/small returns show lag-1 anticorrelation") {
+    import spark.implicits._
+    // closes alternate x2 and x1.01 -> squared returns alternate
+    // large/small -> lag-1 ACF of squares is strongly negative
+    var c = 10.0
+    val seq = (0 until 24).map { i =>
+      c = if (i % 2 == 0) c * 2.0 else c * 1.01
+      ("A", ts(f"2024-01-01 ${9 + i / 12}%02d:${(i * 5) % 60}%02d:00"), c)
+    }
+    val bars = seq.toDF("series", "bar_ts", "close")
+    val out = MarketBars.archEffect(bars, maxLag = 2)
+      .orderBy(col("k")).collect()
+    assert(out(0).getDouble(3) < -0.9, "lag-1: big follows small")
+    assert(out(1).getDouble(3) > 0.9, "lag-2: like follows like")
+    assert(out(1).getBoolean(4), "lag-2 flags")
+  }
+
+  test("vocabOverlap: hand-set term sets recover exact Jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "b c d", "s2"), (3L, "x y", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusOps.vocabOverlap(docs)
+      .orderBy(col("source_a"), col("source_b")).collect()
+    // s1 ∩ s2 = {b, c} -> 2/4; s3 shares nothing -> pairs absent
+    assert(out.length === 1, "disjoint pairs emit no row")
+    assert((out(0).getString(0), out(0).getString(1),
+      out(0).getLong(2), out(0).getLong(3)) === (("s1", "s2", 2L, 4L)))
+    assert(out(0).getDouble(4) === 0.5)
+  }
+
+  test("batch-F ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.streakStats(bars3), MarketBars.streakStats(bars17))
+    same(MarketBars.archEffect(bars3), MarketBars.archEffect(bars17))
+    val docs = Tables.documents(spark, sf)
+    same(CorpusOps.vocabOverlap(docs.repartition(3)),
+      CorpusOps.vocabOverlap(docs.repartition(17)))
+  }
+
+  test("q249 plan: pair join runs on the distinct vocab relation, no window") {
+    val df = CorpusOps.vocabOverlap(Tables.documents(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Window \\[".r.findAllIn(plan).isEmpty,
+      s"vocab overlap must not window:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair join must be term-keyed, not cartesian:\n${plan.take(3000)}")
+    assert("Generate explode".r.findAllIn(plan).size <= 1,
+      s"corpus re-tokenized per side:\n${plan.take(4000)}")
+  }
+
   test("q228 plan: EXISTS runs as a semi join (orders never duplicate)") {
     val plan = SparkEntry.queries("q228_late_orders")(spark, sf)
       .queryExecution.executedPlan.toString
