@@ -1452,4 +1452,68 @@ object CorpusOps {
         round(dbl(col("n_inter")) /
           dbl(col("va") + col("vb") - col("n_inter")), 6).as("jaccard"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * degree/frequency over the candidate set (degree = Σ length of
+    * phrases containing it), a phrase scores the sum of its word
+    * scores, and the corpus top-k phrases surface — the unsupervised
+    * keyphrase sibling of the c-TF-IDF class keywords (q225).
+    *
+    * Determinism: stopword breaks are exact island ids (prefix sums),
+    * degree/freq are exact integers, each word score snaps via
+    * floor(degree·1e6/freq + 0.5) so the per-phrase sum folds in LONG
+    * arithmetic (a double sum over words would be order-sensitive),
+    * and the top-k cuts on (score desc, phrase).
+    *
+    * Scale: two token-level shuffles (islands, then word stats) and a
+    * candidate-phrase aggregate; the rank window runs on distinct
+    * phrase texts (vocabulary-class cardinality, q39 rule). */
+  def rakeKeywords(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      topK: Int = 20): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val tk = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+      .withColumn("is_stop", col("term").isin(TextOps.Stopwords: _*))
+      .withColumn("grp",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(run))
+    val phrases = tk
+      .filter(!col("is_stop") && col("term") =!= "")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("term"))))
+        .as("ps"))
+      .select(
+        concat_ws(" ", transform(col("ps"), p => p.getField("term")))
+          .as("phrase"),
+        size(col("ps")).as("plen"))
+      .localCheckpoint(eager = false)
+    val words = phrases
+      .select(explode(split(col("phrase"), " ")).as("term"), col("plen"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("wscore6",
+        floor(dbl(col("degree")) * lit(1e6) / dbl(col("freq")) + lit(0.5))
+          .cast("long"))
+    val distinctPhrases = phrases
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("occurrences"), max(col("plen")).as("plen"))
+    val scored = distinctPhrases
+      .select(col("phrase"), col("occurrences"), col("plen"),
+        explode(split(col("phrase"), " ")).as("term"))
+      .join(words.select(col("term"), col("wscore6")), "term")
+      .groupBy(col("phrase"), col("occurrences"), col("plen"))
+      .agg((sum(col("wscore6")).cast(DoubleType) / lit(1e6)).as("score"))
+    val rank = Window.orderBy(col("score").desc, col("phrase"))
+    scored
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("phrase"), col("occurrences"), col("plen"),
+        col("score"))
+  }
 }

@@ -1772,6 +1772,84 @@ object MarketBars {
             (lit(2.0 * k) * col("sd")), 6)).as("pct_b"))
   }
 
+  /** Return-moment term structure (aggregational Gaussianity): mean /
+    * variance / skew / kurtosis of h-bar returns at several horizons —
+    * the stylized-fact panel showing fat tails washing out as h grows,
+    * the moment companion to [[volCone]]'s dispersion view and q197's
+    * signature plot.
+    *
+    * Determinism: 1-bar returns snap to exact 1e-8 longs and h-bar
+    * returns are exact long window sums. Raw-power moments of those
+    * magnitudes overflow every fixed-point range on a jumpy series
+    * (x⁴ reaches 1e25), so the op STANDARDIZES first: mean/variance
+    * come from the exact (n, Σx, Σx²) decimal pass, each observation
+    * becomes z = (x − μ)/σ in one identical double op order, and
+    * skew = mean(z³) / kurt = mean(z⁴) − 3 fold from 12dp-rounded
+    * z-power terms DECIMAL-summed (z is O(1..10), so the powers stay
+    * tame and order-free).
+    *
+    * Scale: one checkpointed return relation serves every horizon
+    * (one per-series sort); the per-group stats are a tiny broadcast
+    * back; both passes are map-side-combined aggregates. */
+  def horizonMoments(
+      bars: DataFrame,
+      horizons: Seq[Int] = Seq(1, 6, 24)): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1), "horizons must be >= 1")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val withR = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .localCheckpoint(eager = false)
+    val perH = horizons.map { h =>
+      val frame = w.rowsBetween(-(h - 1), 0)
+      withR
+        .withColumn("nb", count(col("r8")).over(frame))
+        .withColumn("rh8", sum(col("r8")).over(frame))
+        .filter(col("nb") === h)
+        .select(col("series"), lit(h).as("horizon"), col("rh8"))
+    }
+    val xs = perH.reduce(_.unionByName(_)).localCheckpoint(eager = false)
+    val stats = xs.groupBy(col("series"), col("horizon"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rh8").cast(dec)).as("s1"),
+        sum(col("rh8").cast(dec) * col("rh8").cast(dec)).as("s2"))
+      .withColumn("mu8", dbl(col("s1")) / dbl(col("n")))
+      .withColumn("var8",
+        (dbl(col("n")) * dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1"))) /
+          (dbl(col("n")) * dbl(col("n"))))
+      .withColumn("sd8", sqrt(col("var8")))
+      .select(col("series"), col("horizon"), col("n"), col("mu8"),
+        col("var8"), col("sd8"))
+    val z = (dbl(col("rh8")) - col("mu8")) / col("sd8")
+    xs.join(broadcast(stats), Seq("series", "horizon"))
+      .withColumn("z3",
+        when(col("sd8") > 0, round(z * z * z, 12)
+          .cast(DecimalType(38, 12))))
+      .withColumn("z4",
+        when(col("sd8") > 0, round(z * z * z * z, 12)
+          .cast(DecimalType(38, 12))))
+      .groupBy(col("series"), col("horizon"))
+      .agg(max(col("n")).as("n"),
+        max(col("mu8")).as("mu8"), max(col("var8")).as("var8"),
+        max(col("sd8")).as("sd8"),
+        sum(col("z3")).as("sz3"), sum(col("z4")).as("sz4"))
+      .select(col("series"), col("horizon"), col("n"),
+        round(col("mu8") / lit(1e4), 6).as("mean_bps"),
+        round(col("var8") / lit(1e8), 6).as("var_bps"),
+        when(col("sd8") > 0,
+          round(dbl(col("sz3")) / dbl(col("n")), 6)).as("skewness"),
+        when(col("sd8") > 0,
+          round(dbl(col("sz4")) / dbl(col("n")) - lit(3.0), 6))
+          .as("kurtosis"))
+  }
+
   /** Up/down streak census: consecutive same-direction closes
     * collapse to runs (the gaps-and-islands trick on the Δclose
     * sign), reported per (series, direction) as run count, longest

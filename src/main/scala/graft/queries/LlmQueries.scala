@@ -728,6 +728,39 @@ object LlmQueries {
     "q249_vocab_overlap" -> ((s, dir) => {
       CorpusOps.vocabOverlap(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // RAKE keyphrase extraction (CorpusOps.rakeKeywords): stopword-
+    // break candidates, degree/frequency word scores, top-20 phrases
+    "q251_rake_keywords" -> ((s, dir) => {
+      CorpusOps.rakeKeywords(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("rank"))
+    }),
+
+    // Quality-vs-length bias audit: mean q21 quality score by token-
+    // count bucket (q115 equal-width binning) — does the scorer just
+    // reward length?
+    "q252_quality_length_bias" -> ((s, dir) => {
+      val stats = TextOps.textStats(Tables.rebalance(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      val st = stats.agg(min(col("n_tokens")).as("lo"),
+        max(col("n_tokens")).as("hi"))
+      stats.crossJoin(broadcast(st))
+        .withColumn("w", (col("hi") - col("lo")).cast("double") / lit(10.0))
+        .withColumn("bucket",
+          when(col("w") > 0,
+            least(lit(9), floor((col("n_tokens") - col("lo")) / col("w"))
+              .cast("int"))).otherwise(0).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(sum(col("quality_score")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+            .cast(org.apache.spark.sql.types.DoubleType) /
+            count(lit(1)).cast(org.apache.spark.sql.types.DoubleType), 6)
+            .as("mean_quality"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -2627,6 +2660,86 @@ object LlmQueries {
           FROM i
           JOIN sz sa ON i.source_a = sa.source
           JOIN sz sb ON i.source_b = sb.source
-          ORDER BY source_a, source_b"""
+          ORDER BY source_a, source_b""",
+
+    // RAKE twin: same stopword islands, same scaled-long word scores,
+    // same (score desc, phrase) cut
+    "q251_rake_keywords" -> {
+      s"""WITH $toksCte,
+          tk AS (SELECT doc_id, CAST(i-1 AS INTEGER) AS pos,
+                   toks[i] AS term
+                 FROM d, unnest(generate_series(1, len(toks))) AS g(i)),
+          ts AS (SELECT doc_id, pos, term,
+                   term IN ${inList(TextOps.Stopwords)} AS is_stop
+                 FROM tk),
+          gi AS (SELECT doc_id, pos, term, is_stop,
+                   SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER
+                     (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS grp
+                 FROM ts),
+          ph AS (SELECT doc_id, grp,
+                   string_agg(term, ' ' ORDER BY pos) AS phrase,
+                   count(*) AS plen
+                 FROM gi WHERE NOT is_stop AND term <> ''
+                 GROUP BY 1, 2),
+          wd AS (SELECT term, count(*) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS degree
+                 FROM (SELECT unnest(string_split(phrase, ' ')) AS term,
+                         plen FROM ph)
+                 GROUP BY 1),
+          ws AS (SELECT term,
+                   CAST(floor(CAST(degree AS DOUBLE) * 1e6
+                     / CAST(freq AS DOUBLE) + 0.5) AS BIGINT) AS wscore6
+                 FROM wd),
+          dp AS (SELECT phrase, count(*) AS occurrences,
+                   CAST(max(plen) AS INTEGER) AS plen
+                 FROM ph GROUP BY 1),
+          sc AS (SELECT x.phrase, x.occurrences, x.plen,
+                   CAST(SUM(ws.wscore6) AS DOUBLE) / 1e6 AS score
+                 FROM (SELECT phrase, occurrences, plen,
+                         unnest(string_split(phrase, ' ')) AS term
+                       FROM dp) x
+                 JOIN ws USING (term)
+                 GROUP BY 1, 2, 3),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY score DESC, phrase) AS INTEGER) AS rank
+                FROM sc)
+          SELECT rank, phrase, occurrences, plen, score
+          FROM r WHERE rank <= 20 ORDER BY rank"""
+    },
+
+    // bias-audit twin: the q21 quality chain + q115 equal-width
+    // token-count binning, decimal mean of the 4dp scores
+    "q252_quality_length_bias" ->
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                  CAST(len(list_filter(toks,
+                    t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT)
+                    AS n_stop
+                FROM d),
+          q AS (SELECT doc_id, n_tokens,
+                  round(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
+                    + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
+                    + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4)
+                    AS quality_score
+                FROM s),
+          st AS (SELECT min(n_tokens) AS lo, max(n_tokens) AS hi FROM q),
+          b AS (SELECT n_tokens, quality_score,
+                  CAST(hi - lo AS DOUBLE)/10.0 AS w, lo
+                FROM q CROSS JOIN st),
+          k AS (SELECT n_tokens, quality_score,
+                  CASE WHEN w > 0
+                    THEN least(9, CAST(floor((n_tokens - lo)/w)
+                      AS INTEGER))
+                    ELSE 0 END AS bucket
+                FROM b)
+          SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+            min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+            round(CAST(sum(CAST(quality_score AS DECIMAL(28,4)))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+          FROM k GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -1022,6 +1022,14 @@ object MarketQueries {
       MarketBars.archEffect(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"), maxLag = 3)
         .orderBy(col("series"), col("k"))
+    }),
+
+    // Return-moment term structure (MarketBars.horizonMoments):
+    // skew/kurtosis of h-bar returns — fat tails vs aggregation
+    "q250_horizon_moments" -> ((s, dir) => {
+      MarketBars.horizonMoments(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("horizon"))
     })
   )
 
@@ -3133,6 +3141,72 @@ object MarketQueries {
             CASE WHEN vx > 0 AND vy > 0
               THEN round(num / (sqrt(vx)*sqrt(vy)), 6)
                 > 1.96 / sqrt(CAST(n AS DOUBLE)) END AS arch_flag
-          FROM c ORDER BY series, k"""
+          FROM c ORDER BY series, k""",
+
+    // horizon-moment twin: exact long h-bar sums, standardize from
+    // the exact (n, Σx, Σx²) pass, 12dp decimal z-power sums
+    "q250_horizon_moments" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/pc) * 1e8 + 0.5) AS BIGINT) AS r8
+                FROM p WHERE pc IS NOT NULL AND pc > 0),
+          xs AS (
+            SELECT series, 1 AS h, r8 AS rh8 FROM r
+            UNION ALL
+            SELECT series, 6, rh8 FROM (
+              SELECT series, count(*) OVER fr6 AS nb,
+                SUM(r8) OVER fr6 AS rh8
+              FROM r
+              WINDOW fr6 AS (PARTITION BY series ORDER BY bar_ts
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) WHERE nb = 6
+            UNION ALL
+            SELECT series, 24, rh8 FROM (
+              SELECT series, count(*) OVER fr24 AS nb,
+                SUM(r8) OVER fr24 AS rh8
+              FROM r
+              WINDOW fr24 AS (PARTITION BY series ORDER BY bar_ts
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) WHERE nb = 24),
+          st AS (SELECT series, h, count(*) AS n,
+                  SUM(CAST(rh8 AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(rh8 AS DECIMAL(38,0))
+                    * CAST(rh8 AS DECIMAL(38,0))) AS s2
+                FROM xs GROUP BY 1, 2),
+          sm AS (SELECT series, h, n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu8,
+                  (CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS var8
+                FROM st),
+          sm2 AS (SELECT *, sqrt(var8) AS sd8 FROM sm),
+          zt AS (SELECT xs.series, xs.h, sm2.n, sm2.mu8, sm2.var8,
+                   sm2.sd8,
+                   CASE WHEN sm2.sd8 > 0 THEN
+                     CAST(round(
+                       ((CAST(rh8 AS DOUBLE) - mu8)/sd8)
+                       * ((CAST(rh8 AS DOUBLE) - mu8)/sd8)
+                       * ((CAST(rh8 AS DOUBLE) - mu8)/sd8), 12)
+                       AS DECIMAL(38,12)) END AS z3,
+                   CASE WHEN sm2.sd8 > 0 THEN
+                     CAST(round(
+                       ((CAST(rh8 AS DOUBLE) - mu8)/sd8)
+                       * ((CAST(rh8 AS DOUBLE) - mu8)/sd8)
+                       * ((CAST(rh8 AS DOUBLE) - mu8)/sd8)
+                       * ((CAST(rh8 AS DOUBLE) - mu8)/sd8), 12)
+                       AS DECIMAL(38,12)) END AS z4
+                 FROM xs JOIN sm2 USING (series, h))
+          SELECT series, CAST(h AS INTEGER) AS horizon,
+            CAST(max(n) AS BIGINT) AS n,
+            round(max(mu8) / 1e4, 6) AS mean_bps,
+            round(max(var8) / 1e8, 6) AS var_bps,
+            CASE WHEN max(sd8) > 0 THEN
+              round(CAST(SUM(z3) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+              END AS skewness,
+            CASE WHEN max(sd8) > 0 THEN
+              round(CAST(SUM(z4) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                - 3.0, 6) END AS kurtosis
+          FROM zt GROUP BY 1, 2 ORDER BY series, horizon"""
   )
 }
