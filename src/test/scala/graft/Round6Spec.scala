@@ -423,6 +423,55 @@ class Round6Spec extends AnyFunSuite {
       CorpusOps.vocabOverlap(docs.repartition(17)))
   }
 
+  test("horizonMoments: constant-ratio closes null the shape moments") {
+    import spark.implicits._
+    val bars = (1 to 30).map(i =>
+      ("A", ts(f"2024-01-01 ${9 + i / 12}%02d:${(i * 5) % 60}%02d:00"),
+        10.0 * math.pow(1.02, i)))
+      .toDF("series", "bar_ts", "close")
+    val out = MarketBars.horizonMoments(bars).orderBy(col("horizon")).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getDouble(4) === 0.0, "identical returns -> zero variance")
+      assert(r.isNullAt(5) && r.isNullAt(6), "sd=0 -> no shape moments")
+    }
+    // 1-bar mean: ln(1.02)*1e8 snapped, /1e4 -> ~198.0263 bps
+    assert(out(0).getDouble(3) === math.floor(math.log(1.02) * 1e8 + 0.5) / 1e4)
+  }
+
+  test("rakeKeywords: degree/frequency scoring on the textbook example") {
+    import spark.implicits._
+    // "deep learning" run broken by the stopword 'of'
+    val docs = Seq(
+      (1L, "deep learning of deep networks"),
+      (2L, "deep learning"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.rakeKeywords(docs, topK = 5)
+      .orderBy(col("rank")).collect()
+    // candidates: "deep learning" (x2), "deep networks" (x1)
+    // freq(deep)=3, degree(deep)=6 -> 2.0; learning: 2/2*2=2.0;
+    // networks: 2/1... freq(networks)=1, degree=2 -> 2.0
+    // both phrases score 4.0 -> lexical tie-break
+    val byPhrase = out.map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(byPhrase("deep learning") === 4.0)
+    assert(byPhrase("deep networks") === 4.0)
+    assert(out(0).getString(1) === "deep learning", "lexical tie-break")
+    assert(out.find(_.getString(1) == "deep learning").get.getLong(2) === 2L,
+      "occurrence count")
+  }
+
+  test("batch-G ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.horizonMoments(bars3), MarketBars.horizonMoments(bars17))
+    val docs = Tables.documents(spark, sf)
+    same(CorpusOps.rakeKeywords(docs.repartition(3)),
+      CorpusOps.rakeKeywords(docs.repartition(17)))
+  }
+
   test("q249 plan: pair join runs on the distinct vocab relation, no window") {
     val df = CorpusOps.vocabOverlap(Tables.documents(spark, sf))
     df.collect()
