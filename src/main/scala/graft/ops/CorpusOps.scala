@@ -1453,6 +1453,51 @@ object CorpusOps {
           dbl(col("va") + col("vb") - col("n_inter")), 6).as("jaccard"))
   }
 
+  /** Per-source Zipf slope: the OLS slope of ln(freq) on ln(rank)
+    * over the source's term-frequency ranking — healthy natural text
+    * sits near −1; templated/generated text flattens (vocabulary too
+    * even) or steepens (a few tokens dominate). The per-source
+    * vocabulary-health scalar next to the corpus-level CDF (q86) and
+    * Heaps growth (q171).
+    *
+    * Determinism: ranks are exact row_numbers over (freq desc, term),
+    * both ln() inputs are exact integers (q92 bit-identity), each
+    * product term rounds 12dp and DECIMAL-sums, and the slope forms
+    * in the q121 double op order, rounded 6dp.
+    *
+    * Scale: one tokenize pass into the (source, term) aggregate; the
+    * rank window and the regression both run on vocabulary-sized
+    * relations (q39 rule). */
+  def zipfSlope(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tf").desc, col("term"))
+    val ranked = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("source"),
+        log(dbl(col("rnk"))).as("x"), log(dbl(col("tf"))).as("y"))
+    ranked
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 12).cast(dec12)).as("sx"),
+        sum(round(col("y"), 12).cast(dec12)).as("sy"),
+        sum(round(col("x") * col("y"), 12).cast(dec12)).as("sxy"),
+        sum(round(col("x") * col("x"), 12).cast(dec12)).as("sxx"))
+      .select(col("source"), col("n"),
+        round((dbl(col("n")) * dbl(col("sxy")) -
+          dbl(col("sx")) * dbl(col("sy"))) /
+          (dbl(col("n")) * dbl(col("sxx")) -
+            dbl(col("sx")) * dbl(col("sx"))), 6).as("zipf_slope"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases
     * are maximal stopword-free token runs; each word scores
     * degree/frequency over the candidate set (degree = Σ length of

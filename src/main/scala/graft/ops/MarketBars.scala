@@ -1850,6 +1850,93 @@ object MarketBars {
           .as("kurtosis"))
   }
 
+  /** Hour-of-day volatility profile: population σ of 1-bar returns
+    * per (series, hour) — the intraday vol smile (open/close hours
+    * run hot, lunch runs cold), the dispersion companion to q162's
+    * level/volume profile and the session-clock input to execution
+    * scheduling.
+    *
+    * Determinism: exact 1e-8 return longs, decimal (n, Σr, Σr²), the
+    * q139 double op order, 8dp round at emission.
+    *
+    * Scale: one per-series lag window then a map-side-combined
+    * (series, hour) rollup — 24·|series| rows out. */
+  def hourlyVolProfile(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .groupBy(col("series"), hour(col("bar_ts")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("s2"))
+      .filter(col("n") > 1)
+      .select(col("series"), col("hod"), col("n"),
+        round(sqrt((dbl(col("n")) * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) /
+          (dbl(col("n")) * dbl(col("n")))) / lit(1e8), 8).as("vol"))
+  }
+
+  /** Tail-event clustering: per series, the count of |return| > k·σ
+    * bars and the LONGEST consecutive run of them — extreme moves
+    * clumping into bursts is the q248 ARCH story told in events
+    * rather than correlations (a long run under clustering vs ~never
+    * under independence).
+    *
+    * Determinism: σ comes from the exact global decimal pass, the
+    * exceedance compare is |r8| > k·σ8 on one identical double, and
+    * the run lengths are integer islands.
+    *
+    * Scale: two passes over the return relation (σ broadcast back),
+    * islands in one per-series window, |series| rows out. */
+  def tailClustering(bars: DataFrame, k: Double = 3.0): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val withR = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .localCheckpoint(eager = false)
+    val sigma = withR.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_rets"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("s2"))
+      .withColumn("sd8",
+        sqrt((dbl(col("n_rets")) * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) /
+          (dbl(col("n_rets")) * dbl(col("n_rets")))))
+      .select(col("series"), col("n_rets"), col("sd8"))
+    val flagged = withR.join(broadcast(sigma), "series")
+      .withColumn("is_tail", abs(dbl(col("r8"))) > lit(k) * col("sd8"))
+      .withColumn("brk",
+        when(lag(col("is_tail"), 1).over(w).isNull ||
+          col("is_tail") =!= lag(col("is_tail"), 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(run))
+    flagged
+      .filter(col("is_tail"))
+      .groupBy(col("series"), col("n_rets"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("series"), col("n_rets"))
+      .agg(sum(col("len")).as("n_tail"),
+        max(col("len")).as("max_run"))
+      .select(col("series"), col("n_rets"), col("n_tail"), col("max_run"),
+        round(dbl(col("n_tail")) / dbl(col("n_rets")), 6).as("tail_share"))
+  }
+
   /** Up/down streak census: consecutive same-direction closes
     * collapse to runs (the gaps-and-islands trick on the Δclose
     * sign), reported per (series, direction) as run count, longest

@@ -1456,6 +1456,52 @@ object CoreQueries {
           round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Shipping backlog path: daily items entering (by order date) vs
+    // leaving (by ship date), cumulated — the open-pipeline inventory
+    // curve. Both fact scans pre-shrink to daily counts before the
+    // full-outer day align; cumulative windows run on the tiny daily
+    // relation (q39 rule), all integers
+    "q255_backlog" -> ((s, dir) => {
+      val ordered = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_in"))
+      val shipped = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("n_out"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordered.join(shipped, Seq("d"), "full_outer")
+        .na.fill(0L, Seq("n_in", "n_out"))
+        .withColumn("cum_in", sum(col("n_in")).over(w))
+        .withColumn("cum_out", sum(col("n_out")).over(w))
+        .select(col("d"), col("n_in"), col("n_out"),
+          (col("cum_in") - col("cum_out")).as("backlog"))
+        .orderBy(col("d"))
+    }),
+
+    // Customer lifetime-value deciles: exact decimal LTV per customer,
+    // ntile(10) over the (ltv desc, custkey) total order (identical
+    // bucket arithmetic in both engines), per-decile rollup
+    "q256_ltv_deciles" -> ((s, dir) => {
+      val ltv = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(28, 6))).as("ltv"))
+      val tot = ltv.agg(sum(col("ltv")).as("t"))
+      val w = Window.orderBy(col("ltv").desc, col("o_custkey"))
+      ltv
+        .withColumn("decile", ntile(10).over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("n_orders")).as("n_orders"),
+          round(sum(col("ltv")), 2).cast(DoubleType).as("decile_value"),
+          round(sum(col("ltv")).cast(DoubleType) /
+            max(col("t")).cast(DoubleType), 6).as("value_share"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -2868,6 +2914,45 @@ object CoreQueries {
            round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
            round(quantile_cont(o_totalprice, 0.9), 4) AS p90
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY c_mktsegment"""
+         GROUP BY 1 ORDER BY c_mktsegment""",
+
+    // backlog twin: same daily pre-shrink, full-outer day align,
+    // integer cumulative windows
+    "q255_backlog" ->
+      """WITH oi AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                       count(*) AS n_in
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     GROUP BY 1),
+          so AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_out
+                 FROM lineitem GROUP BY 1),
+          a AS (SELECT COALESCE(oi.d, so.d) AS d,
+                  COALESCE(n_in, 0) AS n_in,
+                  COALESCE(n_out, 0) AS n_out
+                FROM oi FULL OUTER JOIN so ON oi.d = so.d)
+          SELECT d, n_in, n_out,
+            CAST(SUM(n_in) OVER cw - SUM(n_out) OVER cw AS BIGINT)
+              AS backlog
+          FROM a
+          WINDOW cw AS (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY d""",
+
+    // LTV-decile twin: identical ntile bucket arithmetic over the
+    // same total order, decimal-exact rollups
+    "q256_ltv_deciles" ->
+      """WITH ltv AS (
+           SELECT o_custkey, count(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS ltv
+           FROM orders GROUP BY 1),
+          t AS (SELECT SUM(ltv) AS tv FROM ltv),
+          d AS (SELECT o_custkey, n_orders, ltv,
+                  ntile(10) OVER (ORDER BY ltv DESC, o_custkey) AS decile
+                FROM ltv)
+          SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_cust,
+            CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+            CAST(round(SUM(ltv), 2) AS DOUBLE) AS decile_value,
+            round(CAST(SUM(ltv) AS DOUBLE)
+              / CAST((SELECT tv FROM t) AS DOUBLE), 6) AS value_share
+          FROM d GROUP BY 1 ORDER BY decile"""
   )
 }

@@ -737,6 +737,13 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // Per-source Zipf slope (CorpusOps.zipfSlope): ln-ln OLS over the
+    // term-frequency ranking — vocabulary health in one scalar
+    "q257_zipf_slope" -> ((s, dir) => {
+      CorpusOps.zipfSlope(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
+    }),
+
     // Quality-vs-length bias audit: mean q21 quality score by token-
     // count bucket (q115 equal-width binning) — does the scorer just
     // reward length?
@@ -2740,6 +2747,35 @@ object LlmQueries {
             min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
             round(CAST(sum(CAST(quality_score AS DECIMAL(28,4)))
               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_quality
-          FROM k GROUP BY 1 ORDER BY bucket"""
+          FROM k GROUP BY 1 ORDER BY bucket""",
+
+    // Zipf-slope twin: same exact ranks, 12dp decimal ln-product
+    // sums, q121 slope op order
+    "q257_zipf_slope" ->
+      """WITH d AS (SELECT source,
+                      regexp_split_to_array(trim(text), ' +') AS toks
+                    FROM documents),
+          tf AS (SELECT source, term, count(*) AS tf
+                 FROM (SELECT source, unnest(toks) AS term FROM d)
+                 GROUP BY 1, 2),
+          rk AS (SELECT source,
+                   ln(CAST(row_number() OVER
+                     (PARTITION BY source ORDER BY tf DESC, term)
+                     AS DOUBLE)) AS x,
+                   ln(CAST(tf AS DOUBLE)) AS y
+                 FROM tf),
+          m AS (SELECT source, count(*) AS n,
+                  SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
+                  SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS sy,
+                  SUM(CAST(round(x*y, 12) AS DECIMAL(38,12))) AS sxy,
+                  SUM(CAST(round(x*x, 12) AS DECIMAL(38,12))) AS sxx
+                FROM rk GROUP BY 1)
+          SELECT source, n,
+            round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+              AS zipf_slope
+          FROM m ORDER BY source"""
   )
 }

@@ -1030,6 +1030,22 @@ object MarketQueries {
       MarketBars.horizonMoments(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"), col("horizon"))
+    }),
+
+    // Hour-of-day volatility profile (MarketBars.hourlyVolProfile):
+    // the intraday vol smile next to q162's level profile
+    "q253_hourly_vol" -> ((s, dir) => {
+      MarketBars.hourlyVolProfile(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("hod"))
+    }),
+
+    // Tail-event clustering (MarketBars.tailClustering): |r| > 3σ
+    // burst census — the q248 ARCH story told in events
+    "q254_tail_clustering" -> ((s, dir) => {
+      MarketBars.tailClustering(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -3207,6 +3223,69 @@ object MarketQueries {
             CASE WHEN max(sd8) > 0 THEN
               round(CAST(SUM(z4) AS DOUBLE) / CAST(max(n) AS DOUBLE)
                 - 3.0, 6) END AS kurtosis
-          FROM zt GROUP BY 1, 2 ORDER BY series, horizon"""
+          FROM zt GROUP BY 1, 2 ORDER BY series, horizon""",
+
+    // hourly-vol twin: same return snap, q139 sigma op order
+    "q253_hourly_vol" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/pc) * 1e8 + 0.5) AS BIGINT) AS r8
+                FROM p WHERE pc IS NOT NULL AND pc > 0)
+          SELECT series, CAST(hour(bar_ts) AS INTEGER) AS hod,
+            count(*) AS n,
+            round(sqrt((CAST(count(*) AS DOUBLE)
+              * CAST(SUM(CAST(r8 AS DECIMAL(38,0))
+                * CAST(r8 AS DECIMAL(38,0))) AS DOUBLE)
+              - CAST(SUM(CAST(r8 AS DECIMAL(38,0))) AS DOUBLE)
+              * CAST(SUM(CAST(r8 AS DECIMAL(38,0))) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)))
+              / 1e8, 8) AS vol
+          FROM r GROUP BY 1, 2 HAVING count(*) > 1
+          ORDER BY series, hod""",
+
+    // tail-clustering twin: same broadcast sigma, same integer
+    // islands over the exceedance flags
+    "q254_tail_clustering" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/pc) * 1e8 + 0.5) AS BIGINT) AS r8
+                FROM p WHERE pc IS NOT NULL AND pc > 0),
+          sg AS (SELECT series, count(*) AS n_rets,
+                   sqrt((CAST(count(*) AS DOUBLE)
+                     * CAST(SUM(CAST(r8 AS DECIMAL(38,0))
+                       * CAST(r8 AS DECIMAL(38,0))) AS DOUBLE)
+                     - CAST(SUM(CAST(r8 AS DECIMAL(38,0))) AS DOUBLE)
+                     * CAST(SUM(CAST(r8 AS DECIMAL(38,0))) AS DOUBLE))
+                     / (CAST(count(*) AS DOUBLE)
+                       * CAST(count(*) AS DOUBLE))) AS sd8
+                 FROM r GROUP BY 1),
+          f AS (SELECT r.series, r.bar_ts, sg.n_rets,
+                  abs(CAST(r8 AS DOUBLE)) > 3.0 * sg.sd8 AS is_tail
+                FROM r JOIN sg ON r.series = sg.series),
+          b AS (SELECT series, bar_ts, n_rets, is_tail,
+                  CASE WHEN lag(is_tail) OVER w IS NULL
+                    OR is_tail <> lag(is_tail) OVER w THEN 1 ELSE 0 END
+                    AS brk
+                FROM f
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          g AS (SELECT series, bar_ts, n_rets, is_tail,
+                  SUM(brk) OVER (PARTITION BY series ORDER BY bar_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS grp
+                FROM b),
+          runs AS (SELECT series, n_rets, grp, count(*) AS len
+                   FROM g WHERE is_tail GROUP BY 1, 2, 3)
+          SELECT series, n_rets,
+            CAST(SUM(len) AS BIGINT) AS n_tail,
+            CAST(max(len) AS BIGINT) AS max_run,
+            round(CAST(SUM(len) AS DOUBLE) / CAST(n_rets AS DOUBLE), 6)
+              AS tail_share
+          FROM runs GROUP BY 1, 2 ORDER BY series"""
   )
 }
