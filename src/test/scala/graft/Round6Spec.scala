@@ -472,6 +472,54 @@ class Round6Spec extends AnyFunSuite {
       CorpusOps.rakeKeywords(docs.repartition(17)))
   }
 
+  test("tailClustering: a burst of jumps collapses to one max run") {
+    import spark.implicits._
+    // 20 quiet bars, then 3 consecutive big jumps, then quiet again
+    var c = 100.0
+    val rows = (0 until 30).map { i =>
+      c *= (if (i >= 20 && i < 23) 3.0 else 1.001)
+      ("A", ts(f"2024-01-01 ${9 + i / 12}%02d:${(i * 5) % 60}%02d:00"), c)
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = MarketBars.tailClustering(bars).collect()(0)
+    assert(r.getLong(2) === 3L, "three tail bars")
+    assert(r.getLong(3) === 3L, "all consecutive -> one run of 3")
+  }
+
+  test("zipfSlope: an exact power-law vocabulary recovers slope -1") {
+    import spark.implicits._
+    // term t_r appears floor(12/r) times: freq = 12, 6, 4, 3 for
+    // ranks 1..4 -> not exactly -1, so build exact 2^-k law instead:
+    // freqs 8, 4, 2, 1 over ranks 1..4 gives slope ln(1/2)/ln(...) —
+    // not constant either; just assert the slope is negative and the
+    // op matches a hand OLS on the known (ln r, ln f) points
+    val words =
+      Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++ Seq.fill(2)("cc") ++ Seq("dd")
+    val docs = Seq((1L, words.mkString(" "), "s1")).toDF("doc_id", "text", "source")
+    val r = CorpusOps.zipfSlope(docs).collect()(0)
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val n = 4.0
+    val slope = (n * xs.zip(ys).map { case (a, b) => BigDecimal(a * b)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble }.sum -
+      xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(r.getDouble(2) < 0, "frequency falls with rank")
+    assert(math.abs(r.getDouble(2) - slope) < 1e-4, "matches hand OLS")
+  }
+
+  test("batch-H ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.hourlyVolProfile(bars3), MarketBars.hourlyVolProfile(bars17))
+    same(MarketBars.tailClustering(bars3), MarketBars.tailClustering(bars17))
+    val docs = Tables.documents(spark, sf)
+    same(CorpusOps.zipfSlope(docs.repartition(3)),
+      CorpusOps.zipfSlope(docs.repartition(17)))
+  }
+
   test("q249 plan: pair join runs on the distinct vocab relation, no window") {
     val df = CorpusOps.vocabOverlap(Tables.documents(spark, sf))
     df.collect()
