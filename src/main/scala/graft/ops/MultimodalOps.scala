@@ -335,20 +335,79 @@ object MultimodalOps {
     Some(bits)
   }
 
+  /** 64-bit difference-hash (dHash): an 8×9 luma grid where bit
+    * (y, x) = cell(y, x) brighter than its RIGHT neighbor — gradient
+    * signs instead of [[aHash64]]'s absolute-vs-mean levels, which
+    * makes it INVARIANT under any global brightness shift (every cell
+    * moves together, the inequalities don't). The cell compare is
+    * cross-multiplied (sumA·cntB > sumB·cntA) — pure integer, no
+    * division anywhere. Same BMP guards as aHash. */
+  private[graft] def dHash64(p: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val off = le32(10)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (bpp != 24 || compression != 0 || w < 9 || h == 0 || off < 54) return None
+    val height = math.abs(h)
+    if (height < 8) return None
+    val bottomUp = h > 0
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off.toLong + rowSize.toLong * height > p.length) return None
+    val sum = new Array[Long](72) // 8 rows x 9 cols
+    val cnt = new Array[Long](72)
+    var y = 0
+    while (y < height) {
+      val row = off + (if (bottomUp) height - 1 - y else y) * rowSize
+      val cy = (y.toLong * 8 / height).toInt
+      var x = 0
+      while (x < w) {
+        val b = u8(row + x * 3); val g = u8(row + x * 3 + 1); val r = u8(row + x * 3 + 2)
+        val cell = cy * 9 + (x.toLong * 9 / w).toInt
+        sum(cell) += (299 * r + 587 * g + 114 * b) / 1000
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        val a = yy * 9 + xx
+        val bI = a + 1
+        // mean(a) > mean(b)  ⇔  sumA·cntB > sumB·cntA (exact)
+        if (sum(a) * cnt(bI) > sum(bI) * cnt(a))
+          bits |= (1L << (yy * 8 + xx))
+        xx += 1
+      }
+      yy += 1
+    }
+    Some(bits)
+  }
+
   /** Perceptual hashes for a distributed image collection — batched
-    * [[aHash64]] inside `mapPartitions` (same shape as
+    * [[aHash64]] + [[dHash64]] inside `mapPartitions` (same shape as
     * [[decodeImages]]: decode stays on the executors, pipelined with
     * the scan). Payloads that aren't decodable BMPs drop out; feed
-    * the result to [[graft.ops.DedupOps.hammingNearDups]] for the
-    * image near-dup pass. */
+    * either column to [[graft.ops.DedupOps.hammingNearDups]] —
+    * ahash catches level copies, dhash survives brightness edits. */
   def imageHashes(assets: Dataset[MediaAsset]): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { iter =>
       iter.grouped(DecodeBatchSize).flatMap { batch =>
-        batch.iterator.flatMap(a => aHash64(a.payload).map(hh => (a.asset_id, hh)))
+        batch.iterator.flatMap { a =>
+          for (ah <- aHash64(a.payload); dh <- dHash64(a.payload))
+            yield (a.asset_id, ah, dh)
+        }
       }
-    }.toDF("asset_id", "ahash")
+    }.toDF("asset_id", "ahash", "dhash")
   }
 
   private[graft] def resizeBmpNN(

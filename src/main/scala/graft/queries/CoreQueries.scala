@@ -1502,6 +1502,24 @@ object CoreQueries {
           round(sum(col("ltv")).cast(DoubleType) /
             max(col("t")).cast(DoubleType), 6).as("value_share"))
         .orderBy(col("decile"))
+    }),
+
+    // Top-3 parts per supplier WITH ties (dense_rank, not row_number —
+    // equal revenues share a rank and ALL survive the cut): the
+    // ties-semantics window shape q36's rank inventory doesn't cover;
+    // revenue compares on the exact DECIMAL so ties are real ties
+    "q258_top_parts_with_ties" -> ((s, dir) => {
+      val wd = Window.partitionBy(col("l_suppkey")).orderBy(col("rd").desc)
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") <= 20)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 6))).as("rd"))
+        .withColumn("rnk", dense_rank().over(wd))
+        .filter(col("rnk") <= 3)
+        .select(col("l_suppkey"), col("rnk"), col("l_partkey"),
+          round(col("rd"), 2).cast(DoubleType).as("revenue"))
+        .orderBy(col("l_suppkey"), col("rnk"), col("l_partkey"))
     })
   )
 
@@ -2953,6 +2971,23 @@ object CoreQueries {
             CAST(round(SUM(ltv), 2) AS DOUBLE) AS decile_value,
             round(CAST(SUM(ltv) AS DOUBLE)
               / CAST((SELECT tv FROM t) AS DOUBLE), 6) AS value_share
-          FROM d GROUP BY 1 ORDER BY decile"""
+          FROM d GROUP BY 1 ORDER BY decile""",
+
+    // ties twin: dense_rank over the exact decimal revenue
+    "q258_top_parts_with_ties" ->
+      """WITH r AS (
+           SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_extendedprice*(1.0 - l_discount)
+               AS DECIMAL(28,6))) AS rd
+           FROM lineitem WHERE l_suppkey <= 20
+           GROUP BY 1, 2),
+          k AS (SELECT *, CAST(dense_rank() OVER
+                  (PARTITION BY l_suppkey ORDER BY rd DESC)
+                  AS INTEGER) AS rnk
+                FROM r)
+          SELECT l_suppkey, rnk, l_partkey,
+            CAST(round(rd, 2) AS DOUBLE) AS revenue
+          FROM k WHERE rnk <= 3
+          ORDER BY l_suppkey, rnk, l_partkey"""
   )
 }

@@ -520,6 +520,36 @@ class Round6Spec extends AnyFunSuite {
       CorpusOps.zipfSlope(docs.repartition(17)))
   }
 
+  test("dHash64: invariant under a global brightness shift where aHash flips") {
+    import graft.ops.MultimodalOps
+    def bmp24(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowSize * h
+      val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      b.putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- h - 1 to 0 by -1) {
+        for (x <- 0 until w) {
+          val (r, g, bl) = rgb(x, y)
+          b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        }
+        for (_ <- 0 until rowSize - w * 3) b.put(0.toByte)
+      }
+      b.array()
+    }
+    def grad(x: Int, y: Int): (Int, Int, Int) = { val v = x * 200 / 17; (v, v, v) }
+    val base = bmp24(18, 16, grad)
+    val brighter = bmp24(18, 16, (x, y) => {
+      val (r, g, b) = grad(x, y); (r + 55, g + 55, b + 55)
+    })
+    // gradient signs survive the shift bit-for-bit
+    assert(MultimodalOps.dHash64(base) === MultimodalOps.dHash64(brighter))
+    assert(MultimodalOps.dHash64(base).isDefined)
+    // determinism + junk guard
+    assert(MultimodalOps.dHash64("not a bmp".getBytes) === None)
+  }
+
   test("q249 plan: pair join runs on the distinct vocab relation, no window") {
     val df = CorpusOps.vocabOverlap(Tables.documents(spark, sf))
     df.collect()
