@@ -1850,6 +1850,69 @@ object MarketBars {
           .as("kurtosis"))
   }
 
+  /** Lead-lag matrix: for every series pair (a < b), the lag k ∈
+    * [−maxLag, maxLag] maximizing |corr(a_t, b_{t+k})| over the
+    * bar-ts-aligned closes — WHO MOVES FIRST, generalized from the
+    * single-pair CCF (q122) to the full book. NEGATIVE best_k means
+    * the first series leads (its present matches the second's
+    * future); positive means it follows.
+    *
+    * Determinism: closes snap to exact 1e-6 longs, every lagged pair
+    * relation folds DECIMAL-exact moments, r forms in the q122 op
+    * order and rounds 6dp, and the argmax cuts on (|r| desc, k) over
+    * the ROUNDED r.
+    *
+    * Scale: ONE bar-ts self-join aligns all pairs (|series|² fan-out
+    * per timestamp — series count is small and fixed), then
+    * (2·maxLag+1) lag columns from one per-pair sort; each (pair, k)
+    * row is a map-side-combined aggregate. */
+  def leadLagMatrix(bars: DataFrame, maxLag: Int = 2): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val a = bars.select(col("series").as("sa"), col("bar_ts"),
+      floor(col("close") * lit(1e6) + lit(0.5)).cast("long").as("x6"))
+    val b = bars.select(col("series").as("sb"), col("bar_ts"),
+      floor(col("close") * lit(1e6) + lit(0.5)).cast("long").as("y6"))
+    val aligned = a.join(b, Seq("bar_ts"))
+      .filter(col("sa") < col("sb"))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("bar_ts"))
+    val lagged = (-maxLag to maxLag).map { k =>
+      val yk = if (k >= 0) lag(col("y6"), k).over(w)
+      else lead(col("y6"), -k).over(w)
+      aligned
+        .withColumn("yk", yk)
+        .filter(col("yk").isNotNull)
+        .select(col("sa"), col("sb"), lit(k).as("k"),
+          col("x6").as("x"), col("yk").as("y"))
+    }
+    val m = lagged.reduce(_.unionByName(_))
+      .groupBy(col("sa"), col("sb"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      .withColumn("num",
+        dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+      .withColumn("vx",
+        dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .withColumn("vy",
+        dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+      .withColumn("r",
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("num") / (sqrt(col("vx")) * sqrt(col("vy"))), 6)))
+    val pick = Window.partitionBy(col("sa"), col("sb"))
+      .orderBy(abs(col("r")).desc, col("k"))
+    m.filter(col("r").isNotNull)
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("sa"), col("sb"), col("k").as("best_k"), col("n"),
+        col("r").as("r_best"))
+  }
+
   /** Hour-of-day volatility profile: population σ of 1-bar returns
     * per (series, hour) — the intraday vol smile (open/close hours
     * run hot, lunch runs cold), the dispersion companion to q162's

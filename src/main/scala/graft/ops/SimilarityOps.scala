@@ -744,4 +744,88 @@ object SimilarityOps {
         round(dbl(col("ss")) / dbl(col("n")), 6).as("mean_score"),
         round(dbl(col("n_pos")) / dbl(col("n")), 6).as("pos_rate"))
   }
+  /** Top-component PCA variance audit via the exact Gram matrix: one
+    * pass folds the d×d second-moment matrix of the CENTERED
+    * embeddings (order-free 12dp decimal sums), the driver runs a
+    * FIXED-iteration power method (deterministic ones-vector init, no
+    * RNG) with one deflation step, and the output is a single row:
+    * how much variance the top and second components carry — the
+    * "are these embeddings basically rank-1" audit next to isotropy
+    * (q226) and per-dim stats (q187).
+    *
+    * The collect is the bounded-state exception (like the k-means
+    * objective): d(d+1)/2 cells — a function of the DIMENSION, never
+    * of the corpus. Everything corpus-sized stays distributed.
+    *
+    * Not SQL-expressible (iterative eigensolve) → rows-only gate +
+    * hand-computed spec cases. */
+  def pcaTopVariance(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      iters: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val n = emb.count()
+    require(n > 1, "need at least two vectors")
+    // per-dim means (exact decimal), broadcast back for centering
+    val means = emb
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((sum(dbl(col("x")).cast(DecimalType(38, 12)))
+        .cast(DoubleType) / lit(n.toDouble)).as("mu"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val d = means.length
+    val bMu = spark.sparkContext.broadcast(means)
+    import spark.implicits._
+    // exact Gram cells: sum over vectors of round(ci*cj, 12), i <= j
+    val cells = emb
+      .select(transform(col(vecCol), x => dbl(x)).as("v"))
+      .as[Seq[Double]]
+      .flatMap { v =>
+        val mu = bMu.value
+        val c = Array.tabulate(v.length)(i => v(i) - mu(i))
+        for (i <- 0 until c.length; j <- i until c.length)
+          yield (i, j, BigDecimal(c(i) * c(j))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("i", "j", "p")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast(DecimalType(38, 12))).cast(DoubleType).as("s"))
+      .collect()
+    val g = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      g(i)(j) = s / (n - 1.0); g(j)(i) = s / (n - 1.0)
+    }
+    def mul(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((acc, j) => acc + m(i)(j) * v(j)))
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    def power(m: Array[Array[Double]]): (Double, Array[Double]) = {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var i = 0
+      while (i < iters) {
+        val nv = mul(m, v); val nn = norm(nv)
+        if (nn > 0) v = nv.map(_ / nn)
+        i += 1
+      }
+      val mv = mul(m, v)
+      ((0 until d).foldLeft(0.0)((acc, k) => acc + v(k) * mv(k)), v)
+    }
+    val (l1, v1) = power(g)
+    // deflate: g2 = g − λ1·v1·v1ᵀ
+    val g2 = Array.tabulate(d, d)((i, j) => g(i)(j) - l1 * v1(i) * v1(j))
+    val (l2, _) = power(g2)
+    val trace = (0 until d).foldLeft(0.0)((acc, i) => acc + g(i)(i))
+    Seq((n, d,
+      BigDecimal(l1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(l2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(if (trace > 0) l1 / trace else 0.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(if (trace > 0) (l1 + l2) / trace else 0.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_vecs", "dim", "lambda1", "lambda2", "total_var",
+        "top1_share", "top2_share")
+  }
 }

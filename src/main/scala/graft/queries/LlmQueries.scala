@@ -737,6 +737,15 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // PCA top-component variance audit (SimilarityOps.pcaTopVariance):
+    // exact Gram fold + fixed-iteration power method — iterative
+    // eigensolve is not SQL-expressible, so the gate is rows-only;
+    // the math is pinned by Round6Spec's collinear fixture
+    "q260_pca_var" -> ((s, dir) => {
+      SimilarityOps.pcaTopVariance(Tables.embeddings(s, dir))
+        .orderBy(col("dim"))
+    }),
+
     // Per-source Zipf slope (CorpusOps.zipfSlope): ln-ln OLS over the
     // term-frequency ranking — vocabulary health in one scalar
     "q257_zipf_slope" -> ((s, dir) => {

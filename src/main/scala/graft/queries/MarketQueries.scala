@@ -1046,6 +1046,14 @@ object MarketQueries {
       MarketBars.tailClustering(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // Lead-lag matrix (MarketBars.leadLagMatrix): best |corr| lag per
+    // series pair — q122's CCF generalized to the full book
+    "q259_lead_lag_matrix" -> ((s, dir) => {
+      MarketBars.leadLagMatrix(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("sa"), col("sb"))
     })
   )
 
@@ -3286,6 +3294,60 @@ object MarketQueries {
             CAST(max(len) AS BIGINT) AS max_run,
             round(CAST(SUM(len) AS DOUBLE) / CAST(n_rets AS DOUBLE), 6)
               AS tail_share
-          FROM runs GROUP BY 1, 2 ORDER BY series"""
+          FROM runs GROUP BY 1, 2 ORDER BY series""",
+
+    // lead-lag twin: same aligned snap, five lag legs, q122 op order,
+    // argmax on the rounded |r|
+    "q259_lead_lag_matrix" ->
+      s"""WITH $barsCte,
+          s AS (SELECT series, bar_ts,
+                  CAST(floor(close*1e6 + 0.5) AS BIGINT) AS c6
+                FROM bars),
+          al AS (SELECT a.series AS sa, b.series AS sb, a.bar_ts,
+                   a.c6 AS x6, b.c6 AS y6
+                 FROM s a JOIN s b ON a.bar_ts = b.bar_ts
+                   AND a.series < b.series),
+          l AS (
+            SELECT sa, sb, -2 AS k, x6 AS x,
+              lead(y6, 2) OVER wn2 AS y FROM al
+              WINDOW wn2 AS (PARTITION BY sa, sb ORDER BY bar_ts)
+            UNION ALL
+            SELECT sa, sb, -1, x6, lead(y6, 1) OVER wn1 FROM al
+              WINDOW wn1 AS (PARTITION BY sa, sb ORDER BY bar_ts)
+            UNION ALL
+            SELECT sa, sb, 0, x6, y6 FROM al
+            UNION ALL
+            SELECT sa, sb, 1, x6, lag(y6, 1) OVER wp1 FROM al
+              WINDOW wp1 AS (PARTITION BY sa, sb ORDER BY bar_ts)
+            UNION ALL
+            SELECT sa, sb, 2, x6, lag(y6, 2) OVER wp2 FROM al
+              WINDOW wp2 AS (PARTITION BY sa, sb ORDER BY bar_ts)),
+          m AS (SELECT sa, sb, k, count(*) AS n,
+                  SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                  SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                  SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS sxy,
+                  SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                    AS sxx,
+                  SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS syy
+                FROM l WHERE y IS NOT NULL GROUP BY 1, 2, 3),
+          c AS (SELECT sa, sb, k, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+                FROM m),
+          r AS (SELECT sa, sb, k, n,
+                  CASE WHEN vx > 0 AND vy > 0
+                    THEN round(num/(sqrt(vx)*sqrt(vy)), 6) END AS r
+                FROM c),
+          p AS (SELECT *, row_number() OVER
+                  (PARTITION BY sa, sb ORDER BY abs(r) DESC, k) AS rn
+                FROM r WHERE r IS NOT NULL)
+          SELECT sa, sb, CAST(k AS INTEGER) AS best_k, n, r AS r_best
+          FROM p WHERE rn = 1 ORDER BY sa, sb"""
   )
 }

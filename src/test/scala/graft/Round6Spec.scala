@@ -550,6 +550,48 @@ class Round6Spec extends AnyFunSuite {
     assert(MultimodalOps.dHash64("not a bmp".getBytes) === None)
   }
 
+  test("leadLagMatrix: a shifted copy is found at its exact lag") {
+    import spark.implicits._
+    // B trails A by one bar (B_t = A_{t-1}); corr(A_t, B_{t+1}) = 1,
+    // so the argmax lands on k = -1 (negative k = first series leads)
+    val path = Seq(10.0, 12.0, 11.0, 15.0, 13.0, 17.0, 16.0, 20.0, 18.0, 22.0)
+    val rows =
+      path.zipWithIndex.map { case (v, i) =>
+        ("A", ts(f"2024-01-01 09:${i * 5}%02d:00"), v)
+      } ++ path.zipWithIndex.map { case (v, i) =>
+        ("B", ts(f"2024-01-01 09:${(i + 1) * 5}%02d:00"), v)
+      }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = MarketBars.leadLagMatrix(bars).collect()(0)
+    assert((r.getString(0), r.getString(1)) === (("A", "B")))
+    assert(r.getInt(2) === -1, "A leads B by one bar")
+    assert(r.getDouble(4) === 1.0, "shifted copy correlates exactly")
+  }
+
+  test("pcaTopVariance: collinear 2-d data is rank one") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
+      (3L, Array(3.0f, 6.0f)), (4L, Array(-1.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.pcaTopVariance(emb).collect()(0)
+    assert(r.getLong(0) === 4L && r.getInt(1) === 2)
+    assert(r.getDouble(5) === 1.0, "all variance on the line")
+    assert(r.getDouble(3) === 0.0, "second component empty")
+  }
+
+  test("batch-J ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.leadLagMatrix(bars3), MarketBars.leadLagMatrix(bars17))
+    val emb = Tables.embeddings(spark, sf)
+    same(SimilarityOps.pcaTopVariance(emb.repartition(3)),
+      SimilarityOps.pcaTopVariance(emb.repartition(17)))
+  }
+
   test("q249 plan: pair join runs on the distinct vocab relation, no window") {
     val df = CorpusOps.vocabOverlap(Tables.documents(spark, sf))
     df.collect()
