@@ -1520,6 +1520,77 @@ object CoreQueries {
         .select(col("l_suppkey"), col("rnk"), col("l_partkey"),
           round(col("rd"), 2).cast(DoubleType).as("revenue"))
         .orderBy(col("l_suppkey"), col("rnk"), col("l_partkey"))
+    }),
+
+    // TPC-H Q16 shape (supplier breadth): distinct suppliers per
+    // (brand, size bucket) over the OBSERVED part-supplier pairs
+    // (lineitem's distinct pairs stand in for partsupp), one brand
+    // excluded — the distinct-count-after-distinct-pairs shape
+    "q261_supplier_breadth" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#1")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          ((col("p_size") - 1) / 10).cast("int").as("size_bucket"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("n_suppliers").desc, col("p_brand"), col("size_bucket"))
+    }),
+
+    // TPC-H Q9 shape (product profit): revenue minus a quantity-
+    // scaled cost proxy (p_retailprice/10 per unit — the schema has
+    // no ps_supplycost), by supplier nation and year; one DECIMAL
+    // amount expression, dims broadcast
+    "q262_product_profit" -> ((s, dir) => {
+      val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("l_quantity") * (col("p_retailprice") / lit(10.0)))
+        .cast(DecimalType(28, 6))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(amount), 2).cast(DoubleType).as("profit"))
+        .orderBy(col("n_name"), col("l_year"))
+    }),
+
+    // Order-priority mix by year: share of each priority within its
+    // year — the composition-shift telemetry; the share window runs
+    // on the tiny (year, priority) aggregate (q39 rule)
+    "q263_priority_mix" -> ((s, dir) => {
+      val wYear = Window.partitionBy(col("o_year"))
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("share",
+          round(col("n_orders").cast(DoubleType) /
+            sum(col("n_orders")).over(wYear).cast(DoubleType), 6))
+        .orderBy(col("o_year"), col("o_orderpriority"))
+    }),
+
+    // Return rate per brand: conditional count over the broadcast
+    // part join — the product-quality league table
+    "q264_return_rate" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"))
+        .withColumn("return_rate",
+          round(col("n_returned").cast(DoubleType) /
+            col("n_items").cast(DoubleType), 6))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -2988,6 +3059,54 @@ object CoreQueries {
           SELECT l_suppkey, rnk, l_partkey,
             CAST(round(rd, 2) AS DOUBLE) AS revenue
           FROM k WHERE rnk <= 3
-          ORDER BY l_suppkey, rnk, l_partkey"""
+          ORDER BY l_suppkey, rnk, l_partkey""",
+
+    // Q16 twin: same distinct pairs, same brand cut, integer counts
+    "q261_supplier_breadth" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p_brand,
+           CAST((p_size - 1) // 10 AS INTEGER) AS size_bucket,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+         FROM ps JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1'
+         GROUP BY 1, 2
+         ORDER BY n_suppliers DESC, p_brand, size_bucket""",
+
+    // Q9 twin: same decimal amount expression, same cost proxy
+    "q262_product_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           count(*) AS n_items,
+           CAST(round(SUM(CAST(l_extendedprice*(1.0 - l_discount)
+             - l_quantity*(p_retailprice/10.0) AS DECIMAL(28,6))), 2)
+             AS DOUBLE) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2 ORDER BY n_name, l_year""",
+
+    // priority-mix twin: share over the per-year window on the
+    // aggregate
+    "q263_priority_mix" ->
+      """WITH g AS (
+           SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             o_orderpriority, count(*) AS n_orders
+           FROM orders GROUP BY 1, 2)
+         SELECT o_year, o_orderpriority, n_orders,
+           round(CAST(n_orders AS DOUBLE) /
+             CAST(SUM(n_orders) OVER (PARTITION BY o_year) AS DOUBLE), 6)
+             AS share
+         FROM g ORDER BY o_year, o_orderpriority""",
+
+    // return-rate twin: conditional integer counts per brand
+    "q264_return_rate" ->
+      """SELECT p_brand, count(*) AS n_items,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returned,
+           round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS return_rate
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY p_brand"""
   )
 }

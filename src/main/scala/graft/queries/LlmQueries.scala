@@ -737,6 +737,32 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // Doc-length inequality per source (Gini over n_chars): a source
+    // whose mass sits in a few huge docs biases every per-doc stat —
+    // the q185 sorted-weighted Gini on exact integers
+    "q266_length_gini" -> ((s, dir) => {
+      def dbl(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.rebalance(Tables.documents(s, dir))
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("i", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum((col("i") * col("n_chars"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("swc"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          round(lit(2.0) * dbl(col("swc")) /
+            (dbl(col("n_docs")) * dbl(col("total_chars"))) -
+            (dbl(col("n_docs")) + lit(1.0)) / dbl(col("n_docs")), 6)
+            .as("gini"))
+        .orderBy(col("source"))
+    }),
+
     // PCA top-component variance audit (SimilarityOps.pcaTopVariance):
     // exact Gram fold + fixed-iteration power method — iterative
     // eigensolve is not SQL-expressible, so the gate is rows-only;
@@ -2785,6 +2811,22 @@ object LlmQueries {
               / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
               AS zipf_slope
-          FROM m ORDER BY source"""
+          FROM m ORDER BY source""",
+
+    // length-Gini twin: same (n_chars, doc_id) rank order, decimal
+    // weighted sum, q185 closed form
+    "q266_length_gini" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars, doc_id) AS i
+                    FROM documents)
+          SELECT source, count(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            round(2.0 * CAST(SUM(CAST(i * n_chars AS DECIMAL(38,0)))
+              AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE))
+              - (CAST(count(*) AS DOUBLE) + 1.0)
+                / CAST(count(*) AS DOUBLE), 6) AS gini
+          FROM r GROUP BY 1 ORDER BY source"""
   )
 }

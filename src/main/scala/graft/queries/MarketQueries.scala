@@ -1054,6 +1054,27 @@ object MarketQueries {
       MarketBars.leadLagMatrix(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("sa"), col("sb"))
+    }),
+
+    // Arrival burstiness per event type: index of dispersion of the
+    // per-hour counts over OBSERVED hours (≈1 Poisson, ≫1 bursty) —
+    // the q235 dispersion formula moved from term counts to arrival
+    // counts; exact-integer arguments, one double division
+    "q265_arrival_dispersion" -> ((s, dir) => {
+      def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("c")).as("total"),
+          sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("s2"))
+        .select(col("event_type"), col("n_hours"), col("total"),
+          round((dbl(col("n_hours")) * dbl(col("s2")) -
+            dbl(col("total")) * dbl(col("total"))) /
+            (dbl(col("n_hours")) * dbl(col("total"))), 6).as("dispersion"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3348,6 +3369,21 @@ object MarketQueries {
                   (PARTITION BY sa, sb ORDER BY abs(r) DESC, k) AS rn
                 FROM r WHERE r IS NOT NULL)
           SELECT sa, sb, CAST(k AS INTEGER) AS best_k, n, r AS r_best
-          FROM p WHERE rn = 1 ORDER BY sa, sb"""
+          FROM p WHERE rn = 1 ORDER BY sa, sb""",
+
+    // arrival-dispersion twin: same observed-hour counts, q235
+    // formula on exact integers
+    "q265_arrival_dispersion" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                      count(*) AS c
+                    FROM events GROUP BY 1, 2)
+          SELECT event_type, count(*) AS n_hours,
+            CAST(SUM(c) AS BIGINT) AS total,
+            round((CAST(count(*) AS DOUBLE)
+              * CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS DOUBLE)
+              - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 6)
+              AS dispersion
+          FROM h GROUP BY 1 ORDER BY event_type"""
   )
 }
