@@ -1913,6 +1913,67 @@ object MarketBars {
         col("r").as("r_best"))
   }
 
+  /** Out-of-sample VaR backtest with the Kupiec proportion-of-
+    * failures test: the α-quantile VaR estimated on each series'
+    * FIRST half (by bar order) is scored on the second half —
+    * violations counted, the Kupiec likelihood ratio computed, and
+    * the 95% χ²(1) fence applied. The governance check that q205's
+    * in-sample VaR can't provide: is the risk number actually
+    * calibrated out of sample?
+    *
+    * Determinism: the split is an exact row_number ≤ ⌊n/2⌋ cut,
+    * returns round 8dp and the VaR cut 6dp BEFORE the membership
+    * compare (the q205 convention), violation counts are integers,
+    * and the LR evaluates ln() on identical doubles once per series
+    * (x = 0 or x = n collapse the empirical entropy terms to 0).
+    *
+    * Scale: one per-series sort serves the split and both halves'
+    * aggregates; the calibration quantile is an exact percentile on
+    * the half-relation; |series| rows out. */
+  def varBacktest(bars: DataFrame, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1) (got $alpha)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val wAll = Window.partitionBy(col("series"))
+    val withR = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r", when(col("pc") > 0,
+        round(log(col("close") / col("pc")), 8)))
+      .filter(col("r").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_all", count(lit(1)).over(wAll))
+      .withColumn("is_cal", col("rn") <= (col("n_all") / 2).cast("int"))
+      .localCheckpoint(eager = false)
+    val cut = withR.filter(col("is_cal"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_cal"),
+        round(expr(s"percentile(r, $alpha)"), 6).as("var_cut"))
+    val lnP = math.log(alpha)
+    // (1 − α) via decimal so the double equals the oracle's LITERAL
+    // 0.95 — binary 1.0-0.05 can land one ulp away from parse("0.95")
+    val ln1P = math.log((BigDecimal(1) - BigDecimal(alpha)).toDouble)
+    withR.filter(!col("is_cal"))
+      .join(broadcast(cut), "series")
+      .groupBy(col("series"), col("n_cal"), col("var_cut"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("var_cut"), 1L).otherwise(0L)).as("x"))
+      .withColumn("rate", dbl(col("x")) / dbl(col("n_test")))
+      .withColumn("lr",
+        lit(-2.0) * ((dbl(col("n_test")) - dbl(col("x"))) * lit(ln1P) +
+          dbl(col("x")) * lit(lnP) -
+          when(col("x") === col("n_test"), lit(0.0)).otherwise(
+            (dbl(col("n_test")) - dbl(col("x"))) *
+              log(lit(1.0) - col("rate"))) -
+          when(col("x") === 0, lit(0.0))
+            .otherwise(dbl(col("x")) * log(col("rate")))))
+      .select(col("series"), col("n_cal"), col("n_test"), col("var_cut"),
+        col("x").as("n_viol"),
+        round(col("rate"), 6).as("viol_rate"),
+        round(col("lr"), 4).as("kupiec_lr"))
+      .withColumn("reject_calibration", col("kupiec_lr") > 3.8415)
+  }
+
   /** Hour-of-day volatility profile: population σ of 1-bar returns
     * per (series, hour) — the intraday vol smile (open/close hours
     * run hot, lunch runs cold), the dispersion companion to q162's

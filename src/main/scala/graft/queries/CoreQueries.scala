@@ -1576,6 +1576,40 @@ object CoreQueries {
         .orderBy(col("o_year"), col("o_orderpriority"))
     }),
 
+    // Cohort revenue triangle: customers grouped by first-order year,
+    // revenue tracked per subsequent order year — the retention
+    // economics table; the cohort key is a per-customer min (one
+    // aggregate) joined back, and the triangle is a tiny rollup
+    "q267_cohort_revenue" -> ((s, dir) => {
+      val cohort = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(min(year(col("o_orderdate"))).as("cohort_year"))
+      Tables.orders(s, dir)
+        .join(cohort, col("o_custkey") === col("ck"))
+        .groupBy(col("cohort_year"), year(col("o_orderdate")).as("order_year"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast(DecimalType(28, 6))), 2)
+            .cast(DoubleType).as("revenue"))
+        .orderBy(col("cohort_year"), col("order_year"))
+    }),
+
+    // Discount elasticity: mean quantity per discount band — does the
+    // markdown actually move volume; exact integer-ish sums (quantity
+    // is integral), band = floor(discount·100)
+    "q268_discount_elasticity" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(floor(col("l_discount") * lit(100.0)).cast("int")
+          .as("disc_pct"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 6)))
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+            .as("avg_qty"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 6))), 2).cast(DoubleType).as("revenue"))
+        .orderBy(col("disc_pct"))
+    }),
+
     // Return rate per brand: conditional count over the broadcast
     // part join — the product-quality league table
     "q264_return_rate" -> ((s, dir) => {
@@ -3098,6 +3132,31 @@ object CoreQueries {
              CAST(SUM(n_orders) OVER (PARTITION BY o_year) AS DOUBLE), 6)
              AS share
          FROM g ORDER BY o_year, o_orderpriority""",
+
+    // cohort twin: per-customer min year joined back, tiny triangle
+    "q267_cohort_revenue" ->
+      """WITH c AS (SELECT o_custkey AS ck,
+                      CAST(min(year(o_orderdate)) AS INTEGER)
+                        AS cohort_year
+                    FROM orders GROUP BY 1)
+         SELECT cohort_year,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           count(*) AS n_orders,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+             AS DOUBLE) AS revenue
+         FROM orders JOIN c ON o_custkey = ck
+         GROUP BY 1, 2 ORDER BY cohort_year, order_year""",
+
+    // elasticity twin: same integer band, decimal-exact quantity mean
+    "q268_discount_elasticity" ->
+      """SELECT CAST(floor(l_discount * 100.0) AS INTEGER) AS disc_pct,
+           count(*) AS n_items,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS avg_qty,
+           CAST(round(SUM(CAST(l_extendedprice*(1.0 - l_discount)
+             AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+         FROM lineitem GROUP BY 1 ORDER BY disc_pct""",
 
     // return-rate twin: conditional integer counts per brand
     "q264_return_rate" ->

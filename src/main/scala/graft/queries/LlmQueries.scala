@@ -737,6 +737,28 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // Boilerplate prefix detection: docs sharing their first-8-token
+    // prefix with ANY other doc (template/scraper boilerplate the
+    // full-doc digests miss), per-source share — one prefix-keyed
+    // shuffle, all-integer until the share
+    "q269_prefix_dup" -> ((s, dir) => {
+      def dbl(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      val d = Tables.rebalance(Tables.documents(s, dir))
+        .select(col("source"), col("doc_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8))
+            .as("pref"))
+      val cnt = d.groupBy(col("pref")).agg(count(lit(1)).as("pc"))
+      d.join(cnt, "pref")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pc") > 1, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("source"), col("n_docs"), col("n_boiler"),
+          round(dbl(col("n_boiler")) / dbl(col("n_docs")), 6)
+            .as("boiler_share"))
+        .orderBy(col("source"))
+    }),
+
     // Doc-length inequality per source (Gini over n_chars): a source
     // whose mass sits in a few huge docs biases every per-doc stat —
     // the q185 sorted-weighted Gini on exact integers
@@ -2812,6 +2834,24 @@ object LlmQueries {
                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
               AS zipf_slope
           FROM m ORDER BY source""",
+
+    // prefix twin: same first-8-token key, same >1 flag
+    "q269_prefix_dup" ->
+      s"""WITH $toksCte,
+          pr AS (SELECT doc_id,
+                   array_to_string(list_slice(toks, 1, 8), ' ') AS pref
+                 FROM d),
+          src AS (SELECT doc_id, source FROM documents),
+          cnt AS (SELECT pref, count(*) AS pc FROM pr GROUP BY 1)
+          SELECT source, count(*) AS n_docs,
+            CAST(SUM(CASE WHEN pc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_boiler,
+            round(CAST(SUM(CASE WHEN pc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS boiler_share
+          FROM pr
+          JOIN src USING (doc_id)
+          JOIN cnt USING (pref)
+          GROUP BY 1 ORDER BY source""",
 
     // length-Gini twin: same (n_chars, doc_id) rank order, decimal
     // weighted sum, q185 closed form

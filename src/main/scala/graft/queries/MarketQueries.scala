@@ -1056,6 +1056,14 @@ object MarketQueries {
         .orderBy(col("sa"), col("sb"))
     }),
 
+    // Out-of-sample VaR backtest + Kupiec LR (MarketBars.varBacktest):
+    // is q205's risk number calibrated where it wasn't fitted
+    "q270_var_backtest" -> ((s, dir) => {
+      MarketBars.varBacktest(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Arrival burstiness per event type: index of dispersion of the
     // per-hour counts over OBSERVED hours (≈1 Poisson, ≫1 bursty) —
     // the q235 dispersion formula moved from term counts to arrival
@@ -3370,6 +3378,59 @@ object MarketQueries {
                 FROM r WHERE r IS NOT NULL)
           SELECT sa, sb, CAST(k AS INTEGER) AS best_k, n, r AS r_best
           FROM p WHERE rn = 1 ORDER BY sa, sb""",
+
+    // VaR-backtest twin: same row_number split (integer half), q205
+    // rounding convention, identical ln() arguments in the LR
+    "q270_var_backtest" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS pc
+                FROM bars WHERE close > 0),
+          t0 AS (SELECT series, bar_ts, round(ln(close/pc), 8) AS r
+                 FROM p WHERE pc IS NOT NULL AND pc > 0),
+          t AS (SELECT series, bar_ts, r,
+                  row_number() OVER w AS rn,
+                  count(*) OVER (PARTITION BY series) AS n_all
+                FROM t0
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          s AS (SELECT series, bar_ts, r,
+                  rn <= n_all // 2 AS is_cal FROM t),
+          cut AS (SELECT series, count(*) AS n_cal,
+                    round(quantile_cont(r, 0.05), 6) AS var_cut
+                  FROM s WHERE is_cal GROUP BY 1),
+          tst AS (SELECT s.series, cut.n_cal, cut.var_cut,
+                    count(*) AS n_test,
+                    CAST(SUM(CASE WHEN r <= var_cut THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x
+                  FROM s JOIN cut ON s.series = cut.series
+                  WHERE NOT is_cal GROUP BY 1, 2, 3)
+          SELECT series, CAST(n_cal AS BIGINT) AS n_cal,
+            n_test, var_cut, x AS n_viol,
+            round(CAST(x AS DOUBLE)/CAST(n_test AS DOUBLE), 6)
+              AS viol_rate,
+            round(-2.0 * (
+              (CAST(n_test AS DOUBLE) - CAST(x AS DOUBLE)) * ln(0.95)
+              + CAST(x AS DOUBLE) * ln(0.05)
+              - CASE WHEN x = n_test THEN 0.0 ELSE
+                  (CAST(n_test AS DOUBLE) - CAST(x AS DOUBLE))
+                  * ln(1.0 - CAST(x AS DOUBLE)/CAST(n_test AS DOUBLE))
+                  END
+              - CASE WHEN x = 0 THEN 0.0 ELSE
+                  CAST(x AS DOUBLE)
+                  * ln(CAST(x AS DOUBLE)/CAST(n_test AS DOUBLE)) END),
+              4) AS kupiec_lr,
+            round(-2.0 * (
+              (CAST(n_test AS DOUBLE) - CAST(x AS DOUBLE)) * ln(0.95)
+              + CAST(x AS DOUBLE) * ln(0.05)
+              - CASE WHEN x = n_test THEN 0.0 ELSE
+                  (CAST(n_test AS DOUBLE) - CAST(x AS DOUBLE))
+                  * ln(1.0 - CAST(x AS DOUBLE)/CAST(n_test AS DOUBLE))
+                  END
+              - CASE WHEN x = 0 THEN 0.0 ELSE
+                  CAST(x AS DOUBLE)
+                  * ln(CAST(x AS DOUBLE)/CAST(n_test AS DOUBLE)) END),
+              4) > 3.8415 AS reject_calibration
+          FROM tst ORDER BY series""",
 
     // arrival-dispersion twin: same observed-hour counts, q235
     // formula on exact integers
