@@ -1610,6 +1610,17 @@ object CoreQueries {
         .orderBy(col("disc_pct"))
     }),
 
+    // Items-per-order distribution: the order-size histogram — one
+    // per-order count, one tiny count-of-counts rollup, all integers
+    "q271_order_size_hist" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .groupBy(col("n_items"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_items"))
+    }),
+
     // Return rate per brand: conditional count over the broadcast
     // part join — the product-quality league table
     "q264_return_rate" -> ((s, dir) => {
@@ -3157,6 +3168,13 @@ object CoreQueries {
            CAST(round(SUM(CAST(l_extendedprice*(1.0 - l_discount)
              AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
          FROM lineitem GROUP BY 1 ORDER BY disc_pct""",
+
+    // order-size twin: count of counts
+    "q271_order_size_hist" ->
+      """SELECT n_items, count(*) AS n_orders
+         FROM (SELECT l_orderkey, count(*) AS n_items
+               FROM lineitem GROUP BY 1)
+         GROUP BY 1 ORDER BY n_items""",
 
     // return-rate twin: conditional integer counts per brand
     "q264_return_rate" ->

@@ -737,6 +737,36 @@ object LlmQueries {
         .orderBy(col("rank"))
     }),
 
+    // Token-budget selection curve: rank docs by the q21 quality
+    // score, ntile into deciles, report each decile's token mass and
+    // the cumulative share — "keep the top X%, get Y% of the tokens",
+    // the curation-planning curve feeding q203's allocator
+    "q272_selection_curve" -> ((s, dir) => {
+      def dbl(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val ranked = TextOps.textStats(Tables.rebalance(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .withColumn("decile", ntile(10).over(w))
+      val tot = ranked.agg(sum(col("n_tokens")).as("t"))
+      ranked
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("decile_tokens"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_tokens", sum(col("decile_tokens")).over(wCum))
+        .select(col("decile"), col("n_docs"), col("decile_tokens"),
+          round(dbl(col("cum_tokens")) / dbl(col("t")), 6)
+            .as("cum_token_share"))
+        .orderBy(col("decile"))
+    }),
+
     // Boilerplate prefix detection: docs sharing their first-8-token
     // prefix with ANY other doc (template/scraper boilerplate the
     // full-doc digests miss), per-source share — one prefix-keyed
@@ -2834,6 +2864,40 @@ object LlmQueries {
                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
               AS zipf_slope
           FROM m ORDER BY source""",
+
+    // selection-curve twin: the q21 quality chain, same ntile rank,
+    // integer token sums, cumulative window on the 10-row aggregate
+    "q272_selection_curve" ->
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                  CAST(len(list_filter(toks,
+                    t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT)
+                    AS n_stop
+                FROM d),
+          q AS (SELECT doc_id, n_tokens,
+                  round(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
+                    + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
+                    + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4)
+                    AS quality_score
+                FROM s),
+          r AS (SELECT doc_id, n_tokens,
+                  ntile(10) OVER (ORDER BY quality_score DESC, doc_id)
+                    AS decile
+                FROM q),
+          g AS (SELECT decile, count(*) AS n_docs,
+                  CAST(SUM(n_tokens) AS BIGINT) AS decile_tokens
+                FROM r GROUP BY 1),
+          t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM q)
+          SELECT CAST(decile AS INTEGER) AS decile, n_docs,
+            decile_tokens,
+            round(CAST(SUM(decile_tokens) OVER
+              (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / CAST((SELECT tt FROM t) AS DOUBLE), 6)
+              AS cum_token_share
+          FROM g ORDER BY decile""",
 
     // prefix twin: same first-8-token key, same >1 flag
     "q269_prefix_dup" ->
