@@ -1412,6 +1412,103 @@ object CorpusOps {
         round(sqrt(dbl(col("d2"))), 6).as("dist"))
   }
 
+  /** Mutual information between two categorical document columns
+    * (e.g. lang × source): MI = Σ_xy p_xy ln(p_xy / (p_x p_y)) in
+    * nats, the marginal entropies, and the normalized
+    * NMI = MI / √(H_x · H_y) — the corpus-composition audit that
+    * answers "does source determine language?" (NMI→1) vs "are the
+    * axes independent?" (NMI→0), which no per-column profile can see.
+    *
+    * Determinism: every input is an exact integer count (one
+    * aggregation to |X|·|Y| cells, two marginal rollups); each cell's
+    * double term uses one shared op order, rounds at 12 dp and folds
+    * in DECIMAL(38,12); NMI is computed from the DECIMAL sums (not
+    * the re-rounded outputs) and rounds once at 6.
+    *
+    * Scale: cells are bounded by distinct-value products, not rows —
+    * the whole statistic is one groupBy shuffle plus broadcast joins
+    * of two tiny marginal relations. */
+  def categoricalMI(
+      docs: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 12)
+    val cells = docs.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("cxy"))
+      .localCheckpoint(eager = false)
+    val mx = cells.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+    val my = cells.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+    val n = cells.agg(sum(col("cxy")).as("n"),
+      count(lit(1)).as("n_cells"))
+    val mi = cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(n.select(col("n"))))
+      .withColumn("term",
+        round(dbl(col("cxy")) / dbl(col("n")) *
+          log(dbl(col("cxy")) * dbl(col("n")) /
+            (dbl(col("cx")) * dbl(col("cy")))), 12).cast(dec))
+      .agg(sum(col("term")).as("mi_d"))
+    def entropy(marg: DataFrame, c: String, out: String) =
+      marg.crossJoin(broadcast(n.select(col("n"))))
+        .withColumn("term",
+          round(dbl(col(c)) / dbl(col("n")) *
+            log(dbl(col(c)) / dbl(col("n"))), 12).cast(dec))
+        .agg((-sum(col("term"))).as(out))
+    mi.crossJoin(entropy(mx, "cx", "h_x"))
+      .crossJoin(entropy(my, "cy", "h_y"))
+      .crossJoin(n)
+      .select(col("n").as("n_docs"), col("n_cells"),
+        round(dbl(col("mi_d")), 6).as("mi_nats"),
+        round(dbl(col("h_x")), 6).as("h_x"),
+        round(dbl(col("h_y")), 6).as("h_y"),
+        when(col("h_x") > 0 && col("h_y") > 0,
+          round(dbl(col("mi_d")) /
+            sqrt(dbl(col("h_x")) * dbl(col("h_y"))), 6)).as("nmi"))
+  }
+
+  /** Simplified (centroid-based) silhouette per label over the
+    * embedding table: for each vector, a = distance to its OWN label
+    * centroid, b = min distance to any OTHER centroid,
+    * s = (b − a)/max(a, b) — the cluster-quality audit on top of the
+    * q40/q243 centroid family. Unlike the textbook silhouette (O(n²)
+    * pairwise), the centroid form is one broadcast join: n·k·d rows,
+    * linear in the table.
+    *
+    * Determinism: centroids are the 6 dp [[labelCentroids]] means;
+    * each squared-difference term rounds at 12 dp and folds in
+    * DECIMAL(28,12) over a position-keyed join (the q243 recipe); s
+    * rounds at 6 and the per-label mean folds the ROUNDED s in
+    * DECIMAL. Degenerate a = b = 0 points emit null s and drop from
+    * the mean (count reported separately). */
+  def silhouette(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val cents = labelCentroids(emb, labelCol, vecCol)
+      .select(col("label").as("clabel"), col("pos"), col("centroid"))
+    val pts = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val dists = pts.join(broadcast(cents), "pos")
+      .groupBy(col("id"), col("label"), col("clabel"))
+      .agg(sum(round((dbl(col("x")) - col("centroid")) *
+          (dbl(col("x")) - col("centroid")), 12)
+        .cast(DecimalType(28, 12))).as("d2"))
+      .select(col("id"), col("label"), col("clabel"),
+        sqrt(dbl(col("d2"))).as("dist"))
+    val s = dists.groupBy(col("id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) > 0,
+          round((col("b") - col("a")) / greatest(col("a"), col("b")), 6)))
+    s.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"),
+        count(col("s")).as("n_scored"),
+        round(dbl(sum(col("s").cast(DecimalType(18, 6)))) /
+          dbl(count(col("s"))), 6).as("mean_sil"),
+        round(min(col("s")), 6).as("min_sil"))
+  }
+
   /** Pairwise source vocabulary overlap: exact Jaccard between every
     * source pair's distinct-term sets — the source-redundancy audit
     * ("are src3 and src7 the same crawl twice?") that the per-doc

@@ -698,4 +698,56 @@ object EventAnalytics {
           .as("mean_dt_us"),
         round(col("p50_raw"), 4).as("p50_dt_us"))
   }
+
+  /** Per-event-type G-test of time-of-day uniformity + a
+    * Benjamini–Hochberg FDR correction across the family — the
+    * multiple-testing layer the drift suite (q142 KS, q145 rank-sum)
+    * stops short of: with dozens of metrics, SOME "significant" drift
+    * is guaranteed by chance, and BH is the standard control.
+    *
+    * Per type: arrivals bucket into 3 time-of-day bins (hour DIV 8),
+    * LR = 2·Σ O·ln(O/E) with E = n/3 — a χ² statistic with 2 degrees
+    * of freedom, whose survival function is EXACTLY p = exp(−LR/2)
+    * (no erf/Γ needed, so both engines compute the identical p).
+    * BH step-up at α = 0.05: order p ascending, reject every test at
+    * rank ≤ k where k = max{i : p_(i) ≤ α·i/m}.
+    *
+    * Determinism: bin counts are integers; each O·ln(3O/n) term
+    * rounds at 12 dp and folds in DECIMAL(38,12); p and the BH
+    * critical values round at 8 before comparison so the reject
+    * boundary cannot flip on an exp() ulp. Ties in p order by
+    * event_type.
+    *
+    * Scale: one groupBy to |types|·3 cells; the BH window runs over m
+    * rows (the number of TESTS, not events). */
+  def gTestFdr(events: DataFrame, alpha: Double = 0.05): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val bins = events
+      .groupBy(col("event_type"), (hour(col("ts")).cast("int") / lit(8))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("o"))
+    val lr = bins
+      .withColumn("n", sum(col("o")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("term",
+        round(dbl(col("o")) *
+          log(lit(3.0) * dbl(col("o")) / dbl(col("n"))), 12)
+          .cast(DecimalType(38, 12)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        round(lit(2.0) * dbl(sum(col("term"))), 6).as("lr"))
+      .withColumn("p", round(exp(-col("lr") / 2), 8))
+    val wOrd = Window.orderBy(col("p"), col("event_type"))
+    val wAll = Window.partitionBy()
+    lr
+      .withColumn("rank", row_number().over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("crit",
+        round(lit(alpha) * dbl(col("rank")) / dbl(col("m")), 8))
+      .withColumn("k",
+        max(when(col("p") <= col("crit"), col("rank"))).over(wAll))
+      .select(col("event_type"), col("n"), col("lr"), col("p"),
+        col("rank"), col("crit"),
+        (col("k").isNotNull && col("rank") <= col("k")).as("bh_reject"))
+  }
 }

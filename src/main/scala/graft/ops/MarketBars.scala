@@ -2160,6 +2160,51 @@ object MarketBars {
         col("r_sq_acf") > lit(1.96) / sqrt(dbl(col("n"))))
   }
 
+  /** Kendall turning-points test per series: count interior bars that
+    * are a STRICT local max or min of the close path; under an iid
+    * continuous sequence E[T] = 2(N−2)/3 and Var[T] = (16N−29)/90,
+    * z = (T − E)/√Var. Trending series under-produce turning points
+    * (z ≪ 0), choppy mean-reverters over-produce them (z ≫ 0) — the
+    * third leg of the randomness panel next to q177's sign runs and
+    * q183's Ljung–Box: it sees LEVEL-path kinks, not return signs or
+    * autocorrelation moments.
+    *
+    * Determinism: extrema compare exact 6 dp scaled-long closes
+    * (strict inequalities, so ties never count — the same rule in
+    * both engines); T and N are pure integers off one lag/lead
+    * window; the z chain is one shared-order double formula rounded
+    * at 6 dp. Series with N < 3 emit zero turning points and null z
+    * only when Var ≤ 0 (never for N ≥ 3).
+    *
+    * Scale: one per-series window pass + one map-side-combined
+    * rollup, output |series| rows — the q49 hot-key class,
+    * ScalableWindow escape applies. */
+  def turningPoints(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    bars
+      .withColumn("x6",
+        floor(col("close") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("pv", lag(col("x6"), 1).over(w))
+      .withColumn("nx", lead(col("x6"), 1).over(w))
+      .withColumn("tp",
+        when(col("pv").isNotNull && col("nx").isNotNull &&
+          ((col("pv") < col("x6") && col("x6") > col("nx")) ||
+            (col("pv") > col("x6") && col("x6") < col("nx"))), 1L)
+          .otherwise(0L))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_bars"), sum(col("tp")).as("n_turning"))
+      .withColumn("mu",
+        lit(2.0) * (dbl(col("n_bars")) - lit(2.0)) / lit(3.0))
+      .withColumn("v",
+        (lit(16.0) * dbl(col("n_bars")) - lit(29.0)) / lit(90.0))
+      .select(col("series"), col("n_bars"), col("n_turning"),
+        round(col("mu"), 6).as("exp_turning"),
+        when(col("v") > 0,
+          round((dbl(col("n_turning")) - col("mu")) / sqrt(col("v")), 6))
+          .as("z"))
+  }
+
   /** Donchian-channel breakout census: a bar breaks out UP when its
     * close exceeds the max high of the PREVIOUS `period` bars (frame
     * excludes the current row — the channel must pre-exist the

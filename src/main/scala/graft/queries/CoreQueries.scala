@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.ops.WarehouseOps
+import graft.ops.{StatOps, WarehouseOps}
 import graft.sources.Tables
 
 /** Relational operator inventory over the driver's TPC-H-ish tables —
@@ -1636,6 +1636,30 @@ object CoreQueries {
           round(col("n_returned").cast(DoubleType) /
             col("n_items").cast(DoubleType), 6))
         .orderBy(col("p_brand"))
+    }),
+
+    // Kendall tau-b between discount and quantity (StatOps
+    // .kendallTauB): rank association from the CONTINGENCY TABLE —
+    // O(|X|·|Y|) cells instead of O(n²) row pairs, the only form
+    // that survives 100 TB
+    "q274_kendall_tau" -> ((s, dir) => {
+      StatOps.kendallTauB(Tables.lineitem(s, dir),
+        round(col("l_discount") * 100, 0), col("l_quantity"))
+    }),
+
+    // Theil T/L inequality of customer revenue per market segment
+    // (StatOps.theilIndex): the entropy twin of q266's Gini whose
+    // terms are member-local — no sort, no pairwise structure
+    "q275_theil_index" -> ((s, dir) => {
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice").cast(DecimalType(28, 6))), 2)
+          .as("xdec"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      StatOps.theilIndex(cust, "c_mktsegment")
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -3184,6 +3208,60 @@ object CoreQueries {
            round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS return_rate
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         GROUP BY 1 ORDER BY p_brand"""
+         GROUP BY 1 ORDER BY p_brand""",
+
+    // tau-b twin: same contingency cells, strict-inequality pair
+    // join, exact integer tie terms, split-sqrt double formula
+    "q274_kendall_tau" ->
+      """WITH pts AS (SELECT CAST(round(l_discount*100, 0) AS BIGINT)
+                        AS x, CAST(l_quantity AS BIGINT) AS y
+                      FROM lineitem),
+          cells AS (SELECT x, y, count(*) AS c FROM pts GROUP BY 1, 2),
+          co AS (SELECT COALESCE(CAST(SUM(a.c*b.c) AS BIGINT), 0)
+                   AS conc
+                 FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y),
+          di AS (SELECT COALESCE(CAST(SUM(a.c*b.c) AS BIGINT), 0)
+                   AS disc
+                 FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y),
+          tx AS (SELECT CAST(SUM(t*(t-1)//2) AS BIGINT) AS n1,
+                   CAST(SUM(t) AS BIGINT) AS n
+                 FROM (SELECT x, SUM(c) AS t FROM cells GROUP BY 1)),
+          ty AS (SELECT CAST(SUM(t*(t-1)//2) AS BIGINT) AS n2
+                 FROM (SELECT y, SUM(c) AS t FROM cells GROUP BY 1)),
+          nc AS (SELECT count(*) AS n_cells FROM cells)
+          SELECT n, n_cells, conc, disc,
+            CASE WHEN n*(n-1)//2 > n1 AND n*(n-1)//2 > n2 THEN
+              round(CAST(conc - disc AS DOUBLE)
+                / (sqrt(CAST(n*(n-1)//2 - n1 AS DOUBLE))
+                  * sqrt(CAST(n*(n-1)//2 - n2 AS DOUBLE))), 6) END
+              AS tau_b
+          FROM co, di, tx, ty, nc""",
+
+    // Theil twin: DECIMAL-exact per-customer revenue, broadcast-μ
+    // shape, 12dp DECIMAL term fold, /n at the end
+    "q275_theil_index" ->
+      """WITH cust AS (SELECT o_custkey,
+                         round(SUM(CAST(o_totalprice AS DECIMAL(28,6))),
+                           2) AS xdec
+                       FROM orders GROUP BY 1),
+          m AS (SELECT c_mktsegment, xdec FROM cust
+                JOIN customer ON o_custkey = c_custkey),
+          tot AS (SELECT c_mktsegment, count(*) AS n_members,
+                    CAST(round(SUM(xdec), 2) AS DOUBLE) AS total
+                  FROM m GROUP BY 1),
+          t AS (SELECT m.c_mktsegment,
+                  CAST(n_members AS BIGINT) AS n_members,
+                  total / CAST(n_members AS DOUBLE) AS mu,
+                  CAST(xdec AS DOUBLE) AS xd
+                FROM m JOIN tot USING (c_mktsegment))
+          SELECT c_mktsegment, max(n_members) AS n_members,
+            round(max(mu), 4) AS mean_value,
+            round(CAST(SUM(CAST(round(xd/mu * ln(xd/mu), 12)
+              AS DECIMAL(38,12))) AS DOUBLE)
+              / CAST(max(n_members) AS DOUBLE), 6) AS theil_t,
+            round(CAST(SUM(CAST(round(ln(mu/xd), 12)
+              AS DECIMAL(38,12))) AS DOUBLE)
+              / CAST(max(n_members) AS DOUBLE), 6) AS theil_l
+          FROM t GROUP BY 1 ORDER BY c_mktsegment"""
   )
 }

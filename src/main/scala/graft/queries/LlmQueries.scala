@@ -855,6 +855,21 @@ object LlmQueries {
             count(lit(1)).cast(org.apache.spark.sql.types.DoubleType), 6)
             .as("mean_quality"))
         .orderBy(col("bucket"))
+    }),
+
+    // Mutual information lang × source (CorpusOps.categoricalMI):
+    // "does source determine language?" — the corpus-composition
+    // audit no per-column profile can see
+    "q273_mutual_info" -> ((s, dir) => {
+      CorpusOps.categoricalMI(Tables.documents(s, dir), "lang", "source")
+    }),
+
+    // Simplified silhouette per label (CorpusOps.silhouette): the
+    // cluster-quality score over the q40/q243 centroid family —
+    // centroid form, so one broadcast join instead of O(n²) pairs
+    "q276_silhouette" -> ((s, dir) => {
+      CorpusOps.silhouette(Tables.embeddings(s, dir))
+        .orderBy(col("label"))
     })
   )
 
@@ -2931,6 +2946,74 @@ object LlmQueries {
               / (CAST(count(*) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE))
               - (CAST(count(*) AS DOUBLE) + 1.0)
                 / CAST(count(*) AS DOUBLE), 6) AS gini
-          FROM r GROUP BY 1 ORDER BY source"""
+          FROM r GROUP BY 1 ORDER BY source""",
+
+    // MI twin: integer cells/marginals, 12dp DECIMAL term fold, NMI
+    // from the DECIMAL sums
+    "q273_mutual_info" ->
+      """WITH cells AS (SELECT lang AS x, source AS y, count(*) AS cxy
+                        FROM documents GROUP BY 1, 2),
+          mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx
+                 FROM cells GROUP BY 1),
+          my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy
+                 FROM cells GROUP BY 1),
+          nn AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n,
+                   count(*) AS n_cells FROM cells),
+          mi AS (SELECT SUM(CAST(round(CAST(cxy AS DOUBLE)
+                     / CAST(n AS DOUBLE)
+                     * ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+                       / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))),
+                     12) AS DECIMAL(38,12))) AS mi_d
+                 FROM cells JOIN mx USING (x) JOIN my USING (y)
+                 CROSS JOIN nn),
+          hx AS (SELECT -SUM(CAST(round(CAST(cx AS DOUBLE)
+                     / CAST(n AS DOUBLE)
+                     * ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                   AS DECIMAL(38,12))) AS h_x
+                 FROM mx CROSS JOIN nn),
+          hy AS (SELECT -SUM(CAST(round(CAST(cy AS DOUBLE)
+                     / CAST(n AS DOUBLE)
+                     * ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                   AS DECIMAL(38,12))) AS h_y
+                 FROM my CROSS JOIN nn)
+          SELECT n AS n_docs, n_cells,
+            round(CAST(mi_d AS DOUBLE), 6) AS mi_nats,
+            round(CAST(h_x AS DOUBLE), 6) AS h_x,
+            round(CAST(h_y AS DOUBLE), 6) AS h_y,
+            CASE WHEN h_x > 0 AND h_y > 0 THEN
+              round(CAST(mi_d AS DOUBLE)
+                / sqrt(CAST(h_x AS DOUBLE) * CAST(h_y AS DOUBLE)), 6)
+              END AS nmi
+          FROM mi, hx, hy, nn""",
+
+    // silhouette twin: q243 centroid CTE, 12dp squared-diff fold,
+    // exact-sqrt distances, rounded-s DECIMAL mean
+    "q276_silhouette" ->
+      """WITH e0 AS (SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          u AS (SELECT vec_id, label, CAST(i-1 AS INTEGER) AS pos,
+                  v[i] AS x
+                FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
+          c AS (SELECT label AS clabel, pos,
+                  round(CAST(SUM(CAST(x AS DECIMAL(28,12)))
+                    AS DOUBLE)/count(*), 6) AS m
+                FROM u GROUP BY 1, 2),
+          d AS (SELECT u.vec_id, u.label, c.clabel,
+                  sqrt(CAST(SUM(CAST(round((u.x - c.m)*(u.x - c.m), 12)
+                    AS DECIMAL(28,12))) AS DOUBLE)) AS dist
+                FROM u JOIN c ON u.pos = c.pos GROUP BY 1, 2, 3),
+          ab AS (SELECT vec_id, label,
+                   min(CASE WHEN clabel = label THEN dist END) AS a,
+                   min(CASE WHEN clabel <> label THEN dist END) AS b
+                 FROM d GROUP BY 1, 2),
+          sc AS (SELECT label, CASE WHEN greatest(a, b) > 0 THEN
+                   round((b - a)/greatest(a, b), 6) END AS s
+                 FROM ab)
+          SELECT label, count(*) AS n_points,
+            count(s) AS n_scored,
+            round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+              / CAST(count(s) AS DOUBLE), 6) AS mean_sil,
+            round(min(s), 6) AS min_sil
+          FROM sc GROUP BY 1 ORDER BY label"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.ops.{AsOfJoin, MarketBars, PairAnalytics, QualityReport}
+import graft.ops.{AsOfJoin, EventAnalytics, MarketBars, PairAnalytics, QualityReport}
 import graft.sources.Tables
 
 /** Market/time-series operator inventory over the `events` table —
@@ -1082,6 +1082,23 @@ object MarketQueries {
           round((dbl(col("n_hours")) * dbl(col("s2")) -
             dbl(col("total")) * dbl(col("total"))) /
             (dbl(col("n_hours")) * dbl(col("total"))), 6).as("dispersion"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Kendall turning-points test (MarketBars.turningPoints): strict
+    // local-extrema census vs the iid expectation — the level-path
+    // randomness leg next to q177's sign runs and q183's Ljung–Box
+    "q277_turning_points" -> ((s, dir) => {
+      MarketBars.turningPoints(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Per-type time-of-day G-test + Benjamini–Hochberg FDR
+    // (EventAnalytics.gTestFdr): the multiple-testing control the
+    // q142/q145 drift suite needs once it runs on dozens of metrics
+    "q278_gtest_fdr" -> ((s, dir) => {
+      EventAnalytics.gTestFdr(Tables.events(s, dir))
         .orderBy(col("event_type"))
     })
   )
@@ -3445,6 +3462,61 @@ object MarketQueries {
               - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
               / (CAST(count(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 6)
               AS dispersion
-          FROM h GROUP BY 1 ORDER BY event_type"""
+          FROM h GROUP BY 1 ORDER BY event_type""",
+
+    // turning-points twin: strict extrema on 6dp scaled-long closes,
+    // integer census, one shared-order double z formula
+    "q277_turning_points" ->
+      s"""WITH $barsCte,
+          x AS (SELECT series, bar_ts,
+                  CAST(floor(close*1e6 + 0.5) AS BIGINT) AS x6
+                FROM bars),
+          l AS (SELECT series, x6,
+                  lag(x6) OVER w AS pv, lead(x6) OVER w AS nx
+                FROM x
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          g AS (SELECT series, count(*) AS n_bars,
+                  CAST(SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                    AND ((pv < x6 AND x6 > nx) OR (pv > x6 AND x6 < nx))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+                FROM l GROUP BY 1),
+          f AS (SELECT *,
+                  2.0 * (CAST(n_bars AS DOUBLE) - 2.0) / 3.0 AS mu,
+                  (16.0 * CAST(n_bars AS DOUBLE) - 29.0) / 90.0 AS v
+                FROM g)
+          SELECT series, n_bars, n_turning,
+            round(mu, 6) AS exp_turning,
+            CASE WHEN v > 0 THEN
+              round((CAST(n_turning AS DOUBLE) - mu) / sqrt(v), 6) END
+              AS z
+          FROM f ORDER BY series""",
+
+    // G-test + BH twin: integer bin counts, 12dp DECIMAL term fold,
+    // exact chi-square(2df) survival p = exp(-LR/2), rounded-8
+    // boundary compare
+    "q278_gtest_fdr" ->
+      """WITH b AS (SELECT event_type,
+                      CAST(hour(ts) AS INTEGER) // 8 AS bin,
+                      count(*) AS o
+                    FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type, o, SUM(o) OVER
+                  (PARTITION BY event_type) AS n FROM b),
+          g AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                  round(2.0 * CAST(SUM(CAST(round(CAST(o AS DOUBLE)
+                    * ln(3.0 * CAST(o AS DOUBLE) / CAST(n AS DOUBLE)),
+                    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS lr
+                FROM t GROUP BY 1),
+          p AS (SELECT event_type, n, lr,
+                  round(exp(-lr/2), 8) AS p FROM g),
+          r AS (SELECT *, CAST(row_number() OVER
+                    (ORDER BY p, event_type) AS INTEGER) AS rank,
+                  count(*) OVER () AS m FROM p),
+          c AS (SELECT *, round(0.05 * CAST(rank AS DOUBLE)
+                  / CAST(m AS DOUBLE), 8) AS crit FROM r),
+          k AS (SELECT *, max(CASE WHEN p <= crit THEN rank END)
+                  OVER () AS kk FROM c)
+          SELECT event_type, n, lr, p, rank, crit,
+            (kk IS NOT NULL AND rank <= kk) AS bh_reject
+          FROM k ORDER BY event_type"""
   )
 }

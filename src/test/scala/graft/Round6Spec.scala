@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalactic.Tolerance._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{CorpusOps, MarketBars, PairAnalytics, SimilarityOps}
+import graft.ops.{CorpusOps, EventAnalytics, MarketBars, PairAnalytics, SimilarityOps, StatOps}
 import graft.sources.Tables
 
 /** Round-6 batch: hand-computed fixtures for the new indicator /
@@ -660,5 +660,105 @@ class Round6Spec extends AnyFunSuite {
       s"the Gram identity needs no pairwise product:\n${plan.take(3000)}")
     assert(plan.contains("Generate posexplode"),
       s"expected a map-side posexplode:\n${plan.take(3000)}")
+  }
+
+  // ---- batch K: association / inequality / randomness statistics ----
+
+  test("turningPoints: strict extrema census, exact iid moments") {
+    import spark.implicits._
+    val bars = Seq(1.0, 3.0, 2.0, 4.0, 4.0, 5.0).zipWithIndex.map {
+      case (c, i) => ("A", ts(f"2024-01-01 09:${i * 5}%02d:00"), c)
+    }.toDF("series", "bar_ts", "close")
+    val out = MarketBars.turningPoints(bars).collect()(0)
+    // peak at 3, trough at 2; the 4,4 plateau is NOT a strict extremum
+    assert(out.getAs[Long]("n_turning") === 2L)
+    assert(out.getAs[Double]("exp_turning") === 2.666667)
+    assert(out.getAs[Double]("z") === -0.772667)
+  }
+
+  test("kendallTauB: hand contingency — one discordant pair of three") {
+    import spark.implicits._
+    val df = Seq((1, 1), (2, 3), (3, 2)).toDF("x", "y")
+    val out = StatOps.kendallTauB(df, col("x"), col("y")).collect()(0)
+    assert(out.getAs[Long]("conc") === 2L)
+    assert(out.getAs[Long]("disc") === 1L)
+    assert(out.getAs[Double]("tau_b") === 0.333333)
+  }
+
+  test("theilIndex: equal values give zero, 1-vs-3 textbook values") {
+    import spark.implicits._
+    val m = Seq(("eq", 2.0), ("eq", 2.0), ("sk", 1.0), ("sk", 3.0))
+      .toDF("g", "x")
+      .withColumn("xdec",
+        col("x").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+    val out = StatOps.theilIndex(m, "g").orderBy("g").collect()
+    assert(out(0).getAs[Double]("theil_t") === 0.0)
+    assert(out(0).getAs[Double]("theil_l") === 0.0)
+    // T = (1/2)[(1/2)ln(1/2) + (3/2)ln(3/2)], L = (1/2)[ln 2 + ln(2/3)]
+    assert(out(1).getAs[Double]("theil_t") === 0.130812)
+    assert(out(1).getAs[Double]("theil_l") === 0.143841)
+  }
+
+  test("categoricalMI: identical columns give NMI = 1, H = ln 2") {
+    import spark.implicits._
+    val docs = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("lang", "source")
+    val out = CorpusOps.categoricalMI(docs, "lang", "source").collect()(0)
+    assert(out.getAs[Double]("mi_nats") === 0.693147)
+    assert(out.getAs[Double]("h_x") === 0.693147)
+    assert(out.getAs[Double]("nmi") === 1.0)
+  }
+
+  test("silhouette: two tight separated clusters score exactly 1") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(0f, 0f)),
+      (3L, 1, Array(10f, 10f)), (4L, 1, Array(10f, 10f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = CorpusOps.silhouette(emb).orderBy("label").collect()
+    assert(out.length === 2)
+    // a = 0 (point IS its centroid), b > 0 -> s = b/b = 1
+    assert(out(0).getAs[Long]("n_scored") === 2L)
+    assert(out(0).getAs[Double]("mean_sil") === 1.0)
+    assert(out(1).getAs[Double]("mean_sil") === 1.0)
+  }
+
+  test("gTestFdr: uniform type accepts, one-bin type rejects under BH") {
+    import spark.implicits._
+    val ev = (Seq(0, 8, 16).flatMap(h =>
+      Seq.fill(2)(("u", ts(f"2024-01-01 $h%02d:30:00")))) ++
+      Seq.fill(6)(("s", ts("2024-01-01 01:00:00"))))
+      .toDF("event_type", "ts")
+    val out = EventAnalytics.gTestFdr(ev).orderBy("event_type").collect()
+    val s = out(0); val u = out(1)
+    // s: all 6 in one bin -> LR = 12 ln 3, p = exp(-6 ln 3)
+    assert(s.getAs[Double]("lr") === 13.183347)
+    assert(s.getAs[Double]("p") === 0.00137174)
+    assert(s.getAs[Boolean]("bh_reject") === true)
+    assert(u.getAs[Double]("lr") === 0.0)
+    assert(u.getAs[Boolean]("bh_reject") === false)
+  }
+
+  test("batch-K ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.turningPoints(bars3), MarketBars.turningPoints(bars17))
+    same(EventAnalytics.gTestFdr(ev.repartition(3)),
+      EventAnalytics.gTestFdr(ev.repartition(17)))
+    val docs = Tables.documents(spark, sf)
+    same(CorpusOps.categoricalMI(docs.repartition(3), "lang", "source"),
+      CorpusOps.categoricalMI(docs.repartition(17), "lang", "source"))
+    val emb = Tables.embeddings(spark, sf)
+    same(CorpusOps.silhouette(emb.repartition(3)),
+      CorpusOps.silhouette(emb.repartition(17)))
+    val li = Tables.lineitem(spark, sf)
+    same(
+      StatOps.kendallTauB(li.repartition(3),
+        round(col("l_discount") * 100, 0), col("l_quantity")),
+      StatOps.kendallTauB(li.repartition(17),
+        round(col("l_discount") * 100, 0), col("l_quantity")))
   }
 }
