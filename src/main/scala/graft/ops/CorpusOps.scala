@@ -160,6 +160,43 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
 
+  /** Church–Gale term burstiness for the top-`k` terms by document
+    * frequency: burstiness = tf_total/df (mean occurrences per doc
+    * that CONTAINS the term) and repeat rate = P(tf ≥ 2 | tf ≥ 1) —
+    * separating topical words (bursty: rare across docs, dense inside
+    * them) from function words (even spread), which raw tf/df ranks
+    * (q38/q57) conflate. A curation pipeline uses it to build
+    * stopword lists that plain frequency would poison with topical
+    * hot terms.
+    *
+    * Determinism: all counts are exact integers off one (doc, term)
+    * aggregate; the two ratios are single rounded double divides; the
+    * cut orders by (df desc, term asc) — total.
+    *
+    * Scale: one token shuffle to (doc, term), one to the term
+    * vocabulary; the rank window runs on the vocab aggregate (q39
+    * rule) and can fall back to TakeOrdered if the vocab ever
+    * dominates. */
+  def termBurstiness(
+      docs: DataFrame,
+      k: Int = 25,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("df_rep"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("df"), col("tf_total"), col("df_rep"),
+        round(dbl(col("tf_total")) / dbl(col("df")), 6).as("burstiness"),
+        round(dbl(col("df_rep")) / dbl(col("df")), 6).as("repeat_rate"))
+  }
+
   /** One BPE merge round over the corpus: global counts of ADJACENT
     * token pairs — the statistic a byte-pair / wordpiece vocabulary
     * builder maximizes each round (the top pair is the next merge).
@@ -938,6 +975,52 @@ object CorpusOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= cap)
       .select(col(idCol), col(domainCol), col("rank").cast("int").as("rank"))
+  }
+
+  /** Neyman-optimal stratified sampling allocation: splits a sampling
+    * budget across strata proportionally to N_h·S_h (stratum size ×
+    * stratum std of `sizeCol`) — the textbook minimum-variance
+    * allocation, and the principled replacement for the proportional
+    * split when strata have very different spreads (a volatile crawl
+    * source earns MORE than its share of audit samples). Pairs with
+    * [[capPerDomain]]/[[weightedSample]], which do the per-doc
+    * selection once the per-stratum quota is known.
+    *
+    * Determinism: per-stratum moments are exact DECIMAL integer sums;
+    * S_h is one shared-order double formula rounded at 6; the weights
+    * fold in DECIMAL(38,6) so the grand total is partition-exact, and
+    * the floor-form rounding of each quota is engine-identical.
+    *
+    * Scale: one groupBy to \|strata\| rows; everything after is
+    * broadcast arithmetic on that tiny relation. */
+  def neymanAllocation(
+      docs: DataFrame,
+      strataCol: String = "source",
+      sizeCol: String = "n_chars",
+      budget: Int = 1000): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec0 = DecimalType(38, 0)
+    val strata = docs
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast(dec0)).as("sx"),
+        sum((col(sizeCol).cast(dec0) * col(sizeCol).cast(dec0))).as("sxx"))
+      .withColumn("sd",
+        when(col("n_docs") > 1,
+          round(sqrt((dbl(col("n_docs")) * dbl(col("sxx")) -
+            dbl(col("sx")) * dbl(col("sx"))) /
+            (dbl(col("n_docs")) * (dbl(col("n_docs")) - lit(1.0)))), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("w",
+        round(dbl(col("n_docs")) * col("sd"), 6)
+          .cast(DecimalType(38, 6)))
+    val tot = strata.agg(sum(col("w")).as("wsum"))
+    strata.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n_docs"), col("sd"),
+        round(dbl(col("w")) / dbl(col("wsum")), 6).as("share"),
+        when(col("wsum") > 0,
+          floor(lit(budget.toDouble) * dbl(col("w")) / dbl(col("wsum")) +
+            lit(0.5)).cast("long")).otherwise(0L).as("n_alloc"))
   }
 
   /** BM25 keyword retrieval (Okapi, Lucene idf form): global top-`k`

@@ -531,6 +531,108 @@ object EventAnalytics {
             lit(1e6) + lit(0.5)) / lit(1e6)).as("ks"))
   }
 
+  /** Population stability index per event type between a slice and
+    * its complement — the INDUSTRY drift number (credit-risk lineage)
+    * next to the distribution tests: PSI = Σ_bins (p_a − p_b) ·
+    * ln(p_a/p_b) over `nBins` equal-width bins of the type's full
+    * value range, with Laplace (+1) smoothing so empty bins are
+    * well-defined. Rule-of-thumb fences: < 0.1 stable, > 0.2 drifted
+    * (flagged).
+    *
+    * KS (q142) is the sup of a CDF gap — one point; rank-sum AUC
+    * (q145) is a location shift number; PSI integrates the WHOLE
+    * histogram disagreement and is what model-monitoring dashboards
+    * actually alarm on.
+    *
+    * Determinism: bin edges derive from the type's exact double
+    * min/max with one shared-order bin formula; counts are integers;
+    * smoothed p's and each bin term evaluate in one shared double op
+    * order, round at 12 dp, fold in DECIMAL(38,12); PSI rounds at 6.
+    * The full bin grid (including empty bins) is enumerated
+    * explicitly so both engines sum the same `nBins` terms.
+    *
+    * Scale: one (type, bin) shuffle collapses events to ≤ types·nBins
+    * cells; the grid join is broadcast. */
+  def psiDrift(events: DataFrame, slice: Column, nBins: Int = 10): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 12)
+    val nb = lit(nBins)
+    val ranges = events.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+        sum(when(slice, 1L).otherwise(0L)).as("na"),
+        sum(when(!slice, 1L).otherwise(0L)).as("nb_tot"))
+      .localCheckpoint(eager = false)
+    val counts = events
+      .join(broadcast(ranges.select(col("event_type"), col("mn"), col("mx"))),
+        "event_type")
+      .withColumn("bin",
+        when(col("mx") > col("mn"),
+          least(nb - 1, floor((col("value") - col("mn")) * dbl(nb) /
+            (col("mx") - col("mn"))).cast("int")))
+          .otherwise(0))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(slice, 1L).otherwise(0L)).as("ca"),
+        sum(when(!slice, 1L).otherwise(0L)).as("cb"))
+    val grid = ranges.select(col("event_type"), col("na"), col("nb_tot"))
+      .withColumn("bin", explode(sequence(lit(0), nb - 1)))
+    grid.join(counts, Seq("event_type", "bin"), "left")
+      .withColumn("pa",
+        (dbl(coalesce(col("ca"), lit(0L))) + lit(1.0)) /
+          (dbl(col("na")) + dbl(nb)))
+      .withColumn("pb",
+        (dbl(coalesce(col("cb"), lit(0L))) + lit(1.0)) /
+          (dbl(col("nb_tot")) + dbl(nb)))
+      .withColumn("term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 12)
+          .cast(dec))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("na"), max(col("nb_tot")).as("nb"),
+        round(dbl(sum(col("term"))), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+  }
+
+  /** Markov entropy rate of the per-user event-type transition chain:
+    * H = −Σ_ij (c_ij/N) ln(c_ij/c_i·) in nats — "how predictable is
+    * the next event given the current one", the single-number summary
+    * of the q120/q237 transition matrices. Reported next to the
+    * ln(k) ceiling and their ratio (predictability efficiency:
+    * 1 = uniform chaos, →0 = deterministic flows).
+    *
+    * Determinism: transition counts are exact integers off one
+    * (user, ts, event_id) window; each term uses one shared double op
+    * order, rounds at 12 dp, folds in DECIMAL(38,12); outputs round
+    * at 6 (the ratio from the DECIMAL sum, not the re-rounded rate).
+    *
+    * Scale: one user-keyed window (growing key), one shuffle to the
+    * k² transition cells; everything after runs on cells. */
+  def entropyRate(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 12)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cells = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("cij"))
+    val rows = cells.groupBy(col("prev_type")).agg(sum(col("cij")).as("ci"))
+    val tot = cells.agg(sum(col("cij")).as("n"),
+      countDistinct(col("prev_type")).as("n_states"))
+    cells.join(broadcast(rows), "prev_type")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        round(dbl(col("cij")) / dbl(col("n")) *
+          log(dbl(col("cij")) / dbl(col("ci"))), 12).cast(dec))
+      .groupBy(col("n"), col("n_states"))
+      .agg((-sum(col("term"))).as("h_d"))
+      .select(col("n").as("n_transitions"), col("n_states"),
+        round(dbl(col("h_d")), 6).as("entropy_rate"),
+        round(log(dbl(col("n_states"))), 6).as("max_rate"),
+        when(col("n_states") > 1,
+          round(dbl(col("h_d")) / log(dbl(col("n_states"))), 6))
+          .as("efficiency"))
+  }
+
   /** Within-session conversion funnel: sessions via the q56 strict
     * ≥gap rule, then per session "did a `toType` follow the FIRST
     * `fromType` inside the SAME session?", rolled up per session-start

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
@@ -100,4 +101,61 @@ object StatOps {
         round(dbl(sum(col("tl"))) / dbl(max(col("n_members"))), 6)
           .as("theil_l"))
   }
+
+  /** Kaplan–Meier product-limit survival per group, evaluated at
+    * fixed horizons: S(H) = Π_{event times t ≤ H} (1 − d_t/n_t) with
+    * right-censoring — the estimator that answers "what share of
+    * customers have NOT reordered within H days" without the bias of
+    * dropping still-active customers (censored spells count in the
+    * at-risk denominator until their censor time, which a plain gap
+    * histogram like q244 cannot do).
+    *
+    * `durations` carries (groupCol, `dur` integer time units,
+    * `event` 1 = observed, 0 = censored). Determinism: d_t and the
+    * at-risk n_t are exact integers (one desc-cumulative window over
+    * the (group, dur) cells); the product folds as Σ ln((n−d)/n)
+    * rounded at 12 dp in DECIMAL(38,12), exp rounds at 6; a horizon
+    * that has absorbed a d = n event time pins S to exactly 0.
+    *
+    * Scale: the spell table collapses to (group, dur) cells in one
+    * shuffle — windows and the broadcast horizon join run on cells
+    * (bounded by distinct durations), never on members. */
+  def kaplanMeier(
+      durations: DataFrame,
+      groupCol: String,
+      horizons: Seq[Int]): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val cells = durations
+      .groupBy(col(groupCol), col("dur"))
+      .agg(count(lit(1)).as("n_all"), sum(col("event")).as("d"))
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ev = cells
+      .withColumn("at_risk", sum(col("n_all")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("lnterm",
+        when(col("d") < col("at_risk"),
+          round(log(dbl(col("at_risk") - col("d")) / dbl(col("at_risk"))),
+            12).cast(dec)))
+    val hs = durations.sparkSession
+      .createDataFrame(horizons.map(Tuple1(_))).toDF("horizon")
+    val base = durations.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_spells"), sum(col("event")).as("n_events"))
+    base.crossJoin(broadcast(hs))
+      .join(ev.select(col(groupCol), col("dur"), col("d"), col("lnterm")),
+        Seq(groupCol), "left")
+      .withColumn("in_h", col("dur").isNotNull && col("dur") <= col("horizon"))
+      .groupBy(col(groupCol), col("horizon"), col("n_spells"),
+        col("n_events"))
+      .agg(sum(when(col("in_h"), col("lnterm"))).as("lnsum"),
+        max(when(col("in_h") && col("lnterm").isNull, 1)
+          .otherwise(0)).as("absorbed"),
+        sum(when(col("in_h"), col("d")).otherwise(0L)).as("d_in_h"))
+      .select(col(groupCol), col("horizon"), col("n_spells"),
+        col("n_events"),
+        when(col("absorbed") === 1, lit(0.0))
+          .when(col("d_in_h") === 0, lit(1.0))
+          .otherwise(round(exp(dbl(col("lnsum"))), 6)).as("surv"))
+  }
+
 }

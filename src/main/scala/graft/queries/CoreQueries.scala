@@ -1660,6 +1660,65 @@ object CoreQueries {
           col("o_custkey") === col("c_custkey"))
       StatOps.theilIndex(cust, "c_mktsegment")
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Kaplan–Meier reorder survival per segment (StatOps
+    // .kaplanMeier): share of customers NOT reordering within H
+    // days, right-censoring still-active customers at the horizon —
+    // the unbiased version of q244's raw gap histogram
+    "q280_kaplan_meier" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey"), col("c_mktsegment"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d"), col("o_orderkey"))
+      val mx = o.agg(max(col("d")).as("mxd"))
+      val durs = o.withColumn("nd", lead(col("d"), 1).over(w))
+        .crossJoin(broadcast(mx))
+        .select(col("c_mktsegment"),
+          when(col("nd").isNotNull, datediff(col("nd"), col("d")))
+            .otherwise(datediff(col("mxd"), col("d")))
+            .cast("long").as("dur"),
+          when(col("nd").isNotNull, 1L).otherwise(0L).as("event"))
+      StatOps.kaplanMeier(durs, "c_mktsegment", Seq(30, 90, 180, 365))
+        .orderBy(col("c_mktsegment"), col("horizon"))
+    }),
+
+    // TPC-H Q2 shape: min-cost supplier per part (pseudo-partsupp
+    // from lineitem) for a part-filter slice inside one region; the
+    // correlated min rewrites as a groupBy + equi-join back
+    "q284_min_cost_supplier" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") / col("l_quantity"), 2))
+          .as("cost"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_type") === "LARGE" &&
+          col("p_size").between(10, 20))
+        .select(col("p_partkey"), col("p_name"))
+      val cand = ps
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val minc = cand.groupBy(col("p_partkey").as("mp"))
+        .agg(min(col("cost")).as("min_cost"))
+      cand.join(minc,
+          col("p_partkey") === col("mp") && col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(20)
     })
   )
 
@@ -3262,6 +3321,84 @@ object CoreQueries {
             round(CAST(SUM(CAST(round(ln(mu/xd), 12)
               AS DECIMAL(38,12))) AS DOUBLE)
               / CAST(max(n_members) AS DOUBLE), 6) AS theil_l
-          FROM t GROUP BY 1 ORDER BY c_mktsegment"""
+          FROM t GROUP BY 1 ORDER BY c_mktsegment""",
+
+    // KM twin: same spells (lead over (d, orderkey), censor at the
+    // global max date), integer at-risk via the desc-cumulative
+    // window, 12dp ln fold, absorbed states pin S to 0
+    "q280_kaplan_meier" ->
+      """WITH o AS (SELECT o_custkey, c_mktsegment, o_orderkey,
+                      CAST(o_orderdate AS DATE) AS d
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+          mx AS (SELECT max(d) AS mxd FROM o),
+          sp AS (SELECT c_mktsegment,
+                   CAST(CASE WHEN nd IS NOT NULL
+                     THEN date_diff('day', d, nd)
+                     ELSE date_diff('day', d, mxd) END AS BIGINT) AS dur,
+                   CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS event
+                 FROM (SELECT *, lead(d) OVER (PARTITION BY o_custkey
+                         ORDER BY d, o_orderkey) AS nd FROM o)
+                 CROSS JOIN mx),
+          cells AS (SELECT c_mktsegment, dur, count(*) AS n_all,
+                      CAST(SUM(event) AS BIGINT) AS dd
+                    FROM sp GROUP BY 1, 2),
+          ar AS (SELECT *, CAST(SUM(n_all) OVER (PARTITION BY
+                     c_mktsegment ORDER BY dur DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS at_risk
+                 FROM cells),
+          ev AS (SELECT c_mktsegment, dur, dd,
+                   CASE WHEN dd < at_risk THEN
+                     CAST(round(ln(CAST(at_risk - dd AS DOUBLE)
+                       / CAST(at_risk AS DOUBLE)), 12)
+                       AS DECIMAL(38,12)) END AS lnterm
+                 FROM ar WHERE dd > 0),
+          base AS (SELECT c_mktsegment, count(*) AS n_spells,
+                     CAST(SUM(event) AS BIGINT) AS n_events
+                   FROM sp GROUP BY 1),
+          h AS (SELECT c_mktsegment, n_spells, n_events,
+                  CAST(hz AS INTEGER) AS horizon
+                FROM base, unnest([30, 90, 180, 365]) AS u(hz)),
+          j AS (SELECT h.c_mktsegment, horizon, n_spells, n_events,
+                  SUM(CASE WHEN ev.dur IS NOT NULL
+                    AND ev.dur <= horizon THEN lnterm END) AS lnsum,
+                  MAX(CASE WHEN ev.dur IS NOT NULL
+                    AND ev.dur <= horizon AND lnterm IS NULL
+                    THEN 1 ELSE 0 END) AS absorbed,
+                  SUM(CASE WHEN ev.dur IS NOT NULL
+                    AND ev.dur <= horizon THEN dd ELSE 0 END) AS d_in_h
+                FROM h LEFT JOIN ev
+                  ON h.c_mktsegment = ev.c_mktsegment
+                GROUP BY 1, 2, 3, 4)
+          SELECT c_mktsegment, horizon, n_spells, n_events,
+            CASE WHEN absorbed = 1 THEN 0.0
+                 WHEN d_in_h = 0 THEN 1.0
+                 ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS surv
+          FROM j ORDER BY c_mktsegment, horizon""",
+
+    // Q2-shape twin: same pseudo-partsupp min-cost cells, region
+    // slice, correlated min via groupBy + join back, total-order cut
+    "q284_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+                       min(round(l_extendedprice / l_quantity, 2))
+                         AS cost
+                     FROM lineitem GROUP BY 1, 2),
+          supp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                   FROM supplier
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+                   WHERE r_name = 'ASIA'),
+          parts AS (SELECT p_partkey, p_name FROM part
+                    WHERE p_type = 'LARGE'
+                      AND p_size BETWEEN 10 AND 20),
+          cand AS (SELECT * FROM ps
+                   JOIN supp ON l_suppkey = s_suppkey
+                   JOIN parts ON l_partkey = p_partkey),
+          mc AS (SELECT l_partkey AS mp, min(cost) AS min_cost
+                 FROM cand GROUP BY 1)
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+          FROM cand JOIN mc ON l_partkey = mp AND cost = min_cost
+          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          LIMIT 20"""
   )
 }

@@ -870,6 +870,21 @@ object LlmQueries {
     "q276_silhouette" -> ((s, dir) => {
       CorpusOps.silhouette(Tables.embeddings(s, dir))
         .orderBy(col("label"))
+    }),
+
+    // Neyman sampling allocation (CorpusOps.neymanAllocation):
+    // minimum-variance budget split across sources by N_h·S_h — the
+    // quota layer above q99's cap and q133's weighted draw
+    "q281_neyman_alloc" -> ((s, dir) => {
+      CorpusOps.neymanAllocation(Tables.documents(s, dir))
+        .orderBy(col("source"))
+    }),
+
+    // Church–Gale term burstiness (CorpusOps.termBurstiness):
+    // topical-vs-function-word separation that raw tf/df ranks miss
+    "q283_term_burstiness" -> ((s, dir) => {
+      CorpusOps.termBurstiness(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("df").desc, col("term"))
     })
   )
 
@@ -3014,6 +3029,53 @@ object LlmQueries {
             round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
               / CAST(count(s) AS DOUBLE), 6) AS mean_sil,
             round(min(s), 6) AS min_sil
-          FROM sc GROUP BY 1 ORDER BY label"""
+          FROM sc GROUP BY 1 ORDER BY label""",
+
+    // Neyman twin: exact integer stratum moments, shared-order sd
+    // formula, DECIMAL(38,6) weight fold, floor-form quotas
+    "q281_neyman_alloc" ->
+      """WITH st AS (SELECT source, count(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS sx,
+                       CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+                     FROM documents GROUP BY 1),
+          sd AS (SELECT source, n_docs,
+                   CASE WHEN n_docs > 1 THEN
+                     round(sqrt((CAST(n_docs AS DOUBLE)
+                       * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n_docs AS DOUBLE)
+                         * (CAST(n_docs AS DOUBLE) - 1.0))), 6)
+                     ELSE 0.0 END AS sd
+                 FROM st),
+          wt AS (SELECT *, CAST(round(CAST(n_docs AS DOUBLE) * sd, 6)
+                   AS DECIMAL(38,6)) AS w FROM sd),
+          tot AS (SELECT SUM(w) AS wsum FROM wt)
+          SELECT source, n_docs, sd,
+            round(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS share,
+            CASE WHEN wsum > 0 THEN
+              CAST(floor(1000.0 * CAST(w AS DOUBLE)
+                / CAST(wsum AS DOUBLE) + 0.5) AS BIGINT)
+              ELSE 0 END AS n_alloc
+          FROM wt CROSS JOIN tot ORDER BY source""",
+
+    // burstiness twin: same (doc, term) cells, integer censuses,
+    // (df desc, term) total-order cut
+    "q283_term_burstiness" ->
+      s"""WITH $toksCte,
+          tf AS (SELECT doc_id, term, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+                 GROUP BY 1, 2),
+          v AS (SELECT term, count(*) AS df,
+                  CAST(SUM(tf) AS BIGINT) AS tf_total,
+                  CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_rep
+                FROM tf GROUP BY 1),
+          cut AS (SELECT * FROM v ORDER BY df DESC, term LIMIT 25)
+          SELECT term, df, tf_total, df_rep,
+            round(CAST(tf_total AS DOUBLE) / CAST(df AS DOUBLE), 6)
+              AS burstiness,
+            round(CAST(df_rep AS DOUBLE) / CAST(df AS DOUBLE), 6)
+              AS repeat_rate
+          FROM cut ORDER BY df DESC, term"""
   )
 }

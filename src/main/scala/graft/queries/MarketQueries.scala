@@ -1100,6 +1100,22 @@ object MarketQueries {
     "q278_gtest_fdr" -> ((s, dir) => {
       EventAnalytics.gTestFdr(Tables.events(s, dir))
         .orderBy(col("event_type"))
+    }),
+
+    // Population stability index (EventAnalytics.psiDrift): the
+    // industry drift alarm — whole-histogram disagreement with
+    // Laplace smoothing, same split as q142's KS
+    "q279_psi_drift" -> ((s, dir) => {
+      EventAnalytics.psiDrift(Tables.events(s, dir),
+        col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+        .orderBy(col("event_type"))
+    }),
+
+    // Markov entropy rate of the event-type chain
+    // (EventAnalytics.entropyRate): how predictable is the next
+    // event — the single number over the q120/q237 matrices
+    "q282_entropy_rate" -> ((s, dir) => {
+      EventAnalytics.entropyRate(Tables.events(s, dir))
     })
   )
 
@@ -3517,6 +3533,73 @@ object MarketQueries {
                   OVER () AS kk FROM c)
           SELECT event_type, n, lr, p, rank, crit,
             (kk IS NOT NULL AND rank <= kk) AS bh_reject
-          FROM k ORDER BY event_type"""
+          FROM k ORDER BY event_type""",
+
+    // PSI twin: shared equal-width bin formula off exact min/max,
+    // explicit full grid (empty bins count under Laplace), 12dp
+    // DECIMAL term fold
+    "q279_psi_drift" ->
+      """WITH rg AS (SELECT event_type, min(value) AS mn,
+                       max(value) AS mx,
+                       CAST(SUM(CASE WHEN ts < TIMESTAMP
+                         '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS na,
+                       CAST(SUM(CASE WHEN ts < TIMESTAMP
+                         '2024-01-15 00:00:00' THEN 0 ELSE 1 END)
+                         AS BIGINT) AS nbt
+                     FROM events GROUP BY 1),
+          cnt AS (SELECT e.event_type,
+                    CASE WHEN mx > mn THEN LEAST(9,
+                      CAST(floor((value - mn) * 10.0 / (mx - mn))
+                        AS INTEGER)) ELSE 0 END AS bin,
+                    CAST(SUM(CASE WHEN ts < TIMESTAMP
+                      '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                    CAST(SUM(CASE WHEN ts < TIMESTAMP
+                      '2024-01-15 00:00:00' THEN 0 ELSE 1 END)
+                      AS BIGINT) AS cb
+                  FROM events e JOIN rg ON e.event_type = rg.event_type
+                  GROUP BY 1, 2),
+          grid AS (SELECT event_type, na, nbt, CAST(i AS INTEGER) AS bin
+                   FROM rg, unnest(generate_series(0, 9)) AS g(i)),
+          t AS (SELECT g.event_type, g.na, g.nbt,
+                  (CAST(COALESCE(ca, 0) AS DOUBLE) + 1.0)
+                    / (CAST(na AS DOUBLE) + 10.0) AS pa,
+                  (CAST(COALESCE(cb, 0) AS DOUBLE) + 1.0)
+                    / (CAST(nbt AS DOUBLE) + 10.0) AS pb
+                FROM grid g LEFT JOIN cnt
+                  ON g.event_type = cnt.event_type AND g.bin = cnt.bin),
+          f AS (SELECT event_type, na, nbt,
+                  round(CAST(SUM(CAST(round((pa - pb) * ln(pa/pb), 12)
+                    AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+                FROM t GROUP BY 1, 2, 3)
+          SELECT event_type, na, nbt AS nb, psi, psi > 0.2 AS drifted
+          FROM f ORDER BY event_type""",
+
+    // entropy-rate twin: integer transition cells off the same
+    // (user, ts, event_id) order, MI-style 12dp DECIMAL fold
+    "q282_entropy_rate" ->
+      """WITH tr AS (SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type
+                     FROM events),
+          cells AS (SELECT prev_type, event_type, count(*) AS cij
+                    FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+          rws AS (SELECT prev_type, CAST(SUM(cij) AS BIGINT) AS ci
+                  FROM cells GROUP BY 1),
+          tot AS (SELECT CAST(SUM(cij) AS BIGINT) AS n,
+                    CAST(count(DISTINCT prev_type) AS BIGINT) AS n_states
+                  FROM cells),
+          s AS (SELECT -SUM(CAST(round(CAST(cij AS DOUBLE)
+                    / CAST(n AS DOUBLE)
+                    * ln(CAST(cij AS DOUBLE) / CAST(ci AS DOUBLE)), 12)
+                  AS DECIMAL(38,12))) AS h_d
+                FROM cells JOIN rws USING (prev_type) CROSS JOIN tot)
+          SELECT n AS n_transitions, n_states,
+            round(CAST(h_d AS DOUBLE), 6) AS entropy_rate,
+            round(ln(CAST(n_states AS DOUBLE)), 6) AS max_rate,
+            CASE WHEN n_states > 1 THEN round(CAST(h_d AS DOUBLE)
+              / ln(CAST(n_states AS DOUBLE)), 6) END AS efficiency
+          FROM s, tot"""
   )
 }

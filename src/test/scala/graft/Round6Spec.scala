@@ -739,6 +739,108 @@ class Round6Spec extends AnyFunSuite {
     assert(u.getAs[Boolean]("bh_reject") === false)
   }
 
+  // ---- batch L: drift / survival / sampling / chain statistics ----
+
+  test("psiDrift: identical halves give zero, full shift crosses 0.2") {
+    import spark.implicits._
+    val cut = ts("2024-01-15 00:00:00")
+    val before = ts("2024-01-10 00:00:00")
+    val after = ts("2024-01-20 00:00:00")
+    // type a: same values on both sides -> pa = pb in every bin
+    val a = Seq(1.0, 2.0, 3.0, 4.0).flatMap(v =>
+      Seq(("a", before, v), ("a", after, v)))
+    // type b: slice pinned to bin 0, rest pinned to bin 9
+    val b = Seq.fill(4)(("b", before, 0.0)) ++ Seq.fill(4)(("b", after, 1.0))
+    val ev = (a ++ b).toDF("event_type", "ts", "value")
+    val out = graft.ops.EventAnalytics.psiDrift(ev, col("ts") < cut)
+      .orderBy("event_type").collect()
+    assert(out(0).getAs[Double]("psi") === 0.0)
+    assert(out(0).getAs[Boolean]("drifted") === false)
+    assert(out(1).getAs[Double]("psi") === 0.919679)
+    assert(out(1).getAs[Boolean]("drifted") === true)
+  }
+
+  test("kaplanMeier: textbook product-limit path, absorbed tail pins 0") {
+    import spark.implicits._
+    val durs = Seq(
+      ("g", 5L, 1L), ("g", 10L, 1L), ("g", 10L, 0L),
+      ("h", 5L, 1L))
+      .toDF("grp", "dur", "event")
+    val out = StatOps.kaplanMeier(durs, "grp", Seq(3, 7, 30))
+      .orderBy("grp", "horizon").collect()
+    val g = out.filter(_.getString(0) == "g")
+    assert(g(0).getAs[Double]("surv") === 1.0)       // H=3: no events yet
+    assert(g(1).getAs[Double]("surv") === 0.666667)  // H=7: (3-1)/3
+    assert(g(2).getAs[Double]("surv") === 0.333333)  // H=30: * (2-1)/2
+    val h = out.filter(_.getString(0) == "h")
+    assert(h(0).getAs[Double]("surv") === 1.0)
+    assert(h(1).getAs[Double]("surv") === 0.0)       // d = n absorbs
+    assert(h(2).getAs[Double]("surv") === 0.0)
+  }
+
+  test("neymanAllocation: zero-spread stratum gets zero quota") {
+    import spark.implicits._
+    val docs = Seq(("x", 5L), ("x", 5L), ("y", 0L), ("y", 2L), ("y", 4L))
+      .toDF("source", "n_chars")
+    val out = CorpusOps.neymanAllocation(docs).orderBy("source").collect()
+    assert(out(0).getAs[Double]("sd") === 0.0)
+    assert(out(0).getAs[Long]("n_alloc") === 0L)
+    assert(out(1).getAs[Double]("sd") === 2.0)
+    assert(out(1).getAs[Double]("share") === 1.0)
+    assert(out(1).getAs[Long]("n_alloc") === 1000L)
+  }
+
+  test("entropyRate: a deterministic chain has rate exactly zero") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "a"),
+      (4L, ts("2024-01-01 00:03:00"), 1L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.EventAnalytics.entropyRate(ev).collect()(0)
+    assert(out.getAs[Long]("n_transitions") === 3L)
+    assert(out.getAs[Long]("n_states") === 2L)
+    assert(out.getAs[Double]("entropy_rate") === 0.0)
+    assert(out.getAs[Double]("efficiency") === 0.0)
+  }
+
+  test("termBurstiness: repeated-in-doc terms score above spread terms") {
+    import spark.implicits._
+    val docs = Seq((1L, "w w x"), (2L, "w y")).toDF("doc_id", "text")
+    val out = CorpusOps.termBurstiness(docs, k = 10)
+      .filter(col("term") === "w").collect()(0)
+    assert(out.getAs[Long]("df") === 2L)
+    assert(out.getAs[Long]("tf_total") === 3L)
+    assert(out.getAs[Long]("df_rep") === 1L)
+    assert(out.getAs[Double]("burstiness") === 1.5)
+    assert(out.getAs[Double]("repeat_rate") === 0.5)
+  }
+
+  test("batch-L ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    val cut = col("ts") < to_timestamp(lit("2024-01-15 00:00:00"))
+    same(graft.ops.EventAnalytics.psiDrift(ev.repartition(3), cut),
+      graft.ops.EventAnalytics.psiDrift(ev.repartition(17), cut))
+    same(graft.ops.EventAnalytics.entropyRate(ev.repartition(3)),
+      graft.ops.EventAnalytics.entropyRate(ev.repartition(17)))
+    val docs = Tables.documents(spark, sf)
+    same(CorpusOps.neymanAllocation(docs.repartition(3)),
+      CorpusOps.neymanAllocation(docs.repartition(17)))
+    same(CorpusOps.termBurstiness(docs.repartition(3)),
+      CorpusOps.termBurstiness(docs.repartition(17)))
+    val durs = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (col("o_orderkey") % 7).cast("long").as("dur"),
+        (col("o_orderkey") % 2).cast("long").as("event"))
+      .withColumnRenamed("o_custkey", "grp")
+      .withColumn("grp", (col("grp") % 3).cast("string"))
+    same(StatOps.kaplanMeier(durs.repartition(3), "grp", Seq(2, 5)),
+      StatOps.kaplanMeier(durs.repartition(17), "grp", Seq(2, 5)))
+  }
+
   test("batch-K ops are partitioning-invariant") {
     def same(a: DataFrame, b: DataFrame): Unit =
       assert(a.except(b).count() === 0 && b.except(a).count() === 0)
