@@ -160,6 +160,36 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
 
+  /** Per-class training weights over a labeled table: the
+    * inverse-frequency weight N/(k·N_c) (sums to N over the dataset —
+    * the sklearn "balanced" convention) and the class-balanced
+    * effective-number weight (1−β)/(1−β^{N_c}) of Cui et al. 2019 —
+    * the two standard corrections a trainer applies when labels are
+    * skewed, computed engine-side so the training job receives a
+    * ready broadcast table.
+    *
+    * Determinism: counts are exact integers; β^{N_c} is written as
+    * exp(N_c·ln β) in BOTH engines (one shared op order, no pow
+    * library variance); weights round at 6.
+    *
+    * Scale: one groupBy to k class rows; constant-time after. */
+  def classWeights(
+      emb: DataFrame,
+      labelCol: String = "label",
+      beta: Double = 0.99): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val counts = emb.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_c"))
+    val tot = counts.agg(sum(col("n_c")).as("n"), count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("label"), col("n_c"),
+        round(dbl(col("n")) / (dbl(col("k")) * dbl(col("n_c"))), 6)
+          .as("inv_freq_w"),
+        round((lit(1.0) - lit(beta)) /
+          (lit(1.0) - exp(dbl(col("n_c")) * log(lit(beta)))), 6)
+          .as("eff_num_w"))
+  }
+
   /** Church–Gale term burstiness for the top-`k` terms by document
     * frequency: burstiness = tf_total/df (mean occurrences per doc
     * that CONTAINS the term) and repeat rate = P(tf ≥ 2 | tf ≥ 1) —

@@ -2160,6 +2160,58 @@ object MarketBars {
         col("r_sq_acf") > lit(1.96) / sqrt(dbl(col("n"))))
   }
 
+  /** Up/down-regime beta per series against a designated market
+    * series: β⁺ over bars where the market return is positive, β⁻
+    * where negative (zero market bars excluded) — the asymmetry the
+    * single-beta market model (q200) averages away, and the number a
+    * risk desk actually prices (a series that only co-moves in
+    * crashes is insurance sold, not bought).
+    *
+    * Determinism: both legs' returns are exact 8 dp scaled longs
+    * (q90 rule) joined on bar_ts; per (series, regime) the moment
+    * sums fold in DECIMAL (cast BEFORE multiplying — the q248
+    * overflow rule); β = (nΣxm − ΣxΣm)/(nΣmm − (Σm)²) is one
+    * shared-order double formula rounded at 6 (scale factors cancel).
+    *
+    * Scale: returns are one per-series window pass; the market leg is
+    * a per-bar relation joined by bar_ts (broadcast when the bar
+    * count allows, shuffle otherwise); moments are map-side-combined
+    * aggregates to |series|·2 rows. */
+  def upDownBeta(bars: DataFrame, marketSeries: String): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val rets = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
+      .localCheckpoint(eager = false)
+    val mkt = rets.filter(col("series") === marketSeries)
+      .select(col("bar_ts"), col("r8").as("m8"))
+    rets.filter(col("series") =!= marketSeries)
+      .join(mkt, "bar_ts")
+      .filter(col("m8") =!= 0)
+      .withColumn("regime", when(col("m8") > 0, "up").otherwise("down"))
+      .groupBy(col("series"), col("regime"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r8").cast(dec)).as("sx"),
+        sum(col("m8").cast(dec)).as("sm"),
+        sum(col("r8").cast(dec) * col("m8").cast(dec)).as("sxm"),
+        sum(col("m8").cast(dec) * col("m8").cast(dec)).as("smm"))
+      .withColumn("den",
+        dbl(col("n")) * dbl(col("smm")) - dbl(col("sm")) * dbl(col("sm")))
+      .select(col("series"), col("regime"), col("n"),
+        when(col("den") > 0,
+          round((dbl(col("n")) * dbl(col("sxm")) -
+            dbl(col("sx")) * dbl(col("sm"))) / col("den"), 6))
+          .as("beta"))
+  }
+
   /** Kendall turning-points test per series: count interior bars that
     * are a STRICT local max or min of the close path; under an iid
     * continuous sequence E[T] = 2(N−2)/3 and Var[T] = (16N−29)/90,

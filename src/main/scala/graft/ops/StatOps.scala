@@ -102,6 +102,75 @@ object StatOps {
           .as("theil_l"))
   }
 
+  /** Join-key skew audit: the distribution of per-key row counts for
+    * a prospective shuffle/join key — the number you check BEFORE
+    * launching a 1000-executor join, because one mega-key is the
+    * difference between a clean shuffle and a straggler task holding
+    * the cluster (the hazard `SaltedJoin`/AQE skew handling exists
+    * for). Reports key cardinality, the heaviest key's share, the
+    * p50/p99 key sizes and their ratio.
+    *
+    * Determinism: counts are exact integers; the percentiles use the
+    * shared interpolated-percentile convention (rounded at 4); the
+    * top-1 share is one rounded double divide.
+    *
+    * Scale: one groupBy to the key relation; the percentile aggregate
+    * runs over keys, not rows. */
+  def keySkew(df: DataFrame, keyCol: Column): DataFrame = {
+    val counts = df.groupBy(keyCol.as("k")).agg(count(lit(1)).as("c"))
+    counts.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_key_rows"),
+        round(expr("percentile(c, 0.5)"), 4).as("p50_rows"),
+        round(expr("percentile(c, 0.99)"), 4).as("p99_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        col("p50_rows"), col("p99_rows"),
+        round(dbl(col("max_key_rows")) / dbl(col("n_rows")), 6)
+          .as("top1_share"),
+        when(col("p50_rows") > 0,
+          round(col("p99_rows") / col("p50_rows"), 6)).as("skew_ratio"))
+  }
+
+  /** Hill estimator of the power-law tail index per group over the
+    * top `k` order statistics of a positive value:
+    * α = k / Σ_{i=1..k} ln(x_(i)/x_(k+1)) — the tail-heaviness
+    * number behind "how long is the long tail", sharper than a
+    * log-log regression slope (q257 Zipf) because it uses ONLY the
+    * tail it estimates. α ≈ 1 is Zipf-heavy; large α is thin.
+    *
+    * Determinism: the top-(k+1) multiset is selected by VALUE desc,
+    * so ties at the boundary cannot change the selected values; each
+    * ln ratio rounds at 12 dp and folds in DECIMAL(38,12); α rounds
+    * at 6 (null when the top k+1 values are all equal).
+    *
+    * Scale: the per-group rank window is the hot-key class (growing
+    * group count amortizes it; the q39 aggregate-then-TakeOrdered
+    * escape applies if one group dominates). */
+  def hillTail(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 25): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("x").desc)
+    val top = df
+      .select(col(groupCol), col(valueCol).cast(DoubleType).as("x"))
+      .filter(col("x") > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k + 1)
+    val ref = top.filter(col("rn") === k + 1)
+      .select(col(groupCol), col("x").as("xref"))
+    top.filter(col("rn") <= k)
+      .join(ref, groupCol)
+      .withColumn("term",
+        round(log(col("x") / col("xref")), 12).cast(dec))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tail"), max(col("xref")).as("x_ref"),
+        sum(col("term")).as("s"))
+      .select(col(groupCol), col("n_tail"), col("x_ref"),
+        when(dbl(col("s")) > 0,
+          round(lit(k.toDouble) / dbl(col("s")), 6)).as("alpha"))
+  }
+
   /** Kaplan–Meier product-limit survival per group, evaluated at
     * fixed horizons: S(H) = Π_{event times t ≤ H} (1 − d_t/n_t) with
     * right-censoring — the estimator that answers "what share of

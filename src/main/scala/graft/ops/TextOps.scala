@@ -320,4 +320,43 @@ object TextOps {
           (col("n_snake") >= 2 && col("sym_ratio") >= symbolAt / 2))
           .as("is_code"))
   }
+
+  /** Tokenizer fertility per language: the ratio of an estimated
+    * SUBWORD count (regex word split on non-alphanumerics, each word
+    * contributing ceil(len/`subwordLen`) pieces — the BPE-ish "long
+    * words fragment" proxy) to the whitespace token count. Fertility
+    * ≫ 1 flags languages/sources whose text will cost
+    * disproportionate sequence length after tokenization — the
+    * budget-planning number next to q21's raw token counts and q170's
+    * vocabulary coverage.
+    *
+    * Determinism: the split pattern sits in the RE2 ∩ Java common
+    * subset ([[canonical]]'s rule); both counts are exact integer
+    * sums; fertility is one rounded divide.
+    *
+    * Scale: map-only per doc (array fold, no explode), one rollup to
+    * \|langs\| rows. */
+  def tokenizerFertility(
+      df: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text",
+      subwordLen: Int = 4): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      w => length(w) > 0)
+    val sub = aggregate(words, lit(0L),
+      (acc, w) => acc + ((length(w) + subwordLen - 1) / subwordLen)
+        .cast("long"))
+    df
+      .select(col(langCol).as("lang"),
+        size(tokens(col(textCol))).cast("long").as("ws"),
+        sub.as("sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("sub")).as("subword_est"))
+      .withColumn("fertility",
+        when(col("ws_tokens") > 0,
+          round(dbl(col("subword_est")) / dbl(col("ws_tokens")), 6)))
+  }
 }

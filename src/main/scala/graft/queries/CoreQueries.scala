@@ -1719,6 +1719,13 @@ object CoreQueries {
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("p_partkey"))
         .limit(20)
+    }),
+
+    // Join-key skew audit on l_partkey (StatOps.keySkew): the
+    // pre-flight check before shuffling 100 TB on a key — max-key
+    // share and p99/p50 ratio over the KEY relation, not rows
+    "q286_key_skew" -> ((s, dir) => {
+      StatOps.keySkew(Tables.lineitem(s, dir), col("l_partkey"))
     })
   )
 
@@ -3399,6 +3406,24 @@ object CoreQueries {
           SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
           FROM cand JOIN mc ON l_partkey = mp AND cost = min_cost
           ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-          LIMIT 20"""
+          LIMIT 20""",
+
+    // key-skew twin: integer key counts, shared interpolated
+    // percentiles, rounded ratios
+    "q286_key_skew" ->
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS c
+                    FROM lineitem GROUP BY 1),
+          a AS (SELECT count(*) AS n_keys,
+                  CAST(SUM(c) AS BIGINT) AS n_rows,
+                  max(c) AS max_key_rows,
+                  round(quantile_cont(c, 0.5), 4) AS p50_rows,
+                  round(quantile_cont(c, 0.99), 4) AS p99_rows
+                FROM c)
+          SELECT n_keys, n_rows, max_key_rows, p50_rows, p99_rows,
+            round(CAST(max_key_rows AS DOUBLE)
+              / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+            CASE WHEN p50_rows > 0 THEN
+              round(p99_rows / p50_rows, 6) END AS skew_ratio
+          FROM a"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.ops.{CorpusOps, CorpusPipeline, DedupOps, SimilarityOps, TextOps}
+import graft.ops.{CorpusOps, CorpusPipeline, DedupOps, SimilarityOps, StatOps, TextOps}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operator inventory over the `documents`
@@ -885,6 +885,30 @@ object LlmQueries {
     "q283_term_burstiness" -> ((s, dir) => {
       CorpusOps.termBurstiness(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("df").desc, col("term"))
+    }),
+
+    // Class-imbalance training weights (CorpusOps.classWeights):
+    // sklearn-balanced inverse frequency + Cui et al. effective-
+    // number weights, engine-side so the trainer gets a ready table
+    "q285_class_weights" -> ((s, dir) => {
+      CorpusOps.classWeights(Tables.embeddings(s, dir))
+        .orderBy(col("label"))
+    }),
+
+    // Hill tail-index per source over doc lengths (StatOps.hillTail):
+    // the tail-only heaviness number sharper than q257's Zipf slope
+    "q287_hill_tail" -> ((s, dir) => {
+      StatOps.hillTail(Tables.documents(s, dir), "source", "n_chars",
+          k = 10)
+        .orderBy(col("source"))
+    }),
+
+    // Tokenizer fertility per language (TextOps.tokenizerFertility):
+    // subword-cost planning — which languages fragment into
+    // disproportionate sequence length
+    "q289_tokenizer_fertility" -> ((s, dir) => {
+      TextOps.tokenizerFertility(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("lang"))
     })
   )
 
@@ -3076,6 +3100,63 @@ object LlmQueries {
               AS burstiness,
             round(CAST(df_rep AS DOUBLE) / CAST(df AS DOUBLE), 6)
               AS repeat_rate
-          FROM cut ORDER BY df DESC, term"""
+          FROM cut ORDER BY df DESC, term""",
+
+    // class-weights twin: integer class counts; beta^n written as
+    // exp(n ln beta) in both engines (no pow library variance), and
+    // 1.0 - 0.99 forced to DOUBLE subtraction (the q270 constant-
+    // provenance rule: the decimal parse would be one ulp off)
+    "q285_class_weights" ->
+      """WITH c AS (SELECT label, count(*) AS n_c
+                    FROM embeddings GROUP BY 1),
+          t AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n, count(*) AS k
+                FROM c)
+          SELECT label, n_c,
+            round(CAST(n AS DOUBLE)
+              / (CAST(k AS DOUBLE) * CAST(n_c AS DOUBLE)), 6)
+              AS inv_freq_w,
+            round((CAST(1.0 AS DOUBLE) - CAST(0.99 AS DOUBLE))
+              / (CAST(1.0 AS DOUBLE)
+                - exp(CAST(n_c AS DOUBLE) * ln(CAST(0.99 AS DOUBLE)))),
+              6) AS eff_num_w
+          FROM c CROSS JOIN t ORDER BY label""",
+
+    // Hill twin: top-(k+1) by VALUE desc (boundary ties select the
+    // same multiset), 12dp DECIMAL ln fold, alpha = k/sum
+    "q287_hill_tail" ->
+      """WITH t AS (SELECT source, CAST(n_chars AS DOUBLE) AS x,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC) AS rn
+                    FROM documents WHERE n_chars > 0),
+          ref AS (SELECT source, x AS xref FROM t WHERE rn = 11),
+          tp AS (SELECT t.source, x, xref
+                 FROM t JOIN ref USING (source) WHERE rn <= 10),
+          g AS (SELECT source, count(*) AS n_tail, max(xref) AS x_ref,
+                  SUM(CAST(round(ln(x/xref), 12) AS DECIMAL(38,12)))
+                    AS s
+                FROM tp GROUP BY 1)
+          SELECT source, n_tail, x_ref,
+            CASE WHEN CAST(s AS DOUBLE) > 0 THEN
+              round(10.0 / CAST(s AS DOUBLE), 6) END AS alpha
+          FROM g ORDER BY source""",
+
+    // fertility twin: same RE2-safe word split, ceil(len/4) via
+    // integer math, exact integer sums, one rounded divide
+    "q289_tokenizer_fertility" ->
+      """WITH f AS (SELECT lang,
+                      CAST(len(regexp_split_to_array(trim(text), ' +'))
+                        AS BIGINT) AS ws,
+                      CAST(COALESCE(list_sum(list_transform(
+                        list_filter(regexp_split_to_array(lower(text),
+                          '[^a-z0-9]+'), w -> len(w) > 0),
+                        w -> (len(w) + 3) // 4)), 0) AS BIGINT) AS sub
+                    FROM documents)
+          SELECT lang, count(*) AS n_docs,
+            CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+            CAST(SUM(sub) AS BIGINT) AS subword_est,
+            CASE WHEN SUM(ws) > 0 THEN
+              round(CAST(SUM(sub) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE),
+                6) END AS fertility
+          FROM f GROUP BY 1 ORDER BY lang"""
   )
 }

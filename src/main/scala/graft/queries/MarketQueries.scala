@@ -1116,6 +1116,15 @@ object MarketQueries {
     // event — the single number over the q120/q237 matrices
     "q282_entropy_rate" -> ((s, dir) => {
       EventAnalytics.entropyRate(Tables.events(s, dir))
+    }),
+
+    // Up/down-regime beta vs the 'click' reference series
+    // (MarketBars.upDownBeta): the crash-comovement asymmetry the
+    // q200 single-beta model averages away
+    "q288_updown_beta" -> ((s, dir) => {
+      MarketBars.upDownBeta(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), marketSeries = "click")
+        .orderBy(col("series"), col("regime"))
     })
   )
 
@@ -3600,6 +3609,39 @@ object MarketQueries {
             round(ln(CAST(n_states AS DOUBLE)), 6) AS max_rate,
             CASE WHEN n_states > 1 THEN round(CAST(h_d AS DOUBLE)
               / ln(CAST(n_states AS DOUBLE)), 6) END AS efficiency
-          FROM s, tot"""
+          FROM s, tot""",
+
+    // up/down-beta twin: q90 scaled-long returns, q248 decimal
+    // moment fold, one shared-order beta formula per regime
+    "q288_updown_beta" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM p WHERE pc IS NOT NULL AND pc > 0),
+          m AS (SELECT bar_ts, r8 AS m8 FROM r WHERE series = 'click'),
+          j AS (SELECT r.series, r.r8, m.m8,
+                  CASE WHEN m.m8 > 0 THEN 'up' ELSE 'down' END AS regime
+                FROM r JOIN m USING (bar_ts)
+                WHERE r.series <> 'click' AND m.m8 <> 0),
+          g AS (SELECT series, regime, count(*) AS n,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS sx,
+                  SUM(CAST(m8 AS DECIMAL(38,0))) AS sm,
+                  SUM(CAST(r8 AS DECIMAL(38,0))
+                    * CAST(m8 AS DECIMAL(38,0))) AS sxm,
+                  SUM(CAST(m8 AS DECIMAL(38,0))
+                    * CAST(m8 AS DECIMAL(38,0))) AS smm
+                FROM j GROUP BY 1, 2),
+          f AS (SELECT series, regime, n,
+                  CAST(n AS DOUBLE)*CAST(smm AS DOUBLE)
+                    - CAST(sm AS DOUBLE)*CAST(sm AS DOUBLE) AS den,
+                  CAST(n AS DOUBLE)*CAST(sxm AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sm AS DOUBLE) AS num
+                FROM g)
+          SELECT series, regime, n,
+            CASE WHEN den > 0 THEN round(num / den, 6) END AS beta
+          FROM f ORDER BY series, regime"""
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalactic.Tolerance._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{CorpusOps, EventAnalytics, MarketBars, PairAnalytics, SimilarityOps, StatOps}
+import graft.ops.{CorpusOps, EventAnalytics, MarketBars, PairAnalytics, SimilarityOps, StatOps, TextOps}
 import graft.sources.Tables
 
 /** Round-6 batch: hand-computed fixtures for the new indicator /
@@ -737,6 +737,86 @@ class Round6Spec extends AnyFunSuite {
     assert(s.getAs[Boolean]("bh_reject") === true)
     assert(u.getAs[Double]("lr") === 0.0)
     assert(u.getAs[Boolean]("bh_reject") === false)
+  }
+
+  // ---- batch M: weights / skew / tail / beta / fertility ----
+
+  test("classWeights: inverse-frequency and effective-number forms") {
+    import spark.implicits._
+    val emb = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1))
+      .toDF("vec_id", "label")
+    val out = CorpusOps.classWeights(emb).orderBy("label").collect()
+    assert(out(0).getAs[Long]("n_c") === 3L)
+    assert(out(0).getAs[Double]("inv_freq_w") === 0.666667)
+    assert(out(0).getAs[Double]("eff_num_w") === 0.336689)
+    assert(out(1).getAs[Double]("inv_freq_w") === 2.0)
+    // n_c = 1: (1-b)/(1-b^1) = 1 exactly
+    assert(out(1).getAs[Double]("eff_num_w") === 1.0)
+  }
+
+  test("keySkew: one mega-key dominates the profile") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(1) ++ Seq(2, 3)).toDF("k0")
+    val out = StatOps.keySkew(df, col("k0")).collect()(0)
+    assert(out.getAs[Long]("n_keys") === 3L)
+    assert(out.getAs[Long]("max_key_rows") === 8L)
+    assert(out.getAs[Double]("top1_share") === 0.8)
+    assert(out.getAs[Double]("p50_rows") === 1.0)
+  }
+
+  test("hillTail: hand geometric tail, boundary ties are harmless") {
+    import spark.implicits._
+    val df = Seq(("s", 8L), ("s", 4L), ("s", 2L)).toDF("g", "v")
+    val out = StatOps.hillTail(df, "g", "v", k = 2).collect()(0)
+    assert(out.getAs[Long]("n_tail") === 2L)
+    assert(out.getAs[Double]("x_ref") === 2.0)
+    assert(out.getAs[Double]("alpha") === 0.961797)
+  }
+
+  test("upDownBeta: a 2x-levered copy has beta 2 in BOTH regimes") {
+    import spark.implicits._
+    // market m8 and follower r8 = 2*m8, alternating signs
+    val rows = Seq(100.0, 101.0, 100.0, 102.0, 100.5).zipWithIndex
+    val bars = rows.flatMap { case (c, i) =>
+      val t = ts(f"2024-01-01 09:${i * 5}%02d:00")
+      // follower doubles the log move: c^2/100 keeps ln ratio = 2x
+      Seq(("mkt", t, c), ("fol", t, c * c / 100.0))
+    }.toDF("series", "bar_ts", "close")
+    val out = MarketBars.upDownBeta(bars, "mkt")
+      .orderBy("series", "regime").collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Double]("beta") === 2.0 +- 0.001))
+  }
+
+  test("tokenizerFertility: long words fragment, short words do not") {
+    import spark.implicits._
+    // "abcdefgh ab" -> ws 2, sub ceil(8/4)+ceil(2/4) = 3 -> 1.5
+    val docs = Seq(("en", "abcdefgh ab")).toDF("lang", "text")
+    val out = TextOps.tokenizerFertility(docs).collect()(0)
+    assert(out.getAs[Long]("ws_tokens") === 2L)
+    assert(out.getAs[Long]("subword_est") === 3L)
+    assert(out.getAs[Double]("fertility") === 1.5)
+  }
+
+  test("batch-M ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val emb = Tables.embeddings(spark, sf)
+    same(CorpusOps.classWeights(emb.repartition(3)),
+      CorpusOps.classWeights(emb.repartition(17)))
+    val li = Tables.lineitem(spark, sf)
+    same(StatOps.keySkew(li.repartition(3), col("l_partkey")),
+      StatOps.keySkew(li.repartition(17), col("l_partkey")))
+    val docs = Tables.documents(spark, sf)
+    same(StatOps.hillTail(docs.repartition(3), "source", "n_chars", k = 10),
+      StatOps.hillTail(docs.repartition(17), "source", "n_chars", k = 10))
+    same(TextOps.tokenizerFertility(docs.repartition(3)),
+      TextOps.tokenizerFertility(docs.repartition(17)))
+    val ev = Tables.events(spark, sf)
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.upDownBeta(bars3, "click"),
+      MarketBars.upDownBeta(bars17, "click"))
   }
 
   // ---- batch L: drift / survival / sampling / chain statistics ----
