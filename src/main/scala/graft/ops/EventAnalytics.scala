@@ -633,6 +633,60 @@ object EventAnalytics {
           .as("efficiency"))
   }
 
+  /** Exponential-fit probability-plot correlation (PPCC) of the
+    * inter-arrival gaps per event type: sort the gaps, pair the i-th
+    * smallest with the exponential theoretical quantile
+    * −ln(1 − (i−0.5)/n), and report their correlation — the one-number
+    * QQ-plot. PPCC ≈ 1 says arrivals are Poisson (exponential gaps);
+    * low PPCC + q265's dispersion >> 1 together diagnose bursty
+    * traffic. The flag fences at 0.95.
+    *
+    * Determinism: gaps are exact integer µs off one (user-free,
+    * type-keyed) lag window; ties in the sort pair equal gap VALUES
+    * with adjacent quantiles, so the moment sums are tie-order-free;
+    * integer moments fold in DECIMAL(38,0), quantile moments round at
+    * 12 dp into DECIMAL(38,12); the correlation is the q248
+    * shared-order double formula.
+    *
+    * Scale: one type-keyed sort window (hot-key class, q39/q49
+    * escape applies) + one map-side-combined rollup. */
+  def expFitPpcc(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec0 = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("dt"))
+    val wAll = Window.partitionBy(col("event_type"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("dt", col("us") - col("prev_us"))
+      .withColumn("i", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("p", (dbl(col("i")) - lit(0.5)) / dbl(col("n")))
+      .withColumn("theo", -log(lit(1.0) - col("p")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(col("dt").cast(dec0)).as("sx"),
+        sum(col("dt").cast(dec0) * col("dt").cast(dec0)).as("sxx"),
+        sum(round(col("theo"), 12).cast(dec12)).as("sy"),
+        sum(round(col("theo") * col("theo"), 12).cast(dec12)).as("syy"),
+        sum(round(dbl(col("dt")) * col("theo"), 12).cast(dec12)).as("sxy"))
+      .withColumn("num",
+        dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+      .withColumn("vx",
+        dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .withColumn("vy",
+        dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+      .select(col("event_type"), col("n"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("num") / (sqrt(col("vx")) * sqrt(col("vy"))), 6))
+          .as("ppcc"))
+      .withColumn("expfit_ok", col("ppcc") > 0.95)
+  }
+
   /** Within-session conversion funnel: sessions via the q56 strict
     * ≥gap rule, then per session "did a `toType` follow the FIRST
     * `fromType` inside the SAME session?", rolled up per session-start

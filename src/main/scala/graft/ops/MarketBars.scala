@@ -2160,6 +2160,48 @@ object MarketBars {
         col("r_sq_acf") > lit(1.96) / sqrt(dbl(col("n"))))
   }
 
+  /** Peak-over-threshold mean excess per series: threshold u at the
+    * 95th percentile of |log return|, then the mean exceedance
+    * E[X − u | X > u] — the second number of extreme-value risk
+    * (roughly linear-in-u for heavy tails, flat for exponential
+    * ones), completing the tail panel next to q205's VaR/ES and
+    * q287's Hill α.
+    *
+    * Determinism: |returns| are exact 8 dp scaled longs mapped to
+    * exact doubles; u uses the shared interpolated-percentile
+    * convention ROUNDED at 8 before the strict compare (boundary
+    * cannot flip on a percentile ulp); excesses round at 12 dp and
+    * fold in DECIMAL(38,12); the mean rounds at 6.
+    *
+    * Scale: one per-series return chain + a percentile aggregate
+    * joined back broadcast (|series| rows); the exceedance rollup is
+    * map-side-combined. */
+  def meanExcess(bars: DataFrame, q: Double = 0.95): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val rets = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .withColumn("x", abs(col("r8")).cast(DoubleType) / lit(1e8))
+      .localCheckpoint(eager = false)
+    val cuts = rets.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_rets"),
+        round(expr(s"percentile(x, $q)"), 8).as("u"))
+    rets.join(broadcast(cuts), "series")
+      .filter(col("x") > col("u"))
+      .groupBy(col("series"), col("n_rets"), col("u"))
+      .agg(count(lit(1)).as("n_exceed"),
+        sum(round(col("x") - col("u"), 12).cast(dec12)).as("se"))
+      .select(col("series"), col("n_rets"), col("u"), col("n_exceed"),
+        round(dbl(col("se")) / dbl(col("n_exceed")), 6).as("mean_excess"))
+  }
+
   /** Up/down-regime beta per series against a designated market
     * series: β⁺ over bars where the market return is positive, β⁻
     * where negative (zero market bars excluded) — the asymmetry the

@@ -1708,7 +1708,7 @@ object CoreQueries {
           col("p_size").between(10, 20))
         .select(col("p_partkey"), col("p_name"))
       val cand = ps
-        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       val minc = cand.groupBy(col("p_partkey").as("mp"))
         .agg(min(col("cost")).as("min_cost"))
@@ -1719,6 +1719,32 @@ object CoreQueries {
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("p_partkey"))
         .limit(20)
+    }),
+
+    // TPC-H Q11 shape: per-part inventory value from one region's
+    // suppliers, kept only when above a fraction of the regional
+    // total — the group + HAVING-against-scalar-subquery shape
+    "q290_important_stock" -> ((s, dir) => {
+      val dec = DecimalType(28, 6)
+      val euSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, dir)
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice").cast(dec)), 2).as("value_d"))
+      val tot = vals
+        .agg(round(sum(col("value_d")), 2).cast(DoubleType).as("total"),
+          count(lit(1)).cast(DoubleType).as("n_parts"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("value_d").cast(DoubleType) >
+          col("total") * lit(1.5) / col("n_parts"))
+        .select(col("l_partkey"), col("value_d").cast(DoubleType).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
     }),
 
     // Join-key skew audit on l_partkey (StatOps.keySkew): the
@@ -3407,6 +3433,26 @@ object CoreQueries {
           FROM cand JOIN mc ON l_partkey = mp AND cost = min_cost
           ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
           LIMIT 20""",
+
+    // Q11-shape twin: DECIMAL-exact regional part values, scalar
+    // total, shared double threshold compare
+    "q290_important_stock" ->
+      """WITH eu AS (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'EUROPE'),
+          v AS (SELECT l_partkey,
+                  round(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2)
+                    AS value_d
+                FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+                GROUP BY 1),
+          t AS (SELECT CAST(round(SUM(value_d), 2) AS DOUBLE) AS total,
+                  CAST(count(*) AS DOUBLE) AS n_parts
+                FROM v)
+          SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+          FROM v CROSS JOIN t
+          WHERE CAST(value_d AS DOUBLE) > total * 1.5 / n_parts
+          ORDER BY value DESC, l_partkey""",
 
     // key-skew twin: integer key counts, shared interpolated
     // percentiles, rounded ratios

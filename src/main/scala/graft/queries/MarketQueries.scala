@@ -1118,6 +1118,22 @@ object MarketQueries {
       EventAnalytics.entropyRate(Tables.events(s, dir))
     }),
 
+    // Exponential-fit PPCC of inter-arrival gaps
+    // (EventAnalytics.expFitPpcc): the one-number QQ plot — are
+    // arrivals Poisson, read next to q265's dispersion
+    "q291_expfit_ppcc" -> ((s, dir) => {
+      EventAnalytics.expFitPpcc(Tables.events(s, dir))
+        .orderBy(col("event_type"))
+    }),
+
+    // Peak-over-threshold mean excess (MarketBars.meanExcess): the
+    // second extreme-value number next to q205's ES and q287's Hill
+    "q292_mean_excess" -> ((s, dir) => {
+      MarketBars.meanExcess(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Up/down-regime beta vs the 'click' reference series
     // (MarketBars.upDownBeta): the crash-comovement asymmetry the
     // q200 single-beta model averages away
@@ -3610,6 +3626,71 @@ object MarketQueries {
             CASE WHEN n_states > 1 THEN round(CAST(h_d AS DOUBLE)
               / ln(CAST(n_states AS DOUBLE)), 6) END AS efficiency
           FROM s, tot""",
+
+    // PPCC twin: integer-µs gaps, adjacent-quantile tie pairing,
+    // q248 shared-order correlation formula
+    "q291_expfit_ppcc" ->
+      """WITH g AS (SELECT event_type, epoch_us(ts)
+                  - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                      ORDER BY ts, event_id) AS dt
+                FROM events),
+          r AS (SELECT event_type, dt,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY dt) AS i,
+                  count(*) OVER (PARTITION BY event_type) AS n
+                FROM g WHERE dt IS NOT NULL),
+          q AS (SELECT event_type, dt, n,
+                  -ln(1.0 - (CAST(i AS DOUBLE) - 0.5)
+                    / CAST(n AS DOUBLE)) AS theo
+                FROM r),
+          m AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                  SUM(CAST(dt AS DECIMAL(38,0))) AS sx,
+                  SUM(CAST(dt AS DECIMAL(38,0))
+                    * CAST(dt AS DECIMAL(38,0))) AS sxx,
+                  SUM(CAST(round(theo, 12) AS DECIMAL(38,12))) AS sy,
+                  SUM(CAST(round(theo * theo, 12)
+                    AS DECIMAL(38,12))) AS syy,
+                  SUM(CAST(round(CAST(dt AS DOUBLE) * theo, 12)
+                    AS DECIMAL(38,12))) AS sxy
+                FROM q GROUP BY 1),
+          c AS (SELECT event_type, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+                FROM m)
+          SELECT event_type, n,
+            CASE WHEN vx > 0 AND vy > 0 THEN
+              round(num / (sqrt(vx) * sqrt(vy)), 6) END AS ppcc,
+            CASE WHEN vx > 0 AND vy > 0 THEN
+              round(num / (sqrt(vx) * sqrt(vy)), 6) > 0.95
+              END AS expfit_ok
+          FROM c ORDER BY event_type""",
+
+    // mean-excess twin: q90 scaled-long |returns| as exact doubles,
+    // rounded-8 threshold before the strict compare, 12dp fold
+    "q292_mean_excess" ->
+      s"""WITH $barsCte,
+          p AS (SELECT series, bar_ts, close, lag(close) OVER
+                  (PARTITION BY series ORDER BY bar_ts) AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series,
+                  abs(CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT))
+                    / 1e8 AS x
+                FROM p WHERE pc IS NOT NULL AND pc > 0),
+          cu AS (SELECT series, count(*) AS n_rets,
+                   round(quantile_cont(x, 0.95), 8) AS u
+                 FROM r GROUP BY 1),
+          e AS (SELECT r.series, n_rets, u,
+                  CAST(round(x - u, 12) AS DECIMAL(38,12)) AS ex
+                FROM r JOIN cu ON r.series = cu.series
+                WHERE x > u)
+          SELECT series, n_rets, u, count(*) AS n_exceed,
+            round(CAST(SUM(ex) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE), 6) AS mean_excess
+          FROM e GROUP BY 1, 2, 3 ORDER BY series""",
 
     // up/down-beta twin: q90 scaled-long returns, q248 decimal
     // moment fold, one shared-order beta formula per regime

@@ -739,6 +739,74 @@ class Round6Spec extends AnyFunSuite {
     assert(u.getAs[Boolean]("bh_reject") === false)
   }
 
+  // ---- batch N: Q11 shape / exponential QQ fit / mean excess ----
+
+  test("expFitPpcc: near-linear QQ on a short ramp, null on constant gaps") {
+    import spark.implicits._
+    def evs(tpe: String, gapsUs: Seq[Long]): Seq[(Long, Timestamp, Long, String)] = {
+      val starts = gapsUs.scanLeft(0L)(_ + _)
+      starts.zipWithIndex.map { case (us, i) =>
+        ((tpe.hashCode.toLong << 8) + i, new Timestamp(us / 1000), 1L, tpe)
+      }
+    }
+    val ev = (evs("ramp", Seq(1000000L, 2000000L, 3000000L)) ++
+      evs("flat", Seq(1000000L, 1000000L, 1000000L)))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.EventAnalytics.expFitPpcc(ev)
+      .orderBy("event_type").collect()
+    assert(out(0).isNullAt(2), "constant gaps have zero variance -> null")
+    assert(out(1).getAs[Double]("ppcc") === 0.978485)
+  }
+
+  test("meanExcess: hand tail — one exceedance over the p95 cut") {
+    import spark.implicits._
+    val rs = Seq(0.01, -0.02, 0.01, 0.03)
+    val closes = rs.scanLeft(100.0)((c, r) => c * math.exp(r))
+    val bars = closes.zipWithIndex.map { case (c, i) =>
+      ("A", ts(f"2024-01-01 09:${i * 5}%02d:00"), c)
+    }.toDF("series", "bar_ts", "close")
+    val out = MarketBars.meanExcess(bars).collect()(0)
+    assert(out.getAs[Long]("n_rets") === 4L)
+    assert(out.getAs[Double]("u") === 0.0285)
+    assert(out.getAs[Long]("n_exceed") === 1L)
+    assert(out.getAs[Double]("mean_excess") === 0.0015)
+  }
+
+  test("batch-N ops are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val ev = Tables.events(spark, sf)
+    same(graft.ops.EventAnalytics.expFitPpcc(ev.repartition(3)),
+      graft.ops.EventAnalytics.expFitPpcc(ev.repartition(17)))
+    val bars3 = MarketBars.bars(ev.repartition(3), "event_type", "ts", "value")
+    val bars17 = MarketBars.bars(ev.repartition(17), "event_type", "ts", "value")
+    same(MarketBars.meanExcess(bars3), MarketBars.meanExcess(bars17))
+  }
+
+  test("q284 plan: dims broadcast, no cartesian, no window") {
+    val df = SparkEntry.queries("q284_min_cost_supplier")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part/dim joins must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"Q2 shape must stay equi-joined:\n${plan.take(3000)}")
+    assert("Window \\[".r.findAllIn(plan).isEmpty,
+      s"correlated min must be groupBy + join, not a window:\n${plan.take(3000)}")
+  }
+
+  test("q286 plan: keySkew is two aggregates, no window, no join") {
+    val df = SparkEntry.queries("q286_key_skew")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Window \\[".r.findAllIn(plan).isEmpty,
+      s"skew audit must not window:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"),
+      s"skew audit must not join:\n${plan.take(3000)}")
+  }
+
   // ---- batch M: weights / skew / tail / beta / fertility ----
 
   test("classWeights: inverse-frequency and effective-number forms") {
