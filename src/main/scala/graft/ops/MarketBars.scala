@@ -1863,9 +1863,11 @@ object MarketBars {
     * the ROUNDED r.
     *
     * Scale: ONE bar-ts self-join aligns all pairs (|series|² fan-out
-    * per timestamp — series count is small and fixed), then
-    * (2·maxLag+1) lag columns from one per-pair sort; each (pair, k)
-    * row is a map-side-combined aggregate. */
+    * per timestamp — series count is small and fixed), then ALL
+    * (2·maxLag+1) shifted columns come out of ONE stacked window
+    * projection over a single per-pair sort (the PairAnalytics.ccf
+    * shape) and unpivot map-side; each (pair, k) row is a
+    * map-side-combined aggregate. */
   def leadLagMatrix(bars: DataFrame, maxLag: Int = 2): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
     def dbl(c: Column) = c.cast(DoubleType)
@@ -1878,16 +1880,20 @@ object MarketBars {
       .filter(col("sa") < col("sb"))
       .localCheckpoint(eager = false)
     val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("bar_ts"))
-    val lagged = (-maxLag to maxLag).map { k =>
+    // one Window operator computes every shifted leg (same window spec
+    // → one sort), then explode unpivots map-side — no unioned re-sorts
+    val legs = (-maxLag to maxLag).map { k =>
       val yk = if (k >= 0) lag(col("y6"), k).over(w)
       else lead(col("y6"), -k).over(w)
-      aligned
-        .withColumn("yk", yk)
-        .filter(col("yk").isNotNull)
-        .select(col("sa"), col("sb"), lit(k).as("k"),
-          col("x6").as("x"), col("yk").as("y"))
+      struct(lit(k).as("k"), yk.as("y"))
     }
-    val m = lagged.reduce(_.unionByName(_))
+    val m = aligned
+      .select(col("sa"), col("sb"), col("x6").as("x"),
+        array(legs: _*).as("ys"))
+      .select(col("sa"), col("sb"), col("x"), explode(col("ys")).as("e"))
+      .filter(col("e.y").isNotNull)
+      .select(col("sa"), col("sb"), col("e.k").as("k"),
+        col("x"), col("e.y").as("y"))
       .groupBy(col("sa"), col("sb"), col("k"))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(dec)).as("sx"),

@@ -745,20 +745,26 @@ object SimilarityOps {
         round(dbl(col("n_pos")) / dbl(col("n")), 6).as("pos_rate"))
   }
   /** Top-component PCA variance audit via the exact Gram matrix: one
-    * pass folds the d×d second-moment matrix of the CENTERED
-    * embeddings (order-free 12dp decimal sums), the driver runs a
-    * FIXED-iteration power method (deterministic ones-vector init, no
-    * RNG) with one deflation step, and the output is a single row:
+    * mapPartitions pass folds ONE primitive upper-triangle accumulator
+    * per partition (scaled-1e12 longs with BigInteger overflow spill —
+    * cell sums are EXACT and partitioning-invariant), the driver runs
+    * a FIXED-iteration power method (deterministic ones-vector init,
+    * no RNG) with one deflation step, and the output is a single row:
     * how much variance the top and second components carry — the
     * "are these embeddings basically rank-1" audit next to isotropy
     * (q226) and per-dim stats (q187).
     *
-    * The collect is the bounded-state exception (like the k-means
-    * objective): d(d+1)/2 cells — a function of the DIMENSION, never
-    * of the corpus. Everything corpus-sized stays distributed.
+    * `total_var` is computed in the q187 moment form (per-dim 12dp
+    * decimal sums, 8dp per-dim variances, exact decimal total) so the
+    * DuckDB twin reproduces it bit-for-bit — the SQL-checkable anchor
+    * the q260 gate hashes, with the eigen legs gated as bound
+    * booleans (λ₁ ≤ trace, λ₁ ≥ trace/d, λ₁+λ₂ ≤ trace) the way
+    * q32/q44 gate sketches.
     *
-    * Not SQL-expressible (iterative eigensolve) → rows-only gate +
-    * hand-computed spec cases. */
+    * The collects are the bounded-state exception (like the k-means
+    * objective): d moment rows + partitions·d(d+1)/2 Gram cells — a
+    * function of the DIMENSION, never of the corpus. Everything
+    * corpus-sized stays distributed. */
   def pcaTopVariance(
       emb: DataFrame,
       idCol: String = "vec_id",
@@ -766,37 +772,88 @@ object SimilarityOps {
       iters: Int = 50): DataFrame = {
     val spark = emb.sparkSession
     def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast(DecimalType(28, 12)))
     val n = emb.count()
     require(n > 1, "need at least two vectors")
-    // per-dim means (exact decimal), broadcast back for centering
-    val means = emb
-      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg((sum(dbl(col("x")).cast(DecimalType(38, 12)))
-        .cast(DoubleType) / lit(n.toDouble)).as("mu"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-    val d = means.length
+    // pass A: per-dim moments (the q187 idiom) — d collected rows give
+    // the centering means AND the SQL-matchable total variance
+    val mom = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("pos"), col("xf").cast(DoubleType).as("x"))
+      .groupBy(col("pos"))
+      .agg(dsum(col("x")).as("sx"), dsum(col("x") * col("x")).as("sxx"))
+      .collect().sortBy(_.getInt(0))
+    val d = mom.length
+    val nD = n.toDouble
+    val means = mom.map(_.getDecimal(1).doubleValue / nD)
+    // per-dim sample variance in the exact double op order of q187's
+    // twin, rounded 8dp; the total folds as EXACT decimals
+    val varTotal = mom.foldLeft(BigDecimal(0)) { (acc, r) =>
+      val sx = r.getDecimal(1).doubleValue
+      val sxx = r.getDecimal(2).doubleValue
+      acc + BigDecimal((sxx - sx * sx / nD) / (nD - 1))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }
     val bMu = spark.sparkContext.broadcast(means)
     import spark.implicits._
-    // exact Gram cells: sum over vectors of round(ci*cj, 12), i <= j
-    val cells = emb
+    // pass B: centered Gram fold — one primitive accumulator per
+    // partition, one emitted row per partition (vs the round-6 form's
+    // d(d+1)/2 tuples per VECTOR)
+    val partials = emb
       .select(transform(col(vecCol), x => dbl(x)).as("v"))
       .as[Seq[Double]]
-      .flatMap { v =>
+      .rdd.mapPartitions { it =>
         val mu = bMu.value
-        val c = Array.tabulate(v.length)(i => v(i) - mu(i))
-        for (i <- 0 until c.length; j <- i until c.length)
-          yield (i, j, BigDecimal(c(i) * c(j))
-            .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
-      .toDF("i", "j", "p")
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("p").cast(DecimalType(38, 12))).cast(DoubleType).as("s"))
-      .collect()
+        val dd = mu.length
+        val nc = dd * (dd + 1) / 2
+        val accL = new Array[Long](nc)
+        val accB = new Array[java.math.BigInteger](nc)
+        var any = false
+        it.foreach { v =>
+          any = true
+          val c = new Array[Double](dd)
+          var i = 0
+          while (i < dd) { c(i) = v(i) - mu(i); i += 1 }
+          var idx = 0
+          i = 0
+          while (i < dd) {
+            var j = i
+            while (j < dd) {
+              val p = Math.round(c(i) * c(j) * 1e12)
+              val sNew = accL(idx) + p
+              if (((accL(idx) ^ sNew) & (p ^ sNew)) < 0) {
+                val prev =
+                  if (accB(idx) == null) java.math.BigInteger.ZERO
+                  else accB(idx)
+                accB(idx) = prev.add(java.math.BigInteger.valueOf(accL(idx)))
+                accL(idx) = p
+              } else accL(idx) = sNew
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.single(Array.tabulate(nc) { k =>
+          val b =
+            if (accB(k) == null) java.math.BigInteger.ZERO else accB(k)
+          b.add(java.math.BigInteger.valueOf(accL(k)))
+        })
+      }.collect()
     val g = Array.ofDim[Double](d, d)
-    cells.foreach { r =>
-      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      g(i)(j) = s / (n - 1.0); g(j)(i) = s / (n - 1.0)
+    var idx = 0
+    var ii = 0
+    while (ii < d) {
+      var jj = ii
+      while (jj < d) {
+        val tot = partials.foldLeft(java.math.BigInteger.ZERO)(
+          (a, p) => a.add(p(idx)))
+        val v = new java.math.BigDecimal(tot, 12).doubleValue / (n - 1.0)
+        g(ii)(jj) = v; g(jj)(ii) = v
+        idx += 1; jj += 1
+      }
+      ii += 1
     }
     def mul(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
       Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((acc, j) => acc + m(i)(j) * v(j)))
@@ -820,7 +877,8 @@ object SimilarityOps {
     Seq((n, d,
       BigDecimal(l1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
       BigDecimal(l2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      BigDecimal(trace).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(varTotal.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
       BigDecimal(if (trace > 0) l1 / trace else 0.0)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
       BigDecimal(if (trace > 0) (l1 + l2) / trace else 0.0)

@@ -634,7 +634,8 @@ object CoreQueries {
     // TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈ lineitem
     // with date predicates on both fact sides, revenue decimal-summed,
     // global top-10 with a total-order tie-break. The plan showcase:
-    // the segment-filtered customer dim broadcasts, both date filters
+    // the segment-filtered customer join side is AQE-chosen (customer
+    // grows with SF), both date filters
     // push to the scans, the agg is map-side partial, and the top-10
     // is a TakeOrdered — no global sort
     "q117_shipping_priority" -> ((s, dir) => {
@@ -887,11 +888,12 @@ object CoreQueries {
     }),
 
     // Supplier-concentration audit: HHI + top share of revenue per
-    // nation (fact-side aggregate first, dims broadcast)
+    // nation (fact-side aggregate first; supplier grows with SF so
+    // AQE picks its join side, fixed nation dim broadcasts)
     "q124_hhi" -> ((s, dir) => {
       val joined = Tables.lineitem(s, dir)
-        .join(broadcast(Tables.supplier(s, dir)
-          .select(col("s_suppkey"), col("s_nationkey"))),
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, dir)
           .select(col("n_nationkey"), col("n_name"))),
@@ -1184,14 +1186,15 @@ object CoreQueries {
     }),
 
     // TPC-H Q14 shape (promo revenue share): per ship month, the
-    // PROMO-type fraction of revenue — part dim broadcasts, the
+    // PROMO-type fraction of revenue — part grows with SF so AQE
+    // picks the join strategy (broadcast at bench scale), the
     // numerator is a conditional DECIMAL sum inside the same aggregate
     "q212_promo_share" -> ((s, dir) => {
       val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(DecimalType(28, 6))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_type"))),
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(trunc(to_date(col("l_shipdate")), "month").as("ship_month"))
         .agg(count(lit(1)).as("n_items"),
@@ -1209,16 +1212,17 @@ object CoreQueries {
     // part's own average quantity, revenue per brand — the correlated
     // scalar subquery decorrelated into a pre-aggregated per-part
     // threshold joined back to the fact (two scans, one shuffle each;
-    // the threshold relation is |part|-sized and broadcasts)
+    // threshold is |part|-sized and grows with SF — no forced hint,
+    // AQE broadcasts it at bench scale and shuffles it at 100 TB)
     "q213_small_qty" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val thr = li.groupBy(col("l_partkey").as("t_partkey"))
         .agg((sum(col("l_quantity").cast(DecimalType(18, 6)))
           .cast(DoubleType) / count(lit(1))).as("avg_qty"))
-      li.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+      li.join(thr, col("l_partkey") === col("t_partkey"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_small"),
@@ -1400,8 +1404,8 @@ object CoreQueries {
         .filter(col("prev_d").isNotNull)
         .withColumn("gap_days",
           datediff(to_date(col("o_orderdate")), col("prev_d")).cast("long"))
-        .join(broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_gaps"),
@@ -1444,8 +1448,8 @@ object CoreQueries {
     // interpolated percentiles (q198 mapping) + a decimal-exact mean
     "q246_segment_aov" -> ((s, dir) => {
       Tables.orders(s, dir)
-        .join(broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
@@ -1529,9 +1533,9 @@ object CoreQueries {
     "q261_supplier_breadth" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-        .join(broadcast(Tables.part(s, dir)
+        .join(Tables.part(s, dir)
           .filter(col("p_brand") =!= "Brand#1")
-          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"),
           ((col("p_size") - 1) / 10).cast("int").as("size_bucket"))
@@ -1543,14 +1547,15 @@ object CoreQueries {
     // TPC-H Q9 shape (product profit): revenue minus a quantity-
     // scaled cost proxy (p_retailprice/10 per unit — the schema has
     // no ps_supplycost), by supplier nation and year; one DECIMAL
-    // amount expression, dims broadcast
+    // amount expression; fixed nation dim broadcasts, SF-scaling
+    // part/supplier sides left to AQE
     "q262_product_profit" -> ((s, dir) => {
       val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
         col("l_quantity") * (col("p_retailprice") / lit(10.0)))
         .cast(DecimalType(28, 6))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_retailprice"))),
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_retailprice")),
           col("l_partkey") === col("p_partkey"))
         .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, dir)),
@@ -1621,12 +1626,13 @@ object CoreQueries {
         .orderBy(col("n_items"))
     }),
 
-    // Return rate per brand: conditional count over the broadcast
-    // part join — the product-quality league table
+    // Return rate per brand: conditional count over the part join
+    // (AQE-chosen side — part grows with SF) — the product-quality
+    // league table
     "q264_return_rate" -> ((s, dir) => {
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_items"),
@@ -1655,8 +1661,8 @@ object CoreQueries {
         .groupBy(col("o_custkey"))
         .agg(round(sum(col("o_totalprice").cast(DecimalType(28, 6))), 2)
           .as("xdec"))
-        .join(broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
       StatOps.theilIndex(cust, "c_mktsegment")
         .orderBy(col("c_mktsegment"))
@@ -1668,8 +1674,8 @@ object CoreQueries {
     // the unbiased version of q244's raw gap histogram
     "q280_kaplan_meier" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-        .join(broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .select(col("o_custkey"), col("c_mktsegment"), col("o_orderkey"),
           to_date(col("o_orderdate")).as("d"))
@@ -1708,8 +1714,8 @@ object CoreQueries {
           col("p_size").between(10, 20))
         .select(col("p_partkey"), col("p_name"))
       val cand = ps
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
       val minc = cand.groupBy(col("p_partkey").as("mp"))
         .agg(min(col("cost")).as("min_cost"))
       cand.join(minc,
@@ -1734,7 +1740,7 @@ object CoreQueries {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"))
       val vals = Tables.lineitem(s, dir)
-        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(euSupp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(round(sum(col("l_extendedprice").cast(dec)), 2).as("value_d"))
       val tot = vals

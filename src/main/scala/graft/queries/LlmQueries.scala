@@ -816,12 +816,24 @@ object LlmQueries {
     }),
 
     // PCA top-component variance audit (SimilarityOps.pcaTopVariance):
-    // exact Gram fold + fixed-iteration power method — iterative
-    // eigensolve is not SQL-expressible, so the gate is rows-only;
-    // the math is pinned by Round6Spec's collinear fixture
+    // the eigensolve itself is not SQL-expressible, so the gate hashes
+    // the SQL-checkable Gram invariants the way q32/q44 gate sketches:
+    // total_var in the q187 moment form (bit-equal in DuckDB) plus
+    // eigenvalue bound booleans (λ₁ ≤ trace, λ₁ ≥ trace/d,
+    // λ₁+λ₂ ≤ trace, shares in (0,1]); the eigen SHARES themselves
+    // are pinned by Round6Spec's collinear fixture
     "q260_pca_var" -> ((s, dir) => {
+      val eps = lit(1e-4)
       SimilarityOps.pcaTopVariance(Tables.embeddings(s, dir))
-        .orderBy(col("dim"))
+        .select(col("n_vecs"), col("dim"), col("total_var"),
+          (col("lambda1") <= col("total_var") + eps).as("l1_le_trace"),
+          (col("lambda1") >= col("total_var") / col("dim") - eps)
+            .as("l1_ge_mean"),
+          (col("lambda1") + col("lambda2") <= col("total_var") + eps)
+            .as("l12_le_trace"),
+          (col("top1_share") > lit(0.0) && col("top1_share") <= lit(1.0) &&
+            col("top2_share") >= col("top1_share") - eps &&
+            col("top2_share") <= lit(1.0)).as("share_ok"))
     }),
 
     // Per-source Zipf slope (CorpusOps.zipfSlope): ln-ln OLS over the
@@ -2142,6 +2154,35 @@ object LlmQueries {
           SELECT doc_id, n_shingles, n_hit, contam_frac,
             contam_frac >= 0.2 AS flagged
           FROM f ORDER BY doc_id""",
+
+    // pca-variance twin: the eigensolve cannot run in SQL, so the twin
+    // recomputes total_var in the exact q187 moment form (12dp decimal
+    // sums, 8dp per-dim variances, exact decimal total) and pins the
+    // eigen bound booleans to their mathematically-guaranteed TRUE
+    "q260_pca_var" ->
+      """WITH e0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v0
+                     FROM embeddings),
+         x AS (SELECT CAST(generate_subscripts(v0, 1) AS INTEGER) AS pos,
+                 unnest(v0) AS x
+               FROM e0),
+         g AS (SELECT pos,
+                 sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+                 sum(CAST(round(x*x, 12) AS DECIMAL(28,12))) AS sxx
+               FROM x GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                  count(*) AS n_vecs FROM e0),
+         v AS (SELECT round((CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/nd)
+                  / (nd - 1), 8) AS var_x
+               FROM g, nn),
+         t AS (SELECT CAST(count(*) AS INTEGER) AS dim,
+                 round(CAST(sum(CAST(var_x AS DECIMAL(28,8))) AS DOUBLE),
+                   6) AS total_var
+               FROM v)
+         SELECT nn.n_vecs, t.dim, t.total_var,
+           TRUE AS l1_le_trace, TRUE AS l1_ge_mean,
+           TRUE AS l12_le_trace, TRUE AS share_ok
+         FROM t, nn""",
 
     // dim-stats twin: same 12dp term rounding + decimal sums, same
     // mean/variance double op order, same (var DESC, dim) rank

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Dist
+import graft.ops.{Dist, MarketBars}
 import graft.sources.{AlpacaSource, Sinks, Tables}
 
 /** Scale-mechanics behaviors: salted joins preserve semantics, bucketed
@@ -445,6 +445,56 @@ class ScaleSpec extends AnyFunSuite {
     // both modes produce identical ranks
     assert(auto.orderBy("id").collect().toSeq ===
       shuffled.orderBy("id").collect().toSeq)
+  }
+
+  test("no forced broadcast hint targets an SF-scaling relation") {
+    // part/customer/supplier/lineitem/orders grow linearly with scale
+    // factor — at 100 TB an explicit hint bypasses AQE's size check and
+    // kills the driver assembling the broadcast. Fixed-cardinality dims
+    // (nation/region/calendar/1-row totals) may still hint.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val scalingKeys = Set("p_partkey", "c_custkey", "s_suppkey",
+      "l_partkey", "l_suppkey", "l_orderkey", "o_orderkey", "o_custkey",
+      "t_partkey")
+    val tpchFamily = Seq("q117_shipping_priority", "q124_hhi",
+      "q212_promo_share", "q213_small_qty", "q244_order_gap",
+      "q246_segment_aov", "q261_supplier_breadth", "q262_product_profit",
+      "q264_return_rate", "q275_theil_index", "q280_kaplan_meier",
+      "q284_min_cost_supplier", "q290_important_stock")
+    tpchFamily.foreach { name =>
+      SparkEntry.queries(name)(spark, sf).queryExecution.analyzed.foreach {
+        case h: ResolvedHint =>
+          val bad = h.child.output.map(_.name).toSet.intersect(scalingKeys)
+          assert(bad.isEmpty,
+            s"$name forces a join hint on an SF-scaling relation ($bad)")
+        case _ => ()
+      }
+    }
+    // and AQE still picks broadcast at bench scale on a representative
+    val q212 = SparkEntry.queries("q212_promo_share")(spark, sf)
+    q212.collect()
+    assert(q212.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "AQE should still broadcast the part side at bench scale")
+  }
+
+  test("leadLagMatrix plan: one stacked Window, no unioned re-sorts") {
+    // all 2·maxLag+1 shifted legs must come from ONE window operator
+    // over a single per-pair sort (the PairAnalytics.ccf shape), not
+    // per-leg windows unioned back together
+    val bars = MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    val df = MarketBars.leadLagMatrix(bars)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val windows = "Window \\[".r.findAllIn(plan).size
+    // one stacked lag/lead window + the final argmax rank window
+    assert(windows <= 2,
+      s"expected the stacked-leg window + rank window only, got $windows:\n" +
+        plan.take(3000))
+    assert(!plan.contains("Union"),
+      s"no per-leg union expected:\n${plan.take(3000)}")
   }
 
   test("raw inspection reports per-payload bar counts") {
