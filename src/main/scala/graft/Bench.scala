@@ -46,9 +46,16 @@ object Bench {
     val total = names.filterNot(failures.contains).map(minOf).sum
     val totalMedian = names.filterNot(failures.contains).map(medianOf).sum
     val failList = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${fmt(minOf)},"queries_median":${fmt(medianOf)},""" +
-      s""""failures":$failList,"sf":"$sfDir"}""")
+      s""""failures":$failList,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The driver captures only the TAIL of stdout, so the full per-query
+    // line can overflow its buffer (round 6 shipped "parsed": null).
+    // Persist it to a file too so the artifact survives without a re-run.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/bench_out.json"), fullJson)
+    catch { case _: Throwable => () }
     // Trailing compact summary: the driver captures the TAIL of stdout, so
     // when the full per-query line above gets truncated the totals must
     // survive on their own. Keep this line last and short.

@@ -171,11 +171,25 @@ object EventAnalytics {
     * boundaries, so [[ScalableWindow]]'s (key, day) + carry-in rewrite
     * applies verbatim at 100 TB. */
   def drawdown(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
+    // The prefix max splits associatively across day boundaries:
+    // peak = greatest(max over all EARLIER days, within-day running
+    // max). The per-key unbounded window (whole history in one task —
+    // the SURVEY §7.4 hot-key hazard) becomes (key, day) tasks plus a
+    // keys×days carry relation, and every double is still the exact
+    // value the global window picks (max selects an actual element).
+    val ev = events.withColumn("__day", to_date(col("ts")))
+    val prevW = Window.partitionBy(col("event_type")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = ev.groupBy(col("event_type"), col("__day"))
+      .agg(max(col("value")).as("__dmax"))
+      .withColumn("__carry", max(col("__dmax")).over(prevW))
+      .select(col("event_type"), col("__day"), col("__carry"))
+    val wDay = Window.partitionBy(col("event_type"), col("__day"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
-      .withColumn("peak", max(col("value")).over(w))
+    ev.join(broadcast(carry), Seq("event_type", "__day"))
+      .withColumn("peak",
+        greatest(max(col("value")).over(wDay), col("__carry")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(max(col("value")), 6).as("peak_value"),

@@ -222,9 +222,16 @@ object MarketBars {
     * applies unchanged when one series outgrows a partition. */
   def ewma(bars: DataFrame, window: Int = 20): DataFrame = {
     require(window >= 1, s"window must be >= 1 (got $window)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped frame with carry-in (ScalableWindow): the
+    // carry rebuilds each frame's exact contents AND order, so the
+    // sequential halving fold below is bit-identical to the global
+    // per-series window while a hot series parallelizes ∝ days
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", window - 1)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
       .rowsBetween(-(window - 1), 0)
-    bars
+    aug
       .withColumn("cs", collect_list(col("close")).over(w))
       .withColumn("n", size(col("cs")))
       // fold oldest->newest: after the last step each element x at lag
@@ -233,6 +240,7 @@ object MarketBars {
         aggregate(col("cs"), lit(0.0), (s, x) => s / 2.0 + x))
       .withColumn("den",
         aggregate(col("cs"), lit(0.0), (s, _) => s / 2.0 + 1.0))
+      .filter(col("__emit"))
       .select(col("series"), col("bar_ts"), col("close"), col("n"),
         round(col("num") / col("den"), 6).as("ewma"))
   }

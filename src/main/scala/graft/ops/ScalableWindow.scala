@@ -91,6 +91,51 @@ object ScalableWindow {
     withIdx.drop("__cum").withColumn("__emit", lit(true)).unionByName(carried)
   }
 
+  /** RANGE-frame sibling of [[dayScoped]]: augment `df` for a trailing
+    * `rangeBetween(-reach, 0)` frame over the epoch-micros `usCol` —
+    * window by (key, `__day_idx`) and union in non-emitting copies of
+    * every row lying within `reachMicros` of a LATER day's first row.
+    *
+    * Exactness: a row r is in target t's frame iff
+    * us_t − reach <= us_r <= us_t. When r sits in an earlier day than
+    * t, us_r >= us_t − reach >= min_us(t's day) − reach, so r is
+    * carried into t's day; rows carried beyond a particular target's
+    * reach are trimmed by the frame's own value predicate. Results
+    * therefore match the global per-key window bit-for-bit for any
+    * order-insensitive frame reduction (counts, DECIMAL sums,
+    * min/max) — the carry needs no row counting at all because the
+    * reach is a VALUE distance, not a row distance. */
+  def rangeScoped(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      usCol: String,
+      reachMicros: Long): DataFrame = {
+    require(reachMicros >= 0, s"reachMicros must be >= 0 (got $reachMicros)")
+    val keys = keyCols.map(col)
+    val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
+    // small per-(key, day) map: dense day rank + the day's first epoch
+    val dayIdx = df
+      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+      .agg(min(col(usCol)).as("__min_us"))
+      .withColumn("__day_idx", row_number().over(idxW))
+    val withIdx = df.withColumn("__day", to_date(col(tsCol)))
+      .join(broadcast(dayIdx.select(
+        (keys :+ col("__day") :+ col("__day_idx")): _*)),
+        keyCols :+ "__day")
+    val destDays = dayIdx.select(
+      (keys :+ col("__day_idx").as("__dst_idx") :+
+        col("__min_us").as("__dst_min")): _*)
+    val carried = withIdx
+      .join(broadcast(destDays), keyCols)
+      .where(col("__dst_idx") > col("__day_idx") &&
+        col(usCol) >= col("__dst_min") - lit(reachMicros))
+      .withColumn("__day_idx", col("__dst_idx"))
+      .drop("__dst_idx", "__dst_min")
+      .withColumn("__emit", lit(false))
+    withIdx.withColumn("__emit", lit(true)).unionByName(carried)
+  }
+
   /** Diagnostic (no longer a correctness precondition — the multi-day
     * carry is unconditionally exact): counts the (key, day) slices
     * holding fewer than `carryRows` rows despite having an earlier

@@ -213,18 +213,28 @@ object MarketQueries {
     // RANGE-frame window: 10-minute trailing count/sum per event type,
     // keyed on the numeric epoch so the frame is value-based (peers at
     // equal ts are all included — deterministic under ties, unlike a
-    // ROWS frame over a non-total order)
+    // ROWS frame over a non-total order). Routed through
+    // ScalableWindow.rangeScoped — (type, day) tasks with a 10-minute
+    // carry-in instead of one task per type's whole history; the
+    // ORACLE stays the plain global window, so the hash match proves
+    // the rewrite exact
     "q49_range_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+      val aug = graft.ops.ScalableWindow.rangeScoped(ev,
+        Seq("event_type"), "ts", "us", 600000000L)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
+        .partitionBy(col("event_type"), col("__day_idx"))
         .orderBy(col("us"))
         .rangeBetween(-600000000L, 0L)
-      Tables.events(s, dir)
-        .withColumn("us", unix_micros(col("ts")))
-        .select(col("event_id"), col("event_type"), col("ts"),
-          count(lit(1)).over(w).as("n_10m"),
+      aug
+        .withColumn("n_10m", count(lit(1)).over(w))
+        .withColumn("sum_10m",
           sum(col("value").cast(DecimalType(18, 6))).over(w)
-            .cast(DoubleType).as("sum_10m"))
+            .cast(DoubleType))
+        .filter(col("__emit"))
+        .select(col("event_id"), col("event_type"), col("ts"),
+          col("n_10m"), col("sum_10m"))
         .orderBy(col("event_id"))
     }),
 
@@ -3562,15 +3572,17 @@ object MarketQueries {
 
     // PSI twin: shared equal-width bin formula off exact min/max,
     // explicit full grid (empty bins count under Laplace), 12dp
-    // DECIMAL term fold
+    // DECIMAL term fold; both legs are SYMMETRIC CASE-WHEN-1-ELSE-0
+    // so a NULL ts lands in NEITHER leg, matching the Scala
+    // when(slice/!slice, 1).otherwise(0) null semantics
     "q279_psi_drift" ->
       """WITH rg AS (SELECT event_type, min(value) AS mn,
                        max(value) AS mx,
                        CAST(SUM(CASE WHEN ts < TIMESTAMP
                          '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
                          AS BIGINT) AS na,
-                       CAST(SUM(CASE WHEN ts < TIMESTAMP
-                         '2024-01-15 00:00:00' THEN 0 ELSE 1 END)
+                       CAST(SUM(CASE WHEN ts >= TIMESTAMP
+                         '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
                          AS BIGINT) AS nbt
                      FROM events GROUP BY 1),
           cnt AS (SELECT e.event_type,
@@ -3580,8 +3592,8 @@ object MarketQueries {
                     CAST(SUM(CASE WHEN ts < TIMESTAMP
                       '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
                       AS BIGINT) AS ca,
-                    CAST(SUM(CASE WHEN ts < TIMESTAMP
-                      '2024-01-15 00:00:00' THEN 0 ELSE 1 END)
+                    CAST(SUM(CASE WHEN ts >= TIMESTAMP
+                      '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
                       AS BIGINT) AS cb
                   FROM events e JOIN rg ON e.event_type = rg.event_type
                   GROUP BY 1, 2),
@@ -3625,7 +3637,8 @@ object MarketQueries {
             round(ln(CAST(n_states AS DOUBLE)), 6) AS max_rate,
             CASE WHEN n_states > 1 THEN round(CAST(h_d AS DOUBLE)
               / ln(CAST(n_states AS DOUBLE)), 6) END AS efficiency
-          FROM s, tot""",
+          FROM s, tot
+          WHERE n IS NOT NULL""",
 
     // PPCC twin: integer-µs gaps, adjacent-quantile tie pairing,
     // q248 shared-order correlation formula

@@ -778,6 +778,78 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("day-scoped RANGE / prefix-max / fold windows equal their global forms") {
+    import spark.implicits._
+    // 2 keys x 6 days, uneven per-day counts, minute spacing — range
+    // frames and row frames both span day boundaries regularly
+    val rows = for {
+      k <- Seq("A", "B"); d <- 1 to 6; i <- 1 to (35 + d % 3)
+    } yield (k,
+      Timestamp.valueOf(f"2024-01-0$d 00:$i%02d:00"),
+      ((k.hashCode.abs + d * 37 + i * 17) % 1000).toDouble,
+      (d * 100 + i).toLong)
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.count() === b.count())
+      assert(a.except(b).count() === 0)
+      assert(b.except(a).count() === 0)
+    }
+    // (1) rangeScoped vs global RANGE window (q49 shape, 10-min reach)
+    val ev = rows.map { case (k, t, v, r) => (r, t, k, v) }
+      .toDF("event_id", "ts", "event_type", "value")
+      .withColumn("us", unix_micros(col("ts")))
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("us"))
+      .rangeBetween(-600000000L, 0L)
+    val globalRange = ev.select(col("event_id"),
+      count(lit(1)).over(gw).as("n_10m"),
+      sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .over(gw).cast("double").as("sum_10m"))
+    val aug = graft.ops.ScalableWindow.rangeScoped(ev,
+      Seq("event_type"), "ts", "us", 600000000L)
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("__day_idx")).orderBy(col("us"))
+      .rangeBetween(-600000000L, 0L)
+    val scopedRange = aug
+      .withColumn("n_10m", count(lit(1)).over(sw))
+      .withColumn("sum_10m",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(sw).cast("double"))
+      .filter(col("__emit"))
+      .select(col("event_id"), col("n_10m"), col("sum_10m"))
+    same(scopedRange, globalRange)
+    // (2) day-split drawdown vs the plain global prefix-max form
+    val globalPeakW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val globalDd = ev
+      .withColumn("peak", max(col("value")).over(globalPeakW))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("value")), 6).as("peak_value"),
+        round(min(col("value") - col("peak")), 6).as("max_drawdown"),
+        round(min(when(col("peak") > 0,
+          (col("value") - col("peak")) / col("peak"))), 6)
+          .as("max_drawdown_pct"))
+    same(graft.ops.EventAnalytics.drawdown(ev), globalDd)
+    // (3) day-scoped ewma vs the global-window sequential fold
+    val bars = rows.toDF("series", "bar_ts", "close", "rid")
+      .drop("rid")
+    val gewW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("bar_ts"))
+      .rowsBetween(-19, 0)
+    val globalEwma = bars
+      .withColumn("cs", collect_list(col("close")).over(gewW))
+      .withColumn("n", size(col("cs")))
+      .withColumn("num",
+        aggregate(col("cs"), lit(0.0), (s, x) => s / 2.0 + x))
+      .withColumn("den",
+        aggregate(col("cs"), lit(0.0), (s, _) => s / 2.0 + 1.0))
+      .select(col("series"), col("bar_ts"), col("close"), col("n"),
+        round(col("num") / col("den"), 6).as("ewma"))
+    same(MarketBars.ewma(bars, 20), globalEwma)
+  }
+
   test("simhash pigeonhole: hamming<=3 pairs always share a 16-bit band") {
     for (_ <- 1 to 1000) {
       val h = rnd.nextLong()

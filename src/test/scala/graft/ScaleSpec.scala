@@ -497,6 +497,67 @@ class ScaleSpec extends AnyFunSuite {
       s"no per-leg union expected:\n${plan.take(3000)}")
   }
 
+  test("q49/q83/q101 plans: no per-key global window remains") {
+    // the three gate windows route through the ScalableWindow escapes
+    // (rangeScoped / day-split prefix max / dayScoped); the only
+    // allowed bare-key window is the keys×days day-map itself
+    val checks = Seq(
+      ("q49_range_window", "windowspecdefinition\\(event_type#\\d+, us#\\d+"),
+      ("q83_drawdown", "windowspecdefinition\\(event_type#\\d+, ts#\\d+"),
+      ("q101_ewma", "windowspecdefinition\\(series#\\d+, bar_ts#\\d+"))
+    checks.foreach { case (name, bad) =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(bad.r.findFirstIn(plan).isEmpty,
+        s"$name still windows by the bare key:\n${plan.take(3000)}")
+      assert(plan.contains("__day"),
+        s"$name should carry the day-scoped helper columns")
+    }
+  }
+
+  test("worst-case skew: one key's whole history day-scopes into per-day tasks") {
+    // ALL rows share ONE key over 30 days — the global per-key window
+    // would sort 1500 rows in a single task no matter the cluster
+    // size; the day-scoped form's window-partition keys grow with the
+    // DAY count and each task holds at most rows/day + carry rows.
+    // This is the scale claim demonstrated, not documented.
+    import spark.implicits._
+    val rows = for { d <- 1 to 30; i <- 1 to 50 } yield
+      ("HOT", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:$i%02d:00"),
+        ((d * 37 + i * 17) % 1000).toDouble, (d * 100 + i).toLong)
+    val ev = rows.toDF("event_type", "ts", "value", "event_id")
+    val aug = graft.ops.ScalableWindow.dayScoped(ev,
+      Seq("event_type"), Seq("ts", "event_id"), "ts", carryRows = 39)
+    val partKeys = aug.select(col("event_type"), col("__day_idx"))
+      .distinct().count()
+    assert(partKeys === 30L, "window-partition keys must equal the day count")
+    val maxTaskRows = aug.groupBy(col("event_type"), col("__day_idx"))
+      .count().agg(max(col("count"))).as[Long].head()
+    assert(maxTaskRows <= 50L + 39L,
+      s"a day partition holds day rows + carry only (got $maxTaskRows)")
+    // and the day-scoped stats still equal the global window on this shape
+    val sw = graft.ops.ScalableWindow.trailingStats(ev,
+      Seq("event_type"), Seq("ts", "event_id"), "ts", "value", w = 40)
+      .select("event_id", "r_mean", "r_std", "n_win")
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-39, org.apache.spark.sql.expressions.Window.currentRow)
+    val dv = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val global = ev.select(col("event_id"),
+        sum(dv).over(gw).cast("double").as("s1"),
+        sum(dv * dv).over(gw).cast("double").as("s2"),
+        count(lit(1)).over(gw).as("n_win"))
+      .select(col("event_id"),
+        round(col("s1") / col("n_win"), 6).as("r_mean"),
+        when(col("n_win") > 1,
+          round(sqrt(greatest(
+            (col("s2") - col("s1") * col("s1") / col("n_win")) /
+              (col("n_win") - 1), lit(0.0))), 6)).as("r_std"),
+        col("n_win"))
+    assert(sw.except(global).count() === 0)
+    assert(global.except(sw).count() === 0)
+  }
+
   test("raw inspection reports per-payload bar counts") {
     val dir = AlpacaFixtures.write(
       java.nio.file.Files.createTempDirectory("inspect_fix")).toString
