@@ -746,6 +746,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.count() > 0)
     } finally q.stop()
   }
+  test("streaming PSI drift matches the batch split bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cutTs = Timestamp.valueOf("2024-01-15 00:00:00")
+    val batch = graft.ops.EventAnalytics.psiDrift(Tables.events(spark, sf),
+        col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    val all = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+      .collect()
+      .map(r => graft.streaming.PsiMonitor.Event(
+        r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
+    // reference side = the batch run's baseline slice, with the batch
+    // run's GLOBAL [mn, mx] edges and the same bin formula
+    val ref = all.groupBy(_.eventType).map { case (t, evs) =>
+      val mn = evs.map(_.value).min
+      val mx = evs.map(_.value).max
+      val aSide = evs.filter(_.ts.before(cutTs))
+      val bins = aSide.groupBy { e =>
+        if (mx > mn)
+          math.min(9, math.floor((e.value - mn) * 10.0 / (mx - mn)).toInt)
+        else 0
+      }.map { case (b, g) => b -> g.size.toLong }
+      t -> graft.streaming.PsiMonitor.Ref(mn, mx, aSide.size.toLong, bins)
+    }
+    val live = all.filter(e => !e.ts.before(cutTs))
+      .sortBy(e => (e.ts.getTime, e.eventId)).toSeq
+    val stream = MemoryStream[graft.streaming.PsiMonitor.Event]
+    val q = graft.streaming.PsiMonitor.monitor(stream.toDS(), ref)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = live.splitAt(live.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("psi_out").collect()
+      assert(streamed.length === live.length, "one alert per live event")
+      // the LAST emission per key is the full-comparison PSI — the
+      // exact batch number
+      val finals = streamed
+        .map(r => (r.getAs[String]("eventType"),
+          (r.getAs[Timestamp]("ts"), r.getAs[Long]("nb"),
+            r.getAs[Double]("psi"), r.getAs[Boolean]("drifted"))))
+        .groupBy(_._1)
+        .map { case (t, rs) => t -> rs.map(_._2).maxBy(_._2) } // nb strictly grows
+      assert(finals.keySet === batch.keySet)
+      finals.foreach { case (t, (_, nbLive, psi, drifted)) =>
+        val (bNa, bNb, bPsi, bDrift) = batch(t)
+        assert(ref(t).na === bNa, s"na@$t")
+        assert(nbLive === bNb, s"nb@$t")
+        assert(psi === bPsi, s"psi@$t")
+        assert(drifted === bDrift, s"drifted@$t")
+      }
+    } finally q.stop()
+  }
+
   test("streaming Bollinger bands match the batch window bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
