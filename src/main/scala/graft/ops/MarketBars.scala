@@ -227,7 +227,7 @@ object MarketBars {
     // sequential halving fold below is bit-identical to the global
     // per-series window while a hot series parallelizes ∝ days
     val aug = ScalableWindow.dayScoped(bars, Seq("series"),
-      Seq("bar_ts"), "bar_ts", window - 1)
+      Seq("bar_ts"), "bar_ts", math.max(1, window - 1))
     val w = Window.partitionBy(col("series"), col("__day_idx"))
       .orderBy(col("bar_ts"))
       .rowsBetween(-(window - 1), 0)
@@ -263,11 +263,16 @@ object MarketBars {
     * applies unchanged when one series outgrows a partition. */
   def rsi(bars: DataFrame, period: Int = 14): DataFrame = {
     require(period >= 1, s"period must be >= 1 (got $period)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped with a `period`-row carry (lag 1 + the
+    // period-1 frame): exact global semantics, day-parallel tasks
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", period)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val frame = w.rowsBetween(-(period - 1), 0)
     val q = lit(100.0) * col("g").cast(DoubleType) /
       (col("g") + col("l")).cast(DoubleType)
-    bars
+    aug
       .withColumn("d6",
         floor((col("close") - lag(col("close"), 1).over(w)) * lit(1e6) +
           lit(0.5)).cast("long"))
@@ -277,6 +282,7 @@ object MarketBars {
         sum(when(col("d6") > 0, col("d6")).otherwise(0L)).over(frame))
       .withColumn("l",
         sum(when(col("d6") < 0, -col("d6")).otherwise(0L)).over(frame))
+      .filter(col("__emit"))
       .select(col("series"), col("bar_ts"), col("close"),
         when(col("nd") === period,
           when(col("g") + col("l") > 0,
@@ -1532,9 +1538,13 @@ object MarketBars {
     * applies when one series outgrows a partition). */
   def atr(bars: DataFrame, period: Int = 14): DataFrame = {
     require(period >= 1, s"period must be >= 1 (got $period)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped, carry = period (lag 1 + period-1 frame)
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", period)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val frame = w.rowsBetween(-(period - 1), 0)
-    bars
+    aug
       .withColumn("pc", lag(col("close"), 1).over(w))
       .withColumn("tr6",
         when(col("pc").isNotNull,
@@ -1546,6 +1556,7 @@ object MarketBars {
       .withColumn("nt",
         sum(when(col("tr6").isNotNull, 1L).otherwise(0L)).over(frame))
       .withColumn("st", sum(col("tr6")).over(frame))
+      .filter(col("__emit"))
       .select(col("series"), col("bar_ts"), col("close"),
         when(col("nt") === period,
           floor(col("st").cast(DoubleType) / lit(period.toDouble) +
@@ -1569,10 +1580,15 @@ object MarketBars {
     * hot-key class and [[ScalableWindow]] escape as [[atr]]. */
   def stochastic(bars: DataFrame, period: Int = 14): DataFrame = {
     require(period >= 1, s"period must be >= 1 (got $period)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped, carry = period+1 (the %K frame chains
+    // into the 3-row %D frame: total trailing reach period-1 + 2)
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", period + 1)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val frame = w.rowsBetween(-(period - 1), 0)
     val d3 = w.rowsBetween(-2, 0)
-    bars
+    aug
       .withColumn("nb", count(lit(1)).over(frame))
       .withColumn("ll", min(col("low")).over(frame))
       .withColumn("hh", max(col("high")).over(frame))
@@ -1585,6 +1601,7 @@ object MarketBars {
       .withColumn("nk",
         sum(when(col("k6").isNotNull, 1L).otherwise(0L)).over(d3))
       .withColumn("sk", sum(col("k6")).over(d3))
+      .filter(col("__emit"))
       .select(col("series"), col("bar_ts"), col("close"),
         (col("k6").cast(DoubleType) / lit(1e6)).as("pct_k"),
         when(col("nk") === 3,
@@ -1656,12 +1673,19 @@ object MarketBars {
     * [[ScalableWindow]] escape applies). */
   def aroon(bars: DataFrame, period: Int = 14): DataFrame = {
     require(period >= 2, s"period must be >= 2 (got $period)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped, carry = period-1; the scoped row_number
+    // restarts per day but only seq DIFFERENCES are emitted and the
+    // carried tail keeps each partition a contiguous history slice,
+    // so every delta (and the struct-max tie order) is unchanged
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", period - 1)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val frame = w.rowsBetween(-(period - 1), 0)
     def pct(bs: Column) =
       floor(lit(100.0) * (lit(period.toDouble) - bs.cast(DoubleType)) /
         lit(period.toDouble) * lit(1e4) + lit(0.5)) / lit(1e4)
-    bars
+    aug
       .withColumn("h6", floor(col("high") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("l6", floor(col("low") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("seq", row_number().over(w))
@@ -1670,6 +1694,7 @@ object MarketBars {
         max(struct(col("h6").as("p"), col("seq").as("s"))).over(frame)("s"))
       .withColumn("lseq",
         min(struct(col("l6").as("p"), col("seq").as("s"))).over(frame)("s"))
+      .filter(col("__emit"))
       .select(col("series"), col("bar_ts"), col("close"),
         when(col("nb") === period, pct(col("seq") - col("hseq")))
           .as("aroon_up"),
@@ -1691,11 +1716,15 @@ object MarketBars {
     * observations) emits null. */
   def mfi(bars: DataFrame, period: Int = 14): DataFrame = {
     require(period >= 1, s"period must be >= 1 (got $period)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped, carry = period (tp lag 1 + period-1 frame)
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", period)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val frame = w.rowsBetween(-(period - 1), 0)
     val q = lit(100.0) * col("pf").cast(DoubleType) /
       (col("pf") + col("nf")).cast(DoubleType)
-    bars
+    aug
       .withColumn("tp", (col("high") + col("low") + col("close")) / lit(3.0))
       .withColumn("tp6", floor(col("tp") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("dtp", col("tp6") - lag(col("tp6"), 1).over(w))
@@ -1707,6 +1736,7 @@ object MarketBars {
         sum(when(col("dtp") > 0, col("flow4")).otherwise(0L)).over(frame))
       .withColumn("nf",
         sum(when(col("dtp") < 0, col("flow4")).otherwise(0L)).over(frame))
+      .filter(col("__emit"))
       .select(col("series"), col("bar_ts"), col("close"),
         when(col("nd") === period,
           when(col("pf") + col("nf") > 0,
@@ -1726,12 +1756,16 @@ object MarketBars {
     * arithmetic, one floor-form 6dp quotient. */
   def cmf(bars: DataFrame, period: Int = 20): DataFrame = {
     require(period >= 1, s"period must be >= 1 (got $period)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped, carry = period-1 (one trailing frame)
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", math.max(1, period - 1))
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val frame = w.rowsBetween(-(period - 1), 0)
     val mfm = when(col("high") > col("low"),
       ((col("close") - col("low")) - (col("high") - col("close"))) /
         (col("high") - col("low"))).otherwise(lit(0.0))
-    bars
+    aug
       .withColumn("mfv4",
         floor(mfm * col("volume") * lit(1e4) + lit(0.5)).cast("long"))
       .withColumn("vol4",
@@ -1739,6 +1773,7 @@ object MarketBars {
       .withColumn("nb", count(lit(1)).over(frame))
       .withColumn("smf", sum(col("mfv4")).over(frame))
       .withColumn("svol", sum(col("vol4")).over(frame))
+      .filter(col("__emit"))
       .select(col("series"), col("bar_ts"), col("close"),
         when(col("nb") === period && col("svol") > 0,
           floor(col("smf").cast(DoubleType) / col("svol").cast(DoubleType) *
@@ -1759,14 +1794,18 @@ object MarketBars {
     require(period >= 2, s"period must be >= 2 (got $period)")
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped, carry = period-1 (one trailing frame)
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", period - 1)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val frame = w.rowsBetween(-(period - 1), 0)
-    bars
+    aug
       .withColumn("c6", floor(col("close") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("nb", count(lit(1)).over(frame))
       .withColumn("s1", sum(col("c6").cast(dec)).over(frame))
       .withColumn("s2", sum((col("c6") * col("c6")).cast(dec)).over(frame))
-      .filter(col("nb") === period)
+      .filter(col("nb") === period && col("__emit"))
       .withColumn("mid", dbl(col("s1")) / dbl(col("nb")) / lit(1e6))
       .withColumn("sd",
         sqrt((dbl(col("nb")) * dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1"))) /
@@ -2327,9 +2366,13 @@ object MarketBars {
     * map-side-combined |series|-row rollup. */
   def donchianBreakouts(bars: DataFrame, period: Int = 20): DataFrame = {
     require(period >= 1, s"period must be >= 1 (got $period)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped, carry = period (the -period..-1 channel)
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", period)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val prior = w.rowsBetween(-period, -1)
-    bars
+    aug
       .withColumn("c6", floor(col("close") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("h6", floor(col("high") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("l6", floor(col("low") * lit(1e6) + lit(0.5)).cast("long"))
@@ -2338,6 +2381,7 @@ object MarketBars {
       .withColumn("cl", min(col("l6")).over(prior))
       .withColumn("up", col("nb") === period && col("c6") > col("ch"))
       .withColumn("dn", col("nb") === period && col("c6") < col("cl"))
+      .filter(col("__emit"))
       .groupBy(col("series"))
       .agg(
         sum(when(col("up"), 1L).otherwise(0L)).as("n_up"),
@@ -2421,7 +2465,12 @@ object MarketBars {
     * row is O(frame), never O(history). */
   def macd(bars: DataFrame, frameRows: Int = 26): DataFrame = {
     require(frameRows >= 2, s"frameRows must be >= 2 (got $frameRows)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped, carry = frameRows+7 (the EMA frame chains
+    // into the 9-row signal frame: total reach frameRows-1 + 8)
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", frameRows + 7)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val frame = w.rowsBetween(-(frameRows - 1), 0)
     val sig = w.rowsBetween(-8, 0)
     val aF = lit(2.0 / 13.0) // fast EMA-12 alpha
@@ -2431,7 +2480,7 @@ object MarketBars {
       aggregate(lst, lit(0.0), (s, x) => s * (lit(1.0) - a) + x * a)
     def emaDen(lst: Column, a: Column) =
       aggregate(lst, lit(0.0), (s, _) => s * (lit(1.0) - a) + a)
-    bars
+    aug
       .withColumn("cs", collect_list(col("close")).over(frame))
       .withColumn("m6",
         floor((emaNum(col("cs"), aF) / emaDen(col("cs"), aF) -
@@ -2439,6 +2488,7 @@ object MarketBars {
           lit(0.5)).cast("long"))
       .withColumn("ms",
         collect_list(col("m6").cast(DoubleType) / lit(1e6)).over(sig))
+      .filter(col("__emit"))
       .select(col("series"), col("bar_ts"), col("close"),
         (col("m6").cast(DoubleType) / lit(1e6)).as("macd"),
         round(emaNum(col("ms"), aG) / emaDen(col("ms"), aG), 6)
