@@ -1919,13 +1919,15 @@ object MarketBars {
     require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val a = bars.select(col("series").as("sa"), col("bar_ts"),
+    // both self-join legs read the (possibly expensive) bars relation
+    // — checkpoint it once instead of recomputing per leg
+    val src = bars.localCheckpoint(eager = false)
+    val a = src.select(col("series").as("sa"), col("bar_ts"),
       floor(col("close") * lit(1e6) + lit(0.5)).cast("long").as("x6"))
-    val b = bars.select(col("series").as("sb"), col("bar_ts"),
+    val b = src.select(col("series").as("sb"), col("bar_ts"),
       floor(col("close") * lit(1e6) + lit(0.5)).cast("long").as("y6"))
     val aligned = a.join(b, Seq("bar_ts"))
       .filter(col("sa") < col("sb"))
-      .localCheckpoint(eager = false)
     val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("bar_ts"))
     // one Window operator computes every shifted leg (same window spec
     // → one sort), then explode unpivots map-side — no unioned re-sorts

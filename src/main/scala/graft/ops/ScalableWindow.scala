@@ -54,12 +54,17 @@ object ScalableWindow {
     * days only d = d'+1 qualifies (the single-day carry); with sparse
     * days the tail spans as many days as the frame actually needs. */
   def dayScoped(
-      df: DataFrame,
+      df0: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[String],
       tsCol: String,
       carryRows: Int): DataFrame = {
     require(carryRows >= 1, s"carryRows must be >= 1 (got $carryRows)")
+    // the input feeds the day map AND both union legs — checkpoint it
+    // once so an expensive upstream (e.g. the tick→bar aggregation)
+    // is not recomputed per consumer; same for the tiny day map,
+    // which is read by both broadcast joins
+    val df = df0.localCheckpoint(eager = false)
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
     // small per-(key, day) map: row count, dense rank, cumulative count
@@ -68,6 +73,7 @@ object ScalableWindow {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__day_idx", row_number().over(idxW))
       .withColumn("__cum", sum(col("__n")).over(idxW))
+      .localCheckpoint(eager = false)
     val withIdx = df.withColumn("__day", to_date(col(tsCol)))
       .join(broadcast(dayIdx.select(
         (keys :+ col("__day") :+ col("__day_idx") :+ col("__cum")): _*)),
@@ -106,12 +112,13 @@ object ScalableWindow {
     * min/max) — the carry needs no row counting at all because the
     * reach is a VALUE distance, not a row distance. */
   def rangeScoped(
-      df: DataFrame,
+      df0: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
       usCol: String,
       reachMicros: Long): DataFrame = {
     require(reachMicros >= 0, s"reachMicros must be >= 0 (got $reachMicros)")
+    val df = df0.localCheckpoint(eager = false) // see dayScoped
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
     // small per-(key, day) map: dense day rank + the day's first epoch
@@ -119,6 +126,7 @@ object ScalableWindow {
       .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
       .agg(min(col(usCol)).as("__min_us"))
       .withColumn("__day_idx", row_number().over(idxW))
+      .localCheckpoint(eager = false)
     val withIdx = df.withColumn("__day", to_date(col(tsCol)))
       .join(broadcast(dayIdx.select(
         (keys :+ col("__day") :+ col("__day_idx")): _*)),
