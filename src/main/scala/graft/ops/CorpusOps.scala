@@ -1771,4 +1771,46 @@ object CorpusOps {
       .select(col("rank"), col("phrase"), col("occurrences"), col("plen"),
         col("score"))
   }
+
+  /** Per-source effective vocabulary: unigram Shannon entropy H over
+    * the term-frequency distribution, its perplexity form exp(H)
+    * ("the source behaves like a uniform vocabulary of this many
+    * terms"), and the type-token ratio — the diversity scalar set
+    * completing [[zipfSlope]] (shape) and the hapax spectrum (tail):
+    * a boilerplate-heavy source shows eff_vocab ≪ n_terms.
+    *
+    * Determinism: term probabilities and each −p·ln p term form in
+    * one shared double op order, round 12dp, fold in DECIMAL(38,12);
+    * H rounds 6dp and exp evaluates once at emission on the
+    * UNROUNDED decimal-sum double (ln/exp are bit-identical
+    * cross-engine — the q92 precedent).
+    *
+    * Scale: ONE tokenize pass, one (source, term) shuffle to the
+    * vocabulary relation, source-count-sized totals broadcast back —
+    * nothing row-scale past the first aggregate. */
+  def effectiveVocab(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val tf = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_terms"))
+    val p = dbl(col("tf")) / dbl(col("n_tokens"))
+    tf.join(broadcast(tot), "source")
+      .withColumn("hterm", round(-p * log(p), 12).cast(dec12))
+      .groupBy(col("source"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_terms")).as("n_terms"),
+        sum(col("hterm")).as("hd"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        round(dbl(col("hd")), 6).as("entropy"),
+        round(exp(dbl(col("hd"))), 6).as("eff_vocab"),
+        round(dbl(col("n_terms")) / dbl(col("n_tokens")), 6).as("ttr"))
+  }
 }

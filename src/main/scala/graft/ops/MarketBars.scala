@@ -2496,4 +2496,154 @@ object MarketBars {
         round(emaNum(col("ms"), aG) / emaDen(col("ms"), aG), 6)
           .as("macd_signal"))
   }
+
+  /** Jarque–Bera normality test per series over 1-bar log returns:
+    * JB = n/6·(S² + K²/4) from the standardized third/fourth moments,
+    * rejected against the χ²(2) 95% fence (5.991465) — the formal
+    * "are these returns Gaussian" gate next to [[horizonMoments]]'
+    * descriptive panel (fat tails are THE stylized fact the test
+    * quantifies).
+    *
+    * Determinism (the horizonMoments discipline): returns snap to
+    * exact 1e-8 longs, (n, Σx, Σx²) fold DECIMAL-exact, each z-power
+    * term rounds 12dp and folds in DECIMAL(38,12), S/K/JB form in one
+    * shared double op order (JB from the UNROUNDED S and K) and round
+    * 6dp at emission.
+    *
+    * Scale: one per-series lag sort feeds two map-side-combined
+    * aggregates with a |series|-row broadcast between them. */
+  def jarqueBera(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val withR = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .localCheckpoint(eager = false)
+    val stats = withR.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("s2"))
+      .withColumn("mu8", dbl(col("s1")) / dbl(col("n")))
+      .withColumn("sd8",
+        sqrt((dbl(col("n")) * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) / (dbl(col("n")) * dbl(col("n")))))
+      .select(col("series"), col("n"), col("mu8"), col("sd8"))
+    val z = (dbl(col("r8")) - col("mu8")) / col("sd8")
+    val skew = dbl(col("sz3")) / dbl(col("n"))
+    val exKurt = dbl(col("sz4")) / dbl(col("n")) - lit(3.0)
+    val jb = dbl(col("n")) / lit(6.0) *
+      (skew * skew + exKurt * exKurt / lit(4.0))
+    withR.join(broadcast(stats), "series")
+      .filter(col("sd8") > 0)
+      .withColumn("z3", round(z * z * z, 12).cast(DecimalType(38, 12)))
+      .withColumn("z4", round(z * z * z * z, 12).cast(DecimalType(38, 12)))
+      .groupBy(col("series"))
+      .agg(max(col("n")).as("n"),
+        sum(col("z3")).as("sz3"), sum(col("z4")).as("sz4"))
+      .select(col("series"), col("n"),
+        round(skew, 6).as("skewness"),
+        round(exKurt, 6).as("ex_kurtosis"),
+        round(jb, 6).as("jb"),
+        (jb > lit(5.991465)).as("reject_normal"))
+  }
+
+  /** Durbin–Watson serial-correlation statistic per series:
+    * DW = Σ(r_t − r_{t−1})² / Σr_t² over 1-bar log returns — ≈2 for
+    * white noise, →0 under positive autocorrelation, →4 under
+    * negative; ρ̂ = 1 − DW/2 is the implied lag-1 coefficient. The
+    * residual-diagnostic view of what [[acf]] reports directly.
+    *
+    * Determinism: returns and their first differences are exact 1e-8
+    * longs; both quadratic sums fold as DECIMAL products (a squared
+    * long passes 2^63 on jumpy series — the q248 lesson); DW and ρ̂
+    * form in one shared double op order and round 6dp.
+    *
+    * Scale: ONE per-series lag sort (two lags share the window spec),
+    * then a map-side-combined aggregate; |series| rows out. */
+  def durbinWatson(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .withColumn("pr8", lag(col("r8"), 1).over(w))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("den"),
+        sum(when(col("pr8").isNotNull,
+          (col("r8") - col("pr8")).cast(dec) *
+            (col("r8") - col("pr8")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("num"))
+      .select(col("series"), col("n"),
+        when(dbl(col("den")) > 0,
+          round(dbl(col("num")) / dbl(col("den")), 6)).as("dw"))
+      .withColumn("rho_hat",
+        when(col("dw").isNotNull, round(lit(1.0) - col("dw") / 2, 6)))
+  }
+
+  /** Market-model regression per series: beta / alpha / R² of 1-bar
+    * log returns against the EQUAL-WEIGHT market return (the mean
+    * return over all series present at that bar, including itself) —
+    * the systematic-vs-idiosyncratic decomposition the single-regime
+    * complement of [[upDownBeta]]'s conditional betas.
+    *
+    * Determinism: per-bar market returns derive from exact long sums
+    * (one double divide); each regression term rounds 12dp and folds
+    * in DECIMAL(38,12) (the q122 correlation discipline); beta/α/R²
+    * form in one shared double op order (α and R² from the UNROUNDED
+    * beta) and round at emission.
+    *
+    * Scale: one per-series lag sort, one bar_ts-keyed aggregate for
+    * the market leg (grows with TIME, so it hash-joins back — no
+    * broadcast hint), one map-side-combined per-series aggregate. */
+  def marketBeta(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val withR = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .localCheckpoint(eager = false)
+    val mkt = withR.groupBy(col("bar_ts"))
+      .agg(sum(col("r8")).as("msum"), count(lit(1)).as("mcnt"))
+    val x = dbl(col("msum")) / dbl(col("mcnt")) / lit(1e8)
+    val y = dbl(col("r8")) / lit(1e8)
+    def dsum(c: Column) = sum(round(c, 12).cast(dec12))
+    val num = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val vx = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val vy = dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    withR.join(mkt, "bar_ts")
+      .withColumn("x", x)
+      .withColumn("y", y)
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+      .select(col("series"), col("n"),
+        when(vx > 0, round(num / vx, 6)).as("beta"),
+        when(vx > 0,
+          round((dbl(col("sy")) - num / vx * dbl(col("sx"))) /
+            dbl(col("n")), 8)).as("alpha"),
+        when(vx > 0 && vy > 0,
+          round(num * num / (vx * vy), 6)).as("r2"))
+  }
 }

@@ -227,4 +227,133 @@ object StatOps {
           .otherwise(round(exp(dbl(col("lnsum"))), 6)).as("surv"))
   }
 
+
+  /** Spearman rank correlation between two DISCRETE columns from the
+    * contingency table: midranks come from the margin cumulative
+    * counts (doubled so ties keep them exact INTEGERS), then the
+    * Pearson formula runs over the |X|·|Y| cells weighted by cell
+    * counts — never a corpus-wide rank window, the same scale story
+    * as [[kendallTauB]] (q274): one groupBy shuffle to cells, margins
+    * are distinct-value-sized, everything after runs on cells.
+    *
+    * Determinism: doubled midranks 2·cum_prev + n_v + 1 are exact
+    * longs; every moment folds as DECIMAL products of those integers
+    * (a long product can pass 2^63 at corpus scale — the q248
+    * lesson; the ×2 scale cancels in the ratio); rho forms in one
+    * shared double op order and rounds 6dp. Degenerate margins (one
+    * distinct value) null rho. */
+  def spearmanMidrank(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .select(xCol.cast(LongType).as("x"), yCol.cast(LongType).as("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    def midranks(k: String, r: String) = {
+      val wv = Window.orderBy(col(k))
+      cells.groupBy(col(k)).agg(sum(col("c")).as("nv"))
+        .withColumn("cum", sum(col("nv")).over(wv))
+        .select(col(k),
+          (lit(2) * (col("cum") - col("nv")) + col("nv") + 1).as(r))
+    }
+    val vx = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val vy = dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    cells
+      .join(broadcast(midranks("x", "rx2")), "x")
+      .join(broadcast(midranks("y", "ry2")), "y")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(dec) * col("rx2").cast(dec)).as("sx"),
+        sum(col("c").cast(dec) * col("ry2").cast(dec)).as("sy"),
+        sum(col("c").cast(dec) * col("rx2").cast(dec) *
+          col("ry2").cast(dec)).as("sxy"),
+        sum(col("c").cast(dec) * col("rx2").cast(dec) *
+          col("rx2").cast(dec)).as("sxx"),
+        sum(col("c").cast(dec) * col("ry2").cast(dec) *
+          col("ry2").cast(dec)).as("syy"))
+      .select(col("n"),
+        when(vx > 0 && vy > 0,
+          round((dbl(col("n")) * dbl(col("sxy")) -
+            dbl(col("sx")) * dbl(col("sy"))) /
+            (sqrt(vx) * sqrt(vy)), 6)).as("rho"))
+  }
+
+  /** Mann–Whitney U rank-sum test between two groups of a DISCRETE
+    * value column, from the per-value distribution: U counts
+    * cross-group (A > B) pairs plus half the ties —
+    * 2U = Σ_v cntA_v · (2·belowB_v + cntB_v), all exact integers off
+    * one window over the DISTINCT-value relation. The z statistic
+    * uses the tie-corrected normal approximation. The nonparametric
+    * "did the distribution shift" test next to the parametric means
+    * panel — and it never ranks the corpus, only its value spectrum.
+    *
+    * Determinism: 2U and the tie cubes fold as DECIMAL integers
+    * (t³ passes 2^63 once a value holds > 2M rows); μ, σ, z form in
+    * one shared double op order; z rounds 6dp; a degenerate spectrum
+    * (all rows one value) nulls z. */
+  def mannWhitneyU(df: DataFrame, valCol: Column, isACol: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dist = df
+      .select(valCol.cast(LongType).as("v"), isACol.as("ia"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ia"), 1L).otherwise(0L)).as("cb"))
+    val wv = Window.orderBy(col("v"))
+    val t = col("ca") + col("cb")
+    val agg = dist
+      .withColumn("belowb", sum(col("cb")).over(wv) - col("cb"))
+      .agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+        sum(col("ca").cast(dec) *
+          (lit(2) * col("belowb") + col("cb")).cast(dec)).as("u2"),
+        sum(t.cast(dec) * t.cast(dec) * t.cast(dec) - t.cast(dec))
+          .as("tie3"))
+    val n1d = dbl(col("n1"))
+    val n2d = dbl(col("n2"))
+    val nd = n1d + n2d
+    val u = dbl(col("u2")) / lit(2.0)
+    val varU = n1d * n2d / lit(12.0) *
+      ((nd + 1) - dbl(col("tie3")) / (nd * (nd - 1)))
+    agg.select(col("n1"), col("n2"),
+      round(u, 4).as("u_stat"),
+      when(col("n1") > 0 && col("n2") > 0 && varU > 0,
+        round((u - n1d * n2d / lit(2.0)) / sqrt(varU), 6)).as("z"))
+      .withColumn("significant",
+        when(col("z").isNotNull, abs(col("z")) > 1.959964))
+  }
+
+  /** Cramér's V association between two CATEGORICAL columns: χ² over
+    * the FULL margin grid (absent cells contribute their expected
+    * count) normalized by n·(min(|A|,|B|)−1). The bounded-in-[0,1]
+    * effect size next to [[categoricalMI]]'s information view and the
+    * q278 G-test's significance view — same cells-only scale posture.
+    *
+    * Determinism: expected counts and each cell term form in one
+    * shared double op order, terms round 12dp and fold in
+    * DECIMAL(38,12), χ² and V round 6dp at emission (V from the
+    * UNROUNDED χ²). A 1-level margin nulls V. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val cells = df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val ra = cells.groupBy(col("a")).agg(sum(col("c")).as("na"))
+    val rb = cells.groupBy(col("b")).agg(sum(col("c")).as("nb"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      count_distinct(col("a")).as("ka"), count_distinct(col("b")).as("kb"))
+    val o = dbl(coalesce(col("c"), lit(0L)))
+    ra.crossJoin(broadcast(rb))
+      .join(cells, Seq("a", "b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", dbl(col("na")) * dbl(col("nb")) / dbl(col("n")))
+      .withColumn("term",
+        round((o - col("e")) * (o - col("e")) / col("e"), 12).cast(dec12))
+      .agg(max(col("n")).as("n"), max(col("ka")).as("ka"),
+        max(col("kb")).as("kb"), sum(col("term")).as("chi_d"))
+      .select(col("n"), col("ka"), col("kb"),
+        round(dbl(col("chi_d")), 6).as("chi2"),
+        when(least(col("ka"), col("kb")) > 1,
+          round(sqrt(dbl(col("chi_d")) /
+            (dbl(col("n")) * dbl(least(col("ka"), col("kb")) - 1))), 6))
+          .as("cramers_v"))
+  }
 }

@@ -1758,6 +1758,125 @@ object CoreQueries {
     // share and p99/p50 ratio over the KEY relation, not rows
     "q286_key_skew" -> ((s, dir) => {
       StatOps.keySkew(Tables.lineitem(s, dir), col("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape (late-shipment priority mix): lines shipped more
+    // than 90 days after their order date, split per returnflag (the
+    // schema's shipmode stand-in) into urgent (priority 1-2) vs other
+    // orders — the two-fact equi-join + conditional-count shape; both
+    // facts shuffle on orderkey, no dim involved
+    "q293_late_priority" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))) > 90)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_late"),
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive-predicate revenue): three OR-blocks
+    // of (brand × quantity band × size band) — the shape whose OR must
+    // still push the shared part join and prune columns; one global
+    // DECIMAL revenue row out
+    "q294_disjunctive_revenue" -> ((s, dir) => {
+      val hit =
+        (col("p_brand") === "Brand#3" &&
+          col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#13" &&
+          col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#23" &&
+          col("l_quantity").between(20, 30) && col("p_size").between(1, 15))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(hit)
+        .agg(count(lit(1)).as("n_items"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 6))), 2).cast(DoubleType).as("revenue"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): multi-
+    // supplier orders where exactly ONE supplier shipped over 100 days
+    // after the order date — the correlated EXISTS/NOT-EXISTS pair
+    // decorrelated into one per-order distinct-count aggregate joined
+    // back to the late lines; supplier dim joins under AQE
+    "q295_blame_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))) > 100)
+        .select(col("l_orderkey"), col("l_suppkey"), col("late"))
+        .localCheckpoint(eager = false)
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+          count_distinct(when(col("late"), col("l_suppkey")))
+            .as("n_late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      li.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q20 shape (dominant part suppliers): for the PROMO part
+    // slice, suppliers shipping more than TWICE the part's average
+    // per-supplier quantity — the semi-join chain with a RELATIVE
+    // threshold (qty·n_supp > 2·total stays non-trivial at every
+    // scale factor, unlike a fixed share)
+    "q296_dominant_supplier" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir)
+          .filter(col("p_type") === "PROMO").select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .localCheckpoint(eager = false)
+      val tot = ps.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("tot_qty"), count(lit(1)).as("n_supp"))
+      ps.join(tot, col("l_partkey") === col("pk"))
+        .filter(col("qty") * col("n_supp") > col("tot_qty") * 2)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_parts_dominated"))
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_parts_dominated"))
+        .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
+        .limit(25)
+    }),
+
+    // Spearman rank correlation discount × quantity (StatOps
+    // .spearmanMidrank): midranks from the contingency margins —
+    // the monotone-association companion to q274's Kendall tau-b,
+    // never ranking the corpus
+    "q297_spearman" -> ((s, dir) => {
+      StatOps.spearmanMidrank(Tables.lineitem(s, dir),
+        round(col("l_discount") * 100, 0), col("l_quantity"))
+    }),
+
+    // Mann–Whitney U: did returned lines ("R") draw a different
+    // discount distribution? (StatOps.mannWhitneyU) — rank-sum off
+    // the value spectrum, tie-corrected z
+    "q298_mann_whitney" -> ((s, dir) => {
+      StatOps.mannWhitneyU(Tables.lineitem(s, dir),
+        round(col("l_discount") * 100, 0), col("l_returnflag") === "R")
     })
   )
 
@@ -3476,6 +3595,157 @@ object CoreQueries {
               / CAST(n_rows AS DOUBLE), 6) AS top1_share,
             CASE WHEN p50_rows > 0 THEN
               round(p99_rows / p50_rows, 6) END AS skew_ratio
-          FROM a"""
+          FROM a""",
+
+    // Q12-shape twin: same 90-day datediff cut, symmetric conditional
+    // counts (priority is never NULL, both forms agree)
+    "q293_late_priority" ->
+      """SELECT l_returnflag, count(*) AS n_late,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE datediff('day', CAST(o_orderdate AS DATE),
+           CAST(l_shipdate AS DATE)) > 90
+         GROUP BY 1 ORDER BY 1""",
+
+    // Q19-shape twin: identical OR blocks, DECIMAL revenue, one row
+    "q294_disjunctive_revenue" ->
+      """SELECT count(*) AS n_items,
+           CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#3' AND l_quantity BETWEEN 1 AND 11
+                 AND p_size BETWEEN 1 AND 5)
+            OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20
+                 AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 30
+                 AND p_size BETWEEN 1 AND 15)""",
+
+    // Q21-shape twin: same decorrelated per-order distinct counts,
+    // same (numwait desc, name) top-20
+    "q295_blame_supplier" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+                       datediff('day', CAST(o_orderdate AS DATE),
+                         CAST(l_shipdate AS DATE)) > 100 AS late
+                     FROM lineitem JOIN orders
+                       ON l_orderkey = o_orderkey),
+          po AS (SELECT l_orderkey AS ok,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                     AS n_late_supp
+                 FROM li GROUP BY 1),
+          ok AS (SELECT ok FROM po
+                 WHERE n_supp > 1 AND n_late_supp = 1),
+          w AS (SELECT DISTINCT l_orderkey, l_suppkey
+                FROM li JOIN ok ON l_orderkey = ok
+                WHERE late),
+          c AS (SELECT l_suppkey, count(*) AS numwait
+                FROM w GROUP BY 1)
+          SELECT s_suppkey, s_name, numwait
+          FROM c JOIN supplier ON l_suppkey = s_suppkey
+          ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    // Q20-shape twin: same PROMO slice, DECIMAL quantity sums, same
+    // relative qty·n_supp > 2·total cut and top-25 tie-break
+    "q296_dominant_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_type = 'PROMO'
+                     GROUP BY 1, 2),
+          tot AS (SELECT l_partkey AS pk, SUM(qty) AS tot_qty,
+                    count(*) AS n_supp
+                  FROM ps GROUP BY 1),
+          dom AS (SELECT l_suppkey, count(*) AS n_parts_dominated
+                  FROM ps JOIN tot ON l_partkey = pk
+                  WHERE qty * n_supp > tot_qty * 2
+                  GROUP BY 1)
+          SELECT s_suppkey, s_name, n_parts_dominated
+          FROM dom JOIN supplier ON l_suppkey = s_suppkey
+          ORDER BY n_parts_dominated DESC, s_suppkey LIMIT 25""",
+
+    // Spearman twin: doubled midranks off the margin cumulatives,
+    // DECIMAL moment products, one shared-order rho
+    "q297_spearman" ->
+      """WITH pts AS (SELECT CAST(round(l_discount*100, 0) AS BIGINT)
+                        AS x, CAST(l_quantity AS BIGINT) AS y
+                      FROM lineitem),
+          cells AS (SELECT x, y, count(*) AS c FROM pts GROUP BY 1, 2),
+          mx AS (SELECT x, 2*(SUM(nv) OVER (ORDER BY x) - nv) + nv + 1
+                   AS rx2
+                 FROM (SELECT x, SUM(c) AS nv FROM cells GROUP BY 1)),
+          my AS (SELECT y, 2*(SUM(nv) OVER (ORDER BY y) - nv) + nv + 1
+                   AS ry2
+                 FROM (SELECT y, SUM(c) AS nv FROM cells GROUP BY 1)),
+          m AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  SUM(CAST(c AS DECIMAL(38,0))
+                    * CAST(rx2 AS DECIMAL(38,0))) AS sx,
+                  SUM(CAST(c AS DECIMAL(38,0))
+                    * CAST(ry2 AS DECIMAL(38,0))) AS sy,
+                  SUM(CAST(c AS DECIMAL(38,0))
+                    * CAST(rx2 AS DECIMAL(38,0))
+                    * CAST(ry2 AS DECIMAL(38,0))) AS sxy,
+                  SUM(CAST(c AS DECIMAL(38,0))
+                    * CAST(rx2 AS DECIMAL(38,0))
+                    * CAST(rx2 AS DECIMAL(38,0))) AS sxx,
+                  SUM(CAST(c AS DECIMAL(38,0))
+                    * CAST(ry2 AS DECIMAL(38,0))
+                    * CAST(ry2 AS DECIMAL(38,0))) AS syy
+                FROM cells JOIN mx USING (x) JOIN my USING (y)),
+          v AS (SELECT n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+                FROM m)
+          SELECT n, CASE WHEN vx > 0 AND vy > 0
+            THEN round(num / (sqrt(vx) * sqrt(vy)), 6) END AS rho
+          FROM v""",
+
+    // Mann–Whitney twin: same doubled-U integers, same tie-corrected
+    // variance op order, same 1.959964 fence
+    "q298_mann_whitney" ->
+      """WITH pts AS (SELECT CAST(round(l_discount*100, 0) AS BIGINT)
+                        AS v, l_returnflag = 'R' AS ia
+                      FROM lineitem),
+          dist AS (SELECT v,
+                     CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ca,
+                     CAST(SUM(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT)
+                       AS cb
+                   FROM pts GROUP BY 1),
+          cum AS (SELECT v, ca, cb,
+                    SUM(cb) OVER (ORDER BY v) - cb AS belowb
+                  FROM dist),
+          a AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+                  CAST(SUM(cb) AS BIGINT) AS n2,
+                  SUM(CAST(ca AS DECIMAL(38,0))
+                    * CAST(2*belowb + cb AS DECIMAL(38,0))) AS u2,
+                  SUM(CAST(ca+cb AS DECIMAL(38,0))
+                    * CAST(ca+cb AS DECIMAL(38,0))
+                    * CAST(ca+cb AS DECIMAL(38,0))
+                    - CAST(ca+cb AS DECIMAL(38,0))) AS tie3
+                FROM cum),
+          f AS (SELECT n1, n2,
+                  CAST(u2 AS DOUBLE) / 2.0 AS u,
+                  CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                  CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd,
+                  CAST(tie3 AS DOUBLE) AS t3
+                FROM a),
+          g AS (SELECT n1, n2, round(u, 4) AS u_stat,
+                  CASE WHEN n1 > 0 AND n2 > 0 AND
+                    n1d*n2d/12.0*((nd + 1) - t3/(nd*(nd - 1))) > 0
+                  THEN round((u - n1d*n2d/2.0)
+                    / sqrt(n1d*n2d/12.0*((nd + 1) - t3/(nd*(nd - 1)))),
+                    6) END AS z
+                FROM f)
+          SELECT n1, n2, u_stat, z,
+            CASE WHEN z IS NOT NULL THEN abs(z) > 1.959964 END
+              AS significant
+          FROM g"""
   )
 }

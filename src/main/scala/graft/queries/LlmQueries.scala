@@ -921,6 +921,20 @@ object LlmQueries {
     "q289_tokenizer_fertility" -> ((s, dir) => {
       TextOps.tokenizerFertility(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("lang"))
+    }),
+
+    // Cramér's V lang × source (StatOps.cramersV): the bounded effect
+    // size completing q273's MI and q278's G-test over the same grid
+    "q301_cramers_v" -> ((s, dir) => {
+      StatOps.cramersV(Tables.documents(s, dir), "lang", "source")
+    }),
+
+    // Effective vocabulary per source (CorpusOps.effectiveVocab):
+    // unigram entropy, its exp(H) perplexity form, and the type-token
+    // ratio — the diversity scalars next to q257's Zipf slope
+    "q303_effective_vocab" -> ((s, dir) => {
+      CorpusOps.effectiveVocab(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
     })
   )
 
@@ -3198,6 +3212,66 @@ object LlmQueries {
             CASE WHEN SUM(ws) > 0 THEN
               round(CAST(SUM(sub) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE),
                 6) END AS fertility
-          FROM f GROUP BY 1 ORDER BY lang"""
+          FROM f GROUP BY 1 ORDER BY lang""",
+
+    // Cramér's V twin: full margin grid (absent cells keep their
+    // expected count), 12dp term fold, V from the UNROUNDED χ²
+    "q301_cramers_v" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS c
+                        FROM documents GROUP BY 1, 2),
+          ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na
+                 FROM cells GROUP BY 1),
+          rb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS nb
+                 FROM cells GROUP BY 1),
+          tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                    CAST(count(DISTINCT a) AS BIGINT) AS ka,
+                    CAST(count(DISTINCT b) AS BIGINT) AS kb
+                  FROM cells),
+          g AS (SELECT na, nb, COALESCE(c, 0) AS o
+                FROM ra CROSS JOIN rb
+                LEFT JOIN cells ON cells.a = ra.a AND cells.b = rb.b),
+          t AS (SELECT n, ka, kb,
+                  CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)
+                    /CAST(n AS DOUBLE) AS e,
+                  CAST(o AS DOUBLE) AS od
+                FROM g CROSS JOIN tot),
+          m AS (SELECT max(n) AS n, max(ka) AS ka, max(kb) AS kb,
+                  SUM(CAST(round((od - e)*(od - e)/e, 12)
+                    AS DECIMAL(38,12))) AS chi_d
+                FROM t)
+          SELECT n, ka, kb,
+            round(CAST(chi_d AS DOUBLE), 6) AS chi2,
+            CASE WHEN least(ka, kb) > 1 THEN
+              round(sqrt(CAST(chi_d AS DOUBLE)
+                / (CAST(n AS DOUBLE)
+                  * CAST(least(ka, kb) - 1 AS DOUBLE))), 6) END
+              AS cramers_v
+          FROM m""",
+
+    // effective-vocab twin: q257 tokenize idiom, 12dp −p·ln p fold,
+    // exp on the decimal-sum double once at emission
+    "q303_effective_vocab" ->
+      """WITH d AS (SELECT source,
+                      regexp_split_to_array(trim(text), ' +') AS toks
+                    FROM documents),
+          tf AS (SELECT source, term, count(*) AS tf
+                 FROM (SELECT source, unnest(toks) AS term FROM d)
+                 GROUP BY 1, 2),
+          tot AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                    count(*) AS n_terms
+                  FROM tf GROUP BY 1),
+          h AS (SELECT tf.source, n_tokens, n_terms,
+                  CAST(tf AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS p
+                FROM tf JOIN tot ON tf.source = tot.source),
+          m AS (SELECT source, max(n_tokens) AS n_tokens,
+                  max(n_terms) AS n_terms,
+                  SUM(CAST(round(-p*ln(p), 12) AS DECIMAL(38,12))) AS hd
+                FROM h GROUP BY 1)
+          SELECT source, n_tokens, n_terms,
+            round(CAST(hd AS DOUBLE), 6) AS entropy,
+            round(exp(CAST(hd AS DOUBLE)), 6) AS eff_vocab,
+            round(CAST(n_terms AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+              AS ttr
+          FROM m ORDER BY source"""
   )
 }

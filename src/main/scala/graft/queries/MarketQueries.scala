@@ -1151,6 +1151,30 @@ object MarketQueries {
       MarketBars.upDownBeta(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"), marketSeries = "click")
         .orderBy(col("series"), col("regime"))
+    }),
+
+    // Jarque–Bera normality test per series (MarketBars.jarqueBera):
+    // the formal fat-tails gate on the q250 moment panel, χ²(2) fence
+    "q299_jarque_bera" -> ((s, dir) => {
+      MarketBars.jarqueBera(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Durbin–Watson serial-correlation diagnostic per series
+    // (MarketBars.durbinWatson): the residual view of q151's ACF
+    "q300_durbin_watson" -> ((s, dir) => {
+      MarketBars.durbinWatson(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Market-model beta/alpha/R² vs the equal-weight index
+    // (MarketBars.marketBeta): the single-regime complement of q288
+    "q302_market_beta" -> ((s, dir) => {
+      MarketBars.marketBeta(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -3736,6 +3760,129 @@ object MarketQueries {
                 FROM g)
           SELECT series, regime, n,
             CASE WHEN den > 0 THEN round(num / den, 6) END AS beta
-          FROM f ORDER BY series, regime"""
+          FROM f ORDER BY series, regime""",
+
+    // JB twin: q139 return chain, DECIMAL moments, 12dp z-power fold,
+    // JB from the UNROUNDED S/K in the same op order
+    "q299_jarque_bera" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l
+                WHERE prev_c IS NOT NULL AND prev_c > 0),
+          st AS (SELECT series, count(*) AS n,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(r8 AS DECIMAL(38,0))
+                    * CAST(r8 AS DECIMAL(38,0))) AS s2
+                FROM r GROUP BY 1),
+          mu AS (SELECT series, n,
+                  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu8,
+                  sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) AS sd8
+                FROM st),
+          z AS (SELECT r.series, mu.n,
+                  (CAST(r8 AS DOUBLE) - mu8) / sd8 AS z
+                FROM r JOIN mu ON r.series = mu.series
+                WHERE sd8 > 0),
+          m AS (SELECT series, max(n) AS n,
+                  SUM(CAST(round(z*z*z, 12) AS DECIMAL(38,12))) AS sz3,
+                  SUM(CAST(round(z*z*z*z, 12) AS DECIMAL(38,12))) AS sz4
+                FROM z GROUP BY 1),
+          f AS (SELECT series, n,
+                  CAST(sz3 AS DOUBLE)/CAST(n AS DOUBLE) AS sk,
+                  CAST(sz4 AS DOUBLE)/CAST(n AS DOUBLE) - 3.0 AS xk
+                FROM m)
+          SELECT series, n,
+            round(sk, 6) AS skewness, round(xk, 6) AS ex_kurtosis,
+            round(CAST(n AS DOUBLE)/6.0*(sk*sk + xk*xk/4.0), 6) AS jb,
+            CAST(n AS DOUBLE)/6.0*(sk*sk + xk*xk/4.0) > 5.991465
+              AS reject_normal
+          FROM f ORDER BY series""",
+
+    // DW twin: same return chain, DECIMAL quadratic sums, rho from
+    // the ROUNDED dw (the Scala op order)
+    "q300_durbin_watson" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l
+                WHERE prev_c IS NOT NULL AND prev_c > 0),
+          d AS (SELECT series, bar_ts, r8,
+                  lag(r8) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS pr8
+                FROM r),
+          a AS (SELECT series, count(*) AS n,
+                  SUM(CAST(r8 AS DECIMAL(38,0))
+                    * CAST(r8 AS DECIMAL(38,0))) AS den,
+                  SUM(CASE WHEN pr8 IS NOT NULL
+                    THEN CAST(r8 - pr8 AS DECIMAL(38,0))
+                      * CAST(r8 - pr8 AS DECIMAL(38,0))
+                    ELSE CAST(0 AS DECIMAL(38,0)) END) AS num
+                FROM d GROUP BY 1),
+          f AS (SELECT series, n,
+                  CASE WHEN CAST(den AS DOUBLE) > 0 THEN
+                    round(CAST(num AS DOUBLE)/CAST(den AS DOUBLE), 6)
+                  END AS dw
+                FROM a)
+          SELECT series, n, dw,
+            CASE WHEN dw IS NOT NULL THEN round(1.0 - dw/2, 6) END
+              AS rho_hat
+          FROM f ORDER BY series""",
+
+    // market-beta twin: equal-weight index from exact long sums, q122
+    // 12dp term fold, alpha/R² from the UNROUNDED beta
+    "q302_market_beta" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l
+                WHERE prev_c IS NOT NULL AND prev_c > 0),
+          mkt AS (SELECT bar_ts, CAST(SUM(r8) AS BIGINT) AS msum,
+                    count(*) AS mcnt
+                  FROM r GROUP BY 1),
+          j AS (SELECT series,
+                  CAST(msum AS DOUBLE)/CAST(mcnt AS DOUBLE)/1e8 AS x,
+                  CAST(r8 AS DOUBLE)/1e8 AS y
+                FROM r JOIN mkt USING (bar_ts)),
+          m AS (SELECT series, count(*) AS n,
+                  SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
+                  SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS sy,
+                  SUM(CAST(round(x*y, 12) AS DECIMAL(38,12))) AS sxy,
+                  SUM(CAST(round(x*x, 12) AS DECIMAL(38,12))) AS sxx,
+                  SUM(CAST(round(y*y, 12) AS DECIMAL(38,12))) AS syy
+                FROM j GROUP BY 1),
+          c AS (SELECT series, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+                FROM m)
+          SELECT series, n,
+            CASE WHEN vx > 0 THEN round(num/vx, 6) END AS beta,
+            CASE WHEN vx > 0 THEN
+              round((syd - num/vx*sxd)/CAST(n AS DOUBLE), 8) END
+              AS alpha,
+            CASE WHEN vx > 0 AND vy > 0 THEN
+              round(num*num/(vx*vy), 6) END AS r2
+          FROM c ORDER BY series"""
   )
 }

@@ -1,0 +1,148 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CorpusOps, MarketBars, StatOps}
+import graft.sources.Tables
+
+/** Hand-computed fixtures for the round-7 statistics batch: Spearman
+  * midranks, Mann–Whitney U, Cramér's V, Jarque–Bera, Durbin–Watson,
+  * the market-model regression, and the effective-vocabulary panel.
+  */
+class Round7Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("spearmanMidrank: monotone ±1, hand-computed tie case = 0.5") {
+    import spark.implicits._
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(StatOps.spearmanMidrank(up, col("x"), col("y"))
+      .collect()(0).getDouble(1) === 1.0)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(StatOps.spearmanMidrank(down, col("x"), col("y"))
+      .collect()(0).getDouble(1) === -1.0)
+    // pairs (1,5)(1,7)(2,7): x midranks 1.5/1.5/3, y midranks 1/2.5/2.5
+    // → cov 0.75, both variances 1.5 → rho 0.5 exactly
+    val ties = Seq((1L, 5L), (1L, 7L), (2L, 7L)).toDF("x", "y")
+    assert(StatOps.spearmanMidrank(ties, col("x"), col("y"))
+      .collect()(0).getDouble(1) === 0.5)
+    // degenerate margin (one distinct x) nulls rho
+    val flat = Seq((1L, 5L), (1L, 7L)).toDF("x", "y")
+    assert(StatOps.spearmanMidrank(flat, col("x"), col("y"))
+      .collect()(0).isNullAt(1))
+  }
+
+  test("mannWhitneyU: textbook tie case, U = 0.5, z = -1.224745") {
+    import spark.implicits._
+    // A = {1, 2}, B = {2, 3}: A>B pairs = 0 + one tie → U_A = 0.5;
+    // tie correction Σ(t³−t) = 6 → var = 1.5, z = (0.5−2)/√1.5
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "ia")
+    val r = StatOps.mannWhitneyU(df, col("v"), col("ia")).collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === -1.224745)
+    assert(!r.getBoolean(4))
+    // all rows one value → zero variance → null z
+    val flat = Seq((5L, true), (5L, false)).toDF("v", "ia")
+    assert(StatOps.mannWhitneyU(flat, col("v"), col("ia"))
+      .collect()(0).isNullAt(3))
+  }
+
+  test("cramersV: identical columns give V = 1, independence gives 0") {
+    import spark.implicits._
+    val same = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("u", "w")
+    val r = StatOps.cramersV(same, "u", "w").collect()(0)
+    assert(r.getDouble(3) === 4.0, "chi2 = n·(k−1)")
+    assert(r.getDouble(4) === 1.0)
+    // balanced independent grid: every observed = expected → V = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "w")
+    assert(StatOps.cramersV(ind, "u", "w").collect()(0).getDouble(4) === 0.0)
+  }
+
+  /** 9 alternating closes 100/200 → 8 returns ±ln2 in equal counts. */
+  private def alternatingBars(series: String = "s"): DataFrame = {
+    import spark.implicits._
+    (0 until 9).map { i =>
+      (series, ts(f"2024-01-01 10:${i * 5}%02d:00"),
+        if (i % 2 == 0) 100.0 else 200.0)
+    }.toDF("series", "bar_ts", "close")
+  }
+
+  test("jarqueBera: alternating ±ln2 returns → S=0, K−3=−2, JB=n/6") {
+    val r = MarketBars.jarqueBera(alternatingBars()).collect()(0)
+    assert(r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 0.0, "skewness")
+    assert(r.getDouble(3) === -2.0, "excess kurtosis")
+    assert(r.getDouble(4) === 1.333333, "JB = 8/6·(0 + 4/4)")
+    assert(!r.getBoolean(5))
+  }
+
+  test("durbinWatson: alternating returns → DW = 3.5, rho = −0.75") {
+    // 7 diffs of ±2r over Σr² = 8r² → 28r²/8r² = 3.5 exactly
+    val r = MarketBars.durbinWatson(alternatingBars()).collect()(0)
+    assert(r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 3.5)
+    assert(r.getDouble(3) === -0.75)
+  }
+
+  test("marketBeta: two identical series → beta 1, alpha 0, R² 1") {
+    val bars = alternatingBars("a").unionByName(alternatingBars("b"))
+    val rows = MarketBars.marketBeta(bars).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getDouble(2) === 1.0, "beta")
+      assert(r.getDouble(3) === 0.0, "alpha")
+      assert(r.getDouble(4) === 1.0, "r2")
+    }
+  }
+
+  test("effectiveVocab: uniform 2-term source → H=ln2, eff=2, ttr=0.5") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a a b b"), ("s2", "c c c c")).toDF("source", "text")
+    val out = CorpusOps.effectiveVocab(docs).orderBy("source").collect()
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 2L)
+    assert(out(0).getDouble(3) === 0.693147)
+    assert(out(0).getDouble(4) === 2.0)
+    assert(out(0).getDouble(5) === 0.5)
+    // single-term source: zero entropy, effective vocabulary 1
+    assert(out(1).getDouble(3) === 0.0)
+    assert(out(1).getDouble(4) === 1.0)
+  }
+
+  test("round-7 stats are partitioning-invariant") {
+    def same(a: DataFrame, b: DataFrame): Unit =
+      assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val li = Tables.lineitem(spark, sf)
+    same(
+      StatOps.spearmanMidrank(li.repartition(3),
+        round(col("l_discount") * 100, 0), col("l_quantity")),
+      StatOps.spearmanMidrank(li.repartition(17),
+        round(col("l_discount") * 100, 0), col("l_quantity")))
+    same(
+      StatOps.mannWhitneyU(li.repartition(3),
+        round(col("l_discount") * 100, 0), col("l_returnflag") === "R"),
+      StatOps.mannWhitneyU(li.repartition(17),
+        round(col("l_discount") * 100, 0), col("l_returnflag") === "R"))
+    val docs = Tables.documents(spark, sf)
+    same(StatOps.cramersV(docs.repartition(3), "lang", "source"),
+      StatOps.cramersV(docs.repartition(17), "lang", "source"))
+    same(CorpusOps.effectiveVocab(docs.repartition(3)),
+      CorpusOps.effectiveVocab(docs.repartition(17)))
+    val bars = MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    same(MarketBars.jarqueBera(bars.repartition(3)),
+      MarketBars.jarqueBera(bars.repartition(17)))
+    same(MarketBars.durbinWatson(bars.repartition(3)),
+      MarketBars.durbinWatson(bars.repartition(17)))
+    same(MarketBars.marketBeta(bars.repartition(3)),
+      MarketBars.marketBeta(bars.repartition(17)))
+  }
+}
