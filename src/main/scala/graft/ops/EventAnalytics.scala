@@ -51,12 +51,31 @@ object EventAnalytics {
       .select(col("event_type"),
         explode(sequence(col("t0"), col("t1"),
           expr("INTERVAL 1 MINUTE"))).as("minute"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+    // LOCF is a prefix fold that splits at day boundaries like the
+    // drawdown peak: the carry into day d is the last non-null value
+    // over ALL earlier days (a keys×days relation) and the within-day
+    // fill runs in (key, day) tasks — exact, because last-non-null is
+    // associative across the split; the bare-key window would put a
+    // type's whole minute grid in one task (the §7.4 hazard)
+    val filled = grid.join(perMin, Seq("event_type", "minute"), "left")
+      .withColumn("__day", to_date(col("minute")))
+      .localCheckpoint(eager = false)
+    val prevW = Window.partitionBy(col("event_type")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = filled.groupBy(col("event_type"), col("__day"))
+      .agg(max_by(col("v"), when(col("v").isNotNull, col("minute")))
+        .as("__dlast"))
+      .withColumn("__carry",
+        last(col("__dlast"), ignoreNulls = true).over(prevW))
+      .select(col("event_type"), col("__day"), col("__carry"))
+    val wDay = Window.partitionBy(col("event_type"), col("__day"))
+      .orderBy(col("minute"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(perMin, Seq("event_type", "minute"), "left")
+    filled.join(broadcast(carry), Seq("event_type", "__day"))
       .select(col("event_type"), col("minute"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        round(last(col("v"), ignoreNulls = true).over(w), 4).as("value_locf"),
+        round(coalesce(last(col("v"), ignoreNulls = true).over(wDay),
+          col("__carry")), 4).as("value_locf"),
         col("v").isNull.as("is_filled"))
   }
 

@@ -504,7 +504,11 @@ class ScaleSpec extends AnyFunSuite {
     val checks = Seq(
       ("q49_range_window", "windowspecdefinition\\(event_type#\\d+, us#\\d+"),
       ("q83_drawdown", "windowspecdefinition\\(event_type#\\d+, ts#\\d+"),
-      ("q101_ewma", "windowspecdefinition\\(series#\\d+, bar_ts#\\d+"))
+      ("q101_ewma", "windowspecdefinition\\(series#\\d+, bar_ts#\\d+"),
+      ("q78_gap_fill", "windowspecdefinition\\(event_type#\\d+, minute#\\d+"),
+      ("q133_rsi", "windowspecdefinition\\(series#\\d+, bar_ts#\\d+"),
+      ("q233_bollinger", "windowspecdefinition\\(series#\\d+, bar_ts#\\d+"),
+      ("q222_macd", "windowspecdefinition\\(series#\\d+, bar_ts#\\d+"))
     checks.foreach { case (name, bad) =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
