@@ -279,4 +279,60 @@ object GraphOps {
     * round's plan is compiled for the checkpoint anyway, so capturing
     * its string costs nothing extra). */
   @volatile private[graft] var lastIterPlan: String = ""
+
+  /** Exact triangle census + global clustering coefficient via the
+    * degree-ordered wedge algorithm (the MapReduce-classic "count each
+    * triangle at its lowest-ordered vertex"): canonical undirected
+    * edges orient from the (degree, id)-lower endpoint, wedges form by
+    * self-joining the oriented out-edges on their source, and a wedge
+    * closes iff the third side exists in the canonical edge list.
+    *
+    * Scale: the wedge fan-out is bounded by per-node OUT-degree under
+    * the degree orientation — the classic Σ out-deg² ≤ O(m^1.5) bound
+    * that makes exact triangle counting feasible on power-law graphs
+    * where a naive neighbor self-join explodes on hub nodes; the close
+    * step is one hash join against the edge list. Wedge totals come
+    * from the degree relation (Σ deg(deg−1) DIV 2, exact integer DIV).
+    *
+    * Determinism: every count is an exact integer; the coefficient
+    * 3T/wedges forms in one double divide rounded 6dp. */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DoubleType)
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint(eager = false)
+    val wedges = oriented.select(col("u"), col("w").as("w1"))
+      .join(oriented.select(col("u"), col("w").as("w2")), "u")
+      .filter(col("w1") < col("w2"))
+    val tri = wedges
+      .join(e.select(col("a").as("w1"), col("b").as("w2")),
+        Seq("w1", "w2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = deg.agg(count(lit(1)).as("n_nodes"),
+      (coalesce(sum(col("deg")), lit(0L)) / 2).cast("long").as("n_edges"),
+      coalesce(sum(expr("deg * (deg - 1) DIV 2")), lit(0L)).as("n_wedges"))
+    totals.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * dbl(col("n_triangles")) /
+            dbl(col("n_wedges")), 6)).as("clustering"))
+  }
 }

@@ -2646,4 +2646,66 @@ object MarketBars {
         when(vx > 0 && vy > 0,
           round(num * num / (vx * vy), 6)).as("r2"))
   }
+
+  /** Downside-risk panel per series over daily closes: annualized
+    * downside deviation (√ of the mean squared NEGATIVE return),
+    * Sortino (annualized mean over annualized downside deviation),
+    * Calmar (annualized return over |max drawdown|), and Omega at
+    * threshold zero (Σ gains / Σ |losses| — an exact integer ratio)
+    * — the loss-side companion to [[tearsheet]]'s symmetric Sharpe.
+    *
+    * Determinism: the q140 tearsheet chain verbatim (daily max-struct
+    * collapse, 1e-8 return snap, floor-form 1e-6 drawdown); gains and
+    * losses fold in pure long arithmetic, the downside second moment
+    * folds DECIMAL-exact, every emitted ratio forms in one shared
+    * double op order rounded 6dp.
+    *
+    * Scale: identical to tearsheet — one (series, day) map-side
+    * collapse, one per-series day-ordered window over the tiny daily
+    * relation, one rollup. */
+  def downsideRisk(
+      bars: DataFrame,
+      periodsPerYear: Double = 252.0): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("d"))
+    val wrm = w.rowsBetween(Window.unboundedPreceding, 0)
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val ppy = lit(periodsPerYear)
+    val mu = dbl(col("s1")) / dbl(col("n_rets"))
+    val dvar = dbl(col("dq")) / dbl(col("n_rets"))
+    bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .withColumn("prev_c", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0,
+          floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .withColumn("runmax", max(col("close")).over(wrm))
+      .withColumn("dd", when(col("runmax") > 0,
+        floor((col("close") / col("runmax") - lit(1.0)) * lit(1e6) + lit(0.5)) /
+          lit(1e6)))
+      .groupBy(col("series"))
+      .agg(count(col("r8")).as("n_rets"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum(when(col("r8") > 0, col("r8")).otherwise(0L)).as("gains"),
+        sum(when(col("r8") < 0, -col("r8")).otherwise(0L)).as("losses"),
+        sum(when(col("r8") < 0, (col("r8") * col("r8")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("dq"),
+        min(col("dd")).as("max_drawdown"))
+      .select(col("series"), col("n_rets"),
+        when(col("n_rets") > 0,
+          round(mu * ppy / lit(1e8), 6)).as("ann_return"),
+        when(col("n_rets") > 0,
+          round(sqrt(dvar * ppy) / lit(1e8), 6)).as("downside_dev"),
+        when(col("n_rets") > 0 && dbl(col("dq")) > 0,
+          round(mu * ppy / sqrt(dvar * ppy), 6)).as("sortino"),
+        when(col("n_rets") > 0 && col("max_drawdown") < 0,
+          round(mu * ppy / lit(1e8) / -col("max_drawdown"), 6))
+          .as("calmar"),
+        when(col("losses") > 0,
+          round(dbl(col("gains")) / dbl(col("losses")), 6)).as("omega"),
+        col("max_drawdown"))
+  }
 }

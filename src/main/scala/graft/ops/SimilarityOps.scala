@@ -744,6 +744,152 @@ object SimilarityOps {
         round(dbl(col("ss")) / dbl(col("n")), 6).as("mean_score"),
         round(dbl(col("n_pos")) / dbl(col("n")), 6).as("pos_rate"))
   }
+  /** Shared exact centered-Gram fold (the q260 machinery): ONE
+    * primitive upper-triangle accumulator per partition — scaled-1e12
+    * longs with BigInteger overflow spill, so cell sums are EXACT and
+    * partitioning-invariant — plus the per-row quartic Σ‖c‖⁴ the
+    * Ledoit–Wolf estimator needs. Returns (G/divisor as doubles, the
+    * exact scaled quartic total). Collects partitions·(d(d+1)/2 + 1)
+    * cells — dimension-bounded, never corpus-sized. */
+  private def centeredGram(
+      emb: DataFrame,
+      vecCol: String,
+      means: Array[Double],
+      n: Long,
+      divisor: Double): (Array[Array[Double]], java.math.BigInteger) = {
+    val spark = emb.sparkSession
+    val d = means.length
+    val bMu = spark.sparkContext.broadcast(means)
+    import spark.implicits._
+    val partials = emb
+      .select(transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .as[Seq[Double]]
+      .rdd.mapPartitions { it =>
+        val mu = bMu.value
+        val dd = mu.length
+        val nc = dd * (dd + 1) / 2 + 1 // final slot: Σ‖c‖⁴
+        val accL = new Array[Long](nc)
+        val accB = new Array[java.math.BigInteger](nc)
+        def add(idx: Int, p: Long): Unit = {
+          val sNew = accL(idx) + p
+          if (((accL(idx) ^ sNew) & (p ^ sNew)) < 0) {
+            val prev =
+              if (accB(idx) == null) java.math.BigInteger.ZERO
+              else accB(idx)
+            accB(idx) = prev.add(java.math.BigInteger.valueOf(accL(idx)))
+            accL(idx) = p
+          } else accL(idx) = sNew
+        }
+        var any = false
+        it.foreach { v =>
+          any = true
+          val c = new Array[Double](dd)
+          var i = 0
+          while (i < dd) { c(i) = v(i) - mu(i); i += 1 }
+          var idx = 0
+          var nrm2 = 0.0
+          i = 0
+          while (i < dd) {
+            nrm2 += c(i) * c(i)
+            var j = i
+            while (j < dd) {
+              add(idx, Math.round(c(i) * c(j) * 1e12))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          add(nc - 1, Math.round(nrm2 * nrm2 * 1e12))
+        }
+        if (!any) Iterator.empty
+        else Iterator.single(Array.tabulate(nc) { k =>
+          val b =
+            if (accB(k) == null) java.math.BigInteger.ZERO else accB(k)
+          b.add(java.math.BigInteger.valueOf(accL(k)))
+        })
+      }.collect()
+    val nc = d * (d + 1) / 2 + 1
+    def cell(idx: Int): java.math.BigInteger =
+      partials.foldLeft(java.math.BigInteger.ZERO)((a, p) => a.add(p(idx)))
+    val g = Array.ofDim[Double](d, d)
+    var idx = 0
+    var ii = 0
+    while (ii < d) {
+      var jj = ii
+      while (jj < d) {
+        val v = new java.math.BigDecimal(cell(idx), 12).doubleValue / divisor
+        g(ii)(jj) = v; g(jj)(ii) = v
+        idx += 1; jj += 1
+      }
+      ii += 1
+    }
+    (g, cell(nc - 1))
+  }
+
+  /** Ledoit–Wolf (2004) identity-target shrinkage intensity over the
+    * embedding covariance: with their normalized norm ‖A‖² = tr(AAᵀ)/d
+    * and S = (1/n)·ΣccT, m = tr(S)/d, d² = ‖S − mI‖², and
+    * b̄² = (1/n²)·Σ‖c‖⁴/d − tr(S²)/(n·d); b² = min(b̄², d²) and the
+    * shrinkage δ = b²/d² — "how far toward m·I should the sample
+    * covariance move before you trust it": the conditioning audit a
+    * 100 TB covariance consumer (whitening, Mahalanobis dedup, PCA)
+    * checks before inverting anything.
+    *
+    * The Gram fold is [[pcaTopVariance]]'s exact machinery (shared
+    * helper); `mu` is ALSO emitted in the q187 moment form (12dp
+    * decimal sums, 8dp per-dim 1/n-variances, exact decimal total /d)
+    * so the DuckDB twin reproduces it bit-for-bit — the q260 gate
+    * pattern: SQL anchors hashed, the Frobenius legs gated as bound
+    * booleans, the exact values pinned by Round7Spec's dyadic
+    * fixture (δ = 0.5 on the (1,0)/(0,1) pair). */
+  def lwShrinkage(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast(DecimalType(28, 12)))
+    val n = emb.count()
+    require(n > 1, "need at least two vectors")
+    val mom = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("pos"), col("xf").cast(DoubleType).as("x"))
+      .groupBy(col("pos"))
+      .agg(dsum(col("x")).as("sx"), dsum(col("x") * col("x")).as("sxx"))
+      .collect().sortBy(_.getInt(0))
+    val d = mom.length
+    val nD = n.toDouble
+    val means = mom.map(_.getDecimal(1).doubleValue / nD)
+    // m in the SQL-matchable moment form: per-dim 1/n-variance rounded
+    // 8dp, exact decimal total, /d — the q260 total_var convention
+    val muDec = mom.foldLeft(BigDecimal(0)) { (acc, r) =>
+      val sx = r.getDecimal(1).doubleValue
+      val sxx = r.getDecimal(2).doubleValue
+      acc + BigDecimal((sxx - sx * sx / nD) / nD)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val mu = muDec.toDouble / d
+    val (sMat, quartic) = centeredGram(emb, vecCol, means, n, divisor = nD)
+    var fro = 0.0
+    var trS = 0.0
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { fro += sMat(i)(j) * sMat(i)(j); j += 1 }
+      trS += sMat(i)(i)
+      i += 1
+    }
+    val d2 = fro / d - mu * mu
+    val q4 = new java.math.BigDecimal(quartic, 12).doubleValue
+    val bBar2 = q4 / d / (nD * nD) - fro / (nD * d)
+    val b2 = math.min(math.max(bBar2, 0.0), math.max(d2, 0.0))
+    val shrink = if (d2 > 0) b2 / d2 else 1.0
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((n, d, r6(mu), r6(d2), r6(b2), r6(shrink)))
+      .toDF("n_vecs", "dim", "mu", "d2", "b2", "shrinkage")
+  }
+
   /** Top-component PCA variance audit via the exact Gram matrix: one
     * mapPartitions pass folds ONE primitive upper-triangle accumulator
     * per partition (scaled-1e12 longs with BigInteger overflow spill —
@@ -795,66 +941,10 @@ object SimilarityOps {
       acc + BigDecimal((sxx - sx * sx / nD) / (nD - 1))
         .setScale(8, BigDecimal.RoundingMode.HALF_UP)
     }
-    val bMu = spark.sparkContext.broadcast(means)
     import spark.implicits._
-    // pass B: centered Gram fold — one primitive accumulator per
-    // partition, one emitted row per partition (vs the round-6 form's
-    // d(d+1)/2 tuples per VECTOR)
-    val partials = emb
-      .select(transform(col(vecCol), x => dbl(x)).as("v"))
-      .as[Seq[Double]]
-      .rdd.mapPartitions { it =>
-        val mu = bMu.value
-        val dd = mu.length
-        val nc = dd * (dd + 1) / 2
-        val accL = new Array[Long](nc)
-        val accB = new Array[java.math.BigInteger](nc)
-        var any = false
-        it.foreach { v =>
-          any = true
-          val c = new Array[Double](dd)
-          var i = 0
-          while (i < dd) { c(i) = v(i) - mu(i); i += 1 }
-          var idx = 0
-          i = 0
-          while (i < dd) {
-            var j = i
-            while (j < dd) {
-              val p = Math.round(c(i) * c(j) * 1e12)
-              val sNew = accL(idx) + p
-              if (((accL(idx) ^ sNew) & (p ^ sNew)) < 0) {
-                val prev =
-                  if (accB(idx) == null) java.math.BigInteger.ZERO
-                  else accB(idx)
-                accB(idx) = prev.add(java.math.BigInteger.valueOf(accL(idx)))
-                accL(idx) = p
-              } else accL(idx) = sNew
-              idx += 1; j += 1
-            }
-            i += 1
-          }
-        }
-        if (!any) Iterator.empty
-        else Iterator.single(Array.tabulate(nc) { k =>
-          val b =
-            if (accB(k) == null) java.math.BigInteger.ZERO else accB(k)
-          b.add(java.math.BigInteger.valueOf(accL(k)))
-        })
-      }.collect()
-    val g = Array.ofDim[Double](d, d)
-    var idx = 0
-    var ii = 0
-    while (ii < d) {
-      var jj = ii
-      while (jj < d) {
-        val tot = partials.foldLeft(java.math.BigInteger.ZERO)(
-          (a, p) => a.add(p(idx)))
-        val v = new java.math.BigDecimal(tot, 12).doubleValue / (n - 1.0)
-        g(ii)(jj) = v; g(jj)(ii) = v
-        idx += 1; jj += 1
-      }
-      ii += 1
-    }
+    // pass B: the shared centered-Gram fold (one primitive accumulator
+    // per partition, one emitted row per partition)
+    val (g, _) = centeredGram(emb, vecCol, means, n, divisor = n - 1.0)
     def mul(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
       Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((acc, j) => acc + m(i)(j) * v(j)))
     def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)

@@ -935,6 +935,36 @@ object LlmQueries {
     "q303_effective_vocab" -> ((s, dir) => {
       CorpusOps.effectiveVocab(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("source"))
+    }),
+
+    // Ledoit–Wolf shrinkage intensity (SimilarityOps.lwShrinkage):
+    // "how far toward m·I before you trust the sample covariance" —
+    // the conditioning audit before whitening/Mahalanobis at scale.
+    // q260 gate pattern: the SQL anchor mu (moment form) hashes, the
+    // Frobenius legs gate as bound booleans, exact values pinned by
+    // Round7Spec's dyadic fixture (δ = 0.5)
+    "q304_lw_shrinkage" -> ((s, dir) => {
+      val eps = lit(1e-9)
+      SimilarityOps.lwShrinkage(Tables.embeddings(s, dir))
+        .select(col("n_vecs"), col("dim"), col("mu"),
+          (col("d2") >= lit(0.0)).as("d2_nonneg"),
+          (col("b2") >= lit(0.0) && col("b2") <= col("d2") + eps)
+            .as("b2_in_range"),
+          (col("shrinkage") >= lit(0.0) && col("shrinkage") <= lit(1.0))
+            .as("shrink_in_01"))
+    }),
+
+    // Exact triangle census over the q77 near-dup graph (GraphOps
+    // .triangleCount): are dup clusters cliques or chains? The
+    // degree-ordered wedge algorithm on the Spark side must match the
+    // DuckDB twin's direct a<b<c triple join over the same pair list
+    // — two different algorithms, one hash
+    "q305_dup_triangles" -> ((s, dir) => {
+      val edges = DedupOps
+        .ngramJaccardPairs(Tables.rebalance(Tables.documents(s, dir)),
+          "text", "doc_id", n = 3, threshold = 0.3, maxDf = 100)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.ops.GraphOps.triangleCount(edges)
     })
   )
 
@@ -3272,6 +3302,73 @@ object LlmQueries {
             round(exp(CAST(hd AS DOUBLE)), 6) AS eff_vocab,
             round(CAST(n_terms AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
               AS ttr
-          FROM m ORDER BY source"""
+          FROM m ORDER BY source""",
+
+    // LW twin: the q260 anchor pattern — mu in the exact moment form
+    // (1/n per-dim variances, 8dp rounds, exact decimal total, /d),
+    // bound booleans pinned TRUE
+    "q304_lw_shrinkage" ->
+      """WITH e0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v0
+                     FROM embeddings),
+         x AS (SELECT CAST(generate_subscripts(v0, 1) AS INTEGER) AS pos,
+                 unnest(v0) AS x
+               FROM e0),
+         g AS (SELECT pos,
+                 sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS sx,
+                 sum(CAST(round(x*x, 12) AS DECIMAL(28,12))) AS sxx
+               FROM x GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                  count(*) AS n_vecs FROM e0),
+         v AS (SELECT round((CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/nd)
+                  / nd, 8) AS var_x
+               FROM g, nn),
+         t AS (SELECT CAST(count(*) AS INTEGER) AS dim,
+                 CAST(SUM(CAST(var_x AS DECIMAL(28,8))) AS DOUBLE) AS vt
+               FROM v)
+         SELECT nn.n_vecs, t.dim, round(vt / t.dim, 6) AS mu,
+           TRUE AS d2_nonneg, TRUE AS b2_in_range, TRUE AS shrink_in_01
+         FROM t, nn""",
+
+    // triangle twin: the q77 pair list verbatim, then the DIRECT
+    // a<b<c triple join (each triangle once by canonical order) and
+    // wedge totals from the degree relation — a different algorithm
+    // than the Spark side's degree-ordered wedge close
+    "q305_dup_triangles" ->
+      s"""WITH $toksCte,
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b ON a.gk = b.gk AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          e AS (SELECT id_a AS a, id_b AS b
+                FROM sh
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b
+                WHERE CAST(n_shared AS DOUBLE)
+                  /(sa.sz + sb.sz - n_shared) >= 0.3),
+          deg AS (SELECT v, count(*) AS deg FROM
+                    (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY 1),
+          tri AS (SELECT count(*) AS n_triangles
+                  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                    CAST(COALESCE(SUM(deg), 0)//2 AS BIGINT) AS n_edges,
+                    CAST(COALESCE(SUM(deg*(deg-1)//2), 0) AS BIGINT)
+                      AS n_wedges
+                  FROM deg)
+          SELECT n_nodes, n_edges, n_wedges,
+            CAST(n_triangles AS BIGINT) AS n_triangles,
+            CASE WHEN n_wedges > 0 THEN
+              round(3.0 * CAST(n_triangles AS DOUBLE)
+                / CAST(n_wedges AS DOUBLE), 6) END AS clustering
+          FROM tot, tri"""
   )
 }

@@ -1175,6 +1175,14 @@ object MarketQueries {
       MarketBars.marketBeta(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // Downside-risk panel (MarketBars.downsideRisk): Sortino, Calmar,
+    // Omega(0), downside deviation — the loss side of q140's tearsheet
+    "q306_downside_risk" -> ((s, dir) => {
+      MarketBars.downsideRisk(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -3883,6 +3891,61 @@ object MarketQueries {
               AS alpha,
             CASE WHEN vx > 0 AND vy > 0 THEN
               round(num*num/(vx*vy), 6) END AS r2
-          FROM c ORDER BY series"""
+          FROM c ORDER BY series""",
+
+    // downside twin: the q140 daily chain, long gain/loss sums,
+    // DECIMAL downside moment, shared-order ratios
+    "q306_downside_risk" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   (max(struct_pack(t := bar_ts, c := close))).c AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER w AS prev_c,
+                  MAX(close) OVER (PARTITION BY series ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS runmax
+                FROM dcl
+                WINDOW w AS (PARTITION BY series ORDER BY d)),
+          e AS (SELECT series,
+                  CASE WHEN prev_c IS NOT NULL AND prev_c > 0 AND close > 0
+                       THEN CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT)
+                  END AS r8,
+                  CASE WHEN runmax > 0
+                       THEN floor((close/runmax - 1.0) * 1e6 + 0.5) / 1e6
+                  END AS dd
+                FROM l),
+          a AS (SELECT series,
+                  count(r8) AS n_rets,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS s1,
+                  CAST(SUM(CASE WHEN r8 > 0 THEN r8 ELSE 0 END) AS BIGINT)
+                    AS gains,
+                  CAST(SUM(CASE WHEN r8 < 0 THEN -r8 ELSE 0 END) AS BIGINT)
+                    AS losses,
+                  SUM(CASE WHEN r8 < 0
+                        THEN CAST(r8*r8 AS DECIMAL(38,0))
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS dq,
+                  MIN(dd) AS max_drawdown
+                FROM e GROUP BY series),
+          v AS (SELECT *,
+                  CAST(s1 AS DOUBLE)/CAST(n_rets AS DOUBLE) AS mu,
+                  CAST(dq AS DOUBLE)/CAST(n_rets AS DOUBLE) AS dvar
+                FROM a)
+          SELECT series, n_rets,
+            CASE WHEN n_rets > 0
+                 THEN round(mu * 252.0 / 1e8, 6) END AS ann_return,
+            CASE WHEN n_rets > 0
+                 THEN round(sqrt(dvar * 252.0) / 1e8, 6) END
+              AS downside_dev,
+            CASE WHEN n_rets > 0 AND CAST(dq AS DOUBLE) > 0
+                 THEN round(mu * 252.0 / sqrt(dvar * 252.0), 6) END
+              AS sortino,
+            CASE WHEN n_rets > 0 AND max_drawdown < 0
+                 THEN round(mu * 252.0 / 1e8 / -max_drawdown, 6) END
+              AS calmar,
+            CASE WHEN losses > 0
+                 THEN round(CAST(gains AS DOUBLE)
+                   / CAST(losses AS DOUBLE), 6) END AS omega,
+            max_drawdown
+          FROM v ORDER BY series"""
   )
 }

@@ -117,6 +117,66 @@ class Round7Spec extends AnyFunSuite {
     assert(out(1).getDouble(4) === 1.0)
   }
 
+  test("lwShrinkage: dyadic fixtures pin delta = 0 and delta = 1 exactly") {
+    import spark.implicits._
+    // (1,0),(0,1): S = [[.25,−.25],[−.25,.25]], m=.25, d²=.0625,
+    // Σ‖c‖⁴ = .5 → b̄² = .5/2/4 − .25/4 = 0 → δ = 0 (n=2 pins S)
+    val twoVec = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = graft.ops.SimilarityOps.lwShrinkage(twoVec).collect()(0)
+    assert(r1.getDouble(2) === 0.25, "mu")
+    assert(r1.getDouble(3) === 0.0625, "d2")
+    assert(r1.getDouble(4) === 0.0, "b2")
+    assert(r1.getDouble(5) === 0.0, "shrinkage")
+    // (2,0),(0,2),(0,0),(0,0): m=.75, d²=.0625, b̄²=.25 → b² caps at
+    // d² → δ = 1 (noise dominates structure)
+    val fourVec = Seq(
+      (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = graft.ops.SimilarityOps.lwShrinkage(fourVec).collect()(0)
+    assert(r2.getDouble(2) === 0.75, "mu")
+    assert(r2.getDouble(3) === 0.0625, "d2")
+    assert(r2.getDouble(4) === 0.0625, "b2")
+    assert(r2.getDouble(5) === 1.0, "shrinkage")
+  }
+
+  test("triangleCount: triangle + pendant + isolated edge, messy input") {
+    import spark.implicits._
+    // {1,2,3} triangle, 3−4 pendant, 5−6 isolated; plus a reversed
+    // duplicate and a self-loop that must both drop
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 2L), (3L, 4L),
+      (5L, 6L), (5L, 5L)).toDF("src", "dst")
+    val r = graft.ops.GraphOps.triangleCount(edges).collect()(0)
+    assert(r.getLong(0) === 6L, "nodes")
+    assert(r.getLong(1) === 5L, "edges")
+    assert(r.getLong(2) === 5L, "wedges")
+    assert(r.getLong(3) === 1L, "triangles")
+    assert(r.getDouble(4) === 0.6, "clustering = 3·1/5")
+  }
+
+  test("downsideRisk: alternating daily closes pin omega/calmar/drawdown") {
+    import spark.implicits._
+    // one close per day, 100/200 alternating: 4 returns ±ln2 → mean 0,
+    // gains = losses (omega 1), max drawdown −0.5, zero-mean ratios 0
+    val bars = (0 until 5).map { i =>
+      ("s", ts(f"2024-01-0${i + 1} 10:00:00"),
+        if (i % 2 == 0) 100.0 else 200.0)
+    }.toDF("series", "bar_ts", "close")
+    val r = MarketBars.downsideRisk(bars).collect()(0)
+    assert(r.getLong(1) === 4L, "n_rets")
+    assert(r.getDouble(2) === 0.0, "ann_return")
+    val r8 = 69314718L
+    val expectedDd = BigDecimal(
+      math.sqrt(2.0 * r8 * r8 / 4.0 * 252.0) / 1e8)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === expectedDd, "downside_dev")
+    assert(r.getDouble(4) === 0.0, "sortino (zero mean)")
+    assert(r.getDouble(5) === 0.0, "calmar (zero mean)")
+    assert(r.getDouble(6) === 1.0, "omega")
+    assert(r.getDouble(7) === -0.5, "max_drawdown")
+  }
+
   test("round-7 stats are partitioning-invariant") {
     def same(a: DataFrame, b: DataFrame): Unit =
       assert(a.except(b).count() === 0 && b.except(a).count() === 0)
@@ -144,5 +204,10 @@ class Round7Spec extends AnyFunSuite {
       MarketBars.durbinWatson(bars.repartition(17)))
     same(MarketBars.marketBeta(bars.repartition(3)),
       MarketBars.marketBeta(bars.repartition(17)))
+    same(MarketBars.downsideRisk(bars.repartition(3)),
+      MarketBars.downsideRisk(bars.repartition(17)))
+    val emb = Tables.embeddings(spark, sf)
+    same(graft.ops.SimilarityOps.lwShrinkage(emb.repartition(3)),
+      graft.ops.SimilarityOps.lwShrinkage(emb.repartition(17)))
   }
 }
