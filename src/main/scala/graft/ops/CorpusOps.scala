@@ -1813,4 +1813,56 @@ object CorpusOps {
         round(exp(dbl(col("hd"))), 6).as("eff_vocab"),
         round(dbl(col("n_terms")) / dbl(col("n_tokens")), 6).as("ttr"))
   }
+
+  /** Log-normality audit of document lengths per source: Jarque–Bera
+    * over y = ln(n_chars) — natural corpora show log-normal length
+    * distributions, so a rejecting source signals truncation,
+    * boilerplate floods, or a concatenation bug (the shape-level
+    * sibling of the q266 length Gini).
+    *
+    * Determinism (the jarqueBera discipline): per-source moments of
+    * the 12dp-rounded y fold as decimals, z-powers round 12dp and
+    * fold in DECIMAL(38,12) on a second pass against the broadcast
+    * per-source (μ, σ), S/K/JB form in one shared double op order
+    * (JB from the UNROUNDED S and K), outputs round 6dp.
+    *
+    * Scale: two map-side-combined per-source aggregates with a
+    * source-count-sized broadcast between them. */
+  def lengthLognormal(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      lenCol: String = "n_chars"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val y = docs.filter(col(lenCol) > 0)
+      .select(col(sourceCol).as("source"),
+        round(log(dbl(col(lenCol))), 12).as("y"))
+      .localCheckpoint(eager = false)
+    val st = y.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast(dec12)).as("s1"),
+        sum(round(col("y") * col("y"), 12).cast(dec12)).as("s2"))
+      .withColumn("mu", dbl(col("s1")) / dbl(col("n")))
+      .withColumn("sd",
+        sqrt((dbl(col("n")) * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) / (dbl(col("n")) * dbl(col("n")))))
+      .select(col("source"), col("n"), col("mu"), col("sd"))
+    val z = (col("y") - col("mu")) / col("sd")
+    val skew = dbl(col("sz3")) / dbl(col("n"))
+    val exKurt = dbl(col("sz4")) / dbl(col("n")) - lit(3.0)
+    val jb = dbl(col("n")) / lit(6.0) *
+      (skew * skew + exKurt * exKurt / lit(4.0))
+    y.join(broadcast(st), "source")
+      .filter(col("sd") > 0)
+      .withColumn("z3", round(z * z * z, 12).cast(dec12))
+      .withColumn("z4", round(z * z * z * z, 12).cast(dec12))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n"),
+        sum(col("z3")).as("sz3"), sum(col("z4")).as("sz4"))
+      .select(col("source"), col("n"),
+        round(skew, 6).as("skewness"),
+        round(exKurt, 6).as("ex_kurtosis"),
+        round(jb, 6).as("jb"),
+        (jb > lit(5.991465)).as("reject_lognormal"))
+  }
 }

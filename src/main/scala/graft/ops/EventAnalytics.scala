@@ -939,4 +939,42 @@ object EventAnalytics {
         col("rank"), col("crit"),
         (col("k").isNotNull && col("rank") <= col("k")).as("bh_reject"))
   }
+
+  /** Seasonality strength per event type: the share of value variance
+    * explained by the hour-of-day means — SSbetween/SStotal, the
+    * one-number "is there an intraday pattern worth modeling" read
+    * over [[seasonalBaseline]]'s 24-cell table (R² of the hour-mean
+    * model).
+    *
+    * Determinism: per-(type, hour) moments fold as 12dp decimal sums;
+    * type totals are EXACT sums of the cell decimals; each hour's
+    * s²/n term rounds 12dp and folds in DECIMAL(38,12); the ratio
+    * forms in one shared double op order and rounds 6dp.
+    *
+    * Scale: ONE (type, hour) shuffle to ≤ types·24 cells; everything
+    * after runs on cells. */
+  def seasonalStrength(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val cells = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("nh"),
+        sum(round(col("value"), 12).cast(dec12)).as("sh"),
+        sum(round(col("value") * col("value"), 12).cast(dec12)).as("qh"))
+    cells
+      .withColumn("bterm",
+        round(dbl(col("sh")) * dbl(col("sh")) / dbl(col("nh")), 12)
+          .cast(dec12))
+      .groupBy(col("event_type"))
+      .agg(sum(col("nh")).as("n"),
+        count(lit(1)).as("n_hours"),
+        sum(col("sh")).as("s"),
+        sum(col("qh")).as("q"),
+        sum(col("bterm")).as("b"))
+      .select(col("event_type"), col("n"), col("n_hours"),
+        when(dbl(col("q")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n")) > 0,
+          round((dbl(col("b")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n"))) /
+            (dbl(col("q")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n"))),
+            6)).as("strength"))
+  }
 }

@@ -510,15 +510,24 @@ object MarketBars {
     * Scale: one per-series window pass (q49 hot-key class,
     * ScalableWindow escape applies) + one map-side-combined aggregate
     * on (series, k) — output is |series|·maxLag rows. */
-  def acf(bars: DataFrame, maxLag: Int = 5): DataFrame = {
+  def acf(bars: DataFrame, maxLag: Int = 5): DataFrame =
+    acfBase(bars, maxLag, useAbs = false)
+
+  /** Shared ACF machinery: Pearson r of the (optionally absolute)
+    * scaled Δclose against its k-bar lag — |Δ| keeps the longs linear
+    * so every product stays exact, and its autocorrelation is the
+    * Taylor-effect volatility-clustering measure [[archLjungBox]]
+    * formalizes. */
+  private def acfBase(
+      bars: DataFrame, maxLag: Int, useAbs: Boolean): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
     val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
     val dec = DecimalType(38, 0)
     def dbl(c: Column) = c.cast(DoubleType)
+    val rawD6 = floor((col("close") - lag(col("close"), 1).over(w)) *
+      lit(1e6) + lit(0.5)).cast("long")
     val d = bars
-      .withColumn("d6",
-        floor((col("close") - lag(col("close"), 1).over(w)) * lit(1e6) +
-          lit(0.5)).cast("long"))
+      .withColumn("d6", if (useAbs) abs(rawD6) else rawD6)
       .filter(col("d6").isNotNull)
     val withLags = d.select(
       col("series") +: col("bar_ts") +: col("d6") +:
@@ -1498,10 +1507,22 @@ object MarketBars {
     * is touched only by [[acf]] itself. ρ is the 6dp-rounded r_acf, so
     * both engines fold identical inputs; ρ²/(L−k) terms round 12dp and
     * DECIMAL-sum before the one DOUBLE scale at emission. */
-  def ljungBox(bars: DataFrame, maxLag: Int = 5): DataFrame = {
+  def ljungBox(bars: DataFrame, maxLag: Int = 5): DataFrame =
+    lbOver(acf(bars, maxLag))
+
+  /** ARCH-effect Ljung–Box: the same portmanteau Q over the ACF of
+    * ABSOLUTE changes — the Taylor-effect form of "is volatility
+    * clustered", the formal test behind [[archEffect]]'s lag-1
+    * screen. |Δ| (not Δ²) keeps the scaled longs linear, so the
+    * correlation products stay inside the exact long range the plain
+    * ACF already uses. */
+  def archLjungBox(bars: DataFrame, maxLag: Int = 5): DataFrame =
+    lbOver(acfBase(bars, maxLag, useAbs = true))
+
+  private def lbOver(acfDf: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     // at lag k the pair count n = L − k, so L = n + k on every row
-    val base = acf(bars, maxLag)
+    val base = acfDf
       .filter(col("r_acf").isNotNull)
       .withColumn("l_obs", col("n") + col("k"))
     val crit = // χ²(df, 0.95), df = number of lags summed
@@ -2707,5 +2728,79 @@ object MarketBars {
         when(col("losses") > 0,
           round(dbl(col("gains")) / dbl(col("losses")), 6)).as("omega"),
         col("max_drawdown"))
+  }
+
+  /** Chow structural-break test per series: OLS of the 1e-8 log
+    * return on its row index, fit separately on the first and second
+    * half (the varBacktest split) and pooled;
+    * F = ((RSSp − RSS1 − RSS2)/2) / ((RSS1 + RSS2)/(n − 4)) with the
+    * asymptotic F(2, ∞) 95% fence 2.995732 — the formal "did the
+    * data-generating process change mid-sample" test next to the
+    * CUSUM/Page-CUSUM monitors' sequential view.
+    *
+    * Determinism: index and return are exact integers; all five
+    * moment sums per segment fold as DECIMAL products (q248 rule);
+    * every RSS forms from its segment moments in ONE shared double op
+    * order (pooled moments are the exact decimal sums of the segment
+    * sums); F rounds 6dp. Degenerate segments (n < 5 or zero index
+    * variance) emit null.
+    *
+    * Scale: one per-series sort (row index), one map-side-combined
+    * aggregate carrying both segments' conditional sums; |series|
+    * rows out. */
+  def chowTest(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val withR = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("n_all", count(lit(1)).over(Window.partitionBy(col("series"))))
+      .withColumn("seg1", col("t") <= (col("n_all") / 2).cast("long"))
+    def segSums(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n$tag"),
+      sum(when(p, col("t").cast(dec)).otherwise(lit(0).cast(dec))).as(s"st$tag"),
+      sum(when(p, col("r8").cast(dec)).otherwise(lit(0).cast(dec))).as(s"sy$tag"),
+      sum(when(p, col("t").cast(dec) * col("t").cast(dec))
+        .otherwise(lit(0).cast(dec))).as(s"stt$tag"),
+      sum(when(p, col("r8").cast(dec) * col("r8").cast(dec))
+        .otherwise(lit(0).cast(dec))).as(s"syy$tag"),
+      sum(when(p, col("t").cast(dec) * col("r8").cast(dec))
+        .otherwise(lit(0).cast(dec))).as(s"sty$tag"))
+    val agg = withR.groupBy(col("series"))
+      .agg((segSums(col("seg1"), "1") ++ segSums(!col("seg1"), "2")).head,
+        (segSums(col("seg1"), "1") ++ segSums(!col("seg1"), "2")).tail: _*)
+    def rss(n: Column, st: Column, sy: Column, stt: Column,
+        syy: Column, sty: Column): Column = {
+      val sttC = dbl(stt) - dbl(st) * dbl(st) / dbl(n)
+      val syyC = dbl(syy) - dbl(sy) * dbl(sy) / dbl(n)
+      val styC = dbl(sty) - dbl(st) * dbl(sy) / dbl(n)
+      when(sttC > 0, syyC - styC * styC / sttC)
+    }
+    val rss1 = rss(col("n1"), col("st1"), col("sy1"), col("stt1"),
+      col("syy1"), col("sty1"))
+    val rss2 = rss(col("n2"), col("st2"), col("sy2"), col("stt2"),
+      col("syy2"), col("sty2"))
+    val nP = col("n1") + col("n2")
+    val rssP = rss(nP, col("st1") + col("st2"), col("sy1") + col("sy2"),
+      col("stt1") + col("stt2"), col("syy1") + col("syy2"),
+      col("sty1") + col("sty2"))
+    val f = (rssP - rss1 - rss2) / lit(2.0) /
+      ((rss1 + rss2) / (dbl(nP) - lit(4.0)))
+    agg
+      .withColumn("n", nP)
+      .withColumn("f_stat",
+        when(col("n1") >= 5 && col("n2") >= 5 &&
+          rss1.isNotNull && rss2.isNotNull && rssP.isNotNull &&
+          (rss1 + rss2) > 0, round(f, 6)))
+      .select(col("series"), col("n"), col("f_stat"),
+        when(col("f_stat").isNotNull, col("f_stat") > 2.995732)
+          .as("break_5pct"))
   }
 }

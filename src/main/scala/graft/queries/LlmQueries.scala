@@ -965,6 +965,14 @@ object LlmQueries {
           "text", "doc_id", n = 3, threshold = 0.3, maxDf = 100)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       graft.ops.GraphOps.triangleCount(edges)
+    }),
+
+    // Doc-length log-normality per source (CorpusOps.lengthLognormal):
+    // Jarque–Bera on ln(n_chars) — a rejecting source signals
+    // truncation or boilerplate floods (shape sibling of q266's Gini)
+    "q309_length_lognormal" -> ((s, dir) => {
+      CorpusOps.lengthLognormal(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
     })
   )
 
@@ -3369,6 +3377,40 @@ object LlmQueries {
             CASE WHEN n_wedges > 0 THEN
               round(3.0 * CAST(n_triangles AS DOUBLE)
                 / CAST(n_wedges AS DOUBLE), 6) END AS clustering
-          FROM tot, tri"""
+          FROM tot, tri""",
+
+    // length-lognormality twin: 12dp ln moments, broadcast (μ, σ),
+    // 12dp z-power fold, JB from the UNROUNDED S/K
+    "q309_length_lognormal" ->
+      """WITH y0 AS (SELECT source, round(ln(CAST(n_chars AS DOUBLE)),
+                       12) AS y
+                     FROM documents WHERE n_chars > 0),
+          st AS (SELECT source, count(*) AS n,
+                  SUM(CAST(y AS DECIMAL(38,12))) AS s1,
+                  SUM(CAST(round(y*y, 12) AS DECIMAL(38,12))) AS s2
+                FROM y0 GROUP BY 1),
+          mu AS (SELECT source, n,
+                  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+                  sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) AS sd
+                FROM st),
+          z AS (SELECT y0.source, mu.n, (y - mu.mu) / sd AS z
+                FROM y0 JOIN mu ON y0.source = mu.source
+                WHERE sd > 0),
+          m AS (SELECT source, max(n) AS n,
+                  SUM(CAST(round(z*z*z, 12) AS DECIMAL(38,12))) AS sz3,
+                  SUM(CAST(round(z*z*z*z, 12) AS DECIMAL(38,12))) AS sz4
+                FROM z GROUP BY 1),
+          f AS (SELECT source, n,
+                  CAST(sz3 AS DOUBLE)/CAST(n AS DOUBLE) AS sk,
+                  CAST(sz4 AS DOUBLE)/CAST(n AS DOUBLE) - 3.0 AS xk
+                FROM m)
+          SELECT source, n,
+            round(sk, 6) AS skewness, round(xk, 6) AS ex_kurtosis,
+            round(CAST(n AS DOUBLE)/6.0*(sk*sk + xk*xk/4.0), 6) AS jb,
+            CAST(n AS DOUBLE)/6.0*(sk*sk + xk*xk/4.0) > 5.991465
+              AS reject_lognormal
+          FROM f ORDER BY source"""
   )
 }

@@ -1183,6 +1183,32 @@ object MarketQueries {
       MarketBars.downsideRisk(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // ARCH-effect Ljung–Box (MarketBars.archLjungBox): the portmanteau
+    // Q over the ACF of |Δclose| — the Taylor-effect formal test
+    // behind q184's lag-1 ARCH screen
+    "q307_arch_ljung_box" -> ((s, dir) => {
+      MarketBars.archLjungBox(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Chow structural-break test (MarketBars.chowTest): two-segment
+    // OLS F against the pooled fit — the formal mid-sample break test
+    // next to the sequential CUSUM/Page monitors
+    "q308_chow_test" -> ((s, dir) => {
+      MarketBars.chowTest(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Seasonality strength (EventAnalytics.seasonalStrength): share of
+    // value variance the hour-of-day means explain — the one-number
+    // read over q123's seasonal baseline table
+    "q310_seasonal_strength" -> ((s, dir) => {
+      graft.ops.EventAnalytics.seasonalStrength(Tables.events(s, dir))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3946,6 +3972,182 @@ object MarketQueries {
                  THEN round(CAST(gains AS DOUBLE)
                    / CAST(losses AS DOUBLE), 6) END AS omega,
             max_drawdown
-          FROM v ORDER BY series"""
+          FROM v ORDER BY series""",
+
+    // ARCH-LB twin: q183's chain with abs() on the scaled change
+    "q307_arch_ljung_box" -> {
+      val branches = (1 to 5).map { k =>
+        s"""SELECT series, $k AS k, d6 AS x, lag(d6, $k) OVER w$k AS y
+            FROM dd WINDOW w$k AS (PARTITION BY series ORDER BY bar_ts)"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH $barsCte,
+          d AS (SELECT series, bar_ts,
+                  abs(CAST(floor((close - lag(close) OVER
+                    (PARTITION BY series ORDER BY bar_ts)) * 1e6 + 0.5)
+                    AS BIGINT)) AS d6
+                FROM bars),
+          dd AS (SELECT * FROM d WHERE d6 IS NOT NULL),
+          sh AS (
+          $branches),
+          g AS (SELECT series, k, count(*) AS n,
+                  sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                  sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                  sum(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+                  sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+                  sum(CAST(y*y AS DECIMAL(38,0))) AS syy
+                FROM sh WHERE y IS NOT NULL GROUP BY 1, 2),
+          f AS (SELECT series, k, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+                FROM g),
+          af AS (SELECT series, k, n,
+                  CASE WHEN vx > 0 AND vy > 0
+                    THEN round(num / (sqrt(vx)*sqrt(vy)), 6) END AS r_acf
+                FROM f),
+          lb AS (SELECT series, n + k AS l_obs, k, n, r_acf
+                 FROM af WHERE r_acf IS NOT NULL),
+          lg AS (SELECT series, max(l_obs) AS l_obs, count(*) AS df_used,
+                   sum(CAST(round(r_acf*r_acf/n, 12) AS DECIMAL(28,12)))
+                     AS sterm
+                 FROM lb GROUP BY 1),
+          q AS (SELECT series, l_obs, df_used,
+                  round(CAST(l_obs AS DOUBLE)*(CAST(l_obs AS DOUBLE)+2)
+                    *CAST(sterm AS DOUBLE), 4) AS q_stat
+                FROM lg)
+          SELECT series, l_obs, df_used, q_stat,
+            q_stat > CASE WHEN df_used = 1 THEN 3.8415
+                          WHEN df_used = 2 THEN 5.9915
+                          WHEN df_used = 3 THEN 7.8147
+                          WHEN df_used = 4 THEN 9.4877
+                          ELSE 11.0705 END AS reject_white
+          FROM q ORDER BY series"""
+    },
+
+    // Chow twin: same split (rn <= n//2), DECIMAL moment products per
+    // segment, pooled moments as exact decimal sums, shared RSS order
+    "q308_chow_test" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l
+                WHERE prev_c IS NOT NULL AND prev_c > 0),
+          ix AS (SELECT series, r8,
+                   CAST(row_number() OVER (PARTITION BY series
+                     ORDER BY bar_ts) AS BIGINT) AS t,
+                   count(*) OVER (PARTITION BY series) AS n_all
+                 FROM r),
+          sg AS (SELECT series, r8, t, t <= n_all // 2 AS seg1 FROM ix),
+          a AS (SELECT series,
+                  CAST(SUM(CASE WHEN seg1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  SUM(CASE WHEN seg1 THEN CAST(t AS DECIMAL(38,0))
+                    ELSE CAST(0 AS DECIMAL(38,0)) END) AS st1,
+                  SUM(CASE WHEN seg1 THEN CAST(r8 AS DECIMAL(38,0))
+                    ELSE CAST(0 AS DECIMAL(38,0)) END) AS sy1,
+                  SUM(CASE WHEN seg1 THEN CAST(t AS DECIMAL(38,0))
+                    * CAST(t AS DECIMAL(38,0))
+                    ELSE CAST(0 AS DECIMAL(38,0)) END) AS stt1,
+                  SUM(CASE WHEN seg1 THEN CAST(r8 AS DECIMAL(38,0))
+                    * CAST(r8 AS DECIMAL(38,0))
+                    ELSE CAST(0 AS DECIMAL(38,0)) END) AS syy1,
+                  SUM(CASE WHEN seg1 THEN CAST(t AS DECIMAL(38,0))
+                    * CAST(r8 AS DECIMAL(38,0))
+                    ELSE CAST(0 AS DECIMAL(38,0)) END) AS sty1,
+                  CAST(SUM(CASE WHEN seg1 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+                  SUM(CASE WHEN seg1 THEN CAST(0 AS DECIMAL(38,0))
+                    ELSE CAST(t AS DECIMAL(38,0)) END) AS st2,
+                  SUM(CASE WHEN seg1 THEN CAST(0 AS DECIMAL(38,0))
+                    ELSE CAST(r8 AS DECIMAL(38,0)) END) AS sy2,
+                  SUM(CASE WHEN seg1 THEN CAST(0 AS DECIMAL(38,0))
+                    ELSE CAST(t AS DECIMAL(38,0))
+                    * CAST(t AS DECIMAL(38,0)) END) AS stt2,
+                  SUM(CASE WHEN seg1 THEN CAST(0 AS DECIMAL(38,0))
+                    ELSE CAST(r8 AS DECIMAL(38,0))
+                    * CAST(r8 AS DECIMAL(38,0)) END) AS syy2,
+                  SUM(CASE WHEN seg1 THEN CAST(0 AS DECIMAL(38,0))
+                    ELSE CAST(t AS DECIMAL(38,0))
+                    * CAST(r8 AS DECIMAL(38,0)) END) AS sty2
+                FROM sg GROUP BY 1),
+          f AS (SELECT series, n1 + n2 AS n, n1, n2,
+                  CASE WHEN CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE)
+                      *CAST(st1 AS DOUBLE)/CAST(n1 AS DOUBLE) > 0 THEN
+                    (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                      *CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE))
+                    - (CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE)
+                      *CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE))
+                      *(CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE)
+                      *CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE))
+                      /(CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE)
+                      *CAST(st1 AS DOUBLE)/CAST(n1 AS DOUBLE)) END AS rss1,
+                  CASE WHEN CAST(stt2 AS DOUBLE) - CAST(st2 AS DOUBLE)
+                      *CAST(st2 AS DOUBLE)/CAST(n2 AS DOUBLE) > 0 THEN
+                    (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE)
+                      *CAST(sy2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                    - (CAST(sty2 AS DOUBLE) - CAST(st2 AS DOUBLE)
+                      *CAST(sy2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                      *(CAST(sty2 AS DOUBLE) - CAST(st2 AS DOUBLE)
+                      *CAST(sy2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                      /(CAST(stt2 AS DOUBLE) - CAST(st2 AS DOUBLE)
+                      *CAST(st2 AS DOUBLE)/CAST(n2 AS DOUBLE)) END AS rss2,
+                  CASE WHEN CAST(stt1+stt2 AS DOUBLE) - CAST(st1+st2 AS DOUBLE)
+                      *CAST(st1+st2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE) > 0 THEN
+                    (CAST(syy1+syy2 AS DOUBLE) - CAST(sy1+sy2 AS DOUBLE)
+                      *CAST(sy1+sy2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+                    - (CAST(sty1+sty2 AS DOUBLE) - CAST(st1+st2 AS DOUBLE)
+                      *CAST(sy1+sy2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+                      *(CAST(sty1+sty2 AS DOUBLE) - CAST(st1+st2 AS DOUBLE)
+                      *CAST(sy1+sy2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE))
+                      /(CAST(stt1+stt2 AS DOUBLE) - CAST(st1+st2 AS DOUBLE)
+                      *CAST(st1+st2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE)) END
+                    AS rssp
+                FROM a),
+          g AS (SELECT series, n,
+                  CASE WHEN n1 >= 5 AND n2 >= 5 AND rss1 IS NOT NULL
+                    AND rss2 IS NOT NULL AND rssp IS NOT NULL
+                    AND rss1 + rss2 > 0
+                  THEN round((rssp - rss1 - rss2) / 2.0
+                    / ((rss1 + rss2) / (CAST(n AS DOUBLE) - 4.0)), 6)
+                  END AS f_stat
+                FROM f)
+          SELECT series, n, f_stat,
+            CASE WHEN f_stat IS NOT NULL THEN f_stat > 2.995732 END
+              AS break_5pct
+          FROM g ORDER BY series""",
+
+    // seasonal-strength twin: 12dp cell moments, exact decimal type
+    // totals, same s²/n term rounds, shared ratio op order
+    "q310_seasonal_strength" ->
+      """WITH cells AS (SELECT event_type,
+                    CAST(hour(ts) AS INTEGER) AS hr,
+                    count(*) AS nh,
+                    SUM(CAST(round(value, 12) AS DECIMAL(38,12))) AS sh,
+                    SUM(CAST(round(value*value, 12) AS DECIMAL(38,12)))
+                      AS qh
+                  FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, nh, sh, qh,
+                  CAST(round(CAST(sh AS DOUBLE)*CAST(sh AS DOUBLE)
+                    /CAST(nh AS DOUBLE), 12) AS DECIMAL(38,12)) AS bterm
+                FROM cells),
+          g AS (SELECT event_type,
+                  CAST(SUM(nh) AS BIGINT) AS n,
+                  count(*) AS n_hours,
+                  SUM(sh) AS s, SUM(qh) AS q, SUM(bterm) AS bt
+                FROM b GROUP BY 1)
+          SELECT event_type, n, n_hours,
+            CASE WHEN CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                /CAST(n AS DOUBLE) > 0 THEN
+              round((CAST(bt AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                /CAST(n AS DOUBLE))
+                / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                /CAST(n AS DOUBLE)), 6) END AS strength
+          FROM g ORDER BY event_type"""
   )
 }

@@ -177,6 +177,75 @@ class Round7Spec extends AnyFunSuite {
     assert(r.getDouble(7) === -0.5, "max_drawdown")
   }
 
+  test("archLjungBox: clustered |change| magnitudes reject, constant emits none") {
+    import spark.implicits._
+    // |Δ| blocks 1,1,1,1 / 10,10,10,10 alternating in sign: the plain
+    // changes alternate but the MAGNITUDES cluster — the ARCH signal
+    val deltas = Seq(1, -1, 1, -1, 10, -10, 10, -10, 1, -1, 1, -1,
+      10, -10, 10, -10, 1, -1, 1, -1, 10, -10, 10, -10)
+    val closes = deltas.scanLeft(100.0)((c, d) => c + d)
+    val bars = closes.zipWithIndex.map { case (c, i) =>
+      ("s", ts(f"2024-01-01 10:${i * 2}%02d:00"), c)
+    }.toDF("series", "bar_ts", "close")
+    val r = MarketBars.archLjungBox(bars).collect()
+    assert(r.length === 1 && r(0).getBoolean(4),
+      "clustered magnitudes must reject whiteness")
+    // constant |Δ| → zero variance at every lag → no testable rows
+    val flat = (0 until 10).map { i =>
+      ("s", ts(f"2024-01-01 10:${i * 2}%02d:00"),
+        100.0 + (if (i % 2 == 0) 0.0 else 1.0))
+    }.toDF("series", "bar_ts", "close")
+    assert(MarketBars.archLjungBox(flat).collect().isEmpty)
+  }
+
+  test("chowTest: mean shift mid-sample breaks, stable series does not") {
+    import spark.implicits._
+    def mk(rs: Seq[Double], series: String) = {
+      val closes = rs.scanLeft(100.0)((c, r) => c * math.exp(r))
+      closes.zipWithIndex.map { case (c, i) =>
+        (series, ts(f"2024-01-01 10:${i * 2}%02d:00"), c) }
+    }
+    // first half tiny alternating returns, second half shifted +5%
+    val broken = mk(Seq.fill(10)(Seq(0.001, -0.001)).flatten ++
+      Seq.fill(10)(Seq(0.051, 0.049)).flatten, "b")
+    // stable: the alternation all the way through
+    val stable = mk(Seq.fill(20)(Seq(0.001, -0.001)).flatten, "s")
+    val out = MarketBars.chowTest((broken ++ stable)
+      .toDF("series", "bar_ts", "close")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("b").getBoolean(3), "shifted series must break")
+    assert(!out("s").getBoolean(3), "stable series must not")
+  }
+
+  test("lengthLognormal: two-point ln spectrum gives JB = n/6 exactly") {
+    import spark.implicits._
+    // 4 docs of 100 chars + 4 of 200: z = ±1 → S=0, K−3=−2, JB=8/6
+    val docs = (0 until 8).map(i =>
+      ("s1", if (i % 2 == 0) 100L else 200L)).toDF("source", "n_chars")
+    val r = CorpusOps.lengthLognormal(docs).collect()(0)
+    assert(r.getLong(1) === 8L)
+    assert(r.getDouble(2) === 0.0, "skewness")
+    assert(r.getDouble(3) === -2.0, "excess kurtosis")
+    assert(r.getDouble(4) === 1.333333, "JB")
+    assert(!r.getBoolean(5))
+  }
+
+  test("seasonalStrength: pure hour effect = 1, constant value nulls") {
+    import spark.implicits._
+    val ev = (0 until 8).map { i =>
+      ("click", ts(f"2024-01-01 0${i % 2}%01d:0$i%01d:00"),
+        if (i % 2 == 0) 10.0 else 20.0)
+    }.toDF("event_type", "ts", "value")
+    val r = graft.ops.EventAnalytics.seasonalStrength(ev).collect()(0)
+    assert(r.getLong(2) === 2L, "two hour cells")
+    assert(r.getDouble(3) === 1.0, "all variance between hours")
+    val const = (0 until 4).map(i =>
+      ("view", ts(f"2024-01-01 0$i%01d:00:00"), 5.0))
+      .toDF("event_type", "ts", "value")
+    assert(graft.ops.EventAnalytics.seasonalStrength(const)
+      .collect()(0).isNullAt(3))
+  }
+
   test("round-7 stats are partitioning-invariant") {
     def same(a: DataFrame, b: DataFrame): Unit =
       assert(a.except(b).count() === 0 && b.except(a).count() === 0)
@@ -209,5 +278,14 @@ class Round7Spec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     same(graft.ops.SimilarityOps.lwShrinkage(emb.repartition(3)),
       graft.ops.SimilarityOps.lwShrinkage(emb.repartition(17)))
+    same(MarketBars.archLjungBox(bars.repartition(3)),
+      MarketBars.archLjungBox(bars.repartition(17)))
+    same(MarketBars.chowTest(bars.repartition(3)),
+      MarketBars.chowTest(bars.repartition(17)))
+    same(CorpusOps.lengthLognormal(docs.repartition(3)),
+      CorpusOps.lengthLognormal(docs.repartition(17)))
+    val ev2 = Tables.events(spark, sf)
+    same(graft.ops.EventAnalytics.seasonalStrength(ev2.repartition(3)),
+      graft.ops.EventAnalytics.seasonalStrength(ev2.repartition(17)))
   }
 }
