@@ -310,18 +310,35 @@ object MarketBars {
     * per-series aggregate — output is |series| rows. */
   def varianceRatio(bars: DataFrame, k: Int = 4): DataFrame = {
     require(k >= 2, s"k must be >= 2 (got $k)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val wk = w.rowsBetween(-(k - 1), 0)
     val dec = DecimalType(38, 0)
     def dbl(c: Column) = c.cast(DoubleType)
-    bars
-      .withColumn("prev_c", lag(col("close"), 1).over(w))
+    // TWO day-scope layers: the validity filter between the lag and
+    // the k-frame DROPS rows, so a single shared scope would count
+    // its carry in raw rows while the global frame counts FILTERED
+    // rows (one dropped row inside the carry would starve the frame).
+    // Layer 1 computes the return (lag 1, carry 1); layer 2 re-scopes
+    // the filtered return relation for the k-frame (carry k−1) —
+    // positions are then counted on exactly the rows the global
+    // window sees.
+    val aug1 = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", 1)
+    val w1 = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val rets = aug1
+      .withColumn("prev_c", lag(col("close"), 1).over(w1))
+      .filter(col("__emit"))
       .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
       .select(col("series"), col("bar_ts"),
         floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
           .cast("long").as("r8"))
+    val aug2 = ScalableWindow.dayScoped(rets, Seq("series"),
+      Seq("bar_ts"), "bar_ts", k - 1)
+    val wk = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts")).rowsBetween(-(k - 1), 0)
+    aug2
       .withColumn("nk", count(lit(1)).over(wk))
       .withColumn("rk", sum(col("r8")).over(wk))
+      .filter(col("__emit"))
       .groupBy(col("series"))
       .agg(
         count(lit(1)).as("n_rets"),
@@ -521,18 +538,27 @@ object MarketBars {
   private def acfBase(
       bars: DataFrame, maxLag: Int, useAbs: Boolean): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    // (series, day)-scoped, carry = maxLag+1: the Δ lag needs 1 and
+    // the deepest stacked lag needs maxLag more. d6 is null ONLY at a
+    // partition head (no mid-stream drops), so the filtered relation
+    // keeps global row positions and every stacked lag is exact —
+    // same chain-reach rule as the indicator panel.
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", maxLag + 1)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val dec = DecimalType(38, 0)
     def dbl(c: Column) = c.cast(DoubleType)
     val rawD6 = floor((col("close") - lag(col("close"), 1).over(w)) *
       lit(1e6) + lit(0.5)).cast("long")
-    val d = bars
+    val d = aug
       .withColumn("d6", if (useAbs) abs(rawD6) else rawD6)
       .filter(col("d6").isNotNull)
     val withLags = d.select(
-      col("series") +: col("bar_ts") +: col("d6") +:
+      col("series") +: col("bar_ts") +: col("d6") +: col("__emit") +:
         (1 to maxLag).map(k => lag(col("d6"), k).over(w).as(s"y$k")): _*)
-    val stacked = withLags.select(col("series"), col("d6").as("x"),
+    val stacked = withLags.filter(col("__emit"))
+      .select(col("series"), col("d6").as("x"),
       expr(s"stack($maxLag, " +
         (1 to maxLag).map(k => s"$k, y$k").mkString(", ") + ") as (k, y)"))
     stacked.filter(col("y").isNotNull)
@@ -1865,22 +1891,34 @@ object MarketBars {
     require(horizons.nonEmpty && horizons.forall(_ >= 1), "horizons must be >= 1")
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val withR = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    // two day-scope layers (the q139 rule: the validity filter drops
+    // rows, so frame positions must count on the FILTERED relation);
+    // ONE layer-2 scope with carry = max(h)−1 serves every horizon —
+    // extra carry is harmless for a position-relative ROWS frame
+    val aug1 = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", 1)
+    val w1 = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val rets = aug1
+      .withColumn("pc", lag(col("close"), 1).over(w1))
+      .filter(col("__emit"))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
             .cast("long")))
       .filter(col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
+    val withR = ScalableWindow.dayScoped(rets, Seq("series"),
+      Seq("bar_ts"), "bar_ts", math.max(1, horizons.max - 1))
       .localCheckpoint(eager = false)
+    val w2 = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val perH = horizons.map { h =>
-      val frame = w.rowsBetween(-(h - 1), 0)
+      val frame = w2.rowsBetween(-(h - 1), 0)
       withR
         .withColumn("nb", count(col("r8")).over(frame))
         .withColumn("rh8", sum(col("r8")).over(frame))
-        .filter(col("nb") === h)
+        .filter(col("__emit") && col("nb") === h)
         .select(col("series"), lit(h).as("horizon"), col("rh8"))
     }
     val xs = perH.reduce(_.unionByName(_)).localCheckpoint(eager = false)
@@ -2433,23 +2471,33 @@ object MarketBars {
     require(horizons.nonEmpty && horizons.forall(_ >= 2), "horizons must be >= 2")
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val withR = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    // the q139/q250 two-layer day scope; one layer-2 carry serves all
+    // horizon frames
+    val aug1 = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", 1)
+    val w1 = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val rets = aug1
+      .withColumn("pc", lag(col("close"), 1).over(w1))
+      .filter(col("__emit"))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
             .cast("long")))
       .filter(col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
+    val withR = ScalableWindow.dayScoped(rets, Seq("series"),
+      Seq("bar_ts"), "bar_ts", math.max(1, horizons.max - 1))
       .localCheckpoint(eager = false)
+    val w2 = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val perH = horizons.map { h =>
-      val frame = w.rowsBetween(-(h - 1), 0)
+      val frame = w2.rowsBetween(-(h - 1), 0)
       withR
         .withColumn("nb", count(col("r8")).over(frame))
         .withColumn("s1", sum(col("r8").cast(dec)).over(frame))
         .withColumn("s2", sum((col("r8") * col("r8")).cast(dec)).over(frame))
-        .filter(col("nb") === h)
+        .filter(col("__emit") && col("nb") === h)
         .select(col("series"), lit(h).as("horizon"),
           round(sqrt((dbl(col("nb")) * dbl(col("s2")) -
             dbl(col("s1")) * dbl(col("s1"))) /
