@@ -376,30 +376,48 @@ object MarketBars {
     * totals share the sort; q49 hot-key class, ScalableWindow escape
     * applies) and a 1-row-per-series argmax filter. */
   def cusum(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(col("series"))
     val dec = DecimalType(38, 0)
     def dbl(c: Column) = c.cast(DoubleType)
-    bars
+    // Day-split prefix machinery: the running index and running sum
+    // decompose as (exclusive prior-day offsets from the tiny day
+    // map) + (within-day prefix) — per-task rows bounded by day size,
+    // exact integers throughout. The argmax runs as max_by inside the
+    // per-series aggregate (the q188 argmax-in-aggregate rule), so no
+    // per-key rank sort remains either.
+    val x = bars
       .select(col("series"), col("bar_ts"),
         floor(col("close") * lit(1e6) + lit(0.5)).cast("long").as("x6"))
-      .select(col("series"), col("bar_ts"),
-        row_number().over(w).as("i"),
-        sum(col("x6")).over(wRun).as("p"),
-        count(lit(1)).over(wAll).as("n"),
-        sum(col("x6")).over(wAll).as("s"))
+      .withColumn("__day", to_date(col("bar_ts")))
+      .localCheckpoint(eager = false)
+    val idxW = Window.partitionBy(col("series")).orderBy(col("__day"))
+    val dayMap = x.groupBy(col("series"), col("__day"))
+      .agg(count(lit(1)).as("__dn"), sum(col("x6")).as("__ds"))
+      .withColumn("__coff", sum(col("__dn")).over(idxW) - col("__dn"))
+      .withColumn("__soff", sum(col("__ds")).over(idxW) - col("__ds"))
+      .localCheckpoint(eager = false)
+    val tot = dayMap.groupBy(col("series").as("__ts"))
+      .agg(sum(col("__dn")).as("n"), sum(col("__ds")).as("s"))
+    val wDay = Window.partitionBy(col("series"), col("__day"))
+      .orderBy(col("bar_ts"))
+    val wRunDay = wDay.rowsBetween(Window.unboundedPreceding, 0)
+    x.join(broadcast(dayMap.select(col("series"), col("__day"),
+        col("__coff"), col("__soff"))), Seq("series", "__day"))
+      .join(broadcast(tot), col("series") === col("__ts"))
+      .withColumn("i", col("__coff") + row_number().over(wDay))
+      .withColumn("p", col("__soff") + sum(col("x6")).over(wRunDay))
       .withColumn("absc",
         abs(col("n").cast(dec) * col("p").cast(dec) -
           col("i").cast(dec) * col("s").cast(dec)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("series"))
-          .orderBy(col("absc").desc, col("bar_ts"))))
-      .filter(col("rk") === 1)
-      .select(col("series"), col("n").as("n_bars"),
-        col("bar_ts").as("cp_ts"), col("i").as("cp_idx"),
-        (floor(dbl(col("absc")) / dbl(col("n")) / lit(1e6) * lit(1e6) +
-          lit(0.5)) / lit(1e6)).as("cusum_max"))
+      .groupBy(col("series"))
+      .agg(max(col("n")).as("n_bars"),
+        max_by(struct(col("bar_ts").as("cp_ts"), col("i").as("cp_idx"),
+            col("absc")),
+          struct(col("absc"), lit(0L) - unix_micros(col("bar_ts"))))
+          .as("b"))
+      .select(col("series"), col("n_bars"),
+        col("b.cp_ts").as("cp_ts"), col("b.cp_idx").as("cp_idx"),
+        (floor(dbl(col("b.absc")) / dbl(col("n_bars")) / lit(1e6) *
+          lit(1e6) + lit(0.5)) / lit(1e6)).as("cusum_max"))
   }
 
   /** Page CUSUM alarm path per series: S_i = max(0, S_{i−1} + (x_i −
@@ -422,15 +440,37 @@ object MarketBars {
   def pageCusumPath(
       bars: DataFrame, baseline: DataFrame, slack: Double): DataFrame = {
     val k6 = math.floor(slack * 1e6 + 0.5).toLong
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
-    bars.join(broadcast(baseline), "series")
+    // day-split prefixes (the q144 rule): the running sum decomposes
+    // as prior-day offset + within-day prefix, and the running min of
+    // the prefix as min(prior days' prefix-min, offset + within-day
+    // prefix-min) — exact integers, per-task rows bounded by day size
+    val x = bars.join(broadcast(baseline), "series")
       .select(col("series"), col("bar_ts"),
         (floor(col("close") * lit(1e6) + lit(0.5)).cast("long") -
           floor(col("mu0") * lit(1e6) + lit(0.5)).cast("long") -
           lit(k6)).as("d6"))
-      .withColumn("p", sum(col("d6")).over(wRun))
-      .withColumn("m", least(min(col("p")).over(wRun), lit(0L)))
+      .withColumn("__day", to_date(col("bar_ts")))
+      .localCheckpoint(eager = false)
+    val wDay = Window.partitionBy(col("series"), col("__day"))
+      .orderBy(col("bar_ts"))
+    val wRunDay = wDay.rowsBetween(Window.unboundedPreceding, 0)
+    val idxW = Window.partitionBy(col("series")).orderBy(col("__day"))
+    // tiny day map: per-day sum + per-day min of the WITHIN-day prefix
+    val dayAgg = x
+      .withColumn("__wp", sum(col("d6")).over(wRunDay))
+      .groupBy(col("series"), col("__day"))
+      .agg(sum(col("d6")).as("__dsum"), min(col("__wp")).as("__dmin"))
+    val dayMap = dayAgg
+      .withColumn("__soff", sum(col("__dsum")).over(idxW) - col("__dsum"))
+      .withColumn("__moff",
+        min(col("__soff") + col("__dmin")).over(
+          idxW.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("series"), col("__day"), col("__soff"), col("__moff"))
+    x.join(broadcast(dayMap), Seq("series", "__day"))
+      .withColumn("p", col("__soff") + sum(col("d6")).over(wRunDay))
+      .withColumn("m",
+        least(coalesce(col("__moff"), col("p")),
+          min(col("p")).over(wRunDay), lit(0L)))
       .select(col("series"), col("bar_ts"), (col("p") - col("m")).as("s6"))
   }
 

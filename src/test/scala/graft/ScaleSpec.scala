@@ -256,20 +256,19 @@ class ScaleSpec extends AnyFunSuite {
       ("B", java.sql.Timestamp.valueOf("2024-01-02 14:30:00"), 20.0)
     ).toDF("series", "bar_ts", "close")
     val base = Seq(("A", 10.0), ("B", 20.0)).toDF("series", "mu0")
-    // prefix-sum identity: S_i = P_i − min(0, min P_j). The running
-    // min DEPENDS on the running sum, so Catalyst keeps two Window
-    // operators — but they share one windowspec, so the path must cost
-    // ONE shuffle + ONE sort (the second Window reads the first's
-    // output in place; a re-sort/re-exchange between them would double
-    // the dominant cost at scale)
+    // the prefix-sum identity S_i = P_i − min(0, min P_j) now SPLITS
+    // at day boundaries (running sum = prior-day offset + within-day
+    // prefix; running min = min(prior days' prefix-min, within-day
+    // min)): no corpus-level window may partition by the bare series
+    // key — only the keys×days day-map offsets do (ordered by __day,
+    // never by bar_ts)
     val plan = graft.ops.MarketBars.pageCusum(bars, base, slack = 0.5, h = 5.0)
       .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
-      s"expected one series shuffle:\n${plan.take(3000)}")
-    assert("Sort \\[".r.findAllIn(plan).size === 1,
-      s"expected one partition-local sort shared by both Windows:\n${plan.take(3000)}")
-    assert("Window \\[".r.findAllIn(plan).size === 2,
-      s"expected the two dependent Windows, nothing more:\n${plan.take(3000)}")
+    assert("windowspecdefinition\\(series#\\d+, bar_ts#\\d+".r
+      .findFirstIn(plan).isEmpty,
+      s"per-series global window found (skew hazard):\n${plan.take(3000)}")
+    assert(plan.contains("__day"),
+      s"day-split prefix machinery expected:\n${plan.take(3000)}")
   }
 
   test("q171 heaps-law plan: id-math buckets, no corpus row_number") {
