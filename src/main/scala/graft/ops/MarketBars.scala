@@ -1082,16 +1082,53 @@ object MarketBars {
     * the sort; q49 hot-key class, ScalableWindow escape), then two
     * map-side-combined growing-key aggregates. */
   def underwater(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val run = w.rowsBetween(Window.unboundedPreceding, 0)
     def dbl(c: Column) = c.cast(DoubleType)
-    val flagged = bars
-      .withColumn("runmax", max(col("close")).over(run))
+    // day-split islands: runmax = greatest(prior-day max, within-day
+    // running max) [the q83 rule]; each day-head's break compares
+    // against the PRIOR day's last flag (carried on the keys×days day
+    // map); grp = prior-day break-count offset + within-day prefix
+    // [the q144 rule] — island ids equal the global ones exactly, so
+    // the spells aggregate is unchanged
+    val wDay = Window.partitionBy(col("series"), col("__day"))
+      .orderBy(col("bar_ts"))
+    val runDay = wDay.rowsBetween(Window.unboundedPreceding, 0)
+    val idxW = Window.partitionBy(col("series")).orderBy(col("__day"))
+    val x = bars.withColumn("__day", to_date(col("bar_ts")))
+      .localCheckpoint(eager = false)
+    val dayMax = x.groupBy(col("series"), col("__day"))
+      .agg(max(col("close")).as("__dmax"))
+      .withColumn("__mcarry",
+        max(col("__dmax")).over(idxW.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("series"), col("__day"), col("__mcarry"))
+    val flagged0 = x.join(broadcast(dayMax), Seq("series", "__day"))
+      .withColumn("runmax",
+        greatest(max(col("close")).over(runDay), col("__mcarry")))
       .withColumn("under", (col("close") < col("runmax")).cast("int"))
+      .withColumn("__head", lag(col("under"), 1).over(wDay).isNull)
+      .withColumn("__ibrk",
+        when(!col("__head") &&
+          col("under") =!= lag(col("under"), 1).over(wDay), 1L)
+          .otherwise(0L))
+      .localCheckpoint(eager = false)
+    // keys×days break map: the head break needs the PRIOR day's last
+    // flag; offsets are exclusive prefix sums of per-day break counts
+    val dayBrk = flagged0.groupBy(col("series"), col("__day"))
+      .agg(max_by(col("under"), col("bar_ts")).as("__last_u"),
+        min_by(col("under"), col("bar_ts")).as("__first_u"),
+        sum(col("__ibrk")).as("__nbrk"))
+      .withColumn("__prev_last",
+        lag(col("__last_u"), 1).over(idxW))
+      .withColumn("__headbrk",
+        when(col("__prev_last").isNull ||
+          col("__first_u") =!= col("__prev_last"), 1L).otherwise(0L))
+      .withColumn("__goff",
+        sum(col("__nbrk") + col("__headbrk")).over(idxW) -
+          (col("__nbrk") + col("__headbrk")))
+      .select(col("series"), col("__day"), col("__headbrk"), col("__goff"))
+    val flagged = flagged0.join(broadcast(dayBrk), Seq("series", "__day"))
       .withColumn("brk",
-        when(lag(col("under"), 1).over(w).isNull ||
-          col("under") =!= lag(col("under"), 1).over(w), 1L).otherwise(0L))
-      .withColumn("grp", sum(col("brk")).over(run))
+        when(col("__head"), col("__headbrk")).otherwise(col("__ibrk")))
+      .withColumn("grp", col("__goff") + sum(col("brk")).over(runDay))
     val spells = flagged
       .groupBy(col("series"), col("grp"))
       .agg(max(col("under")).as("under"), count(lit(1)).as("len"))
