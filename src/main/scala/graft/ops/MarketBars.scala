@@ -1236,13 +1236,39 @@ object MarketBars {
     * both map-side-combined; the island-id window is the per-series
     * frame class with the usual ScalableWindow escape hatch. */
   def staleRuns(bars: DataFrame, staleLen: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val runs = bars
+    // day-split islands (the q168 rule): each day-head's new-run flag
+    // compares against the PRIOR day's last close carried on the
+    // keys×days map; island ids get exclusive prior-day break-count
+    // offsets, so they equal the global ids exactly
+    val wDay = Window.partitionBy(col("series"), col("__day"))
+      .orderBy(col("bar_ts"))
+    val runDay = wDay.rowsBetween(Window.unboundedPreceding, 0)
+    val idxW = Window.partitionBy(col("series")).orderBy(col("__day"))
+    val x = bars.withColumn("__day", to_date(col("bar_ts")))
+      .localCheckpoint(eager = false)
+    val flagged0 = x
+      .withColumn("__head", lag(col("close"), 1).over(wDay).isNull)
+      .withColumn("__ibrk",
+        when(!col("__head") &&
+          col("close") =!= lag(col("close"), 1).over(wDay), 1L)
+          .otherwise(0L))
+      .localCheckpoint(eager = false)
+    val dayBrk = flagged0.groupBy(col("series"), col("__day"))
+      .agg(max_by(col("close"), col("bar_ts")).as("__last_c"),
+        min_by(col("close"), col("bar_ts")).as("__first_c"),
+        sum(col("__ibrk")).as("__nbrk"))
+      .withColumn("__prev_last", lag(col("__last_c"), 1).over(idxW))
+      .withColumn("__headbrk",
+        when(col("__prev_last").isNull ||
+          col("__first_c") =!= col("__prev_last"), 1L).otherwise(0L))
+      .withColumn("__goff",
+        sum(col("__nbrk") + col("__headbrk")).over(idxW) -
+          (col("__nbrk") + col("__headbrk")))
+      .select(col("series"), col("__day"), col("__headbrk"), col("__goff"))
+    val runs = flagged0.join(broadcast(dayBrk), Seq("series", "__day"))
       .withColumn("new_run",
-        when(lag(col("close"), 1).over(w).isNull ||
-          col("close") =!= lag(col("close"), 1).over(w), 1L).otherwise(0L))
-      .withColumn("grp",
-        sum(col("new_run")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        when(col("__head"), col("__headbrk")).otherwise(col("__ibrk")))
+      .withColumn("grp", col("__goff") + sum(col("new_run")).over(runDay))
       .groupBy(col("series"), col("grp"))
       .agg(count(lit(1)).as("run_len"))
     runs.groupBy(col("series"))
