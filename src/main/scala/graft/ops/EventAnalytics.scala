@@ -772,11 +772,11 @@ object EventAnalytics {
     *
     * Scale posture: the corpus collapses to ONE row per user first
     * (hash aggregate with map-side partials); every window after that
-    * runs on the user relation. The three unpartitioned ntiles are the
-    * q158 global-row-number class — at a billion users each becomes
-    * the documented two-pass form (per-partition counts + offsets on
-    * range-partitioned sort output); the reference-of-day anchor is a
-    * 1-row broadcast, never a driver collect. */
+    * runs on the user relation. The three unpartitioned quintile
+    * ranks route through [[ScalableRank.ntile]] (two-pass exact
+    * offsets on range-partitioned slices) — at a billion users no
+    * single task ever sorts the user relation; the reference-of-day
+    * anchor is a 1-row broadcast, never a driver collect. */
   def rfm(events: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val anchor = events.agg(max(to_date(col("ts"))).as("ref_d"))
@@ -789,15 +789,14 @@ object EventAnalytics {
           lit(0).cast(DecimalType(18, 6))).as("monetary"))
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("ref_d"), col("last_d")))
-    def quintile(order: Column*) =
-      lit(6) - ntile(5).over(Window.orderBy(order: _*))
-    val scored = perUser
-      .withColumn("r_score",
-        quintile(col("recency_days").asc, col("user_id")))
-      .withColumn("f_score",
-        quintile(col("frequency").desc, col("user_id")))
-      .withColumn("m_score",
-        quintile(col("monetary").desc, col("user_id")))
+    def quintile(df: DataFrame, out: String, order: Column*) =
+      ScalableRank.ntile(df, Seq.empty, order, 5, "__t")
+        .withColumn(out, lit(6) - col("__t")).drop("__t")
+    val scored = quintile(
+      quintile(
+        quintile(perUser, "r_score", col("recency_days").asc, col("user_id")),
+        "f_score", col("frequency").desc, col("user_id")),
+      "m_score", col("monetary").desc, col("user_id"))
       .withColumn("segment",
         when(col("r_score") >= 4 && col("f_score") >= 4, "champions")
           .when(col("f_score") >= 4, "loyal")
@@ -826,20 +825,19 @@ object EventAnalytics {
     * rank-weighted sum accumulates in DECIMAL(38,0) so it is exact and
     * partial-order-proof. Top-decile share counts the n÷10 (integer
     * division) heaviest users. Corpus collapses to one row per user
-    * first; the ascending rank is the q158 global-row-number class
-    * with the same two-pass escape at scale; the final fold is 1 row. */
+    * first; the ascending rank routes through
+    * [[ScalableRank.withRowIndex]] (two-pass exact offsets — no
+    * single-task sort of the user relation, and the total count rides
+    * the same tiny slice map); the final fold is 1 row. */
   def engagementGini(events: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
     val perUser = events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("c"))
-    // rank ascending + total user count share ONE unpartitioned sort;
     // integer division via floor-cast (exact for n < 2^53, same as the
     // oracle's //)
-    val ranked = perUser
-      .withColumn("i",
-        row_number().over(Window.orderBy(col("c"), col("user_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val ranked = ScalableRank.withRowIndex(perUser, Seq.empty,
+      Seq(col("c"), col("user_id")), "i", "n")
     ranked.agg(
         count(lit(1)).as("n_users"),
         sum(col("c")).as("total_events"),

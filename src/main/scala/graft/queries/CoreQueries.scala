@@ -1366,8 +1366,9 @@ object CoreQueries {
 
     // ABC / Pareto classification of parts by cumulative revenue
     // share: A carries the first 80%, B to 95%, C the tail — the
-    // inventory-policy rollup. The cumulative window runs on the
-    // |part|-sized aggregate with an exact DECIMAL running sum, and
+    // inventory-policy rollup. The |part|-sized aggregate's running
+    // DECIMAL sum goes through ScalableRank.cumSum (two-pass exact
+    // offsets — |part| grows with data, so no single-task sort), and
     // the class fences compare one identical double quotient
     "q239_abc_pareto" -> ((s, dir) => {
       val rev = Tables.lineitem(s, dir)
@@ -1375,10 +1376,9 @@ object CoreQueries {
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(DecimalType(28, 6))).as("rd"))
       val tot = rev.agg(sum(col("rd")).as("td"))
-      val w = Window.orderBy(col("rd").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rev.crossJoin(broadcast(tot))
-        .withColumn("cum", sum(col("rd")).over(w))
+      graft.ops.ScalableRank.cumSum(rev, Seq.empty,
+          Seq(col("rd").desc, col("l_partkey")), col("rd"), "cum")
+        .crossJoin(broadcast(tot))
         .withColumn("cum_share",
           col("cum").cast(DoubleType) / col("td").cast(DoubleType))
         .withColumn("abc_class",
@@ -1488,16 +1488,17 @@ object CoreQueries {
 
     // Customer lifetime-value deciles: exact decimal LTV per customer,
     // ntile(10) over the (ltv desc, custkey) total order (identical
-    // bucket arithmetic in both engines), per-decile rollup
+    // bucket arithmetic in both engines) via ScalableRank — |customer|
+    // grows with data, so the bucket index comes from the two-pass
+    // global row number, never a single-task sort — per-decile rollup
     "q256_ltv_deciles" -> ((s, dir) => {
       val ltv = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(28, 6))).as("ltv"))
       val tot = ltv.agg(sum(col("ltv")).as("t"))
-      val w = Window.orderBy(col("ltv").desc, col("o_custkey"))
-      ltv
-        .withColumn("decile", ntile(10).over(w))
+      graft.ops.ScalableRank.ntile(ltv, Seq.empty,
+          Seq(col("ltv").desc, col("o_custkey")), 10, "decile")
         .crossJoin(broadcast(tot))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_cust"),

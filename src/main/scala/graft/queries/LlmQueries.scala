@@ -744,16 +744,19 @@ object LlmQueries {
     "q272_selection_curve" -> ((s, dir) => {
       def dbl(c: org.apache.spark.sql.Column) =
         c.cast(org.apache.spark.sql.types.DoubleType)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("quality_score").desc, col("doc_id"))
+      // decile via ScalableRank (|docs| grows with data — two-pass
+      // exact bucket index, no single-task sort); the cumulative
+      // window after runs on the 10-row decile rollup only
       val wCum = org.apache.spark.sql.expressions.Window
         .orderBy(col("decile"))
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, org.apache.spark.sql.expressions.Window
           .currentRow)
-      val ranked = TextOps.textStats(Tables.rebalance(Tables.documents(s, dir)))
-        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-        .withColumn("decile", ntile(10).over(w))
+      val ranked = graft.ops.ScalableRank.ntile(
+        TextOps.textStats(Tables.rebalance(Tables.documents(s, dir)))
+          .select(col("doc_id"), col("n_tokens"), col("quality_score")),
+        Seq.empty, Seq(col("quality_score").desc, col("doc_id")),
+        10, "decile")
       val tot = ranked.agg(sum(col("n_tokens")).as("t"))
       ranked
         .groupBy(col("decile"))

@@ -325,14 +325,25 @@ object MarketQueries {
     }),
 
     // Distribution window functions: percent_rank / cume_dist / ntile
+    // over the (value, event_id) TOTAL order — every row is its own
+    // peer group, so all three are closed forms of the two-pass
+    // global index (rn, n): pr = (rn−1)/(n−1), cd = rn/n, ntile by
+    // the bucket formula. Same q49 hot-key escape as q132.
     "q43_window_dist" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      Tables.events(s, dir)
+      def dbl(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      graft.ops.ScalableRank.withRowIndex(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), Seq(col("value"), col("event_id")),
+          "__rn", "__n")
         .select(col("event_id"), col("event_type"), col("value"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
-          ntile(10).over(w).as("decile"))
+          round(when(col("__n") > 1,
+            dbl(col("__rn") - 1) / dbl(col("__n") - 1))
+            .otherwise(lit(0.0)), 6).as("pr"),
+          round(dbl(col("__rn")) / dbl(col("__n")), 6).as("cd"),
+          graft.ops.ScalableRank.ntileExpr(col("__rn"), col("__n"), 10)
+            .as("decile"))
         .orderBy(col("event_id"))
     }),
 
@@ -359,16 +370,30 @@ object MarketQueries {
 
     // Quantile normalization (feature engineering): per-series
     // percent_rank of value (ties collapse — deterministic) + decile
-    // bucket over the (value, event_id) total order
+    // bucket over the (value, event_id) total order. Routed through
+    // ScalableRank (the q49 hot-key class: ~5 types over the whole
+    // history): ONE two-pass global index serves both — the decile is
+    // the closed-form ntile of (rn, n) and the tie-collapsing rank is
+    // min(rn) over the (type, value) peer group (small groups — the
+    // hot key was the PARTITION, not the value), so no task ever
+    // holds a full type's history
     "q132_quantile_norm" -> ((s, dir) => {
-      val wv = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("value"))
-      val wt = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"), col("value"))
-        .withColumn("pr", round(percent_rank().over(wv), 6))
-        .withColumn("decile", ntile(10).over(wt))
+      def dbl(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DoubleType)
+      val peers = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("value"))
+      graft.ops.ScalableRank.withRowIndex(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), Seq(col("value"), col("event_id")),
+          "__rn", "__n")
+        .withColumn("pr",
+          round(when(col("__n") > 1,
+            dbl(min(col("__rn")).over(peers) - 1) / dbl(col("__n") - 1))
+            .otherwise(lit(0.0)), 6))
+        .withColumn("decile",
+          graft.ops.ScalableRank.ntileExpr(col("__rn"), col("__n"), 10))
+        .drop("__rn", "__n")
         .orderBy(col("event_id"))
     }),
 

@@ -293,21 +293,50 @@ class ScaleSpec extends AnyFunSuite {
       s"TakeOrderedAndProject missing from bm25 plan:\n${plan.take(3000)}")
   }
 
-  test("q184 rfm plan: corpus collapses per-user before any window") {
-    // the three quintile ntiles must run on the user relation, never
-    // the raw event stream: exactly two hash exchanges (user collapse,
-    // segment rollup) and exactly three Windows (the ntiles)
+  /** The round-8 two-pass-rank lock: the global rank rides the __pid
+    * slice windows (corpus windows are pid-partitioned), and every
+    * SinglePartition exchange left in the plan carries an AGGREGATE
+    * output (the ≤ numParts slice map / a 1-row total), never the
+    * growing relation itself. */
+  private def assertTwoPassRank(plan: String, label: String): Unit = {
+    assert(plan.contains("windowspecdefinition(__pid#"),
+      s"$label: corpus rank is not slice-partitioned:\n${plan.take(3000)}")
+    val lines = plan.split("\n")
+    lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
+      .foreach { i =>
+        // aggregate either directly below or one operator down (a
+        // bounded rollup crossJoined with a 1-row broadcast total)
+        val below = lines.slice(i + 1, i + 3).mkString
+        assert(below.contains("HashAggregate"),
+          s"$label: a SinglePartition exchange carries a non-aggregate " +
+            s"relation (line $i):\n${lines.slice(i, i + 4).mkString("\n")}")
+      }
+  }
+
+  test("q184 rfm plan: corpus collapses per-user, ranks are two-pass") {
+    // the three quintile ntiles must run on the user relation through
+    // the ScalableRank escape: no single-partition exchange of the
+    // user relation, no Window over the raw event stream
     val plan = graft.ops.EventAnalytics.rfm(Tables.events(spark, sf))
       .queryExecution.executedPlan.toString
-    // user collapse is the only hash exchange (the segment rollup
-    // rides the already-single-partition window output)
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
-      s"unexpected extra exchanges:\n${plan.take(3000)}")
-    assert("Window \\[".r.findAllIn(plan).size === 3,
-      s"expected exactly the three ntile Windows:\n${plan.take(3000)}")
+    assertTwoPassRank(plan, "q184")
     // every Window sorts on a per-user metric — none on the raw stream
     assert(!plan.contains("windowspecdefinition(ts#"),
       s"a Window runs on the raw event stream:\n${plan.take(3000)}")
+  }
+
+  test("routed global-rank queries plan: no single-partition corpus exchange") {
+    // the rest of the round-8 class: q239 (cumSum over |part|), q256
+    // (ntile over |customer|), q272 (ntile over |docs|), q185
+    // (row index over |user|), q132/q43 (per-type rank over the raw
+    // history — the q49 hot-key shape)
+    for (q <- Seq("q239_abc_pareto", "q256_ltv_deciles",
+        "q272_selection_curve", "q185_engagement_gini",
+        "q132_quantile_norm", "q43_window_dist")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assertTwoPassRank(plan, q)
+    }
   }
 
   test("q190 backtest plan: every window shares ONE bar_ts sort") {
