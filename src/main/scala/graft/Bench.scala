@@ -53,9 +53,16 @@ object Bench {
     // The driver captures only the TAIL of stdout, so the full per-query
     // line can overflow its buffer (round 6 shipped "parsed": null).
     // Persist it to a file too so the artifact survives without a re-run.
+    // The SF dir is part of the name so sweeps over several factors (or
+    // concurrent runs) don't clobber each other; a write failure prints
+    // one warning instead of vanishing.
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/bench_out.json"), fullJson)
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(s"/tmp/bench_out_$sfTag.json"), fullJson)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARN could not persist artifact: $e")
+    }
     // Trailing compact summary: the driver captures the TAIL of stdout, so
     // when the full per-query line above gets truncated the totals must
     // survive on their own. Keep this line last and short.

@@ -312,27 +312,19 @@ object MarketBars {
     require(k >= 2, s"k must be >= 2 (got $k)")
     val dec = DecimalType(38, 0)
     def dbl(c: Column) = c.cast(DoubleType)
-    // TWO day-scope layers: the validity filter between the lag and
-    // the k-frame DROPS rows, so a single shared scope would count
-    // its carry in raw rows while the global frame counts FILTERED
-    // rows (one dropped row inside the carry would starve the frame).
-    // Layer 1 computes the return (lag 1, carry 1); layer 2 re-scopes
-    // the filtered return relation for the k-frame (carry k−1) —
-    // positions are then counted on exactly the rows the global
-    // window sees.
-    val aug1 = ScalableWindow.dayScoped(bars, Seq("series"),
-      Seq("bar_ts"), "bar_ts", 1)
-    val w1 = Window.partitionBy(col("series"), col("__day_idx"))
-      .orderBy(col("bar_ts"))
-    val rets = aug1
-      .withColumn("prev_c", lag(col("close"), 1).over(w1))
-      .filter(col("__emit"))
-      .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
-      .select(col("series"), col("bar_ts"),
+    // FUSED two-layer day scope (ScalableWindow.laggedScope): the
+    // validity filter between the lag and the k-frame DROPS rows, so
+    // frame positions must count FILTERED rows — the fused form keeps
+    // that exact (lag via the day map's prev-day last close; tail
+    // rank in the same window pass) with one corpus sort instead of
+    // the two-dayScoped four.
+    val aug2 = ScalableWindow.laggedScope(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", "close", "prev_c", math.max(1, k - 1),
+      valid = col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0,
+      slim = _.select(col("series"), col("bar_ts"),
         floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
-          .cast("long").as("r8"))
-    val aug2 = ScalableWindow.dayScoped(rets, Seq("series"),
-      Seq("bar_ts"), "bar_ts", k - 1)
+          .cast("long").as("r8"),
+        col("__day_idx"), col("__rev")))
     val wk = Window.partitionBy(col("series"), col("__day_idx"))
       .orderBy(col("bar_ts")).rowsBetween(-(k - 1), 0)
     aug2
@@ -1994,25 +1986,18 @@ object MarketBars {
     require(horizons.nonEmpty && horizons.forall(_ >= 1), "horizons must be >= 1")
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    // two day-scope layers (the q139 rule: the validity filter drops
-    // rows, so frame positions must count on the FILTERED relation);
-    // ONE layer-2 scope with carry = max(h)−1 serves every horizon —
+    // FUSED two-layer day scope (the q139 rule: the validity filter
+    // drops rows, so frame positions must count on the FILTERED
+    // relation); ONE layer-2 carry = max(h)−1 serves every horizon —
     // extra carry is harmless for a position-relative ROWS frame
-    val aug1 = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
-      Seq("series"), Seq("bar_ts"), "bar_ts", 1)
-    val w1 = Window.partitionBy(col("series"), col("__day_idx"))
-      .orderBy(col("bar_ts"))
-    val rets = aug1
-      .withColumn("pc", lag(col("close"), 1).over(w1))
-      .filter(col("__emit"))
-      .withColumn("r8",
-        when(col("pc") > 0,
-          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
-            .cast("long")))
-      .filter(col("r8").isNotNull)
-      .select(col("series"), col("bar_ts"), col("r8"))
-    val withR = ScalableWindow.dayScoped(rets, Seq("series"),
-      Seq("bar_ts"), "bar_ts", math.max(1, horizons.max - 1))
+    val withR = ScalableWindow.laggedScope(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", "close", "pc",
+      math.max(1, horizons.max - 1),
+      valid = col("pc").isNotNull && col("pc") > 0,
+      slim = _.select(col("series"), col("bar_ts"),
+        floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+          .cast("long").as("r8"),
+        col("__day_idx"), col("__rev")))
       .localCheckpoint(eager = false)
     val w2 = Window.partitionBy(col("series"), col("__day_idx"))
       .orderBy(col("bar_ts"))
@@ -2574,23 +2559,16 @@ object MarketBars {
     require(horizons.nonEmpty && horizons.forall(_ >= 2), "horizons must be >= 2")
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    // the q139/q250 two-layer day scope; one layer-2 carry serves all
-    // horizon frames
-    val aug1 = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
-      Seq("series"), Seq("bar_ts"), "bar_ts", 1)
-    val w1 = Window.partitionBy(col("series"), col("__day_idx"))
-      .orderBy(col("bar_ts"))
-    val rets = aug1
-      .withColumn("pc", lag(col("close"), 1).over(w1))
-      .filter(col("__emit"))
-      .withColumn("r8",
-        when(col("pc") > 0,
-          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
-            .cast("long")))
-      .filter(col("r8").isNotNull)
-      .select(col("series"), col("bar_ts"), col("r8"))
-    val withR = ScalableWindow.dayScoped(rets, Seq("series"),
-      Seq("bar_ts"), "bar_ts", math.max(1, horizons.max - 1))
+    // the q139/q250 FUSED two-layer day scope (laggedScope); one
+    // layer-2 carry serves all horizon frames
+    val withR = ScalableWindow.laggedScope(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", "close", "pc",
+      math.max(1, horizons.max - 1),
+      valid = col("pc").isNotNull && col("pc") > 0,
+      slim = _.select(col("series"), col("bar_ts"),
+        floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+          .cast("long").as("r8"),
+        col("__day_idx"), col("__rev")))
       .localCheckpoint(eager = false)
     val w2 = Window.partitionBy(col("series"), col("__day_idx"))
       .orderBy(col("bar_ts"))

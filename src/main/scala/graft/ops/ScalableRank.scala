@@ -1,9 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructType}
 
 /** Exact global rank / ntile / running-sum WITHOUT a single-partition
   * window — the "q158 two-pass escape" as a reusable op, the rank
@@ -13,86 +15,172 @@ import org.apache.spark.sql.types.DoubleType
   * hot keys) plans a SINGLE-task sort over the whole relation — fine
   * for a |series|-sized aggregate, a one-core serialization point
   * when the key set grows with the data (users, customers, parts,
-  * docs). The classic escape is two passes:
+  * docs). The escape is the `RDD.zipWithIndex` two-pass, generalized
+  * per key:
   *
-  *   1. range-repartition on (keys ++ order) — each task holds a
-  *      contiguous, disjoint slice of the global order;
-  *   2. per-(task, key) row counts → tiny exclusive prefix offsets
-  *      (≤ numParts·|keys| rows, broadcast back);
-  *   3. within-task row_number + offset = the exact global index.
+  *   1. range-repartition on (keys ++ order) and sort within
+  *      partitions — each task holds a contiguous, disjoint slice of
+  *      the global order (the corpus moves ONCE and sorts ONCE);
+  *   2. collect per-(slice, key) row counts — driver state bounded by
+  *      slices × |keys| (guarded by [[MaxDriverGroups]]; a key set
+  *      large enough to trip it belongs in a plain partitioned
+  *      window, not this escape);
+  *   3. a narrow per-partition pass emits within-slice position +
+  *      exclusive slice offset = the exact global index (this is
+  *      genuine per-partition imperative logic — the sanctioned
+  *      `mapPartitions` case, exactly how Spark's own `zipWithIndex`
+  *      works).
   *
   * Exactness: the range partitioner is a pure function of the sort
-  * key, so (a) the slices partition the global order and (b) rows
-  * equal on ALL order columns land in the SAME task — within-task
-  * `row_number`/`rank` therefore compose with the exclusive offsets
-  * into the global `row_number`/`rank` bit-for-bit, for any partition
-  * count (property-tested at 1/3/7/32 partitions, with hot keys and
-  * dense ties).
+  * key, so the slices partition the global order; within-slice
+  * positions compose with the exclusive offsets into the global
+  * `row_number` bit-for-bit, for any partition count (property-tested
+  * at 1/3/7/32 partitions, with hot keys and dense ties).
   *
-  * Scale posture: two balanced corpus shuffles (the range exchange;
-  * the (task, key) window hash exchange — every group bounded by a
-  * task's slice, never a key's history), one tiny aggregate, one
-  * broadcast. No single-partition exchange anywhere in the plan
-  * (ScaleSpec-locked for the routed queries).
+  * Scale posture: one balanced corpus shuffle + one in-partition
+  * sort; no single-partition exchange of a growing relation anywhere
+  * (ScaleSpec-locked for the routed queries); driver state is slice
+  * metadata, never rows.
   *
-  * Derived ranks ride the same index: `ntile` is a closed-form
-  * bucket formula over (rn, n); `percent_rank` is (rank−1)/(n−1)
-  * with rank = min rn over the tie group (a per-tie-group window —
-  * tie groups of a continuous value are small; the hot key was the
-  * PARTITION, not the value). Running sums swap the count offsets
-  * for per-task value sums (exact DECIMAL, order-insensitive).
+  * Derived ranks ride the same index: `ntile` is a closed-form bucket
+  * formula over (rn, n); `percent_rank` is (rank−1)/(n−1) with
+  * rank = min rn over the tie group (a per-tie-group window — tie
+  * groups of a continuous value are small; the hot key was the
+  * PARTITION, not the value). Running sums accumulate the same way
+  * with per-slice DECIMAL sums as the offsets.
   */
 object ScalableRank {
+
+  /** Hard cap on collected (slice, key) groups — the escape is for
+    * GLOBAL/hot-key ranks; hitting this means the key set is large
+    * enough that an ordinary `Window.partitionBy(keys)` already
+    * parallelizes and should be used instead. */
+  val MaxDriverGroups: Int = 100000
 
   private def nParts(df: DataFrame, numParts: Int): Int =
     if (numParts > 0) numParts
     else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-  /** Range-partition on (keys ++ order) and freeze the slice id.
-    * Checkpointed once — the slice map AND the final window both read
-    * it (same discipline as [[ScalableWindow.dayScoped]]). */
-  private def parted(
+  /** Core: range-sort, collect slice stats, emit global row number
+    * (plus group total and, when `sumCol` is set, the exact DECIMAL
+    * running sum). */
+  private def twoPass(
       df0: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[Column],
-      numParts: Int): DataFrame =
-    df0.repartitionByRange(nParts(df0, numParts),
-        (keyCols.map(col) ++ orderCols): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false)
+      rnCol: String,
+      nCol: String,
+      sumCol: Option[(String, Column)],
+      numParts: Int): DataFrame = {
+    val spark = df0.sparkSession
+    val keys = keyCols.map(col)
+    val withVal = sumCol match {
+      case Some((_, c)) => df0.withColumn("__sv", c)
+      case None         => df0
+    }
+    // checkpoint the INPUT, not the sorted result: the range exchange
+    // SAMPLES its child by executing it, so an un-checkpointed
+    // upstream (an aggregate, a scan) would run twice; the sorted
+    // RDD itself is shared by both passes below, and Spark's stage
+    // skipping reuses its shuffle files across the two jobs
+    val inputCk = withVal.localCheckpoint(eager = false)
+    val sorted = inputCk
+      .repartitionByRange(nParts(df0, numParts), (keys ++ orderCols): _*)
+      .sortWithinPartitions((keys ++ orderCols): _*)
+    val schema = sorted.schema
+    val kIdx = keyCols.map(schema.fieldIndex).toArray
+    val svIdx = sumCol.map(_ => schema.fieldIndex("__sv")).getOrElse(-1)
+    val sortedRdd = sorted.rdd
+    // pass 1: per-(slice, key) counts (+ DECIMAL sums) — rows stay
+    // where they are; only slice metadata reaches the driver
+    val sliceStats: Array[(Int, Array[(Seq[Any], Long, java.math.BigDecimal)])] =
+      sortedRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val acc = mutable.LinkedHashMap.empty[Seq[Any], (Long, java.math.BigDecimal)]
+          it.foreach { r =>
+            val k = kIdx.map(r.get).toSeq
+            val (c, s) = acc.getOrElse(k, (0L, java.math.BigDecimal.ZERO))
+            val s2 =
+              if (svIdx < 0 || r.isNullAt(svIdx)) s
+              else s.add(r.getDecimal(svIdx))
+            acc.update(k, (c + 1L, s2))
+          }
+          Iterator.single(pid -> acc.iterator.map { case (k, (c, s)) => (k, c, s) }.toArray)
+        }
+        .collect()
+    val totalGroups = sliceStats.iterator.map(_._2.length).sum
+    require(totalGroups <= MaxDriverGroups,
+      s"ScalableRank: $totalGroups (slice, key) groups exceed $MaxDriverGroups — " +
+        "the key set is large enough for a plain Window.partitionBy(keys)")
+    // exclusive prefix offsets per key across slices, + per-key totals
+    val cnt = mutable.HashMap.empty[Seq[Any], Long]
+    val sum0 = mutable.HashMap.empty[Seq[Any], java.math.BigDecimal]
+    val offByPid = sliceStats.sortBy(_._1).map { case (pid, groups) =>
+      pid -> groups.map { case (k, c, s) =>
+        val off = cnt.getOrElse(k, 0L)
+        val soff = sum0.getOrElse(k, java.math.BigDecimal.ZERO)
+        cnt.update(k, off + c)
+        sum0.update(k, soff.add(s))
+        k -> ((off, soff))
+      }.toMap
+    }.toMap
+    val totals = cnt.toMap
+    val bcOff = spark.sparkContext.broadcast(offByPid)
+    val bcTot = spark.sparkContext.broadcast(totals)
+    val sumScale = sumCol.map { _ =>
+      schema("__sv").dataType match {
+        case d: DecimalType => d.scale
+        case t => throw new IllegalArgumentException(
+          s"ScalableRank.cumSum needs a DECIMAL value column (got $t)")
+      }
+    }
+    val outSchema0 = schema.add(rnCol, LongType).add(nCol, LongType)
+    val outSchema = sumCol match {
+      case Some((out, _)) => outSchema0.add(out, DecimalType(38, sumScale.get))
+      case None           => outSchema0
+    }
+    // pass 2: narrow map — rows are key-contiguous after the sort, so
+    // one counter + one accumulator per key-run suffices
+    val rows = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val offs = bcOff.value.getOrElse(pid, Map.empty)
+      val tots = bcTot.value
+      var curKey: Seq[Any] = null
+      var rn = 0L
+      var acc = java.math.BigDecimal.ZERO
+      it.map { r =>
+        val k = kIdx.map(r.get).toSeq
+        if (k != curKey) {
+          curKey = k
+          val (off, soff) = offs(k)
+          rn = off
+          acc = soff
+        }
+        rn += 1L
+        val base = r.toSeq :+ rn :+ tots(k)
+        if (svIdx >= 0) {
+          if (!r.isNullAt(svIdx)) acc = acc.add(r.getDecimal(svIdx))
+          Row.fromSeq(base :+ acc)
+        } else Row.fromSeq(base)
+      }
+    }
+    val out = spark.createDataFrame(rows, StructType(outSchema))
+    if (svIdx >= 0) out.drop("__sv") else out
+  }
 
   /** Workhorse: augment `df0` with `rnCol` = exact 1-based global
     * row_number per `keyCols` group under the `orderCols` total order
     * and `nCol` = the group's total row count, without any
     * single-partition exchange. `orderCols` MUST totally order rows
     * within a key (add an id tie-break) — same contract as
-    * `row_number` itself. Helper columns are dropped; pass the result
-    * straight into [[ntileExpr]] or a (key, value) min-window for
-    * tie-collapsing ranks. */
+    * `row_number` itself. */
   def withRowIndex(
       df0: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[Column],
       rnCol: String = "__grn",
       nCol: String = "__gn",
-      numParts: Int = 0): DataFrame = {
-    val p = parted(df0, keyCols, orderCols, numParts)
-    val keys = keyCols.map(col)
-    val counts = p.groupBy((col("__pid") +: keys): _*)
-      .agg(count(lit(1)).as("__n"))
-    val offW = Window.partitionBy(keys: _*).orderBy(col("__pid"))
-    // exclusive prefix of slice counts + the key's total — both over
-    // the ≤ numParts·|keys| count relation, broadcast back
-    val offs = counts
-      .withColumn("__off", sum(col("__n")).over(offW) - col("__n"))
-      .withColumn("__nk", sum(col("__n")).over(Window.partitionBy(keys: _*)))
-      .drop("__n")
-    val w = Window.partitionBy((col("__pid") +: keys): _*).orderBy(orderCols: _*)
-    p.join(broadcast(offs), "__pid" +: keyCols)
-      .withColumn(rnCol, row_number().over(w).cast("long") + col("__off"))
-      .withColumn(nCol, col("__nk"))
-      .drop("__pid", "__off", "__nk")
-  }
+      numParts: Int = 0): DataFrame =
+    twoPass(df0, keyCols, orderCols, rnCol, nCol, None, numParts)
 
   /** SQL `ntile(buckets)` as a closed-form expression of the global
     * 1-based row number `rn` and group size `n`: the first n mod b
@@ -165,29 +253,17 @@ object ScalableRank {
 
   /** Exact running sum `sum(val) OVER (PARTITION BY keys ORDER BY
     * order ROWS UNBOUNDED PRECEDING..CURRENT)` via per-slice value
-    * sums as the offsets. `valCol` should be DECIMAL (exact,
-    * order-insensitive partials) and non-null — null rows contribute
-    * 0 rather than SQL's all-null-frame NULL. */
+    * sums as the offsets. `valCol` must be DECIMAL (exact,
+    * order-insensitive partials); null values contribute 0 rather
+    * than SQL's all-null-frame NULL. Output type DECIMAL(38, s). */
   def cumSum(
       df0: DataFrame,
       keyCols: Seq[String],
       orderCols: Seq[Column],
       valCol: Column,
       out: String,
-      numParts: Int = 0): DataFrame = {
-    val p = parted(df0, keyCols, orderCols, numParts)
-    val keys = keyCols.map(col)
-    val v = coalesce(valCol, lit(0).cast("decimal(1,0)"))
-    val sums = p.groupBy((col("__pid") +: keys): _*).agg(sum(v).as("__s"))
-    val offW = Window.partitionBy(keys: _*).orderBy(col("__pid"))
-    val offs = sums
-      .withColumn("__soff", sum(col("__s")).over(offW) - col("__s"))
-      .drop("__s")
-    val w = Window.partitionBy((col("__pid") +: keys): _*)
-      .orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    p.join(broadcast(offs), "__pid" +: keyCols)
-      .withColumn(out, sum(v).over(w) + col("__soff"))
-      .drop("__pid", "__soff")
-  }
+      numParts: Int = 0): DataFrame =
+    twoPass(df0, keyCols, orderCols, "__grn", "__gn",
+      Some((out, valCol)), numParts)
+      .drop("__grn", "__gn")
 }

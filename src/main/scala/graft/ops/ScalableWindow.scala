@@ -144,6 +144,105 @@ object ScalableWindow {
     withIdx.withColumn("__emit", lit(true)).unionByName(carried)
   }
 
+  /** Fused two-layer day scope for FILTERED return chains (the
+    * q139/q241/q250 class): a lag-1 of `valCol`, a validity filter
+    * that DROPS rows, then a trailing ROWS frame whose positions
+    * count FILTERED rows. Two stacked [[dayScoped]] calls are exact
+    * but pay two checkpoints and four corpus sorts; this fuses them:
+    *
+    *   - layer 1 needs no carry union at all — a lag of 1 across a
+    *     day boundary is exactly the PREVIOUS day's last value, which
+    *     the day map already knows (max-by-struct): one broadcast
+    *     join attaches it, `coalesce(lag, prev_day_last)` is the
+    *     global lag bit-for-bit;
+    *   - the layer-2 tail rank rides the SAME window pass as the lag
+    *     (a current-row..day-end count of valid rows — no desc
+    *     re-sort): for a surviving row it equals its reverse rank in
+    *     the filtered day, which is all the carry fan-out needs.
+    *
+    * Net: one corpus sort + one filtered-relation checkpoint replace
+    * two checkpoints + two tail sorts; the emitted rows, frames, and
+    * values are IDENTICAL to the two-layer form (PropertySpec locks
+    * bit-equality vs the plain global-window formulation).
+    *
+    * `valid` may reference `prevCol` and any input column; `slim`
+    * runs right after the validity filter (compute the return there
+    * and drop wide columns before the layer-2 checkpoint) and MUST
+    * retain `keyCols`, `orderCols`, `__day_idx` and `__rev`. The
+    * result carries `__emit` exactly like [[dayScoped]]: window by
+    * (keyCols :+ __day_idx) with frames reaching ≤ `carryRows`, then
+    * `filter(col("__emit"))` and drop the helpers. */
+  def laggedScope(
+      df0: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      prevCol: String,
+      carryRows: Int,
+      valid: Column,
+      slim: DataFrame => DataFrame = identity): DataFrame = {
+    require(carryRows >= 1, s"carryRows must be >= 1 (got $carryRows)")
+    val df = df0.localCheckpoint(eager = false) // feeds day map + join
+    val keys = keyCols.map(col)
+    val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
+    // layer-1 day map: dense day rank + each day's LAST value under
+    // the within-day order — the lag-1 source for the NEXT day's
+    // first row (the only row whose within-day lag is null)
+    val dayMap = df
+      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+      .agg(max(struct(orderCols.map(col) :+ col(valCol).as("__v"): _*))
+        .getField("__v").as("__last_v"))
+      .withColumn("__day_idx", row_number().over(idxW))
+      .localCheckpoint(eager = false)
+    val withIdx = df.withColumn("__day", to_date(col(tsCol)))
+      .join(broadcast(dayMap.select(
+        (keys :+ col("__day") :+ col("__day_idx")): _*)),
+        keyCols :+ "__day")
+      .join(broadcast(dayMap.select(
+        (keys :+ (col("__day_idx") + 1).as("__day_idx") :+
+          col("__last_v").as("__pdl")): _*)),
+        keyCols :+ "__day_idx", "left")
+    val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
+      .orderBy(orderCols.map(col): _*)
+    val revFrame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // both window expressions stack on ONE sort (same spec); __rev
+    // counts the valid rows from here to the day's end, so for a
+    // SURVIVING row it is the reverse rank within the filtered day
+    val flagged = withIdx
+      .withColumn(prevCol, coalesce(lag(col(valCol), 1).over(w), col("__pdl")))
+      .withColumn("__valid", valid)
+      .withColumn("__rev", sum(when(col("__valid"), 1L)).over(revFrame))
+      .filter(col("__valid"))
+      .drop("__valid", "__pdl", "__day")
+    val rets = slim(flagged).localCheckpoint(eager = false)
+    // layer-2 slice map over the FILTERED relation, keyed by the
+    // layer-1 day index (gaps left by all-invalid days are harmless —
+    // the reach rule orders by day index, it never assumes density)
+    val idx2W = Window.partitionBy(keys: _*).orderBy(col("__day_idx"))
+    val dayMap2 = rets
+      .groupBy(keys :+ col("__day_idx"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", sum(col("__n")).over(idx2W))
+      .localCheckpoint(eager = false)
+    val tails = rets
+      .join(broadcast(dayMap2.select(
+        (keys :+ col("__day_idx") :+ col("__cum")): _*)),
+        keyCols :+ "__day_idx")
+      .filter(col("__rev") <= carryRows)
+    val destDays = dayMap2.select(
+      (keys :+ col("__day_idx").as("__dst_idx") :+
+        (col("__cum") - col("__n")).as("__cum_prev")): _*)
+    val carried = tails
+      .join(broadcast(destDays), keyCols)
+      .where(col("__dst_idx") > col("__day_idx") &&
+        col("__cum_prev") - col("__cum") + col("__rev") <= carryRows)
+      .withColumn("__day_idx", col("__dst_idx"))
+      .drop("__dst_idx", "__cum_prev", "__rev", "__cum")
+      .withColumn("__emit", lit(false))
+    rets.drop("__rev").withColumn("__emit", lit(true)).unionByName(carried)
+  }
+
   /** Diagnostic (no longer a correctness precondition — the multi-day
     * carry is unconditionally exact): counts the (key, day) slices
     * holding fewer than `carryRows` rows despite having an earlier

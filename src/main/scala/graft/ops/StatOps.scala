@@ -249,12 +249,20 @@ object StatOps {
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false)
+    // margin prefix counts via the two-pass escape (round 8): the
+    // margins are distinct-value-sized — bounded for the documented
+    // DISCRETE contract, but a continuous 6dp-scaled column makes the
+    // spectrum ~corpus-sized and a plain Window.orderBy would
+    // single-task it; ScalableRank.cumSum stays exact (integer counts
+    // in DECIMAL(38,0)) at any cardinality
     def midranks(k: String, r: String) = {
-      val wv = Window.orderBy(col(k))
-      cells.groupBy(col(k)).agg(sum(col("c")).as("nv"))
-        .withColumn("cum", sum(col("nv")).over(wv))
+      ScalableRank.cumSum(
+          cells.groupBy(col(k)).agg(sum(col("c")).as("nv")),
+          Seq.empty, Seq(col(k)),
+          col("nv").cast(DecimalType(38, 0)), "cum")
         .select(col(k),
-          (lit(2) * (col("cum") - col("nv")) + col("nv") + 1).as(r))
+          (lit(2) * (col("cum").cast(LongType) - col("nv")) +
+            col("nv") + 1).as(r))
     }
     val vx = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
     val vy = dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
@@ -297,10 +305,13 @@ object StatOps {
       .groupBy(col("v"))
       .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("ia"), 1L).otherwise(0L)).as("cb"))
-    val wv = Window.orderBy(col("v"))
+    // prefix of cb over the value spectrum via the two-pass escape
+    // (round 8) — same rationale as [[spearmanMidrank]]'s midranks:
+    // exact at any spectrum cardinality, no single-task sort
     val t = col("ca") + col("cb")
-    val agg = dist
-      .withColumn("belowb", sum(col("cb")).over(wv) - col("cb"))
+    val agg = ScalableRank.cumSum(dist, Seq.empty, Seq(col("v")),
+        col("cb").cast(DecimalType(38, 0)), "__cumb")
+      .withColumn("belowb", col("__cumb").cast(LongType) - col("cb"))
       .agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
         sum(col("ca").cast(dec) *
           (lit(2) * col("belowb") + col("cb")).cast(dec)).as("u2"),

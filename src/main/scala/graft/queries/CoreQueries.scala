@@ -1375,10 +1375,12 @@ object CoreQueries {
         .groupBy(col("l_partkey"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast(DecimalType(28, 6))).as("rd"))
-      val tot = rev.agg(sum(col("rd")).as("td"))
-      graft.ops.ScalableRank.cumSum(rev, Seq.empty,
-          Seq(col("rd").desc, col("l_partkey")), col("rd"), "cum")
-        .crossJoin(broadcast(tot))
+      val cum = graft.ops.ScalableRank.cumSum(rev, Seq.empty,
+        Seq(col("rd").desc, col("l_partkey")), col("rd"), "cum")
+      // grand total off the two-pass OUTPUT (reads the checkpoint —
+      // identical exact-decimal sum, no second lineitem aggregation)
+      val tot = cum.agg(sum(col("rd")).as("td"))
+      cum.crossJoin(broadcast(tot))
         .withColumn("cum_share",
           col("cum").cast(DoubleType) / col("td").cast(DoubleType))
         .withColumn("abc_class",
@@ -1496,9 +1498,12 @@ object CoreQueries {
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(28, 6))).as("ltv"))
-      val tot = ltv.agg(sum(col("ltv")).as("t"))
-      graft.ops.ScalableRank.ntile(ltv, Seq.empty,
-          Seq(col("ltv").desc, col("o_custkey")), 10, "decile")
+      val ranked = graft.ops.ScalableRank.ntile(ltv, Seq.empty,
+        Seq(col("ltv").desc, col("o_custkey")), 10, "decile")
+      // grand total off the two-pass OUTPUT (reads the checkpoint —
+      // identical exact-decimal sum, no second orders aggregation)
+      val tot = ranked.agg(sum(col("ltv")).as("t"))
+      ranked
         .crossJoin(broadcast(tot))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_cust"),

@@ -89,6 +89,106 @@ class Round8Spec extends AnyFunSuite {
       .select("pr").as[Double].head() === 0.0)
   }
 
+  test("laggedScope equals the two-layer global form on sparse, gappy data") {
+    import java.sql.Timestamp
+    // 2 series x 9 days x 3-8 rows/day, ~15% non-positive closes (the
+    // validity filter), including one day that is ENTIRELY invalid —
+    // frames must count filtered rows across the resulting day gap
+    val rows = for {
+      k <- Seq("A", "B"); d <- 1 to 9; i <- 1 to (3 + (d * 7 + k.hashCode.abs) % 6)
+    } yield {
+      val bad = (d == 4 && k == "A") || (k.hashCode.abs + d * 31 + i * 13) % 7 == 0
+      (k, Timestamp.valueOf(f"2024-02-0$d 00:$i%02d:00"),
+        if (bad) 0.0 else 100.0 + ((d * 37 + i * 17) % 50))
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val k = 4
+    // global two-layer reference: lag over the whole per-key history,
+    // validity filter, then the k-frame over the FILTERED relation
+    val wg = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val gRets = bars
+      .withColumn("prev_c", lag(col("close"), 1).over(wg))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
+      .select(col("series"), col("bar_ts"),
+        floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
+          .cast("long").as("r8"))
+    val gFrame = wg.rowsBetween(-(k - 1), 0)
+    val want = gRets
+      .withColumn("nk", count(lit(1)).over(gFrame))
+      .withColumn("rk", sum(col("r8")).over(gFrame))
+    val aug = graft.ops.ScalableWindow.laggedScope(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", "close", "prev_c", k - 1,
+      valid = col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0,
+      slim = _.select(col("series"), col("bar_ts"),
+        floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
+          .cast("long").as("r8"),
+        col("__day_idx"), col("__rev")))
+    val wk = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts")).rowsBetween(-(k - 1), 0)
+    val got = aug
+      .withColumn("nk", count(lit(1)).over(wk))
+      .withColumn("rk", sum(col("r8")).over(wk))
+      .filter(col("__emit"))
+      .drop("__emit", "__day_idx")
+    same(got, want)
+  }
+
+  test("StatOps spectrum routing stays exact on a HIGH-cardinality value column") {
+    import graft.ops.StatOps
+    // ~1600 distinct x values over 2000 rows — the "continuous column
+    // abused as discrete" shape the old Window.orderBy single-tasked;
+    // compare against the plain global-window formulations
+    val rows = Seq.tabulate(2000) { i =>
+      (rnd.nextInt(1600).toLong + 100000L, (i % 7).toLong, rnd.nextBoolean())
+    }
+    val df = rows.toDF("x", "y", "ia")
+    val got = StatOps.spearmanMidrank(df, col("x"), col("y"))
+    // reference: midranks from a plain cumulative window
+    val cells = df.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    def mr(k: String, r: String) = {
+      val wv = Window.orderBy(col(k))
+      cells.groupBy(col(k)).agg(sum(col("c")).as("nv"))
+        .withColumn("cum", sum(col("nv")).over(wv))
+        .select(col(k), (lit(2) * (col("cum") - col("nv")) + col("nv") + 1).as(r))
+    }
+    val dec = DecimalType(38, 0)
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val vx = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val vy = dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val want = cells.join(mr("x", "rx2"), "x").join(mr("y", "ry2"), "y")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(dec) * col("rx2").cast(dec)).as("sx"),
+        sum(col("c").cast(dec) * col("ry2").cast(dec)).as("sy"),
+        sum(col("c").cast(dec) * col("rx2").cast(dec) * col("ry2").cast(dec)).as("sxy"),
+        sum(col("c").cast(dec) * col("rx2").cast(dec) * col("rx2").cast(dec)).as("sxx"),
+        sum(col("c").cast(dec) * col("ry2").cast(dec) * col("ry2").cast(dec)).as("syy"))
+      .select(col("n"),
+        when(vx > 0 && vy > 0,
+          round((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            (sqrt(vx) * sqrt(vy)), 6)).as("rho"))
+    same(got, want)
+    // Mann–Whitney on the same high-cardinality spectrum
+    val gotU = StatOps.mannWhitneyU(df, col("x"), col("ia"))
+    val dist = df.select(col("x").as("v"), col("ia"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ia"), 1L).otherwise(0L)).as("cb"))
+    val t = col("ca") + col("cb")
+    val aggU = dist
+      .withColumn("belowb", sum(col("cb")).over(Window.orderBy(col("v"))) - col("cb"))
+      .agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+        sum(col("ca").cast(dec) * (lit(2) * col("belowb") + col("cb")).cast(dec)).as("u2"),
+        sum(t.cast(dec) * t.cast(dec) * t.cast(dec) - t.cast(dec)).as("tie3"))
+    val n1d = dbl(col("n1")); val n2d = dbl(col("n2")); val nd = n1d + n2d
+    val u = dbl(col("u2")) / lit(2.0)
+    val varU = n1d * n2d / lit(12.0) * ((nd + 1) - dbl(col("tie3")) / (nd * (nd - 1)))
+    val wantU = aggU.select(col("n1"), col("n2"), round(u, 4).as("u_stat"),
+        when(col("n1") > 0 && col("n2") > 0 && varU > 0,
+          round((u - n1d * n2d / lit(2.0)) / sqrt(varU), 6)).as("z"))
+      .withColumn("significant", when(col("z").isNotNull, abs(col("z")) > 1.959964))
+    same(gotU, wantU)
+  }
+
   test("ScalableRank.cumSum equals the global DECIMAL running sum") {
     val df = randDf().withColumn("d", col("amt").cast(DecimalType(28, 6)))
     val wg = Window.orderBy(col("amt").desc, col("id"))

@@ -293,14 +293,15 @@ class ScaleSpec extends AnyFunSuite {
       s"TakeOrderedAndProject missing from bm25 plan:\n${plan.take(3000)}")
   }
 
-  /** The round-8 two-pass-rank lock: the global rank rides the __pid
-    * slice windows (corpus windows are pid-partitioned), and every
-    * SinglePartition exchange left in the plan carries an AGGREGATE
-    * output (the ≤ numParts slice map / a 1-row total), never the
+  /** The round-8 two-pass-rank lock: the global rank is computed by
+    * the ScalableRank range-sort + slice-offset passes (surfacing as
+    * a Scan ExistingRDD — the rank never appears as a plan Window),
+    * and every SinglePartition exchange left in the plan carries an
+    * AGGREGATE output (a bounded rollup / a 1-row total), never the
     * growing relation itself. */
   private def assertTwoPassRank(plan: String, label: String): Unit = {
-    assert(plan.contains("windowspecdefinition(__pid#"),
-      s"$label: corpus rank is not slice-partitioned:\n${plan.take(3000)}")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"$label: two-pass rank product missing from the plan:\n${plan.take(3000)}")
     val lines = plan.split("\n")
     lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
       .foreach { i =>
