@@ -173,6 +173,46 @@ class ScaleSpec extends AnyFunSuite {
       "term filter must appear below (after, in plan print order) an aggregate")
   }
 
+  test("serving layout: symbol+range predicates prune partitions and files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("serving").toString
+    val bars = graft.ops.MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    graft.queries.ServingQueries.writeServing(bars, dir, nSlices = 8)
+    val totalFiles = {
+      val all = spark.read.parquet(dir)
+      all.count() // materialize listing
+      new java.io.File(dir).listFiles.filter(_.isDirectory)
+        .flatMap(_.listFiles).count(_.getName.endsWith(".parquet"))
+    }
+    // the dashboard range query: one symbol, a ts sub-range
+    val span = bars.filter(col("series") === "click")
+      .agg(min(col("bar_ts")).cast("string"), max(col("bar_ts")).cast("string")).head
+    val q = graft.queries.ServingQueries.symbolRange(spark, dir, "click",
+      startTs = Some(span.getString(0)), endTs = Some(span.getString(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("series"),
+      s"symbol predicate must prune partitions:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters: [IsNotNull(bar_ts)") ||
+      plan.contains("GreaterThanOrEqual(bar_ts"),
+      s"ts range must push to parquet stats:\n${plan.take(2000)}")
+    // executed scan reads only the one symbol's files
+    q.count()
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    assert(scanned < totalFiles,
+      s"expected pruning: scanned $scanned of $totalFiles files")
+    // symbols list == the distinct series; tail preview is a top-k,
+    // never a global sort
+    val syms = graft.queries.ServingQueries.symbols(spark, dir)
+      .collect().map(_.getString(0)).toSeq
+    assert(syms === syms.sorted && syms.contains("click"))
+    val tailPlan = graft.queries.ServingQueries.tailPreview(spark, dir, "click")
+      .queryExecution.executedPlan.toString
+    assert(tailPlan.contains("TakeOrderedAndProject"),
+      s"tail preview must be top-k:\n${tailPlan.take(1500)}")
+  }
+
   test("z-order key is pure map-side codegen bit math") {
     val df = graft.ops.LayoutOps.zOrdered(
       Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")

@@ -843,4 +843,78 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming session stats match the q180 batch rollup (mid-session split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .orderBy("ts").limit(2000).collect()
+      .map(r => graft.streaming.SessionStatsMonitor.Ev(
+        r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .toSeq
+    val stream = MemoryStream[graft.streaming.SessionStatsMonitor.Ev]
+    val q = graft.streaming.SessionStatsMonitor.stats(stream.toDS())
+      .writeStream.format("memory").queryName("sess_stats_out")
+      .outputMode("update").start()
+    try {
+      // split mid-stream (and therefore mid-session for active users)
+      stream.addData(raw.take(1000)); q.processAllAvailable()
+      stream.addData(raw.drop(1000)); q.processAllAvailable()
+      // update mode appends a row per (user, batch): the final state
+      // is the row with the highest n_events per user
+      val streamed = spark.table("sess_stats_out")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"n_sessions", $"max_depth",
+          $"mean_depth", $"mean_dur_s")).as("s"))
+        .select($"user_id", $"s.n_sessions", $"s.n_events", $"s.max_depth",
+          $"s.mean_depth", $"s.mean_dur_s")
+      val batch = graft.ops.EventAnalytics.sessionStats(
+        raw.toDF("user_id", "ts", "event_id"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming session funnel matches the q209 batch rollup (mid-session split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy("ts").limit(2000).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val stream = MemoryStream[(Long, Timestamp, String, Long)]
+    val q = graft.streaming.SessionFunnel.sessionOutcomes(
+        stream.toDF().toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type")
+      .writeStream.format("memory").queryName("sess_funnel_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(raw.take(1000)); q.processAllAvailable()
+      stream.addData(raw.drop(1000)); q.processAllAvailable()
+      // sentinel far past the watermark horizon closes every session;
+      // its own (still-open) session never emits
+      val lastTs = raw.map(_._2.getTime).max
+      stream.addData(Seq((999999L, new Timestamp(lastTs + 86400000L), "click", 999999L)))
+      q.processAllAvailable()
+      // roll the emitted per-session rows up by start day — the q209
+      // output shape — and compare to the batch op on the same events
+      val streamed = spark.table("sess_funnel_out")
+        .groupBy(to_date($"start_ts").as("d"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when($"entered", 1L).otherwise(0L)).as("n_entered"),
+          sum(when($"converted", 1L).otherwise(0L)).as("n_converted"))
+        .withColumn("conv_rate",
+          when($"n_entered" > 0,
+            round($"n_converted".cast("double") /
+              $"n_entered".cast("double"), 4)))
+      val batch = graft.ops.EventAnalytics.sessionFunnel(
+        raw.toDF("user_id", "ts", "event_type", "event_id"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
