@@ -793,7 +793,11 @@ object SimilarityOps {
             nrm2 += c(i) * c(i)
             var j = i
             while (j < dd) {
-              add(idx, Math.round(c(i) * c(j) * 1e12))
+              // HALF_UP (half away from zero), matching the repo's 12dp
+              // decimal-fold convention: Math.round alone rounds negative
+              // halves toward +inf
+              val p = c(i) * c(j) * 1e12
+              add(idx, if (p >= 0) Math.round(p) else -Math.round(-p))
               idx += 1; j += 1
             }
             i += 1
@@ -878,7 +882,11 @@ object SimilarityOps {
       trS += sMat(i)(i)
       i += 1
     }
-    val d2 = fro / d - mu * mu
+    // d² from the Gram fold's OWN trace: ‖S − mI‖²/d = fro/d − (trS/d)²
+    // only holds with m = tr(S)/d from the same matrix, so this form is
+    // ≥ 0 by construction (clamped for fp dust); the moment-form `mu`
+    // stays solely the emitted SQL anchor
+    val d2 = math.max(fro / d - (trS / d) * (trS / d), 0.0)
     val q4 = new java.math.BigDecimal(quartic, 12).doubleValue
     val bBar2 = q4 / d / (nD * nD) - fro / (nD * d)
     val b2 = math.min(math.max(bBar2, 0.0), math.max(d2, 0.0))

@@ -539,12 +539,18 @@ class ScaleSpec extends AnyFunSuite {
         case _ => ()
       }
     }
-    // and AQE still picks broadcast at bench scale on a representative
-    val q212 = SparkEntry.queries("q212_promo_share")(spark, sf)
-    q212.collect()
-    assert(q212.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"),
-      "AQE should still broadcast the part side at bench scale")
+    // and AQE still picks broadcast at bench scale on a representative —
+    // with the threshold PINNED to the stock 10 MB so the assertion is a
+    // property of the plan, not of whatever config the suite ran under
+    val abt0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val q212 = SparkEntry.queries("q212_promo_share")(spark, sf)
+      q212.collect()
+      assert(q212.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "AQE should still broadcast the part side at bench scale")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt0)
   }
 
   test("leadLagMatrix plan: one stacked Window, no unioned re-sorts") {
