@@ -665,4 +665,138 @@ object DedupOps {
       .select(col("vid").as("vec_id"), col("cell"),
         coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
   }
+
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| over
+    * word-n-gram shingle sets — the quote/repost/excerpt detector the
+    * symmetric Jaccard (q77) structurally misses: a short doc fully
+    * embedded in a long one has C ≈ 1 while J ≈ |A|/|B| can sit far
+    * below any Jaccard threshold. Emits one DIRECTIONAL row per
+    * (contained, container) pair with containment ≥ `threshold`.
+    *
+    * Candidate generation keeps the PPJoin discipline one-sided: for
+    * C(A→B) ≥ t, A must share a gram inside its first
+    * ⌊(1−t)·|A|⌋ + 1 grams of the GLOBAL hash order (the containment
+    * prefix bound — B's side cannot be pruned, so probes join the
+    * FULL df-capped posting lists). Stop-grams (df > maxDf) drop
+    * before any pairing, exactly as [[ngramJaccardPairs]]; the exact
+    * overlap recomputes per candidate via the codegen sorted-merge.
+    *
+    * Scale: grams travel as 64-bit digests; the probe fan-out is
+    * (1−t) of each doc's set against ≤ maxDf postings — the same size
+    * class as the Jaccard prefix join — and nothing corpus-sized is
+    * ever collected or broadcast. */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    graft.functions.Hash32Array.register(df.sparkSession)
+    val grams = df
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.Hash32Array.hash64(
+          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("gk"))
+      .distinct()
+    val buckets = grams.groupBy(col("gk"))
+      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+      .localCheckpoint(eager = false)
+    val hs = buckets.select(col("gk"), explode(col("docs")).as("doc"))
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(col("gk"))).as("set"))
+      .withColumn("sz", size(col("set")))
+      .localCheckpoint(eager = false)
+    // one-sided prefix probe: the contained side exposes its first
+    // ⌊(1−t)·sz⌋ + 1 grams, the container side answers from the full
+    // posting list
+    val prefLen =
+      (floor(lit(1.0 - threshold) * col("sz")).cast("int") + 1)
+    val cand = hs
+      .select(col("doc").as("id_a"),
+        explode(slice(col("set"), lit(1), prefLen)).as("gk"))
+      .join(buckets, "gk")
+      .select(col("id_a"), explode(col("docs")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    graft.functions.SetIntersect.register(df.sparkSession)
+    cand
+      .join(hs.select(col("doc").as("id_a"), col("set").as("seta"),
+        col("sz").as("sza")), "id_a")
+      .join(hs.select(col("doc").as("id_b"), col("set").as("setb")), "id_b")
+      .withColumn("n_shared",
+        graft.functions.SetIntersect.count(col("seta"), col("setb")))
+      .withColumn("containment",
+        col("n_shared").cast(DoubleType) / col("sza").cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a").as("contained"), col("id_b").as("container"),
+        col("n_shared"), col("sza").as("sz_contained"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  /** Winnowing (MOSS-style) fingerprint overlap: each doc selects the
+    * minimum shingle hash of every `window`-wide sliding window over
+    * its POSITIONAL hash sequence (the Schleimer–Wilkerson–Aiken
+    * guarantee: any shared run of window+n−1 tokens shares ≥ 1
+    * selected fingerprint), docs pair on selected values, and pairs
+    * with ≥ `minShared` shared fingerprints emit with an overlap
+    * score — the plagiarism/boilerplate-detection shape next to the
+    * set-similarity dedups (q77 asks "how alike are the SETS"; this
+    * asks "do they share contiguous RUNS").
+    *
+    * Fingerprints are the DISTINCT per-window minima (selection is a
+    * pure value set, so tie positions cancel out and both engines
+    * agree bit-for-bit); docs shorter than one window winnow their
+    * whole sequence. Stop-fingerprints (df > maxDf) drop before
+    * pairing.
+    *
+    * Scale: winnowing is per-doc bounded map-side array math; the
+    * only corpus shuffles are the fingerprint posting-list groupBy
+    * and the df-capped pair explode — the LSH-band layout. */
+  def winnowingOverlap(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      window: Int = 4,
+      minShared: Int = 3,
+      maxDf: Int = 100): DataFrame = {
+    graft.functions.Hash32Array.register(df.sparkSession)
+    val h = df
+      .select(col(idCol).as("doc"),
+        graft.functions.Hash32Array.hash64(
+          TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("hs"))
+      .withColumn("m", size(col("hs")))
+      .filter(col("m") >= 1)
+    val winLen = least(lit(window), col("m"))
+    val fps = h
+      .withColumn("fps", array_distinct(
+        transform(
+          sequence(lit(1), greatest(col("m") - lit(window) + 1, lit(1))),
+          j => array_min(slice(col("hs"), j, winLen)))))
+      .select(col("doc"), size(col("fps")).as("n_fp"),
+        explode(col("fps")).as("v"))
+    val perDoc = fps.select(col("doc"), col("n_fp")).distinct()
+    val buckets = fps.groupBy(col("v"))
+      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+           transform(slice(docs, i + 2, size(docs)),
+                     y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+    pairs
+      .join(perDoc.select(col("doc").as("id_a"), col("n_fp").as("fp_a")),
+        "id_a")
+      .join(perDoc.select(col("doc").as("id_b"), col("n_fp").as("fp_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared_fp"),
+        col("fp_a"), col("fp_b"),
+        round(col("n_shared_fp").cast(DoubleType) /
+          least(col("fp_a"), col("fp_b")).cast(DoubleType), 4)
+          .as("overlap"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Tick → fixed-interval OHLCV bar aggregation.
   *
@@ -1639,6 +1639,139 @@ object MarketBars {
     * ACF already uses. */
   def archLjungBox(bars: DataFrame, maxLag: Int = 5): DataFrame =
     lbOver(acfBase(bars, maxLag, useAbs = true))
+
+  /** Newey–West (HAC) t-statistic of the mean 1-bar close change per
+    * series: x̄ / √(lrv/n) with
+    * lrv = γ̂₀ + 2 Σ_{k=1..L} (1 − k/(L+1)) γ̂_k, the Bartlett-kernel
+    * long-run variance over full-sample-mean autocovariances — "is
+    * the drift real once serial correlation is priced in", the
+    * inference companion to the ACF profile (q151 says returns
+    * correlate; this says what that correlation does to the mean's
+    * standard error). The Bartlett kernel keeps lrv ≥ 0 up to fp
+    * dust, guarded at emission; t is scale-free so the d6 units
+    * cancel.
+    *
+    * Mechanics ride the [[acf]] chain exactly: (series, day)-scoped
+    * carry = maxLag+1, exact scaled-long Δcloses, ALL lags off ONE
+    * window sort, and a k = 0..L stack whose k = 0 row doubles as the
+    * full-sample Σx / Σx² — one map-side-combined (series, k)
+    * aggregate feeds everything. γ̂_k assembles from the exact
+    * DECIMAL pair sums in one shared double op order:
+    * γ̂_k = (Σxy − x̄(Σx + Σy) + n_k·x̄²)/n; weights are the
+    * engine-identical expression 1 − k/(L+1); series shorter than a
+    * lag coalesce that γ̂ to 0.
+    *
+    * Scale: identical posture to [[acf]] — per-(series, day) window
+    * tasks + one (series, k) aggregate; output is |series| rows. */
+  def neweyWest(bars: DataFrame, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", maxLag + 1)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val d = aug
+      .withColumn("d6",
+        floor((col("close") - lag(col("close"), 1).over(w)) * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .filter(col("d6").isNotNull)
+    val withLags = d.select(
+      col("series") +: col("d6") +: col("__emit") +:
+        (1 to maxLag).map(k => lag(col("d6"), k).over(w).as(s"y$k")): _*)
+    val stacked = withLags.filter(col("__emit"))
+      .select(col("series"), col("d6").as("x"),
+        expr(s"stack(${maxLag + 1}, 0, d6, " +
+          (1 to maxLag).map(k => s"$k, y$k").mkString(", ") +
+          ") as (k, y)"))
+    val cells = stacked.filter(col("y").isNotNull)
+      .groupBy(col("series"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    def pick(c: String, kk: Int) =
+      sum(when(col("k") === kk, col(c)))
+    val aggCols: Seq[Column] =
+      pick("sx", 0).as("sx0") +: pick("sxy", 0).as("sxx0") +:
+        (1 to maxLag).flatMap(k => Seq(
+          pick("n", k).cast(LongType).as(s"n$k"),
+          pick("sx", k).as(s"sx$k"),
+          pick("sy", k).as(s"sy$k"),
+          pick("sxy", k).as(s"sxy$k")))
+    val per = cells.groupBy(col("series"))
+      .agg(pick("n", 0).cast(LongType).as("m"), aggCols: _*)
+    val md = dbl(col("m"))
+    val xbar = dbl(col("sx0")) / md
+    val g0 = (dbl(col("sxx0")) - dbl(col("sx0")) * dbl(col("sx0")) / md) / md
+    def gk(k: Int) = coalesce(
+      (dbl(col(s"sxy$k")) - xbar * (dbl(col(s"sx$k")) + dbl(col(s"sy$k"))) +
+        dbl(col(s"n$k")) * xbar * xbar) / md,
+      lit(0.0))
+    val tail = (1 to maxLag)
+      .map(k => (lit(1.0) - lit(k.toDouble) / lit((maxLag + 1).toDouble)) *
+        gk(k))
+      .reduce(_ + _)
+    val lrv = g0 + lit(2.0) * tail
+    val t = xbar / sqrt(lrv / md)
+    per.select(col("series"), col("m").as("n_obs"),
+        when(col("m") > 0, round(xbar / lit(1e6), 6)).as("mean_chg"),
+        when(col("m") >= 2 && lrv > 0, round(t, 6)).as("t_nw"))
+      .withColumn("significant",
+        when(col("t_nw").isNotNull, abs(col("t_nw")) > 1.959964))
+  }
+
+  /** Theil–Sen robust trend per series: the exact MEDIAN of all
+    * pairwise daily-close slopes (close_b − close_a)/(days between) —
+    * the outlier-immune trend line next to the OLS slopes (q121):
+    * a single flash-crash day drags least-squares but moves the
+    * slope median by at most one rank.
+    *
+    * Bars collapse to daily closes FIRST (the q182 argmax-by-struct
+    * idiom), so the pair set is |days|² per series — bounded by the
+    * CALENDAR horizon, not by corpus size: more data at 100 TB means
+    * more series and denser bars, not more days, and the day collapse
+    * happens map-side-combined before any pairing. Slopes snap to
+    * exact 6dp scaled longs; the median comes off the slope SPECTRUM
+    * via the [[ScalableRank]] keyed prefix (never a per-series sort
+    * of raw pairs), lo/hi middle ranks interpolate as
+    * (vlo + vhi)/2e6 — exact integer math until the final division. */
+  def theilSen(bars: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .groupBy(col("series"), col("d"))
+      .agg(max(struct(col("bar_ts"), col("close"))).getField("close")
+        .as("close"))
+      .localCheckpoint(eager = false) // both pair legs read it
+    val a = daily.select(col("series"), col("d").as("da"),
+      col("close").as("ca"))
+    val b = daily.select(col("series"), col("d").as("db"),
+      col("close").as("cb"))
+    val pairs = a.join(b, Seq("series"))
+      .filter(col("da") < col("db"))
+      .withColumn("s6",
+        floor((col("cb") - col("ca")) /
+          datediff(col("db"), col("da")).cast(DoubleType) * lit(1e6) +
+          lit(0.5)).cast("long"))
+    val cells = pairs.groupBy(col("series"), col("s6"))
+      .agg(count(lit(1)).as("c"))
+    val cum = ScalableRank.cumSum(cells, Seq("series"), Seq(col("s6")),
+      col("c").cast(DecimalType(38, 0)), "cum")
+    val np = cells.groupBy(col("series")).agg(sum(col("c")).as("np"))
+    cum.join(broadcast(np), "series")
+      .groupBy(col("series"))
+      .agg(max(col("np")).as("n_pairs"),
+        min(when(col("cum") >=
+            floor((col("np") + 1).cast(DoubleType) / 2.0).cast(dec),
+          col("s6"))).as("vlo"),
+        min(when(col("cum") >=
+            (floor(col("np").cast(DoubleType) / 2.0) + 1).cast(dec),
+          col("s6"))).as("vhi"))
+      .select(col("series"), col("n_pairs"),
+        ((col("vlo") + col("vhi")).cast(DoubleType) / lit(2e6))
+          .as("theil_sen"))
+  }
 
   private def lbOver(acfDf: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)

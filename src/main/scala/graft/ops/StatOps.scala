@@ -367,4 +367,184 @@ object StatOps {
             (dbl(col("n")) * dbl(least(col("ka"), col("kb")) - 1))), 6))
           .as("cramers_v"))
   }
+
+  /** χ²(df, 0.95) fence for small df — the [[graft.ops.MarketBars]]
+    * Ljung–Box table extended to 10; both engines CASE on the same
+    * constants so the reject flag is engine-identical. */
+  private def chi2Crit95(df: Column): Column =
+    when(df === 1, 3.8415).when(df === 2, 5.9915)
+      .when(df === 3, 7.8147).when(df === 4, 9.4877)
+      .when(df === 5, 11.0705).when(df === 6, 12.5916)
+      .when(df === 7, 14.0671).when(df === 8, 15.5073)
+      .when(df === 9, 16.9190).otherwise(18.3070)
+
+  /** Kruskal–Wallis H across k groups of a DISCRETE value column —
+    * the rank one-way ANOVA completing the nonparametric panel
+    * (Mann–Whitney q298 is its k = 2 special case, Spearman q297 the
+    * paired view). Computed entirely from the value SPECTRUM: per
+    * (value, group) cells, margin midranks off one exclusive prefix
+    * (doubled to stay integer, the q297 idiom), per-group rank sums
+    * as exact DECIMAL products, then
+    * H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Scale: two corpus-sized aggregates (cells, then margins ride the
+    * cells relation); the margin prefix runs through the
+    * [[ScalableRank]] two-pass escape so a continuous value column
+    * can't single-task it; everything after lives on |groups| rows.
+    * Determinism: midranks/rank-sums are exact integers; the k
+    * per-group double terms round 12dp and fold as DECIMAL(28,12);
+    * H, C form in one shared double op order and round 6dp. */
+  def kruskalWallis(
+      df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .select(valCol.cast(LongType).as("v"), groupCol.as("g"))
+      .groupBy(col("v"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val margins = cells.groupBy(col("v")).agg(sum(col("c")).as("nv"))
+    // doubled midrank (integer) + tie cube per distinct value; the
+    // prefix is the two-pass escape, never a single-task sort
+    val mid = ScalableRank.cumSum(margins, Seq.empty, Seq(col("v")),
+        col("nv").cast(DecimalType(38, 0)), "cum")
+      .select(col("v"),
+        (lit(2) * (col("cum").cast(LongType) - col("nv")) +
+          col("nv") + 1).as("m2"),
+        (col("nv").cast(dec) * col("nv").cast(dec) * col("nv").cast(dec) -
+          col("nv").cast(dec)).as("t3"))
+      .localCheckpoint(eager = false)
+    // per-group size and DOUBLED rank sum (broadcast side is the
+    // spectrum — bounded under the documented discrete contract)
+    val grp = cells.join(broadcast(mid.select(col("v"), col("m2"))), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c").cast(dec) * col("m2").cast(dec)).as("r2"))
+    val ties = mid.agg(sum(col("t3")).as("t3s"))
+    // Σ R_g²/n_g with R_g = r2/2: k 12dp-rounded double terms fold as
+    // DECIMAL (the lbOver pattern)
+    val term = round(dbl(col("r2")) * dbl(col("r2")) /
+      (lit(4.0) * dbl(col("ng"))), 12).cast(DecimalType(38, 12))
+    val agg = grp
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(term).as("s"))
+      .crossJoin(broadcast(ties))
+    val nd = dbl(col("n"))
+    val h = lit(12.0) / (nd * (nd + 1)) * dbl(col("s")) -
+      lit(3.0) * (nd + 1)
+    val corr = lit(1.0) - dbl(col("t3s")) /
+      dbl(col("n").cast(dec) * col("n").cast(dec) * col("n").cast(dec) -
+        col("n").cast(dec))
+    agg.select(col("k"), col("n"),
+        round(h, 6).as("h"),
+        when(corr > 0, round(h / corr, 6)).as("h_adj"))
+      .withColumn("reject_same_dist",
+        when(col("h_adj").isNotNull && col("k") > 1,
+          col("h_adj") > chi2Crit95(col("k") - 1)))
+  }
+
+  /** Cliff's delta effect size between two groups of a DISCRETE value
+    * column: δ = (#(a > b) − #(a < b)) / (n₁·n₂) — the
+    * distribution-free "how often does A beat B" companion to q298's
+    * Mann–Whitney significance (z says IF the shift is real, δ says
+    * HOW BIG it is on a [−1, 1] scale). Same spectrum machinery:
+    * greater-than pairs come from the exclusive below-B prefix,
+    * less-than pairs from the inclusive prefix complement, both exact
+    * DECIMAL integer folds; |δ| maps to the standard
+    * negligible/small/medium/large bands (0.147 / 0.33 / 0.474). */
+  def cliffsDelta(
+      df: DataFrame, valCol: Column, isACol: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dist = df
+      .select(valCol.cast(LongType).as("v"), isACol.as("ia"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ia"), 1L).otherwise(0L)).as("cb"))
+    val agg = ScalableRank.cumSum(dist, Seq.empty, Seq(col("v")),
+        col("cb").cast(DecimalType(38, 0)), "__cumb")
+      .withColumn("belowb", col("__cumb").cast(LongType) - col("cb"))
+      .agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+        sum(col("ca").cast(dec) * col("belowb").cast(dec)).as("gt"),
+        sum(col("ca").cast(dec) * col("__cumb")).as("scum"))
+    val lt = col("n1").cast(dec) * col("n2").cast(dec) - col("scum")
+    val delta = (dbl(col("gt")) - dbl(lt)) /
+      (dbl(col("n1")) * dbl(col("n2")))
+    agg.select(col("n1"), col("n2"),
+        col("gt").cast(LongType).as("n_gt"),
+        lt.cast(LongType).as("n_lt"),
+        when(col("n1") > 0 && col("n2") > 0, round(delta, 6)).as("delta"))
+      .withColumn("magnitude",
+        when(col("delta").isNull, lit(null).cast("string"))
+          .when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test across k groups of a
+    * DISCRETE value column: one-way ANOVA F on |x − median_g| — the
+    * robust (median-centered) Levene variant, the "are these groups
+    * even comparable in spread" gate that should run BEFORE any
+    * pooled-variance comparison (q202's ANOVA assumes what this
+    * tests).
+    *
+    * The group median is EXACT from the per-group value spectrum: the
+    * prefix runs through [[ScalableRank.cumSum]] KEYED BY GROUP (the
+    * two-pass escape's partitioned form), the lo/hi middle ranks pick
+    * the two central values, and the deviations double
+    * (z2 = |2x − (lo + hi)|) so an even-count median never leaves
+    * integer arithmetic. Per-group sums fold DECIMAL-exact; the k
+    * between/within terms round 12dp and fold as DECIMAL; F forms in
+    * one shared double op order; the reject flag uses the large-N
+    * (k−1)·F ≈ χ²(k−1) fence. */
+  def brownForsythe(
+      df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .select(valCol.cast(LongType).as("v"), groupCol.as("g"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val cum = ScalableRank.cumSum(cells, Seq("g"), Seq(col("v")),
+      col("c").cast(DecimalType(38, 0)), "cum")
+    val ng = cells.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+    // exact doubled median: lo rank = ⌊(n+1)/2⌋, hi rank = ⌊n/2⌋+1
+    val med = cum.join(broadcast(ng), "g")
+      .groupBy(col("g"))
+      .agg(
+        min(when(col("cum") >=
+            floor((col("ng") + 1).cast(DoubleType) / 2.0).cast(dec),
+          col("v"))).as("vlo"),
+        min(when(col("cum") >=
+            (floor(col("ng").cast(DoubleType) / 2.0) + 1).cast(dec),
+          col("v"))).as("vhi"))
+      .select(col("g"), (col("vlo") + col("vhi")).as("m2"))
+    val z = cells.join(broadcast(med), "g")
+      .withColumn("z2", abs(lit(2) * col("v") - col("m2")))
+    val sums = z.groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c").cast(dec) * col("z2").cast(dec)).as("sz"),
+        sum(col("c").cast(dec) * (col("z2") * col("z2")).cast(dec))
+          .as("szz"))
+      .localCheckpoint(eager = false)
+    val tot = sums.agg(sum(col("ng")).as("n"), sum(col("sz")).as("szt"))
+    val zbar = dbl(col("szt")) / dbl(col("n"))
+    val between = round(dbl(col("ng")) *
+      (dbl(col("sz")) / dbl(col("ng")) - zbar) *
+      (dbl(col("sz")) / dbl(col("ng")) - zbar), 12).cast(DecimalType(38, 12))
+    val within = round(dbl(col("szz")) -
+      dbl(col("sz")) * dbl(col("sz")) / dbl(col("ng")), 12)
+      .cast(DecimalType(38, 12))
+    val agg = sums.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("k"), max(col("n")).as("n"),
+        sum(between).as("sb"), sum(within).as("sw"))
+    val f = (dbl(col("sb")) / (dbl(col("k")) - 1)) /
+      (dbl(col("sw")) / (dbl(col("n")) - dbl(col("k"))))
+    agg.select(col("k"), col("n"),
+      when(col("k") > 1 && dbl(col("sw")) > 0 && col("n") > col("k"),
+        round(f, 6)).as("f_stat"),
+      when(col("k") > 1 && dbl(col("sw")) > 0 && col("n") > col("k"),
+        f * (dbl(col("k")) - 1) > chi2Crit95(col("k") - 1))
+        .as("reject_equal_spread"))
+  }
 }

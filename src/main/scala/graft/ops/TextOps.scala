@@ -245,6 +245,56 @@ object TextOps {
         regexp_replace(col("__e1"), NumberPattern, "<NUM>"))
       .drop("__e1")
 
+  /** Per-source character-encoding / script-mix audit: non-ASCII
+    * share, mojibake markers (U+FFFD replacement chars — the
+    * bytes-decoded-with-the-wrong-codec fingerprint), and stray
+    * control characters — the curation screen that catches broken
+    * ingestion BEFORE language-ID (q22) mislabels the noise. All
+    * patterns sit in the RE2 ∩ Java-regex common subset (hex classes
+    * only) so both engines count the identical character sets.
+    *
+    * Determinism: per-doc counts are exact integers; the per-doc
+    * non-ASCII ratio floors at 6dp and is carried as its EXACT
+    * scaled long, so the per-source mean is a long sum over docs
+    * finished by one floor-form 6dp division — no double folds across
+    * rows anywhere. Pure map-side until one (source) rollup. */
+  val NonAsciiPattern = "[^\\x00-\\x7F]"
+  val ReplacementPattern = "\\x{FFFD}"
+  val ControlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  def scriptAudit(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def cnt(p: String) =
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast("long")
+    val per = docs
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_na", cnt(NonAsciiPattern))
+      .withColumn("n_repl", cnt(ReplacementPattern))
+      .withColumn("n_ctl", cnt(ControlPattern))
+      .withColumn("r6",
+        when(col("n_chars") > 0,
+          floor(col("n_na").cast(DoubleType) /
+            col("n_chars").cast(DoubleType) * lit(1e6) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(0L)))
+    per.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_na") > 0, 1L).otherwise(0L)).as("docs_nonascii"),
+        sum(col("n_repl")).as("n_replacement"),
+        sum(col("n_ctl")).as("n_control"),
+        sum(col("r6")).as("sr6"))
+      .select(col("source"), col("n_docs"), col("docs_nonascii"),
+        col("n_replacement"), col("n_control"),
+        (floor(col("docs_nonascii").cast(DoubleType) /
+          col("n_docs").cast(DoubleType) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("nonascii_doc_share"),
+        (floor(col("sr6").cast(DoubleType) /
+          col("n_docs").cast(DoubleType) + lit(0.5)) / lit(1e6))
+          .as("avg_nonascii_ratio"))
+  }
+
   /** Flesch reading-ease per document, with syllables approximated as
     * vowel-group runs ([aeiouy]+ per lowercased word, min 1) and
     * sentences as terminator runs ([.!?]+, min 1) — the classic

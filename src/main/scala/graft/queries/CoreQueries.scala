@@ -1883,6 +1883,32 @@ object CoreQueries {
     "q298_mann_whitney" -> ((s, dir) => {
       StatOps.mannWhitneyU(Tables.lineitem(s, dir),
         round(col("l_discount") * 100, 0), col("l_returnflag") === "R")
+    }),
+
+    // Kruskal–Wallis rank ANOVA (StatOps.kruskalWallis): did the
+    // three return-flag populations draw the same discount
+    // distribution? — the k-group generalization of q298, computed
+    // off the value spectrum with the two-pass prefix escape
+    "q311_kruskal_wallis" -> ((s, dir) => {
+      StatOps.kruskalWallis(Tables.lineitem(s, dir),
+        round(col("l_discount") * 100, 0), col("l_returnflag"))
+    }),
+
+    // Cliff's delta effect size (StatOps.cliffsDelta): HOW BIG is the
+    // returned-lines discount shift q298's z calls significant —
+    // distribution-free, [−1, 1], with the standard magnitude bands
+    "q312_cliffs_delta" -> ((s, dir) => {
+      StatOps.cliffsDelta(Tables.lineitem(s, dir),
+        round(col("l_discount") * 100, 0), col("l_returnflag") === "R")
+    }),
+
+    // Brown–Forsythe spread homogeneity (StatOps.brownForsythe): do
+    // the five order priorities even have comparable price SPREAD
+    // before anyone compares their means (q202's assumption, tested)
+    // — ANOVA F on |x − median_g| with exact spectrum medians
+    "q314_brown_forsythe" -> ((s, dir) => {
+      StatOps.brownForsythe(Tables.orders(s, dir),
+        round(col("o_totalprice") * 100, 0), col("o_orderpriority"))
     })
   )
 
@@ -3752,6 +3778,148 @@ object CoreQueries {
           SELECT n1, n2, u_stat, z,
             CASE WHEN z IS NOT NULL THEN abs(z) > 1.959964 END
               AS significant
-          FROM g"""
+          FROM g""",
+
+    // Kruskal–Wallis twin: same doubled midranks off the value
+    // spectrum, exact DECIMAL rank sums, 12dp-rounded per-group
+    // terms folded as DECIMAL, same tie correction and χ² fence
+    "q311_kruskal_wallis" ->
+      """WITH pts AS (SELECT CAST(round(l_discount*100, 0) AS BIGINT)
+                        AS v, l_returnflag AS g FROM lineitem),
+          cells AS (SELECT v, g, count(*) AS c FROM pts GROUP BY 1, 2),
+          marg AS (SELECT v, SUM(c) AS nv FROM cells GROUP BY 1),
+          mid AS (SELECT v,
+                    2*(SUM(nv) OVER (ORDER BY v) - nv) + nv + 1 AS m2,
+                    CAST(nv AS DECIMAL(38,0))*CAST(nv AS DECIMAL(38,0))
+                      *CAST(nv AS DECIMAL(38,0))
+                      - CAST(nv AS DECIMAL(38,0)) AS t3
+                  FROM marg),
+          grp AS (SELECT g, SUM(c) AS ng,
+                    SUM(CAST(c AS DECIMAL(38,0))
+                      * CAST(m2 AS DECIMAL(38,0))) AS r2
+                  FROM cells JOIN mid USING (v) GROUP BY 1),
+          ties AS (SELECT SUM(t3) AS t3s FROM mid),
+          a AS (SELECT count(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+                  SUM(CAST(round(CAST(r2 AS DOUBLE)*CAST(r2 AS DOUBLE)
+                    /(4.0*CAST(ng AS DOUBLE)), 12) AS DECIMAL(38,12)))
+                    AS s
+                FROM grp),
+          f AS (SELECT k, n,
+                  12.0/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1))
+                    *CAST(s AS DOUBLE) - 3.0*(CAST(n AS DOUBLE)+1) AS h,
+                  1.0 - CAST(t3s AS DOUBLE)
+                    /CAST(CAST(n AS DECIMAL(38,0))*CAST(n AS DECIMAL(38,0))
+                      *CAST(n AS DECIMAL(38,0))
+                      - CAST(n AS DECIMAL(38,0)) AS DOUBLE) AS corr
+                FROM a, ties)
+          SELECT k, n, round(h, 6) AS h,
+            CASE WHEN corr > 0 THEN round(h/corr, 6) END AS h_adj,
+            CASE WHEN corr > 0 AND k > 1 THEN round(h/corr, 6) >
+              (CASE WHEN k-1 = 1 THEN 3.8415 WHEN k-1 = 2 THEN 5.9915
+                    WHEN k-1 = 3 THEN 7.8147 WHEN k-1 = 4 THEN 9.4877
+                    WHEN k-1 = 5 THEN 11.0705 WHEN k-1 = 6 THEN 12.5916
+                    WHEN k-1 = 7 THEN 14.0671 WHEN k-1 = 8 THEN 15.5073
+                    WHEN k-1 = 9 THEN 16.9190 ELSE 18.3070 END)
+            END AS reject_same_dist
+          FROM f""",
+
+    // Cliff's delta twin: same exclusive below-B prefix, exact
+    // DECIMAL pair counts, same op order and magnitude bands
+    "q312_cliffs_delta" ->
+      """WITH pts AS (SELECT CAST(round(l_discount*100, 0) AS BIGINT)
+                        AS v, l_returnflag = 'R' AS ia FROM lineitem),
+          dist AS (SELECT v,
+                     CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ca,
+                     CAST(SUM(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT)
+                       AS cb
+                   FROM pts GROUP BY 1),
+          cum AS (SELECT v, ca, cb, SUM(cb) OVER (ORDER BY v) AS cumb
+                  FROM dist),
+          a AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+                  CAST(SUM(cb) AS BIGINT) AS n2,
+                  SUM(CAST(ca AS DECIMAL(38,0))
+                    * CAST(cumb - cb AS DECIMAL(38,0))) AS gt,
+                  SUM(CAST(ca AS DECIMAL(38,0))
+                    * CAST(cumb AS DECIMAL(38,0))) AS scum
+                FROM cum),
+          f AS (SELECT n1, n2, gt,
+                  CAST(n1 AS DECIMAL(38,0))*CAST(n2 AS DECIMAL(38,0))
+                    - scum AS lt
+                FROM a),
+          d AS (SELECT n1, n2,
+                  CAST(gt AS BIGINT) AS n_gt, CAST(lt AS BIGINT) AS n_lt,
+                  CASE WHEN n1 > 0 AND n2 > 0
+                    THEN round((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                      /(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)), 6)
+                  END AS delta
+                FROM f)
+          SELECT n1, n2, n_gt, n_lt, delta,
+            CASE WHEN delta IS NULL THEN NULL
+                 WHEN abs(delta) < 0.147 THEN 'negligible'
+                 WHEN abs(delta) < 0.33 THEN 'small'
+                 WHEN abs(delta) < 0.474 THEN 'medium'
+                 ELSE 'large' END AS magnitude
+          FROM d""",
+
+    // Brown–Forsythe twin: same exact spectrum medians (lo/hi middle
+    // ranks), doubled deviations, DECIMAL group sums, 12dp-rounded
+    // between/within terms, same F op order and (k−1)·F ≈ χ² fence
+    "q314_brown_forsythe" ->
+      """WITH pts AS (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT)
+                        AS v, o_orderpriority AS g FROM orders),
+          cells AS (SELECT g, v, count(*) AS c FROM pts GROUP BY 1, 2),
+          cum AS (SELECT g, v, c,
+                    SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum
+                  FROM cells),
+          sizes AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY 1),
+          med AS (SELECT g,
+                    min(CASE WHEN cum >= floor((ng+1)/2.0) THEN v END)
+                      + min(CASE WHEN cum >= floor(ng/2.0)+1 THEN v END)
+                      AS m2
+                  FROM cum JOIN sizes USING (g) GROUP BY g),
+          z AS (SELECT g, abs(2*v - m2) AS z2, c
+                FROM cells JOIN med USING (g)),
+          sums AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+                     SUM(CAST(c AS DECIMAL(38,0))
+                       * CAST(z2 AS DECIMAL(38,0))) AS sz,
+                     SUM(CAST(c AS DECIMAL(38,0))
+                       * CAST(z2*z2 AS DECIMAL(38,0))) AS szz
+                   FROM z GROUP BY 1),
+          tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sz) AS szt
+                  FROM sums),
+          terms AS (SELECT ng, n,
+                      CAST(round(CAST(ng AS DOUBLE)
+                        *(CAST(sz AS DOUBLE)/CAST(ng AS DOUBLE)
+                          - CAST(szt AS DOUBLE)/CAST(n AS DOUBLE))
+                        *(CAST(sz AS DOUBLE)/CAST(ng AS DOUBLE)
+                          - CAST(szt AS DOUBLE)/CAST(n AS DOUBLE)), 12)
+                        AS DECIMAL(38,12)) AS bet,
+                      CAST(round(CAST(szz AS DOUBLE)
+                        - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE)
+                          /CAST(ng AS DOUBLE), 12)
+                        AS DECIMAL(38,12)) AS wit
+                    FROM sums, tot),
+          a AS (SELECT count(*) AS k, max(n) AS n,
+                  SUM(bet) AS sb, SUM(wit) AS sw
+                FROM terms),
+          f AS (SELECT k, n,
+                  (CAST(sb AS DOUBLE)/(CAST(k AS DOUBLE)-1))
+                    /(CAST(sw AS DOUBLE)/(CAST(n AS DOUBLE)
+                      - CAST(k AS DOUBLE))) AS fs,
+                  CAST(sw AS DOUBLE) AS swd
+                FROM a)
+          SELECT k, n,
+            CASE WHEN k > 1 AND swd > 0 AND n > k
+              THEN round(fs, 6) END AS f_stat,
+            CASE WHEN k > 1 AND swd > 0 AND n > k
+              THEN fs*(CAST(k AS DOUBLE)-1) >
+                (CASE WHEN k-1 = 1 THEN 3.8415 WHEN k-1 = 2 THEN 5.9915
+                      WHEN k-1 = 3 THEN 7.8147 WHEN k-1 = 4 THEN 9.4877
+                      WHEN k-1 = 5 THEN 11.0705 WHEN k-1 = 6 THEN 12.5916
+                      WHEN k-1 = 7 THEN 14.0671 WHEN k-1 = 8 THEN 15.5073
+                      WHEN k-1 = 9 THEN 16.9190 ELSE 18.3070 END)
+            END AS reject_equal_spread
+          FROM f"""
   )
 }

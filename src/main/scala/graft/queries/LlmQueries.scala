@@ -989,6 +989,25 @@ object LlmQueries {
     "q309_length_lognormal" -> ((s, dir) => {
       CorpusOps.lengthLognormal(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("source"))
+    }),
+
+    // Winnowing (MOSS) fingerprint overlap (DedupOps.winnowingOverlap):
+    // per-window minimum shingle hashes select fingerprints, pairs
+    // sharing ≥ 3 emit — the shared-RUN detector next to q77's
+    // set-similarity view
+    "q315_winnowing" -> ((s, dir) => {
+      DedupOps.winnowingOverlap(Tables.rebalance(Tables.documents(s, dir)),
+          "text", "doc_id", n = 3, window = 4, minShared = 2, maxDf = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Asymmetric containment near-dups (DedupOps.containmentPairs):
+    // |A∩B|/|A| ≥ 0.5 — the quote/repost detector symmetric Jaccard
+    // structurally misses on size-mismatched pairs
+    "q316_containment" -> ((s, dir) => {
+      DedupOps.containmentPairs(Tables.rebalance(Tables.documents(s, dir)),
+          "text", "doc_id", n = 3, threshold = 0.5, maxDf = 100)
+        .orderBy(col("contained"), col("container"))
     })
   )
 
@@ -3427,6 +3446,66 @@ object LlmQueries {
             round(CAST(n AS DOUBLE)/6.0*(sk*sk + xk*xk/4.0), 6) AS jb,
             CAST(n AS DOUBLE)/6.0*(sk*sk + xk*xk/4.0) > 5.991465
               AS reject_lognormal
-          FROM f ORDER BY source"""
+          FROM f ORDER BY source""",
+
+    // winnowing twin: same positional shingle hash sequence, same
+    // per-window list_min selection (value set, so tie positions
+    // cancel), df-capped postings, pair counts ≥ 3
+    "q315_winnowing" ->
+      s"""WITH $toksCte,
+          h AS (SELECT doc_id,
+                  list_transform($shingleExpr,
+                    s -> ${CrossHash.duckX64("s")}) AS hs
+                FROM d),
+          hm AS (SELECT doc_id, hs, len(hs) AS m FROM h
+                 WHERE len(hs) >= 1),
+          fp AS (SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(m - 4 + 1, 1)),
+                   j -> list_min(hs[j:j+least(4, m)-1]))) AS fps
+                 FROM hm),
+          sizes AS (SELECT doc_id, len(fps) AS n_fp FROM fp),
+          pf AS (SELECT doc_id, unnest(fps) AS v FROM fp),
+          b AS (SELECT v, count(*) AS dfc FROM pf GROUP BY 1),
+          keep AS (SELECT pf.doc_id, pf.v FROM pf JOIN b USING (v)
+                   WHERE dfc <= 100),
+          pairs AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                      count(*) AS n_shared_fp
+                    FROM keep a JOIN keep b2
+                      ON a.v = b2.v AND a.doc_id < b2.doc_id
+                    GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT id_a, id_b, n_shared_fp,
+            fa.n_fp AS fp_a, fb.n_fp AS fp_b,
+            round(CAST(n_shared_fp AS DOUBLE)
+              /CAST(least(fa.n_fp, fb.n_fp) AS DOUBLE), 4) AS overlap
+          FROM pairs
+          JOIN sizes fa ON fa.doc_id = id_a
+          JOIN sizes fb ON fb.doc_id = id_b
+          ORDER BY id_a, id_b""",
+
+    // containment twin: the q77 rare-gram machinery, DIRECTIONAL
+    // emission normalized by the contained side's set size
+    "q316_containment" ->
+      s"""WITH $toksCte,
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk
+                  FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b
+                   ON a.gk = b.gk AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2),
+          c AS (SELECT id_a AS contained, id_b AS container, n_shared,
+                  sa.sz AS sz_contained,
+                  CAST(n_shared AS DOUBLE)/CAST(sa.sz AS DOUBLE) AS ctn
+                FROM sh JOIN sz sa ON sa.doc_id = id_a)
+          SELECT contained, container, n_shared, sz_contained,
+            round(ctn, 4) AS containment
+          FROM c WHERE ctn >= 0.5
+          ORDER BY contained, container"""
   )
 }

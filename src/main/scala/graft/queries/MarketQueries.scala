@@ -1234,6 +1234,24 @@ object MarketQueries {
     "q310_seasonal_strength" -> ((s, dir) => {
       graft.ops.EventAnalytics.seasonalStrength(Tables.events(s, dir))
         .orderBy(col("event_type"))
+    }),
+
+    // Newey–West HAC t-stat of the mean bar-to-bar change per series
+    // (MarketBars.neweyWest): is the drift real once the q151 serial
+    // correlation is priced into the standard error
+    "q313_newey_west" -> ((s, dir) => {
+      MarketBars.neweyWest(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), maxLag = 5)
+        .orderBy(col("series"))
+    }),
+
+    // Theil–Sen robust daily trend per series (MarketBars.theilSen):
+    // exact median of all pairwise daily-close slopes — the
+    // outlier-immune line next to q121's OLS
+    "q317_theil_sen" -> ((s, dir) => {
+      MarketBars.theilSen(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -4173,6 +4191,101 @@ object MarketQueries {
                 /CAST(n AS DOUBLE))
                 / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
                 /CAST(n AS DOUBLE)), 6) END AS strength
-          FROM g ORDER BY event_type"""
+          FROM g ORDER BY event_type""",
+
+    // Newey–West twin: q151's Δ chain and lag stack extended with a
+    // k = 0 branch (full-sample moments), exact DECIMAL pair sums,
+    // γ̂ / Bartlett / t in one shared double op order
+    "q313_newey_west" -> {
+      val branches = (1 to 5).map { k =>
+        s"""SELECT series, $k AS k, d6 AS x, lag(d6, $k) OVER w$k AS y
+            FROM dd WINDOW w$k AS (PARTITION BY series ORDER BY bar_ts)"""
+      }.mkString("\n          UNION ALL\n          ")
+      def gk(k: Int) =
+        s"""COALESCE((CAST(sxy$k AS DOUBLE)
+             - xbar*(CAST(sx$k AS DOUBLE) + CAST(sy$k AS DOUBLE))
+             + CAST(n$k AS DOUBLE)*xbar*xbar)
+             /CAST(m AS DOUBLE), 0.0) AS g$k"""
+      val picks = (1 to 5).map { k =>
+        s"""max(CASE WHEN k = $k THEN n END) AS n$k,
+            max(CASE WHEN k = $k THEN sx END) AS sx$k,
+            max(CASE WHEN k = $k THEN sy END) AS sy$k,
+            max(CASE WHEN k = $k THEN sxy END) AS sxy$k"""
+      }.mkString(",\n                  ")
+      s"""WITH $barsCte,
+          d AS (SELECT series, bar_ts,
+                  CAST(floor((close - lag(close) OVER
+                    (PARTITION BY series ORDER BY bar_ts)) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                FROM bars),
+          dd AS (SELECT * FROM d WHERE d6 IS NOT NULL),
+          sh AS (
+          SELECT series, 0 AS k, d6 AS x, d6 AS y FROM dd
+          UNION ALL
+          $branches),
+          g AS (SELECT series, k, count(*) AS n,
+                  sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                  sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                  sum(CAST(x*y AS DECIMAL(38,0))) AS sxy
+                FROM sh WHERE y IS NOT NULL GROUP BY 1, 2),
+          p AS (SELECT series,
+                  CAST(max(CASE WHEN k = 0 THEN n END) AS BIGINT) AS m,
+                  max(CASE WHEN k = 0 THEN sx END) AS sx0,
+                  max(CASE WHEN k = 0 THEN sxy END) AS sxx0,
+                  $picks
+                FROM g GROUP BY 1),
+          px AS (SELECT *, CAST(sx0 AS DOUBLE)/CAST(m AS DOUBLE) AS xbar
+                 FROM p),
+          f AS (SELECT series, m, xbar,
+                  (CAST(sxx0 AS DOUBLE)
+                    - CAST(sx0 AS DOUBLE)*CAST(sx0 AS DOUBLE)
+                      /CAST(m AS DOUBLE))/CAST(m AS DOUBLE) AS g0,
+                  ${(1 to 5).map(gk).mkString(",\n                  ")}
+                FROM px),
+          l AS (SELECT series, m, xbar,
+                  g0 + 2.0*((1.0 - 1.0/6.0)*g1 + (1.0 - 2.0/6.0)*g2
+                    + (1.0 - 3.0/6.0)*g3 + (1.0 - 4.0/6.0)*g4
+                    + (1.0 - 5.0/6.0)*g5) AS lrv
+                FROM f),
+          r AS (SELECT series, m AS n_obs,
+                  CASE WHEN m > 0 THEN round(xbar/1e6, 6) END AS mean_chg,
+                  CASE WHEN m >= 2 AND lrv > 0
+                    THEN round(xbar/sqrt(lrv/CAST(m AS DOUBLE)), 6)
+                  END AS t_nw
+                FROM l)
+          SELECT series, n_obs, mean_chg, t_nw,
+            CASE WHEN t_nw IS NOT NULL THEN abs(t_nw) > 1.959964 END
+              AS significant
+          FROM r ORDER BY series"""
+    },
+
+    // Theil–Sen twin: q182's argmax-by-struct daily closes, the full
+    // a < b pair join, 6dp scaled-long slopes, exact spectrum median
+    "q317_theil_sen" ->
+      s"""WITH $barsCte,
+          dc AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   (max(struct_pack(t := bar_ts, v := close))).v AS close
+                 FROM bars GROUP BY 1, 2),
+          pr AS (SELECT a.series AS series,
+                   CAST(floor((b.close - a.close)
+                     /CAST(date_diff('day', a.d, b.d) AS DOUBLE)
+                     *1e6 + 0.5) AS BIGINT) AS s6
+                 FROM dc a JOIN dc b
+                   ON a.series = b.series AND a.d < b.d),
+          cells AS (SELECT series, s6, count(*) AS c FROM pr
+                    GROUP BY 1, 2),
+          cum AS (SELECT series, s6, c,
+                    SUM(c) OVER (PARTITION BY series ORDER BY s6) AS cum
+                  FROM cells),
+          np AS (SELECT series, SUM(c) AS np FROM cells GROUP BY 1),
+          m AS (SELECT series, CAST(max(np) AS BIGINT) AS n_pairs,
+                  min(CASE WHEN cum >= floor((np+1)/2.0) THEN s6 END)
+                    AS vlo,
+                  min(CASE WHEN cum >= floor(np/2.0)+1 THEN s6 END)
+                    AS vhi
+                FROM cum JOIN np USING (series) GROUP BY 1)
+          SELECT series, n_pairs,
+            CAST(vlo + vhi AS DOUBLE)/2e6 AS theil_sen
+          FROM m ORDER BY series"""
   )
 }

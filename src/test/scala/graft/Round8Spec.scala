@@ -207,4 +207,141 @@ class Round8Spec extends AnyFunSuite {
         col("d"), "cum", numParts = 7)
       .withColumn("cum", col("cum").cast(DoubleType)), wantK)
   }
+
+  // ---- round-8 widening: inference + dedup additions -------------------
+
+  test("kruskalWallis: textbook two-group fixture pins H exactly") {
+    // A = {1,2,3}, B = {4,5,6}: ranks 1..6, R_A = 6, R_B = 15,
+    // H = 12/(6·7)·(36/3 + 225/3) − 3·7 = 27/7 ≈ 3.857143, no ties
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("v", "g")
+    val r = graft.ops.StatOps.kruskalWallis(df, col("v"), col("g"))
+      .collect()(0)
+    assert(r.getLong(0) === 2L, "k")
+    assert(r.getLong(1) === 6L, "n")
+    assert(r.getDouble(2) === 3.857143, "h")
+    assert(r.getDouble(3) === 3.857143, "h_adj (no ties)")
+    assert(r.getBoolean(4) === true, "3.857 > 3.8415 at df=1")
+  }
+
+  test("cliffsDelta: full separation pins delta = -1, bands correct") {
+    val df = Seq((1L, true), (2L, true), (3L, true),
+      (4L, false), (5L, false), (6L, false)).toDF("v", "ia")
+    val r = graft.ops.StatOps.cliffsDelta(df, col("v"), col("ia"))
+      .collect()(0)
+    assert(r.getLong(2) === 0L, "n_gt")
+    assert(r.getLong(3) === 9L, "n_lt")
+    assert(r.getDouble(4) === -1.0, "delta")
+    assert(r.getString(5) === "large")
+    // heavy ties → delta 0, negligible
+    val tied = Seq((5L, true), (5L, true), (5L, false), (5L, false))
+      .toDF("v", "ia")
+    val r2 = graft.ops.StatOps.cliffsDelta(tied, col("v"), col("ia"))
+      .collect()(0)
+    assert(r2.getDouble(4) === 0.0)
+    assert(r2.getString(5) === "negligible")
+  }
+
+  test("brownForsythe: hand-computed two-group F") {
+    // g1 = {1,2,3} (med 2, |z| = 1,0,1), g2 = {1,5,9} (med 5,
+    // |z| = 4,0,4): between = 6, within = 34/3,
+    // F = 6 / ((34/3)/4) = 36/17 ≈ 2.117647
+    val df = Seq((1L, "g1"), (2L, "g1"), (3L, "g1"),
+      (1L, "g2"), (5L, "g2"), (9L, "g2")).toDF("v", "g")
+    val r = graft.ops.StatOps.brownForsythe(df, col("v"), col("g"))
+      .collect()(0)
+    assert(r.getLong(0) === 2L, "k")
+    assert(r.getLong(1) === 6L, "n")
+    assert(r.getDouble(2) === 2.117647, "f_stat")
+    assert(r.getBoolean(3) === false, "2.12 < 3.8415")
+    // even group size: median interpolates between the two middles
+    val even = Seq((1L, "g"), (2L, "g"), (4L, "g"), (8L, "g"))
+      .toDF("v", "g")
+    // median 3 → z = 2,1,1,5: within = 31 − 81/4 > 0, single group
+    // k = 1 → nulls
+    val r2 = graft.ops.StatOps.brownForsythe(even, col("v"), col("g"))
+      .collect()(0)
+    assert(r2.isNullAt(2) && r2.isNullAt(3), "k = 1 has no F")
+  }
+
+  test("neweyWest: constant drift has zero lrv, mean survives") {
+    import java.sql.Timestamp
+    val bars = Seq.tabulate(10) { i =>
+      ("s", Timestamp.valueOf(f"2024-01-02 10:${i}%02d:00"), 1.0 + i)
+    }.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.neweyWest(bars, maxLag = 3).collect()(0)
+    assert(r.getLong(1) === 9L, "n_obs")
+    assert(r.getDouble(2) === 1.0, "mean_chg")
+    assert(r.isNullAt(3), "zero-variance chain has no t")
+  }
+
+  test("theilSen: median slope shrugs off the outlier day") {
+    import java.sql.Timestamp
+    val closes = Seq(1.0, 2.0, 3.0, 10.0)
+    val bars = closes.zipWithIndex.map { case (c, i) =>
+      ("s", Timestamp.valueOf(f"2024-01-${i + 2}%02d 10:00:00"), c)
+    }.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.theilSen(bars).collect()(0)
+    // slopes {1, 1, 3, 1, 4, 7} → median (1+3)/2 = 2; OLS gives 2.7
+    assert(r.getLong(1) === 6L, "n_pairs")
+    assert(r.getDouble(2) === 2.0, "theil_sen")
+  }
+
+  test("containmentPairs: a contained quote scores 1.0 where Jaccard misses") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val big = base + " " + (100 to 160).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, big), (3L, "x y z q w e r t"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.DedupOps
+      .containmentPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect()
+    val hit = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(hit.isDefined, "doc 1 contained in doc 2")
+    assert(hit.get.getDouble(4) === 1.0, "full containment")
+    // the reverse direction dilutes below threshold
+    assert(!out.exists(r => r.getLong(0) == 2L && r.getLong(1) == 1L))
+    // symmetric Jaccard misses the same pair at the same threshold
+    val jac = graft.ops.DedupOps
+      .ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("winnowingOverlap: shared run guarantee and identical-doc saturation") {
+    val run = (1 to 9).map(i => s"shared$i").mkString(" ")
+    val a = "alpha beta gamma " + run + " delta epsilon zeta eta theta"
+    val b = "one two three four " + run + " five six seven eight nine"
+    val docs = Seq((1L, a), (2L, b), (3L, a), (4L, "lone wolf text only"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.DedupOps
+      .winnowingOverlap(docs, "text", "doc_id",
+        n = 3, window = 4, minShared = 1)
+      .collect()
+    // SWA guarantee: a shared window+n−1 = 6-token run forces ≥ 1
+    // shared fingerprint; 9 shared tokens = 4 shared windows
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "shared run detected")
+    val twin = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 3L).get
+    assert(twin.getDouble(5) === 1.0, "identical docs saturate")
+    assert(!out.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L),
+      "no false pair on the disjoint doc")
+  }
+
+  test("scriptAudit: mojibake fixture counts every class") {
+    val docs = Seq(
+      ("clean ascii text", "s1"),
+      ("café naïve �� broken", "s1"),
+      ("ctrlchar", "s2")).toDF("text", "source")
+    val out = graft.ops.TextOps.scriptAudit(docs).orderBy(col("source"))
+      .collect()
+    val s1 = out(0)
+    assert(s1.getLong(1) === 2L, "n_docs")
+    assert(s1.getLong(2) === 1L, "one doc has non-ASCII")
+    assert(s1.getLong(3) === 2L, "two replacement chars")
+    assert(s1.getLong(4) === 0L, "no control chars in s1")
+    // 4 non-ASCII chars over 22 chars → floor(4/22·1e6+.5)/1e6
+    assert(s1.getDouble(5) === 0.5, "half the docs flagged")
+    val s2 = out(1)
+    assert(s2.getLong(4) === 1L, "control char counted")
+  }
 }
