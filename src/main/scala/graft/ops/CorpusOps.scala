@@ -250,6 +250,8 @@ object CorpusOps {
     docs
       .select(TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
+      // barrier: keep split(text) out of the pair lambda (q315 class)
+      .localCheckpoint(eager = false)
       .select(explode(pairs).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("pair"))
@@ -347,9 +349,14 @@ object CorpusOps {
     val pairs = transform(sequence(lit(1), size(col("toks")) - 1),
       i => concat(element_at(col("toks"), i), lit(" "),
         element_at(col("toks"), i + 1)))
+    // the tokenize materializes BEFORE the pair transform: projection
+    // collapse would otherwise inline split(text) into the lambda and
+    // re-tokenize per element — O(tokens²) interpreted regex work per
+    // doc (the q315 blow-up class; HOFs get no codegen/CSE)
     val c12 = docs
       .select(TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
+      .localCheckpoint(eager = false)
       .select(explode(pairs).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("pair"), " ", 1))
@@ -463,9 +470,11 @@ object CorpusOps {
       idCol: String = "doc_id"): DataFrame = {
     graft.functions.Hash32Array.register(docs.sparkSession)
     val sh = docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(eager = false) // split once, not per shingle (q315 class)
+      .select(col("doc_id"),
         explode(graft.functions.Hash32Array.hash(
-          TextOps.shingles(TextOps.tokens(col(textCol))))).as("h"))
+          TextOps.shingles(col("__toks")))).as("h"))
       .distinct()
       .localCheckpoint(eager = false)
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -424,10 +424,15 @@ object DedupOps {
     // posting-list groupBy shuffle 8-byte keys instead of 32-char md5
     // strings (64-bit collisions are ~1e-8 at corpus scale, and both
     // engines hash identically, so the gate still compares exactly)
+    // tokens materialize BEFORE the shingle lambda: inlined, each
+    // element_at would re-run split(text) — an O(tokens)-fold regex
+    // tax per row (the q315 interpreted-HOF class)
     val grams = df
-      .select(col(idCol).as("doc"),
+      .select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(eager = false)
+      .select(col("doc"),
         explode(graft.functions.Hash32Array.hash64(
-          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("gk"))
+          TextOps.shingles(col("__toks"), n))).as("gk"))
       .distinct()
     // posting list per gram, stop-grams dropped while still one row
     // each
@@ -693,10 +698,15 @@ object DedupOps {
       threshold: Double = 0.5,
       maxDf: Int = 100): DataFrame = {
     graft.functions.Hash32Array.register(df.sparkSession)
+    // tokens materialize BEFORE the shingle lambda: inlined, each
+    // element_at would re-run split(text) — an O(tokens)-fold regex
+    // tax per row (the q315 interpreted-HOF class)
     val grams = df
-      .select(col(idCol).as("doc"),
+      .select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(eager = false)
+      .select(col("doc"),
         explode(graft.functions.Hash32Array.hash64(
-          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("gk"))
+          TextOps.shingles(col("__toks"), n))).as("gk"))
       .distinct()
     val buckets = grams.groupBy(col("gk"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
@@ -762,13 +772,25 @@ object DedupOps {
       minShared: Int = 3,
       maxDf: Int = 100): DataFrame = {
     graft.functions.Hash32Array.register(df.sparkSession)
+    // checkpoint the positional hash sequence BEFORE the window
+    // transform: higher-order functions run interpreted (no codegen,
+    // no subexpression elimination), so if projection collapse inlines
+    // the tokenize→shingle→hash chain into the lambda, `slice(hs, …)`
+    // and `least(…, m)` re-derive it from the raw text for EVERY j —
+    // O(m²) regex splits per doc (measured: ~0.25 s/row, a 1000×
+    // blow-up). Materialized, the transform is plain array math.
     val h = df
-      .select(col(idCol).as("doc"),
+      .select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(eager = false) // split once, not per shingle
+      .select(col("doc"),
         graft.functions.Hash32Array.hash64(
-          TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("hs"))
+          TextOps.shingles(col("__toks"), n)).as("hs"))
       .withColumn("m", size(col("hs")))
       .filter(col("m") >= 1)
+      .localCheckpoint(eager = false)
     val winLen = least(lit(window), col("m"))
+    // checkpointed too: both the per-doc fingerprint counts and the
+    // posting-list groupBy read it — one winnowing pass, not two
     val fps = h
       .withColumn("fps", array_distinct(
         transform(
@@ -776,6 +798,7 @@ object DedupOps {
           j => array_min(slice(col("hs"), j, winLen)))))
       .select(col("doc"), size(col("fps")).as("n_fp"),
         explode(col("fps")).as("v"))
+      .localCheckpoint(eager = false)
     val perDoc = fps.select(col("doc"), col("n_fp")).distinct()
     val buckets = fps.groupBy(col("v"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
