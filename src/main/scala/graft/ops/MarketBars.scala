@@ -1773,6 +1773,204 @@ object MarketBars {
           .as("theil_sen"))
   }
 
+  /** Mann–Kendall trend test per series — the SIGNIFICANCE companion
+    * to [[theilSen]]'s slope: S = Σ_{i<j} sgn(close_j − close_i) over
+    * all ordered daily-close pairs, tie-corrected
+    * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    * continuity-corrected z = (S∓1)/√Var — the distribution-free "is
+    * this series actually drifting" answer (q121's OLS t assumes
+    * linearity + normal errors; this assumes nothing).
+    *
+    * Determinism: sgn on the raw double closes is exact (both engines
+    * subtract identical parquet doubles), so S and the tie census are
+    * pure integers; Var forms in DECIMAL and divides by 18 once; z is
+    * one shared double op order rounded 6dp.
+    *
+    * Scale: the [[theilSen]] posture verbatim — bars collapse to
+    * |days| closes per series FIRST (map-side-combined argmax), so
+    * the pair join is bounded by the CALENDAR horizon squared, not by
+    * corpus size; the tie census is one more |series|·|days|-sized
+    * aggregate off the same checkpointed relation. */
+  def mannKendall(bars: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val daily = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .groupBy(col("series"), col("d"))
+      .agg(max(struct(col("bar_ts"), col("close"))).getField("close")
+        .as("close"))
+      .localCheckpoint(eager = false) // pair legs + tie census share it
+    val a = daily.select(col("series"), col("d").as("da"),
+      col("close").as("ca"))
+    val b = daily.select(col("series"), col("d").as("db"),
+      col("close").as("cb"))
+    val sAgg = a.join(b, Seq("series"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("series"))
+      .agg(sum(signum(col("cb") - col("ca")).cast(LongType)).as("s"),
+        count(lit(1)).as("n_pairs"))
+    // per-term products stay in LONG (calendar-bounded: t, n ≤ |days|,
+    // so n³ ≪ 2⁶³) and cast to DECIMAL once — neither engine then
+    // widens a DECIMAL(38)×DECIMAL(38) product past its 38 cap
+    val ties = daily.groupBy(col("series"), col("close"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("series"))
+      .agg(sum(col("t")).as("n"),
+        sum((col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .cast(dec)).as("tt"))
+    val varS = dbl(
+      (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)).cast(dec) -
+        col("tt")) / lit(18.0)
+    val z = when(col("s") > 0, (dbl(col("s")) - 1) / sqrt(varS))
+      .when(col("s") < 0, (dbl(col("s")) + 1) / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.join(ties, "series")
+      .select(col("series"), col("n").as("n_days"), col("n_pairs"),
+        col("s"),
+        when(varS > 0, round(z, 6)).as("z_mk"))
+      .withColumn("trend",
+        when(col("z_mk").isNull, lit("flat"))
+          .when(col("z_mk") > 1.959964, lit("up"))
+          .when(col("z_mk") < -1.959964, lit("down"))
+          .otherwise(lit("none")))
+  }
+
+  /** Two-scale realized variance (Zhang–Mykland–Aït-Sahalia 2005) per
+    * (series, day): the microstructure-noise-robust estimate
+    * TSRV = (1/K)·Σ_k RV_slow^(k) − (n̄/n)·RV_fast with K = `k`,
+    * n̄ = (n − K + 1)/K — next to q92's plain realized vol (which the
+    * bid-ask bounce biases UP as sampling gets finer, the reason the
+    * two-scale correction exists).
+    *
+    * The K subsample grids never materialize: every k-bar return
+    * belongs to exactly ONE grid, so Σ_k RV_slow^(k) is just the sum
+    * of squared k-lag returns — one extra `lag(k)` on the SAME
+    * (series, day) window sort that produces the 1-bar returns.
+    *
+    * Determinism (q92 rules): returns round 8dp BEFORE squaring,
+    * squares fold as DECIMAL(28,12), the debias forms in one shared
+    * double op order, negative estimates clamp to 0 (the standard ZMA
+    * finish), √ then rounds 6dp.
+    *
+    * Scale: one (series, day) window — the partition KEY grows with
+    * data, so tasks stay day-sized at any corpus size; everything
+    * after is a same-key aggregate (map-side combined). */
+  def tsrv(bars: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2, s"subsample count must be >= 2 (got $k)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("series"), col("d"))
+      .orderBy(col("bar_ts"))
+    val r = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("p1", lag(col("close"), 1).over(w))
+      .withColumn("pk", lag(col("close"), k).over(w))
+      .withColumn("r1",
+        when(col("p1") > 0 && col("close") > 0,
+          round(log(col("close") / col("p1")), 8)))
+      .withColumn("rk",
+        when(col("pk") > 0 && col("close") > 0,
+          round(log(col("close") / col("pk")), 8)))
+    val agg = r.groupBy(col("series"), col("d"))
+      .agg(
+        sum(when(col("r1").isNotNull, 1L).otherwise(0L)).as("n"),
+        sum((col("r1") * col("r1")).cast(DecimalType(28, 12)))
+          .as("rv_fast"),
+        sum((col("rk") * col("rk")).cast(DecimalType(28, 12)))
+          .as("sum_slow"))
+    val nd = dbl(col("n"))
+    val tsrvRaw = dbl(col("sum_slow")) / lit(k.toDouble) -
+      (nd - lit(k.toDouble) + 1) / lit(k.toDouble) / nd *
+        dbl(col("rv_fast"))
+    agg.select(col("series"), col("d"), col("n").as("n_rets"),
+      round(sqrt(dbl(col("rv_fast"))), 6).as("rv"),
+      // raw signed estimate kept alongside: on noise-dominated days
+      // the clamp below floors to 0 by design (ZMA), and the raw
+      // value says HOW noise-dominated
+      when(col("sum_slow").isNotNull && col("n") > k,
+        round(tsrvRaw, 6)).as("tsrv_raw"),
+      when(col("sum_slow").isNotNull && col("n") > k,
+        round(sqrt(when(tsrvRaw > 0, tsrvRaw).otherwise(lit(0.0))), 6))
+        .as("tsrv_vol"))
+  }
+
+  /** Daily rank information coefficient of the 1-day-reversal signal:
+    * per day, the cross-sectional Spearman correlation between each
+    * series' return today and its return TOMORROW, then the panel
+    * summary (mean IC, std, t = mean/(std/√T), hit rate) — THE
+    * standard factor-evaluation metric (does today's ranking carry
+    * information about tomorrow's), completing q182's winners-minus-
+    * losers backtest with the statistician's view of the same signal.
+    *
+    * Midranks come from the q297 doubled-integer idiom
+    * (2·rank_min + t − 1), so every per-day moment is an exact
+    * integer; IC is the Pearson formula over those integers in one
+    * shared double op order rounded 6dp; the panel folds the 6dp ICs
+    * as DECIMAL so partial-aggregation order cannot perturb the mean
+    * or the co-moment.
+    *
+    * Scale: bars collapse to daily closes FIRST (q182); the return
+    * chain runs per series over |days| rows; the rank windows
+    * partition by DAY — a key whose cardinality grows with data (the
+    * q93 rule), each day holding |series| rows. */
+  def rankIc(bars: DataFrame): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val decL = DecimalType(38, 0)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val daily = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .groupBy(col("series"), col("d"))
+      .agg(max(struct(col("bar_ts"), col("close"))).getField("close")
+        .as("close"))
+    val ws = Window.partitionBy(col("series")).orderBy(col("d"))
+    val rets = daily
+      .withColumn("pc", lag(col("close"), 1).over(ws))
+      .filter(col("pc") > 0 && col("close") > 0)
+      .select(col("series"), col("d"),
+        round(log(col("close") / col("pc")), 8).as("r"))
+      .withColumn("fr", lead(col("r"), 1).over(ws))
+      .filter(col("fr").isNotNull)
+      .localCheckpoint(eager = false) // both rank windows read it
+    def m2(v: String): Column = {
+      val rk = rank().over(Window.partitionBy(col("d")).orderBy(col(v)))
+      val t = count(lit(1))
+        .over(Window.partitionBy(col("d"), col(v)))
+      lit(2) * rk + t - 1
+    }
+    val ranked = rets.select(col("d"),
+      m2("r").cast(LongType).as("x"), m2("fr").cast(LongType).as("y"))
+    val perDay = ranked.groupBy(col("d"))
+      .agg(count(lit(1)).as("nc"),
+        sum(col("x").cast(decL)).as("sx"),
+        sum(col("y").cast(decL)).as("sy"),
+        sum((col("x") * col("y")).cast(decL)).as("sxy"),
+        sum((col("x") * col("x")).cast(decL)).as("sxx"),
+        sum((col("y") * col("y")).cast(decL)).as("syy"))
+    val n = dbl(col("nc"))
+    val covn = n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val vx = n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val vy = n * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val ics = perDay
+      .select(col("d"),
+        when(col("nc") >= 2 && vx > 0 && vy > 0,
+          round(covn / sqrt(vx * vy), 6)).as("ic"))
+      .filter(col("ic").isNotNull)
+    val tDays = dbl(col("t_days"))
+    val meanIc = dbl(col("s_ic")) / tDays
+    val varIc = (dbl(col("s_ic2")) - dbl(col("s_ic")) * dbl(col("s_ic")) /
+      tDays) / (tDays - 1)
+    ics.agg(count(lit(1)).as("t_days"),
+        sum(col("ic").cast(DecimalType(18, 6))).as("s_ic"),
+        sum((col("ic") * col("ic")).cast(dec12)).as("s_ic2"),
+        sum(when(col("ic") > 0, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("t_days"),
+        round(meanIc, 6).as("mean_ic"),
+        when(col("t_days") >= 2 && varIc > 0,
+          round(sqrt(varIc), 6)).as("sd_ic"),
+        when(col("t_days") >= 2 && varIc > 0,
+          round(meanIc / (sqrt(varIc) / sqrt(tDays)), 6)).as("ic_t"),
+        round(dbl(col("n_pos")) / tDays, 6).as("hit_rate"))
+  }
+
   private def lbOver(acfDf: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     // at lag k the pair count n = L − k, so L = n + k on every row

@@ -1252,6 +1252,32 @@ object MarketQueries {
       MarketBars.theilSen(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // Mann–Kendall trend test (MarketBars.mannKendall): IS q317's
+    // slope significant — distribution-free S over daily-close pairs,
+    // tie-corrected variance, continuity-corrected z
+    "q318_mann_kendall" -> ((s, dir) => {
+      MarketBars.mannKendall(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Two-scale realized variance (MarketBars.tsrv): the
+    // microstructure-noise-robust companion to q92's plain RV —
+    // K=5 subsample grids via one extra lag on the same day sort
+    "q319_tsrv" -> ((s, dir) => {
+      MarketBars.tsrv(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
+    // Daily rank IC panel (MarketBars.rankIc): cross-sectional
+    // Spearman of today's return vs tomorrow's, panel mean/std/t/hit
+    // — the factor-evaluation view of q182's reversal signal
+    "q320_rank_ic" -> ((s, dir) => {
+      MarketBars.rankIc(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
     })
   )
 
@@ -4286,6 +4312,165 @@ object MarketQueries {
                 FROM cum JOIN np USING (series) GROUP BY 1)
           SELECT series, n_pairs,
             CAST(vlo + vhi AS DOUBLE)/2e6 AS theil_sen
-          FROM m ORDER BY series"""
+          FROM m ORDER BY series""",
+
+    // Mann–Kendall twin: q317's daily-close pair join summed as signs;
+    // tie census per close value; long per-term products cast to
+    // DECIMAL once (both engines), one double /18 and z op order
+    "q318_mann_kendall" ->
+      s"""WITH $barsCte,
+          dc AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   (max(struct_pack(t := bar_ts, v := close))).v AS close
+                 FROM bars GROUP BY 1, 2),
+          sp AS (SELECT a.series AS series,
+                   CAST(SUM(sign(b.close - a.close)) AS BIGINT) AS s,
+                   count(*) AS n_pairs
+                 FROM dc a JOIN dc b
+                   ON a.series = b.series AND a.d < b.d
+                 GROUP BY 1),
+          tg AS (SELECT series, close, count(*) AS t FROM dc
+                 GROUP BY 1, 2),
+          tc AS (SELECT series, CAST(SUM(t) AS BIGINT) AS n_days,
+                   SUM(CAST(t*(t-1)*(2*t+5) AS DECIMAL(38,0))) AS tt
+                 FROM tg GROUP BY 1),
+          m AS (SELECT sp.series, tc.n_days, sp.n_pairs, sp.s,
+                  CAST(CAST(tc.n_days*(tc.n_days-1)*(2*tc.n_days+5)
+                        AS DECIMAL(38,0)) - tt AS DOUBLE)/18.0 AS var_s
+                FROM sp JOIN tc ON sp.series = tc.series),
+          zc AS (SELECT series, n_days, n_pairs, s,
+                   CASE WHEN var_s > 0 THEN
+                     round(CASE
+                       WHEN s > 0 THEN (CAST(s AS DOUBLE)-1)/sqrt(var_s)
+                       WHEN s < 0 THEN (CAST(s AS DOUBLE)+1)/sqrt(var_s)
+                       ELSE 0.0 END, 6) END AS z_mk
+                 FROM m)
+          SELECT series, n_days, n_pairs, s, z_mk,
+            CASE WHEN z_mk IS NULL THEN 'flat'
+                 WHEN z_mk > 1.959964 THEN 'up'
+                 WHEN z_mk < -1.959964 THEN 'down'
+                 ELSE 'none' END AS trend
+          FROM zc ORDER BY series""",
+
+    // TSRV twin: 1-bar and 5-bar lags off the SAME (series, day)
+    // window sort; returns round 8dp before squaring, squares fold as
+    // DECIMAL(28,12) (the q92 rules); shared double debias op order
+    "q319_tsrv" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, CAST(bar_ts AS DATE) AS d, close,
+                  lag(close, 1) OVER w AS p1,
+                  lag(close, 5) OVER w AS pk
+                FROM bars
+                WINDOW w AS (PARTITION BY series, CAST(bar_ts AS DATE)
+                             ORDER BY bar_ts)),
+          r AS (SELECT series, d,
+                  CASE WHEN p1 > 0 AND close > 0
+                       THEN round(ln(close/p1), 8) END AS r1,
+                  CASE WHEN pk > 0 AND close > 0
+                       THEN round(ln(close/pk), 8) END AS rk
+                FROM l),
+          a AS (SELECT series, d,
+                  CAST(SUM(CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n,
+                  SUM(CAST(r1*r1 AS DECIMAL(28,12))) AS rv_fast,
+                  SUM(CAST(rk*rk AS DECIMAL(28,12))) AS sum_slow
+                FROM r GROUP BY 1, 2)
+          SELECT series, d, n AS n_rets,
+            round(sqrt(CAST(rv_fast AS DOUBLE)), 6) AS rv,
+            CASE WHEN sum_slow IS NOT NULL AND n > 5 THEN
+              round(CAST(sum_slow AS DOUBLE)/5.0
+                - (CAST(n AS DOUBLE)-5.0+1)/5.0/CAST(n AS DOUBLE)
+                  *CAST(rv_fast AS DOUBLE), 6) END AS tsrv_raw,
+            CASE WHEN sum_slow IS NOT NULL AND n > 5 THEN
+              round(sqrt(CASE
+                WHEN CAST(sum_slow AS DOUBLE)/5.0
+                     - (CAST(n AS DOUBLE)-5.0+1)/5.0/CAST(n AS DOUBLE)
+                       *CAST(rv_fast AS DOUBLE) > 0
+                THEN CAST(sum_slow AS DOUBLE)/5.0
+                     - (CAST(n AS DOUBLE)-5.0+1)/5.0/CAST(n AS DOUBLE)
+                       *CAST(rv_fast AS DOUBLE)
+                ELSE 0.0 END), 6) END AS tsrv_vol
+          FROM a ORDER BY series, d""",
+
+    // Rank-IC twin: q317's daily closes → per-series return chain
+    // (lead over the POST-filter relation, matching the Scala side);
+    // doubled midranks 2·rank+t−1 per day, exact integer moments,
+    // Pearson in one shared double op order, DECIMAL panel folds
+    "q320_rank_ic" ->
+      s"""WITH $barsCte,
+          dc AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   (max(struct_pack(t := bar_ts, v := close))).v AS close
+                 FROM bars GROUP BY 1, 2),
+          lg AS (SELECT series, d, close,
+                   lag(close) OVER (PARTITION BY series ORDER BY d)
+                     AS pc
+                 FROM dc),
+          rr AS (SELECT series, d, round(ln(close/pc), 8) AS r
+                 FROM lg WHERE pc > 0 AND close > 0),
+          fw AS (SELECT series, d, r,
+                   lead(r) OVER (PARTITION BY series ORDER BY d) AS fr
+                 FROM rr),
+          rk AS (SELECT d,
+                   2*rank() OVER (PARTITION BY d ORDER BY r)
+                     + count(*) OVER (PARTITION BY d, r) - 1 AS x,
+                   2*rank() OVER (PARTITION BY d ORDER BY fr)
+                     + count(*) OVER (PARTITION BY d, fr) - 1 AS y
+                 FROM fw WHERE fr IS NOT NULL),
+          pd AS (SELECT d, count(*) AS nc,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+                   SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+                   SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
+                 FROM rk GROUP BY 1),
+          ic AS (SELECT d,
+                   CASE WHEN nc >= 2
+                     AND CAST(nc AS DOUBLE)*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+                     AND CAST(nc AS DOUBLE)*CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0
+                   THEN round(
+                     (CAST(nc AS DOUBLE)*CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / sqrt((CAST(nc AS DOUBLE)*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                       *(CAST(nc AS DOUBLE)*CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+                   END AS ic
+                 FROM pd),
+          v AS (SELECT ic FROM ic WHERE ic IS NOT NULL)
+          SELECT CAST(count(*) AS BIGINT) AS t_days,
+            round(CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+              /CAST(count(*) AS DOUBLE), 6) AS mean_ic,
+            CASE WHEN count(*) >= 2 AND
+              (CAST(SUM(CAST(ic*ic AS DECIMAL(38,12))) AS DOUBLE)
+                - CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+                  *CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+                  /CAST(count(*) AS DOUBLE))
+              /(CAST(count(*) AS DOUBLE) - 1) > 0
+            THEN round(sqrt(
+              (CAST(SUM(CAST(ic*ic AS DECIMAL(38,12))) AS DOUBLE)
+                - CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+                  *CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+                  /CAST(count(*) AS DOUBLE))
+              /(CAST(count(*) AS DOUBLE) - 1)), 6) END AS sd_ic,
+            CASE WHEN count(*) >= 2 AND
+              (CAST(SUM(CAST(ic*ic AS DECIMAL(38,12))) AS DOUBLE)
+                - CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+                  *CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+                  /CAST(count(*) AS DOUBLE))
+              /(CAST(count(*) AS DOUBLE) - 1) > 0
+            THEN round(
+              (CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+                /CAST(count(*) AS DOUBLE))
+              / (sqrt(
+                  (CAST(SUM(CAST(ic*ic AS DECIMAL(38,12))) AS DOUBLE)
+                    - CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+                      *CAST(SUM(CAST(ic AS DECIMAL(18,6))) AS DOUBLE)
+                      /CAST(count(*) AS DOUBLE))
+                  /(CAST(count(*) AS DOUBLE) - 1))
+                 / sqrt(CAST(count(*) AS DOUBLE))), 6) END AS ic_t,
+            round(CAST(SUM(CASE WHEN ic > 0 THEN 1 ELSE 0 END)
+              AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS hit_rate
+          FROM v"""
   )
 }

@@ -344,4 +344,59 @@ class Round8Spec extends AnyFunSuite {
     val s2 = out(1)
     assert(s2.getLong(4) === 1L, "control char counted")
   }
+
+  test("mannKendall: monotone rise pins S and z; constant series is flat") {
+    val rows = (1 to 10).flatMap { i =>
+      Seq(("m", f"2024-01-$i%02d 12:00:00", 100.0 + i),
+        ("f", f"2024-01-$i%02d 12:00:00", 50.0))
+    }
+    val bars = rows.toDF("series", "ts", "close")
+      .select(col("series"), to_timestamp(col("ts")).as("bar_ts"),
+        col("close"))
+    val out = graft.ops.MarketBars.mannKendall(bars)
+      .orderBy(col("series")).collect()
+    val flat = out(0) // "f"
+    assert(flat.getAs[Long]("s") === 0L)
+    assert(flat.isNullAt(flat.fieldIndex("z_mk")), "all-tied variance is 0")
+    assert(flat.getAs[String]("trend") === "flat")
+    val mono = out(1) // "m": S = 45, Var = 10*9*25/18 = 125
+    assert(mono.getAs[Long]("s") === 45L)
+    assert(mono.getAs[Long]("n_pairs") === 45L)
+    val z = mono.getAs[Double]("z_mk")
+    assert(math.abs(z - 44.0 / math.sqrt(125.0)) < 1e-6)
+    assert(mono.getAs[String]("trend") === "up")
+  }
+
+  test("tsrv: pure bid-ask bounce cancels to zero two-scale variance") {
+    // alternating 100/110 is ALL noise: 1-bar and 5-bar (odd-lag)
+    // returns are both ±ln(1.1), so the two scales cancel exactly —
+    // the estimator's defining property
+    val bars = (0 until 16).map { i =>
+      ("b", f"2024-02-01 09:${i}%02d:00", if (i % 2 == 0) 100.0 else 110.0)
+    }.toDF("series", "ts", "close")
+      .select(col("series"), to_timestamp(col("ts")).as("bar_ts"),
+        col("close"))
+    val r = graft.ops.MarketBars.tsrv(bars).collect().head
+    assert(r.getAs[Long]("n_rets") === 15L)
+    assert(r.getAs[Double]("rv") > 0)
+    assert(math.abs(r.getAs[Double]("tsrv_raw")) < 1e-6)
+    assert(r.getAs[Double]("tsrv_vol") === 0.0)
+  }
+
+  test("rankIc: persistent cross-sectional ranking pins IC = 1 every day") {
+    // constant per-series growth rates → today's ranking equals
+    // tomorrow's on every day → Spearman IC = 1, hit rate 1, sd 0
+    val rows = for {
+      (s, g) <- Seq(("a", 1.2), ("b", 1.1), ("c", 0.9))
+      i <- 1 to 6
+    } yield (s, f"2024-03-$i%02d 12:00:00", 100.0 * math.pow(g, i))
+    val bars = rows.toDF("series", "ts", "close")
+      .select(col("series"), to_timestamp(col("ts")).as("bar_ts"),
+        col("close"))
+    val r = graft.ops.MarketBars.rankIc(bars).collect().head
+    assert(r.getAs[Long]("t_days") === 4L)
+    assert(r.getAs[Double]("mean_ic") === 1.0)
+    assert(r.getAs[Double]("hit_rate") === 1.0)
+    assert(r.isNullAt(r.fieldIndex("sd_ic")), "zero variance panel")
+  }
 }
