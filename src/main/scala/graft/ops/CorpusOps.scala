@@ -1631,6 +1631,76 @@ object CorpusOps {
         round(min(col("s")), 6).as("min_sil"))
   }
 
+  /** Davies–Bouldin index over the label clustering: per cluster the
+    * mean member distance to its own centroid (the scatter S_k), per
+    * cluster pair the centroid distance d_ij, and
+    * DB_k = max_{j≠k} (S_k + S_j)/d_kj — lower is tighter/better
+    * separated. The "are the clusters distinct" view [[silhouette]]'s
+    * per-point cohesion score summarizes differently (DB penalizes
+    * the WORST-separated neighbor, silhouette averages); every output
+    * row repeats the corpus-level index (the q153 rule).
+    *
+    * Determinism: centroids are [[labelCentroids]]' 6dp values, each
+    * squared deviation rounds 12dp and folds as DECIMAL (the q276
+    * machinery verbatim), member distances round 6dp before the
+    * DECIMAL scatter fold, ratios round 6dp before the max, and the
+    * index is a DECIMAL mean of per-cluster maxima.
+    *
+    * Scale: centroids are |labels|·dims rows — broadcast; the only
+    * corpus-sized work is the member-distance aggregate (one
+    * (id, label) shuffle of posexploded dims); the pair matrix is
+    * |labels|² cells. */
+  def daviesBouldin(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val cents = labelCentroids(emb, labelCol, vecCol)
+      .select(col("label").as("clabel"), col("pos"), col("centroid"))
+      .localCheckpoint(eager = false) // member leg + both pair legs
+    val pts = emb.select(col(idCol).as("id"), col(labelCol).as("clabel"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val sk = pts.join(broadcast(cents), Seq("pos", "clabel"))
+      .groupBy(col("id"), col("clabel"))
+      .agg(sum(round((dbl(col("x")) - col("centroid")) *
+          (dbl(col("x")) - col("centroid")), 12)
+        .cast(DecimalType(28, 12))).as("d2"))
+      .select(col("clabel"), round(sqrt(dbl(col("d2"))), 6).as("dist"))
+      .groupBy(col("clabel"))
+      .agg(count(lit(1)).as("n_points"),
+        round(dbl(sum(col("dist").cast(DecimalType(18, 6)))) /
+          dbl(count(lit(1))), 6).as("s_intra"))
+      .localCheckpoint(eager = false) // read by both ratio legs
+    val ca = cents.select(col("clabel").as("la"), col("pos"),
+      col("centroid").as("ma"))
+    val cb = cents.select(col("clabel").as("lb"), col("pos"),
+      col("centroid").as("mb"))
+    val dij = ca.join(cb, "pos").filter(col("la") =!= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(round((col("ma") - col("mb")) * (col("ma") - col("mb")), 12)
+        .cast(DecimalType(28, 12))).as("d2"))
+      .select(col("la"), col("lb"), sqrt(dbl(col("d2"))).as("dij"))
+    val dbk = dij
+      .join(broadcast(sk.select(col("clabel").as("la"),
+        col("s_intra").as("si"))), "la")
+      .join(broadcast(sk.select(col("clabel").as("lb"),
+        col("s_intra").as("sj"))), "lb")
+      .withColumn("rij",
+        when(col("dij") > 0,
+          round((col("si") + col("sj")) / col("dij"), 6)))
+      .groupBy(col("la"))
+      .agg(max(col("rij")).as("db_k"))
+    val overall = dbk.agg(
+      round(dbl(sum(col("db_k").cast(DecimalType(18, 6)))) /
+        dbl(count(col("db_k"))), 6).as("db_index"))
+    sk.join(dbk.select(col("la").as("clabel"), col("db_k")),
+        Seq("clabel"), "left")
+      .crossJoin(broadcast(overall))
+      .select(col("clabel").as("label"), col("n_points"),
+        col("s_intra"), col("db_k"), col("db_index"))
+  }
+
   /** Pairwise source vocabulary overlap: exact Jaccard between every
     * source pair's distinct-term sets — the source-redundancy audit
     * ("are src3 and src7 the same crawl twice?") that the per-doc

@@ -1893,6 +1893,54 @@ object MarketBars {
         .as("tsrv_vol"))
   }
 
+  /** AR(1) mean-reversion fit per series on daily closes:
+    * close_t = α + ρ·close_{t−1} + ε via the q121 exact-co-moment
+    * OLS; ρ < 1 ⇒ an OU-style reverting level with reversion speed
+    * κ = −ln ρ per day and half-life ln 2 / κ — the per-series
+    * companion to the PAIR-spread half-life
+    * (`PairAnalytics.spreadHalfLife`): q318 asks IF the level drifts,
+    * this asks how fast it FORGETS shocks.
+    *
+    * Determinism: per-term products of raw parquet doubles cast to
+    * DECIMAL(28,6) before summing (the q121 olsFit rule — both
+    * engines multiply identical doubles), ρ/κ/half-life form in one
+    * shared double op order rounded 6dp; κ only for 0 < ρ < 1.
+    *
+    * Scale: the q182 posture — bars collapse map-side-combined to
+    * |series|·|days| daily closes before the lag; one growing-key
+    * aggregate after. */
+  def ar1MeanReversion(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    def dsum(e: Column) = sum(e.cast(DecimalType(28, 6)))
+    val daily = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .groupBy(col("series"), col("d"))
+      .agg(max(struct(col("bar_ts"), col("close"))).getField("close")
+        .as("close"))
+    val ws = Window.partitionBy(col("series")).orderBy(col("d"))
+    val p = daily
+      .withColumn("px", lag(col("close"), 1).over(ws))
+      .filter(col("px").isNotNull)
+    val g = p.groupBy(col("series")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("px")).as("sx"),
+      dsum(col("close")).as("sy"),
+      dsum(col("px") * col("close")).as("sxy"),
+      dsum(col("px") * col("px")).as("sxx"))
+    val n = dbl(col("n"))
+    val num = n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val den = n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val rho = num / den
+    val kappa = -log(rho)
+    g.select(col("series"), col("n").as("n_days"),
+        when(den > 0, round(rho, 6)).as("rho"),
+        when(den > 0 && rho > 0 && rho < 1, round(kappa, 6)).as("kappa"),
+        when(den > 0 && rho > 0 && rho < 1,
+          round(log(lit(2.0)) / kappa, 4)).as("half_life_days"))
+      .withColumn("mean_reverting",
+        when(col("rho").isNotNull, col("rho") < 1))
+  }
+
   /** Daily rank information coefficient of the 1-day-reversal signal:
     * per day, the cross-sectional Spearman correlation between each
     * series' return today and its return TOMORROW, then the panel

@@ -129,6 +129,39 @@ object WarehouseOps {
     checks.reduce(_ unionByName _)
   }
 
+  /** Candidate functional-dependency audit: for each declared X → Y,
+    * one row with the number of X-groups, the groups holding MORE
+    * than one distinct Y (the FD violations), the violation rate, and
+    * the worst fanout — the schema-discovery / denormalization-sanity
+    * check next to [[tableExpectations]]'s declared constraints
+    * (Deequ's `hasUniqueness` answers "is X a key"; this answers "is
+    * Y determined by X", the question a modeler asks before collapsing
+    * a dimension).
+    *
+    * Determinism: all-integer counts plus one floor-form 6dp rate.
+    *
+    * Scale: each candidate is ONE X-keyed count-distinct aggregate
+    * over its two pruned columns (map-side partial, the q12 shape);
+    * branches union independently — nothing corpus-sized moves
+    * except the grouped key shuffle itself. */
+  def fdViolations(
+      candidates: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    def dbl(c: Column) = c.cast(org.apache.spark.sql.types.DoubleType)
+    candidates.map { case (name, df, lhs, rhs) =>
+      df.select(col(lhs), col(rhs))
+        .groupBy(col(lhs))
+        .agg(count_distinct(col(rhs)).as("n_rhs"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("n_rhs")).as("max_fanout"))
+        .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+          (floor(dbl(col("n_violating")) / dbl(col("n_keys")) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("violation_rate"),
+          col("max_fanout"),
+          (col("n_violating") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Incremental refresh of a standing daily aggregate under LATE
     * data: recompute ONLY the days the delta batch touches (from the
     * full source, so multiple late batches stay idempotent) and splice

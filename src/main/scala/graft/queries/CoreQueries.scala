@@ -1909,6 +1909,23 @@ object CoreQueries {
     "q314_brown_forsythe" -> ((s, dir) => {
       StatOps.brownForsythe(Tables.orders(s, dir),
         round(col("o_totalprice") * 100, 0), col("o_orderpriority"))
+    }),
+
+    // Candidate functional-dependency audit (WarehouseOps
+    // .fdViolations): is Y determined by X across the star schema —
+    // four genuinely-violated candidates plus one holding control
+    // (n_name→n_regionkey), next to q204's declared constraints
+    "q322_fd_audit" -> ((s, dir) => {
+      graft.ops.WarehouseOps.fdViolations(Seq(
+        ("customer_nation_to_segment", Tables.customer(s, dir),
+          "c_nationkey", "c_mktsegment"),
+        ("nation_name_to_region", Tables.nation(s, dir),
+          "n_name", "n_regionkey"),
+        ("orders_cust_to_priority", Tables.orders(s, dir),
+          "o_custkey", "o_orderpriority"),
+        ("part_name_to_size", Tables.part(s, dir), "p_name", "p_size"),
+        ("part_type_to_brand", Tables.part(s, dir), "p_type", "p_brand")))
+        .orderBy(col("fd"))
     })
   )
 
@@ -3920,6 +3937,31 @@ object CoreQueries {
                       WHEN k-1 = 7 THEN 14.0671 WHEN k-1 = 8 THEN 15.5073
                       WHEN k-1 = 9 THEN 16.9190 ELSE 18.3070 END)
             END AS reject_equal_spread
-          FROM f"""
+          FROM f""",
+
+    // FD-audit twin: one count-distinct rollup per candidate, same
+    // floor-form 6dp rate, unioned
+    "q322_fd_audit" -> {
+      def fd(name: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, count(*) AS n_keys,
+            CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_violating,
+            floor(CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                AS DOUBLE)/CAST(count(*) AS DOUBLE)*1e6 + 0.5)/1e6
+              AS violation_rate,
+            CAST(max(n_rhs) AS BIGINT) AS max_fanout,
+            SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM (SELECT $lhs AS k, count(DISTINCT $rhs) AS n_rhs
+                FROM $table GROUP BY 1)"""
+      Seq(
+        fd("customer_nation_to_segment", "customer",
+          "c_nationkey", "c_mktsegment"),
+        fd("nation_name_to_region", "nation", "n_name", "n_regionkey"),
+        fd("orders_cust_to_priority", "orders",
+          "o_custkey", "o_orderpriority"),
+        fd("part_name_to_size", "part", "p_name", "p_size"),
+        fd("part_type_to_brand", "part", "p_type", "p_brand"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    }
   )
 }

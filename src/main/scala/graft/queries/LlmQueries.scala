@@ -1008,6 +1008,51 @@ object LlmQueries {
       DedupOps.containmentPairs(Tables.rebalance(Tables.documents(s, dir)),
           "text", "doc_id", n = 3, threshold = 0.5, maxDf = 100)
         .orderBy(col("contained"), col("container"))
+    }),
+
+    // Davies–Bouldin clustering index (CorpusOps.daviesBouldin):
+    // worst-neighbor scatter/separation ratio per label cluster —
+    // the "are these clusters distinct" view next to q276 silhouette
+    "q323_davies_bouldin" -> ((s, dir) => {
+      CorpusOps.daviesBouldin(Tables.embeddings(s, dir))
+        .orderBy(col("label"))
+    }),
+
+    // Dedup threshold sensitivity curve: pair/doc counts and mean
+    // similarity at each Jaccard cut — how aggressive is a dedup
+    // setting BEFORE running it. Pairs re-derive at base 0.05 (q77's
+    // shared relation starts at 0.3 — too high to show the knee)
+    "q324_dedup_thresholds" -> ((s, dir) => {
+      val pairs = DedupOps.ngramJaccardPairs(
+        Tables.rebalance(Tables.documents(s, dir)),
+        "text", "doc_id", n = 3, threshold = 0.05, maxDf = 100)
+      val dt = org.apache.spark.sql.types.DoubleType
+      val ths = s.range(1, 19)
+        .select((col("id").cast(dt) / 20.0).as("th"))
+      val cut = pairs.crossJoin(broadcast(ths))
+        .filter(col("jaccard") >= col("th"))
+      val pairCnt = cut.groupBy(col("th"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("jaccard")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast(dt) / count(lit(1)), 6).as("mean_jaccard"))
+      val docCnt = cut
+        .select(col("th"), explode(array(col("id_a"), col("id_b")))
+          .as("doc"))
+        .distinct()
+        .groupBy(col("th")).agg(count(lit(1)).as("n_docs"))
+      val total = broadcast(Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_total")))
+      ths.join(pairCnt, Seq("th"), "left")
+        .join(docCnt, Seq("th"), "left")
+        .crossJoin(total)
+        .select(col("th").as("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          col("mean_jaccard"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          round(coalesce(col("n_docs"), lit(0L)).cast(dt) /
+            col("n_total").cast(dt), 6).as("doc_share"))
+        .orderBy(col("threshold"))
     })
   )
 
@@ -3506,6 +3551,94 @@ object LlmQueries {
           SELECT contained, container, n_shared, sz_contained,
             round(ctn, 4) AS containment
           FROM c WHERE ctn >= 0.5
-          ORDER BY contained, container"""
+          ORDER BY contained, container""",
+
+    // Davies–Bouldin twin: the q276 centroid/distance machinery
+    // (6dp centroids, 12dp-rounded squared deviations in DECIMAL),
+    // scatter means off 6dp distances, worst-neighbor ratio max,
+    // DECIMAL mean of the per-cluster maxima
+    "q323_davies_bouldin" ->
+      """WITH e0 AS (SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          u AS (SELECT vec_id, label, CAST(i-1 AS INTEGER) AS pos,
+                  v[i] AS x
+                FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
+          c AS (SELECT label AS clabel, pos,
+                  round(CAST(SUM(CAST(x AS DECIMAL(28,12)))
+                    AS DOUBLE)/count(*), 6) AS m
+                FROM u GROUP BY 1, 2),
+          d AS (SELECT u.vec_id, u.label AS clabel,
+                  round(sqrt(CAST(SUM(CAST(round((u.x - c.m)*(u.x - c.m),
+                    12) AS DECIMAL(28,12))) AS DOUBLE)), 6) AS dist
+                FROM u JOIN c ON u.pos = c.pos AND u.label = c.clabel
+                GROUP BY 1, 2),
+          sk AS (SELECT clabel, count(*) AS n_points,
+                   round(CAST(SUM(CAST(dist AS DECIMAL(18,6)))
+                     AS DOUBLE)/count(*), 6) AS s_intra
+                 FROM d GROUP BY 1),
+          dij AS (SELECT a.clabel AS la, b.clabel AS lb,
+                    sqrt(CAST(SUM(CAST(round((a.m - b.m)*(a.m - b.m), 12)
+                      AS DECIMAL(28,12))) AS DOUBLE)) AS dij
+                  FROM c a JOIN c b
+                    ON a.pos = b.pos AND a.clabel <> b.clabel
+                  GROUP BY 1, 2),
+          rr AS (SELECT la, max(CASE WHEN dij > 0 THEN
+                   round((sa.s_intra + sb.s_intra)/dij, 6) END) AS db_k
+                 FROM dij JOIN sk sa ON sa.clabel = la
+                          JOIN sk sb ON sb.clabel = lb
+                 GROUP BY 1),
+          ov AS (SELECT round(CAST(SUM(CAST(db_k AS DECIMAL(18,6)))
+                   AS DOUBLE)/count(db_k), 6) AS db_index FROM rr)
+          SELECT sk.clabel AS label, sk.n_points, sk.s_intra, rr.db_k,
+            (SELECT db_index FROM ov) AS db_index
+          FROM sk LEFT JOIN rr ON rr.la = sk.clabel
+          ORDER BY label""",
+
+    // Threshold-curve twin: the q77 PPJoin pair SQL verbatim (the
+    // oracle re-derives pairs independently of the shared relation),
+    // 4dp jaccard cuts against the 0.3..0.9 grid, distinct-doc and
+    // DECIMAL mean rollups per cut
+    "q324_dedup_thresholds" ->
+      s"""WITH $toksCte,
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk
+                  FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b ON a.gk = b.gk AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          pj AS (SELECT id_a, id_b,
+                   round(CAST(n_shared AS DOUBLE)
+                     /(sa.sz + sb.sz - n_shared), 4) AS j
+                 FROM sh
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+                 WHERE CAST(n_shared AS DOUBLE)
+                   /(sa.sz + sb.sz - n_shared) >= 0.05),
+          th AS (SELECT i/20.0 AS th FROM
+                   (SELECT unnest(generate_series(1, 18)) AS i)),
+          cut AS (SELECT th.th, pj.id_a, pj.id_b, pj.j
+                  FROM pj, th WHERE pj.j >= th.th),
+          pc AS (SELECT th, count(*) AS n_pairs,
+                   round(CAST(SUM(CAST(j AS DECIMAL(18,6)))
+                     AS DOUBLE)/count(*), 6) AS mean_jaccard
+                 FROM cut GROUP BY 1),
+          dd AS (SELECT th, count(*) AS n_docs FROM
+                   (SELECT DISTINCT th, doc FROM
+                     (SELECT th, unnest([id_a, id_b]) AS doc FROM cut))
+                 GROUP BY 1),
+          tot AS (SELECT count(*) AS n_total FROM documents)
+          SELECT th.th AS threshold,
+            COALESCE(pc.n_pairs, 0) AS n_pairs, pc.mean_jaccard,
+            COALESCE(dd.n_docs, 0) AS n_docs,
+            round(CAST(COALESCE(dd.n_docs, 0) AS DOUBLE)
+              /(SELECT CAST(n_total AS DOUBLE) FROM tot), 6) AS doc_share
+          FROM th LEFT JOIN pc USING (th) LEFT JOIN dd USING (th)
+          ORDER BY threshold"""
   )
 }

@@ -1278,6 +1278,15 @@ object MarketQueries {
     "q320_rank_ic" -> ((s, dir) => {
       MarketBars.rankIc(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
+    }),
+
+    // AR(1) mean-reversion fit per series (MarketBars
+    // .ar1MeanReversion): ρ, κ = −ln ρ, half-life — how fast each
+    // series forgets shocks (q318 asks IF it drifts)
+    "q321_ar1_reversion" -> ((s, dir) => {
+      MarketBars.ar1MeanReversion(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -4471,6 +4480,41 @@ object MarketQueries {
                  / sqrt(CAST(count(*) AS DOUBLE))), 6) END AS ic_t,
             round(CAST(SUM(CASE WHEN ic > 0 THEN 1 ELSE 0 END)
               AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS hit_rate
-          FROM v"""
+          FROM v""",
+
+    // AR(1) twin: q121's exact co-moment OLS on (prev close, close)
+    // per series off the daily-close collapse; ρ/κ/half-life in the
+    // same shared double op order
+    "q321_ar1_reversion" ->
+      s"""WITH $barsCte,
+          dc AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   (max(struct_pack(t := bar_ts, v := close))).v AS close
+                 FROM bars GROUP BY 1, 2),
+          lg AS (SELECT series, close,
+                   lag(close) OVER (PARTITION BY series ORDER BY d)
+                     AS px
+                 FROM dc),
+          g AS (SELECT series, count(*) AS n,
+                  SUM(CAST(px AS DECIMAL(28,6))) AS sx,
+                  SUM(CAST(close AS DECIMAL(28,6))) AS sy,
+                  SUM(CAST(px*close AS DECIMAL(28,6))) AS sxy,
+                  SUM(CAST(px*px AS DECIMAL(28,6))) AS sxx
+                FROM lg WHERE px IS NOT NULL GROUP BY 1),
+          f AS (SELECT series, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den
+                FROM g)
+          SELECT series, n AS n_days,
+            CASE WHEN den > 0 THEN round(num/den, 6) END AS rho,
+            CASE WHEN den > 0 AND num/den > 0 AND num/den < 1
+                 THEN round(-ln(num/den), 6) END AS kappa,
+            CASE WHEN den > 0 AND num/den > 0 AND num/den < 1
+                 THEN round(ln(2.0)/(-ln(num/den)), 4)
+            END AS half_life_days,
+            CASE WHEN den > 0 THEN round(num/den, 6) < 1
+            END AS mean_reverting
+          FROM f ORDER BY series"""
   )
 }

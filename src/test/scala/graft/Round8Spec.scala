@@ -383,6 +383,53 @@ class Round8Spec extends AnyFunSuite {
     assert(r.getAs[Double]("tsrv_vol") === 0.0)
   }
 
+  test("ar1MeanReversion: exact halving path pins rho = 0.5, half-life 1 day") {
+    val bars = Seq(64.0, 32.0, 16.0, 8.0, 4.0, 2.0).zipWithIndex.map {
+      case (c, i) => ("h", f"2024-04-${i + 1}%02d 12:00:00", c)
+    }.toDF("series", "ts", "close")
+      .select(col("series"), to_timestamp(col("ts")).as("bar_ts"),
+        col("close"))
+    val r = graft.ops.MarketBars.ar1MeanReversion(bars).collect().head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Double]("rho") === 0.5)
+    assert(math.abs(r.getAs[Double]("kappa") - math.log(2.0)) < 1e-6)
+    assert(r.getAs[Double]("half_life_days") === 1.0)
+    assert(r.getAs[Boolean]("mean_reverting"))
+  }
+
+  test("fdViolations: violated and holding candidates both report exactly") {
+    val df = Seq((1, "a", "x"), (1, "a", "y"), (2, "b", "z"), (2, "b", "z"))
+      .toDF("k", "stable", "vary")
+    val out = graft.ops.WarehouseOps.fdViolations(Seq(
+        ("k_to_vary", df, "k", "vary"),
+        ("k_to_stable", df, "k", "stable")))
+      .orderBy(col("fd")).collect()
+    val hold = out(0) // k_to_stable
+    assert(hold.getAs[Long]("n_violating") === 0L)
+    assert(hold.getAs[Boolean]("holds"))
+    val viol = out(1) // k_to_vary: key 1 -> {x, y}
+    assert(viol.getAs[Long]("n_keys") === 2L)
+    assert(viol.getAs[Long]("n_violating") === 1L)
+    assert(viol.getAs[Double]("violation_rate") === 0.5)
+    assert(viol.getAs[Long]("max_fanout") === 2L)
+    assert(!viol.getAs[Boolean]("holds"))
+  }
+
+  test("daviesBouldin: two separated line clusters compute by hand") {
+    val emb = Seq(
+      (1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(2.0f, 0.0f)),
+      (3L, 1, Seq(10.0f, 0.0f)), (4L, 1, Seq(12.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.ops.CorpusOps.daviesBouldin(emb)
+      .orderBy(col("label")).collect()
+    // centroids (1,0) and (11,0): S_k = 1 each, d = 10, R = 0.2
+    out.foreach { r =>
+      assert(r.getAs[Double]("s_intra") === 1.0)
+      assert(r.getAs[Double]("db_k") === 0.2)
+      assert(r.getAs[Double]("db_index") === 0.2)
+    }
+  }
+
   test("rankIc: persistent cross-sectional ranking pins IC = 1 every day") {
     // constant per-series growth rates → today's ranking equals
     // tomorrow's on every day → Spearman IC = 1, hit rate 1, sd 0

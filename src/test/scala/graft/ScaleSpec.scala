@@ -653,4 +653,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows.keySet === Set("MSFT", "AAPL"))
     assert(rows("MSFT") > 200) // 3 full days + extras
   }
+
+  test("tokenize stays behind its barrier: no split() in the HOF consumers' plans") {
+    // CollapseProject inlines a derived column's defining expression
+    // into higher-order-function lambdas, where interpreted eval
+    // re-runs it PER ELEMENT — split(text) inside the winnowing
+    // fingerprint lambda cost O(tokens²) regex work per doc (q315
+    // ground ~20 min at sf0.1 before the checkpoint barrier). The
+    // barrier cuts the plan, so the downstream optimized plan must
+    // not contain the tokenizer AT ALL; seeing split() here means
+    // someone removed a barrier.
+    val fixed = Seq("q315_winnowing", "q316_containment",
+      "q77_ngram_jaccard", "q160_ngram_novelty", "q155_bpe_pairs",
+      "q173_bigram_entropy")
+    for (q <- fixed) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("split("),
+        s"$q: tokenize re-inlined past its barrier:\n${plan.take(2000)}")
+    }
+  }
 }
