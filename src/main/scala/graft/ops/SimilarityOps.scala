@@ -898,6 +898,72 @@ object SimilarityOps {
       .toDF("n_vecs", "dim", "mu", "d2", "b2", "shrinkage")
   }
 
+  /** Participation ratio (Roy–Vetterli effective dimensionality) of
+    * the embedding covariance: PR = tr(S)² / tr(S²) = (Σλ)²/Σλ² —
+    * how many dimensions the variance REALLY occupies (PR = d for
+    * isotropic, → 1 for rank-1 collapse) WITHOUT an eigen solve: both
+    * traces are Gram invariants, so this is the eigen-spectrum
+    * summary with a full-strength SQL oracle (q304's d2/b2 legs can
+    * only gate as bound booleans; PR needs no eigenvector at all).
+    *
+    * Determinism: covariance cells come from the [[centeredGram]]
+    * 12dp-exact fold, round 8dp; the diagonal trace folds those 8dp
+    * values exactly; each cell SQUARES AS A DOUBLE then rounds 16dp
+    * (mirroring what SQL can express — NOT BigDecimal-exact squaring,
+    * which differs by an ulp) and folds exactly with the ×2
+    * off-diagonal weight; PR is one double division rounded 6dp.
+    *
+    * Scale: one per-dim moment pass + the one-pass primitive Gram
+    * fold (driver state d² cells, dimension-bounded — the q260
+    * posture). */
+  def participationRatio(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 12).cast(DecimalType(28, 12)))
+    val n = emb.count()
+    require(n > 1, "need at least two vectors")
+    val mom = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("pos"), col("xf").cast(DoubleType).as("x"))
+      .groupBy(col("pos"))
+      .agg(dsum(col("x")).as("sx"))
+      .collect().sortBy(_.getInt(0))
+    val d = mom.length
+    val nD = n.toDouble
+    val means = mom.map(_.getDecimal(1).doubleValue / nD)
+    val (sMat, _) = centeredGram(emb, vecCol, means, n, divisor = nD)
+    def r8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    var trDec = BigDecimal(0)
+    var froDec = BigDecimal(0)
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val cv = r8(sMat(i)(j)).toDouble
+        val sq = BigDecimal(cv * cv)
+          .setScale(16, BigDecimal.RoundingMode.HALF_UP)
+        froDec += (if (i == j) sq else sq * 2)
+        if (i == j) trDec += r8(sMat(i)(i))
+        j += 1
+      }
+      i += 1
+    }
+    val tr = trDec.toDouble
+    val fro = froDec.toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pr = if (fro > 0) tr * tr / fro else Double.NaN
+    import spark.implicits._
+    Seq((n, d, r6(tr),
+        if (fro > 0) Some(r6(pr)) else None,
+        if (fro > 0) Some(r6(pr / d)) else None))
+      .toDF("n_vecs", "dim", "trace", "pr", "pr_share")
+  }
+
   /** Top-component PCA variance audit via the exact Gram matrix: one
     * mapPartitions pass folds ONE primitive upper-triangle accumulator
     * per partition (scaled-1e12 longs with BigInteger overflow spill —

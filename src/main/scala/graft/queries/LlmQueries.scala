@@ -1010,6 +1010,14 @@ object LlmQueries {
         .orderBy(col("contained"), col("container"))
     }),
 
+    // Participation ratio (SimilarityOps.participationRatio):
+    // effective dimensionality (Σλ)²/Σλ² of the embedding covariance
+    // from Gram invariants alone — the eigen-spectrum summary with a
+    // FULL-strength SQL oracle (q304's eigen legs can only bound)
+    "q325_participation_ratio" -> ((s, dir) => {
+      SimilarityOps.participationRatio(Tables.embeddings(s, dir))
+    }),
+
     // Davies–Bouldin clustering index (CorpusOps.daviesBouldin):
     // worst-neighbor scatter/separation ratio per label cluster —
     // the "are these clusters distinct" view next to q276 silhouette
@@ -3552,6 +3560,49 @@ object LlmQueries {
             round(ctn, 4) AS containment
           FROM c WHERE ctn >= 0.5
           ORDER BY contained, container""",
+
+    // Participation-ratio twin: the FULL covariance from the same
+    // centered 12dp-rounded cell products (upper triangle, ×2 weight),
+    // 8dp cells, double-square-then-16dp folds — every step mirrors
+    // the Scala fold's op order exactly
+    "q325_participation_ratio" ->
+      """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                       count(*) AS n_vecs FROM embeddings),
+          x AS (SELECT vec_id,
+                  CAST(generate_subscripts(v0, 1) AS INTEGER) AS pos,
+                  unnest(v0) AS x
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+                      FROM embeddings)),
+          m AS (SELECT pos,
+                  CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE)/(SELECT nd FROM nn) AS mu
+                FROM x GROUP BY 1),
+          c AS (SELECT x.vec_id, x.pos, x.x - m.mu AS c
+                FROM x JOIN m USING (pos)),
+          cells AS (SELECT a.pos AS i, b.pos AS j,
+                      CAST(SUM(CAST(round(a.c*b.c, 12)
+                        AS DECIMAL(38,12))) AS DOUBLE)
+                        /(SELECT nd FROM nn) AS cvr
+                    FROM c a JOIN c b
+                      ON a.vec_id = b.vec_id AND a.pos <= b.pos
+                    GROUP BY 1, 2),
+          cov8 AS (SELECT i, j, round(cvr, 8) AS cv FROM cells),
+          agg AS (SELECT
+                    CAST(SUM(CASE WHEN i = j
+                      THEN CAST(cv AS DECIMAL(28,8)) END) AS DOUBLE)
+                      AS tr,
+                    CAST(SUM(CAST(round(cv*cv, 16) AS DECIMAL(38,16))
+                      * CASE WHEN i = j THEN 1 ELSE 2 END) AS DOUBLE)
+                      AS fro
+                  FROM cov8)
+          SELECT (SELECT n_vecs FROM nn) AS n_vecs,
+            (SELECT CAST(count(*) AS INTEGER) FROM m) AS dim,
+            round(tr, 6) AS trace,
+            CASE WHEN fro > 0 THEN round(tr*tr/fro, 6) END AS pr,
+            CASE WHEN fro > 0 THEN
+              round(tr*tr/fro/(SELECT count(*) FROM m), 6)
+            END AS pr_share
+          FROM agg""",
 
     // Davies–Bouldin twin: the q276 centroid/distance machinery
     // (6dp centroids, 12dp-rounded squared deviations in DECIMAL),

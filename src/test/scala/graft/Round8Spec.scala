@@ -430,6 +430,22 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("participationRatio: rank-1 pins PR = 1, isotropic pins PR = d") {
+    val rank1 = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r1 = graft.ops.SimilarityOps.participationRatio(rank1)
+      .collect().head
+    assert(r1.getAs[Double]("pr") === 1.0)
+    assert(r1.getAs[Double]("pr_share") === 0.5)
+    val iso = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = graft.ops.SimilarityOps.participationRatio(iso)
+      .collect().head
+    assert(r2.getAs[Double]("pr") === 2.0)
+    assert(r2.getAs[Double]("pr_share") === 1.0)
+  }
+
   test("rankIc: persistent cross-sectional ranking pins IC = 1 every day") {
     // constant per-series growth rates → today's ranking equals
     // tomorrow's on every day → Spearman IC = 1, hit rate 1, sd 0
