@@ -1701,6 +1701,184 @@ object CorpusOps {
         col("s_intra"), col("db_k"), col("db_index"))
   }
 
+  /** Calinski–Harabasz (variance-ratio) index over the label
+    * clustering: CH = (BSS/(k−1)) / (WSS/(n−k)) — higher is
+    * better-separated. Completes the internal-validity panel with
+    * [[silhouette]] (per-point cohesion) and [[daviesBouldin]]
+    * (worst-neighbor ratio): CH is the global F-statistic view, the
+    * one that admits a FULL-strength SQL oracle because it never
+    * takes a per-point max. Per-label scatter rows carry the
+    * corpus-level index on every row (the q153 rule).
+    *
+    * Determinism: centroids are [[labelCentroids]]' 6dp values and
+    * the global centroid applies the same rounding; every squared
+    * deviation rounds 12dp and folds as DECIMAL (the q276 machinery);
+    * per-label WSS/BSS round 6dp before the DECIMAL index folds; CH
+    * forms in one shared double op order and rounds 6dp.
+    *
+    * Scale: the only corpus-sized work is ONE posexplode aggregate
+    * against broadcast centroids (no per-point shuffle key beyond
+    * the label); the global centroid is dims rows; the index lives on
+    * |labels| rows. */
+  def calinskiHarabasz(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val cents = labelCentroids(emb, labelCol, vecCol)
+      .select(col("label").as("clabel"), col("pos"), col("n"),
+        col("centroid"))
+      .localCheckpoint(eager = false) // wss leg + bss leg + counts
+    val gcent = cents
+      .groupBy(col("pos"))
+      .agg(round(dbl(sum((col("centroid") * dbl(col("n")))
+          .cast(DecimalType(28, 12)))) /
+        dbl(sum(col("n"))), 6).as("gm"))
+    val pts = emb.select(col(labelCol).as("clabel"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val wss = pts.join(broadcast(cents.select(col("clabel"), col("pos"),
+        col("centroid"))), Seq("pos", "clabel"))
+      .groupBy(col("clabel"))
+      .agg(sum(round((dbl(col("x")) - col("centroid")) *
+          (dbl(col("x")) - col("centroid")), 12)
+        .cast(DecimalType(38, 12))).as("w2"))
+      .select(col("clabel"), round(dbl(col("w2")), 6).as("wss_k"))
+    val bss = cents.join(broadcast(gcent), "pos")
+      .groupBy(col("clabel"))
+      .agg(max(col("n")).as("n_points"),
+        sum(round((col("centroid") - col("gm")) *
+            (col("centroid") - col("gm")), 12)
+          .cast(DecimalType(38, 12))).as("b2"))
+      .select(col("clabel"), col("n_points"),
+        round(dbl(col("n_points")) * dbl(col("b2")), 6).as("bss_k"))
+    val perLabel = bss.join(wss, "clabel")
+      .localCheckpoint(eager = false) // output + index fold
+    val overall = perLabel.agg(
+        count(lit(1)).as("k"), sum(col("n_points")).as("n"),
+        sum(col("wss_k").cast(DecimalType(38, 6))).as("wt"),
+        sum(col("bss_k").cast(DecimalType(38, 6))).as("bt"))
+      .select(col("k"), col("n"),
+        when(col("k") > 1 && col("n") > col("k") && dbl(col("wt")) > 0,
+          round((dbl(col("bt")) / (dbl(col("k")) - 1)) /
+            (dbl(col("wt")) / (dbl(col("n")) - dbl(col("k")))), 6))
+          .as("ch_index"))
+    perLabel.crossJoin(broadcast(overall))
+      .select(col("clabel").as("label"), col("n_points"),
+        col("wss_k"), col("bss_k"), col("k"), col("n"), col("ch_index"))
+  }
+
+  /** Burrows' Delta stylometric distance between sources: over the
+    * top-`topK` corpus terms, each source's relative term frequency
+    * becomes a z-score against the across-source mean/sd, and
+    * Δ(a, b) = mean_t |z_a(t) − z_b(t)| — the classic authorship /
+    * register drift measure (Burrows 2002). Near-zero Δ between two
+    * "different" sources is the template-crawl tell that vocabulary
+    * Jaccard ([[vocabOverlap]]) misses when the WORD SETS differ but
+    * the USAGE PROFILE doesn't.
+    *
+    * Determinism: the top-K cut is a distributed TakeOrdered on
+    * (corpus tf DESC, term ASC) — exact, total-ordered; relative
+    * frequencies round 8dp; across-source mean/sd fold the ROUNDED
+    * frequencies as DECIMAL with the sample-variance op order; z
+    * rounds 6dp; Δ is a DECIMAL mean of 6dp |z| gaps. Zero-sd terms
+    * drop from every pair symmetrically (n_terms reports the kept
+    * count).
+    *
+    * Scale: one tokenize pass into the (source, term) aggregate; the
+    * top-K cut is TakeOrderedAndProject (never a single-partition
+    * window); everything after lives on K·|sources| rows, pairs on
+    * K·|sources|². */
+  def burrowsDelta(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      topK: Int = 40): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val tf = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // top-K leg + totals + freq leg
+    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      .orderBy(col("ctf").desc, col("term")).limit(topK)
+      .select(col("term"))
+    val totals = tf.groupBy(col("source")).agg(sum(col("tf")).as("nt"))
+    val f = totals.crossJoin(broadcast(top))
+      .join(tf, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+        round(dbl(coalesce(col("tf"), lit(0L))) / dbl(col("nt")), 8)
+          .as("f"))
+      .localCheckpoint(eager = false) // stats leg + both pair legs
+    val stats = f.groupBy(col("term"))
+      .agg(count(lit(1)).as("ns"),
+        sum(col("f").cast(DecimalType(28, 8))).as("sf"),
+        sum(round(col("f") * col("f"), 16).cast(DecimalType(38, 16)))
+          .as("sf2"))
+      .select(col("term"), col("ns"),
+        round(dbl(col("sf")) / dbl(col("ns")), 8).as("mu"),
+        when(col("ns") > 1,
+          round(sqrt((dbl(col("sf2")) -
+            dbl(col("sf")) * dbl(col("sf")) / dbl(col("ns"))) /
+            (dbl(col("ns")) - 1)), 8)).as("sd"))
+    val z = f.join(broadcast(stats), "term")
+      .filter(col("sd") > 0)
+      .select(col("source"), col("term"),
+        round((col("f") - col("mu")) / col("sd"), 6).as("z"))
+    val za = z.select(col("source").as("source_a"), col("term"),
+      col("z").as("za"))
+    val zb = z.select(col("source").as("source_b"), col("term"),
+      col("z").as("zb"))
+    za.join(zb, "term")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(dbl(sum(round(abs(col("za") - col("zb")), 6)
+            .cast(DecimalType(18, 6)))) /
+          dbl(count(lit(1))), 6).as("delta"))
+  }
+
+  /** Yule's K vocabulary-richness characteristic per source:
+    * K = 10⁴·(Σ_m m²·V_m − N)/N² over the term-frequency spectrum
+    * (V_m = #terms occurring m times), plus Simpson's repeat rate
+    * D = Σ_t tf·(tf−1)/(N·(N−1)) — both LENGTH-INVARIANT repetition
+    * measures (unlike distinct_ratio, which collapses as N grows), so
+    * they compare sources of very different sizes: high K = a few
+    * tokens dominate = templated/boilerplate text. Complements
+    * [[heapsLaw]] (growth curve) and hapax share (spectrum tail) with
+    * the spectrum's second moment.
+    *
+    * Determinism: all-integer numerators (Σ tf² and Σ tf(tf−1) fold
+    * as DECIMAL products), one double ratio each, rounded 6dp.
+    *
+    * Scale: one tokenize pass into the (source, term) aggregate, one
+    * per-source fold — the Σ m²·V_m ≡ Σ_t tf² identity skips the
+    * spectrum regrouping entirely. */
+  def yulesK(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val agg = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum((col("tf") * col("tf")).cast(dec)).as("m2"),
+        sum((col("tf") * (col("tf") - 1)).cast(dec)).as("rep"))
+    val nd = dbl(col("n_tokens"))
+    agg.select(col("source"), col("n_tokens"), col("v_types"),
+      when(col("n_tokens") > 0,
+        round(lit(1e4) * (dbl(col("m2")) - nd) / (nd * nd), 6))
+        .as("yules_k"),
+      when(col("n_tokens") > 1,
+        round(dbl(col("rep")) / (nd * (nd - 1)), 6)).as("simpson_d"))
+  }
+
   /** Pairwise source vocabulary overlap: exact Jaccard between every
     * source pair's distinct-term sets — the source-redundancy audit
     * ("are src3 and src7 the same crawl twice?") that the per-doc

@@ -975,4 +975,121 @@ object EventAnalytics {
             (dbl(col("q")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n"))),
             6)).as("strength"))
   }
+
+  /** Stationary distribution of the event-type Markov chain by fixed
+    * unrolled power iteration: the q120 per-user transition matrix
+    * (row-stochastic, 12dp), a uniform start, and `iters` exact
+    * π' = πP steps — "where does a user's session settle long-run",
+    * the equilibrium view next to q120's one-step probabilities and
+    * q237's dwell times. `l1_delta` (‖π_last − π_prev‖₁, repeated on
+    * every row — the q153 rule) certifies convergence.
+    *
+    * Determinism: transition p's are 12dp ratios of exact counts;
+    * each iteration's mass terms round 12dp and fold as
+    * DECIMAL(38,12), the new π rounds 12dp — both engines walk
+    * identical doubles at every step. States with no incoming mass
+    * coalesce to 0.
+    *
+    * Scale: ONE corpus-sized shuffle builds the |states|² matrix
+    * (bounded by the event-type vocabulary, not by rows); the
+    * iterations run DRIVER-SIDE on the collected |states|² cells —
+    * dimension-bounded state only (the PCA/Ledoit–Wolf rule), never
+    * corpus rows, replicating Spark's round/DECIMAL-fold semantics
+    * exactly (BigDecimal HALF_UP at 12dp) so the result is
+    * bit-identical to the equivalent in-plan iteration. */
+  def markovStationary(events: DataFrame, iters: Int = 15): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("from_s", lag(col("event_type"), 1).over(w))
+      .filter(col("from_s").isNotNull)
+      .groupBy(col("from_s"), col("event_type").as("to_s"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // matrix + states legs
+    val wRow = Window.partitionBy(col("from_s"))
+    val trans = counts
+      .select(col("from_s"), col("to_s"),
+        round(dbl(col("n")) / dbl(sum(col("n")).over(wRow)), 12).as("p"))
+      .collect() // |states|² cells — dimension-bounded
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val states = counts.groupBy(col("from_s").as("state"))
+      .agg(sum(col("n")).as("n_out"))
+      .collect() // |states| rows
+      .map(r => (r.getString(0), r.getLong(1)))
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def rAt(x: Double, s: Int): Double =
+      JBD.valueOf(x).setScale(s, RM.HALF_UP).doubleValue()
+    val stateIds = states.map(_._1)
+    val k = stateIds.length
+    val outgoing: Map[String, Array[(String, String, Double)]] =
+      trans.groupBy(_._1)
+    var pi: Map[String, Double] =
+      stateIds.map(_ -> rAt(1.0 / k, 12)).toMap
+    var prev = pi
+    for (_ <- 1 to iters) {
+      prev = pi
+      // Spark-fold twin: 12dp-rounded mass terms summed as exact
+      // decimals, re-rounded 12dp (DECIMAL(38,12) cast + sum + round)
+      val acc = scala.collection.mutable.Map[String, JBD]()
+      for ((from, p) <- prev;
+           (_, to, pr) <- outgoing.getOrElse(from, Array.empty))
+        acc.updateWith(to)(o => Some(o.getOrElse(JBD.ZERO)
+          .add(JBD.valueOf(rAt(p * pr, 12)).setScale(12, RM.HALF_UP))))
+      pi = stateIds.map(s =>
+        s -> acc.get(s).map(b => rAt(b.doubleValue(), 12)).getOrElse(0.0))
+        .toMap
+    }
+    val l1 = rAt(stateIds
+      .map(s => JBD.valueOf(rAt(math.abs(pi(s) - prev(s)), 12))
+        .setScale(12, RM.HALF_UP))
+      .foldLeft(JBD.ZERO)(_.add(_)).doubleValue(), 6)
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.toSeq
+      .map { case (s, nOut) => (s, nOut, rAt(pi(s), 6), l1) }
+      .toDF("state", "n_out", "pi", "l1_delta")
+  }
+
+  /** Wilson score intervals for per-type "high-value event" rates:
+    * per event type the share of events at or above the GLOBAL mean
+    * value, with the 95% Wilson CI (the interval that behaves at
+    * p ≈ 0/1 where the Wald CI collapses) and a flag for types whose
+    * CI excludes the pooled rate — the proportion-version of q149's
+    * lift test. The threshold is RELATIVE (global mean) so the rate
+    * stays non-degenerate at every scale factor.
+    *
+    * Determinism: the threshold is the 6dp decimal-mean of value;
+    * counts are exact; p̂ rounds 6dp before the interval forms in one
+    * shared double op order (z = 1.959964) and bounds round 6dp.
+    *
+    * Scale: one aggregate for the threshold (broadcast scalar), one
+    * map-side-combined rollup to |types| rows. */
+  def wilsonRates(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val z = lit(1.959964)
+    val thr = events.agg(
+      round(exactSum(col("value")) / dbl(count(lit(1))), 6).as("thr"))
+    val agg = events.crossJoin(broadcast(thr))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= col("thr"), 1L).otherwise(0L)).as("n_hit"))
+      .localCheckpoint(eager = false) // per-type leg + pooled leg
+    val pooled = agg.agg(
+      round(dbl(sum(col("n_hit"))) / dbl(sum(col("n"))), 6).as("p_pool"))
+    val p = round(dbl(col("n_hit")) / dbl(col("n")), 6)
+    val nd = dbl(col("n"))
+    val denom = lit(1.0) + z * z / nd
+    val center = (p + z * z / (lit(2.0) * nd)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / nd +
+      z * z / (lit(4.0) * nd * nd)) / denom
+    agg.crossJoin(broadcast(pooled))
+      .select(col("event_type"), col("n"), col("n_hit"),
+        p.as("p_hat"),
+        round(center - half, 6).as("ci_lo"),
+        round(center + half, 6).as("ci_hi"),
+        col("p_pool"),
+        (round(center + half, 6) < col("p_pool") ||
+          round(center - half, 6) > col("p_pool")).as("differs_from_pool"))
+  }
 }

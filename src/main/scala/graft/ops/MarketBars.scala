@@ -3311,4 +3311,80 @@ object MarketBars {
         when(col("f_stat").isNotNull, col("f_stat") > 2.995732)
           .as("break_5pct"))
   }
+
+  /** Cornish–Fisher modified VaR per series: the Gaussian quantile
+    * expanded for the sample skew/excess-kurtosis of the daily-close
+    * log returns —
+    * z_cf = z + (z²−1)s/6 + (z³−3z)g/24 − (2z³−5z)s²/36,
+    * VaR = −(μ + z_cf·σ). Reports both the plain-Gaussian and the
+    * CF-modified 95%/99% VaR so the MOMENT ADJUSTMENT itself is
+    * visible — the parametric tail view next to q205's historical
+    * VaR/ES (which needs the full return history ranked) and q299's
+    * Jarque–Bera (which tests the same moments but prices nothing).
+    *
+    * Determinism: [[jarqueBera]]'s exact chain verbatim — r8 log
+    * returns, DECIMAL first/second moments, then STANDARDIZED z³/z⁴
+    * 12dp DECIMAL folds (the q250 rule: standardize before 4th
+    * powers). μ, σ, s, g each ROUND 6dp first and the quantile
+    * expansion then runs on those identical doubles
+    * (z₉₅ = 1.644854, z₉₉ = 2.326348) — one shared op order, outputs
+    * 6dp. Degenerate series (n < 4 or zero variance) null out.
+    *
+    * Scale: two map-side-combined moment aggregates over the same
+    * checkpointed return relation — |series| rows out. */
+  def cornishFisher(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val withR = bars
+      .filter(col("close") > 0)
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .localCheckpoint(eager = false) // moment pass + z pass
+    val stats = withR.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("s2"))
+      .withColumn("mu8", dbl(col("s1")) / dbl(col("n")))
+      .withColumn("sd8",
+        sqrt((dbl(col("n")) * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) / (dbl(col("n")) * dbl(col("n")))))
+      .select(col("series"), col("n"), col("mu8"), col("sd8"))
+    val z = (dbl(col("r8")) - col("mu8")) / col("sd8")
+    // 6dp-rounded building blocks — the expansion runs on THESE
+    val mu = round(col("mu8") / lit(1e8), 6)
+    val sg = round(col("sd8") / lit(1e8), 6)
+    val sk = round(dbl(col("sz3")) / dbl(col("n")), 6)
+    val xk = round(dbl(col("sz4")) / dbl(col("n")) - lit(3.0), 6)
+    def varAt(z: Column, cf: Boolean): Column = {
+      val zq =
+        if (!cf) z
+        else z + (z * z - 1) * sk / 6 +
+          (z * z * z - lit(3.0) * z) * xk / 24 -
+          (lit(2.0) * z * z * z - lit(5.0) * z) * sk * sk / 36
+      round(-(mu + zq * sg), 6)
+    }
+    val ok = col("n") > 3
+    val z95 = lit(1.644854)
+    val z99 = lit(2.326348)
+    withR.join(broadcast(stats), "series")
+      .filter(col("sd8") > 0)
+      .withColumn("z3", round(z * z * z, 12).cast(DecimalType(38, 12)))
+      .withColumn("z4", round(z * z * z * z, 12).cast(DecimalType(38, 12)))
+      .groupBy(col("series"))
+      .agg(max(col("n")).as("n"), max(col("mu8")).as("mu8"),
+        max(col("sd8")).as("sd8"),
+        sum(col("z3")).as("sz3"), sum(col("z4")).as("sz4"))
+      .select(col("series"), col("n").as("n_rets"),
+        when(ok, sk).as("skew"),
+        when(ok, xk).as("ex_kurt"),
+        when(ok, varAt(-z95, cf = false)).as("var95_gauss"),
+        when(ok, varAt(-z95, cf = true)).as("var95_cf"),
+        when(ok, varAt(-z99, cf = false)).as("var99_gauss"),
+        when(ok, varAt(-z99, cf = true)).as("var99_cf"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.VecDot
 
@@ -147,6 +147,57 @@ object SimilarityOps {
         .localCheckpoint()
     }
     cents
+  }
+
+  /** Hubness audit of the k-NN graph: the in-degree (k-occurrence)
+    * distribution of [[ivfTopK]]'s neighbor relation — positive skew
+    * is THE high-dimensional pathology (a few "hub" vectors appear in
+    * everyone's neighbor list while antihubs appear in none), the
+    * standard before-you-trust-ANN health check (Radovanović et al.
+    * 2010). One summary row: in-degree mean/sd/skewness, antihub
+    * share (in-degree 0), hub count (in-degree ≥ 2k), max hub.
+    *
+    * Determinism: in-degrees are exact integers off the IVF edge set
+    * (itself deterministic: modulo centroids, 6dp cosines, id
+    * tie-breaks); the three moments fold as DECIMAL(38,0) integer
+    * products; mean/sd/skew form in one shared double op order and
+    * round 6dp.
+    *
+    * Scale: candidates come from the bucketed IVF join (never
+    * all-pairs); the in-degree rollup is one shuffle on the neighbor
+    * id; the moment fold is map-side-combined to a single row. */
+  def hubness(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidEvery: Int,
+      nprobe: Int): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val knn = ivfTopK(emb, idCol, vecCol, k, centroidEvery, nprobe,
+      lit(true))
+    val indeg = emb.select(col(idCol).as("nid"))
+      .join(knn.groupBy(col("nid")).agg(count(lit(1)).as("ind")),
+        Seq("nid"), "left")
+      .select(coalesce(col("ind"), lit(0L)).as("ind"))
+    val agg = indeg.agg(count(lit(1)).as("n"),
+      sum(col("ind").cast(dec)).as("s1"),
+      sum((col("ind") * col("ind")).cast(dec)).as("s2"),
+      sum((col("ind") * col("ind") * col("ind")).cast(dec)).as("s3"),
+      sum(when(col("ind") === 0, 1L).otherwise(0L)).as("n_antihubs"),
+      sum(when(col("ind") >= 2L * k, 1L).otherwise(0L)).as("n_hubs"),
+      max(col("ind")).as("max_indeg"))
+    val n = dbl(col("n"))
+    val mu = dbl(col("s1")) / n
+    val m2 = dbl(col("s2")) / n - mu * mu
+    val m3 = dbl(col("s3")) / n - lit(3.0) * mu * (dbl(col("s2")) / n) +
+      lit(2.0) * mu * mu * mu
+    agg.select(col("n").as("n_vecs"), col("s1").cast(LongType).as("n_edges"),
+      round(mu, 6).as("mean_indeg"),
+      when(m2 > 0, round(sqrt(m2), 6)).as("sd_indeg"),
+      when(m2 > 0, round(m3 / sqrt(m2 * m2 * m2), 6)).as("skew_indeg"),
+      col("n_antihubs"), col("n_hubs"), col("max_indeg"))
   }
 
   /** Objective for [[kmeansCodebook]]: total cosine of every vector to

@@ -547,4 +547,258 @@ object StatOps {
         f * (dbl(col("k")) - 1) > chi2Crit95(col("k") - 1))
         .as("reject_equal_spread"))
   }
+
+  /** Friedman rank test across k treatments blocked by a second key —
+    * the repeated-measures companion to [[kruskalWallis]] (which pools
+    * all rows, ignoring block structure): per complete block the k
+    * treatment cell means are ranked WITHIN the block, and
+    * χ² = 12/(n·k·(k+1)) · Σ_t R_t² − 3·n·(k+1) tests whether any
+    * treatment consistently ranks higher. Kendall's W = χ²/(n·(k−1))
+    * is the agreement effect size on [0, 1].
+    *
+    * Cell means are 6dp-rounded DECIMAL-summed values; ranks are
+    * doubled midranks (exact integers, ties share the average rank —
+    * the conservative, uncorrected statistic, documented because ties
+    * between 6dp cell means of disjoint row sets are measure-zero).
+    * Incomplete blocks (a treatment missing that date) drop, n counts
+    * the complete ones. Σ R_t² folds as 12dp-rounded DECIMAL; χ², W
+    * form in one shared double op order and round 6dp.
+    *
+    * Scale: one shuffle collapses the fact table to |blocks|·k cells;
+    * the rank window partitions PER BLOCK (frame bounded by k, never
+    * by rows — no global sort anywhere); everything after lives on k
+    * rows. */
+  def friedman(
+      df: DataFrame,
+      blockCol: Column,
+      treatCol: Column,
+      valCol: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df
+      .select(blockCol.as("b"), treatCol.as("t"),
+        valCol.cast(DoubleType).as("x"))
+      .groupBy(col("b"), col("t"))
+      .agg(round(dbl(sum(col("x").cast(DecimalType(18, 6)))) /
+        dbl(count(lit(1))), 6).as("m"))
+      .localCheckpoint(eager = false)
+    val kdf = cells.select(col("t")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val blockK = cells.groupBy(col("b")).agg(count(lit(1)).as("bk"))
+    val complete = cells
+      .join(blockK, "b").crossJoin(broadcast(kdf))
+      .filter(col("bk") === col("k"))
+    // doubled midrank within the block: 2·minrank + (ties − 1), exact
+    val wRank = Window.partitionBy(col("b")).orderBy(col("m"))
+    val wTie = Window.partitionBy(col("b"), col("m"))
+    val ranked = complete
+      .withColumn("m2",
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTie) - 1)
+    val grp = ranked.groupBy(col("t"))
+      .agg(count(lit(1)).as("nb"), sum(col("m2").cast(dec)).as("r2"))
+    // Σ R_t² with R_t = r2/2: k 12dp-rounded double terms fold DECIMAL
+    val term = round(dbl(col("r2")) * dbl(col("r2")) / lit(4.0), 12)
+      .cast(DecimalType(38, 12))
+    val agg = grp.agg(count(lit(1)).as("k"), max(col("nb")).as("n_blocks"),
+      sum(term).as("s"))
+    val nd = dbl(col("n_blocks"))
+    val kd = dbl(col("k"))
+    val chi2 = lit(12.0) / (nd * kd * (kd + 1)) * dbl(col("s")) -
+      lit(3.0) * nd * (kd + 1)
+    agg.select(col("n_blocks"), col("k"),
+      when(col("n_blocks") > 0 && col("k") > 1, round(chi2, 6)).as("chi2"),
+      when(col("n_blocks") > 0 && col("k") > 1,
+        round(chi2 / (nd * (kd - 1)), 6)).as("kendalls_w"),
+      when(col("n_blocks") > 0 && col("k") > 1,
+        chi2 > chi2Crit95(col("k") - 1)).as("reject_no_effect"))
+  }
+
+  /** Nelson–Aalen cumulative hazard per group at fixed horizons — the
+    * additive companion to [[kaplanMeier]] (which multiplies survival
+    * factors): Ĥ(h) = Σ_{dur ≤ h} d/n_at_risk with the Aalen variance
+    * Σ d/n², plus the Fleming–Harrington survival exp(−Ĥ). More
+    * stable than KM in small-risk-set tails and the standard input to
+    * proportional-hazards diagnostics.
+    *
+    * Same spell relation contract as [[kaplanMeier]] (`dur` long,
+    * `event` 0/1): hazard and variance terms round 12dp and fold as
+    * DECIMAL(38,12); outputs round 6dp; a horizon with no events
+    * emits hazard 0 / survival 1.
+    *
+    * Scale: identical to KM — one shuffle to (group, dur) cells, the
+    * at-risk prefix runs per group over the DISTINCT duration
+    * spectrum (day-granular, bounded by the calendar, not by rows),
+    * horizons broadcast. */
+  def nelsonAalen(
+      durations: DataFrame,
+      groupCol: String,
+      horizons: Seq[Int]): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val cells = durations
+      .groupBy(col(groupCol), col("dur"))
+      .agg(count(lit(1)).as("n_all"), sum(col("event")).as("d"))
+    val wDesc = Window.partitionBy(col(groupCol)).orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ev = cells
+      .withColumn("at_risk", sum(col("n_all")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("hterm",
+        round(dbl(col("d")) / dbl(col("at_risk")), 12).cast(dec12))
+      .withColumn("vterm",
+        round(dbl(col("d")) /
+          (dbl(col("at_risk")) * dbl(col("at_risk"))), 12).cast(dec12))
+    val hs = durations.sparkSession
+      .createDataFrame(horizons.map(Tuple1(_))).toDF("horizon")
+    val base = durations.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_spells"), sum(col("event")).as("n_events"))
+    base.crossJoin(broadcast(hs))
+      .join(ev.select(col(groupCol), col("dur"), col("hterm"),
+        col("vterm")), Seq(groupCol), "left")
+      .withColumn("in_h", col("dur").isNotNull && col("dur") <= col("horizon"))
+      .groupBy(col(groupCol), col("horizon"), col("n_spells"),
+        col("n_events"))
+      .agg(sum(when(col("in_h"), col("hterm"))).as("hsum"),
+        sum(when(col("in_h"), col("vterm"))).as("vsum"))
+      .select(col(groupCol), col("horizon"), col("n_spells"),
+        col("n_events"),
+        round(coalesce(dbl(col("hsum")), lit(0.0)), 6).as("chaz"),
+        round(sqrt(coalesce(dbl(col("vsum")), lit(0.0))), 6).as("se_chaz"),
+        round(exp(-coalesce(dbl(col("hsum")), lit(0.0))), 6).as("na_surv"))
+  }
+
+  /** Two-predictor OLS per group, solved in closed form from the
+    * 2×2 centered normal equations (Cramer's rule) — the multivariate
+    * step up from q121's simple regression: y = b0 + b1·x1 + b2·x2
+    * with R², residual σ², and per-coefficient t-statistics from the
+    * inverse-matrix diagonal. All three inputs must be EXACT LONGS
+    * (caller scales); coefficients come out in the scaled units.
+    *
+    * Determinism: nine raw moments fold as DECIMAL(38,0) products of
+    * integers; every centered moment, the determinant, coefficients,
+    * R² and t's form in ONE shared double op order and round 6dp.
+    * Degenerate groups (n < 4, collinear predictors det ≤ 0, or zero
+    * y variance) null the fit columns.
+    *
+    * Scale: one map-side-combined aggregate to |groups| rows;
+    * everything after is per-row arithmetic. */
+  def ols2(
+      df: DataFrame,
+      groupCol: Column,
+      yCol: Column,
+      x1Col: Column,
+      x2Col: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast(LongType).cast(dec)
+    val rows = df.select(groupCol.as("g"), yCol.cast(LongType).as("y"),
+      x1Col.cast(LongType).as("x1"), x2Col.cast(LongType).as("x2"))
+    val agg = rows.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(d(col("x1"))).as("sx1"), sum(d(col("x2"))).as("sx2"),
+      sum(d(col("y"))).as("sy"),
+      sum(d(col("x1")) * d(col("x1"))).as("sx11"),
+      sum(d(col("x2")) * d(col("x2"))).as("sx22"),
+      sum(d(col("x1")) * d(col("x2"))).as("sx12"),
+      sum(d(col("x1")) * d(col("y"))).as("sx1y"),
+      sum(d(col("x2")) * d(col("y"))).as("sx2y"),
+      sum(d(col("y")) * d(col("y"))).as("syy"))
+    val n = dbl(col("n"))
+    val s11 = dbl(col("sx11")) - dbl(col("sx1")) * dbl(col("sx1")) / n
+    val s22 = dbl(col("sx22")) - dbl(col("sx2")) * dbl(col("sx2")) / n
+    val s12 = dbl(col("sx12")) - dbl(col("sx1")) * dbl(col("sx2")) / n
+    val s1y = dbl(col("sx1y")) - dbl(col("sx1")) * dbl(col("sy")) / n
+    val s2y = dbl(col("sx2y")) - dbl(col("sx2")) * dbl(col("sy")) / n
+    val syc = dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / n
+    val det = s11 * s22 - s12 * s12
+    val b1 = (s1y * s22 - s2y * s12) / det
+    val b2 = (s11 * s2y - s12 * s1y) / det
+    val b0 = dbl(col("sy")) / n - b1 * dbl(col("sx1")) / n -
+      b2 * dbl(col("sx2")) / n
+    val rss = syc - b1 * s1y - b2 * s2y
+    val sig2 = rss / (n - 3)
+    val ok = col("n") > 3 && det > 0 && syc > 0
+    agg.select(col("g"), col("n"),
+      when(ok, round(b0, 6)).as("b0"),
+      when(ok, round(b1, 6)).as("b1"),
+      when(ok, round(b2, 6)).as("b2"),
+      when(ok, round((b1 * s1y + b2 * s2y) / syc, 6)).as("r2"),
+      when(ok && sig2 > 0, round(b1 / sqrt(sig2 * s22 / det), 6)).as("t1"),
+      when(ok && sig2 > 0, round(b2 / sqrt(sig2 * s11 / det), 6)).as("t2"))
+  }
+
+  /** Integer thresholds t_k = floor(P[Poisson(1) ≤ k] · 2³²) for the
+    * deterministic bootstrap draw: a 32-bit md5 hash below t_k maps to
+    * a replica weight ≤ k. Public so the DuckDB oracle interpolates
+    * the SAME literals — both engines compare exact integers. */
+  val PoissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val pmf = Iterator.iterate((e1, 0)) { case (p, k) =>
+      (p / (k + 1), k + 1)
+    }.map(_._1).take(8).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /** Poisson(1) bootstrap of a group mean with DETERMINISTIC replica
+    * weights: replica r gives row i the weight Poisson⁻¹(u) where u is
+    * the portable md5 hash of (key, r) — the online-bootstrap trick
+    * (each bootstrap resample's multinomial count is ≈ Poisson(1))
+    * made RNG-free, so the standard error is reproducible under any
+    * partitioning and any engine. B replica means per group, their
+    * sample sd is the bootstrap SE, and the normal CI attaches to the
+    * plain point mean.
+    *
+    * `valCol` must already be an exact long (caller scales, `scale`
+    * un-scales the reported means). Weighted sums fold as
+    * DECIMAL(38,0) (weight ≤ 8, so w·x stays far from overflow);
+    * replica means round 6dp before the DECIMAL variance fold; SE and
+    * CI bounds form in one shared double op order and round 6dp.
+    *
+    * Scale: the B-way explode is map-side (no pre-shuffle fan-out
+    * materialized); ONE shuffle to (group, replica) partial sums —
+    * B·|groups| rows — then |groups|. 100 TB cost = B extra map-side
+    * aggregations, no row ever carries its text/payload through. */
+  def poissonBootstrap(
+      df: DataFrame,
+      keyCol: Column,
+      groupCol: Column,
+      valCol: Column,
+      b: Int = 32,
+      scale: Double = 1e6): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.select(groupCol.as("g"), keyCol.as("key"),
+      valCol.cast(LongType).as("x"))
+    val base = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"))
+      .select(col("g"), col("n"),
+        round(dbl(col("sx")) / dbl(col("n")) / lit(scale), 6).as("mean"))
+    val reps = rows
+      .withColumn("r", explode(array((0 until b).map(lit): _*)))
+      .withColumn("h", graft.functions.CrossHash.x32(
+        concat_ws("#", lit("boot"), col("key"), col("r"))))
+      .withColumn("w", PoissonThresholds.zipWithIndex.reverse
+        .foldLeft(lit(PoissonThresholds.size.toLong)) {
+          // reverse fold → the SMALLEST threshold ends up outermost
+          case (acc, (t, k)) => when(col("h") < t, k.toLong).otherwise(acc)
+        })
+    val repMeans = reps.groupBy(col("g"), col("r"))
+      .agg(sum(col("w")).as("sw"),
+        sum((col("w") * col("x")).cast(dec)).as("swx"))
+      .select(col("g"),
+        when(col("sw") > 0,
+          round(dbl(col("swx")) / dbl(col("sw")) / lit(scale), 6)).as("mr"))
+    val boot = repMeans.groupBy(col("g"))
+      .agg(count(col("mr")).as("n_reps"),
+        sum(col("mr").cast(DecimalType(38, 6))).as("sm"),
+        sum(round(col("mr") * col("mr"), 12).cast(DecimalType(38, 12)))
+          .as("sm2"))
+    val bd = dbl(col("n_reps"))
+    val se = sqrt((dbl(col("sm2")) - dbl(col("sm")) * dbl(col("sm")) / bd) /
+      (bd - 1))
+    base.join(boot, "g")
+      .select(col("g"), col("n"), col("mean"), col("n_reps"),
+        when(col("n_reps") > 1, round(se, 6)).as("boot_se"),
+        when(col("n_reps") > 1, round(col("mean") - lit(1.96) * se, 6))
+          .as("ci_lo"),
+        when(col("n_reps") > 1, round(col("mean") + lit(1.96) * se, 6))
+          .as("ci_hi"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.ops.{StatOps, WarehouseOps}
+import graft.ops.{EventAnalytics, StatOps, WarehouseOps}
 import graft.sources.Tables
 
 /** Relational operator inventory over the driver's TPC-H-ish tables —
@@ -152,6 +152,43 @@ object CoreQueries {
       when(m2 > 0, round(m3 / sqrt(m2 * m2 * m2), 6)).as("skewness"),
       when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis"))
   }
+
+  /** Reorder spells shared by the q280 KM / q331 Nelson–Aalen pair:
+    * per customer order, days to the NEXT order (event = 1) or to the
+    * dataset horizon (right-censored, event = 0), keyed by segment. */
+  private def reorderSpells(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("c_mktsegment"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("d"), col("o_orderkey"))
+    val mx = o.agg(max(col("d")).as("mxd"))
+    o.withColumn("nd", lead(col("d"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .select(col("c_mktsegment"),
+        when(col("nd").isNotNull, datediff(col("nd"), col("d")))
+          .otherwise(datediff(col("mxd"), col("d")))
+          .cast("long").as("dur"),
+        when(col("nd").isNotNull, 1L).otherwise(0L).as("event"))
+  }
+
+  /** q280/q331 shared oracle CTE chain ending in the spell relation. */
+  private val spellsCte =
+    """o AS (SELECT o_custkey, c_mktsegment, o_orderkey,
+                      CAST(o_orderdate AS DATE) AS d
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+          mx AS (SELECT max(d) AS mxd FROM o),
+          sp AS (SELECT c_mktsegment,
+                   CAST(CASE WHEN nd IS NOT NULL
+                     THEN date_diff('day', d, nd)
+                     ELSE date_diff('day', d, mxd) END AS BIGINT) AS dur,
+                   CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS event
+                 FROM (SELECT *, lead(d) OVER (PARTITION BY o_custkey
+                         ORDER BY d, o_orderkey) AS nd FROM o)
+                 CROSS JOIN mx)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1/P2/F8: project + decimal cast + null drop (transform_data.py:55-65)
@@ -1679,24 +1716,32 @@ object CoreQueries {
     // days, right-censoring still-active customers at the horizon —
     // the unbiased version of q244's raw gap histogram
     "q280_kaplan_meier" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-        .join(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_mktsegment")),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("o_custkey"), col("c_mktsegment"), col("o_orderkey"),
-          to_date(col("o_orderdate")).as("d"))
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("d"), col("o_orderkey"))
-      val mx = o.agg(max(col("d")).as("mxd"))
-      val durs = o.withColumn("nd", lead(col("d"), 1).over(w))
-        .crossJoin(broadcast(mx))
-        .select(col("c_mktsegment"),
-          when(col("nd").isNotNull, datediff(col("nd"), col("d")))
-            .otherwise(datediff(col("mxd"), col("d")))
-            .cast("long").as("dur"),
-          when(col("nd").isNotNull, 1L).otherwise(0L).as("event"))
-      StatOps.kaplanMeier(durs, "c_mktsegment", Seq(30, 90, 180, 365))
+      StatOps.kaplanMeier(reorderSpells(s, dir), "c_mktsegment",
+          Seq(30, 90, 180, 365))
         .orderBy(col("c_mktsegment"), col("horizon"))
+    }),
+
+    // Nelson–Aalen cumulative reorder hazard (StatOps.nelsonAalen):
+    // the additive estimator over q280's exact spell relation, with
+    // the Aalen variance and the Fleming–Harrington survival — the
+    // small-risk-set-stable view of the same censored reorder process
+    "q331_nelson_aalen" -> ((s, dir) => {
+      StatOps.nelsonAalen(reorderSpells(s, dir), "c_mktsegment",
+          Seq(30, 90, 180, 365))
+        .orderBy(col("c_mktsegment"), col("horizon"))
+    }),
+
+    // Deterministic Poisson(1) bootstrap (StatOps.poissonBootstrap):
+    // RNG-free replica weights from portable md5 draws give a
+    // reproducible, partitioning-invariant bootstrap SE + normal CI
+    // of the mean order value per priority — the uncertainty layer
+    // q246-style point means don't carry
+    "q328_poisson_bootstrap" -> ((s, dir) => {
+      StatOps.poissonBootstrap(Tables.orders(s, dir),
+          col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 1e6 + 0.5), b = 32)
+        .withColumnRenamed("g", "priority")
+        .orderBy(col("priority"))
     }),
 
     // TPC-H Q2 shape: min-cost supplier per part (pseudo-partsupp
@@ -1909,6 +1954,36 @@ object CoreQueries {
     "q314_brown_forsythe" -> ((s, dir) => {
       StatOps.brownForsythe(Tables.orders(s, dir),
         round(col("o_totalprice") * 100, 0), col("o_orderpriority"))
+    }),
+
+    // Two-predictor OLS (StatOps.ols2): extended price on quantity +
+    // discount per return flag, closed-form normal equations with R²
+    // and t-stats — the multivariate step past q121's simple slope.
+    // Scaled units: y in cents, x1 in qty×100, x2 in basis points
+    "q332_ols2" -> ((s, dir) => {
+      StatOps.ols2(Tables.lineitem(s, dir), col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5),
+          floor(col("l_quantity") * 100 + 0.5),
+          floor(col("l_discount") * 10000 + 0.5))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Wilson score intervals (EventAnalytics.wilsonRates): per-type
+    // high-value-event rate vs the pooled rate, with the CI that
+    // stays honest at extreme p — the proportion companion to q149
+    "q335_wilson_ci" -> ((s, dir) => {
+      EventAnalytics.wilsonRates(Tables.events(s, dir))
+        .orderBy(col("event_type"))
+    }),
+
+    // Markov stationary distribution (EventAnalytics
+    // .markovStationary): 15 exact power-iteration steps on q120's
+    // transition matrix — the long-run equilibrium share of each
+    // event type, with the L1 convergence certificate
+    "q336_markov_stationary" -> ((s, dir) => {
+      EventAnalytics.markovStationary(Tables.events(s, dir))
+        .orderBy(col("state"))
     }),
 
     // Candidate functional-dependency audit (WarehouseOps
@@ -3534,18 +3609,7 @@ object CoreQueries {
     // global max date), integer at-risk via the desc-cumulative
     // window, 12dp ln fold, absorbed states pin S to 0
     "q280_kaplan_meier" ->
-      """WITH o AS (SELECT o_custkey, c_mktsegment, o_orderkey,
-                      CAST(o_orderdate AS DATE) AS d
-                    FROM orders JOIN customer ON o_custkey = c_custkey),
-          mx AS (SELECT max(d) AS mxd FROM o),
-          sp AS (SELECT c_mktsegment,
-                   CAST(CASE WHEN nd IS NOT NULL
-                     THEN date_diff('day', d, nd)
-                     ELSE date_diff('day', d, mxd) END AS BIGINT) AS dur,
-                   CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS event
-                 FROM (SELECT *, lead(d) OVER (PARTITION BY o_custkey
-                         ORDER BY d, o_orderkey) AS nd FROM o)
-                 CROSS JOIN mx),
+      s"""WITH $spellsCte,
           cells AS (SELECT c_mktsegment, dur, count(*) AS n_all,
                       CAST(SUM(event) AS BIGINT) AS dd
                     FROM sp GROUP BY 1, 2),
@@ -3962,6 +4026,235 @@ object CoreQueries {
         fd("part_name_to_size", "part", "p_name", "p_size"),
         fd("part_type_to_brand", "part", "p_type", "p_brand"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
+
+    // Nelson–Aalen twin: q280's spell CTEs, 12dp DECIMAL hazard /
+    // variance terms off the same at-risk prefix, horizon rollup
+    "q331_nelson_aalen" ->
+      s"""WITH $spellsCte,
+          cells AS (SELECT c_mktsegment, dur, count(*) AS n_all,
+                      CAST(SUM(event) AS BIGINT) AS dd
+                    FROM sp GROUP BY 1, 2),
+          ar AS (SELECT *, CAST(SUM(n_all) OVER (PARTITION BY
+                     c_mktsegment ORDER BY dur DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS at_risk
+                 FROM cells),
+          ev AS (SELECT c_mktsegment, dur,
+                   CAST(round(CAST(dd AS DOUBLE)
+                     /CAST(at_risk AS DOUBLE), 12) AS DECIMAL(38,12))
+                     AS hterm,
+                   CAST(round(CAST(dd AS DOUBLE)
+                     /(CAST(at_risk AS DOUBLE)*CAST(at_risk AS DOUBLE)),
+                     12) AS DECIMAL(38,12)) AS vterm
+                 FROM ar WHERE dd > 0),
+          base AS (SELECT c_mktsegment, count(*) AS n_spells,
+                     CAST(SUM(event) AS BIGINT) AS n_events
+                   FROM sp GROUP BY 1),
+          h AS (SELECT c_mktsegment, n_spells, n_events,
+                  CAST(hz AS INTEGER) AS horizon
+                FROM base, unnest([30, 90, 180, 365]) AS u(hz)),
+          j AS (SELECT h.c_mktsegment, horizon, n_spells, n_events,
+                  SUM(CASE WHEN ev.dur IS NOT NULL
+                    AND ev.dur <= horizon THEN hterm END) AS hsum,
+                  SUM(CASE WHEN ev.dur IS NOT NULL
+                    AND ev.dur <= horizon THEN vterm END) AS vsum
+                FROM h LEFT JOIN ev
+                  ON h.c_mktsegment = ev.c_mktsegment
+                GROUP BY 1, 2, 3, 4)
+          SELECT c_mktsegment, horizon, n_spells, n_events,
+            round(COALESCE(CAST(hsum AS DOUBLE), 0.0), 6) AS chaz,
+            round(sqrt(COALESCE(CAST(vsum AS DOUBLE), 0.0)), 6)
+              AS se_chaz,
+            round(exp(-COALESCE(CAST(hsum AS DOUBLE), 0.0)), 6)
+              AS na_surv
+          FROM j ORDER BY c_mktsegment, horizon""",
+
+    // OLS-2 twin: the nine DECIMAL raw moments, centered system and
+    // Cramer solution in the one shared double op order
+    "q332_ols2" ->
+      """WITH r0 AS (SELECT l_returnflag AS g,
+                CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y,
+                CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS x1,
+                CAST(floor(l_discount*10000 + 0.5) AS BIGINT) AS x2
+              FROM lineitem),
+          a AS (SELECT g, count(*) AS n,
+                  SUM(CAST(x1 AS DECIMAL(38,0))) AS sx1,
+                  SUM(CAST(x2 AS DECIMAL(38,0))) AS sx2,
+                  SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                  SUM(CAST(x1 AS DECIMAL(38,0))
+                    *CAST(x1 AS DECIMAL(38,0))) AS sx11,
+                  SUM(CAST(x2 AS DECIMAL(38,0))
+                    *CAST(x2 AS DECIMAL(38,0))) AS sx22,
+                  SUM(CAST(x1 AS DECIMAL(38,0))
+                    *CAST(x2 AS DECIMAL(38,0))) AS sx12,
+                  SUM(CAST(x1 AS DECIMAL(38,0))
+                    *CAST(y AS DECIMAL(38,0))) AS sx1y,
+                  SUM(CAST(x2 AS DECIMAL(38,0))
+                    *CAST(y AS DECIMAL(38,0))) AS sx2y,
+                  SUM(CAST(y AS DECIMAL(38,0))
+                    *CAST(y AS DECIMAL(38,0))) AS syy
+                FROM r0 GROUP BY 1),
+          c AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx1 AS DOUBLE) AS dx1, CAST(sx2 AS DOUBLE) AS dx2,
+                  CAST(sy AS DOUBLE) AS dy,
+                  CAST(sx11 AS DOUBLE) AS d11,
+                  CAST(sx22 AS DOUBLE) AS d22,
+                  CAST(sx12 AS DOUBLE) AS d12,
+                  CAST(sx1y AS DOUBLE) AS d1y,
+                  CAST(sx2y AS DOUBLE) AS d2y,
+                  CAST(syy AS DOUBLE) AS dyy
+                FROM a),
+          m AS (SELECT g, n, nd, dx1, dx2, dy,
+                  d11 - dx1*dx1/nd AS s11,
+                  d22 - dx2*dx2/nd AS s22,
+                  d12 - dx1*dx2/nd AS s12,
+                  d1y - dx1*dy/nd AS s1y,
+                  d2y - dx2*dy/nd AS s2y,
+                  dyy - dy*dy/nd AS syc
+                FROM c),
+          d AS (SELECT *, s11*s22 - s12*s12 AS det FROM m),
+          b AS (SELECT *, (s1y*s22 - s2y*s12)/det AS b1,
+                  (s11*s2y - s12*s1y)/det AS b2 FROM d),
+          e AS (SELECT *, dy/nd - b1*dx1/nd - b2*dx2/nd AS b0,
+                  (syc - b1*s1y - b2*s2y)/(nd - 3) AS sig2 FROM b)
+          SELECT g AS l_returnflag, n,
+            CASE WHEN n > 3 AND det > 0 AND syc > 0
+              THEN round(b0, 6) END AS b0,
+            CASE WHEN n > 3 AND det > 0 AND syc > 0
+              THEN round(b1, 6) END AS b1,
+            CASE WHEN n > 3 AND det > 0 AND syc > 0
+              THEN round(b2, 6) END AS b2,
+            CASE WHEN n > 3 AND det > 0 AND syc > 0
+              THEN round((b1*s1y + b2*s2y)/syc, 6) END AS r2,
+            CASE WHEN n > 3 AND det > 0 AND syc > 0 AND sig2 > 0
+              THEN round(b1/sqrt(sig2*s22/det), 6) END AS t1,
+            CASE WHEN n > 3 AND det > 0 AND syc > 0 AND sig2 > 0
+              THEN round(b2/sqrt(sig2*s11/det), 6) END AS t2
+          FROM e ORDER BY l_returnflag""",
+
+    // Wilson twin: 6dp decimal-mean threshold, exact counts, the
+    // interval in one shared op order (z = 1.959964)
+    "q335_wilson_ci" ->
+      """WITH thr AS (SELECT round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS thr
+                FROM events),
+          a AS (SELECT event_type, count(*) AS n,
+                  CAST(SUM(CASE WHEN value >= thr.thr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+                FROM events, thr GROUP BY 1),
+          p AS (SELECT *,
+                  round(CAST(SUM(n_hit) OVER () AS DOUBLE)
+                    /CAST(SUM(n) OVER () AS DOUBLE), 6) AS p_pool
+                FROM a),
+          w AS (SELECT event_type, n, n_hit, p_pool,
+                  round(CAST(n_hit AS DOUBLE)/CAST(n AS DOUBLE), 6) AS p,
+                  CAST(n AS DOUBLE) AS nd
+                FROM p),
+          f AS (SELECT *,
+                  (p + 1.959964*1.959964/(2.0*nd))
+                    /(1.0 + 1.959964*1.959964/nd) AS center,
+                  1.959964*sqrt(p*(1.0 - p)/nd
+                      + 1.959964*1.959964/(4.0*nd*nd))
+                    /(1.0 + 1.959964*1.959964/nd) AS half
+                FROM w)
+          SELECT event_type, n, n_hit, p AS p_hat,
+            round(center - half, 6) AS ci_lo,
+            round(center + half, 6) AS ci_hi,
+            p_pool,
+            (round(center + half, 6) < p_pool
+              OR round(center - half, 6) > p_pool) AS differs_from_pool
+          FROM f ORDER BY event_type""",
+
+    // Markov-stationary twin: q120's transition lag, 12dp
+    // row-stochastic matrix, 15 UNROLLED π' = πP steps with the same
+    // 12dp DECIMAL mass folds, L1 delta between the last two
+    "q336_markov_stationary" -> {
+      val iters = 15
+      val steps = (1 to iters).map { i =>
+        s"""p$i AS (SELECT s.state, COALESCE(x.pin, 0.0) AS pi
+             FROM states s LEFT JOIN (
+               SELECT t.to_s AS state,
+                 round(CAST(SUM(CAST(round(p.pi * t.p, 12)
+                   AS DECIMAL(38,12))) AS DOUBLE), 12) AS pin
+               FROM p${i - 1} p JOIN trans t ON t.from_s = p.state
+               GROUP BY 1) x ON x.state = s.state)"""
+      }.mkString(",\n          ")
+      s"""WITH cnt AS (SELECT from_s, event_type AS to_s, count(*) AS n
+                FROM (SELECT event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS from_s
+                      FROM events)
+                WHERE from_s IS NOT NULL GROUP BY 1, 2),
+          trans AS (SELECT from_s, to_s,
+                  round(CAST(n AS DOUBLE)/CAST(SUM(n) OVER
+                    (PARTITION BY from_s) AS DOUBLE), 12) AS p
+                FROM cnt),
+          states AS (SELECT from_s AS state,
+                   CAST(SUM(n) AS BIGINT) AS n_out
+                 FROM cnt GROUP BY 1),
+          kk AS (SELECT count(*) AS k FROM states),
+          p0 AS (SELECT state, round(1.0/CAST(kk.k AS DOUBLE), 12) AS pi
+                 FROM states, kk),
+          $steps,
+          delta AS (SELECT round(CAST(SUM(CAST(round(abs(a.pi - b.pi),
+                      12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS l1_delta
+                    FROM p$iters a JOIN p${iters - 1} b
+                      ON a.state = b.state)
+          SELECT p.state, s.n_out, round(p.pi, 6) AS pi,
+            (SELECT l1_delta FROM delta) AS l1_delta
+          FROM p$iters p JOIN states s ON s.state = p.state
+          ORDER BY p.state"""
+    },
+
+    // Poisson-bootstrap twin: the SAME integer thresholds
+    // (StatOps.PoissonThresholds interpolated) against the portable
+    // 32-bit md5 draw, DECIMAL weighted sums, 6dp replica means,
+    // sample-sd SE, normal CI off the 6dp point mean
+    "q328_poisson_bootstrap" -> {
+      val w = StatOps.PoissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${StatOps.PoissonThresholds.size} END")
+      s"""WITH r0 AS (SELECT o_orderpriority AS priority,
+                       o_orderkey AS key,
+                       CAST(floor(o_totalprice*1e6 + 0.5) AS BIGINT) AS x
+                     FROM orders),
+          base AS (SELECT priority, count(*) AS n,
+                     round(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+                       /CAST(count(*) AS DOUBLE)/1000000.0, 6) AS mean
+                   FROM r0 GROUP BY 1),
+          reps AS (SELECT priority, key, x, r,
+                     CAST(concat('0x', substr(md5(
+                       concat_ws('#', 'boot', key, r)), 1, 8)) AS BIGINT)
+                       AS h
+                   FROM r0, unnest(generate_series(0, 31)) AS g(r)),
+          wts AS (SELECT priority, r, ($w) AS w, x FROM reps),
+          rm AS (SELECT priority, r, CAST(SUM(w) AS BIGINT) AS sw,
+                   SUM(CAST(w*x AS DECIMAL(38,0))) AS swx
+                 FROM wts GROUP BY 1, 2),
+          mr AS (SELECT priority,
+                   CASE WHEN sw > 0 THEN
+                     round(CAST(swx AS DOUBLE)/CAST(sw AS DOUBLE)
+                       /1000000.0, 6) END AS mr
+                 FROM rm),
+          boot AS (SELECT priority, count(mr) AS n_reps,
+                     CAST(SUM(CAST(mr AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sm,
+                     CAST(SUM(CAST(round(mr*mr, 12) AS DECIMAL(38,12)))
+                       AS DOUBLE) AS sm2
+                   FROM mr GROUP BY 1),
+          se AS (SELECT priority, n_reps,
+                   sqrt((sm2 - sm*sm/CAST(n_reps AS DOUBLE))
+                     /(CAST(n_reps AS DOUBLE)-1)) AS se
+                 FROM boot)
+          SELECT base.priority, base.n, base.mean, se.n_reps,
+            CASE WHEN n_reps > 1 THEN round(se, 6) END AS boot_se,
+            CASE WHEN n_reps > 1 THEN round(mean - 1.96*se, 6) END
+              AS ci_lo,
+            CASE WHEN n_reps > 1 THEN round(mean + 1.96*se, 6) END
+              AS ci_hi
+          FROM base JOIN se ON base.priority = se.priority
+          ORDER BY base.priority"""
     }
   )
 }

@@ -1061,6 +1061,40 @@ object LlmQueries {
           round(coalesce(col("n_docs"), lit(0L)).cast(dt) /
             col("n_total").cast(dt), 6).as("doc_share"))
         .orderBy(col("threshold"))
+    }),
+
+    // Calinski–Harabasz variance-ratio index (CorpusOps
+    // .calinskiHarabasz): the global F-statistic view completing the
+    // internal-validity panel with q276 silhouette (per-point) and
+    // q323 Davies–Bouldin (worst neighbor)
+    "q326_calinski_harabasz" -> ((s, dir) => {
+      CorpusOps.calinskiHarabasz(Tables.embeddings(s, dir))
+        .orderBy(col("label"))
+    }),
+
+    // Burrows' Delta stylometry (CorpusOps.burrowsDelta): usage-
+    // profile distance between sources over the top-40 corpus terms —
+    // the template-crawl tell q249's vocabulary Jaccard misses when
+    // the word SETS differ but the USAGE doesn't
+    "q329_burrows_delta" -> ((s, dir) => {
+      CorpusOps.burrowsDelta(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // k-NN hubness audit (SimilarityOps.hubness): in-degree skew of
+    // the q30 IVF neighbor graph — the high-dimensional pathology
+    // check (hubs/antihubs) to run BEFORE trusting q113's recall
+    "q333_hubness" -> ((s, dir) => {
+      SimilarityOps.hubness(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 5, centroidEvery = 50, nprobe = 2)
+    }),
+
+    // Yule's K + Simpson repeat rate per source (CorpusOps.yulesK):
+    // length-invariant repetition, the spectrum second moment next to
+    // q236 hapax share and q171 Heaps growth
+    "q330_yules_k" -> ((s, dir) => {
+      CorpusOps.yulesK(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
     })
   )
 
@@ -3690,6 +3724,181 @@ object LlmQueries {
             round(CAST(COALESCE(dd.n_docs, 0) AS DOUBLE)
               /(SELECT CAST(n_total AS DOUBLE) FROM tot), 6) AS doc_share
           FROM th LEFT JOIN pc USING (th) LEFT JOIN dd USING (th)
-          ORDER BY threshold"""
+          ORDER BY threshold""",
+
+    // CH-index twin: q323's unnest machinery, n-weighted global
+    // centroid of the 6dp label centroids, 12dp DECIMAL deviation
+    // folds, one shared ratio op order
+    "q326_calinski_harabasz" ->
+      """WITH e0 AS (SELECT vec_id, label,
+                       CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          u AS (SELECT vec_id, label, CAST(i-1 AS INTEGER) AS pos,
+                  v[i] AS x
+                FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
+          c AS (SELECT label AS clabel, pos, count(*) AS n,
+                  round(CAST(SUM(CAST(x AS DECIMAL(28,12)))
+                    AS DOUBLE)/count(*), 6) AS m
+                FROM u GROUP BY 1, 2),
+          gc AS (SELECT pos,
+                   round(CAST(SUM(CAST(m*CAST(n AS DOUBLE)
+                       AS DECIMAL(28,12))) AS DOUBLE)
+                     /CAST(SUM(n) AS DOUBLE), 6) AS gm
+                 FROM c GROUP BY 1),
+          w AS (SELECT u.label AS clabel,
+                  round(CAST(SUM(CAST(round((u.x - c.m)*(u.x - c.m), 12)
+                    AS DECIMAL(38,12))) AS DOUBLE), 6) AS wss_k
+                FROM u JOIN c ON u.pos = c.pos AND u.label = c.clabel
+                GROUP BY 1),
+          b AS (SELECT c.clabel, CAST(max(c.n) AS BIGINT) AS n_points,
+                  round(CAST(max(c.n) AS DOUBLE)
+                    *CAST(SUM(CAST(round((c.m - gc.gm)*(c.m - gc.gm), 12)
+                      AS DECIMAL(38,12))) AS DOUBLE), 6) AS bss_k
+                FROM c JOIN gc ON c.pos = gc.pos GROUP BY 1),
+          pl AS (SELECT b.clabel, b.n_points, w.wss_k, b.bss_k
+                 FROM b JOIN w ON w.clabel = b.clabel),
+          ov AS (SELECT count(*) AS k, CAST(SUM(n_points) AS BIGINT) AS n,
+                   CAST(SUM(CAST(wss_k AS DECIMAL(38,6))) AS DOUBLE) AS wt,
+                   CAST(SUM(CAST(bss_k AS DECIMAL(38,6))) AS DOUBLE) AS bt
+                 FROM pl),
+          ov2 AS (SELECT k, n,
+                    CASE WHEN k > 1 AND n > k AND wt > 0
+                      THEN round((bt/(CAST(k AS DOUBLE)-1))
+                        /(wt/(CAST(n AS DOUBLE)-CAST(k AS DOUBLE))), 6)
+                    END AS ch_index
+                  FROM ov)
+          SELECT pl.clabel AS label, pl.n_points, pl.wss_k, pl.bss_k,
+            ov2.k, ov2.n, ov2.ch_index
+          FROM pl, ov2 ORDER BY label""",
+
+    // Hubness twin: q30's IVF skeleton with EVERY vector as query,
+    // left-join zero-fill in-degrees, DECIMAL integer moments, one
+    // shared skew op order
+    "q333_hubness" ->
+      s"""WITH $embCte,
+          c AS (SELECT vec_id AS cid, v AS cv FROM e
+                WHERE vec_id % 50 = 0),
+          ac AS (SELECT e.vec_id, e.v, c.cid,
+                   ${duckCos("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+          assigned AS (SELECT vec_id, v, cid FROM
+                         (SELECT *, row_number() OVER (PARTITION BY
+                            vec_id ORDER BY ccos DESC, cid) AS rn
+                          FROM ac)
+                       WHERE rn = 1),
+          pc AS (SELECT qid, qv, cid, row_number() OVER
+                   (PARTITION BY qid ORDER BY qcos DESC, cid) AS prn
+                 FROM (SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+                         ${duckCos("e.v", "c.cv")} AS qcos
+                       FROM e CROSS JOIN c)),
+          probes AS (SELECT qid, qv, cid FROM pc WHERE prn <= 2),
+          cand AS (SELECT p.qid, a.vec_id AS nid,
+                     ${duckCos("p.qv", "a.v")} AS cosine
+                   FROM probes p JOIN assigned a
+                     ON a.cid = p.cid AND a.vec_id <> p.qid),
+          r AS (SELECT qid, nid, row_number() OVER
+                  (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+                FROM cand),
+          knn AS (SELECT qid, nid FROM r WHERE rank <= 5),
+          ind AS (SELECT e.vec_id, COALESCE(dg.ind, 0) AS ind
+                  FROM e LEFT JOIN (SELECT nid, count(*) AS ind
+                                    FROM knn GROUP BY 1) dg
+                    ON dg.nid = e.vec_id),
+          a2 AS (SELECT count(*) AS n,
+                   SUM(CAST(ind AS DECIMAL(38,0))) AS s1,
+                   SUM(CAST(ind*ind AS DECIMAL(38,0))) AS s2,
+                   SUM(CAST(ind*ind*ind AS DECIMAL(38,0))) AS s3,
+                   CAST(SUM(CASE WHEN ind = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_antihubs,
+                   CAST(SUM(CASE WHEN ind >= 10 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hubs,
+                   CAST(max(ind) AS BIGINT) AS max_indeg
+                 FROM ind),
+          f AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+                  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu
+                FROM a2),
+          f2 AS (SELECT *,
+                   CAST(s2 AS DOUBLE)/nd - mu*mu AS m2,
+                   CAST(s3 AS DOUBLE)/nd
+                     - 3.0*mu*(CAST(s2 AS DOUBLE)/nd)
+                     + 2.0*mu*mu*mu AS m3
+                 FROM f)
+          SELECT n AS n_vecs, CAST(s1 AS BIGINT) AS n_edges,
+            round(mu, 6) AS mean_indeg,
+            CASE WHEN m2 > 0 THEN round(sqrt(m2), 6) END AS sd_indeg,
+            CASE WHEN m2 > 0 THEN round(m3/sqrt(m2*m2*m2), 6) END
+              AS skew_indeg,
+            n_antihubs, n_hubs, max_indeg
+          FROM f2""",
+
+    // Burrows' Delta twin: TakeOrdered top-40 cut (ctf DESC, term
+    // ASC), 8dp relative frequencies, sample-sd z-scores, DECIMAL
+    // mean of 6dp |z| gaps
+    "q329_burrows_delta" ->
+      """WITH tk AS (SELECT source,
+                       unnest(regexp_split_to_array(trim(text), ' +'))
+                         AS term
+                     FROM documents),
+          tf AS (SELECT source, term, count(*) AS tf FROM tk
+                 GROUP BY 1, 2),
+          top AS (SELECT term FROM
+                    (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1)
+                  ORDER BY ctf DESC, term LIMIT 40),
+          tot AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nt FROM tf
+                  GROUP BY 1),
+          f AS (SELECT tot.source, top.term,
+                  round(CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+                    /CAST(tot.nt AS DOUBLE), 8) AS f
+                FROM tot CROSS JOIN top
+                LEFT JOIN tf ON tf.source = tot.source
+                  AND tf.term = top.term),
+          st AS (SELECT term, count(*) AS ns,
+                   SUM(CAST(f AS DECIMAL(28,8))) AS sf,
+                   SUM(CAST(round(f*f, 16) AS DECIMAL(38,16))) AS sf2
+                 FROM f GROUP BY 1),
+          st2 AS (SELECT term,
+                    round(CAST(sf AS DOUBLE)/CAST(ns AS DOUBLE), 8) AS mu,
+                    CASE WHEN ns > 1 THEN
+                      round(sqrt((CAST(sf2 AS DOUBLE)
+                        - CAST(sf AS DOUBLE)*CAST(sf AS DOUBLE)
+                          /CAST(ns AS DOUBLE))
+                        /(CAST(ns AS DOUBLE)-1)), 8)
+                    END AS sd
+                  FROM st),
+          z AS (SELECT f.source, f.term,
+                  round((f.f - st2.mu)/st2.sd, 6) AS z
+                FROM f JOIN st2 USING (term) WHERE st2.sd > 0)
+          SELECT a.source AS source_a, b.source AS source_b,
+            count(*) AS n_terms,
+            round(CAST(SUM(CAST(round(abs(a.z - b.z), 6)
+                AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS delta
+          FROM z a JOIN z b
+            ON a.term = b.term AND a.source < b.source
+          GROUP BY 1, 2 ORDER BY source_a, source_b""",
+
+    // Yule's K twin: all-integer spectrum moments via the
+    // Σ m²·V_m ≡ Σ tf² identity, one rounded double ratio each
+    "q330_yules_k" ->
+      """WITH tk AS (SELECT source,
+                       unnest(regexp_split_to_array(trim(text), ' +'))
+                         AS term
+                     FROM documents),
+          tf AS (SELECT source, term, count(*) AS tf FROM tk
+                 GROUP BY 1, 2),
+          a AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                  count(*) AS v_types,
+                  SUM(CAST(tf*tf AS DECIMAL(38,0))) AS m2,
+                  SUM(CAST(tf*(tf-1) AS DECIMAL(38,0))) AS rep
+                FROM tf GROUP BY 1)
+          SELECT source, n_tokens, v_types,
+            CASE WHEN n_tokens > 0 THEN
+              round(1e4*(CAST(m2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                /(CAST(n_tokens AS DOUBLE)*CAST(n_tokens AS DOUBLE)), 6)
+            END AS yules_k,
+            CASE WHEN n_tokens > 1 THEN
+              round(CAST(rep AS DOUBLE)
+                /(CAST(n_tokens AS DOUBLE)*(CAST(n_tokens AS DOUBLE)-1)),
+                6)
+            END AS simpson_d
+          FROM a ORDER BY source"""
   )
 }

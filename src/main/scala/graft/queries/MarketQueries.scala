@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.ops.{AsOfJoin, EventAnalytics, MarketBars, PairAnalytics, QualityReport}
+import graft.ops.{AsOfJoin, EventAnalytics, MarketBars, PairAnalytics, QualityReport, StatOps}
 import graft.sources.Tables
 
 /** Market/time-series operator inventory over the `events` table —
@@ -1287,6 +1287,25 @@ object MarketQueries {
       MarketBars.ar1MeanReversion(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // Cornish–Fisher modified VaR (MarketBars.cornishFisher): the
+    // Gaussian quantile expanded for q299's skew/kurtosis — what the
+    // moments COST in tail risk, next to q205's historical VaR
+    "q334_cornish_fisher" -> ((s, dir) => {
+      MarketBars.cornishFisher(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Friedman rank test (StatOps.friedman): do the event types rank
+    // the same within every DAY — the repeated-measures view q202's
+    // ANOVA (pooled means) and q311's Kruskal–Wallis (pooled ranks)
+    // both miss when day-level shifts swamp the treatment effect;
+    // Kendall's W reports the day-over-day agreement strength
+    "q327_friedman" -> ((s, dir) => {
+      StatOps.friedman(Tables.events(s, dir),
+        to_date(col("ts")), col("event_type"), col("value"))
     })
   )
 
@@ -4515,6 +4534,113 @@ object MarketQueries {
             END AS half_life_days,
             CASE WHEN den > 0 THEN round(num/den, 6) < 1
             END AS mean_reverting
+          FROM f ORDER BY series""",
+
+    // Cornish–Fisher twin: q299's exact moment chain, then the
+    // quantile expansion on the SAME 6dp mu/sg/sk/xk doubles with
+    // literal-arithmetic z constants (no pre-folded products)
+    "q334_cornish_fisher" -> {
+      def cf(zs: String) =
+        s"""($zs + (($zs)*($zs) - 1)*sk/6
+            + (($zs)*($zs)*($zs) - 3.0*($zs))*xk/24
+            - (2.0*($zs)*($zs)*($zs) - 5.0*($zs))*sk*sk/36)"""
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l
+                WHERE prev_c IS NOT NULL AND prev_c > 0),
+          st AS (SELECT series, count(*) AS n,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(r8 AS DECIMAL(38,0))
+                    * CAST(r8 AS DECIMAL(38,0))) AS s2
+                FROM r GROUP BY 1),
+          mu AS (SELECT series, n,
+                  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu8,
+                  sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) AS sd8
+                FROM st),
+          z AS (SELECT r.series, mu.n, mu.mu8, mu.sd8,
+                  (CAST(r8 AS DOUBLE) - mu8) / sd8 AS z
+                FROM r JOIN mu ON r.series = mu.series
+                WHERE sd8 > 0),
+          m AS (SELECT series, max(n) AS n, max(mu8) AS mu8,
+                  max(sd8) AS sd8,
+                  SUM(CAST(round(z*z*z, 12) AS DECIMAL(38,12))) AS sz3,
+                  SUM(CAST(round(z*z*z*z, 12) AS DECIMAL(38,12))) AS sz4
+                FROM z GROUP BY 1),
+          f AS (SELECT series, n,
+                  round(mu8/1e8, 6) AS mu,
+                  round(sd8/1e8, 6) AS sg,
+                  round(CAST(sz3 AS DOUBLE)/CAST(n AS DOUBLE), 6) AS sk,
+                  round(CAST(sz4 AS DOUBLE)/CAST(n AS DOUBLE) - 3.0, 6)
+                    AS xk
+                FROM m)
+          SELECT series, n AS n_rets,
+            CASE WHEN n > 3 THEN sk END AS skew,
+            CASE WHEN n > 3 THEN xk END AS ex_kurt,
+            CASE WHEN n > 3
+              THEN round(-(mu + (-1.644854)*sg), 6) END AS var95_gauss,
+            CASE WHEN n > 3
+              THEN round(-(mu + ${cf("-1.644854")}*sg), 6) END
+              AS var95_cf,
+            CASE WHEN n > 3
+              THEN round(-(mu + (-2.326348)*sg), 6) END AS var99_gauss,
+            CASE WHEN n > 3
+              THEN round(-(mu + ${cf("-2.326348")}*sg), 6) END
+              AS var99_cf
           FROM f ORDER BY series"""
+    },
+
+    // Friedman twin: 6dp DECIMAL cell means, complete blocks only,
+    // doubled midranks (2·rank + ties − 1) within each day, DECIMAL
+    // Σ R², one shared χ²/W op order, q311's CASE fence
+    "q327_friedman" ->
+      """WITH cells AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+                round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  AS DOUBLE)/count(*), 6) AS m
+              FROM events GROUP BY 1, 2),
+          kd AS (SELECT count(DISTINCT t) AS k FROM cells),
+          bc AS (SELECT b, count(*) AS bk FROM cells GROUP BY 1),
+          comp AS (SELECT cells.b, cells.t, cells.m
+                   FROM cells JOIN bc ON cells.b = bc.b, kd
+                   WHERE bc.bk = kd.k),
+          r AS (SELECT b, t,
+                  2*rank() OVER (PARTITION BY b ORDER BY m)
+                    + count(*) OVER (PARTITION BY b, m) - 1 AS m2
+                FROM comp),
+          grp AS (SELECT t, count(*) AS nb,
+                    SUM(CAST(m2 AS DECIMAL(38,0))) AS r2
+                  FROM r GROUP BY 1),
+          a AS (SELECT count(*) AS k,
+                  CAST(max(nb) AS BIGINT) AS n_blocks,
+                  SUM(CAST(round(CAST(r2 AS DOUBLE)*CAST(r2 AS DOUBLE)
+                    /4.0, 12) AS DECIMAL(38,12))) AS s
+                FROM grp),
+          f AS (SELECT n_blocks, k,
+                  12.0/(CAST(n_blocks AS DOUBLE)*CAST(k AS DOUBLE)
+                    *(CAST(k AS DOUBLE)+1))*CAST(s AS DOUBLE)
+                    - 3.0*CAST(n_blocks AS DOUBLE)
+                      *(CAST(k AS DOUBLE)+1) AS c2
+                FROM a)
+          SELECT n_blocks, k,
+            CASE WHEN n_blocks > 0 AND k > 1 THEN round(c2, 6) END
+              AS chi2,
+            CASE WHEN n_blocks > 0 AND k > 1
+              THEN round(c2/(CAST(n_blocks AS DOUBLE)
+                *(CAST(k AS DOUBLE)-1)), 6) END AS kendalls_w,
+            CASE WHEN n_blocks > 0 AND k > 1 THEN c2 >
+              (CASE WHEN k-1 = 1 THEN 3.8415 WHEN k-1 = 2 THEN 5.9915
+                    WHEN k-1 = 3 THEN 7.8147 WHEN k-1 = 4 THEN 9.4877
+                    WHEN k-1 = 5 THEN 11.0705 WHEN k-1 = 6 THEN 12.5916
+                    WHEN k-1 = 7 THEN 14.0671 WHEN k-1 = 8 THEN 15.5073
+                    WHEN k-1 = 9 THEN 16.9190 ELSE 18.3070 END)
+            END AS reject_no_effect
+          FROM f"""
   )
 }

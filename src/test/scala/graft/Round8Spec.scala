@@ -462,4 +462,187 @@ class Round8Spec extends AnyFunSuite {
     assert(r.getAs[Double]("hit_rate") === 1.0)
     assert(r.isNullAt(r.fieldIndex("sd_ic")), "zero variance panel")
   }
+
+  test("friedman: perfectly consistent treatment ordering gives W = 1") {
+    // 3 complete blocks, t1 < t2 < t3 in every block → R = (3, 6, 9),
+    // χ² = 12/(3·3·4)·126 − 3·3·4 = 6, W = 6/(3·2) = 1; block b4 is
+    // missing t3 and must drop (incomplete)
+    val rows = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 0.5), ("b2", "t2", 1.5), ("b2", "t3", 2.5),
+      ("b3", "t1", 2.0), ("b3", "t2", 4.0), ("b3", "t3", 9.0),
+      ("b4", "t1", 7.0), ("b4", "t2", 8.0))
+    val df = rows.toDF("b", "t", "x")
+    val r = graft.ops.StatOps.friedman(df, col("b"), col("t"), col("x"))
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Double]("chi2") === 6.0)
+    assert(r.getAs[Double]("kendalls_w") === 1.0)
+    assert(r.getAs[Boolean]("reject_no_effect")) // 6 > 5.9915
+  }
+
+  test("nelsonAalen: hand-computed hazard, variance, and FH survival") {
+    // spells: event@1, event@2, censored@2 → at_risk(1)=3, at_risk(2)=2
+    // H(1)=1/3, H(2)=1/3+1/2; var(2)=1/9+1/4; S_FH(2)=exp(−5/6)
+    val durs = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 2L, 0L))
+      .toDF("grp", "dur", "event")
+    val r = graft.ops.StatOps.nelsonAalen(durs, "grp", Seq(1, 2))
+      .orderBy(col("horizon")).collect()
+    assert(r(0).getAs[Double]("chaz") === 0.333333)
+    assert(r(1).getAs[Double]("chaz") === 0.833333)
+    assert(r(1).getAs[Double]("se_chaz") === 0.600925)
+    assert(r(1).getAs[Double]("na_surv") === 0.434598)
+    assert(r(1).getAs[Long]("n_events") === 2L)
+  }
+
+  test("poissonBootstrap: partitioning-invariant, exact point mean") {
+    val df = Seq.tabulate(300) { i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd", (i * 1000000).toLong)
+    }.toDF("id", "g", "x6")
+    def run(parts: Int) =
+      graft.ops.StatOps.poissonBootstrap(df.repartition(parts),
+          col("id"), col("g"), col("x6"))
+        .orderBy(col("g")).collect().toSeq
+    val a = run(1)
+    assert(a === run(7), "weights derive from keys, not partitioning")
+    val even = a.head
+    assert(even.getAs[Double]("mean") === 149.0) // mean of 0,2,…,298
+    assert(even.getAs[Long]("n_reps") === 32L)
+    assert(even.getAs[Double]("boot_se") > 0)
+    assert(even.getAs[Double]("ci_lo") < 149.0 &&
+      even.getAs[Double]("ci_hi") > 149.0)
+  }
+
+  test("burrowsDelta: identical usage profiles give delta 0") {
+    // s1 and s2 share the exact relative-frequency profile; s3 skews
+    // toward 'b' → Δ(s1,s2) = 0 < Δ(s1,s3)
+    val docs = Seq(
+      ("s1", 1L, "a a a b c"), ("s2", 2L, "a a a b c a a a b c"),
+      ("s3", 3L, "b b b b a c"))
+      .toDF("source", "doc_id", "text")
+    val r = graft.ops.CorpusOps.burrowsDelta(docs, topK = 3)
+      .orderBy(col("source_a"), col("source_b")).collect()
+    val d12 = r.find(x => x.getString(0) == "s1" && x.getString(1) == "s2").get
+    val d13 = r.find(x => x.getString(0) == "s1" && x.getString(1) == "s3").get
+    assert(d12.getAs[Long]("n_terms") === 3L)
+    assert(d12.getAs[Double]("delta") === 0.0)
+    assert(d13.getAs[Double]("delta") > 1.0)
+  }
+
+  test("yulesK: spectrum identity on a hand-computed source") {
+    // "a a a b": N=4, Σtf²=10 → K = 1e4·(10−4)/16 = 3750;
+    // Simpson = Σtf(tf−1)/(N(N−1)) = 6/12 = 0.5
+    val docs = Seq(("s", 1L, "a a a b")).toDF("source", "doc_id", "text")
+    val r = graft.ops.CorpusOps.yulesK(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("v_types") === 2L)
+    assert(r.getAs[Double]("yules_k") === 3750.0)
+    assert(r.getAs[Double]("simpson_d") === 0.5)
+  }
+
+  test("ols2: exact plane recovers coefficients, R2 = 1") {
+    // y = 2 + 3·x1 + 5·x2 with zero noise → exact fit, null t's
+    // (sig2 = 0 fence)
+    val pts = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 5L),
+      (6L, 8L))
+    val df = pts.map { case (x1, x2) => ("g", 2 + 3 * x1 + 5 * x2, x1, x2) }
+      .toDF("g", "y", "x1", "x2")
+    val r = graft.ops.StatOps.ols2(df, col("g"), col("y"), col("x1"),
+      col("x2")).collect().head
+    assert(r.getAs[Double]("b0") === 2.0)
+    assert(r.getAs[Double]("b1") === 3.0)
+    assert(r.getAs[Double]("b2") === 5.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+    // rss collapses to ~0 (double roundoff keeps it epsilon-positive):
+    // the t-stat is either fenced to null or astronomically large
+    assert(r.isNullAt(r.fieldIndex("t1")) ||
+      math.abs(r.getAs[Double]("t1")) > 1e3)
+  }
+
+  test("markovStationary: alternating two-state chain settles at 1/2") {
+    // every A→B and B→A: P is the period-2 permutation; the uniform
+    // start IS stationary, so every step reproduces it exactly
+    val rows = Seq.tabulate(40) { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, i / 60, i % 60)),
+        1L, if (i % 2 == 0) "A" else "B", 1.0)
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.ops.EventAnalytics.markovStationary(ev)
+      .orderBy(col("state")).collect()
+    assert(r.map(_.getAs[Double]("pi")).toSeq === Seq(0.5, 0.5))
+    assert(r.head.getAs[Double]("l1_delta") === 0.0)
+  }
+
+  test("wilsonRates: degenerate and balanced rates stay inside (0,1)") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "a", 10.0),
+      (3L, "2024-01-01 10:02:00", 2L, "b", 10.0),
+      (4L, "2024-01-01 10:03:00", 2L, "b", 10.0))
+      .map { case (id, ts, u, t, v) =>
+        (id, java.sql.Timestamp.valueOf(ts), u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.ops.EventAnalytics.wilsonRates(ev)
+      .orderBy(col("event_type")).collect()
+    val a = r(0); val b = r(1)
+    assert(a.getAs[Double]("p_hat") === 0.5) // mean 7.5, one hit of 2
+    assert(b.getAs[Double]("p_hat") === 1.0)
+    assert(a.getAs[Double]("ci_lo") > 0.0 && a.getAs[Double]("ci_hi") < 1.0)
+    // at p̂ = 1 Wilson's UPPER bound is exactly 1; the lower shrinks
+    assert(b.getAs[Double]("ci_hi") === 1.0)
+    assert(b.getAs[Double]("ci_lo") < 1.0, "Wilson shrinks the floor")
+    assert(a.getAs[Double]("p_pool") === 0.75)
+  }
+
+  test("cornishFisher: symmetric returns zero the skew adjustment") {
+    // alternating closes → r8 = ±c exactly: skew 0, z⁴ ≡ 1 → xk = −2;
+    // the CF 95% quantile then differs from Gaussian only via kurtosis
+    val rows = Seq.tabulate(41) { i =>
+      ("s", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, i, 0)),
+        if (i % 2 == 0) 100.0 else 110.0)
+    }
+    val bars = rows.toDF("series", "ts", "close")
+      .select(col("series"), col("ts").as("bar_ts"), col("close"))
+    val r = graft.ops.MarketBars.cornishFisher(bars).collect().head
+    assert(r.getAs[Long]("n_rets") === 40L)
+    assert(r.getAs[Double]("skew") === 0.0)
+    assert(r.getAs[Double]("ex_kurt") === -2.0)
+    assert(r.getAs[Double]("var99_gauss") > r.getAs[Double]("var95_gauss"))
+    // platykurtic tail: CF pulls the 99% quantile IN vs Gaussian
+    assert(r.getAs[Double]("var99_cf") < r.getAs[Double]("var99_gauss"))
+  }
+
+  test("hubness: one-bucket IVF graph keeps k edges per query") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.995f, 0.0999f)),
+      (2L, Array(0.98f, 0.198f)), (3L, Array(0.955f, 0.2955f)),
+      (4L, Array(0.921f, 0.389f)), (5L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ops.SimilarityOps.hubness(vecs, "vec_id", "embedding",
+      k = 2, centroidEvery = 50, nprobe = 2).collect().head
+    assert(r.getAs[Long]("n_vecs") === 6L)
+    assert(r.getAs[Long]("n_edges") === 12L) // every query fills k = 2
+    assert(r.getAs[Double]("mean_indeg") === 2.0)
+    assert(r.getAs[Long]("max_indeg") >= 3L, "angle fan concentrates")
+    assert(r.getAs[Long]("n_antihubs") >= 1L, "the orthogonal outlier")
+  }
+
+  test("calinskiHarabasz: two tight separated clusters, CH = 50") {
+    // centroids (0,1) / (10,1), global (5,1); WSS = 2 per label,
+    // BSS = 2·25 per label → CH = (100/1)/(4/2) = 50
+    val emb = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(0f, 2f)),
+      (3L, 1, Array(10f, 0f)), (4L, 1, Array(10f, 2f)))
+      .toDF("vec_id", "label", "embedding")
+    val r = graft.ops.CorpusOps.calinskiHarabasz(emb)
+      .orderBy(col("label")).collect()
+    assert(r.map(_.getAs[Double]("wss_k")).toSeq === Seq(2.0, 2.0))
+    assert(r.map(_.getAs[Double]("bss_k")).toSeq === Seq(50.0, 50.0))
+    assert(r.head.getAs[Double]("ch_index") === 50.0)
+    assert(r.head.getAs[Long]("n") === 4L)
+  }
 }
