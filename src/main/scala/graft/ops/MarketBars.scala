@@ -613,6 +613,169 @@ object MarketBars {
           .as("r_acf"))
   }
 
+  /** Partial autocorrelation (lags 1–3) per series via the
+    * Durbin–Levinson recursion in closed form over [[acf]]'s
+    * correlations: φ₁₁ = r₁, φ₂₂ = (r₂ − r₁²)/(1 − r₁²),
+    * φ₃₃ = (r₃ − a₁'r₂ − φ₂₂r₁)/(1 − a₁'r₁ − φ₂₂r₂) with
+    * a₁' = r₁(1 − φ₂₂) — "does lag k add anything once lags < k are
+    * in the AR fit", the order-selection companion to q151's raw ACF
+    * (which confounds propagated lag-1 structure into every lag).
+    *
+    * Determinism: inputs are acf's 6dp correlations; the recursion
+    * runs in one shared double op order and rounds 6dp; degenerate
+    * denominators (|r₁| = 1 chains) null the deeper lags.
+    *
+    * Scale: acf's day-scoped machinery verbatim; the pivot and
+    * recursion live on |series| rows. */
+  def pacf(bars: DataFrame): DataFrame = {
+    val a = acf(bars, maxLag = 3)
+    val piv = a.groupBy(col("series")).agg(
+      min(col("n")).as("n_min"),
+      max(when(col("k") === 1, col("r_acf"))).as("r1"),
+      max(when(col("k") === 2, col("r_acf"))).as("r2"),
+      max(when(col("k") === 3, col("r_acf"))).as("r3"))
+    val r1 = col("r1"); val r2 = col("r2"); val r3 = col("r3")
+    // null-guarded denominators: ANSI mode would throw on /0 while
+    // EVALUATING the guard of the next level (d3 contains p2); a null
+    // divisor propagates null instead — exactly the fenced output
+    val d2 = lit(1.0) - r1 * r1
+    val d2n = when(d2 =!= 0.0, d2)
+    val p2 = (r2 - r1 * r1) / d2n
+    val a1p = r1 * (lit(1.0) - p2)
+    val d3 = lit(1.0) - a1p * r1 - p2 * r2
+    val d3n = when(d3 =!= 0.0, d3)
+    val p3 = (r3 - a1p * r2 - p2 * r1) / d3n
+    piv.select(col("series"), col("n_min"), r1, r2, r3,
+      r1.as("pacf1"),
+      when(r1.isNotNull && r2.isNotNull && d2 =!= 0.0,
+        round(p2, 6)).as("pacf2"),
+      when(r1.isNotNull && r2.isNotNull && r3.isNotNull &&
+        d2 =!= 0.0 && d3n.isNotNull, round(p3, 6)).as("pacf3"))
+  }
+
+  /** Yang–Zhang volatility per series from the daily OHLC rollup —
+    * the minimum-variance drift-independent range estimator
+    * (Yang & Zhang 2000): σ²_yz = V_o + k·V_c + (1−k)·V_rs with
+    * V_o/V_c the sample variances of the overnight and open-to-close
+    * log returns, V_rs the Rogers–Satchell mean, and
+    * k = 0.34/(1.34 + (n+1)/(n−1)). Reported next to Parkinson and
+    * plain RS so the overnight-gap contribution is visible — the
+    * piece q163's Garman–Klass (which assumes no drift, no gap)
+    * silently misprices.
+    *
+    * Determinism: daily O/H/L/C via the bars-CTE argmin/argmax tie
+    * rule; every log term scales to exact 1e8 longs (floor + 0.5);
+    * sums fold as DECIMAL products; variances, k, and the three
+    * annualized vols form in one shared double op order and round
+    * 6dp. Degenerate series (n < 2) null out.
+    *
+    * Scale: one (series, day) rollup, a day-granular per-series lag
+    * (calendar-bounded), one map-side-combined moment aggregate —
+    * |series| rows out. */
+  def yangZhang(bars: DataFrame, periodsPerYear: Double = 252.0): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    def l8(c: Column) = floor(log(c) * lit(1e8) + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("series")).orderBy(col("d"))
+    val daily = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(min(struct(col("bar_ts"), col("open")))
+          .getField("open").as("o"),
+        max(col("high")).as("h"), min(col("low")).as("l"),
+        max(struct(col("bar_ts"), col("close")))
+          .getField("close").as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .filter(col("pc").isNotNull && col("pc") > 0 && col("o") > 0 &&
+        col("h") > 0 && col("l") > 0 && col("c") > 0)
+      .select(col("series"),
+        l8(col("o") / col("pc")).as("lo"),
+        l8(col("c") / col("o")).as("lc"),
+        l8(col("h") / col("o")).as("lho"),
+        l8(col("h") / col("c")).as("lhc"),
+        l8(col("l") / col("o")).as("llo"),
+        l8(col("l") / col("c")).as("llc"),
+        l8(col("h") / col("l")).as("lhl"))
+    val agg = daily.groupBy(col("series")).agg(
+      count(lit(1)).as("n"),
+      sum(col("lo").cast(dec)).as("so"),
+      sum(col("lo").cast(dec) * col("lo").cast(dec)).as("soo"),
+      sum(col("lc").cast(dec)).as("sc"),
+      sum(col("lc").cast(dec) * col("lc").cast(dec)).as("scc"),
+      sum(col("lho").cast(dec) * col("lhc").cast(dec) +
+        col("llo").cast(dec) * col("llc").cast(dec)).as("srs"),
+      sum(col("lhl").cast(dec) * col("lhl").cast(dec)).as("shh"))
+    val n = dbl(col("n"))
+    val vo = (dbl(col("soo")) - dbl(col("so")) * dbl(col("so")) / n) /
+      (n - 1)
+    val vc = (dbl(col("scc")) - dbl(col("sc")) * dbl(col("sc")) / n) /
+      (n - 1)
+    val vrs = dbl(col("srs")) / n
+    val kf = lit(0.34) / (lit(1.34) + (n + 1) / (n - 1))
+    val ppy = lit(periodsPerYear)
+    val ok = col("n") > 1
+    agg.select(col("series"), col("n").as("n_days"),
+      when(ok, round(sqrt(ppy * dbl(col("shh")) /
+        (lit(4.0) * log(lit(2.0)) * n)) / lit(1e8), 6)).as("park_vol"),
+      when(ok && vrs >= 0,
+        round(sqrt(ppy * vrs) / lit(1e8), 6)).as("rs_vol"),
+      when(ok, round(kf, 6)).as("yz_k"),
+      when(ok && vo + kf * vc + (lit(1.0) - kf) * vrs >= 0,
+        round(sqrt(ppy * (vo + kf * vc + (lit(1.0) - kf) * vrs)) /
+          lit(1e8), 6)).as("yz_vol"))
+  }
+
+  /** Pettitt change-point test per series on the daily-close level:
+    * U_t = 2·Σ_{i≤t} R_i − t(n+1) over the full-sample ranks,
+    * K = max|U_t|, with the classic tail bound
+    * p ≈ 2·exp(−6K²/(n³+n²)) — the NONPARAMETRIC "did the level shift,
+    * and when" (a rank Mann–Whitney at every split point), robust to
+    * the heavy tails that push q144's mean-CUSUM around, and a formal
+    * p-value where q146's Page-CUSUM is a sequential monitor.
+    *
+    * Determinism: daily closes scale to exact 1e6 longs (bars-CTE
+    * argmax tie rule); ranks are DOUBLED midranks (exact integers
+    * under ties) so U_t = Σm2 − t(n+1) is all-integer; the argmax
+    * tie-breaks to the EARLIEST day via lexicographic
+    * max(struct(|U|, −t)); only p rounds (6dp, one op order).
+    *
+    * Scale: one (series, day) rollup; the rank and prefix windows run
+    * per series over the DAILY level — calendar-bounded rows per
+    * task, the q306 daily-chain class, never the raw tick history. */
+  def pettitt(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val wRank = Window.partitionBy(col("series")).orderBy(col("v"))
+    val wTie = Window.partitionBy(col("series"), col("v"))
+    val wT = Window.partitionBy(col("series")).orderBy(col("d"))
+    val wCum = wT.rowsBetween(Window.unboundedPreceding, 0)
+    val daily = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .select(col("series"), col("d"),
+        floor(col("close") * lit(1e6) + lit(0.5)).cast("long").as("v"))
+    val u = daily
+      .withColumn("m2",
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTie) - 1)
+      .withColumn("t", row_number().over(wT).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("series"))))
+      .withColumn("s2", sum(col("m2")).over(wCum))
+      .withColumn("u", col("s2") - col("t") * (col("n") + 1))
+      .filter(col("t") < col("n")) // U_n = 0 by construction
+    val agg = u.groupBy(col("series"))
+      .agg(max(col("n")).as("n_days"),
+        max(struct(abs(col("u")).as("a"), (-col("t")).as("nt"),
+          col("d").as("d"), col("u").as("u"))).as("mx"))
+    val k = dbl(col("mx").getField("a"))
+    val nd = dbl(col("n_days"))
+    val p = lit(2.0) * exp(lit(-6.0) * k * k / (nd * nd * nd + nd * nd))
+    agg.select(col("series"), col("n_days"),
+      col("mx").getField("a").as("k_stat"),
+      col("mx").getField("u").as("u_at_k"),
+      col("mx").getField("d").as("change_date"),
+      round(least(lit(1.0), p), 6).as("p_approx"), // tail bound can pass 1
+      (p < lit(0.05)).as("significant"))
+  }
+
   /** Shared sign chain for [[tickRuleFlow]] and [[kyleLambda]]: the
     * day-partitioned scaled-long Δclose, its sign, and the last-non-
     * zero carry-forward — one (series, day) window pass. */

@@ -200,6 +200,55 @@ object SimilarityOps {
       col("n_antihubs"), col("n_hubs"), col("max_indeg"))
   }
 
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    * vector the ratio μ = r₂/r₁ of its two nearest-neighbor distances
+    * follows Pareto(d) under local uniformity, so the MLE is
+    * d̂ = n / Σ ln μ — "how many dimensions do the embeddings REALLY
+    * use locally", the local companion to the global spectrum views
+    * (q260 PCA, q325 participation ratio): a 768-wide embedding with
+    * d̂ ≈ 10 is normal; d̂ ≈ 2 means the space collapsed.
+    *
+    * On unit vectors r² = 2(1 − cos), so
+    * ln μ = 0.5·ln((1 − c₂)/(1 − c₁)) straight from [[ivfTopK]]'s
+    * 6dp cosines. Exact duplicates (c₁ = 1, r₁ = 0) drop with the
+    * count reported — their μ is undefined.
+    *
+    * Determinism: per-vector terms round 12dp and fold as
+    * DECIMAL(38,12); the estimate forms in one shared double op order
+    * and rounds 6dp.
+    *
+    * Scale: the 2-NN relation is the bucketed IVF join (never
+    * all-pairs); the pivot is one qid-keyed aggregate; the fold is
+    * map-side-combined to a single row. */
+  def twoNN(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidEvery: Int,
+      nprobe: Int): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val knn = ivfTopK(emb, idCol, vecCol, k = 2, centroidEvery, nprobe,
+      lit(true))
+    val piv = knn.groupBy(col("qid")).agg(
+      max(when(col("rank") === 1, col("cosine"))).as("c1"),
+      max(when(col("rank") === 2, col("cosine"))).as("c2"))
+    val usable = col("c1").isNotNull && col("c2").isNotNull &&
+      col("c1") < 1.0
+    val term = round(lit(0.5) *
+      log((lit(1.0) - col("c2")) / (lit(1.0) - col("c1"))), 12)
+      .cast(DecimalType(38, 12))
+    val total = emb.agg(count(lit(1)).as("n_vecs"))
+    val agg = piv.agg(count(lit(1)).as("n_scored"),
+      sum(when(usable, lit(1L)).otherwise(0L)).as("n_used"),
+      sum(when(usable, term)).as("s"))
+      .crossJoin(broadcast(total))
+    agg.select(col("n_vecs"), col("n_scored"), col("n_used"),
+      when(col("n_used") > 0,
+        round(dbl(col("s")) / dbl(col("n_used")), 6)).as("mean_ln_mu"),
+      when(col("n_used") > 0 && dbl(col("s")) > 0,
+        round(dbl(col("n_used")) / dbl(col("s")), 6)).as("id_mle"))
+  }
+
   /** Objective for [[kmeansCodebook]]: total cosine of every vector to
     * its nearest centroid (spherical k-means maximizes this). */
   def assignmentObjective(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame): Double = {

@@ -1089,6 +1089,14 @@ object LlmQueries {
         "embedding", k = 5, centroidEvery = 50, nprobe = 2)
     }),
 
+    // TwoNN intrinsic dimension (SimilarityOps.twoNN): the local
+    // dimensionality MLE from 2-NN distance ratios over the IVF
+    // graph — the local twin of q325's global participation ratio
+    "q339_twonn" -> ((s, dir) => {
+      SimilarityOps.twoNN(Tables.embeddings(s, dir), "vec_id",
+        "embedding", centroidEvery = 50, nprobe = 2)
+    }),
+
     // Yule's K + Simpson repeat rate per source (CorpusOps.yulesK):
     // length-invariant repetition, the spectrum second moment next to
     // q236 hapax share and q171 Heaps growth
@@ -3829,6 +3837,58 @@ object LlmQueries {
               AS skew_indeg,
             n_antihubs, n_hubs, max_indeg
           FROM f2""",
+
+    // TwoNN twin: the IVF skeleton at k = 2, 6dp cosines pivoted to
+    // (c1, c2), duplicate (c1 = 1) drop, 12dp DECIMAL ln-ratio fold
+    "q339_twonn" ->
+      s"""WITH $embCte,
+          c AS (SELECT vec_id AS cid, v AS cv FROM e
+                WHERE vec_id % 50 = 0),
+          ac AS (SELECT e.vec_id, e.v, c.cid,
+                   ${duckCos("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+          assigned AS (SELECT vec_id, v, cid FROM
+                         (SELECT *, row_number() OVER (PARTITION BY
+                            vec_id ORDER BY ccos DESC, cid) AS rn
+                          FROM ac)
+                       WHERE rn = 1),
+          pc AS (SELECT qid, qv, cid, row_number() OVER
+                   (PARTITION BY qid ORDER BY qcos DESC, cid) AS prn
+                 FROM (SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+                         ${duckCos("e.v", "c.cv")} AS qcos
+                       FROM e CROSS JOIN c)),
+          probes AS (SELECT qid, qv, cid FROM pc WHERE prn <= 2),
+          cand AS (SELECT p.qid, a.vec_id AS nid,
+                     ${duckCos("p.qv", "a.v")} AS cosine
+                   FROM probes p JOIN assigned a
+                     ON a.cid = p.cid AND a.vec_id <> p.qid),
+          r AS (SELECT qid, cosine, row_number() OVER
+                  (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+                FROM cand),
+          piv AS (SELECT qid,
+                    max(CASE WHEN rank = 1 THEN round(cosine, 6) END)
+                      AS c1,
+                    max(CASE WHEN rank = 2 THEN round(cosine, 6) END)
+                      AS c2
+                  FROM r WHERE rank <= 2 GROUP BY 1),
+          tot AS (SELECT count(*) AS n_vecs FROM e),
+          a2 AS (SELECT count(*) AS n_scored,
+                   CAST(SUM(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+                     AND c1 < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_used,
+                   SUM(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+                     AND c1 < 1.0 THEN
+                       CAST(round(0.5*ln((1.0 - c2)/(1.0 - c1)), 12)
+                         AS DECIMAL(38,12)) END) AS s
+                 FROM piv)
+          SELECT tot.n_vecs, a2.n_scored, a2.n_used,
+            CASE WHEN n_used > 0 THEN
+              round(CAST(s AS DOUBLE)/CAST(n_used AS DOUBLE), 6)
+            END AS mean_ln_mu,
+            CASE WHEN n_used > 0 AND CAST(s AS DOUBLE) > 0 THEN
+              round(CAST(n_used AS DOUBLE)/CAST(s AS DOUBLE), 6)
+            END AS id_mle
+          FROM a2, tot""",
 
     // Burrows' Delta twin: TakeOrdered top-40 cut (ctf DESC, term
     // ASC), 8dp relative frequencies, sample-sd z-scores, DECIMAL

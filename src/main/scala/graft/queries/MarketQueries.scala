@@ -1289,6 +1289,34 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Pettitt change-point test (MarketBars.pettitt): rank-based
+    // level-shift detection on the daily closes with the classic
+    // tail p — the nonparametric WHERE+WHETHER next to q144's CUSUM
+    // and q308's parametric Chow split
+    "q340_pettitt" -> ((s, dir) => {
+      MarketBars.pettitt(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Partial autocorrelation lags 1-3 (MarketBars.pacf): the
+    // Durbin–Levinson recursion over q151's ACF — does lag k add
+    // anything once lags < k are fit (AR order selection)
+    "q337_pacf" -> ((s, dir) => {
+      MarketBars.pacf(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Yang–Zhang range volatility (MarketBars.yangZhang): the
+    // drift/gap-robust OHLC estimator next to q163's Garman–Klass,
+    // with Parkinson and Rogers–Satchell legs for the decomposition
+    "q338_yang_zhang" -> ((s, dir) => {
+      MarketBars.yangZhang(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Cornish–Fisher modified VaR (MarketBars.cornishFisher): the
     // Gaussian quantile expanded for q299's skew/kurtosis — what the
     // moments COST in tail risk, next to q205's historical VaR
@@ -4535,6 +4563,165 @@ object MarketQueries {
             CASE WHEN den > 0 THEN round(num/den, 6) < 1
             END AS mean_reverting
           FROM f ORDER BY series""",
+
+    // Pettitt twin: daily closes with the bars-CTE tie rule, doubled
+    // midranks, all-integer U path, lexicographic earliest-t argmax
+    "q340_pettitt" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    CAST(floor((max(struct_pack(t := bar_ts,
+                      v := close))).v * 1e6 + 0.5) AS BIGINT) AS v
+                  FROM bars GROUP BY 1, 2),
+          rk AS (SELECT series, d, v,
+                   2*rank() OVER (PARTITION BY series ORDER BY v)
+                     + count(*) OVER (PARTITION BY series, v) - 1 AS m2
+                 FROM dcl),
+          tt AS (SELECT series, d, m2,
+                   CAST(row_number() OVER (PARTITION BY series
+                     ORDER BY d) AS BIGINT) AS t,
+                   CAST(count(*) OVER (PARTITION BY series) AS BIGINT)
+                     AS n
+                 FROM rk),
+          uu AS (SELECT series, d, t, n,
+                   SUM(m2) OVER (PARTITION BY series ORDER BY d
+                     ROWS UNBOUNDED PRECEDING) - t*(n + 1) AS u
+                 FROM tt),
+          ag AS (SELECT series, CAST(max(n) AS BIGINT) AS n_days,
+                   max(struct_pack(a := abs(u), nt := -t, d := d,
+                     u := u)) AS mx
+                 FROM uu WHERE t < n GROUP BY 1),
+          f AS (SELECT series, n_days,
+                  CAST(mx.a AS BIGINT) AS k_stat,
+                  CAST(mx.u AS BIGINT) AS u_at_k,
+                  mx.d AS change_date,
+                  2.0*exp(-6.0*CAST(mx.a AS DOUBLE)*CAST(mx.a AS DOUBLE)
+                    /(CAST(n_days AS DOUBLE)*CAST(n_days AS DOUBLE)
+                        *CAST(n_days AS DOUBLE)
+                      + CAST(n_days AS DOUBLE)*CAST(n_days AS DOUBLE)))
+                    AS p
+                FROM ag)
+          SELECT series, n_days, k_stat, u_at_k, change_date,
+            round(least(1.0, p), 6) AS p_approx,
+            p < 0.05 AS significant
+          FROM f ORDER BY series""",
+
+    // PACF twin: q151's ACF chain at maxLag 3, pivoted, then the
+    // Durbin–Levinson recursion on the SAME 6dp correlations
+    "q337_pacf" -> {
+      val branches = (1 to 3).map { k =>
+        s"""SELECT series, $k AS k, d6 AS x, lag(d6, $k) OVER w$k AS y
+            FROM dd WINDOW w$k AS (PARTITION BY series ORDER BY bar_ts)"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH $barsCte,
+          d AS (SELECT series, bar_ts,
+                  CAST(floor((close - lag(close) OVER
+                    (PARTITION BY series ORDER BY bar_ts)) * 1e6 + 0.5)
+                    AS BIGINT) AS d6
+                FROM bars),
+          dd AS (SELECT * FROM d WHERE d6 IS NOT NULL),
+          sh AS (
+          $branches),
+          g AS (SELECT series, k, count(*) AS n,
+                  sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                  sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                  sum(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+                  sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+                  sum(CAST(y*y AS DECIMAL(38,0))) AS syy
+                FROM sh WHERE y IS NOT NULL GROUP BY 1, 2),
+          f AS (SELECT series, k, n,
+                  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy
+                FROM g),
+          r AS (SELECT series, k, n,
+                  CASE WHEN vx > 0 AND vy > 0
+                    THEN round(num / (sqrt(vx)*sqrt(vy)), 6) END AS r_acf
+                FROM f),
+          piv AS (SELECT series, min(n) AS n_min,
+                    max(CASE WHEN k = 1 THEN r_acf END) AS r1,
+                    max(CASE WHEN k = 2 THEN r_acf END) AS r2,
+                    max(CASE WHEN k = 3 THEN r_acf END) AS r3
+                  FROM r GROUP BY 1),
+          dl AS (SELECT *, 1.0 - r1*r1 AS d2,
+                   (r2 - r1*r1)/(1.0 - r1*r1) AS p2
+                 FROM piv),
+          dl2 AS (SELECT *, r1*(1.0 - p2) AS a1p,
+                    1.0 - r1*(1.0 - p2)*r1 - p2*r2 AS d3
+                  FROM dl)
+          SELECT series, CAST(n_min AS BIGINT) AS n_min, r1, r2, r3,
+            r1 AS pacf1,
+            CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND d2 <> 0.0
+              THEN round(p2, 6) END AS pacf2,
+            CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+              AND r3 IS NOT NULL AND d2 <> 0.0 AND d3 <> 0.0
+              THEN round((r3 - a1p*r2 - p2*r1)/d3, 6) END AS pacf3
+          FROM dl2 ORDER BY series"""
+    },
+
+    // Yang–Zhang twin: daily OHLC with the bars-CTE tie rule, exact
+    // 1e8 log terms, DECIMAL quadratic folds, shared vol op order
+    "q338_yang_zhang" ->
+      s"""WITH $barsCte,
+          dly AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (min(struct_pack(t := bar_ts, v := open))).v AS o,
+                    max(high) AS h, min(low) AS l,
+                    (max(struct_pack(t := bar_ts, v := close))).v AS c
+                  FROM bars GROUP BY 1, 2),
+          lg AS (SELECT *, lag(c) OVER
+                   (PARTITION BY series ORDER BY d) AS pc
+                 FROM dly),
+          t AS (SELECT series,
+                  CAST(floor(ln(o/pc)*1e8 + 0.5) AS BIGINT) AS lo,
+                  CAST(floor(ln(c/o)*1e8 + 0.5) AS BIGINT) AS lc,
+                  CAST(floor(ln(h/o)*1e8 + 0.5) AS BIGINT) AS lho,
+                  CAST(floor(ln(h/c)*1e8 + 0.5) AS BIGINT) AS lhc,
+                  CAST(floor(ln(l/o)*1e8 + 0.5) AS BIGINT) AS llo,
+                  CAST(floor(ln(l/c)*1e8 + 0.5) AS BIGINT) AS llc,
+                  CAST(floor(ln(h/l)*1e8 + 0.5) AS BIGINT) AS lhl
+                FROM lg
+                WHERE pc IS NOT NULL AND pc > 0 AND o > 0 AND h > 0
+                  AND l > 0 AND c > 0),
+          a AS (SELECT series, count(*) AS n,
+                  SUM(CAST(lo AS DECIMAL(38,0))) AS so,
+                  SUM(CAST(lo AS DECIMAL(38,0))
+                    *CAST(lo AS DECIMAL(38,0))) AS soo,
+                  SUM(CAST(lc AS DECIMAL(38,0))) AS sc,
+                  SUM(CAST(lc AS DECIMAL(38,0))
+                    *CAST(lc AS DECIMAL(38,0))) AS scc,
+                  SUM(CAST(lho AS DECIMAL(38,0))
+                      *CAST(lhc AS DECIMAL(38,0))
+                    + CAST(llo AS DECIMAL(38,0))
+                      *CAST(llc AS DECIMAL(38,0))) AS srs,
+                  SUM(CAST(lhl AS DECIMAL(38,0))
+                    *CAST(lhl AS DECIMAL(38,0))) AS shh
+                FROM t GROUP BY 1),
+          v AS (SELECT series, n, CAST(n AS DOUBLE) AS nd,
+                  (CAST(soo AS DOUBLE) - CAST(so AS DOUBLE)
+                    *CAST(so AS DOUBLE)/CAST(n AS DOUBLE))
+                    /(CAST(n AS DOUBLE) - 1) AS vo,
+                  (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+                    *CAST(sc AS DOUBLE)/CAST(n AS DOUBLE))
+                    /(CAST(n AS DOUBLE) - 1) AS vc,
+                  CAST(srs AS DOUBLE)/CAST(n AS DOUBLE) AS vrs,
+                  CAST(shh AS DOUBLE) AS shhd
+                FROM a),
+          kk AS (SELECT *,
+                   0.34/(1.34 + (nd + 1)/(nd - 1)) AS kf
+                 FROM v)
+          SELECT series, n AS n_days,
+            CASE WHEN n > 1 THEN
+              round(sqrt(252.0*shhd/(4.0*ln(2.0)*nd))/1e8, 6)
+            END AS park_vol,
+            CASE WHEN n > 1 AND vrs >= 0 THEN
+              round(sqrt(252.0*vrs)/1e8, 6) END AS rs_vol,
+            CASE WHEN n > 1 THEN round(kf, 6) END AS yz_k,
+            CASE WHEN n > 1 AND vo + kf*vc + (1.0 - kf)*vrs >= 0 THEN
+              round(sqrt(252.0*(vo + kf*vc + (1.0 - kf)*vrs))/1e8, 6)
+            END AS yz_vol
+          FROM kk ORDER BY series""",
 
     // Cornish–Fisher twin: q299's exact moment chain, then the
     // quantile expansion on the SAME 6dp mu/sg/sk/xk doubles with

@@ -631,6 +631,79 @@ class Round8Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_antihubs") >= 1L, "the orthogonal outlier")
   }
 
+  test("pacf: perfectly alternating changes pin r1 = -1, fence pacf2") {
+    // d6 alternates ±c exactly → lag-1 correlation −1 → the DL
+    // denominator 1 − r1² is 0 and deeper lags must null out
+    val rows = Seq.tabulate(60) { i =>
+      ("s", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, 0, i)),
+        if (i % 2 == 0) 100.0 else 110.0)
+    }
+    val bars = rows.toDF("series", "ts", "close")
+      .select(col("series"), col("ts").as("bar_ts"), col("close"))
+    val r = graft.ops.MarketBars.pacf(bars).collect().head
+    assert(r.getAs[Double]("r1") === -1.0)
+    assert(r.getAs[Double]("pacf1") === -1.0)
+    assert(r.isNullAt(r.fieldIndex("pacf2")), "singular DL step fenced")
+  }
+
+  test("yangZhang: flat OHLC days give zero vol and the closed-form k") {
+    // 3 identical all-flat days → every log term 0 → all vols 0;
+    // n = 2 spells → k = 0.34/(1.34 + 3/1)
+    val rows = (1 to 3).map { day =>
+      ("s", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, day, 10, 0, 0)),
+        100.0, 100.0, 100.0, 100.0)
+    }
+    val bars = rows.toDF("series", "bar_ts", "open", "high", "low", "close")
+    val r = graft.ops.MarketBars.yangZhang(bars).collect().head
+    assert(r.getAs[Long]("n_days") === 2L)
+    assert(r.getAs[Double]("park_vol") === 0.0)
+    assert(r.getAs[Double]("rs_vol") === 0.0)
+    assert(r.getAs[Double]("yz_vol") === 0.0)
+    assert(r.getAs[Double]("yz_k") === 0.078341) // 0.34/4.34
+  }
+
+  test("twoNN: duplicates drop, hand-computed Pareto MLE") {
+    // q0/q1 are exact duplicates (c1 = 1 → undefined ratio, dropped);
+    // q2: c1 = .8, c2 = 0; q3: c1 = .8, c2 = .6
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ops.SimilarityOps.twoNN(vecs, "vec_id", "embedding",
+      centroidEvery = 50, nprobe = 2).collect().head
+    assert(r.getAs[Long]("n_vecs") === 4L)
+    assert(r.getAs[Long]("n_used") === 2L)
+    def r12(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    val s = r12(0.5 * math.log((1.0 - 0.0) / (1.0 - 0.8))) +
+      r12(0.5 * math.log((1.0 - 0.6) / (1.0 - 0.8)))
+    val want = java.math.BigDecimal.valueOf(2.0 / s)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r.getAs[Double]("id_mle") === want)
+  }
+
+  test("pettitt: clean level shift locates the split day exactly") {
+    // closes 1,1,1 then 10,10,10 → U = (−3,−6,−9,−6,−3), K = 9 at
+    // day 3, p = 2·exp(−486/252)
+    val rows = (1 to 6).map { day =>
+      ("s", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, day, 10, 0, 0)),
+        if (day <= 3) 1.0 else 10.0)
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.pettitt(bars).collect().head
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[Long]("k_stat") === 9L)
+    assert(r.getAs[java.sql.Date]("change_date").toString === "2024-01-03")
+    val p = 2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0))
+    val want = java.math.BigDecimal.valueOf(p)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r.getAs[Double]("p_approx") === want)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
   test("calinskiHarabasz: two tight separated clusters, CH = 50") {
     // centroids (0,1) / (10,1), global (5,1); WSS = 2 per label,
     // BSS = 2·25 per label → CH = (100/1)/(4/2) = 50
