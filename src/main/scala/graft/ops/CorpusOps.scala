@@ -1800,9 +1800,7 @@ object CorpusOps {
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false) // top-K leg + totals + freq leg
-    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
-      .orderBy(col("ctf").desc, col("term")).limit(topK)
-      .select(col("term"))
+    val top = topTermsByCount(tf, topK)
     val totals = tf.groupBy(col("source")).agg(sum(col("tf")).as("nt"))
     val f = totals.crossJoin(broadcast(top))
       .join(tf, Seq("source", "term"), "left")
@@ -1837,6 +1835,16 @@ object CorpusOps {
             .cast(DecimalType(18, 6)))) /
           dbl(count(lit(1))), 6).as("delta"))
   }
+
+  /** Top-K corpus terms by total frequency from a (source, term, tf)
+    * relation, total-ordered (ctf DESC, term ASC). The orderBy+limit
+    * shape compiles to TakeOrderedAndProject — a DISTRIBUTED top-k,
+    * never a single-partition rank window over the growing
+    * vocabulary (ScaleSpec locks the plan). */
+  def topTermsByCount(tf: DataFrame, topK: Int): DataFrame =
+    tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      .orderBy(col("ctf").desc, col("term")).limit(topK)
+      .select(col("term"))
 
   /** Yule's K vocabulary-richness characteristic per source:
     * K = 10⁴·(Σ_m m²·V_m − N)/N² over the term-frequency spectrum

@@ -724,6 +724,258 @@ object MarketBars {
           lit(1e8), 6)).as("yz_vol"))
   }
 
+  /** Detrended fluctuation analysis per series (Peng et al. 1994):
+    * integrate the r8 returns into the profile y_t, split it into
+    * non-overlapping windows of s ∈ {8, 16, 32} bars, remove each
+    * window's OLS line, and measure F(s) = √(mean residual²); the
+    * scaling exponent α (slope of ln F on ln s) reads long-memory
+    * directly — α ≈ 0.5 uncorrelated, > 0.5 persistent, < 0.5
+    * anti-persistent. The window-detrended, nonstationarity-robust
+    * companion to q153's rescaled-range Hurst.
+    *
+    * Determinism: the profile is an EXACT integer cumsum (r8 longs)
+    * through the [[ScalableRank]] two-pass escape — never a
+    * single-task prefix; per-window RSS forms from DECIMAL integer
+    * moments with the index-sum constants s(s−1)/2, s(s−1)(2s−1)/6
+    * in one shared double op order, clamps at 0 (roundoff can land
+    * −ε), rounds 6dp, DECIMAL-folds per scale; F(s) and the 3-point
+    * log-log slope (12dp-rounded logs, DECIMAL sums — the zipfSlope
+    * machinery) round 6dp.
+    *
+    * Scale: one balanced two-pass index+prefix; the scale explode is
+    * a 3× map-side fan-out; everything after lives on
+    * |series|·scales·windows aggregate rows. */
+  def dfa(bars: DataFrame, scales: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val aug = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", 2)
+    val rr = aug
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("__emit") && col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
+    val idx = ScalableRank.withRowIndex(rr, Seq("series"),
+      Seq(col("bar_ts")), "t", "nn")
+    val prof = ScalableRank.cumSum(idx, Seq("series"),
+      Seq(col("bar_ts")), col("r8").cast(dec), "yd")
+      .withColumn("y", col("yd").cast("long"))
+    val cells = prof
+      .withColumn("s", explode(array(scales.map(lit): _*)))
+      .withColumn("win",
+        floor((col("t") - lit(1L)).cast(DoubleType) /
+          dbl(col("s"))).cast("long"))
+      .withColumn("j", (col("t") - lit(1L)) % col("s"))
+      .filter(col("win") <
+        floor(dbl(col("nn")) / dbl(col("s"))).cast("long"))
+    def d(c: Column) = c.cast(dec)
+    val winAgg = cells.groupBy(col("series"), col("s"), col("win"))
+      .agg(sum(d(col("y"))).as("sy"),
+        sum(d(col("y")) * d(col("y"))).as("syy"),
+        sum(d(col("j")) * d(col("y"))).as("sjy"))
+    val sd = dbl(col("s"))
+    val sjd = sd * (sd - lit(1.0)) / lit(2.0)
+    val sjjd = sd * (sd - lit(1.0)) * (lit(2.0) * sd - lit(1.0)) / lit(6.0)
+    val syyC = dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / sd
+    val sjyC = dbl(col("sjy")) - sjd * dbl(col("sy")) / sd
+    val sjjC = sjjd - sjd * sjd / sd
+    val rss = syyC - sjyC * sjyC / sjjC
+    val fs = winAgg
+      .select(col("series"), col("s"),
+        round(greatest(rss, lit(0.0)), 6).cast(DecimalType(38, 6))
+          .as("rss6"))
+      .groupBy(col("series"), col("s"))
+      .agg(count(lit(1)).as("nwin"), sum(col("rss6")).as("srss"))
+      .select(col("series"), col("s"), col("nwin"),
+        when(dbl(col("srss")) >= 0,
+          round(sqrt(dbl(col("srss")) / (dbl(col("nwin")) * dbl(col("s")))),
+            6)).as("f"))
+      .localCheckpoint(eager = false) // pivot + slope legs
+    val pts = fs.filter(col("f") > 0)
+      .select(col("series"),
+        round(log(dbl(col("s"))), 12).as("x"),
+        round(log(col("f")), 12).as("y"))
+    val slope = pts.groupBy(col("series"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("x").cast(dec12)).as("sx"),
+        sum(col("y").cast(dec12)).as("sy2"),
+        sum(round(col("x") * col("y"), 12).cast(dec12)).as("sxy"),
+        sum(round(col("x") * col("x"), 12).cast(dec12)).as("sxx"))
+    val np = dbl(col("np"))
+    val den = np * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val denN = when(den =!= 0.0, den)
+    val alpha = (np * dbl(col("sxy")) -
+      dbl(col("sx")) * dbl(col("sy2"))) / denN
+    val aggExprs = scales.map(sc =>
+      max(when(col("s") === sc, col("f"))).as(s"f$sc"))
+    val piv = fs.groupBy(col("series"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    piv.join(slope.select(col("series"),
+        when(col("np") >= 2 && denN.isNotNull,
+          round(alpha, 6)).as("dfa_alpha")),
+        Seq("series"), "left")
+      .select(col("series") +: scales.map(sc => col(s"f$sc")) :+
+        col("dfa_alpha"): _*)
+  }
+
+  /** Binned mutual information between series-pair returns: each
+    * series' r8 returns quintile independently (exact global ntile
+    * through the [[ScalableRank]] escape, (r8, bar_ts) total order),
+    * the aligned quintile pairs form a 5×5 joint histogram, and
+    * MI = Σ p_ij·ln(p_ij/(p_i·p_j)) with NMI = MI/min(H_a, H_b) —
+    * the NONLINEAR dependence read where q85/q259's Pearson sees
+    * only lines (a perfect V-shape scores 0 correlation, full MI).
+    *
+    * Determinism: quintiles are exact ntile semantics; all counts
+    * integer; each MI/entropy term rounds 12dp and folds as
+    * DECIMAL(38,12); MI, H, NMI finish in one shared double op order
+    * and round 6dp.
+    *
+    * Scale: one two-pass ntile per series family, one bar_ts-keyed
+    * pair join (|series| rows per key), joint cells bounded by
+    * |series|²·buckets². */
+  def returnMi(bars: DataFrame, buckets: Int = 5): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val aug = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", 2)
+    val rr = aug
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("__emit") && col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
+    val binned = ScalableRank.ntile(rr, Seq("series"),
+        Seq(col("r8"), col("bar_ts")), buckets, "qb")
+      .select(col("series"), col("bar_ts"), col("qb"))
+      .localCheckpoint(eager = false) // both pair legs
+    val a = binned.select(col("series").as("series_a"), col("bar_ts"),
+      col("qb").as("qa"))
+    val b = binned.select(col("series").as("series_b"), col("bar_ts"),
+      col("qb").as("qb2"))
+    val joint = a.join(b, "bar_ts")
+      .filter(col("series_a") < col("series_b"))
+      .groupBy(col("series_a"), col("series_b"), col("qa"), col("qb2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // cells + two margin legs
+    val keys = Seq("series_a", "series_b")
+    val ma = joint.groupBy(col("series_a"), col("series_b"), col("qa"))
+      .agg(sum(col("c")).as("ri"))
+    val mb = joint.groupBy(col("series_a"), col("series_b"), col("qb2"))
+      .agg(sum(col("c")).as("cj"))
+    val tot = ma.groupBy(col("series_a"), col("series_b"))
+      .agg(sum(col("ri")).as("n"))
+    val nd = dbl(col("n"))
+    val miTerm = round(dbl(col("c")) / nd *
+      log(dbl(col("c")) * nd / (dbl(col("ri")) * dbl(col("cj")))), 12)
+      .cast(dec12)
+    val mi12 = joint
+      .join(ma, keys :+ "qa").join(mb, keys :+ "qb2")
+      .join(tot, keys)
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(sum(miTerm).as("mi12"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.join(tot, keys)
+        .groupBy(col("series_a"), col("series_b"))
+        .agg(sum(round(dbl(col(cnt)) / nd *
+          log(dbl(col(cnt)) / nd), 12).cast(dec12)).as(out))
+    val agg = mi12
+      .join(entropy(ma, "ri", "ha12"), keys)
+      .join(entropy(mb, "cj", "hb12"), keys)
+      .join(tot, keys)
+    val mi = dbl(col("mi12"))
+    val ha = -dbl(col("ha12"))
+    val hb = -dbl(col("hb12"))
+    agg.select(col("series_a"), col("series_b"), col("n"),
+      round(mi, 6).as("mi"),
+      round(ha, 6).as("h_a"), round(hb, 6).as("h_b"),
+      when(least(ha, hb) > 0, round(mi / least(ha, hb), 6)).as("nmi"))
+  }
+
+  /** Pairwise Granger causality at lag 1: for every ordered series
+    * pair (cause → effect), F-test of whether the cause's lagged
+    * return improves the effect's AR(1) fit —
+    * F = (RSS_r − RSS_u)/(RSS_u/(n−3)) for the single restriction,
+    * against the χ²(1) 5% fence 3.841459. The DIRECTED version of
+    * q259's lead–lag correlation matrix (which is symmetric
+    * evidence) and the time-series companion to q172's
+    * cointegration.
+    *
+    * Determinism: the return chain is the q250-style pre-filtered r8
+    * with its lag, day-scoped (ScalableWindow, carry 3 — chain reach
+    * 2); the nine regression moments fold as DECIMAL(38,0) integer
+    * products (the q332 machinery); both RSS forms and F run in one
+    * shared double op order and round 6dp. Degenerate pairs (n < 4,
+    * collinear lags, zero unrestricted residual) null out.
+    *
+    * Scale: ONE checkpointed return relation feeds both join legs;
+    * the pair join is bar_ts-keyed with |series| rows per key —
+    * output and moments are |series|²-bounded, the leadLagMatrix
+    * cost shape. */
+  def granger(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val aug = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", 3)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val rr = aug
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .withColumn("rl8", lag(col("r8"), 1).over(w))
+      .filter(col("__emit") && col("r8").isNotNull && col("rl8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"), col("rl8"))
+      .localCheckpoint(eager = false) // effect leg + cause leg
+    val y = rr.select(col("series").as("effect"), col("bar_ts"),
+      col("r8").as("yv"), col("rl8").as("x1"))
+    val x = rr.select(col("series").as("cause"), col("bar_ts"),
+      col("rl8").as("x2"))
+    def d(c: Column) = c.cast(dec)
+    val agg = y.join(x, "bar_ts")
+      .filter(col("effect") =!= col("cause"))
+      .groupBy(col("cause"), col("effect"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x1"))).as("sx1"), sum(d(col("x2"))).as("sx2"),
+        sum(d(col("yv"))).as("sy"),
+        sum(d(col("x1")) * d(col("x1"))).as("sx11"),
+        sum(d(col("x2")) * d(col("x2"))).as("sx22"),
+        sum(d(col("x1")) * d(col("x2"))).as("sx12"),
+        sum(d(col("x1")) * d(col("yv"))).as("sx1y"),
+        sum(d(col("x2")) * d(col("yv"))).as("sx2y"),
+        sum(d(col("yv")) * d(col("yv"))).as("syy"))
+    val n = dbl(col("n"))
+    val s11 = dbl(col("sx11")) - dbl(col("sx1")) * dbl(col("sx1")) / n
+    val s22 = dbl(col("sx22")) - dbl(col("sx2")) * dbl(col("sx2")) / n
+    val s12 = dbl(col("sx12")) - dbl(col("sx1")) * dbl(col("sx2")) / n
+    val s1y = dbl(col("sx1y")) - dbl(col("sx1")) * dbl(col("sy")) / n
+    val s2y = dbl(col("sx2y")) - dbl(col("sx2")) * dbl(col("sy")) / n
+    val syc = dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / n
+    val det = s11 * s22 - s12 * s12
+    val b1 = (s1y * s22 - s2y * s12) / det
+    val b2 = (s11 * s2y - s12 * s1y) / det
+    val rssU = syc - b1 * s1y - b2 * s2y
+    val rssR = syc - s1y * s1y / s11
+    val f = (rssR - rssU) / (rssU / (n - 3))
+    val ok = col("n") > 3 && det > 0 && s11 > 0 && rssU > 0
+    agg.select(col("cause"), col("effect"), col("n"),
+      when(ok, round(b2, 6)).as("b_xlag"),
+      when(ok, round(f, 6)).as("f_stat"),
+      when(ok, f > lit(3.841459)).as("granger_causes"))
+  }
+
   /** Pettitt change-point test per series on the daily-close level:
     * U_t = 2·Σ_{i≤t} R_i − t(n+1) over the full-sample ranks,
     * K = max|U_t|, with the classic tail bound

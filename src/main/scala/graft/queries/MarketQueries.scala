@@ -1289,6 +1289,34 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Pairwise Granger causality (MarketBars.granger): does series
+    // X's lagged return improve series Y's AR(1) fit — the DIRECTED
+    // complement of q259's symmetric lead–lag correlations
+    "q341_granger" -> ((s, dir) => {
+      MarketBars.granger(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("cause"), col("effect"))
+    }),
+
+    // Detrended fluctuation analysis (MarketBars.dfa): window-
+    // detrended scaling exponent over the integrated return profile
+    // — the nonstationarity-robust long-memory read next to q153's
+    // rescaled-range Hurst
+    "q342_dfa" -> ((s, dir) => {
+      MarketBars.dfa(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Binned return mutual information (MarketBars.returnMi): 5×5
+    // quintile histogram MI + NMI per series pair — the nonlinear
+    // dependence read q85/q259's Pearson structurally misses
+    "q343_return_mi" -> ((s, dir) => {
+      MarketBars.returnMi(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series_a"), col("series_b"))
+    }),
+
     // Pettitt change-point test (MarketBars.pettitt): rank-based
     // level-shift detection on the daily closes with the classic
     // tail p — the nonparametric WHERE+WHETHER next to q144's CUSUM
@@ -4563,6 +4591,242 @@ object MarketQueries {
             CASE WHEN den > 0 THEN round(num/den, 6) < 1
             END AS mean_reverting
           FROM f ORDER BY series""",
+
+    // Granger twin: pre-filtered r8 chain with its lag (plain global
+    // per-series windows — day-scope equivalence is the q151 rule),
+    // the q332 nine-moment machinery, both RSS forms in one op order
+    "q341_granger" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r0 AS (SELECT series, bar_ts,
+                  CASE WHEN prev_c IS NOT NULL AND prev_c > 0
+                    THEN CAST(floor(ln(close/prev_c) * 1e8 + 0.5)
+                      AS BIGINT) END AS r8
+                FROM l),
+          rr AS (SELECT series, bar_ts, r8,
+                   lag(r8) OVER (PARTITION BY series ORDER BY bar_ts)
+                     AS rl8
+                 FROM r0),
+          rc AS (SELECT series, bar_ts, r8, rl8 FROM rr
+                 WHERE r8 IS NOT NULL AND rl8 IS NOT NULL),
+          p AS (SELECT x.series AS cause, y.series AS effect,
+                  y.r8 AS yv, y.rl8 AS x1, x.rl8 AS x2
+                FROM rc y JOIN rc x ON y.bar_ts = x.bar_ts
+                  AND y.series <> x.series),
+          a AS (SELECT cause, effect, count(*) AS n,
+                  SUM(CAST(x1 AS DECIMAL(38,0))) AS sx1,
+                  SUM(CAST(x2 AS DECIMAL(38,0))) AS sx2,
+                  SUM(CAST(yv AS DECIMAL(38,0))) AS sy,
+                  SUM(CAST(x1 AS DECIMAL(38,0))
+                    *CAST(x1 AS DECIMAL(38,0))) AS sx11,
+                  SUM(CAST(x2 AS DECIMAL(38,0))
+                    *CAST(x2 AS DECIMAL(38,0))) AS sx22,
+                  SUM(CAST(x1 AS DECIMAL(38,0))
+                    *CAST(x2 AS DECIMAL(38,0))) AS sx12,
+                  SUM(CAST(x1 AS DECIMAL(38,0))
+                    *CAST(yv AS DECIMAL(38,0))) AS sx1y,
+                  SUM(CAST(x2 AS DECIMAL(38,0))
+                    *CAST(yv AS DECIMAL(38,0))) AS sx2y,
+                  SUM(CAST(yv AS DECIMAL(38,0))
+                    *CAST(yv AS DECIMAL(38,0))) AS syy
+                FROM p GROUP BY 1, 2),
+          c AS (SELECT cause, effect, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx1 AS DOUBLE) AS dx1, CAST(sx2 AS DOUBLE) AS dx2,
+                  CAST(sy AS DOUBLE) AS dy,
+                  CAST(sx11 AS DOUBLE) AS d11,
+                  CAST(sx22 AS DOUBLE) AS d22,
+                  CAST(sx12 AS DOUBLE) AS d12,
+                  CAST(sx1y AS DOUBLE) AS d1y,
+                  CAST(sx2y AS DOUBLE) AS d2y,
+                  CAST(syy AS DOUBLE) AS dyy
+                FROM a),
+          m AS (SELECT cause, effect, n, nd,
+                  d11 - dx1*dx1/nd AS s11,
+                  d22 - dx2*dx2/nd AS s22,
+                  d12 - dx1*dx2/nd AS s12,
+                  d1y - dx1*dy/nd AS s1y,
+                  d2y - dx2*dy/nd AS s2y,
+                  dyy - dy*dy/nd AS syc
+                FROM c),
+          d AS (SELECT *, s11*s22 - s12*s12 AS det FROM m),
+          b AS (SELECT *, (s1y*s22 - s2y*s12)/det AS b1,
+                  (s11*s2y - s12*s1y)/det AS b2 FROM d),
+          e AS (SELECT *, syc - b1*s1y - b2*s2y AS rssu,
+                  syc - s1y*s1y/s11 AS rssr FROM b)
+          SELECT cause, effect, n,
+            CASE WHEN n > 3 AND det > 0 AND s11 > 0
+              AND rssu > 0 THEN round(b2, 6) END AS b_xlag,
+            CASE WHEN n > 3 AND det > 0 AND s11 > 0 AND rssu > 0
+              THEN round((rssr - rssu)/(rssu/(nd - 3)), 6)
+            END AS f_stat,
+            CASE WHEN n > 3 AND det > 0 AND s11 > 0 AND rssu > 0
+              THEN (rssr - rssu)/(rssu/(nd - 3)) > 3.841459
+            END AS granger_causes
+          FROM e ORDER BY cause, effect""",
+
+    // DFA twin: exact integer profile via the plain prefix window
+    // (two-pass equivalence is the ScalableRank contract), the same
+    // index-sum constants, clamped RSS, 3-point log-log slope
+    "q342_dfa" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l
+                WHERE prev_c IS NOT NULL AND prev_c > 0),
+          prof AS (SELECT series, bar_ts, r8,
+                     CAST(row_number() OVER
+                       (PARTITION BY series ORDER BY bar_ts) AS BIGINT)
+                       AS t,
+                     CAST(count(*) OVER (PARTITION BY series) AS BIGINT)
+                       AS nn,
+                     CAST(SUM(r8) OVER (PARTITION BY series
+                       ORDER BY bar_ts ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS y
+                   FROM r),
+          cells AS (SELECT series, s,
+                      CAST(floor(CAST(t - 1 AS DOUBLE)
+                        /CAST(s AS DOUBLE)) AS BIGINT) AS win,
+                      (t - 1) % s AS j, y, nn
+                    FROM prof, unnest([8, 16, 32]) AS u(s)),
+          cw AS (SELECT * FROM cells
+                 WHERE win < CAST(floor(CAST(nn AS DOUBLE)
+                   /CAST(s AS DOUBLE)) AS BIGINT)),
+          wa AS (SELECT series, s, win,
+                   SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(y AS DECIMAL(38,0))
+                     *CAST(y AS DECIMAL(38,0))) AS syy,
+                   SUM(CAST(j AS DECIMAL(38,0))
+                     *CAST(y AS DECIMAL(38,0))) AS sjy
+                 FROM cw GROUP BY 1, 2, 3),
+          rs AS (SELECT series, s,
+                   CAST(round(greatest(
+                     (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       *CAST(sy AS DOUBLE)/CAST(s AS DOUBLE))
+                     - (CAST(sjy AS DOUBLE)
+                         - (CAST(s AS DOUBLE)*(CAST(s AS DOUBLE) - 1.0)
+                            /2.0)*CAST(sy AS DOUBLE)/CAST(s AS DOUBLE))
+                       *(CAST(sjy AS DOUBLE)
+                         - (CAST(s AS DOUBLE)*(CAST(s AS DOUBLE) - 1.0)
+                            /2.0)*CAST(sy AS DOUBLE)/CAST(s AS DOUBLE))
+                       /((CAST(s AS DOUBLE)*(CAST(s AS DOUBLE) - 1.0)
+                           *(2.0*CAST(s AS DOUBLE) - 1.0)/6.0)
+                         - (CAST(s AS DOUBLE)*(CAST(s AS DOUBLE) - 1.0)
+                            /2.0)*(CAST(s AS DOUBLE)
+                           *(CAST(s AS DOUBLE) - 1.0)/2.0)
+                           /CAST(s AS DOUBLE)),
+                     0.0), 6) AS DECIMAL(38,6)) AS rss6
+                 FROM wa),
+          fsx AS (SELECT series, s, count(*) AS nwin,
+                    SUM(rss6) AS srss
+                  FROM rs GROUP BY 1, 2),
+          fs AS (SELECT series, s, nwin,
+                   CASE WHEN CAST(srss AS DOUBLE) >= 0 THEN
+                     round(sqrt(CAST(srss AS DOUBLE)
+                       /(CAST(nwin AS DOUBLE)*CAST(s AS DOUBLE))), 6)
+                   END AS f
+                 FROM fsx),
+          pts AS (SELECT series, round(ln(CAST(s AS DOUBLE)), 12) AS x,
+                    round(ln(f), 12) AS y
+                  FROM fs WHERE f > 0),
+          sl AS (SELECT series, count(*) AS np,
+                   SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,12))) AS sy2,
+                   SUM(CAST(round(x*y, 12) AS DECIMAL(38,12))) AS sxy,
+                   SUM(CAST(round(x*x, 12) AS DECIMAL(38,12))) AS sxx
+                 FROM pts GROUP BY 1),
+          al AS (SELECT series,
+                   CASE WHEN np >= 2
+                     AND CAST(np AS DOUBLE)*CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) <> 0.0
+                     THEN round((CAST(np AS DOUBLE)*CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sy2 AS DOUBLE))
+                       /(CAST(np AS DOUBLE)*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+                   END AS dfa_alpha
+                 FROM sl),
+          piv AS (SELECT series,
+                    max(CASE WHEN s = 8 THEN f END) AS f8,
+                    max(CASE WHEN s = 16 THEN f END) AS f16,
+                    max(CASE WHEN s = 32 THEN f END) AS f32
+                  FROM fs GROUP BY 1)
+          SELECT piv.series, piv.f8, piv.f16, piv.f32, al.dfa_alpha
+          FROM piv LEFT JOIN al ON al.series = piv.series
+          ORDER BY piv.series""",
+
+    // Return-MI twin: the same r8 chain, SQL ntile (the ScalableRank
+    // contract), joint/margin integer counts, 12dp DECIMAL term folds
+    "q343_return_mi" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c) * 1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l
+                WHERE prev_c IS NOT NULL AND prev_c > 0),
+          nt AS (SELECT series, bar_ts,
+                   CAST(ntile(5) OVER (PARTITION BY series
+                     ORDER BY r8, bar_ts) AS INTEGER) AS qb
+                 FROM r),
+          j AS (SELECT a.series AS series_a, b.series AS series_b,
+                  a.qb AS qa, b.qb AS qb2, count(*) AS c
+                FROM nt a JOIN nt b
+                  ON a.bar_ts = b.bar_ts AND a.series < b.series
+                GROUP BY 1, 2, 3, 4),
+          ma AS (SELECT series_a, series_b, qa,
+                   CAST(SUM(c) AS BIGINT) AS ri
+                 FROM j GROUP BY 1, 2, 3),
+          mb AS (SELECT series_a, series_b, qb2,
+                   CAST(SUM(c) AS BIGINT) AS cj
+                 FROM j GROUP BY 1, 2, 3),
+          tot AS (SELECT series_a, series_b,
+                    CAST(SUM(ri) AS BIGINT) AS n
+                  FROM ma GROUP BY 1, 2),
+          mi AS (SELECT series_a, series_b,
+                   SUM(CAST(round(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)
+                     * ln(CAST(c AS DOUBLE)*CAST(n AS DOUBLE)
+                       /(CAST(ri AS DOUBLE)*CAST(cj AS DOUBLE))), 12)
+                     AS DECIMAL(38,12))) AS mi12
+                 FROM j
+                 JOIN ma USING (series_a, series_b, qa)
+                 JOIN mb USING (series_a, series_b, qb2)
+                 JOIN tot USING (series_a, series_b)
+                 GROUP BY 1, 2),
+          hA AS (SELECT series_a, series_b,
+                   SUM(CAST(round(CAST(ri AS DOUBLE)/CAST(n AS DOUBLE)
+                     * ln(CAST(ri AS DOUBLE)/CAST(n AS DOUBLE)), 12)
+                     AS DECIMAL(38,12))) AS ha12
+                 FROM ma JOIN tot USING (series_a, series_b)
+                 GROUP BY 1, 2),
+          hB AS (SELECT series_a, series_b,
+                   SUM(CAST(round(CAST(cj AS DOUBLE)/CAST(n AS DOUBLE)
+                     * ln(CAST(cj AS DOUBLE)/CAST(n AS DOUBLE)), 12)
+                     AS DECIMAL(38,12))) AS hb12
+                 FROM mb JOIN tot USING (series_a, series_b)
+                 GROUP BY 1, 2),
+          f AS (SELECT series_a, series_b, n,
+                  CAST(mi12 AS DOUBLE) AS mi,
+                  -CAST(ha12 AS DOUBLE) AS ha,
+                  -CAST(hb12 AS DOUBLE) AS hb
+                FROM mi
+                JOIN hA USING (series_a, series_b)
+                JOIN hB USING (series_a, series_b)
+                JOIN tot USING (series_a, series_b))
+          SELECT series_a, series_b, n, round(mi, 6) AS mi,
+            round(ha, 6) AS h_a, round(hb, 6) AS h_b,
+            CASE WHEN least(ha, hb) > 0
+              THEN round(mi/least(ha, hb), 6) END AS nmi
+          FROM f ORDER BY series_a, series_b""",
 
     // Pettitt twin: daily closes with the bars-CTE tie rule, doubled
     // midranks, all-integer U path, lexicographic earliest-t argmax

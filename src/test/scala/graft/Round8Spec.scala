@@ -704,6 +704,69 @@ class Round8Spec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("granger: a one-bar lead is detected in the right DIRECTION") {
+    // y replays x's closes one bar later (plus an independent wiggle)
+    // → x's lagged return explains y (huge F), y's does not explain x
+    def xc(i: Int): Double = 100.0 + (i * 7) % 13
+    def yc(i: Int): Double = xc(i - 1) + ((i * 3) % 5) * 0.01
+    val rows = (1 to 60).flatMap { i =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, i / 60, i % 60))
+      Seq(("x", ts, xc(i)), ("y", ts, yc(i)))
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.granger(bars)
+      .orderBy(col("cause"), col("effect")).collect()
+    val xy = r.find(q => q.getString(0) == "x" && q.getString(1) == "y").get
+    val yx = r.find(q => q.getString(0) == "y" && q.getString(1) == "x").get
+    assert(xy.getAs[Boolean]("granger_causes"))
+    assert(xy.getAs[Double]("f_stat") > 10 * yx.getAs[Double]("f_stat"))
+  }
+
+  test("dfa: a pure trend detrends to zero, a zigzag has no scaling") {
+    // geometric growth → constant r8 → the profile is exactly linear
+    // in every window → all F(s) = 0, alpha null; alternating ±c →
+    // bounded profile → F flat across scales → alpha ≈ 0
+    val rows = (0 to 96).flatMap { i =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, 0, i % 60)
+          .plusMinutes(i / 60))
+      Seq(("trend", ts, 100.0 * math.pow(1.01, i)),
+        ("zigzag", ts, if (i % 2 == 0) 100.0 else 105.0))
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.dfa(bars)
+      .orderBy(col("series")).collect()
+    val tr = r.find(_.getString(0) == "trend").get
+    val zz = r.find(_.getString(0) == "zigzag").get
+    // the trend residual is pure double roundoff (y² sums pass 2^53);
+    // ~1e0 against the zigzag's ~1e6 amplitude — 6+ orders apart
+    assert(tr.getAs[Double]("f8") < 1.0)
+    assert(tr.getAs[Double]("f32") < 1.0)
+    assert(zz.getAs[Double]("f8") > 1e5)
+    assert(math.abs(zz.getAs[Double]("dfa_alpha")) < 0.2,
+      "bounded profile has no scaling")
+  }
+
+  test("returnMi: identical series saturate NMI, unrelated stay low") {
+    def c1(i: Int): Double = 100.0 + (i * 7) % 13
+    def c2(i: Int): Double = 100.0 + (i * 11) % 17
+    val rows = (0 to 100).flatMap { i =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, i / 60, i % 60))
+      Seq(("same1", ts, c1(i)), ("same2", ts, c1(i)), ("ind", ts, c2(i)))
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.returnMi(bars).collect()
+    val twin = r.find(x => x.getString(0) == "same1" &&
+      x.getString(1) == "same2").get
+    val ind = r.find(x => x.getString(0) == "ind").get
+    assert(twin.getAs[Long]("n") === 100L)
+    assert(twin.getAs[Double]("mi") === 1.609438) // ln 5: 5 diag cells
+    assert(twin.getAs[Double]("nmi") === 1.0)
+    assert(ind.getAs[Double]("nmi") < 0.3, "unrelated binning")
+  }
+
   test("calinskiHarabasz: two tight separated clusters, CH = 50") {
     // centroids (0,1) / (10,1), global (5,1); WSS = 2 per label,
     // BSS = 2·25 per label → CH = (100/1)/(4/2) = 50

@@ -673,4 +673,33 @@ class ScaleSpec extends AnyFunSuite {
         s"$q: tokenize re-inlined past its barrier:\n${plan.take(2000)}")
     }
   }
+
+  test("q329 burrows top-K term cut is a distributed TakeOrdered") {
+    // a global row_number window over the corpus vocabulary would
+    // single-task a growing set; the limit form is TakeOrderedAndProject.
+    // The full query hides it behind the tf checkpoint barrier, so the
+    // lock evaluates the cut helper itself on a real tf relation.
+    val tf = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val plan = graft.ops.CorpusOps.topTermsByCount(tf, 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K cut lost its distributed form:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      "vocabulary rank window crept back in")
+  }
+
+  test("q333/q339 IVF graph plans: no cartesian corpus product") {
+    // hubness and TwoNN must ride the bucketed IVF join — an
+    // all-pairs nested-loop over embeddings is the 100 TB killer
+    for (q <- Seq("q333_hubness", "q339_twonn")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: corpus cartesian appeared:\n${plan.take(2000)}")
+    }
+  }
 }
