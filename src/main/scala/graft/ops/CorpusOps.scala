@@ -1836,6 +1836,60 @@ object CorpusOps {
           dbl(count(lit(1))), 6).as("delta"))
   }
 
+  /** MATTR — moving-average type-token ratio per document (Covington
+    * & McFall 2010): mean distinct-share over every length-`window`
+    * sliding token window. The LENGTH-INVARIANT lexical-diversity
+    * measure plain TTR isn't (TTR collapses as docs grow, so it
+    * can't compare a tweet to a book chapter); reported next to raw
+    * TTR so the length bias is visible.
+    *
+    * Computed WITHOUT materializing windows: token instance at
+    * position p is the first occurrence of its term inside window
+    * start s iff s > prevOcc(p), so its distinct-contribution is the
+    * exact integer count of valid starts
+    * max(0, min(p, n−w) − max(p−w+1, prevOcc+1, 0) + 1), and
+    * Σ contributions = Σ_windows distinct(window). One lag over the
+    * (doc, term) occurrence chain — all integers until the final 6dp
+    * division.
+    *
+    * Scale: the per-doc/per-(doc, term) windows are DOC-BOUNDED
+    * (documents are atomic units, never a growing key); one
+    * token-level shuffle. Docs shorter than the window emit null
+    * mattr. */
+  def mattr(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      window: Int = 50): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val wOcc = Window.partitionBy(col("doc_id"), col("term"))
+      .orderBy(col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    val contrib = toks
+      .withColumn("prev", lag(col("pos"), 1).over(wOcc))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("c",
+        greatest(lit(0L),
+          least(col("pos"), col("n") - window).cast("long") -
+            greatest(col("pos") - window + 1,
+              coalesce(col("prev"), lit(-1)) + 1, lit(0)).cast("long") +
+            1L))
+    contrib.groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"),
+        count_distinct(col("term")).as("n_types"),
+        sum(col("c")).as("tot"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_types"),
+        round(dbl(col("n_types")) / dbl(col("n_tokens")), 6).as("ttr"),
+        when(col("n_tokens") >= window,
+          round(dbl(col("tot")) /
+            (dbl(col("n_tokens") - window + 1) * lit(window.toDouble)),
+            6)).as("mattr"))
+  }
+
   /** Top-K corpus terms by total frequency from a (source, term, tf)
     * relation, total-ordered (ctf DESC, term ASC). The orderBy+limit
     * shape compiles to TakeOrderedAndProject — a DISTRIBUTED top-k,

@@ -120,26 +120,39 @@ object DedupOps {
     * candidate set-lookups are the only shuffles; per-doc kernel work
     * re-runs map-side in each branch, which at 100 TB is far cheaper
     * than shuffling the tokenized corpus twice. */
-  def minhashNearDups(
-      df: DataFrame,
-      textCol: String,
-      idCol: String,
-      threshold: Double = 0.3): DataFrame = {
+  /** The fused-kernel doc relation (doc, sig, sset) shared by the
+    * minhash family. */
+  private def minhashDocs(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.MinHashDoc.register(df.sparkSession, A, B, CrossHash.P)
     // Pre-filter short docs on the RAW text (>=3 tokens <=> non-empty
     // shingle set) — cheap split+size, keeps the kernel off empty docs.
-    val eligible = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
-    val docs = eligible
-      .select(col(idCol).as("doc"), graft.functions.MinHashDoc.doc(col(textCol)).as("d"))
+    df.filter(size(TextOps.tokens(col(textCol))) >= 3)
+      .select(col(idCol).as("doc"),
+        graft.functions.MinHashDoc.doc(col(textCol)).as("d"))
       .select(col("doc"), col("d.sig").as("sig"), col("d.sset").as("sset"))
+  }
+
+  /** The LSH band-join candidate pair set (id_a < id_b, distinct) —
+    * the stage whose misses [[lshRecall]] audits. */
+  private def bandCandidates(docs: DataFrame): DataFrame = {
     val bands = docs.select(col("doc"), lshBands(col("sig")).as("b"))
       .select(col("doc"), col("b.band"), col("b.bsig"))
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
       .distinct()
+  }
+
+  def minhashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.3): DataFrame = {
+    val docs = minhashDocs(df, textCol, idCol)
+    val cand = bandCandidates(docs)
     val sets = docs.select(col("doc"), col("sset"))
     cand
       .join(sets.as("sa"), col("id_a") === col("sa.doc"))
@@ -172,20 +185,8 @@ object DedupOps {
       df: DataFrame,
       textCol: String,
       idCol: String): DataFrame = {
-    graft.functions.MinHashDoc.register(df.sparkSession, A, B, CrossHash.P)
-    val eligible = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
-    val docs = eligible
-      .select(col(idCol).as("doc"),
-        graft.functions.MinHashDoc.doc(col(textCol)).as("d"))
-      .select(col("doc"), col("d.sig").as("sig"), col("d.sset").as("sset"))
-    val bands = docs.select(col("doc"), lshBands(col("sig")).as("b"))
-      .select(col("doc"), col("b.band"), col("b.bsig"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
-      .distinct()
+    val docs = minhashDocs(df, textCol, idCol)
+    val cand = bandCandidates(docs)
     val sides = docs.select(col("doc"), col("sig"), col("sset"))
     val pairs = cand
       .join(sides.as("sa"), col("id_a") === col("sa.doc"))
@@ -821,5 +822,53 @@ object DedupOps {
         round(col("n_shared_fp").cast(DoubleType) /
           least(col("fp_a"), col("fp_b")).cast(DoubleType), 4)
           .as("overlap"))
+  }
+
+  /** LSH candidate-recall curve by similarity band: which TRUE
+    * near-dup pairs (the exact PPJoin list at a low threshold) does
+    * the minhash BAND JOIN even surface as candidates — the
+    * miss-rate audit of the stage [[sketchError]]'s estimate-error
+    * audit sits after, reported against the banding scheme's
+    * theoretical s-curve P(candidate) = 1 − (1 − s^r)^b. Low-band
+    * recall is EXPECTED to be low (that's what banding buys); the
+    * audit is whether the empirical curve tracks theory at and above
+    * the design threshold.
+    *
+    * Truth and candidates measure slightly different universes
+    * (PPJoin's Jaccard is over maxDf-filtered rare grams, the
+    * verify's over all grams) — deliberate: the truth list is what a
+    * production dedup would act on.
+    *
+    * Determinism: bands are integer deciles of the 4dp PPJoin
+    * jaccard; hits are integer joins; recall is one rounded ratio;
+    * the theoretical curve expands (1−s²)¹⁶ by explicit repeated
+    * squaring (no pow — cross-engine pow is not ulp-stable).
+    *
+    * Scale: the PPJoin prefix-filtered pair list + the band join —
+    * both already never-all-pairs; the rollup is ≤10 rows. */
+  def lshRecall(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.2,
+      maxDf: Int = 100): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val truth = ngramJaccardPairs(df, textCol, idCol, n = 3, threshold,
+      maxDf)
+    val cand = bandCandidates(minhashDocs(df, textCol, idCol))
+      .withColumn("hit", lit(1L))
+    val banded = truth
+      .withColumn("bd", least(floor(col("jaccard") * 10), lit(9.0))
+        .cast("int"))
+      .join(cand, Seq("id_a", "id_b"), "left")
+    val mid = (dbl(col("bd")) + lit(0.5)) / lit(10.0)
+    val u = lit(1.0) - mid * mid
+    val u2 = u * u; val u4 = u2 * u2; val u8 = u4 * u4
+    banded.groupBy(col("bd"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .select(col("bd").as("band"), col("n_true"), col("n_caught"),
+        round(dbl(col("n_caught")) / dbl(col("n_true")), 6).as("recall"),
+        round(lit(1.0) - u8 * u8, 6).as("theory"))
   }
 }

@@ -976,6 +976,81 @@ object MarketBars {
       when(ok, f > lit(3.841459)).as("granger_causes"))
   }
 
+  /** Lilliefors normality test per series on the daily-close log
+    * returns: the KS distance between the empirical CDF and the
+    * normal fitted to the SAME sample,
+    * D = max_i max(i/n − Φ(z_i), Φ(z_i) − (i−1)/n), against the
+    * asymptotic 5% fence 0.886/√n. The DISTRIBUTIONAL normality view
+    * next to q299's moment-based Jarque–Bera (JB sees skew/kurtosis;
+    * Lilliefors sees any CDF shape gap — bimodality, truncation —
+    * that leaves moments near-normal).
+    *
+    * Φ uses the Abramowitz–Stegun 7.1.26 erf polynomial (|ε| <
+    * 1.5·10⁻⁷, far below the 6dp output scale) written with explicit
+    * multiplication chains — identical literal arithmetic in both
+    * engines, no pow. z comes from exact integer r8 moments in one
+    * shared μ/σ op order; ranks are per-series over the (r8, d)
+    * total order on the DAILY series (calendar-bounded tasks, the
+    * pettitt class); D rounds 6dp.
+    *
+    * Scale: one (series, day) rollup, one bounded per-series rank
+    * window, one map-side max — |series| rows out. */
+  def lilliefors(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val wD = Window.partitionBy(col("series")).orderBy(col("d"))
+    val wR = Window.partitionBy(col("series"))
+      .orderBy(col("r8"), col("d"))
+    val daily = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .withColumn("pc", lag(col("close"), 1).over(wD))
+      .withColumn("r8",
+        when(col("pc").isNotNull && col("pc") > 0 && col("close") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+    val stats = daily.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("s2"))
+      .withColumn("mu8", dbl(col("s1")) / dbl(col("n")))
+      .withColumn("sd8",
+        sqrt((dbl(col("n")) * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) /
+          (dbl(col("n")) * (dbl(col("n")) - 1))))
+      .select(col("series"), col("n"), col("mu8"), col("sd8"))
+    // Φ(z) via A–S 7.1.26 on |z|: erf(x) ≈ 1 − poly(t)·e^(−x²),
+    // t = 1/(1 + 0.3275911·x); Φ(z) = 0.5·(1 + sign·erf(|z|/√2))
+    def phi(z: Column): Column = {
+      val x = abs(z) / lit(1.4142135623730951)
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+        lit(1.421413741)) * t - lit(0.284496736)) * t +
+        lit(0.254829592)) * t
+      val erf = lit(1.0) - poly * exp(-x * x)
+      when(z >= 0, lit(0.5) * (lit(1.0) + erf))
+        .otherwise(lit(0.5) * (lit(1.0) - erf))
+    }
+    val z = (dbl(col("r8")) - col("mu8")) / col("sd8")
+    val nd = dbl(col("n"))
+    val dPlus = dbl(col("i")) / nd - col("ph")
+    val dMinus = col("ph") - (dbl(col("i")) - 1) / nd
+    daily.join(broadcast(stats), "series")
+      .filter(col("sd8") > 0)
+      .withColumn("i", row_number().over(wR).cast("long"))
+      .withColumn("ph", phi(z))
+      .groupBy(col("series"))
+      .agg(max(col("n")).as("n_days"),
+        max(greatest(dPlus, dMinus)).as("d_raw"))
+      .select(col("series"), col("n_days"),
+        round(col("d_raw"), 6).as("d_stat"),
+        round(lit(0.886) / sqrt(dbl(col("n_days"))), 6).as("crit_5pct"),
+        (col("d_raw") > lit(0.886) / sqrt(dbl(col("n_days"))))
+          .as("reject_normal"))
+  }
+
   /** Pettitt change-point test per series on the daily-close level:
     * U_t = 2·Σ_{i≤t} R_i − t(n+1) over the full-sample ranks,
     * K = max|U_t|, with the classic tail bound

@@ -1089,6 +1089,26 @@ object LlmQueries {
         "embedding", k = 5, centroidEvery = 50, nprobe = 2)
     }),
 
+    // MATTR lexical diversity (CorpusOps.mattr): the length-invariant
+    // sliding-window type-token ratio next to raw TTR — computed from
+    // first-occurrence arithmetic, never materializing windows
+    "q344_mattr" -> ((s, dir) => {
+      CorpusOps.mattr(Tables.rebalance(Tables.documents(s, dir)),
+          window = 50)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH candidate-recall curve (DedupOps.lshRecall): which exact
+    // PPJoin near-dup pairs does the q25 band join even SURFACE, per
+    // similarity decile, against the banding s-curve theory. Truth
+    // threshold 0.05 (the q324 lesson): 0.2+ leaves only the exact-
+    // dup band and the curve degenerates to one row
+    "q345_lsh_recall" -> ((s, dir) => {
+      DedupOps.lshRecall(Tables.rebalance(Tables.documents(s, dir)),
+          "text", "doc_id", threshold = 0.05, maxDf = 100)
+        .orderBy(col("band"))
+    }),
+
     // TwoNN intrinsic dimension (SimilarityOps.twoNN): the local
     // dimensionality MLE from 2-NN distance ratios over the IVF
     // graph — the local twin of q325's global participation ratio
@@ -3837,6 +3857,110 @@ object LlmQueries {
               AS skew_indeg,
             n_antihubs, n_hubs, max_indeg
           FROM f2""",
+
+    // MATTR twin: positions via generate_series, per-(doc, term)
+    // occurrence lag, the same integer first-occurrence window count
+    "q344_mattr" ->
+      s"""WITH $toksCte,
+          tk AS (SELECT doc_id, toks[i] AS term, i - 1 AS pos
+                 FROM d, unnest(generate_series(1, len(toks))) AS g(i)),
+          pv AS (SELECT doc_id, term, pos,
+                   lag(pos) OVER (PARTITION BY doc_id, term
+                     ORDER BY pos) AS prev,
+                   CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                     AS n
+                 FROM tk),
+          cb AS (SELECT doc_id, term, n,
+                   greatest(0, least(pos, n - 50)
+                     - greatest(pos - 49, COALESCE(prev, -1) + 1, 0)
+                     + 1) AS c
+                 FROM pv),
+          a AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+                  count(DISTINCT term) AS n_types,
+                  CAST(SUM(c) AS BIGINT) AS tot
+                FROM cb GROUP BY 1)
+          SELECT doc_id, n_tokens,
+            CAST(n_types AS BIGINT) AS n_types,
+            round(CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+              AS ttr,
+            CASE WHEN n_tokens >= 50 THEN
+              round(CAST(tot AS DOUBLE)
+                /(CAST(n_tokens - 49 AS DOUBLE)*50.0), 6)
+            END AS mattr
+          FROM a ORDER BY doc_id""",
+
+    // LSH-recall twin: q77's PPJoin truth at 0.2, q33's band-join
+    // candidate chain, decile rollup, repeated-squaring theory curve
+    "q345_lsh_recall" -> {
+      val aList = DedupOps.A.mkString("[", ",", "]")
+      val bList = DedupOps.B.mkString("[", ",", "]")
+      s"""WITH $toksCte,
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk
+                  FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b
+                   ON a.gk = b.gk AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          pj AS (SELECT id_a, id_b,
+                   round(CAST(n_shared AS DOUBLE)
+                     /(sa.sz + sb.sz - n_shared), 4) AS j
+                 FROM sh
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+                 WHERE CAST(n_shared AS DOUBLE)
+                   /(sa.sz + sb.sz - n_shared) >= 0.05),
+          t2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+          sh2 AS (SELECT doc_id, list_distinct($shingleExpr) AS sset
+                  FROM t2),
+          xs2 AS (SELECT doc_id,
+                    list_distinct(list_transform(sset, s -> ${x32("s")}))
+                      AS hset
+                  FROM sh2 WHERE len(sset) > 0),
+          sig2 AS (SELECT doc_id, hset,
+                     list_transform(generate_series(0, ${DedupOps.K - 1}),
+                       i -> list_min(list_transform(hset,
+                         x -> (($aList)[i+1]*x + ($bList)[i+1])
+                           % ${CrossHash.P}))) AS sig
+                   FROM xs2),
+          bnd2 AS (SELECT doc_id, sig,
+                     unnest(generate_series(0, ${DedupOps.Bands - 1}))
+                       AS band
+                   FROM sig2),
+          bs2 AS (SELECT doc_id, band,
+                    CAST(sig[2*band+1] AS VARCHAR) || '_'
+                      || CAST(sig[2*band+2] AS VARCHAR) AS bsig
+                  FROM bnd2),
+          cand2 AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                    FROM bs2 x JOIN bs2 y
+                      ON x.band = y.band AND x.bsig = y.bsig
+                        AND x.doc_id < y.doc_id),
+          bd AS (SELECT pj.id_a, pj.id_b,
+                   CAST(least(floor(pj.j*10), 9.0) AS INTEGER) AS band,
+                   CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+                 FROM pj LEFT JOIN cand2 c
+                   ON c.id_a = pj.id_a AND c.id_b = pj.id_b),
+          f AS (SELECT band, count(*) AS n_true,
+                  CAST(SUM(hit) AS BIGINT) AS n_caught
+                FROM bd GROUP BY 1),
+          f2 AS (SELECT *, (CAST(band AS DOUBLE) + 0.5)/10.0 AS mid
+                 FROM f),
+          f3 AS (SELECT *, 1.0 - mid*mid AS u FROM f2),
+          f4 AS (SELECT *, u*u AS u2 FROM f3),
+          f5 AS (SELECT *, u2*u2 AS u4 FROM f4),
+          f6 AS (SELECT *, u4*u4 AS u8 FROM f5)
+          SELECT band, n_true, n_caught,
+            round(CAST(n_caught AS DOUBLE)/CAST(n_true AS DOUBLE), 6)
+              AS recall,
+            round(1.0 - u8*u8, 6) AS theory
+          FROM f6 ORDER BY band"""
+    },
 
     // TwoNN twin: the IVF skeleton at k = 2, 6dp cosines pivoted to
     // (c1, c2), duplicate (c1 = 1) drop, 12dp DECIMAL ln-ratio fold

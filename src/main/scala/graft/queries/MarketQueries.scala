@@ -1308,6 +1308,15 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Lilliefors normality test (MarketBars.lilliefors): the KS
+    // distance against the SAME-sample fitted normal on daily
+    // returns — the CDF-shape view next to q299's moment-based JB
+    "q346_lilliefors" -> ((s, dir) => {
+      MarketBars.lilliefors(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Binned return mutual information (MarketBars.returnMi): 5×5
     // quintile histogram MI + NMI per series pair — the nonlinear
     // dependence read q85/q259's Pearson structurally misses
@@ -4760,6 +4769,63 @@ object MarketQueries {
           SELECT piv.series, piv.f8, piv.f16, piv.f32, al.dfa_alpha
           FROM piv LEFT JOIN al ON al.series = piv.series
           ORDER BY piv.series""",
+
+    // Lilliefors twin: pettitt's daily chain, q299-style moments,
+    // the same A–S erf polynomial in explicit multiplication chains
+    "q346_lilliefors" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY d)
+                    AS pc
+                FROM dcl),
+          r AS (SELECT series, d,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          st AS (SELECT series, count(*) AS n,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(r8 AS DECIMAL(38,0))
+                    *CAST(r8 AS DECIMAL(38,0))) AS s2
+                FROM r GROUP BY 1),
+          mu AS (SELECT series, n,
+                  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu8,
+                  sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1)))
+                    AS sd8
+                FROM st),
+          z AS (SELECT r.series, mu.n,
+                  (CAST(r8 AS DOUBLE) - mu8)/sd8 AS z,
+                  CAST(row_number() OVER (PARTITION BY r.series
+                    ORDER BY r8, d) AS BIGINT) AS i
+                FROM r JOIN mu ON r.series = mu.series
+                WHERE sd8 > 0),
+          p2 AS (SELECT *, abs(z)/1.4142135623730951 AS x FROM z),
+          p3 AS (SELECT *, 1.0/(1.0 + 0.3275911*x) AS t FROM p2),
+          p4 AS (SELECT *,
+                   ((((1.061405429*t - 1.453152027)*t + 1.421413741)*t
+                     - 0.284496736)*t + 0.254829592)*t AS poly
+                 FROM p3),
+          p5 AS (SELECT *, 1.0 - poly*exp(-x*x) AS erf FROM p4),
+          p6 AS (SELECT series, n, i,
+                   CASE WHEN z >= 0 THEN 0.5*(1.0 + erf)
+                        ELSE 0.5*(1.0 - erf) END AS phv
+                 FROM p5),
+          a AS (SELECT series, CAST(max(n) AS BIGINT) AS n_days,
+                  max(greatest(
+                    CAST(i AS DOUBLE)/CAST(n AS DOUBLE) - phv,
+                    phv - (CAST(i AS DOUBLE) - 1)/CAST(n AS DOUBLE)))
+                    AS d_raw
+                FROM p6 GROUP BY 1)
+          SELECT series, n_days, round(d_raw, 6) AS d_stat,
+            round(0.886/sqrt(CAST(n_days AS DOUBLE)), 6) AS crit_5pct,
+            d_raw > 0.886/sqrt(CAST(n_days AS DOUBLE))
+              AS reject_normal
+          FROM a ORDER BY series""",
 
     // Return-MI twin: the same r8 chain, SQL ntile (the ScalableRank
     // contract), joint/margin integer counts, 12dp DECIMAL term folds

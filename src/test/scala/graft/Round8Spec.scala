@@ -767,6 +767,55 @@ class Round8Spec extends AnyFunSuite {
     assert(ind.getAs[Double]("nmi") < 0.3, "unrelated binning")
   }
 
+  test("mattr: periodic text pins the window distinct share exactly") {
+    // 60 tokens alternating a/b: every 50-window holds 2 types →
+    // mattr = 2/50 while raw TTR = 2/60 (the length bias on display);
+    // an 8-token doc is shorter than the window → null mattr
+    val long = (0 until 60).map(i => if (i % 2 == 0) "a" else "b")
+      .mkString(" ")
+    val docs = Seq((1L, long), (2L, "x y x y x y x y"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.CorpusOps.mattr(docs).orderBy(col("doc_id"))
+      .collect()
+    assert(r(0).getAs[Double]("mattr") === 0.04)
+    assert(r(0).getAs[Double]("ttr") === 0.033333)
+    assert(r(1).isNullAt(r(1).fieldIndex("mattr")), "shorter than window")
+    assert(r(1).getAs[Double]("ttr") === 0.25)
+  }
+
+  test("lshRecall: identical docs land in band 9 with full recall") {
+    val base = (1 to 40).map(i => s"tok${i % 20}").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), // exact near-dups, jaccard 1.0
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")),
+      (4L, (1 to 40).map(i => s"more$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.ops.DedupOps.lshRecall(docs, "text", "doc_id")
+      .collect()
+    val top = r.find(_.getAs[Int]("band") == 9).get
+    assert(top.getAs[Long]("n_true") >= 1L)
+    assert(top.getAs[Double]("recall") === 1.0)
+    assert(top.getAs[Double]("theory") > 0.999)
+  }
+
+  test("lilliefors: a two-point return distribution rejects normal") {
+    // daily closes alternate 100/110 → returns ±c exactly: the
+    // empirical CDF is a two-step function, D ≈ 0.5 − Φ(−1) ≈ 0.34,
+    // far past the 0.886/√40 ≈ 0.14 fence
+    val rows = (1 to 41).map { day =>
+      ("s", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+          .plusDays(day - 1)),
+        if (day % 2 == 0) 110.0 else 100.0)
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.lilliefors(bars).collect().head
+    assert(r.getAs[Long]("n_days") === 40L)
+    assert(r.getAs[Double]("d_stat") > 0.3 &&
+      r.getAs[Double]("d_stat") < 0.4)
+    assert(r.getAs[Boolean]("reject_normal"))
+  }
+
   test("calinskiHarabasz: two tight separated clusters, CH = 50") {
     // centroids (0,1) / (10,1), global (5,1); WSS = 2 per label,
     // BSS = 2·25 per label → CH = (100/1)/(4/2) = 50
