@@ -1890,6 +1890,80 @@ object CorpusOps {
             6)).as("mattr"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between source term
+    * distributions — the full |sources|² distributional-distance
+    * matrix where q137's jsDivergence compares ONE split and
+    * [[vocabOverlap]] sees only vocabulary SETS (two sources can
+    * share every word and still use them at wildly different rates).
+    * JSD in nats plus the ln2-normalized [0, 1] form.
+    *
+    * Decomposition keeps the pair join on SHARED terms only:
+    * JSD = H(m) − (H_p + H_q)/2 with
+    * H(m) = S₁ + (G_a − S₂ₐ) + (G_b − S₂ᵦ), where G is each source's
+    * own Σ −(p/2)·ln(p/2) and S₂ its shared-term part — terms private
+    * to one source never enter the join (their m = p/2 contribution
+    * folds into G), so the fan-out is bounded by shared vocabulary.
+    *
+    * Determinism: probabilities are exact-integer ratios in one
+    * shared op order; every entropy term rounds 12dp and folds as
+    * DECIMAL(38,12) (the identical formula on the identical double
+    * cancels exactly between G and S₂); JSD rounds 6dp.
+    *
+    * Scale: one tokenize pass to (source, term) counts; per-source
+    * scalars broadcast; the only fan-out is the term-keyed pair join
+    * (≤ |sources|² rows per shared term — the vocabOverlap shape). */
+  def sourceJsd(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val tf = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // totals + scalars + pair legs
+    val totals = tf.groupBy(col("source")).agg(sum(col("tf")).as("nt"))
+    val withP = tf.join(broadcast(totals), "source")
+      .withColumn("p", dbl(col("tf")) / dbl(col("nt")))
+    val scalars = withP.groupBy(col("source"))
+      .agg(sum(round(-col("p") * log(col("p")), 12).cast(dec12)).as("h"),
+        sum(round(-(col("p") / 2) * log(col("p") / 2), 12).cast(dec12))
+          .as("g"))
+      .localCheckpoint(eager = false) // both pair sides
+    val pa = withP.select(col("source").as("source_a"), col("term"),
+      col("p").as("p_a"))
+    val pb = withP.select(col("source").as("source_b"), col("term"),
+      col("p").as("p_b"))
+    val m = (col("p_a") + col("p_b")) / lit(2.0)
+    val shared = pa.join(pb, "term")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(round(-m * log(m), 12).cast(dec12)).as("s1"),
+        sum(round(-(col("p_a") / 2) * log(col("p_a") / 2), 12)
+          .cast(dec12)).as("s2a"),
+        sum(round(-(col("p_b") / 2) * log(col("p_b") / 2), 12)
+          .cast(dec12)).as("s2b"))
+    val jsd = (coalesce(dbl(col("s1")), lit(0.0)) +
+      (dbl(col("ga")) - coalesce(dbl(col("s2a")), lit(0.0))) +
+      (dbl(col("gb")) - coalesce(dbl(col("s2b")), lit(0.0)))) -
+      (dbl(col("ha")) + dbl(col("hb"))) / lit(2.0)
+    // every pair emits — disjoint-vocabulary pairs have no shared
+    // rows and coalesce to the pure-G form (JSD = ln 2 exactly)
+    scalars.select(col("source").as("source_a"), col("h").as("ha"),
+        col("g").as("ga"))
+      .crossJoin(broadcast(scalars.select(col("source").as("source_b"),
+        col("h").as("hb"), col("g").as("gb"))))
+      .filter(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
+        round(jsd, 6).as("jsd"),
+        round(jsd / log(lit(2.0)), 6).as("jsd_norm"))
+  }
+
   /** Top-K corpus terms by total frequency from a (source, term, tf)
     * relation, total-ordered (ctf DESC, term ASC). The orderBy+limit
     * shape compiles to TakeOrderedAndProject — a DISTRIBUTED top-k,

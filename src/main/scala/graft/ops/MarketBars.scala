@@ -976,6 +976,83 @@ object MarketBars {
       when(ok, f > lit(3.841459)).as("granger_causes"))
   }
 
+  /** Fixed-width fractional differencing weights for order `d`:
+    * w₀ = 1, w_k = −w_{k−1}·(d−k+1)/k. Public so the DuckDB twin
+    * interpolates the SAME doubles (Java's Double.toString round-trips
+    * uniquely, so the parsed literal is bit-identical). */
+  def fracDiffWeights(d: Double, k: Int): Seq[Double] =
+    (1 to k).scanLeft(1.0)((w, i) => -w * (d - i + 1) / i)
+
+  /** Fractionally differenced log-price panel per series (López de
+    * Prado 2018, fixed-width window, d = 0.4, K = 20):
+    * x_t = Σ_k w_k·p_{t−k} over the 1e8-scaled log price — the
+    * "stationary but still remembers" transform between raw prices
+    * (unit root) and full differencing (memory destroyed). Reports
+    * the FD series' mean/sd and its lag-1 autocorrelation: sd far
+    * below the price level and acf1 far below 1 is the stationarity
+    * evidence, non-zero acf1 the retained memory.
+    *
+    * Determinism: p8 log prices are exact longs; the 21-term
+    * convolution is ONE left-associated literal-weight sum (identical
+    * tree both engines), and its lag-1 partner is the SAME sum over
+    * the one-deeper lag stack (no second window pass); x rounds 6dp
+    * before the DECIMAL moment and lag-correlation folds; outputs
+    * round 6dp.
+    *
+    * Scale: the (k+1)-deep lag chain runs day-scoped (carry k+2 —
+    * the acfBase rule), one moment aggregate after; |series| rows
+    * out. */
+  def fracDiff(bars: DataFrame, d: Double = 0.4, k: Int = 20): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec6 = DecimalType(28, 6)
+    val dec12 = DecimalType(38, 12)
+    val ws = fracDiffWeights(d, k)
+    val aug = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", k + 2)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val withP = aug
+      .withColumn("p8", floor(log(col("close")) * lit(1e8) + lit(0.5))
+        .cast("long"))
+    val lagged = withP.select(
+      col("series") +: col("__emit") +:
+        (0 to k + 1).map(j =>
+          (if (j == 0) col("p8") else lag(col("p8"), j).over(w))
+            .as(s"y$j")): _*)
+    def conv(off: Int) = round(
+      (0 to k).map(j => lit(ws(j)) * dbl(col(s"y${j + off}")))
+        .reduceLeft(_ + _) / lit(1e8), 6)
+    val x = lagged
+      .filter(col("__emit") && col(s"y$k").isNotNull)
+      .select(col("series"), conv(0).as("x"),
+        when(col(s"y${k + 1}").isNotNull, conv(1)).as("xp"))
+    val agg = x.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("x").cast(dec6)).as("sx"),
+        sum(round(col("x") * col("x"), 12).cast(dec12)).as("sxx"),
+        count(col("xp")).as("np"),
+        sum(when(col("xp").isNotNull, col("x").cast(dec6))).as("px"),
+        sum(col("xp").cast(dec6)).as("py"),
+        sum(round(col("x") * col("xp"), 12).cast(dec12)).as("pxy"),
+        sum(when(col("xp").isNotNull,
+          round(col("x") * col("x"), 12).cast(dec12))).as("pxx"),
+        sum(round(col("xp") * col("xp"), 12).cast(dec12)).as("pyy"))
+    val n = dbl(col("n_obs"))
+    val mean = dbl(col("sx")) / n
+    val variance = (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / n) /
+      (n - 1)
+    val npd = dbl(col("np"))
+    val num = npd * dbl(col("pxy")) - dbl(col("px")) * dbl(col("py"))
+    val vx = npd * dbl(col("pxx")) - dbl(col("px")) * dbl(col("px"))
+    val vy = npd * dbl(col("pyy")) - dbl(col("py")) * dbl(col("py"))
+    agg.select(col("series"), col("n_obs"),
+      round(mean, 6).as("fd_mean"),
+      when(col("n_obs") > 1 && variance >= 0,
+        round(sqrt(variance), 6)).as("fd_sd"),
+      when(col("np") > 1 && vx > 0 && vy > 0,
+        round(num / (sqrt(vx) * sqrt(vy)), 6)).as("fd_acf1"))
+  }
+
   /** Lilliefors normality test per series on the daily-close log
     * returns: the KS distance between the empirical CDF and the
     * normal fitted to the SAME sample,

@@ -1109,6 +1109,15 @@ object LlmQueries {
         .orderBy(col("band"))
     }),
 
+    // Pairwise source JSD matrix (CorpusOps.sourceJsd): full
+    // distributional distance between every source pair — the usage-
+    // rate view where q249's vocab Jaccard sees only word SETS and
+    // q137 compares one split
+    "q347_source_jsd" -> ((s, dir) => {
+      CorpusOps.sourceJsd(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // TwoNN intrinsic dimension (SimilarityOps.twoNN): the local
     // dimensionality MLE from 2-NN distance ratios over the IVF
     // graph — the local twin of q325's global participation ratio
@@ -3961,6 +3970,56 @@ object LlmQueries {
             round(1.0 - u8*u8, 6) AS theory
           FROM f6 ORDER BY band"""
     },
+
+    // Source-JSD twin: the same shared-terms decomposition
+    // JSD = S1 + (G−S2) legs − (Hp+Hq)/2, 12dp DECIMAL entropy folds
+    "q347_source_jsd" ->
+      """WITH tk AS (SELECT source,
+                       unnest(regexp_split_to_array(trim(text), ' +'))
+                         AS term
+                     FROM documents),
+          tf AS (SELECT source, term, count(*) AS tf FROM tk
+                 GROUP BY 1, 2),
+          tot AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nt FROM tf
+                  GROUP BY 1),
+          wp AS (SELECT tf.source, term,
+                   CAST(tf AS DOUBLE)/CAST(nt AS DOUBLE) AS p
+                 FROM tf JOIN tot USING (source)),
+          sc AS (SELECT source,
+                   SUM(CAST(round(-p*ln(p), 12) AS DECIMAL(38,12)))
+                     AS h,
+                   SUM(CAST(round(-(p/2)*ln(p/2), 12)
+                     AS DECIMAL(38,12))) AS g
+                 FROM wp GROUP BY 1),
+          sh AS (SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared_terms,
+                   SUM(CAST(round(-((a.p + b.p)/2.0)
+                     *ln((a.p + b.p)/2.0), 12) AS DECIMAL(38,12)))
+                     AS s1,
+                   SUM(CAST(round(-(a.p/2)*ln(a.p/2), 12)
+                     AS DECIMAL(38,12))) AS s2a,
+                   SUM(CAST(round(-(b.p/2)*ln(b.p/2), 12)
+                     AS DECIMAL(38,12))) AS s2b
+                 FROM wp a JOIN wp b
+                   ON a.term = b.term AND a.source < b.source
+                 GROUP BY 1, 2),
+          f AS (SELECT ga.source AS source_a, gb.source AS source_b,
+                  COALESCE(sh.n_shared_terms, 0) AS n_shared_terms,
+                  (COALESCE(CAST(s1 AS DOUBLE), 0.0)
+                    + (CAST(ga.g AS DOUBLE)
+                       - COALESCE(CAST(s2a AS DOUBLE), 0.0))
+                    + (CAST(gb.g AS DOUBLE)
+                       - COALESCE(CAST(s2b AS DOUBLE), 0.0)))
+                    - (CAST(ga.h AS DOUBLE) + CAST(gb.h AS DOUBLE))/2.0
+                    AS jsd
+                FROM sc ga JOIN sc gb ON ga.source < gb.source
+                LEFT JOIN sh ON sh.source_a = ga.source
+                  AND sh.source_b = gb.source)
+          SELECT source_a, source_b,
+            CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+            round(jsd, 6) AS jsd,
+            round(jsd/ln(2.0), 6) AS jsd_norm
+          FROM f ORDER BY source_a, source_b""",
 
     // TwoNN twin: the IVF skeleton at k = 2, 6dp cosines pivoted to
     // (c1, c2), duplicate (c1 = 1) drop, 12dp DECIMAL ln-ratio fold

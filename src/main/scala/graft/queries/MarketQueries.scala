@@ -1308,6 +1308,16 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Fractional differencing panel (MarketBars.fracDiff): the
+    // d = 0.4 fixed-width FD log-price series' mean/sd/acf1 —
+    // stationarity WITH retained memory, between raw prices (unit
+    // root) and q139's full differences
+    "q348_frac_diff" -> ((s, dir) => {
+      MarketBars.fracDiff(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Lilliefors normality test (MarketBars.lilliefors): the KS
     // distance against the SAME-sample fitted normal on daily
     // returns — the CDF-shape view next to q299's moment-based JB
@@ -4769,6 +4779,62 @@ object MarketQueries {
           SELECT piv.series, piv.f8, piv.f16, piv.f32, al.dfa_alpha
           FROM piv LEFT JOIN al ON al.series = piv.series
           ORDER BY piv.series""",
+
+    // FD twin: the SAME weight literals (Double.toString round-trips
+    // uniquely), one left-associated 21-term convolution and its
+    // shifted partner, plain per-series windows (day-scope rule)
+    "q348_frac_diff" -> {
+      val ws = MarketBars.fracDiffWeights(0.4, 20)
+      val lags = (1 to 21).map(j =>
+        s"lag(p8, $j) OVER w AS y$j").mkString(",\n                  ")
+      def conv(off: Int) = ws.zipWithIndex
+        .map { case (wv, j) => s"($wv)*CAST(y${j + off} AS DOUBLE)" }
+        .mkString(" + ")
+      s"""WITH $barsCte,
+          b0 AS (SELECT series, bar_ts,
+                   CAST(floor(ln(close)*1e8 + 0.5) AS BIGINT) AS p8
+                 FROM bars WHERE close > 0),
+          lg AS (SELECT series, p8 AS y0,
+                  $lags
+                 FROM b0
+                 WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          x AS (SELECT series,
+                  round((${conv(0)})/1e8, 6) AS x,
+                  CASE WHEN y21 IS NOT NULL THEN
+                    round((${conv(1)})/1e8, 6) END AS xp
+                FROM lg WHERE y20 IS NOT NULL),
+          a AS (SELECT series, count(*) AS n_obs,
+                  SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+                  SUM(CAST(round(x*x, 12) AS DECIMAL(38,12))) AS sxx,
+                  count(xp) AS np,
+                  SUM(CASE WHEN xp IS NOT NULL
+                    THEN CAST(x AS DECIMAL(28,6)) END) AS px,
+                  SUM(CAST(xp AS DECIMAL(28,6))) AS py,
+                  SUM(CAST(round(x*xp, 12) AS DECIMAL(38,12))) AS pxy,
+                  SUM(CASE WHEN xp IS NOT NULL
+                    THEN CAST(round(x*x, 12) AS DECIMAL(38,12)) END)
+                    AS pxx,
+                  SUM(CAST(round(xp*xp, 12) AS DECIMAL(38,12))) AS pyy
+                FROM x GROUP BY 1),
+          f AS (SELECT series, n_obs, np,
+                  CAST(sx AS DOUBLE)/CAST(n_obs AS DOUBLE) AS mean,
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    *CAST(sx AS DOUBLE)/CAST(n_obs AS DOUBLE))
+                    /(CAST(n_obs AS DOUBLE) - 1) AS variance,
+                  CAST(np AS DOUBLE)*CAST(pxy AS DOUBLE)
+                    - CAST(px AS DOUBLE)*CAST(py AS DOUBLE) AS num,
+                  CAST(np AS DOUBLE)*CAST(pxx AS DOUBLE)
+                    - CAST(px AS DOUBLE)*CAST(px AS DOUBLE) AS vx,
+                  CAST(np AS DOUBLE)*CAST(pyy AS DOUBLE)
+                    - CAST(py AS DOUBLE)*CAST(py AS DOUBLE) AS vy
+                FROM a)
+          SELECT series, n_obs, round(mean, 6) AS fd_mean,
+            CASE WHEN n_obs > 1 AND variance >= 0
+              THEN round(sqrt(variance), 6) END AS fd_sd,
+            CASE WHEN np > 1 AND vx > 0 AND vy > 0
+              THEN round(num/(sqrt(vx)*sqrt(vy)), 6) END AS fd_acf1
+          FROM f ORDER BY series"""
+    },
 
     // Lilliefors twin: pettitt's daily chain, q299-style moments,
     // the same A–S erf polynomial in explicit multiplication chains

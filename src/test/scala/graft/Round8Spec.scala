@@ -816,6 +816,42 @@ class Round8Spec extends AnyFunSuite {
     assert(r.getAs[Boolean]("reject_normal"))
   }
 
+  test("sourceJsd: identical profiles pin 0, disjoint vocab pins ln 2") {
+    val docs = Seq(
+      ("s1", 1L, "a a b"), ("s2", 2L, "a a b a a b"),
+      ("s3", 3L, "c c c d"))
+      .toDF("source", "doc_id", "text")
+    val r = graft.ops.CorpusOps.sourceJsd(docs)
+      .orderBy(col("source_a"), col("source_b")).collect()
+    val twin = r.find(x => x.getString(0) == "s1" &&
+      x.getString(1) == "s2").get
+    val disj = r.find(x => x.getString(0) == "s1" &&
+      x.getString(1) == "s3").get
+    assert(twin.getAs[Long]("n_shared_terms") === 2L)
+    assert(twin.getAs[Double]("jsd") === 0.0)
+    assert(disj.getAs[Long]("n_shared_terms") === 0L)
+    assert(disj.getAs[Double]("jsd") === 0.693147) // ln 2
+    assert(disj.getAs[Double]("jsd_norm") === 1.0)
+  }
+
+  test("fracDiff: a constant price FD-transforms to a constant") {
+    val rows = (0 until 30).map { i =>
+      ("s", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, 0, i)), 100.0)
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.fracDiff(bars).collect().head
+    assert(r.getAs[Long]("n_obs") === 10L) // 30 bars − 20 warm-up
+    val p8 = math.floor(math.log(100.0) * 1e8 + 0.5)
+    val conv = graft.ops.MarketBars.fracDiffWeights(0.4, 20)
+      .map(_ * p8).reduceLeft(_ + _) / 1e8
+    val want = java.math.BigDecimal.valueOf(conv)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r.getAs[Double]("fd_mean") === want)
+    assert(r.getAs[Double]("fd_sd") < 1e-4)
+    assert(r.isNullAt(r.fieldIndex("fd_acf1")), "zero variance fenced")
+  }
+
   test("calinskiHarabasz: two tight separated clusters, CH = 50") {
     // centroids (0,1) / (10,1), global (5,1); WSS = 2 per label,
     // BSS = 2·25 per label → CH = (100/1)/(4/2) = 50
