@@ -1053,6 +1053,126 @@ object MarketBars {
         round(num / (sqrt(vx) * sqrt(vy)), 6)).as("fd_acf1"))
   }
 
+  /** Inclán–Tiao CUSUM-of-squares variance change-point per series
+    * on the daily-close returns: D_k = C_k/C_n − k/n over the
+    * squared-return prefix, IT = √(n/2)·max|D_k| against the 5%
+    * Brownian-bridge fence 1.358 — the VARIANCE-break companion to
+    * q144's mean-CUSUM and q340's rank level-shift (a volatility
+    * regime change moves none of those).
+    *
+    * Determinism: r8² prefixes fold as exact DECIMAL; each D_k forms
+    * in one shared double op order; the argmax tie-breaks to the
+    * earliest day via lexicographic max(struct(|D|, −k)); the
+    * statistic rounds 6dp.
+    *
+    * Scale: the pettitt class — one (series, day) rollup, prefix and
+    * count windows per series over the DAILY series (calendar-bounded
+    * tasks). */
+  def inclanTiao(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val wD = Window.partitionBy(col("series")).orderBy(col("d"))
+    val wCum = wD.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("series"))
+    val daily = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .withColumn("pc", lag(col("close"), 1).over(wD))
+      .withColumn("r8",
+        when(col("pc").isNotNull && col("pc") > 0 && col("close") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+    val u = daily
+      .withColumn("q", (col("r8").cast(dec) * col("r8").cast(dec)))
+      .withColumn("ck", sum(col("q")).over(wCum))
+      .withColumn("cn", sum(col("q")).over(wAll))
+      .withColumn("k", row_number().over(wD).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("dk",
+        dbl(col("ck")) / dbl(col("cn")) - dbl(col("k")) / dbl(col("n")))
+      .filter(col("k") < col("n") && dbl(col("cn")) > 0)
+    val agg = u.groupBy(col("series"))
+      .agg(max(col("n")).as("n_days"),
+        max(struct(abs(col("dk")).as("a"), (-col("k")).as("nk"),
+          col("d").as("d"))).as("mx"))
+    val it = sqrt(dbl(col("n_days")) / lit(2.0)) * col("mx").getField("a")
+    agg.select(col("series"), col("n_days"),
+      round(it, 6).as("it_stat"),
+      col("mx").getField("d").as("break_date"),
+      (it > lit(1.358)).as("reject_const_var"))
+  }
+
+  /** Sample entropy per series (Richman & Moorman 2000; m = 2,
+    * r = 0.2·σ) on the daily-close returns: SampEn = −ln(A/B) where
+    * B counts template pairs matching at length m and A at m+1
+    * (Chebyshev distance ≤ r, self-matches excluded) — LOW SampEn =
+    * the series repeats its own patterns (regularity), the
+    * complexity view next to q153's Hurst and q342's DFA (which see
+    * long-memory, not determinism).
+    *
+    * Determinism: template coordinates are exact r8 longs, so every
+    * |Δ| is an exact integer compared against the one shared-op-order
+    * double tolerance; A/B are integer counts; SampEn rounds 6dp.
+    *
+    * Scale: the template self-join is |days|² PER SERIES — bounded by
+    * the calendar like the pettitt/Lilliefors daily family, never the
+    * tick history (SampEn on raw ticks would need the bucketed
+    * variants in the literature). */
+  def sampleEntropy(bars: DataFrame, rFrac: Double = 0.2): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val wD = Window.partitionBy(col("series")).orderBy(col("d"))
+    val daily = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .withColumn("pc", lag(col("close"), 1).over(wD))
+      .withColumn("r8",
+        when(col("pc").isNotNull && col("pc") > 0 && col("close") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .withColumn("t", row_number().over(wD).cast("long"))
+      .withColumn("l1", lead(col("r8"), 1).over(wD))
+      .withColumn("l2", lead(col("r8"), 2).over(wD))
+      .localCheckpoint(eager = false) // tolerance leg + both join legs
+    val tol = daily.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("s2"))
+      .select(col("series"), col("n"),
+        (lit(rFrac) * sqrt((dbl(col("n")) * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) /
+          (dbl(col("n")) * (dbl(col("n")) - 1)))).as("rtol"))
+    // Richman–Moorman template set: both A and B run over the n−m−1
+    // EXTENDABLE templates (l2 defined), the standard definition
+    val tmpl = daily.filter(col("l2").isNotNull)
+      .select(col("series"), col("t"), col("r8").as("x0"),
+        col("l1").as("x1"), col("l2").as("x2"))
+    val a = tmpl.select(col("series"), col("t").as("ti"),
+      col("x0").as("a0"), col("x1").as("a1"), col("x2").as("a2"))
+    val b = tmpl.select(col("series"), col("t").as("tj"),
+      col("x0").as("b0"), col("x1").as("b1"), col("x2").as("b2"))
+    val chebM = greatest(abs(col("a0") - col("b0")),
+      abs(col("a1") - col("b1")))
+    val chebM1 = greatest(chebM, abs(col("a2") - col("b2")))
+    val counts = a.join(b, Seq("series"))
+      .filter(col("ti") < col("tj"))
+      .join(broadcast(tol), "series")
+      .groupBy(col("series"))
+      .agg(max(col("n")).as("n_days"),
+        max(col("rtol")).as("rtol"),
+        sum(when(dbl(chebM) <= col("rtol"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(dbl(chebM1) <= col("rtol"), 1L).otherwise(0L)).as("n_a"))
+    counts.select(col("series"), col("n_days"),
+      round(col("rtol") / lit(1e8), 6).as("r_tol"),
+      col("n_b"), col("n_a"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(-log(dbl(col("n_a")) / dbl(col("n_b"))), 6)).as("sampen"))
+  }
+
   /** Lilliefors normality test per series on the daily-close log
     * returns: the KS distance between the empirical CDF and the
     * normal fitted to the SAME sample,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.ops.{CorpusOps, CorpusPipeline, DedupOps, SimilarityOps, StatOps, TextOps}
+import graft.ops.{CorpusOps, CorpusPipeline, DedupOps, GraphOps, SimilarityOps, StatOps, TextOps}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operator inventory over the `documents`
@@ -1107,6 +1107,29 @@ object LlmQueries {
       DedupOps.lshRecall(Tables.rebalance(Tables.documents(s, dir)),
           "text", "doc_id", threshold = 0.05, maxDf = 100)
         .orderBy(col("band"))
+    }),
+
+    // Near-dup component size histogram (GraphOps.connectedComponents
+    // over the shared q77 pair relation): how big do dup clusters
+    // get — q156's exact-dup histogram can't see transitive near-dup
+    // chains, and the max component is the dedup blast-radius number
+    "q349_dup_components" -> ((s, dir) => {
+      val comp = GraphOps.connectedComponents(dupPairs(s, dir))
+      val sizes = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"))
+      val total = broadcast(Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_total")))
+      sizes.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_components"))
+        .crossJoin(total)
+        .select(col("sz"), col("n_components"),
+          (col("sz") * col("n_components")).as("n_docs"),
+          round((col("sz") * col("n_components"))
+            .cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_total")
+              .cast(org.apache.spark.sql.types.DoubleType), 6)
+            .as("doc_share"))
+        .orderBy(col("sz"))
     }),
 
     // Pairwise source JSD matrix (CorpusOps.sourceJsd): full
@@ -3970,6 +3993,47 @@ object LlmQueries {
             round(1.0 - u8*u8, 6) AS theory
           FROM f6 ORDER BY band"""
     },
+
+    // Dup-components twin: q77's PPJoin pairs at 0.3, the q33
+    // recursive min-label reach, size histogram + corpus share
+    "q349_dup_components" ->
+      s"""WITH RECURSIVE $toksCte,
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk
+                  FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b
+                   ON a.gk = b.gk AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          pj AS (SELECT id_a, id_b
+                 FROM sh
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+                 WHERE CAST(n_shared AS DOUBLE)
+                   /(sa.sz + sb.sz - n_shared) >= 0.3),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pj
+                    UNION SELECT id_b, id_a FROM pj),
+          reach AS (SELECT a AS node, a AS lab FROM edges
+                    UNION
+                    SELECT e.b AS node, r.lab FROM reach r
+                    JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, min(lab) AS root FROM reach
+                   GROUP BY node),
+          szs AS (SELECT root, count(*) AS sz2 FROM comp GROUP BY 1),
+          hist AS (SELECT sz2 AS sz, count(*) AS n_components
+                   FROM szs GROUP BY 1),
+          tot AS (SELECT count(*) AS n_total FROM documents)
+          SELECT sz, n_components,
+            CAST(sz*n_components AS BIGINT) AS n_docs,
+            round(CAST(sz*n_components AS DOUBLE)
+              /CAST(n_total AS DOUBLE), 6) AS doc_share
+          FROM hist, tot ORDER BY sz""",
 
     // Source-JSD twin: the same shared-terms decomposition
     // JSD = S1 + (G−S2) legs − (Hp+Hq)/2, 12dp DECIMAL entropy folds

@@ -1308,6 +1308,24 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Inclán–Tiao CUSUM of squares (MarketBars.inclanTiao): the
+    // VARIANCE change point — a volatility regime break moves
+    // neither q144's mean-CUSUM nor q340's rank shift
+    "q350_inclan_tiao" -> ((s, dir) => {
+      MarketBars.inclanTiao(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Sample entropy (MarketBars.sampleEntropy): pattern regularity
+    // on the daily returns — the complexity view next to q153 Hurst
+    // and q342 DFA (which read memory, not determinism)
+    "q351_sampen" -> ((s, dir) => {
+      MarketBars.sampleEntropy(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Fractional differencing panel (MarketBars.fracDiff): the
     // d = 0.4 fixed-width FD log-price series' mean/sd/acf1 —
     // stationarity WITH retained memory, between raw prices (unit
@@ -4779,6 +4797,102 @@ object MarketQueries {
           SELECT piv.series, piv.f8, piv.f16, piv.f32, al.dfa_alpha
           FROM piv LEFT JOIN al ON al.series = piv.series
           ORDER BY piv.series""",
+
+    // Inclán–Tiao twin: daily chain, exact DECIMAL r8² prefixes, the
+    // same D_k op order, earliest-k lexicographic argmax
+    "q350_inclan_tiao" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY d)
+                    AS pc
+                FROM dcl),
+          r AS (SELECT series, d,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          u AS (SELECT series, d,
+                  SUM(CAST(r8 AS DECIMAL(38,0))*CAST(r8 AS DECIMAL(38,0)))
+                    OVER (PARTITION BY series ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS ck,
+                  SUM(CAST(r8 AS DECIMAL(38,0))*CAST(r8 AS DECIMAL(38,0)))
+                    OVER (PARTITION BY series) AS cn,
+                  CAST(row_number() OVER (PARTITION BY series
+                    ORDER BY d) AS BIGINT) AS k,
+                  CAST(count(*) OVER (PARTITION BY series) AS BIGINT)
+                    AS n
+                FROM r),
+          dd AS (SELECT series, d, k, n,
+                   CAST(ck AS DOUBLE)/CAST(cn AS DOUBLE)
+                     - CAST(k AS DOUBLE)/CAST(n AS DOUBLE) AS dk
+                 FROM u WHERE k < n AND CAST(cn AS DOUBLE) > 0),
+          ag AS (SELECT series, CAST(max(n) AS BIGINT) AS n_days,
+                   max(struct_pack(a := abs(dk), nk := -k, d := d))
+                     AS mx
+                 FROM dd GROUP BY 1)
+          SELECT series, n_days,
+            round(sqrt(CAST(n_days AS DOUBLE)/2.0)*mx.a, 6) AS it_stat,
+            mx.d AS break_date,
+            sqrt(CAST(n_days AS DOUBLE)/2.0)*mx.a > 1.358
+              AS reject_const_var
+          FROM ag ORDER BY series""",
+
+    // SampEn twin: daily chain, RM extendable templates, exact
+    // integer Chebyshev distances against the shared-op-order
+    // tolerance, one −ln ratio
+    "q351_sampen" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY d)
+                    AS pc
+                FROM dcl),
+          r AS (SELECT series, d,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          rt AS (SELECT series, d, r8,
+                   CAST(row_number() OVER w AS BIGINT) AS t,
+                   lead(r8, 1) OVER w AS l1,
+                   lead(r8, 2) OVER w AS l2
+                 FROM r
+                 WINDOW w AS (PARTITION BY series ORDER BY d)),
+          tol AS (SELECT series, count(*) AS n,
+                   0.2*sqrt((CAST(count(*) AS DOUBLE)
+                     *CAST(SUM(CAST(r8 AS DECIMAL(38,0))
+                       *CAST(r8 AS DECIMAL(38,0))) AS DOUBLE)
+                     - CAST(SUM(CAST(r8 AS DECIMAL(38,0))) AS DOUBLE)
+                       *CAST(SUM(CAST(r8 AS DECIMAL(38,0))) AS DOUBLE))
+                     /(CAST(count(*) AS DOUBLE)
+                       *(CAST(count(*) AS DOUBLE) - 1))) AS rtol
+                 FROM rt GROUP BY 1),
+          tm AS (SELECT series, t, r8 AS x0, l1 AS x1, l2 AS x2
+                 FROM rt WHERE l2 IS NOT NULL),
+          c AS (SELECT a.series, CAST(max(tol.n) AS BIGINT) AS n_days,
+                  max(tol.rtol) AS rtol,
+                  CAST(SUM(CASE WHEN CAST(greatest(abs(a.x0 - b.x0),
+                    abs(a.x1 - b.x1)) AS DOUBLE) <= tol.rtol
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  CAST(SUM(CASE WHEN CAST(greatest(greatest(
+                    abs(a.x0 - b.x0), abs(a.x1 - b.x1)),
+                    abs(a.x2 - b.x2)) AS DOUBLE) <= tol.rtol
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+                FROM tm a
+                JOIN tm b ON a.series = b.series AND a.t < b.t
+                JOIN tol ON tol.series = a.series
+                GROUP BY 1)
+          SELECT series, n_days, round(rtol/1e8, 6) AS r_tol,
+            n_b, n_a,
+            CASE WHEN n_a > 0 AND n_b > 0 THEN
+              round(-ln(CAST(n_a AS DOUBLE)/CAST(n_b AS DOUBLE)), 6)
+            END AS sampen
+          FROM c ORDER BY series""",
 
     // FD twin: the SAME weight literals (Double.toString round-trips
     // uniquely), one left-associated 21-term convolution and its

@@ -852,6 +852,42 @@ class Round8Spec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("fd_acf1")), "zero variance fenced")
   }
 
+  test("inclanTiao: a variance regime break is located and rejected") {
+    // tiny ±0.1 wiggles for 21 days, then ±10 swings: r8² jumps 4
+    // orders of magnitude → the squared-return bridge peaks at the
+    // transition and the 1.358 fence rejects
+    val rows = (1 to 41).map { day =>
+      val c =
+        if (day <= 21) { if (day % 2 == 0) 100.1 else 100.0 }
+        else { if (day % 2 == 0) 110.0 else 100.0 }
+      ("s", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+          .plusDays(day - 1)), c)
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.inclanTiao(bars).collect().head
+    assert(r.getAs[Long]("n_days") === 40L)
+    assert(r.getAs[Boolean]("reject_const_var"))
+    assert(r.getAs[java.sql.Date]("break_date").toString
+      .startsWith("2024-01-2"), "break at the regime transition")
+  }
+
+  test("sampleEntropy: a perfectly periodic series has SampEn 0") {
+    // period-2 returns: every m-template extends identically →
+    // A = B → −ln 1 = 0 (total regularity)
+    val rows = (1 to 43).map { day =>
+      ("s", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+          .plusDays(day - 1)),
+        if (day % 2 == 0) 110.0 else 100.0)
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.sampleEntropy(bars).collect().head
+    assert(r.getAs[Long]("n_b") > 0)
+    assert(r.getAs[Long]("n_a") === r.getAs[Long]("n_b"))
+    assert(r.getAs[Double]("sampen") === 0.0)
+  }
+
   test("calinskiHarabasz: two tight separated clusters, CH = 50") {
     // centroids (0,1) / (10,1), global (5,1); WSS = 2 per label,
     // BSS = 2·25 per label → CH = (100/1)/(4/2) = 50
