@@ -1051,6 +1051,59 @@ object EventAnalytics {
       .toDF("state", "n_out", "pi", "l1_delta")
   }
 
+  /** Deterministic sign-flip permutation test for a paired daily mean
+    * difference: are two event types' daily mean values the same
+    * distribution, tested by flipping each day's difference sign
+    * under `b` md5-derived replicas — the RNG-free exact-style
+    * permutation inference completing the deterministic-resampling
+    * pair with the Poisson bootstrap (q328 gives an SE; this gives a
+    * p-value with NO normality assumption, unlike q149's t-form).
+    *
+    * Determinism: daily means are 6dp DECIMAL ratios; each replica's
+    * sum folds the SAME exact decimals with md5-parity signs, so the
+    * |S_r| ≥ |S_obs| comparisons are exact DECIMAL comparisons; the
+    * add-one p-value (1 + #extreme)/(b + 1) rounds 6dp.
+    *
+    * Scale: one (day, type) rollup; the b-way explode is map-side
+    * over |days| rows; one replica aggregate. */
+  def signFlipTest(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      b: Int = 64): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec6 = DecimalType(18, 6)
+    val cells = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(round(exactSum(col("value")) / dbl(count(lit(1))), 6).as("m"))
+    val diffs = cells.groupBy(col("d"))
+      .agg(max(when(col("event_type") === typeA, col("m"))).as("ma"),
+        max(when(col("event_type") === typeB, col("m"))).as("mb"))
+      .filter(col("ma").isNotNull && col("mb").isNotNull)
+      .select(col("d"), (col("ma") - col("mb")).cast(dec6).as("diff"))
+      .localCheckpoint(eager = false) // observed leg + replica leg
+    val obs = diffs.agg(count(lit(1)).as("n_days"),
+      sum(col("diff")).as("s_obs"))
+    val reps = diffs
+      .withColumn("r", explode(array((0 until b).map(lit): _*)))
+      .withColumn("sgn",
+        when(pmod(graft.functions.CrossHash.x32(
+          concat_ws("#", lit("flip"), col("d"), col("r"))), lit(2L)) === 0,
+          lit(1)).otherwise(lit(-1)))
+      .groupBy(col("r"))
+      .agg(sum(col("sgn") * col("diff")).as("s_r"))
+    val agg = reps.crossJoin(broadcast(obs))
+      .groupBy(col("n_days"), col("s_obs"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(abs(col("s_r")) >= abs(col("s_obs")), 1L).otherwise(0L))
+          .as("n_extreme"))
+    agg.select(col("n_days"), col("n_reps"), col("n_extreme"),
+      round(dbl(col("s_obs")) / dbl(col("n_days")), 6).as("mean_diff"),
+      round((dbl(col("n_extreme")) + 1) / (dbl(col("n_reps")) + 1), 6)
+        .as("p_value"))
+  }
+
   /** Wilson score intervals for per-type "high-value event" rates:
     * per event type the share of events at or above the GLOBAL mean
     * value, with the 95% Wilson CI (the interval that behaves at

@@ -1173,6 +1173,106 @@ object MarketBars {
         round(-log(dbl(col("n_a")) / dbl(col("n_b"))), 6)).as("sampen"))
   }
 
+  /** Permutation entropy per series (Bandt & Pompe 2002; m = 3): the
+    * Shannon entropy of the ordinal-pattern distribution of
+    * consecutive close triples, normalized by ln 3! — near 1 the
+    * series is ordinally random, near 0 it repeats a motif. The
+    * ORDINAL complexity view next to [[sampleEntropy]]'s amplitude
+    * view (PE is tolerance-free and runs at BAR level because the
+    * pattern map is pure map-side work after two leads).
+    *
+    * Ties break to the EARLIER index (the stable convention), so the
+    * pattern id is three exact boolean comparisons of 1e6-scaled
+    * longs packed as bits — identical in both engines; pattern
+    * probabilities are integer ratios; entropy terms round 12dp and
+    * fold as DECIMAL; outputs round 6dp.
+    *
+    * Scale: one day-scoped lead chain (carry 3), one
+    * (series, pattern) aggregate — ≤ 6 cells per series. */
+  def permEntropy(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", 3)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    // LAG-anchored triples (c_{t−2}, c_{t−1}, c_t): the day-scope
+    // carry covers trailing rows only, so a lead() form would drop
+    // every day's last two triples — lags keep cross-day continuity
+    val tri = aug
+      .withColumn("c2", floor(col("close") * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .withColumn("c1", lag(col("c2"), 1).over(w))
+      .withColumn("c0", lag(col("c2"), 2).over(w))
+      .filter(col("__emit") && col("c0").isNotNull)
+      // tie → earlier index counts as smaller: <= on (value) is
+      // exactly the (value, index) lexicographic order
+      .withColumn("pat",
+        when(col("c0") <= col("c1"), 4).otherwise(0) +
+          when(col("c1") <= col("c2"), 2).otherwise(0) +
+          when(col("c0") <= col("c2"), 1).otherwise(0))
+    val cells = tri.groupBy(col("series"), col("pat"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy(col("series")).agg(sum(col("c")).as("n"))
+    val p = dbl(col("c")) / dbl(col("n"))
+    val agg = cells.join(tot, "series")
+      .groupBy(col("series"))
+      .agg(max(col("n")).as("n_triples"),
+        count(lit(1)).as("n_patterns"),
+        sum(round(-p * log(p), 12).cast(dec12)).as("h12"))
+    agg.select(col("series"), col("n_triples"), col("n_patterns"),
+      round(dbl(col("h12")), 6).as("h"),
+      round(dbl(col("h12")) / log(lit(6.0)), 6).as("pe_norm"))
+  }
+
+  /** Gumbel block-maxima fit per series (method of moments) on the
+    * daily maxima of |r8|: β = σ√6/π, μ = m̄ − γβ (Euler γ), plus the
+    * 100-block return level μ − β·ln(−ln(0.99)) — the EVT
+    * block-maxima view next to q287's Hill peaks-over-threshold tail
+    * index and q292's mean-excess plot ("how bad is the worst bar of
+    * a typical day, extrapolated").
+    *
+    * Determinism: block maxima are exact longs (max |r8| per day);
+    * moments fold as DECIMAL; β/μ/return level form in one shared
+    * double op order with literal γ/π and engine-shared sqrt/ln;
+    * outputs round 6dp in return units.
+    *
+    * Scale: one (series, day) map-side-combined max, one moment
+    * aggregate — |series| rows out. */
+  def gumbelBlockMaxima(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val aug = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", 2)
+    val blocks = aug
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("__emit") && col("r8").isNotNull)
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(abs(col("r8"))).as("m"))
+    val agg = blocks.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("m").cast(dec)).as("s1"),
+        sum(col("m").cast(dec) * col("m").cast(dec)).as("s2"))
+    val n = dbl(col("n_blocks"))
+    val mean8 = dbl(col("s1")) / n
+    val sd8 = sqrt((n * dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1"))) /
+      (n * (n - 1)))
+    val beta = sd8 * sqrt(lit(6.0)) / lit(3.141592653589793)
+    val mu = mean8 - lit(0.5772156649015329) * beta
+    val rl = mu - beta * log(-log(lit(0.99)))
+    val ok = col("n_blocks") > 1
+    agg.select(col("series"), col("n_blocks"),
+      when(ok, round(mu / lit(1e8), 6)).as("gum_mu"),
+      when(ok, round(beta / lit(1e8), 6)).as("gum_beta"),
+      when(ok, round(rl / lit(1e8), 6)).as("rl_100"))
+  }
+
   /** Lilliefors normality test per series on the daily-close log
     * returns: the KS distance between the empirical CDF and the
     * normal fitted to the SAME sample,

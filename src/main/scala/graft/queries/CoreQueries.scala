@@ -1977,6 +1977,14 @@ object CoreQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Sign-flip permutation test (EventAnalytics.signFlipTest):
+    // RNG-free paired inference — do click and view days draw the
+    // same mean value, with an exact-style p and no normality
+    // assumption (the permutation companion to q328's bootstrap SE)
+    "q353_sign_flip_test" -> ((s, dir) => {
+      EventAnalytics.signFlipTest(Tables.events(s, dir), "click", "view")
+    }),
+
     // Markov stationary distribution (EventAnalytics
     // .markovStationary): 15 exact power-iteration steps on q120's
     // transition matrix — the long-run equilibrium share of each
@@ -4165,6 +4173,46 @@ object CoreQueries {
             (round(center + half, 6) < p_pool
               OR round(center - half, 6) > p_pool) AS differs_from_pool
           FROM f ORDER BY event_type""",
+
+    // Sign-flip twin: the SAME 6dp daily-mean diffs, md5-parity signs
+    // per (day, replica), exact DECIMAL sums and comparisons
+    "q353_sign_flip_test" ->
+      """WITH cells AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS m
+              FROM events WHERE event_type IN ('click', 'view')
+              GROUP BY 1, 2),
+          diffs AS (SELECT d, CAST(ma - mb AS DECIMAL(18,6)) AS diff
+                    FROM (SELECT d,
+                            max(CASE WHEN event_type = 'click'
+                              THEN m END) AS ma,
+                            max(CASE WHEN event_type = 'view'
+                              THEN m END) AS mb
+                          FROM cells GROUP BY 1)
+                    WHERE ma IS NOT NULL AND mb IS NOT NULL),
+          obs AS (SELECT count(*) AS n_days, SUM(diff) AS s_obs
+                  FROM diffs),
+          reps AS (SELECT r, SUM(sgn*diff) AS s_r FROM
+                     (SELECT diff, g.r,
+                        CASE WHEN CAST(concat('0x', substr(md5(
+                          concat_ws('#', 'flip', d, r)), 1, 8))
+                          AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+                      FROM diffs, unnest(generate_series(0, 63))
+                        AS g(r))
+                   GROUP BY 1),
+          agg AS (SELECT obs.n_days, obs.s_obs,
+                    count(*) AS n_reps,
+                    CAST(SUM(CASE WHEN abs(s_r) >= abs(s_obs)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+                  FROM reps, obs GROUP BY 1, 2)
+          SELECT CAST(n_days AS BIGINT) AS n_days,
+            CAST(n_reps AS BIGINT) AS n_reps, n_extreme,
+            round(CAST(s_obs AS DOUBLE)/CAST(n_days AS DOUBLE), 6)
+              AS mean_diff,
+            round((CAST(n_extreme AS DOUBLE) + 1)
+              /(CAST(n_reps AS DOUBLE) + 1), 6) AS p_value
+          FROM agg""",
 
     // Markov-stationary twin: q120's transition lag, 12dp
     // row-stochastic matrix, 15 UNROLLED π' = πP steps with the same

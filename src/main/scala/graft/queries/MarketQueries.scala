@@ -1308,6 +1308,24 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Permutation entropy (MarketBars.permEntropy): ordinal-pattern
+    // complexity at bar level — tolerance-free, next to q351's
+    // amplitude-based SampEn
+    "q352_perm_entropy" -> ((s, dir) => {
+      MarketBars.permEntropy(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Gumbel block maxima (MarketBars.gumbelBlockMaxima): EVT fit on
+    // the daily worst |return| with the 100-day return level — the
+    // block-maxima view next to q287's Hill POT tail
+    "q354_gumbel" -> ((s, dir) => {
+      MarketBars.gumbelBlockMaxima(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Inclán–Tiao CUSUM of squares (MarketBars.inclanTiao): the
     // VARIANCE change point — a volatility regime break moves
     // neither q144's mean-CUSUM nor q340's rank shift
@@ -4797,6 +4815,81 @@ object MarketQueries {
           SELECT piv.series, piv.f8, piv.f16, piv.f32, al.dfa_alpha
           FROM piv LEFT JOIN al ON al.series = piv.series
           ORDER BY piv.series""",
+
+    // Perm-entropy twin: the same 1e6-scaled longs, tie-to-earlier
+    // boolean bit pack, integer pattern cells, 12dp entropy fold
+    "q352_perm_entropy" ->
+      s"""WITH $barsCte,
+          tri0 AS (SELECT series, bar_ts,
+                     CAST(floor(close*1e6 + 0.5) AS BIGINT) AS c2,
+                     lag(CAST(floor(close*1e6 + 0.5) AS BIGINT), 1)
+                       OVER w AS c1,
+                     lag(CAST(floor(close*1e6 + 0.5) AS BIGINT), 2)
+                       OVER w AS c0
+                   FROM bars
+                   WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          tri AS (SELECT series,
+                    (CASE WHEN c0 <= c1 THEN 4 ELSE 0 END
+                     + CASE WHEN c1 <= c2 THEN 2 ELSE 0 END
+                     + CASE WHEN c0 <= c2 THEN 1 ELSE 0 END) AS pat
+                  FROM tri0 WHERE c0 IS NOT NULL),
+          cells AS (SELECT series, pat, count(*) AS c FROM tri
+                    GROUP BY 1, 2),
+          tot AS (SELECT series, CAST(SUM(c) AS BIGINT) AS n FROM cells
+                  GROUP BY 1),
+          agg AS (SELECT cells.series,
+                    CAST(max(n) AS BIGINT) AS n_triples,
+                    count(*) AS n_patterns,
+                    SUM(CAST(round(-(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+                      *ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)), 12)
+                      AS DECIMAL(38,12))) AS h12
+                  FROM cells JOIN tot ON tot.series = cells.series
+                  GROUP BY 1)
+          SELECT series, n_triples,
+            CAST(n_patterns AS BIGINT) AS n_patterns,
+            round(CAST(h12 AS DOUBLE), 6) AS h,
+            round(CAST(h12 AS DOUBLE)/ln(6.0), 6) AS pe_norm
+          FROM agg ORDER BY series""",
+
+    // Gumbel twin: daily max |r8| blocks, DECIMAL moments, literal
+    // γ/π with engine-shared sqrt/ln, one shared op order
+    "q354_gumbel" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l WHERE pc IS NOT NULL AND pc > 0),
+          blocks AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                       CAST(max(abs(r8)) AS BIGINT) AS m
+                     FROM r GROUP BY 1, 2),
+          a AS (SELECT series, count(*) AS n_blocks,
+                  SUM(CAST(m AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(m AS DECIMAL(38,0))*CAST(m AS DECIMAL(38,0)))
+                    AS s2
+                FROM blocks GROUP BY 1),
+          f AS (SELECT series, n_blocks,
+                  CAST(s1 AS DOUBLE)/CAST(n_blocks AS DOUBLE) AS mean8,
+                  sqrt((CAST(n_blocks AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    /(CAST(n_blocks AS DOUBLE)
+                      *(CAST(n_blocks AS DOUBLE) - 1))) AS sd8
+                FROM a),
+          g AS (SELECT series, n_blocks, mean8,
+                  sd8*sqrt(6.0)/3.141592653589793 AS beta
+                FROM f),
+          h AS (SELECT series, n_blocks,
+                  mean8 - 0.5772156649015329*beta AS mu, beta
+                FROM g)
+          SELECT series, n_blocks,
+            CASE WHEN n_blocks > 1 THEN round(mu/1e8, 6) END AS gum_mu,
+            CASE WHEN n_blocks > 1 THEN round(beta/1e8, 6) END
+              AS gum_beta,
+            CASE WHEN n_blocks > 1 THEN
+              round((mu - beta*ln(-ln(0.99)))/1e8, 6) END AS rl_100
+          FROM h ORDER BY series""",
 
     // Inclán–Tiao twin: daily chain, exact DECIMAL r8² prefixes, the
     // same D_k op order, earliest-k lexicographic argmax

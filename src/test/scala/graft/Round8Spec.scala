@@ -888,6 +888,61 @@ class Round8Spec extends AnyFunSuite {
     assert(r.getAs[Double]("sampen") === 0.0)
   }
 
+  test("permEntropy: monotone pins 0, alternation pins ln2/ln6") {
+    val rows = (0 until 40).flatMap { i =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 10, 0, i))
+      Seq(("up", ts, 100.0 + i),
+        ("zig", ts, if (i % 2 == 0) 100.0 else 110.0))
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.permEntropy(bars)
+      .orderBy(col("series")).collect()
+    val up = r.find(_.getString(0) == "up").get
+    val zig = r.find(_.getString(0) == "zig").get
+    assert(up.getAs[Long]("n_patterns") === 1L)
+    assert(up.getAs[Double]("pe_norm") === 0.0)
+    assert(zig.getAs[Long]("n_patterns") === 2L)
+    assert(zig.getAs[Double]("h") === 0.693147) // ln 2: 19/19 split
+    assert(zig.getAs[Double]("pe_norm") === 0.386853)
+  }
+
+  test("signFlipTest: a constant 99-point gap is significant") {
+    val rows = (1 to 20).flatMap { day =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, day, 12, 0, 0))
+      Seq((day * 2L, ts, 1L, "click", 100.0),
+        (day * 2L + 1, ts, 2L, "view", 1.0))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.ops.EventAnalytics.signFlipTest(ev, "click", "view")
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 20L)
+    assert(r.getAs[Double]("mean_diff") === 99.0)
+    assert(r.getAs[Long]("n_reps") === 64L)
+    assert(r.getAs[Double]("p_value") <= 0.05,
+      "only an all-equal-signs replica can tie the observed sum")
+  }
+
+  test("gumbelBlockMaxima: constant block maxima collapse beta to 0") {
+    // every |r8| equals ln(1.1)·1e8 → every daily max identical →
+    // sd 0 → beta 0, mu = the constant, return level = mu
+    val rows = (0 until 90).map { i =>
+      ("s", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1 + i / 30, 10, 0, i % 30)),
+        if (i % 2 == 0) 100.0 else 110.0)
+    }
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.gumbelBlockMaxima(bars).collect().head
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Double]("gum_beta") === 0.0)
+    val c = math.floor(math.log(1.1) * 1e8 + 0.5) / 1e8
+    val want = java.math.BigDecimal.valueOf(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r.getAs[Double]("gum_mu") === want)
+    assert(r.getAs[Double]("rl_100") === want)
+  }
+
   test("calinskiHarabasz: two tight separated clusters, CH = 50") {
     // centroids (0,1) / (10,1), global (5,1); WSS = 2 per label,
     // BSS = 2·25 per label → CH = (100/1)/(4/2) = 50
