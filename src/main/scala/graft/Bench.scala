@@ -57,9 +57,18 @@ object Bench {
     // concurrent runs) don't clobber each other; a write failure prints
     // one warning instead of vanishing.
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"/tmp/bench_out_$sfTag.json"), fullJson)
-    catch {
+    // Two copies: /tmp for ad-hoc diffing, and bench/ inside the repo so
+    // the full per-query history is COMMITTED per round (the driver's
+    // BENCH_r0N.json keeps only a 2000-char stdout tail — round-over-round
+    // per-query regression reads need the durable file).
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/tmp/bench_out_$sfTag.json"), fullJson)
+      val benchDir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(benchDir)
+      java.nio.file.Files.writeString(
+        benchDir.resolve(s"bench_$sfTag.json"), fullJson)
+    } catch {
       case e: Throwable =>
         System.err.println(s"[bench] WARN could not persist artifact: $e")
     }

@@ -861,6 +861,13 @@ object DedupOps {
       .withColumn("bd", least(floor(col("jaccard") * 10), lit(9.0))
         .cast("int"))
       .join(cand, Seq("id_a", "id_b"), "left")
+    // the repeated-squaring expansion below hardcodes the s-curve
+    // exponents for r = RowsPerBand = 2 (mid*mid) and b = Bands = 16
+    // (four squarings); changing the banding constants must change
+    // this expansion or the "theory" column silently lies
+    require(RowsPerBand == 2 && Bands == 16,
+      s"lshRecall theory curve is expanded for r=2, b=16 " +
+        s"(got r=$RowsPerBand, b=$Bands) — update the expansion")
     val mid = (dbl(col("bd")) + lit(0.5)) / lit(10.0)
     val u = lit(1.0) - mid * mid
     val u2 = u * u; val u4 = u2 * u2; val u8 = u4 * u4

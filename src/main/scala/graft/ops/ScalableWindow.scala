@@ -243,6 +243,169 @@ object ScalableWindow {
     rets.drop("__rev").withColumn("__emit", lit(true)).unionByName(carried)
   }
 
+  /** Exact global per-key lag-1 WITHOUT a per-key full-history window
+    * — [[laggedScope]]'s layer 1, standalone and multi-column, for the
+    * return-chain heads whose downstream is a FILTER + AGGREGATE (the
+    * q139/q205 class) rather than another trailing frame (those need
+    * [[laggedScope]]). Each `(valCol, prevCol)` pair gets the value of
+    * the key's previous row under `orderCols`:
+    *
+    *   - within a day, the (key, day)-scoped `lag(val, 1)` IS the
+    *     global lag;
+    *   - a day's FIRST row coalesces to the previous existing day's
+    *     last value, carried on the keys×days day map (one
+    *     max-by-struct under the same order — existing days only, so
+    *     calendar gaps are transparent);
+    *   - a key's global first row keeps null (no day-map match).
+    *
+    * Contract: `valCol`s must be non-null (bar fields, filtered signs
+    * — same contract as [[laggedScope]]); a null LAST value of a day
+    * would coalesce through to the wrong day. `orderCols` must totally
+    * order rows within a key.
+    *
+    * Scale posture: one (key, day) window pass + two broadcast joins
+    * of the keys×days map — task granularity (key, day), never a
+    * key's whole history in one task. */
+  def withPrevValues(
+      df0: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      tsCol: String,
+      vals: Seq[(String, String)]): DataFrame = {
+    require(vals.nonEmpty, "need at least one (valCol, prevCol) pair")
+    val df = df0.localCheckpoint(eager = false) // feeds day map + join
+    val keys = keyCols.map(col)
+    val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
+    // day map: dense day rank + each day's LAST row's value columns
+    // (one shared max-by-struct; orderCols totally order, so the
+    // struct max picks exactly the day's last row)
+    val dayMap = df
+      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+      .agg(max(struct(orderCols.map(col) ++
+        vals.map { case (v, _) => col(v).as(s"__v_$v") }: _*)).as("__last"))
+      .select((keys :+ col("__day") :+ col("__last")): _*)
+      .withColumn("__day_idx", row_number().over(idxW))
+      .localCheckpoint(eager = false)
+    val withIdx = df.withColumn("__day", to_date(col(tsCol)))
+      .join(broadcast(dayMap.select(
+        (keys :+ col("__day") :+ col("__day_idx")): _*)),
+        keyCols :+ "__day")
+      .join(broadcast(dayMap.select(
+        (keys :+ (col("__day_idx") + 1).as("__day_idx")) ++
+          vals.map { case (v, _) =>
+            col("__last").getField(s"__v_$v").as(s"__pdl_$v") }: _*)),
+        keyCols :+ "__day_idx", "left")
+    val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
+      .orderBy(orderCols.map(col): _*)
+    val out = vals.foldLeft(withIdx) { case (acc, (v, p)) =>
+      acc.withColumn(p, coalesce(lag(col(v), 1).over(w), col(s"__pdl_$v")))
+    }
+    out.drop(vals.map { case (v, _) => s"__pdl_$v" } ++
+      Seq("__day", "__day_idx"): _*)
+  }
+
+  /** Exact global per-key 1-based row index (and optional group total)
+    * WITHOUT a per-key full-history sort — the q158 sequential-index
+    * class routed through the day map: index = the day map's EXCLUSIVE
+    * cumulative row count (all earlier days of the key) + the
+    * within-day row_number. Time-ordered data subdivides by day, so
+    * this beats the [[ScalableRank]] RDD two-pass (no driver state, no
+    * extra corpus shuffle) whenever the order key is a timestamp;
+    * ScalableRank remains the escape for ranks over arbitrary VALUE
+    * orders. `orderCols` must totally order rows within a key. */
+  def withSeqIndex(
+      df0: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      tsCol: String,
+      rnCol: String,
+      nCol: Option[String] = None): DataFrame = {
+    val df = df0.localCheckpoint(eager = false)
+    val keys = keyCols.map(col)
+    val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
+    val totW = Window.partitionBy(keys: _*)
+    val dayMap0 = df
+      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", sum(col("__n")).over(idxW) - col("__n"))
+    val dayMap = (nCol match {
+      // the total rides the keys×days map (aggregate-sized) — never
+      // a count window over the corpus
+      case Some(_) => dayMap0.withColumn("__tot", sum(col("__n")).over(totW))
+      case None    => dayMap0
+    }).localCheckpoint(eager = false)
+    val mapCols = keys :+ col("__day") :+ col("__off")
+    val joined = df.withColumn("__day", to_date(col(tsCol)))
+      .join(broadcast(dayMap.select(
+        (nCol match {
+          case Some(_) => mapCols :+ col("__tot")
+          case None    => mapCols
+        }): _*)), keyCols :+ "__day")
+    val w = Window.partitionBy((keys :+ col("__day")): _*)
+      .orderBy(orderCols.map(col): _*)
+    val out = joined.withColumn(rnCol, col("__off") + row_number().over(w))
+    (nCol match {
+      case Some(n) => out.withColumnRenamed("__tot", n)
+      case None    => out
+    }).drop("__off", "__day")
+  }
+
+  /** FORWARD (lead-frame) mirror of [[dayScoped]]: augment `df` for
+    * windows whose frame looks AHEAD up to `carryRows` rows (lead
+    * columns, `rowsBetween(0, carryRows)` frames) — each (key, day)
+    * partition is appended with non-emitting copies of the FIRST
+    * `carryRows` rows of every LATER day within reach.
+    *
+    * Exactness (the dayScoped argument, mirrored): a row needed by day
+    * d from a later day d' has fewer than `carryRows` rows between day
+    * d's last row and itself, so it is among the FIRST `carryRows`
+    * rows of its own day, and whether it reaches day d is decided by
+    * the per-day cumulative counts alone: head row with forward rank
+    * rn (1 = day's first row) in day d' reaches day d < d' iff
+    * `cum[d'−1] − cum[d] + rn <= carryRows`. Window by
+    * (keyCols :+ __day_idx) ordered by `orderCols`, then
+    * `filter(col("__emit"))` and drop the helpers. */
+  def dayScopedLead(
+      df0: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      tsCol: String,
+      carryRows: Int): DataFrame = {
+    require(carryRows >= 1, s"carryRows must be >= 1 (got $carryRows)")
+    val df = df0.localCheckpoint(eager = false) // see dayScoped
+    val keys = keyCols.map(col)
+    val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
+    val dayIdx = df
+      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__day_idx", row_number().over(idxW))
+      .withColumn("__cum", sum(col("__n")).over(idxW))
+      .localCheckpoint(eager = false)
+    val withIdx = df.withColumn("__day", to_date(col(tsCol)))
+      .join(broadcast(dayIdx.select(
+        (keys :+ col("__day") :+ col("__day_idx") :+
+          (col("__cum") - col("__n")).as("__cum_prev")): _*)),
+        keyCols :+ "__day")
+    val headW = Window
+      .partitionBy((keys :+ col("__day_idx")): _*)
+      .orderBy(orderCols.map(col): _*)
+    val heads = withIdx
+      .withColumn("__rn", row_number().over(headW))
+      .filter(col("__rn") <= carryRows)
+    val destDays = dayIdx.select(
+      (keys :+ col("__day_idx").as("__dst_idx") :+
+        col("__cum").as("__dst_cum")): _*)
+    val carried = heads
+      .join(broadcast(destDays), keyCols)
+      .where(col("__dst_idx") < col("__day_idx") &&
+        col("__cum_prev") - col("__dst_cum") + col("__rn") <= carryRows)
+      .withColumn("__day_idx", col("__dst_idx"))
+      .drop("__dst_idx", "__dst_cum", "__rn", "__cum_prev")
+      .withColumn("__emit", lit(false))
+    withIdx.drop("__cum_prev").withColumn("__emit", lit(true))
+      .unionByName(carried)
+  }
+
   /** Diagnostic (no longer a correctness precondition — the multi-day
     * carry is unconditionally exact): counts the (key, day) slices
     * holding fewer than `carryRows` rows despite having an earlier

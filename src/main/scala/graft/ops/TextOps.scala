@@ -254,10 +254,12 @@ object TextOps {
     * only) so both engines count the identical character sets.
     *
     * Determinism: per-doc counts are exact integers; the per-doc
-    * non-ASCII ratio floors at 6dp and is carried as its EXACT
-    * scaled long, so the per-source mean is a long sum over docs
-    * finished by one floor-form 6dp division — no double folds across
-    * rows anywhere. Pure map-side until one (source) rollup. */
+    * non-ASCII ratio ROUNDS HALF-UP at 6dp (floor(x·1e6 + 0.5)) and
+    * is carried as its exact scaled long, so nothing double-folds
+    * ACROSS rows — the only cross-row reduction is the long sum; the
+    * per-source mean then divides that exact sum by n_docs in double
+    * once and floor-form rounds 6dp, identically in both engines.
+    * Pure map-side until one (source) rollup. */
   val NonAsciiPattern = "[^\\x00-\\x7F]"
   val ReplacementPattern = "\\x{FFFD}"
   val ControlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"

@@ -155,10 +155,13 @@ object WarehouseOps {
           sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
           max(col("n_rhs")).as("max_fanout"))
         .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
-          (floor(dbl(col("n_violating")) / dbl(col("n_keys")) * lit(1e6) +
-            lit(0.5)) / lit(1e6)).as("violation_rate"),
+          // n_keys = 0 (empty candidate relation) must NOT read as
+          // "FD holds": null rate and null verdict instead of 0/0 NaN
+          when(col("n_keys") > 0,
+            floor(dbl(col("n_violating")) / dbl(col("n_keys")) * lit(1e6) +
+              lit(0.5)) / lit(1e6)).as("violation_rate"),
           col("max_fanout"),
-          (col("n_violating") === 0).as("holds"))
+          when(col("n_keys") > 0, col("n_violating") === 0).as("holds"))
     }.reduce(_ unionByName _)
   }
 

@@ -719,6 +719,85 @@ class PropertySpec extends AnyFunSuite {
     assert(gsum.except(sw).count() === 0)
   }
 
+  test("withPrevValues equals the global per-key lag-1 bit-for-bit (dense + sparse days)") {
+    import org.apache.spark.sql.expressions.Window
+    // dense (40/day) and sparse (2-3/day) shapes; two value columns
+    // ride one day map; a key's global first row must stay null
+    val shapes = Seq((6, (_: Int) => 40), (9, (d: Int) => 2 + d % 2))
+    shapes.foreach { case (days, perDay) =>
+      val rows = for {
+        k <- Seq("A", "B"); d <- 1 to days; i <- 1 to perDay(d)
+      } yield (k,
+        Timestamp.valueOf(f"2024-01-0$d 00:$i%02d:00"),
+        ((k.hashCode.abs + d * 37 + i * 17) % 1000).toDouble,
+        ((d * 13 + i * 7) % 500).toDouble)
+      val df = rows.toDF("series", "bar_ts", "close", "open")
+      val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+      val global = df
+        .withColumn("pc", lag(col("close"), 1).over(w))
+        .withColumn("po", lag(col("open"), 1).over(w))
+      val scoped = graft.ops.ScalableWindow.withPrevValues(df,
+        Seq("series"), Seq("bar_ts"), "bar_ts",
+        Seq(("close", "pc"), ("open", "po")))
+      assert(scoped.count() === global.count())
+      assert(scoped.except(global).count() === 0)
+      assert(global.except(scoped).count() === 0)
+    }
+  }
+
+  test("withSeqIndex equals the global per-key row_number (dense + sparse, ties)") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate timestamps force the id tie-break; uneven day counts
+    // exercise the exclusive cumulative offsets
+    val rows = for {
+      k <- Seq("A", "B"); d <- 1 to 7; i <- 1 to (3 + (d * 7 + k.length) % 5)
+    } yield (k,
+      Timestamp.valueOf(f"2024-01-0$d 00:${i / 2}%02d:00"), // ties at i/2
+      (d * 100 + i).toLong,
+      ((d * 37 + i * 17) % 1000).toDouble)
+    val df = rows.toDF("series", "ts", "id", "v")
+    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("id"))
+    val wAll = Window.partitionBy(col("series"))
+    val global = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_all", count(lit(1)).over(wAll))
+    val scoped = graft.ops.ScalableWindow.withSeqIndex(df,
+      Seq("series"), Seq("ts", "id"), "ts", "rn", Some("n_all"))
+      .withColumn("rn", col("rn").cast("long"))
+      .select(global.columns.map(col).toSeq: _*)
+    assert(scoped.count() === global.count())
+    assert(scoped.except(global).count() === 0)
+    assert(global.except(scoped).count() === 0)
+  }
+
+  test("dayScopedLead equals the global per-key lead frames (sparse days)") {
+    import org.apache.spark.sql.expressions.Window
+    // 3-4 rows/day with horizon 8: every lead array spans 2+ later
+    // days, so the forward carry's reach rule is fully exercised
+    val rows = for {
+      k <- Seq("A", "B"); d <- 1 to 9; i <- 1 to (3 + d % 2)
+    } yield (k,
+      Timestamp.valueOf(f"2024-01-0$d 00:$i%02d:00"),
+      ((k.hashCode.abs + d * 37 + i * 17) % 1000).toDouble)
+    val df = rows.toDF("series", "bar_ts", "v")
+    val h = 8
+    val gw = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val global = df.select(col("series"), col("bar_ts"),
+      array((1 to h).map(j => lead(col("v"), j).over(gw)): _*).as("leads"))
+    val aug = graft.ops.ScalableWindow.dayScopedLead(df,
+      Seq("series"), Seq("bar_ts"), "bar_ts", h)
+    val sw = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val scoped = aug
+      .select(col("series"), col("bar_ts"),
+        array((1 to h).map(j => lead(col("v"), j).over(sw)): _*).as("leads"),
+        col("__emit"))
+      .filter(col("__emit")).drop("__emit")
+    assert(scoped.count() === global.count())
+    assert(scoped.except(global).count() === 0)
+    assert(global.except(scoped).count() === 0)
+  }
+
   test("sum_fixed6 == sum(cast decimal) on random, boundary, null, and empty inputs") {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     import spark.implicits._
