@@ -149,18 +149,16 @@ object MarketBars {
     * double expressions computed identically in both engines (body,
     * range, wicks, previous-bar body via one lag), so the label is
     * hash-exact; rule order is most-specific-first and a bar gets
-    * exactly one label ('none' when nothing fires). The lag partitions
-    * by series — the per-key window class shared with q49/q83, same
-    * documented (key, day) escape at scale. */
+    * exactly one label ('none' when nothing fires). The previous-bar
+    * fields attach via [[ScalableWindow.withPrevValues]] — (series,
+    * day) task granularity, never a series' whole history. */
   def candlePatterns(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
     val body = abs(col("close") - col("open"))
     val rng = col("high") - col("low")
     val upper = col("high") - greatest(col("open"), col("close"))
     val lower = least(col("open"), col("close")) - col("low")
-    bars
-      .withColumn("prev_open", lag(col("open"), 1).over(w))
-      .withColumn("prev_close", lag(col("close"), 1).over(w))
+    ScalableWindow.withPrevValues(bars, Seq("series"), Seq("bar_ts"),
+        "bar_ts", Seq(("open", "prev_open"), ("close", "prev_close")))
       .select(col("series"), col("bar_ts"),
         col("open"), col("high"), col("low"), col("close"),
         when(col("prev_close").isNotNull &&
@@ -1971,24 +1969,28 @@ object MarketBars {
     * order, rounded 6dp; degenerate series (n⁺ = 0, n⁻ = 0, or
     * n ≤ 1) emit null z.
     *
-    * Scale: one per-series window pass (Δ sign + island id share the
-    * sort), one map-side-combined rollup — output |series| rows. */
+    * Scale: two chained [[ScalableWindow.withPrevValues]] passes —
+    * the Δ chain over all bars, then the break flags over the
+    * FILTERED sign sequence — both (series, day) tasks; one
+    * map-side-combined rollup — output |series| rows. */
   def runsTest(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
     def dbl(c: Column) = c.cast(DoubleType)
-    val signs = bars
+    val signs = ScalableWindow.withPrevValues(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", Seq(("close", "__pc")))
       .withColumn("d6",
-        floor((col("close") - lag(col("close"), 1).over(w)) * lit(1e6) +
-          lit(0.5)).cast("long"))
+        floor((col("close") - col("__pc")) * lit(1e6) + lit(0.5))
+          .cast("long"))
       .filter(col("d6").isNotNull && col("d6") =!= 0L)
       .withColumn("sgn", when(col("d6") > 0, 1).otherwise(-1))
-    // islands over the FILTERED sign sequence: re-sort is the same
-    // (series, bar_ts) order, so Catalyst reuses the exchange
-    val w2 = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val runs = signs
+      .select(col("series"), col("bar_ts"), col("sgn"))
+    // second lag over the FILTERED sign sequence (a run count is
+    // sum of sign-change flags — no prefix ids needed); zero-change
+    // days vanish from the day map, which the escape handles
+    val runs = ScalableWindow.withPrevValues(signs, Seq("series"),
+        Seq("bar_ts"), "bar_ts", Seq(("sgn", "__psgn")))
       .withColumn("brk",
-        when(lag(col("sgn"), 1).over(w2).isNull ||
-          col("sgn") =!= lag(col("sgn"), 1).over(w2), 1L).otherwise(0L))
+        when(col("__psgn").isNull ||
+          col("sgn") =!= col("__psgn"), 1L).otherwise(0L))
       .groupBy(col("series"))
       .agg(
         sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_pos"),
@@ -2162,14 +2164,15 @@ object MarketBars {
     * 6dp-ROUNDED VaR-tail so the tail-membership comparison is
     * identical cross-engine.
     *
-    * One per-series return chain + two growing-key aggregates; the
-    * quantile broadcasts back per series for the tail mean. */
+    * The return chain attaches its lag via
+    * [[ScalableWindow.withPrevValues]] ((series, day) tasks) feeding
+    * two growing-key aggregates; the quantile broadcasts back per
+    * series for the tail mean. */
   def varEs(bars: DataFrame, alpha: Double = 0.05): DataFrame = {
     require(alpha > 0 && alpha < 0.5, s"alpha in (0, 0.5) (got $alpha)")
     def dbl(c: Column) = c.cast(DoubleType)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val rets = bars
-      .withColumn("prev_c", lag(col("close"), 1).over(w))
+    val rets = ScalableWindow.withPrevValues(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", Seq(("close", "prev_c")))
       .filter(col("prev_c").isNotNull && col("prev_c") > 0 &&
         col("close") > 0)
       .select(col("series"),
@@ -2201,12 +2204,12 @@ object MarketBars {
     * `list_reduce`, the q101 EWMA convention) because a 7-element
     * double sum through a hash aggregate would be partial-order
     * nondeterministic. Two growing-key shuffles ((series, dow) then
-    * series); output |series| rows. */
+    * series); output |series| rows. The lag routes through
+    * [[ScalableWindow.withPrevValues]] — (series, day) tasks. */
   def dowAnova(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val rets = bars
-      .withColumn("prev_c", lag(col("close"), 1).over(w))
+    val rets = ScalableWindow.withPrevValues(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", Seq(("close", "prev_c")))
       .filter(col("prev_c").isNotNull && col("prev_c") > 0 &&
         col("close") > 0)
       .select(col("series"),
@@ -2263,12 +2266,12 @@ object MarketBars {
     val names = seriesNames.sorted
     def dbl(c: Column) = c.cast(DoubleType)
     val dec0 = DecimalType(38, 0)
-    val pivoted = bars
+    // Δclose chain via the day-map lag escape — (series, day) tasks
+    val pivoted = ScalableWindow.withPrevValues(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", Seq(("close", "__pc")))
       .withColumn("d6",
-        floor((col("close") -
-          lag(col("close"), 1).over(
-            Window.partitionBy(col("series")).orderBy(col("bar_ts")))) *
-          lit(1e6) + lit(0.5)).cast("long"))
+        floor((col("close") - col("__pc")) * lit(1e6) + lit(0.5))
+          .cast("long"))
       .filter(col("d6").isNotNull)
       .groupBy(col("bar_ts"))
       .agg(max(when(col("series") === names.head, col("d6")))
@@ -2335,8 +2338,9 @@ object MarketBars {
       ("60m", 60L, OneHourMicros))
     scales.map { case (label, mins, step) =>
       val b = if (step == FiveMinutesMicros) b0 else resample(b0, step)
-      val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-      b.withColumn("prev_c", lag(col("close"), 1).over(w))
+      // per-scale lag via the day-map escape — (series, day) tasks
+      ScalableWindow.withPrevValues(b, Seq("series"), Seq("bar_ts"),
+          "bar_ts", Seq(("close", "prev_c")))
         .filter(col("prev_c").isNotNull && col("prev_c") > 0 &&
           col("close") > 0)
         .select(col("series"), round(log(col("close") / col("prev_c")), 8)
@@ -3351,15 +3355,14 @@ object MarketBars {
     * Determinism: exact 1e-8 return longs, decimal (n, Σr, Σr²), the
     * q139 double op order, 8dp round at emission.
     *
-    * Scale: one per-series lag window then a map-side-combined
-    * (series, hour) rollup — 24·|series| rows out. */
+    * Scale: the lag routes through [[ScalableWindow.withPrevValues]]
+    * ((series, day) tasks) then a map-side-combined (series, hour)
+    * rollup — 24·|series| rows out. */
   def hourlyVolProfile(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
@@ -3386,21 +3389,23 @@ object MarketBars {
     * exceedance compare is |r8| > k·σ8 on one identical double, and
     * the run lengths are integer islands.
     *
-    * Scale: two passes over the return relation (σ broadcast back),
-    * islands in one per-series window, |series| rows out. */
+    * Scale: the lag routes through [[ScalableWindow.withPrevValues]]
+    * and the islands day-split (the q168 rule: day-head breaks against
+    * the prior day's last flag carried on the keys×days map, island
+    * ids = exclusive prior-day break offsets + within-day prefix) —
+    * (series, day) tasks throughout; σ broadcasts back; |series| rows
+    * out. */
   def tailClustering(bars: DataFrame, k: Double = 3.0): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val run = w.rowsBetween(Window.unboundedPreceding, 0)
-    val withR = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val withR = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
             .cast("long")))
       .filter(col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
       .localCheckpoint(eager = false)
     val sigma = withR.groupBy(col("series"))
       .agg(count(lit(1)).as("n_rets"),
@@ -3411,13 +3416,36 @@ object MarketBars {
           dbl(col("s1")) * dbl(col("s1"))) /
           (dbl(col("n_rets")) * dbl(col("n_rets")))))
       .select(col("series"), col("n_rets"), col("sd8"))
-    val flagged = withR.join(broadcast(sigma), "series")
+    // day-split islands over the is_tail flag (the q168 rule)
+    val wDay = Window.partitionBy(col("series"), col("__day"))
+      .orderBy(col("bar_ts"))
+    val runDay = wDay.rowsBetween(Window.unboundedPreceding, 0)
+    val idxW = Window.partitionBy(col("series")).orderBy(col("__day"))
+    val flagged0 = withR.join(broadcast(sigma), "series")
       .withColumn("is_tail", abs(dbl(col("r8"))) > lit(k) * col("sd8"))
-      .withColumn("brk",
-        when(lag(col("is_tail"), 1).over(w).isNull ||
-          col("is_tail") =!= lag(col("is_tail"), 1).over(w), 1L)
+      .withColumn("__day", to_date(col("bar_ts")))
+      .withColumn("__head", lag(col("is_tail"), 1).over(wDay).isNull)
+      .withColumn("__ibrk",
+        when(!col("__head") &&
+          col("is_tail") =!= lag(col("is_tail"), 1).over(wDay), 1L)
           .otherwise(0L))
-      .withColumn("grp", sum(col("brk")).over(run))
+      .localCheckpoint(eager = false)
+    val dayBrk = flagged0.groupBy(col("series"), col("__day"))
+      .agg(max_by(col("is_tail"), col("bar_ts")).as("__last_f"),
+        min_by(col("is_tail"), col("bar_ts")).as("__first_f"),
+        sum(col("__ibrk")).as("__nbrk"))
+      .withColumn("__prev_last", lag(col("__last_f"), 1).over(idxW))
+      .withColumn("__headbrk",
+        when(col("__prev_last").isNull ||
+          col("__first_f") =!= col("__prev_last"), 1L).otherwise(0L))
+      .withColumn("__goff",
+        sum(col("__nbrk") + col("__headbrk")).over(idxW) -
+          (col("__nbrk") + col("__headbrk")))
+      .select(col("series"), col("__day"), col("__headbrk"), col("__goff"))
+    val flagged = flagged0.join(broadcast(dayBrk), Seq("series", "__day"))
+      .withColumn("brk",
+        when(col("__head"), col("__headbrk")).otherwise(col("__ibrk")))
+      .withColumn("grp", col("__goff") + sum(col("brk")).over(runDay))
     flagged
       .filter(col("is_tail"))
       .groupBy(col("series"), col("n_rets"), col("grp"))
@@ -3440,24 +3468,50 @@ object MarketBars {
     * Δclose; run ids are integer prefix sums; the mean floors at 2dp
     * from the exact (Σlen, n) pair.
     *
-    * Scale: one per-series lag+prefix-sum window pass (q49/q83
-    * class), then a map-side-combined (series, direction) rollup. */
+    * Scale: the Δ chain routes through
+    * [[ScalableWindow.withPrevValues]] and the island ids through the
+    * q168 day-split (prior-day last direction + exclusive break
+    * offsets on the keys×days map) — (series, day) tasks — then a
+    * map-side-combined (series, direction) rollup. */
   def streakStats(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val run = w.rowsBetween(Window.unboundedPreceding, 0)
-    bars
+    val wDay = Window.partitionBy(col("series"), col("__day"))
+      .orderBy(col("bar_ts"))
+    val runDay = wDay.rowsBetween(Window.unboundedPreceding, 0)
+    val idxW = Window.partitionBy(col("series")).orderBy(col("__day"))
+    val dirs0 = ScalableWindow.withPrevValues(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", Seq(("close", "__pc")))
       .withColumn("d6",
-        floor((col("close") - lag(col("close"), 1).over(w)) * lit(1e6) +
-          lit(0.5)).cast("long"))
+        floor((col("close") - col("__pc")) * lit(1e6) + lit(0.5))
+          .cast("long"))
       .filter(col("d6").isNotNull)
       .withColumn("dir",
         when(col("d6") > 0, "up").when(col("d6") < 0, "down")
           .otherwise("flat"))
+      .withColumn("__day", to_date(col("bar_ts")))
+      .withColumn("__head", lag(col("dir"), 1).over(wDay).isNull)
+      .withColumn("__ibrk",
+        when(!col("__head") &&
+          col("dir") =!= lag(col("dir"), 1).over(wDay), 1L).otherwise(0L))
+      .select(col("series"), col("bar_ts"), col("dir"), col("__day"),
+        col("__head"), col("__ibrk"))
+      .localCheckpoint(eager = false)
+    val dayBrk = dirs0.groupBy(col("series"), col("__day"))
+      .agg(max_by(col("dir"), col("bar_ts")).as("__last_d"),
+        min_by(col("dir"), col("bar_ts")).as("__first_d"),
+        sum(col("__ibrk")).as("__nbrk"))
+      .withColumn("__prev_last", lag(col("__last_d"), 1).over(idxW))
+      .withColumn("__headbrk",
+        when(col("__prev_last").isNull ||
+          col("__first_d") =!= col("__prev_last"), 1L).otherwise(0L))
+      .withColumn("__goff",
+        sum(col("__nbrk") + col("__headbrk")).over(idxW) -
+          (col("__nbrk") + col("__headbrk")))
+      .select(col("series"), col("__day"), col("__headbrk"), col("__goff"))
+    dirs0.join(broadcast(dayBrk), Seq("series", "__day"))
       .withColumn("brk",
-        when(lag(col("dir"), 1).over(w).isNull ||
-          col("dir") =!= lag(col("dir"), 1).over(w), 1L).otherwise(0L))
-      .withColumn("grp", sum(col("brk")).over(run))
+        when(col("__head"), col("__headbrk")).otherwise(col("__ibrk")))
+      .withColumn("grp", col("__goff") + sum(col("brk")).over(runDay))
       .groupBy(col("series"), col("dir"), col("grp"))
       .agg(count(lit(1)).as("len"))
       .groupBy(col("series"), col("dir"))
