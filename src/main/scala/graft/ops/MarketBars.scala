@@ -1586,11 +1586,11 @@ object MarketBars {
     *
     * Scale: the per-series row index is the one inherently sequential
     * step (information bars are path-dependent by definition); it
-    * needs only a per-partition count + offset two-pass rather than a
-    * single-task sort when a series outgrows one partition — the
-    * ScalableWindow escape applies verbatim since row_number is a
-    * ROWS-frame rank. Everything after is a map-side-combined hash
-    * aggregate on the growing (series, bar_id) key. */
+    * routes through [[ScalableWindow.withSeqIndex]] — day-map
+    * exclusive offsets + within-day rank, (series, day) tasks, never
+    * a single-task per-series sort. Everything after is a
+    * map-side-combined hash aggregate on the growing (series, bar_id)
+    * key. */
   def tickBars(
       df: DataFrame,
       seriesCol: String,
@@ -1599,10 +1599,12 @@ object MarketBars {
       idCol: String,
       ticksPerBar: Int = 50): DataFrame = {
     require(ticksPerBar >= 1, s"ticksPerBar must be >= 1 (got $ticksPerBar)")
-    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("id"))
-    df.select(col(seriesCol).as("series"), col(tsCol).as("ts"),
-        col(valueCol).as("v"), col(idCol).as("id"))
-      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+    val base = df.select(col(seriesCol).as("series"), col(tsCol).as("ts"),
+      col(valueCol).as("v"), col(idCol).as("id"))
+    ScalableWindow.withSeqIndex(base, Seq("series"), Seq("ts", "id"),
+        "ts", "__grn")
+      .withColumn("rn", (col("__grn") - 1).cast("long"))
+      .drop("__grn")
       .withColumn("bar_id", (col("rn") / ticksPerBar).cast("long"))
       .groupBy(col("series"), col("bar_id"))
       .agg(
@@ -1633,21 +1635,25 @@ object MarketBars {
     * Cells with non-positive variance drop out; series with < 2
     * usable cells emit null H.
     *
-    * Scale: one per-series window pass (row index), a 4× explode, and
-    * one map-side-combined aggregate on (series, k, block) — growing
-    * keys throughout; output is |series| rows. */
+    * Scale: the lag routes through [[ScalableWindow.withPrevValues]]
+    * and the filtered row index through [[ScalableWindow.withSeqIndex]]
+    * ((series, day) tasks — no per-series full-history sort), then a
+    * 4× explode and one map-side-combined aggregate on (series, k,
+    * block) — growing keys throughout; output is |series| rows. */
   def hurst(bars: DataFrame, ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1 (got $ks)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
     val dec = DecimalType(38, 0)
     def dbl(c: Column) = c.cast(DoubleType)
-    val rets = bars
-      .withColumn("prev_c", lag(col("close"), 1).over(w))
+    val rets0 = ScalableWindow.withPrevValues(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", Seq(("close", "prev_c")))
       .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
       .select(col("series"), col("bar_ts"),
         floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
           .cast("long").as("r8"))
-      .withColumn("rn", row_number().over(w) - 1)
+    val rets = ScalableWindow.withSeqIndex(rets0, Seq("series"),
+        Seq("bar_ts"), "bar_ts", "__grn")
+      .withColumn("rn", col("__grn") - 1)
+      .drop("__grn")
     val cells = rets
       .withColumn("k", explode(typedLit(ks)))
       .withColumn("blk", (col("rn") / col("k")).cast("long"))
@@ -1700,8 +1706,10 @@ object MarketBars {
     * factors passed as exact double literals shared with the oracle;
     * every comparison is on bit-identical doubles.
     *
-    * Scale: the per-series window is the q49 hot-key class
-    * (ScalableWindow escape applies); everything after the sort is
+    * Scale: the lead arrays come out of a
+    * [[ScalableWindow.dayScopedLead]] forward scope — (series, day)
+    * tasks with the first `horizon` rows of later days carried in,
+    * never a series' whole history in one sort; everything after is
     * map-side. */
   def tripleBarrier(
       bars: DataFrame,
@@ -1709,14 +1717,20 @@ object MarketBars {
       upFactor: Double = 1.005,
       dnFactor: Double = 0.995): DataFrame = {
     require(horizon >= 1, s"horizon must be >= 1 (got $horizon)")
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val aug = ScalableWindow.dayScopedLead(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", horizon)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val hs = array((1 to horizon).map(j => lead(col("high"), j).over(w)): _*)
     val ls = array((1 to horizon).map(j => lead(col("low"), j).over(w)): _*)
     def hAt(i: Column) = element_at(col("hs"), i)
     def lAt(i: Column) = element_at(col("ls"), i)
-    bars
+    aug
+      // lead arrays FIRST (over the carried partition), THEN the
+      // emit filter drops the non-emitting copies
       .select(col("series"), col("bar_ts"), col("close"),
-        hs.as("hs"), ls.as("ls"))
+        hs.as("hs"), ls.as("ls"), col("__emit"))
+      .filter(col("__emit")).drop("__emit")
       .withColumn("up", col("close") * lit(upFactor))
       .withColumn("dn", col("close") * lit(dnFactor))
       .withColumn("touch",
@@ -1796,9 +1810,14 @@ object MarketBars {
     * imbalances floor to 1e-6 longs, and the trailing mean floors to
     * a whole micro from exact long sums.
     *
-    * Scale: one per-series tick sort shared by the row index AND the
-    * sign chain (single window pass), then a growing (series, bucket)
-    * aggregate and a tiny per-series bucket window. */
+    * Scale: fully day-scoped — the row index via
+    * [[ScalableWindow.withSeqIndex]], the Δ chain via
+    * [[ScalableWindow.withPrevValues]], the zeros-inherit LOCF via
+    * the q78 day-split (within-day fill + prior-day last-sign carry
+    * on the keys×days map — last-non-null is associative across the
+    * split), then a growing (series, bucket) aggregate and the
+    * trailing bucket window through [[ScalableWindow.dayScoped]]
+    * keyed by each bucket's start timestamp. */
   def vpin(
       df: DataFrame,
       seriesCol: String,
@@ -1809,33 +1828,57 @@ object MarketBars {
       nBuckets: Int = 10): DataFrame = {
     require(ticksPerBucket >= 1 && nBuckets >= 1,
       s"bad params ($ticksPerBucket, $nBuckets)")
-    val w = Window.partitionBy(col("series")).orderBy(col("ts"), col("id"))
-    val run = w.rowsBetween(Window.unboundedPreceding, 0)
     def dbl(c: Column) = c.cast(DoubleType)
-    val signed = df
-      .select(col(seriesCol).as("series"), col(tsCol).as("ts"),
-        col(valueCol).as("v"), col(idCol).as("id"))
-      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+    val base = df.select(col(seriesCol).as("series"), col(tsCol).as("ts"),
+      col(valueCol).as("v"), col(idCol).as("id"))
+    val lagged = ScalableWindow.withPrevValues(
+        ScalableWindow.withSeqIndex(base, Seq("series"), Seq("ts", "id"),
+          "ts", "__grn"),
+        Seq("series"), Seq("ts", "id"), "ts", Seq(("v", "__pv")))
+      .withColumn("rn", (col("__grn") - 1).cast("long"))
       .withColumn("d6",
-        floor((col("v") - lag(col("v"), 1).over(w)) * lit(1e6) + lit(0.5))
-          .cast("long"))
+        floor((col("v") - col("__pv")) * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("sgn", when(col("d6") > 0, 1).when(col("d6") < 0, -1))
+      .withColumn("__day", to_date(col("ts")))
+      .localCheckpoint(eager = false)
+    // zeros-inherit LOCF, day-split (the q78 rule): carry into a day =
+    // last non-null sign over ALL earlier days, off the keys×days map
+    val prevW = Window.partitionBy(col("series")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = lagged.groupBy(col("series"), col("__day"))
+      .agg(max_by(col("sgn"),
+        when(col("sgn").isNotNull, struct(col("ts"), col("id"))))
+        .as("__dlast"))
+      .withColumn("__carry",
+        last(col("__dlast"), ignoreNulls = true).over(prevW))
+      .select(col("series"), col("__day"), col("__carry"))
+    val runDay = Window.partitionBy(col("series"), col("__day"))
+      .orderBy(col("ts"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val signed = lagged.join(broadcast(carry), Seq("series", "__day"))
       .withColumn("tick_sign",
-        coalesce(last(col("sgn"), ignoreNulls = true).over(run), lit(0)))
+        coalesce(last(col("sgn"), ignoreNulls = true).over(runDay),
+          col("__carry"), lit(0)))
     val buckets = signed
       .groupBy(col("series"),
         (col("rn") / ticksPerBucket).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_ticks"),
+        min(col("ts")).as("__bts"),
         sum(when(col("tick_sign") === 1, 1L).otherwise(0L)).as("buys"),
         sum(when(col("tick_sign") === -1, 1L).otherwise(0L)).as("sells"))
       .withColumn("imb6",
         floor(abs(col("buys") - col("sells")).cast(DoubleType) /
           dbl(col("n_ticks")) * lit(1e6) + lit(0.5)).cast("long"))
-    val bw = Window.partitionBy(col("series")).orderBy(col("bucket"))
-      .rowsBetween(-(nBuckets - 1), 0)
-    buckets
+    // trailing bucket frame day-scoped by bucket START time (buckets
+    // are sequential, so bucket order == start-ts order within a key)
+    val aug = ScalableWindow.dayScoped(buckets, Seq("series"),
+      Seq("bucket"), "__bts", nBuckets - 1)
+    val bw = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bucket")).rowsBetween(-(nBuckets - 1), 0)
+    aug
       .withColumn("nb", count(lit(1)).over(bw))
       .withColumn("s6", sum(col("imb6")).over(bw))
+      .filter(col("__emit"))
       .select(col("series"), col("bucket"), col("n_ticks"),
         col("buys"), col("sells"),
         (col("imb6") / lit(1e6)).as("imbalance"),
@@ -2362,14 +2405,16 @@ object MarketBars {
     * each offset (bars share the 5-minute grid, so alignment is an
     * equi-join on bar_ts).
     *
-    * Scale: the per-series row index is the ONE sequential step (the
-    * q158 two-pass class); markers are a filtered sliver and
-    * BROADCAST into the offset join; the offset fan-out is a bounded
-    * map-side explode (2·maxOffset+1); the (series, idx) join back to
-    * returns is one hash join on a growing key; the AAR aggregate and
-    * the |series|·offsets CAR window run on the event-aligned slice
-    * only. Returns round 8dp before any sum (decimal-accumulated), so
-    * AAR/CAR are partial-order-proof. */
+    * Scale: the per-series row index routes through
+    * [[ScalableWindow.withSeqIndex]] and the lag through
+    * [[ScalableWindow.withPrevValues]] ((series, day) tasks — the
+    * q158 class with no sequential pass left); markers are a filtered
+    * sliver and BROADCAST into the offset join; the offset fan-out is
+    * a bounded map-side explode (2·maxOffset+1); the (series, idx)
+    * join back to returns is one hash join on a growing key; the AAR
+    * aggregate and the |series|·offsets CAR window run on the
+    * event-aligned slice only. Returns round 8dp before any sum
+    * (decimal-accumulated), so AAR/CAR are partial-order-proof. */
   def eventStudy(
       bars: DataFrame,
       markerSeries: String = "error",
@@ -2377,10 +2422,10 @@ object MarketBars {
       maxOffset: Int = 5): DataFrame = {
     require(maxOffset >= 1, s"maxOffset must be >= 1 (got $maxOffset)")
     def dbl(c: Column) = c.cast(DoubleType)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val rets = bars
-      .withColumn("idx", row_number().over(w))
-      .withColumn("prev_c", lag(col("close"), 1).over(w))
+    val rets = ScalableWindow.withPrevValues(
+        ScalableWindow.withSeqIndex(bars, Seq("series"), Seq("bar_ts"),
+          "bar_ts", "idx"),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "prev_c")))
       .withColumn("r8",
         when(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0,
           round(log(col("close") / col("prev_c")), 8)))
@@ -3299,22 +3344,22 @@ object MarketBars {
     * and the LR evaluates ln() on identical doubles once per series
     * (x = 0 or x = n collapse the empirical entropy terms to 0).
     *
-    * Scale: one per-series sort serves the split and both halves'
-    * aggregates; the calibration quantile is an exact percentile on
-    * the half-relation; |series| rows out. */
+    * Scale: the lag routes through [[ScalableWindow.withPrevValues]]
+    * and the split index through [[ScalableWindow.withSeqIndex]]
+    * ((series, day) tasks; the group total rides the keys×days map);
+    * the calibration quantile is an exact percentile on the
+    * half-relation; |series| rows out. */
   def varBacktest(bars: DataFrame, alpha: Double = 0.05): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1) (got $alpha)")
     def dbl(c: Column) = c.cast(DoubleType)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val wAll = Window.partitionBy(col("series"))
-    val withR = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val rets0 = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r", when(col("pc") > 0,
         round(log(col("close") / col("pc")), 8)))
       .filter(col("r").isNotNull)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_all", count(lit(1)).over(wAll))
+      .select(col("series"), col("bar_ts"), col("r"))
+    val withR = ScalableWindow.withSeqIndex(rets0, Seq("series"),
+        Seq("bar_ts"), "bar_ts", "rn", Some("n_all"))
       .withColumn("is_cal", col("rn") <= (col("n_all") / 2).cast("int"))
       .localCheckpoint(eager = false)
     val cut = withR.filter(col("is_cal"))
