@@ -68,8 +68,9 @@ object PairAnalytics {
     * Degenerate denominators emit nulls.
     *
     * Scale: the pair relation is one bar-ts-aligned join; both
-    * regression passes are map-side-combined 1-row aggregates plus
-    * ONE per-pair lag window (q49 class). */
+    * regression passes are map-side-combined 1-row aggregates; the
+    * residual lag routes through [[ScalableWindow.withPrevValues]] —
+    * (pair, day) tasks, never a pair's whole history. */
   def cointegration(pair: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
     def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
@@ -91,12 +92,12 @@ object PairAnalytics {
         (dbl(col("sy")) - col("beta") * dbl(col("sx"))) / dbl(col("n")) /
           lit(1e6))
       .select(col("pair_name"), col("n"), col("beta"), col("alpha"))
-    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
-    val resid = snapped.join(broadcast(m), "pair_name")
-      .withColumn("r6",
-        floor((col("close1") - col("alpha") - col("beta") * col("close2")) *
-          lit(1e6) + lit(0.5)).cast("long"))
-      .withColumn("rl", lag(col("r6"), 1).over(w))
+    val resid = ScalableWindow.withPrevValues(
+        snapped.join(broadcast(m), "pair_name")
+          .withColumn("r6",
+            floor((col("close1") - col("alpha") - col("beta") *
+              col("close2")) * lit(1e6) + lit(0.5)).cast("long")),
+        Seq("pair_name"), Seq("bar_ts"), "bar_ts", Seq(("r6", "rl")))
       .filter(col("rl").isNotNull)
       .withColumn("dr", col("r6") - col("rl"))
     resid.groupBy(col("pair_name"), col("beta"), col("alpha"))
@@ -132,16 +133,16 @@ object PairAnalytics {
     * emission. Half-life is only defined for a stationary path
     * (−1 < φ < 0 ⇒ 0 < 1+φ < 1); anything else emits null.
     *
-    * Scale: one per-pair lag window (q49 class) + one
+    * Scale: the spread lag routes through
+    * [[ScalableWindow.withPrevValues]] ((pair, day) tasks) + one
     * map-side-combined 1-row-per-pair aggregate. */
   def halfLife(pair: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
     def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
-    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
-    pair
-      .withColumn("s8",
-        floor(col("spread") * lit(1e8) + lit(0.5)).cast("long"))
-      .withColumn("sl", lag(col("s8"), 1).over(w))
+    ScalableWindow.withPrevValues(
+        pair.withColumn("s8",
+          floor(col("spread") * lit(1e8) + lit(0.5)).cast("long")),
+        Seq("pair_name"), Seq("bar_ts"), "bar_ts", Seq(("s8", "sl")))
       .filter(col("sl").isNotNull)
       .withColumn("ds", col("s8") - col("sl"))
       .groupBy(col("pair_name"))
@@ -211,9 +212,10 @@ object PairAnalytics {
     * degenerate (zero variance).
     *
     * Scale posture: one window pass computes all five sums (a single
-    * Window operator — the q76 stacking rule); partition key is
-    * pair_name, the reference's own skew tradeoff documented on
-    * [[rollingZScore]], with the same (key, day)+carry-in escape. */
+    * Window operator — the q76 stacking rule), day-scoped through
+    * [[ScalableWindow.dayScoped]] — (pair, day) task granularity with
+    * the carry-in, bit-identical to the bare-pair window (DECIMAL
+    * frame sums are order-insensitive). */
   def rollingCorr(pair: DataFrame, nBars: Int): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     // Products are formed in DOUBLE (one deterministic multiply per
@@ -221,17 +223,22 @@ object PairAnalytics {
     // overflow the 38-digit width in the oracle engine (the q34 rule).
     val x = col("close1")
     val y = col("close2")
-    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
+    val aug = ScalableWindow.dayScoped(pair, Seq("pair_name"),
+      Seq("bar_ts"), "bar_ts", nBars - 1)
+    val w = Window.partitionBy(col("pair_name"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
       .rowsBetween(-(nBars - 1), Window.currentRow)
     def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
     def dsum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(28, 6))).over(w)
-    val withSums = pair.select(
+    val withSums = aug.select(
       col("pair_name"), col("bar_ts"), col("close1"), col("close2"),
       count(lit(1)).over(w).as("n_win"),
       dsum(x).as("sx"), dsum(y).as("sy"),
       dsum(x * y).as("sxy"),
-      dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+      dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+      col("__emit"))
+      .filter(col("__emit"))
     val n = col("n_win")
     val varX = dbl(n * col("sxx") - col("sx") * col("sx"))
     val varY = dbl(n * col("syy") - col("sy") * col("sy"))
@@ -250,24 +257,28 @@ object PairAnalytics {
     * form in DOUBLE, sum in DECIMAL so partial order can't perturb),
     * same warm-up gate (null until the frame fills or var(x) = 0).
     *
-    * Scale posture identical to [[rollingCorr]]: one per-pair window —
-    * the q49 hot-key class; the (key, day)+carry-in escape
-    * (ScalableWindow) applies when one pair's history outgrows a task.
-    */
+    * Scale posture identical to [[rollingCorr]]: one day-scoped
+    * window pass ([[ScalableWindow.dayScoped]], (pair, day) tasks),
+    * bit-identical to the bare-pair window. */
   def rollingBeta(pair: DataFrame, nBars: Int): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val x = col("close1")
     val y = col("close2")
-    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
+    val aug = ScalableWindow.dayScoped(pair, Seq("pair_name"),
+      Seq("bar_ts"), "bar_ts", nBars - 1)
+    val w = Window.partitionBy(col("pair_name"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
       .rowsBetween(-(nBars - 1), Window.currentRow)
     def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
     def dsum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(28, 6))).over(w)
-    val withSums = pair.select(
+    val withSums = aug.select(
       col("pair_name"), col("bar_ts"), col("close1"), col("close2"),
       count(lit(1)).over(w).as("n_win"),
       dsum(x).as("sx"), dsum(y).as("sy"),
-      dsum(x * y).as("sxy"), dsum(x * x).as("sxx"))
+      dsum(x * y).as("sxy"), dsum(x * x).as("sxx"),
+      col("__emit"))
+      .filter(col("__emit"))
     val n = col("n_win")
     val varX = dbl(n * col("sxx") - col("sx") * col("sx"))
     val beta = dbl(n * col("sxy") - col("sx") * col("sy")) / varX
@@ -289,11 +300,16 @@ object PairAnalytics {
     * (k, y) pairs map-side, and one |pairs|·(2·maxLag+1)-group
     * aggregate accumulates the co-moment sums in DECIMAL (the q34
     * rule). r then forms in DOUBLE from the exact sums with the
-    * [[graft.queries.CoreQueries.olsFit]] expression shape. Per-pair
-    * window = the q49 hot-key class, same documented escape. */
+    * [[graft.queries.CoreQueries.olsFit]] expression shape. The
+    * shifted series window looks BOTH ways, so it rides the
+    * symmetric [[ScalableWindow.dayScopedAround]] scope — (pair, day)
+    * tasks with maxLag rows carried in from each side. */
   def ccf(pair: DataFrame, maxLag: Int): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val w = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
+    val aug = ScalableWindow.dayScopedAround(pair, Seq("pair_name"),
+      Seq("bar_ts"), "bar_ts", backRows = maxLag, fwdRows = maxLag)
+    val w = Window.partitionBy(col("pair_name"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val ks = (-maxLag to maxLag).toSeq
     // window exprs are not allowed inside a generator: materialize the
     // shifted columns first (one stacked Window operator), explode after
@@ -301,8 +317,9 @@ object PairAnalytics {
       (if (k >= 0) lead(col("close2"), k).over(w)
        else lag(col("close2"), -k).over(w)).as(s"y_${k + maxLag}")
     }
-    val shifted = pair.select(
-      Seq(col("pair_name"), col("close1")) ++ shiftCols: _*)
+    val shifted = aug.select(
+      Seq(col("pair_name"), col("close1")) ++ shiftCols :+ col("__emit"): _*)
+      .filter(col("__emit"))
     val stacked = ks.map(k =>
       struct(lit(k).as("k"), col(s"y_${k + maxLag}").as("y")))
     def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(28, 6)))
@@ -354,11 +371,17 @@ object PairAnalytics {
     *
     * Determinism: signals branch on the 4dp-ROUNDED z (what q06
     * emits), P&L differences form on 6dp-rounded spreads, and per-bar
-    * P&L terms round 8dp before the DECIMAL sum. Every window ORDERs
-    * BY bar_ts on the single-pair relation and shares one sort — the
-    * documented flagship window class (SURVEY §7.4); the LOCF position
-    * carry is `last(signal, ignoreNulls)` over the preceding frame,
-    * exactly q78's gap-fill convention. */
+    * P&L terms round 8dp before the DECIMAL sum.
+    *
+    * Scale: fully day-scoped — the rolling stats ride
+    * [[ScalableWindow.dayScoped]] (the q06 precedent; identical frame
+    * contents and fold order, so avg/stddev are bit-identical); the
+    * exclusive-current LOCF position carry splits at day boundaries
+    * (q78 rule: within-day fill + prior-day last-signal carry) and
+    * shifts by one row via [[ScalableWindow.withPrevValues]]
+    * (pos_t = locf_{t−1}); the spread/position lags ride the same
+    * passes. No unpartitioned window anywhere — (pair, day) tasks
+    * throughout. */
   def pairsBacktest(
       bars: DataFrame,
       sym1: String,
@@ -368,29 +391,55 @@ object PairAnalytics {
       windowRows: Int = DefaultWindowRows,
       minWindow: Int = DefaultMinWindow): DataFrame = {
     def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
-    val wRoll = Window.orderBy(col("bar_ts"))
-      .rowsBetween(-(windowRows - 1), 0)
-    val wSeq = Window.orderBy(col("bar_ts"))
-    val z = pairSpread(bars, sym1, sym2)
+    val aug = ScalableWindow.dayScoped(pairSpread(bars, sym1, sym2),
+      Seq("pair_name"), Seq("bar_ts"), "bar_ts", windowRows - 1)
+    val wRoll = Window.partitionBy(col("pair_name"), col("__day_idx"))
+      .orderBy(col("bar_ts")).rowsBetween(-(windowRows - 1), 0)
+    val z = aug
       .withColumn("m", avg(col("spread")).over(wRoll))
       .withColumn("sd", stddev_samp(col("spread")).over(wRoll))
       .withColumn("nw", count(lit(1)).over(wRoll))
+      .filter(col("__emit"))
       .withColumn("z_r",
         round(when(col("nw") >= minWindow && col("sd").isNotNull &&
           col("sd") =!= 0, (col("spread") - col("m")) / col("sd")), 4))
       .withColumn("spread_r", round(col("spread"), 6))
     val sig = z.withColumn("signal",
-      when(col("z_r") <= -entryZ, 1)
-        .when(col("z_r") >= entryZ, -1)
-        .when(abs(col("z_r")) < exitZ, 0))
-    val pos = sig
-      .withColumn("pos",
-        coalesce(last(col("signal"), ignoreNulls = true)
-          .over(wSeq.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
-      .withColumn("prev_pos",
-        coalesce(lag(col("pos"), 1).over(wSeq), lit(0)))
-      .withColumn("dsp",
-        col("spread_r") - lag(col("spread_r"), 1).over(wSeq))
+        when(col("z_r") <= -entryZ, 1)
+          .when(col("z_r") >= entryZ, -1)
+          .when(abs(col("z_r")) < exitZ, 0))
+      .select(col("pair_name"), col("bar_ts"), col("spread_r"),
+        col("signal"))
+    // inclusive LOCF of the signal, day-split (the q78 rule)
+    val x = sig.withColumn("__day", to_date(col("bar_ts")))
+      .localCheckpoint(eager = false)
+    val prevW = Window.partitionBy(col("pair_name")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = x.groupBy(col("pair_name"), col("__day"))
+      .agg(max_by(col("signal"),
+        when(col("signal").isNotNull, col("bar_ts"))).as("__dlast"))
+      .withColumn("__carry",
+        last(col("__dlast"), ignoreNulls = true).over(prevW))
+      .select(col("pair_name"), col("__day"), col("__carry"))
+    val runDay = Window.partitionBy(col("pair_name"), col("__day"))
+      .orderBy(col("bar_ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val locf = x.join(broadcast(carry), Seq("pair_name", "__day"))
+      .withColumn("__l",
+        coalesce(last(col("signal"), ignoreNulls = true).over(runDay),
+          col("__carry")))
+      .select(col("pair_name"), col("bar_ts"), col("spread_r"), col("__l"))
+    // pos_t = __l_{t-1} (the exclusive-current frame); a null previous
+    // __l always coincides with a null prior-day-last (no signal has
+    // fired yet), so the withPrevValues coalesce stays exact
+    val p1 = ScalableWindow.withPrevValues(locf, Seq("pair_name"),
+      Seq("bar_ts"), "bar_ts", Seq(("__l", "__pl"), ("spread_r", "__psp")))
+    val p2 = ScalableWindow.withPrevValues(p1, Seq("pair_name"),
+      Seq("bar_ts"), "bar_ts", Seq(("__pl", "__ppl")))
+    val pos = p2
+      .withColumn("pos", coalesce(col("__pl"), lit(0)))
+      .withColumn("prev_pos", coalesce(col("__ppl"), lit(0)))
+      .withColumn("dsp", col("spread_r") - col("__psp"))
       .withColumn("pnl",
         when(col("dsp").isNotNull, round(col("pos") * col("dsp"), 8)))
     pos.groupBy(col("pair_name"))

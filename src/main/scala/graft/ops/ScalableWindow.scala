@@ -406,6 +406,74 @@ object ScalableWindow {
       .unionByName(carried)
   }
 
+  /** Symmetric scope — [[dayScoped]] (trailing carry) and
+    * [[dayScopedLead]] (forward carry) in one pass, for windows that
+    * look BOTH ways (lead AND lag columns, the ccf class): each
+    * (key, day) partition gets non-emitting copies of the last
+    * `backRows` rows of earlier days within trailing reach AND the
+    * first `fwdRows` rows of later days within forward reach. Both
+    * carry legs ride ONE day map and ONE within-day rank pass (the
+    * reverse rank derives from the day's row count). Window by
+    * (keyCols :+ __day_idx), then `filter(col("__emit"))`. */
+  def dayScopedAround(
+      df0: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      tsCol: String,
+      backRows: Int,
+      fwdRows: Int): DataFrame = {
+    require(backRows >= 0 && fwdRows >= 0 && backRows + fwdRows >= 1,
+      s"need a nonzero reach (got back=$backRows, fwd=$fwdRows)")
+    val df = df0.localCheckpoint(eager = false) // see dayScoped
+    val keys = keyCols.map(col)
+    val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
+    val dayIdx = df
+      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__day_idx", row_number().over(idxW))
+      .withColumn("__cum", sum(col("__n")).over(idxW))
+      .localCheckpoint(eager = false)
+    val withIdx = df.withColumn("__day", to_date(col(tsCol)))
+      .join(broadcast(dayIdx.select(
+        (keys :+ col("__day") :+ col("__day_idx") :+ col("__n") :+
+          col("__cum")): _*)),
+        keyCols :+ "__day")
+    val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ranked = withIdx
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rev", col("__n") - col("__rn") + 1)
+      .localCheckpoint(eager = false)
+    val helperCols = Seq("__rn", "__rev", "__n", "__cum")
+    // trailing leg: the dayScoped reach rule on the shared rank pass
+    val destBack = dayIdx.select(
+      (keys :+ col("__day_idx").as("__dst_idx") :+
+        (col("__cum") - col("__n")).as("__dst_cum_prev")): _*)
+    val carriedBack = ranked
+      .join(broadcast(destBack), keyCols)
+      .where(col("__dst_idx") > col("__day_idx") &&
+        col("__rev") <= backRows &&
+        col("__dst_cum_prev") - col("__cum") + col("__rev") <= backRows)
+      .withColumn("__day_idx", col("__dst_idx"))
+      .drop("__dst_idx" :: "__dst_cum_prev" :: helperCols.toList: _*)
+      .withColumn("__emit", lit(false))
+    // forward leg: the dayScopedLead reach rule
+    val destFwd = dayIdx.select(
+      (keys :+ col("__day_idx").as("__dst_idx") :+
+        col("__cum").as("__dst_cum")): _*)
+    val carriedFwd = ranked
+      .join(broadcast(destFwd), keyCols)
+      .where(col("__dst_idx") < col("__day_idx") &&
+        col("__rn") <= fwdRows &&
+        (col("__cum") - col("__n")) - col("__dst_cum") + col("__rn") <=
+          fwdRows)
+      .withColumn("__day_idx", col("__dst_idx"))
+      .drop("__dst_idx" :: "__dst_cum" :: helperCols.toList: _*)
+      .withColumn("__emit", lit(false))
+    ranked.drop(helperCols: _*).withColumn("__emit", lit(true))
+      .unionByName(carriedBack).unionByName(carriedFwd)
+  }
+
   /** Diagnostic (no longer a correctness precondition — the multi-day
     * carry is unconditionally exact): counts the (key, day) slices
     * holding fewer than `carryRows` rows despite having an earlier

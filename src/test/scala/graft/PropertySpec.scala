@@ -798,6 +798,104 @@ class PropertySpec extends AnyFunSuite {
     assert(global.except(scoped).count() === 0)
   }
 
+  test("day-scoped ccf and pairsBacktest equal their global-window forms on gappy days") {
+    import org.apache.spark.sql.expressions.Window
+    // gappy: 2-5 bars/day over 9 days, two aligned series — lead/lag
+    // and LOCF chains constantly cross day boundaries
+    val rows = for {
+      d <- 1 to 9; i <- 1 to (2 + (d * 3) % 4)
+      s <- Seq("AA", "BB")
+    } yield (s,
+      Timestamp.valueOf(f"2024-01-0$d 00:$i%02d:00"),
+      100.0 + (if (s == "AA") math.sin(d * 5 + i) * 3 else math.cos(d * 3 + i) * 4))
+    val bars = rows.toDF("series", "bar_ts", "close")
+    val pair = graft.ops.PairAnalytics.pairSpread(bars, "AA", "BB")
+      .localCheckpoint()
+    // ccf vs the bare-pair global window
+    val got = graft.ops.PairAnalytics.ccf(pair, maxLag = 3)
+    val gw = Window.partitionBy(col("pair_name")).orderBy(col("bar_ts"))
+    val ks = (-3 to 3).toSeq
+    val shiftCols = ks.map { k =>
+      (if (k >= 0) lead(col("close2"), k).over(gw)
+       else lag(col("close2"), -k).over(gw)).as(s"y_${k + 3}")
+    }
+    val shifted = pair.select(
+      Seq(col("pair_name"), col("close1")) ++ shiftCols: _*)
+    val stacked = ks.map(k =>
+      struct(lit(k).as("k"), col(s"y_${k + 3}").as("y")))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+    def d(n: String) = col(n).cast(org.apache.spark.sql.types.DoubleType)
+    val g = shifted
+      .select(col("pair_name"), col("close1").as("x"),
+        explode(array(stacked: _*)).as("s"))
+      .select(col("pair_name"), col("x"), col("s.k").as("k"), col("s.y").as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("pair_name"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast(org.apache.spark.sql.types.DoubleType)
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    val want = g.select(col("pair_name"), col("k"), col("n"),
+      when(vx > 0 && vy > 0,
+        round(num / (sqrt(vx) * sqrt(vy)), 6)).as("r_ccf"))
+    assert(got.except(want).count() === 0)
+    assert(want.except(got).count() === 0)
+    assert(got.count() === 7)
+    // pairsBacktest vs the unpartitioned global form (low entry
+    // thresholds + tiny window so signals actually fire on the fixture)
+    val gotBt = graft.ops.PairAnalytics.pairsBacktest(bars, "AA", "BB",
+      entryZ = 0.8, exitZ = 0.3, windowRows = 6, minWindow = 3)
+    val wRoll = Window.orderBy(col("bar_ts")).rowsBetween(-5, 0)
+    val wSeq = Window.orderBy(col("bar_ts"))
+    val z = pair
+      .withColumn("m", avg(col("spread")).over(wRoll))
+      .withColumn("sd", stddev_samp(col("spread")).over(wRoll))
+      .withColumn("nw", count(lit(1)).over(wRoll))
+      .withColumn("z_r",
+        round(when(col("nw") >= 3 && col("sd").isNotNull &&
+          col("sd") =!= 0, (col("spread") - col("m")) / col("sd")), 4))
+      .withColumn("spread_r", round(col("spread"), 6))
+      .withColumn("signal",
+        when(col("z_r") <= -0.8, 1)
+          .when(col("z_r") >= 0.8, -1)
+          .when(abs(col("z_r")) < 0.3, 0))
+      .withColumn("pos",
+        coalesce(last(col("signal"), ignoreNulls = true)
+          .over(wSeq.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .withColumn("prev_pos", coalesce(lag(col("pos"), 1).over(wSeq), lit(0)))
+      .withColumn("dsp", col("spread_r") - lag(col("spread_r"), 1).over(wSeq))
+      .withColumn("pnl",
+        when(col("dsp").isNotNull, round(col("pos") * col("dsp"), 8)))
+    val wantBt = z.groupBy(col("pair_name"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(when(col("pos") =!= col("prev_pos") && col("pos") =!= 0, 1L)
+          .otherwise(0L)).as("n_trades"),
+        sum(when(col("pnl") > 0, 1L).otherwise(0L)).as("n_win"),
+        sum(when(col("pnl") < 0, 1L).otherwise(0L)).as("n_loss"),
+        sum(col("pnl").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .as("sp"))
+      .select(col("pair_name"), col("n_bars"), col("n_trades"),
+        col("n_win"), col("n_loss"),
+        round(col("sp").cast(org.apache.spark.sql.types.DoubleType), 6)
+          .as("total_pnl"),
+        when(col("n_win") + col("n_loss") > 0,
+          floor(col("n_win").cast(org.apache.spark.sql.types.DoubleType) /
+            (col("n_win") + col("n_loss"))
+              .cast(org.apache.spark.sql.types.DoubleType)
+            * lit(1e4) + lit(0.5)) / lit(1e4)).as("hit_rate"))
+    assert(gotBt.except(wantBt).count() === 0)
+    assert(wantBt.except(gotBt).count() === 0)
+    // non-degenerate: the fixture must actually trade
+    val r = gotBt.collect().head
+    assert(r.getAs[Long]("n_trades") > 0)
+  }
+
   test("sum_fixed6 == sum(cast decimal) on random, boundary, null, and empty inputs") {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     import spark.implicits._
