@@ -3581,24 +3581,30 @@ object MarketBars {
     * order and rounds 6dp; the 1.96/√n significance fence compares
     * the ROUNDED r against one identically-computed threshold.
     *
-    * Scale: `maxLag` lag columns from ONE per-series sort, then a
-    * map-side-combined (series, k) rollup. */
+    * Scale: the return lag routes through
+    * [[ScalableWindow.withPrevValues]] and the k-lag columns through
+    * ONE [[ScalableWindow.dayScoped]] pass with carry = maxLag —
+    * (series, day) tasks — then a map-side-combined (series, k)
+    * rollup. */
   def archEffect(bars: DataFrame, maxLag: Int = 3): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val sq = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val sq0 = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r", when(col("pc") > 0, log(col("close") / col("pc"))))
       .filter(col("r").isNotNull)
       .withColumn("sq8",
         floor(col("r") * col("r") * lit(1e8) + lit(0.5)).cast("long"))
-      .localCheckpoint(eager = false)
+      .select(col("series"), col("bar_ts"), col("sq8"))
+    // one scoped pass serves every k (dayScoped checkpoints sq0)
+    val sq = ScalableWindow.dayScoped(sq0, Seq("series"), Seq("bar_ts"),
+      "bar_ts", maxLag)
+    val wk = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
     val lags = (1 to maxLag).map { k =>
-      sq.withColumn("y", lag(col("sq8"), k).over(w))
-        .filter(col("y").isNotNull)
+      sq.withColumn("y", lag(col("sq8"), k).over(wk))
+        .filter(col("__emit") && col("y").isNotNull)
         .select(col("series"), lit(k).as("k"),
           col("sq8").as("x"), col("y"))
     }
@@ -3646,10 +3652,8 @@ object MarketBars {
   def meanExcess(bars: DataFrame, q: Double = 0.95): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec12 = DecimalType(38, 12)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val rets = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val rets = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
@@ -3689,10 +3693,8 @@ object MarketBars {
   def upDownBeta(bars: DataFrame, marketSeries: String): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val rets = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val rets = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
@@ -3737,13 +3739,17 @@ object MarketBars {
     * at 6 dp. Series with N < 3 emit zero turning points and null z
     * only when Var ≤ 0 (never for N ≥ 3).
     *
-    * Scale: one per-series window pass + one map-side-combined
-    * rollup, output |series| rows — the q49 hot-key class,
-    * ScalableWindow escape applies. */
+    * Scale: the lag/lead pair rides ONE symmetric
+    * [[ScalableWindow.dayScopedAround]] pass ((series, day) tasks,
+    * one row carried from each side) + one map-side-combined rollup,
+    * output |series| rows. */
   def turningPoints(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    bars
+    val aug = ScalableWindow.dayScopedAround(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", backRows = 1, fwdRows = 1)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    aug
       .withColumn("x6",
         floor(col("close") * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("pv", lag(col("x6"), 1).over(w))
@@ -3753,6 +3759,7 @@ object MarketBars {
           ((col("pv") < col("x6") && col("x6") > col("nx")) ||
             (col("pv") > col("x6") && col("x6") < col("nx"))), 1L)
           .otherwise(0L))
+      .filter(col("__emit"))
       .groupBy(col("series"))
       .agg(count(lit(1)).as("n_bars"), sum(col("tp")).as("n_turning"))
       .withColumn("mu",
@@ -3930,15 +3937,14 @@ object MarketBars {
   def jarqueBera(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val withR = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val withR = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
             .cast("long")))
       .filter(col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
       .localCheckpoint(eager = false)
     val stats = withR.groupBy(col("series"))
       .agg(count(lit(1)).as("n"),
@@ -3979,21 +3985,23 @@ object MarketBars {
     * long passes 2^63 on jumpy series — the q248 lesson); DW and ρ̂
     * form in one shared double op order and round 6dp.
     *
-    * Scale: ONE per-series lag sort (two lags share the window spec),
-    * then a map-side-combined aggregate; |series| rows out. */
+    * Scale: two chained [[ScalableWindow.withPrevValues]] passes —
+    * the close lag, then the return lag over the FILTERED relation —
+    * (series, day) tasks; then a map-side-combined aggregate;
+    * |series| rows out. */
   def durbinWatson(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val rets = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
             .cast("long")))
       .filter(col("r8").isNotNull)
-      .withColumn("pr8", lag(col("r8"), 1).over(w))
+      .select(col("series"), col("bar_ts"), col("r8"))
+    ScalableWindow.withPrevValues(rets, Seq("series"), Seq("bar_ts"),
+        "bar_ts", Seq(("r8", "pr8")))
       .groupBy(col("series"))
       .agg(count(lit(1)).as("n"),
         sum(col("r8").cast(dec) * col("r8").cast(dec)).as("den"),
@@ -4026,15 +4034,14 @@ object MarketBars {
   def marketBeta(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec12 = DecimalType(38, 12)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val withR = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val withR = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
             .cast("long")))
       .filter(col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
       .localCheckpoint(eager = false)
     val mkt = withR.groupBy(col("bar_ts"))
       .agg(sum(col("r8")).as("msum"), count(lit(1)).as("mcnt"))
@@ -4139,23 +4146,24 @@ object MarketBars {
     * sums); F rounds 6dp. Degenerate segments (n < 5 or zero index
     * variance) emit null.
     *
-    * Scale: one per-series sort (row index), one map-side-combined
-    * aggregate carrying both segments' conditional sums; |series|
-    * rows out. */
+    * Scale: the lag routes through [[ScalableWindow.withPrevValues]]
+    * and the row index through [[ScalableWindow.withSeqIndex]]
+    * ((series, day) tasks; the total rides the keys×days map), one
+    * map-side-combined aggregate carrying both segments' conditional
+    * sums; |series| rows out. */
   def chowTest(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val withR = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val rets0 = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
             .cast("long")))
       .filter(col("r8").isNotNull)
-      .withColumn("t", row_number().over(w).cast("long"))
-      .withColumn("n_all", count(lit(1)).over(Window.partitionBy(col("series"))))
+      .select(col("series"), col("bar_ts"), col("r8"))
+    val withR = ScalableWindow.withSeqIndex(rets0, Seq("series"),
+        Seq("bar_ts"), "bar_ts", "t", Some("n_all"))
       .withColumn("seg1", col("t") <= (col("n_all") / 2).cast("long"))
     def segSums(p: Column, tag: String) = Seq(
       sum(when(p, 1L).otherwise(0L)).as(s"n$tag"),
@@ -4221,15 +4229,14 @@ object MarketBars {
   def cornishFisher(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
-    val withR = bars
-      .filter(col("close") > 0)
-      .withColumn("pc", lag(col("close"), 1).over(w))
+    val withR = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
       .withColumn("r8",
         when(col("pc") > 0,
           floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
             .cast("long")))
       .filter(col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
       .localCheckpoint(eager = false) // moment pass + z pass
     val stats = withR.groupBy(col("series"))
       .agg(count(lit(1)).as("n"),
