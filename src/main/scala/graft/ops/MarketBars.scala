@@ -62,6 +62,33 @@ object MarketBars {
 
   val OneHourMicros: Long = 60L * 60 * 1000 * 1000
 
+  /** Hard cap for the |days|²-per-series daily pair families
+    * ([[theilSen]], [[mannKendall]], [[sampleEntropy]]): 8000 days
+    * (a ~30-year daily calendar) plans ≤ 3.2e7 pairs per series.
+    * Beyond it the guard REFUSES rather than planning a 10⁸⁺-row
+    * self-join one series at a time — the [[ScalableRank
+    * .MaxDriverGroups]] pattern. The escapes are the literature's
+    * own: sample the pair set (Theil–Sen on a random pair subsample
+    * is the standard large-n variant), bucket the value spectrum
+    * (Mann–Kendall S from the rank histogram), or window SampEn. */
+  val MaxPairDays: Long = 8000L
+
+  /** Counts the densest series' day count and refuses past
+    * [[MaxPairDays]]; returns the (lazily checkpointed) relation so
+    * the count job's materialization is reused by the pair legs. */
+  private def requireDayHorizon(
+      daily0: DataFrame, op: String, escape: String): DataFrame = {
+    val daily = daily0.localCheckpoint(eager = false)
+    val head = daily.groupBy(col("series")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val maxDays = if (head.isNullAt(0)) 0L else head.getLong(0)
+    require(maxDays <= MaxPairDays,
+      s"$op: $maxDays days in one series exceeds MaxPairDays=" +
+        s"$MaxPairDays — the per-series pair set would hold ~" +
+        s"${maxDays * maxDays / 2} rows; $escape")
+    daily
+  }
+
   /** Re-aggregate fine bars into coarser bars (5-min → 1-h etc.) —
     * the bar-hierarchy rollup that lets every coarser granularity
     * derive from the bar store instead of rescanning raw ticks.
@@ -1122,7 +1149,7 @@ object MarketBars {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
     val wD = Window.partitionBy(col("series")).orderBy(col("d"))
-    val daily = bars
+    val daily = requireDayHorizon(bars
       .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
       .agg(max(struct(col("bar_ts"), col("close")))
         .getField("close").as("close"))
@@ -1134,8 +1161,9 @@ object MarketBars {
       .filter(col("r8").isNotNull)
       .withColumn("t", row_number().over(wD).cast("long"))
       .withColumn("l1", lead(col("r8"), 1).over(wD))
-      .withColumn("l2", lead(col("r8"), 2).over(wD))
-      .localCheckpoint(eager = false) // tolerance leg + both join legs
+      .withColumn("l2", lead(col("r8"), 2).over(wD)),
+      "sampleEntropy",
+      "use a windowed/bucketed SampEn variant from the literature")
     val tol = daily.groupBy(col("series"))
       .agg(count(lit(1)).as("n"),
         sum(col("r8").cast(dec)).as("s1"),
@@ -2574,12 +2602,12 @@ object MarketBars {
     * (vlo + vhi)/2e6 — exact integer math until the final division. */
   def theilSen(bars: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
-    val daily = bars
+    val daily = requireDayHorizon(bars
       .withColumn("d", to_date(col("bar_ts")))
       .groupBy(col("series"), col("d"))
       .agg(max(struct(col("bar_ts"), col("close"))).getField("close")
-        .as("close"))
-      .localCheckpoint(eager = false) // both pair legs read it
+        .as("close")),
+      "theilSen", "subsample the pair set (the standard large-n variant)")
     val a = daily.select(col("series"), col("d").as("da"),
       col("close").as("ca"))
     val b = daily.select(col("series"), col("d").as("db"),
@@ -2630,12 +2658,12 @@ object MarketBars {
   def mannKendall(bars: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
     def dbl(c: Column) = c.cast(DoubleType)
-    val daily = bars
+    val daily = requireDayHorizon(bars
       .withColumn("d", to_date(col("bar_ts")))
       .groupBy(col("series"), col("d"))
       .agg(max(struct(col("bar_ts"), col("close"))).getField("close")
-        .as("close"))
-      .localCheckpoint(eager = false) // pair legs + tie census share it
+        .as("close")),
+      "mannKendall", "derive S from the rank histogram instead of raw pairs")
     val a = daily.select(col("series"), col("d").as("da"),
       col("close").as("ca"))
     val b = daily.select(col("series"), col("d").as("db"),
