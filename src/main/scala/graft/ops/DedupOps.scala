@@ -146,6 +146,13 @@ object DedupOps {
       .distinct()
   }
 
+  /** Public face of [[bandCandidates]] (the q25 candidate stage) for
+    * the streaming twin and the recall audit: the distinct LSH pair
+    * set BEFORE exact verification. */
+  def lshCandidatePairs(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    bandCandidates(minhashDocs(df, textCol, idCol))
+
   def minhashNearDups(
       df: DataFrame,
       textCol: String,

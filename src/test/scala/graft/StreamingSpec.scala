@@ -351,6 +351,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates match the batch q25 candidate set on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2025-11-03 10:00:00")
+    // real corpus slice with synthesized event times inside one
+    // watermark horizon; the slice is big enough to hold genuine
+    // near-dup pairs (the sf corpus plants them)
+    val raw = Tables.rebalance(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(400).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        Doc(r.getLong(0), new Timestamp(base.getTime + i * 1000L),
+          r.getString(1))
+      }.toSeq
+    val stream = MemoryStream[Doc]
+    val q = graft.streaming.NearDupMonitor.candidatePairs(
+        stream.toDF(), "ts")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      // mid-stream split: pairs whose members arrive in DIFFERENT
+      // micro-batches must still emit from the join state
+      stream.addData(raw.take(200)); q.processAllAvailable()
+      stream.addData(raw.drop(200)); q.processAllAvailable()
+      val streamed = spark.table("neardup_out")
+        .select(col("id_a"), col("id_b")).distinct()
+      val batch = graft.ops.DedupOps.lshCandidatePairs(
+        raw.toDF("doc_id", "ts", "text"), "text", "doc_id")
+      assert(batch.count() > 0, "fixture must contain near-dup pairs")
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming session windows match batch gaps-and-islands sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
