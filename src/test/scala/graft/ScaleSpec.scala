@@ -129,12 +129,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("Window"), "as-of carry window expected")
   }
 
-  test("q154 triple-barrier plan: lead arrays off one window, never a self-join") {
+  test("q154 triple-barrier plan: day-scoped lead arrays, no horizon-fanout join") {
     val plan = SparkEntry.queries("q154_triple_barrier")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"),
-      s"first-touch must come from lead arrays, not a horizon-fanout join:\n${plan.take(3000)}")
-    assert(plan.contains("Window"), "lead-array window expected")
+    // the forward scope's day-map attach is broadcast-only — a
+    // SortMergeJoin would mean a genuine corpus-sized self-join crept
+    // back in (the horizon-fanout shape the lead arrays exist to avoid)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"corpus-sized join found in the lead path:\n${plan.take(3000)}")
+    // the lead window must be day-scoped, never a per-series
+    // full-history sort
+    assert(plan.contains("__day_idx"),
+      s"day-scoped lead window expected:\n${plan.take(3000)}")
+    assert("windowspecdefinition\\(series#\\d+, bar_ts#\\d+ ASC".r
+      .findFirstIn(plan).isEmpty,
+      s"per-series global window found (skew hazard):\n${plan.take(3000)}")
   }
 
   test("q155 bpe-pairs plan: top-k via TakeOrderedAndProject, pairs built map-side") {
@@ -380,23 +389,54 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("q190 backtest plan: every window shares ONE bar_ts sort") {
-    // rolling stats, LOCF position, and the lag chain all ORDER BY
-    // bar_ts on the single-pair relation — Catalyst must sort once and
-    // stack the Window operators on it; a re-sort between them doubles
-    // the dominant cost at scale
+  test("q190 backtest plan: fully day-scoped, no single-partition window left") {
+    // round 10 removed the unpartitioned Window.orderBy(bar_ts): the
+    // rolling stats ride dayScoped, the LOCF carry splits at day
+    // boundaries, and the lag chain rides withPrevValues — every
+    // corpus-touching window must now partition by (pair, __day_idx)
+    // or (pair, __day); the only admissible SinglePartition exchanges
+    // feed the keys×days DAY MAPS (aggregate-sized), which all sit
+    // under a broadcast-exchange subtree
     val bars = graft.ops.MarketBars.bars(Tables.events(spark, sf),
       "event_type", "ts", "value")
     val plan = graft.ops.PairAnalytics.pairsBacktest(bars, "click", "view")
       .queryExecution.executedPlan.toString
-    // exactly one bar_ts sort (the bars build's struct-aggregate sorts
-    // on (series, bucket) are a different, pre-windows cost)
-    assert("Sort \\[bar_ts".r.findAllIn(plan).size === 1,
-      s"expected one shared bar_ts sort under the window stack:\n${plan.take(3000)}")
-    assert("Window \\[".r.findAllIn(plan).size === 3,
-      s"expected the three stacked Windows:\n${plan.take(3000)}")
-    assert("Exchange SinglePartition".r.findAllIn(plan).size === 1,
-      s"the pair relation must single-partition once:\n${plan.take(3000)}")
+    assert(plan.contains("__day_idx"),
+      s"day-scoped rolling stats expected:\n${plan.take(3000)}")
+    // no window spec may order the raw pair history without a day key
+    assert("windowspecdefinition\\(pair_name#\\d+, bar_ts#\\d+ ASC".r
+      .findFirstIn(plan).isEmpty,
+      s"per-pair full-history window found:\n${plan.take(3000)}")
+    assert("windowspecdefinition\\(bar_ts#\\d+ ASC".r
+      .findFirstIn(plan).isEmpty,
+      s"unpartitioned window found:\n${plan.take(3000)}")
+  }
+
+  test("round-10 routed class: no per-key full-history window in any routed plan") {
+    // the round-9/10 punch list: every op that windowed
+    // (series|pair).orderBy(bar_ts|ts) over the corpus now rides the
+    // day-map escapes. Lock ALL of them at once — a regression in any
+    // one reintroduces the one-task-per-key ceiling
+    val routed = Seq(
+      "q126_candles", "q153_hurst", "q158_tick_bars", "q167_vpin",
+      "q177_runs_test", "q194_event_study", "q197_vol_signature",
+      "q200_risk_decomp", "q202_dow_anova", "q205_var_es",
+      "q247_streak_stats", "q248_arch_effect", "q253_hourly_vol",
+      "q254_tail_clustering", "q270_var_backtest", "q277_turning_points",
+      "q288_updown_beta", "q292_mean_excess", "q299_jarque_bera",
+      "q300_durbin_watson", "q302_market_beta", "q308_chow_test",
+      "q334_cornish_fisher",
+      "q85_rolling_corr", "q106_rolling_beta", "q122_ccf",
+      "q172_coint", "q223_half_life")
+    val fullHistory =
+      ("windowspecdefinition\\((series|pair_name)#\\d+, " +
+        "(bar_ts|ts)#\\d+ ASC").r
+    routed.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(fullHistory.findFirstIn(plan).isEmpty,
+        s"$name: per-key full-history window found:\n${plan.take(2000)}")
+    }
   }
 
   test("q191 returned-revenue plan: pushed flag filter, broadcast nation, TakeOrdered cut") {
