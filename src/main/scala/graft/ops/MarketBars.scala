@@ -4234,6 +4234,195 @@ object MarketBars {
           .as("break_5pct"))
   }
 
+  /** KPSS level-stationarity test per series (Kwiatkowski et al.
+    * 1992) on 1-bar log returns: η = n⁻²·Σ_t S_t² / σ̂²_lrv with
+    * S_t the demeaned partial sums and σ̂² the Bartlett-weighted
+    * long-run variance at `maxLag` lags — the null here is
+    * STATIONARITY, the mirror image of the unit-root tests (q172's
+    * ADF rejects non-stationarity; KPSS rejects stationarity), so
+    * the pair brackets a series from both sides. 5% fence 0.463.
+    *
+    * Determinism: returns are exact 1e-8 longs; the demeaned partial
+    * sum clears its denominator as S'_t = n·P_t − t·Σr (exact
+    * integers off the day-split prefix, the q144 rule) and the
+    * demeaned factors as n·x − Σr; each per-row term then converts
+    * at ≤1e12 magnitude (the q200 decimal→double fence), rounds 12dp
+    * in natural units, and folds in DECIMAL(38,12); η forms once per
+    * series in one shared double op order, rounded 6dp.
+    *
+    * Scale: the lag chain and the γ_l lags ride the day-map escapes
+    * ([[ScalableWindow.withPrevValues]] / [[ScalableWindow.dayScoped]]
+    * carry = maxLag); the prefix splits at day boundaries; output
+    * |series| rows. */
+  def kpss(bars: DataFrame, maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val rets0 = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
+      .localCheckpoint(eager = false) // prefix pass + lag pass + totals
+    val tot = rets0.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), sum(col("r8").cast(dec)).as("s"))
+    // day-split exact prefix (q144 rule): P_t = prior-day cumulative
+    // offsets + within-day running sum; t likewise
+    val idxW = Window.partitionBy(col("series")).orderBy(col("__day"))
+    val x = rets0.withColumn("__day", to_date(col("bar_ts")))
+    val dayMap = x.groupBy(col("series"), col("__day"))
+      .agg(count(lit(1)).as("__n"), sum(col("r8").cast(dec)).as("__s"))
+      .withColumn("__coff", sum(col("__n")).over(idxW) - col("__n"))
+      .withColumn("__soff", sum(col("__s")).over(idxW) - col("__s"))
+      .select(col("series"), col("__day"), col("__coff"), col("__soff"))
+    val wDay = Window.partitionBy(col("series"), col("__day"))
+      .orderBy(col("bar_ts"))
+    val runDay = wDay.rowsBetween(Window.unboundedPreceding, 0)
+    // per-row demeaned partial sum in NATURAL units: S'_t = n·P_t − t·S.
+    // n, t, P, S each convert to double at ≤ ~1e12 (inside the q200
+    // decimal→double fence) and the products/difference stay exact
+    // integers below 2^53 — the full decimal difference would convert
+    // at ~1e15, inside the 1-ulp cross-engine hazard zone
+    val ssd = x.join(broadcast(dayMap), Seq("series", "__day"))
+      .withColumn("t", col("__coff") + row_number().over(wDay))
+      .withColumn("p", col("__soff") + sum(col("r8").cast(dec)).over(runDay))
+      .join(broadcast(tot), "series")
+      .withColumn("spn",
+        (dbl(col("n")) * dbl(col("p")) - dbl(col("t")) * dbl(col("s"))) /
+          (dbl(col("n")) * lit(1e8)))
+      .groupBy(col("series"))
+      .agg(sum(round(col("spn") * col("spn"), 12).cast(dec12)).as("ss2"))
+    // Bartlett autocovariances on the same demeaned natural units:
+    // γ_l terms (n·x − S)(n·y − S)/(n·1e8)² ride ONE dayScoped pass
+    val aug = ScalableWindow.dayScoped(rets0, Seq("series"),
+      Seq("bar_ts"), "bar_ts", maxLag)
+    val wk = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val lagCols = (1 to maxLag).map(l => lag(col("r8"), l).over(wk).as(s"y_$l"))
+    val lagged = aug
+      .select(Seq(col("series"), col("r8"), col("__emit")) ++ lagCols: _*)
+      .filter(col("__emit"))
+      .join(broadcast(tot), "series")
+    def gterm(y: Column) =
+      round(dbl(col("n") * col("r8") - col("s")) *
+        dbl(col("n") * y - col("s")) /
+        (dbl(col("n")) * lit(1e8) * dbl(col("n")) * lit(1e8)), 12)
+    val gAggs =
+      sum(gterm(col("r8")).cast(dec12)).as("g_0") +:
+        (1 to maxLag).map { l =>
+          sum(when(col(s"y_$l").isNotNull, gterm(col(s"y_$l")))
+            .otherwise(lit(0).cast(dec12)).cast(dec12)).as(s"g_$l")
+        }
+    val g = lagged.groupBy(col("series"), col("n")).agg(gAggs.head, gAggs.tail: _*)
+    val lp1 = (maxLag + 1).toDouble
+    // LEFT-fold from g_0 so the addition order matches the twin's
+    // left-associative SQL `g0 + w1*g1 + w2*g2 + ...` exactly
+    val lrv = (1 to maxLag).foldLeft(dbl(col("g_0"))) { (acc, l) =>
+      acc + lit(2.0 * (lp1 - l) / lp1) * dbl(col(s"g_$l"))
+    } / dbl(col("n"))
+    g.join(ssd, "series")
+      .select(col("series"), col("n").as("n_rets"),
+        when(lrv > 0,
+          round(dbl(col("ss2")) / (dbl(col("n")) * dbl(col("n"))) / lrv, 6))
+          .as("kpss_eta"))
+      .withColumn("reject_stationary",
+        when(col("kpss_eta").isNotNull, col("kpss_eta") > 0.463))
+  }
+
+  /** Fama–MacBeth cross-sectional regression on the 1-day reversal
+    * factor: each day, OLS of the day's return on the PREVIOUS day's
+    * return ACROSS series (λ_d = the day's reversal premium — negative
+    * when yesterday's losers outperform), then the time-series mean
+    * and t-statistic of the λ series — the two-pass procedure every
+    * cross-sectional asset-pricing table runs, next to q182's
+    * portfolio-sort view of the same effect.
+    *
+    * Determinism: daily returns are exact 1e-6 longs (1e6, not 1e8 —
+    * the q200 fence: cross moments of five 1e-8-scaled daily returns
+    * pass 1e14 and the decimal→double conversion goes 1-ulp unstable);
+    * per-day moments fold DECIMAL-exact; λ_d rounds 8dp; the λ mean/sd
+    * fold the ROUNDED values in DECIMAL(38,12); t forms once, 4dp.
+    *
+    * Scale: everything after the (series, day) collapse is
+    * calendar-bounded (the tearsheet class); per-day cross sections
+    * are |series|-sized; output is ONE row. */
+  def famaMacBeth(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy(col("series")).orderBy(col("d"))
+    val daily = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close"))).getField("close")
+        .as("close"))
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r6",
+        when(col("pc").isNotNull && col("pc") > 0 && col("close") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e6) + lit(0.5))
+            .cast("long")))
+      .withColumn("x6", lag(col("r6"), 1).over(w))
+      .filter(col("r6").isNotNull && col("x6").isNotNull)
+    val lams = daily.groupBy(col("d"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x6").cast(dec)).as("sx"),
+        sum(col("r6").cast(dec)).as("sy"),
+        sum(col("x6").cast(dec) * col("r6").cast(dec)).as("sxy"),
+        sum(col("x6").cast(dec) * col("x6").cast(dec)).as("sxx"))
+      .withColumn("den",
+        dbl(col("k")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .filter(col("k") >= 3 && col("den") > 0)
+      .withColumn("lam",
+        round((dbl(col("k")) * dbl(col("sxy")) -
+          dbl(col("sx")) * dbl(col("sy"))) / col("den"), 8))
+    lams.agg(count(lit(1)).as("n_days"),
+        sum(col("lam").cast(dec12)).as("sl"),
+        sum(round(col("lam") * col("lam"), 12).cast(dec12)).as("sll"),
+        sum(when(col("lam") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .withColumn("mu", dbl(col("sl")) / dbl(col("n_days")))
+      .withColumn("v",
+        (dbl(col("sll")) - dbl(col("sl")) * dbl(col("sl")) /
+          dbl(col("n_days"))) / (dbl(col("n_days")) - lit(1.0)))
+      .select(col("n_days"),
+        round(col("mu"), 8).as("mean_premium"),
+        when(col("n_days") > 1 && col("v") > 0,
+          round(col("mu") / sqrt(col("v") / dbl(col("n_days"))), 4))
+          .as("t_stat"),
+        (floor(dbl(col("n_neg")) / dbl(col("n_days")) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("share_negative"))
+  }
+
+  /** Daily volume-concentration panel: Herfindahl–Hirschman index of
+    * each day's tick volume across series (HHI = Σ share², exact as
+    * Σv²/V²) and the implied effective series count 1/HHI — "is
+    * activity spread or is one series the whole tape today", the
+    * market-structure number next to q211's share view.
+    *
+    * All-integer until two final divisions (6dp/4dp) — tick counts
+    * are exact longs, Σv² folds as DECIMAL products.
+    *
+    * Scale: two map-side-combined aggregates ((day, series) then
+    * day); output |days| rows. */
+  def hhiVolume(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    bars
+      .groupBy(to_date(col("bar_ts")).as("d"), col("series"))
+      .agg(sum(col("n_ticks")).as("v"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_series"),
+        sum(col("v")).as("vt"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("q"))
+      .select(col("d"), col("n_series"), col("vt").as("total_ticks"),
+        round(dbl(col("q")) / (dbl(col("vt")) * dbl(col("vt"))), 6)
+          .as("hhi"),
+        round(dbl(col("vt")) * dbl(col("vt")) / dbl(col("q")), 4)
+          .as("eff_n"))
+  }
+
   /** Cornish–Fisher modified VaR per series: the Gaussian quantile
     * expanded for the sample skew/excess-kurtosis of the daily-close
     * log returns —

@@ -1344,6 +1344,32 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // KPSS level-stationarity test (MarketBars.kpss): the null is
+    // STATIONARITY — the mirror of q172's ADF — with a Bartlett
+    // long-run variance at 4 lags; day-split exact prefix sums
+    "q352_kpss" -> ((s, dir) => {
+      MarketBars.kpss(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Fama–MacBeth two-pass regression (MarketBars.famaMacBeth) on
+    // the 1-day reversal factor: per-day cross-sectional λ, then the
+    // time-series premium + t — the formal test behind q182's
+    // portfolio sort
+    "q353_fama_macbeth" -> ((s, dir) => {
+      MarketBars.famaMacBeth(MarketBars.bars(Tables.events(s, dir),
+        "event_type", "ts", "value"))
+    }),
+
+    // Daily volume-concentration panel (MarketBars.hhiVolume): HHI of
+    // tick volume across series + the implied effective series count
+    "q354_hhi_volume" -> ((s, dir) => {
+      MarketBars.hhiVolume(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("d"))
+    }),
+
     // Fractional differencing panel (MarketBars.fracDiff): the
     // d = 0.4 fixed-width FD log-price series' mean/sd/acf1 —
     // stationarity WITH retained memory, between raw prices (unit
@@ -4932,6 +4958,163 @@ object MarketQueries {
             sqrt(CAST(n_days AS DOUBLE)/2.0)*mx.a > 1.358
               AS reject_const_var
           FROM ag ORDER BY series""",
+
+    // KPSS twin: exact integer prefix sums (n·P − t·S in exact-double
+    // integer arithmetic, every decimal→double conversion ≤ ~1e12),
+    // 12dp DECIMAL folds of the natural-unit terms, Bartlett weights
+    // as explicit literals, one shared-op-order η
+    "q352_kpss" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c)*1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l WHERE prev_c IS NOT NULL AND prev_c > 0),
+          tot AS (SELECT series, count(*) AS n,
+                   SUM(CAST(r8 AS DECIMAL(38,0))) AS s
+                 FROM r GROUP BY 1),
+          pref AS (SELECT series, bar_ts, r8,
+                    CAST(row_number() OVER w AS BIGINT) AS t,
+                    SUM(CAST(r8 AS DECIMAL(38,0))) OVER w AS p
+                  FROM r
+                  WINDOW w AS (PARTITION BY series ORDER BY bar_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          ss AS (SELECT pref.series,
+                   SUM(CAST(round(
+                     ((CAST(n AS DOUBLE)*CAST(p AS DOUBLE)
+                       - CAST(t AS DOUBLE)*CAST(s AS DOUBLE))
+                      /(CAST(n AS DOUBLE)*1e8))
+                     *((CAST(n AS DOUBLE)*CAST(p AS DOUBLE)
+                       - CAST(t AS DOUBLE)*CAST(s AS DOUBLE))
+                      /(CAST(n AS DOUBLE)*1e8)), 12)
+                     AS DECIMAL(38,12))) AS ss2
+                 FROM pref JOIN tot ON pref.series = tot.series
+                 GROUP BY 1),
+          lg AS (SELECT series, r8,
+                  lag(r8, 1) OVER w AS y_1, lag(r8, 2) OVER w AS y_2,
+                  lag(r8, 3) OVER w AS y_3, lag(r8, 4) OVER w AS y_4
+                 FROM r
+                 WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          g AS (SELECT lg.series, n,
+                  SUM(CAST(round(
+                    CAST(n*r8 - s AS DOUBLE)*CAST(n*r8 - s AS DOUBLE)
+                    /(CAST(n AS DOUBLE)*1e8*CAST(n AS DOUBLE)*1e8), 12)
+                    AS DECIMAL(38,12))) AS g_0,
+                  SUM(CASE WHEN y_1 IS NOT NULL THEN CAST(round(
+                    CAST(n*r8 - s AS DOUBLE)*CAST(n*y_1 - s AS DOUBLE)
+                    /(CAST(n AS DOUBLE)*1e8*CAST(n AS DOUBLE)*1e8), 12)
+                    AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12))
+                    END) AS g_1,
+                  SUM(CASE WHEN y_2 IS NOT NULL THEN CAST(round(
+                    CAST(n*r8 - s AS DOUBLE)*CAST(n*y_2 - s AS DOUBLE)
+                    /(CAST(n AS DOUBLE)*1e8*CAST(n AS DOUBLE)*1e8), 12)
+                    AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12))
+                    END) AS g_2,
+                  SUM(CASE WHEN y_3 IS NOT NULL THEN CAST(round(
+                    CAST(n*r8 - s AS DOUBLE)*CAST(n*y_3 - s AS DOUBLE)
+                    /(CAST(n AS DOUBLE)*1e8*CAST(n AS DOUBLE)*1e8), 12)
+                    AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12))
+                    END) AS g_3,
+                  SUM(CASE WHEN y_4 IS NOT NULL THEN CAST(round(
+                    CAST(n*r8 - s AS DOUBLE)*CAST(n*y_4 - s AS DOUBLE)
+                    /(CAST(n AS DOUBLE)*1e8*CAST(n AS DOUBLE)*1e8), 12)
+                    AS DECIMAL(38,12)) ELSE CAST(0 AS DECIMAL(38,12))
+                    END) AS g_4
+                FROM lg JOIN tot ON lg.series = tot.series
+                GROUP BY 1, 2),
+          f AS (SELECT g.series, n,
+                  (CAST(g_0 AS DOUBLE)
+                   + 2.0*0.8*CAST(g_1 AS DOUBLE)
+                   + 2.0*0.6*CAST(g_2 AS DOUBLE)
+                   + 2.0*0.4*CAST(g_3 AS DOUBLE)
+                   + 2.0*0.2*CAST(g_4 AS DOUBLE))/CAST(n AS DOUBLE)
+                    AS lrv,
+                  CAST(ss2 AS DOUBLE) AS ss2
+                FROM g JOIN ss ON g.series = ss.series)
+          SELECT series, n AS n_rets,
+            CASE WHEN lrv > 0 THEN round(
+              ss2/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))/lrv, 6) END
+              AS kpss_eta,
+            CASE WHEN lrv > 0 THEN
+              ss2/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE))/lrv > 0.463 END
+              AS reject_stationary
+          FROM f ORDER BY series""",
+
+    // Fama–MacBeth twin: daily 1e-6 return chain, per-day OLS slope
+    // on the lagged return, λ rounds 8dp then folds in DECIMAL
+    "q353_fama_macbeth" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER w AS pc
+                FROM dcl WINDOW w AS (PARTITION BY series ORDER BY d)),
+          r0 AS (SELECT series, d,
+                  CASE WHEN pc IS NOT NULL AND pc > 0 AND close > 0
+                    THEN CAST(floor(ln(close/pc)*1e6 + 0.5) AS BIGINT)
+                    END AS r6
+                 FROM l),
+          r AS (SELECT series, d, r6,
+                  lag(r6) OVER (PARTITION BY series ORDER BY d) AS x6
+                FROM r0),
+          rr AS (SELECT * FROM r
+                 WHERE r6 IS NOT NULL AND x6 IS NOT NULL),
+          pd AS (SELECT d, count(*) AS k,
+                  SUM(CAST(x6 AS DECIMAL(38,0))) AS sx,
+                  SUM(CAST(r6 AS DECIMAL(38,0))) AS sy,
+                  SUM(CAST(x6 AS DECIMAL(38,0))
+                    *CAST(r6 AS DECIMAL(38,0))) AS sxy,
+                  SUM(CAST(x6 AS DECIMAL(38,0))
+                    *CAST(x6 AS DECIMAL(38,0))) AS sxx
+                 FROM rr GROUP BY 1),
+          lam AS (SELECT d,
+                   round((CAST(k AS DOUBLE)*CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     /(CAST(k AS DOUBLE)*CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 8)
+                     AS lam
+                  FROM pd
+                  WHERE k >= 3 AND CAST(k AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0),
+          a AS (SELECT count(*) AS n_days,
+                 SUM(CAST(lam AS DECIMAL(38,12))) AS sl,
+                 SUM(CAST(round(lam*lam, 12) AS DECIMAL(38,12))) AS sll,
+                 SUM(CASE WHEN lam < 0 THEN 1 ELSE 0 END) AS n_neg
+                FROM lam),
+          f AS (SELECT n_days, n_neg,
+                 CAST(sl AS DOUBLE)/CAST(n_days AS DOUBLE) AS mu,
+                 (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE)
+                   *CAST(sl AS DOUBLE)/CAST(n_days AS DOUBLE))
+                   /(CAST(n_days AS DOUBLE) - 1.0) AS v
+                FROM a)
+          SELECT n_days, round(mu, 8) AS mean_premium,
+            CASE WHEN n_days > 1 AND v > 0 THEN
+              round(mu/sqrt(v/CAST(n_days AS DOUBLE)), 4) END AS t_stat,
+            floor(CAST(n_neg AS DOUBLE)/CAST(n_days AS DOUBLE)*1e6
+              + 0.5)/1e6 AS share_negative
+          FROM f""",
+
+    // HHI twin: integer tick-volume shares, Σv²/V²
+    "q354_hhi_volume" ->
+      s"""WITH $barsCte,
+          dv AS (SELECT CAST(bar_ts AS DATE) AS d, series,
+                   SUM(n_ticks) AS v
+                 FROM bars GROUP BY 1, 2),
+          a AS (SELECT d, count(*) AS n_series, SUM(v) AS vt,
+                  SUM(CAST(v AS DECIMAL(38,0))
+                    *CAST(v AS DECIMAL(38,0))) AS q
+                FROM dv GROUP BY 1)
+          SELECT d, n_series, vt AS total_ticks,
+            round(CAST(q AS DOUBLE)
+              /(CAST(vt AS DOUBLE)*CAST(vt AS DOUBLE)), 6) AS hhi,
+            round(CAST(vt AS DOUBLE)*CAST(vt AS DOUBLE)
+              /CAST(q AS DOUBLE), 4) AS eff_n
+          FROM a ORDER BY d""",
 
     // SampEn twin: daily chain, RM extendable templates, exact
     // integer Chebyshev distances against the shared-op-order
