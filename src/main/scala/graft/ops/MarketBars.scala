@@ -4423,6 +4423,107 @@ object MarketBars {
           .as("eff_n"))
   }
 
+  /** Information ratio per series against the equal-weight market
+    * bar (the [[marketBeta]] leg, including itself): mean active
+    * return / tracking error — "does the series beat the tape per
+    * unit of deviation FROM the tape", the relative-performance
+    * number next to q140's absolute Sharpe and q302's beta.
+    *
+    * Determinism: the q302 discipline verbatim — exact 1e-8 return
+    * longs, per-bar market mean as one double divide, active-return
+    * terms round 12dp and fold in DECIMAL(38,12), the mean/TE/IR
+    * chain forms once per series in a shared double op order.
+    *
+    * Scale: the lag rides [[ScalableWindow.withPrevValues]]; the
+    * market leg is a bar_ts-keyed aggregate hash-joined back (grows
+    * with time — no broadcast hint); one map-side-combined per-series
+    * rollup; |series| rows out. */
+  def infoRatio(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val withR = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
+      .localCheckpoint(eager = false)
+    val mkt = withR.groupBy(col("bar_ts"))
+      .agg(sum(col("r8")).as("msum"), count(lit(1)).as("mcnt"))
+    val a = dbl(col("r8")) / lit(1e8) -
+      dbl(col("msum")) / dbl(col("mcnt")) / lit(1e8)
+    def dsum(c: Column) = sum(round(c, 12).cast(dec12))
+    withR.join(mkt, "bar_ts")
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        dsum(a).as("sa"), dsum(a * a).as("qa"))
+      .withColumn("mu", dbl(col("sa")) / dbl(col("n")))
+      .withColumn("te",
+        when(col("n") > 1,
+          sqrt(greatest((dbl(col("qa")) - dbl(col("sa")) * dbl(col("sa")) /
+            dbl(col("n"))) / (dbl(col("n")) - lit(1.0)), lit(0.0)))))
+      .select(col("series"), col("n").as("n_rets"),
+        round(col("mu"), 8).as("mean_active"),
+        when(col("te").isNotNull, round(col("te"), 8)).as("tracking_error"),
+        when(col("te") > 0, round(col("mu") / col("te"), 6)).as("info_ratio"))
+  }
+
+  /** Ulcer index per series (Martin & McCann): √ of the mean squared
+    * drawdown over the daily-close path, plus the Martin (ulcer
+    * performance) ratio ann_return / UI — drawdown pain weighted by
+    * DEPTH AND DURATION, where q306's Calmar sees only the single
+    * deepest point.
+    *
+    * Determinism: the q140/q306 daily chain verbatim (max-by-struct
+    * daily collapse, floor-form 1e-6 drawdowns off the running max);
+    * dd² terms round 12dp and fold in DECIMAL(38,12); UI/Martin form
+    * once per series, rounded 6dp.
+    *
+    * Scale: the tearsheet class — one (series, day) map-side
+    * collapse, per-series windows over the calendar-bounded daily
+    * relation, one rollup; |series| rows out. */
+  def ulcerIndex(
+      bars: DataFrame,
+      periodsPerYear: Double = 252.0): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy(col("series")).orderBy(col("d"))
+    val wrm = w.rowsBetween(Window.unboundedPreceding, 0)
+    bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .withColumn("prev_c", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0,
+          floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .withColumn("runmax", max(col("close")).over(wrm))
+      .withColumn("dd", when(col("runmax") > 0,
+        floor((col("close") / col("runmax") - lit(1.0)) * lit(1e6) +
+          lit(0.5)) / lit(1e6)))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("r8")).as("n_rets"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum(round(col("dd") * col("dd"), 12).cast(dec12)).as("sdd"))
+      .withColumn("ui",
+        sqrt(dbl(col("sdd")) / dbl(col("n_days"))))
+      .withColumn("ann_ret",
+        when(col("n_rets") > 0,
+          dbl(col("s1")) / dbl(col("n_rets")) * lit(periodsPerYear) /
+            lit(1e8)))
+      .select(col("series"), col("n_days"),
+        round(col("ui"), 6).as("ulcer_index"),
+        when(col("ann_ret").isNotNull, round(col("ann_ret"), 6))
+          .as("ann_return"),
+        when(col("ui") > 0 && col("ann_ret").isNotNull,
+          round(col("ann_ret") / col("ui"), 6)).as("martin_ratio"))
+  }
+
   /** Cornish–Fisher modified VaR per series: the Gaussian quantile
     * expanded for the sample skew/excess-kurtosis of the daily-close
     * log returns —

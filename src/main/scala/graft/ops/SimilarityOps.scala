@@ -1016,6 +1016,91 @@ object SimilarityOps {
     * Scale: one per-dim moment pass + the one-pass primitive Gram
     * fold (driver state d² cells, dimension-bounded — the q260
     * posture). */
+  /** Adjusted Rand index between the deterministic IVF partition
+    * (modulo centroids, (−cosine, cid) argmax — q30's assignment
+    * verbatim) and the ground-truth labels: does the GEOMETRIC
+    * clustering recover the label structure — the external-validity
+    * check next to the internal indices (q276 silhouette, q323
+    * Davies–Bouldin, q326 Calinski–Harabasz), which can all score a
+    * partition highly while it cuts across every label. Emits TWO
+    * rows: the fine partition vs the labels (external validity — near
+    * zero when labels are geometry-independent, itself an informative
+    * audit) and vs a COARSE codebook's partition (granularity
+    * stability — the exercised metric: high when the fine partition
+    * nests cleanly under coarsening).
+    *
+    * Determinism: the assignment argmax reuses q30's proven
+    * cosine/tie-break; everything after is exact pair counting on the
+    * (cluster, label) contingency table (nij(nij−1) longs); ARI and
+    * the plain Rand index form once in a shared double op order over
+    * ≤C(n,2)-sized integers (exact doubles), rounded 6dp.
+    *
+    * Scale: assignment is map-side against the broadcast codebook
+    * (the q30 plan); the contingency table is one (cid, label)
+    * aggregate (≤ k·|labels| cells — everything after is
+    * cell-bounded); output is ONE row. */
+  def clusterLabelAgreement(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      centroidEvery: Int,
+      coarseEvery: Int): DataFrame = {
+    require(coarseEvery > centroidEvery,
+      s"coarse codebook must be coarser ($coarseEvery <= $centroidEvery)")
+    val unit = withUnitVec(emb, vecCol)
+      .select(col(idCol).as("vid"), col(labelCol).as("label"),
+        col("nv").as("v"))
+      .localCheckpoint(eager = false) // two codebooks + the assignment
+    def cents(every: Int) = unit.filter(col("vid") % every === 0)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val cbF = broadcast(codebook(cents(centroidEvery)))
+    val cbC = broadcast(
+      codebook(cents(coarseEvery)).withColumnRenamed("cb", "cb2"))
+    val assigned = unit.crossJoin(cbF).crossJoin(cbC)
+      .withColumn("cidf",
+        element_at(nearestCentroids(col("cb"), col("v"), 1), 1)("cid"))
+      .withColumn("cidc",
+        element_at(nearestCentroids(col("cb2"), col("v"), 1), 1)("cid"))
+      .select(col("cidf"), col("cidc"), col("label"))
+      .localCheckpoint(eager = false) // both comparisons read it
+    ariRow(assigned, "cidf", "label", "labels")
+      .unionByName(ariRow(assigned, "cidf", "cidc", "coarse_codebook"))
+  }
+
+  /** One ARI/Rand row from the (aCol, bCol) contingency of `pairs` —
+    * exact pair-counting integers, doubles only in the final shared
+    * op order. */
+  private def ariRow(
+      pairs: DataFrame, aCol: String, bCol: String, tag: String): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val cells = pairs.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(eager = false) // three rollups read the cells
+    val tot = cells.agg(sum(col("nij")).as("n"),
+      sum(col("nij") * (col("nij") - 1)).as("sij"))
+    val byA = cells.groupBy(col("__a")).agg(sum(col("nij")).as("ai"))
+      .agg(count(lit(1)).as("k_a"),
+        sum(col("ai") * (col("ai") - 1)).as("sa"))
+    val byB = cells.groupBy(col("__b")).agg(sum(col("nij")).as("bj"))
+      .agg(count(lit(1)).as("k_b"),
+        sum(col("bj") * (col("bj") - 1)).as("sb"))
+    tot.crossJoin(byA).crossJoin(byB)
+      .withColumn("idx", dbl(col("sij")) / lit(2.0))
+      .withColumn("ea", dbl(col("sa")) / lit(2.0))
+      .withColumn("eb", dbl(col("sb")) / lit(2.0))
+      .withColumn("tt", dbl(col("n") * (col("n") - 1)) / lit(2.0))
+      .withColumn("ex", col("ea") * col("eb") / col("tt"))
+      .withColumn("mx", (col("ea") + col("eb")) / lit(2.0))
+      .select(lit(tag).as("comparison"),
+        col("n").as("n_vecs"), col("k_a"), col("k_b"),
+        when(col("mx") =!= col("ex"),
+          round((col("idx") - col("ex")) / (col("mx") - col("ex")), 6))
+          .as("ari"),
+        round((col("tt") + lit(2.0) * col("idx") - col("ea") - col("eb")) /
+          col("tt"), 6).as("rand_index"))
+  }
+
   def participationRatio(
       emb: DataFrame,
       idCol: String = "vec_id",

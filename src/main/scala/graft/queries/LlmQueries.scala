@@ -1018,6 +1018,18 @@ object LlmQueries {
       SimilarityOps.participationRatio(Tables.embeddings(s, dir))
     }),
 
+    // Adjusted Rand index (SimilarityOps.clusterLabelAgreement): the
+    // IVF geometric partition (q30's assignment) vs the ground-truth
+    // labels (external validity) AND vs a coarser codebook's
+    // partition (granularity stability) — the external checks next to
+    // the internal q276/q323/q326 indices
+    "q357_cluster_ari" -> ((s, dir) => {
+      SimilarityOps.clusterLabelAgreement(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label",
+          centroidEvery = 50, coarseEvery = 200)
+        .orderBy(col("comparison"))
+    }),
+
     // Davies–Bouldin clustering index (CorpusOps.daviesBouldin):
     // worst-neighbor scatter/separation ratio per label cluster —
     // the "are these clusters distinct" view next to q276 silhouette
@@ -3702,6 +3714,64 @@ object LlmQueries {
     // (6dp centroids, 12dp-rounded squared deviations in DECIMAL),
     // scatter means off 6dp distances, worst-neighbor ratio max,
     // DECIMAL mean of the per-cluster maxima
+    // ARI twin: q30's assignment CTE (cross join + (cos DESC, cid)
+    // argmax) against BOTH codebooks, then pure integer pair counting
+    // per comparison
+    "q357_cluster_ari" ->
+      s"""WITH e0 AS (SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+          e AS (SELECT vec_id, label,
+                  list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0)))
+                    AS v
+                FROM e0),
+          cf AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+          cc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 200 = 0),
+          af AS (SELECT vec_id, label, cid AS cidf FROM
+                   (SELECT e.vec_id, e.label, cf.cid, row_number() OVER
+                      (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, cf.cv) DESC, cf.cid)
+                      AS rn
+                    FROM e CROSS JOIN cf)
+                 WHERE rn = 1),
+          acc AS (SELECT vec_id, cid AS cidc FROM
+                    (SELECT e.vec_id, cc.cid, row_number() OVER
+                       (PARTITION BY e.vec_id
+                        ORDER BY list_dot_product(e.v, cc.cv) DESC, cc.cid)
+                       AS rn
+                     FROM e CROSS JOIN cc)
+                  WHERE rn = 1),
+          assigned AS (SELECT af.vec_id, af.label, af.cidf, acc.cidc
+                       FROM af JOIN acc ON af.vec_id = acc.vec_id),
+          cl AS (SELECT 'labels' AS comparison, cidf AS a,
+                   CAST(label AS VARCHAR) AS b FROM assigned
+                 UNION ALL
+                 SELECT 'coarse_codebook', cidf, CAST(cidc AS VARCHAR)
+                 FROM assigned),
+          cells AS (SELECT comparison, a, b, count(*) AS nij
+                    FROM cl GROUP BY 1, 2, 3),
+          tot AS (SELECT comparison, SUM(nij) AS n,
+                    SUM(nij*(nij-1)) AS sij
+                  FROM cells GROUP BY 1),
+          ba AS (SELECT comparison, count(*) AS k_a, SUM(ai*(ai-1)) AS sa
+                 FROM (SELECT comparison, a, SUM(nij) AS ai
+                       FROM cells GROUP BY 1, 2) GROUP BY 1),
+          bb AS (SELECT comparison, count(*) AS k_b, SUM(bj*(bj-1)) AS sb
+                 FROM (SELECT comparison, b, SUM(nij) AS bj
+                       FROM cells GROUP BY 1, 2) GROUP BY 1),
+          f AS (SELECT tot.comparison, n, k_a, k_b,
+                  CAST(sij AS DOUBLE)/2.0 AS idx,
+                  CAST(sa AS DOUBLE)/2.0 AS ea,
+                  CAST(sb AS DOUBLE)/2.0 AS eb,
+                  CAST(n*(n-1) AS DOUBLE)/2.0 AS tt
+                FROM tot JOIN ba ON tot.comparison = ba.comparison
+                         JOIN bb ON tot.comparison = bb.comparison)
+          SELECT comparison, CAST(n AS BIGINT) AS n_vecs, k_a, k_b,
+            CASE WHEN (ea + eb)/2.0 <> ea*eb/tt THEN
+              round((idx - ea*eb/tt)/((ea + eb)/2.0 - ea*eb/tt), 6) END
+              AS ari,
+            round((tt + 2.0*idx - ea - eb)/tt, 6) AS rand_index
+          FROM f ORDER BY comparison""",
+
     "q323_davies_bouldin" ->
       """WITH e0 AS (SELECT vec_id, label,
                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1370,6 +1370,23 @@ object MarketQueries {
         .orderBy(col("d"))
     }),
 
+    // Information ratio vs the equal-weight market bar
+    // (MarketBars.infoRatio): mean active return / tracking error —
+    // relative performance next to q140's absolute Sharpe
+    "q355_info_ratio" -> ((s, dir) => {
+      MarketBars.infoRatio(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Ulcer index + Martin ratio (MarketBars.ulcerIndex): drawdown
+    // pain weighted by depth AND duration over the daily-close path
+    "q356_ulcer" -> ((s, dir) => {
+      MarketBars.ulcerIndex(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Fractional differencing panel (MarketBars.fracDiff): the
     // d = 0.4 fixed-width FD log-price series' mean/sd/acf1 —
     // stationarity WITH retained memory, between raw prices (unit
@@ -5115,6 +5132,82 @@ object MarketQueries {
             round(CAST(vt AS DOUBLE)*CAST(vt AS DOUBLE)
               /CAST(q AS DOUBLE), 4) AS eff_n
           FROM a ORDER BY d""",
+
+    // Info-ratio twin: q302's market-leg discipline — per-bar mean as
+    // one double divide, 12dp DECIMAL folds of the active terms
+    "q355_info_ratio" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/prev_c)*1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l WHERE prev_c IS NOT NULL AND prev_c > 0),
+          m AS (SELECT bar_ts, SUM(r8) AS msum, count(*) AS mcnt
+                FROM r GROUP BY 1),
+          a AS (SELECT series,
+                  CAST(r8 AS DOUBLE)/1e8
+                    - CAST(msum AS DOUBLE)/CAST(mcnt AS DOUBLE)/1e8
+                    AS act
+                FROM r JOIN m USING (bar_ts)),
+          g AS (SELECT series, count(*) AS n,
+                  SUM(CAST(round(act, 12) AS DECIMAL(38,12))) AS sa,
+                  SUM(CAST(round(act*act, 12) AS DECIMAL(38,12))) AS qa
+                FROM a GROUP BY 1),
+          f AS (SELECT series, n,
+                  CAST(sa AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+                  CASE WHEN n > 1 THEN sqrt(greatest(
+                    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+                      *CAST(sa AS DOUBLE)/CAST(n AS DOUBLE))
+                    /(CAST(n AS DOUBLE) - 1.0), 0.0)) END AS te
+                FROM g)
+          SELECT series, n AS n_rets,
+            round(mu, 8) AS mean_active,
+            CASE WHEN te IS NOT NULL THEN round(te, 8) END
+              AS tracking_error,
+            CASE WHEN te > 0 THEN round(mu/te, 6) END AS info_ratio
+          FROM f ORDER BY series""",
+
+    // Ulcer twin: the q306 daily chain verbatim + 12dp dd² folds
+    "q356_ulcer" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER w AS prev_c,
+                  max(close) OVER (PARTITION BY series ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS runmax
+                FROM dcl WINDOW w AS (PARTITION BY series ORDER BY d)),
+          r AS (SELECT series, d,
+                  CASE WHEN prev_c IS NOT NULL AND prev_c > 0
+                    AND close > 0 THEN
+                    CAST(floor(ln(close/prev_c)*1e8 + 0.5) AS BIGINT)
+                    END AS r8,
+                  CASE WHEN runmax > 0 THEN
+                    floor((close/runmax - 1.0)*1e6 + 0.5)/1e6 END AS dd
+                FROM l),
+          g AS (SELECT series, count(*) AS n_days, count(r8) AS n_rets,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(round(dd*dd, 12) AS DECIMAL(38,12))) AS sdd
+                FROM r GROUP BY 1),
+          f AS (SELECT series, n_days, n_rets,
+                  sqrt(CAST(sdd AS DOUBLE)/CAST(n_days AS DOUBLE)) AS ui,
+                  CASE WHEN n_rets > 0 THEN
+                    CAST(s1 AS DOUBLE)/CAST(n_rets AS DOUBLE)*252.0/1e8
+                    END AS ann_ret
+                FROM g)
+          SELECT series, n_days,
+            round(ui, 6) AS ulcer_index,
+            CASE WHEN ann_ret IS NOT NULL THEN round(ann_ret, 6) END
+              AS ann_return,
+            CASE WHEN ui > 0 AND ann_ret IS NOT NULL THEN
+              round(ann_ret/ui, 6) END AS martin_ratio
+          FROM f ORDER BY series""",
 
     // SampEn twin: daily chain, RM extendable templates, exact
     // integer Chebyshev distances against the shared-op-order
