@@ -146,6 +146,56 @@ object DedupOps {
       .distinct()
   }
 
+  /** Train/validation split-leakage audit: hash-split docs 90/10 on a
+    * portable md5 draw of the doc id (RNG-free, the q328 convention —
+    * the split is REPRODUCIBLE anywhere, which is the whole point of
+    * hash splits), then count the exact near-dup pairs
+    * ([[ngramJaccardPairs]]) that STRADDLE the split — each one is a
+    * validation doc whose near-twin sits in training, i.e. silent
+    * eval contamination the q73/q107 decontamination checks (which
+    * compare against an EXTERNAL benchmark) cannot see.
+    *
+    * Determinism: the split is an exact integer compare on the md5
+    * draw; pair counts are integers off the 4dp PPJoin jaccard; the
+    * leak rate floors at 6dp.
+    *
+    * Scale: the PPJoin prefix-filter posture (never all-pairs); the
+    * split relation joins the pair list by id (growing-key hash
+    * joins); output is ONE row. */
+  def splitLeakage(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.2,
+      maxDf: Int = 100,
+      trainPct: Int = 90): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"bad trainPct $trainPct")
+    def dbl(c: Column) = c.cast(org.apache.spark.sql.types.DoubleType)
+    val split = df.select(col(idCol).as("doc"),
+        (graft.functions.CrossHash.x32(
+          concat_ws("#", lit("split"), col(idCol))) % 100 < trainPct)
+          .as("is_train"))
+      .localCheckpoint(eager = false) // totals + both pair-side joins
+    val pairs = ngramJaccardPairs(df, textCol, idCol, n = 3, threshold,
+      maxDf).select(col("id_a"), col("id_b"))
+    val tot = split.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_val"))
+    pairs
+      .join(split.select(col("doc").as("id_a"), col("is_train").as("tr_a")),
+        "id_a")
+      .join(split.select(col("doc").as("id_b"), col("is_train").as("tr_b")),
+        "id_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("tr_a") =!= col("tr_b"), 1L).otherwise(0L))
+          .as("n_cross"))
+      .crossJoin(tot)
+      .select(col("n_train"), col("n_val"), col("n_pairs"), col("n_cross"),
+        when(col("n_pairs") > 0,
+          floor(dbl(col("n_cross")) / dbl(col("n_pairs")) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("leak_rate"))
+  }
+
   /** Public face of [[bandCandidates]] (the q25 candidate stage) for
     * the streaming twin and the recall audit: the distinct LSH pair
     * set BEFORE exact verification. */

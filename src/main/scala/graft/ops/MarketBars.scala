@@ -4524,6 +4524,90 @@ object MarketBars {
           round(col("ann_ret") / col("ui"), 6)).as("martin_ratio"))
   }
 
+  /** Realized semivariance per (series, day) (Barndorff-Nielsen,
+    * Kinnebrock & Shephard 2008): RV split by return SIGN —
+    * RS⁺ = Σ r²·1{r>0}, RS⁻ = Σ r²·1{r<0}, and the signed jump
+    * variation ΔJ = RS⁺ − RS⁻ — downside risk at intraday resolution,
+    * the sign-aware companion to q181's bipower jump split (which
+    * separates jumps from diffusion but not their DIRECTION).
+    *
+    * Determinism (q92/q181 rules): within-day return chain, returns
+    * round 8dp BEFORE squaring, r² terms round 12dp and fold in
+    * DECIMAL(38,12), outputs round 8dp.
+    *
+    * Scale: one (series, day)-keyed window pass + one
+    * map-side-combined rollup on the same key — day-keyed tasks by
+    * construction, no escape needed. */
+  def semivariance(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val dayW = Window.partitionBy(col("series"), col("d"))
+      .orderBy(col("bar_ts"))
+    bars
+      .filter(col("close") > 0)
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("pc", lag(col("close"), 1).over(dayW))
+      .withColumn("r",
+        when(col("pc") > 0, round(log(col("close") / col("pc")), 8)))
+      .filter(col("r").isNotNull)
+      .groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n_rets"),
+        sum(round(col("r") * col("r"), 12).cast(dec12)).as("srv"),
+        sum(when(col("r") > 0, round(col("r") * col("r"), 12))
+          .otherwise(0.0).cast(dec12)).as("sup"),
+        sum(when(col("r") < 0, round(col("r") * col("r"), 12))
+          .otherwise(0.0).cast(dec12)).as("sdn"))
+      .select(col("series"), col("d"), col("n_rets"),
+        round(dbl(col("srv")), 8).as("rv"),
+        round(dbl(col("sup")), 8).as("rs_up"),
+        round(dbl(col("sdn")), 8).as("rs_down"),
+        round(dbl(col("sup")) - dbl(col("sdn")), 8).as("signed_jump"))
+  }
+
+  /** Conditional drawdown-at-risk per series: the `alpha`-quantile of
+    * the daily drawdown distribution (DaR) and the mean drawdown AT OR
+    * BELOW it (CDaR) — the drawdown analog of q205's VaR/ES pair:
+    * q306's Calmar prices only the single deepest point; CDaR prices
+    * the whole bad tail of underwater days.
+    *
+    * Determinism: the q306 daily dd chain verbatim (floor-form 1e-6
+    * drawdowns); the quantile cut rounds 6dp BEFORE the membership
+    * compare (the q205 convention); the tail mean folds the exact 6dp
+    * dd values in DECIMAL(18,6).
+    *
+    * Scale: the tearsheet class — calendar-bounded daily relation,
+    * quantile broadcast back; |series| rows out. */
+  def cdar(bars: DataFrame, alpha: Double = 0.10): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha in (0, 0.5) (got $alpha)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val w = Window.partitionBy(col("series")).orderBy(col("d"))
+    val wrm = w.rowsBetween(Window.unboundedPreceding, 0)
+    val dd = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .withColumn("runmax", max(col("close")).over(wrm))
+      .withColumn("dd", when(col("runmax") > 0,
+        floor((col("close") / col("runmax") - lit(1.0)) * lit(1e6) +
+          lit(0.5)) / lit(1e6)))
+      .filter(col("dd").isNotNull)
+      .localCheckpoint(eager = false) // quantile pass + tail pass
+    val cut = dd.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr(s"percentile(dd, $alpha)"), 6).as("dd_q"),
+        min(col("dd")).as("max_drawdown"))
+    dd.join(broadcast(cut), "series")
+      .filter(col("dd") <= col("dd_q"))
+      .groupBy(col("series"), col("n_days"), col("dd_q"),
+        col("max_drawdown"))
+      .agg(count(lit(1)).as("n_tail"),
+        sum(col("dd").cast(DecimalType(18, 6))).as("sdd"))
+      .select(col("series"), col("n_days"),
+        col("dd_q").as("dar"), col("n_tail"),
+        round(dbl(col("sdd")) / dbl(col("n_tail")), 6).as("cdar"),
+        col("max_drawdown"))
+  }
+
   /** Cornish–Fisher modified VaR per series: the Gaussian quantile
     * expanded for the sample skew/excess-kurtosis of the daily-close
     * log returns —

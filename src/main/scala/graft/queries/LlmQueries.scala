@@ -1115,6 +1115,15 @@ object LlmQueries {
     // similarity decile, against the banding s-curve theory. Truth
     // threshold 0.05 (the q324 lesson): 0.2+ leaves only the exact-
     // dup band and the curve degenerates to one row
+    // Train/val split-leakage audit (DedupOps.splitLeakage): near-dup
+    // pairs straddling a portable 90/10 hash split — eval
+    // contamination the external-benchmark decontamination checks
+    // (q73/q107) cannot see
+    "q359_split_leakage" -> ((s, dir) => {
+      DedupOps.splitLeakage(Tables.rebalance(Tables.documents(s, dir)),
+        "text", "doc_id")
+    }),
+
     "q345_lsh_recall" -> ((s, dir) => {
       DedupOps.lshRecall(Tables.rebalance(Tables.documents(s, dir)),
           "text", "doc_id", threshold = 0.05, maxDf = 100)
@@ -3714,6 +3723,53 @@ object LlmQueries {
     // (6dp centroids, 12dp-rounded squared deviations in DECIMAL),
     // scatter means off 6dp distances, worst-neighbor ratio max,
     // DECIMAL mean of the per-cluster maxima
+    // Split-leakage twin: the q77/q324 PPJoin pair SQL at threshold
+    // 0.2 + the q328 portable-md5 split draw
+    "q359_split_leakage" ->
+      s"""WITH $toksCte,
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk
+                  FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b
+                   ON a.gk = b.gk AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          pj AS (SELECT id_a, id_b
+                 FROM sh
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+                 WHERE CAST(n_shared AS DOUBLE)
+                   /(sa.sz + sb.sz - n_shared) >= 0.2),
+          sp AS (SELECT doc_id AS doc,
+                   CAST(concat('0x', substr(md5(
+                     concat_ws('#', 'split', doc_id)), 1, 8)) AS BIGINT)
+                     % 100 < 90 AS is_train
+                 FROM documents),
+          tot AS (SELECT
+                    SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS n_train,
+                    SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS n_val
+                  FROM sp),
+          x AS (SELECT count(*) AS n_pairs,
+                  SUM(CASE WHEN a.is_train <> b.is_train THEN 1 ELSE 0
+                    END) AS n_cross
+                FROM pj
+                JOIN sp a ON a.doc = pj.id_a
+                JOIN sp b ON b.doc = pj.id_b)
+          SELECT CAST(n_train AS BIGINT) AS n_train,
+            CAST(n_val AS BIGINT) AS n_val,
+            CAST(n_pairs AS BIGINT) AS n_pairs,
+            CAST(n_cross AS BIGINT) AS n_cross,
+            CASE WHEN n_pairs > 0 THEN
+              floor(CAST(n_cross AS DOUBLE)/CAST(n_pairs AS DOUBLE)*1e6
+                + 0.5)/1e6 END AS leak_rate
+          FROM x CROSS JOIN tot""",
+
     // ARI twin: q30's assignment CTE (cross join + (cos DESC, cid)
     // argmax) against BOTH codebooks, then pure integer pair counting
     // per comparison

@@ -1387,6 +1387,23 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Realized semivariance (MarketBars.semivariance): intraday RV
+    // split by return sign + the signed jump variation — direction-
+    // aware risk next to q181's jump/diffusion split
+    "q358_semivariance" -> ((s, dir) => {
+      MarketBars.semivariance(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
+    // Conditional drawdown-at-risk (MarketBars.cdar): the drawdown
+    // analog of q205's VaR/ES — DaR quantile + the bad-tail mean
+    "q360_cdar" -> ((s, dir) => {
+      MarketBars.cdar(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Fractional differencing panel (MarketBars.fracDiff): the
     // d = 0.4 fixed-width FD log-price series' mean/sd/acf1 —
     // stationarity WITH retained memory, between raw prices (unit
@@ -5208,6 +5225,62 @@ object MarketQueries {
             CASE WHEN ui > 0 AND ann_ret IS NOT NULL THEN
               round(ann_ret/ui, 6) END AS martin_ratio
           FROM f ORDER BY series""",
+
+    // Semivariance twin: within-day chain, 8dp returns before
+    // squaring, 12dp DECIMAL folds per sign leg
+    "q358_semivariance" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series,
+                    CAST(bar_ts AS DATE) ORDER BY bar_ts) AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, d, round(ln(close/pc), 8) AS r
+                FROM l WHERE pc IS NOT NULL AND pc > 0),
+          g AS (SELECT series, d, count(*) AS n_rets,
+                  SUM(CAST(round(r*r, 12) AS DECIMAL(38,12))) AS srv,
+                  SUM(CAST(CASE WHEN r > 0 THEN round(r*r, 12)
+                    ELSE 0.0 END AS DECIMAL(38,12))) AS sup,
+                  SUM(CAST(CASE WHEN r < 0 THEN round(r*r, 12)
+                    ELSE 0.0 END AS DECIMAL(38,12))) AS sdn
+                FROM r GROUP BY 1, 2)
+          SELECT series, d, n_rets,
+            round(CAST(srv AS DOUBLE), 8) AS rv,
+            round(CAST(sup AS DOUBLE), 8) AS rs_up,
+            round(CAST(sdn AS DOUBLE), 8) AS rs_down,
+            round(CAST(sup AS DOUBLE) - CAST(sdn AS DOUBLE), 8)
+              AS signed_jump
+          FROM g ORDER BY series, d""",
+
+    // CDaR twin: q306 daily dd chain, 6dp quantile cut before the
+    // membership compare (q205 convention), DECIMAL tail mean
+    "q360_cdar" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  max(close) OVER (PARTITION BY series ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS runmax
+                FROM dcl),
+          ddr AS (SELECT series, d,
+                   floor((close/runmax - 1.0)*1e6 + 0.5)/1e6 AS dd
+                  FROM l WHERE runmax > 0),
+          cut AS (SELECT series, count(*) AS n_days,
+                   round(quantile_cont(dd, 0.10), 6) AS dd_q,
+                   min(dd) AS max_drawdown
+                  FROM ddr GROUP BY 1),
+          t AS (SELECT ddr.series, n_days, dd_q, max_drawdown,
+                  count(*) AS n_tail,
+                  SUM(CAST(dd AS DECIMAL(18,6))) AS sdd
+                FROM ddr JOIN cut ON ddr.series = cut.series
+                WHERE dd <= dd_q
+                GROUP BY 1, 2, 3, 4)
+          SELECT series, n_days, dd_q AS dar, n_tail,
+            round(CAST(sdd AS DOUBLE)/CAST(n_tail AS DOUBLE), 6) AS cdar,
+            max_drawdown
+          FROM t ORDER BY series""",
 
     // SampEn twin: daily chain, RM extendable templates, exact
     // integer Chebyshev distances against the shared-op-order
