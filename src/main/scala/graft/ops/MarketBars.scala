@@ -2175,6 +2175,71 @@ object MarketBars {
           .as("jump_frac"))
   }
 
+  /** (1/μ_{4/3})³ with μ_{4/3} = 2^{2/3}·Γ(7/6)/Γ(1/2) — the
+    * tri-power quarticity normalizer (E|Z|^{4/3} for standard normal
+    * Z). Hardcoded literal (the JVM has no Γ); both engines share the
+    * interpolated Double.toString form bit-for-bit. */
+  val Mu43Inv3: Double = 1.7434720745319836
+
+  /** θ = (π/2)² + π − 5 — the BNS ratio-test asymptotic variance. */
+  val ThetaBns: Double = 0.6089937538621326
+
+  /** BNS jump significance test per (series, day) (Barndorff-Nielsen
+    * & Shephard 2006, the Huang–Tauchen relative-jump form):
+    * z = (1 − BV/RV) / √(θ·max(1, TQ/BV²)/m) with TQ the tri-power
+    * quarticity — [[bipowerJump]] (q181) reports the jump FRACTION;
+    * this says whether the day's gap is statistically a jump at all
+    * (5% fence 1.644854).
+    *
+    * Determinism: q181's chain verbatim for RV/BV; the |r|^{4/3}
+    * powers expand as exp((4/3)·ln|r|) — exp/ln are bit-identical
+    * cross-engine (the q92 precedent), pow() is NOT — with zero
+    * returns contributing zero; tri-power terms round 12dp and fold
+    * in DECIMAL(28,12); [[Mu43Inv3]]/[[ThetaBns]] are shared
+    * literals; the z chain forms once per day, 4dp.
+    *
+    * Scale: q181's posture — (series, day)-keyed window + one
+    * map-side-combined rollup on the same key. */
+  def bnsJumpTest(bars: DataFrame): DataFrame = {
+    val dayW = Window.partitionBy(col("series"), col("d"))
+      .orderBy(col("bar_ts"))
+    def dbl(c: Column) = c.cast(DoubleType)
+    def dsum(c: Column) = sum(round(c, 12).cast(DecimalType(28, 12)))
+    def p43(c: Column) = exp(lit(4.0 / 3.0) * log(abs(c)))
+    val terms = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("prev_c", lag(col("close"), 1).over(dayW))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 &&
+        col("close") > 0)
+      .withColumn("r", round(log(col("close") / col("prev_c")), 8))
+      .withColumn("r1", lag(col("r"), 1).over(dayW))
+      .withColumn("r2", lag(col("r"), 2).over(dayW))
+    val tqTerm = when(col("r2").isNotNull &&
+      col("r") =!= 0.0 && col("r1") =!= 0.0 && col("r2") =!= 0.0,
+      p43(col("r")) * p43(col("r1")) * p43(col("r2"))).otherwise(0.0)
+    val agg = terms.groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("m"),
+        dsum(col("r") * col("r")).as("srr"),
+        count(col("r1")).as("m_pairs"),
+        dsum(abs(col("r")) * abs(col("r1"))).as("sbv"),
+        count(col("r2")).as("m_tri"),
+        dsum(tqTerm).as("stq"))
+    val rv = dbl(col("srr"))
+    val bv = lit(math.Pi) / 2 *
+      (dbl(col("m_pairs")) / (dbl(col("m_pairs")) - 1)) * dbl(col("sbv"))
+    val tq = dbl(col("m")) * lit(Mu43Inv3) *
+      (dbl(col("m")) / dbl(col("m_tri"))) * dbl(col("stq"))
+    val rj = lit(1.0) - bv / rv
+    val z = rj / sqrt(lit(ThetaBns) *
+      greatest(lit(1.0), tq / (bv * bv)) / dbl(col("m")))
+    agg.filter(col("m") >= 10 && col("m_tri") >= 1 && col("m_pairs") >= 2)
+      .select(col("series"), col("d"), col("m").as("n_rets"),
+        when(rv > 0, round(rj, 6)).as("rel_jump"),
+        when(rv > 0 && bv > 0, round(z, 4)).as("z_bns"))
+      .withColumn("jump_5pct",
+        when(col("z_bns").isNotNull, col("z_bns") > 1.644854))
+  }
+
   /** Cross-sectional momentum portfolio: each day, rank series by the
     * PREVIOUS day's close-to-close return (no look-ahead), go long the
     * top `nSide` and short the bottom `nSide`, and realize today's

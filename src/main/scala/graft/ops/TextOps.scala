@@ -264,6 +264,62 @@ object TextOps {
   val ReplacementPattern = "\\x{FFFD}"
   val ControlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
 
+  /** Sentence-segmentation profile per source: naive `[.!?]+`
+    * sentence split, reporting docs, sentences per doc, mean sentence
+    * length in whitespace tokens, and the share of LONG (>30-token)
+    * sentences, plus the share of docs with NO sentence break at all
+    * — the structural screen next to q157's syllable-level
+    * readability and q21's token-level quality stats. On prose the
+    * interesting numbers are the per-sentence ones; on token-stream /
+    * list-like content `no_punct_share` fires instead (the driver
+    * corpus is punctuation-free, so it reads 1.0 there — exactly the
+    * non-prose flag this op exists to raise).
+    *
+    * Determinism: every per-doc quantity is an exact integer long;
+    * the per-source reductions are long sums finished by floor-form
+    * 4dp/6dp divisions.
+    *
+    * Scale: pure map-side per-doc work — one split + one counting
+    * transform behind a materialize barrier (the q315 HOF rule: three
+    * consumers read the derived array, and CollapseProject would
+    * otherwise re-run the interpreted split per consumer) — into one
+    * |sources| rollup. */
+  def sentenceStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      longSentence: Int = 30): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val sl = graft.ops.Dist.materialize(docs.select(
+      col(sourceCol).as("source"),
+      transform(
+        filter(split(col(textCol), "[.!?]+"), s => trim(s) =!= ""),
+        s => size(tokens(s)).cast("long")).as("sl")))
+    val perDoc = sl.select(col("source"),
+      size(col("sl")).cast("long").as("n_sent"),
+      aggregate(col("sl"), lit(0L), (acc, x) => acc + x).as("n_tok"),
+      size(filter(col("sl"), x => x > longSentence)).cast("long")
+        .as("n_long"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sent")).as("ts"),
+        sum(col("n_tok")).as("tt"),
+        sum(col("n_long")).as("tl"),
+        sum(when(col("n_sent") <= 1, 1L).otherwise(0L)).as("np"))
+      .select(col("source"), col("n_docs"),
+        col("ts").as("n_sentences"),
+        (floor(dbl(col("np")) / dbl(col("n_docs")) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("no_punct_share"),
+        (floor(dbl(col("ts")) / dbl(col("n_docs")) * lit(1e4) + lit(0.5)) /
+          lit(1e4)).as("sent_per_doc"),
+        when(col("ts") > 0,
+          floor(dbl(col("tt")) / dbl(col("ts")) * lit(1e4) + lit(0.5)) /
+            lit(1e4)).as("toks_per_sent"),
+        when(col("ts") > 0,
+          floor(dbl(col("tl")) / dbl(col("ts")) * lit(1e6) + lit(0.5)) /
+            lit(1e6)).as("share_long"))
+  }
+
   def scriptAudit(
       docs: DataFrame,
       textCol: String = "text",

@@ -1115,6 +1115,15 @@ object LlmQueries {
     // similarity decile, against the banding s-curve theory. Truth
     // threshold 0.05 (the q324 lesson): 0.2+ leaves only the exact-
     // dup band and the curve degenerates to one row
+    // Sentence-segmentation profile (TextOps.sentenceStats): naive
+    // [.!?]+ split — sentences/doc, tokens/sentence, long-sentence
+    // share per source, the structural screen next to q157/q21
+    "q362_sentence_stats" -> ((s, dir) => {
+      graft.ops.TextOps.sentenceStats(
+          Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
+    }),
+
     // Train/val split-leakage audit (DedupOps.splitLeakage): near-dup
     // pairs straddling a portable 90/10 hash split — eval
     // contamination the external-benchmark decontamination checks
@@ -3723,6 +3732,42 @@ object LlmQueries {
     // (6dp centroids, 12dp-rounded squared deviations in DECIMAL),
     // scatter means off 6dp distances, worst-neighbor ratio max,
     // DECIMAL mean of the per-cluster maxima
+    // Sentence-stats twin: the same [.!?]+ split + ' +' token count,
+    // long sums finished by floor-form divisions
+    "q362_sentence_stats" ->
+      """WITH s0 AS (SELECT source,
+                list_filter(regexp_split_to_array(text, '[.!?]+'),
+                  s -> trim(s) <> '') AS segs
+              FROM documents),
+          sl AS (SELECT source,
+                   list_transform(segs, s -> CAST(len(
+                     regexp_split_to_array(trim(s), ' +')) AS BIGINT))
+                     AS sl
+                 FROM s0),
+          pd AS (SELECT source,
+                   CAST(len(sl) AS BIGINT) AS n_sent,
+                   CAST(coalesce(list_sum(sl), 0) AS BIGINT) AS n_tok,
+                   CAST(len(list_filter(sl, x -> x > 30)) AS BIGINT)
+                     AS n_long
+                 FROM sl),
+          g AS (SELECT source, count(*) AS n_docs,
+                  SUM(n_sent) AS ts, SUM(n_tok) AS tt, SUM(n_long) AS tl,
+                  SUM(CASE WHEN n_sent <= 1 THEN 1 ELSE 0 END) AS np
+                FROM pd GROUP BY 1)
+          SELECT source, n_docs,
+            CAST(ts AS BIGINT) AS n_sentences,
+            floor(CAST(np AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e6
+              + 0.5)/1e6 AS no_punct_share,
+            floor(CAST(ts AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e4
+              + 0.5)/1e4 AS sent_per_doc,
+            CASE WHEN ts > 0 THEN
+              floor(CAST(tt AS DOUBLE)/CAST(ts AS DOUBLE)*1e4 + 0.5)/1e4
+              END AS toks_per_sent,
+            CASE WHEN ts > 0 THEN
+              floor(CAST(tl AS DOUBLE)/CAST(ts AS DOUBLE)*1e6 + 0.5)/1e6
+              END AS share_long
+          FROM g ORDER BY source""",
+
     // Split-leakage twin: the q77/q324 PPJoin pair SQL at threshold
     // 0.2 + the q328 portable-md5 split draw
     "q359_split_leakage" ->

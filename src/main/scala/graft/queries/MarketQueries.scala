@@ -1404,6 +1404,15 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // BNS jump significance test (MarketBars.bnsJumpTest): is q181's
+    // RV−BV gap statistically a jump — the Huang–Tauchen relative-
+    // jump z with tri-power quarticity
+    "q361_bns_jump" -> ((s, dir) => {
+      MarketBars.bnsJumpTest(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
     // Fractional differencing panel (MarketBars.fracDiff): the
     // d = 0.4 fixed-width FD log-price series' mean/sd/acf1 —
     // stationarity WITH retained memory, between raw prices (unit
@@ -5281,6 +5290,63 @@ object MarketQueries {
             round(CAST(sdd AS DOUBLE)/CAST(n_tail AS DOUBLE), 6) AS cdar,
             max_drawdown
           FROM t ORDER BY series""",
+
+    // BNS twin: q181's RV/BV chain + tri-power terms as explicit
+    // exp((4/3)·ln|r|) products (pow is not ulp-stable), shared
+    // μ4/3⁻³ and θ literals
+    "q361_bns_jump" -> {
+      val mu = graft.ops.MarketBars.Mu43Inv3
+      val th = graft.ops.MarketBars.ThetaBns
+      s"""WITH $barsCte,
+          l AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series,
+                    CAST(bar_ts AS DATE) ORDER BY bar_ts) AS pc
+                FROM bars),
+          r0 AS (SELECT series, d, bar_ts,
+                   round(ln(close/pc), 8) AS r
+                 FROM l
+                 WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          t AS (SELECT series, d, r,
+                  lag(r, 1) OVER w AS r1,
+                  lag(r, 2) OVER w AS r2
+                FROM r0
+                WINDOW w AS (PARTITION BY series, d ORDER BY bar_ts)),
+          g AS (SELECT series, d, count(*) AS m,
+                  SUM(CAST(round(r*r, 12) AS DECIMAL(28,12))) AS srr,
+                  count(r1) AS m_pairs,
+                  SUM(CAST(round(abs(r)*abs(r1), 12) AS DECIMAL(28,12)))
+                    AS sbv,
+                  count(r2) AS m_tri,
+                  SUM(CAST(round(CASE WHEN r2 IS NOT NULL AND r <> 0.0
+                    AND r1 <> 0.0 AND r2 <> 0.0 THEN
+                      exp(4.0/3.0*ln(abs(r)))
+                      *exp(4.0/3.0*ln(abs(r1)))
+                      *exp(4.0/3.0*ln(abs(r2)))
+                    ELSE 0.0 END, 12) AS DECIMAL(28,12))) AS stq
+                FROM t GROUP BY 1, 2),
+          f AS (SELECT series, d, m,
+                  CAST(srr AS DOUBLE) AS rv,
+                  pi()/2*(CAST(m_pairs AS DOUBLE)
+                    /(CAST(m_pairs AS DOUBLE) - 1))
+                    *CAST(sbv AS DOUBLE) AS bv,
+                  CAST(m AS DOUBLE)*($mu)
+                    *(CAST(m AS DOUBLE)/CAST(m_tri AS DOUBLE))
+                    *CAST(stq AS DOUBLE) AS tq
+                FROM g
+                WHERE m >= 10 AND m_tri >= 1 AND m_pairs >= 2)
+          SELECT series, d, m AS n_rets,
+            CASE WHEN rv > 0 THEN round(1.0 - bv/rv, 6) END AS rel_jump,
+            CASE WHEN rv > 0 AND bv > 0 THEN
+              round((1.0 - bv/rv)/sqrt(($th)
+                *greatest(1.0, tq/(bv*bv))/CAST(m AS DOUBLE)), 4) END
+              AS z_bns,
+            CASE WHEN rv > 0 AND bv > 0 THEN
+              round((1.0 - bv/rv)/sqrt(($th)
+                *greatest(1.0, tq/(bv*bv))/CAST(m AS DOUBLE)), 4)
+                > 1.644854
+              END AS jump_5pct
+          FROM f ORDER BY series, d"""
+    },
 
     // SampEn twin: daily chain, RM extendable templates, exact
     // integer Chebyshev distances against the shared-op-order
