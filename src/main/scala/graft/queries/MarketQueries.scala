@@ -1347,7 +1347,7 @@ object MarketQueries {
     // KPSS level-stationarity test (MarketBars.kpss): the null is
     // STATIONARITY — the mirror of q172's ADF — with a Bartlett
     // long-run variance at 4 lags; day-split exact prefix sums
-    "q352_kpss" -> ((s, dir) => {
+    "q363_kpss" -> ((s, dir) => {
       MarketBars.kpss(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
@@ -1357,14 +1357,14 @@ object MarketQueries {
     // the 1-day reversal factor: per-day cross-sectional λ, then the
     // time-series premium + t — the formal test behind q182's
     // portfolio sort
-    "q353_fama_macbeth" -> ((s, dir) => {
+    "q364_fama_macbeth" -> ((s, dir) => {
       MarketBars.famaMacBeth(MarketBars.bars(Tables.events(s, dir),
         "event_type", "ts", "value"))
     }),
 
     // Daily volume-concentration panel (MarketBars.hhiVolume): HHI of
     // tick volume across series + the implied effective series count
-    "q354_hhi_volume" -> ((s, dir) => {
+    "q365_hhi_volume" -> ((s, dir) => {
       MarketBars.hhiVolume(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("d"))
@@ -5006,7 +5006,7 @@ object MarketQueries {
     // integer arithmetic, every decimal→double conversion ≤ ~1e12),
     // 12dp DECIMAL folds of the natural-unit terms, Bartlett weights
     // as explicit literals, one shared-op-order η
-    "q352_kpss" ->
+    "q363_kpss" ->
       s"""WITH $barsCte,
           l AS (SELECT series, bar_ts, close,
                   lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
@@ -5088,7 +5088,7 @@ object MarketQueries {
 
     // Fama–MacBeth twin: daily 1e-6 return chain, per-day OLS slope
     // on the lagged return, λ rounds 8dp then folds in DECIMAL
-    "q353_fama_macbeth" ->
+    "q364_fama_macbeth" ->
       s"""WITH $barsCte,
           dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
                     (max(struct_pack(t := bar_ts, v := close))).v
@@ -5143,7 +5143,7 @@ object MarketQueries {
           FROM f""",
 
     // HHI twin: integer tick-volume shares, Σv²/V²
-    "q354_hhi_volume" ->
+    "q365_hhi_volume" ->
       s"""WITH $barsCte,
           dv AS (SELECT CAST(bar_ts AS DATE) AS d, series,
                    SUM(n_ticks) AS v
