@@ -158,6 +158,61 @@ object PairAnalytics {
           .as("half_life_bars"))
   }
 
+  /** Ornstein–Uhlenbeck fit of the pair spread via the AR(1)-WITH-
+    * intercept discretization Δs = a + b·s_{t−1} + ε: the reversion
+    * rate κ = −ln(1+b), the EQUILIBRIUM level μ = −a/b (what
+    * [[halfLife]]'s no-constant form pins at zero), the stationary
+    * dispersion σ_eq = σ_ε/√(1−(1+b)²), and the half-life — the full
+    * parameter set a pairs desk sizes entries with (enter at
+    * μ ± k·σ_eq, expect κ-rate decay).
+    *
+    * Determinism (the q172/q223 pattern): spreads snap to exact 1e-8
+    * longs, the five regression moments fold DECIMAL-exact, a/b form
+    * in the q121 double op order, SSE = Σy² − aΣy − bΣxy uses the
+    * normal-equation identity on the same exact sums, everything
+    * rounds at emission. The fit is valid on the FULL AR(1)
+    * stationarity region |1+b| < 1 (b ∈ (−2, 0)); for φ = 1+b < 0
+    * (oscillatory over-reversion — a noise-dominated spread sits at
+    * b ≈ −1) κ is the |φ| decay rate −ln|φ|, the standard convention.
+    * Non-stationary fits and the exact white-noise point φ = 0 null
+    * the OU outputs.
+    *
+    * Scale: the lag rides [[ScalableWindow.withPrevValues]] ((pair,
+    * day) tasks) + one map-side-combined 1-row-per-pair aggregate. */
+  def ouFit(pair: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val d = ScalableWindow.withPrevValues(
+        pair.withColumn("s8",
+          floor(col("spread") * lit(1e8) + lit(0.5)).cast("long")),
+        Seq("pair_name"), Seq("bar_ts"), "bar_ts", Seq(("s8", "sl")))
+      .filter(col("sl").isNotNull)
+      .withColumn("ds", col("s8") - col("sl"))
+    val m = d.groupBy(col("pair_name"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("sl").cast(dec)).as("sx"),
+        sum(col("ds").cast(dec)).as("sy"),
+        sum((col("sl") * col("ds")).cast(dec)).as("sxy"),
+        sum((col("sl") * col("sl")).cast(dec)).as("sxx"),
+        sum((col("ds") * col("ds")).cast(dec)).as("syy"))
+    val n = dbl(col("n_obs"))
+    val den = n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val b = (n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) / den
+    val a = (dbl(col("sy")) - b * dbl(col("sx"))) / n
+    val sse = dbl(col("syy")) - a * dbl(col("sy")) - b * dbl(col("sxy"))
+    val ok = den > 0 && b > -2.0 && b < 0.0 &&
+      (lit(1.0) + b) =!= 0.0 && col("n_obs") > 2
+    val kappa = -log(abs(lit(1.0) + b))
+    val sigEps = sqrt(greatest(sse / (n - lit(2.0)), lit(0.0)))
+    val sigEq = sigEps / sqrt(lit(1.0) - (lit(1.0) + b) * (lit(1.0) + b))
+    m.select(col("pair_name"), col("n_obs"),
+      when(den > 0, round(b, 6)).as("b"),
+      when(ok, round(kappa, 6)).as("kappa"),
+      when(ok, round(-a / b / lit(1e8), 6)).as("mu_eq"),
+      when(ok, round(sigEq / lit(1e8), 6)).as("sigma_eq"),
+      when(ok, round(log(lit(2.0)) / kappa, 4)).as("half_life_bars"))
+  }
+
   /** Trailing-window z-score over the spread, gated on warm-up and a
     * degenerate (zero/null) stddev — NULL, never NaN, in both cases. */
   def rollingZScore(

@@ -1143,6 +1143,27 @@ object LlmQueries {
     // over the shared q77 pair relation): how big do dup clusters
     // get — q156's exact-dup histogram can't see transitive near-dup
     // chains, and the max component is the dedup blast-radius number
+    // Near-dup component SOURCE purity: per connected component of
+    // the q77 pair graph, how many distinct sources it spans —
+    // histogrammed by span. Components spanning 2+ sources are
+    // cross-source contamination at the CLUSTER level (q165's
+    // digest-exact leakage can't see near-dups; q349's histogram
+    // can't see sources)
+    "q368_component_purity" -> ((s, dir) => {
+      val comp = GraphOps.connectedComponents(dupPairs(s, dir))
+      val docs = Tables.rebalance(Tables.documents(s, dir))
+        .select(col("doc_id").as("node"), col("source"))
+      comp.join(docs, "node")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"),
+          count_distinct(col("source")).as("n_sources"))
+        .groupBy(col("n_sources"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("sz")).as("n_docs"),
+          max(col("sz")).as("max_component"))
+        .orderBy(col("n_sources"))
+    }),
+
     "q349_dup_components" -> ((s, dir) => {
       val comp = GraphOps.connectedComponents(dupPairs(s, dir))
       val sizes = comp.groupBy(col("component"))
@@ -4167,6 +4188,46 @@ object LlmQueries {
 
     // Dup-components twin: q77's PPJoin pairs at 0.3, the q33
     // recursive min-label reach, size histogram + corpus share
+    // Component-purity twin: q349's recursive min-label reach + the
+    // per-component distinct-source census
+    "q368_component_purity" ->
+      s"""WITH RECURSIVE $toksCte,
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk
+                  FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b
+                   ON a.gk = b.gk AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          pj AS (SELECT id_a, id_b
+                 FROM sh
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+                 WHERE CAST(n_shared AS DOUBLE)
+                   /(sa.sz + sb.sz - n_shared) >= 0.3),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pj
+                    UNION SELECT id_b, id_a FROM pj),
+          reach AS (SELECT a AS node, a AS lab FROM edges
+                    UNION
+                    SELECT e.b AS node, r.lab FROM reach r
+                    JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, min(lab) AS root FROM reach
+                   GROUP BY node),
+          cs AS (SELECT root, count(*) AS csz,
+                   count(DISTINCT source) AS n_sources
+                 FROM comp JOIN documents ON doc_id = node
+                 GROUP BY 1)
+          SELECT n_sources, count(*) AS n_components,
+            CAST(SUM(csz) AS BIGINT) AS n_docs,
+            max(csz) AS max_component
+          FROM cs GROUP BY 1 ORDER BY n_sources""",
+
     "q349_dup_components" ->
       s"""WITH RECURSIVE $toksCte,
           g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),

@@ -1404,6 +1404,24 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // OU fit of the pair spread (PairAnalytics.ouFit): AR(1)-with-
+    // intercept — reversion rate, EQUILIBRIUM level, stationary σ,
+    // half-life; what q223's no-constant form pins at zero
+    "q366_ou_fit" -> ((s, dir) => {
+      PairAnalytics.ouFit(
+          PairAnalytics.pairSpread(MarketBars.bars(Tables.events(s, dir),
+            "event_type", "ts", "value"), "click", "view"))
+        .orderBy(col("pair_name"))
+    }),
+
+    // Volatility-managed overlay (MarketBars.volManaged): scale by
+    // c/RV_prev, capped 2x — does vol timing raise the daily Sharpe
+    "q367_vol_managed" -> ((s, dir) => {
+      MarketBars.volManaged(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // BNS jump significance test (MarketBars.bnsJumpTest): is q181's
     // RV−BV gap statistically a jump — the Huang–Tauchen relative-
     // jump z with tri-power quarticity
@@ -5290,6 +5308,119 @@ object MarketQueries {
             round(CAST(sdd AS DOUBLE)/CAST(n_tail AS DOUBLE), 6) AS cdar,
             max_drawdown
           FROM t ORDER BY series""",
+
+    // OU twin: the q223 lag chain with the five intercept-form
+    // moments; normal-equation SSE on the same exact sums
+    "q366_ou_fit" ->
+      s"""WITH $pairCte,
+          s AS (SELECT bar_ts,
+                  CAST(floor(spread * 1e8 + 0.5) AS BIGINT) AS s8
+                FROM pair),
+          l AS (SELECT s8, lag(s8) OVER (ORDER BY bar_ts) AS sl FROM s),
+          d AS (SELECT sl, s8 - sl AS ds FROM l WHERE sl IS NOT NULL),
+          m AS (SELECT count(*) AS n_obs,
+                  SUM(CAST(sl AS DECIMAL(38,0))) AS sx,
+                  SUM(CAST(ds AS DECIMAL(38,0))) AS sy,
+                  SUM(CAST(sl * ds AS DECIMAL(38,0))) AS sxy,
+                  SUM(CAST(sl * sl AS DECIMAL(38,0))) AS sxx,
+                  SUM(CAST(ds * ds AS DECIMAL(38,0))) AS syy
+                FROM d),
+          f AS (SELECT n_obs,
+                  CAST(n_obs AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den,
+                  (CAST(n_obs AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                    /(CAST(n_obs AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS b,
+                  sx, sy, sxy, syy
+                FROM m),
+          f2 AS (SELECT n_obs, den, b,
+                   (CAST(sy AS DOUBLE) - b*CAST(sx AS DOUBLE))
+                     /CAST(n_obs AS DOUBLE) AS a,
+                   sy, sxy, syy
+                 FROM f),
+          f3 AS (SELECT n_obs, den, b, a,
+                   CAST(syy AS DOUBLE) - a*CAST(sy AS DOUBLE)
+                     - b*CAST(sxy AS DOUBLE) AS sse,
+                   den > 0 AND b > -2.0 AND b < 0.0
+                     AND (1.0 + b) <> 0.0 AND n_obs > 2 AS ok
+                 FROM f2)
+          SELECT 'click-view' AS pair_name, n_obs,
+            CASE WHEN den > 0 THEN round(b, 6) END AS b,
+            CASE WHEN ok THEN round(-ln(abs(1.0 + b)), 6) END AS kappa,
+            CASE WHEN ok THEN round(-a/b/1e8, 6) END AS mu_eq,
+            CASE WHEN ok THEN round(
+              sqrt(greatest(sse/(CAST(n_obs AS DOUBLE) - 2.0), 0.0))
+              /sqrt(1.0 - (1.0 + b)*(1.0 + b))/1e8, 6) END AS sigma_eq,
+            CASE WHEN ok THEN round(ln(2.0)/(-ln(abs(1.0 + b))), 4) END
+              AS half_life_bars
+          FROM f3 ORDER BY pair_name""",
+
+    // Vol-managed twin: q358's RV leg + the daily chain, lag over the
+    // JOINED (return ∩ RV) day relation, median weight base
+    "q367_vol_managed" ->
+      s"""WITH $barsCte,
+          lrv AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts,
+                    close,
+                    lag(close) OVER (PARTITION BY series,
+                      CAST(bar_ts AS DATE) ORDER BY bar_ts) AS pc
+                  FROM bars WHERE close > 0),
+          rr AS (SELECT series, d, round(ln(close/pc), 8) AS r
+                 FROM lrv WHERE pc IS NOT NULL AND pc > 0),
+          rv AS (SELECT series, d,
+                   round(CAST(SUM(CAST(round(r*r, 12) AS DECIMAL(38,12)))
+                     AS DOUBLE), 8) AS rv
+                 FROM rr GROUP BY 1, 2),
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          dl AS (SELECT series, d, close, lag(close) OVER w AS pc
+                 FROM dcl WINDOW w AS (PARTITION BY series ORDER BY d)),
+          dr AS (SELECT series, d,
+                   CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                 FROM dl
+                 WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          j0 AS (SELECT dr.series, dr.d, r8, rv
+                 FROM dr JOIN rv ON dr.series = rv.series
+                   AND dr.d = rv.d),
+          j AS (SELECT series, d, r8,
+                  lag(rv) OVER (PARTITION BY series ORDER BY d) AS rvp
+                FROM j0),
+          jf AS (SELECT * FROM j WHERE rvp IS NOT NULL AND rvp > 0),
+          med AS (SELECT series, round(quantile_cont(rvp, 0.5), 8) AS c
+                  FROM jf GROUP BY 1),
+          x AS (SELECT jf.series, CAST(r8 AS DOUBLE)/1e8 AS r,
+                  round(least(round(c/rvp, 6), 2.0)
+                    * (CAST(r8 AS DOUBLE)/1e8), 8) AS mr,
+                  least(round(c/rvp, 6), 2.0) AS wgt
+                FROM jf JOIN med ON jf.series = med.series),
+          g AS (SELECT series, count(*) AS n_days,
+                  SUM(CAST(round(r, 12) AS DECIMAL(38,12))) AS sr,
+                  SUM(CAST(round(r*r, 12) AS DECIMAL(38,12))) AS qr,
+                  SUM(CAST(round(mr, 12) AS DECIMAL(38,12))) AS sm,
+                  SUM(CAST(round(mr*mr, 12) AS DECIMAL(38,12))) AS qm,
+                  SUM(CAST(round(wgt, 12) AS DECIMAL(38,12))) AS sw
+                FROM x GROUP BY 1)
+          SELECT series, n_days,
+            CASE WHEN n_days > 1 AND
+              (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)*CAST(sr AS DOUBLE)
+                /CAST(n_days AS DOUBLE))/(CAST(n_days AS DOUBLE)-1.0) > 0
+              THEN round((CAST(sr AS DOUBLE)/CAST(n_days AS DOUBLE))
+                /sqrt((CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)
+                  *CAST(sr AS DOUBLE)/CAST(n_days AS DOUBLE))
+                  /(CAST(n_days AS DOUBLE)-1.0)), 6) END AS sharpe_raw,
+            CASE WHEN n_days > 1 AND
+              (CAST(qm AS DOUBLE) - CAST(sm AS DOUBLE)*CAST(sm AS DOUBLE)
+                /CAST(n_days AS DOUBLE))/(CAST(n_days AS DOUBLE)-1.0) > 0
+              THEN round((CAST(sm AS DOUBLE)/CAST(n_days AS DOUBLE))
+                /sqrt((CAST(qm AS DOUBLE) - CAST(sm AS DOUBLE)
+                  *CAST(sm AS DOUBLE)/CAST(n_days AS DOUBLE))
+                  /(CAST(n_days AS DOUBLE)-1.0)), 6) END
+              AS sharpe_managed,
+            round(CAST(sw AS DOUBLE)/CAST(n_days AS DOUBLE), 6)
+              AS mean_weight
+          FROM g ORDER BY series""",
 
     // BNS twin: q181's RV/BV chain + tri-power terms as explicit
     // exp((4/3)·ln|r|) products (pow is not ulp-stable), shared
