@@ -53,4 +53,239 @@ class Round10Spec extends AnyFunSuite {
     val se = MarketBars.sampleEntropy(ok).collect()
     assert(se.length === 1)
   }
+
+  // ---- round-10 widening fixtures (one per new operator) ---------------
+
+  /** Bars at one-per-day from exact exponential closes: close_d =
+    * 100·exp(Σ r_i) so the 1e-6/1e-8 log-return snap recovers the
+    * authored returns exactly. */
+  private def dailyCloseBars(seriesRets: Map[String, Seq[Double]]) = {
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    seriesRets.toSeq.flatMap { case (s, rets) =>
+      rets.scanLeft(100.0) { (c, r) => c * math.exp(r) }
+        .zipWithIndex.map { case (c, i) =>
+          (s, Timestamp.valueOf(day0.plusDays(i.toLong).atTime(15, 0)), c)
+        }
+    }.toDF("series", "bar_ts", "close")
+  }
+
+  test("kpss: a level shift in returns rejects stationarity; white noise does not") {
+    // noise: alternating ±0.001 returns; shift: +0.002 for 40 days
+    // then −0.002 for 40 (a mean break — partial sums trend hard)
+    val noise = Seq.tabulate(80)(i => if (i % 2 == 0) 0.001 else -0.001)
+    val shift = Seq.fill(40)(0.002) ++ Seq.fill(40)(-0.002)
+    val out = MarketBars.kpss(dailyCloseBars(
+        Map("noise" -> noise, "shift" -> shift)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(!out("noise")._2, s"white noise must not reject: $out")
+    assert(out("shift")._2, s"a mean break must reject: $out")
+    assert(out("shift")._1 > 10 * out("noise")._1)
+  }
+
+  test("famaMacBeth: perfect one-day reversal pins the premium at exactly -1") {
+    // three series whose day-d return is EXACTLY minus the day-(d-1)
+    // return: every daily cross-sectional slope is -1; sd = 0 so the
+    // t-stat stays null; all premiums negative
+    val base = Seq(0.001, 0.002, 0.003)
+    val rets = Map(
+      "a" -> Seq(0.001, -0.001, 0.001, -0.001, 0.001),
+      "b" -> Seq(0.002, -0.002, 0.002, -0.002, 0.002),
+      "c" -> Seq(0.003, -0.003, 0.003, -0.003, 0.003))
+    assert(base.distinct.size === 3) // cross-sectional variance > 0
+    val r = MarketBars.famaMacBeth(dailyCloseBars(rets)).collect().head
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Double]("mean_premium") === -1.0)
+    assert(r.isNullAt(r.fieldIndex("t_stat")), "zero-variance lambda")
+    assert(r.getAs[Double]("share_negative") === 1.0)
+  }
+
+  test("hhiVolume: 3-vs-1 tick split pins HHI = 0.625, effective N = 1.6") {
+    val t0 = Timestamp.valueOf("2024-01-01 15:00:00")
+    def at(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val bars = Seq(
+      ("A", t0, 10.0, 3L), ("B", at(1), 11.0, 1L)
+    ).toDF("series", "bar_ts", "close", "n_ticks")
+    val r = MarketBars.hhiVolume(bars).collect().head
+    assert(r.getAs[Long]("total_ticks") === 4L)
+    assert(r.getAs[Double]("hhi") === 0.625)
+    assert(r.getAs[Double]("eff_n") === 1.6)
+  }
+
+  test("infoRatio: symmetric constant active returns null the ratio (zero TE)") {
+    // A always +0.002, B always -0.002: market mean 0, active returns
+    // constant per series, tracking error exactly 0 -> null IR
+    val rets = Map(
+      "a" -> Seq.fill(6)(0.002),
+      "b" -> Seq.fill(6)(-0.002))
+    val out = MarketBars.infoRatio(dailyCloseBars(rets))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("mean_active") === 0.002)
+    assert(out("b").getAs[Double]("mean_active") === -0.002)
+    assert(out("a").isNullAt(out("a").fieldIndex("info_ratio")))
+  }
+
+  test("ulcerIndex: the 100-50-100 path pins UI = sqrt(1/12)") {
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    val bars = Seq(100.0, 50.0, 100.0).zipWithIndex.map { case (c, i) =>
+      ("s", Timestamp.valueOf(day0.plusDays(i.toLong).atTime(15, 0)), c)
+    }.toDF("series", "bar_ts", "close")
+    val r = MarketBars.ulcerIndex(bars).collect().head
+    // dd = 0, -0.5, 0 -> UI = round(sqrt(0.25/3), 6) = 0.288675
+    assert(r.getAs[Double]("ulcer_index") === 0.288675)
+    assert(r.getAs[Long]("n_days") === 3L)
+  }
+
+  test("clusterLabelAgreement: orthogonal clusters pin ARI(labels)=1, ARI(single coarse)=0") {
+    // ids 0..7; even ids hug (1,0), odd ids hug (0,1); labels = parity.
+    // centroidEvery=4 -> centroids {0, 4}... both even (1,0)-side!
+    // use centroidEvery s.t. one centroid lands on each side: ids 0
+    // and 5 -> every=5 gives {0, 5} = one per side. coarseEvery=10 ->
+    // {0} alone = the constant partition (ARI 0 by construction).
+    val vecs = (0 until 8).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.05f * i) else Seq(0.05f * i, 1.0f)
+      (i.toLong, base, i % 2)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.SimilarityOps.clusterLabelAgreement(
+        df, "vec_id", "embedding", "label",
+        centroidEvery = 5, coarseEvery = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("labels").getAs[Double]("ari") === 1.0)
+    assert(out("labels").getAs[Double]("rand_index") === 1.0)
+    assert(out("coarse_codebook").getAs[Double]("ari") === 0.0)
+  }
+
+  test("semivariance: one +1%% then one -1%% return pin the sign split exactly") {
+    val t0 = Timestamp.valueOf("2024-01-01 15:00:00")
+    def at(m: Int) = new Timestamp(t0.getTime + m * 60000L)
+    val c1 = 100.0 * math.exp(0.01)
+    val bars = Seq(
+      ("s", t0, 100.0), ("s", at(5), c1), ("s", at(10), c1 * math.exp(-0.01))
+    ).toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.semivariance(bars).collect().head
+    assert(r.getAs[Long]("n_rets") === 2L)
+    assert(r.getAs[Double]("rv") === 0.0002)
+    assert(r.getAs[Double]("rs_up") === 0.0001)
+    assert(r.getAs[Double]("rs_down") === 0.0001)
+    assert(r.getAs[Double]("signed_jump") === 0.0)
+  }
+
+  test("splitLeakage: totals reconcile and the audit is deterministic") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 60L).map { i =>
+      // 30 near-dup pairs (2i, 2i+1 share text), distinct pair texts
+      (i, text + s" uniq${i / 2} uniq${i / 2} tail${i / 2}")
+    }.toDF("doc_id", "text")
+    val r1 = graft.ops.DedupOps.splitLeakage(docs, "text", "doc_id")
+      .collect().head
+    assert(r1.getAs[Long]("n_train") + r1.getAs[Long]("n_val") === 60L)
+    assert(r1.getAs[Long]("n_pairs") >= 30L, "planted pairs found")
+    assert(r1.getAs[Long]("n_cross") <= r1.getAs[Long]("n_pairs"))
+    val r2 = graft.ops.DedupOps.splitLeakage(docs, "text", "doc_id")
+      .collect().head
+    assert(r1 === r2, "hash split must be reproducible")
+  }
+
+  test("cdar: a monotone slide pins DaR and the tail mean") {
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    val closes = Seq(100.0, 90.0, 80.0, 70.0, 60.0, 50.0, 100.0)
+    val bars = closes.zipWithIndex.map { case (c, i) =>
+      ("s", Timestamp.valueOf(day0.plusDays(i.toLong).atTime(15, 0)), c)
+    }.toDF("series", "bar_ts", "close")
+    val r = MarketBars.cdar(bars).collect().head
+    // dd = 0,-.1,-.2,-.3,-.4,-.5,0; q10 over 7 pts = -0.44 interp
+    assert(r.getAs[Double]("dar") === -0.44)
+    assert(r.getAs[Long]("n_tail") === 1L)
+    assert(r.getAs[Double]("cdar") === -0.5)
+    assert(r.getAs[Double]("max_drawdown") === -0.5)
+  }
+
+  test("bnsJumpTest: a lone 10%% bar fires the 5%% fence; a quiet day does not") {
+    val t0 = Timestamp.valueOf("2024-01-01 15:00:00")
+    def at(d: Int, m: Int) =
+      new Timestamp(t0.getTime + d * 86400000L + m * 60000L)
+    // day 0: 16 alternating small moves; day 1: same but one 10% jump
+    def day(d: Int, jumpAt: Option[Int]) = {
+      var c = 100.0
+      (0 to 16).map { i =>
+        if (i > 0) {
+          val r = if (jumpAt.contains(i)) 0.10
+            else if (i % 2 == 0) 0.001 else -0.001
+          c = c * math.exp(r)
+        }
+        ("s", at(d, i * 5), c)
+      }
+    }
+    val bars = (day(0, None) ++ day(1, Some(8)))
+      .toDF("series", "bar_ts", "close")
+    val out = MarketBars.bnsJumpTest(bars).collect()
+      .map(r => r.getDate(1).toString -> r).toMap
+    assert(!out("2024-01-01").getAs[Boolean]("jump_5pct"), s"quiet: $out")
+    assert(out("2024-01-02").getAs[Boolean]("jump_5pct"), s"jump: $out")
+  }
+
+  test("sentenceStats: punctuated prose pins the per-sentence numbers") {
+    val docs = Seq(
+      (1L, "a b. c d e! f", "s1"),
+      (2L, "no punctuation here at all", "s1")
+    ).toDF("doc_id", "text", "source")
+    val r = graft.ops.TextOps.sentenceStats(docs).collect().head
+    assert(r.getAs[Long]("n_sentences") === 4L) // 3 + 1
+    assert(r.getAs[Double]("sent_per_doc") === 2.0)
+    assert(r.getAs[Double]("toks_per_sent") === 2.75) // (2+3+1+5)/4
+    assert(r.getAs[Double]("share_long") === 0.0)
+    assert(r.getAs[Double]("no_punct_share") === 0.5)
+  }
+
+  test("ouFit: an exact phi=0.5 decay pins kappa=ln2, half-life 1, sse 0") {
+    val t0 = Timestamp.valueOf("2024-01-01 15:00:00")
+    // spread 2^-k, k=0..8: every 1e8-scaled value is an exact integer
+    val rows = (0 to 8).map { k =>
+      ("p", new Timestamp(t0.getTime + k * 60000L), math.pow(2.0, -k))
+    }.toDF("pair_name", "bar_ts", "spread")
+    val r = graft.ops.PairAnalytics.ouFit(rows).collect().head
+    assert(r.getAs[Long]("n_obs") === 8L)
+    assert(r.getAs[Double]("b") === -0.5)
+    assert(r.getAs[Double]("kappa") === 0.693147)
+    assert(r.getAs[Double]("mu_eq") === 0.0)
+    assert(r.getAs[Double]("sigma_eq") === 0.0)
+    assert(r.getAs[Double]("half_life_bars") === 1.0)
+  }
+
+  test("volManaged: constant intraday vol pins weight 1 and equal Sharpes") {
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    // every day: two bars with the same +1% move (constant RV); the
+    // day-close path still wiggles via alternating overnight gaps
+    val bars = (0 until 8).flatMap { d =>
+      val base = 100.0 * math.exp(if (d % 2 == 0) 0.0 else 0.03)
+      Seq(
+        ("s", Timestamp.valueOf(day0.plusDays(d.toLong).atTime(15, 0)), base),
+        ("s", Timestamp.valueOf(day0.plusDays(d.toLong).atTime(15, 5)),
+          base * math.exp(0.01)))
+    }.toDF("series", "bar_ts", "close")
+    val r = MarketBars.volManaged(bars).collect().head
+    assert(r.getAs[Double]("mean_weight") === 1.0)
+    assert(r.getAs[Double]("sharpe_raw") === r.getAs[Double]("sharpe_managed"))
+  }
+
+  test("component purity: a cross-source triplet lands in the n_sources=2 bucket") {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, "s1"), (2L, text, "s1"), (3L, text, "s2"),
+      (4L, (100 to 130).map(i => s"z$i").mkString(" "), "s3")
+    ).toDF("doc_id", "text", "source")
+    val pairs = graft.ops.DedupOps.ngramJaccardPairs(
+      docs, "text", "doc_id", n = 3, threshold = 0.3, maxDf = 100)
+    val comp = graft.ops.GraphOps.connectedComponents(pairs)
+    val purity = comp
+      .join(docs.select(col("doc_id").as("node"), col("source")), "node")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"),
+        count_distinct(col("source")).as("n_sources"))
+      .collect()
+    assert(purity.length === 1)
+    assert(purity.head.getAs[Long]("sz") === 3L)
+    assert(purity.head.getAs[Long]("n_sources") === 2L)
+  }
 }

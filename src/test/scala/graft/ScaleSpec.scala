@@ -427,7 +427,9 @@ class ScaleSpec extends AnyFunSuite {
       "q300_durbin_watson", "q302_market_beta", "q308_chow_test",
       "q334_cornish_fisher",
       "q85_rolling_corr", "q106_rolling_beta", "q122_ccf",
-      "q172_coint", "q223_half_life")
+      "q172_coint", "q223_half_life",
+      // round-10 widening queries that ride the same escapes
+      "q363_kpss", "q366_ou_fit", "q355_info_ratio")
     val fullHistory =
       ("windowspecdefinition\\((series|pair_name)#\\d+, " +
         "(bar_ts|ts)#\\d+ ASC").r
