@@ -196,6 +196,54 @@ object DedupOps {
             lit(0.5)) / lit(1e6)).as("leak_rate"))
   }
 
+  /** Corpus novelty-growth curve: slice the corpus into `buckets`
+    * id-ordered tranches (ingestion-order stand-in) and report each
+    * tranche's share of FIRST-SEEN exact digests plus the cumulative
+    * distinct share — the marginal-value curve that sizes a crawl
+    * extension BEFORE paying for it (flat tail = new data is mostly
+    * re-crawl); the corpus-level view of q160's per-doc shingle
+    * novelty.
+    *
+    * Determinism: all-integer — first occurrence = min doc id per
+    * digest, buckets are value-based id cuts, rates floor 6dp.
+    *
+    * Scale: one digest groupBy (raw text never shuffles — only the
+    * 32-hex md5), one broadcast max-id, map-side bucketing; the
+    * output is `buckets` rows and the cumulative window runs on that
+    * aggregate alone. */
+  def noveltyCurve(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    def dbl(c: Column) = c.cast(org.apache.spark.sql.types.DoubleType)
+    val mx = df.agg(max(col(idCol)).as("mx"))
+    val base = df.select(col(idCol).as("doc"), md5(col(textCol)).as("digest"))
+      .localCheckpoint(eager = false) // doc census + first-seen census
+    def bucketOf(c: Column) =
+      least(floor(dbl(c) * buckets / (dbl(col("mx")) + 1)) + 1,
+        lit(buckets)).cast("int")
+    val docsPer = base.crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("doc")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val firsts = base.groupBy(col("digest")).agg(min(col("doc")).as("fid"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("fid")).as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docsPer.join(firsts, Seq("bucket"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cd", sum(col("n_docs")).over(w))
+      .withColumn("cn", sum(col("n_new")).over(w))
+      .select(col("bucket"), col("n_docs"), col("n_new"),
+        (floor(dbl(col("n_new")) / dbl(col("n_docs")) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("novelty_rate"),
+        (floor(dbl(col("cn")) / dbl(col("cd")) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("cum_distinct_share"))
+  }
+
   /** Public face of [[bandCandidates]] (the q25 candidate stage) for
     * the streaming twin and the recall audit: the distinct LSH pair
     * set BEFORE exact verification. */

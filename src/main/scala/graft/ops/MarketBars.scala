@@ -2313,6 +2313,107 @@ object MarketBars {
       round(dbl(col("sw")) / dbl(col("n_days")), 6).as("mean_weight"))
   }
 
+  /** Jobson–Korkie/Memmel Sharpe-difference test between two aligned
+    * series: z = (SR_a − SR_b) / √(θ̂/n) with
+    * θ̂ = 2(1 − ρ) + ½(SR_a² + SR_b²)(1 − ρ²) — the formal "is A's
+    * Sharpe actually higher" answer the q140 tearsheet eyeballs
+    * (Sharpes differ by luck at small n unless the returns are
+    * near-uncorrelated).
+    *
+    * Determinism: both legs' 8dp log returns align on bar_ts; all
+    * five co-moments fold 12dp-DECIMAL over natural-unit doubles (the
+    * q302 discipline); SRs, ρ, θ̂, z form in one shared double op
+    * order, rounded at emission. Degenerate variances null the test.
+    *
+    * Scale: lags via [[ScalableWindow.withPrevValues]]; one
+    * bar_ts-keyed equi-join; one 1-row aggregate. */
+  def sharpeDiff(
+      bars: DataFrame, seriesA: String, seriesB: String): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val rets = ScalableWindow.withPrevValues(
+        bars.filter(col("close") > 0 &&
+          col("series").isin(seriesA, seriesB)),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
+      .withColumn("r",
+        when(col("pc") > 0, round(log(col("close") / col("pc")), 8)))
+      .filter(col("r").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r"))
+    val a = rets.filter(col("series") === seriesA)
+      .select(col("bar_ts"), col("r").as("x"))
+    val b = rets.filter(col("series") === seriesB)
+      .select(col("bar_ts"), col("r").as("y"))
+    def dsum(c: Column) = sum(round(c, 12).cast(dec12))
+    val m = a.join(b, "bar_ts")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+    val n = dbl(col("n"))
+    val mux = dbl(col("sx")) / n
+    val muy = dbl(col("sy")) / n
+    val vx = (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / n) /
+      (n - lit(1.0))
+    val vy = (dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / n) /
+      (n - lit(1.0))
+    val cxy = (dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) / n) /
+      (n - lit(1.0))
+    val sa = mux / sqrt(vx)
+    val sb = muy / sqrt(vy)
+    val rho = cxy / (sqrt(vx) * sqrt(vy))
+    val theta = lit(2.0) * (lit(1.0) - rho) +
+      lit(0.5) * (sa * sa + sb * sb) * (lit(1.0) - rho * rho)
+    val z = (sa - sb) / sqrt(theta / n)
+    val ok = col("n") > 2 && vx > 0 && vy > 0 && theta > 0
+    m.select(lit(s"$seriesA-$seriesB").as("pair"), col("n").as("n_obs"),
+      when(vx > 0, round(sa, 6)).as("sharpe_a"),
+      when(vy > 0, round(sb, 6)).as("sharpe_b"),
+      when(vx > 0 && vy > 0, round(rho, 6)).as("rho"),
+      when(ok, round(z, 4)).as("z_jk"))
+      .withColumn("differ_5pct",
+        when(col("z_jk").isNotNull, abs(col("z_jk")) > 1.959964))
+  }
+
+  /** Turn-of-month effect per series: mean 8dp log return on the
+    * first/last two calendar days of each month vs all other days —
+    * the second classic calendar anomaly next to q202's day-of-week
+    * ANOVA (institutional flows cluster at month boundaries).
+    *
+    * Determinism: exact 8dp returns fold in DECIMAL by bucket; means
+    * and the spread round 8dp in one shared op order.
+    *
+    * Scale: the lag rides [[ScalableWindow.withPrevValues]]; one
+    * map-side-combined (series, bucket) rollup; |series| rows out. */
+  def turnOfMonth(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val rets = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
+      .withColumn("r",
+        when(col("pc") > 0, round(log(col("close") / col("pc")), 8)))
+      .filter(col("r").isNotNull)
+      .withColumn("is_turn",
+        dayofmonth(col("bar_ts")) <= 2 ||
+          dayofmonth(col("bar_ts")) >=
+            dayofmonth(last_day(col("bar_ts"))) - 1)
+    rets.groupBy(col("series"))
+      .agg(sum(when(col("is_turn"), 1L).otherwise(0L)).as("n_turn"),
+        sum(when(!col("is_turn"), 1L).otherwise(0L)).as("n_other"),
+        sum(when(col("is_turn"), round(col("r"), 12))
+          .otherwise(0.0).cast(dec12)).as("st"),
+        sum(when(!col("is_turn"), round(col("r"), 12))
+          .otherwise(0.0).cast(dec12)).as("so"))
+      .select(col("series"), col("n_turn"), col("n_other"),
+        when(col("n_turn") > 0,
+          round(dbl(col("st")) / dbl(col("n_turn")), 8)).as("mean_turn"),
+        when(col("n_other") > 0,
+          round(dbl(col("so")) / dbl(col("n_other")), 8)).as("mean_other"),
+        when(col("n_turn") > 0 && col("n_other") > 0,
+          round(dbl(col("st")) / dbl(col("n_turn")) -
+            dbl(col("so")) / dbl(col("n_other")), 8)).as("tom_spread"))
+  }
+
   /** Cross-sectional momentum portfolio: each day, rank series by the
     * PREVIOUS day's close-to-close return (no look-ahead), go long the
     * top `nSide` and short the bottom `nSide`, and realize today's

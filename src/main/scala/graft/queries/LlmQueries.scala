@@ -1115,6 +1115,16 @@ object LlmQueries {
     // similarity decile, against the banding s-curve theory. Truth
     // threshold 0.05 (the q324 lesson): 0.2+ leaves only the exact-
     // dup band and the curve degenerates to one row
+    // Corpus novelty-growth curve (DedupOps.noveltyCurve): per
+    // id-ordered tranche, the share of first-seen digests + the
+    // cumulative distinct share — the marginal-value curve that sizes
+    // a crawl extension before paying for it
+    "q371_novelty_curve" -> ((s, dir) => {
+      DedupOps.noveltyCurve(Tables.rebalance(Tables.documents(s, dir)),
+          "text", "doc_id")
+        .orderBy(col("bucket"))
+    }),
+
     // Sentence-segmentation profile (TextOps.sentenceStats): naive
     // [.!?]+ split — sentences/doc, tokens/sentence, long-sentence
     // share per source, the structural screen next to q157/q21
@@ -3753,6 +3763,38 @@ object LlmQueries {
     // (6dp centroids, 12dp-rounded squared deviations in DECIMAL),
     // scatter means off 6dp distances, worst-neighbor ratio max,
     // DECIMAL mean of the per-cluster maxima
+    // Novelty-curve twin: min-doc-id first occurrences, value-based
+    // id buckets, 10-row cumulative window
+    "q371_novelty_curve" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+          base AS (SELECT doc_id AS doc, md5(text) AS digest
+                   FROM documents),
+          dp AS (SELECT least(CAST(floor(CAST(doc AS DOUBLE)*10
+                    /(CAST(mx AS DOUBLE)+1)) AS INTEGER)+1, 10)
+                    AS bucket,
+                  count(*) AS n_docs
+                 FROM base CROSS JOIN mx GROUP BY 1),
+          fs AS (SELECT digest, min(doc) AS fid FROM base GROUP BY 1),
+          fp AS (SELECT least(CAST(floor(CAST(fid AS DOUBLE)*10
+                    /(CAST(mx AS DOUBLE)+1)) AS INTEGER)+1, 10)
+                    AS bucket,
+                  count(*) AS n_new
+                 FROM fs CROSS JOIN mx GROUP BY 1),
+          j AS (SELECT dp.bucket, n_docs,
+                  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+                FROM dp LEFT JOIN fp ON dp.bucket = fp.bucket),
+          c AS (SELECT bucket, n_docs, n_new,
+                  SUM(n_docs) OVER w AS cd, SUM(n_new) OVER w AS cn
+                FROM j
+                WINDOW w AS (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT bucket, n_docs, n_new,
+            floor(CAST(n_new AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e6
+              + 0.5)/1e6 AS novelty_rate,
+            floor(CAST(cn AS DOUBLE)/CAST(cd AS DOUBLE)*1e6 + 0.5)/1e6
+              AS cum_distinct_share
+          FROM c ORDER BY bucket""",
+
     // Sentence-stats twin: the same [.!?]+ split + ' +' token count,
     // long sums finished by floor-form divisions
     "q362_sentence_stats" ->

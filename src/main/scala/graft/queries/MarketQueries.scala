@@ -1404,6 +1404,22 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Jobson–Korkie/Memmel Sharpe-difference test
+    // (MarketBars.sharpeDiff): is click's Sharpe formally higher than
+    // view's — what the q140 tearsheet eyeballs
+    "q369_sharpe_diff" -> ((s, dir) => {
+      MarketBars.sharpeDiff(MarketBars.bars(Tables.events(s, dir),
+        "event_type", "ts", "value"), "click", "view")
+    }),
+
+    // Turn-of-month effect (MarketBars.turnOfMonth): boundary-day vs
+    // interior mean returns — the calendar anomaly next to q202's DoW
+    "q370_turn_of_month" -> ((s, dir) => {
+      MarketBars.turnOfMonth(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // OU fit of the pair spread (PairAnalytics.ouFit): AR(1)-with-
     // intercept — reversion rate, EQUILIBRIUM level, stationary σ,
     // half-life; what q223's no-constant form pins at zero
@@ -5308,6 +5324,95 @@ object MarketQueries {
             round(CAST(sdd AS DOUBLE)/CAST(n_tail AS DOUBLE), 6) AS cdar,
             max_drawdown
           FROM t ORDER BY series""",
+
+    // Sharpe-diff twin: aligned return legs, 12dp co-moment folds,
+    // the Memmel θ̂ in one shared op order
+    "q369_sharpe_diff" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS pc
+                FROM bars
+                WHERE close > 0 AND series IN ('click', 'view')),
+          r AS (SELECT series, bar_ts, round(ln(close/pc), 8) AS r
+                FROM l WHERE pc IS NOT NULL AND pc > 0),
+          j AS (SELECT a.r AS x, b.r AS y
+                FROM r a JOIN r b ON a.bar_ts = b.bar_ts
+                WHERE a.series = 'click' AND b.series = 'view'),
+          m AS (SELECT count(*) AS n,
+                  SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
+                  SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS sy,
+                  SUM(CAST(round(x*y, 12) AS DECIMAL(38,12))) AS sxy,
+                  SUM(CAST(round(x*x, 12) AS DECIMAL(38,12))) AS sxx,
+                  SUM(CAST(round(y*y, 12) AS DECIMAL(38,12))) AS syy
+                FROM j),
+          f AS (SELECT n,
+                  CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mux,
+                  CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS muy,
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    *CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+                    /(CAST(n AS DOUBLE)-1.0) AS vx,
+                  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                    *CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+                    /(CAST(n AS DOUBLE)-1.0) AS vy,
+                  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    *CAST(sy AS DOUBLE)/CAST(n AS DOUBLE))
+                    /(CAST(n AS DOUBLE)-1.0) AS cxy
+                FROM m),
+          g AS (SELECT n, vx, vy,
+                  mux/sqrt(vx) AS sa, muy/sqrt(vy) AS sb,
+                  cxy/(sqrt(vx)*sqrt(vy)) AS rho
+                FROM f),
+          h AS (SELECT n, vx, vy, sa, sb, rho,
+                  2.0*(1.0 - rho)
+                    + 0.5*(sa*sa + sb*sb)*(1.0 - rho*rho) AS theta
+                FROM g)
+          SELECT 'click-view' AS pair, n AS n_obs,
+            CASE WHEN vx > 0 THEN round(sa, 6) END AS sharpe_a,
+            CASE WHEN vy > 0 THEN round(sb, 6) END AS sharpe_b,
+            CASE WHEN vx > 0 AND vy > 0 THEN round(rho, 6) END AS rho,
+            CASE WHEN n > 2 AND vx > 0 AND vy > 0 AND theta > 0 THEN
+              round((sa - sb)/sqrt(theta/CAST(n AS DOUBLE)), 4) END
+              AS z_jk,
+            CASE WHEN n > 2 AND vx > 0 AND vy > 0 AND theta > 0 THEN
+              abs(round((sa - sb)/sqrt(theta/CAST(n AS DOUBLE)), 4))
+                > 1.959964 END AS differ_5pct
+          FROM h""",
+
+    // Turn-of-month twin: boundary classification off dayofmonth +
+    // last_day, per-bucket 12dp DECIMAL folds
+    "q370_turn_of_month" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, round(ln(close/pc), 8) AS r,
+                  (day(bar_ts) <= 2 OR
+                   day(bar_ts) >= day(last_day(bar_ts)) - 1) AS is_turn
+                FROM l WHERE pc IS NOT NULL AND pc > 0),
+          g AS (SELECT series,
+                  SUM(CASE WHEN is_turn THEN 1 ELSE 0 END) AS n_turn,
+                  SUM(CASE WHEN NOT is_turn THEN 1 ELSE 0 END)
+                    AS n_other,
+                  SUM(CAST(CASE WHEN is_turn THEN round(r, 12)
+                    ELSE 0.0 END AS DECIMAL(38,12))) AS st,
+                  SUM(CAST(CASE WHEN NOT is_turn THEN round(r, 12)
+                    ELSE 0.0 END AS DECIMAL(38,12))) AS so
+                FROM r GROUP BY 1)
+          SELECT series, CAST(n_turn AS BIGINT) AS n_turn,
+            CAST(n_other AS BIGINT) AS n_other,
+            CASE WHEN n_turn > 0 THEN
+              round(CAST(st AS DOUBLE)/CAST(n_turn AS DOUBLE), 8) END
+              AS mean_turn,
+            CASE WHEN n_other > 0 THEN
+              round(CAST(so AS DOUBLE)/CAST(n_other AS DOUBLE), 8) END
+              AS mean_other,
+            CASE WHEN n_turn > 0 AND n_other > 0 THEN
+              round(CAST(st AS DOUBLE)/CAST(n_turn AS DOUBLE)
+                - CAST(so AS DOUBLE)/CAST(n_other AS DOUBLE), 8) END
+              AS tom_spread
+          FROM g ORDER BY series""",
 
     // OU twin: the q223 lag chain with the five intercept-form
     // moments; normal-equation SSE on the same exact sums

@@ -269,6 +269,50 @@ class Round10Spec extends AnyFunSuite {
     assert(r.getAs[Double]("sharpe_raw") === r.getAs[Double]("sharpe_managed"))
   }
 
+  test("sharpeDiff: a mirrored pair pins rho = -1 and antisymmetric Sharpes") {
+    // b's returns are exactly -a's: correlation -1, sharpe_b = -sharpe_a
+    val ra = Seq(0.01, 0.01, -0.005, 0.01, -0.005, 0.01, 0.01, -0.005)
+    val bars = dailyCloseBars(Map("click" -> ra, "view" -> ra.map(-_)))
+    val r = MarketBars.sharpeDiff(bars, "click", "view").collect().head
+    assert(r.getAs[Double]("rho") === -1.0)
+    assert(r.getAs[Double]("sharpe_a") === -r.getAs[Double]("sharpe_b"))
+    assert(!r.isNullAt(r.fieldIndex("z_jk")))
+  }
+
+  test("turnOfMonth: authored boundary/interior returns pin the spread") {
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    // closes on Jan 1,2,15,16,30,31: returns land on 2(turn),
+    // 15/16(other), 30/31(turn); last_day(Jan)=31 so 30,31 are turn
+    val days = Seq(1, 2, 15, 16, 30, 31)
+    val rets = Seq(0.0, 0.01, 0.02, 0.02, 0.01, 0.01) // first unused
+    val closes = rets.scanLeft(100.0)((c, r) => c * math.exp(r)).tail
+    val bars = days.zip(closes).map { case (d, c) =>
+      ("s", Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, d).atTime(15, 0)), c)
+    }.toDF("series", "bar_ts", "close")
+    val r = MarketBars.turnOfMonth(bars).collect().head
+    assert(r.getAs[Long]("n_turn") === 3L)
+    assert(r.getAs[Long]("n_other") === 2L)
+    assert(r.getAs[Double]("mean_turn") === 0.01)
+    assert(r.getAs[Double]("mean_other") === 0.02)
+    assert(r.getAs[Double]("tom_spread") === -0.01)
+  }
+
+  test("noveltyCurve: a second-half re-crawl pins the knee at bucket 6") {
+    val docs = (0L until 20L).map { i =>
+      val k = i % 10 // ids 10..19 duplicate ids 0..9
+      (i, (1 to 12).map(j => s"t${k}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.noveltyCurve(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(out.size === 10)
+    (1 to 5).foreach(b =>
+      assert(out(b).getAs[Double]("novelty_rate") === 1.0, s"bucket $b"))
+    (6 to 10).foreach(b =>
+      assert(out(b).getAs[Double]("novelty_rate") === 0.0, s"bucket $b"))
+    assert(out(10).getAs[Double]("cum_distinct_share") === 0.5)
+  }
+
   test("component purity: a cross-source triplet lands in the n_sources=2 bucket") {
     val text = (1 to 30).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
