@@ -3658,6 +3658,65 @@ object MarketBars {
       .withColumn("reject_calibration", col("kupiec_lr") > 3.8415)
   }
 
+  /** Expected-shortfall backtest per series (the Acerbi–Székely Z₂
+    * unconditional form): calibrate VaR/ES on the first half (the
+    * q270 split), then on the test half
+    * Z₂ = Σ_{viol} r / (n·α·ES_cal) − 1 — zero in expectation under
+    * correct calibration, POSITIVE when tail losses run deeper than
+    * the calibrated ES. q270's Kupiec tests violation FREQUENCY; this
+    * tests violation SEVERITY, the half Basel actually moved to.
+    *
+    * Determinism: the q205/q270 chain verbatim — 8dp returns, 6dp
+    * quantile/ES cuts BEFORE membership compares, DECIMAL tail folds,
+    * one shared double op order for Z₂ (4dp).
+    *
+    * Scale: lag via [[ScalableWindow.withPrevValues]], split via
+    * [[ScalableWindow.withSeqIndex]]; cuts broadcast back; |series|
+    * rows out. */
+  def esBacktest(bars: DataFrame, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha in (0, 0.5) (got $alpha)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(28, 12)
+    val rets0 = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
+      .withColumn("r", when(col("pc") > 0,
+        round(log(col("close") / col("pc")), 8)))
+      .filter(col("r").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r"))
+    val withR = ScalableWindow.withSeqIndex(rets0, Seq("series"),
+        Seq("bar_ts"), "bar_ts", "rn", Some("n_all"))
+      .withColumn("is_cal", col("rn") <= (col("n_all") / 2).cast("int"))
+      .localCheckpoint(eager = false) // cal cut + cal tail + test legs
+    val cut = withR.filter(col("is_cal"))
+      .groupBy(col("series"))
+      .agg(round(expr(s"percentile(r, $alpha)"), 6).as("var_cut"))
+    val esCal = withR.filter(col("is_cal"))
+      .join(broadcast(cut), "series")
+      .filter(col("r") <= col("var_cut"))
+      .groupBy(col("series"), col("var_cut"))
+      .agg(count(lit(1)).as("n_cal_tail"),
+        sum(col("r").cast(dec12)).as("sc"))
+      .select(col("series"), col("var_cut"),
+        round(dbl(col("sc")) / dbl(col("n_cal_tail")), 6).as("es_cal"))
+    val test = withR.filter(!col("is_cal"))
+      .join(broadcast(esCal), "series")
+      .groupBy(col("series"), col("var_cut"), col("es_cal"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("var_cut"), 1L).otherwise(0L))
+          .as("n_viol"),
+        sum(when(col("r") <= col("var_cut"), col("r"))
+          .otherwise(0.0).cast(dec12)).as("sv"))
+    val z2 = dbl(col("sv")) /
+      (dbl(col("n_test")) * lit(alpha) * col("es_cal")) - lit(1.0)
+    test.select(col("series"), col("n_test"), col("n_viol"),
+      col("var_cut"), col("es_cal"),
+      when(col("n_viol") > 0,
+        round(dbl(col("sv")) / dbl(col("n_viol")), 6)).as("es_test"),
+      when(col("es_cal") < 0, round(z2, 4)).as("z2"))
+      .withColumn("severity_breach",
+        when(col("z2").isNotNull, col("z2") > 0.5))
+  }
+
   /** Hour-of-day volatility profile: population σ of 1-bar returns
     * per (series, hour) — the intraday vol smile (open/close hours
     * run hot, lunch runs cold), the dispersion companion to q162's

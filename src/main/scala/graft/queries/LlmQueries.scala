@@ -1153,6 +1153,42 @@ object LlmQueries {
     // over the shared q77 pair relation): how big do dup clusters
     // get — q156's exact-dup histogram can't see transitive near-dup
     // chains, and the max component is the dedup blast-radius number
+    // Dedup dividend: bytes a keep-min-id near-dup dedup at 0.3 would
+    // delete — the curation-ROI number that decides whether the q33
+    // pipeline's LSH stage pays for itself on this corpus
+    "q373_dedup_savings" -> ((s, dir) => {
+      val docs = Tables.rebalance(Tables.documents(s, dir))
+      val comp = GraphOps.connectedComponents(dupPairs(s, dir))
+        .localCheckpoint(eager = false) // keeps + members
+      // explicit renames on the keep side — a comp-derived self-join
+      // resolved by DataFrame reference alone risks the trivially-true
+      // predicate trap
+      val keeps = comp.groupBy(col("component"))
+        .agg(min(col("node")).as("keep"))
+        .withColumnRenamed("component", "kcomp")
+      val removed = comp.join(keeps,
+          col("component") === col("kcomp") &&
+            col("node") =!= col("keep"))
+        .select(col("node").as("rnode"))
+      val tot = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes_total"))
+      val dup = comp.agg(count(lit(1)).as("n_dup_docs"),
+        count_distinct(col("component")).as("n_components"))
+      val sav = removed.join(docs.select(col("doc_id").as("rnode"),
+          col("n_chars")), "rnode")
+        .agg(count(lit(1)).as("n_removed"),
+          sum(col("n_chars")).as("bytes_saved"))
+      tot.crossJoin(dup).crossJoin(sav)
+        .select(col("n_docs"), col("n_dup_docs"), col("n_components"),
+          col("n_removed"), col("bytes_total"),
+          coalesce(col("bytes_saved"), lit(0L)).as("bytes_saved"),
+          (floor(coalesce(col("bytes_saved"), lit(0L))
+            .cast(org.apache.spark.sql.types.DoubleType) /
+            col("bytes_total")
+              .cast(org.apache.spark.sql.types.DoubleType) * lit(1e6) +
+            lit(0.5)) / lit(1e6)).as("save_share"))
+    }),
+
     // Near-dup component SOURCE purity: per connected component of
     // the q77 pair graph, how many distinct sources it spans —
     // histogrammed by span. Components spanning 2+ sources are
@@ -4230,6 +4266,56 @@ object LlmQueries {
 
     // Dup-components twin: q77's PPJoin pairs at 0.3, the q33
     // recursive min-label reach, size histogram + corpus share
+    // Dedup-savings twin: recursive CC + keep-min-id removal census
+    "q373_dedup_savings" ->
+      s"""WITH RECURSIVE $toksCte,
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk
+                  FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b
+                   ON a.gk = b.gk AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          pj AS (SELECT id_a, id_b
+                 FROM sh
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+                 WHERE CAST(n_shared AS DOUBLE)
+                   /(sa.sz + sb.sz - n_shared) >= 0.3),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pj
+                    UNION SELECT id_b, id_a FROM pj),
+          reach AS (SELECT a AS node, a AS lab FROM edges
+                    UNION
+                    SELECT e.b AS node, r.lab FROM reach r
+                    JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, min(lab) AS root FROM reach
+                   GROUP BY node),
+          keeps AS (SELECT root, min(node) AS keep FROM comp
+                    GROUP BY 1),
+          removed AS (SELECT node FROM comp JOIN keeps
+                        ON comp.root = keeps.root
+                      WHERE node <> keep),
+          tot AS (SELECT count(*) AS n_docs,
+                    SUM(n_chars) AS bytes_total FROM documents),
+          dup AS (SELECT count(*) AS n_dup_docs,
+                    count(DISTINCT root) AS n_components FROM comp),
+          sav AS (SELECT count(*) AS n_removed,
+                    SUM(n_chars) AS bytes_saved
+                  FROM removed JOIN documents ON doc_id = node)
+          SELECT n_docs, n_dup_docs, n_components,
+            CAST(n_removed AS BIGINT) AS n_removed,
+            CAST(bytes_total AS BIGINT) AS bytes_total,
+            CAST(coalesce(bytes_saved, 0) AS BIGINT) AS bytes_saved,
+            floor(CAST(coalesce(bytes_saved, 0) AS DOUBLE)
+              /CAST(bytes_total AS DOUBLE)*1e6 + 0.5)/1e6 AS save_share
+          FROM tot CROSS JOIN dup CROSS JOIN sav""",
+
     // Component-purity twin: q349's recursive min-label reach + the
     // per-component distinct-source census
     "q368_component_purity" ->

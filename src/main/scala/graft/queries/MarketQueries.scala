@@ -1404,6 +1404,15 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Acerbi–Székely ES backtest (MarketBars.esBacktest): violation
+    // SEVERITY on the test half vs the calibrated ES — the other half
+    // of what q270's Kupiec frequency test covers
+    "q372_es_backtest" -> ((s, dir) => {
+      MarketBars.esBacktest(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Jobson–Korkie/Memmel Sharpe-difference test
     // (MarketBars.sharpeDiff): is click's Sharpe formally higher than
     // view's — what the q140 tearsheet eyeballs
@@ -5323,6 +5332,57 @@ object MarketQueries {
           SELECT series, n_days, dd_q AS dar, n_tail,
             round(CAST(sdd AS DOUBLE)/CAST(n_tail AS DOUBLE), 6) AS cdar,
             max_drawdown
+          FROM t ORDER BY series""",
+
+    // ES-backtest twin: q270's split + q205's tail chain, Z2 in one
+    // shared op order
+    "q372_es_backtest" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS pc
+                FROM bars WHERE close > 0),
+          r0 AS (SELECT series, bar_ts, round(ln(close/pc), 8) AS r
+                 FROM l WHERE pc IS NOT NULL AND pc > 0),
+          rr AS (SELECT series, r,
+                  row_number() OVER w AS rn,
+                  count(*) OVER (PARTITION BY series) AS n_all
+                 FROM r0
+                 WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          sp AS (SELECT series, r,
+                  rn <= n_all // 2 AS is_cal
+                 FROM rr),
+          cut AS (SELECT series,
+                   round(quantile_cont(r, 0.05), 6) AS var_cut
+                  FROM sp WHERE is_cal GROUP BY 1),
+          ec AS (SELECT sp.series, var_cut,
+                   round(CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE)
+                     /count(*), 6) AS es_cal
+                 FROM sp JOIN cut ON sp.series = cut.series
+                 WHERE is_cal AND r <= var_cut
+                 GROUP BY 1, 2),
+          t AS (SELECT sp.series, var_cut, es_cal,
+                  count(*) AS n_test,
+                  SUM(CASE WHEN r <= var_cut THEN 1 ELSE 0 END)
+                    AS n_viol,
+                  SUM(CAST(CASE WHEN r <= var_cut THEN r ELSE 0.0 END
+                    AS DECIMAL(28,12))) AS sv
+                FROM sp JOIN ec ON sp.series = ec.series
+                WHERE NOT is_cal
+                GROUP BY 1, 2, 3)
+          SELECT series, n_test, CAST(n_viol AS BIGINT) AS n_viol,
+            var_cut, es_cal,
+            CASE WHEN n_viol > 0 THEN
+              round(CAST(sv AS DOUBLE)/CAST(n_viol AS DOUBLE), 6) END
+              AS es_test,
+            CASE WHEN es_cal < 0 THEN
+              round(CAST(sv AS DOUBLE)
+                /(CAST(n_test AS DOUBLE)*0.05*es_cal) - 1.0, 4) END
+              AS z2,
+            CASE WHEN es_cal < 0 THEN
+              round(CAST(sv AS DOUBLE)
+                /(CAST(n_test AS DOUBLE)*0.05*es_cal) - 1.0, 4) > 0.5
+              END AS severity_breach
           FROM t ORDER BY series""",
 
     // Sharpe-diff twin: aligned return legs, 12dp co-moment folds,

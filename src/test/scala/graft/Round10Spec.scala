@@ -313,6 +313,44 @@ class Round10Spec extends AnyFunSuite {
     assert(out(10).getAs[Double]("cum_distinct_share") === 0.5)
   }
 
+  test("esBacktest: a fat test-half tail breaches severity; a symmetric one does not") {
+    // cal half: mild ±0.01 noise with a -0.03 tail every 20th day
+    // (violation rate ≈ α = 5%, so Z2's frequency term is calibrated);
+    // 'breach' repeats the shape with -0.30 tails (10x the calibrated
+    // ES); 'calm' repeats the cal shape verbatim
+    def half(tail: Double) = (0 until 40).map { i =>
+      if (i % 20 == 19) tail else if (i % 2 == 0) 0.01 else -0.01
+    }
+    val rets = Map(
+      "calm" -> (half(-0.03) ++ half(-0.03)),
+      "breach" -> (half(-0.03) ++ half(-0.30)))
+    val out = MarketBars.esBacktest(dailyCloseBars(rets))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out("calm").getAs[Boolean]("severity_breach"), s"$out")
+    assert(out("breach").getAs[Boolean]("severity_breach"), s"$out")
+    assert(out("breach").getAs[Double]("z2") > out("calm").getAs[Double]("z2"))
+  }
+
+  test("dedup savings: keep-min-id on a triplet removes exactly the two clones' bytes") {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, text, 100L), (2L, text, 110L), (3L, text, 120L),
+      (4L, (100 to 130).map(i => s"z$i").mkString(" "), 500L)
+    ).toDF("doc_id", "text", "n_chars")
+    val comp = graft.ops.GraphOps.connectedComponents(
+      graft.ops.DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.3, maxDf = 100))
+    val keeps = comp.groupBy(col("component"))
+      .agg(min(col("node")).as("keep"))
+      .withColumnRenamed("component", "kcomp")
+    val removedBytes = comp.join(keeps,
+        col("component") === col("kcomp") && col("node") =!= col("keep"))
+      .select(col("node").as("rnode"))
+      .join(docs.select(col("doc_id").as("rnode"), col("n_chars")), "rnode")
+      .agg(sum(col("n_chars"))).collect().head.getLong(0)
+    assert(removedBytes === 230L) // docs 2 + 3
+  }
+
   test("component purity: a cross-source triplet lands in the n_sources=2 bucket") {
     val text = (1 to 30).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
