@@ -2015,6 +2015,64 @@ object CorpusOps {
         round(dbl(col("rep")) / (nd * (nd - 1)), 6)).as("simpson_d"))
   }
 
+  /** Unseen-vocabulary estimators per source off the term-frequency
+    * spectrum: Good–Turing missing mass f₁/N (the probability the
+    * NEXT token is a never-seen type — how "open" the source's
+    * vocabulary still is), its complement the GT coverage, and the
+    * bias-corrected Chao1 richness V + f₁(f₁−1)/(2(f₂+1)) (a lower
+    * bound on the TRUE vocabulary size this crawl would converge to)
+    * — the "is more of this source worth crawling" companion to
+    * [[heapsLaw]]'s growth curve and q371's novelty-by-tranche: high
+    * missing mass = the source still yields new types per token.
+    *
+    * Determinism: all-integer spectrum cells (N, V, f₁, f₂ are
+    * counts); the three ratios each finish in one double op order
+    * rounded 6dp.
+    *
+    * `ngram` > 1 reads the spectrum over word n-gram shingles instead
+    * of unigrams — the form crawl-value estimation actually uses (a
+    * small closed vocabulary can have ZERO unigram hapaxes while its
+    * n-gram space is still wide open; the driver corpus is exactly
+    * that case, so q377 gates the trigram read).
+    *
+    * Scale: ONE tokenize pass into the (source, term) aggregate
+    * (map-side combined), one per-source fold — the [[yulesK]]
+    * posture; text never moves after the explode. */
+  def vocabRichness(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      ngram: Int = 1): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val toks = TextOps.tokens(col(textCol))
+    val terms = if (ngram == 1) toks else TextOps.shingles(toks, ngram)
+    val agg = docs
+      .select(col(sourceCol).as("source"),
+        explode(terms).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("f2"))
+    val chao1 = dbl(col("v_types")) +
+      dbl(col("f1")) * (dbl(col("f1")) - 1) /
+        (lit(2.0) * (dbl(col("f2")) + 1))
+    agg.select(col("source"), col("n_tokens"), col("v_types"),
+      col("f1"), col("f2"),
+      when(col("n_tokens") > 0,
+        round(dbl(col("f1")) / dbl(col("n_tokens")), 6))
+        .as("gt_missing_mass"),
+      when(col("n_tokens") > 0,
+        round(lit(1.0) - dbl(col("f1")) / dbl(col("n_tokens")), 6))
+        .as("gt_coverage"),
+      round(chao1, 6).as("chao1"),
+      when(chao1 > 0,
+        round((chao1 - dbl(col("v_types"))) / chao1, 6))
+        .as("unseen_share"))
+  }
+
   /** Pairwise source vocabulary overlap: exact Jaccard between every
     * source pair's distinct-term sets — the source-redundancy audit
     * ("are src3 and src7 the same crawl twice?") that the per-doc

@@ -4980,4 +4980,374 @@ object MarketBars {
         when(ok, varAt(-z99, cf = false)).as("var99_gauss"),
         when(ok, varAt(-z99, cf = true)).as("var99_cf"))
   }
+
+  /** Shared (series, d, r8) daily log-return chain: day-collapsed
+    * closes (argmax-by-bar_ts tie rule), lag over the DAILY rows,
+    * 1e8-scaled-long returns — the q346 Lilliefors chain factored for
+    * the round-10 order-statistic family ([[hillTail]],
+    * [[andersonDarling]], [[w1Drift]], [[tailDependence]]).
+    * Per-series windows here run over CALENDAR-bounded daily rows
+    * (the q306 daily-chain class), never the raw bar history. */
+  private def dailyR8(bars: DataFrame): DataFrame = {
+    val wD = Window.partitionBy(col("series")).orderBy(col("d"))
+    bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .withColumn("pc", lag(col("close"), 1).over(wD))
+      .withColumn("r8",
+        when(col("pc").isNotNull && col("pc") > 0 && col("close") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("r8").isNotNull)
+      .select(col("series"), col("d"), col("r8"))
+  }
+
+  /** Chatterjee's ξ rank-correlation coefficient (Chatterjee 2021)
+    * for every ORDERED series pair (x → y) on day-aligned daily
+    * closes: sort the pair's days by the x-value, take y's ≤-ranks
+    * r_i = #{j: y_j ≤ y_i} and ≥-counts l_i = #{j: y_j ≥ y_i}, then
+    * ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n − l_i)) — the tie-robust
+    * general form. ξ → 0 iff independent, → 1 iff y is a measurable
+    * FUNCTION of x (any shape, not just monotone) — the
+    * "is there any functional dependence at all" read that q274's
+    * Kendall τ (monotone) and q343's binned MI (resolution-limited)
+    * each only approximate. Asymmetric by construction: both
+    * directions emit.
+    *
+    * Determinism: closes snap to exact 1e6 longs (the q340 Pettitt
+    * rule) so ranks/counts are pure integers; x-ties order by day
+    * (deterministic in both engines, the documented tie rule where
+    * the literature randomizes); the single double finish rounds 6dp.
+    *
+    * Scale: day collapse FIRST (map-side argmax), the pair join is
+    * d-keyed with \|series\| rows per key, and the rank/lag windows
+    * run per pair over CALENDAR-bounded daily rows — the q317 class,
+    * never bar-history-sized tasks. */
+  def chatterjee(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val daily = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .select(col("series"), col("d"),
+        floor(col("close") * lit(1e6) + lit(0.5)).cast("long").as("v"))
+      .localCheckpoint(eager = false) // both pair legs
+    val a = daily.select(col("series").as("series_x"), col("d"),
+      col("v").as("x"))
+    val b = daily.select(col("series").as("series_y"), col("d"),
+      col("v").as("y"))
+    val keys = Seq(col("series_x"), col("series_y"))
+    val wAll = Window.partitionBy(keys: _*)
+    val wY = wAll.orderBy(col("y"))
+    val wTie = Window.partitionBy(keys :+ col("y"): _*)
+    val wX = wAll.orderBy(col("x"), col("d"))
+    val ranked = a.join(b, "d")
+      .filter(col("series_x") =!= col("series_y"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("r", rank().over(wY) + count(lit(1)).over(wTie) - 1)
+      .withColumn("l", col("n") - rank().over(wY) + 1)
+      .withColumn("rp", lag(col("r"), 1).over(wX))
+    val agg = ranked.groupBy(col("series_x"), col("series_y"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("rp").isNotNull, abs(col("r") - col("rp")))
+          .otherwise(lit(0L)).cast(dec)).as("sd"),
+        sum((col("l") * (col("n") - col("l"))).cast(dec)).as("dd"))
+    agg.select(col("series_x"), col("series_y"), col("n"),
+      when(col("dd") > 0,
+        round(lit(1.0) -
+          dbl(col("n")) * dbl(col("sd")) / (lit(2.0) * dbl(col("dd"))),
+          6)).as("xi"))
+  }
+
+  /** Hill tail-index estimator per series on daily |log returns|:
+    * over the k largest magnitudes (k = max(5, ⌊`tailFrac`·n⌋)),
+    * H = (1/k)·Σ_{i≤k} ln x_(i) − ln x_(k+1) and α = 1/H — the
+    * POWER-LAW tail thickness (α ≈ 3 is the equity-return cubic law;
+    * α ≤ 2 means infinite variance) that q250's kurtosis only hints
+    * at and q354's Gumbel block maxima assume away.
+    *
+    * Determinism: magnitudes are exact 1e8 longs; the scale offset
+    * cancels inside H (ln(s·x) − ln(s·y) = ln x − ln y), so logs run
+    * on the raw longs; each ln rounds 12dp into a DECIMAL fold;
+    * order statistics pick by (|r8| DESC, d ASC) row_number — value
+    * ties permute equal terms only, so the fold is tie-invariant.
+    *
+    * Scale: the rank window runs per series over CALENDAR-bounded
+    * daily rows (the q306 class); one aggregate after; \|series\|
+    * rows out. */
+  def hillTail(bars: DataFrame, tailFrac: Double = 0.05): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val ab = dailyR8(bars)
+      .withColumn("a8", abs(col("r8")))
+      .filter(col("a8") > 0)
+    val wAll = Window.partitionBy(col("series"))
+    val wDesc = wAll.orderBy(col("a8").desc, col("d"))
+    val ranked = ab
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wDesc))
+      .withColumn("k",
+        greatest(lit(5L),
+          floor(dbl(col("n")) * lit(tailFrac)).cast("long")))
+      .filter(col("rn") <= col("k") + 1)
+    val agg = ranked.groupBy(col("series"))
+      .agg(max(col("n")).as("n_rets"), max(col("k")).as("k"),
+        sum(when(col("rn") <= col("k"),
+          round(log(dbl(col("a8"))), 12).cast(dec12))).as("slog"),
+        max(when(col("rn") === col("k") + 1, col("a8"))).as("xk1"))
+    val h = dbl(col("slog")) / dbl(col("k")) -
+      round(log(dbl(col("xk1"))), 12)
+    agg.select(col("series"), col("n_rets"), col("k"),
+      when(col("xk1").isNotNull,
+        round(dbl(col("xk1")) / lit(1e8), 8)).as("x_kplus1"),
+      when(col("xk1").isNotNull, round(h, 6)).as("hill_h"),
+      when(col("xk1").isNotNull && h > 0, round(lit(1.0) / h, 6))
+        .as("tail_alpha"))
+  }
+
+  /** Anderson–Darling normality test per series on daily log
+    * returns: A² = −n − (1/n)·Σ_i [(2i−1)·ln Φ(z_(i)) +
+    * (2(n−i)+1)·ln(1−Φ(z_(i)))] with estimated mean/sd, Stephens'
+    * small-sample factor A*² = A²·(1 + 0.75/n + 2.25/n²), reject at
+    * the 5% critical value 0.752 — the TAIL-WEIGHTED companion to
+    * q346's Lilliefors KS (which weights the distribution center;
+    * fat return tails fire AD first).
+    *
+    * Determinism: the q346 chain verbatim (exact-long r8, integer
+    * moments, the A–S 7.1.26 erf polynomial in explicit multiply
+    * chains); Φ clamps to [1e−15, 1−1e−15] before ln (extreme z
+    * underflows the polynomial to exactly 0/1); per-row terms round
+    * 12dp into a DECIMAL fold — rank ties permute equal z's whose
+    * block weight sum is permutation-invariant; the finish is one
+    * shared double op order rounded 6dp.
+    *
+    * Scale: q346's posture — per-series windows over calendar-bounded
+    * DAILY rows, one moment aggregate, one term fold. */
+  def andersonDarling(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val daily = dailyR8(bars)
+    val stats = daily.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r8").cast(dec)).as("s1"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("s2"))
+      .withColumn("mu8", dbl(col("s1")) / dbl(col("n")))
+      .withColumn("sd8",
+        sqrt((dbl(col("n")) * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) /
+          (dbl(col("n")) * (dbl(col("n")) - 1))))
+      .select(col("series"), col("n"), col("mu8"), col("sd8"))
+    def phi(z: Column): Column = {
+      val x = abs(z) / lit(1.4142135623730951)
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+        lit(1.421413741)) * t - lit(0.284496736)) * t +
+        lit(0.254829592)) * t
+      val erf = lit(1.0) - poly * exp(-x * x)
+      when(z >= 0, lit(0.5) * (lit(1.0) + erf))
+        .otherwise(lit(0.5) * (lit(1.0) - erf))
+    }
+    val wR = Window.partitionBy(col("series"))
+      .orderBy(col("r8"), col("d"))
+    val z = (dbl(col("r8")) - col("mu8")) / col("sd8")
+    val ph = least(greatest(phi(z), lit(1e-15)),
+      lit(1.0) - lit(1e-15))
+    val nd = dbl(col("n"))
+    val i = dbl(col("i"))
+    val term = round((lit(2.0) * i - 1) * log(ph) +
+      (lit(2.0) * (nd - i) + 1) * log(lit(1.0) - ph), 12)
+    val agg = daily.join(broadcast(stats), "series")
+      .filter(col("sd8") > 0)
+      .withColumn("i", row_number().over(wR).cast("long"))
+      .withColumn("t12", term.cast(dec12))
+      .groupBy(col("series"))
+      .agg(max(col("n")).as("n_days"), sum(col("t12")).as("s12"))
+    val ndy = dbl(col("n_days"))
+    val a2 = -ndy - dbl(col("s12")) / ndy
+    val astar = a2 * (lit(1.0) + lit(0.75) / ndy +
+      lit(2.25) / (ndy * ndy))
+    agg.select(col("series"), col("n_days"),
+      round(a2, 6).as("a2"),
+      round(astar, 6).as("a2_star"),
+      (astar > lit(0.752)).as("reject_normal"))
+  }
+
+  /** Exact 1-Wasserstein (earth-mover) distance between the FIRST and
+    * SECOND half of each series' daily-return distribution — "did the
+    * return DISTRIBUTION drift", integrating |F₁ − F₂| over the
+    * merged support, so it reads location AND shape drift in return
+    * units where q363's KPSS sees only the level and q350's
+    * Inclán–Tiao only the variance.
+    *
+    * Determinism: ALL-INTEGER until one division — returns are 1e8
+    * longs, the split is the q270 row_number half-split, each
+    * segment's |C₁·n₂ − C₂·n₁|·Δv term is an exact long product
+    * (calendar-bounded: C ≤ n ≤ \|days\|) cast to DECIMAL once for
+    * the fold, and W₁ = S/(n₁·n₂·1e8) rounds 6dp.
+    *
+    * Scale: day collapse first; the split index, the distinct-value
+    * CDF walk, and the lead() gap all run per series over
+    * calendar-bounded DAILY rows (the q306 class); \|series\| rows
+    * out. */
+  def w1Drift(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val wT = Window.partitionBy(col("series")).orderBy(col("d"))
+    val wAll = Window.partitionBy(col("series"))
+    val wV = Window.partitionBy(col("series")).orderBy(col("r8"))
+    val split = dailyR8(bars)
+      .withColumn("t", row_number().over(wT).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("in1", col("t") <= floor(dbl(col("n")) / 2))
+    val cells = split.groupBy(col("series"), col("r8"))
+      .agg(sum(when(col("in1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("in1"), 0L).otherwise(1L)).as("c2"))
+    val tot = cells.groupBy(col("series"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val walked = cells
+      .withColumn("cc1", sum(col("c1"))
+        .over(wV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cc2", sum(col("c2"))
+        .over(wV.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dv", lead(col("r8"), 1).over(wV) - col("r8"))
+      .join(broadcast(tot), "series")
+      .withColumn("term",
+        when(col("dv").isNotNull,
+          abs(col("cc1") * col("n2") - col("cc2") * col("n1")) *
+            col("dv")).otherwise(lit(0L)))
+    walked.groupBy(col("series"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("term").cast(dec)).as("s"))
+      .select(col("series"), col("n1"), col("n2"),
+        when(col("n1") > 0 && col("n2") > 0,
+          round(dbl(col("s")) /
+            (dbl(col("n1")) * dbl(col("n2")) * lit(1e8)), 6))
+          .as("w1_drift"))
+  }
+
+  /** Empirical tail-dependence coefficients for every UNORDERED
+    * series pair on day-aligned daily returns: with k = max(1,
+    * ⌊`tailFrac`·n⌋) extreme days per side (ranked within the
+    * ALIGNED day set), λ_hi = |topₖ(a) ∩ topₖ(b)|/k and λ_lo the
+    * same on the bottom — "do they crash TOGETHER", the co-extreme
+    * read that q85's full-sample correlation structurally understates
+    * (Gaussian copulas have λ = 0 at any ρ < 1).
+    *
+    * Determinism: extreme-day sets pick by (r8 DESC/ASC, d) — a
+    * deterministic total order on exact longs, so the day sets are
+    * identical in both engines even under return ties; counts are
+    * integers; the two ratios round 6dp.
+    *
+    * Scale: day collapse first, d-keyed pair join (\|series\| rows
+    * per key), rank windows per pair over calendar-bounded daily
+    * rows — the q317/q374 posture. */
+  def tailDependence(bars: DataFrame, tailFrac: Double = 0.1): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val daily = dailyR8(bars).localCheckpoint(eager = false)
+    val a = daily.select(col("series").as("series_a"), col("d"),
+      col("r8").as("ra"))
+    val b = daily.select(col("series").as("series_b"), col("d"),
+      col("r8").as("rb"))
+    val keys = Seq(col("series_a"), col("series_b"))
+    val wAll = Window.partitionBy(keys: _*)
+    def rn(c: Column, asc: Boolean) = row_number().over(
+      wAll.orderBy(if (asc) c.asc else c.desc, col("d")))
+    val ranked = a.join(b, "d")
+      .filter(col("series_a") < col("series_b"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("k",
+        greatest(lit(1L),
+          floor(dbl(col("n")) * lit(tailFrac)).cast("long")))
+      .withColumn("ha", rn(col("ra"), asc = false))
+      .withColumn("hb", rn(col("rb"), asc = false))
+      .withColumn("la", rn(col("ra"), asc = true))
+      .withColumn("lb", rn(col("rb"), asc = true))
+    ranked.groupBy(col("series_a"), col("series_b"))
+      .agg(max(col("n")).as("n_days"), max(col("k")).as("k"),
+        sum(when(col("ha") <= col("k") && col("hb") <= col("k"), 1L)
+          .otherwise(0L)).as("both_hi"),
+        sum(when(col("la") <= col("k") && col("lb") <= col("k"), 1L)
+          .otherwise(0L)).as("both_lo"))
+      .select(col("series_a"), col("series_b"), col("n_days"),
+        col("k"),
+        round(dbl(col("both_hi")) / dbl(col("k")), 6).as("lambda_hi"),
+        round(dbl(col("both_lo")) / dbl(col("k")), 6).as("lambda_lo"))
+  }
+
+  /** Binary transfer entropy TE(X→Y) at lag 1 for every ORDERED
+    * series pair, on return SIGNS (up/non-up): TE = Σ p(y, yₚ, xₚ)·
+    * ln[ c(y,yₚ,xₚ)·c(yₚ) / (c(yₚ,xₚ)·c(y,yₚ)) ] in nats — the
+    * MODEL-FREE directed-information read next to q341's Granger
+    * (which tests only LINEAR lead-lag; TE fires on any sign
+    * predictability, e.g. volatility-mediated asymmetries).
+    * Conditioning on yₚ removes Y's own momentum, so TE > 0 means X's
+    * yesterday tells you something TODAY's Y that Y's own yesterday
+    * doesn't.
+    *
+    * Determinism: signs come off exact-long r8 (> 0); the 8-cell
+    * joint histogram and its three margins are pure integers; each
+    * cell term rounds 12dp into a DECIMAL fold (the q343 MI rule);
+    * TE rounds 6dp.
+    *
+    * Scale: the q341 posture verbatim — ONE checkpointed day-scoped
+    * sign relation feeds both join legs; the pair join is
+    * bar_ts-keyed; cells are \|series\|²·8-bounded. */
+  def transferEntropy(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val aug = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", 3)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val rr = aug
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .withColumn("rl8", lag(col("r8"), 1).over(w))
+      .filter(col("__emit") && col("r8").isNotNull &&
+        col("rl8").isNotNull)
+      .select(col("series"), col("bar_ts"),
+        when(col("r8") > 0, 1).otherwise(0).as("s"),
+        when(col("rl8") > 0, 1).otherwise(0).as("sp"))
+      .localCheckpoint(eager = false) // effect leg + cause leg
+    val y = rr.select(col("series").as("effect"), col("bar_ts"),
+      col("s").as("yv"), col("sp").as("yp"))
+    val x = rr.select(col("series").as("cause"), col("bar_ts"),
+      col("sp").as("xp"))
+    val keys = Seq("cause", "effect")
+    val joint = y.join(x, "bar_ts")
+      .filter(col("effect") =!= col("cause"))
+      .groupBy(col("cause"), col("effect"), col("yv"), col("yp"),
+        col("xp"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // cells + three margin legs
+    val mYyp = joint.groupBy(col("cause"), col("effect"), col("yv"),
+        col("yp"))
+      .agg(sum(col("c")).as("c_yyp"))
+    val mYpxp = joint.groupBy(col("cause"), col("effect"), col("yp"),
+        col("xp"))
+      .agg(sum(col("c")).as("c_ypxp"))
+    val mYp = joint.groupBy(col("cause"), col("effect"), col("yp"))
+      .agg(sum(col("c")).as("c_yp"))
+    val tot = joint.groupBy(col("cause"), col("effect"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    val teTerm = round(dbl(col("c")) / dbl(col("n")) *
+      log(dbl(col("c")) * dbl(col("c_yp")) /
+        (dbl(col("c_ypxp")) * dbl(col("c_yyp")))), 12).cast(dec12)
+    joint
+      .join(mYyp, keys :+ "yv" :+ "yp")
+      .join(mYpxp, keys :+ "yp" :+ "xp")
+      .join(mYp, keys :+ "yp")
+      .join(tot, keys)
+      .groupBy(col("cause"), col("effect"))
+      .agg(max(col("n")).as("n"), max(col("n_cells")).as("n_cells"),
+        sum(teTerm).as("te12"))
+      .select(col("cause"), col("effect"), col("n"), col("n_cells"),
+        round(dbl(col("te12")), 6).as("te_nats"))
+  }
 }

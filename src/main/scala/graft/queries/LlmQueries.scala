@@ -1252,6 +1252,18 @@ object LlmQueries {
     "q330_yules_k" -> ((s, dir) => {
       CorpusOps.yulesK(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("source"))
+    }),
+
+    // Unseen-vocabulary estimators (CorpusOps.vocabRichness):
+    // Good–Turing missing mass + Chao1 richness per source over word
+    // TRIGRAMS (the unigram vocabulary is closed at 31 types — zero
+    // hapaxes — while the trigram space is wide open) — the "is more
+    // of this source worth crawling" read next to Heaps' growth
+    // curve (q225) and the novelty-by-tranche curve (q371)
+    "q377_vocab_richness" -> ((s, dir) => {
+      CorpusOps.vocabRichness(Tables.rebalance(Tables.documents(s, dir)),
+          ngram = 3)
+        .orderBy(col("source"))
     })
   )
 
@@ -4566,6 +4578,47 @@ object LlmQueries {
                 /(CAST(n_tokens AS DOUBLE)*(CAST(n_tokens AS DOUBLE)-1)),
                 6)
             END AS simpson_d
+          FROM a ORDER BY source""",
+
+    // Vocab-richness twin: the q330 tokenize into the shared trigram
+    // shingle expansion, spectrum cells, the three ratios in one
+    // shared op order each
+    "q377_vocab_richness" ->
+      s"""WITH d AS (SELECT source,
+                      regexp_split_to_array(trim(text), ' +') AS toks
+                    FROM documents),
+          tk AS (SELECT source, unnest($shingleExpr) AS term FROM d),
+          tf AS (SELECT source, term, count(*) AS tf FROM tk
+                 GROUP BY 1, 2),
+          a AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                  count(*) AS v_types,
+                  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f1,
+                  CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f2
+                FROM tf GROUP BY 1)
+          SELECT source, n_tokens, v_types, f1, f2,
+            CASE WHEN n_tokens > 0 THEN
+              round(CAST(f1 AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+            END AS gt_missing_mass,
+            CASE WHEN n_tokens > 0 THEN
+              round(1.0 - CAST(f1 AS DOUBLE)/CAST(n_tokens AS DOUBLE),
+                6)
+            END AS gt_coverage,
+            round(CAST(v_types AS DOUBLE)
+              + CAST(f1 AS DOUBLE)*(CAST(f1 AS DOUBLE) - 1)
+                /(2.0*(CAST(f2 AS DOUBLE) + 1)), 6) AS chao1,
+            CASE WHEN CAST(v_types AS DOUBLE)
+                + CAST(f1 AS DOUBLE)*(CAST(f1 AS DOUBLE) - 1)
+                  /(2.0*(CAST(f2 AS DOUBLE) + 1)) > 0 THEN
+              round((CAST(v_types AS DOUBLE)
+                  + CAST(f1 AS DOUBLE)*(CAST(f1 AS DOUBLE) - 1)
+                    /(2.0*(CAST(f2 AS DOUBLE) + 1))
+                  - CAST(v_types AS DOUBLE))
+                /(CAST(v_types AS DOUBLE)
+                  + CAST(f1 AS DOUBLE)*(CAST(f1 AS DOUBLE) - 1)
+                    /(2.0*(CAST(f2 AS DOUBLE) + 1))), 6)
+            END AS unseen_share
           FROM a ORDER BY source"""
   )
 }

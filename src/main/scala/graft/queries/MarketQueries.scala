@@ -1413,6 +1413,59 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Chatterjee's ξ (MarketBars.chatterjee): any-shape functional
+    // dependence between series pairs — the modern rank coefficient
+    // next to q274's Kendall τ (monotone-only) and q343's binned MI
+    "q374_chatterjee" -> ((s, dir) => {
+      MarketBars.chatterjee(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series_x"), col("series_y"))
+    }),
+
+    // Hill tail index (MarketBars.hillTail): power-law tail thickness
+    // of daily |returns| over the top-5% order statistics — the cubic
+    // law check q250's kurtosis only hints at
+    "q375_hill_tail" -> ((s, dir) => {
+      MarketBars.hillTail(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Empirical tail dependence (MarketBars.tailDependence): do pairs
+    // crash together — extreme-day overlap at the 10% tails, the
+    // co-crash read q85's correlation structurally understates
+    "q376_tail_dep" -> ((s, dir) => {
+      MarketBars.tailDependence(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series_a"), col("series_b"))
+    }),
+
+    // Anderson–Darling normality (MarketBars.andersonDarling): the
+    // tail-weighted companion to q346's Lilliefors KS
+    "q378_anderson_darling" -> ((s, dir) => {
+      MarketBars.andersonDarling(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Exact W1 distribution drift (MarketBars.w1Drift): earth-mover
+    // distance between each series' first- and second-half daily
+    // return distributions — location AND shape drift in return units
+    "q379_w1_drift" -> ((s, dir) => {
+      MarketBars.w1Drift(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // Binary transfer entropy (MarketBars.transferEntropy): model-free
+    // DIRECTED information on return signs at lag 1 — fires on the
+    // nonlinear lead-lag q341's linear Granger F misses
+    "q380_transfer_entropy" -> ((s, dir) => {
+      MarketBars.transferEntropy(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("cause"), col("effect"))
+    }),
+
     // Jobson–Korkie/Memmel Sharpe-difference test
     // (MarketBars.sharpeDiff): is click's Sharpe formally higher than
     // view's — what the q140 tearsheet eyeballs
@@ -5384,6 +5437,317 @@ object MarketQueries {
                 /(CAST(n_test AS DOUBLE)*0.05*es_cal) - 1.0, 4) > 0.5
               END AS severity_breach
           FROM t ORDER BY series""",
+
+    // Chatterjee-ξ twin: exact 1e6-long daily closes, integer ≤-ranks
+    // and ≥-counts, x-order lag, one double finish — the tie-robust
+    // general form in the same op order
+    "q374_chatterjee" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   CAST(floor(
+                     (max(struct_pack(t := bar_ts, v := close))).v
+                       * 1e6 + 0.5) AS BIGINT) AS v
+                  FROM bars GROUP BY 1, 2),
+          ali AS (SELECT a.series AS series_x, b.series AS series_y,
+                    a.d, a.v AS x, b.v AS y
+                  FROM dcl a JOIN dcl b ON a.d = b.d
+                  WHERE a.series <> b.series),
+          rk AS (SELECT series_x, series_y, d, x, y,
+                   count(*) OVER wp AS n,
+                   rank() OVER (PARTITION BY series_x, series_y
+                       ORDER BY y)
+                     + count(*) OVER (PARTITION BY series_x, series_y,
+                         y) - 1 AS r,
+                   count(*) OVER wp
+                     - rank() OVER (PARTITION BY series_x, series_y
+                         ORDER BY y) + 1 AS l
+                 FROM ali
+                 WINDOW wp AS (PARTITION BY series_x, series_y)),
+          lg AS (SELECT *, lag(r) OVER (PARTITION BY series_x,
+                   series_y ORDER BY x, d) AS rp
+                 FROM rk),
+          ag AS (SELECT series_x, series_y,
+                   CAST(max(n) AS BIGINT) AS n,
+                   SUM(CAST(CASE WHEN rp IS NOT NULL
+                     THEN abs(r - rp) ELSE 0 END
+                     AS DECIMAL(38,0))) AS sd,
+                   SUM(CAST(l*(n - l) AS DECIMAL(38,0))) AS dd
+                 FROM lg GROUP BY 1, 2)
+          SELECT series_x, series_y, n,
+            CASE WHEN dd > 0 THEN
+              round(1.0 - CAST(n AS DOUBLE)*CAST(sd AS DOUBLE)
+                /(2.0*CAST(dd AS DOUBLE)), 6) END AS xi
+          FROM ag ORDER BY series_x, series_y""",
+
+    // Hill twin: the q346 daily-r8 chain, (|r8| DESC, d) order stats,
+    // 12dp log folds, the scale offset cancelling inside H
+    "q375_hill_tail" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY d)
+                    AS pc
+                FROM dcl),
+          r AS (SELECT series, d,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          ab AS (SELECT series, d, abs(r8) AS a8 FROM r
+                 WHERE abs(r8) > 0),
+          rk AS (SELECT series, d, a8,
+                   count(*) OVER (PARTITION BY series) AS n,
+                   row_number() OVER (PARTITION BY series
+                     ORDER BY a8 DESC, d) AS rn
+                 FROM ab),
+          kk AS (SELECT *, greatest(5, CAST(floor(
+                   CAST(n AS DOUBLE)*0.05) AS BIGINT)) AS k
+                 FROM rk),
+          ag AS (SELECT series, CAST(max(n) AS BIGINT) AS n_rets,
+                   CAST(max(k) AS BIGINT) AS k,
+                   SUM(CASE WHEN rn <= k THEN
+                     CAST(round(ln(CAST(a8 AS DOUBLE)), 12)
+                       AS DECIMAL(38,12)) END) AS slog,
+                   max(CASE WHEN rn = k + 1 THEN a8 END) AS xk1
+                 FROM kk WHERE rn <= k + 1 GROUP BY 1)
+          SELECT series, n_rets, k,
+            CASE WHEN xk1 IS NOT NULL THEN
+              round(CAST(xk1 AS DOUBLE)/1e8, 8) END AS x_kplus1,
+            CASE WHEN xk1 IS NOT NULL THEN
+              round(CAST(slog AS DOUBLE)/CAST(k AS DOUBLE)
+                - round(ln(CAST(xk1 AS DOUBLE)), 12), 6) END
+              AS hill_h,
+            CASE WHEN xk1 IS NOT NULL
+              AND CAST(slog AS DOUBLE)/CAST(k AS DOUBLE)
+                - round(ln(CAST(xk1 AS DOUBLE)), 12) > 0 THEN
+              round(1.0/(CAST(slog AS DOUBLE)/CAST(k AS DOUBLE)
+                - round(ln(CAST(xk1 AS DOUBLE)), 12)), 6) END
+              AS tail_alpha
+          FROM ag ORDER BY series""",
+
+    // Tail-dependence twin: the same daily-r8 chain both legs,
+    // (value, d) row_number extreme-day sets, integer overlap counts
+    "q376_tail_dep" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY d)
+                    AS pc
+                FROM dcl),
+          r AS (SELECT series, d,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          ali AS (SELECT a.series AS series_a, b.series AS series_b,
+                    a.d, a.r8 AS ra, b.r8 AS rb
+                  FROM r a JOIN r b ON a.d = b.d
+                  WHERE a.series < b.series),
+          rk AS (SELECT *,
+                   count(*) OVER (PARTITION BY series_a, series_b)
+                     AS n,
+                   row_number() OVER (PARTITION BY series_a, series_b
+                     ORDER BY ra DESC, d) AS ha,
+                   row_number() OVER (PARTITION BY series_a, series_b
+                     ORDER BY rb DESC, d) AS hb,
+                   row_number() OVER (PARTITION BY series_a, series_b
+                     ORDER BY ra ASC, d) AS la,
+                   row_number() OVER (PARTITION BY series_a, series_b
+                     ORDER BY rb ASC, d) AS lb
+                 FROM ali),
+          kk AS (SELECT *, greatest(1, CAST(floor(
+                   CAST(n AS DOUBLE)*0.1) AS BIGINT)) AS k
+                 FROM rk)
+          SELECT series_a, series_b,
+            CAST(max(n) AS BIGINT) AS n_days,
+            CAST(max(k) AS BIGINT) AS k,
+            round(CAST(SUM(CASE WHEN ha <= k AND hb <= k
+                THEN 1 ELSE 0 END) AS DOUBLE)
+              /CAST(max(k) AS DOUBLE), 6) AS lambda_hi,
+            round(CAST(SUM(CASE WHEN la <= k AND lb <= k
+                THEN 1 ELSE 0 END) AS DOUBLE)
+              /CAST(max(k) AS DOUBLE), 6) AS lambda_lo
+          FROM kk GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // AD twin: the q346 chain + erf polynomial, Φ clamped the same
+    // way, 12dp term folds, Stephens' factor in one op order
+    "q378_anderson_darling" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY d)
+                    AS pc
+                FROM dcl),
+          r AS (SELECT series, d,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          st AS (SELECT series, count(*) AS n,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(r8 AS DECIMAL(38,0))
+                    *CAST(r8 AS DECIMAL(38,0))) AS s2
+                FROM r GROUP BY 1),
+          mu AS (SELECT series, n,
+                  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu8,
+                  sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1)))
+                    AS sd8
+                FROM st),
+          z AS (SELECT r.series, mu.n,
+                  (CAST(r8 AS DOUBLE) - mu8)/sd8 AS z,
+                  CAST(row_number() OVER (PARTITION BY r.series
+                    ORDER BY r8, d) AS BIGINT) AS i
+                FROM r JOIN mu ON r.series = mu.series
+                WHERE sd8 > 0),
+          p2 AS (SELECT *, abs(z)/1.4142135623730951 AS x FROM z),
+          p3 AS (SELECT *, 1.0/(1.0 + 0.3275911*x) AS t FROM p2),
+          p4 AS (SELECT *,
+                   ((((1.061405429*t - 1.453152027)*t + 1.421413741)*t
+                     - 0.284496736)*t + 0.254829592)*t AS poly
+                 FROM p3),
+          p5 AS (SELECT *, 1.0 - poly*exp(-x*x) AS erf FROM p4),
+          p6 AS (SELECT series, n, i,
+                   least(greatest(
+                     CASE WHEN z >= 0 THEN 0.5*(1.0 + erf)
+                          ELSE 0.5*(1.0 - erf) END, 1e-15),
+                     1.0 - 1e-15) AS ph
+                 FROM p5),
+          tm AS (SELECT series, n,
+                   CAST(round(
+                     (2.0*CAST(i AS DOUBLE) - 1)*ln(ph)
+                     + (2.0*(CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+                       + 1)*ln(1.0 - ph), 12) AS DECIMAL(38,12))
+                     AS t12
+                 FROM p6),
+          ag AS (SELECT series, CAST(max(n) AS BIGINT) AS n_days,
+                   SUM(t12) AS s12
+                 FROM tm GROUP BY 1)
+          SELECT series, n_days,
+            round(-CAST(n_days AS DOUBLE)
+              - CAST(s12 AS DOUBLE)/CAST(n_days AS DOUBLE), 6) AS a2,
+            round((-CAST(n_days AS DOUBLE)
+                - CAST(s12 AS DOUBLE)/CAST(n_days AS DOUBLE))
+              *(1.0 + 0.75/CAST(n_days AS DOUBLE)
+                + 2.25/(CAST(n_days AS DOUBLE)
+                  *CAST(n_days AS DOUBLE))), 6) AS a2_star,
+            (-CAST(n_days AS DOUBLE)
+                - CAST(s12 AS DOUBLE)/CAST(n_days AS DOUBLE))
+              *(1.0 + 0.75/CAST(n_days AS DOUBLE)
+                + 2.25/(CAST(n_days AS DOUBLE)
+                  *CAST(n_days AS DOUBLE))) > 0.752 AS reject_normal
+          FROM ag ORDER BY series""",
+
+    // W1-drift twin: q270's half split on the daily chain, distinct-
+    // value CDF walk, ALL-INTEGER |C1·n2 − C2·n1|·Δv terms
+    "q379_w1_drift" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY d)
+                    AS pc
+                FROM dcl),
+          r AS (SELECT series, d,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          idx AS (SELECT series, r8,
+                   row_number() OVER (PARTITION BY series ORDER BY d)
+                     <= CAST(floor(CAST(count(*) OVER
+                       (PARTITION BY series) AS DOUBLE)/2) AS BIGINT)
+                     AS in1
+                  FROM r),
+          cells AS (SELECT series, r8,
+                     CAST(SUM(CASE WHEN in1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c1,
+                     CAST(SUM(CASE WHEN in1 THEN 0 ELSE 1 END)
+                       AS BIGINT) AS c2
+                    FROM idx GROUP BY 1, 2),
+          tot AS (SELECT series, CAST(SUM(c1) AS BIGINT) AS n1,
+                    CAST(SUM(c2) AS BIGINT) AS n2
+                  FROM cells GROUP BY 1),
+          wk AS (SELECT series, r8,
+                   CAST(SUM(c1) OVER wc AS BIGINT) AS cc1,
+                   CAST(SUM(c2) OVER wc AS BIGINT) AS cc2,
+                   lead(r8) OVER (PARTITION BY series ORDER BY r8)
+                     - r8 AS dv
+                 FROM cells
+                 WINDOW wc AS (PARTITION BY series ORDER BY r8
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          tm AS (SELECT wk.series, n1, n2,
+                   CASE WHEN dv IS NOT NULL THEN
+                     abs(cc1*n2 - cc2*n1)*dv ELSE 0 END AS term
+                 FROM wk JOIN tot ON wk.series = tot.series)
+          SELECT series, max(n1) AS n1, max(n2) AS n2,
+            CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+              round(CAST(SUM(CAST(term AS DECIMAL(38,0))) AS DOUBLE)
+                /(CAST(max(n1) AS DOUBLE)*CAST(max(n2) AS DOUBLE)
+                  *1e8), 6) END AS w1_drift
+          FROM tm GROUP BY series ORDER BY series""",
+
+    // TE twin: the q341 global lag chain (the day-scoped escape's
+    // bit-identical form), sign cells, three integer margins, 12dp
+    // DECIMAL term folds
+    "q380_transfer_entropy" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars WHERE close > 0),
+          r0 AS (SELECT series, bar_ts,
+                  CASE WHEN prev_c IS NOT NULL AND prev_c > 0
+                    THEN CAST(floor(ln(close/prev_c) * 1e8 + 0.5)
+                      AS BIGINT) END AS r8
+                FROM l),
+          rr AS (SELECT series, bar_ts, r8,
+                   lag(r8) OVER (PARTITION BY series ORDER BY bar_ts)
+                     AS rl8
+                 FROM r0),
+          rc AS (SELECT series, bar_ts,
+                   CASE WHEN r8 > 0 THEN 1 ELSE 0 END AS s,
+                   CASE WHEN rl8 > 0 THEN 1 ELSE 0 END AS sp
+                 FROM rr
+                 WHERE r8 IS NOT NULL AND rl8 IS NOT NULL),
+          joint AS (SELECT x.series AS cause, y.series AS effect,
+                      y.s AS yv, y.sp AS yp, x.sp AS xp,
+                      count(*) AS c
+                    FROM rc y JOIN rc x ON y.bar_ts = x.bar_ts
+                      AND y.series <> x.series
+                    GROUP BY 1, 2, 3, 4, 5),
+          myyp AS (SELECT cause, effect, yv, yp, SUM(c) AS c_yyp
+                   FROM joint GROUP BY 1, 2, 3, 4),
+          mypxp AS (SELECT cause, effect, yp, xp, SUM(c) AS c_ypxp
+                    FROM joint GROUP BY 1, 2, 3, 4),
+          myp AS (SELECT cause, effect, yp, SUM(c) AS c_yp
+                  FROM joint GROUP BY 1, 2, 3),
+          tot AS (SELECT cause, effect, CAST(SUM(c) AS BIGINT) AS n,
+                    count(*) AS n_cells
+                  FROM joint GROUP BY 1, 2),
+          tm AS (SELECT j.cause, j.effect, n, n_cells,
+                   CAST(round(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)
+                     *ln(CAST(c AS DOUBLE)*CAST(c_yp AS DOUBLE)
+                       /(CAST(c_ypxp AS DOUBLE)
+                         *CAST(c_yyp AS DOUBLE))), 12)
+                     AS DECIMAL(38,12)) AS t12
+                 FROM joint j
+                 JOIN myyp USING (cause, effect, yv, yp)
+                 JOIN mypxp USING (cause, effect, yp, xp)
+                 JOIN myp USING (cause, effect, yp)
+                 JOIN tot USING (cause, effect))
+          SELECT cause, effect, max(n) AS n,
+            max(n_cells) AS n_cells,
+            round(CAST(SUM(t12) AS DOUBLE), 6) AS te_nats
+          FROM tm GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Sharpe-diff twin: aligned return legs, 12dp co-moment folds,
     // the Memmel θ̂ in one shared op order

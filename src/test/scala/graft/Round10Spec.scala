@@ -370,4 +370,121 @@ class Round10Spec extends AnyFunSuite {
     assert(purity.head.getAs[Long]("sz") === 3L)
     assert(purity.head.getAs[Long]("n_sources") === 2L)
   }
+
+  // ---- round-10 continuation fixtures (q374-q380) -----------------------
+
+  /** One bar per day with EXACT authored closes (the chatterjee /
+    * pettitt 1e6-long snap is then exact). */
+  private def exactCloseBars(series: Map[String, Seq[Double]]) = {
+    val day0 = java.time.LocalDate.of(2024, 3, 1)
+    series.toSeq.flatMap { case (s, closes) =>
+      closes.zipWithIndex.map { case (c, i) =>
+        (s, Timestamp.valueOf(day0.plusDays(i.toLong).atTime(15, 0)), c)
+      }
+    }.toDF("series", "bar_ts", "close")
+  }
+
+  test("chatterjee: a noiseless function pins xi at the n=4 maximum 0.4; constant y nulls") {
+    // identity dependence, n = 4 distinct points: sum|dr| = 3,
+    // sum l(n-l) = 10 -> xi = 1 - 4*3/20 = 0.4 (the estimator's
+    // finite-n ceiling); a constant y makes every l = n -> dd = 0
+    val out = MarketBars.chatterjee(exactCloseBars(Map(
+        "x" -> Seq(1.0, 2.0, 3.0, 4.0),
+        "y" -> Seq(10.0, 20.0, 30.0, 40.0),
+        "k" -> Seq(5.0, 5.0, 5.0, 5.0))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("x", "y")).getAs[Double]("xi") === 0.4)
+    assert(out(("y", "x")).getAs[Double]("xi") === 0.4)
+    assert(out(("x", "k")).isNullAt(out(("x", "k")).fieldIndex("xi")))
+    assert(out(("x", "y")).getAs[Long]("n") === 4L)
+  }
+
+  test("hillTail: exact powers-of-two tail pins H = 3 ln 2") {
+    // top-6 |r8| are 2^5..2^0 multiples of 0.0025: every ratio to
+    // x_(k+1) is a power of two -> H = (5+4+3+2+1)/5 * ln2 = 3 ln2
+    val rets = Seq(0.08, -0.04, 0.02, -0.01, 0.005, -0.0025,
+      0.002, -0.0019, 0.0018, -0.0017, 0.0016, -0.0015)
+    val r = MarketBars.hillTail(dailyCloseBars(Map("s" -> rets)))
+      .collect().head
+    assert(r.getAs[Long]("n_rets") === 12L)
+    assert(r.getAs[Long]("k") === 5L)
+    assert(r.getAs[Double]("x_kplus1") === 0.0025)
+    assert(r.getAs[Double]("hill_h") === 2.079442)
+    assert(r.getAs[Double]("tail_alpha") === 0.480898)
+  }
+
+  test("tailDependence: comonotone pair overlaps fully, antimonotone not at all") {
+    val up = (1 to 10).map(_ * 0.001)
+    val out = MarketBars.tailDependence(dailyCloseBars(Map(
+        "a" -> up, "b" -> up, "c" -> up.reverse)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("a", "b")).getAs[Long]("k") === 1L)
+    assert(out(("a", "b")).getAs[Double]("lambda_hi") === 1.0)
+    assert(out(("a", "b")).getAs[Double]("lambda_lo") === 1.0)
+    assert(out(("a", "c")).getAs[Double]("lambda_hi") === 0.0)
+    assert(out(("a", "c")).getAs[Double]("lambda_lo") === 0.0)
+  }
+
+  test("vocabRichness: 'a a b c' pins the whole spectrum read") {
+    val docs = Seq(("s1", "a a b c")).toDF("source", "text")
+    val r = graft.ops.CorpusOps.vocabRichness(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("v_types") === 3L)
+    assert(r.getAs[Long]("f1") === 2L)
+    assert(r.getAs[Long]("f2") === 1L)
+    assert(r.getAs[Double]("gt_missing_mass") === 0.5)
+    assert(r.getAs[Double]("gt_coverage") === 0.5)
+    assert(r.getAs[Double]("chao1") === 3.5)
+    assert(r.getAs[Double]("unseen_share") === 0.142857)
+  }
+
+  test("andersonDarling: a two-point mass rejects, perfect normal scores do not") {
+    // 20 two-sided normal quantiles z_{(i-0.5)/20} scaled to returns —
+    // the closest a 20-point sample can sit to the fitted normal
+    val scores = Seq(1.959964, 1.439531, 1.150349, 0.934589, 0.755415,
+      0.598046, 0.453762, 0.318639, 0.189118, 0.062707)
+    val normal = (scores ++ scores.map(-_)).map(_ * 0.01)
+    val twopoint = Seq.tabulate(40)(i => if (i % 2 == 0) 0.01 else -0.01)
+    val out = MarketBars.andersonDarling(dailyCloseBars(Map(
+        "normal" -> normal, "twopoint" -> twopoint)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out("normal").getAs[Boolean]("reject_normal"),
+      s"quantile scores must pass: ${out("normal")}")
+    assert(out("twopoint").getAs[Boolean]("reject_normal"),
+      s"a two-point mass must reject: ${out("twopoint")}")
+  }
+
+  test("w1Drift: a +0.01 half-shift reads exactly 0.01; identical halves read 0") {
+    val shifted = Seq(0.001, 0.002, 0.003, 0.004,
+      0.011, 0.012, 0.013, 0.014)
+    val same = Seq(0.001, 0.002, 0.003, 0.001, 0.002, 0.003)
+    val out = MarketBars.w1Drift(dailyCloseBars(Map(
+        "shifted" -> shifted, "same" -> same)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("shifted").getAs[Long]("n1") === 4L)
+    assert(out("shifted").getAs[Double]("w1_drift") === 0.01)
+    assert(out("same").getAs[Double]("w1_drift") === 0.0)
+  }
+
+  test("transferEntropy: a sign-copy channel pins TE; a constant leg reads exactly 0") {
+    // x: period-4 sign pattern ++--; y_t copies x_{t-1}'s sign, so
+    // x's yesterday fully determines y today. Hand-computed plug-in
+    // over the 33 valid rows (one boundary row t=2 included):
+    // TE(x->y) = (9/33)ln(17/9) + (8/33)ln(17/8) + (16/33)ln2
+    //          = 0.692255; the reverse direction reads the pattern's
+    // own 2-step determinism through y = 0.597119; a constant-sign
+    // series zeroes BOTH directions exactly (single-cell margins)
+    val xr = (1 to 34).map(t =>
+      if (Seq(1, 1, 0, 0)((t - 1) % 4) == 1) 0.01 else -0.01)
+    val yr = 0.01 +: (2 to 34).map(t => xr(t - 2))
+    val cr = Seq.fill(34)(0.001)
+    val out = MarketBars.transferEntropy(dailyCloseBars(Map(
+        "x" -> xr, "y" -> yr.toSeq, "c" -> cr)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("x", "y")).getAs[Long]("n") === 33L)
+    assert(out(("x", "y")).getAs[Double]("te_nats") === 0.692255)
+    assert(out(("y", "x")).getAs[Double]("te_nats") === 0.597119)
+    assert(out(("x", "c")).getAs[Double]("te_nats") === 0.0)
+    assert(out(("c", "x")).getAs[Double]("te_nats") === 0.0)
+  }
 }
