@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Corpus-level statistics and layout operators a training-data
   * pipeline runs after curation:
@@ -2071,6 +2071,67 @@ object CorpusOps {
       when(chao1 > 0,
         round((chao1 - dbl(col("v_types"))) / chao1, 6))
         .as("unseen_share"))
+  }
+
+  /** Crawl quality drift per source: mean TextOps quality score per
+    * id-tranche (q371's bucketing — ids proxy crawl order) plus the
+    * OLS drift slope across tranches — "did this source's crawl get
+    * WORSE over time", the temporal companion to q193's point-in-time
+    * source scorecard. A negative slope on a big source is the
+    * classic crawl-rot signal (later frontier pages are thinner) that
+    * a whole-corpus mean hides.
+    *
+    * Determinism: per-doc quality is the q21 4dp score snapped to
+    * exact 1e6 longs; tranche means fold as DECIMAL and re-snap to
+    * micro-units (one floor(x + 0.5)); the slope runs the q121
+    * integer co-moment OLS on (bucket, y6) — all-integer until one
+    * double finish, 6dp.
+    *
+    * Scale: ONE tokenize pass (textStats' own barrier), one
+    * (source, bucket) aggregate — map-side combined, key count
+    * bounded by \|sources\|·buckets; the max-id probe is a 1-row
+    * broadcast. */
+  def qualityDrift(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val mx = docs.agg(max(col(idCol)).as("mx"))
+    val q = TextOps.textStats(docs, textCol)
+      .select(col(sourceCol).as("source"), col(idCol).as("doc"),
+        floor(col("quality_score") * lit(1e6) + lit(0.5)).cast("long")
+          .as("q6"))
+    val bucketOf =
+      least(floor(dbl(col("doc")) * buckets / (dbl(col("mx")) + 1)) + 1,
+        lit(buckets.toLong)).cast("int")
+    val cell = q.crossJoin(broadcast(mx))
+      .groupBy(col("source"), bucketOf.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q6").cast(dec)).as("sq"))
+      .withColumn("y6",
+        floor(dbl(col("sq")) / dbl(col("n_docs")) + lit(0.5))
+          .cast("long"))
+    val agg = cell.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("bucket").cast(LongType)).as("sx"),
+        sum((col("bucket") * col("bucket")).cast(LongType)).as("sxx"),
+        sum(col("y6")).as("sy"),
+        sum(col("bucket").cast(LongType) * col("y6")).as("sxy"),
+        max(when(col("bucket") === 1, col("y6"))).as("yf"),
+        max(when(col("bucket") === buckets, col("y6"))).as("yl"))
+    val nb = dbl(col("n_buckets"))
+    val den = nb * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    agg.select(col("source"), col("n_docs"), col("n_buckets"),
+      round(dbl(col("yf")) / lit(1e6), 6).as("q_first"),
+      round(dbl(col("yl")) / lit(1e6), 6).as("q_last"),
+      when(den > 0,
+        round((nb * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+          / den / lit(1e6), 6)).as("drift_slope"))
   }
 
   /** Pairwise source vocabulary overlap: exact Jaccard between every

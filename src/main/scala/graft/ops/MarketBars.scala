@@ -5350,4 +5350,117 @@ object MarketBars {
       .select(col("cause"), col("effect"), col("n"), col("n_cells"),
         round(dbl(col("te12")), 6).as("te_nats"))
   }
+
+  /** Epps-effect curve: pair return correlation at COARSENING sampling
+    * scales (5/15/60-minute bars) — on real markets high-frequency
+    * correlations are biased toward ZERO by asynchronous trading and
+    * recover as the sampling step grows (Epps 1979); the curve says
+    * which sampling scale q85/q259's correlation reads are trustworthy
+    * at.
+    *
+    * Correctness note: the coarse close composes exactly — the
+    * 60-minute argmax-by-ts close equals the close of the last
+    * nonempty 5-minute bar (bar buckets partition time), so
+    * [[resample]] and the oracle's direct coarse aggregation agree
+    * bit-for-bit.
+    *
+    * Determinism: per-scale r8 chains are exact longs (close > 0
+    * pre-filtered before the lag, the q250 rule); all five co-moments
+    * fold as DECIMAL(38,0) integer products (the q341 machinery);
+    * Pearson finishes in one shared double op order, 6dp.
+    *
+    * Scale: each scale's chain is day-scoped (carry 2) over bars that
+    * only SHRINK with the step; ONE checkpointed union feeds both
+    * pair-join legs keyed (scale, bar_ts) with \|series\| rows per
+    * key; output is \|series\|²·\|scales\| rows. */
+  def eppsCurve(
+      bars: DataFrame,
+      scalesMin: Seq[Int] = Seq(5, 15, 60)): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val legs = scalesMin.map { m =>
+      val cb = resample(bars, m * 60L * 1000000L)
+        .filter(col("close") > 0)
+      val aug = ScalableWindow.dayScoped(cb, Seq("series"),
+        Seq("bar_ts"), "bar_ts", 2)
+      val w = Window.partitionBy(col("series"), col("__day_idx"))
+        .orderBy(col("bar_ts"))
+      aug
+        .withColumn("pc", lag(col("close"), 1).over(w))
+        .withColumn("r8",
+          when(col("pc") > 0,
+            floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+              .cast("long")))
+        .filter(col("__emit") && col("r8").isNotNull)
+        .select(lit(m).as("scale_min"), col("series"), col("bar_ts"),
+          col("r8"))
+    }
+    val rr = legs.reduce(_ unionByName _)
+      .localCheckpoint(eager = false) // both pair legs
+    val a = rr.select(col("scale_min"), col("series").as("series_a"),
+      col("bar_ts"), col("r8").as("ra"))
+    val b = rr.select(col("scale_min"), col("series").as("series_b"),
+      col("bar_ts"), col("r8").as("rb"))
+    def d(c: Column) = c.cast(dec)
+    val agg = a.join(b, Seq("scale_min", "bar_ts"))
+      .filter(col("series_a") < col("series_b"))
+      .groupBy(col("series_a"), col("series_b"), col("scale_min"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("ra"))).as("sa"), sum(d(col("rb"))).as("sb"),
+        sum(d(col("ra")) * d(col("rb"))).as("sab"),
+        sum(d(col("ra")) * d(col("ra"))).as("saa"),
+        sum(d(col("rb")) * d(col("rb"))).as("sbb"))
+    val n = dbl(col("n"))
+    val va = n * dbl(col("saa")) - dbl(col("sa")) * dbl(col("sa"))
+    val vb = n * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))
+    val cov = n * dbl(col("sab")) - dbl(col("sa")) * dbl(col("sb"))
+    agg.select(col("series_a"), col("series_b"), col("scale_min"),
+      col("n"),
+      when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
+  }
+
+  /** Daily cross-sectional return dispersion + CSAD (Chang–Cheng–
+    * Khorana 2000): per day over all series' daily returns — the
+    * cross-sectional sd (the dispersion regime gauge) and the
+    * cross-sectional absolute deviation (the herding literature's
+    * statistic: CSAD COMPRESSING as the market return widens is the
+    * herding signature). The time-axis companion reads are q241's
+    * vol cone (per series) and q320's rank IC (cross-sectional
+    * ranks); this is the LEVEL of cross-sectional disagreement.
+    *
+    * Determinism: ALL-INTEGER until the finishes — r8 longs, the
+    * per-day sum/count come off one day-partitioned window (integer
+    * sums), CSAD's Σ|n·r_i − S| terms are exact longs, squares fold
+    * as DECIMAL products; each output finishes in one shared double
+    * op order, 6dp (8dp for the min/max which are exact longs).
+    *
+    * Scale: day collapse first; the day-partitioned window holds
+    * \|series\| rows per day (the q320 cross-section shape — the KEY
+    * grows with the calendar, tasks stay cross-section-sized);
+    * \|days\| rows out. */
+  def csDispersion(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val wD = Window.partitionBy(col("d"))
+    val x = dailyR8(bars)
+      .withColumn("n", count(lit(1)).over(wD))
+      .withColumn("s", sum(col("r8")).over(wD))
+      .withColumn("ad", abs(col("n") * col("r8") - col("s")))
+    val agg = x.groupBy(col("d"))
+      .agg(max(col("n")).as("n_series"),
+        max(col("s")).as("s1"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("s2"),
+        sum(col("ad").cast(dec)).as("sad"),
+        min(col("r8")).as("lo8"), max(col("r8")).as("hi8"))
+    val n = dbl(col("n_series"))
+    agg.select(col("d"), col("n_series"),
+      round(dbl(col("s1")) / n / lit(1e8), 6).as("mean_ret"),
+      when(col("n_series") > 1,
+        round(sqrt((n * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) / (n * (n - 1))) / lit(1e8),
+          6)).as("cs_sd"),
+      round(dbl(col("sad")) / (n * n) / lit(1e8), 6).as("csad"),
+      round(dbl(col("lo8")) / lit(1e8), 8).as("min_ret"),
+      round(dbl(col("hi8")) / lit(1e8), 8).as("max_ret"))
+  }
 }

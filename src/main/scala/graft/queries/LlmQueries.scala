@@ -1264,6 +1264,15 @@ object LlmQueries {
       CorpusOps.vocabRichness(Tables.rebalance(Tables.documents(s, dir)),
           ngram = 3)
         .orderBy(col("source"))
+    }),
+
+    // Crawl quality drift (CorpusOps.qualityDrift): per-source mean
+    // quality by id-tranche + the OLS drift slope — "did this
+    // source's crawl get worse over time", the temporal companion to
+    // q193's point-in-time scorecard
+    "q383_quality_drift" -> ((s, dir) => {
+      CorpusOps.qualityDrift(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
     })
   )
 
@@ -4619,6 +4628,61 @@ object LlmQueries {
                   + CAST(f1 AS DOUBLE)*(CAST(f1 AS DOUBLE) - 1)
                     /(2.0*(CAST(f2 AS DOUBLE) + 1))), 6)
             END AS unseen_share
-          FROM a ORDER BY source"""
+          FROM a ORDER BY source""",
+
+    // Quality-drift twin: the q21 quality chain snapped to 1e6 longs,
+    // the q371 tranche bucketing, the integer co-moment OLS
+    "q383_quality_drift" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                      regexp_split_to_array(trim(text), ' +') AS toks
+                    FROM documents),
+          mx AS (SELECT max(doc_id) AS mx FROM documents),
+          s AS (SELECT d.doc_id, d.source,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+            CAST(len(list_filter(toks,
+              t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT)
+              AS n_stop
+          FROM d),
+          q AS (SELECT source, doc_id AS doc,
+                  CAST(floor(round(
+                      least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
+                      + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
+                      + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4)
+                    *1e6 + 0.5) AS BIGINT) AS q6
+                FROM s),
+          cell AS (SELECT source,
+                    least(CAST(floor(CAST(doc AS DOUBLE)*10
+                      /(CAST(mx AS DOUBLE)+1)) AS INTEGER)+1, 10)
+                      AS bucket,
+                    count(*) AS n_docs,
+                    SUM(CAST(q6 AS DECIMAL(38,0))) AS sq
+                   FROM q CROSS JOIN mx GROUP BY 1, 2),
+          y AS (SELECT source, bucket,
+                  CAST(n_docs AS BIGINT) AS n_docs,
+                  CAST(floor(CAST(sq AS DOUBLE)
+                    /CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS y6
+                FROM cell),
+          ag AS (SELECT source,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(bucket) AS BIGINT) AS sx,
+                   CAST(SUM(bucket*bucket) AS BIGINT) AS sxx,
+                   CAST(SUM(y6) AS BIGINT) AS sy,
+                   CAST(SUM(bucket*y6) AS BIGINT) AS sxy,
+                   max(CASE WHEN bucket = 1 THEN y6 END) AS yf,
+                   max(CASE WHEN bucket = 10 THEN y6 END) AS yl
+                 FROM y GROUP BY 1)
+          SELECT source, n_docs, n_buckets,
+            round(CAST(yf AS DOUBLE)/1e6, 6) AS q_first,
+            round(CAST(yl AS DOUBLE)/1e6, 6) AS q_last,
+            CASE WHEN CAST(n_buckets AS DOUBLE)*CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0 THEN
+              round((CAST(n_buckets AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                /(CAST(n_buckets AS DOUBLE)*CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))/1e6, 6)
+            END AS drift_slope
+          FROM ag ORDER BY source"""
   )
 }

@@ -1466,6 +1466,24 @@ object MarketQueries {
         .orderBy(col("cause"), col("effect"))
     }),
 
+    // Epps-effect curve (MarketBars.eppsCurve): pair correlation at
+    // 5/15/60-minute sampling — which sampling scale the correlation
+    // reads are trustworthy at
+    "q381_epps" -> ((s, dir) => {
+      MarketBars.eppsCurve(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series_a"), col("series_b"), col("scale_min"))
+    }),
+
+    // Daily cross-sectional dispersion + CSAD
+    // (MarketBars.csDispersion): the herding-literature statistic —
+    // the LEVEL of cross-sectional disagreement per day
+    "q382_cs_dispersion" -> ((s, dir) => {
+      MarketBars.csDispersion(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("d"))
+    }),
+
     // Jobson–Korkie/Memmel Sharpe-difference test
     // (MarketBars.sharpeDiff): is click's Sharpe formally higher than
     // view's — what the q140 tearsheet eyeballs
@@ -5748,6 +5766,100 @@ object MarketQueries {
             max(n_cells) AS n_cells,
             round(CAST(SUM(t12) AS DOUBLE), 6) AS te_nats
           FROM tm GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Epps twin: per-scale coarse bars aggregated DIRECTLY from events
+    // (the argmax close composes exactly with resample), q250-style
+    // pre-filtered lag chains, DECIMAL co-moment folds
+    "q381_epps" -> {
+      def leg(m: Int) = {
+        val step = m * 60L * 1000000L
+        s"""cb$m AS (SELECT event_type AS series,
+                  make_timestamp((epoch_us(ts)//$step)*$step) AS bar_ts,
+                  (max(struct_pack(t := ts, v := value))).v AS close
+                FROM events GROUP BY 1, 2),
+          l$m AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS pc
+                FROM cb$m WHERE close > 0),
+          r$m AS (SELECT $m AS scale_min, series, bar_ts,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l$m WHERE pc IS NOT NULL AND pc > 0)"""
+      }
+      s"""WITH ${leg(5)},
+          ${leg(15)},
+          ${leg(60)},
+          rr AS (SELECT * FROM r5 UNION ALL SELECT * FROM r15
+                 UNION ALL SELECT * FROM r60),
+          ag AS (SELECT a.series AS series_a, b.series AS series_b,
+                   a.scale_min, count(*) AS n,
+                   SUM(CAST(a.r8 AS DECIMAL(38,0))) AS sa,
+                   SUM(CAST(b.r8 AS DECIMAL(38,0))) AS sb,
+                   SUM(CAST(a.r8 AS DECIMAL(38,0))
+                     *CAST(b.r8 AS DECIMAL(38,0))) AS sab,
+                   SUM(CAST(a.r8 AS DECIMAL(38,0))
+                     *CAST(a.r8 AS DECIMAL(38,0))) AS saa,
+                   SUM(CAST(b.r8 AS DECIMAL(38,0))
+                     *CAST(b.r8 AS DECIMAL(38,0))) AS sbb
+                 FROM rr a JOIN rr b ON a.scale_min = b.scale_min
+                   AND a.bar_ts = b.bar_ts AND a.series < b.series
+                 GROUP BY 1, 2, 3)
+          SELECT series_a, series_b, scale_min, n,
+            CASE WHEN CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+                - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE) > 0
+              AND CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+                - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE) > 0 THEN
+              round((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+                /sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+                    - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+                  *(CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+                    - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))), 6)
+            END AS corr
+          FROM ag ORDER BY series_a, series_b, scale_min"""
+    },
+
+    // CS-dispersion twin: the daily-r8 chain, day-window integer
+    // sums, all-integer |n·r − S| CSAD terms, shared finish op orders
+    "q382_cs_dispersion" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (max(struct_pack(t := bar_ts, v := close))).v
+                      AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY d)
+                    AS pc
+                FROM dcl),
+          r AS (SELECT series, d,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          x AS (SELECT d, r8,
+                  CAST(count(*) OVER wd AS BIGINT) AS n,
+                  CAST(SUM(r8) OVER wd AS BIGINT) AS s
+                FROM r
+                WINDOW wd AS (PARTITION BY d)),
+          ag AS (SELECT d, max(n) AS n_series, max(s) AS s1,
+                   SUM(CAST(r8 AS DECIMAL(38,0))
+                     *CAST(r8 AS DECIMAL(38,0))) AS s2,
+                   SUM(CAST(abs(n*r8 - s) AS DECIMAL(38,0))) AS sad,
+                   min(r8) AS lo8, max(r8) AS hi8
+                 FROM x GROUP BY 1)
+          SELECT d, n_series,
+            round(CAST(s1 AS DOUBLE)/CAST(n_series AS DOUBLE)/1e8, 6)
+              AS mean_ret,
+            CASE WHEN n_series > 1 THEN
+              round(sqrt((CAST(n_series AS DOUBLE)*CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                /(CAST(n_series AS DOUBLE)
+                  *(CAST(n_series AS DOUBLE) - 1)))/1e8, 6)
+            END AS cs_sd,
+            round(CAST(sad AS DOUBLE)
+              /(CAST(n_series AS DOUBLE)*CAST(n_series AS DOUBLE))
+              /1e8, 6) AS csad,
+            round(CAST(lo8 AS DOUBLE)/1e8, 8) AS min_ret,
+            round(CAST(hi8 AS DOUBLE)/1e8, 8) AS max_ret
+          FROM ag ORDER BY d""",
 
     // Sharpe-diff twin: aligned return legs, 12dp co-moment folds,
     // the Memmel θ̂ in one shared op order

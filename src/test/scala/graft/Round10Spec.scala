@@ -487,4 +487,65 @@ class Round10Spec extends AnyFunSuite {
     assert(out(("x", "c")).getAs[Double]("te_nats") === 0.0)
     assert(out(("c", "x")).getAs[Double]("te_nats") === 0.0)
   }
+
+  test("eppsCurve: identical pair reads 1, mirrored pair -1, at every scale") {
+    // 37 five-minute bars (one day): 5-min has 36 returns, 15-min
+    // and 60-min coarsenings fewer — perfect co/anti-movement is
+    // scale-invariant, so every row pins exactly
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val rets = Seq.tabulate(36)(i =>
+      Seq(0.01, -0.02, 0.015, 0.005, -0.01, 0.02)(i % 6))
+    def mk(s: String, sign: Double) =
+      rets.scanLeft(100.0)((c, r) => c * math.exp(sign * r))
+        .zipWithIndex.map { case (c, i) =>
+          (s, new Timestamp(t0.getTime + i * 300000L), c)
+        }
+    val bars = (mk("a", 1.0) ++ mk("m", -1.0))
+      .toDF("series", "bar_ts", "close")
+      .groupBy(col("series"), col("bar_ts"))
+      .agg(max(col("close")).as("close"))
+      .withColumn("open", col("close"))
+      .withColumn("high", col("close"))
+      .withColumn("low", col("close"))
+      .withColumn("n_ticks", lit(1L))
+      .withColumn("volume", col("close"))
+    val out = MarketBars.eppsCurve(bars)
+      .collect().map(r => r.getInt(2) -> r).toMap
+    assert(out.keySet === Set(5, 15, 60))
+    Seq(5, 15, 60).foreach { m =>
+      assert(out(m).getAs[Double]("corr") === -1.0, s"scale $m")
+    }
+    assert(out(5).getAs[Long]("n") === 36L)
+    assert(out(60).getAs[Long]("n") === 3L)
+  }
+
+  test("csDispersion: a 1/2/3%% cross-section pins mean, sd, and CSAD") {
+    val out = MarketBars.csDispersion(dailyCloseBars(Map(
+        "a" -> Seq(0.01), "b" -> Seq(0.02), "c" -> Seq(0.03))))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_series") === 3L)
+    assert(r.getAs[Double]("mean_ret") === 0.02)
+    assert(r.getAs[Double]("cs_sd") === 0.01)
+    // CSAD = (|3-6| + |6-6| + |9-6|)e6 / 9 / 1e8 = 0.006667
+    assert(r.getAs[Double]("csad") === 0.006667)
+    assert(r.getAs[Double]("min_ret") === 0.01)
+    assert(r.getAs[Double]("max_ret") === 0.03)
+  }
+
+  test("qualityDrift: a linear quality ramp pins the slope at 0.008/tranche") {
+    // doc i has i distinct non-stop tokens -> q = 0.6 + 0.004i
+    // exactly; ids 1..20 bucket into consecutive pairs, so tranche b
+    // means are 0.598 + 0.008b — a perfect linear ramp
+    val docs = (1 to 20).map(i =>
+      (i.toLong, (1 to i).map(j => s"w${i}_$j").mkString(" "), "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.CorpusOps.qualityDrift(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === 20L)
+    assert(r.getAs[Long]("n_buckets") === 10L)
+    assert(r.getAs[Double]("q_first") === 0.606)
+    assert(r.getAs[Double]("q_last") === 0.678)
+    assert(r.getAs[Double]("drift_slope") === 0.008)
+  }
 }
