@@ -2632,35 +2632,59 @@ object MarketBars {
     * several bar sampling scales (5m/15m/30m/1h) — flat when returns
     * are a clean martingale, rising at fine scales under
     * microstructure noise; the diagnostic that picks q92's sampling
-    * interval. Each coarser scale [[resample]]s the SAME bar relation
-    * (one tick scan behind a materialization barrier; Catalyst reuses
-    * the exchange across all four branches) and runs q92's exact
-    * return recipe: 8dp log returns over a per-series chain, 12dp
-    * decimal r² sums, sqrt at emission. Output one row per (series,
-    * scale). */
+    * interval. All four scales run off ONE day-scoped window pass
+    * (see the in-body note: coarse closes are bucket-end fine closes,
+    * the previous coarse close is a bucket-end LOCF, and carry 1
+    * covers the day seam exactly) with q92's exact return recipe:
+    * 8dp log returns, 12dp decimal r² sums, sqrt at emission. Output
+    * one row per (series, scale), series absent from a scale it has
+    * no returns at (the per-scale-leg contract). */
   def volSignature(bars: DataFrame): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
-    val b0 = Dist.materialize(bars)
     val scales = Seq(
       ("05m", 5L, FiveMinutesMicros),
       ("15m", 15L, 15L * 60 * 1000 * 1000),
       ("30m", 30L, 30L * 60 * 1000 * 1000),
       ("60m", 60L, OneHourMicros))
-    scales.map { case (label, mins, step) =>
-      val b = if (step == FiveMinutesMicros) b0 else resample(b0, step)
-      // per-scale lag via the day-map escape — (series, day) tasks
-      ScalableWindow.withPrevValues(b, Seq("series"), Seq("bar_ts"),
-          "bar_ts", Seq(("close", "prev_c")))
-        .filter(col("prev_c").isNotNull && col("prev_c") > 0 &&
-          col("close") > 0)
-        .select(col("series"), round(log(col("close") / col("prev_c")), 8)
-          .as("r"))
-        .groupBy(col("series"))
-        .agg(count(lit(1)).as("n_rets"),
-          sum((col("r") * col("r")).cast(DecimalType(28, 12))).as("srr"))
+    // FUSED form (round 10): all four scales off ONE day-scoped window
+    // pass instead of four resample+day-map escapes. A coarse bar's
+    // close is the LAST fine close inside its bucket (bar buckets
+    // partition time, so resample's argmax composes exactly); the
+    // previous coarse close is a running LOCF over bucket-end rows;
+    // and carry 1 suffices for the cross-day seam because a day's
+    // last row is a bucket end at EVERY sub-day step — the carried
+    // row is precisely the previous day's final bucket end.
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", 1)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val withNb = aug.withColumn("__nb", lead(col("bar_ts"), 1).over(w))
+    val rCols = scales.map { case (label, _, step) =>
+      val isEnd = col("__nb").isNull ||
+        timeBucket(col("__nb"), step) =!= timeBucket(col("bar_ts"), step)
+      val pc = last(when(isEnd, col("close")), ignoreNulls = true)
+        .over(wPrev)
+      when(isEnd && pc.isNotNull && pc > 0 && col("close") > 0,
+        round(log(col("close") / pc), 8)).as(s"r_$label")
+    }
+    val rRows = withNb
+      .select(col("series") +: col("__emit") +: rCols: _*)
+      .filter(col("__emit"))
+    val aggExprs = scales.flatMap { case (label, _, _) =>
+      Seq(count(col(s"r_$label")).as(s"n_$label"),
+        sum((col(s"r_$label") * col(s"r_$label"))
+          .cast(DecimalType(28, 12))).as(s"srr_$label"))
+    }
+    val agg = rRows.groupBy(col("series"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .localCheckpoint(eager = false) // four scale projections
+    scales.map { case (label, mins, _) =>
+      agg.filter(col(s"n_$label") > 0)
         .select(col("series"), lit(label).as("scale"),
-          lit(mins).as("scale_min"), col("n_rets"),
-          round(sqrt(dbl(col("srr"))), 6).as("rv"))
+          lit(mins).as("scale_min"),
+          col(s"n_$label").as("n_rets"),
+          round(sqrt(dbl(col(s"srr_$label"))), 6).as("rv"))
     }.reduce(_ unionByName _)
   }
 
