@@ -1838,9 +1838,8 @@ object MarketBars {
     * imbalances floor to 1e-6 longs, and the trailing mean floors to
     * a whole micro from exact long sums.
     *
-    * Scale: fully day-scoped — the row index via
-    * [[ScalableWindow.withSeqIndex]], the Δ chain via
-    * [[ScalableWindow.withPrevValues]], the zeros-inherit LOCF via
+    * Scale: fully day-scoped — the row index and Δ chain via ONE
+    * fused [[ScalableWindow.withSeqPrev]] pass, the zeros-inherit LOCF via
     * the q78 day-split (within-day fill + prior-day last-sign carry
     * on the keys×days map — last-non-null is associative across the
     * split), then a growing (series, bucket) aggregate and the
@@ -1859,10 +1858,8 @@ object MarketBars {
     def dbl(c: Column) = c.cast(DoubleType)
     val base = df.select(col(seriesCol).as("series"), col(tsCol).as("ts"),
       col(valueCol).as("v"), col(idCol).as("id"))
-    val lagged = ScalableWindow.withPrevValues(
-        ScalableWindow.withSeqIndex(base, Seq("series"), Seq("ts", "id"),
-          "ts", "__grn"),
-        Seq("series"), Seq("ts", "id"), "ts", Seq(("v", "__pv")))
+    val lagged = ScalableWindow.withSeqPrev(base, Seq("series"),
+        Seq("ts", "id"), "ts", "__grn", Seq(("v", "__pv")))
       .withColumn("rn", (col("__grn") - 1).cast("long"))
       .withColumn("d6",
         floor((col("v") - col("__pv")) * lit(1e6) + lit(0.5)).cast("long"))
@@ -2696,9 +2693,8 @@ object MarketBars {
     * each offset (bars share the 5-minute grid, so alignment is an
     * equi-join on bar_ts).
     *
-    * Scale: the per-series row index routes through
-    * [[ScalableWindow.withSeqIndex]] and the lag through
-    * [[ScalableWindow.withPrevValues]] ((series, day) tasks — the
+    * Scale: the row index AND the lag ride ONE fused
+    * [[ScalableWindow.withSeqPrev]] pass ((series, day) tasks — the
     * q158 class with no sequential pass left); markers are a filtered
     * sliver and BROADCAST into the offset join; the offset fan-out is
     * a bounded map-side explode (2·maxOffset+1); the (series, idx)
@@ -2713,10 +2709,8 @@ object MarketBars {
       maxOffset: Int = 5): DataFrame = {
     require(maxOffset >= 1, s"maxOffset must be >= 1 (got $maxOffset)")
     def dbl(c: Column) = c.cast(DoubleType)
-    val rets = ScalableWindow.withPrevValues(
-        ScalableWindow.withSeqIndex(bars, Seq("series"), Seq("bar_ts"),
-          "bar_ts", "idx"),
-        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "prev_c")))
+    val rets = ScalableWindow.withSeqPrev(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", "idx", Seq(("close", "prev_c")))
       .withColumn("r8",
         when(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0,
           round(log(col("close") / col("prev_c")), 8)))
@@ -3635,22 +3629,29 @@ object MarketBars {
     * and the LR evaluates ln() on identical doubles once per series
     * (x = 0 or x = n collapse the empirical entropy terms to 0).
     *
-    * Scale: the lag routes through [[ScalableWindow.withPrevValues]]
-    * and the split index through [[ScalableWindow.withSeqIndex]]
-    * ((series, day) tasks; the group total rides the keys×days map);
+    * Scale: the lag and the split index ride ONE fused
+    * [[ScalableWindow.withSeqPrev]] pass ((series, day) tasks; the
+    * group total rides the keys×days map; the return index is the
+    * bar index − 1 since close > 0 is pre-filtered);
     * the calibration quantile is an exact percentile on the
     * half-relation; |series| rows out. */
   def varBacktest(bars: DataFrame, alpha: Double = 0.05): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1) (got $alpha)")
     def dbl(c: Column) = c.cast(DoubleType)
-    val rets0 = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
-        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
+    // fused escape (round 10): with close > 0 pre-filtered, a return
+    // row is valid exactly when its bar is not the series' FIRST row,
+    // so the return index is the bar index minus one — one withSeqPrev
+    // pass replaces the lag escape + the second index escape
+    val withR = ScalableWindow.withSeqPrev(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", "__brn",
+        Seq(("close", "pc")), Some("__btot"))
       .withColumn("r", when(col("pc") > 0,
         round(log(col("close") / col("pc")), 8)))
       .filter(col("r").isNotNull)
-      .select(col("series"), col("bar_ts"), col("r"))
-    val withR = ScalableWindow.withSeqIndex(rets0, Seq("series"),
-        Seq("bar_ts"), "bar_ts", "rn", Some("n_all"))
+      .withColumn("rn", col("__brn") - 1)
+      .withColumn("n_all", col("__btot") - 1)
+      .select(col("series"), col("bar_ts"), col("r"), col("rn"),
+        col("n_all"))
       .withColumn("is_cal", col("rn") <= (col("n_all") / 2).cast("int"))
       .localCheckpoint(eager = false)
     val cut = withR.filter(col("is_cal"))
@@ -3694,21 +3695,28 @@ object MarketBars {
     * quantile/ES cuts BEFORE membership compares, DECIMAL tail folds,
     * one shared double op order for Z₂ (4dp).
     *
-    * Scale: lag via [[ScalableWindow.withPrevValues]], split via
-    * [[ScalableWindow.withSeqIndex]]; cuts broadcast back; |series|
+    * Scale: lag + split index via ONE fused
+    * [[ScalableWindow.withSeqPrev]] pass (return index = bar index −
+    * 1, close > 0 pre-filtered); cuts broadcast back; |series|
     * rows out. */
   def esBacktest(bars: DataFrame, alpha: Double = 0.05): DataFrame = {
     require(alpha > 0 && alpha < 0.5, s"alpha in (0, 0.5) (got $alpha)")
     def dbl(c: Column) = c.cast(DoubleType)
     val dec12 = DecimalType(28, 12)
-    val rets0 = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
-        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
+    // fused escape (round 10): with close > 0 pre-filtered, a return
+    // row is valid exactly when its bar is not the series' FIRST row,
+    // so the return index is the bar index minus one — one withSeqPrev
+    // pass replaces the lag escape + the second index escape
+    val withR = ScalableWindow.withSeqPrev(bars.filter(col("close") > 0),
+        Seq("series"), Seq("bar_ts"), "bar_ts", "__brn",
+        Seq(("close", "pc")), Some("__btot"))
       .withColumn("r", when(col("pc") > 0,
         round(log(col("close") / col("pc")), 8)))
       .filter(col("r").isNotNull)
-      .select(col("series"), col("bar_ts"), col("r"))
-    val withR = ScalableWindow.withSeqIndex(rets0, Seq("series"),
-        Seq("bar_ts"), "bar_ts", "rn", Some("n_all"))
+      .withColumn("rn", col("__brn") - 1)
+      .withColumn("n_all", col("__btot") - 1)
+      .select(col("series"), col("bar_ts"), col("r"), col("rn"),
+        col("n_all"))
       .withColumn("is_cal", col("rn") <= (col("n_all") / 2).cast("int"))
       .localCheckpoint(eager = false) // cal cut + cal tail + test legs
     val cut = withR.filter(col("is_cal"))

@@ -304,6 +304,68 @@ object ScalableWindow {
       Seq("__day", "__day_idx"): _*)
   }
 
+  /** Fusion of [[withSeqIndex]] + [[withPrevValues]] for the ops that
+    * need a sequential row index AND a lag-1 value chain over the
+    * same (key, order) — eventStudy, vpin, the VaR/ES backtest split.
+    * ONE day map carries the per-day row count (exclusive-cumulative
+    * offsets for the index) and the day's last-row value struct (the
+    * cross-day lag seam), so the composed form's second checkpoint,
+    * second day map, and second broadcast-join pair disappear.
+    * Bit-identical to `withPrevValues(withSeqIndex(df, ...), ...)`
+    * (PropertySpec locks the equality on a gappy fixture). */
+  def withSeqPrev(
+      df0: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      tsCol: String,
+      rnCol: String,
+      vals: Seq[(String, String)],
+      nCol: Option[String] = None): DataFrame = {
+    require(vals.nonEmpty, "need at least one (valCol, prevCol) pair")
+    val df = df0.localCheckpoint(eager = false) // feeds day map + join
+    val keys = keyCols.map(col)
+    val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
+    val totW = Window.partitionBy(keys: _*)
+    val dayMap0 = df
+      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+      .agg(count(lit(1)).as("__n"),
+        max(struct(orderCols.map(col) ++
+          vals.map { case (v, _) => col(v).as(s"__v_$v") }: _*))
+          .as("__last"))
+      .withColumn("__day_idx", row_number().over(idxW))
+      .withColumn("__off", sum(col("__n")).over(idxW) - col("__n"))
+    val dayMap = (nCol match {
+      case Some(_) =>
+        dayMap0.withColumn("__tot", sum(col("__n")).over(totW))
+      case None => dayMap0
+    }).localCheckpoint(eager = false)
+    val curCols = keys :+ col("__day") :+ col("__day_idx") :+ col("__off")
+    val joined = df.withColumn("__day", to_date(col(tsCol)))
+      .join(broadcast(dayMap.select(
+        (nCol match {
+          case Some(_) => curCols :+ col("__tot")
+          case None    => curCols
+        }): _*)), keyCols :+ "__day")
+      .join(broadcast(dayMap.select(
+        (keys :+ (col("__day_idx") + 1).as("__day_idx")) ++
+          vals.map { case (v, _) =>
+            col("__last").getField(s"__v_$v").as(s"__pdl_$v") }: _*)),
+        keyCols :+ "__day_idx", "left")
+    val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
+      .orderBy(orderCols.map(col): _*)
+    val out0 = joined
+      .withColumn(rnCol, col("__off") + row_number().over(w))
+    val out = vals.foldLeft(out0) { case (acc, (v, p)) =>
+      acc.withColumn(p,
+        coalesce(lag(col(v), 1).over(w), col(s"__pdl_$v")))
+    }
+    (nCol match {
+      case Some(n) => out.withColumnRenamed("__tot", n)
+      case None    => out
+    }).drop(vals.map { case (v, _) => s"__pdl_$v" } ++
+      Seq("__day", "__day_idx", "__off"): _*)
+  }
+
   /** Exact global per-key 1-based row index (and optional group total)
     * WITHOUT a per-key full-history sort — the q158 sequential-index
     * class routed through the day map: index = the day map's EXCLUSIVE

@@ -770,6 +770,31 @@ class PropertySpec extends AnyFunSuite {
     assert(global.except(scoped).count() === 0)
   }
 
+  test("withSeqPrev equals the composed withSeqIndex + withPrevValues bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // gappy mixed-density fixture with tie-broken orders: the fused
+    // one-day-map escape must match the two-escape composition (and
+    // hence, by their own locks, the global window forms) exactly
+    val rows = for {
+      k <- Seq("A", "B"); d <- 1 to 8; i <- 1 to (2 + (d * 5 + k.length) % 4)
+    } yield (k,
+      Timestamp.valueOf(f"2024-01-0$d 00:${i / 2}%02d:00"), // ties at i/2
+      (d * 100 + i).toLong,
+      ((d * 37 + i * 17) % 1000).toDouble)
+    val df = rows.toDF("series", "ts", "id", "v")
+    val composed = graft.ops.ScalableWindow.withPrevValues(
+        graft.ops.ScalableWindow.withSeqIndex(df,
+          Seq("series"), Seq("ts", "id"), "ts", "rn", Some("n_all")),
+        Seq("series"), Seq("ts", "id"), "ts", Seq(("v", "pv")))
+    val fused = graft.ops.ScalableWindow.withSeqPrev(df,
+      Seq("series"), Seq("ts", "id"), "ts", "rn",
+      Seq(("v", "pv")), Some("n_all"))
+      .select(composed.columns.map(col).toSeq: _*)
+    assert(fused.count() === composed.count())
+    assert(fused.except(composed).count() === 0)
+    assert(composed.except(fused).count() === 0)
+  }
+
   test("dayScopedLead equals the global per-key lead frames (sparse days)") {
     import org.apache.spark.sql.expressions.Window
     // 3-4 rows/day with horizon 8: every lead array spans 2+ later
