@@ -279,22 +279,23 @@ object ScalableWindow {
     // day map: dense day rank + each day's LAST row's value columns
     // (one shared max-by-struct; orderCols totally order, so the
     // struct max picks exactly the day's last row)
+    // the previous day's last value rides the day map itself (one
+    // lag over the tiny keys×days window), so ONE broadcast join
+    // attaches both the day index and the cross-day lag seam
     val dayMap = df
       .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
       .agg(max(struct(orderCols.map(col) ++
         vals.map { case (v, _) => col(v).as(s"__v_$v") }: _*)).as("__last"))
       .select((keys :+ col("__day") :+ col("__last")): _*)
       .withColumn("__day_idx", row_number().over(idxW))
+      .withColumn("__plast", lag(col("__last"), 1).over(idxW))
       .localCheckpoint(eager = false)
     val withIdx = df.withColumn("__day", to_date(col(tsCol)))
       .join(broadcast(dayMap.select(
-        (keys :+ col("__day") :+ col("__day_idx")): _*)),
-        keyCols :+ "__day")
-      .join(broadcast(dayMap.select(
-        (keys :+ (col("__day_idx") + 1).as("__day_idx")) ++
+        (keys :+ col("__day") :+ col("__day_idx")) ++
           vals.map { case (v, _) =>
-            col("__last").getField(s"__v_$v").as(s"__pdl_$v") }: _*)),
-        keyCols :+ "__day_idx", "left")
+            col("__plast").getField(s"__v_$v").as(s"__pdl_$v") }: _*)),
+        keyCols :+ "__day")
     val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
       .orderBy(orderCols.map(col): _*)
     val out = vals.foldLeft(withIdx) { case (acc, (v, p)) =>
@@ -333,24 +334,22 @@ object ScalableWindow {
           vals.map { case (v, _) => col(v).as(s"__v_$v") }: _*))
           .as("__last"))
       .withColumn("__day_idx", row_number().over(idxW))
+      .withColumn("__plast", lag(col("__last"), 1).over(idxW))
       .withColumn("__off", sum(col("__n")).over(idxW) - col("__n"))
     val dayMap = (nCol match {
       case Some(_) =>
         dayMap0.withColumn("__tot", sum(col("__n")).over(totW))
       case None => dayMap0
     }).localCheckpoint(eager = false)
-    val curCols = keys :+ col("__day") :+ col("__day_idx") :+ col("__off")
+    val curCols = (keys :+ col("__day") :+ col("__day_idx") :+
+      col("__off")) ++ vals.map { case (v, _) =>
+        col("__plast").getField(s"__v_$v").as(s"__pdl_$v") }
     val joined = df.withColumn("__day", to_date(col(tsCol)))
       .join(broadcast(dayMap.select(
         (nCol match {
           case Some(_) => curCols :+ col("__tot")
           case None    => curCols
         }): _*)), keyCols :+ "__day")
-      .join(broadcast(dayMap.select(
-        (keys :+ (col("__day_idx") + 1).as("__day_idx")) ++
-          vals.map { case (v, _) =>
-            col("__last").getField(s"__v_$v").as(s"__pdl_$v") }: _*)),
-        keyCols :+ "__day_idx", "left")
     val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
       .orderBy(orderCols.map(col): _*)
     val out0 = joined
