@@ -3939,32 +3939,38 @@ object MarketBars {
     * order and rounds 6dp; the 1.96/√n significance fence compares
     * the ROUNDED r against one identically-computed threshold.
     *
-    * Scale: the return lag routes through
-    * [[ScalableWindow.withPrevValues]] and the k-lag columns through
-    * ONE [[ScalableWindow.dayScoped]] pass with carry = maxLag —
-    * (series, day) tasks — then a map-side-combined (series, k)
-    * rollup. */
+    * Scale: ONE fused [[ScalableWindow.dayScoped]] pass (carry
+    * maxLag + 1) carries the return lag AND every k-lag column —
+    * (series, day) tasks, one window sort — then a bounded stack to
+    * long form and a map-side-combined (series, k) rollup. With
+    * close > 0 pre-filtered, sq8 is null only at each series' global
+    * first bar, so lagging sq8 over BAR positions equals lagging it
+    * over return positions (return j sits at bar j + 1; both sides
+    * null out inside the first k returns). */
   def archEffect(bars: DataFrame, maxLag: Int = 3): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
-    val sq0 = ScalableWindow.withPrevValues(bars.filter(col("close") > 0),
-        Seq("series"), Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
-      .withColumn("r", when(col("pc") > 0, log(col("close") / col("pc"))))
-      .filter(col("r").isNotNull)
-      .withColumn("sq8",
-        floor(col("r") * col("r") * lit(1e8) + lit(0.5)).cast("long"))
-      .select(col("series"), col("bar_ts"), col("sq8"))
-    // one scoped pass serves every k (dayScoped checkpoints sq0)
-    val sq = ScalableWindow.dayScoped(sq0, Seq("series"), Seq("bar_ts"),
-      "bar_ts", maxLag)
+    val aug = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", maxLag + 1)
     val wk = Window.partitionBy(col("series"), col("__day_idx"))
       .orderBy(col("bar_ts"))
+    val sq8 = {
+      val pc = lag(col("close"), 1).over(wk)
+      val r = when(pc.isNotNull && pc > 0, log(col("close") / pc))
+      floor(r * r * lit(1e8) + lit(0.5)).cast("long")
+    }
+    val withLags = aug
+      .withColumn("sq8", sq8)
+      .select(col("series") +: col("__emit") +: col("sq8") +:
+        (1 to maxLag).map(k =>
+          lag(col("sq8"), k).over(wk).as(s"__y$k")): _*)
+      .filter(col("__emit") && col("sq8").isNotNull)
+      .localCheckpoint(eager = false) // one window pass feeds all k legs
     val lags = (1 to maxLag).map { k =>
-      sq.withColumn("y", lag(col("sq8"), k).over(wk))
-        .filter(col("__emit") && col("y").isNotNull)
+      withLags.filter(col(s"__y$k").isNotNull)
         .select(col("series"), lit(k).as("k"),
-          col("sq8").as("x"), col("y"))
+          col("sq8").as("x"), col(s"__y$k").as("y"))
     }
     lags.reduce(_.unionByName(_))
       .groupBy(col("series"), col("k"))
