@@ -432,10 +432,10 @@ object PairAnalytics {
     * [[ScalableWindow.dayScoped]] (the q06 precedent; identical frame
     * contents and fold order, so avg/stddev are bit-identical); the
     * exclusive-current LOCF position carry splits at day boundaries
-    * (q78 rule: within-day fill + prior-day last-signal carry) and
-    * shifts by one row via [[ScalableWindow.withPrevValues]]
-    * (pos_t = locf_{t−1}); the spread/position lags ride the same
-    * passes. No unpartitioned window anywhere — (pair, day) tasks
+    * (q78 rule: within-day fill + prior-day last-signal carry); the
+    * one-row and two-row shifts (pos_t = locf_{t−1}, prev_pos_t =
+    * locf_{t−2}) ride ONE [[ScalableWindow.dayScoped]] pass with
+    * carry 2. No unpartitioned window anywhere — (pair, day) tasks
     * throughout. */
   def pairsBacktest(
       bars: DataFrame,
@@ -484,14 +484,19 @@ object PairAnalytics {
         coalesce(last(col("signal"), ignoreNulls = true).over(runDay),
           col("__carry")))
       .select(col("pair_name"), col("bar_ts"), col("spread_r"), col("__l"))
-    // pos_t = __l_{t-1} (the exclusive-current frame); a null previous
-    // __l always coincides with a null prior-day-last (no signal has
-    // fired yet), so the withPrevValues coalesce stays exact
-    val p1 = ScalableWindow.withPrevValues(locf, Seq("pair_name"),
-      Seq("bar_ts"), "bar_ts", Seq(("__l", "__pl"), ("spread_r", "__psp")))
-    val p2 = ScalableWindow.withPrevValues(p1, Seq("pair_name"),
-      Seq("bar_ts"), "bar_ts", Seq(("__pl", "__ppl")))
-    val pos = p2
+    // pos_t = __l_{t-1}, prev_pos_t = __l_{t-2}: one dayScoped pass
+    // with carry 2 serves both lag depths (round 10 — this replaces
+    // two chained withPrevValues escapes; dayScoped's carry makes the
+    // cross-day lag-1 AND lag-2 exact by the same frame argument)
+    val aug2 = ScalableWindow.dayScoped(locf, Seq("pair_name"),
+      Seq("bar_ts"), "bar_ts", 2)
+    val w2 = Window.partitionBy(col("pair_name"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val pos = aug2
+      .withColumn("__pl", lag(col("__l"), 1).over(w2))
+      .withColumn("__psp", lag(col("spread_r"), 1).over(w2))
+      .withColumn("__ppl", lag(col("__l"), 2).over(w2))
+      .filter(col("__emit"))
       .withColumn("pos", coalesce(col("__pl"), lit(0)))
       .withColumn("prev_pos", coalesce(col("__ppl"), lit(0)))
       .withColumn("dsp", col("spread_r") - col("__psp"))
