@@ -2134,6 +2134,60 @@ object CorpusOps {
           / den / lit(1e6), 6)).as("drift_slope"))
   }
 
+  /** Vocabulary drift across crawl tranches: per id-bucket, the share
+    * of word-`ngram` TOKENS (and distinct TYPES) unseen in tranche 1
+    * — "is the crawl's LANGUAGE moving", the vocabulary companion to
+    * [[qualityDrift]]'s score trend and q371's whole-document novelty
+    * (a crawl can stay document-novel while its n-gram space
+    * saturates, and vice versa). Runs on n-grams because a closed
+    * unigram vocabulary (the driver corpus) reads zero drift by
+    * construction at n = 1.
+    *
+    * Determinism: all-integer — token/type counts against an exact
+    * anti-join on the tranche-1 term set; two 6dp ratios.
+    *
+    * Scale: ONE tokenize pass into the (bucket, term) aggregate; the
+    * reference vocabulary is the bucket-1 slice of the SAME relation
+    * (term-keyed join, never the corpus); \|buckets\| rows out. */
+  def vocabDrift(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 10,
+      ngram: Int = 3): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val mx = docs.agg(max(col(idCol)).as("mx"))
+    val toks = TextOps.tokens(col(textCol))
+    val terms = if (ngram == 1) toks else TextOps.shingles(toks, ngram)
+    val bucketOf =
+      least(floor(dbl(col(idCol)) * buckets / (dbl(col("mx")) + 1)) + 1,
+        lit(buckets.toLong)).cast("int")
+    val tf = docs.crossJoin(broadcast(mx))
+      .select(bucketOf.as("bucket"), explode(terms).as("term"))
+      .groupBy(col("bucket"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // panel legs + the t1 vocab
+    val t1 = tf.filter(col("bucket") === 1)
+      .select(col("term"), lit(true).as("__in1"))
+    tf.join(t1, Seq("term"), "left")
+      .groupBy(col("bucket"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__in1").isNull, col("tf")).otherwise(lit(0L)))
+          .as("oov_tokens"),
+        sum(when(col("__in1").isNull, 1L).otherwise(0L))
+          .as("oov_types"))
+      .select(col("bucket"), col("n_tokens"), col("n_types"),
+        col("oov_tokens"), col("oov_types"),
+        when(col("n_tokens") > 0,
+          round(dbl(col("oov_tokens")) / dbl(col("n_tokens")), 6))
+          .as("oov_token_share"),
+        when(col("n_types") > 0,
+          round(dbl(col("oov_types")) / dbl(col("n_types")), 6))
+          .as("oov_type_share"))
+  }
+
   /** Pairwise source vocabulary overlap: exact Jaccard between every
     * source pair's distinct-term sets — the source-redundancy audit
     * ("are src3 and src7 the same crawl twice?") that the per-doc

@@ -5457,6 +5457,83 @@ object MarketBars {
       when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
   }
 
+  /** Cross-sectional correlation structure: the pairwise bar-return
+    * correlation matrix summarized WITHOUT an eigen solve — mean and
+    * dispersion of the off-diagonal correlations plus the effective
+    * factor count N²/(N + 2·Σ_{i<j} c²) = (tr C)²/tr(C²), the
+    * participation ratio of the correlation matrix from its trace
+    * invariants alone (the q325 identity applied to returns). Low
+    * effective count = one factor owns the cross-section (the
+    * absorption/systemic-risk regime read); ≈ N = diversification is
+    * real. Complements q382 (dispersion LEVEL per day) and q259 (the
+    * full pair list).
+    *
+    * Determinism: each pair correlation is the q381 exact-co-moment
+    * form rounded 6dp; the matrix folds run over those 6dp values
+    * (c² is exact at 12dp) as DECIMAL; the three finishes are one
+    * shared double op order each, 6dp. Null-variance pairs drop from
+    * the folds (documented: treated as contributing 0 to Σc²).
+    *
+    * Scale: ONE checkpointed day-scoped return relation feeds both
+    * pair legs (the q341 posture); the summary is a 1-row fold over
+    * \|series\|² pair rows. */
+  def corrStructure(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val aug = ScalableWindow.dayScoped(bars.filter(col("close") > 0),
+      Seq("series"), Seq("bar_ts"), "bar_ts", 2)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val rr = aug
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r8",
+        when(col("pc") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .filter(col("__emit") && col("r8").isNotNull)
+      .select(col("series"), col("bar_ts"), col("r8"))
+      .localCheckpoint(eager = false) // both pair legs + the N probe
+    val a = rr.select(col("series").as("series_a"), col("bar_ts"),
+      col("r8").as("ra"))
+    val b = rr.select(col("series").as("series_b"), col("bar_ts"),
+      col("r8").as("rb"))
+    def d(c: Column) = c.cast(dec)
+    val pairAgg = a.join(b, "bar_ts")
+      .filter(col("series_a") < col("series_b"))
+      .groupBy(col("series_a"), col("series_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("ra"))).as("sa"), sum(d(col("rb"))).as("sb"),
+        sum(d(col("ra")) * d(col("rb"))).as("sab"),
+        sum(d(col("ra")) * d(col("ra"))).as("saa"),
+        sum(d(col("rb")) * d(col("rb"))).as("sbb"))
+    val n = dbl(col("n"))
+    val va = n * dbl(col("saa")) - dbl(col("sa")) * dbl(col("sa"))
+    val vb = n * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))
+    val cov = n * dbl(col("sab")) - dbl(col("sa")) * dbl(col("sb"))
+    val corrs = pairAgg
+      .select(when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6))
+        .as("c"))
+      .filter(col("c").isNotNull)
+    val nRow = rr.select(col("series")).distinct()
+      .agg(count(lit(1)).as("n_series"))
+    val nd = dbl(col("n_series"))
+    corrs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("c").cast(dec12)).as("s1"),
+        sum(round(col("c") * col("c"), 12).cast(dec12)).as("s2"))
+      .crossJoin(broadcast(nRow))
+      .select(col("n_series"), col("n_pairs"),
+        when(col("n_pairs") > 0,
+          round(dbl(col("s1")) / dbl(col("n_pairs")), 6)).as("mean_corr"),
+        when(col("n_pairs") > 1,
+          round(sqrt((dbl(col("n_pairs")) * dbl(col("s2")) -
+            dbl(col("s1")) * dbl(col("s1"))) /
+            (dbl(col("n_pairs")) * (dbl(col("n_pairs")) - 1))), 6))
+          .as("sd_corr"),
+        round(nd * nd / (nd + lit(2.0) * dbl(col("s2"))), 6)
+          .as("eff_factors"))
+  }
+
   /** Daily cross-sectional return dispersion + CSAD (Chang–Cheng–
     * Khorana 2000): per day over all series' daily returns — the
     * cross-sectional sd (the dispersion regime gauge) and the

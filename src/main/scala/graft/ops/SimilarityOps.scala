@@ -200,6 +200,56 @@ object SimilarityOps {
       col("n_antihubs"), col("n_hubs"), col("max_indeg"))
   }
 
+  /** kNN label purity: per label, the share of IVF k-NN edges whose
+    * NEIGHBOR carries the query's own label, against the label's
+    * base-rate prevalence — the instance-level "are the embeddings
+    * label-coupled" read (lift ≫ 1 = the space separates labels =
+    * a classifier probe would leak them; ≈ 1 = labels are not
+    * geometrically encoded). The neighborhood-level companion to
+    * q357's cluster-level ARI, on the SAME q333 IVF k-NN graph.
+    *
+    * Determinism: the k-NN edge set is [[ivfTopK]]'s deterministic
+    * (cosine DESC, nid) pick; edge/same counts are integers; purity,
+    * base rate, and lift each finish in one double op order, 6dp.
+    *
+    * Scale: the k-NN relation is the bucketed IVF join (never
+    * all-pairs); two broadcast-able label attaches; a \|labels\|-row
+    * aggregate. */
+  def neighborLabelPurity(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      centroidEvery: Int,
+      nprobe: Int): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val labels = emb.select(col(idCol).as("__lid"),
+      col(labelCol).as("__lab")).localCheckpoint(eager = false)
+    val knn = ivfTopK(emb, idCol, vecCol, k, centroidEvery, nprobe,
+      lit(true))
+    val edges = knn
+      .join(labels.select(col("__lid").as("qid"),
+        col("__lab").as("q_label")), "qid")
+      .join(labels.select(col("__lid").as("nid"),
+        col("__lab").as("n_label")), "nid")
+    val perLabel = edges.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+          .as("n_same"))
+    val base = labels.groupBy(col("__lab").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = labels.agg(count(lit(1)).as("n_total"))
+    val purity = dbl(col("n_same")) / dbl(col("n_edges"))
+    val baseRate = dbl(col("n_vecs")) / dbl(col("n_total"))
+    perLabel.join(base, "label").crossJoin(broadcast(tot))
+      .select(col("label"), col("n_vecs"), col("n_edges"),
+        col("n_same"),
+        round(purity, 6).as("purity"),
+        round(baseRate, 6).as("base_rate"),
+        when(baseRate > 0, round(purity / baseRate, 6)).as("lift"))
+  }
+
   /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
     * vector the ratio μ = r₂/r₁ of its two nearest-neighbor distances
     * follows Pareto(d) under local uniformity, so the MLE is

@@ -1273,6 +1273,26 @@ object LlmQueries {
     "q383_quality_drift" -> ((s, dir) => {
       CorpusOps.qualityDrift(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("source"))
+    }),
+
+    // kNN label purity (SimilarityOps.neighborLabelPurity): per-label
+    // same-label share of the q333 IVF k-NN edges vs the base rate —
+    // the instance-level "are embeddings label-coupled" read next to
+    // q357's cluster-level ARI
+    "q385_neighbor_purity" -> ((s, dir) => {
+      SimilarityOps.neighborLabelPurity(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 5, centroidEvery = 50,
+          nprobe = 2)
+        .orderBy(col("label"))
+    }),
+
+    // Vocabulary drift (CorpusOps.vocabDrift): per id-tranche trigram
+    // OOV share vs tranche 1 — is the crawl's LANGUAGE moving, the
+    // vocabulary companion to q383's quality trend and q371's
+    // document novelty
+    "q386_vocab_drift" -> ((s, dir) => {
+      CorpusOps.vocabDrift(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -4683,6 +4703,93 @@ object LlmQueries {
                 /(CAST(n_buckets AS DOUBLE)*CAST(sxx AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))/1e6, 6)
             END AS drift_slope
-          FROM ag ORDER BY source"""
+          FROM ag ORDER BY source""",
+
+    // Neighbor-purity twin: the q333 IVF k-NN chain verbatim, label
+    // attaches, integer same-label counts, shared ratio op orders
+    "q385_neighbor_purity" ->
+      s"""WITH $embCte,
+          c AS (SELECT vec_id AS cid, v AS cv FROM e
+                WHERE vec_id % 50 = 0),
+          ac AS (SELECT e.vec_id, e.v, c.cid,
+                   ${duckCos("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+          assigned AS (SELECT vec_id, v, cid FROM
+                         (SELECT *, row_number() OVER (PARTITION BY
+                            vec_id ORDER BY ccos DESC, cid) AS rn
+                          FROM ac)
+                       WHERE rn = 1),
+          pc AS (SELECT qid, qv, cid, row_number() OVER
+                   (PARTITION BY qid ORDER BY qcos DESC, cid) AS prn
+                 FROM (SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+                         ${duckCos("e.v", "c.cv")} AS qcos
+                       FROM e CROSS JOIN c)),
+          probes AS (SELECT qid, qv, cid FROM pc WHERE prn <= 2),
+          cand AS (SELECT p.qid, a.vec_id AS nid,
+                     ${duckCos("p.qv", "a.v")} AS cosine
+                   FROM probes p JOIN assigned a
+                     ON a.cid = p.cid AND a.vec_id <> p.qid),
+          r AS (SELECT qid, nid, row_number() OVER
+                  (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+                FROM cand),
+          knn AS (SELECT qid, nid FROM r WHERE rank <= 5),
+          lab AS (SELECT vec_id, label FROM embeddings),
+          ed AS (SELECT ql.label AS label, nl.label AS n_label
+                 FROM knn
+                 JOIN lab ql ON knn.qid = ql.vec_id
+                 JOIN lab nl ON knn.nid = nl.vec_id),
+          pl AS (SELECT label, count(*) AS n_edges,
+                   CAST(SUM(CASE WHEN label = n_label THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_same
+                 FROM ed GROUP BY 1),
+          base AS (SELECT label, count(*) AS n_vecs FROM lab
+                   GROUP BY 1),
+          tot AS (SELECT count(*) AS n_total FROM lab)
+          SELECT pl.label, n_vecs, n_edges, n_same,
+            round(CAST(n_same AS DOUBLE)/CAST(n_edges AS DOUBLE), 6)
+              AS purity,
+            round(CAST(n_vecs AS DOUBLE)/CAST(n_total AS DOUBLE), 6)
+              AS base_rate,
+            CASE WHEN CAST(n_vecs AS DOUBLE)/CAST(n_total AS DOUBLE)
+                > 0 THEN
+              round((CAST(n_same AS DOUBLE)/CAST(n_edges AS DOUBLE))
+                /(CAST(n_vecs AS DOUBLE)/CAST(n_total AS DOUBLE)), 6)
+            END AS lift
+          FROM pl JOIN base ON pl.label = base.label CROSS JOIN tot
+          ORDER BY pl.label""",
+
+    // Vocab-drift twin: the q371 bucketing over the shared trigram
+    // expansion, tranche-1 vocab anti-membership, integer counts
+    "q386_vocab_drift" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+          d AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), ' +') AS toks
+                FROM documents),
+          tk AS (SELECT least(CAST(floor(CAST(doc_id AS DOUBLE)*10
+                    /(CAST(mx AS DOUBLE)+1)) AS INTEGER)+1, 10)
+                    AS bucket,
+                  unnest($shingleExpr) AS term
+                 FROM d CROSS JOIN mx),
+          tf AS (SELECT bucket, term, count(*) AS tf FROM tk
+                 GROUP BY 1, 2),
+          t1 AS (SELECT DISTINCT term FROM tf WHERE bucket = 1),
+          j AS (SELECT tf.bucket, tf.tf,
+                  t1.term IS NOT NULL AS in1
+                FROM tf LEFT JOIN t1 ON tf.term = t1.term)
+          SELECT bucket, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+            count(*) AS n_types,
+            CAST(SUM(CASE WHEN NOT in1 THEN tf ELSE 0 END) AS BIGINT)
+              AS oov_tokens,
+            CAST(SUM(CASE WHEN NOT in1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS oov_types,
+            CASE WHEN SUM(tf) > 0 THEN
+              round(CAST(SUM(CASE WHEN NOT in1 THEN tf ELSE 0 END)
+                  AS DOUBLE)/CAST(SUM(tf) AS DOUBLE), 6)
+            END AS oov_token_share,
+            CASE WHEN count(*) > 0 THEN
+              round(CAST(SUM(CASE WHEN NOT in1 THEN 1 ELSE 0 END)
+                  AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+            END AS oov_type_share
+          FROM j GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -1484,6 +1484,16 @@ object MarketQueries {
         .orderBy(col("d"))
     }),
 
+    // Correlation-matrix structure (MarketBars.corrStructure): mean/
+    // dispersion of pairwise correlations + the effective factor
+    // count from trace invariants (no eigen solve) — the systemic-
+    // risk absorption read
+    "q384_corr_structure" -> ((s, dir) => {
+      MarketBars.corrStructure(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("n_series"))
+    }),
+
     // Jobson–Korkie/Memmel Sharpe-difference test
     // (MarketBars.sharpeDiff): is click's Sharpe formally higher than
     // view's — what the q140 tearsheet eyeballs
@@ -5860,6 +5870,65 @@ object MarketQueries {
             round(CAST(lo8 AS DOUBLE)/1e8, 8) AS min_ret,
             round(CAST(hi8 AS DOUBLE)/1e8, 8) AS max_ret
           FROM ag ORDER BY d""",
+
+    // Corr-structure twin: the q341 bar-return chain both pair legs,
+    // q381 co-moment correlations at 6dp, DECIMAL matrix folds, the
+    // trace-invariant effective-factor finish
+    "q384_corr_structure" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS pc
+                FROM bars WHERE close > 0),
+          r AS (SELECT series, bar_ts,
+                  CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT) AS r8
+                FROM l WHERE pc IS NOT NULL AND pc > 0),
+          ag AS (SELECT a.series AS series_a, b.series AS series_b,
+                   count(*) AS n,
+                   SUM(CAST(a.r8 AS DECIMAL(38,0))) AS sa,
+                   SUM(CAST(b.r8 AS DECIMAL(38,0))) AS sb,
+                   SUM(CAST(a.r8 AS DECIMAL(38,0))
+                     *CAST(b.r8 AS DECIMAL(38,0))) AS sab,
+                   SUM(CAST(a.r8 AS DECIMAL(38,0))
+                     *CAST(a.r8 AS DECIMAL(38,0))) AS saa,
+                   SUM(CAST(b.r8 AS DECIMAL(38,0))
+                     *CAST(b.r8 AS DECIMAL(38,0))) AS sbb
+                 FROM r a JOIN r b ON a.bar_ts = b.bar_ts
+                   AND a.series < b.series
+                 GROUP BY 1, 2),
+          c0 AS (SELECT CASE WHEN
+                   CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE) > 0
+                   AND CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE) > 0 THEN
+                   round((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE)
+                       - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+                     /sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+                       *(CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+                         - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))), 6)
+                 END AS c FROM ag),
+          c1 AS (SELECT c FROM c0 WHERE c IS NOT NULL),
+          ns AS (SELECT CAST(count(DISTINCT series) AS BIGINT)
+                   AS n_series FROM r),
+          f AS (SELECT count(*) AS n_pairs,
+                  SUM(CAST(c AS DECIMAL(38,12))) AS s1,
+                  SUM(CAST(round(c*c, 12) AS DECIMAL(38,12))) AS s2
+                FROM c1)
+          SELECT n_series, n_pairs,
+            CASE WHEN n_pairs > 0 THEN
+              round(CAST(s1 AS DOUBLE)/CAST(n_pairs AS DOUBLE), 6)
+            END AS mean_corr,
+            CASE WHEN n_pairs > 1 THEN
+              round(sqrt((CAST(n_pairs AS DOUBLE)*CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                /(CAST(n_pairs AS DOUBLE)
+                  *(CAST(n_pairs AS DOUBLE) - 1))), 6)
+            END AS sd_corr,
+            round(CAST(n_series AS DOUBLE)*CAST(n_series AS DOUBLE)
+              /(CAST(n_series AS DOUBLE) + 2.0*CAST(s2 AS DOUBLE)), 6)
+              AS eff_factors
+          FROM f CROSS JOIN ns ORDER BY n_series""",
 
     // Sharpe-diff twin: aligned return legs, 12dp co-moment folds,
     // the Memmel θ̂ in one shared op order

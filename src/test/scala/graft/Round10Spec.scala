@@ -534,6 +534,61 @@ class Round10Spec extends AnyFunSuite {
     assert(r.getAs[Double]("max_ret") === 0.03)
   }
 
+  test("corrStructure: identical + orthogonal series pin the effective factor count") {
+    // a == b (corr 1); c's period-4 pattern is exactly orthogonal to
+    // the period-2 pattern over 12 returns (integer products cancel):
+    // corrs {1, 0, 0} -> mean 1/3, sd sqrt(1/3), eff = 9/(3+2) = 1.8
+    val p2 = Seq.tabulate(12)(i => if (i % 2 == 0) 0.01 else -0.01)
+    val p4 = Seq.tabulate(12)(i =>
+      if (Seq(1, 1, 0, 0)(i % 4) == 1) 0.01 else -0.01)
+    val r = MarketBars.corrStructure(dailyCloseBars(Map(
+        "a" -> p2, "b" -> p2, "c" -> p4))).collect().head
+    assert(r.getAs[Long]("n_series") === 3L)
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Double]("mean_corr") === 0.333333)
+    assert(r.getAs[Double]("sd_corr") === 0.57735)
+    assert(r.getAs[Double]("eff_factors") === 1.8)
+  }
+
+  test("neighborLabelPurity: separated clusters pin purity 1 and lift 2") {
+    val vecs = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.01f * (i + 1))
+        else Seq(0.01f * (i + 1), 1.0f)
+      (i.toLong, base, i % 2)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.SimilarityOps.neighborLabelPurity(
+        df, "vec_id", "embedding", "label",
+        k = 3, centroidEvery = 5, nprobe = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    Seq(0, 1).foreach { lab =>
+      assert(out(lab).getAs[Long]("n_vecs") === 6L)
+      assert(out(lab).getAs[Double]("purity") === 1.0, s"label $lab")
+      assert(out(lab).getAs[Double]("base_rate") === 0.5)
+      assert(out(lab).getAs[Double]("lift") === 2.0)
+    }
+  }
+
+  test("vocabDrift: a half-new trigram mix pins OOV at exactly 0.5 per tranche") {
+    // bucket 1 = {1, 2} both text1; every later bucket holds one
+    // text1 (in-vocab) and one text2 (all-new trigrams) doc
+    val text1 = "a b c d e"
+    val text2 = "f g h i j"
+    val docs = (1 to 20).map { i =>
+      val t = if (i <= 2 || i % 2 == 1) text1 else text2
+      (i.toLong, t, "s1")
+    }.toDF("doc_id", "text", "source")
+    val out = graft.ops.CorpusOps.vocabDrift(docs)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.size === 10)
+    assert(out(1).getAs[Double]("oov_token_share") === 0.0)
+    (2 to 10).foreach { b =>
+      assert(out(b).getAs[Long]("n_tokens") === 6L, s"bucket $b")
+      assert(out(b).getAs[Double]("oov_token_share") === 0.5, s"bucket $b")
+      assert(out(b).getAs[Double]("oov_type_share") === 0.5, s"bucket $b")
+    }
+  }
+
   test("qualityDrift: a linear quality ramp pins the slope at 0.008/tranche") {
     // doc i has i distinct non-stop tokens -> q = 0.6 + 0.004i
     // exactly; ids 1..20 bucket into consecutive pairs, so tranche b
