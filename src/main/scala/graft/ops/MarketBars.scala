@@ -2594,6 +2594,10 @@ object MarketBars {
         pairs.map { case (a, b) =>
           sum((col(s"x_$a") * col(s"x_$b")).cast(dec0)).as(s"p_${a}_$b")
         }): _*)
+      // the |names|² long-form legs below each re-read this 1-row
+      // relation — materialize it once or every union branch re-runs
+      // the whole chain
+      .localCheckpoint(eager = false)
     // covariances leave the 1e6-scaled-long domain here (/1e12 → price²
     // units) BEFORE rounding: the decimal contribution sums then stay
     // small enough that decimal→double conversion is exact in both
@@ -2603,13 +2607,16 @@ object MarketBars {
       (dbl(col("n")) * dbl(col(s"p_${a}_$b")) -
         dbl(col(s"s_$a")) * dbl(col(s"s_$b"))) /
         (dbl(col("n")) * (dbl(col("n")) - 1)) / lit(1e12), 10)
-    // long-form symmetric cov relation off the single sums row
-    val longForm = names.flatMap { s =>
-      names.map { t =>
-        val (a, b) = if (s <= t) (s, t) else (t, s)
-        sums.select(lit(s).as("series"), cov(a, b).as("c"))
-      }
-    }.reduce(_ unionByName _)
+    // long-form symmetric cov relation off the single sums row — ONE
+    // explode leg (a |names|²-branch union scheduled |names|² jobs)
+    val longForm = sums.select(explode(array(
+        names.flatMap { s =>
+          names.map { t =>
+            val (a, b) = if (s <= t) (s, t) else (t, s)
+            struct(lit(s).as("series"), cov(a, b).as("c"))
+          }
+        }: _*)).as("__e"))
+      .select(col("__e.series").as("series"), col("__e.c").as("c"))
     val w2 = 1.0 / (names.size.toLong * names.size)
     val contrib = longForm.groupBy(col("series"))
       .agg((sum(col("c").cast(DecimalType(38, 10))).cast(DoubleType) *
