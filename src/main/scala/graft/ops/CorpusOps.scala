@@ -2073,6 +2073,78 @@ object CorpusOps {
         .as("unseen_share"))
   }
 
+  /** Doc-length log-normal fit per source: natural text lengths are
+    * famously log-normal, so fit ln(n_tokens) by moments and report
+    * the Lilliefors KS distance against the fitted normal — a
+    * corpus-SHAPE audit (reject = truncation, templating, or a mixed
+    * crawl) that q266's length Gini (inequality only) and q21's raw
+    * stats can't see.
+    *
+    * Determinism: the q346 recipe on ln token counts — each ln
+    * rounds 12dp into DECIMAL moment folds; the rank runs through
+    * [[graft.ops.ScalableRank]] on the (l12, doc_id) total order
+    * (docs per source GROW with the corpus, so a per-source rank
+    * window would be a single-task pass — the value-order escape,
+    * not the day map, is the right route here); Φ is the shared A–S
+    * erf polynomial; D and the 0.886/√n fence round 6dp.
+    *
+    * Scale: one tokenize-count pass; the two-pass exact rank; one
+    * moment aggregate; \|sources\| rows out. */
+  def doclenLognormal(
+      docs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val lens = docs
+      .select(col(sourceCol).as("source"), col(idCol).as("doc"),
+        size(TextOps.tokens(col(textCol))).cast(LongType).as("nt"))
+      .filter(col("nt") > 0)
+      .withColumn("l12", round(log(dbl(col("nt"))), 12))
+      .localCheckpoint(eager = false) // moments + rank legs
+    val stats = lens.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l12").cast(dec12)).as("s1"),
+        sum(round(col("l12") * col("l12"), 12).cast(dec12)).as("s2"))
+      .withColumn("mu", dbl(col("s1")) / dbl(col("n")))
+      .withColumn("sd",
+        sqrt((dbl(col("n")) * dbl(col("s2")) -
+          dbl(col("s1")) * dbl(col("s1"))) /
+          (dbl(col("n")) * (dbl(col("n")) - 1))))
+      .select(col("source"), col("n"), col("mu"), col("sd"))
+    def phi(z: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val x = abs(z) / lit(1.4142135623730951)
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+        lit(1.421413741)) * t - lit(0.284496736)) * t +
+        lit(0.254829592)) * t
+      val erf = lit(1.0) - poly * exp(-x * x)
+      when(z >= 0, lit(0.5) * (lit(1.0) + erf))
+        .otherwise(lit(0.5) * (lit(1.0) - erf))
+    }
+    val ranked = ScalableRank.withRowIndex(lens, Seq("source"),
+      Seq(col("l12"), col("doc")), "i", "__gn")
+    val z = (col("l12") - col("mu")) / col("sd")
+    val nd = dbl(col("n"))
+    val dPlus = dbl(col("i")) / nd - col("ph")
+    val dMinus = col("ph") - (dbl(col("i")) - 1) / nd
+    ranked.join(broadcast(stats), "source")
+      .filter(col("sd") > 0)
+      .withColumn("ph", phi(z))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(col("mu")).as("mu_raw"), max(col("sd")).as("sd_raw"),
+        max(greatest(dPlus, dMinus)).as("d_raw"))
+      .select(col("source"), col("n_docs"),
+        round(col("mu_raw"), 6).as("ln_mean"),
+        round(col("sd_raw"), 6).as("ln_sd"),
+        round(col("d_raw"), 6).as("ks_d"),
+        round(lit(0.886) / sqrt(dbl(col("n_docs"))), 6).as("crit_5pct"),
+        (col("d_raw") > lit(0.886) / sqrt(dbl(col("n_docs"))))
+          .as("reject_lognormal"))
+  }
+
   /** Crawl quality drift per source: mean TextOps quality score per
     * id-tranche (q371's bucketing — ids proxy crawl order) plus the
     * OLS drift slope across tranches — "did this source's crawl get

@@ -5026,6 +5026,102 @@ object MarketBars {
         when(ok, varAt(-z99, cf = true)).as("var99_cf"))
   }
 
+  /** Diebold–Mariano forecast-accuracy test per series between the
+    * two cheapest one-bar-ahead forecasters — random walk (previous
+    * close) and MA(5) (trailing 5-close mean) — on squared-error
+    * loss: d_t = e_rw² − e_ma², DM = d̄/√(var(d)/n) (the 1-step
+    * horizon needs no HAC correction), ±1.959964 fence. A POSITIVE
+    * significant DM means smoothing beats the martingale — i.e. the
+    * series mean-reverts at bar scale (the forecasting face of
+    * q139's variance ratio and q321's AR(1) κ).
+    *
+    * Determinism: closes snap to exact 1e6 longs; e_rw and 5·e_ma
+    * numerators are exact integer-valued doubles; each forms in one
+    * division, d rounds 12dp in price² units into DECIMAL folds; DM
+    * finishes in one shared double op order, 6dp.
+    *
+    * Scale: ONE day-scoped window pass (carry 5 — the MA window
+    * reach) computes both forecasts; one map-side-combined aggregate;
+    * \|series\| rows out. */
+  def dmTest(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val aug = ScalableWindow.dayScoped(bars, Seq("series"),
+      Seq("bar_ts"), "bar_ts", 5)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("bar_ts"))
+    val wMa = w.rowsBetween(-5, -1)
+    val c6 = floor(col("close") * lit(1e6) + lit(0.5)).cast("long")
+    val x = aug
+      .withColumn("c6", c6)
+      .withColumn("pc6", lag(col("c6"), 1).over(w))
+      .withColumn("s5", sum(col("c6")).over(wMa))
+      .withColumn("n5", count(col("c6")).over(wMa))
+      .filter(col("__emit") && col("pc6").isNotNull && col("n5") === 5)
+    val e1 = dbl(col("c6") - col("pc6")) / lit(1e6)
+    val e2 = dbl(lit(5L) * col("c6") - col("s5")) / lit(5e6)
+    val agg = x
+      .withColumn("d", round(e1 * e1 - e2 * e2, 12))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d").cast(dec12)).as("s1"),
+        sum(round(col("d") * col("d"), 12).cast(dec12)).as("s2"))
+    val n = dbl(col("n"))
+    val mean = dbl(col("s1")) / n
+    val vr = (n * dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1"))) /
+      (n * (n - 1))
+    val dm = mean / sqrt(vr / n)
+    val ok = col("n") > 1 && vr > 0
+    agg.select(col("series"), col("n"),
+      round(mean, 8).as("mean_loss_diff"),
+      when(ok, round(dm, 6)).as("dm_stat"),
+      when(ok,
+        when(dm > 1.959964, lit("ma5"))
+          .when(dm < -1.959964, lit("rw"))
+          .otherwise(lit("tie"))).as("better"))
+  }
+
+  /** On-balance volume at day granularity per series: the running
+    * Σ sign(Δclose)·volume (Granville's OBV — does volume flow WITH
+    * price), emitted as each day's end-of-day level plus the day's
+    * net signed flow. Divergence between OBV and price is the
+    * classic accumulation/distribution read next to q232's CMF (a
+    * bounded per-day ratio) and q166's tick-rule flow (tick counts,
+    * not volume).
+    *
+    * Determinism: signs come off exact 1e6-long Δcloses (zero change
+    * contributes 0 — the strict Granville rule); volumes snap to
+    * exact 1e6 longs (bars' volume is already a DECIMAL-accumulated
+    * 6dp double), so every flow is an exact integer; day sums fold
+    * as DECIMAL and the running level is a prefix over the
+    * keys×days map — all-integer until one /1e6.
+    *
+    * Scale: the Δ chain rides [[ScalableWindow.withPrevValues]]
+    * ((series, day) tasks); the prefix runs over the AGGREGATE-sized
+    * keys×days relation, never the bar history; \|series\|·\|days\|
+    * rows out. */
+  def obv(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val d6 = floor(col("close") * lit(1e6) + lit(0.5)).cast("long") -
+      floor(col("__pc") * lit(1e6) + lit(0.5)).cast("long")
+    val flows = ScalableWindow.withPrevValues(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", Seq(("close", "__pc")))
+      .filter(col("__pc").isNotNull)
+      .withColumn("sv",
+        (when(d6 > 0, lit(1L)).when(d6 < 0, lit(-1L)).otherwise(lit(0L))) *
+          floor(col("volume") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(sum(col("sv").cast(dec)).as("flow6"))
+    val wDays = Window.partitionBy(col("series")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    flows
+      .withColumn("obv6", sum(col("flow6")).over(wDays))
+      .select(col("series"), col("d"),
+        round(dbl(col("flow6")) / lit(1e6), 6).as("day_flow"),
+        round(dbl(col("obv6")) / lit(1e6), 6).as("obv"))
+  }
+
   /** Shared (series, d, r8) daily log-return chain: day-collapsed
     * closes (argmax-by-bar_ts tie rule), lag over the DAILY rows,
     * 1e8-scaled-long returns — the q346 Lilliefors chain factored for

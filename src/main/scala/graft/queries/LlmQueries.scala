@@ -1293,6 +1293,15 @@ object LlmQueries {
     "q386_vocab_drift" -> ((s, dir) => {
       CorpusOps.vocabDrift(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("bucket"))
+    }),
+
+    // Doc-length log-normal fit (CorpusOps.doclenLognormal): KS of
+    // ln(n_tokens) against the fitted normal per source — the corpus
+    // SHAPE audit (truncation/templating/mixed-crawl detector) next
+    // to q266's length Gini
+    "q389_doclen_lognormal" -> ((s, dir) => {
+      CorpusOps.doclenLognormal(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
     })
   )
 
@@ -4790,6 +4799,61 @@ object LlmQueries {
               round(CAST(SUM(CASE WHEN NOT in1 THEN 1 ELSE 0 END)
                   AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
             END AS oov_type_share
-          FROM j GROUP BY 1 ORDER BY bucket"""
+          FROM j GROUP BY 1 ORDER BY bucket""",
+
+    // Doclen-lognormal twin: the q346 recipe on ln token counts —
+    // 12dp log folds, (l12, doc) rank order, the shared erf chain
+    "q389_doclen_lognormal" ->
+      """WITH d0 AS (SELECT source, doc_id,
+                      len(regexp_split_to_array(trim(text), ' +'))
+                        AS nt
+                    FROM documents),
+          le AS (SELECT source, doc_id AS doc,
+                   round(ln(CAST(nt AS DOUBLE)), 12) AS l12
+                 FROM d0 WHERE nt > 0),
+          st AS (SELECT source, count(*) AS n,
+                  SUM(CAST(l12 AS DECIMAL(38,12))) AS s1,
+                  SUM(CAST(round(l12*l12, 12) AS DECIMAL(38,12)))
+                    AS s2
+                FROM le GROUP BY 1),
+          mu AS (SELECT source, n,
+                  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mu,
+                  sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1)))
+                    AS sd
+                FROM st),
+          z AS (SELECT le.source, mu.n, mu.mu, mu.sd,
+                  (l12 - mu)/sd AS z,
+                  CAST(row_number() OVER (PARTITION BY le.source
+                    ORDER BY l12, doc) AS BIGINT) AS i
+                FROM le JOIN mu ON le.source = mu.source
+                WHERE sd > 0),
+          p2 AS (SELECT *, abs(z)/1.4142135623730951 AS x FROM z),
+          p3 AS (SELECT *, 1.0/(1.0 + 0.3275911*x) AS t FROM p2),
+          p4 AS (SELECT *,
+                   ((((1.061405429*t - 1.453152027)*t + 1.421413741)*t
+                     - 0.284496736)*t + 0.254829592)*t AS poly
+                 FROM p3),
+          p5 AS (SELECT *, 1.0 - poly*exp(-x*x) AS erf FROM p4),
+          p6 AS (SELECT source, n, mu, sd, i,
+                   CASE WHEN z >= 0 THEN 0.5*(1.0 + erf)
+                        ELSE 0.5*(1.0 - erf) END AS ph
+                 FROM p5),
+          a AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                  max(mu) AS mu_raw, max(sd) AS sd_raw,
+                  max(greatest(
+                    CAST(i AS DOUBLE)/CAST(n AS DOUBLE) - ph,
+                    ph - (CAST(i AS DOUBLE) - 1)/CAST(n AS DOUBLE)))
+                    AS d_raw
+                FROM p6 GROUP BY 1)
+          SELECT source, n_docs,
+            round(mu_raw, 6) AS ln_mean,
+            round(sd_raw, 6) AS ln_sd,
+            round(d_raw, 6) AS ks_d,
+            round(0.886/sqrt(CAST(n_docs AS DOUBLE)), 6) AS crit_5pct,
+            d_raw > 0.886/sqrt(CAST(n_docs AS DOUBLE))
+              AS reject_lognormal
+          FROM a ORDER BY source"""
   )
 }

@@ -1494,6 +1494,23 @@ object MarketQueries {
         .orderBy(col("n_series"))
     }),
 
+    // Diebold–Mariano test (MarketBars.dmTest): random walk vs MA(5)
+    // one-bar-ahead — is the series formally mean-reverting at bar
+    // scale, the forecasting face of q139's variance ratio
+    "q387_dm_test" -> ((s, dir) => {
+      MarketBars.dmTest(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
+    // On-balance volume (MarketBars.obv): day-end running
+    // sign(dClose)*volume — does volume flow WITH price
+    "q388_obv" -> ((s, dir) => {
+      MarketBars.obv(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
     // Jobson–Korkie/Memmel Sharpe-difference test
     // (MarketBars.sharpeDiff): is click's Sharpe formally higher than
     // view's — what the q140 tearsheet eyeballs
@@ -5929,6 +5946,77 @@ object MarketQueries {
               /(CAST(n_series AS DOUBLE) + 2.0*CAST(s2 AS DOUBLE)), 6)
               AS eff_factors
           FROM f CROSS JOIN ns ORDER BY n_series""",
+
+    // DM twin: exact 1e6-long closes, the same two forecast errors in
+    // one division each, 12dp d folds, the plain 1-step DM finish
+    "q387_dm_test" ->
+      s"""WITH $barsCte,
+          c0 AS (SELECT series, bar_ts,
+                  CAST(floor(close*1e6 + 0.5) AS BIGINT) AS c6
+                 FROM bars),
+          x AS (SELECT series, c6,
+                  lag(c6) OVER w AS pc6,
+                  SUM(c6) OVER (PARTITION BY series ORDER BY bar_ts
+                    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS s5,
+                  count(c6) OVER (PARTITION BY series ORDER BY bar_ts
+                    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS n5
+                FROM c0
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          f0 AS (SELECT series,
+                   CAST(c6 - pc6 AS DOUBLE)/1e6 AS e1,
+                   CAST(5*c6 - s5 AS DOUBLE)/5e6 AS e2
+                 FROM x WHERE pc6 IS NOT NULL AND n5 = 5),
+          f AS (SELECT series, round(e1*e1 - e2*e2, 12) AS d FROM f0),
+          ag AS (SELECT series, CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(d AS DECIMAL(38,12))) AS s1,
+                   SUM(CAST(round(d*d, 12) AS DECIMAL(38,12))) AS s2
+                 FROM f GROUP BY 1),
+          fin AS (SELECT series, n,
+                    CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mean_d,
+                    (CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                      /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1))
+                      AS vr
+                  FROM ag)
+          SELECT series, n,
+            round(mean_d, 8) AS mean_loss_diff,
+            CASE WHEN n > 1 AND vr > 0 THEN
+              round(mean_d/sqrt(vr/CAST(n AS DOUBLE)), 6) END
+              AS dm_stat,
+            CASE WHEN n > 1 AND vr > 0 THEN
+              CASE WHEN mean_d/sqrt(vr/CAST(n AS DOUBLE)) > 1.959964
+                     THEN 'ma5'
+                   WHEN mean_d/sqrt(vr/CAST(n AS DOUBLE)) < -1.959964
+                     THEN 'rw'
+                   ELSE 'tie' END
+            END AS better
+          FROM fin ORDER BY series""",
+
+    // OBV twin: exact long signed flows, DECIMAL day sums, the
+    // keys×days running prefix
+    "q388_obv" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, volume,
+                  CAST(floor(close*1e6 + 0.5) AS BIGINT)
+                    - CAST(floor(lag(close) OVER (PARTITION BY series
+                        ORDER BY bar_ts)*1e6 + 0.5) AS BIGINT) AS d6,
+                  lag(close) OVER (PARTITION BY series
+                    ORDER BY bar_ts) AS pc
+                FROM bars),
+          f AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                  (CASE WHEN d6 > 0 THEN 1 WHEN d6 < 0 THEN -1
+                    ELSE 0 END)
+                    * CAST(floor(volume*1e6 + 0.5) AS BIGINT) AS sv
+                FROM l WHERE pc IS NOT NULL),
+          fl AS (SELECT series, d,
+                   SUM(CAST(sv AS DECIMAL(38,0))) AS flow6
+                 FROM f GROUP BY 1, 2)
+          SELECT series, d,
+            round(CAST(flow6 AS DOUBLE)/1e6, 6) AS day_flow,
+            round(CAST(SUM(flow6) OVER (PARTITION BY series ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)/1e6, 6) AS obv
+          FROM fl ORDER BY series, d""",
 
     // Sharpe-diff twin: aligned return legs, 12dp co-moment folds,
     // the Memmel θ̂ in one shared op order

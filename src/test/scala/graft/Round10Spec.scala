@@ -589,6 +589,63 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("dmTest: constant loss differentials pin the mean and null the statistic") {
+    // alternating ±2: e_rw² = 4, MA(5) error = ∓1.2 -> d = 2.56 on
+    // every valid bar (zero variance -> DM null); a +1/bar trend:
+    // e_rw = 1 but MA(5) lags by 3 -> d = -8 constant
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    def mk(s: String, closes: Seq[Double]) =
+      closes.zipWithIndex.map { case (c, i) =>
+        (s, Timestamp.valueOf(day0.atTime(10, 0).plusMinutes(5L * i)), c)
+      }
+    val alt = mk("alt", Seq.tabulate(20)(i =>
+      if (i % 2 == 0) 100.0 else 102.0))
+    val trend = mk("trend", Seq.tabulate(20)(i => 100.0 + i))
+    val out = MarketBars.dmTest((alt ++ trend)
+        .toDF("series", "bar_ts", "close"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("alt").getAs[Double]("mean_loss_diff") === 2.56)
+    assert(out("alt").isNullAt(out("alt").fieldIndex("dm_stat")))
+    assert(out("trend").getAs[Double]("mean_loss_diff") === -8.0)
+  }
+
+  test("obv: signed day flows and the running level pin exactly") {
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    def at(d: Int, m: Int) =
+      Timestamp.valueOf(day0.plusDays(d.toLong).atTime(10, m))
+    val bars = Seq(
+      ("s", at(0, 0), 10.0, 5.0),  // first bar: no prev, excluded
+      ("s", at(0, 5), 11.0, 2.0),  // +2
+      ("s", at(0, 10), 10.5, 3.0), // -3
+      ("s", at(1, 0), 10.5, 7.0),  // unchanged -> 0 (strict Granville)
+      ("s", at(1, 5), 11.0, 4.0)   // +4
+    ).toDF("series", "bar_ts", "close", "volume")
+    val out = MarketBars.obv(bars).orderBy(col("d")).collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Double]("day_flow") === -1.0)
+    assert(out(0).getAs[Double]("obv") === -1.0)
+    assert(out(1).getAs[Double]("day_flow") === 4.0)
+    assert(out(1).getAs[Double]("obv") === 3.0)
+  }
+
+  test("doclenLognormal: a roughly log-normal ladder passes, a template spike rejects") {
+    def doc(src: String, i: Int, n: Int) =
+      (s"$src-$i".hashCode.toLong.abs + i.toLong * 1000000L,
+        (1 to n).map(j => s"w$j").mkString(" "), src)
+    val good = Seq(2, 3, 3, 4, 4, 5, 5, 5, 6, 6, 7, 7, 8, 8, 9, 10, 11,
+      13, 15, 19).zipWithIndex.map { case (n, i) => doc("good", i, n) }
+    val tpl = (Seq.fill(19)(10) :+ 1000).zipWithIndex.map {
+      case (n, i) => doc("tpl", i + 100, n) }
+    val out = graft.ops.CorpusOps.doclenLognormal(
+        (good ++ tpl).toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out("good").getAs[Boolean]("reject_lognormal"),
+      s"ladder must pass: ${out("good")}")
+    assert(out("tpl").getAs[Boolean]("reject_lognormal"))
+    assert(out("tpl").getAs[Double]("ln_mean") === 2.532844)
+    assert(out("tpl").getAs[Double]("ks_d") === 0.538468)
+  }
+
   test("qualityDrift: a linear quality ramp pins the slope at 0.008/tranche") {
     // doc i has i distinct non-stop tokens -> q = 0.6 + 0.004i
     // exactly; ids 1..20 bucket into consecutive pairs, so tranche b
