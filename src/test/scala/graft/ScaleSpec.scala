@@ -429,7 +429,9 @@ class ScaleSpec extends AnyFunSuite {
       "q85_rolling_corr", "q106_rolling_beta", "q122_ccf",
       "q172_coint", "q223_half_life",
       // round-10 widening queries that ride the same escapes
-      "q363_kpss", "q366_ou_fit", "q355_info_ratio")
+      "q363_kpss", "q366_ou_fit", "q355_info_ratio",
+      "q380_transfer_entropy", "q381_epps", "q384_corr_structure",
+      "q387_dm_test", "q388_obv")
     val fullHistory =
       ("windowspecdefinition\\((series|pair_name)#\\d+, " +
         "(bar_ts|ts)#\\d+ ASC").r
