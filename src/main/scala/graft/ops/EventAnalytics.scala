@@ -1145,4 +1145,69 @@ object EventAnalytics {
         (round(center + half, 6) < col("p_pool") ||
           round(center - half, 6) > col("p_pool")).as("differs_from_pool"))
   }
+
+  /** Inter-arrival-duration autocorrelation per event type at lags
+    * 1..`maxLag` — the SERIAL side of arrival clustering: q265's
+    * dispersion says the MARGINAL gap distribution is over-dispersed,
+    * this says whether long gaps FOLLOW long gaps (the ACD/Hawkes
+    * signature; significant positive ρ₁ = intensity is sticky, so
+    * rate-based capacity plans need a burst buffer). The duration
+    * analog of q151's return ACF on the same stacked-lag machinery.
+    *
+    * Determinism: gaps are exact microsecond longs off the
+    * (ts, event_id)-ordered chain; co-moments fold as DECIMAL
+    * products (micros² pass 2⁶³ — the q248 cast-before-multiply
+    * rule); ρ forms in the shared Pearson op order, 6dp; the
+    * 1.959964/√n fence compares the rounded ρ.
+    *
+    * Scale: the gap chain and every stacked lag ride ONE
+    * [[ScalableWindow.dayScoped]] pass (carry maxLag + 1 — the
+    * acfBase chain-reach rule; gaps are null only at a series head,
+    * so filtered positions stay global); one map-side-combined
+    * (type, k) rollup; \|types\|·maxLag rows out. */
+  def durationAcf(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1 (got $maxLag)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val base = events.select(col(typeCol).as("series"),
+      col(tsCol).as("ts"), col(idCol).as("id"))
+    val aug = ScalableWindow.dayScoped(base, Seq("series"),
+      Seq("ts", "id"), "ts", maxLag + 1)
+    val w = Window.partitionBy(col("series"), col("__day_idx"))
+      .orderBy(col("ts"), col("id"))
+    val gap = unix_micros(col("ts")) -
+      lag(unix_micros(col("ts")), 1).over(w)
+    val withLags = aug
+      .withColumn("g", gap)
+      .select(col("series") +: col("g") +: col("__emit") +:
+        (1 to maxLag).map(k => lag(col("g"), k).over(w).as(s"y$k")): _*)
+      .filter(col("__emit") && col("g").isNotNull)
+    val stacked = withLags
+      .select(col("series"), col("g").as("x"),
+        expr(s"stack($maxLag, " +
+          (1 to maxLag).map(k => s"$k, y$k").mkString(", ") +
+          ") as (k, y)"))
+      .filter(col("y").isNotNull)
+    val agg = stacked.groupBy(col("series"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    val n = dbl(col("n"))
+    val num = n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val vx = n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val vy = n * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val r = when(vx > 0 && vy > 0,
+      round(num / (sqrt(vx) * sqrt(vy)), 6))
+    agg.select(col("series").as("event_type"), col("k"), col("n"),
+      r.as("gap_acf"),
+      when(r.isNotNull, r > lit(1.959964) / sqrt(n)).as("clustered"))
+  }
 }

@@ -1494,6 +1494,15 @@ object MarketQueries {
         .orderBy(col("n_series"))
     }),
 
+    // Duration ACF (EventAnalytics.durationAcf): do long inter-
+    // arrival gaps FOLLOW long gaps — the serial side of q265's
+    // dispersion, the ACD/Hawkes clustering signature
+    "q390_duration_acf" -> ((s, dir) => {
+      EventAnalytics.durationAcf(Tables.events(s, dir),
+          "event_type", "ts", "event_id")
+        .orderBy(col("event_type"), col("k"))
+    }),
+
     // Diebold–Mariano test (MarketBars.dmTest): random walk vs MA(5)
     // one-bar-ahead — is the series formally mean-reverting at bar
     // scale, the forecasting face of q139's variance ratio
@@ -5946,6 +5955,57 @@ object MarketQueries {
               /(CAST(n_series AS DOUBLE) + 2.0*CAST(s2 AS DOUBLE)), 6)
               AS eff_factors
           FROM f CROSS JOIN ns ORDER BY n_series""",
+
+    // Duration-ACF twin: exact microsecond gaps off the (ts, id)
+    // chain, stacked lags, DECIMAL co-moment folds, shared Pearson
+    "q390_duration_acf" ->
+      """WITH g0 AS (SELECT event_type AS series, ts, event_id AS id,
+                      epoch_us(ts)
+                        - lag(epoch_us(ts)) OVER (PARTITION BY
+                          event_type ORDER BY ts, event_id) AS g
+                    FROM events),
+          gl AS (SELECT series, g,
+                   lag(g, 1) OVER w AS y1,
+                   lag(g, 2) OVER w AS y2,
+                   lag(g, 3) OVER w AS y3
+                 FROM g0
+                 WINDOW w AS (PARTITION BY series ORDER BY ts, id)),
+          st AS (SELECT series, k, x, y FROM (
+                   SELECT series, g AS x, 1 AS k, y1 AS y FROM gl
+                     WHERE g IS NOT NULL
+                   UNION ALL
+                   SELECT series, g, 2, y2 FROM gl WHERE g IS NOT NULL
+                   UNION ALL
+                   SELECT series, g, 3, y3 FROM gl WHERE g IS NOT NULL)
+                 WHERE y IS NOT NULL),
+          ag AS (SELECT series, k, CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                   SUM(CAST(x AS DECIMAL(38,0))
+                     *CAST(y AS DECIMAL(38,0))) AS sxy,
+                   SUM(CAST(x AS DECIMAL(38,0))
+                     *CAST(x AS DECIMAL(38,0))) AS sxx,
+                   SUM(CAST(y AS DECIMAL(38,0))
+                     *CAST(y AS DECIMAL(38,0))) AS syy
+                 FROM st GROUP BY 1, 2),
+          f AS (SELECT series AS event_type, k, n,
+                  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+                    AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0 THEN
+                    round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                      /sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        *(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+                  END AS gap_acf
+                FROM ag)
+          SELECT event_type, k, n, gap_acf,
+            CASE WHEN gap_acf IS NOT NULL THEN
+              gap_acf > 1.959964/sqrt(CAST(n AS DOUBLE)) END
+              AS clustered
+          FROM f ORDER BY event_type, k""",
 
     // DM twin: exact 1e6-long closes, the same two forecast errors in
     // one division each, 12dp d folds, the plain 1-step DM finish

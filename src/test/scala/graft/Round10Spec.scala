@@ -589,6 +589,26 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("durationAcf: alternating gaps pin the lag signature -1/+1/-1 exactly") {
+    // gaps alternate 1s/3s: x_{t-1} = 4s - x_t (affine, slope -1) so
+    // rho1 = -1 exactly regardless of count parity; lag 2 is identity
+    // (+1); lag 3 flips again
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 10, 0)
+    var cum = 0L
+    val rows = (0 to 12).map { i =>
+      if (i > 0) cum += (if (i % 2 == 1) 1000000L else 3000000L)
+      (i.toLong, Timestamp.valueOf(t0.plusNanos(cum * 1000L)), "a", 1.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = graft.ops.EventAnalytics.durationAcf(rows,
+        "event_type", "ts", "event_id")
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(out(1).getAs[Double]("gap_acf") === -1.0)
+    assert(!out(1).getAs[Boolean]("clustered"))
+    assert(out(2).getAs[Double]("gap_acf") === 1.0)
+    assert(out(2).getAs[Boolean]("clustered"))
+    assert(out(3).getAs[Double]("gap_acf") === -1.0)
+  }
+
   test("dmTest: constant loss differentials pin the mean and null the statistic") {
     // alternating ±2: e_rw² = 4, MA(5) error = ∓1.2 -> d = 2.56 on
     // every valid bar (zero variance -> DM null); a +1/bar trend:

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{MarketBars, PairAnalytics}
 import graft.sources.Tables
-import graft.streaming.{BarBuilder, ConversionMonitor, DrawdownMonitor, JumpMonitor, PageCusumMonitor, StaleRunMonitor, TickBarMonitor, TickFlowMonitor, TransitionStream}
+import graft.streaming.{BarBuilder, ConversionMonitor, DrawdownMonitor, JumpMonitor, ObvMonitor, PageCusumMonitor, StaleRunMonitor, TickBarMonitor, TickFlowMonitor, TransitionStream}
 
 case class Tick(event_type: String, ts: Timestamp, value: Double)
 
@@ -652,6 +652,38 @@ class StreamingSpec extends AnyFunSuite {
         round(rv, 10).as("rv"), round(bv, 10).as("bv"),
         when(rv > 0, round(greatest(lit(0.0), lit(1.0) - bv / rv), 6))
           .as("jump_frac"))
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
+  test("streaming OBV flows aggregate to the batch day rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bars = MarketBars.bars(Tables.events(spark, sf),
+      "event_type", "ts", "value")
+    val batch = MarketBars.obv(bars)
+    val points = bars.collect()
+      .map(r => ObvMonitor.Bar(r.getString(0), r.getTimestamp(1),
+        r.getAs[Double]("close"), r.getAs[Double]("volume")))
+      .toSeq.sortBy(_.ts.getTime)
+    val stream = MemoryStream[ObvMonitor.Bar]
+    val q = ObvMonitor.flows(stream.toDS())
+      .writeStream.format("memory").queryName("obv_out")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = points.splitAt(points.length / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      // replay the earliest h2 rows: the <= lastTs guard must drop them
+      stream.addData(h2.take(50)); q.processAllAvailable()
+      val streamed = spark.table("obv_out")
+        .groupBy($"series", $"d")
+        .agg(
+          round(sum($"flow6").cast("double") / lit(1e6), 6).as("day_flow"),
+          round(max_by($"obv6", $"ts").cast("double") / lit(1e6), 6)
+            .as("obv"))
       assert(streamed.except(batch).count() === 0)
       assert(batch.except(streamed).count() === 0)
       assert(streamed.count() > 0)
