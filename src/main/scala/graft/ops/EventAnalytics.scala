@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Event-stream analytics operators: LOCF gap-fill onto a dense time
   * grid, robust (median/MAD) outlier detection, funnel conversion, and
@@ -1209,5 +1209,106 @@ object EventAnalytics {
     agg.select(col("series").as("event_type"), col("k"), col("n"),
       r.as("gap_acf"),
       when(r.isNotNull, r > lit(1.959964) / sqrt(n)).as("clustered"))
+  }
+
+  /** Censoring-aware retention-decay fit: pool [[retention]]'s cohort
+    * triangle by offset — at offset o the DENOMINATOR is only the
+    * cohorts old enough to be observed there (cohort_day ≤ maxDay − o;
+    * pooling raw cells without this systematically flatters late
+    * offsets) — then fit ln(rate) on offset (o ≥ 1) for the decay
+    * constant and half-life: "how fast do users churn, in days", the
+    * parametric summary the raw q81 triangle and q178 stickiness
+    * leave to the eye.
+    *
+    * Determinism: all-integer numerators/denominators (the
+    * eligibility cut is a date comparison on exact dates); rate
+    * floors to 6dp; ln(rate) rounds 12dp into DECIMAL OLS folds (the
+    * q121 machinery); slope/half-life finish in one double op order,
+    * 6dp.
+    *
+    * Scale: the triangle is keys×offsets-sized (calendar-bounded);
+    * the eligibility join is \|cohorts\|·\|offsets\| — the theilSen
+    * class, never user-sized; the fit is a 1-row broadcast attached
+    * to the panel. */
+  def retentionDecay(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val tri = retention(events).localCheckpoint(eager = false)
+    val mx = events.agg(max(to_date(col("ts"))).as("mxd"))
+    val sizes = tri.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("s"))
+    val offsets = tri.select(col("day_offset")).distinct()
+    val num = tri.groupBy(col("day_offset"))
+      .agg(sum(col("n_users")).as("n_active"))
+    val den = offsets.crossJoin(broadcast(mx))
+      .join(sizes,
+        col("cohort_day") <= date_sub(col("mxd"), col("day_offset")))
+      .groupBy(col("day_offset"))
+      .agg(sum(col("s")).as("n_eligible"))
+    val panel = num.join(den, "day_offset")
+      .withColumn("rate",
+        floor(dbl(col("n_active")) / dbl(col("n_eligible")) * lit(1e6) +
+          lit(0.5)) / lit(1e6))
+      .localCheckpoint(eager = false) // panel + fit legs
+    val pts = panel.filter(col("day_offset") >= 1 && col("rate") > 0)
+      .select(col("day_offset").cast(LongType).as("x"),
+        round(log(col("rate")), 12).as("y"))
+    val fit = pts.agg(count(lit(1)).as("np"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum(col("y").cast(dec12)).as("sy"),
+        sum(round(dbl(col("x")) * col("y"), 12).cast(dec12)).as("sxy"))
+    val np = dbl(col("np"))
+    val denF = np * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val slope = (np * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+      denF
+    val fitRow = fit.select(
+      when(col("np") > 1 && denF =!= 0, round(slope, 6))
+        .as("decay_slope"),
+      when(col("np") > 1 && denF =!= 0 && slope < 0,
+        round(-lit(0.6931471805599453) / slope, 6)).as("half_life_days"))
+    panel.crossJoin(broadcast(fitRow))
+      .select(col("day_offset"), col("n_active"), col("n_eligible"),
+        col("rate"), col("decay_slope"), col("half_life_days"))
+  }
+
+  /** Circadian arrival profile per event type: the 24-bin hour-of-day
+    * histogram summarized as Shannon entropy (uniformity = H/ln 24),
+    * the peak hour, and the peak share — "is this stream's load flat
+    * or spiky around the clock", the capacity-planning companion to
+    * q265's burstiness (which reads variance, not SHAPE) and q390's
+    * serial clustering.
+    *
+    * Determinism: hour counts are integers; each entropy term rounds
+    * 12dp into a DECIMAL fold; the argmax tie-breaks to the SMALLEST
+    * hour via max(struct(c, −h)); ratios round 6dp.
+    *
+    * Scale: one map-side-combined (type, hour) aggregate (≤ 24 cells
+    * per type), \|types\| rows out. */
+  def circadianProfile(events: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec12 = DecimalType(38, 12)
+    val cells = events
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val tot = Window.partitionBy(col("event_type"))
+    val withP = cells
+      .withColumn("n", sum(col("c")).over(tot))
+      .withColumn("t12",
+        round(dbl(col("c")) / dbl(col("n")) *
+          log(dbl(col("c")) / dbl(col("n"))), 12).cast(dec12))
+    val agg = withP.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        count(lit(1)).as("n_hours"),
+        sum(col("t12")).as("h12"),
+        max(struct(col("c").as("c"), (-col("h")).as("nh"))).as("pk"))
+    val hEnt = -dbl(col("h12"))
+    agg.select(col("event_type"), col("n_events"), col("n_hours"),
+      round(hEnt, 6).as("hour_entropy"),
+      round(hEnt / lit(3.1780538303479458), 6).as("uniformity"),
+      (-col("pk").getField("nh")).as("peak_hour"),
+      round(dbl(col("pk").getField("c")) / dbl(col("n_events")), 6)
+        .as("peak_share"))
   }
 }

@@ -1503,6 +1503,22 @@ object MarketQueries {
         .orderBy(col("event_type"), col("k"))
     }),
 
+    // Retention decay (EventAnalytics.retentionDecay): censoring-
+    // aware pooled retention curve + the exponential half-life fit —
+    // "how fast do users churn, in days"
+    "q391_retention_decay" -> ((s, dir) => {
+      EventAnalytics.retentionDecay(Tables.events(s, dir))
+        .orderBy(col("day_offset"))
+    }),
+
+    // Circadian profile (EventAnalytics.circadianProfile): hour-of-
+    // day entropy/uniformity + peak share per type — load SHAPE
+    // around the clock, next to q265's burstiness
+    "q392_circadian" -> ((s, dir) => {
+      EventAnalytics.circadianProfile(Tables.events(s, dir))
+        .orderBy(col("event_type"))
+    }),
+
     // Diebold–Mariano test (MarketBars.dmTest): random walk vs MA(5)
     // one-bar-ahead — is the series formally mean-reverting at bar
     // scale, the forecasting face of q139's variance ratio
@@ -6006,6 +6022,97 @@ object MarketQueries {
               gap_acf > 1.959964/sqrt(CAST(n AS DOUBLE)) END
               AS clustered
           FROM f ORDER BY event_type, k""",
+
+    // Retention-decay twin: the q81 triangle, the eligibility cut on
+    // exact dates, floor-form rates, the integer/12dp OLS fit
+    "q391_retention_decay" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+          coh AS (SELECT user_id, min(d) AS cohort_day FROM act
+                  GROUP BY 1),
+          tri AS (SELECT cohort_day,
+                   date_diff('day', cohort_day, d) AS day_offset,
+                   count(*) AS n_users
+                  FROM act JOIN coh USING (user_id) GROUP BY 1, 2),
+          mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events),
+          sz AS (SELECT cohort_day, n_users AS s FROM tri
+                 WHERE day_offset = 0),
+          offs AS (SELECT DISTINCT day_offset FROM tri),
+          num AS (SELECT day_offset,
+                   CAST(SUM(n_users) AS BIGINT) AS n_active
+                  FROM tri GROUP BY 1),
+          den AS (SELECT day_offset,
+                   CAST(SUM(s) AS BIGINT) AS n_eligible
+                  FROM offs CROSS JOIN mx
+                  JOIN sz ON cohort_day <= mxd
+                    - CAST(day_offset AS INTEGER)
+                  GROUP BY 1),
+          panel AS (SELECT num.day_offset, n_active, n_eligible,
+                     floor(CAST(n_active AS DOUBLE)
+                       /CAST(n_eligible AS DOUBLE)*1e6 + 0.5)/1e6
+                       AS rate
+                    FROM num JOIN den
+                      ON num.day_offset = den.day_offset),
+          pts AS (SELECT CAST(day_offset AS BIGINT) AS x,
+                    round(ln(rate), 12) AS y
+                  FROM panel WHERE day_offset >= 1 AND rate > 0),
+          fit AS (SELECT CAST(count(*) AS BIGINT) AS np,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+                   SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+                   SUM(CAST(round(CAST(x AS DOUBLE)*y, 12)
+                     AS DECIMAL(38,12))) AS sxy
+                  FROM pts),
+          f2 AS (SELECT np,
+                  CAST(np AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS denf,
+                  (CAST(np AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                    /(CAST(np AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                    AS slope
+                 FROM fit),
+          fr AS (SELECT
+                  CASE WHEN np > 1 AND denf <> 0 THEN
+                    round(slope, 6) END AS decay_slope,
+                  CASE WHEN np > 1 AND denf <> 0 AND slope < 0 THEN
+                    round(-0.6931471805599453/slope, 6) END
+                    AS half_life_days
+                 FROM f2)
+          SELECT day_offset, n_active, n_eligible, rate,
+            decay_slope, half_life_days
+          FROM panel CROSS JOIN fr ORDER BY day_offset""",
+
+    // Circadian twin: 24-cell integer histogram, 12dp entropy folds,
+    // the max(struct) smallest-hour tie rule
+    "q392_circadian" ->
+      """WITH cells AS (SELECT event_type,
+                   CAST(extract(hour FROM ts) AS INTEGER) AS h,
+                   count(*) AS c
+                 FROM events GROUP BY 1, 2),
+          wp AS (SELECT event_type, h, c,
+                  SUM(c) OVER (PARTITION BY event_type) AS n
+                 FROM cells),
+          tm AS (SELECT event_type, n, c, h,
+                   CAST(round(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)
+                     *ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)), 12)
+                     AS DECIMAL(38,12)) AS t12
+                 FROM wp),
+          ag AS (SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_events,
+                   count(*) AS n_hours,
+                   SUM(t12) AS h12,
+                   (max(struct_pack(c := c, nh := -h))).c AS pc,
+                   (max(struct_pack(c := c, nh := -h))).nh AS pnh
+                 FROM tm GROUP BY 1)
+          SELECT event_type, n_events, n_hours,
+            round(-CAST(h12 AS DOUBLE), 6) AS hour_entropy,
+            round(-CAST(h12 AS DOUBLE)/3.1780538303479458, 6)
+              AS uniformity,
+            -pnh AS peak_hour,
+            round(CAST(pc AS DOUBLE)/CAST(n_events AS DOUBLE), 6)
+              AS peak_share
+          FROM ag ORDER BY event_type""",
 
     // DM twin: exact 1e6-long closes, the same two forecast errors in
     // one division each, 12dp d folds, the plain 1-step DM finish

@@ -609,6 +609,43 @@ class Round10Spec extends AnyFunSuite {
     assert(out(3).getAs[Double]("gap_acf") === -1.0)
   }
 
+  test("retentionDecay: exact halving pins slope -ln2 and half-life 1 day") {
+    // one cohort (day 0), 8 users: 4 churn after day 0, 2 after day
+    // 1, 1 after day 2, 1 survives to day 3 -> rates 1, .5, .25,
+    // .125 — a perfect exponential with half-life exactly one day
+    val day0 = java.time.LocalDate.of(2024, 5, 1)
+    def ev(u: Long, d: Int) =
+      (u, Timestamp.valueOf(day0.plusDays(d.toLong).atTime(12, 0)))
+    val lifetimes = Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0,
+      5L -> 1, 6L -> 1, 7L -> 2, 8L -> 3)
+    val events = lifetimes.toSeq.flatMap { case (u, l) =>
+      (0 to l).map(d => ev(u, d)) }.toDF("user_id", "ts")
+    val out = graft.ops.EventAnalytics.retentionDecay(events)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[Double]("rate") === 1.0)
+    assert(out(1).getAs[Double]("rate") === 0.5)
+    assert(out(3).getAs[Double]("rate") === 0.125)
+    assert(out(1).getAs[Double]("decay_slope") === -0.693147)
+    assert(out(1).getAs[Double]("half_life_days") === 1.0)
+  }
+
+  test("circadianProfile: a single-hour spike and a flat clock pin both ends") {
+    val day0 = java.time.LocalDate.of(2024, 5, 1)
+    val spiky = (1 to 10).map(i =>
+      (i.toLong, Timestamp.valueOf(day0.atTime(9, i)), "spiky", 1.0))
+    val flat = (0 until 24).map(h =>
+      (100L + h, Timestamp.valueOf(day0.atTime(h, 0)), "flat", 1.0))
+    val out = graft.ops.EventAnalytics.circadianProfile(
+        (spiky ++ flat).toDF("event_id", "ts", "event_type", "value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("spiky").getAs[Double]("hour_entropy") === 0.0)
+    assert(out("spiky").getAs[Double]("peak_share") === 1.0)
+    assert(out("spiky").getAs[Int]("peak_hour") === 9)
+    assert(out("flat").getAs[Double]("uniformity") === 1.0)
+    assert(out("flat").getAs[Int]("peak_hour") === 0) // tie -> smallest
+    assert(out("flat").getAs[Double]("peak_share") === 0.041667)
+  }
+
   test("dmTest: constant loss differentials pin the mean and null the statistic") {
     // alternating ±2: e_rw² = 4, MA(5) error = ∓1.2 -> d = 2.56 on
     // every valid bar (zero variance -> DM null); a +1/bar trend:
