@@ -4744,8 +4744,19 @@ object MarketBars {
     * activity spread or is one series the whole tape today", the
     * market-structure number next to q211's share view.
     *
-    * All-integer until two final divisions (6dp/4dp) — tick counts
-    * are exact longs, Σv² folds as DECIMAL products.
+    * All-integer to the very end — tick counts are exact longs, Σv²
+    * folds as DECIMAL products, and the 6dp/4dp finishes are formed
+    * as EXACT scaled-integer rationals (`a div b` + a half-compare on
+    * the exact remainder = HALF_UP with no double quotient anywhere),
+    * then divided by the scale once. A raw `round()` on the double
+    * quotient is the one construct this repo never ships: Spark
+    * (shortest-repr BigDecimal HALF_UP) and DuckDB (multiply-based,
+    * version-dependent) can legally disagree on integer-backed
+    * rationals that land near a rounding boundary (the r10 driver
+    * gate caught exactly that here).
+    *
+    * Bound: exact while q·10⁶ < 10³⁸, i.e. per-day total ticks below
+    * ~10¹⁶ — comfortably past 100 TB.
     *
     * Scale: two map-side-combined aggregates ((day, series) then
     * day); output |days| rows. */
@@ -4759,11 +4770,18 @@ object MarketBars {
       .agg(count(lit(1)).as("n_series"),
         sum(col("v")).as("vt"),
         sum(col("v").cast(dec) * col("v").cast(dec)).as("q"))
+      .withColumn("b", col("vt").cast(dec) * col("vt").cast(dec))
+      .withColumn("a6", col("q") * lit(1000000L).cast(dec))
+      .withColumn("a4", col("b") * lit(10000L).cast(dec))
+      .withColumn("h6", expr("a6 div b") +
+        when((col("a6") % col("b")) * lit(2) >= col("b"), 1L)
+          .otherwise(0L))
+      .withColumn("e4", expr("a4 div q") +
+        when((col("a4") % col("q")) * lit(2) >= col("q"), 1L)
+          .otherwise(0L))
       .select(col("d"), col("n_series"), col("vt").as("total_ticks"),
-        round(dbl(col("q")) / (dbl(col("vt")) * dbl(col("vt"))), 6)
-          .as("hhi"),
-        round(dbl(col("vt")) * dbl(col("vt")) / dbl(col("q")), 4)
-          .as("eff_n"))
+        (dbl(col("h6")) / lit(1e6)).as("hhi"),
+        (dbl(col("e4")) / lit(1e4)).as("eff_n"))
   }
 
   /** Information ratio per series against the equal-weight market

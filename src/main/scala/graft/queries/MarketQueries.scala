@@ -5308,7 +5308,12 @@ object MarketQueries {
               + 0.5)/1e6 AS share_negative
           FROM f""",
 
-    // HHI twin: integer tick-volume shares, Σv²/V²
+    // HHI twin: integer tick-volume shares, Σv²/V². The 6dp/4dp
+    // finishes are exact HUGEINT scaled-integer rationals (// + a
+    // half-compare on the exact remainder = HALF_UP), mirroring the
+    // Spark side's DECIMAL div/% finish — no round() on a double
+    // quotient of exact integers (the engine-version-sensitive class
+    // the r10 gate caught).
     "q365_hhi_volume" ->
       s"""WITH $barsCte,
           dv AS (SELECT CAST(bar_ts AS DATE) AS d, series,
@@ -5317,13 +5322,18 @@ object MarketQueries {
           a AS (SELECT d, count(*) AS n_series, SUM(v) AS vt,
                   SUM(CAST(v AS DECIMAL(38,0))
                     *CAST(v AS DECIMAL(38,0))) AS q
-                FROM dv GROUP BY 1)
+                FROM dv GROUP BY 1),
+          h AS (SELECT d, n_series, vt, CAST(q AS HUGEINT) AS qh,
+                  CAST(vt AS HUGEINT)*CAST(vt AS HUGEINT) AS bh
+                FROM a)
           SELECT d, n_series, vt AS total_ticks,
-            round(CAST(q AS DOUBLE)
-              /(CAST(vt AS DOUBLE)*CAST(vt AS DOUBLE)), 6) AS hhi,
-            round(CAST(vt AS DOUBLE)*CAST(vt AS DOUBLE)
-              /CAST(q AS DOUBLE), 4) AS eff_n
-          FROM a ORDER BY d""",
+            CAST((qh*1000000) // bh
+              + CASE WHEN ((qh*1000000) % bh)*2 >= bh
+                     THEN 1 ELSE 0 END AS DOUBLE)/1e6 AS hhi,
+            CAST((bh*10000) // qh
+              + CASE WHEN ((bh*10000) % qh)*2 >= qh
+                     THEN 1 ELSE 0 END AS DOUBLE)/1e4 AS eff_n
+          FROM h ORDER BY d""",
 
     // Info-ratio twin: q302's market-leg discipline — per-bar mean as
     // one double divide, 12dp DECIMAL folds of the active terms
