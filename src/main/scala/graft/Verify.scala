@@ -40,8 +40,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // always dump the FULL oracle map (even on subset runs): the
+    // boundary-audit mode of tools/check_oracle.py is DuckDB-only and
+    // reads just this file — a subset parquet dump shouldn't limit it
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

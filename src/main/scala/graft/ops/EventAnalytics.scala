@@ -1160,6 +1160,11 @@ object EventAnalytics {
     * rule); ρ forms in the shared Pearson op order, 6dp; the
     * 1.959964/√n fence compares the rounded ρ.
     *
+    * Output `clustered` is ONE-SIDED: true only for significant
+    * POSITIVE ρ (the sticky-intensity/ACD alternative this op
+    * tests for). Significant NEGATIVE autocorrelation reads false —
+    * check the sign of `gap_acf` itself for the two-sided question.
+    *
     * Scale: the gap chain and every stacked lag ride ONE
     * [[ScalableWindow.dayScoped]] pass (carry maxLag + 1 — the
     * acfBase chain-reach rule; gaps are null only at a series head,

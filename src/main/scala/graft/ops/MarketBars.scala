@@ -4709,28 +4709,42 @@ object MarketBars {
             .cast("long")))
       .withColumn("x6", lag(col("r6"), 1).over(w))
       .filter(col("r6").isNotNull && col("x6").isNotNull)
+    // engine-proof finish (the q365 rule): every per-day λ and its
+    // square are integer-backed rationals — form the 8dp λ and the
+    // 12dp λ² as EXACT scaled integers via ExactRound (DECIMAL div +
+    // half-compare on the exact remainder), fold those, and only the
+    // sqrt-bearing t_stat stays a true-double round (safe class:
+    // post-sqrt doubles don't land on short-decimal boundaries)
     val lams = daily.groupBy(col("d"))
       .agg(count(lit(1)).as("k"),
         sum(col("x6").cast(dec)).as("sx"),
         sum(col("r6").cast(dec)).as("sy"),
         sum(col("x6").cast(dec) * col("r6").cast(dec)).as("sxy"),
         sum(col("x6").cast(dec) * col("x6").cast(dec)).as("sxx"))
+      .withColumn("num",
+        col("k").cast(dec) * col("sxy") - col("sx") * col("sy"))
       .withColumn("den",
-        dbl(col("k")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+        col("k").cast(dec) * col("sxx") - col("sx") * col("sx"))
       .filter(col("k") >= 3 && col("den") > 0)
-      .withColumn("lam",
-        round((dbl(col("k")) * dbl(col("sxy")) -
-          dbl(col("sx")) * dbl(col("sy"))) / col("den"), 8))
+      .withColumn("lam8",
+        ExactRound.ratioRoundScaled(col("num"), col("den"), 8))
+      .withColumn("t12", ExactRound.ratioRoundScaled(
+        col("lam8").cast(dec) * col("lam8").cast(dec),
+        lit(10000L), 0))
     lams.agg(count(lit(1)).as("n_days"),
-        sum(col("lam").cast(dec12)).as("sl"),
-        sum(round(col("lam") * col("lam"), 12).cast(dec12)).as("sll"),
-        sum(when(col("lam") < 0, 1L).otherwise(0L)).as("n_neg"))
-      .withColumn("mu", dbl(col("sl")) / dbl(col("n_days")))
+        sum(col("lam8")).as("sl8"),
+        sum(col("t12").cast(dec)).as("sll12"),
+        sum(when(col("lam8") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .withColumn("mu",
+        dbl(col("sl8")) / lit(1e8) / dbl(col("n_days")))
       .withColumn("v",
-        (dbl(col("sll")) - dbl(col("sl")) * dbl(col("sl")) /
-          dbl(col("n_days"))) / (dbl(col("n_days")) - lit(1.0)))
+        (dbl(col("sll12")) / lit(1e12) -
+          (dbl(col("sl8")) / lit(1e8)) * (dbl(col("sl8")) / lit(1e8)) /
+            dbl(col("n_days"))) / (dbl(col("n_days")) - lit(1.0)))
       .select(col("n_days"),
-        round(col("mu"), 8).as("mean_premium"),
+        ExactRound.ratioRound(col("sl8"),
+          col("n_days").cast(dec) * lit(100000000L).cast(dec), 8)
+          .as("mean_premium"),
         when(col("n_days") > 1 && col("v") > 0,
           round(col("mu") / sqrt(col("v") / dbl(col("n_days"))), 4))
           .as("t_stat"),
@@ -4761,7 +4775,6 @@ object MarketBars {
     * Scale: two map-side-combined aggregates ((day, series) then
     * day); output |days| rows. */
   def hhiVolume(bars: DataFrame): DataFrame = {
-    def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
     bars
       .groupBy(to_date(col("bar_ts")).as("d"), col("series"))
@@ -4771,17 +4784,9 @@ object MarketBars {
         sum(col("v")).as("vt"),
         sum(col("v").cast(dec) * col("v").cast(dec)).as("q"))
       .withColumn("b", col("vt").cast(dec) * col("vt").cast(dec))
-      .withColumn("a6", col("q") * lit(1000000L).cast(dec))
-      .withColumn("a4", col("b") * lit(10000L).cast(dec))
-      .withColumn("h6", expr("a6 div b") +
-        when((col("a6") % col("b")) * lit(2) >= col("b"), 1L)
-          .otherwise(0L))
-      .withColumn("e4", expr("a4 div q") +
-        when((col("a4") % col("q")) * lit(2) >= col("q"), 1L)
-          .otherwise(0L))
       .select(col("d"), col("n_series"), col("vt").as("total_ticks"),
-        (dbl(col("h6")) / lit(1e6)).as("hhi"),
-        (dbl(col("e4")) / lit(1e4)).as("eff_n"))
+        ExactRound.ratioRound(col("q"), col("b"), 6).as("hhi"),
+        ExactRound.ratioRound(col("b"), col("q"), 4).as("eff_n"))
   }
 
   /** Information ratio per series against the equal-weight market
@@ -5258,7 +5263,11 @@ object MarketBars {
         max(when(col("rn") === col("k") + 1, col("a8"))).as("xk1"))
     val h = dbl(col("slog")) / dbl(col("k")) -
       round(log(dbl(col("xk1"))), 12)
-    agg.select(col("series"), col("n_rets"), col("k"),
+    // k is the EFFECTIVE tail size: null when the series has fewer
+    // than k+2 nonzero returns (xk1 missing — no estimate is formed),
+    // so the reported k never overstates the tail actually used
+    agg.select(col("series"), col("n_rets"),
+      when(col("xk1").isNotNull, col("k")).as("k"),
       when(col("xk1").isNotNull,
         round(dbl(col("xk1")) / lit(1e8), 8)).as("x_kplus1"),
       when(col("xk1").isNotNull, round(h, 6)).as("hill_h"),
@@ -5373,17 +5382,25 @@ object MarketBars {
         .over(wV.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("dv", lead(col("r8"), 1).over(wV) - col("r8"))
       .join(broadcast(tot), "series")
+      // q248 cast-before-multiply rule: |cc·n| is |days|²-bounded but
+      // ·dv multiplies in an r8 spread that can push the Long product
+      // past 2^63 on multi-decade calendars — form the products in
+      // DECIMAL(38,0) (exact integers, identical values where Long
+      // did not overflow)
       .withColumn("term",
         when(col("dv").isNotNull,
-          abs(col("cc1") * col("n2") - col("cc2") * col("n1")) *
-            col("dv")).otherwise(lit(0L)))
+          abs(col("cc1").cast(dec) * col("n2").cast(dec) -
+            col("cc2").cast(dec) * col("n1").cast(dec)) *
+            col("dv").cast(dec))
+          .otherwise(lit(0L).cast(dec)))
     walked.groupBy(col("series"))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         sum(col("term").cast(dec)).as("s"))
       .select(col("series"), col("n1"), col("n2"),
         when(col("n1") > 0 && col("n2") > 0,
-          round(dbl(col("s")) /
-            (dbl(col("n1")) * dbl(col("n2")) * lit(1e8)), 6))
+          ExactRound.ratioRound(col("s"),
+            col("n1").cast(dec) * col("n2").cast(dec) *
+              lit(100000000L).cast(dec), 6))
           .as("w1_drift"))
   }
 

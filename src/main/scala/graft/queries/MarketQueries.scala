@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.ops.{AsOfJoin, EventAnalytics, MarketBars, PairAnalytics, QualityReport, StatOps}
+import graft.ops.{AsOfJoin, EventAnalytics, ExactRound, MarketBars, PairAnalytics, QualityReport, StatOps}
 import graft.sources.Tables
 
 /** Market/time-series operator inventory over the `events` table —
@@ -5281,27 +5281,34 @@ object MarketQueries {
                   SUM(CAST(x6 AS DECIMAL(38,0))
                     *CAST(x6 AS DECIMAL(38,0))) AS sxx
                  FROM rr GROUP BY 1),
-          lam AS (SELECT d,
-                   round((CAST(k AS DOUBLE)*CAST(sxy AS DOUBLE)
-                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                     /(CAST(k AS DOUBLE)*CAST(sxx AS DOUBLE)
-                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 8)
-                     AS lam
-                  FROM pd
-                  WHERE k >= 3 AND CAST(k AS DOUBLE)*CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0),
+          nd AS (SELECT d,
+                  CAST(k AS HUGEINT)*CAST(sxy AS HUGEINT)
+                    - CAST(sx AS HUGEINT)*CAST(sy AS HUGEINT) AS num,
+                  CAST(k AS HUGEINT)*CAST(sxx AS HUGEINT)
+                    - CAST(sx AS HUGEINT)*CAST(sx AS HUGEINT) AS den
+                 FROM pd WHERE k >= 3),
+          l8 AS (SELECT d,
+                  ${ExactRound.sqlRatioRoundScaled("num", "den", 8)}
+                    AS lam8
+                 FROM nd WHERE den > 0),
+          t AS (SELECT d, lam8,
+                 ${ExactRound.sqlRatioRoundScaled(
+                   "CAST(lam8 AS HUGEINT)*CAST(lam8 AS HUGEINT)",
+                   "10000", 0)} AS t12
+                FROM l8),
           a AS (SELECT count(*) AS n_days,
-                 SUM(CAST(lam AS DECIMAL(38,12))) AS sl,
-                 SUM(CAST(round(lam*lam, 12) AS DECIMAL(38,12))) AS sll,
-                 SUM(CASE WHEN lam < 0 THEN 1 ELSE 0 END) AS n_neg
-                FROM lam),
-          f AS (SELECT n_days, n_neg,
-                 CAST(sl AS DOUBLE)/CAST(n_days AS DOUBLE) AS mu,
-                 (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE)
-                   *CAST(sl AS DOUBLE)/CAST(n_days AS DOUBLE))
+                 SUM(lam8) AS sl8, SUM(t12) AS sll12,
+                 SUM(CASE WHEN lam8 < 0 THEN 1 ELSE 0 END) AS n_neg
+                FROM t),
+          f AS (SELECT n_days, n_neg, sl8,
+                 CAST(sl8 AS DOUBLE)/1e8/CAST(n_days AS DOUBLE) AS mu,
+                 (CAST(sll12 AS DOUBLE)/1e12 - (CAST(sl8 AS DOUBLE)/1e8)
+                   *(CAST(sl8 AS DOUBLE)/1e8)/CAST(n_days AS DOUBLE))
                    /(CAST(n_days AS DOUBLE) - 1.0) AS v
                 FROM a)
-          SELECT n_days, round(mu, 8) AS mean_premium,
+          SELECT n_days,
+            ${ExactRound.sqlRatioRound("sl8", "CAST(n_days AS HUGEINT)*100000000", 8)}
+              AS mean_premium,
             CASE WHEN n_days > 1 AND v > 0 THEN
               round(mu/sqrt(v/CAST(n_days AS DOUBLE)), 4) END AS t_stat,
             floor(CAST(n_neg AS DOUBLE)/CAST(n_days AS DOUBLE)*1e6
@@ -5327,12 +5334,8 @@ object MarketQueries {
                   CAST(vt AS HUGEINT)*CAST(vt AS HUGEINT) AS bh
                 FROM a)
           SELECT d, n_series, vt AS total_ticks,
-            CAST((qh*1000000) // bh
-              + CASE WHEN ((qh*1000000) % bh)*2 >= bh
-                     THEN 1 ELSE 0 END AS DOUBLE)/1e6 AS hhi,
-            CAST((bh*10000) // qh
-              + CASE WHEN ((bh*10000) % qh)*2 >= qh
-                     THEN 1 ELSE 0 END AS DOUBLE)/1e4 AS eff_n
+            ${ExactRound.sqlRatioRound("qh", "bh", 6)} AS hhi,
+            ${ExactRound.sqlRatioRound("bh", "qh", 4)} AS eff_n
           FROM h ORDER BY d""",
 
     // Info-ratio twin: q302's market-leg discipline — per-bar mean as
@@ -5592,7 +5595,8 @@ object MarketQueries {
                        AS DECIMAL(38,12)) END) AS slog,
                    max(CASE WHEN rn = k + 1 THEN a8 END) AS xk1
                  FROM kk WHERE rn <= k + 1 GROUP BY 1)
-          SELECT series, n_rets, k,
+          SELECT series, n_rets,
+            CASE WHEN xk1 IS NOT NULL THEN k END AS k,
             CASE WHEN xk1 IS NOT NULL THEN
               round(CAST(xk1 AS DOUBLE)/1e8, 8) END AS x_kplus1,
             CASE WHEN xk1 IS NOT NULL THEN
@@ -5766,13 +5770,15 @@ object MarketQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
           tm AS (SELECT wk.series, n1, n2,
                    CASE WHEN dv IS NOT NULL THEN
-                     abs(cc1*n2 - cc2*n1)*dv ELSE 0 END AS term
+                     abs(CAST(cc1 AS HUGEINT)*CAST(n2 AS HUGEINT)
+                       - CAST(cc2 AS HUGEINT)*CAST(n1 AS HUGEINT))
+                       *CAST(dv AS HUGEINT) ELSE 0 END AS term
                  FROM wk JOIN tot ON wk.series = tot.series)
           SELECT series, max(n1) AS n1, max(n2) AS n2,
             CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
-              round(CAST(SUM(CAST(term AS DECIMAL(38,0))) AS DOUBLE)
-                /(CAST(max(n1) AS DOUBLE)*CAST(max(n2) AS DOUBLE)
-                  *1e8), 6) END AS w1_drift
+              ${ExactRound.sqlRatioRound("SUM(term)",
+                "CAST(max(n1) AS HUGEINT)*CAST(max(n2) AS HUGEINT)" +
+                  "*100000000", 6)} END AS w1_drift
           FROM tm GROUP BY series ORDER BY series""",
 
     // TE twin: the q341 global lag chain (the day-scoped escape's

@@ -22,6 +22,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * order, rows at or before the last applied microsecond drop (the
   * replay guard). The series' FIRST bar seeds the close and emits
   * nothing — exactly the batch chain's null-lag exclusion.
+  *
+  * IN-ORDER INGESTION ASSUMPTION (shared with TickFlowMonitor): the
+  * replay guard also drops a bar that arrives in a LATER micro-batch
+  * than a successor — batch obv WOULD include that row, so stream ==
+  * batch bit-equality holds only for feeds that are non-decreasing in
+  * event time across micro-batches (within a batch any order is fine
+  * — rows sort before folding). A reordering feed diverges silently;
+  * front it with a watermarked sort (BarBuilder) when arrival order
+  * is not guaranteed.
   */
 object ObvMonitor {
 

@@ -10,6 +10,29 @@ comparing in order catches nondeterministic tie-breaks that a
 sort-by-all-columns compare would mask (the round-1 q01 failure mode).
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+       python3 tools/check_oracle.py --boundary-audit <sfDir> <outDir> [names...]
+       python3 tools/check_oracle.py --boundary-self-test
+
+Boundary audit: the q365 failure class — a raw round() on a double
+whose pre-rounding value sits within a few ulps of a d+1-digit
+half-boundary — is invisible to a same-version Spark-vs-DuckDB
+compare by construction (both engines happen to agree until a DuckDB
+upgrade moves the multiply-based side, or Spark's shortest-repr
+HALF_UP picks the other side). The audit runs each oracle SQL twice:
+once with every DOUBLE-operand round(e, d) replaced by Spark's
+semantics (shortest round-trip repr -> exact HALF_UP at d, via
+double->VARCHAR->DECIMAL(38,20)), once with adversarial multiply
+semantics (sign-aware floor(|v|*10^d + 0.5)) — and flags every OUTPUT
+cell where the two runs differ. That is exactly the set of outputs a
+legal pair of engine implementations can disagree on; mid-pipeline
+divergences absorbed by downstream folds stay clean, so the flag rate
+is the real risk rate, not per-site noise. DECIMAL-typed operands are
+left alone via a runtime typeof() guard: decimal-space HALF_UP is
+exact in both engines (the repo's round-the-DECIMAL-then-cast
+discipline). Flags are advisory: inspect, then either accept (data
+coincidence on a true-double operand) or convert the site to an
+exact-integer / floor-form finish. Only needs oracle_sql.json, not
+the Spark dump.
 """
 import json
 import math
@@ -68,16 +91,197 @@ def cmp_frames(a: pd.DataFrame, b: pd.DataFrame, name: str):
     return issues
 
 
+def _spark_round(expr: str, d: int) -> str:
+    """round with Spark's semantics on DOUBLE operands:
+    BigDecimal.valueOf(v) = shortest round-trip decimal repr (DuckDB's
+    double->VARCHAR cast), then exact HALF_UP at d. DECIMAL/integral
+    operands keep native round (exact in both engines)."""
+    e = f"CAST(({expr}) AS DOUBLE)"
+    emu = (f"COALESCE(CAST(round(TRY_CAST(CAST({e} AS VARCHAR) AS "
+           f"DECIMAL(38,20)), {d}) AS DOUBLE), round({e}, {d}))")
+    return (f"(CASE WHEN typeof(({expr})) IN ('DOUBLE','FLOAT') "
+            f"THEN {emu} ELSE round(({expr}), {d}) END)")
+
+
+def _mult_round(expr: str, d: int) -> str:
+    """round with adversarial multiply-based semantics on DOUBLE
+    operands: sign-aware floor(|v|*10^d + 0.5) on the scaled double
+    product — the other legal implementation family (what a
+    version-drifted engine can do)."""
+    e = f"CAST(({expr}) AS DOUBLE)"
+    emu = (f"(CASE WHEN isfinite({e}) THEN "
+           f"(CASE WHEN {e} >= 0 THEN floor({e}*1e{d} + 0.5) "
+           f"ELSE -floor(-({e})*1e{d} + 0.5) END)/1e{d} "
+           f"ELSE round({e}, {d}) END)")
+    return (f"(CASE WHEN typeof(({expr})) IN ('DOUBLE','FLOAT') "
+            f"THEN {emu} ELSE round(({expr}), {d}) END)")
+
+
+def rewrite_rounds(sql: str, mode: str = "mult") -> "tuple[str, int]":
+    """Replace every round(expr[, d]) with an engine-semantics
+    emulation ('spark' = shortest-repr HALF_UP, 'mult' = multiply/
+    floor-form), recursing into nested rounds. Cells where the two
+    rewritten runs disagree are exactly the outputs a legal pair of
+    engine implementations can disagree on — divergences absorbed by
+    downstream folds stay clean. Returns (rewritten_sql, n_sites)."""
+    out = []
+    i, n, count = 0, len(sql), 0
+    low = sql.lower()
+    while i < n:
+        j = low.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            out.append(sql[i:j + 6])
+            i = j + 6
+            continue
+        out.append(sql[i:j])
+        k, depth = j + 6, 1
+        while k < n and depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        inner = sql[j + 6:k - 1]
+        depth, split = 0, -1
+        for m, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                split = m
+        if split < 0:
+            expr, d = inner, 0
+        else:
+            expr = inner[:split]
+            try:
+                d = int(inner[split + 1:].strip())
+            except ValueError:
+                out.append(sql[j:k])
+                i = k
+                continue
+        expr, sub = rewrite_rounds(expr, mode)
+        count += 1 + sub
+        out.append(_spark_round(expr, d) if mode == "spark"
+                   else _mult_round(expr, d))
+        i = k
+    return "".join(out), count
+
+
+def boundary_audit(sf_dir: str, out_dir: str, names):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    todo = sorted(names) if names else sorted(oracle)
+    n_clean = n_flag = n_err = 0
+    for name in todo:
+        sql = oracle.get(name)
+        if sql is None:
+            print(f"SKIP {name}: not in oracle_sql.json")
+            continue
+        rw_s, sites = rewrite_rounds(sql, "spark")
+        if sites == 0:
+            n_clean += 1
+            continue
+        rw_m, _ = rewrite_rounds(sql, "mult")
+        try:
+            base = norm(con.execute(rw_s).fetchdf())
+            alt = norm(con.execute(rw_m).fetchdf())
+        except Exception as e:
+            n_err += 1
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+            continue
+        flags = []
+        if len(base) != len(alt) or sorted(base.columns) != sorted(alt.columns):
+            flags.append("shape differs between spark-round and mult-round run")
+        else:
+            for c in base.columns:
+                av, bv = base[c], alt[c]
+                if not pd.api.types.is_float_dtype(av):
+                    continue
+                neq = ~((av == bv) | (av.isna() & bv.isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    flags.append(f"col {c}: {neq.sum()} boundary cell(s), "
+                                 f"first@{i} spark={av[i]!r} mult={bv[i]!r}")
+        if flags:
+            n_flag += 1
+            print(f"FLAG {name} ({sites} round sites):")
+            for f in flags:
+                print(f"    {f}")
+        else:
+            n_clean += 1
+    print(f"\nboundary audit: {n_clean} clean, {n_flag} flagged, {n_err} err")
+    return 1 if (n_flag or n_err) else 0
+
+
+def boundary_self_test():
+    """The tool must flag a synthetic boundary fixture: 0.1250005 is a
+    7-digit decimal whose nearest double sits a few ulps BELOW the
+    true value, so round(x, 6) is a legal engine-disagreement site
+    (shortest-repr HALF_UP says 0.125001, multiply-based says
+    0.125)."""
+    def both(sql):
+        con = duckdb.connect()
+        a = con.execute(rewrite_rounds(sql, "spark")[0]).fetchdf()["r"][0]
+        b = con.execute(rewrite_rounds(sql, "mult")[0]).fetchdf()["r"][0]
+        return a, b
+    sql = ("SELECT round(v, 6) AS r FROM "
+           "(SELECT CAST(0.1250005 AS DOUBLE) AS v)")
+    _, sites = rewrite_rounds(sql)
+    assert sites == 1, f"expected 1 site, got {sites}"
+    a, b = both(sql)
+    flagged = a != b
+    # a clean value must NOT flag
+    a2, b2 = both("SELECT round(v, 6) AS r FROM "
+                  "(SELECT CAST(0.12345651 AS DOUBLE) AS v)")
+    clean = a2 == b2
+    # a DECIMAL operand landing exactly on .5 must NOT flag (exact
+    # decimal-space HALF_UP in both engines)
+    a4, b4 = both("SELECT round(v, 1) AS r FROM "
+                  "(SELECT CAST(1.25 AS DECIMAL(10,2)) AS v)")
+    dec_clean = float(a4) == float(b4) == 1.3
+    # a boundary divergence ABSORBED by a downstream fold must NOT
+    # flag (the common 12dp-intermediate-round-then-coarse-final case)
+    a5, b5 = both("SELECT round(sum(round(v, 6))/7, 2) AS r FROM "
+                  "(SELECT CAST(0.1250005 AS DOUBLE) AS v)")
+    absorbed = a5 == b5
+    # nested rounds rewrite without breaking parens
+    sql3 = ("SELECT round(round(x, 4) / nullif(y, 0), 2) AS r "
+            "FROM (SELECT 1.0::DOUBLE x, 3.0::DOUBLE y)")
+    rw3, sites3 = rewrite_rounds(sql3)
+    duckdb.connect().execute(rw3)
+    assert sites3 == 2, f"expected 2 nested sites, got {sites3}"
+    print(f"self-test: boundary fixture flagged={flagged} "
+          f"(spark={a!r} mult={b!r}), clean value flagged={not clean}, "
+          f"decimal .5 exempt={dec_clean}, absorbed divergence "
+          f"flagged={not absorbed}, nested rewrite ok")
+    return 0 if (flagged and clean and dec_clean and absorbed) else 1
+
+
 def main(sf_dir: str, out_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            # oracle_sql.json always carries the FULL map (so the
+            # boundary audit can run off a subset dump); a name with
+            # no dump dir at all is an un-dumped subset query — skip.
+            # A dir that exists but holds no parquet is a failed write.
+            import os
+            if not os.path.isdir(f"{out_dir}/{name}"):
+                n_skip += 1
+                continue
             print(f"FAIL {name}: no spark output parquet")
             n_fail += 1
             continue
@@ -97,9 +301,14 @@ def main(sf_dir: str, out_dir: str):
         else:
             n_pass += 1
             print(f"PASS {name} ({len(spark_df)} rows)")
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    skipped = f", {n_skip} not dumped" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{skipped}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
+    if sys.argv[1] == "--boundary-self-test":
+        sys.exit(boundary_self_test())
+    elif sys.argv[1] == "--boundary-audit":
+        sys.exit(boundary_audit(sys.argv[2], sys.argv[3], sys.argv[4:]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
