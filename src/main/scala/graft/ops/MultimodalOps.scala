@@ -516,4 +516,77 @@ object MultimodalOps {
       col("text").cast("binary").as("payload"))
       .as[MediaAsset]
   }
+
+  /** The 64 deterministic gray levels of the synthetic test image for
+    * `id`: cell c's level is the first byte of md5("id:c") — a value
+    * an engine WITHOUT the BMP decoder (the DuckDB oracle) can
+    * recompute from the same md5 string, which is what makes the
+    * decode→aHash→band-join pipeline oracle-checkable end to end. */
+  private[graft] def syntheticCells(id: Long, tweaked: Boolean): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cells = Array.tabulate(64) { c =>
+      md.reset()
+      md.update(s"$id:$c".getBytes("UTF-8"))
+      md.digest()(0) & 0xff
+    }
+    if (tweaked) cells(0) = (cells(0) + 16) % 256
+    cells
+  }
+
+  /** A 16×8 24-bit bottom-up gray BMP where pixel (x, y-from-top) =
+    * `cells(y*8 + x/2)` — each aHash grid cell owns exactly two
+    * identical pixels (cell mean = the level, exactly), so the hash
+    * bits are pure functions of the 64 levels; width 16 also
+    * satisfies dHash's 8×9 grid minimum so [[imageHashes]] keeps the
+    * asset. */
+  private[graft] def bmp8x8(cells: Array[Int]): Array[Byte] = {
+    val rowSize = 48 // 16 px × 3 B, already 4-byte aligned
+    val out = new Array[Byte](54 + rowSize * 8)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    put32(2, out.length); put32(10, 54); put32(14, 40)
+    put32(18, 16); put32(22, 8) // positive height = bottom-up
+    out(26) = 1; out(28) = 24 // planes, bpp (compression stays 0)
+    var yTop = 0
+    while (yTop < 8) {
+      val rowOff = 54 + (7 - yTop) * rowSize
+      var x = 0
+      while (x < 16) {
+        val v = cells(yTop * 8 + x / 2).toByte
+        out(rowOff + x * 3) = v; out(rowOff + x * 3 + 1) = v
+        out(rowOff + x * 3 + 2) = v
+        x += 1
+      }
+      yTop += 1
+    }
+    out
+  }
+
+  /** Deterministic synthetic image corpus over an id column: every id
+    * yields one 8×8 gray BMP (asset_id = 2·id) whose pixels derive
+    * from md5(id:cell); ids divisible by 5 additionally yield a
+    * NEAR-DUPLICATE twin (asset_id = 2·id+1) with cell 0's level
+    * shifted by +16 mod 256 — a genuine small perceptual edit that
+    * flips 0–few aHash bits (the cell's own bit plus any cell within
+    * 0.25 gray levels of the old grid mean). Feeds [[imageHashes]] so
+    * the REAL decoder runs; the oracle twin recomputes the hash bits
+    * from the same md5 bytes in SQL (q393).
+    *
+    * Scale posture: map-side generate (no shuffle); at a real lake
+    * the assets come off parquet instead — everything downstream
+    * (decode batching, band join) is the production path. */
+  def syntheticImageAssets(ids: DataFrame, idCol: String): Dataset[MediaAsset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].flatMap { id =>
+      val base = MediaAsset(id * 2, "image", bmp8x8(syntheticCells(id, tweaked = false)))
+      if (id % 5 == 0)
+        Seq(base, MediaAsset(id * 2 + 1, "image", bmp8x8(syntheticCells(id, tweaked = true))))
+      else Seq(base)
+    }
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.ops.{CorpusOps, CorpusPipeline, DedupOps, GraphOps, SimilarityOps, StatOps, TextOps}
+import graft.ops.{CorpusOps, CorpusPipeline, DedupOps, GraphOps, MultimodalOps, SimilarityOps, StatOps, TextOps}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operator inventory over the `documents`
@@ -1302,6 +1302,23 @@ object LlmQueries {
     "q389_doclen_lognormal" -> ((s, dir) => {
       CorpusOps.doclenLognormal(Tables.rebalance(Tables.documents(s, dir)))
         .orderBy(col("source"))
+    }),
+
+    // Image near-dup END TO END through the REAL multimodal path:
+    // deterministic 8×8 BMPs synthesized off embeddings ids (md5
+    // pixels; ids % 5 == 0 get a one-cell-tweaked twin), decoded by
+    // the actual BMP parser, aHash64'd, then the 16-bit-band hamming
+    // join (exact for maxHamming ≤ 3 by pigeonhole). The oracle
+    // recomputes the hash bits from the same md5 bytes in SQL — the
+    // one LLM-pipeline stage that previously had no CORRECTNESS row
+    "q393_image_neardup" -> ((s, dir) => {
+      val assets = MultimodalOps.syntheticImageAssets(
+        Tables.embeddings(s, dir), "vec_id")
+      DedupOps.hammingNearDups(
+          MultimodalOps.imageHashes(assets), "asset_id", "ahash",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -4854,6 +4871,46 @@ object LlmQueries {
             round(0.886/sqrt(CAST(n_docs AS DOUBLE)), 6) AS crit_5pct,
             d_raw > 0.886/sqrt(CAST(n_docs AS DOUBLE))
               AS reject_lognormal
-          FROM a ORDER BY source"""
+          FROM a ORDER BY source""",
+
+    // Image near-dup twin: the aHash bits recomputed in SQL from the
+    // same md5-derived gray levels the Spark side bakes into real
+    // BMPs (8×8 gray ⇒ each hash cell = its pixel's level; luma
+    // (299v+587v+114v)/1000 = v exactly; grid mean = Σv/64, exact in
+    // doubles at these magnitudes). Hamming via per-cell bit compare
+    // over all asset pairs — oracle-scale n², never the Spark plan
+    "q393_image_neardup" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+          a AS (SELECT id*2 AS aid, id, 0 AS var FROM ids
+                UNION ALL
+                SELECT id*2+1, id, 1 FROM ids WHERE id % 5 = 0),
+          cells AS (
+            SELECT a.aid, g.c,
+              CASE WHEN a.var = 1 AND g.c = 0 THEN
+                ((position(substring(md5(concat(a.id, ':', g.c)), 1, 1)
+                    IN '0123456789abcdef') - 1)*16
+                  + position(substring(md5(concat(a.id, ':', g.c)), 2, 1)
+                    IN '0123456789abcdef') - 1 + 16) % 256
+              ELSE
+                (position(substring(md5(concat(a.id, ':', g.c)), 1, 1)
+                    IN '0123456789abcdef') - 1)*16
+                  + position(substring(md5(concat(a.id, ':', g.c)), 2, 1)
+                    IN '0123456789abcdef') - 1
+              END AS v
+            FROM a CROSS JOIN generate_series(0, 63) g(c)),
+          bits AS (
+            SELECT aid, c,
+              CASE WHEN CAST(v AS DOUBLE) >=
+                CAST(SUM(v) OVER (PARTITION BY aid) AS DOUBLE)/64.0
+              THEN 1 ELSE 0 END AS b
+            FROM cells),
+          pairs AS (
+            SELECT x.aid AS id_a, y.aid AS id_b,
+              CAST(SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END)
+                AS INTEGER) AS hamming
+            FROM bits x JOIN bits y ON x.c = y.c AND x.aid < y.aid
+            GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY id_a, id_b"""
   )
 }
