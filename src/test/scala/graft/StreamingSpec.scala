@@ -985,4 +985,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.except(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming incremental agg store equals the batch daily rollup under LATE data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = ticksFromEvents(3000)
+    // replay shape: the q195 scenario — every 7th row arrives LAST,
+    // i.e. out of event-time order across micro-batches (days split
+    // mid-stream AND revisited by a late sliver)
+    val late = data.zipWithIndex.filter(_._2 % 7 == 0).map(_._1)
+    val early = data.zipWithIndex.filter(_._2 % 7 != 0).map(_._1)
+    val stream = MemoryStream[Tick]
+    val store = graft.streaming.IncrementalAggStream.newStore(spark)
+    val q = graft.streaming.IncrementalAggStream.start(stream.toDF(), store)
+    try {
+      stream.addData(early.take(1500)); q.processAllAvailable()
+      stream.addData(early.drop(1500)); q.processAllAvailable()
+      stream.addData(late); q.processAllAvailable()
+      val streamed = store.snapshot()
+      val batch = graft.ops.WarehouseOps.dailyAgg(
+        data.toDF("event_type", "ts", "value"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
