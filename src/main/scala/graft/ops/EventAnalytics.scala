@@ -1316,4 +1316,72 @@ object EventAnalytics {
       round(dbl(col("pk").getField("c")) / dbl(col("n_events")), 6)
         .as("peak_share"))
   }
+
+  /** Weibull probability-plot fit of inter-arrival gaps per event
+    * type: sort the gap SPECTRUM (distinct microsecond gaps with
+    * counts — never the raw corpus), assign each distinct gap v the
+    * plotting position F(v) = cum(v)/(n+1), and OLS
+    * ln(−ln(1−F)) on ln(gap seconds) over the distinct-value points —
+    * slope = Weibull shape k (k < 1 bursty/clustered arrivals, k ≈ 1
+    * memoryless/exponential, k > 1 regularizing), scale λ =
+    * exp(−intercept/k) in seconds. The PARAMETRIC arrival model next
+    * to q265's dispersion (marginal), q390's duration ACF (serial)
+    * and q331's nonparametric Nelson–Aalen hazard.
+    *
+    * Determinism: gaps are exact microsecond longs off the
+    * (ts, event_id)-ordered chain; F is an exact rational
+    * (cum/(n+1) of exact counts); x/y are shared-op-order ln calls
+    * rounded 12dp into DECIMAL OLS folds; shape/scale round 6dp
+    * (post-ln true doubles — safe class). Zero gaps (simultaneous
+    * events) drop before the fit (ln needs v > 0); ties collapse into
+    * one plotting point by construction.
+    *
+    * Scale: one [[ScalableWindow.withPrevValues]] pass for the gap
+    * chain; the spectrum is a (type, gap) map-side-combined
+    * aggregate; the cumulative count rides [[ScalableRank.cumSum]]'s
+    * two-pass escape (no single-task sort); |types| rows out. */
+  def weibullGaps(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val base = events.select(col(typeCol).as("series"),
+        col(tsCol).as("ts"), col(idCol).as("id"))
+      .withColumn("us", unix_micros(col("ts")))
+    val gaps = ScalableWindow.withPrevValues(base, Seq("series"),
+        Seq("ts", "id"), "ts", Seq(("us", "pus")))
+      .filter(col("pus").isNotNull)
+      .select(col("series"), (col("us") - col("pus")).as("g"))
+      .filter(col("g") > 0)
+    val dist = gaps.groupBy(col("series"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val totals = dist.groupBy(col("series"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_pts"))
+    val pts = ScalableRank.cumSum(dist, Seq("series"), Seq(col("g")),
+        col("c").cast(dec), "__cum")
+      .join(broadcast(totals), "series")
+      .withColumn("x",
+        round(log(dbl(col("g")) / lit(1e6)), 12))
+      .withColumn("y",
+        round(log(-log((dbl(col("n")) + lit(1.0) - dbl(col("__cum"))) /
+          (dbl(col("n")) + lit(1.0)))), 12))
+    val agg = pts.groupBy(col("series"))
+      .agg(max(col("n")).as("n_gaps"), count(lit(1)).as("n_pts"),
+        sum(col("x").cast(dec12)).as("sx"),
+        sum(col("y").cast(dec12)).as("sy"),
+        sum(round(col("x") * col("y"), 12).cast(dec12)).as("sxy"),
+        sum(round(col("x") * col("x"), 12).cast(dec12)).as("sxx"))
+    val np = dbl(col("n_pts"))
+    val den = np * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val k = (np * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) / den
+    val a = (dbl(col("sy")) - k * dbl(col("sx"))) / np
+    agg.select(col("series").as("event_type"), col("n_gaps"),
+      col("n_pts"),
+      when(col("n_pts") >= 2 && den > 0, round(k, 6)).as("shape"),
+      when(col("n_pts") >= 2 && den > 0 && k =!= 0.0,
+        round(exp(-a / k), 6)).as("scale_s"))
+  }
 }

@@ -5716,4 +5716,83 @@ object MarketBars {
       round(dbl(col("lo8")) / lit(1e8), 8).as("min_ret"),
       round(dbl(col("hi8")) / lit(1e8), 8).as("max_ret"))
   }
+
+  /** Trig tables for [[periodogram]]: cos/sin of 2πj/p, j ∈ [0, p).
+    * Generated ONCE here and embedded as the same double literals in
+    * the Spark plan AND the DuckDB twin (the shared-constants rule
+    * that keeps hash compares exact across engines — a trig call at
+    * RUNTIME could differ by an ulp between libm builds; a literal
+    * cannot). */
+  private[graft] def trigTables(p: Int): (Seq[Double], Seq[Double]) = (
+    (0 until p).map(j => math.cos(2.0 * math.Pi * j / p)),
+    (0 until p).map(j => math.sin(2.0 * math.Pi * j / p)))
+
+  /** Schuster periodogram of the bar-return chain at fixed candidate
+    * periods (in bars): per (series, period), the spectral power
+    * I(p) = (C² + S²)/n with C = Σ r_t·cos(2πt/p), S = Σ r_t·sin —
+    * plus its share of total return variance — "does the tape carry a
+    * p-bar cycle", the frequency-domain read none of the time-domain
+    * panel (ACF q151, variance-ratio q139, seasonal q123) gives.
+    *
+    * Determinism: returns are exact 1e8 longs off the
+    * lag-over-all-bars chain (q139 idiom); the trig factors are
+    * literal doubles shared with the twin ([[trigTables]]); each
+    * product rounds 6dp into DECIMAL(38,6) folds; power and share
+    * form in one shared double op order and are post-square true
+    * doubles (safe rounding class).
+    *
+    * Scale: ONE fused [[ScalableWindow.withSeqPrev]] pass provides
+    * both the global bar index (phase) and the lagged close — no
+    * second escape; the explode is |periods|×; everything after is a
+    * map-side-combined (series, period) aggregate; |series|·|periods|
+    * rows out. */
+  def periodogram(bars: DataFrame, periods: Seq[Int] = Seq(6, 24)): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"periods must be >= 2 (got $periods)")
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec6 = DecimalType(38, 6)
+    val dec = DecimalType(38, 0)
+    val chain = ScalableWindow.withSeqPrev(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", "__grn", Seq(("close", "pc")))
+      .withColumn("r8",
+        when(col("pc").isNotNull && col("pc") > 0 && col("close") > 0,
+          floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+            .cast("long")))
+      .withColumn("t", col("__grn") - 1)
+      .filter(col("r8").isNotNull)
+    val exploded = chain
+      .withColumn("period", explode(typedLit(periods)))
+      .withColumn("phase", (col("t") % col("period")).cast("int"))
+    val (cosL, sinL) = (
+      periods.map(p => p -> trigTables(p)._1).toMap,
+      periods.map(p => p -> trigTables(p)._2).toMap)
+    def lookup(tabs: Map[Int, Seq[Double]]): Column =
+      periods.tail.foldLeft(
+        when(col("period") === periods.head,
+          element_at(typedLit(tabs(periods.head)), col("phase") + 1))) {
+        (acc, p) =>
+          acc.when(col("period") === p,
+            element_at(typedLit(tabs(p)), col("phase") + 1))
+      }
+    exploded
+      .withColumn("tc", round(col("r8") * lookup(cosL), 6).cast(dec6))
+      .withColumn("ts2", round(col("r8") * lookup(sinL), 6).cast(dec6))
+      .groupBy(col("series"), col("period"))
+      .agg(count(lit(1)).as("n_rets"),
+        sum(col("tc")).as("sc"),
+        sum(col("ts2")).as("ss"),
+        sum(col("r8").cast(dec)).as("sr"),
+        sum(col("r8").cast(dec) * col("r8").cast(dec)).as("srr"))
+      .withColumn("pw",
+        (dbl(col("sc")) * dbl(col("sc")) + dbl(col("ss")) * dbl(col("ss"))) /
+          dbl(col("n_rets")))
+      .withColumn("vr",
+        dbl(col("srr")) - dbl(col("sr")) * dbl(col("sr")) / dbl(col("n_rets")))
+      .select(col("series"), col("period"), col("n_rets"),
+        round(col("pw") / lit(1e16), 8).as("spec_power"),
+        // harmonic-regression R²: the fitted cos+sin pair explains
+        // 2(C²+S²)/n of the total SS — a pure sinusoid scores 1
+        when(col("vr") > 0, round(lit(2.0) * col("pw") / col("vr"), 6))
+          .as("power_share"))
+  }
 }

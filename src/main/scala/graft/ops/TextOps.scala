@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.CrossHash
 
@@ -466,5 +466,73 @@ object TextOps {
       .withColumn("fertility",
         when(col("ws_tokens") > 0,
           round(dbl(col("subword_est")) / dbl(col("ws_tokens")), 6)))
+  }
+
+  /** ln 2 as a shared literal — runtime `ln(2.0)` could differ by an
+    * ulp between libm builds; a literal cannot. */
+  private val Ln2 = 0.6931471805599453
+
+  /** Per-document character-bigram entropy as a COMPRESSIBILITY
+    * proxy, rolled up per source: H_bits = (ln m − Σc·ln c / m)/ln 2
+    * over the doc's overlapping char 2-grams (m = len−1) — templated
+    * or repetitive text compresses well and scores LOW, the cheap
+    * stand-in for the gzip-ratio quality filter the CCNet/Gopher
+    * pipelines run (no codec needed at query time). Reports per
+    * source: doc count, mean bits (exact-integer finish), and the
+    * share of docs more than `lowMarginBits` BELOW the corpus-wide
+    * mean (the would-be filter rate) — a RELATIVE gate, so the
+    * metric stays exercised at any corpus entropy level (the q290
+    * fixed-threshold lesson).
+    *
+    * Determinism: bigram counts are exact; c·ln c terms round 12dp
+    * into DECIMAL folds; per-doc H snaps to a 6dp floor-form long;
+    * the low-gate compares exact integers (h6·N < ΣH6 − margin·N —
+    * no division); the source means/shares finish through
+    * [[ExactRound]] (exact integer rationals — never round() on a
+    * double quotient).
+    *
+    * Scale: ONE corpus-chars shuffle ((doc, bigram) partial-agg
+    * with map-side combine), then doc- and source-keyed map-side
+    * rollups; the corpus mean is a 1-row broadcast; |sources| rows
+    * out. */
+  def charCompressibility(
+      docs: DataFrame,
+      lowMarginBits: Double = 0.1): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val grams = docs
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 1)," +
+            " i -> substring(text, i, 2))")).as("bg"))
+    val perDoc = grams
+      .groupBy(col("doc_id"), col("source"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("m"),
+        sum(round(dbl(col("c")) * log(dbl(col("c"))), 12).cast(dec12))
+          .as("s"))
+      .withColumn("h_bits",
+        (log(dbl(col("m"))) - dbl(col("s")) / dbl(col("m"))) / lit(Ln2))
+      .withColumn("h6",
+        floor(col("h_bits") * lit(1e6) + lit(0.5)).cast("long"))
+    val global = perDoc.agg(sum(col("h6")).as("gs"),
+      count(lit(1)).as("gn"))
+    val margin = (lowMarginBits * 1e6).toLong
+    perDoc.crossJoin(broadcast(global))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h6")).as("sh6"),
+        sum(when(col("h6").cast(dec) * col("gn").cast(dec) <
+            col("gs").cast(dec) - lit(margin).cast(dec) * col("gn").cast(dec),
+          1L).otherwise(0L)).as("n_low"))
+      .select(col("source"), col("n_docs"),
+        ExactRound.ratioRound(col("sh6"),
+          col("n_docs").cast(dec) * lit(1000000L).cast(dec), 6)
+          .as("mean_bits"),
+        ExactRound.ratioRound(col("n_low"), col("n_docs"), 4)
+          .as("low_entropy_share"))
   }
 }

@@ -1304,6 +1304,15 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Char-bigram compressibility (TextOps.charCompressibility):
+    // per-doc entropy-as-gzip-proxy rolled up per source — the
+    // CCNet/Gopher compression-ratio quality filter without a codec,
+    // next to q72's repetition stats and q192's Gopher rules
+    "q396_compressibility" -> ((s, dir) => {
+      TextOps.charCompressibility(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
+    }),
+
     // Image near-dup END TO END through the REAL multimodal path:
     // deterministic 8×8 BMPs synthesized off embeddings ids (md5
     // pixels; ids % 5 == 0 get a one-cell-tweaked twin), decoded by
@@ -4871,6 +4880,41 @@ object LlmQueries {
             round(0.886/sqrt(CAST(n_docs AS DOUBLE)), 6) AS crit_5pct,
             d_raw > 0.886/sqrt(CAST(n_docs AS DOUBLE))
               AS reject_lognormal
+          FROM a ORDER BY source""",
+
+    // Compressibility twin: correlated generate_series char bigrams,
+    // 12dp c·ln c DECIMAL folds, floor-form 6dp per-doc snap, exact
+    // HUGEINT mean/share finishes (the ExactRound idiom)
+    "q396_compressibility" ->
+      s"""WITH b AS (SELECT doc_id, source,
+                     substring(text, CAST(i AS INTEGER), 2) AS bg
+                   FROM (SELECT doc_id, source, text,
+                           unnest(range(1, length(text))) AS i
+                         FROM documents WHERE length(text) >= 2)),
+          c AS (SELECT doc_id, source, bg, count(*) AS c
+                FROM b GROUP BY 1, 2, 3),
+          d AS (SELECT doc_id, source, SUM(c) AS m,
+                  SUM(CAST(round(CAST(c AS DOUBLE)*ln(CAST(c AS DOUBLE)),
+                    12) AS DECIMAL(38,12))) AS s
+                FROM c GROUP BY 1, 2),
+          h AS (SELECT source,
+                  CAST(floor((ln(CAST(m AS DOUBLE))
+                    - CAST(s AS DOUBLE)/CAST(m AS DOUBLE))
+                    /0.6931471805599453*1e6 + 0.5) AS BIGINT) AS h6
+                FROM d),
+          gl AS (SELECT CAST(SUM(h6) AS HUGEINT) AS gs,
+                   CAST(count(*) AS HUGEINT) AS gn
+                 FROM h),
+          a AS (SELECT source, count(*) AS n_docs, SUM(h6) AS sh6,
+                  SUM(CASE WHEN CAST(h6 AS HUGEINT)*gn
+                        < gs - 100000*gn
+                      THEN 1 ELSE 0 END) AS n_low
+                FROM h CROSS JOIN gl GROUP BY 1)
+          SELECT source, n_docs,
+            ${graft.ops.ExactRound.sqlRatioRound("sh6",
+              "CAST(n_docs AS HUGEINT)*1000000", 6)} AS mean_bits,
+            ${graft.ops.ExactRound.sqlRatioRound("n_low", "n_docs", 4)}
+              AS low_entropy_share
           FROM a ORDER BY source""",
 
     // Image near-dup twin: the aHash bits recomputed in SQL from the

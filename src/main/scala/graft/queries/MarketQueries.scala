@@ -1448,6 +1448,16 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Schuster periodogram at fixed bar periods (MarketBars
+    // .periodogram): spectral power + variance share — the
+    // frequency-domain cycle read next to the time-domain ACF (q151)
+    // and seasonal index (q123)
+    "q394_periodogram" -> ((s, dir) => {
+      MarketBars.periodogram(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("period"))
+    }),
+
     // Exact W1 distribution drift (MarketBars.w1Drift): earth-mover
     // distance between each series' first- and second-half daily
     // return distributions — location AND shape drift in return units
@@ -1516,6 +1526,15 @@ object MarketQueries {
     // around the clock, next to q265's burstiness
     "q392_circadian" -> ((s, dir) => {
       EventAnalytics.circadianProfile(Tables.events(s, dir))
+        .orderBy(col("event_type"))
+    }),
+
+    // Weibull gap fit (EventAnalytics.weibullGaps): probability-plot
+    // shape/scale of inter-arrival gaps per type — the PARAMETRIC
+    // arrival model next to q265 (marginal dispersion), q390 (serial
+    // ACF) and q331 (nonparametric hazard)
+    "q395_weibull_gaps" -> ((s, dir) => {
+      EventAnalytics.weibullGaps(Tables.events(s, dir))
         .orderBy(col("event_type"))
     }),
 
@@ -5781,6 +5800,62 @@ object MarketQueries {
                   "*100000000", 6)} END AS w1_drift
           FROM tm GROUP BY series ORDER BY series""",
 
+    // Periodogram twin: q139 lag-over-all-bars chain with a row
+    // index; the trig factors are the SAME double literals the Spark
+    // plan embeds (MarketBars.trigTables — never runtime trig, which
+    // can differ by an ulp between libm builds); 6dp DECIMAL term
+    // folds; the post-square power/share rounds are true-double safe
+    "q394_periodogram" -> {
+      val (c6, s6) = MarketBars.trigTables(6)
+      val (c24, s24) = MarketBars.trigTables(24)
+      def arr(xs: Seq[Double]) = xs.mkString("[", ", ", "]")
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER w AS pc,
+                  row_number() OVER w AS rn
+                FROM bars
+                WINDOW w AS (PARTITION BY series ORDER BY bar_ts)),
+          r AS (SELECT series, rn - 1 AS t,
+                  CASE WHEN pc IS NOT NULL AND pc > 0 AND close > 0
+                    THEN CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT)
+                    END AS r8
+                FROM l),
+          rr AS (SELECT series, t, r8 FROM r WHERE r8 IS NOT NULL),
+          e AS (SELECT series, t, r8, p.period
+                FROM rr CROSS JOIN (VALUES (6), (24)) p(period)),
+          f AS (SELECT series, period, r8,
+                  CAST(t % period AS INTEGER) AS phase
+                FROM e),
+          g AS (SELECT series, period, r8,
+                  CAST(round(r8*(CASE WHEN period = 6
+                      THEN (${arr(c6)})[phase+1]
+                      ELSE (${arr(c24)})[phase+1] END), 6)
+                    AS DECIMAL(38,6)) AS tc,
+                  CAST(round(r8*(CASE WHEN period = 6
+                      THEN (${arr(s6)})[phase+1]
+                      ELSE (${arr(s24)})[phase+1] END), 6)
+                    AS DECIMAL(38,6)) AS ts2
+                FROM f),
+          a AS (SELECT series, period, count(*) AS n_rets,
+                  SUM(tc) AS sc, SUM(ts2) AS ss,
+                  SUM(CAST(r8 AS DECIMAL(38,0))) AS sr,
+                  SUM(CAST(r8 AS DECIMAL(38,0))
+                    *CAST(r8 AS DECIMAL(38,0))) AS srr
+                FROM g GROUP BY 1, 2),
+          z AS (SELECT series, period, n_rets,
+                  (CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)
+                    + CAST(ss AS DOUBLE)*CAST(ss AS DOUBLE))
+                    /CAST(n_rets AS DOUBLE) AS pw,
+                  CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+                    *CAST(sr AS DOUBLE)/CAST(n_rets AS DOUBLE) AS vr
+                FROM a)
+          SELECT series, period, n_rets,
+            round(pw/1e16, 8) AS spec_power,
+            CASE WHEN vr > 0 THEN round(2.0*pw/vr, 6) END
+              AS power_share
+          FROM z ORDER BY series, period"""
+    },
+
     // TE twin: the q341 global lag chain (the day-scoped escape's
     // bit-identical form), sign cells, three integer margins, 12dp
     // DECIMAL term folds
@@ -5990,6 +6065,56 @@ object MarketQueries {
 
     // Duration-ACF twin: exact microsecond gaps off the (ts, id)
     // chain, stacked lags, DECIMAL co-moment folds, shared Pearson
+    // Weibull twin: gap spectrum + window cum counts (the cumSum
+    // escape's bit-identical form), plotting positions cum/(n+1),
+    // 12dp ln/ln folds, shared OLS op order
+    "q395_weibull_gaps" ->
+      """WITH g0 AS (SELECT event_type AS series,
+                      epoch_us(ts)
+                        - lag(epoch_us(ts)) OVER (PARTITION BY
+                          event_type ORDER BY ts, event_id) AS g
+                    FROM events),
+          gp AS (SELECT series, g FROM g0
+                 WHERE g IS NOT NULL AND g > 0),
+          dist AS (SELECT series, g, count(*) AS c
+                   FROM gp GROUP BY 1, 2),
+          tot AS (SELECT series, SUM(c) AS n, count(*) AS n_pts
+                  FROM dist GROUP BY 1),
+          cum AS (SELECT series, g, c,
+                    SUM(c) OVER (PARTITION BY series ORDER BY g
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cm
+                  FROM dist),
+          pts AS (SELECT cum.series, tot.n, tot.n_pts,
+                    round(ln(CAST(g AS DOUBLE)/1e6), 12) AS x,
+                    round(ln(-ln((CAST(tot.n AS DOUBLE) + 1.0
+                        - CAST(cm AS DOUBLE))
+                      /(CAST(tot.n AS DOUBLE) + 1.0))), 12) AS y
+                  FROM cum JOIN tot ON cum.series = tot.series),
+          a AS (SELECT series, CAST(max(n) AS BIGINT) AS n_gaps,
+                  CAST(max(n_pts) AS BIGINT) AS n_pts,
+                  SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+                  SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+                  SUM(CAST(round(x*y, 12) AS DECIMAL(38,12))) AS sxy,
+                  SUM(CAST(round(x*x, 12) AS DECIMAL(38,12))) AS sxx
+                FROM pts GROUP BY 1),
+          f AS (SELECT series, n_gaps, n_pts,
+                  CAST(n_pts AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den,
+                  (CAST(n_pts AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                    /(CAST(n_pts AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS k,
+                  sx, sy
+                FROM a)
+          SELECT series AS event_type, n_gaps, n_pts,
+            CASE WHEN n_pts >= 2 AND den > 0 THEN round(k, 6) END
+              AS shape,
+            CASE WHEN n_pts >= 2 AND den > 0 AND k <> 0.0 THEN
+              round(exp(-((CAST(sy AS DOUBLE) - k*CAST(sx AS DOUBLE))
+                /CAST(n_pts AS DOUBLE))/k), 6) END AS scale_s
+          FROM f ORDER BY event_type""",
+
     "q390_duration_acf" ->
       """WITH g0 AS (SELECT event_type AS series, ts, event_id AS id,
                       epoch_us(ts)

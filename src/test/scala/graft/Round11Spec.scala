@@ -72,6 +72,66 @@ class Round11Spec extends AnyFunSuite {
     assert(out.toSeq === Seq(0.13, -0.13, 0.33, 0.67, 0.0))
   }
 
+  test("periodogram: a pure period-6 return cycle concentrates power at p=6, not p=24") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // closes whose log-returns are cos(2*pi*t/6)*1e-4: 97 bars (not a
+    // multiple of either period, so leakage is nonzero but tiny)
+    val rets = (1 until 97).map(t => math.cos(2 * math.Pi * (t - 1) / 6) * 1e-4)
+    val closes = rets.scanLeft(100.0)((c, r) => c * math.exp(r))
+    val base = java.sql.Timestamp.valueOf("2025-11-03 10:00:00")
+    val bars = closes.zipWithIndex.map { case (c, i) =>
+      ("X", new java.sql.Timestamp(base.getTime + i * 60000L), c, c, c, c, 1L, 1.0)
+    }.toDF("series", "bar_ts", "open", "high", "low", "close", "n_ticks", "volume")
+    val out = graft.ops.MarketBars.periodogram(bars)
+      .orderBy("period").collect()
+    val share6 = out(0).getAs[Double]("power_share")
+    val share24 = out(1).getAs[Double]("power_share")
+    assert(share6 > 0.9, s"period-6 share $share6")
+    assert(share24 < 0.1, s"period-24 share $share24")
+  }
+
+  test("weibullGaps: metronome-regular gaps fit a high shape; equal gaps degenerate to null") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2025-11-03 10:00:00")
+    // type A: near-regular gaps 100..110s (regularizing, k >> 1);
+    // type B: all gaps exactly equal -> one plotting point -> null fit
+    var tA = base.getTime
+    val evA = (0 to 11).map { i =>
+      val r = ("A", new java.sql.Timestamp(tA), i.toLong)
+      tA += (100 + i % 11) * 1000L
+      r
+    }
+    val evB = (0 to 5).map(i =>
+      ("B", new java.sql.Timestamp(base.getTime + i * 60000L), (100 + i).toLong))
+    val events = (evA ++ evB).toDF("event_type", "ts", "event_id")
+    val out = graft.ops.EventAnalytics.weibullGaps(events)
+      .orderBy("event_type").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_gaps") === 11L)
+    assert(a.getAs[Double]("shape") > 3.0, s"shape ${a.getAs[Double]("shape")}")
+    assert(a.getAs[Double]("scale_s") > 90.0 && a.getAs[Double]("scale_s") < 130.0)
+    val b = out(1)
+    assert(b.isNullAt(b.fieldIndex("shape")), "degenerate spectrum nulls the fit")
+  }
+
+  test("charCompressibility: 'abababab' pins H = 0.985228 bits; constant text scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abababab", "en", "s1", 8L),
+      (2L, "aaaa", "en", "s2", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextOps.charCompressibility(docs)
+      .orderBy("source").collect()
+    // m=7: ab x4, ba x3 -> (ln7 - (4ln4 + 3ln3)/7)/ln2 = 0.98522814...
+    assert(out(0).getAs[Double]("mean_bits") === 0.985228)
+    assert(out(1).getAs[Double]("mean_bits") === 0.0)
+    // relative low gate: corpus mean = 0.492614 bits; only the
+    // constant doc sits > 0.1 bits below it
+    assert(out(0).getAs[Double]("low_entropy_share") === 0.0)
+    assert(out(1).getAs[Double]("low_entropy_share") === 1.0)
+  }
+
   test("ExactRound: q365's boundary class — 0.1250005-style rationals round exactly") {
     import spark.implicits._
     // 1250005 / 10^7 at 6dp: the exact rational ties at the 7th digit
