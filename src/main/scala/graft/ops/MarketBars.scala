@@ -786,10 +786,10 @@ object MarketBars {
             .cast("long")))
       .filter(col("__emit") && col("r8").isNotNull)
       .select(col("series"), col("bar_ts"), col("r8"))
-    val idx = ScalableRank.withRowIndex(rr, Seq("series"),
-      Seq(col("bar_ts")), "t", "nn")
-    val prof = ScalableRank.cumSum(idx, Seq("series"),
-      Seq(col("bar_ts")), col("r8").cast(dec), "yd")
+    // r11 fusion: index + profile prefix-sum in ONE two-pass escape
+    // (was withRowIndex then cumSum — same sort twice)
+    val prof = ScalableRank.withIndexAndCumSum(rr, Seq("series"),
+        Seq(col("bar_ts")), col("r8").cast(dec), "yd", "t", "nn")
       .withColumn("y", col("yd").cast("long"))
     val cells = prof
       .withColumn("s", explode(array(scales.map(lit): _*)))
@@ -3508,6 +3508,10 @@ object MarketBars {
       .localCheckpoint(eager = false)
     val w2 = Window.partitionBy(col("series"), col("__day_idx"))
       .orderBy(col("bar_ts"))
+    // NOTE (r11): a fused one-sort + struct-explode form was measured
+    // at 2.92 s vs this union form's 2.66 s at sf0.1 — the explode
+    // breaks whole-stage codegen around the window scans (the q241/
+    // q250 struct-wrapping regression, reconfirmed). Keep the union.
     val perH = horizons.map { h =>
       val frame = w2.rowsBetween(-(h - 1), 0)
       withR

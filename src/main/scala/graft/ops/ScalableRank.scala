@@ -266,4 +266,22 @@ object ScalableRank {
     twoPass(df0, keyCols, orderCols, "__grn", "__gn",
       Some((out, valCol)), numParts)
       .drop("__grn", "__gn")
+
+  /** Fused [[withRowIndex]] + [[cumSum]]: ONE two-pass escape emits
+    * the global row index (`rnCol`), the group count (`nCol`), AND
+    * the exact running DECIMAL sum (`sumOut`) — bit-identical to
+    * chaining the two (same sort, same per-slice offsets) at half
+    * the passes. The r11 fusion recipe: any op that indexes a chain
+    * and also prefix-sums it should take this, not two escapes. */
+  def withIndexAndCumSum(
+      df0: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valCol: Column,
+      sumOut: String,
+      rnCol: String = "__grn",
+      nCol: String = "__gn",
+      numParts: Int = 0): DataFrame =
+    twoPass(df0, keyCols, orderCols, rnCol, nCol,
+      Some((sumOut, valCol)), numParts)
 }
