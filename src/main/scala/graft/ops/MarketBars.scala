@@ -5721,6 +5721,70 @@ object MarketBars {
       round(dbl(col("hi8")) / lit(1e8), 8).as("max_ret"))
   }
 
+  /** Opening-gap statistics per series off the daily OHLC rollup:
+    * how often the session OPENS away from the prior close (gap up /
+    * down), how often that gap FILLS intraday (price trades back to
+    * the prior close: low ≤ pc for an up-gap, high ≥ pc for a
+    * down-gap), and the overnight-vs-intraday drift split (mean
+    * close→open vs open→close log return, bps) — the session-
+    * structure read next to [[yangZhang]]'s variance split (which
+    * sees the gap's VARIANCE, not its direction or mean).
+    *
+    * Determinism: daily O/H/L/C via the bars-CTE argmin/argmax tie
+    * rule; gap direction and fill are comparisons on the raw doubles
+    * both engines aggregate identically; log returns scale to exact
+    * 1e8 longs; every rate and mean finishes through [[ExactRound]]
+    * (exact integer rationals).
+    *
+    * Scale: one (series, day) rollup, a calendar-bounded per-series
+    * day lag, one map-side-combined aggregate; |series| rows out. */
+  def openingGaps(bars: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def l8(c: Column) = floor(log(c) * lit(1e8) + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("series")).orderBy(col("d"))
+    val daily = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(min(struct(col("bar_ts"), col("open")))
+          .getField("open").as("o"),
+        max(col("high")).as("h"), min(col("low")).as("l"),
+        max(struct(col("bar_ts"), col("close")))
+          .getField("close").as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .filter(col("pc").isNotNull && col("pc") > 0 && col("o") > 0 &&
+        col("c") > 0)
+      .select(col("series"),
+        (col("o") > col("pc")).as("up"),
+        (col("o") < col("pc")).as("dn"),
+        (col("l") <= col("pc")).as("lo_touch"),
+        (col("h") >= col("pc")).as("hi_touch"),
+        l8(col("o") / col("pc")).as("lo8"),
+        l8(col("c") / col("o")).as("lc8"))
+    daily.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("up"), 1L).otherwise(0L)).as("n_gap_up"),
+        sum(when(col("dn"), 1L).otherwise(0L)).as("n_gap_dn"),
+        sum(when(col("up") && col("lo_touch"), 1L).otherwise(0L))
+          .as("n_up_filled"),
+        sum(when(col("dn") && col("hi_touch"), 1L).otherwise(0L))
+          .as("n_dn_filled"),
+        sum(col("lo8")).as("so8"),
+        sum(col("lc8")).as("sc8"))
+      .select(col("series"), col("n_days"), col("n_gap_up"),
+        col("n_gap_dn"),
+        when(col("n_gap_up") > 0,
+          ExactRound.ratioRound(col("n_up_filled"), col("n_gap_up"), 4))
+          .as("fill_rate_up"),
+        when(col("n_gap_dn") > 0,
+          ExactRound.ratioRound(col("n_dn_filled"), col("n_gap_dn"), 4))
+          .as("fill_rate_dn"),
+        ExactRound.ratioRound(col("so8"),
+          col("n_days").cast(dec) * lit(10000L).cast(dec), 4)
+          .as("mean_overnight_bps"),
+        ExactRound.ratioRound(col("sc8"),
+          col("n_days").cast(dec) * lit(10000L).cast(dec), 4)
+          .as("mean_intraday_bps"))
+  }
+
   /** Trig tables for [[periodogram]]: cos/sin of 2πj/p, j ∈ [0, p).
     * Generated ONCE here and embedded as the same double literals in
     * the Spark plan AND the DuckDB twin (the shared-constants rule

@@ -1448,6 +1448,16 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Opening-gap statistics (MarketBars.openingGaps): gap direction
+    // counts, intraday fill rates, overnight-vs-intraday drift split
+    // — the session-structure read next to q376's Yang–Zhang variance
+    // split
+    "q397_opening_gaps" -> ((s, dir) => {
+      MarketBars.openingGaps(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Schuster periodogram at fixed bar periods (MarketBars
     // .periodogram): spectral power + variance share — the
     // frequency-domain cycle read next to the time-domain ACF (q151)
@@ -5799,6 +5809,52 @@ object MarketQueries {
                 "CAST(max(n1) AS HUGEINT)*CAST(max(n2) AS HUGEINT)" +
                   "*100000000", 6)} END AS w1_drift
           FROM tm GROUP BY series ORDER BY series""",
+
+    // Opening-gap twin: the q338 daily OHLC rollup + day lag; gap
+    // direction/fill are raw-double compares; every rate and mean
+    // finishes through the exact HUGEINT rationals (ExactRound)
+    "q397_opening_gaps" ->
+      s"""WITH $barsCte,
+          dly AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                    (min(struct_pack(t := bar_ts, v := open))).v AS o,
+                    max(high) AS h, min(low) AS l,
+                    (max(struct_pack(t := bar_ts, v := close))).v AS c
+                  FROM bars GROUP BY 1, 2),
+          lg AS (SELECT *, lag(c) OVER
+                   (PARTITION BY series ORDER BY d) AS pc
+                 FROM dly),
+          t AS (SELECT series,
+                  o > pc AS up, o < pc AS dn,
+                  l <= pc AS lo_touch, h >= pc AS hi_touch,
+                  CAST(floor(ln(o/pc)*1e8 + 0.5) AS BIGINT) AS lo8,
+                  CAST(floor(ln(c/o)*1e8 + 0.5) AS BIGINT) AS lc8
+                FROM lg
+                WHERE pc IS NOT NULL AND pc > 0 AND o > 0 AND c > 0),
+          a AS (SELECT series, count(*) AS n_days,
+                  SUM(CASE WHEN up THEN 1 ELSE 0 END) AS n_gap_up,
+                  SUM(CASE WHEN dn THEN 1 ELSE 0 END) AS n_gap_dn,
+                  SUM(CASE WHEN up AND lo_touch THEN 1 ELSE 0 END)
+                    AS n_up_filled,
+                  SUM(CASE WHEN dn AND hi_touch THEN 1 ELSE 0 END)
+                    AS n_dn_filled,
+                  SUM(lo8) AS so8, SUM(lc8) AS sc8
+                FROM t GROUP BY 1)
+          SELECT series, CAST(n_days AS BIGINT) AS n_days,
+            CAST(n_gap_up AS BIGINT) AS n_gap_up,
+            CAST(n_gap_dn AS BIGINT) AS n_gap_dn,
+            CASE WHEN n_gap_up > 0 THEN
+              ${ExactRound.sqlRatioRound("n_up_filled", "n_gap_up", 4)}
+              END AS fill_rate_up,
+            CASE WHEN n_gap_dn > 0 THEN
+              ${ExactRound.sqlRatioRound("n_dn_filled", "n_gap_dn", 4)}
+              END AS fill_rate_dn,
+            ${ExactRound.sqlRatioRound("so8",
+              "CAST(n_days AS HUGEINT)*10000", 4)}
+              AS mean_overnight_bps,
+            ${ExactRound.sqlRatioRound("sc8",
+              "CAST(n_days AS HUGEINT)*10000", 4)}
+              AS mean_intraday_bps
+          FROM a ORDER BY series""",
 
     // Periodogram twin: q139 lag-over-all-bars chain with a row
     // index; the trig factors are the SAME double literals the Spark

@@ -55,6 +55,30 @@ class Round11Spec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((0L, 1L, 0), (10L, 11L, 0), (20L, 21L, 0)))
   }
 
+  test("openingGaps: hand-built two-day tape pins gap direction, fill, and drift split") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // day 1: closes at 100. day 2: opens 102 (gap up), low touches
+    // 100 (filled), closes 104. day 3: opens 103 (gap down from 104),
+    // high 103.5 < 104 (NOT filled), closes 103.
+    val bars = Seq(
+      ("X", ts("2025-11-03 10:00:00"), 100.0, 100.5, 99.5, 100.0),
+      ("X", ts("2025-11-04 10:00:00"), 102.0, 102.0, 100.0, 101.0),
+      ("X", ts("2025-11-04 11:00:00"), 101.0, 104.0, 101.0, 104.0),
+      ("X", ts("2025-11-05 10:00:00"), 103.0, 103.5, 102.5, 103.0))
+      .toDF("series", "bar_ts", "open", "high", "low", "close")
+    val r = graft.ops.MarketBars.openingGaps(bars).collect().head
+    assert(r.getAs[Long]("n_days") === 2L) // day 1 has no prior close
+    assert(r.getAs[Long]("n_gap_up") === 1L)
+    assert(r.getAs[Long]("n_gap_dn") === 1L)
+    assert(r.getAs[Double]("fill_rate_up") === 1.0)
+    assert(r.getAs[Double]("fill_rate_dn") === 0.0)
+    // overnight: ln(102/100) + ln(103/104); intraday: ln(104/102) + ln(103/103)
+    val on = ((math.floor(math.log(102.0 / 100.0) * 1e8 + 0.5) +
+      math.floor(math.log(103.0 / 104.0) * 1e8 + 0.5)) / 2.0 / 1e4)
+    assert(math.abs(r.getAs[Double]("mean_overnight_bps") - on) < 1e-3)
+  }
+
   test("ExactRound.ratioRound: HALF_UP on exact rationals, sign-aware, boundary-exact") {
     import spark.implicits._
     val df = Seq(
