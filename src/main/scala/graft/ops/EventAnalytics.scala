@@ -1317,6 +1317,63 @@ object EventAnalytics {
         .as("peak_share"))
   }
 
+  /** Daily session-concurrency profile: build the gap-based session
+    * intervals (the q180 islands), sweep +1 at each session start and
+    * −1 at each end, and read the global running open-session count —
+    * per day: sessions started, PEAK concurrency, and the
+    * end-of-day open count. The capacity/occupancy read (what a
+    * server fleet actually sizes against) that q178's DAU and q180's
+    * per-user stats never give.
+    *
+    * Convention: at the same microsecond, ends sort before starts
+    * (touching sessions don't overlap); a depth-1 session (start ==
+    * end) therefore never raises the peak. Shared with the twin via
+    * the (us, delta, user_id, sid) total order.
+    *
+    * Determinism: all-integer — microsecond longs, ±1 deltas, exact
+    * running sums.
+    *
+    * Scale: the island build is the q180 per-user window (user-keyed,
+    * bounded history per user); the sweep's GLOBAL running sum rides
+    * [[ScalableRank.cumSum]]'s two-pass escape (never a single-task
+    * sort); one day-keyed map-side rollup; |days| rows out. */
+  def sessionConcurrency(
+      events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val intervals = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      .localCheckpoint(eager = false) // feeds both sweep legs
+    val sweep = intervals
+      .select(col("user_id"), col("sid"), col("s_us").as("us"),
+        lit(1L).as("delta"))
+      .unionByName(intervals.select(col("user_id"), col("sid"),
+        col("e_us").as("us"), lit(-1L).as("delta")))
+    val cum = ScalableRank.cumSum(sweep, Seq.empty,
+      Seq(col("us"), col("delta"), col("user_id"), col("sid")),
+      col("delta").cast(dec), "conc")
+    cum
+      .withColumn("d", to_date(timestamp_micros(col("us"))))
+      .groupBy(col("d"))
+      .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
+          .as("n_started"),
+        max(col("conc").cast(LongType)).as("peak_concurrency"),
+        max_by(col("conc").cast(LongType),
+          struct(col("us"), col("delta"), col("user_id"), col("sid")))
+          .as("open_at_eod"))
+  }
+
   /** Weibull probability-plot fit of inter-arrival gaps per event
     * type: sort the gap SPECTRUM (distinct microsecond gaps with
     * counts — never the raw corpus), assign each distinct gap v the

@@ -1539,6 +1539,14 @@ object MarketQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Session concurrency (EventAnalytics.sessionConcurrency): daily
+    // peak open-session count + end-of-day open count off the
+    // interval sweep — the occupancy read q178/q180 never give
+    "q398_concurrency" -> ((s, dir) => {
+      EventAnalytics.sessionConcurrency(Tables.events(s, dir))
+        .orderBy(col("d"))
+    }),
+
     // Weibull gap fit (EventAnalytics.weibullGaps): probability-plot
     // shape/scale of inter-arrival gaps per type — the PARAMETRIC
     // arrival model next to q265 (marginal dispersion), q390 (serial
@@ -6121,6 +6129,43 @@ object MarketQueries {
 
     // Duration-ACF twin: exact microsecond gaps off the (ts, id)
     // chain, stacked lags, DECIMAL co-moment folds, shared Pearson
+    // Concurrency twin: q180 island build, ±1 sweep, one window
+    // running sum under the SHARED (us, delta, user_id, sid) total
+    // order (ends before starts at equal microseconds), day rollup
+    "q398_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                  FROM events),
+          b AS (SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+                FROM e
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY us, event_id)),
+          s AS (SELECT user_id, us,
+                  SUM(brk) OVER (PARTITION BY user_id
+                    ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+                FROM b),
+          iv AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+                 FROM s GROUP BY 1, 2),
+          sw AS (SELECT user_id, sid, s_us AS us, 1 AS delta FROM iv
+                 UNION ALL
+                 SELECT user_id, sid, e_us, -1 FROM iv),
+          c AS (SELECT user_id, sid, us, delta,
+                  CAST(SUM(delta) OVER (ORDER BY us, delta, user_id,
+                    sid ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW) AS BIGINT) AS conc
+                FROM sw)
+          SELECT CAST(make_timestamp(us) AS DATE) AS d,
+            CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_started,
+            max(conc) AS peak_concurrency,
+            (max(struct_pack(a := us, b := delta, c := user_id,
+              d := sid, v := conc))).v AS open_at_eod
+          FROM c GROUP BY 1 ORDER BY d""",
+
     // Weibull twin: gap spectrum + window cum counts (the cumSum
     // escape's bit-identical form), plotting positions cum/(n+1),
     // 12dp ln/ln folds, shared OLS op order

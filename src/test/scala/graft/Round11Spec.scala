@@ -79,6 +79,22 @@ class Round11Spec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("mean_overnight_bps") - on) < 1e-3)
   }
 
+  test("sessionConcurrency: overlapping sessions pin peak 2, all closed by end of day") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 10:00-10:10, u2 10:05-10:15, u3 10:12-10:20 -> peak 2
+    val events = Seq(
+      (1L, ts("2025-11-03 10:00:00"), 1L), (1L, ts("2025-11-03 10:10:00"), 2L),
+      (2L, ts("2025-11-03 10:05:00"), 3L), (2L, ts("2025-11-03 10:15:00"), 4L),
+      (3L, ts("2025-11-03 10:12:00"), 5L), (3L, ts("2025-11-03 10:20:00"), 6L))
+      .toDF("user_id", "ts", "event_id")
+    val r = graft.ops.EventAnalytics.sessionConcurrency(events)
+      .collect().head
+    assert(r.getAs[Long]("n_started") === 3L)
+    assert(r.getAs[Long]("peak_concurrency") === 2L)
+    assert(r.getAs[Long]("open_at_eod") === 0L)
+  }
+
   test("ExactRound.ratioRound: HALF_UP on exact rationals, sign-aware, boundary-exact") {
     import spark.implicits._
     val df = Seq(
