@@ -1010,4 +1010,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.except(streamed).count() === 0)
     } finally q.stop()
   }
+  test("streaming session concurrency matches the batch q398 sweep (mid-session split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"))
+      .orderBy("ts").limit(2000).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .toSeq
+    val stream = MemoryStream[(Long, Timestamp)]
+    val store = graft.streaming.ConcurrencyMonitor.newStore(spark)
+    val q = graft.streaming.ConcurrencyMonitor.start(
+      stream.toDF().toDF("user_id", "ts"), store)
+    try {
+      // split mid-stream (and therefore mid-session for active users)
+      stream.addData(raw.take(1000)); q.processAllAvailable()
+      stream.addData(raw.drop(1000)); q.processAllAvailable()
+      // sentinel far past the watermark horizon closes every session;
+      // its own (still-open) session never emits
+      val lastTs = raw.map(_._2.getTime).max
+      stream.addData(Seq((999999L, new Timestamp(lastTs + 86400000L))))
+      q.processAllAvailable()
+      val streamed = store.snapshot()
+      // batch side: event_id is only a tie-break; synthesize one from
+      // the (unique) ts order so the island build matches
+      val batch = graft.ops.EventAnalytics.sessionConcurrency(
+        raw.zipWithIndex
+          .map { case ((u, t), i) => (u, t, i.toLong) }
+          .toDF("user_id", "ts", "event_id"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
