@@ -1317,6 +1317,77 @@ object EventAnalytics {
         .as("peak_share"))
   }
 
+  /** Behavioral trigger lift for every ORDERED event-type pair
+    * (a → b): among a user's events, how often is an a-event followed
+    * by at least one b-event from the SAME user within
+    * `windowSeconds` — versus the baseline rate at which ANY event is
+    * followed by a b within the window. Lift > 1 means a specifically
+    * foreshadows b (the temporal, same-user analog of q206's
+    * same-basket lift; q120's transitions read only the IMMEDIATE
+    * next step, this reads the whole window).
+    *
+    * Convention: "followed" is strict (us, event_id) position order —
+    * simultaneous events count as followers via the id tie-break,
+    * shared with the twin.
+    *
+    * Determinism: ALL-INTEGER — microsecond gaps, distinct-anchor
+    * counts, and every rate/lift is an exact rational through
+    * [[ExactRound]] (lift = (n_hit·n_all)/(n_a·n_hit_all_b), one
+    * 4dp finish).
+    *
+    * Scale: the pair relation is a user-keyed self-join whose fan-out
+    * is bounded by the user's event density inside `windowSeconds`
+    * (per-user histories are small and the window is short — the
+    * sessionStats posture); the type grid densifies via a
+    * |types|²-row cross join of two broadcast type lists; counts are
+    * map-side-combined. */
+  def triggerLift(
+      events: DataFrame, windowSeconds: Int = 60): DataFrame = {
+    val wUs = windowSeconds * 1000000L
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+      .localCheckpoint(eager = false) // three consumers
+    val pairs = base.as("x").join(base.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          (col("y.us") > col("x.us") ||
+            (col("y.us") === col("x.us") &&
+              col("y.event_id") > col("x.event_id"))) &&
+          col("y.us") - col("x.us") <= wUs)
+      .select(col("x.event_id").as("aid"),
+        col("x.event_type").as("a"),
+        col("y.event_type").as("b"))
+      .distinct() // >=1 b within the window, not the b count
+      .localCheckpoint(eager = false) // hit + baseline legs
+    val hits = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val baseHits = pairs.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_hit_all"))
+    val anchors = base.groupBy(col("event_type").as("a"))
+      .agg(count(lit(1)).as("n_a"))
+    val types = base.select(col("event_type")).distinct()
+    val nAll = base.agg(count(lit(1)).as("n_all"))
+    types.select(col("event_type").as("a"))
+      .crossJoin(types.select(col("event_type").as("b")))
+      .join(anchors, Seq("a"))
+      .join(hits, Seq("a", "b"), "left")
+      .join(broadcast(baseHits), Seq("b"), "left")
+      .crossJoin(broadcast(nAll))
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("n_hit_all", coalesce(col("n_hit_all"), lit(0L)))
+      .select(col("a"), col("b"), col("n_a"), col("n_hit"),
+        ExactRound.ratioRound(col("n_hit"), col("n_a"), 4)
+          .as("p_obs"),
+        ExactRound.ratioRound(col("n_hit_all"), col("n_all"), 4)
+          .as("p_base"),
+        when(col("n_hit_all") > 0,
+          ExactRound.ratioRound(
+            col("n_hit").cast(DecimalType(38, 0)) *
+              col("n_all").cast(DecimalType(38, 0)),
+            col("n_a").cast(DecimalType(38, 0)) *
+              col("n_hit_all").cast(DecimalType(38, 0)), 4))
+          .as("lift"))
+  }
+
   /** Daily session-concurrency profile: build the gap-based session
     * intervals (the q180 islands), sweep +1 at each session start and
     * −1 at each end, and read the global running open-session count —

@@ -5721,6 +5721,62 @@ object MarketBars {
       round(dbl(col("hi8")) / lit(1e8), 8).as("max_ret"))
   }
 
+  /** Volume–volatility relation per series (Clark's mixture-of-
+    * distributions hypothesis): Pearson correlation of |r| and of r²
+    * against bar volume — MDH predicts both positive (volume and
+    * volatility share the latent information-arrival clock), the
+    * classic empirical check next to q167's VPIN (which reads flow
+    * TOXICITY, not the shared clock).
+    *
+    * Determinism: returns are exact 1e8 longs off the lag-over-all-
+    * bars chain; volume snaps to an exact 1e6 long (floor-form);
+    * co-moments fold as DECIMAL products (cast-before-multiply —
+    * |r8|·v6 passes 2⁶³ easily); both correlations form in the
+    * shared Pearson op order and round 6dp, with the 1.959964/√n
+    * fence on the rounded value.
+    *
+    * Scale: ONE [[ScalableWindow.withPrevValues]] pass, one
+    * map-side-combined per-series moment aggregate; |series| rows
+    * out. */
+  def volumeVolatility(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val chain = ScalableWindow.withPrevValues(bars, Seq("series"),
+        Seq("bar_ts"), "bar_ts", Seq(("close", "pc")))
+      .filter(col("pc").isNotNull && col("pc") > 0 && col("close") > 0)
+      .select(col("series"),
+        abs(floor(log(col("close") / col("pc")) * lit(1e8) + lit(0.5))
+          .cast("long")).as("a8"),
+        floor(col("volume") * lit(1e6) + lit(0.5)).cast("long").as("v6"))
+      .withColumn("q16", col("a8").cast(dec) * col("a8").cast(dec))
+    val agg = chain.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a8").cast(dec)).as("sa"),
+        sum(col("v6").cast(dec)).as("sv"),
+        sum(col("q16")).as("sq"),
+        sum(col("a8").cast(dec) * col("v6").cast(dec)).as("sav"),
+        sum(col("q16") * col("v6").cast(dec)).as("sqv"),
+        sum(col("a8").cast(dec) * col("a8").cast(dec) *
+          col("a8").cast(dec) * col("a8").cast(dec)).as("sqq"),
+        sum(col("v6").cast(dec) * col("v6").cast(dec)).as("svv"))
+    val n = dbl(col("n"))
+    def pearson(sxy: Column, sx: Column, sy: Column,
+        sxx: Column, syy: Column): Column = {
+      val num = n * dbl(sxy) - dbl(sx) * dbl(sy)
+      val vx = n * dbl(sxx) - dbl(sx) * dbl(sx)
+      val vy = n * dbl(syy) - dbl(sy) * dbl(sy)
+      when(vx > 0 && vy > 0, round(num / (sqrt(vx) * sqrt(vy)), 6))
+    }
+    agg.select(col("series"), col("n").as("n_rets"),
+      pearson(col("sav"), col("sa"), col("sv"), col("sq"), col("svv"))
+        .as("corr_absr_vol"),
+      pearson(col("sqv"), col("sq"), col("sv"), col("sqq"), col("svv"))
+        .as("corr_r2_vol"))
+      .withColumn("mdh_consistent",
+        col("corr_absr_vol").isNotNull &&
+          col("corr_absr_vol") > lit(1.959964) / sqrt(dbl(col("n_rets"))))
+  }
+
   /** Opening-gap statistics per series off the daily OHLC rollup:
     * how often the session OPENS away from the prior close (gap up /
     * down), how often that gap FILLS intraday (price trades back to

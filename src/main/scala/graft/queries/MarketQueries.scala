@@ -1448,6 +1448,15 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Volume–volatility relation (MarketBars.volumeVolatility):
+    // corr(|r|, vol) and corr(r², vol) per series — Clark's MDH
+    // shared-clock check next to q167's VPIN toxicity
+    "q399_volume_volatility" -> ((s, dir) => {
+      MarketBars.volumeVolatility(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
+    }),
+
     // Opening-gap statistics (MarketBars.openingGaps): gap direction
     // counts, intraday fill rates, overnight-vs-intraday drift split
     // — the session-structure read next to q376's Yang–Zhang variance
@@ -1537,6 +1546,15 @@ object MarketQueries {
     "q392_circadian" -> ((s, dir) => {
       EventAnalytics.circadianProfile(Tables.events(s, dir))
         .orderBy(col("event_type"))
+    }),
+
+    // Behavioral trigger lift (EventAnalytics.triggerLift): does type
+    // a foreshadow type b within 60 s of the same user's stream — the
+    // temporal analog of q206's basket lift, windowed where q120's
+    // transitions read one step
+    "q400_trigger_lift" -> ((s, dir) => {
+      EventAnalytics.triggerLift(Tables.events(s, dir))
+        .orderBy(col("a"), col("b"))
     }),
 
     // Session concurrency (EventAnalytics.sessionConcurrency): daily
@@ -5818,6 +5836,61 @@ object MarketQueries {
                   "*100000000", 6)} END AS w1_drift
           FROM tm GROUP BY series ORDER BY series""",
 
+    // Volume–volatility twin: q139 lag chain, 1e6 volume snap, exact
+    // HUGEINT co-moment folds, shared Pearson op order
+    "q399_volume_volatility" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close, volume,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS pc
+                FROM bars),
+          r AS (SELECT series,
+                  abs(CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT))
+                    AS a8,
+                  CAST(floor(volume*1e6 + 0.5) AS BIGINT) AS v6
+                FROM l
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          a AS (SELECT series, count(*) AS n,
+                  SUM(CAST(a8 AS HUGEINT)) AS sa,
+                  SUM(CAST(v6 AS HUGEINT)) AS sv,
+                  SUM(CAST(a8 AS HUGEINT)*CAST(a8 AS HUGEINT)) AS sq,
+                  SUM(CAST(a8 AS HUGEINT)*CAST(v6 AS HUGEINT)) AS sav,
+                  SUM(CAST(a8 AS HUGEINT)*CAST(a8 AS HUGEINT)
+                    *CAST(v6 AS HUGEINT)) AS sqv,
+                  SUM(CAST(a8 AS HUGEINT)*CAST(a8 AS HUGEINT)
+                    *CAST(a8 AS HUGEINT)*CAST(a8 AS HUGEINT)) AS sqq,
+                  SUM(CAST(v6 AS HUGEINT)*CAST(v6 AS HUGEINT)) AS svv
+                FROM r GROUP BY 1),
+          f AS (SELECT series, n,
+                  CASE WHEN CAST(n AS DOUBLE)*CAST(sq AS DOUBLE)
+                         - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE)*CAST(svv AS DOUBLE)
+                         - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE) > 0
+                    THEN round((CAST(n AS DOUBLE)*CAST(sav AS DOUBLE)
+                        - CAST(sa AS DOUBLE)*CAST(sv AS DOUBLE))
+                      /(sqrt(CAST(n AS DOUBLE)*CAST(sq AS DOUBLE)
+                          - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+                        *sqrt(CAST(n AS DOUBLE)*CAST(svv AS DOUBLE)
+                          - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))), 6)
+                    END AS corr_absr_vol,
+                  CASE WHEN CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE)*CAST(svv AS DOUBLE)
+                         - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE) > 0
+                    THEN round((CAST(n AS DOUBLE)*CAST(sqv AS DOUBLE)
+                        - CAST(sq AS DOUBLE)*CAST(sv AS DOUBLE))
+                      /(sqrt(CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)
+                          - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+                        *sqrt(CAST(n AS DOUBLE)*CAST(svv AS DOUBLE)
+                          - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE))), 6)
+                    END AS corr_r2_vol
+                FROM a)
+          SELECT series, CAST(n AS BIGINT) AS n_rets, corr_absr_vol,
+            corr_r2_vol,
+            corr_absr_vol IS NOT NULL AND corr_absr_vol
+              > 1.959964/sqrt(CAST(n AS DOUBLE)) AS mdh_consistent
+          FROM f ORDER BY series""",
+
     // Opening-gap twin: the q338 daily OHLC rollup + day lag; gap
     // direction/fill are raw-double compares; every rate and mean
     // finishes through the exact HUGEINT rationals (ExactRound)
@@ -6129,6 +6202,45 @@ object MarketQueries {
 
     // Duration-ACF twin: exact microsecond gaps off the (ts, id)
     // chain, stacked lags, DECIMAL co-moment folds, shared Pearson
+    // Trigger-lift twin: user-keyed windowed self-join, distinct
+    // (anchor, b) hits, dense type grid, exact HUGEINT rationals
+    "q400_trigger_lift" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+                    epoch_us(ts) AS us
+                  FROM events),
+          p AS (SELECT DISTINCT x.event_id AS aid,
+                  x.event_type AS a, y.event_type AS b
+                FROM e x JOIN e y ON x.user_id = y.user_id
+                  AND (y.us > x.us OR (y.us = x.us
+                    AND y.event_id > x.event_id))
+                  AND y.us - x.us <= 60000000),
+          h AS (SELECT a, b, count(*) AS n_hit FROM p GROUP BY 1, 2),
+          bh AS (SELECT b, count(*) AS n_hit_all FROM p GROUP BY 1),
+          an AS (SELECT event_type AS a, count(*) AS n_a
+                 FROM e GROUP BY 1),
+          ty AS (SELECT DISTINCT event_type AS t FROM e),
+          na AS (SELECT count(*) AS n_all FROM e),
+          g AS (SELECT ta.t AS a, tb.t AS b, an.n_a,
+                  COALESCE(h.n_hit, 0) AS n_hit,
+                  COALESCE(bh.n_hit_all, 0) AS n_hit_all,
+                  na.n_all
+                FROM ty ta CROSS JOIN ty tb
+                JOIN an ON an.a = ta.t
+                LEFT JOIN h ON h.a = ta.t AND h.b = tb.t
+                LEFT JOIN bh ON bh.b = tb.t
+                CROSS JOIN na)
+          SELECT a, b, CAST(n_a AS BIGINT) AS n_a,
+            CAST(n_hit AS BIGINT) AS n_hit,
+            ${ExactRound.sqlRatioRound("n_hit", "n_a", 4)} AS p_obs,
+            ${ExactRound.sqlRatioRound("n_hit_all", "n_all", 4)}
+              AS p_base,
+            CASE WHEN n_hit_all > 0 THEN
+              ${ExactRound.sqlRatioRound(
+                "CAST(n_hit AS HUGEINT)*CAST(n_all AS HUGEINT)",
+                "CAST(n_a AS HUGEINT)*CAST(n_hit_all AS HUGEINT)", 4)}
+              END AS lift
+          FROM g ORDER BY a, b""",
+
     // Concurrency twin: q180 island build, ±1 sweep, one window
     // running sum under the SHARED (us, delta, user_id, sid) total
     // order (ends before starts at equal microseconds), day rollup

@@ -95,6 +95,41 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getAs[Long]("open_at_eod") === 0L)
   }
 
+  test("volumeVolatility: two perfectly volume-aligned returns pin corr 1.0") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val bars = Seq(
+      ("X", ts("2025-11-03 10:00:00"), 100.0, 5.0),
+      ("X", ts("2025-11-03 10:05:00"), 101.0, 20.0), // |r| big, vol big
+      ("X", ts("2025-11-03 10:10:00"), 100.5, 10.0)) // |r| small, vol small
+      .toDF("series", "bar_ts", "close", "volume")
+    val r = graft.ops.MarketBars.volumeVolatility(bars).collect().head
+    assert(r.getAs[Long]("n_rets") === 2L)
+    assert(r.getAs[Double]("corr_absr_vol") === 1.0)
+    assert(r.getAs[Double]("corr_r2_vol") === 1.0)
+  }
+
+  test("triggerLift: a->b within the window pins p_obs 1, p_base 1/3, lift 3") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 10L, "a", ts("2025-11-03 10:00:00")),
+      (1L, 11L, "b", ts("2025-11-03 10:00:30")),
+      (1L, 12L, "c", ts("2025-11-03 10:02:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.ops.EventAnalytics.triggerLift(events)
+      .orderBy("a", "b").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Double]("p_obs"), r.getAs[Double]("p_base"),
+          Option(r.getAs[Any]("lift"))))).toMap
+    val ((pObs, pBase, lift)) = out(("a", "b"))
+    assert(pObs === 1.0)
+    assert(pBase === 0.3333)
+    assert(lift.contains(3.0))
+    // b@30s -> c@120s is 90s apart: no hit
+    assert(out(("b", "c"))._1 === 0.0)
+  }
+
   test("ExactRound.ratioRound: HALF_UP on exact rationals, sign-aware, boundary-exact") {
     import spark.implicits._
     val df = Seq(
