@@ -1010,6 +1010,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.except(streamed).count() === 0)
     } finally q.stop()
   }
+  test("streaming trigger-lift hits roll up to the batch q400 pair counts (mid-window split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy("ts").limit(2000).collect()
+      .map(r => graft.streaming.TriggerLiftMonitor.Ev(
+        r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+      .toSeq
+    val stream = MemoryStream[graft.streaming.TriggerLiftMonitor.Ev]
+    val q = graft.streaming.TriggerLiftMonitor.hits(stream.toDS())
+      .writeStream.format("memory").queryName("trig_out")
+      .outputMode("append").start()
+    try {
+      // split mid-stream: anchors opened in batch 1 must keep
+      // collecting hits from batch 2 (the stateful window)
+      stream.addData(raw.take(1000)); q.processAllAvailable()
+      stream.addData(raw.drop(1000)); q.processAllAvailable()
+      val streamed = spark.table("trig_out")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_hit"))
+      val batch = graft.ops.EventAnalytics.triggerLift(
+          raw.toDF("user_id", "event_id", "event_type", "ts"))
+        .filter(col("n_hit") > 0)
+        .select(col("a"), col("b"), col("n_hit"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming session concurrency matches the batch q398 sweep (mid-session split)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
