@@ -5721,6 +5721,68 @@ object MarketBars {
       round(dbl(col("hi8")) / lit(1e8), 8).as("max_ret"))
   }
 
+  /** MedRV normalizer π/(6 − 4√3 + π) (Andersen–Dobrev–Schaumburg
+    * 2012). Hardcoded literal — both engines share the interpolated
+    * Double.toString form bit-for-bit (the [[Mu43Inv3]] rule). */
+  val MedRvK: Double = 1.4193583020224412
+
+  /** Median realized variance per (series, day) — the jump-ROBUST
+    * volatility estimator: MedRV = k·(m/(m−2))·Σ med(|r_{i−1}|,
+    * |r_i|, |r_{i+1}|)², immune to a single jump per triple where
+    * [[bipowerJump]]'s BV still leaks half of it (the ADS 2012
+    * upgrade); reported against RV with the robust jump share.
+    *
+    * Determinism: within-day returns snap to exact 1e8 longs; the
+    * median of THREE integers is an exact integer (greatest of the
+    * pairwise leasts); med² folds as DECIMAL; k is a shared literal;
+    * the RV/MedRV/share finishes are post-constant true doubles
+    * (safe rounding class).
+    *
+    * Scale: everything runs in ONE (series, day) window partition —
+    * within-day triples never cross days, so the partition is
+    * day-bounded by construction (no escape needed); map-side
+    * rollup; |series|·|days| rows out. */
+  def medRv(bars: DataFrame): DataFrame = {
+    def dbl(c: Column) = c.cast(DoubleType)
+    val dec = DecimalType(38, 0)
+    val dayW = Window.partitionBy(col("series"), col("d"))
+      .orderBy(col("bar_ts"))
+    val rets = bars
+      .withColumn("d", to_date(col("bar_ts")))
+      .withColumn("prev_c", lag(col("close"), 1).over(dayW))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 &&
+        col("close") > 0)
+      .withColumn("a8",
+        abs(floor(log(col("close") / col("prev_c")) * lit(1e8) +
+          lit(0.5)).cast("long")))
+    val triples = rets
+      .withColumn("p8", lag(col("a8"), 1).over(dayW))
+      .withColumn("q8", lag(col("a8"), 2).over(dayW))
+      .withColumn("med8",
+        when(col("q8").isNotNull,
+          greatest(least(col("a8"), col("p8")),
+            least(col("a8"), col("q8")),
+            least(col("p8"), col("q8")))))
+    val agg = triples.groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n_rets"),
+        sum(col("a8").cast(dec) * col("a8").cast(dec)).as("srr"),
+        count(col("med8")).as("m_triples"),
+        sum(col("med8").cast(dec) * col("med8").cast(dec)).as("smm"))
+    val m = dbl(col("m_triples"))
+    val rv = dbl(col("srr")) / lit(1e16)
+    val medrv = lit(MedRvK) * (m / (m - lit(2.0))) *
+      (dbl(col("smm")) / lit(1e16))
+    agg.filter(col("m_triples") >= 3)
+      .select(col("series"), col("d"), col("n_rets"), col("m_triples"),
+        round(rv, 10).as("rv"),
+        round(medrv, 10).as("medrv"),
+        // the raw ratio stays informative on jump-free tapes where
+        // the clamped share reads 0 everywhere (the q290 rule)
+        when(rv > 0, round(medrv / rv, 6)).as("medrv_rv_ratio"),
+        when(rv > 0, round(greatest(lit(0.0), lit(1.0) - medrv / rv), 6))
+          .as("robust_jump_share"))
+  }
+
   /** Volume–volatility relation per series (Clark's mixture-of-
     * distributions hypothesis): Pearson correlation of |r| and of r²
     * against bar volume — MDH predicts both positive (volume and

@@ -1448,6 +1448,15 @@ object MarketQueries {
         .orderBy(col("series"))
     }),
 
+    // Median realized variance (MarketBars.medRv): the jump-robust
+    // ADS 2012 estimator vs RV per (series, day) — immune to single
+    // jumps where q181's bipower still leaks half
+    "q401_medrv" -> ((s, dir) => {
+      MarketBars.medRv(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
+    }),
+
     // Volume–volatility relation (MarketBars.volumeVolatility):
     // corr(|r|, vol) and corr(r², vol) per series — Clark's MDH
     // shared-clock check next to q167's VPIN toxicity
@@ -5835,6 +5844,53 @@ object MarketQueries {
                 "CAST(max(n1) AS HUGEINT)*CAST(max(n2) AS HUGEINT)" +
                   "*100000000", 6)} END AS w1_drift
           FROM tm GROUP BY series ORDER BY series""",
+
+    // MedRV twin: within-day triples, exact integer median-of-3
+    // (greatest of pairwise leasts), DECIMAL med² folds, the shared
+    // MedRvK literal, post-constant true-double finishes
+    "q401_medrv" ->
+      s"""WITH $barsCte,
+          r0 AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts,
+                   close,
+                   lag(close) OVER (PARTITION BY series,
+                     CAST(bar_ts AS DATE) ORDER BY bar_ts) AS pc
+                 FROM bars),
+          r AS (SELECT series, d, bar_ts,
+                  abs(CAST(floor(ln(close/pc)*1e8 + 0.5) AS BIGINT))
+                    AS a8
+                FROM r0
+                WHERE pc IS NOT NULL AND pc > 0 AND close > 0),
+          t AS (SELECT series, d, a8,
+                  lag(a8, 1) OVER w AS p8,
+                  lag(a8, 2) OVER w AS q8
+                FROM r
+                WINDOW w AS (PARTITION BY series, d ORDER BY bar_ts)),
+          m AS (SELECT series, d, a8,
+                  CASE WHEN q8 IS NOT NULL THEN
+                    greatest(least(a8, p8), least(a8, q8),
+                      least(p8, q8)) END AS med8
+                FROM t),
+          a AS (SELECT series, d, count(*) AS n_rets,
+                  SUM(CAST(a8 AS HUGEINT)*CAST(a8 AS HUGEINT)) AS srr,
+                  count(med8) AS m_triples,
+                  SUM(CAST(med8 AS HUGEINT)*CAST(med8 AS HUGEINT))
+                    AS smm
+                FROM m GROUP BY 1, 2),
+          f AS (SELECT series, d, n_rets, m_triples,
+                  CAST(srr AS DOUBLE)/1e16 AS rv,
+                  ${MarketBars.MedRvK}*(CAST(m_triples AS DOUBLE)
+                    /(CAST(m_triples AS DOUBLE) - 2.0))
+                    *(CAST(smm AS DOUBLE)/1e16) AS medrv
+                FROM a WHERE m_triples >= 3)
+          SELECT series, d, CAST(n_rets AS BIGINT) AS n_rets,
+            CAST(m_triples AS BIGINT) AS m_triples,
+            round(rv, 10) AS rv, round(medrv, 10) AS medrv,
+            CASE WHEN rv > 0 THEN round(medrv/rv, 6) END
+              AS medrv_rv_ratio,
+            CASE WHEN rv > 0 THEN
+              round(greatest(0.0, 1.0 - medrv/rv), 6) END
+              AS robust_jump_share
+          FROM f ORDER BY series, d""",
 
     // Volume–volatility twin: q139 lag chain, 1e6 volume snap, exact
     // HUGEINT co-moment folds, shared Pearson op order

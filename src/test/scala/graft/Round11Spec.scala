@@ -130,6 +130,23 @@ class Round11Spec extends AnyFunSuite {
     assert(out(("b", "c"))._1 === 0.0)
   }
 
+  test("medRv: a single jump dominates RV but the median-of-3 filters it") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2025-11-03 10:00:00")
+    // six small moves, then one 10% jump, then small moves again
+    val rets = Seq(1e-4, -1e-4, 1e-4, -1e-4, 1e-4, -1e-4, 0.1, 1e-4, -1e-4, 1e-4)
+    val closes = rets.scanLeft(100.0)((c, r) => c * math.exp(r))
+    val bars = closes.zipWithIndex.map { case (c, i) =>
+      ("X", new java.sql.Timestamp(base.getTime + i * 60000L), c)
+    }.toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.medRv(bars).collect().head
+    assert(r.getAs[Long]("n_rets") === 10L)
+    assert(r.getAs[Long]("m_triples") === 8L)
+    assert(r.getAs[Double]("robust_jump_share") > 0.9,
+      s"share ${r.getAs[Double]("robust_jump_share")}")
+    assert(r.getAs[Double]("medrv_rv_ratio") < 0.1)
+  }
+
   test("ExactRound.ratioRound: HALF_UP on exact rationals, sign-aware, boundary-exact") {
     import spark.implicits._
     val df = Seq(
