@@ -468,6 +468,46 @@ object TextOps {
           round(dbl(col("subword_est")) / dbl(col("ws_tokens")), 6)))
   }
 
+  /** Document-START templating rate per source: share of docs whose
+    * first `prefixTokens` tokens are shared verbatim with at least
+    * one OTHER doc of the same source — the boilerplate/template
+    * signature (scraped headers, form letters, generated intros) that
+    * whole-doc dedup (q24) misses when bodies diverge and winnowing
+    * (q315) only finds as generic span overlap. Docs shorter than the
+    * prefix are excluded (no well-defined template head).
+    *
+    * Determinism: ALL-INTEGER — the prefix join key is the literal
+    * token string, counts are exact, the rate finishes through
+    * [[ExactRound]].
+    *
+    * Scale: one tokenize pass; the shuffle is (source, prefix)-keyed
+    * with map-side combine — the prefix is ≤ a few dozen bytes, the
+    * TEXT never moves (at lake scale key it by xxhash64(prefix)
+    * instead; same plan); |sources| rows out. */
+  def templatePrefixRate(
+      docs: DataFrame, prefixTokens: Int = 8): DataFrame = {
+    require(prefixTokens >= 1, s"prefixTokens must be >= 1")
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= prefixTokens)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(col("toks"), 1, prefixTokens)).as("pref"))
+    val groups = toks.groupBy(col("source"), col("pref"))
+      .agg(count(lit(1)).as("c"))
+    groups.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          .as("n_templated"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L))
+          .as("n_template_groups"),
+        max(col("c")).as("max_group"))
+      .select(col("source"), col("n_docs"), col("n_templated"),
+        col("n_template_groups"), col("max_group"),
+        ExactRound.ratioRound(col("n_templated"), col("n_docs"), 4)
+          .as("template_rate"))
+  }
+
   /** ln 2 as a shared literal — runtime `ln(2.0)` could differ by an
     * ulp between libm builds; a literal cannot. */
   private val Ln2 = 0.6931471805599453

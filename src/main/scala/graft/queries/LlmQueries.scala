@@ -1304,6 +1304,14 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Document-start templating (TextOps.templatePrefixRate): share
+    // of docs whose first-8-token head is shared within the source —
+    // the boilerplate signature whole-doc dedup misses
+    "q402_template_prefix" -> ((s, dir) => {
+      TextOps.templatePrefixRate(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
+    }),
+
     // Char-bigram compressibility (TextOps.charCompressibility):
     // per-doc entropy-as-gzip-proxy rolled up per source — the
     // CCNet/Gopher compression-ratio quality filter without a codec,
@@ -4880,6 +4888,31 @@ object LlmQueries {
             round(0.886/sqrt(CAST(n_docs AS DOUBLE)), 6) AS crit_5pct,
             d_raw > 0.886/sqrt(CAST(n_docs AS DOUBLE))
               AS reject_lognormal
+          FROM a ORDER BY source""",
+
+    // Template-prefix twin: same whitespace tokenization, literal
+    // 8-token join key, exact HUGEINT rate finish
+    "q402_template_prefix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                    regexp_split_to_array(trim(text), ' +') AS toks
+                  FROM documents),
+          p AS (SELECT source, array_to_string(toks[1:8], ' ') AS pref
+                FROM d WHERE len(toks) >= 8),
+          g AS (SELECT source, pref, count(*) AS c
+                FROM p GROUP BY 1, 2),
+          a AS (SELECT source, SUM(c) AS n_docs,
+                  SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                    AS n_templated,
+                  SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                    AS n_template_groups,
+                  max(c) AS max_group
+                FROM g GROUP BY 1)
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+            CAST(n_templated AS BIGINT) AS n_templated,
+            CAST(n_template_groups AS BIGINT) AS n_template_groups,
+            CAST(max_group AS BIGINT) AS max_group,
+            ${graft.ops.ExactRound.sqlRatioRound("n_templated", "n_docs", 4)}
+              AS template_rate
           FROM a ORDER BY source""",
 
     // Compressibility twin: correlated generate_series char bigrams,

@@ -147,6 +147,23 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getAs[Double]("medrv_rv_ratio") < 0.1)
   }
 
+  test("templatePrefixRate: shared 8-token heads count as templated; short docs drop") {
+    import spark.implicits._
+    val head = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"$head body one", "en", "s1", 0L),
+      (2L, s"$head completely different tail", "en", "s1", 0L),
+      (3L, "unique opening words here make this doc distinct ok", "en", "s1", 0L),
+      (4L, "too short", "en", "s1", 0L)) // < 8 tokens: excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.ops.TextOps.templatePrefixRate(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_templated") === 2L)
+    assert(r.getAs[Long]("n_template_groups") === 1L)
+    assert(r.getAs[Long]("max_group") === 2L)
+    assert(r.getAs[Double]("template_rate") === 0.6667)
+  }
+
   test("ExactRound.ratioRound: HALF_UP on exact rationals, sign-aware, boundary-exact") {
     import spark.implicits._
     val df = Seq(
