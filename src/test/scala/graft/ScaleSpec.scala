@@ -746,4 +746,32 @@ class ScaleSpec extends AnyFunSuite {
         s"$q: corpus cartesian appeared:\n${plan.take(2000)}")
     }
   }
+
+  test("round-11 widening plans: user-keyed joins, no corpus cartesian, escapes routed") {
+    // q400's windowed self-join MUST be user_id-equi-keyed (fan-out
+    // bounded by in-window density); the |types|² grid crossJoins are
+    // the ONLY allowed cartesians — they must all carry 1-row or
+    // |types|-row sides (BroadcastNestedLoopJoin over broadcast
+    // aggregates), never the event relation
+    val p400 = SparkEntry.queries("q400_trigger_lift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p400.contains("CartesianProduct"),
+      s"q400: corpus cartesian appeared:\n${p400.take(2000)}")
+    // q394 and q399 ride ONE withSeqPrev/withPrevValues escape: no
+    // per-series full-history window may remain
+    val fullHistory =
+      "windowspecdefinition\\(series#\\d+, bar_ts#\\d+ ASC".r
+    for (q <- Seq("q394_periodogram", "q399_volume_volatility")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(fullHistory.findFirstIn(plan).isEmpty,
+        s"$q: per-series full-history window found:\n${plan.take(2000)}")
+    }
+    // q398's global running sum rides the cumSum two-pass escape —
+    // a single-partition global Sort/Window would be the giveaway
+    val p398 = SparkEntry.queries("q398_concurrency")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p398.contains("windowspecdefinition(us#"),
+      s"q398: global window over the sweep appeared:\n${p398.take(2000)}")
+  }
 }
