@@ -508,6 +508,46 @@ object TextOps {
           .as("template_rate"))
   }
 
+  /** Cross-source syndication rate: share of each source's docs whose
+    * `prefixTokens`-token head ALSO appears in at least one OTHER
+    * source — syndicated/mirrored content (wire copy, shared
+    * boilerplate) flowing across crawl sources, the cross-source face
+    * of [[templatePrefixRate]] and the cheap precursor to q98's
+    * near-dup-based leakage audit (which needs the full LSH pass this
+    * one's exact head join skips).
+    *
+    * Determinism: ALL-INTEGER — exact counts, [[ExactRound]] rate.
+    *
+    * Scale: one tokenize pass, a (source, prefix) partial aggregate,
+    * then ONE prefix-keyed join of two aggregate-sized relations (the
+    * text never moves; key by xxhash64(prefix) at lake scale);
+    * |sources| rows out. */
+  def syndicationRate(
+      docs: DataFrame, prefixTokens: Int = 8): DataFrame = {
+    require(prefixTokens >= 1, s"prefixTokens must be >= 1")
+    val pref = docs
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), " +").as("toks"))
+      .filter(size(col("toks")) >= prefixTokens)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(col("toks"), 1, prefixTokens)).as("pref"))
+    val perSrc = pref.groupBy(col("source"), col("pref"))
+      .agg(count(lit(1)).as("cs"))
+    val tot = perSrc.groupBy(col("pref"))
+      .agg(sum(col("cs")).as("ct"))
+    perSrc.join(tot, "pref")
+      .groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_docs"),
+        sum(when(col("ct") > col("cs"), col("cs")).otherwise(0L))
+          .as("n_syndicated"),
+        sum(when(col("ct") > col("cs"), 1L).otherwise(0L))
+          .as("n_shared_heads"))
+      .select(col("source"), col("n_docs"), col("n_syndicated"),
+        col("n_shared_heads"),
+        ExactRound.ratioRound(col("n_syndicated"), col("n_docs"), 4)
+          .as("syndication_rate"))
+  }
+
   /** ln 2 as a shared literal — runtime `ln(2.0)` could differ by an
     * ulp between libm builds; a literal cannot. */
   private val Ln2 = 0.6931471805599453

@@ -1312,6 +1312,14 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Cross-source syndication (TextOps.syndicationRate): docs whose
+    // 8-token head also appears in ANOTHER source — mirrored/wire
+    // content, the cheap exact precursor to q98's LSH leakage audit
+    "q403_syndication" -> ((s, dir) => {
+      TextOps.syndicationRate(Tables.rebalance(Tables.documents(s, dir)))
+        .orderBy(col("source"))
+    }),
+
     // Char-bigram compressibility (TextOps.charCompressibility):
     // per-doc entropy-as-gzip-proxy rolled up per source — the
     // CCNet/Gopher compression-ratio quality filter without a codec,
@@ -4888,6 +4896,30 @@ object LlmQueries {
             round(0.886/sqrt(CAST(n_docs AS DOUBLE)), 6) AS crit_5pct,
             d_raw > 0.886/sqrt(CAST(n_docs AS DOUBLE))
               AS reject_lognormal
+          FROM a ORDER BY source""",
+
+    // Syndication twin: same head key, one prefix-keyed join of two
+    // aggregate relations, exact HUGEINT rate finish
+    "q403_syndication" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                    regexp_split_to_array(trim(text), ' +') AS toks
+                  FROM documents),
+          p AS (SELECT source, array_to_string(toks[1:8], ' ') AS pref
+                FROM d WHERE len(toks) >= 8),
+          g AS (SELECT source, pref, count(*) AS cs
+                FROM p GROUP BY 1, 2),
+          t AS (SELECT pref, SUM(cs) AS ct FROM g GROUP BY 1),
+          a AS (SELECT g.source, SUM(cs) AS n_docs,
+                  SUM(CASE WHEN ct > cs THEN cs ELSE 0 END)
+                    AS n_syndicated,
+                  SUM(CASE WHEN ct > cs THEN 1 ELSE 0 END)
+                    AS n_shared_heads
+                FROM g JOIN t ON g.pref = t.pref GROUP BY 1)
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+            CAST(n_syndicated AS BIGINT) AS n_syndicated,
+            CAST(n_shared_heads AS BIGINT) AS n_shared_heads,
+            ${graft.ops.ExactRound.sqlRatioRound("n_syndicated", "n_docs", 4)}
+              AS syndication_rate
           FROM a ORDER BY source""",
 
     // Template-prefix twin: same whitespace tokenization, literal

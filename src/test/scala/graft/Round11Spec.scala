@@ -164,6 +164,25 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getAs[Double]("template_rate") === 0.6667)
   }
 
+  test("syndicationRate: a head shared ACROSS sources counts; within-source-only does not") {
+    import spark.implicits._
+    val head = "alpha beta gamma delta epsilon zeta eta theta"
+    val local = "local head words one two three four five"
+    val docs = Seq(
+      (1L, s"$head s1 body", "en", "s1", 0L),
+      (2L, s"$head s2 body", "en", "s2", 0L), // cross-source pair
+      (3L, s"$local v1", "en", "s1", 0L),
+      (4L, s"$local v2", "en", "s1", 0L)) // within-source only
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ops.TextOps.syndicationRate(docs)
+      .orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_docs") === 3L)
+    assert(s1.getAs[Long]("n_syndicated") === 1L) // only the cross pair
+    assert(s1.getAs[Double]("syndication_rate") === 0.3333)
+    assert(out(1).getAs[Double]("syndication_rate") === 1.0)
+  }
+
   test("ExactRound.ratioRound: HALF_UP on exact rationals, sign-aware, boundary-exact") {
     import spark.implicits._
     val df = Seq(
