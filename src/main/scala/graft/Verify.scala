@@ -18,9 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => only.isEmpty || only(name))
+    attempted.foreach { name =>
+      val fn = SparkEntry.queries(name)
       System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -46,6 +47,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the list of names this run actually ATTEMPTED: check_oracle.py
+    // hard-fails any attempted name with no dump dir (a query that
+    // threw at planning time writes nothing — without this list it
+    // would silently count as 'not dumped'/skip instead of FAIL)
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1397,9 +1397,16 @@ object EventAnalytics {
     * per-user stats never give.
     *
     * Convention: at the same microsecond, ends sort before starts
-    * (touching sessions don't overlap); a depth-1 session (start ==
-    * end) therefore never raises the peak. Shared with the twin via
-    * the (us, delta, user_id, sid) total order.
+    * (touching sessions don't overlap). A single-event session
+    * (start == end) has its end bumped +1µs so it occupies the
+    * instant it exists — without the bump its −1 would sort before
+    * its own +1 and a day of only singleton sessions would read
+    * peak 0 with n_started > 0 (the r11 ADVICE.md item). The bump
+    * can't collide within a user (same-user sessions are ≥ gap
+    * apart) and any cross-user overlap it creates at that instant is
+    * real occupancy. Shared with the twin and the streaming
+    * [[graft.streaming.ConcurrencyMonitor]] via the
+    * (us, delta, user_id, sid) total order.
     *
     * Determinism: all-integer — microsecond longs, ±1 deltas, exact
     * running sums.
@@ -1424,7 +1431,11 @@ object EventAnalytics {
           .otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(run))
       .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us0"))
+      // singleton sessions occupy the instant they exist: end +1µs
+      .withColumn("e_us", when(col("e_us0") === col("s_us"),
+        col("s_us") + 1L).otherwise(col("e_us0")))
+      .drop("e_us0")
       .localCheckpoint(eager = false) // feeds both sweep legs
     val sweep = intervals
       .select(col("user_id"), col("sid"), col("s_us").as("us"),

@@ -39,13 +39,18 @@ object ExactRound {
     * site); `num` may be negative (ties round away from zero,
     * matching both engines' HALF_UP on negatives).
     *
-    * Exact while |num|·10^dp < 10^38 and the result fits a LONG. */
+    * Exact while |num|·10^dp < 10^38 and the result fits a LONG. The
+    * tie check compares the exact remainder r = a % b against b - r
+    * (equivalent to 2r >= b without the doubling), so no intermediate
+    * ever exceeds a = |num|·10^dp — the 10^38 bound above is the ONLY
+    * overflow surface, matching the DuckDB twin's HUGEINT headroom. */
   def ratioRoundScaled(num: Column, den: Column, dp: Int): Column = {
     require(dp >= 0 && dp <= 18, s"dp out of range: $dp")
     val a = abs(num.cast(dec)) * lit(math.pow(10, dp).toLong).cast(dec)
     val b = den.cast(dec)
+    val r = a % b
     val q = call_function("div", a, b) +
-      when((a % b) * lit(2) >= b, 1L).otherwise(0L)
+      when(r >= b - r, 1L).otherwise(0L)
     when(num < 0, -q).otherwise(q)
   }
 
@@ -74,8 +79,10 @@ object ExactRound {
     val s = math.pow(10, dp).toLong
     val a = s"(abs(CAST(($num) AS HUGEINT))*$s)"
     val b = s"CAST(($den) AS HUGEINT)"
+    // tie check as r >= b - r (no doubling): mirrors the Spark side's
+    // overflow surface exactly — only a = |num|·10^dp can overflow
     s"((CASE WHEN ($num) < 0 THEN -1 ELSE 1 END)*($a//$b + " +
-      s"(CASE WHEN ($a%$b)*2 >= $b THEN 1 ELSE 0 END)))"
+      s"(CASE WHEN ($a%$b) >= $b-($a%$b) THEN 1 ELSE 0 END)))"
   }
 
   /** DuckDB twin of [[ratioRound]]: the scaled integer divided by the

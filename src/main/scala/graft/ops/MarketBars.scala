@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Tick → fixed-interval OHLCV bar aggregation.
   *
@@ -4776,9 +4776,47 @@ object MarketBars {
     * Bound: exact while q·10⁶ < 10³⁸, i.e. per-day total ticks below
     * ~10¹⁶ — comfortably past 100 TB.
     *
+    * OUTPUT CONTRACT (round-12 divergence-isolation experiment): this
+    * query has hash-failed the driver's gate two consecutive rounds
+    * while being locally irreproducible — bit-exact across Spark,
+    * DuckDB and pure-Python integer arithmetic, with every output
+    * ≥6% of a rounding step from a boundary. Both engines now emit
+    * ONLY exact integers and their decimal-string renderings: the raw
+    * numerators/denominators (Σv², V² as DECIMAL(38,0)→string) and
+    * the 6dp/4dp HALF_UP scaled BIGINTs. No double appears anywhere
+    * in the output, so a driver-side hash fail can only come from the
+    * input aggregation (visible in q_str/b_str per row) — while the
+    * double-emitting sibling [[hhiVolumeDbl]] (q404) isolates the
+    * long→double finish if THAT alone fails.
+    *
     * Scale: two map-side-combined aggregates ((day, series) then
     * day); output |days| rows. */
   def hhiVolume(bars: DataFrame): DataFrame = {
+    hhiIntegers(bars)
+      .select(col("d"), col("n_series"), col("vt").as("total_ticks"),
+        col("q").cast(StringType).as("q_str"),
+        col("b").cast(StringType).as("b_str"),
+        ExactRound.ratioRoundScaled(col("q"), col("b"), 6).as("hhi_s6"),
+        ExactRound.ratioRoundScaled(col("b"), col("q"), 4)
+          .as("eff_n_s4"))
+  }
+
+  /** The original double-emitting HHI contract (q404): identical
+    * integer pipeline to [[hhiVolume]], with the scaled integers
+    * divided by the scale once at the very end. Paired with q365's
+    * all-integer contract to bisect the driver-gate divergence: if
+    * q365 greens while this fails, the long→double cast (or the
+    * driver hasher's double canonicalization) is the culprit. */
+  def hhiVolumeDbl(bars: DataFrame): DataFrame = {
+    hhiIntegers(bars)
+      .select(col("d"), col("n_series"), col("vt").as("total_ticks"),
+        ExactRound.ratioRound(col("q"), col("b"), 6).as("hhi"),
+        ExactRound.ratioRound(col("b"), col("q"), 4).as("eff_n"))
+  }
+
+  /** Shared exact-integer core of q365/q404: per-day series tick sums
+    * v, day totals vt, Σv² (q) and vt² (b) as DECIMAL(38,0). */
+  private def hhiIntegers(bars: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
     bars
       .groupBy(to_date(col("bar_ts")).as("d"), col("series"))
@@ -4788,9 +4826,6 @@ object MarketBars {
         sum(col("v")).as("vt"),
         sum(col("v").cast(dec) * col("v").cast(dec)).as("q"))
       .withColumn("b", col("vt").cast(dec) * col("vt").cast(dec))
-      .select(col("d"), col("n_series"), col("vt").as("total_ticks"),
-        ExactRound.ratioRound(col("q"), col("b"), 6).as("hhi"),
-        ExactRound.ratioRound(col("b"), col("q"), 4).as("eff_n"))
   }
 
   /** Information ratio per series against the equal-weight market
@@ -5727,10 +5762,14 @@ object MarketBars {
   val MedRvK: Double = 1.4193583020224412
 
   /** Median realized variance per (series, day) — the jump-ROBUST
-    * volatility estimator: MedRV = k·(m/(m−2))·Σ med(|r_{i−1}|,
-    * |r_i|, |r_{i+1}|)², immune to a single jump per triple where
-    * [[bipowerJump]]'s BV still leaks half of it (the ADS 2012
-    * upgrade); reported against RV with the robust jump share.
+    * volatility estimator: MedRV = k·(M/(M−2))·Σ med(|r_{i−1}|,
+    * |r_i|, |r_{i+1}|)² with M = the day's RETURN count (n_rets),
+    * the finite-sample factor exactly as Andersen–Dobrev–Schaumburg
+    * 2012 write it (round 12 fixed an m_triples/(m_triples−2)
+    * variant — consistent but small-sample-biased vs the paper);
+    * immune to a single jump per triple where [[bipowerJump]]'s BV
+    * still leaks half of it; reported against RV with the robust
+    * jump share.
     *
     * Determinism: within-day returns snap to exact 1e8 longs; the
     * median of THREE integers is an exact integer (greatest of the
@@ -5768,7 +5807,7 @@ object MarketBars {
         sum(col("a8").cast(dec) * col("a8").cast(dec)).as("srr"),
         count(col("med8")).as("m_triples"),
         sum(col("med8").cast(dec) * col("med8").cast(dec)).as("smm"))
-    val m = dbl(col("m_triples"))
+    val m = dbl(col("n_rets")) // ADS 2012: M = the day's return count
     val rv = dbl(col("srr")) / lit(1e16)
     val medrv = lit(MedRvK) * (m / (m - lit(2.0))) *
       (dbl(col("smm")) / lit(1e16))

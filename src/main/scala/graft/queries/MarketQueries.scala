@@ -1363,9 +1363,20 @@ object MarketQueries {
     }),
 
     // Daily volume-concentration panel (MarketBars.hhiVolume): HHI of
-    // tick volume across series + the implied effective series count
+    // tick volume across series + the implied effective series count.
+    // Round-12: ALL-INTEGER output contract (divergence isolation —
+    // see the op's scaladoc); q404 is the double-emitting sibling.
     "q365_hhi_volume" -> ((s, dir) => {
       MarketBars.hhiVolume(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("d"))
+    }),
+
+    // HHI double-emitting sibling (MarketBars.hhiVolumeDbl): the
+    // original q365 contract, kept as its own gate row so the driver
+    // run bisects integer-vs-double divergence in one round.
+    "q404_hhi_volume_dbl" -> ((s, dir) => {
+      MarketBars.hhiVolumeDbl(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("d"))
     }),
@@ -5379,13 +5390,36 @@ object MarketQueries {
               + 0.5)/1e6 AS share_negative
           FROM f""",
 
-    // HHI twin: integer tick-volume shares, Σv²/V². The 6dp/4dp
-    // finishes are exact HUGEINT scaled-integer rationals (// + a
-    // half-compare on the exact remainder = HALF_UP), mirroring the
-    // Spark side's DECIMAL div/% finish — no round() on a double
-    // quotient of exact integers (the engine-version-sensitive class
-    // the r10 gate caught).
+    // HHI twin, round-12 ALL-INTEGER contract (divergence-isolation
+    // experiment — see MarketBars.hhiVolume scaladoc): raw Σv²/V² as
+    // decimal strings plus the 6dp/4dp HALF_UP scaled BIGINTs, exact
+    // HUGEINT rationals mirroring the Spark DECIMAL div/% finish. No
+    // double appears in either engine's output.
     "q365_hhi_volume" ->
+      s"""WITH $barsCte,
+          dv AS (SELECT CAST(bar_ts AS DATE) AS d, series,
+                   SUM(n_ticks) AS v
+                 FROM bars GROUP BY 1, 2),
+          a AS (SELECT d, count(*) AS n_series, SUM(v) AS vt,
+                  SUM(CAST(v AS DECIMAL(38,0))
+                    *CAST(v AS DECIMAL(38,0))) AS q
+                FROM dv GROUP BY 1),
+          h AS (SELECT d, n_series, vt, CAST(q AS HUGEINT) AS qh,
+                  CAST(vt AS HUGEINT)*CAST(vt AS HUGEINT) AS bh
+                FROM a)
+          SELECT d, n_series, vt AS total_ticks,
+            CAST(qh AS VARCHAR) AS q_str,
+            CAST(bh AS VARCHAR) AS b_str,
+            CAST(${ExactRound.sqlRatioRoundScaled("qh", "bh", 6)}
+              AS BIGINT) AS hhi_s6,
+            CAST(${ExactRound.sqlRatioRoundScaled("bh", "qh", 4)}
+              AS BIGINT) AS eff_n_s4
+          FROM h ORDER BY d""",
+
+    // HHI double-emitting sibling (q404): identical integer pipeline,
+    // scaled integers divided by the scale once. Bisects the driver
+    // divergence jointly with q365's integer contract.
+    "q404_hhi_volume_dbl" ->
       s"""WITH $barsCte,
           dv AS (SELECT CAST(bar_ts AS DATE) AS d, series,
                    SUM(n_ticks) AS v
@@ -5878,8 +5912,8 @@ object MarketQueries {
                 FROM m GROUP BY 1, 2),
           f AS (SELECT series, d, n_rets, m_triples,
                   CAST(srr AS DOUBLE)/1e16 AS rv,
-                  ${MarketBars.MedRvK}*(CAST(m_triples AS DOUBLE)
-                    /(CAST(m_triples AS DOUBLE) - 2.0))
+                  ${MarketBars.MedRvK}*(CAST(n_rets AS DOUBLE)
+                    /(CAST(n_rets AS DOUBLE) - 2.0))
                     *(CAST(smm AS DOUBLE)/1e16) AS medrv
                 FROM a WHERE m_triples >= 3)
           SELECT series, d, CAST(n_rets AS BIGINT) AS n_rets,
@@ -6316,7 +6350,9 @@ object MarketQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS sid
                 FROM b),
-          iv AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+          iv AS (SELECT user_id, sid, min(us) AS s_us,
+                   CASE WHEN max(us) = min(us) THEN min(us) + 1
+                        ELSE max(us) END AS e_us
                  FROM s GROUP BY 1, 2),
           sw AS (SELECT user_id, sid, s_us AS us, 1 AS delta FROM iv
                  UNION ALL

@@ -52,6 +52,10 @@ object ConcurrencyMonitor {
         .partitionBy(col("user_id")).orderBy(col("s_us"), col("e_us"))
       val intervals = df
         .withColumn("sid", row_number().over(w).cast(LongType))
+        // batch-op convention: singleton sessions end +1µs so they
+        // occupy the instant they exist (EventAnalytics scaladoc)
+        .withColumn("e_us", when(col("e_us") === col("s_us"),
+          col("s_us") + 1L).otherwise(col("e_us")))
       val sweep = intervals
         .select(col("user_id"), col("sid"), col("s_us").as("us"),
           lit(1L).as("delta"))

@@ -18,6 +18,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * each with the set of b-types already emitted — bounded by the
   * user's event density inside `windowSeconds` × |types|, never the
   * history (anchors prune as soon as the stream passes their window).
+  * CHURNED users' state is dropped by an event-time timeout: the
+  * input carries a `windowSeconds` watermark and each update arms a
+  * timeout at the user's last anchor-window end, so a user who stops
+  * producing events holds state only until the global watermark
+  * passes their final window — the store is bounded by ACTIVE users,
+  * not ever-seen users (the r11 ADVICE.md item).
   *
   * IN-ORDER INGESTION ASSUMPTION (the ObvMonitor class): rows sort by
   * event time WITHIN a micro-batch, but an event arriving in a later
@@ -43,29 +49,45 @@ object TriggerLiftMonitor {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ts", s"$windowSeconds seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[St, Hit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, rows, state: GroupState[St]) =>
-          var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
-          val out = Vector.newBuilder[Hit]
-          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-            val us = micros(e.ts)
-            // prune anchors the stream has passed
-            anchors = anchors.filter(a => us - a.us <= wUs)
-            // strict (us, id) position order: an anchor at the same
-            // microsecond is a predecessor iff its id is smaller
-            anchors = anchors.map { a =>
-              val follows = us > a.us || (us == a.us && e.event_id > a.id)
-              if (follows && !a.emitted(e.event_type)) {
-                out += Hit(a.id, a.tpe, e.event_type)
-                a.copy(emitted = a.emitted + e.event_type)
-              } else a
+          if (state.hasTimedOut) {
+            // watermark passed the user's last anchor window: no
+            // future event can hit these anchors — drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            var anchors = state.getOption.map(_.anchors).getOrElse(Nil)
+            val out = Vector.newBuilder[Hit]
+            rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val us = micros(e.ts)
+              // prune anchors the stream has passed
+              anchors = anchors.filter(a => us - a.us <= wUs)
+              // strict (us, id) position order: an anchor at the same
+              // microsecond is a predecessor iff its id is smaller
+              anchors = anchors.map { a =>
+                val follows = us > a.us || (us == a.us && e.event_id > a.id)
+                if (follows && !a.emitted(e.event_type)) {
+                  out += Hit(a.id, a.tpe, e.event_type)
+                  a.copy(emitted = a.emitted + e.event_type)
+                } else a
+              }
+              anchors = Anchor(us, e.event_id, e.event_type, Set.empty) :: anchors
             }
-            anchors = Anchor(us, e.event_id, e.event_type, Set.empty) :: anchors
+            state.update(St(anchors))
+            if (anchors.nonEmpty) {
+              // arm the drop at the last window's end (ms), clamped
+              // above the current watermark as the API requires
+              val lastEndMs = anchors.map(_.us).max / 1000L +
+                windowSeconds * 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(lastEndMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
           }
-          state.update(St(anchors))
-          out.result().iterator
       }
   }
 }

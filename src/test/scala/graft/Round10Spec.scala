@@ -108,8 +108,14 @@ class Round10Spec extends AnyFunSuite {
     ).toDF("series", "bar_ts", "close", "n_ticks")
     val r = MarketBars.hhiVolume(bars).collect().head
     assert(r.getAs[Long]("total_ticks") === 4L)
-    assert(r.getAs[Double]("hhi") === 0.625)
-    assert(r.getAs[Double]("eff_n") === 1.6)
+    // 3² + 1² = 10, 4² = 16: HHI = 10/16 = 0.625, eff N = 16/10 = 1.6
+    assert(r.getAs[String]("q_str") === "10")
+    assert(r.getAs[String]("b_str") === "16")
+    assert(r.getAs[Long]("hhi_s6") === 625000L)
+    assert(r.getAs[Long]("eff_n_s4") === 16000L)
+    val d = MarketBars.hhiVolumeDbl(bars).collect().head
+    assert(d.getAs[Double]("hhi") === 0.625)
+    assert(d.getAs[Double]("eff_n") === 1.6)
   }
 
   test("infoRatio: symmetric constant active returns null the ratio (zero TE)") {

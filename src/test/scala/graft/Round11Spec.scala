@@ -95,6 +95,22 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getAs[Long]("open_at_eod") === 0L)
   }
 
+  test("sessionConcurrency: singleton sessions occupy their instant (peak >= 1)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two single-event sessions, one shared microsecond -> the +1µs
+    // end bump makes both count: peak 2, not the pre-fix 0
+    val events = Seq(
+      (1L, ts("2025-11-03 10:00:00"), 1L),
+      (2L, ts("2025-11-03 10:00:00"), 2L))
+      .toDF("user_id", "ts", "event_id")
+    val r = graft.ops.EventAnalytics.sessionConcurrency(events)
+      .collect().head
+    assert(r.getAs[Long]("n_started") === 2L)
+    assert(r.getAs[Long]("peak_concurrency") === 2L)
+    assert(r.getAs[Long]("open_at_eod") === 0L)
+  }
+
   test("volumeVolatility: two perfectly volume-aligned returns pin corr 1.0") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -36,6 +36,7 @@ the Spark dump.
 """
 import json
 import math
+import os
 import sys
 import glob
 
@@ -270,17 +271,28 @@ def main(sf_dir: str, out_dir: str):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Names the Verify run actually ATTEMPTED (written by Verify.scala).
+    # An attempted name with no dump dir means the query THREW at
+    # planning/analysis time (Verify catches per-query exceptions and
+    # writes nothing) — that is a hard FAIL, never a skip. The skip
+    # path is reserved for names genuinely outside a subset run.
+    attempted_path = f"{out_dir}/attempted.json"
+    attempted = set(json.load(open(attempted_path))) \
+        if os.path.exists(attempted_path) else set(oracle)
     n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            # oracle_sql.json always carries the FULL map (so the
-            # boundary audit can run off a subset dump); a name with
-            # no dump dir at all is an un-dumped subset query — skip.
-            # A dir that exists but holds no parquet is a failed write.
-            import os
+            # A name outside the attempted set is an un-dumped subset
+            # query — skip. An attempted name with no dump dir, or a
+            # dir that exists but holds no parquet, is a failure.
             if not os.path.isdir(f"{out_dir}/{name}"):
-                n_skip += 1
+                if name not in attempted:
+                    n_skip += 1
+                    continue
+                print(f"FAIL {name}: attempted but produced no output "
+                      "(query threw before writing)")
+                n_fail += 1
                 continue
             print(f"FAIL {name}: no spark output parquet")
             n_fail += 1
