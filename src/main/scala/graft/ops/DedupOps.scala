@@ -256,6 +256,7 @@ object DedupOps {
       textCol: String,
       idCol: String,
       threshold: Double = 0.3): DataFrame = {
+    graft.functions.SetIntersect.register(df.sparkSession)
     val docs = minhashDocs(df, textCol, idCol)
     val cand = bandCandidates(docs)
     val sets = docs.select(col("doc"), col("sset"))
@@ -265,7 +266,15 @@ object DedupOps {
       .withColumn("jaccard",
         graft.functions.SetJaccard.jac(col("sa.sset"), col("sb.sset")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      // emission is the exact integer rational |∩|/|∪| (class 4 —
+      // never round() the double quotient); the threshold filter
+      // stays on the raw double (both engines IEEE-divide alike)
+      .withColumn("ni",
+        graft.functions.SetIntersect.count(col("sa.sset"), col("sb.sset")))
+      .select(col("id_a"), col("id_b"),
+        ExactRound.ratioRound(col("ni"),
+          size(col("sa.sset")) + size(col("sb.sset")) - col("ni"), 4)
+          .as("jaccard"))
   }
 
   /** MinHash sketch-quality audit: on the LSH candidate pairs, compare
@@ -580,7 +589,8 @@ object DedupOps {
         (col("sza") + col("szb") - col("n_shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_shared"),
-        round(col("jaccard"), 4).as("jaccard"))
+        ExactRound.ratioRound(col("n_shared"),
+          col("sza") + col("szb") - col("n_shared"), 4).as("jaccard"))
   }
 
   /** Sub-document (span-level) dedup — the C4/RefinedWeb rule that
@@ -633,7 +643,7 @@ object DedupOps {
               struct(col("pos"), col("span"))))),
             s => s.getField("span")), " ").as("clean_text"))
       .select(col("doc").as(idCol), col("n_spans"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_spans").cast("double"), 6)
+        ExactRound.ratioRound(col("n_kept"), col("n_spans"), 6)
           .as("share_kept"),
         col("clean_text"))
   }
@@ -663,19 +673,28 @@ object DedupOps {
       .select(col(idCol).as("hd"),
         graft.functions.MinHashDoc.doc(col(textCol))("sset").as("hset"))
       .localCheckpoint(eager = false)
+    // per-pair 6dp Jaccard as the exact SCALED integer (class-4
+    // discipline: intersect/union are integers, so the 6dp value is
+    // an exact rational — never round() its double quotient); the
+    // threshold compares scaled integers, the mean divides the
+    // scaled-sum exactly
+    val thr6 = math.round(jacThreshold * 1e6)
     pairs
       .join(hsets.select(col("hd").as("id_a"), col("hset").as("ha")), "id_a")
       .join(hsets.select(col("hd").as("id_b"), col("hset").as("hb")), "id_b")
-      .withColumn("jac",
-        round(dbl(size(array_intersect(col("ha"), col("hb")))) /
-          dbl(size(array_union(col("ha"), col("hb")))), 6))
+      .withColumn("jac6",
+        ExactRound.ratioRoundScaled(
+          size(array_intersect(col("ha"), col("hb"))),
+          size(array_union(col("ha"), col("hb"))), 6))
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("jac").cast(DecimalType(28, 12))).as("sj"),
-        sum(when(col("jac") >= jacThreshold, 1L).otherwise(0L)).as("n_good"))
+        sum(col("jac6")).as("sj6"),
+        sum(when(col("jac6") >= thr6, 1L).otherwise(0L)).as("n_good"))
       .select(col("hamming"), col("n_pairs"),
-        round(dbl(col("sj")) / dbl(col("n_pairs")), 6).as("mean_jac"),
-        round(dbl(col("n_good")) / dbl(col("n_pairs")), 4).as("precision"))
+        ExactRound.ratioRound(col("sj6"),
+          col("n_pairs") * lit(1000000L), 6).as("mean_jac"),
+        ExactRound.ratioRound(col("n_good"), col("n_pairs"), 4)
+          .as("precision"))
   }
 
   /** Soft n-gram contamination share — the graded sibling of
@@ -708,8 +727,8 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
       .select(col("doc_id"), col("n_shingles"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_shingles").cast("double"),
-          6).as("contam_frac"))
+        ExactRound.ratioRound(col("n_hit"), col("n_shingles"), 6)
+          .as("contam_frac"))
       .withColumn("flagged", col("contam_frac") >= flagAt)
   }
 
@@ -847,7 +866,8 @@ object DedupOps {
       .filter(col("containment") >= threshold)
       .select(col("id_a").as("contained"), col("id_b").as("container"),
         col("n_shared"), col("sza").as("sz_contained"),
-        round(col("containment"), 4).as("containment"))
+        ExactRound.ratioRound(col("n_shared"), col("sza"), 4)
+          .as("containment"))
   }
 
   /** Winnowing (MOSS-style) fingerprint overlap: each doc selects the
@@ -924,9 +944,8 @@ object DedupOps {
         "id_b")
       .select(col("id_a"), col("id_b"), col("n_shared_fp"),
         col("fp_a"), col("fp_b"),
-        round(col("n_shared_fp").cast(DoubleType) /
-          least(col("fp_a"), col("fp_b")).cast(DoubleType), 4)
-          .as("overlap"))
+        ExactRound.ratioRound(col("n_shared_fp"),
+          least(col("fp_a"), col("fp_b")), 4).as("overlap"))
   }
 
   /** LSH candidate-recall curve by similarity band: which TRUE
@@ -980,7 +999,8 @@ object DedupOps {
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
       .select(col("bd").as("band"), col("n_true"), col("n_caught"),
-        round(dbl(col("n_caught")) / dbl(col("n_true")), 6).as("recall"),
+        ExactRound.ratioRound(col("n_caught"), col("n_true"), 6)
+          .as("recall"),
         round(lit(1.0) - u8 * u8, 6).as("theory"))
   }
 }

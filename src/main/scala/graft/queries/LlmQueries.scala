@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
-import graft.ops.{CorpusOps, CorpusPipeline, DedupOps, GraphOps, MultimodalOps, SimilarityOps, StatOps, TextOps}
+import graft.ops.{CorpusOps, CorpusPipeline, DedupOps, ExactRound, GraphOps, MultimodalOps, SimilarityOps, StatOps, TextOps}
 import graft.sources.Tables
 
 /** LLM-training-data-pipeline operator inventory over the `documents`
@@ -1053,9 +1053,10 @@ object LlmQueries {
         .filter(col("jaccard") >= col("th"))
       val pairCnt = cut.groupBy(col("th"))
         .agg(count(lit(1)).as("n_pairs"),
-          round(sum(col("jaccard")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-            .cast(dt) / count(lit(1)), 6).as("mean_jaccard"))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(sum(col("jaccard")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 6),
+            count(lit(1)) * lit(1000000L), 6).as("mean_jaccard"))
       val docCnt = cut
         .select(col("th"), explode(array(col("id_a"), col("id_b")))
           .as("doc"))
@@ -1070,8 +1071,8 @@ object LlmQueries {
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           col("mean_jaccard"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          round(coalesce(col("n_docs"), lit(0L)).cast(dt) /
-            col("n_total").cast(dt), 6).as("doc_share"))
+          ExactRound.ratioRound(coalesce(col("n_docs"), lit(0L)),
+            col("n_total"), 6).as("doc_share"))
         .orderBy(col("threshold"))
     }),
 
@@ -1439,13 +1440,15 @@ object LlmQueries {
                    FROM bs x JOIN bs y
                      ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
           pairs AS (SELECT id_a, id_b,
-                      CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
-                        / len(list_distinct(list_concat(sa.hset, sb.hset))) AS jac
+                      len(list_intersect(sa.hset, sb.hset)) AS ni,
+                      len(list_distinct(list_concat(sa.hset, sb.hset))) AS nu
                     FROM cand
                     JOIN xs sa ON sa.doc_id = id_a
                     JOIN xs sb ON sb.doc_id = id_b)
-          SELECT id_a, id_b, round(jac, 4) AS jaccard
-          FROM pairs WHERE jac >= 0.3 ORDER BY id_a, id_b"""
+          SELECT id_a, id_b,
+            ${ExactRound.sqlRatioRound("ni", "nu", 4)} AS jaccard
+          FROM pairs WHERE CAST(ni AS DOUBLE)/nu >= 0.3
+          ORDER BY id_a, id_b"""
     },
 
     "q26_simhash" -> {
@@ -1789,8 +1792,8 @@ object LlmQueries {
                  FROM p a JOIN p b ON a.gk = b.gk AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
           SELECT id_a, id_b, n_shared,
-            round(CAST(n_shared AS DOUBLE)/(sa.sz + sb.sz - n_shared), 4)
-              AS jaccard
+            ${ExactRound.sqlRatioRound(
+              "n_shared", "sa.sz + sb.sz - n_shared", 4)} AS jaccard
           FROM sh
           JOIN sz sa ON sa.doc_id = id_a
           JOIN sz sb ON sb.doc_id = id_b
@@ -1894,8 +1897,9 @@ object LlmQueries {
           SELECT doc_id,
             CAST(count(*) AS BIGINT) AS n_spans,
             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-            round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-              / count(*), 6) AS share_kept,
+            ${ExactRound.sqlRatioRound(
+              "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)", "count(*)", 6)}
+              AS share_kept,
             coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
               ORDER BY pos), '') AS clean_text
           FROM k GROUP BY doc_id ORDER BY doc_id""",
@@ -2571,8 +2575,8 @@ object LlmQueries {
                   count(b.h) AS n_hit
                 FROM train t LEFT JOIN bench b ON t.h = b.h GROUP BY 1),
           f AS (SELECT doc_id, n_shingles, n_hit,
-                  round(CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE),
-                    6) AS contam_frac
+                  ${ExactRound.sqlRatioRound("n_hit", "n_shingles", 6)}
+                    AS contam_frac
                 FROM j)
           SELECT doc_id, n_shingles, n_hit, contam_frac,
             contam_frac >= 0.2 AS flagged
@@ -3007,18 +3011,19 @@ object LlmQueries {
                      AS hset
                  FROM sh2 WHERE len(sset) > 0),
           pj AS (SELECT cand.hamming,
-                   round(CAST(len(list_intersect(sa.hset, sb.hset))
-                     AS DOUBLE)
-                     / len(list_distinct(list_concat(sa.hset, sb.hset))),
-                     6) AS jac
+                   CAST(${ExactRound.sqlRatioRoundScaled(
+                     "len(list_intersect(sa.hset, sb.hset))",
+                     "len(list_distinct(list_concat(sa.hset, sb.hset)))",
+                     6)} AS BIGINT) AS jac6
                  FROM cand
                  JOIN xs sa ON sa.doc_id = cand.id_a
                  JOIN xs sb ON sb.doc_id = cand.id_b)
           SELECT hamming, count(*) AS n_pairs,
-            round(CAST(sum(CAST(jac AS DECIMAL(28,12))) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS mean_jac,
-            round(CAST(sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END)
-              AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS precision
+            ${ExactRound.sqlRatioRound(
+              "sum(jac6)", "count(*)*1000000", 6)} AS mean_jac,
+            ${ExactRound.sqlRatioRound(
+              "sum(CASE WHEN jac6 >= 300000 THEN 1 ELSE 0 END)",
+              "count(*)", 4)} AS precision
           FROM pj GROUP BY 1 ORDER BY hamming"""
     },
 
@@ -3811,8 +3816,8 @@ object LlmQueries {
                     GROUP BY 1, 2 HAVING count(*) >= 2)
           SELECT id_a, id_b, n_shared_fp,
             fa.n_fp AS fp_a, fb.n_fp AS fp_b,
-            round(CAST(n_shared_fp AS DOUBLE)
-              /CAST(least(fa.n_fp, fb.n_fp) AS DOUBLE), 4) AS overlap
+            ${ExactRound.sqlRatioRound(
+              "n_shared_fp", "least(fa.n_fp, fb.n_fp)", 4)} AS overlap
           FROM pairs
           JOIN sizes fa ON fa.doc_id = id_a
           JOIN sizes fb ON fb.doc_id = id_b
@@ -3840,7 +3845,8 @@ object LlmQueries {
                   CAST(n_shared AS DOUBLE)/CAST(sa.sz AS DOUBLE) AS ctn
                 FROM sh JOIN sz sa ON sa.doc_id = id_a)
           SELECT contained, container, n_shared, sz_contained,
-            round(ctn, 4) AS containment
+            ${ExactRound.sqlRatioRound(
+              "n_shared", "sz_contained", 4)} AS containment
           FROM c WHERE ctn >= 0.5
           ORDER BY contained, container""",
 
@@ -4120,8 +4126,8 @@ object LlmQueries {
                  FROM p a JOIN p b ON a.gk = b.gk AND a.doc_id < b.doc_id
                  GROUP BY 1, 2),
           pj AS (SELECT id_a, id_b,
-                   round(CAST(n_shared AS DOUBLE)
-                     /(sa.sz + sb.sz - n_shared), 4) AS j
+                   ${ExactRound.sqlRatioRound(
+                     "n_shared", "sa.sz + sb.sz - n_shared", 4)} AS j
                  FROM sh
                  JOIN sz sa ON sa.doc_id = id_a
                  JOIN sz sb ON sb.doc_id = id_b
@@ -4132,8 +4138,10 @@ object LlmQueries {
           cut AS (SELECT th.th, pj.id_a, pj.id_b, pj.j
                   FROM pj, th WHERE pj.j >= th.th),
           pc AS (SELECT th, count(*) AS n_pairs,
-                   round(CAST(SUM(CAST(j AS DECIMAL(18,6)))
-                     AS DOUBLE)/count(*), 6) AS mean_jaccard
+                   ${ExactRound.sqlRatioRound(
+                     "CAST(SUM(CAST(j AS DECIMAL(18,6)))*1000000" +
+                       " AS HUGEINT)",
+                     "count(*)*1000000", 6)} AS mean_jaccard
                  FROM cut GROUP BY 1),
           dd AS (SELECT th, count(*) AS n_docs FROM
                    (SELECT DISTINCT th, doc FROM
@@ -4143,8 +4151,9 @@ object LlmQueries {
           SELECT th.th AS threshold,
             COALESCE(pc.n_pairs, 0) AS n_pairs, pc.mean_jaccard,
             COALESCE(dd.n_docs, 0) AS n_docs,
-            round(CAST(COALESCE(dd.n_docs, 0) AS DOUBLE)
-              /(SELECT CAST(n_total AS DOUBLE) FROM tot), 6) AS doc_share
+            ${ExactRound.sqlRatioRound(
+              "COALESCE(dd.n_docs, 0)", "(SELECT n_total FROM tot)", 6)}
+              AS doc_share
           FROM th LEFT JOIN pc USING (th) LEFT JOIN dd USING (th)
           ORDER BY threshold""",
 
@@ -4350,7 +4359,7 @@ object LlmQueries {
           f5 AS (SELECT *, u2*u2 AS u4 FROM f4),
           f6 AS (SELECT *, u4*u4 AS u8 FROM f5)
           SELECT band, n_true, n_caught,
-            round(CAST(n_caught AS DOUBLE)/CAST(n_true AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("n_caught", "n_true", 6)}
               AS recall,
             round(1.0 - u8*u8, 6) AS theory
           FROM f6 ORDER BY band"""
