@@ -75,21 +75,25 @@ object TextOps {
         aggregate(col("toks"), lit(0L), (s, t) => s + length(t)))
       .withColumn("n_stop", countIn(col("toks"), Stopwords).cast("long"))
       .withColumn("avg_token_len",
-        round(col("sum_tok_len").cast(DoubleType) / col("n_tokens"), 4))
+        ExactRound.ratioRound(col("sum_tok_len"), col("n_tokens"), 4))
       .withColumn("distinct_ratio",
-        round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 4))
+        ExactRound.ratioRound(col("n_distinct"), col("n_tokens"), 4))
       .withColumn("stopword_ratio",
-        round(col("n_stop").cast(DoubleType) / col("n_tokens"), 4))
+        ExactRound.ratioRound(col("n_stop"), col("n_tokens"), 4))
       // BPE-ish token estimate: ~4 chars/token floor, never below the
       // whitespace count.
       .withColumn("token_est",
         greatest(col("n_tokens"), ceil(col("n_chars_m").cast(DoubleType) / 4.0)).cast("long"))
+      // quality = 0.4*min(1, n/100) + 0.4*d/n + 0.2*(1 - s/n), an
+      // EXACT integer rational over denominator 500n:
+      // (2*min(100,n)*n + 200*d + 100*(n-s)) / (500n) — class-4
+      // discipline, never round() the composite double
       .withColumn("quality_score",
-        round(
-          least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0) * 0.4 +
-            (col("n_distinct").cast(DoubleType) / col("n_tokens")) * 0.4 +
-            (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")) * 0.2,
-          4))
+        ExactRound.ratioRound(
+          lit(2L) * least(lit(100L), col("n_tokens")) * col("n_tokens") +
+            lit(200L) * col("n_distinct") +
+            lit(100L) * (col("n_tokens") - col("n_stop")),
+          lit(500L) * col("n_tokens"), 4))
       .drop("toks")
   }
 
@@ -121,11 +125,13 @@ object TextOps {
     val d = Dist.materialize(df.withColumn("toks", tokens(col(textCol))))
     d.withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("mean_wlen",
-        round(aggregate(col("toks"), lit(0L), (s, t) => s + length(t))
-          .cast(DoubleType) / col("n_words"), 4))
+        ExactRound.ratioRound(
+          aggregate(col("toks"), lit(0L), (s, t) => s + length(t)),
+          col("n_words"), 4))
       .withColumn("alpha_frac",
-        round(size(filter(col("toks"), t => t.rlike("[a-z]")))
-          .cast(DoubleType) / col("n_words"), 4))
+        ExactRound.ratioRound(
+          size(filter(col("toks"), t => t.rlike("[a-z]"))),
+          col("n_words"), 4))
       .withColumn("n_stop_kinds",
         size(array_intersect(array_distinct(col("toks")),
           array(GopherStops.map(lit): _*))).cast("long"))
@@ -190,10 +196,10 @@ object TextOps {
         count(lit(1)).as("distinct_bigrams"),
         max(col("cnt")).as("top_cnt"))
       .withColumn("top_share",
-        round(col("top_cnt").cast(DoubleType) / col("n_bigrams"), 4))
+        ExactRound.ratioRound(col("top_cnt"), col("n_bigrams"), 4))
       .withColumn("dup_ratio",
-        round((col("n_bigrams") - col("distinct_bigrams")).cast(DoubleType)
-          / col("n_bigrams"), 4))
+        ExactRound.ratioRound(col("n_bigrams") - col("distinct_bigrams"),
+          col("n_bigrams"), 4))
   }
 
   /** Document fingerprints: an order-sensitive polynomial rolling hash
@@ -418,10 +424,12 @@ object TextOps {
           lit("[a-z0-9]+_[a-z0-9_]+"), lit(0))).cast("long"))
       .withColumn("sym_ratio",
         when(col("n_chars") > 0,
-          round(dbl(col("n_sym")) / dbl(col("n_chars")), 6)).otherwise(0.0))
+          ExactRound.ratioRound(col("n_sym"), col("n_chars"), 6))
+          .otherwise(0.0))
       .withColumn("digit_ratio",
         when(col("n_chars") > 0,
-          round(dbl(col("n_digit")) / dbl(col("n_chars")), 6)).otherwise(0.0))
+          ExactRound.ratioRound(col("n_digit"), col("n_chars"), 6))
+          .otherwise(0.0))
       .select(col(idCol), col("n_chars"), col("n_sym"), col("n_digit"),
         col("n_snake"), col("sym_ratio"), col("digit_ratio"),
         (col("sym_ratio") >= symbolAt ||
@@ -465,7 +473,7 @@ object TextOps {
         sum(col("sub")).as("subword_est"))
       .withColumn("fertility",
         when(col("ws_tokens") > 0,
-          round(dbl(col("subword_est")) / dbl(col("ws_tokens")), 6)))
+          ExactRound.ratioRound(col("subword_est"), col("ws_tokens"), 6)))
   }
 
   /** Document-START templating rate per source: share of docs whose

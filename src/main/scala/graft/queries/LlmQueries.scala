@@ -879,11 +879,10 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_tokens")).as("min_tokens"),
           max(col("n_tokens")).as("max_tokens"),
-          round(sum(col("quality_score")
-            .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
-            .cast(org.apache.spark.sql.types.DoubleType) /
-            count(lit(1)).cast(org.apache.spark.sql.types.DoubleType), 6)
-            .as("mean_quality"))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(sum(col("quality_score")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 4))), 4),
+            count(lit(1)) * lit(10000L), 6).as("mean_quality"))
         .orderBy(col("bucket"))
     }),
 
@@ -1361,13 +1360,17 @@ object LlmQueries {
             CAST(len(list_filter(toks, t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT) AS n_stop
           FROM d)
           SELECT doc_id, n_tokens, n_chars_m, n_distinct, n_stop,
-            round(CAST(sum_tok_len AS DOUBLE)/n_tokens, 4) AS avg_token_len,
-            round(CAST(n_distinct AS DOUBLE)/n_tokens, 4) AS distinct_ratio,
-            round(CAST(n_stop AS DOUBLE)/n_tokens, 4) AS stopword_ratio,
+            ${ExactRound.sqlRatioRound("sum_tok_len", "n_tokens", 4)}
+              AS avg_token_len,
+            ${ExactRound.sqlRatioRound("n_distinct", "n_tokens", 4)}
+              AS distinct_ratio,
+            ${ExactRound.sqlRatioRound("n_stop", "n_tokens", 4)}
+              AS stopword_ratio,
             CAST(greatest(n_tokens, ceil(CAST(n_chars_m AS DOUBLE)/4.0)) AS BIGINT) AS token_est,
-            round(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
-                  + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
-                  + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4) AS quality_score
+            ${ExactRound.sqlRatioRound(
+              "2*least(100, n_tokens)*n_tokens + 200*n_distinct" +
+                " + 100*(n_tokens - n_stop)",
+              "500*n_tokens", 4)} AS quality_score
           FROM s ORDER BY doc_id""",
 
     "q22_lang_id" -> {
@@ -1524,9 +1527,11 @@ object LlmQueries {
             CAST(len(list_filter(toks, t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT) AS n_stop
           FROM d),
           qs AS (SELECT d.doc_id, d.text, st.n_tokens,
-                   round(least(1.0, CAST(st.n_tokens AS DOUBLE)/100.0)*0.4
-                         + (CAST(st.n_distinct AS DOUBLE)/st.n_tokens)*0.4
-                         + (1.0 - CAST(st.n_stop AS DOUBLE)/st.n_tokens)*0.2, 4) AS quality_score
+                   ${ExactRound.sqlRatioRound(
+                     "2*least(100, st.n_tokens)*st.n_tokens" +
+                       " + 200*st.n_distinct" +
+                       " + 100*(st.n_tokens - st.n_stop)",
+                     "500*st.n_tokens", 4)} AS quality_score
                  FROM st JOIN d ON st.doc_id = d.doc_id),
           q AS (SELECT * FROM qs WHERE quality_score >= ${CorpusPipeline.QualityThreshold}),
           ke AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
@@ -1743,8 +1748,10 @@ object LlmQueries {
                   count(*) AS distinct_bigrams, CAST(max(cnt) AS BIGINT) AS top_cnt
                 FROM c GROUP BY 1)
           SELECT doc_id, n_bigrams, distinct_bigrams, top_cnt,
-            round(CAST(top_cnt AS DOUBLE)/n_bigrams, 4) AS top_share,
-            round(CAST(n_bigrams - distinct_bigrams AS DOUBLE)/n_bigrams, 4) AS dup_ratio
+            ${ExactRound.sqlRatioRound("top_cnt", "n_bigrams", 4)}
+              AS top_share,
+            ${ExactRound.sqlRatioRound(
+              "n_bigrams - distinct_bigrams", "n_bigrams", 4)} AS dup_ratio
           FROM a ORDER BY doc_id""",
 
     // same shingle-hash sets as the q25 LSH twin, then a plain overlap
@@ -2263,10 +2270,10 @@ object LlmQueries {
                      AS n_stop
                  FROM d),
           q2 AS (SELECT doc_id,
-                   round(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
-                     + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
-                     + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4)
-                     AS quality_score
+                   ${ExactRound.sqlRatioRound(
+                     "2*least(100, n_tokens)*n_tokens + 200*n_distinct" +
+                       " + 100*(n_tokens - n_stop)",
+                     "500*n_tokens", 4)} AS quality_score
                  FROM qs),
           rr2 AS (SELECT doc_id, row_number() OVER
                     (ORDER BY quality_score DESC, doc_id ASC) AS rank2
@@ -2679,11 +2686,13 @@ object LlmQueries {
     "q192_gopher_rules" ->
       s"""WITH $toksCte,
           s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
-                  round(CAST(list_sum(list_transform(toks, t -> len(t)))
-                    AS DOUBLE) / len(toks), 4) AS mean_wlen,
-                  round(CAST(len(list_filter(toks,
-                    t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
-                    / len(toks), 4) AS alpha_frac,
+                  ${ExactRound.sqlRatioRound(
+                    "list_sum(list_transform(toks, t -> len(t)))",
+                    "len(toks)", 4)} AS mean_wlen,
+                  ${ExactRound.sqlRatioRound(
+                    "len(list_filter(toks," +
+                      " t -> regexp_matches(t, '[a-z]')))",
+                    "len(toks)", 4)} AS alpha_frac,
                   CAST(len(list_intersect(list_distinct(toks),
                     ['the','a','of','to','and'])) AS BIGINT) AS n_stop_kinds
                 FROM d),
@@ -2813,9 +2822,11 @@ object LlmQueries {
             CAST(len(list_filter(toks, t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT) AS n_stop
           FROM d),
           qs AS (SELECT d.doc_id, d.text, st.n_tokens,
-                   round(least(1.0, CAST(st.n_tokens AS DOUBLE)/100.0)*0.4
-                         + (CAST(st.n_distinct AS DOUBLE)/st.n_tokens)*0.4
-                         + (1.0 - CAST(st.n_stop AS DOUBLE)/st.n_tokens)*0.2, 4) AS quality_score
+                   ${ExactRound.sqlRatioRound(
+                     "2*least(100, st.n_tokens)*st.n_tokens" +
+                       " + 200*st.n_distinct" +
+                       " + 100*(st.n_tokens - st.n_stop)",
+                     "500*st.n_tokens", 4)} AS quality_score
                  FROM st JOIN d ON st.doc_id = d.doc_id),
           q AS (SELECT * FROM qs WHERE quality_score >= ${CorpusPipeline.QualityThreshold}),
           ke AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
@@ -2922,11 +2933,13 @@ object LlmQueries {
     "q207_source_scorecard" ->
       s"""WITH $toksCte,
           s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
-                  round(CAST(list_sum(list_transform(toks, t -> len(t)))
-                    AS DOUBLE) / len(toks), 4) AS mean_wlen,
-                  round(CAST(len(list_filter(toks,
-                    t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
-                    / len(toks), 4) AS alpha_frac,
+                  ${ExactRound.sqlRatioRound(
+                    "list_sum(list_transform(toks, t -> len(t)))",
+                    "len(toks)", 4)} AS mean_wlen,
+                  ${ExactRound.sqlRatioRound(
+                    "len(list_filter(toks," +
+                      " t -> regexp_matches(t, '[a-z]')))",
+                    "len(toks)", 4)} AS alpha_frac,
                   CAST(len(list_intersect(list_distinct(toks),
                     ['the','a','of','to','and'])) AS BIGINT) AS n_stop_kinds
                 FROM d),
@@ -3212,10 +3225,10 @@ object LlmQueries {
     // code-detect twin: same RE2∩Java character classes, rounded
     // ratios compared at the same fences
     "q242_code_detect" ->
-      """WITH x AS (SELECT doc_id,
+      s"""WITH x AS (SELECT doc_id,
                       CAST(length(text) AS BIGINT) AS n_chars,
                       CAST(len(regexp_extract_all(text,
-                        '[{}()\[\];=<>]')) AS BIGINT) AS n_sym,
+                        '[{}()\\[\\];=<>]')) AS BIGINT) AS n_sym,
                       CAST(len(regexp_extract_all(text, '[0-9]'))
                         AS BIGINT) AS n_digit,
                       CAST(len(regexp_extract_all(text,
@@ -3223,12 +3236,12 @@ object LlmQueries {
                     FROM documents),
           r AS (SELECT *,
                   CASE WHEN n_chars > 0
-                    THEN round(CAST(n_sym AS DOUBLE)
-                      / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END
+                    THEN ${ExactRound.sqlRatioRound(
+                      "n_sym", "n_chars", 6)} ELSE 0.0 END
                     AS sym_ratio,
                   CASE WHEN n_chars > 0
-                    THEN round(CAST(n_digit AS DOUBLE)
-                      / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END
+                    THEN ${ExactRound.sqlRatioRound(
+                      "n_digit", "n_chars", 6)} ELSE 0.0 END
                     AS digit_ratio
                 FROM x)
           SELECT doc_id, n_chars, n_sym, n_digit, n_snake, sym_ratio,
@@ -3338,10 +3351,10 @@ object LlmQueries {
                     AS n_stop
                 FROM d),
           q AS (SELECT doc_id, n_tokens,
-                  round(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
-                    + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
-                    + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4)
-                    AS quality_score
+                  ${ExactRound.sqlRatioRound(
+                     "2*least(100, n_tokens)*n_tokens + 200*n_distinct" +
+                       " + 100*(n_tokens - n_stop)",
+                     "500*n_tokens", 4)} AS quality_score
                 FROM s),
           st AS (SELECT min(n_tokens) AS lo, max(n_tokens) AS hi FROM q),
           b AS (SELECT n_tokens, quality_score,
@@ -3355,8 +3368,10 @@ object LlmQueries {
                 FROM b)
           SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
             min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
-            round(CAST(sum(CAST(quality_score AS DECIMAL(28,4)))
-              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+            ${ExactRound.sqlRatioRound(
+              "CAST(sum(CAST(quality_score AS DECIMAL(28,4)))*10000" +
+                " AS HUGEINT)",
+              "count(*)*10000", 6)} AS mean_quality
           FROM k GROUP BY 1 ORDER BY bucket""",
 
     // Zipf-slope twin: same exact ranks, 12dp decimal ln-product
@@ -3400,10 +3415,10 @@ object LlmQueries {
                     AS n_stop
                 FROM d),
           q AS (SELECT doc_id, n_tokens,
-                  round(least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
-                    + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
-                    + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4)
-                    AS quality_score
+                  ${ExactRound.sqlRatioRound(
+                     "2*least(100, n_tokens)*n_tokens + 200*n_distinct" +
+                       " + 100*(n_tokens - n_stop)",
+                     "500*n_tokens", 4)} AS quality_score
                 FROM s),
           r AS (SELECT doc_id, n_tokens,
                   ntile(10) OVER (ORDER BY quality_score DESC, doc_id)
@@ -3612,7 +3627,7 @@ object LlmQueries {
     // fertility twin: same RE2-safe word split, ceil(len/4) via
     // integer math, exact integer sums, one rounded divide
     "q289_tokenizer_fertility" ->
-      """WITH f AS (SELECT lang,
+      s"""WITH f AS (SELECT lang,
                       CAST(len(regexp_split_to_array(trim(text), ' +'))
                         AS BIGINT) AS ws,
                       CAST(COALESCE(list_sum(list_transform(
@@ -3624,8 +3639,8 @@ object LlmQueries {
             CAST(SUM(ws) AS BIGINT) AS ws_tokens,
             CAST(SUM(sub) AS BIGINT) AS subword_est,
             CASE WHEN SUM(ws) > 0 THEN
-              round(CAST(SUM(sub) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE),
-                6) END AS fertility
+              ${ExactRound.sqlRatioRound("SUM(sub)", "SUM(ws)", 6)}
+              END AS fertility
           FROM f GROUP BY 1 ORDER BY lang""",
 
     // Cramér's V twin: full margin grid (absent cells keep their
