@@ -183,7 +183,7 @@ object CorpusOps {
     val tot = counts.agg(sum(col("n_c")).as("n"), count(lit(1)).as("k"))
     counts.crossJoin(broadcast(tot))
       .select(col("label"), col("n_c"),
-        round(dbl(col("n")) / (dbl(col("k")) * dbl(col("n_c"))), 6)
+        ExactRound.ratioRound(col("n"), col("k") * col("n_c"), 6)
           .as("inv_freq_w"),
         round((lit(1.0) - lit(beta)) /
           (lit(1.0) - exp(dbl(col("n_c")) * log(lit(beta)))), 6)
@@ -223,8 +223,10 @@ object CorpusOps {
       .orderBy(col("df").desc, col("term"))
       .limit(k)
       .select(col("term"), col("df"), col("tf_total"), col("df_rep"),
-        round(dbl(col("tf_total")) / dbl(col("df")), 6).as("burstiness"),
-        round(dbl(col("df_rep")) / dbl(col("df")), 6).as("repeat_rate"))
+        ExactRound.ratioRound(col("tf_total"), col("df"), 6)
+          .as("burstiness"),
+        ExactRound.ratioRound(col("df_rep"), col("df"), 6)
+          .as("repeat_rate"))
   }
 
   /** One BPE merge round over the corpus: global counts of ADJACENT
@@ -441,10 +443,10 @@ object CorpusOps {
         sum((col("x6") * col("y6")).cast(dec)).as("sxy"),
         sum((col("x6") * col("x6")).cast(dec)).as("sxx"))
       .select(when(col("n_pts") >= 2,
-        round((dbl(col("n_pts")) * dbl(col("sxy")) -
-          dbl(col("sx")) * dbl(col("sy"))) /
-          (dbl(col("n_pts")) * dbl(col("sxx")) -
-            dbl(col("sx")) * dbl(col("sx"))), 6)).as("heaps_beta"))
+        ExactRound.ratioRound(
+          col("n_pts") * col("sxy") - col("sx") * col("sy"),
+          col("n_pts") * col("sxx") - col("sx") * col("sx"), 6))
+        .as("heaps_beta"))
     curve
       .crossJoin(broadcast(fit))
       .select(col("bucket"), col("n_tokens"), col("n_new_terms"),
@@ -522,7 +524,7 @@ object CorpusOps {
       .crossJoin(broadcast(total))
       .select(col("term"), col("tf"),
         row_number().over(ord).as("rank"),
-        round(sum(col("tf")).over(cum).cast(DoubleType) / col("total"), 6)
+        ExactRound.ratioRound(sum(col("tf")).over(cum), col("total"), 6)
           .as("cum_share"))
       .filter(col("rank") <= k)
   }
@@ -644,14 +646,14 @@ object CorpusOps {
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
     base.join(contam, Seq(srcCol), "left")
       .select(col(srcCol), col("n_docs"),
-        round(dbl(col("n_pass")) / dbl(col("n_docs")), 4)
+        ExactRound.ratioRound(col("n_pass"), col("n_docs"), 4)
           .as("gopher_pass_rate"),
-        round(dbl(col("sum_words")) / dbl(col("n_docs")), 2)
+        ExactRound.ratioRound(col("sum_words"), col("n_docs"), 2)
           .as("mean_words"),
-        round(dbl(col("n_docs") - col("n_uniq")) / dbl(col("n_docs")), 4)
-          .as("dup_rate"),
+        ExactRound.ratioRound(col("n_docs") - col("n_uniq"),
+          col("n_docs"), 4).as("dup_rate"),
         when(col("n_scored") > 0,
-          round(dbl(col("n_flagged")) / dbl(col("n_scored")), 4))
+          ExactRound.ratioRound(col("n_flagged"), col("n_scored"), 4))
           .as("contam_flag_rate"))
   }
 
@@ -987,7 +989,8 @@ object CorpusOps {
         count(lit(1)).as("n"),
         sum(col("x").cast(DoubleType).cast(DecimalType(28, 12))).as("sx"))
       .select(col("label"), col("pos"), col("n"),
-        round(col("sx").cast(DoubleType) / col("n"), 6).as("centroid"))
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sx"), 12),
+          col("n") * lit(1000000000000L), 6).as("centroid"))
 
   /** Per-domain cap sampling — the anti-domination rule of corpus
     * mixes (no single source may contribute more than `cap` docs):
@@ -1056,7 +1059,8 @@ object CorpusOps {
     val tot = strata.agg(sum(col("w")).as("wsum"))
     strata.crossJoin(broadcast(tot))
       .select(col(strataCol), col("n_docs"), col("sd"),
-        round(dbl(col("w")) / dbl(col("wsum")), 6).as("share"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("w"), 6),
+          ExactRound.toUnscaled(col("wsum"), 6), 6).as("share"),
         when(col("wsum") > 0,
           floor(lit(budget.toDouble) * dbl(col("w")) / dbl(col("wsum")) +
             lit(0.5)).cast("long")).otherwise(0L).as("n_alloc"))
@@ -1383,8 +1387,8 @@ object CorpusOps {
           count(lit(1)).as("distinct_ngrams"))
         .select(col("source"), lit(n).as("n"),
           col("total_ngrams"), col("distinct_ngrams"),
-          round(col("distinct_ngrams").cast(DoubleType) /
-            col("total_ngrams").cast(DoubleType), 6).as("distinct_ratio"))
+          ExactRound.ratioRound(col("distinct_ngrams"),
+            col("total_ngrams"), 6).as("distinct_ratio"))
     }
     levels.reduce(_.unionByName(_))
   }
@@ -1469,9 +1473,9 @@ object CorpusOps {
       .filter(col("rank") <= topK)
       .crossJoin(broadcast(nDocs))
       .select(col("rank"), col("term"), col("tf"), col("df"),
-        round((dbl(col("n_docs")) * dbl(col("s2")) -
-          dbl(col("tf")) * dbl(col("tf"))) /
-          (dbl(col("n_docs")) * dbl(col("tf"))), 6).as("dispersion"))
+        ExactRound.ratioRound(
+          col("n_docs") * col("s2") - (col("tf") * col("tf")).cast(dec),
+          col("n_docs") * col("tf"), 6).as("dispersion"))
   }
 
   /** Hapax/dis legomena share per source: the fraction of each
@@ -1495,8 +1499,10 @@ object CorpusOps {
         sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"),
         sum(when(col("tf") === 2, 1L).otherwise(0L)).as("n_dis"))
       .select(col("source"), col("vocab"), col("n_hapax"), col("n_dis"),
-        round(dbl(col("n_hapax")) / dbl(col("vocab")), 6).as("hapax_share"),
-        round(dbl(col("n_dis")) / dbl(col("vocab")), 6).as("dis_share"))
+        ExactRound.ratioRound(col("n_hapax"), col("vocab"), 6)
+          .as("hapax_share"),
+        ExactRound.ratioRound(col("n_dis"), col("vocab"), 6)
+          .as("dis_share"))
   }
 
   /** Inter-centroid distance matrix: Euclidean distance between every
@@ -1578,9 +1584,9 @@ object CorpusOps {
       .crossJoin(entropy(my, "cy", "h_y"))
       .crossJoin(n)
       .select(col("n").as("n_docs"), col("n_cells"),
-        round(dbl(col("mi_d")), 6).as("mi_nats"),
-        round(dbl(col("h_x")), 6).as("h_x"),
-        round(dbl(col("h_y")), 6).as("h_y"),
+        round(col("mi_d"), 6).cast(DoubleType).as("mi_nats"),
+        round(col("h_x"), 6).cast(DoubleType).as("h_x"),
+        round(col("h_y"), 6).cast(DoubleType).as("h_y"),
         when(col("h_x") > 0 && col("h_y") > 0,
           round(dbl(col("mi_d")) /
             sqrt(dbl(col("h_x")) * dbl(col("h_y"))), 6)).as("nmi"))
@@ -1626,8 +1632,9 @@ object CorpusOps {
     s.groupBy(col("label"))
       .agg(count(lit(1)).as("n_points"),
         count(col("s")).as("n_scored"),
-        round(dbl(sum(col("s").cast(DecimalType(18, 6)))) /
-          dbl(count(col("s"))), 6).as("mean_sil"),
+        ExactRound.ratioRound(
+          ExactRound.toUnscaled(sum(col("s").cast(DecimalType(18, 6))), 6),
+          count(col("s")) * lit(1000000L), 6).as("mean_sil"),
         round(min(col("s")), 6).as("min_sil"))
   }
 
@@ -1669,8 +1676,10 @@ object CorpusOps {
       .select(col("clabel"), round(sqrt(dbl(col("d2"))), 6).as("dist"))
       .groupBy(col("clabel"))
       .agg(count(lit(1)).as("n_points"),
-        round(dbl(sum(col("dist").cast(DecimalType(18, 6)))) /
-          dbl(count(lit(1))), 6).as("s_intra"))
+        ExactRound.ratioRound(
+          ExactRound.toUnscaled(
+            sum(col("dist").cast(DecimalType(18, 6))), 6),
+          count(lit(1)) * lit(1000000L), 6).as("s_intra"))
       .localCheckpoint(eager = false) // read by both ratio legs
     val ca = cents.select(col("clabel").as("la"), col("pos"),
       col("centroid").as("ma"))
@@ -1692,8 +1701,10 @@ object CorpusOps {
       .groupBy(col("la"))
       .agg(max(col("rij")).as("db_k"))
     val overall = dbk.agg(
-      round(dbl(sum(col("db_k").cast(DecimalType(18, 6)))) /
-        dbl(count(col("db_k"))), 6).as("db_index"))
+      ExactRound.ratioRound(
+        ExactRound.toUnscaled(
+          sum(col("db_k").cast(DecimalType(18, 6))), 6),
+        count(col("db_k")) * lit(1000000L), 6).as("db_index"))
     sk.join(dbk.select(col("la").as("clabel"), col("db_k")),
         Seq("clabel"), "left")
       .crossJoin(broadcast(overall))
@@ -1731,9 +1742,10 @@ object CorpusOps {
       .localCheckpoint(eager = false) // wss leg + bss leg + counts
     val gcent = cents
       .groupBy(col("pos"))
-      .agg(round(dbl(sum((col("centroid") * dbl(col("n")))
-          .cast(DecimalType(28, 12)))) /
-        dbl(sum(col("n"))), 6).as("gm"))
+      .agg(ExactRound.ratioRound(
+        ExactRound.toUnscaled(sum((col("centroid") * dbl(col("n")))
+          .cast(DecimalType(28, 12))), 12),
+        sum(col("n")) * lit(1000000000000L), 6).as("gm"))
     val pts = emb.select(col(labelCol).as("clabel"),
       posexplode(col(vecCol)).as(Seq("pos", "x")))
     val wss = pts.join(broadcast(cents.select(col("clabel"), col("pos"),
@@ -1742,7 +1754,8 @@ object CorpusOps {
       .agg(sum(round((dbl(col("x")) - col("centroid")) *
           (dbl(col("x")) - col("centroid")), 12)
         .cast(DecimalType(38, 12))).as("w2"))
-      .select(col("clabel"), round(dbl(col("w2")), 6).as("wss_k"))
+      .select(col("clabel"),
+        round(col("w2"), 6).cast(DoubleType).as("wss_k"))
     val bss = cents.join(broadcast(gcent), "pos")
       .groupBy(col("clabel"))
       .agg(max(col("n")).as("n_points"),
@@ -1750,7 +1763,9 @@ object CorpusOps {
             (col("centroid") - col("gm")), 12)
           .cast(DecimalType(38, 12))).as("b2"))
       .select(col("clabel"), col("n_points"),
-        round(dbl(col("n_points")) * dbl(col("b2")), 6).as("bss_k"))
+        ExactRound.ratioRound(
+          ExactRound.toUnscaled(col("b2"), 12) * col("n_points"),
+          lit(1000000000000L), 6).as("bss_k"))
     val perLabel = bss.join(wss, "clabel")
       .localCheckpoint(eager = false) // output + index fold
     val overall = perLabel.agg(
@@ -1759,9 +1774,11 @@ object CorpusOps {
         sum(col("bss_k").cast(DecimalType(38, 6))).as("bt"))
       .select(col("k"), col("n"),
         when(col("k") > 1 && col("n") > col("k") && dbl(col("wt")) > 0,
-          round((dbl(col("bt")) / (dbl(col("k")) - 1)) /
-            (dbl(col("wt")) / (dbl(col("n")) - dbl(col("k")))), 6))
-          .as("ch_index"))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(col("bt"), 6) *
+              (col("n") - col("k")),
+            ExactRound.toUnscaled(col("wt"), 6) * (col("k") - lit(1L)),
+            6)).as("ch_index"))
     perLabel.crossJoin(broadcast(overall))
       .select(col("clabel").as("label"), col("n_points"),
         col("wss_k"), col("bss_k"), col("k"), col("n"), col("ch_index"))
@@ -1805,8 +1822,8 @@ object CorpusOps {
     val f = totals.crossJoin(broadcast(top))
       .join(tf, Seq("source", "term"), "left")
       .select(col("source"), col("term"),
-        round(dbl(coalesce(col("tf"), lit(0L))) / dbl(col("nt")), 8)
-          .as("f"))
+        ExactRound.ratioRound(coalesce(col("tf"), lit(0L)),
+          col("nt"), 8).as("f"))
       .localCheckpoint(eager = false) // stats leg + both pair legs
     val stats = f.groupBy(col("term"))
       .agg(count(lit(1)).as("ns"),
@@ -1814,7 +1831,8 @@ object CorpusOps {
         sum(round(col("f") * col("f"), 16).cast(DecimalType(38, 16)))
           .as("sf2"))
       .select(col("term"), col("ns"),
-        round(dbl(col("sf")) / dbl(col("ns")), 8).as("mu"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sf"), 8),
+          col("ns") * lit(100000000L), 8).as("mu"),
         when(col("ns") > 1,
           round(sqrt((dbl(col("sf2")) -
             dbl(col("sf")) * dbl(col("sf")) / dbl(col("ns"))) /
@@ -1831,9 +1849,10 @@ object CorpusOps {
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_terms"),
-        round(dbl(sum(round(abs(col("za") - col("zb")), 6)
-            .cast(DecimalType(18, 6)))) /
-          dbl(count(lit(1))), 6).as("delta"))
+        ExactRound.ratioRound(
+          ExactRound.toUnscaled(sum(round(abs(col("za") - col("zb")), 6)
+            .cast(DecimalType(18, 6))), 6),
+          count(lit(1)) * lit(1000000L), 6).as("delta"))
   }
 
   /** MATTR — moving-average type-token ratio per document (Covington
@@ -1883,11 +1902,12 @@ object CorpusOps {
       .select(col("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("n_types"),
-        round(dbl(col("n_types")) / dbl(col("n_tokens")), 6).as("ttr"),
+        ExactRound.ratioRound(col("n_types"), col("n_tokens"), 6)
+          .as("ttr"),
         when(col("n_tokens") >= window,
-          round(dbl(col("tot")) /
-            (dbl(col("n_tokens") - window + 1) * lit(window.toDouble)),
-            6)).as("mattr"))
+          ExactRound.ratioRound(col("tot"),
+            (col("n_tokens") - window + 1) * lit(window.toLong), 6))
+          .as("mattr"))
   }
 
   /** Pairwise Jensen–Shannon divergence between source term
@@ -2009,10 +2029,14 @@ object CorpusOps {
     val nd = dbl(col("n_tokens"))
     agg.select(col("source"), col("n_tokens"), col("v_types"),
       when(col("n_tokens") > 0,
-        round(lit(1e4) * (dbl(col("m2")) - nd) / (nd * nd), 6))
+        ExactRound.ratioRound(
+          (col("m2") - col("n_tokens")) * lit(10000L),
+          (col("n_tokens") * col("n_tokens")).cast(dec), 6))
         .as("yules_k"),
       when(col("n_tokens") > 1,
-        round(dbl(col("rep")) / (nd * (nd - 1)), 6)).as("simpson_d"))
+        ExactRound.ratioRound(col("rep"),
+          (col("n_tokens") * (col("n_tokens") - 1)).cast(dec), 6))
+        .as("simpson_d"))
   }
 
   /** Unseen-vocabulary estimators per source off the term-frequency
@@ -2059,17 +2083,27 @@ object CorpusOps {
     val chao1 = dbl(col("v_types")) +
       dbl(col("f1")) * (dbl(col("f1")) - 1) /
         (lit(2.0) * (dbl(col("f2")) + 1))
+    // chao1 = V + f1(f1-1)/(2(f2+1)) is the exact integer rational
+    // (2V(f2+1) + f1(f1-1)) / (2(f2+1)); unseen_share = f1(f1-1) over
+    // the same numerator — class-4 conversions, guards keep the raw
+    // double expression
     agg.select(col("source"), col("n_tokens"), col("v_types"),
       col("f1"), col("f2"),
       when(col("n_tokens") > 0,
-        round(dbl(col("f1")) / dbl(col("n_tokens")), 6))
+        ExactRound.ratioRound(col("f1"), col("n_tokens"), 6))
         .as("gt_missing_mass"),
       when(col("n_tokens") > 0,
-        round(lit(1.0) - dbl(col("f1")) / dbl(col("n_tokens")), 6))
+        ExactRound.ratioRound(col("n_tokens") - col("f1"),
+          col("n_tokens"), 6))
         .as("gt_coverage"),
-      round(chao1, 6).as("chao1"),
+      ExactRound.ratioRound(
+        lit(2L) * col("v_types") * (col("f2") + 1L) +
+          col("f1") * (col("f1") - 1L),
+        lit(2L) * (col("f2") + 1L), 6).as("chao1"),
       when(chao1 > 0,
-        round((chao1 - dbl(col("v_types"))) / chao1, 6))
+        ExactRound.ratioRound(col("f1") * (col("f1") - 1L),
+          lit(2L) * col("v_types") * (col("f2") + 1L) +
+            col("f1") * (col("f1") - 1L), 6))
         .as("unseen_share"))
   }
 

@@ -1593,12 +1593,15 @@ object LlmQueries {
           SELECT term, tf, df FROM g ORDER BY tf DESC, term LIMIT 100""",
 
     "q40_label_centroid" ->
-      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          u AS (SELECT label, CAST(i-1 AS INTEGER) AS pos,
                  CAST(v[i] AS DECIMAL(28,12)) AS xd
                FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
          a AS (SELECT label, pos, count(*) AS n, SUM(xd) AS sx FROM u GROUP BY 1, 2)
-         SELECT label, pos, n, round(CAST(sx AS DOUBLE)/n, 6) AS centroid
+         SELECT label, pos, n,
+           ${ExactRound.sqlRatioRound(
+             "CAST(sx*1000000000000 AS HUGEINT)",
+             "n*1000000000000", 6)} AS centroid
          FROM a ORDER BY label, pos""",
 
     "q30_ivf_topk" ->
@@ -1818,8 +1821,8 @@ object LlmQueries {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                 FROM g)
           SELECT term, tf, CAST(rank AS INTEGER) AS rank,
-            round(CAST(cum AS DOUBLE)/(SELECT CAST(total AS DOUBLE) FROM t), 6)
-              AS cum_share
+            ${ExactRound.sqlRatioRound(
+              "cum", "(SELECT total FROM t)", 6)} AS cum_share
           FROM r WHERE rank <= 100 ORDER BY rank""",
 
     "q88_redact" ->
@@ -2515,10 +2518,8 @@ object LlmQueries {
                   FROM pts)
           SELECT bucket, n_tokens, n_new_terms, cum_tokens, cum_vocab,
             (SELECT CASE WHEN n_pts >= 2 THEN
-               round((CAST(n_pts AS DOUBLE)*CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                 / (CAST(n_pts AS DOUBLE)*CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6) END
+               ${ExactRound.sqlRatioRound(
+                 "n_pts*sxy - sx*sy", "n_pts*sxx - sx*sx", 6)} END
              FROM fit) AS heaps_beta
           FROM curve ORDER BY bucket""",
 
@@ -2972,8 +2973,8 @@ object LlmQueries {
                   count(b.h) AS n_hit
                 FROM train t LEFT JOIN bench b ON t.h = b.h GROUP BY 1),
           cf AS (SELECT doc_id,
-                   round(CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE),
-                     6) AS contam_frac
+                   ${ExactRound.sqlRatioRound("n_hit", "n_shingles", 6)}
+                     AS contam_frac
                  FROM j),
           cj AS (SELECT doc.source, cf.*
                  FROM cf JOIN documents doc USING (doc_id)),
@@ -2982,15 +2983,15 @@ object LlmQueries {
                      AS BIGINT) AS n_flagged
                  FROM cj GROUP BY 1)
           SELECT b.source, b.n_docs,
-            round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+            ${ExactRound.sqlRatioRound("n_pass", "n_docs", 4)}
               AS gopher_pass_rate,
-            round(CAST(sum_words AS DOUBLE) / CAST(n_docs AS DOUBLE), 2)
+            ${ExactRound.sqlRatioRound("sum_words", "n_docs", 2)}
               AS mean_words,
-            round(CAST(n_docs - n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE),
-              4) AS dup_rate,
+            ${ExactRound.sqlRatioRound("n_docs - n_uniq", "n_docs", 4)}
+              AS dup_rate,
             CASE WHEN n_scored > 0
-              THEN round(CAST(n_flagged AS DOUBLE)
-                / CAST(n_scored AS DOUBLE), 4) END AS contam_flag_rate
+              THEN ${ExactRound.sqlRatioRound("n_flagged", "n_scored", 4)}
+              END AS contam_flag_rate
           FROM base b LEFT JOIN ct ON b.source = ct.source
           ORDER BY b.source""",
 
@@ -3063,7 +3064,7 @@ object LlmQueries {
           SELECT source, CAST(n AS INTEGER) AS n,
             CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
             count(*) AS distinct_ngrams,
-            round(CAST(count(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("count(*)", "SUM(cnt)", 6)}
               AS distinct_ratio
           FROM g GROUP BY 1, 2 ORDER BY source, n""",
 
@@ -3197,15 +3198,16 @@ object LlmQueries {
                   (ORDER BY tf DESC, term) AS INTEGER) AS rank
                 FROM v)
           SELECT rank, term, tf, df,
-            round((CAST(n_docs AS DOUBLE) * CAST(s2 AS DOUBLE)
-              - CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE))
-              / (CAST(n_docs AS DOUBLE) * CAST(tf AS DOUBLE)), 6)
+            ${ExactRound.sqlRatioRound(
+              "CAST(n_docs AS HUGEINT)*CAST(s2 AS HUGEINT)" +
+                " - CAST(tf AS HUGEINT)*CAST(tf AS HUGEINT)",
+              "CAST(n_docs AS HUGEINT)*CAST(tf AS HUGEINT)", 6)}
               AS dispersion
           FROM r CROSS JOIN n WHERE rank <= 20 ORDER BY rank""",
 
     // hapax twin: all-integer vocabulary spectrum, two final ratios
     "q236_hapax" ->
-      """WITH d AS (SELECT source,
+      s"""WITH d AS (SELECT source,
                       regexp_split_to_array(trim(text), ' +') AS toks
                     FROM documents),
           tf AS (SELECT source, term, count(*) AS tf
@@ -3216,10 +3218,12 @@ object LlmQueries {
               AS n_hapax,
             CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_dis,
-            round(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS hapax_share,
-            round(CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS dis_share
+            ${ExactRound.sqlRatioRound(
+              "SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)",
+              "count(*)", 6)} AS hapax_share,
+            ${ExactRound.sqlRatioRound(
+              "SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END)",
+              "count(*)", 6)} AS dis_share
           FROM tf GROUP BY 1 ORDER BY source""",
 
     // code-detect twin: same RE2∩Java character classes, rounded
@@ -3253,13 +3257,15 @@ object LlmQueries {
     // centroid-distance twin: q40's 6dp centroids, 12dp decimal-sum
     // of squared differences, one sqrt
     "q243_centroid_dist" ->
-      """WITH e0 AS (SELECT vec_id, label,
+      s"""WITH e0 AS (SELECT vec_id, label,
                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           u AS (SELECT label, CAST(i-1 AS INTEGER) AS pos,
                   CAST(v[i] AS DECIMAL(28,12)) AS xd
                 FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
           c AS (SELECT label, pos,
-                  round(CAST(SUM(xd) AS DOUBLE)/count(*), 6) AS m
+                  ${ExactRound.sqlRatioRound(
+                    "CAST(SUM(xd)*1000000000000 AS HUGEINT)",
+                    "count(*)*1000000000000", 6)} AS m
                 FROM u GROUP BY 1, 2),
           p AS (SELECT a.label AS label_a, b.label AS label_b,
                   SUM(CAST(round((a.m - b.m)*(a.m - b.m), 12)
@@ -3500,9 +3506,9 @@ object LlmQueries {
                    AS DECIMAL(38,12))) AS h_y
                  FROM my CROSS JOIN nn)
           SELECT n AS n_docs, n_cells,
-            round(CAST(mi_d AS DOUBLE), 6) AS mi_nats,
-            round(CAST(h_x AS DOUBLE), 6) AS h_x,
-            round(CAST(h_y AS DOUBLE), 6) AS h_y,
+            CAST(round(mi_d, 6) AS DOUBLE) AS mi_nats,
+            CAST(round(h_x, 6) AS DOUBLE) AS h_x,
+            CAST(round(h_y, 6) AS DOUBLE) AS h_y,
             CASE WHEN h_x > 0 AND h_y > 0 THEN
               round(CAST(mi_d AS DOUBLE)
                 / sqrt(CAST(h_x AS DOUBLE) * CAST(h_y AS DOUBLE)), 6)
@@ -3512,14 +3518,16 @@ object LlmQueries {
     // silhouette twin: q243 centroid CTE, 12dp squared-diff fold,
     // exact-sqrt distances, rounded-s DECIMAL mean
     "q276_silhouette" ->
-      """WITH e0 AS (SELECT vec_id, label,
+      s"""WITH e0 AS (SELECT vec_id, label,
                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           u AS (SELECT vec_id, label, CAST(i-1 AS INTEGER) AS pos,
                   v[i] AS x
                 FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
           c AS (SELECT label AS clabel, pos,
-                  round(CAST(SUM(CAST(x AS DECIMAL(28,12)))
-                    AS DOUBLE)/count(*), 6) AS m
+                  ${ExactRound.sqlRatioRound(
+                    "CAST(SUM(CAST(x AS DECIMAL(28,12)))" +
+                      "*1000000000000 AS HUGEINT)",
+                    "count(*)*1000000000000", 6)} AS m
                 FROM u GROUP BY 1, 2),
           d AS (SELECT u.vec_id, u.label, c.clabel,
                   sqrt(CAST(SUM(CAST(round((u.x - c.m)*(u.x - c.m), 12)
@@ -3534,15 +3542,16 @@ object LlmQueries {
                  FROM ab)
           SELECT label, count(*) AS n_points,
             count(s) AS n_scored,
-            round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
-              / CAST(count(s) AS DOUBLE), 6) AS mean_sil,
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(CAST(s AS DECIMAL(18,6)))*1000000 AS HUGEINT)",
+              "count(s)*1000000", 6)} AS mean_sil,
             round(min(s), 6) AS min_sil
           FROM sc GROUP BY 1 ORDER BY label""",
 
     // Neyman twin: exact integer stratum moments, shared-order sd
     // formula, DECIMAL(38,6) weight fold, floor-form quotas
     "q281_neyman_alloc" ->
-      """WITH st AS (SELECT source, count(*) AS n_docs,
+      s"""WITH st AS (SELECT source, count(*) AS n_docs,
                        CAST(SUM(n_chars) AS BIGINT) AS sx,
                        CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
                      FROM documents GROUP BY 1),
@@ -3559,7 +3568,9 @@ object LlmQueries {
                    AS DECIMAL(38,6)) AS w FROM sd),
           tot AS (SELECT SUM(w) AS wsum FROM wt)
           SELECT source, n_docs, sd,
-            round(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS share,
+            ${ExactRound.sqlRatioRound(
+              "CAST(w*1000000 AS HUGEINT)",
+              "CAST(wsum*1000000 AS HUGEINT)", 6)} AS share,
             CASE WHEN wsum > 0 THEN
               CAST(floor(1000.0 * CAST(w AS DOUBLE)
                 / CAST(wsum AS DOUBLE) + 0.5) AS BIGINT)
@@ -3580,9 +3591,9 @@ object LlmQueries {
                 FROM tf GROUP BY 1),
           cut AS (SELECT * FROM v ORDER BY df DESC, term LIMIT 25)
           SELECT term, df, tf_total, df_rep,
-            round(CAST(tf_total AS DOUBLE) / CAST(df AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("tf_total", "df", 6)}
               AS burstiness,
-            round(CAST(df_rep AS DOUBLE) / CAST(df AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("df_rep", "df", 6)}
               AS repeat_rate
           FROM cut ORDER BY df DESC, term""",
 
@@ -3591,14 +3602,12 @@ object LlmQueries {
     // 1.0 - 0.99 forced to DOUBLE subtraction (the q270 constant-
     // provenance rule: the decimal parse would be one ulp off)
     "q285_class_weights" ->
-      """WITH c AS (SELECT label, count(*) AS n_c
+      s"""WITH c AS (SELECT label, count(*) AS n_c
                     FROM embeddings GROUP BY 1),
           t AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n, count(*) AS k
                 FROM c)
           SELECT label, n_c,
-            round(CAST(n AS DOUBLE)
-              / (CAST(k AS DOUBLE) * CAST(n_c AS DOUBLE)), 6)
-              AS inv_freq_w,
+            ${ExactRound.sqlRatioRound("n", "k*n_c", 6)} AS inv_freq_w,
             round((CAST(1.0 AS DOUBLE) - CAST(0.99 AS DOUBLE))
               / (CAST(1.0 AS DOUBLE)
                 - exp(CAST(n_c AS DOUBLE) * ln(CAST(0.99 AS DOUBLE)))),
@@ -4086,14 +4095,16 @@ object LlmQueries {
           FROM f ORDER BY comparison""",
 
     "q323_davies_bouldin" ->
-      """WITH e0 AS (SELECT vec_id, label,
+      s"""WITH e0 AS (SELECT vec_id, label,
                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           u AS (SELECT vec_id, label, CAST(i-1 AS INTEGER) AS pos,
                   v[i] AS x
                 FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
           c AS (SELECT label AS clabel, pos,
-                  round(CAST(SUM(CAST(x AS DECIMAL(28,12)))
-                    AS DOUBLE)/count(*), 6) AS m
+                  ${ExactRound.sqlRatioRound(
+                    "CAST(SUM(CAST(x AS DECIMAL(28,12)))" +
+                      "*1000000000000 AS HUGEINT)",
+                    "count(*)*1000000000000", 6)} AS m
                 FROM u GROUP BY 1, 2),
           d AS (SELECT u.vec_id, u.label AS clabel,
                   round(sqrt(CAST(SUM(CAST(round((u.x - c.m)*(u.x - c.m),
@@ -4101,8 +4112,10 @@ object LlmQueries {
                 FROM u JOIN c ON u.pos = c.pos AND u.label = c.clabel
                 GROUP BY 1, 2),
           sk AS (SELECT clabel, count(*) AS n_points,
-                   round(CAST(SUM(CAST(dist AS DECIMAL(18,6)))
-                     AS DOUBLE)/count(*), 6) AS s_intra
+                   ${ExactRound.sqlRatioRound(
+                     "CAST(SUM(CAST(dist AS DECIMAL(18,6)))*1000000" +
+                       " AS HUGEINT)",
+                     "count(*)*1000000", 6)} AS s_intra
                  FROM d GROUP BY 1),
           dij AS (SELECT a.clabel AS la, b.clabel AS lb,
                     sqrt(CAST(SUM(CAST(round((a.m - b.m)*(a.m - b.m), 12)
@@ -4115,8 +4128,10 @@ object LlmQueries {
                  FROM dij JOIN sk sa ON sa.clabel = la
                           JOIN sk sb ON sb.clabel = lb
                  GROUP BY 1),
-          ov AS (SELECT round(CAST(SUM(CAST(db_k AS DECIMAL(18,6)))
-                   AS DOUBLE)/count(db_k), 6) AS db_index FROM rr)
+          ov AS (SELECT ${ExactRound.sqlRatioRound(
+                   "CAST(SUM(CAST(db_k AS DECIMAL(18,6)))*1000000" +
+                     " AS HUGEINT)",
+                   "count(db_k)*1000000", 6)} AS db_index FROM rr)
           SELECT sk.clabel AS label, sk.n_points, sk.s_intra, rr.db_k,
             (SELECT db_index FROM ov) AS db_index
           FROM sk LEFT JOIN rr ON rr.la = sk.clabel
@@ -4176,40 +4191,47 @@ object LlmQueries {
     // centroid of the 6dp label centroids, 12dp DECIMAL deviation
     // folds, one shared ratio op order
     "q326_calinski_harabasz" ->
-      """WITH e0 AS (SELECT vec_id, label,
+      s"""WITH e0 AS (SELECT vec_id, label,
                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           u AS (SELECT vec_id, label, CAST(i-1 AS INTEGER) AS pos,
                   v[i] AS x
                 FROM e0, unnest(generate_series(1, len(v))) AS g(i)),
           c AS (SELECT label AS clabel, pos, count(*) AS n,
-                  round(CAST(SUM(CAST(x AS DECIMAL(28,12)))
-                    AS DOUBLE)/count(*), 6) AS m
+                  ${ExactRound.sqlRatioRound(
+                    "CAST(SUM(CAST(x AS DECIMAL(28,12)))" +
+                      "*1000000000000 AS HUGEINT)",
+                    "count(*)*1000000000000", 6)} AS m
                 FROM u GROUP BY 1, 2),
           gc AS (SELECT pos,
-                   round(CAST(SUM(CAST(m*CAST(n AS DOUBLE)
-                       AS DECIMAL(28,12))) AS DOUBLE)
-                     /CAST(SUM(n) AS DOUBLE), 6) AS gm
+                   ${ExactRound.sqlRatioRound(
+                     "CAST(SUM(CAST(m*CAST(n AS DOUBLE)" +
+                       " AS DECIMAL(28,12)))*1000000000000 AS HUGEINT)",
+                     "SUM(n)*1000000000000", 6)} AS gm
                  FROM c GROUP BY 1),
           w AS (SELECT u.label AS clabel,
-                  round(CAST(SUM(CAST(round((u.x - c.m)*(u.x - c.m), 12)
-                    AS DECIMAL(38,12))) AS DOUBLE), 6) AS wss_k
+                  CAST(round(SUM(CAST(round((u.x - c.m)*(u.x - c.m), 12)
+                    AS DECIMAL(38,12))), 6) AS DOUBLE) AS wss_k
                 FROM u JOIN c ON u.pos = c.pos AND u.label = c.clabel
                 GROUP BY 1),
           b AS (SELECT c.clabel, CAST(max(c.n) AS BIGINT) AS n_points,
-                  round(CAST(max(c.n) AS DOUBLE)
-                    *CAST(SUM(CAST(round((c.m - gc.gm)*(c.m - gc.gm), 12)
-                      AS DECIMAL(38,12))) AS DOUBLE), 6) AS bss_k
+                  ${ExactRound.sqlRatioRound(
+                    "CAST(SUM(CAST(round((c.m - gc.gm)*(c.m - gc.gm)," +
+                      " 12) AS DECIMAL(38,12)))*1000000000000" +
+                      " AS HUGEINT)*CAST(max(c.n) AS HUGEINT)",
+                    "1000000000000", 6)} AS bss_k
                 FROM c JOIN gc ON c.pos = gc.pos GROUP BY 1),
           pl AS (SELECT b.clabel, b.n_points, w.wss_k, b.bss_k
                  FROM b JOIN w ON w.clabel = b.clabel),
           ov AS (SELECT count(*) AS k, CAST(SUM(n_points) AS BIGINT) AS n,
-                   CAST(SUM(CAST(wss_k AS DECIMAL(38,6))) AS DOUBLE) AS wt,
-                   CAST(SUM(CAST(bss_k AS DECIMAL(38,6))) AS DOUBLE) AS bt
+                   SUM(CAST(wss_k AS DECIMAL(38,6))) AS wtd,
+                   SUM(CAST(bss_k AS DECIMAL(38,6))) AS btd
                  FROM pl),
           ov2 AS (SELECT k, n,
-                    CASE WHEN k > 1 AND n > k AND wt > 0
-                      THEN round((bt/(CAST(k AS DOUBLE)-1))
-                        /(wt/(CAST(n AS DOUBLE)-CAST(k AS DOUBLE))), 6)
+                    CASE WHEN k > 1 AND n > k
+                      AND CAST(wtd AS DOUBLE) > 0
+                      THEN ${ExactRound.sqlRatioRound(
+                        "CAST(btd*1000000 AS HUGEINT)*(n - k)",
+                        "CAST(wtd*1000000 AS HUGEINT)*(k - 1)", 6)}
                     END AS ch_index
                   FROM ov)
           SELECT pl.clabel AS label, pl.n_points, pl.wss_k, pl.bss_k,
@@ -4299,11 +4321,11 @@ object LlmQueries {
                 FROM cb GROUP BY 1)
           SELECT doc_id, n_tokens,
             CAST(n_types AS BIGINT) AS n_types,
-            round(CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("n_types", "n_tokens", 6)}
               AS ttr,
             CASE WHEN n_tokens >= 50 THEN
-              round(CAST(tot AS DOUBLE)
-                /(CAST(n_tokens - 49 AS DOUBLE)*50.0), 6)
+              ${ExactRound.sqlRatioRound(
+                "tot", "(n_tokens - 49)*50", 6)}
             END AS mattr
           FROM a ORDER BY doc_id""",
 
@@ -4617,7 +4639,7 @@ object LlmQueries {
     // ASC), 8dp relative frequencies, sample-sd z-scores, DECIMAL
     // mean of 6dp |z| gaps
     "q329_burrows_delta" ->
-      """WITH tk AS (SELECT source,
+      s"""WITH tk AS (SELECT source,
                        unnest(regexp_split_to_array(trim(text), ' +'))
                          AS term
                      FROM documents),
@@ -4629,8 +4651,8 @@ object LlmQueries {
           tot AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nt FROM tf
                   GROUP BY 1),
           f AS (SELECT tot.source, top.term,
-                  round(CAST(COALESCE(tf.tf, 0) AS DOUBLE)
-                    /CAST(tot.nt AS DOUBLE), 8) AS f
+                  ${ExactRound.sqlRatioRound(
+                    "COALESCE(tf.tf, 0)", "tot.nt", 8)} AS f
                 FROM tot CROSS JOIN top
                 LEFT JOIN tf ON tf.source = tot.source
                   AND tf.term = top.term),
@@ -4639,7 +4661,9 @@ object LlmQueries {
                    SUM(CAST(round(f*f, 16) AS DECIMAL(38,16))) AS sf2
                  FROM f GROUP BY 1),
           st2 AS (SELECT term,
-                    round(CAST(sf AS DOUBLE)/CAST(ns AS DOUBLE), 8) AS mu,
+                    ${ExactRound.sqlRatioRound(
+                      "CAST(sf*100000000 AS HUGEINT)",
+                      "ns*100000000", 8)} AS mu,
                     CASE WHEN ns > 1 THEN
                       round(sqrt((CAST(sf2 AS DOUBLE)
                         - CAST(sf AS DOUBLE)*CAST(sf AS DOUBLE)
@@ -4652,8 +4676,10 @@ object LlmQueries {
                 FROM f JOIN st2 USING (term) WHERE st2.sd > 0)
           SELECT a.source AS source_a, b.source AS source_b,
             count(*) AS n_terms,
-            round(CAST(SUM(CAST(round(abs(a.z - b.z), 6)
-                AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS delta
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(CAST(round(abs(a.z - b.z), 6)" +
+                " AS DECIMAL(18,6)))*1000000 AS HUGEINT)",
+              "count(*)*1000000", 6)} AS delta
           FROM z a JOIN z b
             ON a.term = b.term AND a.source < b.source
           GROUP BY 1, 2 ORDER BY source_a, source_b""",
@@ -4661,7 +4687,7 @@ object LlmQueries {
     // Yule's K twin: all-integer spectrum moments via the
     // Σ m²·V_m ≡ Σ tf² identity, one rounded double ratio each
     "q330_yules_k" ->
-      """WITH tk AS (SELECT source,
+      s"""WITH tk AS (SELECT source,
                        unnest(regexp_split_to_array(trim(text), ' +'))
                          AS term
                      FROM documents),
@@ -4674,13 +4700,16 @@ object LlmQueries {
                 FROM tf GROUP BY 1)
           SELECT source, n_tokens, v_types,
             CASE WHEN n_tokens > 0 THEN
-              round(1e4*(CAST(m2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
-                /(CAST(n_tokens AS DOUBLE)*CAST(n_tokens AS DOUBLE)), 6)
+              ${ExactRound.sqlRatioRound(
+                "(CAST(m2 AS HUGEINT) - n_tokens)*10000",
+                "CAST(n_tokens AS HUGEINT)*CAST(n_tokens AS HUGEINT)",
+                6)}
             END AS yules_k,
             CASE WHEN n_tokens > 1 THEN
-              round(CAST(rep AS DOUBLE)
-                /(CAST(n_tokens AS DOUBLE)*(CAST(n_tokens AS DOUBLE)-1)),
-                6)
+              ${ExactRound.sqlRatioRound(
+                "rep",
+                "CAST(n_tokens AS HUGEINT)*(CAST(n_tokens AS HUGEINT)" +
+                  " - 1)", 6)}
             END AS simpson_d
           FROM a ORDER BY source""",
 
@@ -4703,25 +4732,20 @@ object LlmQueries {
                 FROM tf GROUP BY 1)
           SELECT source, n_tokens, v_types, f1, f2,
             CASE WHEN n_tokens > 0 THEN
-              round(CAST(f1 AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+              ${ExactRound.sqlRatioRound("f1", "n_tokens", 6)}
             END AS gt_missing_mass,
             CASE WHEN n_tokens > 0 THEN
-              round(1.0 - CAST(f1 AS DOUBLE)/CAST(n_tokens AS DOUBLE),
-                6)
+              ${ExactRound.sqlRatioRound("n_tokens - f1", "n_tokens", 6)}
             END AS gt_coverage,
-            round(CAST(v_types AS DOUBLE)
-              + CAST(f1 AS DOUBLE)*(CAST(f1 AS DOUBLE) - 1)
-                /(2.0*(CAST(f2 AS DOUBLE) + 1)), 6) AS chao1,
+            ${ExactRound.sqlRatioRound(
+              "2*v_types*(f2 + 1) + f1*(f1 - 1)", "2*(f2 + 1)", 6)}
+              AS chao1,
             CASE WHEN CAST(v_types AS DOUBLE)
                 + CAST(f1 AS DOUBLE)*(CAST(f1 AS DOUBLE) - 1)
                   /(2.0*(CAST(f2 AS DOUBLE) + 1)) > 0 THEN
-              round((CAST(v_types AS DOUBLE)
-                  + CAST(f1 AS DOUBLE)*(CAST(f1 AS DOUBLE) - 1)
-                    /(2.0*(CAST(f2 AS DOUBLE) + 1))
-                  - CAST(v_types AS DOUBLE))
-                /(CAST(v_types AS DOUBLE)
-                  + CAST(f1 AS DOUBLE)*(CAST(f1 AS DOUBLE) - 1)
-                    /(2.0*(CAST(f2 AS DOUBLE) + 1))), 6)
+              ${ExactRound.sqlRatioRound(
+                "f1*(f1 - 1)",
+                "2*v_types*(f2 + 1) + f1*(f1 - 1)", 6)}
             END AS unseen_share
           FROM a ORDER BY source""",
 
@@ -4740,11 +4764,10 @@ object LlmQueries {
               AS n_stop
           FROM d),
           q AS (SELECT source, doc_id AS doc,
-                  CAST(floor(round(
-                      least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4
-                      + (CAST(n_distinct AS DOUBLE)/n_tokens)*0.4
-                      + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.2, 4)
-                    *1e6 + 0.5) AS BIGINT) AS q6
+                  CAST(${ExactRound.sqlRatioRoundScaled(
+                    "2*least(100, n_tokens)*n_tokens + 200*n_distinct" +
+                      " + 100*(n_tokens - n_stop)",
+                    "500*n_tokens", 4)}*100 AS BIGINT) AS q6
                 FROM s),
           cell AS (SELECT source,
                     least(CAST(floor(CAST(doc AS DOUBLE)*10
