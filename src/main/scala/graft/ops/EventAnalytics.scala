@@ -108,7 +108,7 @@ object EventAnalytics {
         sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
       .withColumn("outlier_ratio",
-        round(col("n_outliers").cast(DoubleType) / col("n"), 4))
+        ExactRound.ratioRound(col("n_outliers"), col("n"), 4))
   }
 
   /** Ordered-step funnel with per-step time windows: for each user,
@@ -148,7 +148,7 @@ object EventAnalytics {
           .crossJoin(broadcast(n0))
           .select(lit(i + 1).as("step"), lit(step).as("event_type"),
             col("n_users"),
-            round(col("n_users").cast(DoubleType) / col("n0"), 4)
+            ExactRound.ratioRound(col("n_users"), col("n0"), 4)
               .as("conv_from_first"))
     }
     rows.reduce(_ unionByName _)
@@ -265,10 +265,10 @@ object EventAnalytics {
         sum(col("value").cast(DecimalType(28, 6))).as("sv"))
     val row = Window.partitionBy(col("prev_type"))
     g.select(col("prev_type"), col("next_type"), col("n"),
-      round(col("n").cast(DoubleType) /
-        sum(col("n")).over(row).cast(DoubleType), 6).as("p"),
-      round(col("sv").cast(DoubleType) / col("n").cast(DoubleType), 6)
-        .as("avg_value"))
+      ExactRound.ratioRound(col("n"), sum(col("n")).over(row), 6)
+        .as("p"),
+      ExactRound.ratioRound(ExactRound.toUnscaled(col("sv"), 6),
+        col("n") * lit(1000000L), 6).as("avg_value"))
   }
 
   /** Snapshot diff (CDC audit): compare each user's LAST event type
@@ -468,11 +468,17 @@ object EventAnalytics {
       .select(col("n_a"), col("n_b"),
         round(col("th"), 6).as("theta"),
         when(col("n_a") > 0 && col("n_b") > 0,
-          round(dbl(col("yb")) / dbl(col("n_b")) -
-            dbl(col("ya")) / dbl(col("n_a")), 6)).as("lift_raw"),
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(col("yb"), 12) * col("n_a") -
+              ExactRound.toUnscaled(col("ya"), 12) * col("n_b"),
+            col("n_b") * col("n_a") * lit(1000000000000L), 6))
+          .as("lift_raw"),
         when(col("n_a") > 0 && col("n_b") > 0,
-          round(dbl(col("ab")) / dbl(col("n_b")) -
-            dbl(col("aa")) / dbl(col("n_a")), 6)).as("lift_cuped"))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(col("ab"), 12) * col("n_a") -
+              ExactRound.toUnscaled(col("aa"), 12) * col("n_b"),
+            col("n_b") * col("n_a") * lit(1000000000000L), 6))
+          .as("lift_cuped"))
   }
 
   /** Mann–Whitney rank-sum drift per event type: U statistic and its
@@ -620,7 +626,7 @@ object EventAnalytics {
           .cast(dec))
       .groupBy(col("event_type"))
       .agg(max(col("na")).as("na"), max(col("nb_tot")).as("nb"),
-        round(dbl(sum(col("term"))), 6).as("psi"))
+        round(sum(col("term")), 6).cast(DoubleType).as("psi"))
       .withColumn("drifted", col("psi") > 0.2)
   }
 
@@ -659,7 +665,7 @@ object EventAnalytics {
       .groupBy(col("n"), col("n_states"))
       .agg((-sum(col("term"))).as("h_d"))
       .select(col("n").as("n_transitions"), col("n_states"),
-        round(dbl(col("h_d")), 6).as("entropy_rate"),
+        round(col("h_d"), 6).cast(DoubleType).as("entropy_rate"),
         round(log(dbl(col("n_states"))), 6).as("max_rate"),
         when(col("n_states") > 1,
           round(dbl(col("h_d")) / log(dbl(col("n_states"))), 6))
@@ -760,7 +766,7 @@ object EventAnalytics {
       .select(col("d"), col("n_sessions"), col("n_entered"),
         col("n_converted"),
         when(col("n_entered") > 0,
-          round(dbl(col("n_converted")) / dbl(col("n_entered")), 4))
+          ExactRound.ratioRound(col("n_converted"), col("n_entered"), 4))
           .as("conv_rate"))
   }
 
@@ -811,9 +817,12 @@ object EventAnalytics {
         sum(col("frequency").cast(DecimalType(18, 0))).as("sf"),
         sum(col("monetary")).as("sm"))
       .select(col("segment"), col("n_users"),
-        round(dbl(col("sr")) / dbl(col("n_users")), 6).as("avg_recency"),
-        round(dbl(col("sf")) / dbl(col("n_users")), 6).as("avg_frequency"),
-        round(dbl(col("sm")) / dbl(col("n_users")), 6).as("avg_monetary"))
+        ExactRound.ratioRound(col("sr"), col("n_users"), 6)
+          .as("avg_recency"),
+        ExactRound.ratioRound(col("sf"), col("n_users"), 6)
+          .as("avg_frequency"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sm"), 6),
+          col("n_users") * lit(1000000L), 6).as("avg_monetary"))
   }
 
   /** Engagement concentration: Gini coefficient and top-decile share
@@ -844,11 +853,14 @@ object EventAnalytics {
         sum((col("i") * col("c")).cast(dec)).as("swc"),
         sum(when(col("i") > col("n") -
           floor(col("n") / lit(10)).cast("long"), col("c"))).as("topc"))
+      // gini = 2*swc/(nu*te) - (nu+1)/nu over the common denominator
+      // nu*te: (2*swc - (nu+1)*te) / (nu*te) — one exact rational
       .select(col("n_users"), col("total_events"),
-        round(lit(2.0) * dbl(col("swc")) /
-          (dbl(col("n_users")) * dbl(col("total_events"))) -
-          (dbl(col("n_users")) + 1) / dbl(col("n_users")), 6).as("gini"),
-        round(dbl(col("topc")) / dbl(col("total_events")), 6)
+        ExactRound.ratioRound(
+          col("swc") * lit(2L) -
+            ((col("n_users") + 1L) * col("total_events")).cast(dec),
+          col("n_users") * col("total_events"), 6).as("gini"),
+        ExactRound.ratioRound(col("topc"), col("total_events"), 6)
           .as("top_decile_share"))
   }
 
@@ -922,7 +934,7 @@ object EventAnalytics {
           .cast(DecimalType(38, 12)))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"),
-        round(lit(2.0) * dbl(sum(col("term"))), 6).as("lr"))
+        round(sum(col("term")) * lit(2), 6).cast(DoubleType).as("lr"))
       .withColumn("p", round(exp(-col("lr") / 2), 8))
     val wOrd = Window.orderBy(col("p"), col("event_type"))
     val wAll = Window.partitionBy()
@@ -930,7 +942,9 @@ object EventAnalytics {
       .withColumn("rank", row_number().over(wOrd))
       .withColumn("m", count(lit(1)).over(wAll))
       .withColumn("crit",
-        round(lit(alpha) * dbl(col("rank")) / dbl(col("m")), 8))
+        ExactRound.ratioRound(
+          lit(math.round(alpha * 1e8)) * col("rank"),
+          lit(100000000L) * col("m"), 8))
       .withColumn("k",
         max(when(col("p") <= col("crit"), col("rank"))).over(wAll))
       .select(col("event_type"), col("n"), col("lr"), col("p"),
@@ -1010,7 +1024,8 @@ object EventAnalytics {
     val wRow = Window.partitionBy(col("from_s"))
     val trans = counts
       .select(col("from_s"), col("to_s"),
-        round(dbl(col("n")) / dbl(sum(col("n")).over(wRow)), 12).as("p"))
+        ExactRound.ratioRound(col("n"), sum(col("n")).over(wRow), 12)
+          .as("p"))
       .collect() // |states|² cells — dimension-bounded
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     val states = counts.groupBy(col("from_s").as("state"))
@@ -1076,7 +1091,9 @@ object EventAnalytics {
     val cells = events
       .filter(col("event_type").isin(typeA, typeB))
       .groupBy(to_date(col("ts")).as("d"), col("event_type"))
-      .agg(round(exactSum(col("value")) / dbl(count(lit(1))), 6).as("m"))
+      .agg(ExactRound.ratioRound(
+        ExactRound.toUnscaled(sum(col("value").cast(DecimalType(18, 6))), 6),
+        count(lit(1)) * lit(1000000L), 6).as("m"))
     val diffs = cells.groupBy(col("d"))
       .agg(max(when(col("event_type") === typeA, col("m"))).as("ma"),
         max(when(col("event_type") === typeB, col("m"))).as("mb"))
@@ -1099,8 +1116,9 @@ object EventAnalytics {
         sum(when(abs(col("s_r")) >= abs(col("s_obs")), 1L).otherwise(0L))
           .as("n_extreme"))
     agg.select(col("n_days"), col("n_reps"), col("n_extreme"),
-      round(dbl(col("s_obs")) / dbl(col("n_days")), 6).as("mean_diff"),
-      round((dbl(col("n_extreme")) + 1) / (dbl(col("n_reps")) + 1), 6)
+      ExactRound.ratioRound(ExactRound.toUnscaled(col("s_obs"), 6),
+        col("n_days") * lit(1000000L), 6).as("mean_diff"),
+      ExactRound.ratioRound(col("n_extreme") + 1L, col("n_reps") + 1L, 6)
         .as("p_value"))
   }
 
@@ -1122,15 +1140,18 @@ object EventAnalytics {
     def dbl(c: Column) = c.cast(DoubleType)
     val z = lit(1.959964)
     val thr = events.agg(
-      round(exactSum(col("value")) / dbl(count(lit(1))), 6).as("thr"))
+      ExactRound.ratioRound(
+        ExactRound.toUnscaled(sum(col("value").cast(DecimalType(18, 6))), 6),
+        count(lit(1)) * lit(1000000L), 6).as("thr"))
     val agg = events.crossJoin(broadcast(thr))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") >= col("thr"), 1L).otherwise(0L)).as("n_hit"))
       .localCheckpoint(eager = false) // per-type leg + pooled leg
     val pooled = agg.agg(
-      round(dbl(sum(col("n_hit"))) / dbl(sum(col("n"))), 6).as("p_pool"))
-    val p = round(dbl(col("n_hit")) / dbl(col("n")), 6)
+      ExactRound.ratioRound(sum(col("n_hit")), sum(col("n")), 6)
+        .as("p_pool"))
+    val p = ExactRound.ratioRound(col("n_hit"), col("n"), 6)
     val nd = dbl(col("n"))
     val denom = lit(1.0) + z * z / nd
     val center = (p + z * z / (lit(2.0) * nd)) / denom
@@ -1310,11 +1331,11 @@ object EventAnalytics {
         max(struct(col("c").as("c"), (-col("h")).as("nh"))).as("pk"))
     val hEnt = -dbl(col("h12"))
     agg.select(col("event_type"), col("n_events"), col("n_hours"),
-      round(hEnt, 6).as("hour_entropy"),
+      round(-col("h12"), 6).cast(DoubleType).as("hour_entropy"),
       round(hEnt / lit(3.1780538303479458), 6).as("uniformity"),
       (-col("pk").getField("nh")).as("peak_hour"),
-      round(dbl(col("pk").getField("c")) / dbl(col("n_events")), 6)
-        .as("peak_share"))
+      ExactRound.ratioRound(col("pk").getField("c"),
+        col("n_events"), 6).as("peak_share"))
   }
 
   /** Behavioral trigger lift for every ORDERED event-type pair

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.ops.{EventAnalytics, StatOps, WarehouseOps}
+import graft.ops.{EventAnalytics, ExactRound, StatOps, WarehouseOps}
 import graft.sources.Tables
 
 /** Relational operator inventory over the driver's TPC-H-ish tables —
@@ -2266,7 +2266,7 @@ object CoreQueries {
          ORDER BY key""",
 
     "q80_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
                      WHERE event_type = 'view' GROUP BY 1),
          s2 AS (SELECT e.user_id, min(e.ts) AS t
                 FROM events e JOIN s1 ON e.user_id = s1.user_id
@@ -2280,14 +2280,17 @@ object CoreQueries {
                 GROUP BY 1),
          n0 AS (SELECT count(*) AS n0 FROM s1)
          SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users,
-           round(CAST(count(*) AS DOUBLE)/(SELECT n0 FROM n0), 4)
+           ${ExactRound.sqlRatioRound(
+             "count(*)", "(SELECT n0 FROM n0)", 4)}
              AS conv_from_first FROM s1
          UNION ALL
          SELECT 2, 'click', count(*),
-           round(CAST(count(*) AS DOUBLE)/(SELECT n0 FROM n0), 4) FROM s2
+           ${ExactRound.sqlRatioRound(
+             "count(*)", "(SELECT n0 FROM n0)", 4)} FROM s2
          UNION ALL
          SELECT 3, 'purchase', count(*),
-           round(CAST(count(*) AS DOUBLE)/(SELECT n0 FROM n0), 4) FROM s3
+           ${ExactRound.sqlRatioRound(
+             "count(*)", "(SELECT n0 FROM n0)", 4)} FROM s3
          ORDER BY step""",
 
     "q81_retention" ->
@@ -2464,7 +2467,7 @@ object CoreQueries {
     // transition twin: identical lag partitioning and tie-break
     // (ts, event_id); p and avg_value form as one double divide
     "q120_transitions" ->
-      """WITH x AS (
+      s"""WITH x AS (
            SELECT event_type, value,
              lag(event_type) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -2475,9 +2478,10 @@ object CoreQueries {
              sum(CAST(value AS DECIMAL(28,6))) AS sv
            FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2)
          SELECT prev_type, next_type, n,
-           round(CAST(n AS DOUBLE) /
-             CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p,
-           round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_value
+           ${ExactRound.sqlRatioRound(
+             "n", "sum(n) OVER (PARTITION BY prev_type)", 6)} AS p,
+           ${ExactRound.sqlRatioRound(
+             "CAST(sv*1000000 AS HUGEINT)", "n*1000000", 6)} AS avg_value
          FROM g ORDER BY prev_type, next_type""",
 
     // OLS twin: the five DECIMAL sums then the identical double
@@ -2817,7 +2821,7 @@ object CoreQueries {
     // adjusted values 12dp-rounded before the group-mean fold
     "q149_cuped_lift" -> {
       val h = graft.functions.CrossHash.duckX32("concat_ws('#','ab',user_id)")
-      """WITH u0 AS (
+      s"""WITH u0 AS (
            SELECT user_id,
              CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
                  THEN value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS x,
@@ -2860,11 +2864,17 @@ object CoreQueries {
                FROM a)
          SELECT n_a, n_b, round(th, 6) AS theta,
            CASE WHEN n_a > 0 AND n_b > 0 THEN
-             round(CAST(yb AS DOUBLE)/CAST(n_b AS DOUBLE)
-               - CAST(ya AS DOUBLE)/CAST(n_a AS DOUBLE), 6) END AS lift_raw,
+             ${ExactRound.sqlRatioRound(
+               "CAST(yb*1000000000000 AS HUGEINT)*n_a" +
+                 " - CAST(ya*1000000000000 AS HUGEINT)*n_b",
+               "CAST(n_b AS HUGEINT)*CAST(n_a AS HUGEINT)" +
+                 "*1000000000000", 6)} END AS lift_raw,
            CASE WHEN n_a > 0 AND n_b > 0 THEN
-             round(CAST(ab AS DOUBLE)/CAST(n_b AS DOUBLE)
-               - CAST(aa AS DOUBLE)/CAST(n_a AS DOUBLE), 6) END AS lift_cuped
+             ${ExactRound.sqlRatioRound(
+               "CAST(ab*1000000000000 AS HUGEINT)*n_a" +
+                 " - CAST(aa*1000000000000 AS HUGEINT)*n_b",
+               "CAST(n_b AS HUGEINT)*CAST(n_a AS HUGEINT)" +
+                 "*1000000000000", 6)} END AS lift_cuped
          FROM f""".replace("HASHX", h)
     },
 
@@ -2964,7 +2974,7 @@ object CoreQueries {
     // RFM twin: same per-user collapse, same (metric, user_id) ntile
     // tie-breaks, same decimal sums and 6dp segment means
     "q184_rfm" ->
-      """WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS ref_d FROM events),
+      s"""WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS ref_d FROM events),
          pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
                   count(*) AS frequency,
                   coalesce(sum(CASE WHEN event_type = 'purchase'
@@ -2998,35 +3008,37 @@ object CoreQueries {
                  sum(monetary) AS sm
                FROM lb GROUP BY 1)
          SELECT segment, n_users,
-           round(CAST(sr AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
-             AS avg_recency,
-           round(CAST(sf AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
-             AS avg_frequency,
-           round(CAST(sm AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+           ${ExactRound.sqlRatioRound(
+             "CAST(sr AS HUGEINT)", "n_users", 6)} AS avg_recency,
+           ${ExactRound.sqlRatioRound(
+             "CAST(sf AS HUGEINT)", "n_users", 6)} AS avg_frequency,
+           ${ExactRound.sqlRatioRound(
+             "CAST(sm*1000000 AS HUGEINT)", "n_users*1000000", 6)}
              AS avg_monetary
          FROM g ORDER BY segment""",
 
     // Gini twin: same ascending (count, user_id) rank, same exact
     // DECIMAL(38,0) rank-weighted sum, same // 10 top-decile cut
     "q185_engagement_gini" ->
-      """WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      s"""WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
          rk AS (SELECT *, row_number() OVER (ORDER BY c, user_id) AS i,
                   count(*) OVER () AS n
                 FROM pu)
          SELECT count(*) AS n_users,
            CAST(sum(c) AS BIGINT) AS total_events,
-           round(2.0 * CAST(sum(CAST(i*c AS DECIMAL(38,0))) AS DOUBLE)
-             / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
-             - (CAST(count(*) AS DOUBLE) + 1) / CAST(count(*) AS DOUBLE),
-             6) AS gini,
-           round(CAST(sum(CASE WHEN i > n - n // 10 THEN c END) AS DOUBLE)
-             / CAST(sum(c) AS DOUBLE), 6) AS top_decile_share
+           ${ExactRound.sqlRatioRound(
+             "CAST(sum(CAST(i*c AS DECIMAL(38,0))) AS HUGEINT)*2" +
+               " - (count(*) + 1)*CAST(sum(c) AS HUGEINT)",
+             "count(*)*CAST(sum(c) AS HUGEINT)", 6)} AS gini,
+           ${ExactRound.sqlRatioRound(
+             "sum(CASE WHEN i > n - n // 10 THEN c END)",
+             "sum(c)", 6)} AS top_decile_share
          FROM rk""",
 
     // session-funnel twin: q56's exact session chain, same first-A /
     // last-B strict compare, same day rollup
     "q209_session_funnel" ->
-      """WITH g AS (
+      s"""WITH g AS (
            SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts), event_id) AS prev_us
@@ -3053,8 +3065,8 @@ object CoreQueries {
                 FROM dd GROUP BY 1)
          SELECT d, n_sessions, n_entered, n_converted,
            CASE WHEN n_entered > 0
-             THEN round(CAST(n_converted AS DOUBLE)
-               / CAST(n_entered AS DOUBLE), 4) END AS conv_rate
+             THEN ${ExactRound.sqlRatioRound(
+               "n_converted", "n_entered", 4)} END AS conv_rate
          FROM g2 ORDER BY d""",
 
     // basket twin: relational pair self-join == the map-side array
@@ -4144,19 +4156,21 @@ object CoreQueries {
     // Wilson twin: 6dp decimal-mean threshold, exact counts, the
     // interval in one shared op order (z = 1.959964)
     "q335_wilson_ci" ->
-      """WITH thr AS (SELECT round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                  AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS thr
+      s"""WITH thr AS (SELECT ${ExactRound.sqlRatioRound(
+                  "CAST(SUM(CAST(value AS DECIMAL(18,6)))*1000000" +
+                    " AS HUGEINT)",
+                  "count(*)*1000000", 6)} AS thr
                 FROM events),
           a AS (SELECT event_type, count(*) AS n,
                   CAST(SUM(CASE WHEN value >= thr.thr THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_hit
                 FROM events, thr GROUP BY 1),
           p AS (SELECT *,
-                  round(CAST(SUM(n_hit) OVER () AS DOUBLE)
-                    /CAST(SUM(n) OVER () AS DOUBLE), 6) AS p_pool
+                  ${ExactRound.sqlRatioRound(
+                    "SUM(n_hit) OVER ()", "SUM(n) OVER ()", 6)} AS p_pool
                 FROM a),
           w AS (SELECT event_type, n, n_hit, p_pool,
-                  round(CAST(n_hit AS DOUBLE)/CAST(n AS DOUBLE), 6) AS p,
+                  ${ExactRound.sqlRatioRound("n_hit", "n", 6)} AS p,
                   CAST(n AS DOUBLE) AS nd
                 FROM p),
           f AS (SELECT *,
@@ -4177,9 +4191,11 @@ object CoreQueries {
     // Sign-flip twin: the SAME 6dp daily-mean diffs, md5-parity signs
     // per (day, replica), exact DECIMAL sums and comparisons
     "q353_sign_flip_test" ->
-      """WITH cells AS (SELECT CAST(ts AS DATE) AS d, event_type,
-                round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                  AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS m
+      s"""WITH cells AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                ${ExactRound.sqlRatioRound(
+                  "CAST(SUM(CAST(value AS DECIMAL(18,6)))*1000000" +
+                    " AS HUGEINT)",
+                  "count(*)*1000000", 6)} AS m
               FROM events WHERE event_type IN ('click', 'view')
               GROUP BY 1, 2),
           diffs AS (SELECT d, CAST(ma - mb AS DECIMAL(18,6)) AS diff
@@ -4208,10 +4224,11 @@ object CoreQueries {
                   FROM reps, obs GROUP BY 1, 2)
           SELECT CAST(n_days AS BIGINT) AS n_days,
             CAST(n_reps AS BIGINT) AS n_reps, n_extreme,
-            round(CAST(s_obs AS DOUBLE)/CAST(n_days AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound(
+              "CAST(s_obs*1000000 AS HUGEINT)", "n_days*1000000", 6)}
               AS mean_diff,
-            round((CAST(n_extreme AS DOUBLE) + 1)
-              /(CAST(n_reps AS DOUBLE) + 1), 6) AS p_value
+            ${ExactRound.sqlRatioRound(
+              "n_extreme + 1", "n_reps + 1", 6)} AS p_value
           FROM agg""",
 
     // Markov-stationary twin: q120's transition lag, 12dp
@@ -4235,8 +4252,8 @@ object CoreQueries {
                       FROM events)
                 WHERE from_s IS NOT NULL GROUP BY 1, 2),
           trans AS (SELECT from_s, to_s,
-                  round(CAST(n AS DOUBLE)/CAST(SUM(n) OVER
-                    (PARTITION BY from_s) AS DOUBLE), 12) AS p
+                  ${ExactRound.sqlRatioRound(
+                    "n", "SUM(n) OVER (PARTITION BY from_s)", 12)} AS p
                 FROM cnt),
           states AS (SELECT from_s AS state,
                    CAST(SUM(n) AS BIGINT) AS n_out

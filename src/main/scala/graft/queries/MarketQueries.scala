@@ -2044,7 +2044,7 @@ object MarketQueries {
          FROM j ORDER BY event_type, minute""",
 
     "q79_robust_outliers" ->
-      """WITH med AS (
+      s"""WITH med AS (
            SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
            FROM events GROUP BY 1),
          dev AS (
@@ -2057,8 +2057,9 @@ object MarketQueries {
            any_value(d.med) AS med, any_value(m.mad) AS mad,
            CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers,
-           round(CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
-             AS DOUBLE)/count(*), 4) AS outlier_ratio
+           ${ExactRound.sqlRatioRound(
+             "SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)",
+             "count(*)", 4)} AS outlier_ratio
          FROM dev d JOIN mad m USING (event_type)
          GROUP BY d.event_type ORDER BY d.event_type""",
 
@@ -4122,24 +4123,24 @@ object MarketQueries {
     // exact chi-square(2df) survival p = exp(-LR/2), rounded-8
     // boundary compare
     "q278_gtest_fdr" ->
-      """WITH b AS (SELECT event_type,
+      s"""WITH b AS (SELECT event_type,
                       CAST(hour(ts) AS INTEGER) // 8 AS bin,
                       count(*) AS o
                     FROM events GROUP BY 1, 2),
           t AS (SELECT event_type, o, SUM(o) OVER
                   (PARTITION BY event_type) AS n FROM b),
           g AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-                  round(2.0 * CAST(SUM(CAST(round(CAST(o AS DOUBLE)
+                  CAST(round(SUM(CAST(round(CAST(o AS DOUBLE)
                     * ln(3.0 * CAST(o AS DOUBLE) / CAST(n AS DOUBLE)),
-                    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS lr
+                    12) AS DECIMAL(38,12)))*2, 6) AS DOUBLE) AS lr
                 FROM t GROUP BY 1),
           p AS (SELECT event_type, n, lr,
                   round(exp(-lr/2), 8) AS p FROM g),
           r AS (SELECT *, CAST(row_number() OVER
                     (ORDER BY p, event_type) AS INTEGER) AS rank,
                   count(*) OVER () AS m FROM p),
-          c AS (SELECT *, round(0.05 * CAST(rank AS DOUBLE)
-                  / CAST(m AS DOUBLE), 8) AS crit FROM r),
+          c AS (SELECT *, ${ExactRound.sqlRatioRound(
+                  "5000000*rank", "100000000*m", 8)} AS crit FROM r),
           k AS (SELECT *, max(CASE WHEN p <= crit THEN rank END)
                   OVER () AS kk FROM c)
           SELECT event_type, n, lr, p, rank, crit,
@@ -4152,7 +4153,7 @@ object MarketQueries {
     // so a NULL ts lands in NEITHER leg, matching the Scala
     // when(slice/!slice, 1).otherwise(0) null semantics
     "q279_psi_drift" ->
-      """WITH rg AS (SELECT event_type, min(value) AS mn,
+      s"""WITH rg AS (SELECT event_type, min(value) AS mn,
                        max(value) AS mx,
                        CAST(SUM(CASE WHEN ts < TIMESTAMP
                          '2024-01-15 00:00:00' THEN 1 ELSE 0 END)
@@ -4183,8 +4184,8 @@ object MarketQueries {
                 FROM grid g LEFT JOIN cnt
                   ON g.event_type = cnt.event_type AND g.bin = cnt.bin),
           f AS (SELECT event_type, na, nbt,
-                  round(CAST(SUM(CAST(round((pa - pb) * ln(pa/pb), 12)
-                    AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+                  CAST(round(SUM(CAST(round((pa - pb) * ln(pa/pb), 12)
+                    AS DECIMAL(38,12))), 6) AS DOUBLE) AS psi
                 FROM t GROUP BY 1, 2, 3)
           SELECT event_type, na, nbt AS nb, psi, psi > 0.2 AS drifted
           FROM f ORDER BY event_type""",
@@ -4209,7 +4210,7 @@ object MarketQueries {
                   AS DECIMAL(38,12))) AS h_d
                 FROM cells JOIN rws USING (prev_type) CROSS JOIN tot)
           SELECT n AS n_transitions, n_states,
-            round(CAST(h_d AS DOUBLE), 6) AS entropy_rate,
+            CAST(round(h_d, 6) AS DOUBLE) AS entropy_rate,
             round(ln(CAST(n_states AS DOUBLE)), 6) AS max_rate,
             CASE WHEN n_states > 1 THEN round(CAST(h_d AS DOUBLE)
               / ln(CAST(n_states AS DOUBLE)), 6) END AS efficiency
@@ -6532,7 +6533,7 @@ object MarketQueries {
     // Circadian twin: 24-cell integer histogram, 12dp entropy folds,
     // the max(struct) smallest-hour tie rule
     "q392_circadian" ->
-      """WITH cells AS (SELECT event_type,
+      s"""WITH cells AS (SELECT event_type,
                    CAST(extract(hour FROM ts) AS INTEGER) AS h,
                    count(*) AS c
                  FROM events GROUP BY 1, 2),
@@ -6552,11 +6553,11 @@ object MarketQueries {
                    (max(struct_pack(c := c, nh := -h))).nh AS pnh
                  FROM tm GROUP BY 1)
           SELECT event_type, n_events, n_hours,
-            round(-CAST(h12 AS DOUBLE), 6) AS hour_entropy,
+            CAST(round(-h12, 6) AS DOUBLE) AS hour_entropy,
             round(-CAST(h12 AS DOUBLE)/3.1780538303479458, 6)
               AS uniformity,
             -pnh AS peak_hour,
-            round(CAST(pc AS DOUBLE)/CAST(n_events AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("pc", "n_events", 6)}
               AS peak_share
           FROM ag ORDER BY event_type""",
 
