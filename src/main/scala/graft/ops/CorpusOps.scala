@@ -2287,10 +2287,10 @@ object CorpusOps {
       .select(col("bucket"), col("n_tokens"), col("n_types"),
         col("oov_tokens"), col("oov_types"),
         when(col("n_tokens") > 0,
-          round(dbl(col("oov_tokens")) / dbl(col("n_tokens")), 6))
+          ExactRound.ratioRound(col("oov_tokens"), col("n_tokens"), 6))
           .as("oov_token_share"),
         when(col("n_types") > 0,
-          round(dbl(col("oov_types")) / dbl(col("n_types")), 6))
+          ExactRound.ratioRound(col("oov_types"), col("n_types"), 6))
           .as("oov_type_share"))
   }
 

@@ -248,7 +248,8 @@ object GraphOps {
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 12))
     def bc(df: DataFrame) = if (useBroadcast) broadcast(df) else df
     var r = nodes.crossJoin(nRow)
-      .select(col("id"), dec(round(lit(1.0) / col("n"), 12)).as("r"))
+      .select(col("id"),
+        dec(ExactRound.ratioRound(lit(1L), col("n"), 12)).as("r"))
       .localCheckpoint(eager = false)
     graft.functions.FixedPoint.register(edgesIn.sparkSession)
     for (_ <- 1 to iters) {
@@ -259,7 +260,8 @@ object GraphOps {
       // produced — iteration relations stay bit-identical
       val contrib = eDeg.join(bc(r), eDeg("src") === r("id"))
         .select(col("dst").as("id"),
-          round(col("r").cast(DoubleType) / col("deg"), 12).as("c"))
+          ExactRound.ratioRound(ExactRound.toUnscaled(col("r"), 12),
+            col("deg") * lit(1000000000000L), 12).as("c"))
         .groupBy(col("id"))
         .agg(graft.functions.FixedPoint.sumFixed12(col("c")).as("s"))
       val rNext = nodes.join(bc(contrib), Seq("id"), "left").crossJoin(nRow)
@@ -271,7 +273,8 @@ object GraphOps {
       lastIterPlan = rNext.queryExecution.executedPlan.toString
       r = rNext.localCheckpoint(eager = false)
     }
-    r.select(col("id"), round(col("r").cast(DoubleType), 8).as("rank"))
+    r.select(col("id"),
+      round(col("r"), 8).cast(DoubleType).as("rank"))
   }
 
   /** Test hook: executedPlan of the most recent [[pageRank]] iteration
@@ -332,7 +335,7 @@ object GraphOps {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         when(col("n_wedges") > 0,
-          round(lit(3.0) * dbl(col("n_triangles")) /
-            dbl(col("n_wedges")), 6)).as("clustering"))
+          ExactRound.ratioRound(lit(3L) * col("n_triangles"),
+            col("n_wedges"), 6)).as("clustering"))
   }
 }

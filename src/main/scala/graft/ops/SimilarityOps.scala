@@ -194,7 +194,7 @@ object SimilarityOps {
     val m3 = dbl(col("s3")) / n - lit(3.0) * mu * (dbl(col("s2")) / n) +
       lit(2.0) * mu * mu * mu
     agg.select(col("n").as("n_vecs"), col("s1").cast(LongType).as("n_edges"),
-      round(mu, 6).as("mean_indeg"),
+      ExactRound.ratioRound(col("s1"), col("n"), 6).as("mean_indeg"),
       when(m2 > 0, round(sqrt(m2), 6)).as("sd_indeg"),
       when(m2 > 0, round(m3 / sqrt(m2 * m2 * m2), 6)).as("skew_indeg"),
       col("n_antihubs"), col("n_hubs"), col("max_indeg"))
@@ -245,9 +245,16 @@ object SimilarityOps {
     perLabel.join(base, "label").crossJoin(broadcast(tot))
       .select(col("label"), col("n_vecs"), col("n_edges"),
         col("n_same"),
-        round(purity, 6).as("purity"),
-        round(baseRate, 6).as("base_rate"),
-        when(baseRate > 0, round(purity / baseRate, 6)).as("lift"))
+        ExactRound.ratioRound(col("n_same"), col("n_edges"), 6)
+          .as("purity"),
+        ExactRound.ratioRound(col("n_vecs"), col("n_total"), 6)
+          .as("base_rate"),
+        // lift = (6dp purity)/(6dp base rate), itself an exact
+        // rational of the two scaled integers
+        when(baseRate > 0, ExactRound.ratioRound(
+          ExactRound.ratioRoundScaled(col("n_same"), col("n_edges"), 6),
+          ExactRound.ratioRoundScaled(col("n_vecs"), col("n_total"), 6),
+          6)).as("lift"))
   }
 
   /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each

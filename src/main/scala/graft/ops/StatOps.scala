@@ -96,9 +96,12 @@ object StatOps {
       .groupBy(col(groupCol))
       .agg(max(col("n_members")).as("n_members"),
         round(max(col("mu")), 4).as("mean_value"),
-        round(dbl(sum(col("tt"))) / dbl(max(col("n_members"))), 6)
-          .as("theil_t"),
-        round(dbl(sum(col("tl"))) / dbl(max(col("n_members"))), 6)
+        ExactRound.ratioRound(
+          ExactRound.toUnscaled(sum(col("tt")), 12),
+          max(col("n_members")) * lit(1000000000000L), 6).as("theil_t"),
+        ExactRound.ratioRound(
+          ExactRound.toUnscaled(sum(col("tl")), 12),
+          max(col("n_members")) * lit(1000000000000L), 6)
           .as("theil_l"))
   }
 
@@ -124,7 +127,7 @@ object StatOps {
         round(expr("percentile(c, 0.99)"), 4).as("p99_rows"))
       .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
         col("p50_rows"), col("p99_rows"),
-        round(dbl(col("max_key_rows")) / dbl(col("n_rows")), 6)
+        ExactRound.ratioRound(col("max_key_rows"), col("n_rows"), 6)
           .as("top1_share"),
         when(col("p50_rows") > 0,
           round(col("p99_rows") / col("p50_rows"), 6)).as("skew_ratio"))
@@ -168,7 +171,8 @@ object StatOps {
         sum(col("term")).as("s"))
       .select(col(groupCol), col("n_tail"), col("x_ref"),
         when(dbl(col("s")) > 0,
-          round(lit(k.toDouble) / dbl(col("s")), 6)).as("alpha"))
+          ExactRound.ratioRound(lit(k.toLong) * lit(1000000000000L),
+            ExactRound.toUnscaled(col("s"), 12), 6)).as("alpha"))
   }
 
   /** Kaplan–Meier product-limit survival per group, evaluated at
@@ -361,7 +365,7 @@ object StatOps {
       .agg(max(col("n")).as("n"), max(col("ka")).as("ka"),
         max(col("kb")).as("kb"), sum(col("term")).as("chi_d"))
       .select(col("n"), col("ka"), col("kb"),
-        round(dbl(col("chi_d")), 6).as("chi2"),
+        round(col("chi_d"), 6).cast(DoubleType).as("chi2"),
         when(least(col("ka"), col("kb")) > 1,
           round(sqrt(dbl(col("chi_d")) /
             (dbl(col("n")) * dbl(least(col("ka"), col("kb")) - 1))), 6))
@@ -578,8 +582,9 @@ object StatOps {
       .select(blockCol.as("b"), treatCol.as("t"),
         valCol.cast(DoubleType).as("x"))
       .groupBy(col("b"), col("t"))
-      .agg(round(dbl(sum(col("x").cast(DecimalType(18, 6)))) /
-        dbl(count(lit(1))), 6).as("m"))
+      .agg(ExactRound.ratioRound(
+        ExactRound.toUnscaled(sum(col("x").cast(DecimalType(18, 6))), 6),
+        count(lit(1)) * lit(1000000L), 6).as("m"))
       .localCheckpoint(eager = false)
     val kdf = cells.select(col("t")).distinct()
       .agg(count(lit(1)).as("k"))
@@ -660,7 +665,9 @@ object StatOps {
         sum(when(col("in_h"), col("vterm"))).as("vsum"))
       .select(col(groupCol), col("horizon"), col("n_spells"),
         col("n_events"),
-        round(coalesce(dbl(col("hsum")), lit(0.0)), 6).as("chaz"),
+        round(coalesce(col("hsum"),
+          lit(0L).cast(DecimalType(38, 12))), 6).cast(DoubleType)
+          .as("chaz"),
         round(sqrt(coalesce(dbl(col("vsum")), lit(0.0))), 6).as("se_chaz"),
         round(exp(-coalesce(dbl(col("hsum")), lit(0.0))), 6).as("na_surv"))
   }
@@ -769,7 +776,8 @@ object StatOps {
     val base = rows.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"))
       .select(col("g"), col("n"),
-        round(dbl(col("sx")) / dbl(col("n")) / lit(scale), 6).as("mean"))
+        ExactRound.ratioRound(col("sx"),
+          col("n") * lit(scale.toLong), 6).as("mean"))
     val reps = rows
       .withColumn("r", explode(array((0 until b).map(lit): _*)))
       .withColumn("h", graft.functions.CrossHash.x32(
@@ -784,7 +792,8 @@ object StatOps {
         sum((col("w") * col("x")).cast(dec)).as("swx"))
       .select(col("g"),
         when(col("sw") > 0,
-          round(dbl(col("swx")) / dbl(col("sw")) / lit(scale), 6)).as("mr"))
+          ExactRound.ratioRound(col("swx"),
+            col("sw") * lit(scale.toLong), 6)).as("mr"))
     val boot = repMeans.groupBy(col("g"))
       .agg(count(col("mr")).as("n_reps"),
         sum(col("mr").cast(DecimalType(38, 6))).as("sm"),

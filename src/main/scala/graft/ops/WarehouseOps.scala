@@ -65,8 +65,8 @@ object WarehouseOps {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     events.groupBy(to_date(col(tsCol)).as("d"), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col(valCol).cast(DecimalType(18, 6)))
-          .cast(DoubleType), 6).as("sum_value"))
+        round(sum(col(valCol).cast(DecimalType(18, 6))), 6)
+          .cast(DoubleType).as("sum_value"))
   }
 
   /** Deequ-style relational expectation suite over the star schema:

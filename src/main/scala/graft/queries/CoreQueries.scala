@@ -2445,7 +2445,9 @@ object CoreQueries {
                   AS DECIMAL(28,12)) AS r
               FROM nodes CROSS JOIN nn LEFT JOIN (
                 SELECT e.dst AS id,
-                  CAST(SUM(CAST(round(CAST(r${k - 1}.r AS DOUBLE)/od.deg, 12)
+                  CAST(SUM(CAST(${ExactRound.sqlRatioRound(
+                    s"CAST(r${k - 1}.r*1000000000000 AS HUGEINT)",
+                    "od.deg*1000000000000", 12)}
                     AS DECIMAL(28,12))) AS DOUBLE) AS s
                 FROM e
                 JOIN r${k - 1} ON r${k - 1}.id = e.src
@@ -2457,10 +2459,11 @@ object CoreQueries {
           nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
           od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-          r0 AS (SELECT id, CAST(round(1.0/n, 12) AS DECIMAL(28,12)) AS r
+          r0 AS (SELECT id, CAST(${ExactRound.sqlRatioRound(
+                   "1", "n", 12)} AS DECIMAL(28,12)) AS r
                  FROM nodes CROSS JOIN nn),
           $iters
-          SELECT id, round(CAST(r AS DOUBLE), 8) AS rank
+          SELECT id, CAST(round(r, 8) AS DOUBLE) AS rank
           FROM r5 ORDER BY id"""
     },
 
@@ -3157,7 +3160,7 @@ object CoreQueries {
     // rollup — late-day splicing must be invisible in the result
     "q195_incremental_agg" ->
       """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)
              AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY d, event_type""",
 
@@ -3601,7 +3604,7 @@ object CoreQueries {
     // Theil twin: DECIMAL-exact per-customer revenue, broadcast-μ
     // shape, 12dp DECIMAL term fold, /n at the end
     "q275_theil_index" ->
-      """WITH cust AS (SELECT o_custkey,
+      s"""WITH cust AS (SELECT o_custkey,
                          round(SUM(CAST(o_totalprice AS DECIMAL(28,6))),
                            2) AS xdec
                        FROM orders GROUP BY 1),
@@ -3617,12 +3620,14 @@ object CoreQueries {
                 FROM m JOIN tot USING (c_mktsegment))
           SELECT c_mktsegment, max(n_members) AS n_members,
             round(max(mu), 4) AS mean_value,
-            round(CAST(SUM(CAST(round(xd/mu * ln(xd/mu), 12)
-              AS DECIMAL(38,12))) AS DOUBLE)
-              / CAST(max(n_members) AS DOUBLE), 6) AS theil_t,
-            round(CAST(SUM(CAST(round(ln(mu/xd), 12)
-              AS DECIMAL(38,12))) AS DOUBLE)
-              / CAST(max(n_members) AS DOUBLE), 6) AS theil_l
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(CAST(round(xd/mu * ln(xd/mu), 12)" +
+                " AS DECIMAL(38,12)))*1000000000000 AS HUGEINT)",
+              "max(n_members)*1000000000000", 6)} AS theil_t,
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(CAST(round(ln(mu/xd), 12)" +
+                " AS DECIMAL(38,12)))*1000000000000 AS HUGEINT)",
+              "max(n_members)*1000000000000", 6)} AS theil_l
           FROM t GROUP BY 1 ORDER BY c_mktsegment""",
 
     // KM twin: same spells (lead over (d, orderkey), censor at the
@@ -3715,7 +3720,7 @@ object CoreQueries {
     // key-skew twin: integer key counts, shared interpolated
     // percentiles, rounded ratios
     "q286_key_skew" ->
-      """WITH c AS (SELECT l_partkey AS k, count(*) AS c
+      s"""WITH c AS (SELECT l_partkey AS k, count(*) AS c
                     FROM lineitem GROUP BY 1),
           a AS (SELECT count(*) AS n_keys,
                   CAST(SUM(c) AS BIGINT) AS n_rows,
@@ -3724,8 +3729,8 @@ object CoreQueries {
                   round(quantile_cont(c, 0.99), 4) AS p99_rows
                 FROM c)
           SELECT n_keys, n_rows, max_key_rows, p50_rows, p99_rows,
-            round(CAST(max_key_rows AS DOUBLE)
-              / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+            ${ExactRound.sqlRatioRound("max_key_rows", "n_rows", 6)}
+              AS top1_share,
             CASE WHEN p50_rows > 0 THEN
               round(p99_rows / p50_rows, 6) END AS skew_ratio
           FROM a""",
@@ -4083,7 +4088,8 @@ object CoreQueries {
                   ON h.c_mktsegment = ev.c_mktsegment
                 GROUP BY 1, 2, 3, 4)
           SELECT c_mktsegment, horizon, n_spells, n_events,
-            round(COALESCE(CAST(hsum AS DOUBLE), 0.0), 6) AS chaz,
+            CAST(round(COALESCE(hsum,
+              CAST(0 AS DECIMAL(38,12))), 6) AS DOUBLE) AS chaz,
             round(sqrt(COALESCE(CAST(vsum AS DOUBLE), 0.0)), 6)
               AS se_chaz,
             round(exp(-COALESCE(CAST(hsum AS DOUBLE), 0.0)), 6)
@@ -4285,8 +4291,9 @@ object CoreQueries {
                        CAST(floor(o_totalprice*1e6 + 0.5) AS BIGINT) AS x
                      FROM orders),
           base AS (SELECT priority, count(*) AS n,
-                     round(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)
-                       /CAST(count(*) AS DOUBLE)/1000000.0, 6) AS mean
+                     ${ExactRound.sqlRatioRound(
+                       "CAST(SUM(CAST(x AS DECIMAL(38,0))) AS HUGEINT)",
+                       "count(*)*1000000", 6)} AS mean
                    FROM r0 GROUP BY 1),
           reps AS (SELECT priority, key, x, r,
                      CAST(concat('0x', substr(md5(
@@ -4299,8 +4306,9 @@ object CoreQueries {
                  FROM wts GROUP BY 1, 2),
           mr AS (SELECT priority,
                    CASE WHEN sw > 0 THEN
-                     round(CAST(swx AS DOUBLE)/CAST(sw AS DOUBLE)
-                       /1000000.0, 6) END AS mr
+                     ${ExactRound.sqlRatioRound(
+                       "CAST(swx AS HUGEINT)", "sw*1000000", 6)} END
+                     AS mr
                  FROM rm),
           boot AS (SELECT priority, count(mr) AS n_reps,
                      CAST(SUM(CAST(mr AS DECIMAL(38,6))) AS DOUBLE)

@@ -3617,7 +3617,7 @@ object LlmQueries {
     // Hill twin: top-(k+1) by VALUE desc (boundary ties select the
     // same multiset), 12dp DECIMAL ln fold, alpha = k/sum
     "q287_hill_tail" ->
-      """WITH t AS (SELECT source, CAST(n_chars AS DOUBLE) AS x,
+      s"""WITH t AS (SELECT source, CAST(n_chars AS DOUBLE) AS x,
                       row_number() OVER (PARTITION BY source
                         ORDER BY n_chars DESC) AS rn
                     FROM documents WHERE n_chars > 0),
@@ -3630,7 +3630,9 @@ object LlmQueries {
                 FROM tp GROUP BY 1)
           SELECT source, n_tail, x_ref,
             CASE WHEN CAST(s AS DOUBLE) > 0 THEN
-              round(10.0 / CAST(s AS DOUBLE), 6) END AS alpha
+              ${ExactRound.sqlRatioRound(
+                "10*1000000000000",
+                "CAST(s*1000000000000 AS HUGEINT)", 6)} END AS alpha
           FROM g ORDER BY source""",
 
     // fertility twin: same RE2-safe word split, ceil(len/4) via
@@ -3678,7 +3680,7 @@ object LlmQueries {
                     AS DECIMAL(38,12))) AS chi_d
                 FROM t)
           SELECT n, ka, kb,
-            round(CAST(chi_d AS DOUBLE), 6) AS chi2,
+            CAST(round(chi_d, 6) AS DOUBLE) AS chi2,
             CASE WHEN least(ka, kb) > 1 THEN
               round(sqrt(CAST(chi_d AS DOUBLE)
                 / (CAST(n AS DOUBLE)
@@ -3775,8 +3777,8 @@ object LlmQueries {
           SELECT n_nodes, n_edges, n_wedges,
             CAST(n_triangles AS BIGINT) AS n_triangles,
             CASE WHEN n_wedges > 0 THEN
-              round(3.0 * CAST(n_triangles AS DOUBLE)
-                / CAST(n_wedges AS DOUBLE), 6) END AS clustering
+              ${ExactRound.sqlRatioRound(
+                "3*n_triangles", "n_wedges", 6)} END AS clustering
           FROM tot, tri""",
 
     // length-lognormality twin: 12dp ln moments, broadcast (μ, σ),
@@ -4291,7 +4293,8 @@ object LlmQueries {
                      + 2.0*mu*mu*mu AS m3
                  FROM f)
           SELECT n AS n_vecs, CAST(s1 AS BIGINT) AS n_edges,
-            round(mu, 6) AS mean_indeg,
+            ${ExactRound.sqlRatioRound(
+              "CAST(s1 AS HUGEINT)", "n", 6)} AS mean_indeg,
             CASE WHEN m2 > 0 THEN round(sqrt(m2), 6) END AS sd_indeg,
             CASE WHEN m2 > 0 THEN round(m3/sqrt(m2*m2*m2), 6) END
               AS skew_indeg,
@@ -4844,14 +4847,16 @@ object LlmQueries {
                    GROUP BY 1),
           tot AS (SELECT count(*) AS n_total FROM lab)
           SELECT pl.label, n_vecs, n_edges, n_same,
-            round(CAST(n_same AS DOUBLE)/CAST(n_edges AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("n_same", "n_edges", 6)}
               AS purity,
-            round(CAST(n_vecs AS DOUBLE)/CAST(n_total AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("n_vecs", "n_total", 6)}
               AS base_rate,
             CASE WHEN CAST(n_vecs AS DOUBLE)/CAST(n_total AS DOUBLE)
                 > 0 THEN
-              round((CAST(n_same AS DOUBLE)/CAST(n_edges AS DOUBLE))
-                /(CAST(n_vecs AS DOUBLE)/CAST(n_total AS DOUBLE)), 6)
+              ${ExactRound.sqlRatioRound(
+                ExactRound.sqlRatioRoundScaled("n_same", "n_edges", 6),
+                ExactRound.sqlRatioRoundScaled("n_vecs", "n_total", 6),
+                6)}
             END AS lift
           FROM pl JOIN base ON pl.label = base.label CROSS JOIN tot
           ORDER BY pl.label""",
@@ -4881,12 +4886,14 @@ object LlmQueries {
             CAST(SUM(CASE WHEN NOT in1 THEN 1 ELSE 0 END) AS BIGINT)
               AS oov_types,
             CASE WHEN SUM(tf) > 0 THEN
-              round(CAST(SUM(CASE WHEN NOT in1 THEN tf ELSE 0 END)
-                  AS DOUBLE)/CAST(SUM(tf) AS DOUBLE), 6)
+              ${ExactRound.sqlRatioRound(
+                "SUM(CASE WHEN NOT in1 THEN tf ELSE 0 END)",
+                "SUM(tf)", 6)}
             END AS oov_token_share,
             CASE WHEN count(*) > 0 THEN
-              round(CAST(SUM(CASE WHEN NOT in1 THEN 1 ELSE 0 END)
-                  AS DOUBLE)/CAST(count(*) AS DOUBLE), 6)
+              ${ExactRound.sqlRatioRound(
+                "SUM(CASE WHEN NOT in1 THEN 1 ELSE 0 END)",
+                "count(*)", 6)}
             END AS oov_type_share
           FROM j GROUP BY 1 ORDER BY bucket""",
 

@@ -7349,9 +7349,11 @@ object MarketQueries {
     // doubled midranks (2·rank + ties − 1) within each day, DECIMAL
     // Σ R², one shared χ²/W op order, q311's CASE fence
     "q327_friedman" ->
-      """WITH cells AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
-                round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                  AS DOUBLE)/count(*), 6) AS m
+      s"""WITH cells AS (SELECT CAST(ts AS DATE) AS b, event_type AS t,
+                ${ExactRound.sqlRatioRound(
+                  "CAST(SUM(CAST(value AS DECIMAL(18,6)))*1000000" +
+                    " AS HUGEINT)",
+                  "count(*)*1000000", 6)} AS m
               FROM events GROUP BY 1, 2),
           kd AS (SELECT count(DISTINCT t) AS k FROM cells),
           bc AS (SELECT b, count(*) AS bk FROM cells GROUP BY 1),

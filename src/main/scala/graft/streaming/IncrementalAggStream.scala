@@ -55,7 +55,8 @@ object IncrementalAggStream {
 
     def snapshot(): DataFrame =
       df.select(col("d"), col(keyCol), col("n_events"),
-        round(col("sum_acc").cast(DoubleType), 6).as("sum_value"))
+        round(col("sum_acc"), 6).cast(
+          org.apache.spark.sql.types.DoubleType).as("sum_value"))
   }
 
   def newStore(spark: SparkSession, keyCol: String = "event_type"): AggStore =
