@@ -92,7 +92,7 @@ object CorpusPipeline {
     funnel.crossJoin(broadcast(raw))
       .select(col("stage"), col("stage_name"), col("n_docs"),
         col("n_tokens"),
-        round(col("n_tokens").cast("double") /
-          col("raw_tokens").cast("double"), 6).as("token_share"))
+        ExactRound.ratioRound(col("n_tokens"), col("raw_tokens"), 6)
+          .as("token_share"))
   }
 }

@@ -51,6 +51,6 @@ object Profiler {
         col("n_distinct"),
         round(col("min_raw"), 6).as("min_v"),
         round(col("max_raw"), 6).as("max_v"),
-        round(col("sum_raw").cast("double"), 6).as("sum_v"))
+        round(col("sum_raw"), 6).cast("double").as("sum_v"))
   }
 }

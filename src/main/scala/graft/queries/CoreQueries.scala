@@ -843,7 +843,9 @@ object CoreQueries {
           graft.functions.FixedPoint.sumFixed6(clamped).as("s"))
         .select(col("event_type"), col("n"), col("lo"), col("hi"),
           col("n_lo"), col("n_hi"),
-          round(col("s") / col("n").cast(DoubleType), 6).as("wins_mean"))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(col("s").cast(org.apache.spark.sql.types.DecimalType(38, 6)), 6),
+            col("n") * lit(1000000L), 6).as("wins_mean"))
         .orderBy(col("event_type"))
     }),
 
@@ -1088,10 +1090,12 @@ object CoreQueries {
         .join(partCnt.select(col("pk").as("pb"), col("c").as("cb")), "pb")
         .crossJoin(broadcast(tot))
         .select(col("pa"), col("pb"), col("n_both"), col("ca"), col("cb"),
-          round(dbl(col("n_both")) / dbl(col("n_orders")), 6).as("support"),
-          round(dbl(col("n_both")) / dbl(col("ca")), 4).as("confidence"),
-          round(dbl(col("n_both")) * dbl(col("n_orders")) /
-            (dbl(col("ca")) * dbl(col("cb"))), 4).as("lift"))
+          ExactRound.ratioRound(col("n_both"), col("n_orders"), 6)
+            .as("support"),
+          ExactRound.ratioRound(col("n_both"), col("ca"), 4)
+            .as("confidence"),
+          ExactRound.ratioRound(col("n_both") * col("n_orders"),
+            col("ca") * col("cb"), 4).as("lift"))
         .orderBy(col("lift").desc, col("pa"), col("pb"))
         .limit(20)
     }),
@@ -1217,8 +1221,10 @@ object CoreQueries {
         .select(col("o_year"),
           round(col("nat_rev"), 2).cast(DoubleType).as("nation_revenue"),
           round(col("tot_rev"), 2).cast(DoubleType).as("total_revenue"),
-          round((col("nat_rev").cast(DoubleType) /
-            col("tot_rev").cast(DoubleType)), 6).as("mkt_share"))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(col("nat_rev"), 6),
+            ExactRound.toUnscaled(col("tot_rev"), 6), 6)
+            .as("mkt_share"))
         .orderBy(col("o_year"))
     }),
 
@@ -1240,8 +1246,9 @@ object CoreQueries {
           sum(rev).as("tr"))
         .select(col("ship_month"), col("n_items"),
           round(col("pr"), 2).cast(DoubleType).as("promo_revenue"),
-          round(lit(100.0) * col("pr").cast(DoubleType) /
-            col("tr").cast(DoubleType), 6).as("promo_pct"))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(col("pr"), 6) * lit(100L),
+            ExactRound.toUnscaled(col("tr"), 6), 6).as("promo_pct"))
         .orderBy(col("ship_month"))
     }),
 
@@ -1396,8 +1403,11 @@ object CoreQueries {
         .select(col("wk"), col("n_orders"),
           round(col("rd"), 2).cast(DoubleType).as("revenue"),
           when(col("prev").isNotNull && col("prev") > 0,
-            round((col("rd").cast(DoubleType) - col("prev").cast(DoubleType)) /
-              col("prev").cast(DoubleType), 6)).as("wow_growth"))
+            ExactRound.ratioRound(
+              ExactRound.toUnscaled(col("rd").cast(org.apache.spark.sql.types.DecimalType(38, 6)), 6) -
+                ExactRound.toUnscaled(col("prev").cast(org.apache.spark.sql.types.DecimalType(38, 6)), 6),
+              ExactRound.toUnscaled(col("prev").cast(org.apache.spark.sql.types.DecimalType(38, 6)), 6), 6))
+            .as("wow_growth"))
         .orderBy(col("wk"))
     }),
 
@@ -1427,8 +1437,10 @@ object CoreQueries {
         .groupBy(col("abc_class"))
         .agg(count(lit(1)).as("n_parts"),
           round(sum(col("rd")), 2).cast(DoubleType).as("class_revenue"),
-          round(sum(col("rd")).cast(DoubleType) /
-            max(col("td")).cast(DoubleType), 6).as("revenue_share"))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(sum(col("rd")).cast(org.apache.spark.sql.types.DecimalType(38, 6)), 6),
+            ExactRound.toUnscaled(max(col("td")).cast(org.apache.spark.sql.types.DecimalType(38, 6)), 6), 6)
+            .as("revenue_share"))
         .orderBy(col("abc_class"))
     }),
 
@@ -1473,8 +1485,10 @@ object CoreQueries {
             rev).otherwise(lit(0).cast(DecimalType(28, 6)))).as("r2"))
         .filter(col("r1") > 1000.0)
         .withColumn("growth",
-          round((col("r2").cast(DoubleType) - col("r1").cast(DoubleType)) /
-            col("r1").cast(DoubleType), 6))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(col("r2"), 6) -
+              ExactRound.toUnscaled(col("r1"), 6),
+            ExactRound.toUnscaled(col("r1"), 6), 6))
         .select(col("l_partkey"),
           round(col("r1"), 2).cast(DoubleType).as("rev_1999"),
           round(col("r2"), 2).cast(DoubleType).as("rev_2000"),
@@ -1546,8 +1560,10 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_cust"),
           sum(col("n_orders")).as("n_orders"),
           round(sum(col("ltv")), 2).cast(DoubleType).as("decile_value"),
-          round(sum(col("ltv")).cast(DoubleType) /
-            max(col("t")).cast(DoubleType), 6).as("value_share"))
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(sum(col("ltv")).cast(org.apache.spark.sql.types.DecimalType(38, 6)), 6),
+            ExactRound.toUnscaled(max(col("t")).cast(org.apache.spark.sql.types.DecimalType(38, 6)), 6), 6)
+            .as("value_share"))
         .orderBy(col("decile"))
     }),
 
@@ -1619,8 +1635,8 @@ object CoreQueries {
           col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
         .withColumn("share",
-          round(col("n_orders").cast(DoubleType) /
-            sum(col("n_orders")).over(wYear).cast(DoubleType), 6))
+          ExactRound.ratioRound(col("n_orders"),
+            sum(col("n_orders")).over(wYear), 6))
         .orderBy(col("o_year"), col("o_orderpriority"))
     }),
 
@@ -1650,9 +1666,10 @@ object CoreQueries {
         .groupBy(floor(col("l_discount") * lit(100.0)).cast("int")
           .as("disc_pct"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_quantity").cast(DecimalType(18, 6)))
-            .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
-            .as("avg_qty"),
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(
+              sum(col("l_quantity").cast(DecimalType(18, 6))), 6),
+            count(lit(1)) * lit(1000000L), 6).as("avg_qty"),
           round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast(DecimalType(28, 6))), 2).cast(DoubleType).as("revenue"))
         .orderBy(col("disc_pct"))
@@ -1682,8 +1699,7 @@ object CoreQueries {
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
             .as("n_returned"))
         .withColumn("return_rate",
-          round(col("n_returned").cast(DoubleType) /
-            col("n_items").cast(DoubleType), 6))
+          ExactRound.ratioRound(col("n_returned"), col("n_items"), 6))
         .orderBy(col("p_brand"))
     }),
 
@@ -2324,14 +2340,14 @@ object CoreQueries {
       val aggCols = cols.map { c =>
         s"""count($c) AS ${c}__n, count(DISTINCT $c) AS ${c}__nd,
             min($c) AS ${c}__min, max($c) AS ${c}__max,
-            CAST(SUM(CAST($c AS DECIMAL(28,6))) AS DOUBLE) AS ${c}__sum"""
+            SUM(CAST($c AS DECIMAL(28,6))) AS ${c}__sum"""
       }.mkString(",\n            ")
       val branches = cols.map { c =>
         s"""SELECT '$c' AS col_name, n_rows, ${c}__n AS n_non_null,
             n_rows - ${c}__n AS n_null, ${c}__nd AS n_distinct,
             round(CAST(${c}__min AS DOUBLE), 6) AS min_v,
             round(CAST(${c}__max AS DOUBLE), 6) AS max_v,
-            round(${c}__sum, 6) AS sum_v FROM a"""
+            CAST(round(${c}__sum, 6) AS DOUBLE) AS sum_v FROM a"""
       }.mkString("\n          UNION ALL\n          ")
       s"""WITH a AS (SELECT count(*) AS n_rows,
             $aggCols
@@ -2586,7 +2602,7 @@ object CoreQueries {
     // winsorize twin: quantile_cont fences rounded 6dp pre-compare,
     // identical clamp and exact-mean forms
     "q130_winsorize" ->
-      """WITH f AS (
+      s"""WITH f AS (
            SELECT event_type,
              round(quantile_cont(value, 0.05), 6) AS lo,
              round(quantile_cont(value, 0.95), 6) AS hi
@@ -2594,9 +2610,10 @@ object CoreQueries {
          SELECT e.event_type, count(*) AS n, f.lo, f.hi,
            CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
            CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
-           round(CAST(sum(CAST(least(greatest(e.value, f.lo), f.hi)
-               AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-             AS wins_mean
+           ${ExactRound.sqlRatioRound(
+             "CAST(sum(CAST(least(greatest(e.value, f.lo), f.hi)" +
+               " AS DECIMAL(28,6)))*1000000 AS HUGEINT)",
+             "count(*)*1000000", 6)} AS wins_mean
          FROM events e JOIN f ON f.event_type = e.event_type
          GROUP BY 1, 3, 4 ORDER BY e.event_type""",
 
@@ -3075,7 +3092,7 @@ object CoreQueries {
     // basket twin: relational pair self-join == the map-side array
     // comprehension on set semantics; same count cut and lift order
     "q206_basket_lift" ->
-      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),
          pr AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_both
                 FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
@@ -3083,12 +3100,13 @@ object CoreQueries {
          pc AS (SELECT pk, count(*) AS c FROM pp GROUP BY 1),
          tt AS (SELECT count(DISTINCT ok) AS n_orders FROM pp)
          SELECT pa, pb, n_both, ca.c AS ca, cb.c AS cb,
-           round(CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+           ${ExactRound.sqlRatioRound("n_both", "n_orders", 6)}
              AS support,
-           round(CAST(n_both AS DOUBLE) / CAST(ca.c AS DOUBLE), 4)
+           ${ExactRound.sqlRatioRound("n_both", "ca.c", 4)}
              AS confidence,
-           round(CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE)
-             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 4) AS lift
+           ${ExactRound.sqlRatioRound(
+             "CAST(n_both AS HUGEINT)*CAST(n_orders AS HUGEINT)",
+             "CAST(ca.c AS HUGEINT)*CAST(cb.c AS HUGEINT)", 4)} AS lift
          FROM pr
          JOIN pc ca ON ca.pk = pr.pa
          JOIN pc cb ON cb.pk = pr.pb
@@ -3199,7 +3217,7 @@ object CoreQueries {
 
     // Q8 twin: conditional numerator + total denominator in one pass
     "q211_market_share" ->
-      """WITH x AS (
+      s"""WITH x AS (
            SELECT year(o_orderdate) AS o_year,
              SUM(CASE WHEN ns.n_name = 'NATION_3'
                THEN CAST(l_extendedprice*(1.0 - l_discount) AS DECIMAL(28,6))
@@ -3219,23 +3237,27 @@ object CoreQueries {
          SELECT CAST(o_year AS INTEGER) AS o_year,
            CAST(round(nat_rev, 2) AS DOUBLE) AS nation_revenue,
            CAST(round(tot_rev, 2) AS DOUBLE) AS total_revenue,
-           round(CAST(nat_rev AS DOUBLE)/CAST(tot_rev AS DOUBLE), 6)
-             AS mkt_share
+           ${ExactRound.sqlRatioRound(
+             "CAST(nat_rev*1000000 AS HUGEINT)",
+             "CAST(tot_rev*1000000 AS HUGEINT)", 6)} AS mkt_share
          FROM x ORDER BY o_year""",
 
     // Q14 twin: same month bucket, same conditional decimal numerator
     "q212_promo_share" ->
-      """SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
+      s"""SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
            count(*) AS n_items,
            CAST(round(SUM(CASE WHEN p_type = 'PROMO'
              THEN CAST(l_extendedprice*(1.0 - l_discount) AS DECIMAL(28,6))
              ELSE CAST(0 AS DECIMAL(28,6)) END), 2) AS DOUBLE)
              AS promo_revenue,
-           round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-             THEN CAST(l_extendedprice*(1.0 - l_discount) AS DECIMAL(28,6))
-             ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice*(1.0 - l_discount)
-               AS DECIMAL(28,6))) AS DOUBLE), 6) AS promo_pct
+           ${ExactRound.sqlRatioRound(
+             "CAST(SUM(CASE WHEN p_type = 'PROMO'" +
+               " THEN CAST(l_extendedprice*(1.0 - l_discount)" +
+               " AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6))" +
+               " END)*1000000 AS HUGEINT)*100",
+             "CAST(SUM(CAST(l_extendedprice*(1.0 - l_discount)" +
+               " AS DECIMAL(28,6)))*1000000 AS HUGEINT)", 6)}
+             AS promo_pct
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY ship_month""",
 
@@ -3339,7 +3361,7 @@ object CoreQueries {
 
     // WoW twin: ISO-Monday week bucket, decimal lag, same quotient
     "q238_revenue_wow" ->
-      """WITH weekly AS (
+      s"""WITH weekly AS (
            SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
              count(*) AS n_orders,
              SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rd
@@ -3350,14 +3372,16 @@ object CoreQueries {
           SELECT wk, n_orders,
             CAST(round(rd, 2) AS DOUBLE) AS revenue,
             CASE WHEN prev IS NOT NULL AND prev > 0
-              THEN round((CAST(rd AS DOUBLE) - CAST(prev AS DOUBLE))
-                / CAST(prev AS DOUBLE), 6) END AS wow_growth
+              THEN ${ExactRound.sqlRatioRound(
+                "CAST(rd*1000000 AS HUGEINT)" +
+                  " - CAST(prev*1000000 AS HUGEINT)",
+                "CAST(prev*1000000 AS HUGEINT)", 6)} END AS wow_growth
           FROM l ORDER BY wk""",
 
     // ABC twin: exact decimal running sum, same 0.80/0.95 fences on
     // one identical double quotient
     "q239_abc_pareto" ->
-      """WITH rev AS (
+      s"""WITH rev AS (
            SELECT l_partkey,
              SUM(CAST(l_extendedprice*(1.0 - l_discount)
                AS DECIMAL(28,6))) AS rd
@@ -3376,7 +3400,9 @@ object CoreQueries {
                 FROM c)
           SELECT abc_class, count(*) AS n_parts,
             CAST(round(SUM(rd), 2) AS DOUBLE) AS class_revenue,
-            round(CAST(SUM(rd) AS DOUBLE) / CAST(max(td) AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(rd)*1000000 AS HUGEINT)",
+              "CAST(max(td)*1000000 AS HUGEINT)", 6)}
               AS revenue_share
           FROM k GROUP BY 1 ORDER BY abc_class""",
 
@@ -3403,7 +3429,7 @@ object CoreQueries {
     // YoY twin: one conditional-sum scan, same revenue floor, same
     // (growth desc, partkey) top-20
     "q245_part_yoy" ->
-      """WITH r AS (
+      s"""WITH r AS (
            SELECT l_partkey,
              SUM(CASE WHEN l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
                THEN CAST(l_extendedprice*(1.0 - l_discount)
@@ -3421,8 +3447,10 @@ object CoreQueries {
           SELECT l_partkey,
             CAST(round(r1, 2) AS DOUBLE) AS rev_1999,
             CAST(round(r2, 2) AS DOUBLE) AS rev_2000,
-            round((CAST(r2 AS DOUBLE) - CAST(r1 AS DOUBLE))
-              / CAST(r1 AS DOUBLE), 6) AS growth
+            ${ExactRound.sqlRatioRound(
+              "CAST(r2*1000000 AS HUGEINT)" +
+                " - CAST(r1*1000000 AS HUGEINT)",
+              "CAST(r1*1000000 AS HUGEINT)", 6)} AS growth
           FROM r
           ORDER BY growth DESC, l_partkey LIMIT 20""",
 
@@ -3462,7 +3490,7 @@ object CoreQueries {
     // LTV-decile twin: identical ntile bucket arithmetic over the
     // same total order, decimal-exact rollups
     "q256_ltv_deciles" ->
-      """WITH ltv AS (
+      s"""WITH ltv AS (
            SELECT o_custkey, count(*) AS n_orders,
              SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS ltv
            FROM orders GROUP BY 1),
@@ -3473,8 +3501,10 @@ object CoreQueries {
           SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_cust,
             CAST(SUM(n_orders) AS BIGINT) AS n_orders,
             CAST(round(SUM(ltv), 2) AS DOUBLE) AS decile_value,
-            round(CAST(SUM(ltv) AS DOUBLE)
-              / CAST((SELECT tv FROM t) AS DOUBLE), 6) AS value_share
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(ltv)*1000000 AS HUGEINT)",
+              "CAST((SELECT tv FROM t)*1000000 AS HUGEINT)", 6)}
+              AS value_share
           FROM d GROUP BY 1 ORDER BY decile""",
 
     // ties twin: dense_rank over the exact decimal revenue
@@ -3522,13 +3552,13 @@ object CoreQueries {
     // priority-mix twin: share over the per-year window on the
     // aggregate
     "q263_priority_mix" ->
-      """WITH g AS (
+      s"""WITH g AS (
            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              o_orderpriority, count(*) AS n_orders
            FROM orders GROUP BY 1, 2)
          SELECT o_year, o_orderpriority, n_orders,
-           round(CAST(n_orders AS DOUBLE) /
-             CAST(SUM(n_orders) OVER (PARTITION BY o_year) AS DOUBLE), 6)
+           ${ExactRound.sqlRatioRound(
+             "n_orders", "SUM(n_orders) OVER (PARTITION BY o_year)", 6)}
              AS share
          FROM g ORDER BY o_year, o_orderpriority""",
 
@@ -3549,10 +3579,12 @@ object CoreQueries {
 
     // elasticity twin: same integer band, decimal-exact quantity mean
     "q268_discount_elasticity" ->
-      """SELECT CAST(floor(l_discount * 100.0) AS INTEGER) AS disc_pct,
+      s"""SELECT CAST(floor(l_discount * 100.0) AS INTEGER) AS disc_pct,
            count(*) AS n_items,
-           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS avg_qty,
+           ${ExactRound.sqlRatioRound(
+             "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))*1000000" +
+               " AS HUGEINT)",
+             "count(*)*1000000", 6)} AS avg_qty,
            CAST(round(SUM(CAST(l_extendedprice*(1.0 - l_discount)
              AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
          FROM lineitem GROUP BY 1 ORDER BY disc_pct""",
@@ -3566,11 +3598,12 @@ object CoreQueries {
 
     // return-rate twin: conditional integer counts per brand
     "q264_return_rate" ->
-      """SELECT p_brand, count(*) AS n_items,
+      s"""SELECT p_brand, count(*) AS n_items,
            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
              AS BIGINT) AS n_returned,
-           round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS return_rate
+           ${ExactRound.sqlRatioRound(
+             "SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)",
+             "count(*)", 6)} AS return_rate
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY p_brand""",
 

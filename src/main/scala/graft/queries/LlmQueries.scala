@@ -780,7 +780,7 @@ object LlmQueries {
         .crossJoin(broadcast(tot))
         .withColumn("cum_tokens", sum(col("decile_tokens")).over(wCum))
         .select(col("decile"), col("n_docs"), col("decile_tokens"),
-          round(dbl(col("cum_tokens")) / dbl(col("t")), 6)
+          graft.ops.ExactRound.ratioRound(col("cum_tokens"), col("t"), 6)
             .as("cum_token_share"))
         .orderBy(col("decile"))
     }),
@@ -802,7 +802,7 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("pc") > 1, 1L).otherwise(0L)).as("n_boiler"))
         .select(col("source"), col("n_docs"), col("n_boiler"),
-          round(dbl(col("n_boiler")) / dbl(col("n_docs")), 6)
+          ExactRound.ratioRound(col("n_boiler"), col("n_docs"), 6)
             .as("boiler_share"))
         .orderBy(col("source"))
     }),
@@ -826,10 +826,11 @@ object LlmQueries {
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("swc"))
         .select(col("source"), col("n_docs"), col("total_chars"),
-          round(lit(2.0) * dbl(col("swc")) /
-            (dbl(col("n_docs")) * dbl(col("total_chars"))) -
-            (dbl(col("n_docs")) + lit(1.0)) / dbl(col("n_docs")), 6)
-            .as("gini"))
+          ExactRound.ratioRound(
+            col("swc") * lit(2L) -
+              ((col("n_docs") + 1L) * col("total_chars"))
+                .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+            col("n_docs") * col("total_chars"), 6).as("gini"))
         .orderBy(col("source"))
     }),
 
@@ -1221,11 +1222,8 @@ object LlmQueries {
         .crossJoin(total)
         .select(col("sz"), col("n_components"),
           (col("sz") * col("n_components")).as("n_docs"),
-          round((col("sz") * col("n_components"))
-            .cast(org.apache.spark.sql.types.DoubleType) /
-            col("n_total")
-              .cast(org.apache.spark.sql.types.DoubleType), 6)
-            .as("doc_share"))
+          ExactRound.ratioRound(col("sz") * col("n_components"),
+            col("n_total"), 6).as("doc_share"))
         .orderBy(col("sz"))
     }),
 
@@ -2879,7 +2877,7 @@ object LlmQueries {
           rw AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS raw_tokens FROM qs)
           SELECT CAST(stage AS INTEGER) AS stage, stage_name, n_docs,
             n_tokens,
-            round(CAST(n_tokens AS DOUBLE) / CAST(raw_tokens AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("n_tokens", "raw_tokens", 6)}
               AS token_share
           FROM fn CROSS JOIN rw ORDER BY stage"""
     },
@@ -3436,10 +3434,10 @@ object LlmQueries {
           t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM q)
           SELECT CAST(decile AS INTEGER) AS decile, n_docs,
             decile_tokens,
-            round(CAST(SUM(decile_tokens) OVER
-              (ORDER BY decile
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS DOUBLE) / CAST((SELECT tt FROM t) AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound(
+              "SUM(decile_tokens) OVER (ORDER BY decile" +
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+              "(SELECT tt FROM t)", 6)}
               AS cum_token_share
           FROM g ORDER BY decile""",
 
@@ -3454,8 +3452,9 @@ object LlmQueries {
           SELECT source, count(*) AS n_docs,
             CAST(SUM(CASE WHEN pc > 1 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_boiler,
-            round(CAST(SUM(CASE WHEN pc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS boiler_share
+            ${ExactRound.sqlRatioRound(
+              "SUM(CASE WHEN pc > 1 THEN 1 ELSE 0 END)",
+              "count(*)", 6)} AS boiler_share
           FROM pr
           JOIN src USING (doc_id)
           JOIN cnt USING (pref)
@@ -3464,17 +3463,17 @@ object LlmQueries {
     // length-Gini twin: same (n_chars, doc_id) rank order, decimal
     // weighted sum, q185 closed form
     "q266_length_gini" ->
-      """WITH r AS (SELECT source, doc_id, n_chars,
+      s"""WITH r AS (SELECT source, doc_id, n_chars,
                       row_number() OVER (PARTITION BY source
                         ORDER BY n_chars, doc_id) AS i
                     FROM documents)
           SELECT source, count(*) AS n_docs,
             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-            round(2.0 * CAST(SUM(CAST(i * n_chars AS DECIMAL(38,0)))
-              AS DOUBLE)
-              / (CAST(count(*) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE))
-              - (CAST(count(*) AS DOUBLE) + 1.0)
-                / CAST(count(*) AS DOUBLE), 6) AS gini
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(CAST(i * n_chars AS DECIMAL(38,0)))" +
+                " AS HUGEINT)*2 - (count(*) + 1)" +
+                "*CAST(SUM(n_chars) AS HUGEINT)",
+              "count(*)*CAST(SUM(n_chars) AS HUGEINT)", 6)} AS gini
           FROM r GROUP BY 1 ORDER BY source""",
 
     // MI twin: integer cells/marginals, 12dp DECIMAL term fold, NMI
@@ -4532,8 +4531,8 @@ object LlmQueries {
           tot AS (SELECT count(*) AS n_total FROM documents)
           SELECT sz, n_components,
             CAST(sz*n_components AS BIGINT) AS n_docs,
-            round(CAST(sz*n_components AS DOUBLE)
-              /CAST(n_total AS DOUBLE), 6) AS doc_share
+            ${ExactRound.sqlRatioRound(
+              "sz*n_components", "n_total", 6)} AS doc_share
           FROM hist, tot ORDER BY sz""",
 
     // Source-JSD twin: the same shared-terms decomposition

@@ -338,10 +338,10 @@ object MarketQueries {
           Seq("event_type"), Seq(col("value"), col("event_id")),
           "__rn", "__n")
         .select(col("event_id"), col("event_type"), col("value"),
-          round(when(col("__n") > 1,
-            dbl(col("__rn") - 1) / dbl(col("__n") - 1))
-            .otherwise(lit(0.0)), 6).as("pr"),
-          round(dbl(col("__rn")) / dbl(col("__n")), 6).as("cd"),
+          when(col("__n") > 1,
+            ExactRound.ratioRound(col("__rn") - 1, col("__n") - 1, 6))
+            .otherwise(lit(0.0)).as("pr"),
+          ExactRound.ratioRound(col("__rn"), col("__n"), 6).as("cd"),
           graft.ops.ScalableRank.ntileExpr(col("__rn"), col("__n"), 10)
             .as("decile"))
         .orderBy(col("event_id"))
@@ -388,9 +388,10 @@ object MarketQueries {
           Seq("event_type"), Seq(col("value"), col("event_id")),
           "__rn", "__n")
         .withColumn("pr",
-          round(when(col("__n") > 1,
-            dbl(min(col("__rn")).over(peers) - 1) / dbl(col("__n") - 1))
-            .otherwise(lit(0.0)), 6))
+          when(col("__n") > 1,
+            ExactRound.ratioRound(min(col("__rn")).over(peers) - 1,
+              col("__n") - 1, 6))
+            .otherwise(lit(0.0)))
         .withColumn("decile",
           graft.ops.ScalableRank.ntileExpr(col("__rn"), col("__n"), 10))
         .drop("__rn", "__n")
@@ -1114,9 +1115,11 @@ object MarketQueries {
           sum(col("c")).as("total"),
           sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("s2"))
         .select(col("event_type"), col("n_hours"), col("total"),
-          round((dbl(col("n_hours")) * dbl(col("s2")) -
-            dbl(col("total")) * dbl(col("total"))) /
-            (dbl(col("n_hours")) * dbl(col("total"))), 6).as("dispersion"))
+          ExactRound.ratioRound(
+            col("n_hours") * col("s2") -
+              (col("total") * col("total"))
+                .cast(DecimalType(38, 0)),
+            col("n_hours") * col("total"), 6).as("dispersion"))
         .orderBy(col("event_type"))
     }),
 
@@ -1894,12 +1897,17 @@ object MarketQueries {
          ORDER BY event_id""",
 
     "q43_window_dist" ->
-      """SELECT event_id, event_type, value,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd,
+      s"""SELECT event_id, event_type, value,
+           CASE WHEN count(*) OVER p > 1 THEN
+             ${ExactRound.sqlRatioRound(
+               "row_number() OVER w - 1", "count(*) OVER p - 1", 6)}
+             ELSE 0.0 END AS pr,
+           ${ExactRound.sqlRatioRound(
+             "row_number() OVER w", "count(*) OVER p", 6)} AS cd,
            CAST(ntile(10) OVER w AS INTEGER) AS decile
          FROM events
-         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id),
+           p AS (PARTITION BY event_type)
          ORDER BY event_id""",
 
     "q36_window_ranks" ->
@@ -1914,12 +1922,18 @@ object MarketQueries {
     // quantile-norm twin: identical window definitions; percent_rank
     // is (rank-1)/(n-1) from the same integers in both engines
     "q132_quantile_norm" ->
-      """SELECT event_id, event_type, value,
-           round(percent_rank() OVER
-             (PARTITION BY event_type ORDER BY value), 6) AS pr,
+      s"""SELECT event_id, event_type, value,
+           CASE WHEN count(*) OVER p > 1 THEN
+             ${ExactRound.sqlRatioRound(
+               "rank() OVER (PARTITION BY event_type ORDER BY value)" +
+                 " - 1",
+               "count(*) OVER p - 1", 6)}
+             ELSE 0.0 END AS pr,
            CAST(ntile(10) OVER (PARTITION BY event_type
              ORDER BY value, event_id) AS INTEGER) AS decile
-         FROM events ORDER BY event_id""",
+         FROM events
+         WINDOW p AS (PARTITION BY event_type)
+         ORDER BY event_id""",
 
     "q16_session_grid" ->
       """WITH days AS (
@@ -4080,15 +4094,16 @@ object MarketQueries {
     // arrival-dispersion twin: same observed-hour counts, q235
     // formula on exact integers
     "q265_arrival_dispersion" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS h,
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS h,
                       count(*) AS c
                     FROM events GROUP BY 1, 2)
           SELECT event_type, count(*) AS n_hours,
             CAST(SUM(c) AS BIGINT) AS total,
-            round((CAST(count(*) AS DOUBLE)
-              * CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS DOUBLE)
-              - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
-              / (CAST(count(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 6)
+            ${ExactRound.sqlRatioRound(
+              "count(*)*CAST(SUM(CAST(c*c AS DECIMAL(38,0)))" +
+                " AS HUGEINT) - CAST(SUM(c) AS HUGEINT)" +
+                "*CAST(SUM(c) AS HUGEINT)",
+              "count(*)*CAST(SUM(c) AS HUGEINT)", 6)}
               AS dispersion
           FROM h GROUP BY 1 ORDER BY event_type""",
 
