@@ -127,10 +127,10 @@ object MarketBars {
           .cast(DecimalType(28, 12))).as("pv"),
         sum(col("close").cast(DecimalType(28, 12))).as("pc"))
       .select(col("series"), col("d"), col("n_bars"), col("n_ticks"),
-        round(col("pv").cast(DoubleType) / col("n_ticks").cast(DoubleType), 6)
-          .as("vwap"),
-        round(col("pc").cast(DoubleType) / col("n_bars").cast(DoubleType), 6)
-          .as("twap"))
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("pv"), 12),
+          col("n_ticks") * lit(1000000000000L), 6).as("vwap"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("pc"), 12),
+          col("n_bars") * lit(1000000000000L), 6).as("twap"))
 
   /** Roll (1984) effective-spread estimator per (series, day):
     * s = 2·√(−cov(Δp_t, Δp_{t−1})) over consecutive bar-close changes,
@@ -229,8 +229,8 @@ object MarketBars {
       .agg(count(lit(1)).as("n_rets"),
         sum(round(col("term"), 12).cast(DecimalType(28, 12))).as("s"))
       .select(col("series"), col("d"), col("n_rets"),
-        round(col("s").cast(DoubleType) /
-          col("n_rets").cast(DoubleType), 6).as("amihud"))
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("s"), 12),
+          col("n_rets") * lit(1000000000000L), 6).as("amihud"))
   }
 
   /** Trailing exponentially-weighted moving average of bar closes:
@@ -1247,7 +1247,7 @@ object MarketBars {
         count(lit(1)).as("n_patterns"),
         sum(round(-p * log(p), 12).cast(dec12)).as("h12"))
     agg.select(col("series"), col("n_triples"), col("n_patterns"),
-      round(dbl(col("h12")), 6).as("h"),
+      round(col("h12"), 6).cast(DoubleType).as("h"),
       round(dbl(col("h12")) / log(lit(6.0)), 6).as("pe_norm"))
   }
 
@@ -2269,7 +2269,8 @@ object MarketBars {
       .filter(col("r").isNotNull)
       .groupBy(col("series"), col("d"))
       .agg(sum(round(col("r") * col("r"), 12).cast(dec12)).as("srv"))
-      .select(col("series"), col("d"), round(dbl(col("srv")), 8).as("rv"))
+      .select(col("series"), col("d"),
+        round(col("srv"), 8).cast(DoubleType).as("rv"))
     // daily close-to-close returns (the q364 daily chain)
     val daily = bars
       .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
@@ -2307,7 +2308,8 @@ object MarketBars {
     agg.select(col("series"), col("n_days"),
       sharpe(col("sr"), col("qr")).as("sharpe_raw"),
       sharpe(col("sm"), col("qm")).as("sharpe_managed"),
-      round(dbl(col("sw")) / dbl(col("n_days")), 6).as("mean_weight"))
+      ExactRound.ratioRound(ExactRound.toUnscaled(col("sw"), 12),
+        col("n_days") * lit(1000000000000L), 6).as("mean_weight"))
   }
 
   /** Jobson–Korkie/Memmel Sharpe-difference test between two aligned
@@ -2403,12 +2405,17 @@ object MarketBars {
           .otherwise(0.0).cast(dec12)).as("so"))
       .select(col("series"), col("n_turn"), col("n_other"),
         when(col("n_turn") > 0,
-          round(dbl(col("st")) / dbl(col("n_turn")), 8)).as("mean_turn"),
+          ExactRound.ratioRound(ExactRound.toUnscaled(col("st"), 12),
+            col("n_turn") * lit(1000000000000L), 8)).as("mean_turn"),
         when(col("n_other") > 0,
-          round(dbl(col("so")) / dbl(col("n_other")), 8)).as("mean_other"),
+          ExactRound.ratioRound(ExactRound.toUnscaled(col("so"), 12),
+            col("n_other") * lit(1000000000000L), 8)).as("mean_other"),
+        // st/nt - so/no over the common denominator nt*no, exact
         when(col("n_turn") > 0 && col("n_other") > 0,
-          round(dbl(col("st")) / dbl(col("n_turn")) -
-            dbl(col("so")) / dbl(col("n_other")), 8)).as("tom_spread"))
+          ExactRound.ratioRound(ExactRound.toUnscaled(col("st"), 12) * col("n_other") -
+            ExactRound.toUnscaled(col("so"), 12) * col("n_turn"),
+            col("n_turn") * col("n_other") * lit(1000000000000L), 8))
+          .as("tom_spread"))
   }
 
   /** Cross-sectional momentum portfolio: each day, rank series by the
@@ -2458,10 +2465,12 @@ object MarketBars {
       .agg(max(col("n_series")).as("n_series"),
         legSum(1).as("sl"), legSum(-1).as("ss"))
       .select(col("d"), col("n_series"),
-        round(dbl(col("sl")) / nSide, 6).as("long_ret"),
-        round(dbl(col("ss")) / nSide, 6).as("short_ret"),
-        round(dbl(col("sl")) / nSide - dbl(col("ss")) / nSide, 6)
-          .as("ls_spread"))
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sl"), 12),
+          lit(nSide.toLong) * lit(1000000000000L), 6).as("long_ret"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("ss"), 12),
+          lit(nSide.toLong) * lit(1000000000000L), 6).as("short_ret"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sl"), 12) - ExactRound.toUnscaled(col("ss"), 12),
+          lit(nSide.toLong) * lit(1000000000000L), 6).as("ls_spread"))
   }
 
   /** Historical VaR and expected shortfall per series: the empirical
@@ -2495,7 +2504,8 @@ object MarketBars {
       .select(col("series"), col("n_rets"),
         col("var_q").as("var_cut"),
         col("n_tail"),
-        round(dbl(col("sr")) / dbl(col("n_tail")), 6).as("es"))
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sr"), 12),
+          col("n_tail") * lit(1000000000000L), 6).as("es"))
   }
 
   /** Day-of-week effect test: one-way ANOVA of 8dp log returns
@@ -2737,7 +2747,8 @@ object MarketBars {
       .agg(count(lit(1)).as("n_obs"),
         sum(col("r8").cast(DecimalType(28, 12))).as("sr"))
       .select(col("series"), col("off"), col("n_obs"),
-        round(dbl(col("sr")) / dbl(col("n_obs")), 8).as("aar"))
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sr"), 12),
+          col("n_obs") * lit(1000000000000L), 8).as("aar"))
     val wOff = Window.partitionBy(col("series")).orderBy(col("off"))
       .rowsBetween(Window.unboundedPreceding, 0)
     aar.withColumn("car",
@@ -3144,7 +3155,8 @@ object MarketBars {
           round(sqrt(varIc), 6)).as("sd_ic"),
         when(col("t_days") >= 2 && varIc > 0,
           round(meanIc / (sqrt(varIc) / sqrt(tDays)), 6)).as("ic_t"),
-        round(dbl(col("n_pos")) / tDays, 6).as("hit_rate"))
+        ExactRound.ratioRound(col("n_pos"), col("t_days"), 6)
+          .as("hit_rate"))
   }
 
   private def lbOver(acfDf: DataFrame): DataFrame = {

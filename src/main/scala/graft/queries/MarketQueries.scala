@@ -2265,11 +2265,14 @@ object MarketQueries {
           SELECT series, CAST(bar_ts AS DATE) AS d,
             CAST(count(*) AS BIGINT) AS n_bars,
             CAST(SUM(n_ticks) AS BIGINT) AS n_ticks,
-            round(CAST(SUM(CAST(close * CAST(n_ticks AS DOUBLE)
-                AS DECIMAL(28,12))) AS DOUBLE)
-              / CAST(SUM(n_ticks) AS DOUBLE), 6) AS vwap,
-            round(CAST(SUM(CAST(close AS DECIMAL(28,12))) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS twap
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(CAST(close * CAST(n_ticks AS DOUBLE)" +
+                " AS DECIMAL(28,12)))*1000000000000 AS HUGEINT)",
+              "SUM(n_ticks)*1000000000000", 6)} AS vwap,
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(CAST(close AS DECIMAL(28,12)))*1000000000000" +
+                " AS HUGEINT)",
+              "count(*)*1000000000000", 6)} AS twap
           FROM bars GROUP BY 1, 2 ORDER BY series, d""",
 
     // ewma twin: list() materializes the trailing frame in frame-row
@@ -2334,7 +2337,9 @@ object MarketQueries {
                   SUM(CAST(round(term, 12) AS DECIMAL(28,12))) AS s
                 FROM f GROUP BY 1, 2)
           SELECT series, d, n_rets,
-            round(CAST(s AS DOUBLE) / CAST(n_rets AS DOUBLE), 6) AS amihud
+            ${ExactRound.sqlRatioRound(
+              "CAST(s*1000000000000 AS HUGEINT)",
+              "n_rets*1000000000000", 6)} AS amihud
           FROM a ORDER BY series, d""",
 
     // CCF twin: one unrolled lead/lag branch per k over the pair CTE,
@@ -3124,10 +3129,16 @@ object MarketQueries {
                     THEN CAST(dret AS DECIMAL(28,12)) END) AS ss
                 FROM ps GROUP BY 1)
           SELECT d, CAST(n_series AS BIGINT) AS n_series,
-            round(CAST(sl AS DOUBLE) / 2, 6) AS long_ret,
-            round(CAST(ss AS DOUBLE) / 2, 6) AS short_ret,
-            round(CAST(sl AS DOUBLE) / 2 - CAST(ss AS DOUBLE) / 2, 6)
-              AS ls_spread
+            ${ExactRound.sqlRatioRound(
+              "CAST(sl*1000000000000 AS HUGEINT)",
+              "2*1000000000000", 6)} AS long_ret,
+            ${ExactRound.sqlRatioRound(
+              "CAST(ss*1000000000000 AS HUGEINT)",
+              "2*1000000000000", 6)} AS short_ret,
+            ${ExactRound.sqlRatioRound(
+              "CAST(sl*1000000000000 AS HUGEINT)" +
+                " - CAST(ss*1000000000000 AS HUGEINT)",
+              "2*1000000000000", 6)} AS ls_spread
           FROM g ORDER BY d""",
 
     // Ljung–Box twin: replays the q151 ACF chain verbatim, then the
@@ -3258,8 +3269,10 @@ object MarketQueries {
                    ON an.s = r.series AND r.idx = an.idx0 + an.off
                  WHERE r.r8 IS NOT NULL),
           aa AS (SELECT series, off, count(*) AS n_obs,
-                   round(CAST(sum(CAST(r8 AS DECIMAL(28,12))) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE), 8) AS aar
+                   ${ExactRound.sqlRatioRound(
+                     "CAST(sum(CAST(r8 AS DECIMAL(28,12)))" +
+                       "*1000000000000 AS HUGEINT)",
+                     "count(*)*1000000000000", 8)} AS aar
                  FROM al GROUP BY 1, 2)
           SELECT series, CAST(off AS INTEGER) AS off, n_obs, aar,
             round(CAST(sum(CAST(aar AS DECIMAL(28,12))) OVER
@@ -3407,8 +3420,10 @@ object MarketQueries {
                 FROM r GROUP BY 1)
           SELECT r.series, q.n_rets, q.var_q AS var_cut,
             count(*) AS n_tail,
-            round(CAST(sum(CAST(r.r AS DECIMAL(28,12))) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS es
+            ${ExactRound.sqlRatioRound(
+              "CAST(sum(CAST(r.r AS DECIMAL(28,12)))*1000000000000" +
+                " AS HUGEINT)",
+              "count(*)*1000000000000", 6)} AS es
           FROM r JOIN q ON r.series = q.series
           WHERE r.r <= q.var_q
           GROUP BY 1, 2, 3 ORDER BY r.series""",
@@ -4934,8 +4949,9 @@ object MarketQueries {
                       /CAST(count(*) AS DOUBLE))
                   /(CAST(count(*) AS DOUBLE) - 1))
                  / sqrt(CAST(count(*) AS DOUBLE))), 6) END AS ic_t,
-            round(CAST(SUM(CASE WHEN ic > 0 THEN 1 ELSE 0 END)
-              AS DOUBLE)/CAST(count(*) AS DOUBLE), 6) AS hit_rate
+            ${ExactRound.sqlRatioRound(
+              "SUM(CASE WHEN ic > 0 THEN 1 ELSE 0 END)",
+              "count(*)", 6)} AS hit_rate
           FROM v""",
 
     // AR(1) twin: q121's exact co-moment OLS on (prev close, close)
@@ -5173,7 +5189,7 @@ object MarketQueries {
                   GROUP BY 1)
           SELECT series, n_triples,
             CAST(n_patterns AS BIGINT) AS n_patterns,
-            round(CAST(h12 AS DOUBLE), 6) AS h,
+            CAST(round(h12, 6) AS DOUBLE) AS h,
             round(CAST(h12 AS DOUBLE)/ln(6.0), 6) AS pe_norm
           FROM agg ORDER BY series""",
 
@@ -5546,7 +5562,7 @@ object MarketQueries {
                     ELSE 0.0 END AS DECIMAL(38,12))) AS sdn
                 FROM r GROUP BY 1, 2)
           SELECT series, d, n_rets,
-            round(CAST(srv AS DOUBLE), 8) AS rv,
+            CAST(round(srv, 8) AS DOUBLE) AS rv,
             round(CAST(sup AS DOUBLE), 8) AS rs_up,
             round(CAST(sdn AS DOUBLE), 8) AS rs_down,
             round(CAST(sup AS DOUBLE) - CAST(sdn AS DOUBLE), 8)
@@ -6725,15 +6741,19 @@ object MarketQueries {
           SELECT series, CAST(n_turn AS BIGINT) AS n_turn,
             CAST(n_other AS BIGINT) AS n_other,
             CASE WHEN n_turn > 0 THEN
-              round(CAST(st AS DOUBLE)/CAST(n_turn AS DOUBLE), 8) END
-              AS mean_turn,
+              ${ExactRound.sqlRatioRound(
+                "CAST(st*1000000000000 AS HUGEINT)",
+                "n_turn*1000000000000", 8)} END AS mean_turn,
             CASE WHEN n_other > 0 THEN
-              round(CAST(so AS DOUBLE)/CAST(n_other AS DOUBLE), 8) END
-              AS mean_other,
+              ${ExactRound.sqlRatioRound(
+                "CAST(so*1000000000000 AS HUGEINT)",
+                "n_other*1000000000000", 8)} END AS mean_other,
             CASE WHEN n_turn > 0 AND n_other > 0 THEN
-              round(CAST(st AS DOUBLE)/CAST(n_turn AS DOUBLE)
-                - CAST(so AS DOUBLE)/CAST(n_other AS DOUBLE), 8) END
-              AS tom_spread
+              ${ExactRound.sqlRatioRound(
+                "CAST(st*1000000000000 AS HUGEINT)*n_other" +
+                  " - CAST(so*1000000000000 AS HUGEINT)*n_turn",
+                "CAST(n_turn AS HUGEINT)*n_other*1000000000000", 8)}
+              END AS tom_spread
           FROM g ORDER BY series""",
 
     // OU twin: the q223 lag chain with the five intercept-form
@@ -6845,8 +6865,9 @@ object MarketQueries {
                   *CAST(sm AS DOUBLE)/CAST(n_days AS DOUBLE))
                   /(CAST(n_days AS DOUBLE)-1.0)), 6) END
               AS sharpe_managed,
-            round(CAST(sw AS DOUBLE)/CAST(n_days AS DOUBLE), 6)
-              AS mean_weight
+            ${ExactRound.sqlRatioRound(
+              "CAST(sw*1000000000000 AS HUGEINT)",
+              "n_days*1000000000000", 6)} AS mean_weight
           FROM g ORDER BY series""",
 
     // BNS twin: q181's RV/BV chain + tri-power terms as explicit
