@@ -3752,7 +3752,8 @@ object MarketBars {
       .agg(count(lit(1)).as("n_cal_tail"),
         sum(col("r").cast(dec12)).as("sc"))
       .select(col("series"), col("var_cut"),
-        round(dbl(col("sc")) / dbl(col("n_cal_tail")), 6).as("es_cal"))
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sc"), 12),
+          col("n_cal_tail") * lit(1000000000000L), 6).as("es_cal"))
     val test = withR.filter(!col("is_cal"))
       .join(broadcast(esCal), "series")
       .groupBy(col("series"), col("var_cut"), col("es_cal"))
@@ -3766,7 +3767,8 @@ object MarketBars {
     test.select(col("series"), col("n_test"), col("n_viol"),
       col("var_cut"), col("es_cal"),
       when(col("n_viol") > 0,
-        round(dbl(col("sv")) / dbl(col("n_viol")), 6)).as("es_test"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sv"), 12),
+          col("n_viol") * lit(1000000000000L), 6)).as("es_test"),
       when(col("es_cal") < 0, round(z2, 4)).as("z2"))
       .withColumn("severity_breach",
         when(col("z2").isNotNull, col("z2") > 0.5))
@@ -3880,7 +3882,7 @@ object MarketBars {
       .agg(sum(col("len")).as("n_tail"),
         max(col("len")).as("max_run"))
       .select(col("series"), col("n_rets"), col("n_tail"), col("max_run"),
-        round(dbl(col("n_tail")) / dbl(col("n_rets")), 6).as("tail_share"))
+        ExactRound.ratioRound(col("n_tail"), col("n_rets"), 6).as("tail_share"))
   }
 
   /** Up/down streak census: consecutive same-direction closes
@@ -4057,7 +4059,8 @@ object MarketBars {
       .agg(count(lit(1)).as("n_exceed"),
         sum(round(col("x") - col("u"), 12).cast(dec12)).as("se"))
       .select(col("series"), col("n_rets"), col("u"), col("n_exceed"),
-        round(dbl(col("se")) / dbl(col("n_exceed")), 6).as("mean_excess"))
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("se"), 12),
+          col("n_exceed") * lit(1000000000000L), 6).as("mean_excess"))
   }
 
   /** Up/down-regime beta per series against a designated market
@@ -4398,7 +4401,7 @@ object MarketBars {
           .otherwise(lit(0).cast(dec))).as("num"))
       .select(col("series"), col("n"),
         when(dbl(col("den")) > 0,
-          round(dbl(col("num")) / dbl(col("den")), 6)).as("dw"))
+          ExactRound.ratioRound(col("num"), col("den"), 6)).as("dw"))
       .withColumn("rho_hat",
         when(col("dw").isNotNull, round(lit(1.0) - col("dw") / 2, 6)))
   }
@@ -4514,7 +4517,7 @@ object MarketBars {
           round(mu * ppy / lit(1e8) / -col("max_drawdown"), 6))
           .as("calmar"),
         when(col("losses") > 0,
-          round(dbl(col("gains")) / dbl(col("losses")), 6)).as("omega"),
+          ExactRound.ratioRound(col("gains"), col("losses"), 6)).as("omega"),
         col("max_drawdown"))
   }
 
@@ -4975,10 +4978,11 @@ object MarketBars {
         sum(when(col("r") < 0, round(col("r") * col("r"), 12))
           .otherwise(0.0).cast(dec12)).as("sdn"))
       .select(col("series"), col("d"), col("n_rets"),
-        round(dbl(col("srv")), 8).as("rv"),
-        round(dbl(col("sup")), 8).as("rs_up"),
-        round(dbl(col("sdn")), 8).as("rs_down"),
-        round(dbl(col("sup")) - dbl(col("sdn")), 8).as("signed_jump"))
+        round(col("srv"), 8).cast(DoubleType).as("rv"),
+        round(col("sup"), 8).cast(DoubleType).as("rs_up"),
+        round(col("sdn"), 8).cast(DoubleType).as("rs_down"),
+        round(col("sup") - col("sdn"), 8).cast(DoubleType)
+          .as("signed_jump"))
   }
 
   /** Conditional drawdown-at-risk per series: the `alpha`-quantile of
@@ -5021,7 +5025,8 @@ object MarketBars {
         sum(col("dd").cast(DecimalType(18, 6))).as("sdd"))
       .select(col("series"), col("n_days"),
         col("dd_q").as("dar"), col("n_tail"),
-        round(dbl(col("sdd")) / dbl(col("n_tail")), 6).as("cdar"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sdd").cast(DecimalType(38, 6)), 6),
+          col("n_tail") * lit(1000000L), 6).as("cdar"),
         col("max_drawdown"))
   }
 
@@ -5192,8 +5197,8 @@ object MarketBars {
     flows
       .withColumn("obv6", sum(col("flow6")).over(wDays))
       .select(col("series"), col("d"),
-        round(dbl(col("flow6")) / lit(1e6), 6).as("day_flow"),
-        round(dbl(col("obv6")) / lit(1e6), 6).as("obv"))
+        ExactRound.ratioRound(col("flow6"), lit(1000000L), 6).as("day_flow"),
+        ExactRound.ratioRound(col("obv6"), lit(1000000L), 6).as("obv"))
   }
 
   /** Shared (series, d, r8) daily log-return chain: day-collapsed
@@ -5320,7 +5325,7 @@ object MarketBars {
     agg.select(col("series"), col("n_rets"),
       when(col("xk1").isNotNull, col("k")).as("k"),
       when(col("xk1").isNotNull,
-        round(dbl(col("xk1")) / lit(1e8), 8)).as("x_kplus1"),
+        ExactRound.ratioRound(col("xk1"), lit(100000000L), 8)).as("x_kplus1"),
       when(col("xk1").isNotNull, round(h, 6)).as("hill_h"),
       when(col("xk1").isNotNull && h > 0, round(lit(1.0) / h, 6))
         .as("tail_alpha"))
@@ -5500,8 +5505,8 @@ object MarketBars {
           .otherwise(0L)).as("both_lo"))
       .select(col("series_a"), col("series_b"), col("n_days"),
         col("k"),
-        round(dbl(col("both_hi")) / dbl(col("k")), 6).as("lambda_hi"),
-        round(dbl(col("both_lo")) / dbl(col("k")), 6).as("lambda_lo"))
+        ExactRound.ratioRound(col("both_hi"), col("k"), 6).as("lambda_hi"),
+        ExactRound.ratioRound(col("both_lo"), col("k"), 6).as("lambda_lo"))
   }
 
   /** Binary transfer entropy TE(X→Y) at lag 1 for every ORDERED
@@ -5575,7 +5580,7 @@ object MarketBars {
       .agg(max(col("n")).as("n"), max(col("n_cells")).as("n_cells"),
         sum(teTerm).as("te12"))
       .select(col("cause"), col("effect"), col("n"), col("n_cells"),
-        round(dbl(col("te12")), 6).as("te_nats"))
+        round(col("te12"), 6).cast(DoubleType).as("te_nats"))
   }
 
   /** Epps-effect curve: pair return correlation at COARSENING sampling
@@ -5713,7 +5718,8 @@ object MarketBars {
       .crossJoin(broadcast(nRow))
       .select(col("n_series"), col("n_pairs"),
         when(col("n_pairs") > 0,
-          round(dbl(col("s1")) / dbl(col("n_pairs")), 6)).as("mean_corr"),
+          ExactRound.ratioRound(ExactRound.toUnscaled(col("s1"), 12),
+          col("n_pairs") * lit(1000000000000L), 6)).as("mean_corr"),
         when(col("n_pairs") > 1,
           round(sqrt((dbl(col("n_pairs")) * dbl(col("s2")) -
             dbl(col("s1")) * dbl(col("s1"))) /

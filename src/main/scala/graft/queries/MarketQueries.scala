@@ -3995,7 +3995,7 @@ object MarketQueries {
           SELECT series, n_rets,
             CAST(SUM(len) AS BIGINT) AS n_tail,
             CAST(max(len) AS BIGINT) AS max_run,
-            round(CAST(SUM(len) AS DOUBLE) / CAST(n_rets AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("SUM(len)", "n_rets", 6)}
               AS tail_share
           FROM runs GROUP BY 1, 2 ORDER BY series""",
 
@@ -4308,8 +4308,9 @@ object MarketQueries {
                 FROM r JOIN cu ON r.series = cu.series
                 WHERE x > u)
           SELECT series, n_rets, u, count(*) AS n_exceed,
-            round(CAST(SUM(ex) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS mean_excess
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(ex)*1000000000000 AS HUGEINT)",
+              "count(*)*1000000000000", 6)} AS mean_excess
           FROM e GROUP BY 1, 2, 3 ORDER BY series""",
 
     // up/down-beta twin: q90 scaled-long returns, q248 decimal
@@ -4415,7 +4416,9 @@ object MarketQueries {
                 FROM d GROUP BY 1),
           f AS (SELECT series, n,
                   CASE WHEN CAST(den AS DOUBLE) > 0 THEN
-                    round(CAST(num AS DOUBLE)/CAST(den AS DOUBLE), 6)
+                    ${ExactRound.sqlRatioRound(
+                      "CAST(num AS HUGEINT)", "CAST(den AS HUGEINT)",
+                      6)}
                   END AS dw
                 FROM a)
           SELECT series, n, dw,
@@ -4518,8 +4521,8 @@ object MarketQueries {
                  THEN round(mu * 252.0 / 1e8 / -max_drawdown, 6) END
               AS calmar,
             CASE WHEN losses > 0
-                 THEN round(CAST(gains AS DOUBLE)
-                   / CAST(losses AS DOUBLE), 6) END AS omega,
+                 THEN ${ExactRound.sqlRatioRound("gains", "losses", 6)}
+                 END AS omega,
             max_drawdown
           FROM v ORDER BY series""",
 
@@ -5563,10 +5566,9 @@ object MarketQueries {
                 FROM r GROUP BY 1, 2)
           SELECT series, d, n_rets,
             CAST(round(srv, 8) AS DOUBLE) AS rv,
-            round(CAST(sup AS DOUBLE), 8) AS rs_up,
-            round(CAST(sdn AS DOUBLE), 8) AS rs_down,
-            round(CAST(sup AS DOUBLE) - CAST(sdn AS DOUBLE), 8)
-              AS signed_jump
+            CAST(round(sup, 8) AS DOUBLE) AS rs_up,
+            CAST(round(sdn, 8) AS DOUBLE) AS rs_down,
+            CAST(round(sup - sdn, 8) AS DOUBLE) AS signed_jump
           FROM g ORDER BY series, d""",
 
     // CDaR twin: q306 daily dd chain, 6dp quantile cut before the
@@ -5596,7 +5598,9 @@ object MarketQueries {
                 WHERE dd <= dd_q
                 GROUP BY 1, 2, 3, 4)
           SELECT series, n_days, dd_q AS dar, n_tail,
-            round(CAST(sdd AS DOUBLE)/CAST(n_tail AS DOUBLE), 6) AS cdar,
+            ${ExactRound.sqlRatioRound(
+              "CAST(sdd*1000000 AS HUGEINT)", "n_tail*1000000", 6)}
+              AS cdar,
             max_drawdown
           FROM t ORDER BY series""",
 
@@ -5622,8 +5626,10 @@ object MarketQueries {
                    round(quantile_cont(r, 0.05), 6) AS var_cut
                   FROM sp WHERE is_cal GROUP BY 1),
           ec AS (SELECT sp.series, var_cut,
-                   round(CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE)
-                     /count(*), 6) AS es_cal
+                   ${ExactRound.sqlRatioRound(
+                     "CAST(SUM(CAST(r AS DECIMAL(28,12)))" +
+                       "*1000000000000 AS HUGEINT)",
+                     "count(*)*1000000000000", 6)} AS es_cal
                  FROM sp JOIN cut ON sp.series = cut.series
                  WHERE is_cal AND r <= var_cut
                  GROUP BY 1, 2),
@@ -5639,7 +5645,9 @@ object MarketQueries {
           SELECT series, n_test, CAST(n_viol AS BIGINT) AS n_viol,
             var_cut, es_cal,
             CASE WHEN n_viol > 0 THEN
-              round(CAST(sv AS DOUBLE)/CAST(n_viol AS DOUBLE), 6) END
+              ${ExactRound.sqlRatioRound(
+                "CAST(sv*1000000000000 AS HUGEINT)",
+                "n_viol*1000000000000", 6)} END
               AS es_test,
             CASE WHEN es_cal < 0 THEN
               round(CAST(sv AS DOUBLE)
@@ -5728,7 +5736,8 @@ object MarketQueries {
           SELECT series, n_rets,
             CASE WHEN xk1 IS NOT NULL THEN k END AS k,
             CASE WHEN xk1 IS NOT NULL THEN
-              round(CAST(xk1 AS DOUBLE)/1e8, 8) END AS x_kplus1,
+              ${ExactRound.sqlRatioRound("xk1", "100000000", 8)}
+              END AS x_kplus1,
             CASE WHEN xk1 IS NOT NULL THEN
               round(CAST(slog AS DOUBLE)/CAST(k AS DOUBLE)
                 - round(ln(CAST(xk1 AS DOUBLE)), 12), 6) END
@@ -5779,12 +5788,12 @@ object MarketQueries {
           SELECT series_a, series_b,
             CAST(max(n) AS BIGINT) AS n_days,
             CAST(max(k) AS BIGINT) AS k,
-            round(CAST(SUM(CASE WHEN ha <= k AND hb <= k
-                THEN 1 ELSE 0 END) AS DOUBLE)
-              /CAST(max(k) AS DOUBLE), 6) AS lambda_hi,
-            round(CAST(SUM(CASE WHEN la <= k AND lb <= k
-                THEN 1 ELSE 0 END) AS DOUBLE)
-              /CAST(max(k) AS DOUBLE), 6) AS lambda_lo
+            ${ExactRound.sqlRatioRound(
+              "SUM(CASE WHEN ha <= k AND hb <= k THEN 1 ELSE 0 END)",
+              "max(k)", 6)} AS lambda_hi,
+            ${ExactRound.sqlRatioRound(
+              "SUM(CASE WHEN la <= k AND lb <= k THEN 1 ELSE 0 END)",
+              "max(k)", 6)} AS lambda_lo
           FROM kk GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // AD twin: the q346 chain + erf polynomial, Φ clamped the same
@@ -6166,7 +6175,7 @@ object MarketQueries {
                  JOIN tot USING (cause, effect))
           SELECT cause, effect, max(n) AS n,
             max(n_cells) AS n_cells,
-            round(CAST(SUM(t12) AS DOUBLE), 6) AS te_nats
+            CAST(round(SUM(t12), 6) AS DOUBLE) AS te_nats
           FROM tm GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Epps twin: per-scale coarse bars aggregated DIRECTLY from events
@@ -6309,7 +6318,9 @@ object MarketQueries {
                 FROM c1)
           SELECT n_series, n_pairs,
             CASE WHEN n_pairs > 0 THEN
-              round(CAST(s1 AS DOUBLE)/CAST(n_pairs AS DOUBLE), 6)
+              ${ExactRound.sqlRatioRound(
+                "CAST(s1*1000000000000 AS HUGEINT)",
+                "n_pairs*1000000000000", 6)}
             END AS mean_corr,
             CASE WHEN n_pairs > 1 THEN
               round(sqrt((CAST(n_pairs AS DOUBLE)*CAST(s2 AS DOUBLE)
@@ -6657,10 +6668,13 @@ object MarketQueries {
                    SUM(CAST(sv AS DECIMAL(38,0))) AS flow6
                  FROM f GROUP BY 1, 2)
           SELECT series, d,
-            round(CAST(flow6 AS DOUBLE)/1e6, 6) AS day_flow,
-            round(CAST(SUM(flow6) OVER (PARTITION BY series ORDER BY d
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS DOUBLE)/1e6, 6) AS obv
+            ${ExactRound.sqlRatioRound(
+              "CAST(flow6 AS HUGEINT)", "1000000", 6)} AS day_flow,
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(flow6) OVER (PARTITION BY series ORDER BY d" +
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+                " AS HUGEINT)",
+              "1000000", 6)} AS obv
           FROM fl ORDER BY series, d""",
 
     // Sharpe-diff twin: aligned return legs, 12dp co-moment folds,
