@@ -3561,10 +3561,10 @@ object MarketBars {
         round(col("mu8") / lit(1e4), 6).as("mean_bps"),
         round(col("var8") / lit(1e8), 6).as("var_bps"),
         when(col("sd8") > 0,
-          round(dbl(col("sz3")) / dbl(col("n")), 6)).as("skewness"),
+          ExactRound.ratioRound(ExactRound.toUnscaled(col("sz3"), 12), col("n") * lit(1000000000000L), 6)).as("skewness"),
         when(col("sd8") > 0,
-          round(dbl(col("sz4")) / dbl(col("n")) - lit(3.0), 6))
-          .as("kurtosis"))
+          ExactRound.ratioRound(ExactRound.toUnscaled(col("sz4"), 12) - col("n") * lit(1000000000000L) * lit(3L),
+            col("n") * lit(1000000000000L), 6)).as("kurtosis"))
   }
 
   /** Lead-lag matrix: for every series pair (a < b), the lag k ∈
@@ -4358,8 +4358,9 @@ object MarketBars {
       .agg(max(col("n")).as("n"),
         sum(col("z3")).as("sz3"), sum(col("z4")).as("sz4"))
       .select(col("series"), col("n"),
-        round(skew, 6).as("skewness"),
-        round(exKurt, 6).as("ex_kurtosis"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sz3"), 12), col("n") * lit(1000000000000L), 6).as("skewness"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sz4"), 12) - col("n") * lit(1000000000000L) * lit(3L),
+          col("n") * lit(1000000000000L), 6).as("ex_kurtosis"),
         round(jb, 6).as("jb"),
         (jb > lit(5.991465)).as("reject_normal"))
   }
@@ -5075,8 +5076,9 @@ object MarketBars {
     // 6dp-rounded building blocks — the expansion runs on THESE
     val mu = round(col("mu8") / lit(1e8), 6)
     val sg = round(col("sd8") / lit(1e8), 6)
-    val sk = round(dbl(col("sz3")) / dbl(col("n")), 6)
-    val xk = round(dbl(col("sz4")) / dbl(col("n")) - lit(3.0), 6)
+    val sk = ExactRound.ratioRound(ExactRound.toUnscaled(col("sz3"), 12), col("n") * lit(1000000000000L), 6)
+    val xk = ExactRound.ratioRound(ExactRound.toUnscaled(col("sz4"), 12) - col("n") * lit(1000000000000L) * lit(3L),
+      col("n") * lit(1000000000000L), 6)
     def varAt(z: Column, cf: Boolean): Column = {
       val zq =
         if (!cf) z

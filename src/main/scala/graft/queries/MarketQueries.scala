@@ -3929,11 +3929,15 @@ object MarketQueries {
             round(max(mu8) / 1e4, 6) AS mean_bps,
             round(max(var8) / 1e8, 6) AS var_bps,
             CASE WHEN max(sd8) > 0 THEN
-              round(CAST(SUM(z3) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+              ${ExactRound.sqlRatioRound(
+                "CAST(SUM(z3)*1000000000000 AS HUGEINT)",
+                "max(n)*1000000000000", 6)}
               END AS skewness,
             CASE WHEN max(sd8) > 0 THEN
-              round(CAST(SUM(z4) AS DOUBLE) / CAST(max(n) AS DOUBLE)
-                - 3.0, 6) END AS kurtosis
+              ${ExactRound.sqlRatioRound(
+                "CAST(SUM(z4)*1000000000000 AS HUGEINT)" +
+                  " - max(n)*CAST(3000000000000 AS HUGEINT)",
+                "max(n)*1000000000000", 6)} END AS kurtosis
           FROM zt GROUP BY 1, 2 ORDER BY series, horizon""",
 
     // hourly-vol twin: same return snap, q139 sigma op order
@@ -4383,7 +4387,13 @@ object MarketQueries {
                   CAST(sz4 AS DOUBLE)/CAST(n AS DOUBLE) - 3.0 AS xk
                 FROM m)
           SELECT series, n,
-            round(sk, 6) AS skewness, round(xk, 6) AS ex_kurtosis,
+            ${ExactRound.sqlRatioRound(
+              "CAST(sz3*1000000000000 AS HUGEINT)",
+              "n*1000000000000", 6)} AS skewness,
+            ${ExactRound.sqlRatioRound(
+              "CAST(sz4*1000000000000 AS HUGEINT)" +
+                " - n*CAST(3000000000000 AS HUGEINT)",
+              "n*1000000000000", 6)} AS ex_kurtosis,
             round(CAST(n AS DOUBLE)/6.0*(sk*sk + xk*xk/4.0), 6) AS jb,
             CAST(n AS DOUBLE)/6.0*(sk*sk + xk*xk/4.0) > 5.991465
               AS reject_normal
@@ -7375,9 +7385,13 @@ object MarketQueries {
           f AS (SELECT series, n,
                   round(mu8/1e8, 6) AS mu,
                   round(sd8/1e8, 6) AS sg,
-                  round(CAST(sz3 AS DOUBLE)/CAST(n AS DOUBLE), 6) AS sk,
-                  round(CAST(sz4 AS DOUBLE)/CAST(n AS DOUBLE) - 3.0, 6)
-                    AS xk
+                  ${ExactRound.sqlRatioRound(
+                    "CAST(sz3*1000000000000 AS HUGEINT)",
+                    "n*1000000000000", 6)} AS sk,
+                  ${ExactRound.sqlRatioRound(
+                    "CAST(sz4*1000000000000 AS HUGEINT)" +
+                      " - n*CAST(3000000000000 AS HUGEINT)",
+                    "n*1000000000000", 6)} AS xk
                 FROM m)
           SELECT series, n AS n_rets,
             CASE WHEN n > 3 THEN sk END AS skew,
