@@ -4382,7 +4382,7 @@ object MarketQueries {
                   SUM(CAST(round(z*z*z, 12) AS DECIMAL(38,12))) AS sz3,
                   SUM(CAST(round(z*z*z*z, 12) AS DECIMAL(38,12))) AS sz4
                 FROM z GROUP BY 1),
-          f AS (SELECT series, n,
+          f AS (SELECT series, n, sz3, sz4,
                   CAST(sz3 AS DOUBLE)/CAST(n AS DOUBLE) AS sk,
                   CAST(sz4 AS DOUBLE)/CAST(n AS DOUBLE) - 3.0 AS xk
                 FROM m)
