@@ -1073,4 +1073,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.except(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming SCD2 store equals the batch q138 dimension under LATE data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q138 snapshot shape off orders: (custkey, snap_d, tie, status)
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey"), col("o_orderstatus"))
+      .limit(3000).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // replay shape mirrors the incremental-agg test: every 7th row
+    // arrives LAST — keys split mid-history AND revisited by a late
+    // out-of-order sliver (interior-of-run inserts included)
+    val late = raw.zipWithIndex.filter(_._2 % 7 == 0).map(_._1)
+    val early = raw.zipWithIndex.filter(_._2 % 7 != 0).map(_._1)
+    val stream = MemoryStream[(Long, java.sql.Date, Long, String)]
+    val store = graft.streaming.Scd2Stream.newStore(spark)
+    val q = graft.streaming.Scd2Stream.start(
+      stream.toDF().toDF("custkey", "snap_d", "tie", "status"), store)
+    try {
+      stream.addData(early.take(1400)); q.processAllAvailable()
+      stream.addData(early.drop(1400)); q.processAllAvailable()
+      stream.addData(late); q.processAllAvailable()
+      val streamed = store.snapshot()
+      val batch = graft.ops.WarehouseOps.scd2(
+        raw.toDF("custkey", "snap_d", "tie", "status"),
+        "custkey", "snap_d", "tie", "status")
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
