@@ -589,4 +589,66 @@ object MultimodalOps {
       else Seq(base)
     }
   }
+
+  /** The signed PCM-16 sample values of the synthetic test clip for
+    * `id`: sample j is (first byte of md5("aud:id:j") as a SIGNED
+    * byte) << 8 — the low byte stays 0, so the decoded double is
+    * s_int/128, a DYADIC rational. Every per-frame Σs² is then an
+    * EXACT integer over 16384 (sums of dyadics with numerators far
+    * below 2^53 are exact), which is what lets an engine WITHOUT the
+    * WAV decoder (the DuckDB oracle) reproduce the frame RMS doubles
+    * bit-for-bit from the same md5 strings (q405). Clip length
+    * 320 + id % 160 samples at 8 kHz — two full 20 ms frames plus a
+    * remainder tail on most ids, so the tail-frame path is
+    * exercised. */
+  private[graft] def syntheticPcm(id: Long): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = 320 + (id % 160).toInt
+    Array.tabulate(n) { j =>
+      md.reset()
+      md.update(s"aud:$id:$j".getBytes("UTF-8"))
+      md.digest()(0).toInt // signed byte: -128..127
+    }
+  }
+
+  /** A minimal PCM-16 mono 8 kHz WAV wrapping [[syntheticPcm]]. */
+  private[graft] def wav8k(samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def tag(i: Int, s: String): Unit =
+      (0 until 4).foreach(j => out(i + j) = s.charAt(j).toByte)
+    tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16)
+    out(20) = 1 // PCM
+    out(22) = 1 // mono
+    put32(24, 8000) // rate
+    put32(28, 16000) // byte rate
+    out(32) = 2 // block align
+    out(34) = 16 // bits
+    tag(36, "data"); put32(40, dataLen)
+    samples.zipWithIndex.foreach { case (s, j) =>
+      val v = s << 8 // high byte carries the signed level, low byte 0
+      out(44 + j * 2) = (v & 0xff).toByte
+      out(44 + j * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out
+  }
+
+  /** Deterministic synthetic audio corpus over an id column: one
+    * PCM-16 mono 8 kHz WAV per id with md5-derived dyadic samples —
+    * feeds [[audioFrameEnergy]] so the REAL header walk + framer +
+    * stats loop run, while the q405 oracle recomputes every frame's
+    * RMS/peak from the same md5 bytes in SQL. Map-side generate. */
+  def syntheticAudioAssets(ids: DataFrame, idCol: String): Dataset[MediaAsset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      MediaAsset(id, "audio", wav8k(syntheticPcm(id)))
+    }
+  }
 }

@@ -1342,6 +1342,26 @@ object LlmQueries {
           maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Audio frame features end-to-end (MultimodalOps.audioFrameEnergy
+    // over the md5-derived synthetic WAV corpus): the REAL RIFF header
+    // walk + 20ms framer + stats loop run on genuine PCM-16 bytes; the
+    // oracle replays every frame's exact dyadic sample values from the
+    // same md5 strings in SQL (q393's trick, audio edition). RMS
+    // emits floor-form 6dp (sqrt of an exactly-shared rational); peak
+    // emits as the exact integer max|s_int| (peak*128).
+    "q405_audio_frames" -> ((s, dir) => {
+      val assets = MultimodalOps.syntheticAudioAssets(
+        Tables.embeddings(s, dir), "vec_id")
+      MultimodalOps.audioFrameEnergy(assets, frameMs = 20,
+          voicedRms = 0.58).toDF()
+        .select(col("asset_id"), col("frame_idx").cast("int").as("frame_idx"),
+          col("n_samples").cast("long").as("n_samples"),
+          floor(col("rms") * lit(1e6) + lit(0.5)).cast("long").as("rms6"),
+          (col("peak") * lit(128.0)).cast("long").as("peak128"),
+          col("voiced"))
+        .orderBy(col("asset_id"), col("frame_idx"))
     })
   )
 
@@ -5073,6 +5093,40 @@ object LlmQueries {
             FROM bits x JOIN bits y ON x.c = y.c AND x.aid < y.aid
             GROUP BY 1, 2)
          SELECT id_a, id_b, hamming FROM pairs
-         WHERE hamming <= 3 ORDER BY id_a, id_b"""
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // audio-frames twin: replay the synthetic PCM samples from the
+    // same md5 strings — sample j of clip id is the SIGNED first
+    // md5("aud:id:j") byte, decoded value s/128 (dyadic), so each
+    // frame's sum of squares is the exact integer ss over 16384 and
+    // BOTH engines form the identical rms double sqrt((ss/16384)/n)
+    // (the q393 synthetic-recomputable trick, audio edition). peak
+    // emits as the exact integer max|s|; rms floor-forms at 6dp.
+    "q405_audio_frames" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+          sp AS (SELECT id, CAST(320 + id % 160 AS INTEGER) AS k
+                 FROM ids),
+          jj AS (SELECT id, unnest(generate_series(0, k - 1)) AS j
+                 FROM sp),
+          sm AS (SELECT id, j//160 AS frame_idx,
+                   CASE WHEN b >= 128 THEN b - 256 ELSE b END AS s
+                 FROM (SELECT id, j,
+                         CAST(concat('0x', substr(md5(
+                           concat('aud:', id, ':', j)), 1, 2))
+                           AS INTEGER) AS b
+                       FROM jj)),
+          fr AS (SELECT id AS asset_id, frame_idx,
+                   count(*) AS n_samples,
+                   CAST(SUM(s*s) AS BIGINT) AS ss,
+                   CAST(max(abs(s)) AS BIGINT) AS pk
+                 FROM sm GROUP BY 1, 2)
+          SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+            CAST(n_samples AS BIGINT) AS n_samples,
+            CAST(floor(sqrt((CAST(ss AS DOUBLE)/16384.0)
+              /CAST(n_samples AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS rms6,
+            pk AS peak128,
+            sqrt((CAST(ss AS DOUBLE)/16384.0)
+              /CAST(n_samples AS DOUBLE)) >= 0.58 AS voiced
+          FROM fr ORDER BY asset_id, frame_idx"""
   )
 }
