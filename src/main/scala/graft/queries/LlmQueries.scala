@@ -1047,31 +1047,56 @@ object LlmQueries {
         Tables.rebalance(Tables.documents(s, dir)),
         "text", "doc_id", n = 3, threshold = 0.05, maxDf = 100)
       val dt = org.apache.spark.sql.types.DoubleType
+      // Round-12 plan shape: NO 18x threshold cross-join and NO
+      // distinct over the exploded (th, doc) blow-up. jaccard is an
+      // exact 4dp value, and th = i/20, so `jaccard >= th` is the
+      // INTEGER compare j4 >= 500*i (the doubles are correct roundings
+      // of rationals >= 1e-4 apart — ordering is identical). A pair
+      // therefore contributes to every i <= j4 div 500, and a DOC
+      // participates at i iff the max j4 over its pairs reaches 500*i
+      // — so one bucket rollup per leg + an 18-row cumulative replaces
+      // the row explosion. Bit-identical output (same DECIMAL sums,
+      // associativity; the subset gate pins it at two factors).
+      val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val p4 = graft.ops.Dist.materialize(pairs
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          floor(col("jaccard") * lit(1e4) + lit(0.5)).cast("long")
+            .as("j4"))) // pair leg + doc leg share one PPJoin pass
+      val pairBk = p4
+        .groupBy(least((col("j4") / lit(500L)).cast("long"), lit(18L))
+          .as("bi"))
+        .agg(count(lit(1)).as("bc"),
+          sum(col("jaccard").cast(dec6)).as("bs"))
+      val docBk = p4
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc"),
+          col("j4"))
+        .groupBy(col("doc"))
+        .agg(max(col("j4")).as("mj4"))
+        .groupBy(least((col("mj4") / lit(500L)).cast("long"), lit(18L))
+          .as("bi"))
+        .agg(count(lit(1)).as("dc"))
       val ths = s.range(1, 19)
-        .select((col("id").cast(dt) / 20.0).as("th"))
-      val cut = pairs.crossJoin(broadcast(ths))
-        .filter(col("jaccard") >= col("th"))
-      val pairCnt = cut.groupBy(col("th"))
-        .agg(count(lit(1)).as("n_pairs"),
-          ExactRound.ratioRound(
-            ExactRound.toUnscaled(sum(col("jaccard")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6))), 6),
-            count(lit(1)) * lit(1000000L), 6).as("mean_jaccard"))
-      val docCnt = cut
-        .select(col("th"), explode(array(col("id_a"), col("id_b")))
-          .as("doc"))
-        .distinct()
-        .groupBy(col("th")).agg(count(lit(1)).as("n_docs"))
+        .select(col("id").as("i"), (col("id").cast(dt) / 20.0).as("th"))
+      val pairCnt = ths.join(pairBk, col("bi") >= col("i"), "left")
+        .groupBy(col("th"))
+        .agg(sum(col("bc")).as("n_pairs0"),
+          sum(col("bs")).as("sj"))
+        .select(col("th"), col("n_pairs0"),
+          when(col("n_pairs0") > 0, ExactRound.ratioRound(
+            ExactRound.toUnscaled(col("sj"), 6),
+            col("n_pairs0") * lit(1000000L), 6)).as("mean_jaccard"))
+      val docCnt = ths.join(docBk, col("bi") >= col("i"), "left")
+        .groupBy(col("th")).agg(sum(col("dc")).as("n_docs0"))
       val total = broadcast(Tables.documents(s, dir)
         .agg(count(lit(1)).as("n_total")))
-      ths.join(pairCnt, Seq("th"), "left")
+      ths.select(col("th")).join(pairCnt, Seq("th"), "left")
         .join(docCnt, Seq("th"), "left")
         .crossJoin(total)
         .select(col("th").as("threshold"),
-          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_pairs0"), lit(0L)).as("n_pairs"),
           col("mean_jaccard"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          ExactRound.ratioRound(coalesce(col("n_docs"), lit(0L)),
+          coalesce(col("n_docs0"), lit(0L)).as("n_docs"),
+          ExactRound.ratioRound(coalesce(col("n_docs0"), lit(0L)),
             col("n_total"), 6).as("doc_share"))
         .orderBy(col("threshold"))
     }),
