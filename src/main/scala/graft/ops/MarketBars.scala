@@ -561,8 +561,12 @@ object MarketBars {
         (dbl(col("q1")) - dbl(col("s1")) * dbl(col("s1")) / dbl(col("n_rets"))) /
           dbl(col("n_rets"))))
       .select(col("series"), col("n_days"), col("n_rets"),
+        // mu*ppy/1e8 = s1*ppy/(n*1e8): ppy is an integral double
+        // literal, so the finish is one exact integer rational
         when(col("mu").isNotNull,
-          round(col("mu") * ppy / lit(1e8), 6)).as("ann_return"),
+          ExactRound.ratioRound(
+            col("s1") * lit(periodsPerYear.toLong),
+            col("n_rets") * lit(100000000L), 6)).as("ann_return"),
         when(col("varp").isNotNull,
           round(sqrt(col("varp") * ppy) / lit(1e8), 6)).as("ann_vol"),
         when(col("varp") > 0,
@@ -922,9 +926,13 @@ object MarketBars {
     val ha = -dbl(col("ha12"))
     val hb = -dbl(col("hb12"))
     agg.select(col("series_a"), col("series_b"), col("n"),
-      round(mi, 6).as("mi"),
-      round(ha, 6).as("h_a"), round(hb, 6).as("h_b"),
-      when(least(ha, hb) > 0, round(mi / least(ha, hb), 6)).as("nmi"))
+      round(col("mi12"), 6).cast(DoubleType).as("mi"),
+      round(-col("ha12"), 6).cast(DoubleType).as("h_a"),
+      round(-col("hb12"), 6).cast(DoubleType).as("h_b"),
+      // least(h_a, h_b) = -greatest(ha12, hb12): the quotient of the
+      // two exact 12dp decimals is one exact rational
+      when(least(ha, hb) > 0, ExactRound.ratioRound(ExactRound.toUnscaled(col("mi12"), 12),
+        ExactRound.toUnscaled(-greatest(col("ha12"), col("hb12")), 12), 6)).as("nmi"))
   }
 
   /** Pairwise Granger causality at lag 1: for every ordered series
@@ -1071,7 +1079,8 @@ object MarketBars {
     val vx = npd * dbl(col("pxx")) - dbl(col("px")) * dbl(col("px"))
     val vy = npd * dbl(col("pyy")) - dbl(col("py")) * dbl(col("py"))
     agg.select(col("series"), col("n_obs"),
-      round(mean, 6).as("fd_mean"),
+      ExactRound.ratioRound(ExactRound.toUnscaled(col("sx"), 6),
+        col("n_obs") * lit(1000000L), 6).as("fd_mean"),
       when(col("n_obs") > 1 && variance >= 0,
         round(sqrt(variance), 6)).as("fd_sd"),
       when(col("np") > 1 && vx > 0 && vy > 0,
@@ -1508,7 +1517,9 @@ object MarketBars {
       .withColumn("den",
         dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
       .select(col("series"), col("d"), col("n"),
-        when(col("den") > 0, round(col("num") / col("den"), 6))
+        when(col("den") > 0, ExactRound.ratioRound(
+          col("n") * col("sxy") - col("sx") * col("sy"),
+          col("n") * col("sxx") - col("sx") * col("sx"), 6))
           .as("kyle_lambda"))
   }
 
@@ -4509,7 +4520,9 @@ object MarketBars {
         min(col("dd")).as("max_drawdown"))
       .select(col("series"), col("n_rets"),
         when(col("n_rets") > 0,
-          round(mu * ppy / lit(1e8), 6)).as("ann_return"),
+          ExactRound.ratioRound(
+            col("s1") * lit(periodsPerYear.toLong),
+            col("n_rets") * lit(100000000L), 6)).as("ann_return"),
         when(col("n_rets") > 0,
           round(sqrt(dvar * ppy) / lit(1e8), 6)).as("downside_dev"),
         when(col("n_rets") > 0 && dbl(col("dq")) > 0,
@@ -4939,8 +4952,9 @@ object MarketBars {
             lit(1e8)))
       .select(col("series"), col("n_days"),
         round(col("ui"), 6).as("ulcer_index"),
-        when(col("ann_ret").isNotNull, round(col("ann_ret"), 6))
-          .as("ann_return"),
+        when(col("ann_ret").isNotNull, ExactRound.ratioRound(
+          col("s1") * lit(periodsPerYear.toLong),
+          col("n_rets") * lit(100000000L), 6)).as("ann_return"),
         when(col("ui") > 0 && col("ann_ret").isNotNull,
           round(col("ann_ret") / col("ui"), 6)).as("martin_ratio"))
   }

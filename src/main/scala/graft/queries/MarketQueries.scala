@@ -2507,7 +2507,9 @@ object MarketQueries {
                 FROM a)
           SELECT series, n_days, n_rets,
             CASE WHEN mu IS NOT NULL
-                 THEN round(mu * 252.0 / 1e8, 6) END AS ann_return,
+                 THEN ${ExactRound.sqlRatioRound(
+                   "CAST(s1 AS HUGEINT)*252",
+                   "n_rets*100000000", 6)} END AS ann_return,
             CASE WHEN varp IS NOT NULL
                  THEN round(sqrt(varp * 252.0) / 1e8, 6) END AS ann_vol,
             CASE WHEN varp > 0
@@ -2763,14 +2765,19 @@ object MarketQueries {
                   sum(CAST(x*d6 AS DECIMAL(38,0))) AS sxy,
                   sum(CAST(x*x AS DECIMAL(38,0))) AS sxx
                 FROM x GROUP BY 1, 2),
-          f AS (SELECT series, d, n,
+          f AS (SELECT series, d, n, sx, sy, sxy, sxx,
                   CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
                   CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den
                 FROM g)
           SELECT series, d, n,
-            CASE WHEN den > 0 THEN round(num / den, 6) END AS kyle_lambda
+            CASE WHEN den > 0 THEN ${ExactRound.sqlRatioRound(
+              "CAST(n AS HUGEINT)*CAST(sxy AS HUGEINT)" +
+                " - CAST(sx AS HUGEINT)*CAST(sy AS HUGEINT)",
+              "CAST(n AS HUGEINT)*CAST(sxx AS HUGEINT)" +
+                " - CAST(sx AS HUGEINT)*CAST(sx AS HUGEINT)", 6)} END
+              AS kyle_lambda
           FROM f ORDER BY series, d""",
 
     // OBV twin: the q152 sign chain + an all-integer running sum
@@ -4520,7 +4527,9 @@ object MarketQueries {
                 FROM a)
           SELECT series, n_rets,
             CASE WHEN n_rets > 0
-                 THEN round(mu * 252.0 / 1e8, 6) END AS ann_return,
+                 THEN ${ExactRound.sqlRatioRound(
+                   "CAST(s1 AS HUGEINT)*252",
+                   "n_rets*100000000", 6)} END AS ann_return,
             CASE WHEN n_rets > 0
                  THEN round(sqrt(dvar * 252.0) / 1e8, 6) END
               AS downside_dev,
@@ -5543,7 +5552,7 @@ object MarketQueries {
                   SUM(CAST(r8 AS DECIMAL(38,0))) AS s1,
                   SUM(CAST(round(dd*dd, 12) AS DECIMAL(38,12))) AS sdd
                 FROM r GROUP BY 1),
-          f AS (SELECT series, n_days, n_rets,
+          f AS (SELECT series, n_days, n_rets, s1,
                   sqrt(CAST(sdd AS DOUBLE)/CAST(n_days AS DOUBLE)) AS ui,
                   CASE WHEN n_rets > 0 THEN
                     CAST(s1 AS DOUBLE)/CAST(n_rets AS DOUBLE)*252.0/1e8
@@ -5551,7 +5560,9 @@ object MarketQueries {
                 FROM g)
           SELECT series, n_days,
             round(ui, 6) AS ulcer_index,
-            CASE WHEN ann_ret IS NOT NULL THEN round(ann_ret, 6) END
+            CASE WHEN ann_ret IS NOT NULL THEN
+              ${ExactRound.sqlRatioRound(
+                "CAST(s1 AS HUGEINT)*252", "n_rets*100000000", 6)} END
               AS ann_return,
             CASE WHEN ui > 0 AND ann_ret IS NOT NULL THEN
               round(ann_ret/ui, 6) END AS martin_ratio
@@ -7041,7 +7052,7 @@ object MarketQueries {
                     AS pxx,
                   SUM(CAST(round(xp*xp, 12) AS DECIMAL(38,12))) AS pyy
                 FROM x GROUP BY 1),
-          f AS (SELECT series, n_obs, np,
+          f AS (SELECT series, n_obs, np, sx,
                   CAST(sx AS DOUBLE)/CAST(n_obs AS DOUBLE) AS mean,
                   (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
                     *CAST(sx AS DOUBLE)/CAST(n_obs AS DOUBLE))
@@ -7053,7 +7064,10 @@ object MarketQueries {
                   CAST(np AS DOUBLE)*CAST(pyy AS DOUBLE)
                     - CAST(py AS DOUBLE)*CAST(py AS DOUBLE) AS vy
                 FROM a)
-          SELECT series, n_obs, round(mean, 6) AS fd_mean,
+          SELECT series, n_obs,
+            ${ExactRound.sqlRatioRound(
+              "CAST(sx*1000000 AS HUGEINT)", "n_obs*1000000", 6)}
+              AS fd_mean,
             CASE WHEN n_obs > 1 AND variance >= 0
               THEN round(sqrt(variance), 6) END AS fd_sd,
             CASE WHEN np > 1 AND vx > 0 AND vy > 0
@@ -7171,7 +7185,7 @@ object MarketQueries {
                      AS DECIMAL(38,12))) AS hb12
                  FROM mb JOIN tot USING (series_a, series_b)
                  GROUP BY 1, 2),
-          f AS (SELECT series_a, series_b, n,
+          f AS (SELECT series_a, series_b, n, mi12, ha12, hb12,
                   CAST(mi12 AS DOUBLE) AS mi,
                   -CAST(ha12 AS DOUBLE) AS ha,
                   -CAST(hb12 AS DOUBLE) AS hb
@@ -7179,10 +7193,15 @@ object MarketQueries {
                 JOIN hA USING (series_a, series_b)
                 JOIN hB USING (series_a, series_b)
                 JOIN tot USING (series_a, series_b))
-          SELECT series_a, series_b, n, round(mi, 6) AS mi,
-            round(ha, 6) AS h_a, round(hb, 6) AS h_b,
+          SELECT series_a, series_b, n,
+            CAST(round(mi12, 6) AS DOUBLE) AS mi,
+            CAST(round(-ha12, 6) AS DOUBLE) AS h_a,
+            CAST(round(-hb12, 6) AS DOUBLE) AS h_b,
             CASE WHEN least(ha, hb) > 0
-              THEN round(mi/least(ha, hb), 6) END AS nmi
+              THEN ${ExactRound.sqlRatioRound(
+                "CAST(mi12*1000000000000 AS HUGEINT)",
+                "CAST(-greatest(ha12, hb12)*1000000000000 AS HUGEINT)",
+                6)} END AS nmi
           FROM f ORDER BY series_a, series_b""",
 
     // Pettitt twin: daily closes with the bars-CTE tie rule, doubled
