@@ -1387,6 +1387,28 @@ object LlmQueries {
           (col("peak") * lit(128.0)).cast("long").as("peak128"),
           col("voiced"))
         .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+
+    // Whole-clip audio decode stats (MultimodalOps.decodeAudio over
+    // the q405 synthetic corpus): the single-pass header-walk+stats
+    // loop, per clip — RMS (floor-form 6dp over the exactly-shared
+    // dyadic rational), peak as the exact integer max|s|, and the
+    // zero-crossing RATE (sign chain with zeros inheriting the
+    // previous sign — the oracle replays the carry with an
+    // ignore-nulls last_value window). Completes the audio family:
+    // q405 gates the framer, this gates the clip decoder.
+    "q406_audio_clips" -> ((s, dir) => {
+      val assets = MultimodalOps.syntheticAudioAssets(
+        Tables.embeddings(s, dir), "vec_id")
+      MultimodalOps.decodeAudio(assets).toDF()
+        .select(col("asset_id"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.n_samples").as("n_samples"),
+          floor(col("rms") * lit(1e6) + lit(0.5)).cast("long").as("rms6"),
+          (col("peak") * lit(128.0)).cast("long").as("peak128"),
+          floor(col("zcr") * lit(1e6) + lit(0.5)).cast("long").as("zcr6"))
+        .orderBy(col("asset_id"))
     })
   )
 
@@ -5152,6 +5174,50 @@ object LlmQueries {
             pk AS peak128,
             sqrt((CAST(ss AS DOUBLE)/16384.0)
               /CAST(n_samples AS DOUBLE)) >= 0.58 AS voiced
-          FROM fr ORDER BY asset_id, frame_idx"""
+          FROM fr ORDER BY asset_id, frame_idx""",
+
+    // audio-clip twin: the q405 sample replay, whole-clip rollup; the
+    // zero-crossing chain carries the last NONZERO sign with an
+    // ignore-nulls last_value (zeros inherit, so a zero never counts
+    // as a crossing — the decoder's prevSign semantics verbatim)
+    "q406_audio_clips" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+          sp AS (SELECT id, CAST(320 + id % 160 AS INTEGER) AS k
+                 FROM ids),
+          jj AS (SELECT id, unnest(generate_series(0, k - 1)) AS j
+                 FROM sp),
+          sm AS (SELECT id, j,
+                   CASE WHEN b >= 128 THEN b - 256 ELSE b END AS s
+                 FROM (SELECT id, j,
+                         CAST(concat('0x', substr(md5(
+                           concat('aud:', id, ':', j)), 1, 2))
+                           AS INTEGER) AS b
+                       FROM jj)),
+          sg AS (SELECT id, j, s,
+                   last_value(CASE WHEN s > 0 THEN 1
+                                   WHEN s < 0 THEN -1 END IGNORE NULLS)
+                     OVER (PARTITION BY id ORDER BY j
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS csgn
+                 FROM sm),
+          cx AS (SELECT id, j, s, csgn,
+                   lag(csgn) OVER (PARTITION BY id ORDER BY j) AS psgn
+                 FROM sg),
+          cl AS (SELECT id AS asset_id,
+                   count(*) AS n,
+                   CAST(SUM(s*s) AS BIGINT) AS ss,
+                   CAST(max(abs(s)) AS BIGINT) AS pk,
+                   CAST(SUM(CASE WHEN psgn IS NOT NULL
+                     AND csgn <> psgn THEN 1 ELSE 0 END) AS BIGINT)
+                     AS crossings
+                 FROM cx GROUP BY 1)
+          SELECT asset_id, 8000 AS sample_rate, 1 AS channels,
+            CAST(n AS BIGINT) AS n_samples,
+            CAST(floor(sqrt((CAST(ss AS DOUBLE)/16384.0)
+              /CAST(n AS DOUBLE))*1e6 + 0.5) AS BIGINT) AS rms6,
+            pk AS peak128,
+            CAST(floor(CAST(crossings AS DOUBLE)/CAST(n AS DOUBLE)*1e6
+              + 0.5) AS BIGINT) AS zcr6
+          FROM cl ORDER BY asset_id"""
   )
 }
