@@ -1202,7 +1202,8 @@ object MarketBars {
         sum(when(dbl(chebM) <= col("rtol"), 1L).otherwise(0L)).as("n_b"),
         sum(when(dbl(chebM1) <= col("rtol"), 1L).otherwise(0L)).as("n_a"))
     counts.select(col("series"), col("n_days"),
-      round(col("rtol") / lit(1e8), 6).as("r_tol"),
+      ExactRound.ratioRound(col("rtol"), lit(100000000L), 6)
+        .as("r_tol"),
       col("n_b"), col("n_a"),
       when(col("n_a") > 0 && col("n_b") > 0,
         round(-log(dbl(col("n_a")) / dbl(col("n_b"))), 6)).as("sampen"))
@@ -2177,7 +2178,7 @@ object MarketBars {
       (dbl(col("m_pairs")) / (dbl(col("m_pairs")) - 1)) * dbl(col("sbv"))
     agg.filter(col("m_pairs") >= 2)
       .select(col("series"), col("d"), col("n_rets"), col("m_pairs"),
-        round(rv, 10).as("rv"),
+        round(col("srr"), 10).cast(DoubleType).as("rv"),
         round(bv, 10).as("bv"),
         when(rv > 0, round(greatest(lit(0.0), lit(1.0) - bv / rv), 6))
           .as("jump_frac"))

@@ -3091,7 +3091,7 @@ object MarketQueries {
                     AS sbv
                 FROM t GROUP BY 1, 2)
           SELECT series, d, n_rets, m_pairs,
-            round(CAST(srr AS DOUBLE), 10) AS rv,
+            CAST(round(srr, 10) AS DOUBLE) AS rv,
             round(pi() / 2 * (CAST(m_pairs AS DOUBLE)
               / (CAST(m_pairs AS DOUBLE) - 1)) * CAST(sbv AS DOUBLE), 10)
               AS bv,
@@ -7009,7 +7009,9 @@ object MarketQueries {
                 JOIN tm b ON a.series = b.series AND a.t < b.t
                 JOIN tol ON tol.series = a.series
                 GROUP BY 1)
-          SELECT series, n_days, round(rtol/1e8, 6) AS r_tol,
+          SELECT series, n_days,
+            ${ExactRound.sqlRatioRound("rtol", "100000000", 6)}
+              AS r_tol,
             n_b, n_a,
             CASE WHEN n_a > 0 AND n_b > 0 THEN
               round(-ln(CAST(n_a AS DOUBLE)/CAST(n_b AS DOUBLE)), 6)
