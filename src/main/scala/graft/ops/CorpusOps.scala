@@ -2233,11 +2233,13 @@ object CorpusOps {
     val nb = dbl(col("n_buckets"))
     val den = nb * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
     agg.select(col("source"), col("n_docs"), col("n_buckets"),
-      round(dbl(col("yf")) / lit(1e6), 6).as("q_first"),
-      round(dbl(col("yl")) / lit(1e6), 6).as("q_last"),
+      ExactRound.ratioRound(col("yf"), lit(1000000L), 6).as("q_first"),
+      ExactRound.ratioRound(col("yl"), lit(1000000L), 6).as("q_last"),
       when(den > 0,
-        round((nb * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
-          / den / lit(1e6), 6)).as("drift_slope"))
+        ExactRound.ratioRound(
+          col("n_buckets") * col("sxy") - col("sx") * col("sy"),
+          (col("n_buckets") * col("sxx") - col("sx") * col("sx")) *
+            lit(1000000L), 6)).as("drift_slope"))
   }
 
   /** Vocabulary drift across crawl tranches: per id-bucket, the share
@@ -2331,8 +2333,8 @@ object CorpusOps {
         .withColumnRenamed("v", "vb")), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_inter"),
         (col("va") + col("vb") - col("n_inter")).as("n_union"),
-        round(dbl(col("n_inter")) /
-          dbl(col("va") + col("vb") - col("n_inter")), 6).as("jaccard"))
+        ExactRound.ratioRound(col("n_inter"),
+          col("va") + col("vb") - col("n_inter"), 6).as("jaccard"))
   }
 
   /** Per-source Zipf slope: the OLS slope of ln(freq) on ln(rank)
@@ -2481,9 +2483,10 @@ object CorpusOps {
         max(col("n_terms")).as("n_terms"),
         sum(col("hterm")).as("hd"))
       .select(col("source"), col("n_tokens"), col("n_terms"),
-        round(dbl(col("hd")), 6).as("entropy"),
+        round(col("hd"), 6).cast(DoubleType).as("entropy"),
         round(exp(dbl(col("hd"))), 6).as("eff_vocab"),
-        round(dbl(col("n_terms")) / dbl(col("n_tokens")), 6).as("ttr"))
+        ExactRound.ratioRound(col("n_terms"), col("n_tokens"), 6)
+          .as("ttr"))
   }
 
   /** Log-normality audit of document lengths per source: Jarque–Bera

@@ -5781,14 +5781,17 @@ object MarketBars {
         min(col("r8")).as("lo8"), max(col("r8")).as("hi8"))
     val n = dbl(col("n_series"))
     agg.select(col("d"), col("n_series"),
-      round(dbl(col("s1")) / n / lit(1e8), 6).as("mean_ret"),
+      ExactRound.ratioRound(col("s1"), col("n_series") * lit(100000000L), 6)
+        .as("mean_ret"),
       when(col("n_series") > 1,
         round(sqrt((n * dbl(col("s2")) -
           dbl(col("s1")) * dbl(col("s1"))) / (n * (n - 1))) / lit(1e8),
           6)).as("cs_sd"),
-      round(dbl(col("sad")) / (n * n) / lit(1e8), 6).as("csad"),
-      round(dbl(col("lo8")) / lit(1e8), 8).as("min_ret"),
-      round(dbl(col("hi8")) / lit(1e8), 8).as("max_ret"))
+      ExactRound.ratioRound(col("sad"),
+        (col("n_series") * col("n_series")).cast(dec) *
+          lit(100000000L), 6).as("csad"),
+      ExactRound.ratioRound(col("lo8"), lit(100000000L), 8).as("min_ret"),
+      ExactRound.ratioRound(col("hi8"), lit(100000000L), 8).as("max_ret"))
   }
 
   /** MedRV normalizer π/(6 − 4√3 + π) (Andersen–Dobrev–Schaumburg

@@ -511,7 +511,7 @@ object PairAnalytics {
         sum(col("pnl").cast(DecimalType(28, 12))).as("sp"))
       .select(col("pair_name"), col("n_bars"), col("n_trades"),
         col("n_win"), col("n_loss"),
-        round(dbl(col("sp")), 6).as("total_pnl"),
+        round(col("sp"), 6).cast(DoubleType).as("total_pnl"),
         when(col("n_win") + col("n_loss") > 0,
           floor(dbl(col("n_win")) / (dbl(col("n_win")) + dbl(col("n_loss")))
             * lit(1e4) + lit(0.5)) / lit(1e4)).as("hit_rate"))

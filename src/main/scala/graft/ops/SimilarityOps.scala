@@ -301,9 +301,11 @@ object SimilarityOps {
       .crossJoin(broadcast(total))
     agg.select(col("n_vecs"), col("n_scored"), col("n_used"),
       when(col("n_used") > 0,
-        round(dbl(col("s")) / dbl(col("n_used")), 6)).as("mean_ln_mu"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("s"), 12),
+          col("n_used") * lit(1000000000000L), 6)).as("mean_ln_mu"),
       when(col("n_used") > 0 && dbl(col("s")) > 0,
-        round(dbl(col("n_used")) / dbl(col("s")), 6)).as("id_mle"))
+        ExactRound.ratioRound(col("n_used") * lit(1000000000000L),
+          ExactRound.toUnscaled(col("s"), 12), 6)).as("id_mle"))
   }
 
   /** Objective for [[kmeansCodebook]]: total cosine of every vector to
@@ -898,8 +900,10 @@ object SimilarityOps {
         sum(when(col(labelCol) === posLabel, 1L).otherwise(0L)).as("n_pos"),
         sum(col(scoreCol).cast(DecimalType(28, 6))).as("ss"))
       .select(col("bin"), col("n"), col("n_pos"),
-        round(dbl(col("ss")) / dbl(col("n")), 6).as("mean_score"),
-        round(dbl(col("n_pos")) / dbl(col("n")), 6).as("pos_rate"))
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("ss"), 6),
+          col("n") * lit(1000000L), 6).as("mean_score"),
+        ExactRound.ratioRound(col("n_pos"), col("n"), 6)
+          .as("pos_rate"))
   }
   /** Shared exact centered-Gram fold (the q260 machinery): ONE
     * primitive upper-triangle accumulator per partition — scaled-1e12

@@ -647,10 +647,11 @@ object StatOps {
       .withColumn("at_risk", sum(col("n_all")).over(wDesc))
       .filter(col("d") > 0)
       .withColumn("hterm",
-        round(dbl(col("d")) / dbl(col("at_risk")), 12).cast(dec12))
+        ExactRound.ratioRound(col("d"), col("at_risk"), 12).cast(dec12))
       .withColumn("vterm",
-        round(dbl(col("d")) /
-          (dbl(col("at_risk")) * dbl(col("at_risk"))), 12).cast(dec12))
+        ExactRound.ratioRound(col("d"),
+          (col("at_risk") * col("at_risk"))
+            .cast(DecimalType(38, 0)), 12).cast(dec12))
     val hs = durations.sparkSession
       .createDataFrame(horizons.map(Tuple1(_))).toDF("horizon")
     val base = durations.groupBy(col(groupCol))

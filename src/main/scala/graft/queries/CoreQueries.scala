@@ -4099,12 +4099,12 @@ object CoreQueries {
                    AS BIGINT) AS at_risk
                  FROM cells),
           ev AS (SELECT c_mktsegment, dur,
-                   CAST(round(CAST(dd AS DOUBLE)
-                     /CAST(at_risk AS DOUBLE), 12) AS DECIMAL(38,12))
-                     AS hterm,
-                   CAST(round(CAST(dd AS DOUBLE)
-                     /(CAST(at_risk AS DOUBLE)*CAST(at_risk AS DOUBLE)),
-                     12) AS DECIMAL(38,12)) AS vterm
+                   CAST(${ExactRound.sqlRatioRound(
+                     "dd", "at_risk", 12)} AS DECIMAL(38,12)) AS hterm,
+                   CAST(${ExactRound.sqlRatioRound(
+                     "dd",
+                     "CAST(at_risk AS HUGEINT)*at_risk", 12)}
+                     AS DECIMAL(38,12)) AS vterm
                  FROM ar WHERE dd > 0),
           base AS (SELECT c_mktsegment, count(*) AS n_spells,
                      CAST(SUM(event) AS BIGINT) AS n_events

@@ -3190,7 +3190,7 @@ object LlmQueries {
     // calibration twin: the q89 scoring chain verbatim, then the q115
     // equal-width binning over the margin range
     "q227_calibration" ->
-      """WITH e0 AS (SELECT vec_id, label,
+      s"""WITH e0 AS (SELECT vec_id, label,
                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           u AS (SELECT label, CAST(i-1 AS INTEGER) AS pos,
                   CAST(v[i] AS DECIMAL(28,12)) AS xd
@@ -3219,10 +3219,13 @@ object LlmQueries {
           SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n,
             CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_pos,
-            round(CAST(sum(CAST(margin AS DECIMAL(28,6))) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE), 6) AS mean_score,
-            round(CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
-              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+            ${ExactRound.sqlRatioRound(
+              "CAST(sum(CAST(margin AS DECIMAL(28,6)))*1000000" +
+                " AS HUGEINT)",
+              "count(*)*1000000", 6)} AS mean_score,
+            ${ExactRound.sqlRatioRound(
+              "SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)",
+              "count(*)", 6)} AS pos_rate
           FROM b GROUP BY 1 ORDER BY bin""",
 
     // readability twin: same vowel-run syllables (min 1 per word),
@@ -3344,7 +3347,7 @@ object LlmQueries {
     // vocab-overlap twin: exact distinct-term join, inclusion-
     // exclusion union, one rounded ratio
     "q249_vocab_overlap" ->
-      """WITH d AS (SELECT source,
+      s"""WITH d AS (SELECT source,
                       regexp_split_to_array(trim(text), ' +') AS toks
                     FROM documents),
           v AS (SELECT DISTINCT source, unnest(toks) AS term FROM d),
@@ -3356,8 +3359,8 @@ object LlmQueries {
                 GROUP BY 1, 2)
           SELECT source_a, source_b, n_inter,
             CAST(sa.vs + sb.vs - n_inter AS BIGINT) AS n_union,
-            round(CAST(n_inter AS DOUBLE)
-              / CAST(sa.vs + sb.vs - n_inter AS DOUBLE), 6) AS jaccard
+            ${ExactRound.sqlRatioRound(
+              "n_inter", "sa.vs + sb.vs - n_inter", 6)} AS jaccard
           FROM i
           JOIN sz sa ON i.source_a = sa.source
           JOIN sz sb ON i.source_b = sb.source
@@ -3757,7 +3760,7 @@ object LlmQueries {
     // effective-vocab twin: q257 tokenize idiom, 12dp −p·ln p fold,
     // exp on the decimal-sum double once at emission
     "q303_effective_vocab" ->
-      """WITH d AS (SELECT source,
+      s"""WITH d AS (SELECT source,
                       regexp_split_to_array(trim(text), ' +') AS toks
                     FROM documents),
           tf AS (SELECT source, term, count(*) AS tf
@@ -3774,9 +3777,9 @@ object LlmQueries {
                   SUM(CAST(round(-p*ln(p), 12) AS DECIMAL(38,12))) AS hd
                 FROM h GROUP BY 1)
           SELECT source, n_tokens, n_terms,
-            round(CAST(hd AS DOUBLE), 6) AS entropy,
+            CAST(round(hd, 6) AS DOUBLE) AS entropy,
             round(exp(CAST(hd AS DOUBLE)), 6) AS eff_vocab,
-            round(CAST(n_terms AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+            ${ExactRound.sqlRatioRound("n_terms", "n_tokens", 6)}
               AS ttr
           FROM m ORDER BY source""",
 
@@ -4697,10 +4700,14 @@ object LlmQueries {
                  FROM piv)
           SELECT tot.n_vecs, a2.n_scored, a2.n_used,
             CASE WHEN n_used > 0 THEN
-              round(CAST(s AS DOUBLE)/CAST(n_used AS DOUBLE), 6)
+              ${ExactRound.sqlRatioRound(
+                "CAST(s*1000000000000 AS HUGEINT)",
+                "n_used*1000000000000", 6)}
             END AS mean_ln_mu,
             CASE WHEN n_used > 0 AND CAST(s AS DOUBLE) > 0 THEN
-              round(CAST(n_used AS DOUBLE)/CAST(s AS DOUBLE), 6)
+              ${ExactRound.sqlRatioRound(
+                "CAST(n_used AS HUGEINT)*1000000000000",
+                "CAST(s*1000000000000 AS HUGEINT)", 6)}
             END AS id_mle
           FROM a2, tot""",
 
@@ -4861,14 +4868,16 @@ object LlmQueries {
                    max(CASE WHEN bucket = 10 THEN y6 END) AS yl
                  FROM y GROUP BY 1)
           SELECT source, n_docs, n_buckets,
-            round(CAST(yf AS DOUBLE)/1e6, 6) AS q_first,
-            round(CAST(yl AS DOUBLE)/1e6, 6) AS q_last,
+            ${ExactRound.sqlRatioRound("yf", "1000000", 6)} AS q_first,
+            ${ExactRound.sqlRatioRound("yl", "1000000", 6)} AS q_last,
             CASE WHEN CAST(n_buckets AS DOUBLE)*CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0 THEN
-              round((CAST(n_buckets AS DOUBLE)*CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                /(CAST(n_buckets AS DOUBLE)*CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))/1e6, 6)
+              ${ExactRound.sqlRatioRound(
+                "CAST(n_buckets AS HUGEINT)*CAST(sxy AS HUGEINT)" +
+                  " - CAST(sx AS HUGEINT)*CAST(sy AS HUGEINT)",
+                "(CAST(n_buckets AS HUGEINT)*CAST(sxx AS HUGEINT)" +
+                  " - CAST(sx AS HUGEINT)*CAST(sx AS HUGEINT))" +
+                  "*1000000", 6)}
             END AS drift_slope
           FROM ag ORDER BY source""",
 

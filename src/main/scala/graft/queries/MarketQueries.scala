@@ -3243,7 +3243,7 @@ object MarketQueries {
                   sum(CAST(pnl AS DECIMAL(28,12))) AS sp
                 FROM pn)
           SELECT 'click-view' AS pair_name, n_bars, n_trades, n_win,
-            n_loss, round(CAST(sp AS DOUBLE), 6) AS total_pnl,
+            n_loss, CAST(round(sp, 6) AS DOUBLE) AS total_pnl,
             CASE WHEN n_win + n_loss > 0
               THEN floor(CAST(n_win AS DOUBLE)
                 / (CAST(n_win AS DOUBLE) + CAST(n_loss AS DOUBLE))
@@ -6278,7 +6278,8 @@ object MarketQueries {
                    min(r8) AS lo8, max(r8) AS hi8
                  FROM x GROUP BY 1)
           SELECT d, n_series,
-            round(CAST(s1 AS DOUBLE)/CAST(n_series AS DOUBLE)/1e8, 6)
+            ${ExactRound.sqlRatioRound(
+              "CAST(s1 AS HUGEINT)", "n_series*100000000", 6)}
               AS mean_ret,
             CASE WHEN n_series > 1 THEN
               round(sqrt((CAST(n_series AS DOUBLE)*CAST(s2 AS DOUBLE)
@@ -6286,11 +6287,14 @@ object MarketQueries {
                 /(CAST(n_series AS DOUBLE)
                   *(CAST(n_series AS DOUBLE) - 1)))/1e8, 6)
             END AS cs_sd,
-            round(CAST(sad AS DOUBLE)
-              /(CAST(n_series AS DOUBLE)*CAST(n_series AS DOUBLE))
-              /1e8, 6) AS csad,
-            round(CAST(lo8 AS DOUBLE)/1e8, 8) AS min_ret,
-            round(CAST(hi8 AS DOUBLE)/1e8, 8) AS max_ret
+            ${ExactRound.sqlRatioRound(
+              "CAST(sad AS HUGEINT)",
+              "CAST(n_series AS HUGEINT)*n_series*100000000", 6)}
+              AS csad,
+            ${ExactRound.sqlRatioRound("lo8", "100000000", 8)}
+              AS min_ret,
+            ${ExactRound.sqlRatioRound("hi8", "100000000", 8)}
+              AS max_ret
           FROM ag ORDER BY d""",
 
     // Corr-structure twin: the q341 bar-return chain both pair legs,
