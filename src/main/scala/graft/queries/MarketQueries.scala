@@ -5448,20 +5448,26 @@ object MarketQueries {
     // experiment — see MarketBars.hhiVolume scaladoc): raw Σv²/V² as
     // decimal strings plus the 6dp/4dp HALF_UP scaled BIGINTs, exact
     // HUGEINT rationals mirroring the Spark DECIMAL div/% finish. No
-    // double appears in either engine's output.
+    // double appears in either engine's output. Round-13 fix (judge
+    // root cause): DuckDB's SUM(BIGINT) is HUGEINT, so the uncast
+    // `vt AS total_ticks` reached the driver's hasher as INT128 while
+    // Spark emits BIGINT — the ONLY two HUGEINT-output twins of 403
+    // were exactly the two hash fails. total_ticks is now CAST to
+    // BIGINT (values ≪ 2^63); the wide-int products are uniformly
+    // HUGEINT (no mixed DECIMAL(38,0) idiom) and internal-only.
     "q365_hhi_volume" ->
       s"""WITH $barsCte,
           dv AS (SELECT CAST(bar_ts AS DATE) AS d, series,
                    SUM(n_ticks) AS v
                  FROM bars GROUP BY 1, 2),
           a AS (SELECT d, count(*) AS n_series, SUM(v) AS vt,
-                  SUM(CAST(v AS DECIMAL(38,0))
-                    *CAST(v AS DECIMAL(38,0))) AS q
+                  SUM(CAST(v AS HUGEINT)
+                    *CAST(v AS HUGEINT)) AS q
                 FROM dv GROUP BY 1),
           h AS (SELECT d, n_series, vt, CAST(q AS HUGEINT) AS qh,
                   CAST(vt AS HUGEINT)*CAST(vt AS HUGEINT) AS bh
                 FROM a)
-          SELECT d, n_series, vt AS total_ticks,
+          SELECT d, n_series, CAST(vt AS BIGINT) AS total_ticks,
             CAST(qh AS VARCHAR) AS q_str,
             CAST(bh AS VARCHAR) AS b_str,
             CAST(${ExactRound.sqlRatioRoundScaled("qh", "bh", 6)}
@@ -5472,20 +5478,21 @@ object MarketQueries {
 
     // HHI double-emitting sibling (q404): identical integer pipeline,
     // scaled integers divided by the scale once. Bisects the driver
-    // divergence jointly with q365's integer contract.
+    // divergence jointly with q365's integer contract. Round-13 fix:
+    // total_ticks CAST to BIGINT (was HUGEINT — see q365 note).
     "q404_hhi_volume_dbl" ->
       s"""WITH $barsCte,
           dv AS (SELECT CAST(bar_ts AS DATE) AS d, series,
                    SUM(n_ticks) AS v
                  FROM bars GROUP BY 1, 2),
           a AS (SELECT d, count(*) AS n_series, SUM(v) AS vt,
-                  SUM(CAST(v AS DECIMAL(38,0))
-                    *CAST(v AS DECIMAL(38,0))) AS q
+                  SUM(CAST(v AS HUGEINT)
+                    *CAST(v AS HUGEINT)) AS q
                 FROM dv GROUP BY 1),
           h AS (SELECT d, n_series, vt, CAST(q AS HUGEINT) AS qh,
                   CAST(vt AS HUGEINT)*CAST(vt AS HUGEINT) AS bh
                 FROM a)
-          SELECT d, n_series, vt AS total_ticks,
+          SELECT d, n_series, CAST(vt AS BIGINT) AS total_ticks,
             ${ExactRound.sqlRatioRound("qh", "bh", 6)} AS hhi,
             ${ExactRound.sqlRatioRound("bh", "qh", 4)} AS eff_n
           FROM h ORDER BY d""",

@@ -12,6 +12,21 @@ sort-by-all-columns compare would mask (the round-1 q01 failure mode).
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
        python3 tools/check_oracle.py --boundary-audit <sfDir> <outDir> [names...]
        python3 tools/check_oracle.py --boundary-self-test
+       python3 tools/check_oracle.py --type-lint <sfDir> <outDir>
+       python3 tools/check_oracle.py --type-lint-self-test
+
+Output-type lint (round 13, the q365/q404 class): DuckDB widens
+SUM(BIGINT) to HUGEINT, and this tool's norm() canonicalizes exotic
+numerics (HUGEINT->int64, Decimal->float) before comparing — so a
+twin whose OUTPUT column is HUGEINT/DECIMAL/FLOAT can pass locally
+while the driver's hasher, which hashes the DuckDB-native type,
+fails it. That exact blind spot hid an uncast `SUM(SUM(BIGINT))`
+column for three rounds. The lint DESCRIBEs every twin and
+hard-fails any output column typed HUGEINT/UHUGEINT (Spark has no
+INT128), FLOAT (Spark-side outputs are DOUBLE), or DECIMAL that the
+Spark parquet does not also emit as the identical decimal(p,s).
+It runs inside the main gate (so a lint hit is a FAIL row) and
+standalone via --type-lint (DESCRIBE-only, no Spark dump needed).
 
 Boundary audit: the q365 failure class — a raw round() on a double
 whose pre-rounding value sits within a few ulps of a d+1-digit
@@ -61,6 +76,85 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
     return df.reset_index(drop=True)
+
+
+def lint_output_types(con, sql: str, spark_files=None):
+    """DESCRIBE the oracle twin and flag output columns whose DuckDB
+    type norm() canonicalizes away but the driver's hasher sees
+    natively: HUGEINT/UHUGEINT always (Spark has no INT128 — these
+    appear silently via SUM(BIGINT)->HUGEINT), FLOAT always (the repo
+    contract is DOUBLE outputs), and DECIMAL unless the Spark parquet
+    emits the identical decimal(p,s) for that column. Returns a list
+    of 'col: issue' strings; empty = clean."""
+    desc = con.execute("DESCRIBE " + sql).fetchdf()
+    spark_types = {}
+    if spark_files:
+        import pyarrow.parquet as pq
+        schema = pq.read_schema(spark_files[0])
+        spark_types = {f.name: str(f.type) for f in schema}
+    flags = []
+    for col, ty in zip(desc["column_name"], desc["column_type"]):
+        t = ty.upper()
+        if "HUGEINT" in t:
+            flags.append(f"{col}: oracle emits {ty} (Spark has no INT128; "
+                         "CAST the twin's column — SUM(BIGINT) widens)")
+        elif t == "FLOAT":
+            flags.append(f"{col}: oracle emits FLOAT (outputs must be DOUBLE)")
+        elif t.startswith("DECIMAL"):
+            want = "decimal128" + t[len("DECIMAL"):].replace(" ", "")
+            got = spark_types.get(col, "")
+            if got.replace(" ", "") != want:
+                flags.append(f"{col}: oracle emits {ty} but Spark side is "
+                             f"{got or 'unknown'} — cast the twin or match "
+                             "the decimal(p,s) exactly")
+    return flags
+
+
+def type_lint(sf_dir: str, out_dir: str):
+    """Standalone DESCRIBE-only sweep of every twin (no Spark dump
+    needed; DECIMAL checks use the dump when present)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_clean = n_flag = n_err = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        try:
+            flags = lint_output_types(con, oracle[name], files or None)
+        except Exception as e:
+            n_err += 1
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+            continue
+        if flags:
+            n_flag += 1
+            print(f"FAIL {name} [type-lint]:")
+            for f in flags:
+                print(f"    {f}")
+        else:
+            n_clean += 1
+    print(f"\ntype-lint: {n_clean} clean, {n_flag} flagged, {n_err} err")
+    return 1 if (n_flag or n_err) else 0
+
+
+def type_lint_self_test():
+    """A deliberately-uncast SUM(SUM(BIGINT)) twin must flag; the
+    BIGINT-cast form must not; a FLOAT output must flag."""
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT * FROM (VALUES (1, 10), (1, 20), "
+                "(2, 30)) v(k, x)")
+    bad = ("SELECT SUM(s) AS total FROM "
+           "(SELECT k, SUM(CAST(x AS BIGINT)) AS s FROM t GROUP BY k)")
+    good = ("SELECT CAST(SUM(s) AS BIGINT) AS total FROM "
+            "(SELECT k, SUM(CAST(x AS BIGINT)) AS s FROM t GROUP BY k)")
+    flt = "SELECT CAST(1.5 AS FLOAT) AS r"
+    f_bad = lint_output_types(con, bad)
+    f_good = lint_output_types(con, good)
+    f_flt = lint_output_types(con, flt)
+    print(f"self-test: uncast HUGEINT flagged={bool(f_bad)} ({f_bad}), "
+          f"cast form flagged={bool(f_good)}, FLOAT flagged={bool(f_flt)}")
+    return 0 if (f_bad and not f_good and f_flt) else 1
 
 
 def cmp_frames(a: pd.DataFrame, b: pd.DataFrame, name: str):
@@ -300,11 +394,13 @@ def main(sf_dir: str, out_dir: str):
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in files])
             duck_df = con.execute(oracle[name]).fetchdf()
+            lint = lint_output_types(con, oracle[name], files)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        issues = cmp_frames(spark_df, duck_df, name)
+        issues = [f"[type-lint] {f}" for f in lint]
+        issues += cmp_frames(spark_df, duck_df, name)
         if issues:
             n_fail += 1
             print(f"FAIL {name} ({len(spark_df)} rows):")
@@ -323,4 +419,8 @@ if __name__ == "__main__":
         sys.exit(boundary_self_test())
     elif sys.argv[1] == "--boundary-audit":
         sys.exit(boundary_audit(sys.argv[2], sys.argv[3], sys.argv[4:]))
+    elif sys.argv[1] == "--type-lint-self-test":
+        sys.exit(type_lint_self_test())
+    elif sys.argv[1] == "--type-lint":
+        sys.exit(type_lint(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))

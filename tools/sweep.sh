@@ -34,5 +34,10 @@ for sf in "${factors[@]}"; do
   # print per-query FAIL detail + the summary line; swallow the PASS spam
   python3 tools/check_oracle.py "/root/testdata/sf$sf" "$out/sf$sf" \
     | grep -E "^FAIL|^    |pass, " || rc=1
+  echo "=== output-type lint sf$sf ==="
+  # HUGEINT/FLOAT/mismatched-DECIMAL twin outputs: the driver hashes
+  # DuckDB-native types that norm() canonicalizes away (the q365 class)
+  python3 tools/check_oracle.py --type-lint "/root/testdata/sf$sf" "$out/sf$sf" \
+    | grep -E "^FAIL|^ERR|^    |type-lint: " || rc=1
 done
 exit $rc
