@@ -1409,6 +1409,50 @@ object LlmQueries {
           (col("peak") * lit(128.0)).cast("long").as("peak128"),
           floor(col("zcr") * lit(1e6) + lit(0.5)).cast("long").as("zcr6"))
         .orderBy(col("asset_id"))
+    }),
+
+    // Resize round-trip end-to-end (MultimodalOps.resizeImages over
+    // the q393 synthetic BMP corpus): the REAL nearest-neighbor
+    // kernel shrinks each 16×8 md5-pixel BMP to 8×4, the resized
+    // bytes flow back through the REAL decoder, and the decoded
+    // 16-bin luminance histogram emits as exact pixel counts
+    // (share·32 is an exact dyadic). NN sampling picks src pixel
+    // (2x, 2y) = cell 16y+x, i.e. exactly the cells with c%16 < 8 —
+    // which is what the oracle replays from the same md5 bytes in
+    // SQL. q393 gates decode→hash; this gates resize→decode.
+    "q407_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val assets = MultimodalOps.syntheticImageAssets(
+        Tables.embeddings(s, dir), "vec_id")
+      val back = MultimodalOps.resizeImages(assets, 8, 4)
+        .map(r => MultimodalOps.MediaAsset(r.asset_id, "image", r.payload))
+      MultimodalOps.decodeImages(back).toDF()
+        .select(col("asset_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          posexplode(col("features")).as(Seq("bin", "share")))
+        .select(col("asset_id"), col("width"), col("height"),
+          col("bin").cast("int").as("bin"),
+          floor(col("share") * lit(32.0) + lit(0.5)).cast("long").as("n_px"))
+        .filter(col("n_px") > 0)
+        .orderBy(col("asset_id"), col("bin"))
+    }),
+
+    // dHash near-dup end-to-end (the q393 pipeline on the GRADIENT
+    // hash): the real 8×9-grid difference hash over the synthetic
+    // BMPs, then the same hamming band join. The one-cell tweak only
+    // perturbs row-0 gradients, so twins sit at hamming ≤ 1; the
+    // oracle replays the full pixel→grid→cross-multiplied-compare
+    // pipeline from the md5 bytes in SQL (no collapsed shortcuts).
+    // q393 gates aHash; this gates the dHash variant.
+    "q408_image_dhash" -> ((s, dir) => {
+      val assets = MultimodalOps.syntheticImageAssets(
+        Tables.embeddings(s, dir), "vec_id")
+      DedupOps.hammingNearDups(
+          MultimodalOps.imageHashes(assets), "asset_id", "dhash",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -5227,6 +5271,83 @@ object LlmQueries {
             pk AS peak128,
             CAST(floor(CAST(crossings AS DOUBLE)/CAST(n AS DOUBLE)*1e6
               + 0.5) AS BIGINT) AS zcr6
-          FROM cl ORDER BY asset_id"""
+          FROM cl ORDER BY asset_id""",
+
+    // resize twin: NN 16×8→8×4 sampling lands on src pixel (2x, 2y)
+    // = md5 cell 16y+x — exactly the cells with c%16 < 8; luminance
+    // of a gray pixel is its level exactly, so the decoded 16-bin
+    // histogram is a per-(v//16) count over those 32 cells
+    "q407_image_resize" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+          a AS (SELECT id*2 AS aid, id, 0 AS var FROM ids
+                UNION ALL
+                SELECT id*2+1, id, 1 FROM ids WHERE id % 5 = 0),
+          cells AS (
+            SELECT a.aid, g.c,
+              CASE WHEN a.var = 1 AND g.c = 0 THEN
+                ((position(substring(md5(concat(a.id, ':', g.c)), 1, 1)
+                    IN '0123456789abcdef') - 1)*16
+                  + position(substring(md5(concat(a.id, ':', g.c)), 2, 1)
+                    IN '0123456789abcdef') - 1 + 16) % 256
+              ELSE
+                (position(substring(md5(concat(a.id, ':', g.c)), 1, 1)
+                    IN '0123456789abcdef') - 1)*16
+                  + position(substring(md5(concat(a.id, ':', g.c)), 2, 1)
+                    IN '0123456789abcdef') - 1
+              END AS v
+            FROM a CROSS JOIN generate_series(0, 63) g(c)),
+          sel AS (SELECT aid, v FROM cells WHERE c % 16 < 8),
+          b AS (SELECT aid, CAST(v // 16 AS INTEGER) AS bin,
+                  count(*) AS n
+                FROM sel GROUP BY 1, 2)
+          SELECT aid AS asset_id, 8 AS width, 4 AS height, bin,
+            CAST(n AS BIGINT) AS n_px
+          FROM b ORDER BY asset_id, bin""",
+
+    // dHash twin: the full pixel→8×9-grid→cross-multiplied-compare
+    // pipeline replayed generically from the md5 bytes (pixel (x,y)
+    // = cell y*8 + x//2; grid column (x*9)//16; bit = sL·cntR >
+    // sR·cntL — no collapsed shortcuts), then oracle-scale n² hamming
+    "q408_image_dhash" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+          a AS (SELECT id*2 AS aid, id, 0 AS var FROM ids
+                UNION ALL
+                SELECT id*2+1, id, 1 FROM ids WHERE id % 5 = 0),
+          cells AS (
+            SELECT a.aid, g.c,
+              CASE WHEN a.var = 1 AND g.c = 0 THEN
+                ((position(substring(md5(concat(a.id, ':', g.c)), 1, 1)
+                    IN '0123456789abcdef') - 1)*16
+                  + position(substring(md5(concat(a.id, ':', g.c)), 2, 1)
+                    IN '0123456789abcdef') - 1 + 16) % 256
+              ELSE
+                (position(substring(md5(concat(a.id, ':', g.c)), 1, 1)
+                    IN '0123456789abcdef') - 1)*16
+                  + position(substring(md5(concat(a.id, ':', g.c)), 2, 1)
+                    IN '0123456789abcdef') - 1
+              END AS v
+            FROM a CROSS JOIN generate_series(0, 63) g(c)),
+          px AS (SELECT cl.aid, p.y, p.x, cl.v
+                 FROM (SELECT yy.y, xx.x
+                       FROM generate_series(0, 7) yy(y)
+                       CROSS JOIN generate_series(0, 15) xx(x)) p
+                 JOIN cells cl ON cl.c = p.y*8 + p.x//2),
+          grid AS (SELECT aid, y, (x*9)//16 AS gx,
+                     SUM(v) AS s, count(*) AS cnt
+                   FROM px GROUP BY 1, 2, 3),
+          bits AS (SELECT l.aid, l.y*8 + l.gx AS bi,
+                     CASE WHEN l.s*r.cnt > r.s*l.cnt
+                       THEN 1 ELSE 0 END AS b
+                   FROM grid l JOIN grid r
+                     ON r.aid = l.aid AND r.y = l.y AND r.gx = l.gx + 1
+                   WHERE l.gx < 8),
+          pairs AS (
+            SELECT x.aid AS id_a, y.aid AS id_b,
+              CAST(SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END)
+                AS INTEGER) AS hamming
+            FROM bits x JOIN bits y ON x.bi = y.bi AND x.aid < y.aid
+            GROUP BY 1, 2)
+          SELECT id_a, id_b, hamming FROM pairs
+          WHERE hamming <= 3 ORDER BY id_a, id_b"""
   )
 }

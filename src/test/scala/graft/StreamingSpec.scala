@@ -1106,4 +1106,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.except(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming snapshot-diff store equals batch q174 under LATE data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cut1 = to_timestamp(lit("2024-01-15 00:00:00"))
+    val cut2 = to_timestamp(lit("2024-02-01 00:00:00"))
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .limit(4000).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // every 7th row arrives LAST: keys split mid-history AND revisited
+    // by a late out-of-order sliver, including some users' argmax rows
+    val late = raw.zipWithIndex.filter(_._2 % 7 == 0).map(_._1)
+    val early = raw.zipWithIndex.filter(_._2 % 7 != 0).map(_._1)
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val store = graft.streaming.SnapshotDiffStream.newStore(spark)
+    val q = graft.streaming.SnapshotDiffStream.start(
+      stream.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      store, cut1, cut2)
+    try {
+      stream.addData(early.take(2000)); q.processAllAvailable()
+      stream.addData(early.drop(2000)); q.processAllAvailable()
+      stream.addData(late); q.processAllAvailable()
+      val streamed = store.snapshot()
+      val batch = graft.ops.EventAnalytics.snapshotDiff(
+        raw.toDF("user_id", "ts", "event_id", "event_type"), cut1, cut2)
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
