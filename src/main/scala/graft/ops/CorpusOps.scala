@@ -31,6 +31,42 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object CorpusOps {
 
+  /** Context-window truncation audit: for each source × token limit,
+    * how many documents exceed the limit and what share of the
+    * source's tokens survives a hard truncate-at-L — the
+    * sequence-length budgeting table a training run reads before
+    * choosing its context window (the loss side of q57's chunking and
+    * q38's packing, which both KEEP the tail this op drops).
+    *
+    * All-integer: whitespace token counts, per-(source, limit) sums
+    * of min(n, L) and of the over-limit indicator; the kept-share is
+    * an exact [[ExactRound]] quotient. The limit set rides a 3-row
+    * explode — map-side, no join.
+    *
+    * Scale: ONE corpus scan (tokenize counts only — text never
+    * shuffles), one (source, limit) map-side-combined rollup over
+    * |sources|·|limits| cells. */
+  def truncationLoss(
+      docs: DataFrame,
+      limits: Seq[Int] = Seq(16, 32, 64),
+      textCol: String = "text"): DataFrame = {
+    docs
+      .select(col("source"),
+        size(split(trim(col(textCol)), " +")).cast("long").as("n"))
+      .select(col("source"), col("n"),
+        explode(array(limits.map(l => lit(l)): _*)).as("lim"))
+      .groupBy(col("source"), col("lim"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") > col("lim"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(col("n")).as("tokens_total"),
+        sum(least(col("n"), col("lim").cast("long"))).as("tokens_kept"))
+      .select(col("source"), col("lim"), col("n_docs"),
+        col("n_truncated"), col("tokens_total"), col("tokens_kept"),
+        ExactRound.ratioRound(col("tokens_kept"), col("tokens_total"), 6)
+          .as("share_kept"))
+  }
+
   /** Assign each document to a token-budget bin, packing in `idCol`
     * order WITHIN each of `nShards` hash shards: bin = floor((running
     * token total − 1) / budget). A document that crosses a budget

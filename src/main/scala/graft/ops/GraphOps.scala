@@ -338,4 +338,52 @@ object GraphOps {
           ExactRound.ratioRound(lit(3L) * col("n_triangles"),
             col("n_wedges"), 6)).as("clustering"))
   }
+
+  /** Degree assortativity of an undirected graph: the Pearson
+    * correlation of endpoint degrees over the symmetrized edge list —
+    * positive when heavy duplicators link to heavy duplicators (the
+    * crawl-cluster / syndication-hub structure signal on a near-dup
+    * graph), negative for hub-and-spoke. With both orientations of
+    * every edge the x and y marginals coincide, so the correlation is
+    * a PURE RATIONAL of integer sums — no square root anywhere:
+    * r = (m·Σxy − S²) / (m·Σxx − S²) with m = 2|E|, S = Σ(da+db),
+    * Σxy = 2Σ(da·db), Σxx = Σ(da²+db²) — and the 6dp finish is the
+    * exact [[ExactRound]] quotient in both engines.
+    *
+    * Scale: one degree aggregate, two key joins of the edge list
+    * against the (much smaller) degree table, one 1-row fold —
+    * no window, no all-pairs anything. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val ed = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val s = ed.agg(
+      count(lit(1)).as("ne"),
+      coalesce(sum((col("da") + col("db")).cast(dec)), lit(0L).cast(dec))
+        .as("sx"),
+      coalesce(sum(col("da").cast(dec) * col("db").cast(dec) * 2),
+        lit(0L).cast(dec)).as("sxy"),
+      coalesce(sum(col("da").cast(dec) * col("da").cast(dec)
+        + col("db").cast(dec) * col("db").cast(dec)), lit(0L).cast(dec))
+        .as("sxx"))
+    val m = (col("ne") * 2).cast(dec)
+    s.crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select(col("n_nodes"), col("ne").as("n_edges"),
+        when(m * col("sxx") - col("sx") * col("sx") > 0,
+          ExactRound.ratioRound(m * col("sxy") - col("sx") * col("sx"),
+            m * col("sxx") - col("sx") * col("sx"), 6))
+          .as("assortativity"))
+  }
 }

@@ -6058,4 +6058,97 @@ object MarketBars {
         when(col("vr") > 0, round(lit(2.0) * col("pw") / col("vr"), 6))
           .as("power_share"))
   }
+
+  /** Cross-sectional signal turnover: per day, the Spearman rank
+    * autocorrelation between today's and yesterday's daily-return
+    * cross-sections, plus the mean absolute rank move — how fast a
+    * momentum signal's ordering churns (the trading-cost companion to
+    * q320's rank IC: a high-IC signal that reshuffles daily is
+    * untradable).
+    *
+    * Determinism: daily ln returns are exact 1e-8 longs (tearsheet
+    * rule); both days' returns re-rank WITHIN today's cross-section
+    * via row_number with a series tie-break, so the two rank vectors
+    * are permutations of the same 1..n and the no-ties Spearman
+    * 1 − 6Σd²/(n(n²−1)) is an exact integer rational finished by
+    * [[ExactRound]]. "Yesterday's return" is the series' previous
+    * OBSERVATION (a lag over its valid-return days), identical in
+    * both engines.
+    *
+    * Scale: one (series, day) rollup, two series-keyed lags, two
+    * day-partitioned rank windows (cross-section-sized), one day
+    * rollup — no cross-join, no global window. */
+  def signalTurnover(bars: DataFrame): DataFrame = {
+    val ws = Window.partitionBy(col("series")).orderBy(col("d"))
+    val dec = DecimalType(38, 0)
+    val daily = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(max(struct(col("bar_ts"), col("close")))
+        .getField("close").as("close"))
+      .withColumn("prev_c", lag(col("close"), 1).over(ws))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
+      .withColumn("r8",
+        floor(log(col("close") / col("prev_c")) * lit(1e8) + lit(0.5))
+          .cast("long"))
+      .withColumn("pr8", lag(col("r8"), 1).over(ws))
+      .filter(col("pr8").isNotNull)
+    val n = col("n_series").cast(dec)
+    daily
+      .withColumn("rk1", row_number().over(Window.partitionBy(col("d"))
+        .orderBy(col("r8").desc, col("series"))))
+      .withColumn("rk0", row_number().over(Window.partitionBy(col("d"))
+        .orderBy(col("pr8").desc, col("series"))))
+      .withColumn("dr", (col("rk1") - col("rk0")).cast("long"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_series"),
+        sum((col("dr") * col("dr")).cast(dec)).as("sd2"),
+        sum(abs(col("dr")).cast(dec)).as("sad"))
+      .select(col("d"), col("n_series"),
+        when(col("n_series") > 1,
+          ExactRound.ratioRound(
+            n * (n * n - 1) - col("sd2") * 6,
+            n * (n * n - 1), 6)).as("rank_autocorr"),
+        ExactRound.ratioRound(col("sad"), n, 4).as("mean_rank_move"))
+  }
+
+  /** Volatility of volatility per series: mean and standard deviation
+    * of the daily realized-volatility series (q92's RV) — vol
+    * regimes' CHURN, the risk-of-risk number vol-targeting (q367)
+    * and the vol cone (q241) both presume is small.
+    *
+    * Determinism: the q92 chain verbatim up to daily RV (8dp-rounded
+    * ln returns, DECIMAL(28,12) square folds, one sqrt), then the
+    * q309 moment discipline: RV rounds to 12dp, Σrv and Σ(rv²@12dp)
+    * fold in DECIMAL(38,12), the mean is an exact [[ExactRound]]
+    * quotient and the sd forms in one shared double op order.
+    *
+    * Scale: one series-keyed lag pass, one (series, day) rollup, one
+    * per-series fold — |series| rows out. */
+  def volOfVol(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("bar_ts"))
+    val dec28 = DecimalType(28, 12)
+    val dec12 = DecimalType(38, 12)
+    def dbl(c: Column) = c.cast(DoubleType)
+    val daily = bars
+      .withColumn("prev_c", lag(col("close"), 1).over(w))
+      .filter(col("prev_c").isNotNull && col("prev_c") > 0 && col("close") > 0)
+      .withColumn("r", round(log(col("close") / col("prev_c")), 8))
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(sum((col("r") * col("r")).cast(dec28)).as("v"))
+      .withColumn("rv", round(sqrt(dbl(col("v"))), 12))
+    val vx = dbl(col("n_days")) * dbl(col("s2")) -
+      dbl(col("s1")) * dbl(col("s1"))
+    daily.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rv").cast(dec12)).as("s1"),
+        sum(round(col("rv") * col("rv"), 12).cast(dec12)).as("s2"))
+      .select(col("series"), col("n_days"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("s1"), 12),
+          col("n_days").cast(DecimalType(38, 0)) * lit(1000000000000L), 8)
+          .as("mean_rv"),
+        when(col("n_days") > 1 && vx > 0,
+          round(sqrt(vx / (dbl(col("n_days")) *
+            (dbl(col("n_days")) - lit(1.0)))), 8))
+          .otherwise(when(col("n_days") > 1, lit(0.0))).as("sd_rv"))
+  }
 }

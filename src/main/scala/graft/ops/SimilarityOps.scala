@@ -738,6 +738,57 @@ object SimilarityOps {
           .as("recall"))
   }
 
+  /** Matryoshka / prefix-dimension recall curve: for each query, the
+    * exact top-k under the FULL dot product vs the top-k under the
+    * dot of only the first d components of the (full-norm) unit
+    * vectors, for each d in `dims` — the acceptance metric for the
+    * standard memory-bandwidth lever where a truncated-prefix scan
+    * shortlists candidates and the full vector rescopes only the
+    * shortlist (matryoshka embeddings / ADC-style first pass).
+    *
+    * Determinism: every score is the sequential-fold double
+    * [[graft.functions.VecDot]] over identical operands in both
+    * engines (prefix = slice-then-dot, bit-identical to DuckDB's
+    * `list_dot_product(list_slice(...))`); ranks break ties by
+    * neighbor id; hits are exact integers.
+    *
+    * Scale: queries broadcast (a sampled eval set, never the corpus);
+    * ONE corpus scan scores all prefixes at once (the slices reuse
+    * the row already in hand); the per-query rankings share one
+    * qid exchange across the window passes; output |queries| rows. */
+  def prefixRecall(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      dims: Seq[Int] = Seq(8, 16, 32),
+      queryEvery: Int = 50): DataFrame = {
+    val parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    val base = withUnitVec(emb, vecCol)
+    val q = base.filter(col(idCol) % queryEvery === 0)
+      .select(col(idCol).as("qid"), col("nv").as("qv"))
+    val c = base.select(col(idCol).as("nid"), col("nv"))
+      .repartition(parallelism)
+    val scored = dims.foldLeft(
+      c.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("f", dot(col("qv"), col("nv")))) { (df, d) =>
+      df.withColumn(s"p$d",
+        dot(slice(col("qv"), 1, d), slice(col("nv"), 1, d)))
+    }
+    val w = Window.partitionBy(col("qid"))
+    val ranked = dims.foldLeft(
+      scored.withColumn("rf",
+        row_number().over(w.orderBy(col("f").desc, col("nid"))))) { (df, d) =>
+      df.withColumn(s"r$d",
+        row_number().over(w.orderBy(col(s"p$d").desc, col("nid"))))
+    }
+    val aggs = dims.map(d =>
+      sum(when(col(s"r$d") <= k, 1L).otherwise(0L)).as(s"hits_$d"))
+    ranked.filter(col("rf") <= k)
+      .groupBy(col("qid"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Reproducible negative sampling for contrastive training: for
     * each vector, `k` pseudo-random "negative" partners drawn by the
     * portable md5 hash over (id, draw index) — no RNG state, so the

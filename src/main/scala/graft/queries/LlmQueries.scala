@@ -1453,6 +1453,45 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("int").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Matryoshka / prefix-dimension recall (SimilarityOps
+    // .prefixRecall): exact top-5 under the first 8/16/32 components
+    // of the unit vectors vs the full 64-dim ranking — the acceptance
+    // curve for a truncated-prefix shortlist pass (the
+    // memory-bandwidth lever next to q103's int8 and q97's PQ)
+    "q409_prefix_recall" -> ((s, dir) => {
+      SimilarityOps.prefixRecall(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 5, dims = Seq(8, 16, 32),
+          queryEvery = 50)
+        .orderBy(col("qid"))
+    }),
+
+    // Degree assortativity of the shared-run (winnowing) graph
+    // (GraphOps.degreeAssortativity over the q315 fingerprint-overlap
+    // edges): do heavy sharers link to heavy sharers (crawl-cluster /
+    // syndication hubs vs quote-of-a-popular-page stars) — the mixing
+    // statistic next to q305's clustering coefficient, as a PURE
+    // exact-integer rational. The q77 near-dup graph saturates at
+    // exactly +1 (disjoint uniform-degree cliques) — the winnowing
+    // graph's mixed hub structure keeps the metric live at every
+    // factor (0.37 / 0.28 / 0.06 at the three shipped scales).
+    "q411_dup_assortativity" -> ((s, dir) => {
+      val edges = DedupOps.winnowingOverlap(
+          Tables.rebalance(Tables.documents(s, dir)),
+          "text", "doc_id", n = 3, window = 4, minShared = 2, maxDf = 100)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.ops.GraphOps.degreeAssortativity(edges)
+    }),
+
+    // Context-window truncation audit (CorpusOps.truncationLoss):
+    // per source × token limit, documents over the limit and the
+    // exact share of tokens a hard truncate keeps — the budgeting
+    // table behind choosing a context window (q57/q38's loss side)
+    "q413_truncation_loss" -> ((s, dir) => {
+      CorpusOps.truncationLoss(Tables.rebalance(Tables.documents(s, dir)),
+          limits = Seq(16, 32, 64))
+        .orderBy(col("source"), col("lim"))
     })
   )
 
@@ -5348,6 +5387,107 @@ object LlmQueries {
             FROM bits x JOIN bits y ON x.bi = y.bi AND x.aid < y.aid
             GROUP BY 1, 2)
           SELECT id_a, id_b, hamming FROM pairs
-          WHERE hamming <= 3 ORDER BY id_a, id_b"""
+          WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // prefix-recall twin: identical sequential-fold dots over the
+    // same unit vectors (list_dot_product over list_slice mirrors
+    // slice-then-VecDot), ranks tie-break by neighbor id, hits are
+    // exact integers
+    "q409_prefix_recall" ->
+      s"""WITH $embCte,
+          q AS (SELECT vec_id AS qid, v AS qv FROM e
+                WHERE vec_id % 50 = 0),
+          sc AS (SELECT qid, c.vec_id AS nid,
+                   ${duckCos("q.qv", "c.v")} AS f,
+                   ${duckCos("list_slice(q.qv, 1, 8)",
+                     "list_slice(c.v, 1, 8)")} AS p8,
+                   ${duckCos("list_slice(q.qv, 1, 16)",
+                     "list_slice(c.v, 1, 16)")} AS p16,
+                   ${duckCos("list_slice(q.qv, 1, 32)",
+                     "list_slice(c.v, 1, 32)")} AS p32
+                 FROM q JOIN e c ON c.vec_id <> q.qid),
+          r AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY f DESC, nid) AS rf,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY p8 DESC, nid) AS r8,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY p16 DESC, nid) AS r16,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY p32 DESC, nid) AS r32
+                FROM sc)
+          SELECT qid,
+            CAST(SUM(CASE WHEN r8 <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS hits_8,
+            CAST(SUM(CASE WHEN r16 <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS hits_16,
+            CAST(SUM(CASE WHEN r32 <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS hits_32
+          FROM r WHERE rf <= 5 GROUP BY qid ORDER BY qid""",
+
+    // assortativity twin: the q315 winnowing edge CTEs, then the
+    // symmetrized-endpoint Pearson as one exact HUGEINT rational
+    // (x and y marginals coincide, so no sqrt exists to diverge)
+    "q411_dup_assortativity" ->
+      s"""WITH $toksCte,
+          h AS (SELECT doc_id,
+                  list_transform($shingleExpr,
+                    s -> ${CrossHash.duckX64("s")}) AS hs
+                FROM d),
+          hm AS (SELECT doc_id, hs, len(hs) AS m FROM h
+                 WHERE len(hs) >= 1),
+          fp AS (SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(m - 4 + 1, 1)),
+                   j -> list_min(hs[j:j+least(4, m)-1]))) AS fps
+                 FROM hm),
+          pf AS (SELECT doc_id, unnest(fps) AS v FROM fp),
+          bb AS (SELECT v, count(*) AS dfc FROM pf GROUP BY 1),
+          keep AS (SELECT pf.doc_id, pf.v FROM pf JOIN bb USING (v)
+                   WHERE dfc <= 100),
+          e AS (SELECT a2.doc_id AS a, b2.doc_id AS b
+                FROM keep a2 JOIN keep b2
+                  ON a2.v = b2.v AND a2.doc_id < b2.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+          deg AS (SELECT v, count(*) AS deg FROM
+                    (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY 1),
+          ed AS (SELECT d1.deg AS da, d2.deg AS db
+                 FROM e JOIN deg d1 ON d1.v = e.a
+                 JOIN deg d2 ON d2.v = e.b),
+          s AS (SELECT CAST(count(*) AS HUGEINT) AS ne,
+                  COALESCE(SUM(CAST(da + db AS HUGEINT)),
+                    CAST(0 AS HUGEINT)) AS sx,
+                  COALESCE(SUM(2*CAST(da AS HUGEINT)*CAST(db AS HUGEINT)),
+                    CAST(0 AS HUGEINT)) AS sxy,
+                  COALESCE(SUM(CAST(da AS HUGEINT)*CAST(da AS HUGEINT)
+                    + CAST(db AS HUGEINT)*CAST(db AS HUGEINT)),
+                    CAST(0 AS HUGEINT)) AS sxx
+                FROM ed)
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+            CAST(ne AS BIGINT) AS n_edges,
+            CASE WHEN 2*ne*sxx - sx*sx > 0 THEN
+              ${ExactRound.sqlRatioRound("2*ne*sxy - sx*sx",
+                "2*ne*sxx - sx*sx", 6)} END AS assortativity
+          FROM s""",
+
+    // truncation twin: whitespace token counts, limits as a 3-row
+    // unnest, exact min(n, L) integer folds, ExactRound kept-share
+    "q413_truncation_loss" ->
+      s"""WITH t AS (SELECT source,
+                      CAST(len(regexp_split_to_array(trim(text), ' +'))
+                        AS BIGINT) AS n
+                    FROM documents),
+          l AS (SELECT unnest([16, 32, 64]) AS lim),
+          a AS (SELECT source, lim, count(*) AS n_docs,
+                  CAST(SUM(CASE WHEN n > lim THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_truncated,
+                  CAST(SUM(n) AS BIGINT) AS tokens_total,
+                  CAST(SUM(least(n, lim)) AS BIGINT) AS tokens_kept
+                FROM t CROSS JOIN l GROUP BY 1, 2)
+          SELECT source, CAST(lim AS INTEGER) AS lim, n_docs,
+            n_truncated, tokens_total, tokens_kept,
+            ${ExactRound.sqlRatioRound("tokens_kept", "tokens_total", 6)}
+              AS share_kept
+          FROM a ORDER BY source, lim"""
   )
 }

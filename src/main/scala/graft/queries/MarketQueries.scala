@@ -1730,6 +1730,25 @@ object MarketQueries {
     "q327_friedman" -> ((s, dir) => {
       StatOps.friedman(Tables.events(s, dir),
         to_date(col("ts")), col("event_type"), col("value"))
+    }),
+
+    // Cross-sectional signal turnover (MarketBars.signalTurnover):
+    // per day, the no-ties Spearman between today's and yesterday's
+    // daily-return rankings + the mean absolute rank move — how fast
+    // the momentum ordering churns (q320 rank IC's trading-cost twin)
+    "q410_signal_turnover" -> ((s, dir) => {
+      MarketBars.signalTurnover(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("d"))
+    }),
+
+    // Volatility of volatility (MarketBars.volOfVol): per series, the
+    // mean and sd of the q92 daily realized-volatility series — the
+    // risk-of-risk panel under q241's cone and q367's vol targeting
+    "q412_vol_of_vol" -> ((s, dir) => {
+      MarketBars.volOfVol(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"))
     })
   )
 
@@ -7487,6 +7506,82 @@ object MarketQueries {
                     WHEN k-1 = 7 THEN 14.0671 WHEN k-1 = 8 THEN 15.5073
                     WHEN k-1 = 9 THEN 16.9190 ELSE 18.3070 END)
             END AS reject_no_effect
-          FROM f"""
+          FROM f""",
+
+    // turnover twin: q140's daily-close rule, exact 1e-8 return longs
+    // pre-filtered BEFORE the second lag (so "yesterday" = previous
+    // valid observation), both days re-ranked within today's
+    // cross-section, exact no-ties Spearman rational
+    "q410_signal_turnover" ->
+      s"""WITH $barsCte,
+          dcl AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   (max(struct_pack(t := bar_ts, c := close))).c AS close
+                  FROM bars GROUP BY 1, 2),
+          l AS (SELECT series, d, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY d)
+                    AS prev_c
+                FROM dcl),
+          r AS (SELECT series, d,
+                  CAST(floor(ln(close/prev_c)*1e8 + 0.5) AS BIGINT)
+                    AS r8
+                FROM l WHERE prev_c IS NOT NULL AND prev_c > 0
+                  AND close > 0),
+          pr AS (SELECT series, d, r8,
+                   lag(r8) OVER (PARTITION BY series ORDER BY d) AS pr8
+                 FROM r),
+          g AS (SELECT * FROM pr WHERE pr8 IS NOT NULL),
+          rk AS (SELECT d,
+                   row_number() OVER (PARTITION BY d
+                     ORDER BY r8 DESC, series) AS rk1,
+                   row_number() OVER (PARTITION BY d
+                     ORDER BY pr8 DESC, series) AS rk0
+                 FROM g),
+          a AS (SELECT d, CAST(count(*) AS HUGEINT) AS n,
+                  SUM(CAST(rk1 - rk0 AS HUGEINT)*(rk1 - rk0)) AS sd2,
+                  SUM(CAST(abs(rk1 - rk0) AS HUGEINT)) AS sad
+                FROM rk GROUP BY 1)
+          SELECT d, CAST(n AS BIGINT) AS n_series,
+            CASE WHEN n > 1 THEN
+              ${ExactRound.sqlRatioRound("n*(n*n - 1) - 6*sd2",
+                "n*(n*n - 1)", 6)} END AS rank_autocorr,
+            ${ExactRound.sqlRatioRound("sad", "n", 4)} AS mean_rank_move
+          FROM a ORDER BY d""",
+
+    // vol-of-vol twin: the q92 RV chain verbatim (8dp returns,
+    // DECIMAL(28,12) square folds, one sqrt), RV rounds 12dp, q309
+    // moment folds, ExactRound mean and a shared-op-order sd finish
+    "q412_vol_of_vol" ->
+      s"""WITH $barsCte,
+          l AS (SELECT series, bar_ts, close,
+                  lag(close) OVER (PARTITION BY series ORDER BY bar_ts)
+                    AS prev_c
+                FROM bars),
+          r AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                  round(ln(close/prev_c), 8) AS r
+                FROM l WHERE prev_c IS NOT NULL AND prev_c > 0
+                  AND close > 0),
+          v AS (SELECT series, d,
+                  SUM(CAST(r*r AS DECIMAL(28,12))) AS v
+                FROM r GROUP BY 1, 2),
+          rv AS (SELECT series,
+                   round(sqrt(CAST(v AS DOUBLE)), 12) AS rv
+                 FROM v),
+          a AS (SELECT series, count(*) AS n,
+                  SUM(CAST(rv AS DECIMAL(38,12))) AS s1,
+                  SUM(CAST(round(rv*rv, 12) AS DECIMAL(38,12))) AS s2
+                FROM rv GROUP BY 1)
+          SELECT series, CAST(n AS BIGINT) AS n_days,
+            ${ExactRound.sqlRatioRound(
+              "CAST(s1*1000000000000 AS HUGEINT)",
+              "CAST(n AS HUGEINT)*1000000000000", 8)} AS mean_rv,
+            CASE WHEN n > 1 THEN
+              CASE WHEN CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE) > 0
+                THEN round(sqrt((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                  /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))), 8)
+                ELSE 0.0 END
+            END AS sd_rv
+          FROM a ORDER BY series"""
   )
 }

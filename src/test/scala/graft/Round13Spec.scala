@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.MultimodalOps
@@ -50,6 +51,88 @@ class Round13Spec extends AnyFunSuite {
     assert(ham(50L) === 1)
     assert(ham(65L) === 1)
     assert(ham(0L) <= 1) // never more than the single touched compare
+  }
+
+  test("degreeAssortativity pins: path graph −1, uniform degrees null") {
+    import spark.implicits._
+    // P3: degrees 1,2,1 — every edge joins unequal degrees → exactly −1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = graft.ops.GraphOps.degreeAssortativity(path).collect().head
+    assert(r.getLong(0) === 3 && r.getLong(1) === 2)
+    assert(r.getDouble(2) === -1.0)
+    // triangle: all degrees equal → zero variance → null
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(graft.ops.GraphOps.degreeAssortativity(tri).collect().head.isNullAt(2))
+  }
+
+  test("signalTurnover pins: persistent day = +1, reversed day = −1") {
+    import spark.implicits._
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+    // day1 has no return, so day2 has no "yesterday" — the first
+    // emitting day is day3 (reversal vs day2: −1); day4 repeats
+    // day3's ordering (persistence: +1)
+    val bars = Seq(
+      ("A", ts(1, 10), 100.0), ("A", ts(2, 10), 200.0),
+      ("A", ts(3, 10), 202.0), ("A", ts(4, 10), 204.02),
+      ("B", ts(1, 10), 100.0), ("B", ts(2, 10), 150.0),
+      ("B", ts(3, 10), 225.0), ("B", ts(4, 10), 337.5),
+      ("C", ts(1, 10), 100.0), ("C", ts(2, 10), 110.0),
+      ("C", ts(3, 10), 220.0), ("C", ts(4, 10), 440.0)
+    ).toDF("series", "bar_ts", "close")
+    val out = graft.ops.MarketBars.signalTurnover(bars)
+      .orderBy(col("d")).collect()
+    assert(out.length === 2)
+    // day3 returns rank C (ln2) > B (ln1.5) > A (ln1.01); yesterday's
+    // rank A > B > C → Σd² = 8, rho = 1 − 48/24 = −1, mean |move| = 4/3
+    assert(out(0).getLong(1) === 3 && out(0).getDouble(2) === -1.0 &&
+      out(0).getDouble(3) === 1.3333)
+    assert(out(1).getDouble(2) === 1.0 && out(1).getDouble(3) === 0.0)
+  }
+
+  test("volOfVol pins: identical daily RVs give sd 0 and the exact mean") {
+    import spark.implicits._
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+    // two days, each with two +1% log returns → rv = sqrt(2e-4) both
+    val e = math.exp(0.01)
+    val bars = Seq(
+      ("X", ts(1, 10), 1.0), ("X", ts(1, 11), e), ("X", ts(1, 12), e * e),
+      ("X", ts(2, 10), e * e * e), ("X", ts(2, 11), e * e * e * e)
+    ).toDF("series", "bar_ts", "close")
+    // day2's first return crosses midnight (the q92 lag-crosses-boundary
+    // rule), so day2 also holds two 0.01 returns
+    val r = graft.ops.MarketBars.volOfVol(bars).collect().head
+    assert(r.getLong(1) === 2)
+    assert(r.getDouble(2) === 0.01414214) // round8(sqrt(0.0002))
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  test("prefixRecall pins: mass outside the prefix misses, full dims hit") {
+    import spark.implicits._
+    // query [0.6,0,0.8,0]: full winner b ([0,0,1,0], dot .8) has ZERO
+    // prefix-2 dot, so the 2-dim shortlist picks a ([1,0,0,0], dot .6)
+    val emb = Seq(
+      (0L, Array(0.6f, 0f, 0.8f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = graft.ops.SimilarityOps.prefixRecall(emb, "vec_id", "embedding",
+        k = 1, dims = Seq(2, 4), queryEvery = 100)
+      .collect().head
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 0L) // hits_2
+    assert(r.getLong(2) === 1L) // hits_4 == full ranking
+  }
+
+  test("truncationLoss pins exact kept-token accounting") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "s1"), (2L, "a b c d e", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.CorpusOps.truncationLoss(docs, limits = Seq(4))
+      .collect().head
+    assert(r.getLong(2) === 2 && r.getLong(3) === 1) // n_docs, n_truncated
+    assert(r.getLong(4) === 8 && r.getLong(5) === 7) // total, kept
+    assert(r.getDouble(6) === 0.875)
   }
 
   test("resized payloads flow back through imageHashes (round trip)") {
