@@ -1544,4 +1544,65 @@ object EventAnalytics {
       when(col("n_pts") >= 2 && den > 0 && k =!= 0.0,
         round(exp(-a / k), 6)).as("scale_s"))
   }
+
+  /** Windowed multi-step funnel (the ClickHouse `windowFunnel` shape,
+    * greedy-earliest variant): per user, step i is reached iff the
+    * earliest `steps(i)` event STRICTLY after the step-(i−1) time
+    * still falls within `windowSec` of the step-1 time; the rollup
+    * reports, per step, how many users got that far, how many stopped
+    * there, and the share of step-1 entrants — the time-boxed funnel
+    * q80's unbounded conversion rate and q176's latency both miss
+    * (a purchase three weeks after the view is not this campaign's
+    * conversion).
+    *
+    * Determinism: greedy-earliest is a pure min() chain — no search
+    * over alternative chains — so every count is an exact integer
+    * and the share an exact [[ExactRound]] quotient. (The greedy
+    * chain can miss a completion a backtracking matcher would find —
+    * that is the standard engineering trade and is documented here;
+    * both engines implement the same contract.)
+    *
+    * Scale: one type-filtered scan + one user-keyed min-aggregate
+    * per step (k−1 user-key joins against ever-SHRINKING reached
+    * sets); the fold is k rows. Never a per-user event sort. */
+  def windowFunnel(
+      events: DataFrame,
+      steps: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val wUs = windowSec * 1000000L
+    val s1 = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("tp"))
+      .withColumn("t1", col("tp"))
+      .localCheckpoint(eager = false)
+    val levels = steps.tail.scanLeft(s1) { (reached, st) =>
+      events.filter(col("event_type") === st)
+        .select(col("user_id"), col("ts"))
+        .join(reached.select(col("user_id"), col("t1"), col("tp")),
+          Seq("user_id"))
+        .filter(col("ts") > col("tp") &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= wUs)
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(col("ts")).as("tp"))
+        .localCheckpoint(eager = false)
+    }
+    val counts = levels.zipWithIndex.map { case (lv, i) =>
+      lv.agg(count(lit(1)).as("n_reached"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("step_type"),
+          col("n_reached"))
+    }.reduce(_ unionByName _)
+    val entered = levels.head.agg(count(lit(1)).as("n_entered"))
+    // the funnel rollup is |steps| rows — the single-partition window
+    // is over a constant-size relation, never data-sized
+    counts.crossJoin(broadcast(entered))
+      .withColumn("n_next",
+        lead(col("n_reached"), 1).over(Window.orderBy(col("step"))))
+      .select(col("step"), col("step_type"), col("n_reached"),
+        (col("n_reached") - coalesce(col("n_next"), lit(0L)))
+          .as("n_stopped"),
+        when(col("n_entered") > 0,
+          ExactRound.ratioRound(col("n_reached"), col("n_entered"), 6))
+          .as("share_of_entrants"))
+  }
 }

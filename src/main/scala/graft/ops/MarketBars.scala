@@ -6111,6 +6111,47 @@ object MarketBars {
         ExactRound.ratioRound(col("sad"), n, 4).as("mean_rank_move"))
   }
 
+  /** Abnormal-volume detection with an EXACT integer spike test: per
+    * (series, day) with a full L-day trailing window, flag days where
+    * the daily tick volume exceeds the trailing mean by more than
+    * `z`·(trailing sample sd). The z-compare is squared into pure
+    * integers — (v·m − S)²·(m−1) > z²·m·(m·Q − S²) with S=Σv, Q=Σv²
+    * over the m=L trailing days and a v·m − S > 0 sign guard — so
+    * the boolean cannot diverge between engines (no sqrt, no double).
+    * Every full-window day emits (spike or not): the output is never
+    * empty at any scale and the flag is the live column.
+    *
+    * Determinism: volumes are exact tick counts; the signed z² column
+    * is an exact [[ExactRound]] quotient of the same integers.
+    *
+    * Scale: one (series, day) rollup, one L-row trailing window per
+    * series (days, not ticks), map-side everything else. */
+  def volumeSpikes(bars: DataFrame, lookback: Int = 5,
+      z: Int = 2): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tw = Window.partitionBy(col("series")).orderBy(col("d"))
+      .rowsBetween(-lookback, -1)
+    val dv = bars
+      .groupBy(col("series"), to_date(col("bar_ts")).as("d"))
+      .agg(sum(col("n_ticks")).as("v"))
+      .withColumn("m", count(lit(1)).over(tw))
+      .withColumn("s", sum(col("v")).over(tw))
+      .withColumn("q", sum((col("v") * col("v")).cast(dec)).over(tw))
+      .filter(col("m") === lookback)
+    val dvm = col("v").cast(dec) * col("m").cast(dec) - col("s").cast(dec)
+    val varNum = col("m").cast(dec) * col("q") -
+      col("s").cast(dec) * col("s").cast(dec)
+    dv.select(col("series"), col("d"), col("v").as("volume"),
+      ExactRound.ratioRound(col("s"), col("m"), 4).as("trailing_mean"),
+      (dvm > 0 && dvm * dvm * (col("m").cast(dec) - 1) >
+        lit(z * z) * col("m").cast(dec) * varNum).as("is_spike"),
+      when(varNum > 0,
+        ExactRound.ratioRound(
+          when(dvm >= 0, lit(1)).otherwise(lit(-1)).cast(dec) *
+            dvm * dvm * (col("m").cast(dec) - 1),
+          col("m").cast(dec) * varNum, 4)).as("signed_z2"))
+  }
+
   /** Volatility of volatility per series: mean and standard deviation
     * of the daily realized-volatility series (q92's RV) — vol
     * regimes' CHURN, the risk-of-risk number vol-targeting (q367)

@@ -257,6 +257,49 @@ object SimilarityOps {
           6)).as("lift"))
   }
 
+  /** kNN label confusion matrix: each vector's predicted label is the
+    * MAJORITY label among its IVF k nearest neighbors (ties break to
+    * the smallest label), cross-tabulated against its true label —
+    * the full mistake STRUCTURE behind [[neighborLabelPurity]]'s
+    * per-label rate (purity says label 3 leaks; the confusion row
+    * says it leaks INTO label 7 specifically, i.e. which classes the
+    * embedding space actually confuses).
+    *
+    * Determinism: the same deterministic IVF k-NN edge set as q385;
+    * votes are integer counts; the argmax is max(struct(count,
+    * −label)) ⇔ (count DESC, label ASC) — identical in both engines.
+    *
+    * Scale: the k-NN relation is the bucketed IVF join (never
+    * all-pairs); two broadcast-able label attaches; a per-query vote
+    * rollup (≤ k rows in, 1 out) and a \|labels\|²-cell aggregate. */
+  def knnConfusion(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      centroidEvery: Int,
+      nprobe: Int): DataFrame = {
+    val labels = emb.select(col(idCol).as("__lid"),
+      col(labelCol).as("__lab")).localCheckpoint(eager = false)
+    val knn = ivfTopK(emb, idCol, vecCol, k, centroidEvery, nprobe,
+      lit(true))
+    val pred = knn
+      .join(labels.select(col("__lid").as("qid"),
+        col("__lab").as("q_label")), "qid")
+      .join(labels.select(col("__lid").as("nid"),
+        col("__lab").as("n_label")), "nid")
+      .groupBy(col("qid"), col("q_label"), col("n_label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("qid"), col("q_label"))
+      .agg(max(struct(col("c"), (-col("n_label")).as("nl")))
+        .getField("nl").as("neg_pred"))
+    pred
+      .groupBy(col("q_label").as("label"),
+        (-col("neg_pred")).as("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
     * vector the ratio μ = r₂/r₁ of its two nearest-neighbor distances
     * follows Pareto(d) under local uniformity, so the MLE is

@@ -69,6 +69,51 @@ object WarehouseOps {
           .cast(DoubleType).as("sum_value"))
   }
 
+  /** Bidirectional referential-coverage audit of one FK edge: orphan
+    * child rows (key absent from the parent) AND childless parent
+    * keys (no referencing child) with their shares — the cardinality
+    * profile of the whole star schema that [[tableExpectations]]'s
+    * pass/fail orphan checks don't report (a fact table can be 100%
+    * FK-valid while half the dimension is dead weight worth pruning
+    * from broadcast joins).
+    *
+    * Scale: child keys pre-aggregate map-side to one (key, count) row
+    * before the single full-outer key join against the distinct
+    * parent keys; the fold is a 1-row aggregate. Dimensions stay
+    * dimension-sized throughout. */
+  def fkEdge(edge: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val ck = child.groupBy(col(childKey).as("k"))
+      .agg(count(lit(1)).as("nc"))
+    val pk = parent.select(col(parentKey).as("k")).distinct()
+      .withColumn("__p", lit(1))
+    ck.join(pk, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum(col("nc")), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("__p").isNull, col("nc"))), lit(0L))
+          .as("n_orphans"),
+        coalesce(sum(when(col("__p").isNotNull, 1L)), lit(0L))
+          .as("n_parents"),
+        coalesce(sum(when(col("__p").isNotNull && col("nc").isNull, 1L)),
+          lit(0L)).as("n_childless"))
+      .select(lit(edge).as("edge"), col("n_child"), col("n_orphans"),
+        col("n_parents"), col("n_childless"),
+        when(col("n_child") > 0,
+          ExactRound.ratioRound(col("n_orphans"), col("n_child"), 6))
+          .as("orphan_share"),
+        when(col("n_parents") > 0,
+          ExactRound.ratioRound(col("n_childless"), col("n_parents"), 6))
+          .as("childless_share"))
+  }
+
+  /** The full FK-edge audit: one [[fkEdge]] row per named edge,
+    * unioned — each edge is an independent branch that prunes to its
+    * two key columns. */
+  def fkAudit(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    edges.map { case (e, c, ck, p, pk) => fkEdge(e, c, ck, p, pk) }
+      .reduce(_ unionByName _)
+
   /** Deequ-style relational expectation suite over the star schema:
     * one row per named check with checked/violation counts and a pass
     * flag — the table-level data-quality audit the reference's

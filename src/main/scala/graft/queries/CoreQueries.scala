@@ -2025,6 +2025,40 @@ object CoreQueries {
         ("part_name_to_size", Tables.part(s, dir), "p_name", "p_size"),
         ("part_type_to_brand", Tables.part(s, dir), "p_type", "p_brand")))
         .orderBy(col("fd"))
+    }),
+
+    // Bidirectional FK-coverage audit over all seven star-schema
+    // edges (WarehouseOps.fkAudit): orphan children AND childless
+    // parents with shares — the cardinality profile q204's pass/fail
+    // checks don't report (dead dimension weight worth pruning)
+    "q414_fk_coverage" -> ((s, dir) => {
+      graft.ops.WarehouseOps.fkAudit(Seq(
+        ("customer_nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"),
+        ("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        ("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"),
+        ("lineitem_supplier", Tables.lineitem(s, dir), "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"),
+        ("nation_region", Tables.nation(s, dir), "n_regionkey",
+          Tables.region(s, dir), "r_regionkey"),
+        ("orders_customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        ("supplier_nation", Tables.supplier(s, dir), "s_nationkey",
+          Tables.nation(s, dir), "n_nationkey")))
+        .orderBy(col("edge"))
+    }),
+
+    // Windowed funnel view→click→purchase within 2 days
+    // (EventAnalytics.windowFunnel, the ClickHouse windowFunnel
+    // shape): greedy-earliest chain, per-step reach/stop counts and
+    // entrant shares — the time-boxed funnel q80 (unbounded rate)
+    // and q176 (latency) both miss
+    "q416_window_funnel" -> ((s, dir) => {
+      graft.ops.EventAnalytics.windowFunnel(Tables.events(s, dir),
+          Seq("view", "click", "purchase"), windowSec = 172800L)
+        .orderBy(col("step"))
     })
   )
 
@@ -4361,6 +4395,74 @@ object CoreQueries {
               AS ci_hi
           FROM base JOIN se ON base.priority = se.priority
           ORDER BY base.priority"""
-    }
+    },
+
+    // FK-coverage twin: per edge, grouped child keys full-outer the
+    // distinct parent keys, exact integer folds, ExactRound shares
+    "q414_fk_coverage" -> Seq(
+      ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .map { case (edge, child, ck, parent, pk) =>
+        s"""SELECT '$edge' AS edge, n_child, n_orphans, n_parents,
+              n_childless,
+              CASE WHEN n_child > 0 THEN ${ExactRound.sqlRatioRound(
+                "n_orphans", "n_child", 6)} END AS orphan_share,
+              CASE WHEN n_parents > 0 THEN ${ExactRound.sqlRatioRound(
+                "n_childless", "n_parents", 6)} END AS childless_share
+            FROM (
+              SELECT CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n_child,
+                CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN nc END), 0)
+                  AS BIGINT) AS n_orphans,
+                CAST(COALESCE(SUM(CASE WHEN p IS NOT NULL THEN 1 END), 0)
+                  AS BIGINT) AS n_parents,
+                CAST(COALESCE(SUM(CASE WHEN p IS NOT NULL
+                  AND nc IS NULL THEN 1 END), 0) AS BIGINT) AS n_childless
+              FROM (SELECT $ck AS k, count(*) AS nc
+                    FROM $child GROUP BY 1) c
+              FULL OUTER JOIN (SELECT DISTINCT $pk AS k, 1 AS p
+                    FROM $parent) pq USING (k))"""
+      }.mkString("", "\n          UNION ALL\n          ",
+        "\n          ORDER BY edge"),
+
+    // windowed-funnel twin: the same greedy-earliest min() chain —
+    // each step's earliest event strictly after the previous step,
+    // still within the 2-day window of step 1
+    "q416_window_funnel" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1, min(ts) AS tp
+                      FROM events WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS tp
+                 FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'click' AND e.ts > s1.tp
+                   AND epoch_us(e.ts) - epoch_us(s1.t1)
+                     <= CAST(172800000000 AS BIGINT)
+                 GROUP BY 1, 2),
+          s3 AS (SELECT e.user_id, s2.t1, min(e.ts) AS tp
+                 FROM events e JOIN s2 ON e.user_id = s2.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts > s2.tp
+                   AND epoch_us(e.ts) - epoch_us(s2.t1)
+                     <= CAST(172800000000 AS BIGINT)
+                 GROUP BY 1, 2),
+          c AS (SELECT 1 AS step, 'view' AS step_type,
+                  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_reached
+                UNION ALL
+                SELECT 2, 'click',
+                  (SELECT CAST(count(*) AS BIGINT) FROM s2)
+                UNION ALL
+                SELECT 3, 'purchase',
+                  (SELECT CAST(count(*) AS BIGINT) FROM s3))
+          SELECT CAST(step AS INTEGER) AS step, step_type, n_reached,
+            n_reached - CAST(COALESCE(
+              lead(n_reached) OVER (ORDER BY step), 0) AS BIGINT)
+              AS n_stopped,
+            CASE WHEN (SELECT count(*) FROM s1) > 0 THEN
+              ${ExactRound.sqlRatioRound("n_reached",
+                "(SELECT count(*) FROM s1)", 6)} END
+              AS share_of_entrants
+          FROM c ORDER BY step"""
   )
 }

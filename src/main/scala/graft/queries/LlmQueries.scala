@@ -1492,6 +1492,17 @@ object LlmQueries {
       CorpusOps.truncationLoss(Tables.rebalance(Tables.documents(s, dir)),
           limits = Seq(16, 32, 64))
         .orderBy(col("source"), col("lim"))
+    }),
+
+    // kNN label confusion matrix (SimilarityOps.knnConfusion): each
+    // vector's majority-of-5-neighbors label vs its true label over
+    // the q385 IVF k-NN graph — WHICH classes the embedding space
+    // confuses, not just how much (q385's rate)
+    "q415_knn_confusion" -> ((s, dir) => {
+      SimilarityOps.knnConfusion(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", k = 5, centroidEvery = 50,
+          nprobe = 2)
+        .orderBy(col("label"), col("pred_label"))
     })
   )
 
@@ -5488,6 +5499,51 @@ object LlmQueries {
             n_truncated, tokens_total, tokens_kept,
             ${ExactRound.sqlRatioRound("tokens_kept", "tokens_total", 6)}
               AS share_kept
-          FROM a ORDER BY source, lim"""
+          FROM a ORDER BY source, lim""",
+
+    // confusion twin: the q385 IVF k-NN CTEs, integer votes, the
+    // (count DESC, label ASC) majority pick via row_number, exact
+    // matrix counts
+    "q415_knn_confusion" ->
+      s"""WITH $embCte,
+          c AS (SELECT vec_id AS cid, v AS cv FROM e
+                WHERE vec_id % 50 = 0),
+          ac AS (SELECT e.vec_id, e.v, c.cid,
+                   ${duckCos("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+          assigned AS (SELECT vec_id, v, cid FROM
+                         (SELECT *, row_number() OVER (PARTITION BY
+                            vec_id ORDER BY ccos DESC, cid) AS rn
+                          FROM ac)
+                       WHERE rn = 1),
+          pc AS (SELECT qid, qv, cid, row_number() OVER
+                   (PARTITION BY qid ORDER BY qcos DESC, cid) AS prn
+                 FROM (SELECT e.vec_id AS qid, e.v AS qv, c.cid,
+                         ${duckCos("e.v", "c.cv")} AS qcos
+                       FROM e CROSS JOIN c)),
+          probes AS (SELECT qid, qv, cid FROM pc WHERE prn <= 2),
+          cand AS (SELECT p.qid, a.vec_id AS nid,
+                     ${duckCos("p.qv", "a.v")} AS cosine
+                   FROM probes p JOIN assigned a
+                     ON a.cid = p.cid AND a.vec_id <> p.qid),
+          r AS (SELECT qid, nid, row_number() OVER
+                  (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+                FROM cand),
+          knn AS (SELECT qid, nid FROM r WHERE rank <= 5),
+          lab AS (SELECT vec_id, label FROM embeddings),
+          votes AS (SELECT knn.qid, ql.label AS q_label,
+                      nl.label AS n_label, count(*) AS cnt
+                    FROM knn
+                    JOIN lab ql ON knn.qid = ql.vec_id
+                    JOIN lab nl ON knn.nid = nl.vec_id
+                    GROUP BY 1, 2, 3),
+          pred AS (SELECT qid, q_label, n_label AS pred_label FROM
+                     (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cnt DESC, n_label) AS vr
+                      FROM votes)
+                   WHERE vr = 1)
+          SELECT q_label AS label, pred_label,
+            CAST(count(*) AS BIGINT) AS n_vecs
+          FROM pred GROUP BY 1, 2 ORDER BY label, pred_label"""
   )
 }

@@ -1749,6 +1749,16 @@ object MarketQueries {
       MarketBars.volOfVol(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"))
         .orderBy(col("series"))
+    }),
+
+    // Abnormal-volume days (MarketBars.volumeSpikes): every full
+    // 5-day-trailing-window day with an EXACT integer z>2 spike flag
+    // and the signed z² rational — no sqrt anywhere, so the boolean
+    // cannot diverge; q399's vol-of-volume panel gets its event list
+    "q417_volume_spikes" -> ((s, dir) => {
+      MarketBars.volumeSpikes(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"), lookback = 5, z = 2)
+        .orderBy(col("series"), col("d"))
     })
   )
 
@@ -7582,6 +7592,37 @@ object MarketQueries {
                   /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))), 8)
                 ELSE 0.0 END
             END AS sd_rv
-          FROM a ORDER BY series"""
+          FROM a ORDER BY series""",
+
+    // volume-spikes twin: the exact squared z-compare in HUGEINT —
+    // (v·m − S)²·(m−1) > 4·m·(m·Q − S²) with a sign guard; every
+    // full-window day emits so the flag is the live column
+    "q417_volume_spikes" ->
+      s"""WITH $barsCte,
+          dv AS (SELECT series, CAST(bar_ts AS DATE) AS d,
+                   SUM(n_ticks) AS v
+                 FROM bars GROUP BY 1, 2),
+          w AS (SELECT series, d, v,
+                  count(*) OVER tw AS m,
+                  SUM(v) OVER tw AS s,
+                  SUM(CAST(v AS HUGEINT)*v) OVER tw AS q
+                FROM dv
+                WINDOW tw AS (PARTITION BY series ORDER BY d
+                  ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+          f AS (SELECT series, d, v, m,
+                  CAST(s AS HUGEINT) AS s, q,
+                  CAST(v AS HUGEINT)*m - CAST(s AS HUGEINT) AS dvm,
+                  CAST(m AS HUGEINT)*q
+                    - CAST(s AS HUGEINT)*CAST(s AS HUGEINT) AS vn
+                FROM w WHERE m = 5)
+          SELECT series, d, CAST(v AS BIGINT) AS volume,
+            ${ExactRound.sqlRatioRound("s", "m", 4)} AS trailing_mean,
+            (dvm > 0 AND dvm*dvm*(m - 1) > 4*CAST(m AS HUGEINT)*vn)
+              AS is_spike,
+            CASE WHEN vn > 0 THEN
+              ${ExactRound.sqlRatioRound(
+                "(CASE WHEN dvm >= 0 THEN 1 ELSE -1 END)*dvm*dvm*(m - 1)",
+                "CAST(m AS HUGEINT)*vn", 4)} END AS signed_z2
+          FROM f ORDER BY series, d"""
   )
 }

@@ -135,6 +135,72 @@ class Round13Spec extends AnyFunSuite {
     assert(r.getDouble(6) === 0.875)
   }
 
+  test("fkEdge pins exact orphan/childless accounting") {
+    import spark.implicits._
+    val child = Seq(1L, 1L, 2L, 9L).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.ops.WarehouseOps.fkEdge("e", child, "ck", parent, "pk")
+      .collect().head
+    assert(r.getLong(1) === 4 && r.getLong(2) === 1) // child, orphans (9)
+    assert(r.getLong(3) === 3 && r.getLong(4) === 1) // parents, childless (3)
+    assert(r.getDouble(5) === 0.25 && r.getDouble(6) === 0.333333)
+  }
+
+  test("windowFunnel pins greedy-earliest chain and window cutoff") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 completes in-window; u2's purchase lands outside the 1h
+    // window of its first view; u3 never clicks
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:20:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:10:00"), "click"),
+      (2L, ts("2024-01-01 12:00:00"), "purchase"),
+      (3L, ts("2024-01-01 10:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.ops.EventAnalytics.windowFunnel(
+        ev, Seq("view", "click", "purchase"), windowSec = 3600L)
+      .orderBy(col("step")).collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(3L, 2L, 1L)) // reached
+    assert(out.map(_.getLong(3)).toSeq === Seq(1L, 1L, 1L)) // stopped
+    assert(out(2).getDouble(4) === 0.333333)
+  }
+
+  test("volumeSpikes pins the exact squared z-compare") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // trailing 5 days 10,10,10,12,8 (S=50, Q=508); day6 v=30:
+    // dvm=100, varNum=40 → z² = 100²·4/(5·40) = 200 → spike at z>2
+    val bars = Seq(10L, 10L, 10L, 12L, 8L, 30L).zipWithIndex.map {
+      case (v, i) => ("X", ts(i + 1), v)
+    }.toDF("series", "bar_ts", "n_ticks")
+    val out = graft.ops.MarketBars.volumeSpikes(bars, lookback = 5, z = 2)
+      .collect()
+    assert(out.length === 1) // only day6 has a full window
+    val r = out.head
+    assert(r.getLong(2) === 30 && r.getDouble(3) === 10.0)
+    assert(r.getBoolean(4))
+    assert(r.getDouble(5) === 200.0)
+  }
+
+  test("knnConfusion pins the majority vote on two clean clusters") {
+    import spark.implicits._
+    // two well-separated clusters of 5: every vector's 5-NN holds 4
+    // same-class + 1 cross neighbor → majority = own label everywhere
+    val emb = (0 until 10).map { i =>
+      val v = if (i < 5) Array(1f, 0.01f * i, 0f, 0f)
+      else Array(0f, 0f, 1f, 0.01f * i)
+      (i.toLong, v, if (i < 5) 0 else 1)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.SimilarityOps.knnConfusion(emb, "vec_id",
+        "embedding", "label", k = 5, centroidEvery = 50, nprobe = 2)
+      .orderBy(col("label")).collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.getInt(0) === r.getInt(1) && r.getLong(2) === 5))
+  }
+
   test("resized payloads flow back through imageHashes (round trip)") {
     import spark.implicits._
     val assets = Seq(
