@@ -1545,6 +1545,143 @@ object EventAnalytics {
         round(exp(-a / k), 6)).as("scale_s"))
   }
 
+  /** Growth accounting (the standard DAU decomposition): per period,
+    * actives on `activityType` split into NEW (first-ever period),
+    * RETAINED (also active the previous period), RESURRECTED (active
+    * before, but not last period), plus last period's CHURNED — the
+    * where-did-the-actives-come-from ledger behind q81's retention
+    * triangle and q391's decay fit (a flat active count can hide
+    * heavy churn masked by resurrection). Daily periods on a SPARSE
+    * action (purchases) keep all four ledger lines live — weekly
+    * all-event actives saturate to retained-only on any engaged base.
+    *
+    * All-integer: membership tests are one self-join on
+    * (user, period−1) plus a user-sized first-period attach; every
+    * output is an exact count with new + retained + resurrected =
+    * active by construction.
+    *
+    * Scale: one distinct (user, period) shuffle; the prev-period
+    * probe is a self-join on the same key layout. |periods| rows. */
+  def growthAccounting(events: DataFrame,
+      activityType: String = "purchase",
+      periodDays: Int = 1): DataFrame = {
+    val uw = events
+      .filter(col("event_type") === activityType)
+      .select(col("user_id"),
+        (if (periodDays == 7) date_trunc("week", col("ts")).cast("date")
+         else to_date(col("ts"))).as("w"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val firstW = uw.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+    val prev = uw.select(col("user_id"),
+        date_add(col("w"), periodDays).as("w"))
+      .withColumn("pw", lit(1))
+      .groupBy(col("user_id"), col("w")).agg(max(col("pw")).as("pw"))
+    val cur = uw
+      .join(firstW, "user_id")
+      .join(prev, Seq("user_id", "w"), "left")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("w0") === col("w"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("pw").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("w0") < col("w") && col("pw").isNull, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    // churned INTO period w = active in w−1 but not in w
+    val churn = uw.select(col("user_id"), col("w").as("lw"))
+      .join(uw.select(col("user_id"),
+        date_sub(col("w"), periodDays).as("lw")).withColumn("__a", lit(1))
+        .groupBy(col("user_id"), col("lw")).agg(max(col("__a")).as("__a")),
+        Seq("user_id", "lw"), "left")
+      .filter(col("__a").isNull)
+      .groupBy(date_add(col("lw"), periodDays).as("w"))
+      .agg(count(lit(1)).as("n_churned"))
+    cur.join(churn, Seq("w"), "left")
+      .select(col("w"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  /** Audience overlap matrix: for every unordered pair of event
+    * types, the exact Jaccard of their DAILY-AUDIENCE sets — a
+    * membership is (user, day) with ≥1 event of the type, so the
+    * matrix reads "when a user views on a day, do they also purchase
+    * THAT day" (the segmentation view q120's event-to-event
+    * transitions and q80's single funnel path don't give). Lifetime
+    * user sets saturate to Jaccard 1 on any engaged base; the
+    * day-scoped sets stay live.
+    *
+    * Scale: one distinct (type, user, day) shuffle; the pair
+    * expansion is per-(user, day) over ≤ |types| memberships
+    * (map-side combinatorics on a handful of rows per key), never a
+    * set × set join; |types|²/2 rows out. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val tu = events.select(col("event_type").as("t"), col("user_id"),
+        to_date(col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val pairs = tu.alias("a")
+      .join(tu.alias("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.d") === col("b.d") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(sizes.select(col("t").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("t").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        ExactRound.ratioRound(col("n_both"),
+          col("n_a") + col("n_b") - col("n_both"), 6).as("jaccard"))
+  }
+
+  /** Sequence-match interference (the ClickHouse `sequenceMatch`
+    * negative-pattern shape): among users whose greedy view→purchase
+    * chain completes within the window, how many had an ERROR event
+    * strictly between the two chain points — the "did breakage sit
+    * inside the converting path" split that q416's step counts and
+    * q80's rate both hide.
+    *
+    * All-integer: the chain is the [[windowFunnel]] min() pair; the
+    * interference test is one EXISTS-style left-join count; shares
+    * are exact [[ExactRound]] quotients.
+    *
+    * Scale: two type-filtered user-keyed min-aggregates, one
+    * interval-bounded join of the (small) completed-chain set against
+    * the error scan, a 1-row fold. */
+  def seqInterference(
+      events: DataFrame,
+      from: String,
+      to: String,
+      interferer: String,
+      windowSec: Long): DataFrame = {
+    val wUs = windowSec * 1000000L
+    val s1 = events.filter(col("event_type") === from)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val chains = events.filter(col("event_type") === to)
+      .select(col("user_id"), col("ts"))
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        unix_micros(col("ts")) - unix_micros(col("t1")) <= wUs)
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(col("ts")).as("t2"))
+      .localCheckpoint(eager = false)
+    val interfered = chains.alias("c")
+      .join(events.filter(col("event_type") === interferer)
+        .select(col("user_id"), col("ts")).alias("e"),
+        col("e.user_id") === col("c.user_id") &&
+          col("e.ts") > col("c.t1") && col("e.ts") < col("c.t2"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_interfered"))
+    s1.agg(count(lit(1)).as("n_entered"))
+      .crossJoin(chains.agg(count(lit(1)).as("n_chains")))
+      .crossJoin(interfered)
+      .select(col("n_entered"), col("n_chains"), col("n_interfered"),
+        (col("n_chains") - col("n_interfered")).as("n_clean"),
+        when(col("n_chains") > 0,
+          ExactRound.ratioRound(col("n_interfered"), col("n_chains"), 6))
+          .as("interference_share"))
+  }
+
   /** Windowed multi-step funnel (the ClickHouse `windowFunnel` shape,
     * greedy-earliest variant): per user, step i is reached iff the
     * earliest `steps(i)` event STRICTLY after the step-(i−1) time

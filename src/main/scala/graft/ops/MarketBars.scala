@@ -6111,6 +6111,40 @@ object MarketBars {
         ExactRound.ratioRound(col("sad"), n, 4).as("mean_rank_move"))
   }
 
+  /** Kaufman efficiency ratio per (series, day): |net close move| /
+    * Σ|bar-to-bar close moves| — 1 for a clean trend, →0 for churn;
+    * the trendiness number adaptive-MA systems key off, next to
+    * q277's turning-point count and q153's Hurst.
+    *
+    * Determinism: each |Δclose| rounds at 12dp and folds in
+    * DECIMAL(38,12) (q309 rule); the ratio is an exact [[ExactRound]]
+    * quotient of the two unscaled integers. Day-scoped lag: the first
+    * bar of a day contributes no move (its lag is the day boundary).
+    *
+    * Scale: one (series, day)-partitioned lag + one rollup on the
+    * same key — bar-sized window partitions, no global state. */
+  def rangeEfficiency(bars: DataFrame): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val b = bars.withColumn("d", to_date(col("bar_ts")))
+    val w = Window.partitionBy(col("series"), col("d"))
+      .orderBy(col("bar_ts"))
+    b.withColumn("pc", lag(col("close"), 1).over(w))
+      .groupBy(col("series"), col("d"))
+      .agg(count(lit(1)).as("n_bars"),
+        max(struct(col("bar_ts"), col("close")))
+          .getField("close").as("cl"),
+        min(struct(col("bar_ts"), col("close")))
+          .getField("close").as("cf"),
+        sum(round(abs(col("close") - col("pc")), 12).cast(dec12))
+          .as("vol"))
+      .select(col("series"), col("d"), col("n_bars"),
+        when(ExactRound.toUnscaled(col("vol"), 12) > 0,
+          ExactRound.ratioRound(
+            ExactRound.toUnscaled(
+              round(abs(col("cl") - col("cf")), 12).cast(dec12), 12),
+            ExactRound.toUnscaled(col("vol"), 12), 6)).as("efficiency"))
+  }
+
   /** Abnormal-volume detection with an EXACT integer spike test: per
     * (series, day) with a full L-day trailing window, flag days where
     * the daily tick volume exceeds the trailing mean by more than

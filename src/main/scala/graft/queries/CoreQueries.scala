@@ -2059,6 +2059,33 @@ object CoreQueries {
       graft.ops.EventAnalytics.windowFunnel(Tables.events(s, dir),
           Seq("view", "click", "purchase"), windowSec = 172800L)
         .orderBy(col("step"))
+    }),
+
+    // Growth accounting (EventAnalytics.growthAccounting): daily
+    // PURCHASE actives decomposed into new / retained / resurrected
+    // plus churned — the DAU ledger behind q81's retention triangle
+    // (daily periods on the sparse action keep all four lines live)
+    "q418_growth_accounting" -> ((s, dir) => {
+      graft.ops.EventAnalytics.growthAccounting(Tables.events(s, dir),
+          activityType = "purchase", periodDays = 1)
+        .orderBy(col("w"))
+    }),
+
+    // Sequence-match interference (EventAnalytics.seqInterference):
+    // among in-window view→purchase chains, how many had an error
+    // strictly inside the chain — ClickHouse sequenceMatch's
+    // negative-pattern split over q416's funnel
+    "q419_seq_interference" -> ((s, dir) => {
+      graft.ops.EventAnalytics.seqInterference(Tables.events(s, dir),
+        "view", "purchase", "error", windowSec = 172800L)
+    }),
+
+    // Audience overlap matrix (EventAnalytics.audienceOverlap): exact
+    // user-set Jaccard for every event-type pair — which behaviors
+    // share an audience, next to q120's transition counts
+    "q420_audience_overlap" -> ((s, dir) => {
+      graft.ops.EventAnalytics.audienceOverlap(Tables.events(s, dir))
+        .orderBy(col("type_a"), col("type_b"))
     })
   )
 
@@ -4463,6 +4490,87 @@ object CoreQueries {
               ${ExactRound.sqlRatioRound("n_reached",
                 "(SELECT count(*) FROM s1)", 6)} END
               AS share_of_entrants
-          FROM c ORDER BY step"""
+          FROM c ORDER BY step""",
+
+    // growth-accounting twin: daily purchase actives, prev-day probe
+    // as a (user, day−1) self-join, first-day attach, exact counts
+    "q418_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                       CAST(ts AS DATE) AS w
+                     FROM events WHERE event_type = 'purchase'),
+          fw AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1),
+          pv AS (SELECT DISTINCT user_id, w + 1 AS w, 1 AS pw FROM uw),
+          cur AS (SELECT uw.w,
+                    count(*) AS n_active,
+                    CAST(SUM(CASE WHEN fw.w0 = uw.w THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_new,
+                    CAST(SUM(CASE WHEN pv.pw IS NOT NULL THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_retained,
+                    CAST(SUM(CASE WHEN fw.w0 < uw.w AND pv.pw IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+                  FROM uw
+                  JOIN fw ON fw.user_id = uw.user_id
+                  LEFT JOIN pv ON pv.user_id = uw.user_id
+                    AND pv.w = uw.w
+                  GROUP BY 1),
+          ch AS (SELECT a.w + 1 AS w, count(*) AS n_churned
+                 FROM uw a LEFT JOIN uw b
+                   ON b.user_id = a.user_id AND b.w = a.w + 1
+                 WHERE b.user_id IS NULL
+                 GROUP BY 1)
+          SELECT cur.w, cur.n_active, cur.n_new, cur.n_retained,
+            cur.n_resurrected,
+            CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+          FROM cur LEFT JOIN ch ON ch.w = cur.w
+          ORDER BY cur.w""",
+
+    // interference twin: the q416 greedy chain pair, EXISTS probe for
+    // an error strictly inside (t1, t2), exact counts and share
+    "q419_seq_interference" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                      WHERE event_type = 'view' GROUP BY 1),
+          ch AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2
+                 FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                   AND epoch_us(e.ts) - epoch_us(s1.t1)
+                     <= CAST(172800000000 AS BIGINT)
+                 GROUP BY 1, 2),
+          i AS (SELECT count(*) AS n_interfered FROM ch
+                WHERE EXISTS (SELECT 1 FROM events e
+                  WHERE e.user_id = ch.user_id
+                    AND e.event_type = 'error'
+                    AND e.ts > ch.t1 AND e.ts < ch.t2))
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_entered,
+            (SELECT CAST(count(*) AS BIGINT) FROM ch) AS n_chains,
+            CAST(n_interfered AS BIGINT) AS n_interfered,
+            (SELECT CAST(count(*) AS BIGINT) FROM ch) - n_interfered
+              AS n_clean,
+            CASE WHEN (SELECT count(*) FROM ch) > 0 THEN
+              ${ExactRound.sqlRatioRound("n_interfered",
+                "(SELECT count(*) FROM ch)", 6)} END
+              AS interference_share
+          FROM i""",
+
+    // audience-overlap twin: distinct (type, user, day) memberships,
+    // per-(user, day) pair expansion, exact Jaccard
+    "q420_audience_overlap" ->
+      s"""WITH tu AS (SELECT DISTINCT event_type AS t, user_id,
+                        CAST(ts AS DATE) AS d
+                      FROM events),
+          sz AS (SELECT t, count(*) AS n FROM tu GROUP BY 1),
+          p AS (SELECT a.t AS type_a, b.t AS type_b,
+                  count(*) AS n_both
+                FROM tu a JOIN tu b
+                  ON a.user_id = b.user_id AND a.d = b.d AND a.t < b.t
+                GROUP BY 1, 2)
+          SELECT type_a, type_b,
+            sa.n AS n_a, sb.n AS n_b,
+            CAST(n_both AS BIGINT) AS n_both,
+            ${ExactRound.sqlRatioRound("n_both",
+              "sa.n + sb.n - n_both", 6)} AS jaccard
+          FROM p
+          JOIN sz sa ON sa.t = type_a
+          JOIN sz sb ON sb.t = type_b
+          ORDER BY type_a, type_b"""
   )
 }

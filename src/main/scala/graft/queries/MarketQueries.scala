@@ -1759,6 +1759,15 @@ object MarketQueries {
       MarketBars.volumeSpikes(MarketBars.bars(Tables.events(s, dir),
           "event_type", "ts", "value"), lookback = 5, z = 2)
         .orderBy(col("series"), col("d"))
+    }),
+
+    // Kaufman efficiency ratio (MarketBars.rangeEfficiency): per
+    // (series, day), |net close move| / Σ|bar moves| — trendiness,
+    // next to q277's turning points and q153's Hurst
+    "q421_range_efficiency" -> ((s, dir) => {
+      MarketBars.rangeEfficiency(MarketBars.bars(Tables.events(s, dir),
+          "event_type", "ts", "value"))
+        .orderBy(col("series"), col("d"))
     })
   )
 
@@ -7623,6 +7632,31 @@ object MarketQueries {
               ${ExactRound.sqlRatioRound(
                 "(CASE WHEN dvm >= 0 THEN 1 ELSE -1 END)*dvm*dvm*(m - 1)",
                 "CAST(m AS HUGEINT)*vn", 4)} END AS signed_z2
-          FROM f ORDER BY series, d"""
+          FROM f ORDER BY series, d""",
+
+    // efficiency twin: day-scoped |Δclose| at 12dp folded in
+    // DECIMAL(38,12), first/last closes via the bars-CTE tie rule,
+    // ExactRound quotient of the unscaled integers
+    "q421_range_efficiency" ->
+      s"""WITH $barsCte,
+          b AS (SELECT series, CAST(bar_ts AS DATE) AS d, bar_ts,
+                  close,
+                  lag(close) OVER (PARTITION BY series,
+                    CAST(bar_ts AS DATE) ORDER BY bar_ts) AS pc
+                FROM bars),
+          a AS (SELECT series, d, count(*) AS n_bars,
+                  (max(struct_pack(t := bar_ts, c := close))).c AS cl,
+                  (min(struct_pack(t := bar_ts, c := close))).c AS cf,
+                  SUM(CAST(round(abs(close - pc), 12)
+                    AS DECIMAL(38,12))) AS vol
+                FROM b GROUP BY 1, 2)
+          SELECT series, d, CAST(n_bars AS BIGINT) AS n_bars,
+            CASE WHEN vol > 0 THEN
+              ${ExactRound.sqlRatioRound(
+                "CAST(CAST(round(abs(cl - cf), 12) AS DECIMAL(38,12))" +
+                  "*1000000000000 AS HUGEINT)",
+                "CAST(vol*1000000000000 AS HUGEINT)", 6)} END
+              AS efficiency
+          FROM a ORDER BY series, d"""
   )
 }

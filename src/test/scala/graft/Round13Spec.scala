@@ -201,6 +201,64 @@ class Round13Spec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(0) === r.getInt(1) && r.getLong(2) === 5))
   }
 
+  test("growthAccounting pins the four ledger lines on a hand history") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // u1 buys d1,d2,d4 (d4 = resurrected); u2 buys d2 only
+    val ev = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(4)), (2L, ts(2)))
+      .map { case (u, t) => (u, t, "purchase") }
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.ops.EventAnalytics.growthAccounting(ev)
+      .orderBy(col("w")).collect()
+    // (active, new, retained, resurrected, churned) per active day;
+    // churn into an INACTIVE day has no ledger row by construction
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))).toSeq ===
+      Seq((1L, 1L, 0L, 0L, 0L), (2L, 1L, 1L, 0L, 0L),
+        (1L, 0L, 0L, 1L, 0L)))
+  }
+
+  test("audienceOverlap pins day-scoped Jaccard") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // view audience {(u1,d1),(u1,d2)}, click audience {(u1,d1),(u2,d1)}
+    // → intersection 1, union 3
+    val ev = Seq((1L, ts(1), "view"), (1L, ts(1), "click"),
+      (1L, ts(2), "view"), (2L, ts(1), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val r = graft.ops.EventAnalytics.audienceOverlap(ev).collect().head
+    assert(r.getString(0) === "click" && r.getString(1) === "view")
+    assert(r.getLong(2) === 2 && r.getLong(3) === 2 && r.getLong(4) === 1)
+    assert(r.getDouble(5) === 0.333333)
+  }
+
+  test("seqInterference pins the in-chain error split") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val ev = Seq(
+      (1L, t("10:00"), "view"), (1L, t("10:05"), "error"),
+      (1L, t("10:10"), "purchase"),
+      (2L, t("10:00"), "view"), (2L, t("10:30"), "purchase"),
+      (3L, t("10:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val r = graft.ops.EventAnalytics.seqInterference(
+      ev, "view", "purchase", "error", windowSec = 3600L).collect().head
+    assert(r.getLong(0) === 3 && r.getLong(1) === 2)
+    assert(r.getLong(2) === 1 && r.getLong(3) === 1)
+    assert(r.getDouble(4) === 0.5)
+  }
+
+  test("rangeEfficiency pins the Kaufman ratio on a hand day") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // closes 1.0 → 2.0 → 1.5: direction 0.5, path 1.5 → ER = 1/3
+    val bars = Seq(("X", ts(10), 1.0), ("X", ts(11), 2.0), ("X", ts(12), 1.5))
+      .toDF("series", "bar_ts", "close")
+    val r = graft.ops.MarketBars.rangeEfficiency(bars).collect().head
+    assert(r.getLong(2) === 3)
+    assert(r.getDouble(3) === 0.333333)
+  }
+
   test("resized payloads flow back through imageHashes (round trip)") {
     import spark.implicits._
     val assets = Seq(
