@@ -799,13 +799,15 @@ object SimilarityOps {
     * ONE corpus scan scores all prefixes at once (the slices reuse
     * the row already in hand); the per-query rankings share one
     * qid exchange across the window passes; output |queries| rows. */
-  def prefixRecall(
+  /** Shared core of the prefix-eval ops: every (query, neighbor) pair
+    * scored by the full dot and each prefix dot, ranked per qid under
+    * each scoring (ties by neighbor id), one shared qid exchange. */
+  private def prefixRanked(
       emb: DataFrame,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding",
-      k: Int = 5,
-      dims: Seq[Int] = Seq(8, 16, 32),
-      queryEvery: Int = 50): DataFrame = {
+      idCol: String,
+      vecCol: String,
+      dims: Seq[Int],
+      queryEvery: Int): DataFrame = {
     val parallelism = emb.sparkSession.sparkContext.defaultParallelism
     val base = withUnitVec(emb, vecCol)
     val q = base.filter(col(idCol) % queryEvery === 0)
@@ -819,15 +821,66 @@ object SimilarityOps {
         dot(slice(col("qv"), 1, d), slice(col("nv"), 1, d)))
     }
     val w = Window.partitionBy(col("qid"))
-    val ranked = dims.foldLeft(
+    dims.foldLeft(
       scored.withColumn("rf",
         row_number().over(w.orderBy(col("f").desc, col("nid"))))) { (df, d) =>
       df.withColumn(s"r$d",
         row_number().over(w.orderBy(col(s"p$d").desc, col("nid"))))
     }
+  }
+
+  def prefixRecall(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      dims: Seq[Int] = Seq(8, 16, 32),
+      queryEvery: Int = 50): DataFrame = {
+    val ranked = prefixRanked(emb, idCol, vecCol, dims, queryEvery)
     val aggs = dims.map(d =>
       sum(when(col(s"r$d") <= k, 1L).otherwise(0L)).as(s"hits_$d"))
     ranked.filter(col("rf") <= k)
+      .groupBy(col("qid"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The 1e12-scaled DCG position discounts floor(1e12/log2(i+1)+½)
+    * for positions 1..k — pinned INTEGER literals shared verbatim by
+    * both engines, so DCG is an exact integer sum (never an
+    * order-sensitive float fold). */
+  def dcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e12 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Prefix-dimension nDCG@k: the position-aware companion to
+    * [[prefixRecall]] — a prefix shortlist that finds all five true
+    * neighbors but inverts their order scores 1.0 on recall and
+    * below 1.0 here. Relevance is binary (full-ranking top-k
+    * membership); the discount weights are [[dcgWeights]] pinned
+    * integers, so per-query DCG is an exact integer and nDCG an
+    * exact [[ExactRound]] quotient.
+    *
+    * Scale: identical plan to [[prefixRecall]] (same shared-exchange
+    * core); output |queries| rows. */
+  def prefixNdcg(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      dims: Seq[Int] = Seq(8, 16, 32),
+      queryEvery: Int = 50): DataFrame = {
+    val ranked = prefixRanked(emb, idCol, vecCol, dims, queryEvery)
+    val ws = dcgWeights(k)
+    val idcg = ws.sum
+    val wArr = array(ws.map(lit): _*)
+    val aggs = dims.map { d =>
+      ExactRound.ratioRound(
+        coalesce(sum(when(col(s"r$d") <= k && col("rf") <= k,
+          element_at(wArr, col(s"r$d").cast("int")))), lit(0L)),
+        lit(idcg), 6).as(s"ndcg_$d")
+    }
+    ranked.filter(col("rf") <= k || dims.map(d => col(s"r$d") <= k)
+        .reduce(_ || _))
       .groupBy(col("qid"))
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -1503,6 +1503,41 @@ object LlmQueries {
           "vec_id", "embedding", "label", k = 5, centroidEvery = 50,
           nprobe = 2)
         .orderBy(col("label"), col("pred_label"))
+    }),
+
+    // Prefix-dimension nDCG@5 (SimilarityOps.prefixNdcg): q409's
+    // recall says WHETHER the prefix shortlist finds the true
+    // neighbors; this says whether it keeps them in ORDER — binary
+    // relevance, pinned 1e12-scaled integer discounts, exact quotient
+    "q422_prefix_ndcg" -> ((s, dir) => {
+      SimilarityOps.prefixNdcg(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 5, dims = Seq(8, 16, 32),
+          queryEvery = 50)
+        .orderBy(col("qid"))
+    }),
+
+    // Dup-cluster size vs quality (GraphOps components × the q33
+    // quality score): do bigger near-dup clusters carry worse text —
+    // the curation question behind dedup-before-or-after-filter
+    // ordering. Singleton docs (no near-dup edge) bucket at size 1.
+    "q423_cluster_quality" -> ((s, dir) => {
+      val docs = Tables.rebalance(Tables.documents(s, dir))
+      val q4 = TextOps.textStats(docs).select(col("doc_id"),
+        graft.ops.ExactRound.ratioRoundScaled(
+          lit(2L) * least(lit(100L), col("n_tokens")) * col("n_tokens") +
+            lit(200L) * col("n_distinct") +
+            lit(100L) * (col("n_tokens") - col("n_stop")),
+          lit(500L) * col("n_tokens"), 4).as("q4"))
+      val comp = GraphOps.connectedComponents(dupPairs(s, dir))
+      val sized = comp.groupBy(col("component")).agg(count(lit(1)).as("csz"))
+      q4.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .join(sized, Seq("component"), "left")
+        .withColumn("sz", coalesce(col("csz"), lit(1L)))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.ops.ExactRound.ratioRound(sum(col("q4")),
+            count(lit(1)) * lit(10000L), 4).as("mean_quality"))
+        .orderBy(col("sz"))
     })
   )
 
@@ -5544,6 +5579,103 @@ object LlmQueries {
                    WHERE vr = 1)
           SELECT q_label AS label, pred_label,
             CAST(count(*) AS BIGINT) AS n_vecs
-          FROM pred GROUP BY 1, 2 ORDER BY label, pred_label"""
+          FROM pred GROUP BY 1, 2 ORDER BY label, pred_label""",
+
+    // prefix-nDCG twin: the q409 ranking CTEs; relevance = full-top-5
+    // membership; the pinned 1e12-scaled integer discounts make DCG an
+    // exact integer sum and nDCG an ExactRound quotient
+    "q422_prefix_ndcg" -> {
+      val ws = SimilarityOps.dcgWeights(5)
+      val wl = ws.mkString("[", ", ", "]")
+      val idcg = ws.sum.toString
+      def dcg(rc: String) =
+        s"COALESCE(SUM(CASE WHEN $rc BETWEEN 1 AND 5 AND rf <= 5 " +
+          s"THEN ($wl)[$rc] END), 0)"
+      s"""WITH $embCte,
+          q AS (SELECT vec_id AS qid, v AS qv FROM e
+                WHERE vec_id % 50 = 0),
+          sc AS (SELECT qid, c.vec_id AS nid,
+                   ${duckCos("q.qv", "c.v")} AS f,
+                   ${duckCos("list_slice(q.qv, 1, 8)",
+                     "list_slice(c.v, 1, 8)")} AS p8,
+                   ${duckCos("list_slice(q.qv, 1, 16)",
+                     "list_slice(c.v, 1, 16)")} AS p16,
+                   ${duckCos("list_slice(q.qv, 1, 32)",
+                     "list_slice(c.v, 1, 32)")} AS p32
+                 FROM q JOIN e c ON c.vec_id <> q.qid),
+          r AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY f DESC, nid) AS rf,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY p8 DESC, nid) AS r8,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY p16 DESC, nid) AS r16,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY p32 DESC, nid) AS r32
+                FROM sc)
+          SELECT qid,
+            ${ExactRound.sqlRatioRound(dcg("r8"), idcg, 6)} AS ndcg_8,
+            ${ExactRound.sqlRatioRound(dcg("r16"), idcg, 6)} AS ndcg_16,
+            ${ExactRound.sqlRatioRound(dcg("r32"), idcg, 6)} AS ndcg_32
+          FROM r GROUP BY qid ORDER BY qid"""
+    },
+
+    // cluster-quality twin: the q349 recursive components over the
+    // q77 edges, the q33 quality score as a 4dp scaled integer,
+    // singletons bucketed at size 1, ExactRound means
+    "q423_cluster_quality" ->
+      s"""WITH RECURSIVE $toksCte,
+          st AS (SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter(toks,
+                     t -> t IN ${inList(TextOps.Stopwords)})) AS BIGINT)
+                     AS n_stop
+                 FROM d),
+          qd AS (SELECT doc_id,
+                   ${ExactRound.sqlRatioRoundScaled(
+                     "2*least(100, st.n_tokens)*st.n_tokens" +
+                       " + 200*st.n_distinct" +
+                       " + 100*(st.n_tokens - st.n_stop)",
+                     "500*st.n_tokens", 4)} AS q4
+                 FROM st),
+          g0 AS (SELECT doc_id, unnest($shingleExpr) AS g FROM d),
+          gkt AS (SELECT DISTINCT doc_id, ${CrossHash.duckX64("g")} AS gk
+                  FROM g0),
+          rare AS (SELECT gk FROM
+                     (SELECT gk, count(*) AS dfc FROM gkt GROUP BY 1)
+                   WHERE dfc <= 100),
+          p AS (SELECT doc_id, gk FROM gkt JOIN rare USING (gk)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+          sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+                 FROM p a JOIN p b
+                   ON a.gk = b.gk AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          pj AS (SELECT id_a, id_b
+                 FROM sh
+                 JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+                 WHERE CAST(n_shared AS DOUBLE)
+                   /(sa.sz + sb.sz - n_shared) >= 0.3),
+          edges AS (SELECT id_a AS a, id_b AS b FROM pj
+                    UNION SELECT id_b, id_a FROM pj),
+          reach AS (SELECT a AS node, a AS lab FROM edges
+                    UNION
+                    SELECT e.b AS node, r.lab FROM reach r
+                    JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, min(lab) AS root FROM reach
+                   GROUP BY node),
+          szs AS (SELECT root, count(*) AS csz FROM comp GROUP BY 1),
+          dq AS (SELECT qd.doc_id, qd.q4,
+                   COALESCE(szs.csz, 1) AS sz
+                 FROM qd
+                 LEFT JOIN comp ON comp.node = qd.doc_id
+                 LEFT JOIN szs ON szs.root = comp.root)
+          SELECT CAST(sz AS BIGINT) AS sz,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            ${ExactRound.sqlRatioRound("SUM(q4)", "count(*)*10000", 4)}
+              AS mean_quality
+          FROM dq GROUP BY sz ORDER BY sz"""
   )
 }

@@ -774,4 +774,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p398.contains("windowspecdefinition(us#"),
       s"q398: global window over the sweep appeared:\n${p398.take(2000)}")
   }
+
+  test("round-13 plan locks: broadcast query side, no cartesian joins") {
+    // q409: the sampled query set must BROADCAST against the streaming
+    // corpus (the corpus must never sit on the build side), and the
+    // four rank windows must share ONE qid exchange
+    val p409 = SparkEntry.queries("q409_prefix_recall")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p409.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"q409: query side not broadcast:\n${p409.take(2000)}")
+    val qidExchanges =
+      "Exchange hashpartitioning\\(qid#".r.findAllIn(p409).size
+    assert(qidExchanges === 1,
+      s"q409: rank windows should share one qid exchange, found $qidExchanges")
+    // the self-join expansions must stay key-partitioned: a cartesian
+    // over a data-sized relation is the scale giveaway
+    for (q <- Seq("q418_growth_accounting", "q420_audience_overlap",
+        "q419_seq_interference", "q416_window_funnel")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: cartesian join appeared:\n${plan.take(2000)}")
+    }
+  }
 }

@@ -1107,6 +1107,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel store equals batch q416 under LATE data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .limit(4000).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .toSeq
+    // every 7th row arrives LAST — including step-1 events whose late
+    // arrival LOWERS t1 and re-qualifies previously-skipped step-2s
+    val late = raw.zipWithIndex.filter(_._2 % 7 == 0).map(_._1)
+    val early = raw.zipWithIndex.filter(_._2 % 7 != 0).map(_._1)
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val store = graft.streaming.FunnelStream.newStore(
+      spark, steps, windowSec = 172800L)
+    val q = graft.streaming.FunnelStream.start(
+      stream.toDF().toDF("user_id", "ts", "event_type"), store)
+    try {
+      stream.addData(early.take(2000)); q.processAllAvailable()
+      stream.addData(early.drop(2000)); q.processAllAvailable()
+      stream.addData(late); q.processAllAvailable()
+      val streamed = store.snapshot()
+      val batch = graft.ops.EventAnalytics.windowFunnel(
+        raw.toDF("user_id", "ts", "event_type"), steps, 172800L)
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming snapshot-diff store equals batch q174 under LATE data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
