@@ -43,6 +43,44 @@ object Dist {
     saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Measured skew factor of a join key: how many AVERAGE partitions
+    * the hottest key would fill on its own (top-key count over
+    * total/parallelism). One planning-time aggregate over the pruned
+    * key columns — two numbers reach the driver, never data. 1.0 ≈
+    * uniform; ≥ parallelism ≈ one key owns the whole stage. */
+  def skewFactor(df: DataFrame, keys: Seq[String]): Double = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val row = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top"), sum(col("c")).as("total"))
+      .collect().head
+    if (row.isNullAt(0) || row.getLong(1) == 0L) 0.0
+    else row.getLong(0).toDouble /
+      math.max(1L, row.getLong(1) / math.max(1, parallelism))
+  }
+
+  /** [[saltedJoin]] with the bucket count CHOSEN from the measured
+    * skew: below `skewThreshold` the plain join runs (no salt
+    * overhead on healthy data); above it, buckets = ⌈factor⌉ capped
+    * at `maxBuckets` — just enough replicas to flatten the hot key
+    * back to average-partition size. The planning-time measurement is
+    * the same move AQE's skew-join makes from runtime map statistics,
+    * available here for the joins AQE can't split (hot on both
+    * sides, or sort-merge under a hint). Result is identical to the
+    * plain join — property-tested. */
+  def autoSaltedJoin(
+      lhs: DataFrame,
+      rhs: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner",
+      skewThreshold: Double = 4.0,
+      maxBuckets: Int = 64): DataFrame = {
+    val factor = skewFactor(lhs, keys)
+    if (factor <= skewThreshold) lhs.join(rhs, keys, joinType)
+    else saltedJoin(lhs, rhs, keys,
+      math.min(maxBuckets, math.max(2, math.ceil(factor).toInt)), joinType)
+  }
+
   /** Materialization barrier: force the columns computed so far to be
     * physically produced (via a round-robin exchange) instead of being
     * re-inlined into every consumer.

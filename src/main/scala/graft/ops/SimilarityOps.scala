@@ -885,6 +885,58 @@ object SimilarityOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Hard-negative margin analysis: per label, the distribution of
+    * (best same-label cosine − best cross-label cosine) over a
+    * sampled anchor set — the instance-level separability read a
+    * contrastive-training run wants BEFORE mining negatives (q110
+    * samples negatives; this says whether hard negatives even exist:
+    * a negative mean margin means the nearest neighbor is usually the
+    * WRONG class). Anchors whose label has no other member drop out
+    * (no same-label best exists).
+    *
+    * Determinism: max() over doubles is order-insensitive (unlike
+    * sum), so both bests are exact; the margin is ONE shared double
+    * subtract, rounds at 12dp, folds in DECIMAL(38,12); the mean is
+    * an exact [[ExactRound]] quotient and the positive-share an exact
+    * count ratio.
+    *
+    * Scale: anchors broadcast (a sampled eval set); ONE corpus scan;
+    * a per-anchor two-max rollup; |labels| rows out. */
+  def hardNegativeMargin(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      queryEvery: Int = 50): DataFrame = {
+    val parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    val dec12 = DecimalType(38, 12)
+    val base = withUnitVec(emb, vecCol)
+    val q = base.filter(col(idCol) % queryEvery === 0)
+      .select(col(idCol).as("qid"), col(labelCol).as("q_label"),
+        col("nv").as("qv"))
+    val c = base.select(col(idCol).as("nid"), col(labelCol).as("n_label"),
+        col("nv"))
+      .repartition(parallelism)
+    val margins = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("nv")))
+      .groupBy(col("qid"), col("q_label"))
+      .agg(
+        max(when(col("q_label") === col("n_label"), col("cos"))).as("s"),
+        max(when(col("q_label") =!= col("n_label"), col("cos"))).as("x"))
+      .filter(col("s").isNotNull && col("x").isNotNull)
+      .withColumn("m12", round(col("s") - col("x"), 12))
+    margins.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(col("m12").cast(dec12)).as("sm"),
+        sum(when(col("m12") > 0, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("label"), col("n_anchors"),
+        ExactRound.ratioRound(ExactRound.toUnscaled(col("sm"), 12),
+          col("n_anchors").cast(DecimalType(38, 0)) *
+            lit(1000000000000L), 6).as("mean_margin"),
+        ExactRound.ratioRound(col("n_pos"), col("n_anchors"), 4)
+          .as("share_separable"))
+  }
+
   /** Reproducible negative sampling for contrastive training: for
     * each vector, `k` pseudo-random "negative" partners drawn by the
     * portable md5 hash over (id, draw index) — no RNG state, so the

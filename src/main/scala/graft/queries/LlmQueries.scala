@@ -1516,6 +1516,16 @@ object LlmQueries {
         .orderBy(col("qid"))
     }),
 
+    // Hard-negative margin analysis (SimilarityOps.hardNegativeMargin):
+    // per label, best-same-label minus best-cross-label cosine over a
+    // sampled anchor set — does the space have hard negatives to mine
+    // (q110 samples them; this says whether they exist)
+    "q424_hard_negative_margin" -> ((s, dir) => {
+      SimilarityOps.hardNegativeMargin(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", queryEvery = 10)
+        .orderBy(col("label"))
+    }),
+
     // Dup-cluster size vs quality (GraphOps components × the q33
     // quality score): do bigger near-dup clusters carry worse text —
     // the curation question behind dedup-before-or-after-filter
@@ -5619,6 +5629,35 @@ object LlmQueries {
             ${ExactRound.sqlRatioRound(dcg("r32"), idcg, 6)} AS ndcg_32
           FROM r GROUP BY qid ORDER BY qid"""
     },
+
+    // margin twin: identical sequential-fold dots, order-insensitive
+    // max() bests, one shared subtract rounded 12dp, DECIMAL folds
+    "q424_hard_negative_margin" ->
+      s"""WITH $embCte,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          q AS (SELECT e.vec_id AS qid, lab.label AS q_label, e.v AS qv
+                FROM e JOIN lab ON lab.vec_id = e.vec_id
+                WHERE e.vec_id % 10 = 0),
+          m AS (SELECT q.qid, q.q_label,
+                  max(CASE WHEN nl.label = q.q_label
+                    THEN ${duckCos("q.qv", "c.v")} END) AS s,
+                  max(CASE WHEN nl.label <> q.q_label
+                    THEN ${duckCos("q.qv", "c.v")} END) AS x
+                FROM q JOIN e c ON c.vec_id <> q.qid
+                JOIN lab nl ON nl.vec_id = c.vec_id
+                GROUP BY 1, 2),
+          g AS (SELECT q_label, round(s - x, 12) AS m12
+                FROM m WHERE s IS NOT NULL AND x IS NOT NULL)
+          SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_anchors,
+            ${ExactRound.sqlRatioRound(
+              "CAST(SUM(CAST(m12 AS DECIMAL(38,12)))*1000000000000" +
+                " AS HUGEINT)",
+              "CAST(count(*) AS HUGEINT)*1000000000000", 6)}
+              AS mean_margin,
+            ${ExactRound.sqlRatioRound(
+              "SUM(CASE WHEN m12 > 0 THEN 1 ELSE 0 END)",
+              "count(*)", 4)} AS share_separable
+          FROM g GROUP BY 1 ORDER BY label""",
 
     // cluster-quality twin: the q349 recursive components over the
     // q77 edges, the q33 quality score as a 4dp scaled integer,

@@ -33,6 +33,29 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Size-targeted parquet writer — the small-files guard: pick the
+    * file count from the optimizer's size estimate so each output
+    * file lands near `targetBytes` AFTER parquet compression
+    * (`compressionRatio` ≈ in-memory bytes per stored byte; snappy
+    * on columnar analytics data runs ~3×). A 1000-executor job that
+    * writes one file per task floods the lake with ~KB files and
+    * every later scan pays per-file open costs; repartitioning to the
+    * computed count makes file size a CONTRACT of the sink instead of
+    * an accident of upstream parallelism. Uses the plan-stats
+    * estimate — no extra job — and clamps to [1, maxFiles]. */
+  def writeSized(
+      df: DataFrame,
+      path: String,
+      targetBytes: Long = 128L << 20,
+      compressionRatio: Double = 3.0,
+      maxFiles: Int = 100000): Unit = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perFile = BigInt((targetBytes * compressionRatio).toLong.max(1L))
+    val n = ((est + perFile - 1) / perFile)
+      .max(1).min(maxFiles).toInt
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** JDBC full-refresh sink with the same empty-guard rule (S3 —
     * `transform_data.py:200-209`; overwrite drops and recreates the
     * table from the frame schema, as the reference's did). Round-trip,

@@ -259,6 +259,32 @@ class Round13Spec extends AnyFunSuite {
     assert(r.getDouble(3) === 0.333333)
   }
 
+  test("hardNegativeMargin pins separable vs inverted clusters") {
+    import spark.implicits._
+    // label 0 tight around e1, label 1 tight around e3: every anchor's
+    // same-label best ≈ 1, cross best ≈ 0 → margins positive
+    val emb = (0 until 10).map { i =>
+      val v = if (i < 5) Array(1f, 0.01f * i, 0f, 0f)
+      else Array(0f, 0f, 1f, 0.01f * i)
+      (i.toLong, v, if (i < 5) 0 else 1)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.SimilarityOps.hardNegativeMargin(
+        emb, "vec_id", "embedding", "label", queryEvery = 1)
+      .orderBy(col("label")).collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.getLong(1) === 5 && r.getDouble(2) > 0.9 &&
+      r.getDouble(3) === 1.0))
+    // a singleton label drops out (no same-label best exists)
+    val single = (emb.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))).toSeq :+
+        ((99L, Array(0.5f, 0.5f, 0.5f, 0.5f), 7)))
+      .toDF("vec_id", "embedding", "label")
+    val labels = graft.ops.SimilarityOps.hardNegativeMargin(
+        single, "vec_id", "embedding", "label", queryEvery = 1)
+      .select("label").collect().map(_.getInt(0)).toSet
+    assert(labels === Set(0, 1))
+  }
+
   test("resized payloads flow back through imageHashes (round trip)") {
     import spark.implicits._
     val assets = Seq(

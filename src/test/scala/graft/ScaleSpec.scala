@@ -775,6 +775,39 @@ class ScaleSpec extends AnyFunSuite {
       s"q398: global window over the sweep appeared:\n${p398.take(2000)}")
   }
 
+  test("autoSaltedJoin: measures skew, salts above threshold, plain below") {
+    import spark.implicits._
+    val skewed = (1 to 1000).map(i => (if (i <= 800) 1 else i, s"l$i"))
+      .toDF("k", "lv")
+    val uniform = (1 to 1000).map(i => (i % 100, s"l$i")).toDF("k", "lv")
+    val right = (1 to 50).map(i => (i, s"r$i")).toDF("k", "rv")
+    // local[4]: the hot key holds 800/1000 rows = 3.2 average
+    // partitions; the uniform frame tops out at 10/250 = 0.04
+    assert(Dist.skewFactor(skewed, Seq("k")) > 2.0)
+    assert(Dist.skewFactor(uniform, Seq("k")) <= 2.0)
+    for (df <- Seq(skewed, uniform); jt <- Seq("inner", "left")) {
+      val plain = df.join(right, Seq("k"), jt)
+      val auto = Dist.autoSaltedJoin(df, right, Seq("k"), jt,
+        skewThreshold = 2.0)
+      assert(auto.count() === plain.count(), jt)
+      assert(auto.except(plain).count() === 0, jt)
+      assert(plain.except(auto).count() === 0, jt)
+    }
+  }
+
+  test("writeSized: file count follows the size target") {
+    val out = java.nio.file.Files.createTempDirectory("sized").toString
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    Sinks.writeSized(df, s"$out/big", targetBytes = 1L << 30)
+    assert(files(s"$out/big") === 1)
+    Sinks.writeSized(df, s"$out/small", targetBytes = 16 << 10,
+      compressionRatio = 1.0)
+    assert(files(s"$out/small") > 1)
+    assert(spark.read.parquet(s"$out/small").count() === df.count())
+  }
+
   test("round-13 plan locks: broadcast query side, no cartesian joins") {
     // q409: the sampled query set must BROADCAST against the streaming
     // corpus (the corpus must never sit on the build side), and the
