@@ -45,14 +45,20 @@ object CorpusOps {
     *
     * Scale: ONE corpus scan (tokenize counts only — text never
     * shuffles), one (source, limit) map-side-combined rollup over
-    * |sources|·|limits| cells. */
+    * |sources|·|limits| cells.
+    *
+    * NULL text coalesces to "" (0 tokens) BEFORE size(split(...)):
+    * Spark's size() returns -1 on NULL input where DuckDB's twin
+    * yields NULL (counted row, sum-skipped) — the coalesce keeps both
+    * engines counting a null doc as an empty one. */
   def truncationLoss(
       docs: DataFrame,
       limits: Seq[Int] = Seq(16, 32, 64),
       textCol: String = "text"): DataFrame = {
     docs
       .select(col("source"),
-        size(split(trim(col(textCol)), " +")).cast("long").as("n"))
+        size(split(trim(coalesce(col(textCol), lit(""))), " +"))
+          .cast("long").as("n"))
       .select(col("source"), col("n"),
         explode(array(limits.map(l => lit(l)): _*)).as("lim"))
       .groupBy(col("source"), col("lim"))

@@ -6170,7 +6170,8 @@ object MarketBars {
       .agg(sum(col("n_ticks")).as("v"))
       .withColumn("m", count(lit(1)).over(tw))
       .withColumn("s", sum(col("v")).over(tw))
-      .withColumn("q", sum((col("v") * col("v")).cast(dec)).over(tw))
+      .withColumn("q",
+        sum(col("v").cast(dec) * col("v").cast(dec)).over(tw))
       .filter(col("m") === lookback)
     val dvm = col("v").cast(dec) * col("m").cast(dec) - col("s").cast(dec)
     val varNum = col("m").cast(dec) * col("q") -

@@ -5530,7 +5530,8 @@ object LlmQueries {
     // unnest, exact min(n, L) integer folds, ExactRound kept-share
     "q413_truncation_loss" ->
       s"""WITH t AS (SELECT source,
-                      CAST(len(regexp_split_to_array(trim(text), ' +'))
+                      CAST(len(regexp_split_to_array(
+                          trim(coalesce(text, '')), ' +'))
                         AS BIGINT) AS n
                     FROM documents),
           l AS (SELECT unnest([16, 32, 64]) AS lim),

@@ -42,7 +42,15 @@ object Sinks {
     * every later scan pays per-file open costs; repartitioning to the
     * computed count makes file size a CONTRACT of the sink instead of
     * an accident of upstream parallelism. Uses the plan-stats
-    * estimate — no extra job — and clamps to [1, maxFiles]. */
+    * estimate — no extra job — and clamps to [1, maxFiles].
+    *
+    * Stat-less sources (JDBC relations, some views) report
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue, which would clamp
+    * to `maxFiles` and recreate exactly the small-files flood this
+    * sink prevents; any estimate at or past that sentinel falls back
+    * to the plan's incoming partition count (one file per upstream
+    * task — the pre-`writeSized` behavior, never a 100000-file
+    * explosion). */
   def writeSized(
       df: DataFrame,
       path: String,
@@ -50,9 +58,13 @@ object Sinks {
       compressionRatio: Double = 3.0,
       maxFiles: Int = 100000): Unit = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sentinel = BigInt(
+      df.sparkSession.sessionState.conf.defaultSizeInBytes)
     val perFile = BigInt((targetBytes * compressionRatio).toLong.max(1L))
-    val n = ((est + perFile - 1) / perFile)
-      .max(1).min(maxFiles).toInt
+    val n =
+      if (est >= sentinel)
+        df.rdd.getNumPartitions.max(1).min(maxFiles)
+      else ((est + perFile - 1) / perFile).max(1).min(maxFiles).toInt
     df.repartition(n).write.mode(SaveMode.Overwrite).parquet(path)
   }
 

@@ -101,6 +101,12 @@ def lint_output_types(con, sql: str, spark_files=None):
         elif t == "FLOAT":
             flags.append(f"{col}: oracle emits FLOAT (outputs must be DOUBLE)")
         elif t.startswith("DECIMAL"):
+            # DECIMAL needs the Spark dump to compare (p,s); without
+            # one (standalone --type-lint on a fresh out dir) we can't
+            # adjudicate, so skip rather than spam FAIL on every
+            # decimal column. HUGEINT/FLOAT stay hard failures above.
+            if spark_files is None:
+                continue
             want = "decimal128" + t[len("DECIMAL"):].replace(" ", "")
             got = spark_types.get(col, "")
             if got.replace(" ", "") != want:
