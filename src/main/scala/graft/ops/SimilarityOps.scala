@@ -900,20 +900,32 @@ object SimilarityOps {
     * an exact [[ExactRound]] quotient and the positive-share an exact
     * count ratio.
     *
-    * Scale: anchors broadcast (a sampled eval set); ONE corpus scan;
-    * a per-anchor two-max rollup; |labels| rows out. */
+    * Scale: anchors broadcast (a sampled eval set) and the broadcast
+    * is CONSTANT-SIZE at any corpus scale — after the `queryEvery`
+    * stride the anchor set is cut to the `maxAnchors` smallest ids in
+    * md5 order (the q55 reproducible-sample rule, executed as a
+    * distributed top-k, never a corpus-sized sort), so a 100 TB corpus
+    * broadcasts the same ≤ maxAnchors rows a 100 GB one does; ONE
+    * corpus scan; a per-anchor two-max rollup; |labels| rows out.
+    * `maxAnchors <= 0` disables the cap. */
   def hardNegativeMargin(
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       labelCol: String = "label",
-      queryEvery: Int = 50): DataFrame = {
+      queryEvery: Int = 50,
+      maxAnchors: Int = 1024): DataFrame = {
     val parallelism = emb.sparkSession.sparkContext.defaultParallelism
     val dec12 = DecimalType(38, 12)
     val base = withUnitVec(emb, vecCol)
-    val q = base.filter(col(idCol) % queryEvery === 0)
+    val qAll = base.filter(col(idCol) % queryEvery === 0)
       .select(col(idCol).as("qid"), col(labelCol).as("q_label"),
         col("nv").as("qv"))
+    val q =
+      if (maxAnchors > 0)
+        qAll.orderBy(md5(col("qid").cast("string")), col("qid"))
+          .limit(maxAnchors)
+      else qAll
     val c = base.select(col(idCol).as("nid"), col(labelCol).as("n_label"),
         col("nv"))
       .repartition(parallelism)
