@@ -49,11 +49,15 @@ object Pipeline {
       .select(col("pair_name"), col("timestamp").as("bar_ts"),
         col("close").cast("double").as("close1"))
     val leg2 = bars.join(broadcast(spec.select("sym2", "pair_name")), col("symbol") === col("sym2"))
-      .select(col("pair_name").as("pn2"), col("timestamp").as("ts2"),
+      .select(col("pair_name"), col("timestamp").as("bar_ts"),
         col("close").cast("double").as("close2"))
 
-    val paired = leg1.join(leg2,
-        col("pair_name") === col("pn2") && col("bar_ts") === col("ts2"))
+    // fact-fact shuffle join: behind `spark.graft.skewGuard` the key
+    // skew is measured and a hot (pair, ts) — one halted symbol's
+    // duplicate-timestamp ticks — is salted flat; off (default) this
+    // is the plain equi-join, plan-identical to the original
+    val paired = graft.ops.Dist.guardedJoin(
+        leg1, leg2, Seq("pair_name", "bar_ts"))
       .select(col("pair_name"), col("bar_ts"), col("close1"), col("close2"),
         (log(col("close1")) - log(col("close2"))).as("spread"))
 
@@ -108,7 +112,9 @@ object Pipeline {
       runId: String = java.util.UUID.randomUUID().toString): (Long, DataFrame) = {
     val bars = prepare(spark, rawPath)
     val result = pairZScores(bars, pairs)
-    Sinks.overwriteParquet(result, outPath)
+    // size-targeted refresh write: empty guard + ~128 MB output files
+    // whatever the upstream task count (Sinks.writeSized contract)
+    Sinks.overwriteSized(result, outPath)
     val written = spark.read.parquet(outPath)
     val latestDay = written.agg(max(to_date(col("bar_ts"))).cast("string")).head().getString(0)
     if (fullCloseDates.contains(latestDay)) {

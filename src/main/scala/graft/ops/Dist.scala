@@ -81,6 +81,55 @@ object Dist {
       math.min(maxBuckets, math.max(2, math.ceil(factor).toInt)), joinType)
   }
 
+  /** Conf key for [[guardedJoin]]: "true" turns the measured-skew
+    * guard on for the product fact-fact joins that consume it. */
+  val SkewGuardKey = "spark.graft.skewGuard"
+  /** Conf key for [[guardedJoin]]'s engage threshold (default 4.0 —
+    * the hottest key must fill four average partitions by itself). */
+  val SkewGuardThresholdKey = "spark.graft.skewGuard.threshold"
+  /** Read-only decision trace: [[guardedJoin]] records what it chose
+    * (`plain:factor=…` / `salted:factor=…:buckets=…`) here each time
+    * the guard is ON. This is the observable contract for pipeline
+    * contexts where the salted join hides behind a lazy
+    * `localCheckpoint`'s LogicalRDD (ScalableWindow.dayScoped) and so
+    * never appears in a plan string. */
+  val SkewGuardDecisionKey = "spark.graft.skewGuard.decision"
+
+  /** The product-path face of [[autoSaltedJoin]]: a plain equi-join
+    * unless the session opts in (`spark.graft.skewGuard=true`), in
+    * which case the lhs key skew is MEASURED and the join salts only
+    * when the hottest key exceeds the threshold. Off by default so
+    * every existing plan (and gate hash) is byte-identical; on, the
+    * result is still identical — only the physical shuffle changes
+    * (property-tested). Wired into the heavy fact-fact shuffles:
+    * `Pipeline.pairZScores`' leg join and the q293/q295 two-fact
+    * joins — the places a single hot key (one halted symbol's
+    * duplicate-ts ticks, one mega-order's lines) would otherwise
+    * serialize a 1000-executor stage on one core while AQE's
+    * skew split is unavailable (sort-merge under a hint, or hot on
+    * both sides). */
+  def guardedJoin(
+      lhs: DataFrame,
+      rhs: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner",
+      maxBuckets: Int = 64): DataFrame = {
+    val conf = lhs.sparkSession.conf
+    if (conf.get(SkewGuardKey, "false").toBoolean) {
+      val threshold = conf.get(SkewGuardThresholdKey, "4.0").toDouble
+      val factor = skewFactor(lhs, keys)
+      if (factor <= threshold) {
+        conf.set(SkewGuardDecisionKey, f"plain:factor=$factor%.2f")
+        lhs.join(rhs, keys, joinType)
+      } else {
+        val buckets = math.min(maxBuckets, math.max(2, math.ceil(factor).toInt))
+        conf.set(SkewGuardDecisionKey,
+          f"salted:factor=$factor%.2f:buckets=$buckets")
+        saltedJoin(lhs, rhs, keys, buckets, joinType)
+      }
+    } else lhs.join(rhs, keys, joinType)
+  }
+
   /** Materialization barrier: force the columns computed so far to be
     * physically produced (via a round-robin exchange) instead of being
     * re-inlined into every consumer.

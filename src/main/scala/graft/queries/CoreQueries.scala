@@ -1831,13 +1831,17 @@ object CoreQueries {
     // than 90 days after their order date, split per returnflag (the
     // schema's shipmode stand-in) into urgent (priority 1-2) vs other
     // orders — the two-fact equi-join + conditional-count shape; both
-    // facts shuffle on orderkey, no dim involved
+    // facts shuffle on orderkey, no dim involved; the shuffle rides
+    // Dist.guardedJoin so `spark.graft.skewGuard=true` salts a
+    // measured hot orderkey flat (off by default: plain join)
     "q293_late_priority" -> ((s, dir) => {
       val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
-          col("l_orderkey") === col("o_orderkey"))
+      graft.ops.Dist.guardedJoin(
+          Tables.lineitem(s, dir),
+          Tables.orders(s, dir)
+            .select(col("o_orderkey").as("l_orderkey"),
+              col("o_orderdate"), col("o_orderpriority")),
+          Seq("l_orderkey"))
         .filter(datediff(to_date(col("l_shipdate")),
           to_date(col("o_orderdate"))) > 90)
         .groupBy(col("l_returnflag"))
@@ -1875,10 +1879,11 @@ object CoreQueries {
     // decorrelated into one per-order distinct-count aggregate joined
     // back to the late lines; supplier dim joins under AQE
     "q295_blame_supplier" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
+      val li = graft.ops.Dist.guardedJoin(
+          Tables.lineitem(s, dir),
+          Tables.orders(s, dir)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+          Seq("l_orderkey"))
         .withColumn("late",
           datediff(to_date(col("l_shipdate")),
             to_date(col("o_orderdate"))) > 100)

@@ -68,6 +68,21 @@ object Sinks {
     df.repartition(n).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** [[overwriteParquet]]'s empty-guard + [[writeSized]]'s file-count
+    * contract in one sink — the product pipeline's serving write
+    * (`Pipeline.run`) routes here so the refresh output lands as
+    * ~`targetBytes` files regardless of upstream parallelism, instead
+    * of one file per task. */
+  def overwriteSized(
+      df: DataFrame,
+      path: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    if (df.isEmpty)
+      throw new EmptyResultException(
+        s"refusing to overwrite $path with an empty result (transform_data.py:196-197 rule)")
+    writeSized(df, path, targetBytes)
+  }
+
   /** JDBC full-refresh sink with the same empty-guard rule (S3 —
     * `transform_data.py:200-209`; overwrite drops and recreates the
     * table from the frame schema, as the reference's did). Round-trip,
