@@ -1564,14 +1564,28 @@ object EventAnalytics {
     * probe is a self-join on the same key layout. |periods| rows. */
   def growthAccounting(events: DataFrame,
       activityType: String = "purchase",
-      periodDays: Int = 1): DataFrame = {
-    val uw = events
+      periodDays: Int = 1): DataFrame =
+    growthLedger(activityPeriods(events, activityType, periodDays), periodDays)
+
+  /** The distinct (user_id, w) activity-membership relation the ledger
+    * derives from — also the standing store of the streaming twin
+    * ([[graft.streaming.GrowthStream]]): set-union of distincts is
+    * associative, commutative and idempotent, so the store is
+    * arrival-order-free. */
+  private[graft] def activityPeriods(events: DataFrame,
+      activityType: String, periodDays: Int): DataFrame =
+    events
       .filter(col("event_type") === activityType)
       .select(col("user_id"),
         (if (periodDays == 7) date_trunc("week", col("ts")).cast("date")
          else to_date(col("ts"))).as("w"))
       .distinct()
-      .localCheckpoint(eager = false)
+
+  /** The ledger derivation over a distinct (user_id, w) membership
+    * relation — shared verbatim by the batch op and the streaming
+    * twin's `snapshot()`, so the two cannot drift. */
+  private[graft] def growthLedger(uw0: DataFrame, periodDays: Int): DataFrame = {
+    val uw = uw0.localCheckpoint(eager = false)
     val firstW = uw.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
     val prev = uw.select(col("user_id"),
         date_add(col("w"), periodDays).as("w"))

@@ -651,4 +651,92 @@ object MultimodalOps {
       MediaAsset(id, "audio", wav8k(syntheticPcm(id)))
     }
   }
+
+  /** The 64 gray levels of frame `f` of synthetic video `id` (q426):
+    * most frames are unique (cells from md5("vid:id:f:c")), but frames
+    * with (id + 3f) % 5 == 0 carry SHARED content — one of seven stock
+    * frames (cells from md5("vf:k:c"), k = ((id+3f)/5) % 7), half of
+    * them ((id+f) odd) with the q393 one-cell perceptual tweak
+    * (cell 0 + 16 mod 256). Cross-video (and occasionally within-
+    * video) near-duplicate frames therefore EXIST by construction —
+    * identical stock frames hash hamming-0, tweak variants hamming
+    * 0–few — and an engine without the decoder can recompute every
+    * sampled frame's hash from the same md5 strings. */
+  private[graft] def syntheticVideoCells(id: Long, f: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val shared = (id + 3 * f) % 5 == 0
+    val cells = Array.tabulate(64) { c =>
+      md.reset()
+      val key =
+        if (shared) s"vf:${((id + 3 * f) / 5) % 7}:$c"
+        else s"vid:$id:$f:$c"
+      md.update(key.getBytes("UTF-8"))
+      md.digest()(0) & 0xff
+    }
+    if (shared && (id + f) % 2 == 1) cells(0) = (cells(0) + 16) % 256
+    cells
+  }
+
+  /** Deterministic synthetic video corpus over an id column: one
+    * multi-frame container per id — 3 + id % 3 concatenated 16×8 BMP
+    * frames ([[bmp8x8]] over [[syntheticVideoCells]]), each frame a
+    * self-describing BMP whose header carries its own byte length, so
+    * a real container walk ([[videoFrames]]) can split frames without
+    * any out-of-band index. Map-side generate; at a real lake the
+    * containers come off parquet and everything downstream (walk,
+    * sample, decode, band join) is the production path. */
+  def syntheticVideoAssets(ids: DataFrame, idCol: String): Dataset[MediaAsset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val n = 3 + (id % 3).toInt
+      val frames = (0 until n).map(f => bmp8x8(syntheticVideoCells(id, f)))
+      MediaAsset(id, "video", Array.concat(frames: _*))
+    }
+  }
+
+  /** REAL video-container walk + frame sampling: parse the payload as
+    * concatenated BMP frames — each frame's own header declares its
+    * byte length (`bfSize` at offset 2), the walk hops header to
+    * header, stops at the first non-"BM" magic or truncated frame —
+    * and keep every `every`-th frame as a standalone image asset
+    * (frame_id = asset_id·16 + frame index; frame counts are ≤ 15 by
+    * construction). The UNSAMPLED frames are never decoded — the
+    * frame-sample happens at the container walk, before any pixel
+    * work, which is the 100 TB posture (decode is the expensive step;
+    * sampling first divides it by `every`).
+    *
+    * `mapPartitions`-family justification (same as [[decodeImages]]):
+    * a byte-level container walk is not an expression fit; the walk is
+    * map-side, pipelined with the scan, and emits only the sampled
+    * slices. */
+  def videoFrames(
+      assets: Dataset[MediaAsset], every: Int = 2): Dataset[MediaAsset] = {
+    require(every >= 1, s"every must be >= 1 (got $every)")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.flatMap { a =>
+      val p = a.payload
+      def u8(i: Int): Int = p(i) & 0xff
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val out = scala.collection.mutable.ArrayBuffer.empty[MediaAsset]
+      var off = 0
+      var f = 0
+      var ok = true
+      while (ok && off + 54 <= p.length &&
+          p(off) == 'B'.toByte && p(off + 1) == 'M'.toByte) {
+        val sz = le32(off + 2)
+        if (sz < 54 || off.toLong + sz > p.length) ok = false
+        else {
+          if (f % every == 0)
+            out += MediaAsset(a.asset_id * 16 + f, "image",
+              java.util.Arrays.copyOfRange(p, off, off + sz))
+          off += sz
+          f += 1
+        }
+      }
+      out
+    }
+  }
 }

@@ -359,6 +359,38 @@ object TextOps {
           .as("avg_nonascii_ratio"))
   }
 
+  /** Deterministic mojibake corpus for gating [[scriptAudit]] (q425):
+    * the driver corpus is pure ASCII (every audit count degenerates to
+    * zero there), so this derives a 32-char text per doc from
+    * md5("scr:" + doc_id) — the q393/q405 synthetic-recompute trick,
+    * text edition. Docs with `doc_id % 3 == 0` translate their hex
+    * digest through a map whose targets include four non-ASCII
+    * letters (hex a–d), one control char (hex e → U+0007) and the
+    * U+FFFD replacement char (hex f — itself non-ASCII too, so five
+    * hex digits count toward n_na); the rest translate to pure
+    * ASCII. The REAL regex audit then runs on genuine mixed-script
+    * text while the oracle recounts the same hex digits from the same
+    * md5 string in SQL — no character-class regex has to agree across
+    * engines, only md5 and per-char translate.
+    *
+    * Scale: map-side only (one md5 + one translate per row); at a
+    * real lake the text arrives off parquet and [[scriptAudit]]
+    * itself is the production path. */
+  def syntheticMojibake(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val hexDigits = "0123456789abcdef"
+    val asciiTargets = "abcdefghijklmnop"
+    val mojiTargets =
+      "abcdefghij" + "\u00e9\u00df\u03bb\u4e2d" + "\u0007" + "\ufffd"
+    val h = md5(concat(lit("scr:"), col(idCol).cast("string")).cast("binary"))
+    docs.select(col(idCol), col(sourceCol).as("source"))
+      .withColumn("text",
+        when(col(idCol) % 3 === 0, translate(h, hexDigits, mojiTargets))
+          .otherwise(translate(h, hexDigits, asciiTargets)))
+  }
+
   /** Flesch reading-ease per document, with syllables approximated as
     * vowel-group runs ([aeiouy]+ per lowercased word, min 1) and
     * sentences as terminator runs ([.!?]+, min 1) — the classic

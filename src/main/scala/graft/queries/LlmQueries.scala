@@ -1548,6 +1548,39 @@ object LlmQueries {
           graft.ops.ExactRound.ratioRound(sum(col("q4")),
             count(lit(1)) * lit(10000L), 4).as("mean_quality"))
         .orderBy(col("sz"))
+    }),
+
+    // Script/encoding audit (TextOps.scriptAudit) over the synthetic
+    // mojibake slice (TextOps.syntheticMojibake — the driver corpus is
+    // pure ASCII, so the REAL audit runs on md5-derived mixed-script
+    // text instead; reference anchor: the DQ-classifier semantics of
+    // validate_calendar_alpaca.py:220-245 extended to text corpora).
+    // Non-ASCII share ≈ ⅓ of docs, replacement/control counts live at
+    // every factor (value-probed before birth, q290 rule)
+    "q425_script_audit" -> ((s, dir) => {
+      TextOps.scriptAudit(TextOps.syntheticMojibake(
+          Tables.rebalance(Tables.documents(s, dir))))
+        .orderBy(col("source"))
+    }),
+
+    // Video-frame near-dup END TO END (the q393 pipeline, video
+    // edition — completes the image/audio/video multimodal triad):
+    // md5-derived multi-frame BMP containers, the REAL container walk
+    // + every-2nd frame sample (unsampled frames never decode), the
+    // REAL BMP decoder + aHash, then the shared hamming band join.
+    // Stock frames shared across videos make near-dups exist by
+    // construction; the oracle recomputes every sampled frame's hash
+    // halves from the same md5 strings and pairs via bit_count(xor)
+    "q426_video_frame_neardup" -> ((s, dir) => {
+      val frames = MultimodalOps.videoFrames(
+        MultimodalOps.syntheticVideoAssets(
+          Tables.embeddings(s, dir), "vec_id"), every = 2)
+      DedupOps.hammingNearDups(
+          MultimodalOps.imageHashes(frames), "asset_id", "ahash",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -5716,6 +5749,102 @@ object LlmQueries {
             CAST(count(*) AS BIGINT) AS n_docs,
             ${ExactRound.sqlRatioRound("SUM(q4)", "count(*)*10000", 4)}
               AS mean_quality
-          FROM dq GROUP BY sz ORDER BY sz"""
+          FROM dq GROUP BY sz ORDER BY sz""",
+
+    // script-audit twin: the synthetic text is translate(md5hex), so
+    // instead of re-running the character-class regexes the twin
+    // COUNTS THE HEX DIGITS that map to each class in the same md5
+    // string — n_na = #(a|b|c|d|f), n_repl = #f, n_ctl = #e, n_chars
+    // = 32 always. r6 = n_na·1e6/32 = n_na·31250 is an exact integer
+    // in both engines (the dyadic /32 divides 1e6); the two
+    // per-source finishes replay scriptAudit's floor-forms verbatim
+    "q425_script_audit" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             md5(concat('scr:', CAST(doc_id AS VARCHAR))) AS h,
+             doc_id % 3 = 0 AS moji
+           FROM documents),
+         per AS (
+           SELECT source,
+             CAST(32 AS BIGINT) AS n_chars,
+             CAST(CASE WHEN moji
+               THEN length(regexp_replace(h, '[^abcdf]', '', 'g'))
+               ELSE 0 END AS BIGINT) AS n_na,
+             CAST(CASE WHEN moji
+               THEN length(regexp_replace(h, '[^f]', '', 'g'))
+               ELSE 0 END AS BIGINT) AS n_repl,
+             CAST(CASE WHEN moji
+               THEN length(regexp_replace(h, '[^e]', '', 'g'))
+               ELSE 0 END AS BIGINT) AS n_ctl
+           FROM d),
+         r AS (
+           SELECT source, n_na, n_repl, n_ctl,
+             CAST(floor(CAST(n_na AS DOUBLE)/CAST(n_chars AS DOUBLE)*1e6
+               + 0.5) AS BIGINT) AS r6
+           FROM per),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_na > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_nonascii,
+             CAST(SUM(n_repl) AS BIGINT) AS n_replacement,
+             CAST(SUM(n_ctl) AS BIGINT) AS n_control,
+             CAST(SUM(r6) AS BIGINT) AS sr6
+           FROM r GROUP BY source)
+         SELECT source, n_docs, docs_nonascii, n_replacement, n_control,
+           floor(CAST(docs_nonascii AS DOUBLE)/CAST(n_docs AS DOUBLE)*1e6
+             + 0.5)/1e6 AS nonascii_doc_share,
+           floor(CAST(sr6 AS DOUBLE)/CAST(n_docs AS DOUBLE) + 0.5)/1e6
+             AS avg_nonascii_ratio
+         FROM g ORDER BY source""",
+
+    // video twin: enumerate the sampled frames (f < 3 + id % 3, f
+    // even), replay each frame's 64 md5 gray levels (stock-frame /
+    // tweak selection shared with syntheticVideoCells), re-derive the
+    // aHash bits with the q393 mean threshold, pack them into two
+    // 32-bit halves, and pair via bit_count(xor) — exact hamming
+    // without the 64-way cell join q393's twin pays
+    "q426_video_frame_neardup" ->
+      """WITH ids AS (SELECT vec_id AS id FROM embeddings),
+         fr AS (SELECT id, gs.f AS f
+                FROM ids CROSS JOIN generate_series(0, 4) gs(f)
+                WHERE gs.f < 3 + id % 3 AND gs.f % 2 = 0),
+         key AS (SELECT id, f, id*16 + f AS fid,
+                   (id + 3*f) % 5 = 0 AS shared,
+                   ((id + 3*f) // 5) % 7 AS k,
+                   (id + f) % 2 = 1 AS tw
+                 FROM fr),
+         cells AS (SELECT fid, g.c AS c,
+             (CASE WHEN shared THEN
+                (position(substring(md5(concat('vf:', k, ':', g.c)), 1, 1)
+                   IN '0123456789abcdef') - 1)*16
+                 + position(substring(md5(concat('vf:', k, ':', g.c)), 2, 1)
+                   IN '0123456789abcdef') - 1
+                 + CASE WHEN tw AND g.c = 0 THEN 16 ELSE 0 END
+              ELSE
+                (position(substring(
+                    md5(concat('vid:', id, ':', f, ':', g.c)), 1, 1)
+                   IN '0123456789abcdef') - 1)*16
+                 + position(substring(
+                    md5(concat('vid:', id, ':', f, ':', g.c)), 2, 1)
+                   IN '0123456789abcdef') - 1
+              END) % 256 AS v
+           FROM key CROSS JOIN generate_series(0, 63) g(c)),
+         bits AS (SELECT fid, c,
+            CASE WHEN CAST(v AS DOUBLE) >=
+              CAST(SUM(v) OVER (PARTITION BY fid) AS DOUBLE)/64.0
+            THEN 1 ELSE 0 END AS b FROM cells),
+         h AS (SELECT fid,
+            CAST(SUM(CASE WHEN c < 32 AND b = 1
+              THEN (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS lo,
+            CAST(SUM(CASE WHEN c >= 32 AND b = 1
+              THEN (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT)
+              AS hi
+          FROM bits GROUP BY fid),
+         pairs AS (SELECT x.fid AS id_a, y.fid AS id_b,
+            CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+              AS INTEGER) AS hamming
+          FROM h x JOIN h y ON x.fid < y.fid)
+         SELECT id_a, id_b, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY id_a, id_b"""
   )
 }

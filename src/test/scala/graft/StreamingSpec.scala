@@ -1169,4 +1169,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.except(streamed).count() === 0)
     } finally q.stop()
   }
+
+  test("streaming growth-accounting store equals batch q418 under LATE data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .limit(4000).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .toSeq
+    // every 7th row arrives LAST: late interior days must flip
+    // retained/resurrected classifications and retract churn rows the
+    // early slivers implied — the exactness case the membership store
+    // (vs any bounded per-user scalar state) exists for
+    val late = raw.zipWithIndex.filter(_._2 % 7 == 0).map(_._1)
+    val early = raw.zipWithIndex.filter(_._2 % 7 != 0).map(_._1)
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val store = graft.streaming.GrowthStream.newStore(spark)
+    val q = graft.streaming.GrowthStream.start(
+      stream.toDF().toDF("user_id", "ts", "event_type"), store)
+    try {
+      stream.addData(early.take(2000)); q.processAllAvailable()
+      stream.addData(early.drop(2000)); q.processAllAvailable()
+      stream.addData(late); q.processAllAvailable()
+      val streamed = store.snapshot()
+      val batch = graft.ops.EventAnalytics.growthAccounting(
+        raw.toDF("user_id", "ts", "event_type"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+      // ledger invariant holds on the streamed snapshot too
+      val bad = streamed.filter(
+        col("n_new") + col("n_retained") + col("n_resurrected") =!=
+          col("n_active")).count()
+      assert(bad === 0L, "new + retained + resurrected must equal active")
+    } finally q.stop()
+  }
 }
