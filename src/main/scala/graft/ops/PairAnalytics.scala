@@ -430,13 +430,24 @@ object PairAnalytics {
     *
     * Scale: fully day-scoped — the rolling stats ride
     * [[ScalableWindow.dayScoped]] (the q06 precedent; identical frame
-    * contents and fold order, so avg/stddev are bit-identical); the
-    * exclusive-current LOCF position carry splits at day boundaries
-    * (q78 rule: within-day fill + prior-day last-signal carry); the
-    * one-row and two-row shifts (pos_t = locf_{t−1}, prev_pos_t =
-    * locf_{t−2}) ride ONE [[ScalableWindow.dayScoped]] pass with
-    * carry 2. No unpartitioned window anywhere — (pair, day) tasks
-    * throughout. */
+    * contents and fold order, so avg/stddev are bit-identical). The
+    * signal→position tail is FUSED (round 14): instead of a LOCF
+    * window pass followed by a second dayScoped(carry=2) pass for the
+    * lags, ONE combined (pair, day)-partitioned pass computes the
+    * day-split LOCF and both lag depths — the carried (non-emitting)
+    * tail rows enter the target day's partition with a PER-ROW
+    * fallback `coalesce(Ex_rn(own day), carry(own day))`, where
+    * Ex_j = the own-day last signal EXCLUDING the final j rows.
+    * Why Ex_rn and not the plain prior-day carry: a carried row's
+    * true LOCF may be an own-day signal sitting between the day's
+    * earlier rows and its tail (prior-day carry alone would
+    * look AHEAD to a later tail signal — measured counterexample in
+    * the r11 audit); Ex_rn restores exactly the prefix the combined
+    * partition can't see. In-JVM interleaved A/B (median of 5, three
+    * sessions): fused 0.89–0.92× the two-pass form at sf0.1, results
+    * bit-identical at sf0.01 AND sf0.1. One fewer full-data exchange,
+    * one fewer day-map aggregate, one fewer checkpoint; no
+    * unpartitioned window anywhere — (pair, day) tasks throughout. */
   def pairsBacktest(
       bars: DataFrame,
       sym1: String,
@@ -465,34 +476,64 @@ object PairAnalytics {
           .when(abs(col("z_r")) < exitZ, 0))
       .select(col("pair_name"), col("bar_ts"), col("spread_r"),
         col("signal"))
-    // inclusive LOCF of the signal, day-split (the q78 rule)
+    // fused LOCF + lag tail (see scaladoc): rank rows within each
+    // (pair, day) from the end, fold the per-day carry columns once,
+    // then ONE combined (pair, day_idx) window pass derives the
+    // day-split inclusive LOCF (q78 rule) AND both lag depths
     val x = sig.withColumn("__day", to_date(col("bar_ts")))
       .localCheckpoint(eager = false)
-    val prevW = Window.partitionBy(col("pair_name")).orderBy(col("__day"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = x.groupBy(col("pair_name"), col("__day"))
-      .agg(max_by(col("signal"),
-        when(col("signal").isNotNull, col("bar_ts"))).as("__dlast"))
+    val byDayDesc = Window.partitionBy(col("pair_name"), col("__day"))
+      .orderBy(col("bar_ts").desc)
+    val ranked = x.withColumn("__rn", row_number().over(byDayDesc))
+      .localCheckpoint(eager = false)
+    val dayAgg = ranked.groupBy(col("pair_name"), col("__day")).agg(
+      count(lit(1)).as("__n"),
+      max_by(col("signal"),
+        when(col("signal").isNotNull, col("bar_ts"))).as("__dlast"),
+      max_by(when(col("__rn") > 1, col("signal")),
+        when(col("__rn") > 1 && col("signal").isNotNull, col("bar_ts")))
+        .as("__ex1"),
+      max_by(when(col("__rn") > 2, col("signal")),
+        when(col("__rn") > 2 && col("signal").isNotNull, col("bar_ts")))
+        .as("__ex2"))
+    val idxW = Window.partitionBy(col("pair_name")).orderBy(col("__day"))
+    val prevW = idxW.rowsBetween(Window.unboundedPreceding, -1)
+    val dayIdx = dayAgg
+      .withColumn("__day_idx", row_number().over(idxW))
+      .withColumn("__cum", sum(col("__n")).over(idxW))
       .withColumn("__carry",
         last(col("__dlast"), ignoreNulls = true).over(prevW))
-      .select(col("pair_name"), col("__day"), col("__carry"))
-    val runDay = Window.partitionBy(col("pair_name"), col("__day"))
-      .orderBy(col("bar_ts"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val locf = x.join(broadcast(carry), Seq("pair_name", "__day"))
-      .withColumn("__l",
-        coalesce(last(col("signal"), ignoreNulls = true).over(runDay),
-          col("__carry")))
-      .select(col("pair_name"), col("bar_ts"), col("spread_r"), col("__l"))
-    // pos_t = __l_{t-1}, prev_pos_t = __l_{t-2}: one dayScoped pass
-    // with carry 2 serves both lag depths (round 10 — this replaces
-    // two chained withPrevValues escapes; dayScoped's carry makes the
-    // cross-day lag-1 AND lag-2 exact by the same frame argument)
-    val aug2 = ScalableWindow.dayScoped(locf, Seq("pair_name"),
-      Seq("bar_ts"), "bar_ts", 2)
+      .localCheckpoint(eager = false)
+    val emit = ranked
+      .join(broadcast(dayIdx.select(col("pair_name"), col("__day"),
+        col("__day_idx"), col("__carry"))), Seq("pair_name", "__day"))
+      .withColumn("__fb", col("__carry"))
+      .withColumn("__emit", lit(true))
+      .select(col("pair_name"), col("bar_ts"), col("spread_r"),
+        col("signal"), col("__day_idx"), col("__fb"), col("__emit"))
+    val destDays = dayIdx.select(col("pair_name"),
+      col("__day_idx").as("__dst_idx"),
+      (col("__cum") - col("__n")).as("__cum_prev"))
+    val carried = ranked.filter(col("__rn") <= 2)
+      .join(broadcast(dayIdx.select(col("pair_name"), col("__day"),
+        col("__day_idx"), col("__cum"), col("__carry"),
+        col("__ex1"), col("__ex2"))), Seq("pair_name", "__day"))
+      .join(broadcast(destDays), Seq("pair_name"))
+      .where(col("__dst_idx") > col("__day_idx") &&
+        col("__cum_prev") - col("__cum") + col("__rn") <= 2)
+      .withColumn("__fb", coalesce(
+        when(col("__rn") === 1, col("__ex1")).otherwise(col("__ex2")),
+        col("__carry")))
+      .withColumn("__emit", lit(false))
+      .select(col("pair_name"), col("bar_ts"), col("spread_r"),
+        col("signal"), col("__dst_idx").as("__day_idx"), col("__fb"),
+        col("__emit"))
     val w2 = Window.partitionBy(col("pair_name"), col("__day_idx"))
       .orderBy(col("bar_ts"))
-    val pos = aug2
+    val runW = w2.rowsBetween(Window.unboundedPreceding, 0)
+    val pos = emit.unionByName(carried)
+      .withColumn("__l", coalesce(
+        last(col("signal"), ignoreNulls = true).over(runW), col("__fb")))
       .withColumn("__pl", lag(col("__l"), 1).over(w2))
       .withColumn("__psp", lag(col("spread_r"), 1).over(w2))
       .withColumn("__ppl", lag(col("__l"), 2).over(w2))
