@@ -1628,11 +1628,25 @@ object EventAnalytics {
     * expansion is per-(user, day) over ≤ |types| memberships
     * (map-side combinatorics on a handful of rows per key), never a
     * set × set join; |types|²/2 rows out. */
-  def audienceOverlap(events: DataFrame): DataFrame = {
-    val tu = events.select(col("event_type").as("t"), col("user_id"),
+  def audienceOverlap(events: DataFrame): DataFrame =
+    overlapFromMemberships(typeDayMemberships(events))
+
+  /** The distinct (type, user, day) membership relation q420 derives
+    * from — also the standing store of the streaming twin
+    * ([[graft.streaming.AudienceStream]]); set-union of distincts is
+    * associative, commutative and idempotent, so the store is
+    * arrival-order-free (the [[graft.streaming.GrowthStream]]
+    * exactness class). */
+  private[graft] def typeDayMemberships(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("t"), col("user_id"),
         to_date(col("ts")).as("d"))
       .distinct()
-      .localCheckpoint(eager = false)
+
+  /** The overlap-matrix derivation over a distinct (t, user_id, d)
+    * membership relation — shared verbatim by the batch op and the
+    * streaming twin's `snapshot()`. */
+  private[graft] def overlapFromMemberships(tu0: DataFrame): DataFrame = {
+    val tu = tu0.localCheckpoint(eager = false)
     val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
     val pairs = tu.alias("a")
       .join(tu.alias("b"), col("a.user_id") === col("b.user_id") &&

@@ -695,6 +695,40 @@ object MultimodalOps {
     }
   }
 
+  /** Frame `f` of SCENE-STRUCTURED synthetic video `id` (q427): the
+    * 6 + id % 3 frames form two-frame scenes — frame f draws its 64
+    * gray levels from md5("scn:id:⌊f/2⌋:c"), so consecutive frames of
+    * a scene share content, with the odd frame perturbing cell 1 by
+    * +8 mod 256 (a small within-scene jitter that flips 0–few aHash
+    * bits); scene boundaries jump to fresh md5 content (≈32-bit
+    * hamming). Gives [[videoFrames]]-fed temporal analysis a real
+    * shot structure to find: cuts-per-video = scene count − 1 by
+    * construction, within-scene hamming small — both value-live at
+    * every factor and exactly replayable from the md5 strings. */
+  private[graft] def syntheticSceneCells(id: Long, f: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cells = Array.tabulate(64) { c =>
+      md.reset()
+      md.update(s"scn:$id:${f / 2}:$c".getBytes("UTF-8"))
+      md.digest()(0) & 0xff
+    }
+    if (f % 2 == 1) cells(1) = (cells(1) + 8) % 256
+    cells
+  }
+
+  /** Scene-structured sibling of [[syntheticVideoAssets]] (q427):
+    * 6 + id % 3 concatenated BMP frames with two-frame scene runs
+    * ([[syntheticSceneCells]]). Map-side generate. */
+  def syntheticSceneVideoAssets(ids: DataFrame, idCol: String): Dataset[MediaAsset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val n = 6 + (id % 3).toInt
+      val frames = (0 until n).map(f => bmp8x8(syntheticSceneCells(id, f)))
+      MediaAsset(id, "video", Array.concat(frames: _*))
+    }
+  }
+
   /** REAL video-container walk + frame sampling: parse the payload as
     * concatenated BMP frames — each frame's own header declares its
     * byte length (`bfSize` at offset 2), the walk hops header to

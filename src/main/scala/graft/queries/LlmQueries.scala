@@ -1581,6 +1581,34 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("int").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Shot-boundary (scene-cut) detection over the scene-structured
+    // video corpus: REAL walk + decode of EVERY frame, per-video
+    // consecutive-frame aHash hamming (lag over the ≤8-frame
+    // per-video window — bounded partitions by construction), cut =
+    // hamming ≥ 16; cuts-per-video = scene count − 1 exactly, mean
+    // inter-frame hamming live between the ~0.5 within-scene jitter
+    // and the ~32 cross-scene jump. The temporal-structure read the
+    // frame-level gates (q426 near-dup, q407/q408 hashes) don't give
+    "q427_scene_cuts" -> ((s, dir) => {
+      val frames = MultimodalOps.videoFrames(
+        MultimodalOps.syntheticSceneVideoAssets(
+          Tables.embeddings(s, dir), "vec_id"), every = 1)
+      val h = MultimodalOps.imageHashes(frames)
+        .withColumn("vid", shiftright(col("asset_id"), 4))
+        .withColumn("f", col("asset_id").bitwiseAND(lit(15L)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vid")).orderBy(col("f"))
+      h.withColumn("__ph", lag(col("ahash"), 1).over(w))
+        .filter(col("__ph").isNotNull)
+        .withColumn("hd", expr("bit_count(ahash ^ __ph)").cast("long"))
+        .groupBy(col("vid"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(when(col("hd") >= 16, 1L).otherwise(0L)).as("n_cuts"),
+          ExactRound.ratioRound(sum(col("hd")), count(lit(1)), 4)
+            .as("mean_hamming"))
+        .orderBy(col("vid"))
     })
   )
 
@@ -5845,6 +5873,48 @@ object LlmQueries {
               AS INTEGER) AS hamming
           FROM h x JOIN h y ON x.fid < y.fid)
          SELECT id_a, id_b, hamming FROM pairs
-         WHERE hamming <= 3 ORDER BY id_a, id_b"""
+         WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // scene-cut twin: replay every frame's aHash halves from the
+    // scn:id:⌊f/2⌋ md5 strings (+8 jitter on cell 1 for odd frames),
+    // consecutive gaps via a (id, f)=(id, f−1) self-join,
+    // hamming = bit_count(xor) per half, the same ≥16 cut fence
+    "q427_scene_cuts" -> {
+      s"""WITH ids AS (SELECT vec_id AS id FROM embeddings),
+         fr AS (SELECT id, gs.f AS f
+                FROM ids CROSS JOIN generate_series(0, 8) gs(f)
+                WHERE gs.f < 6 + id % 3),
+         cells AS (SELECT id, f, g.c AS c,
+             ((position(substring(
+                  md5(concat('scn:', id, ':', f // 2, ':', g.c)), 1, 1)
+                IN '0123456789abcdef') - 1)*16
+              + position(substring(
+                  md5(concat('scn:', id, ':', f // 2, ':', g.c)), 2, 1)
+                IN '0123456789abcdef') - 1
+              + CASE WHEN f % 2 = 1 AND g.c = 1 THEN 8 ELSE 0 END)
+              % 256 AS v
+           FROM fr CROSS JOIN generate_series(0, 63) g(c)),
+         bits AS (SELECT id, f, c,
+            CASE WHEN CAST(v AS DOUBLE) >=
+              CAST(SUM(v) OVER (PARTITION BY id, f) AS DOUBLE)/64.0
+            THEN 1 ELSE 0 END AS b FROM cells),
+         h AS (SELECT id, f,
+            CAST(SUM(CASE WHEN c < 32 AND b = 1
+              THEN (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS lo,
+            CAST(SUM(CASE WHEN c >= 32 AND b = 1
+              THEN (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT)
+              AS hi
+          FROM bits GROUP BY id, f),
+         gaps AS (SELECT a.id, a.f,
+            CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+              AS BIGINT) AS hd
+          FROM h a JOIN h b ON a.id = b.id AND b.f = a.f - 1)
+         SELECT id AS vid, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN hd >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cuts,
+           ${ExactRound.sqlRatioRound("SUM(hd)", "COUNT(*)", 4)}
+             AS mean_hamming
+         FROM gaps GROUP BY id ORDER BY vid"""
+    }
   )
 }

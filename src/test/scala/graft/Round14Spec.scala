@@ -87,6 +87,26 @@ class Round14Spec extends AnyFunSuite {
     assert(c.toSeq === d.toSeq, "same (k, tw) ⇒ identical stock cells")
   }
 
+  test("scene video: cuts sit exactly at scene boundaries") {
+    import spark.implicits._
+    // id 0 → 6 frames = scenes {0,0,1,1,2,2}: gaps at f=1→2 and
+    // f=3→4 are cross-scene (big hamming), the rest within-scene
+    // (cell-1 jitter only → tiny hamming)
+    def ah(id: Long, f: Int): Long = MultimodalOps.aHash64(
+      MultimodalOps.bmp8x8(MultimodalOps.syntheticSceneCells(id, f))).get
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val within = Seq(ham(ah(0, 0), ah(0, 1)), ham(ah(0, 2), ah(0, 3)),
+      ham(ah(0, 4), ah(0, 5)))
+    val across = Seq(ham(ah(0, 1), ah(0, 2)), ham(ah(0, 3), ah(0, 4)))
+    assert(within.forall(_ < 16), s"within-scene hamming too big: $within")
+    assert(across.forall(_ >= 16), s"cross-scene hamming too small: $across")
+    // the full query agrees: video 0 has 5 gaps, exactly 2 cuts
+    val r = SparkEntry.queries("q427_scene_cuts")(
+      spark, "/root/testdata/sf0.001").filter(col("vid") === 0).collect().head
+    assert(r.getAs[Long]("n_gaps") === 5L)
+    assert(r.getAs[Long]("n_cuts") === 2L)
+  }
+
   test("tweaked stock variant differs only in cell 0 (+16 mod 256)") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def stock(k: Long, c: Int): Int = {

@@ -1205,4 +1205,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(bad === 0L, "new + retained + resurrected must equal active")
     } finally q.stop()
   }
+
+  test("streaming audience-overlap store equals batch q420 under LATE data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .limit(4000).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .toSeq
+    // every 7th row arrives LAST: late rows add (type, user, day)
+    // memberships that must grow n_both AND the audience sizes the
+    // Jaccard denominators read — the set-union store absorbs them
+    // in any order
+    val late = raw.zipWithIndex.filter(_._2 % 7 == 0).map(_._1)
+    val early = raw.zipWithIndex.filter(_._2 % 7 != 0).map(_._1)
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val store = graft.streaming.AudienceStream.newStore(spark)
+    val q = graft.streaming.AudienceStream.start(
+      stream.toDF().toDF("user_id", "ts", "event_type"), store)
+    try {
+      stream.addData(early.take(2000)); q.processAllAvailable()
+      stream.addData(early.drop(2000)); q.processAllAvailable()
+      stream.addData(late); q.processAllAvailable()
+      val streamed = store.snapshot()
+      val batch = graft.ops.EventAnalytics.audienceOverlap(
+        raw.toDF("user_id", "ts", "event_type"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.except(batch).count() === 0)
+      assert(batch.except(streamed).count() === 0)
+    } finally q.stop()
+  }
 }
