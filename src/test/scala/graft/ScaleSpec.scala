@@ -922,4 +922,28 @@ class ScaleSpec extends AnyFunSuite {
         s"$q: cartesian join appeared:\n${plan.take(2000)}")
     }
   }
+
+  test("round-14 plan locks: keyed joins and windows in the new gates") {
+    // q426's band join and q427's consecutive-frame join must stay
+    // key-partitioned — a cartesian over the frame relation is the
+    // scale giveaway; q427's lag window must partition by vid (the
+    // ≤8-row bounded partition), never order the frame stream globally
+    for (q <- Seq("q426_video_frame_neardup", "q427_scene_cuts")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: cartesian join appeared:\n${plan.take(2000)}")
+    }
+    val p427 = SparkEntry.queries("q427_scene_cuts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(f#\\d+".r.findFirstIn(p427).isEmpty,
+      s"q427: unpartitioned frame window found:\n${p427.take(2000)}")
+    // q425 is map-side until the one |sources| rollup: exactly one
+    // hash exchange (the groupBy), plus the canonical orderBy's range
+    val p425 = SparkEntry.queries("q425_script_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p425).size
+    assert(hashEx === 1,
+      s"q425: expected ONE hash exchange (the source rollup), found $hashEx")
+  }
 }
