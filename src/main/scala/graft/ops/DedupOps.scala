@@ -548,11 +548,13 @@ object DedupOps {
       .select(col("doc"),
         explode(graft.functions.Hash32Array.hash64(
           TextOps.shingles(col("__toks"), n))).as("gk"))
-      .distinct()
     // posting list per gram, stop-grams dropped while still one row
-    // each
+    // each; collect_set folds the (doc, gram) dedup INTO the posting
+    // aggregate (partial collect_set dedups map-side), replacing the
+    // old distinct() + groupBy two-shuffle chain with one exchange of
+    // the widest relation in the op
     val buckets = grams.groupBy(col("gk"))
-      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .agg(array_sort(collect_set(col("doc"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
     // pruned postings re-derive from the buckets (no join), fold to
     // one sorted gram set per doc — the verify side AND the prefix
@@ -832,9 +834,11 @@ object DedupOps {
       .select(col("doc"),
         explode(graft.functions.Hash32Array.hash64(
           TextOps.shingles(col("__toks"), n))).as("gk"))
-      .distinct()
+    // collect_set folds the (doc, gram) dedup into the posting
+    // aggregate — one exchange instead of distinct() + groupBy (the
+    // ngramJaccardPairs fusion)
     val buckets = grams.groupBy(col("gk"))
-      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .agg(array_sort(collect_set(col("doc"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
       .localCheckpoint(eager = false)
     val hs = buckets.select(col("gk"), explode(col("docs")).as("doc"))
@@ -916,16 +920,19 @@ object DedupOps {
       .localCheckpoint(eager = false)
     val winLen = least(lit(window), col("m"))
     // checkpointed too: both the per-doc fingerprint counts and the
-    // posting-list groupBy read it — one winnowing pass, not two
-    val fps = h
+    // posting-list groupBy read it — one winnowing pass, not two.
+    // Checkpoint BEFORE the explode so the per-doc counts read the
+    // un-exploded arrays map-side instead of re-deduplicating the
+    // exploded relation (the old distinct() shuffle).
+    val fpArr = h
       .withColumn("fps", array_distinct(
         transform(
           sequence(lit(1), greatest(col("m") - lit(window) + 1, lit(1))),
           j => array_min(slice(col("hs"), j, winLen)))))
-      .select(col("doc"), size(col("fps")).as("n_fp"),
-        explode(col("fps")).as("v"))
+      .select(col("doc"), col("fps"))
       .localCheckpoint(eager = false)
-    val perDoc = fps.select(col("doc"), col("n_fp")).distinct()
+    val perDoc = fpArr.select(col("doc"), size(col("fps")).as("n_fp"))
+    val fps = fpArr.select(col("doc"), explode(col("fps")).as("v"))
     val buckets = fps.groupBy(col("v"))
       .agg(array_sort(collect_list(col("doc"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)

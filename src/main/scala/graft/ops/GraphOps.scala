@@ -232,14 +232,17 @@ object GraphOps {
     val nodesRaw = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-    // auto mode: one count over the deduped node relation (off the
-    // already-checkpointed edges) decides broadcast vs shuffle
-    val useBroadcast =
-      broadcastRanks.getOrElse(nodesRaw.count() <= broadcastMaxNodes)
+      .localCheckpoint(eager = false)
+    // ONE count over the (checkpointed) node relation serves both the
+    // broadcast-vs-shuffle auto mode AND the 1/n term of every
+    // iteration — the old plan recomputed the union-distinct for the
+    // count and re-broadcast a 1-row n relation in all iters+1
+    // crossJoins (6 broadcast-build jobs for one driver-known long)
+    val nNodes = nodesRaw.count()
+    val useBroadcast = broadcastRanks.getOrElse(nNodes <= broadcastMaxNodes)
     val nodes =
-      (if (useBroadcast) nodesRaw else nodesRaw.repartition(col("id")))
-        .localCheckpoint(eager = false)
-    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      if (useBroadcast) nodesRaw
+      else nodesRaw.repartition(col("id")).localCheckpoint(eager = false)
     val eDegRaw = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
     val eDeg =
@@ -247,9 +250,9 @@ object GraphOps {
         .localCheckpoint(eager = false)
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 12))
     def bc(df: DataFrame) = if (useBroadcast) broadcast(df) else df
-    var r = nodes.crossJoin(nRow)
+    var r = nodes
       .select(col("id"),
-        dec(ExactRound.ratioRound(lit(1L), col("n"), 12)).as("r"))
+        dec(ExactRound.ratioRound(lit(1L), lit(nNodes), 12)).as("r"))
       .localCheckpoint(eager = false)
     graft.functions.FixedPoint.register(edgesIn.sparkSession)
     for (_ <- 1 to iters) {
@@ -264,10 +267,10 @@ object GraphOps {
             col("deg") * lit(1000000000000L), 12).as("c"))
         .groupBy(col("id"))
         .agg(graft.functions.FixedPoint.sumFixed12(col("c")).as("s"))
-      val rNext = nodes.join(bc(contrib), Seq("id"), "left").crossJoin(nRow)
+      val rNext = nodes.join(bc(contrib), Seq("id"), "left")
         .select(col("id"),
           dec(round(
-            lit(base) / col("n") +
+            lit(base) / lit(nNodes) +
               lit(damping) * coalesce(col("s"), lit(0.0)),
             12)).as("r"))
       lastIterPlan = rNext.queryExecution.executedPlan.toString

@@ -5627,8 +5627,12 @@ object MarketBars {
       scalesMin: Seq[Int] = Seq(5, 15, 60)): DataFrame = {
     def dbl(c: Column) = c.cast(DoubleType)
     val dec = DecimalType(38, 0)
+    // every scale leg resamples from the SAME bar relation — checkpoint
+    // it once so the (possibly tick-aggregated) upstream runs one pass,
+    // not |scales| passes
+    val barsCk = bars.localCheckpoint(eager = false)
     val legs = scalesMin.map { m =>
-      val cb = resample(bars, m * 60L * 1000000L)
+      val cb = resample(barsCk, m * 60L * 1000000L)
         .filter(col("close") > 0)
       val aug = ScalableWindow.dayScoped(cb, Seq("series"),
         Seq("bar_ts"), "bar_ts", 2)

@@ -36,6 +36,48 @@ import org.apache.spark.sql.functions._
   */
 object ScalableWindow {
 
+  /** Conf key for the small-input route: when the input's
+    * optimized-plan size estimate is at or below this many bytes, the
+    * scoped forms take their plain global-per-key-window DEFINITION —
+    * the exact relation every scoped rewrite is proven equal to
+    * (PropertySpec) — instead of building the day map / carry-union
+    * machinery. Same results either way; only the physical plan
+    * changes, exactly like [[GraphOps.pageRank]]'s node-count
+    * broadcast auto-mode and AQE's size-based join selection.
+    *
+    * Default 128 MB: a whole input that small fits ONE window task
+    * comfortably, so per-key global partitions cannot be a skew or
+    * memory hazard — the two problems the day scope exists to solve.
+    * At production scale the estimate exceeds any sane setting and
+    * the day-scoped machinery engages unchanged (the plan locks pin
+    * that shape with this key set to 0 = always-scoped). */
+  val LocalBytesKey = "spark.graft.scopedWindow.localBytes"
+  val LocalBytesDefault: Long = 128L * 1024 * 1024
+
+  /** True when `df`'s optimized-plan size estimate is known and at or
+    * below the configured bound (0 disables the route). Reads plan
+    * statistics only — no job runs. Shared with [[ScalableRank]] —
+    * one knob governs every scoped-escape small-input route. */
+  private[ops] def localRoute(df: DataFrame): Boolean = {
+    val max = df.sparkSession.conf
+      .get(LocalBytesKey, LocalBytesDefault.toString).toLong
+    max > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max)
+  }
+
+  /** The global-window face of the day-scope contract: same output
+    * columns (keys first — the using-join order the scoped path
+    * emits), `__day_idx` constant so a caller's
+    * `partitionBy(keys :+ "__day_idx")` IS the per-key global window,
+    * every row emitting. */
+  private def globalAugment(
+      df0: DataFrame, keyCols: Seq[String], tsCol: String): DataFrame = {
+    val rest = df0.columns.filterNot(keyCols.contains)
+    df0.withColumn("__day", to_date(col(tsCol)))
+      .select((keyCols :+ "__day") ++ rest map col: _*)
+      .withColumn("__day_idx", lit(1))
+      .withColumn("__emit", lit(true))
+  }
+
   /** Augment `df` with `__day_idx` (dense per-key day rank) and
     * `__emit`, unioning in non-emitting copies of each (key, day)'s
     * trailing tail attached to every later day within frame reach.
@@ -60,6 +102,7 @@ object ScalableWindow {
       tsCol: String,
       carryRows: Int): DataFrame = {
     require(carryRows >= 1, s"carryRows must be >= 1 (got $carryRows)")
+    if (localRoute(df0)) return globalAugment(df0, keyCols, tsCol)
     // the input feeds the day map AND both union legs — checkpoint it
     // once so an expensive upstream (e.g. the tick→bar aggregation)
     // is not recomputed per consumer; same for the tiny day map,
@@ -118,6 +161,7 @@ object ScalableWindow {
       usCol: String,
       reachMicros: Long): DataFrame = {
     require(reachMicros >= 0, s"reachMicros must be >= 0 (got $reachMicros)")
+    if (localRoute(df0)) return globalAugment(df0, keyCols, tsCol)
     val df = df0.localCheckpoint(eager = false) // see dayScoped
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
@@ -183,6 +227,24 @@ object ScalableWindow {
       valid: Column,
       slim: DataFrame => DataFrame = identity): DataFrame = {
     require(carryRows >= 1, s"carryRows must be >= 1 (got $carryRows)")
+    if (localRoute(df0)) {
+      // definition form: global lag + filter, every row emitting.
+      // __rev (an internal tail-selection rank, pass-through for
+      // `slim`) counts valid rows to the END OF KEY here rather than
+      // end of day — it is dropped before the result either way.
+      val rest = df0.columns.filterNot(keyCols.contains)
+      val keys = keyCols.map(col)
+      val w = Window.partitionBy(keys: _*).orderBy(orderCols.map(col): _*)
+      val revFrame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val flagged = df0.withColumn("__day_idx", lit(1))
+        .select((keyCols :+ "__day_idx") ++ rest map col: _*)
+        .withColumn(prevCol, lag(col(valCol), 1).over(w))
+        .withColumn("__valid", valid)
+        .withColumn("__rev", sum(when(col("__valid"), 1L)).over(revFrame))
+        .filter(col("__valid"))
+        .drop("__valid")
+      return slim(flagged).drop("__rev").withColumn("__emit", lit(true))
+    }
     val df = df0.localCheckpoint(eager = false) // feeds day map + join
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
@@ -273,6 +335,18 @@ object ScalableWindow {
       tsCol: String,
       vals: Seq[(String, String)]): DataFrame = {
     require(vals.nonEmpty, "need at least one (valCol, prevCol) pair")
+    if (localRoute(df0)) {
+      // the contract IS the global per-key lag-1 — small inputs take
+      // the definition directly (keys-first column order as the
+      // scoped path's using-join emits)
+      val rest = df0.columns.filterNot(keyCols.contains)
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+      return vals.foldLeft(
+        df0.select(keyCols ++ rest map col: _*)) { case (acc, (v, p)) =>
+        acc.withColumn(p, lag(col(v), 1).over(w))
+      }
+    }
     val df = df0.localCheckpoint(eager = false) // feeds day map + join
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
@@ -323,6 +397,25 @@ object ScalableWindow {
       vals: Seq[(String, String)],
       nCol: Option[String] = None): DataFrame = {
     require(vals.nonEmpty, "need at least one (valCol, prevCol) pair")
+    if (localRoute(df0)) {
+      // definition form: global per-key index + lag-1 chain on one
+      // window spec (the same single sort the scoped path shares)
+      val rest = df0.columns.filterNot(keyCols.contains)
+      val keys = keyCols.map(col)
+      val w = Window.partitionBy(keys: _*).orderBy(orderCols.map(col): _*)
+      val base = df0.select(keyCols ++ rest map col: _*)
+      val withN = nCol match {
+        case Some(n) =>
+          base.withColumn(n, count(lit(1)).over(Window.partitionBy(keys: _*)))
+        case None => base
+      }
+      // (non-nullable rn/n vs the scoped path's nullable — see
+      // withSeqIndex; gate-invisible)
+      val withRn = withN.withColumn(rnCol, row_number().over(w).cast("long"))
+      return vals.foldLeft(withRn) { case (acc, (v, p)) =>
+        acc.withColumn(p, lag(col(v), 1).over(w))
+      }
+    }
     val df = df0.localCheckpoint(eager = false) // feeds day map + join
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
@@ -381,6 +474,21 @@ object ScalableWindow {
       tsCol: String,
       rnCol: String,
       nCol: Option[String] = None): DataFrame = {
+    if (localRoute(df0)) {
+      // definition form: global per-key row_number (+ partition count)
+      val rest = df0.columns.filterNot(keyCols.contains)
+      val keys = keyCols.map(col)
+      val w = Window.partitionBy(keys: _*).orderBy(orderCols.map(col): _*)
+      val base = df0.select(keyCols ++ rest map col: _*)
+      val withN = nCol match {
+        case Some(n) =>
+          base.withColumn(n, count(lit(1)).over(Window.partitionBy(keys: _*)))
+        case None => base
+      }
+      // (non-nullable here vs the scoped path's nullable __off + rn —
+      // names/types/values identical, which is what the gate compares)
+      return withN.withColumn(rnCol, row_number().over(w).cast("long"))
+    }
     val df = df0.localCheckpoint(eager = false)
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
@@ -433,6 +541,7 @@ object ScalableWindow {
       tsCol: String,
       carryRows: Int): DataFrame = {
     require(carryRows >= 1, s"carryRows must be >= 1 (got $carryRows)")
+    if (localRoute(df0)) return globalAugment(df0, keyCols, tsCol)
     val df = df0.localCheckpoint(eager = false) // see dayScoped
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
@@ -485,6 +594,7 @@ object ScalableWindow {
       fwdRows: Int): DataFrame = {
     require(backRows >= 0 && fwdRows >= 0 && backRows + fwdRows >= 1,
       s"need a nonzero reach (got back=$backRows, fwd=$fwdRows)")
+    if (localRoute(df0)) return globalAugment(df0, keyCols, tsCol)
     val df = df0.localCheckpoint(eager = false) // see dayScoped
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))

@@ -122,4 +122,101 @@ class Round14Spec extends AnyFunSuite {
     assert(tw(0) === (stock(0L, 0) + 16) % 256)
     assert((1 until 64).forall(c => tw(c) === stock(0L, c)))
   }
+
+  // ---- round-14 optimization: scoped-window small-input route ----
+
+  /** Sparse + dense days, unique in-key timestamps, two keys — the
+    * shape the dayScoped equality proofs run on. */
+  private def scopedFixture = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 400).map { i =>
+      val series = if (i % 2 == 0) "A" else "B"
+      // days 1..12, deliberately gappy for key B; minute unique per key
+      val day = 1 + (if (series == "B" && i % 7 == 0) rnd.nextInt(3) else i % 12)
+      val ts = java.sql.Timestamp.valueOf(
+        f"2031-01-$day%02d ${9 + i % 7}%02d:${i % 60}%02d:${(i * 13) % 60}%02d")
+      (series, ts, 100.0 + (i % 50) / 7.0)
+    }.toDF("pair_name", "bar_ts", "spread")
+      .groupBy("pair_name", "bar_ts")
+      .agg(max(col("spread")).as("spread")) // unique (key, ts)
+  }
+
+  private def withRoute[T](bytes: String)(body: => T): T = {
+    val key = graft.ops.ScalableWindow.LocalBytesKey
+    val old = spark.conf.get(key, "0")
+    spark.conf.set(key, bytes)
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("small-input route equals the forced-scaled path bit-for-bit") {
+    val df = scopedFixture
+    def run() = {
+      val z = graft.ops.ScalableWindow.rollingZScoreByDay(df, 30, 10)
+        .orderBy("pair_name", "bar_ts").collect().toSeq
+      val t = graft.ops.ScalableWindow.trailingStats(df.withColumn("series",
+          col("pair_name")), Seq("series"), Seq("bar_ts"), "bar_ts", "spread", 20)
+        .orderBy("series", "bar_ts").collect().toSeq
+      val sp = graft.ops.ScalableWindow.withSeqPrev(df, Seq("pair_name"),
+          Seq("bar_ts"), "bar_ts", "rn", Seq("spread" -> "prev"), Some("ntot"))
+        .orderBy("pair_name", "bar_ts").collect().toSeq
+      val lg = graft.ops.ScalableWindow.laggedScope(df.withColumn("series",
+          col("pair_name")), Seq("series"), Seq("bar_ts"), "bar_ts",
+          "spread", "pc", 5, valid = col("pc").isNotNull)
+        .filter(col("__emit")).drop("__emit", "__day_idx")
+        .orderBy("series", "bar_ts").collect().toSeq
+      (z, t, sp, lg)
+    }
+    def schemas() = {
+      val z = graft.ops.ScalableWindow.rollingZScoreByDay(df, 30, 10)
+      val sp = graft.ops.ScalableWindow.withSeqPrev(df, Seq("pair_name"),
+        Seq("bar_ts"), "bar_ts", "rn", Seq("spread" -> "prev"), Some("ntot"))
+      (z.schema, sp.schema)
+    }
+    def namesTypes(s: (org.apache.spark.sql.types.StructType,
+        org.apache.spark.sql.types.StructType)) =
+      (s._1.map(f => (f.name, f.dataType)), s._2.map(f => (f.name, f.dataType)))
+    val (scaled, scaledSchema) = withRoute("0")((run(), schemas()))
+    val (routed, routedSchema) = withRoute("1073741824")((run(), schemas()))
+    // nullability may tighten on the small route (row_number is
+    // provably non-null where the escape's schema stays nullable) —
+    // names, types, order and every value must match
+    assert(namesTypes(routedSchema) === namesTypes(scaledSchema),
+      "column order/types must match")
+    assert(routed === scaled)
+  }
+
+  test("ScalableRank small-input route equals the two-pass escape bit-for-bit") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = scopedFixture
+    def run() = {
+      val nt = graft.ops.ScalableRank.ntile(df, Seq("pair_name"),
+          Seq(col("spread"), col("bar_ts")), 5, "q")
+        .orderBy("pair_name", "bar_ts").collect().toSeq
+      val cs = graft.ops.ScalableRank.withIndexAndCumSum(df, Seq("pair_name"),
+          Seq(col("bar_ts")), col("spread").cast(DecimalType(18, 6)), "run", "rn", "n")
+        .orderBy("pair_name", "bar_ts").collect().toSeq
+      (nt, cs)
+    }
+    def schema() = graft.ops.ScalableRank.withIndexAndCumSum(df, Seq("pair_name"),
+      Seq(col("bar_ts")), col("spread").cast(DecimalType(18, 6)), "run", "rn", "n").schema
+    val (scaled, sSchema) = withRoute("0")((run(), schema()))
+    val (routed, rSchema) = withRoute("1073741824")((run(), schema()))
+    assert(rSchema.map(f => (f.name, f.dataType)) ===
+      sSchema.map(f => (f.name, f.dataType)), "column order/types must match")
+    assert(routed === scaled)
+  }
+
+  test("small-input route drops the day-map machinery from the plan") {
+    val df = scopedFixture
+    def plan(bytes: String): String = withRoute(bytes) {
+      graft.ops.ScalableWindow.dayScoped(df, Seq("pair_name"),
+        Seq("bar_ts"), "bar_ts", 29).queryExecution.executedPlan.toString
+    }
+    val routed = plan("1073741824")
+    assert(!routed.contains("Union"), "no carried-rows union on the small route")
+    assert(!routed.contains("BroadcastHashJoin"), "no day-map join on the small route")
+    val scaled = plan("0")
+    assert(scaled.contains("Union"), "0 pins the always-scoped machinery")
+  }
 }
