@@ -250,34 +250,50 @@ object GraphOps {
         .localCheckpoint(eager = false)
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 12))
     def bc(df: DataFrame) = if (useBroadcast) broadcast(df) else df
+    // iteration state: the rank's EXACT 12-dp value as its unscaled
+    // LONG (rank <= 1, so r12 <= 10^12) — the same exact relation the
+    // old DECIMAL(28,12) state held, in a representation whose
+    // per-edge contribution (integer div + HALF_UP tie) runs in pure
+    // long arithmetic inside whole-stage codegen. The old form's
+    // DECIMAL(38,0) ratioRound did ~6 BigDecimal ops per edge per
+    // iteration — the measured pageRank CPU hotspot. Value-identical:
+    // HALF_UP(r12·10^12 / (deg·10^12)) = HALF_UP(r12/deg), and the
+    // final double is the same q/10^12 quotient either way.
     var r = nodes
       .select(col("id"),
-        dec(ExactRound.ratioRound(lit(1L), lit(nNodes), 12)).as("r"))
+        ExactRound.ratioRoundScaled(lit(1L), lit(nNodes), 12)
+          .cast(org.apache.spark.sql.types.LongType).as("r12"))
       .localCheckpoint(eager = false)
     graft.functions.FixedPoint.register(edgesIn.sparkSession)
     for (_ <- 1 to iters) {
-      // the per-edge contributions are exact 12-dp values; sum_fixed12
-      // folds them in pure long arithmetic (the decimal sum here was
-      // ~1/3 of each iteration's cost) and emits the same
-      // correctly-rounded double the old decimal sum's .cast(Double)
-      // produced — iteration relations stay bit-identical
+      // per-edge: q = HALF_UP(r12/deg) in longs; the 12-dp double
+      // q/1e12 feeds sum_fixed12's exact long fold (bit-identical to
+      // the old decimal ratioRound output)
+      val rem = col("r12") % col("deg")
+      val q = expr("r12 div deg") +
+        when(rem >= col("deg") - rem, 1L).otherwise(0L)
       val contrib = eDeg.join(bc(r), eDeg("src") === r("id"))
         .select(col("dst").as("id"),
-          ExactRound.ratioRound(ExactRound.toUnscaled(col("r"), 12),
-            col("deg") * lit(1000000000000L), 12).as("c"))
+          (q.cast(DoubleType) / lit(1e12)).as("c"))
         .groupBy(col("id"))
         .agg(graft.functions.FixedPoint.sumFixed12(col("c")).as("s"))
+      // update in double on the exact fold, re-round to 12 dp, store
+      // unscaled: floor(v·1e12 + 0.5) recovers the exact integer (the
+      // rounded double is within ~1e-4 of it)
       val rNext = nodes.join(bc(contrib), Seq("id"), "left")
         .select(col("id"),
-          dec(round(
+          floor(round(
             lit(base) / lit(nNodes) +
               lit(damping) * coalesce(col("s"), lit(0.0)),
-            12)).as("r"))
+            12) * lit(1e12) + lit(0.5))
+            .cast(org.apache.spark.sql.types.LongType).as("r12"))
       lastIterPlan = rNext.queryExecution.executedPlan.toString
       r = rNext.localCheckpoint(eager = false)
     }
+    // HALF_UP to 8 dp on the unscaled longs (round at -4), one double
+    // division at the end — same value as round(DECIMAL r, 8).cast
     r.select(col("id"),
-      round(col("r"), 8).cast(DoubleType).as("rank"))
+      (round(col("r12"), -4).cast(DoubleType) / lit(1e12)).as("rank"))
   }
 
   /** Test hook: executedPlan of the most recent [[pageRank]] iteration

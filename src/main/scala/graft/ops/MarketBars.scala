@@ -896,33 +896,36 @@ object MarketBars {
       .filter(col("series_a") < col("series_b"))
       .groupBy(col("series_a"), col("series_b"), col("qa"), col("qb2"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // cells + two margin legs
-    val keys = Seq("series_a", "series_b")
-    val ma = joint.groupBy(col("series_a"), col("series_b"), col("qa"))
-      .agg(sum(col("c")).as("ri"))
-    val mb = joint.groupBy(col("series_a"), col("series_b"), col("qb2"))
-      .agg(sum(col("c")).as("cj"))
-    val tot = ma.groupBy(col("series_a"), col("series_b"))
-      .agg(sum(col("ri")).as("n"))
+    // margins + totals as window sums over the (≤ |pairs|·buckets²
+    // row) cell relation; each margin's entropy term counts once via
+    // a first-row-of-group gate — same integer margins and 12-dp
+    // decimal folds as the old aggregate+join legs, no checkpoint, no
+    // broadcast builds (the r14 margin-fusion, as transferEntropy)
+    val keyC = Seq(col("series_a"), col("series_b"))
+    val wA = Window.partitionBy(keyC :+ col("qa"): _*).orderBy(col("qb2"))
+    val wB = Window.partitionBy(keyC :+ col("qb2"): _*).orderBy(col("qa"))
+    val whole = Window.unboundedPreceding
+    val cells = joint
+      .withColumn("ri", sum(col("c")).over(
+        wA.rowsBetween(whole, Window.unboundedFollowing)))
+      .withColumn("rnA", row_number().over(wA))
+      .withColumn("cj", sum(col("c")).over(
+        wB.rowsBetween(whole, Window.unboundedFollowing)))
+      .withColumn("rnB", row_number().over(wB))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(keyC: _*)))
     val nd = dbl(col("n"))
     val miTerm = round(dbl(col("c")) / nd *
       log(dbl(col("c")) * nd / (dbl(col("ri")) * dbl(col("cj")))), 12)
       .cast(dec12)
-    val mi12 = joint
-      .join(ma, keys :+ "qa").join(mb, keys :+ "qb2")
-      .join(tot, keys)
+    def entTerm(cnt: String, rn: String) =
+      when(col(rn) === 1,
+        round(dbl(col(cnt)) / nd * log(dbl(col(cnt)) / nd), 12).cast(dec12))
+    val agg = cells
       .groupBy(col("series_a"), col("series_b"))
-      .agg(sum(miTerm).as("mi12"))
-    def entropy(m: DataFrame, cnt: String, out: String): DataFrame =
-      m.join(tot, keys)
-        .groupBy(col("series_a"), col("series_b"))
-        .agg(sum(round(dbl(col(cnt)) / nd *
-          log(dbl(col(cnt)) / nd), 12).cast(dec12)).as(out))
-    val agg = mi12
-      .join(entropy(ma, "ri", "ha12"), keys)
-      .join(entropy(mb, "cj", "hb12"), keys)
-      .join(tot, keys)
-    val mi = dbl(col("mi12"))
+      .agg(max(col("n")).as("n"),
+        sum(miTerm).as("mi12"),
+        sum(entTerm("ri", "rnA")).as("ha12"),
+        sum(entTerm("cj", "rnB")).as("hb12"))
     val ha = -dbl(col("ha12"))
     val hb = -dbl(col("hb12"))
     agg.select(col("series_a"), col("series_b"), col("n"),
@@ -5568,31 +5571,26 @@ object MarketBars {
       col("s").as("yv"), col("sp").as("yp"))
     val x = rr.select(col("series").as("cause"), col("bar_ts"),
       col("sp").as("xp"))
-    val keys = Seq("cause", "effect")
     val joint = y.join(x, "bar_ts")
       .filter(col("effect") =!= col("cause"))
       .groupBy(col("cause"), col("effect"), col("yv"), col("yp"),
         col("xp"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // cells + three margin legs
-    val mYyp = joint.groupBy(col("cause"), col("effect"), col("yv"),
-        col("yp"))
-      .agg(sum(col("c")).as("c_yyp"))
-    val mYpxp = joint.groupBy(col("cause"), col("effect"), col("yp"),
-        col("xp"))
-      .agg(sum(col("c")).as("c_ypxp"))
-    val mYp = joint.groupBy(col("cause"), col("effect"), col("yp"))
-      .agg(sum(col("c")).as("c_yp"))
-    val tot = joint.groupBy(col("cause"), col("effect"))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    // margins as whole-partition window sums over the (≤ |pairs|·8
+    // row) cell relation — same integer sums as the old four
+    // aggregate+join legs, with zero broadcast builds and no
+    // checkpoint barrier (the r14 margin-fusion)
+    def kw(extra: Column*) =
+      Window.partitionBy(Seq(col("cause"), col("effect")) ++ extra: _*)
     val teTerm = round(dbl(col("c")) / dbl(col("n")) *
       log(dbl(col("c")) * dbl(col("c_yp")) /
         (dbl(col("c_ypxp")) * dbl(col("c_yyp")))), 12).cast(dec12)
     joint
-      .join(mYyp, keys :+ "yv" :+ "yp")
-      .join(mYpxp, keys :+ "yp" :+ "xp")
-      .join(mYp, keys :+ "yp")
-      .join(tot, keys)
+      .withColumn("c_yyp", sum(col("c")).over(kw(col("yv"), col("yp"))))
+      .withColumn("c_ypxp", sum(col("c")).over(kw(col("yp"), col("xp"))))
+      .withColumn("c_yp", sum(col("c")).over(kw(col("yp"))))
+      .withColumn("n", sum(col("c")).over(kw()))
+      .withColumn("n_cells", count(lit(1)).over(kw()))
       .groupBy(col("cause"), col("effect"))
       .agg(max(col("n")).as("n"), max(col("n_cells")).as("n_cells"),
         sum(teTerm).as("te12"))
