@@ -127,10 +127,17 @@ object DedupOps {
     graft.functions.MinHashDoc.register(df.sparkSession, A, B, CrossHash.P)
     // Pre-filter short docs on the RAW text (>=3 tokens <=> non-empty
     // shingle set) — cheap split+size, keeps the kernel off empty docs.
-    df.filter(size(TextOps.tokens(col(textCol))) >= 3)
+    val out = df.filter(size(TextOps.tokens(col(textCol))) >= 3)
       .select(col(idCol).as("doc"),
         graft.functions.MinHashDoc.doc(col(textCol)).as("d"))
       .select(col("doc"), col("d.sig").as("sig"), col("d.sset").as("sset"))
+    // The consumers (band build + both verify join sides) deliberately
+    // re-run the kernel map-side per branch — at scale that is far
+    // cheaper than shuffling the tokenized corpus twice. On a small
+    // input (same knob as the scoped-window route) materialize once
+    // instead: three kernel passes become one, results unchanged.
+    if (ScalableWindow.localRoute(df)) out.localCheckpoint(eager = false)
+    else out
   }
 
   /** The LSH band-join candidate pair set (id_a < id_b, distinct) —

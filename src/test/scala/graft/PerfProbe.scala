@@ -32,11 +32,21 @@ object PerfProbe {
     val cpuNs = new AtomicLong
     val shufR = new AtomicLong
     val shufW = new AtomicLong
+    val stageAgg =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        val info = s.stageInfo
+        val key = info.name.take(120)
+        val cpu = info.taskMetrics.executorCpuTime
+        val run = info.taskMetrics.executorRunTime
+        stageAgg.merge(key, (run, cpu, info.numTasks), {
+          case ((r1, c1, n1), (r2, c2, n2)) => (r1 + r2, c1 + c2, n1 + n2)
+        })
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         taskMs.addAndGet(t.taskInfo.duration)
@@ -71,6 +81,7 @@ object PerfProbe {
         Thread.sleep(200) // drain listener bus
         jobs.set(0); stages.set(0); tasks.set(0)
         taskMs.set(0); cpuNs.set(0); shufR.set(0); shufW.set(0)
+        stageAgg.clear()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -80,6 +91,14 @@ object PerfProbe {
             f"jobs=${jobs.get}%3d stages=${stages.get}%3d tasks=${tasks.get}%5d " +
             f"taskSum=${taskMs.get / 1e3}%7.2fs cpuSum=${cpuNs.get / 1e9}%7.2fs " +
             f"shufR=${shufR.get / 1048576.0}%7.1fMB shufW=${shufW.get / 1048576.0}%7.1fMB")
+          if (sys.env.contains("PROBE_STAGES") && pass == passes) {
+            import scala.jdk.CollectionConverters._
+            stageAgg.asScala.toSeq.sortBy(-_._2._1).take(8).foreach {
+              case (k, (run, cpu, n)) =>
+                println(f"[stage] run=${run / 1e3}%7.2fs cpu=${cpu / 1e9}%7.2fs " +
+                  f"tasks=$n%4d  $k")
+            }
+          }
         } catch {
           case e: Throwable =>
             println(s"[probe] $name pass=$pass THREW ${e.getMessage}")
