@@ -40,15 +40,27 @@ object PairAnalytics {
     // null-spread — Spark's log returns null on it while the oracle
     // engine raises, so the guard is also what keeps both engines on
     // the same relation (caught by the sf0.1 sweep: one zero close)
-    val a = bars.filter(col("series") === sym1 && col("close") > 0).alias("a")
-    val b = bars.filter(col("series") === sym2 && col("close") > 0).alias("b")
-    a.join(b, col("a.bar_ts") === col("b.bar_ts"), "inner")
+    //
+    // Align as ONE aggregation, not a self-join: `bars` is unique per
+    // (series, bar_ts) by construction (it is the OHLCV aggregate), so
+    // the inner align-join on bar_ts of the two filtered legs is
+    // row-for-row the groupBy(bar_ts) pivot below. One scan + one
+    // exchange replace two scans + two exchanges + a join — strictly
+    // fewer corpus passes at any scale — and the plan's size estimate
+    // stays honest (the join form's child-product estimate blocked the
+    // scoped-window small-input route for every downstream pair op).
+    bars.filter(col("series").isin(sym1, sym2) && col("close") > 0)
+      .groupBy(col("bar_ts"))
+      .agg(
+        max(when(col("series") === sym1, col("close"))).as("close1"),
+        max(when(col("series") === sym2, col("close"))).as("close2"))
+      .filter(col("close1").isNotNull && col("close2").isNotNull)
       .select(
         lit(s"$sym1-$sym2").as("pair_name"),
-        col("a.bar_ts").as("bar_ts"),
-        col("a.close").as("close1"),
-        col("b.close").as("close2"),
-        (log(col("a.close")) - log(col("b.close"))).as("spread"))
+        col("bar_ts"),
+        col("close1"),
+        col("close2"),
+        (log(col("close1")) - log(col("close2"))).as("spread"))
   }
 
   /** Engle–Granger two-step cointegration test over the aligned pair:
