@@ -578,16 +578,37 @@ object DedupOps {
     // overlap is recomputed per candidate by the codegen sorted-merge
     // — the 4M-row count-every-collision aggregate disappears
     val prefLen = (col("sz") - floor(lit(threshold) * col("sz")).cast("int") + 1)
+    // PPJoin positional filter on top: shared grams appear in the SAME
+    // relative order in both sorted sets, so the first shared gram
+    // minimizes both prefix positions at once and bounds the overlap,
+    // n_shared <= 1 + min(sza − pa − 1, szb − pb − 1) (0-based). A
+    // true pair (jaccard >= t, hence n_shared >= t/(1+t)·(sza+szb))
+    // has its first shared gram inside BOTH prefixes, so pruning
+    // candidates whose bound cannot reach that floor (with 1e-9 slack
+    // for the double divide) never drops a qualifying pair — it only
+    // spares the verify joins + sorted-merge intersections the pairs
+    // that cannot pass the exact filter anyway. The pair dedup rides
+    // the same exchange the old distinct() paid (groupBy id_a, id_b).
     val cand = hs
-      .select(col("doc"), explode(slice(col("set"), lit(1), prefLen)).as("gk"))
+      .select(col("doc"), col("sz"),
+        posexplode(slice(col("set"), lit(1), prefLen)).as(Seq("pos", "gk")))
       .groupBy(col("gk"))
-      .agg(array_sort(collect_list(col("doc"))).as("docs"))
+      .agg(array_sort(collect_list(
+        struct(col("doc"), col("pos"), col("sz")))).as("es"))
       .select(explode(expr(
-        """flatten(transform(docs, (x, i) ->
-           transform(slice(docs, i + 2, size(docs)),
-                     y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+        """flatten(transform(es, (x, i) ->
+           transform(slice(es, i + 2, size(es)),
+                     y -> struct(x.doc AS id_a, y.doc AS id_b,
+                                 x.pos AS pa, y.pos AS pb,
+                                 x.sz AS sza, y.sz AS szb))))""")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(min(col("p.pa")).as("__pa"), min(col("p.pb")).as("__pb"),
+        first(col("p.sza")).as("__sza"), first(col("p.szb")).as("__szb"))
+      .filter(lit(1) +
+        least(col("__sza") - col("__pa") - 1, col("__szb") - col("__pb") - 1)
+          >= lit(threshold / (1.0 + threshold)) *
+            (col("__sza") + col("__szb")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
     graft.functions.SetIntersect.register(df.sparkSession)
     cand
       .join(hs.select(col("doc").as("id_a"), col("set").as("seta"), col("sz").as("sza")), "id_a")

@@ -13,7 +13,19 @@ object Dist {
     * job. */
   def rebalance(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    // Decide from the optimized plan's size statistics, not from
+    // df.rdd.getNumPartitions: the RDD conversion forces a full
+    // physical planning pass (plus a DeserializeToObject detour) on
+    // EVERY consumer query just to read a partition count. The scan's
+    // split count is ceil(bytes / maxPartitionBytes) to within file
+    // packing, so "fewer splits than cores" is equivalently "input
+    // smaller than cores × split size" — a pure plan-statistics read.
+    val maxSplitBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(df.sparkSession.conf
+        .get("spark.sql.files.maxPartitionBytes", "128m"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(maxSplitBytes) * parallelism) df.repartition(parallelism)
+    else df
   }
 
   /** Skew-safe equi-join: replicate the (small-ish) right side

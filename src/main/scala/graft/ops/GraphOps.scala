@@ -259,11 +259,20 @@ object GraphOps {
     // iteration — the measured pageRank CPU hotspot. Value-identical:
     // HALF_UP(r12·10^12 / (deg·10^12)) = HALF_UP(r12/deg), and the
     // final double is the same q/10^12 quotient either way.
-    var r = nodes
+    // Broadcast mode carries the rank relation through the loop as a
+    // PLAN, not a per-iteration checkpoint: each iteration's rank is
+    // consumed exactly once (the next contribution's broadcast build),
+    // so the nested broadcast chain executes every stage once anyway —
+    // the 1 + iters checkpoint-materialization job barriers bought
+    // nothing. Shuffle mode keeps the per-iteration checkpoint: it is
+    // what preserves the stored hash partitioning (the one-exchange-
+    // per-iteration ScaleSpec lock) and keeps lineage constant-depth.
+    def carry(df: DataFrame): DataFrame =
+      if (useBroadcast) df else df.localCheckpoint(eager = false)
+    var r = carry(nodes
       .select(col("id"),
         ExactRound.ratioRoundScaled(lit(1L), lit(nNodes), 12)
-          .cast(org.apache.spark.sql.types.LongType).as("r12"))
-      .localCheckpoint(eager = false)
+          .cast(org.apache.spark.sql.types.LongType).as("r12")))
     graft.functions.FixedPoint.register(edgesIn.sparkSession)
     for (_ <- 1 to iters) {
       // per-edge: q = HALF_UP(r12/deg) in longs; the 12-dp double
@@ -287,8 +296,15 @@ object GraphOps {
               lit(damping) * coalesce(col("s"), lit(0.0)),
             12) * lit(1e12) + lit(0.5))
             .cast(org.apache.spark.sql.types.LongType).as("r12"))
-      lastIterPlan = rNext.queryExecution.executedPlan.toString
-      r = rNext.localCheckpoint(eager = false)
+      // shuffle mode only: each iteration is planned for its
+      // checkpoint anyway, so the string costs nothing extra. In
+      // broadcast mode the un-checkpointed chain would force a full
+      // re-planning of the ever-deeper nested plan per iteration just
+      // for a diagnostic nobody reads in that mode (the ScaleSpec lock
+      // reads the shuffle-mode plan).
+      if (!useBroadcast)
+        lastIterPlan = rNext.queryExecution.executedPlan.toString
+      r = carry(rNext)
     }
     // HALF_UP to 8 dp on the unscaled longs (round at -4), one double
     // division at the end — same value as round(DECIMAL r, 8).cast

@@ -57,11 +57,45 @@ object ScalableWindow {
   /** True when `df`'s optimized-plan size estimate is known and at or
     * below the configured bound (0 disables the route). Reads plan
     * statistics only — no job runs. Shared with [[ScalableRank]] —
-    * one knob governs every scoped-escape small-input route. */
+    * one knob governs every scoped-escape small-input route.
+    *
+    * Join-derived inputs: Spark's non-CBO size estimate for a join is
+    * the PRODUCT of the child estimates (~10¹² bytes on MBs of input —
+    * measured 565 GB on a 2 MB pair relation), which blocked the route
+    * for every op whose input passes through a join. When the plain
+    * estimate exceeds the bound, a join-additive re-walk of the same
+    * statistics decides instead: a join's contribution is the SUM of
+    * its children (an inner equi-join on MB-sized inputs cannot
+    * materially exceed it, and at production scale the children alone
+    * blow the bound, so the scaled machinery still engages); explosive
+    * operators (Generate, Expand) and aggregates keep their own
+    * propagated estimate so a genuine fan-out is never hidden. */
   private[ops] def localRoute(df: DataFrame): Boolean = {
     val max = df.sparkSession.conf
       .get(LocalBytesKey, LocalBytesDefault.toString).toLong
-    max > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max)
+    if (max <= 0) return false
+    val bound = BigInt(max)
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.sizeInBytes <= bound || joinAdditiveSize(plan) <= bound
+  }
+
+  /** The join-additive size walk behind [[localRoute]]: join nodes sum
+    * their children; leaves report their own statistics; every other
+    * node takes the SMALLER of its propagated estimate and its
+    * children's walked sum — the propagated number is Catalyst's best
+    * row-width/selectivity-aware figure when no join inflated it, and
+    * the children's sum strips exactly that inflation when one did.
+    * Both components are anchored on the same leaf statistics, so at
+    * production scale either one blows the bound and the scaled
+    * machinery engages unchanged. */
+  private def joinAdditiveSize(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): BigInt = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case j: Join => joinAdditiveSize(j.left) + joinAdditiveSize(j.right)
+      case l if l.children.isEmpty => l.stats.sizeInBytes
+      case u => u.children.map(joinAdditiveSize).sum.min(u.stats.sizeInBytes)
+    }
   }
 
   /** The global-window face of the day-scope contract: same output
@@ -103,41 +137,57 @@ object ScalableWindow {
       carryRows: Int): DataFrame = {
     require(carryRows >= 1, s"carryRows must be >= 1 (got $carryRows)")
     if (localRoute(df0)) return globalAugment(df0, keyCols, tsCol)
-    // the input feeds the day map AND both union legs — checkpoint it
-    // once so an expensive upstream (e.g. the tick→bar aggregation)
-    // is not recomputed per consumer; same for the tiny day map,
-    // which is read by both broadcast joins
-    val df = df0.localCheckpoint(eager = false)
+    // The day ITSELF is the scope key (`__day_idx` carries the date —
+    // the dense per-key day rank is order-isomorphic to it and bought
+    // nothing but a corpus-wide broadcast join to attach): the
+    // emitting leg flows from the checkpoint straight into the
+    // consumer's window with NO join at all, and the single remaining
+    // broadcast join touches only the ≤ carryRows-per-(key, day) tail
+    // candidates. ONE checkpoint feeds all three readers (emit leg,
+    // tail leg, day map); the reverse rank rides it so the tail
+    // selection costs no extra pass.
     val keys = keyCols.map(col)
+    val rest = df0.columns.filterNot(keyCols.contains)
+    val revW = Window
+      .partitionBy((keys :+ col("__day")): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    val ranked = df0.withColumn("__day", to_date(col(tsCol)))
+      .select((keyCols :+ "__day") ++ rest map col: _*)
+      .withColumn("__rn", row_number().over(revW))
+      .localCheckpoint(eager = false)
+    // per-(key, day) map: row count + per-key cumulative count; the
+    // REACH PAIRS (src day → every later day within carryRows rows,
+    // with the row slack between them) compute inside the map via a
+    // keys-equi self-join — strictly cheaper than the old corpus-side
+    // tails × all-days fan-out, and it turns the carry join into a
+    // tight (keys, day) equi-join
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
-    // small per-(key, day) map: row count, dense rank, cumulative count
-    val dayIdx = df
-      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+    val dayIdx = ranked
+      .groupBy((keys :+ col("__day")): _*)
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__day_idx", row_number().over(idxW))
       .withColumn("__cum", sum(col("__n")).over(idxW))
       .localCheckpoint(eager = false)
-    val withIdx = df.withColumn("__day", to_date(col(tsCol)))
-      .join(broadcast(dayIdx.select(
-        (keys :+ col("__day") :+ col("__day_idx") :+ col("__cum")): _*)),
-        keyCols :+ "__day")
-    val tailW = Window
-      .partitionBy((keys :+ col("__day_idx")): _*)
-      .orderBy(orderCols.map(col(_).desc): _*)
-    val tails = withIdx
-      .withColumn("__rn", row_number().over(tailW))
+    // reach rule: tail row with reverse rank rn in src day reaches dst
+    // iff cum[dst−1] − cum[src] + rn <= carryRows; slack = cum[dst−1] −
+    // cum[src] >= 0, so qualifying pairs need slack < carryRows
+    val pairs = dayIdx
+      .select((keys :+ col("__day") :+ col("__cum")): _*)
+      .join(dayIdx.select((keys :+ col("__day").as("__dst_day") :+
+        (col("__cum") - col("__n")).as("__cum_prev")): _*), keyCols)
+      .where(col("__dst_day") > col("__day") &&
+        col("__cum_prev") - col("__cum") < carryRows)
+      .select((keys :+ col("__day") :+ col("__dst_day") :+
+        (col("__cum_prev") - col("__cum")).as("__slack")): _*)
+    val carried = ranked
       .filter(col("__rn") <= carryRows)
-    val destDays = dayIdx.select(
-      (keys :+ col("__day_idx").as("__dst_idx") :+
-        (col("__cum") - col("__n")).as("__cum_prev")): _*)
-    val carried = tails
-      .join(broadcast(destDays), keyCols)
-      .where(col("__dst_idx") > col("__day_idx") &&
-        col("__cum_prev") - col("__cum") + col("__rn") <= carryRows)
-      .withColumn("__day_idx", col("__dst_idx"))
-      .drop("__dst_idx", "__cum_prev", "__rn", "__cum")
+      .join(broadcast(pairs), keyCols :+ "__day")
+      .where(col("__rn") + col("__slack") <= carryRows)
+      .withColumn("__day_idx", col("__dst_day"))
+      .drop("__rn", "__dst_day", "__slack")
       .withColumn("__emit", lit(false))
-    withIdx.drop("__cum").withColumn("__emit", lit(true)).unionByName(carried)
+    ranked.drop("__rn").withColumn("__day_idx", col("__day"))
+      .withColumn("__emit", lit(true))
+      .unionByName(carried)
   }
 
   /** RANGE-frame sibling of [[dayScoped]]: augment `df` for a trailing
@@ -162,30 +212,38 @@ object ScalableWindow {
       reachMicros: Long): DataFrame = {
     require(reachMicros >= 0, s"reachMicros must be >= 0 (got $reachMicros)")
     if (localRoute(df0)) return globalAugment(df0, keyCols, tsCol)
-    val df = df0.localCheckpoint(eager = false) // see dayScoped
+    // Day-as-scope-key (see dayScoped): the emitting leg takes no join
+    // at all; the carry leg equi-joins on (keys, day) against the
+    // reach PAIRS computed inside the tiny map — each src day pairs
+    // only with the later days its own max epoch can reach, so the
+    // per-row value test `us >= dst_min − reach` probes pair rows
+    // instead of every day of the key.
     val keys = keyCols.map(col)
-    val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
-    // small per-(key, day) map: dense day rank + the day's first epoch
-    val dayIdx = df
-      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
-      .agg(min(col(usCol)).as("__min_us"))
-      .withColumn("__day_idx", row_number().over(idxW))
+    val rest = df0.columns.filterNot(keyCols.contains)
+    val base = df0.withColumn("__day", to_date(col(tsCol)))
+      .select((keyCols :+ "__day") ++ rest map col: _*)
       .localCheckpoint(eager = false)
-    val withIdx = df.withColumn("__day", to_date(col(tsCol)))
-      .join(broadcast(dayIdx.select(
-        (keys :+ col("__day") :+ col("__day_idx")): _*)),
-        keyCols :+ "__day")
-    val destDays = dayIdx.select(
-      (keys :+ col("__day_idx").as("__dst_idx") :+
-        col("__min_us").as("__dst_min")): _*)
-    val carried = withIdx
-      .join(broadcast(destDays), keyCols)
-      .where(col("__dst_idx") > col("__day_idx") &&
-        col(usCol) >= col("__dst_min") - lit(reachMicros))
-      .withColumn("__day_idx", col("__dst_idx"))
-      .drop("__dst_idx", "__dst_min")
+    val dayIdx = base
+      .groupBy((keys :+ col("__day")): _*)
+      .agg(min(col(usCol)).as("__min_us"), max(col(usCol)).as("__max_us"))
+      .localCheckpoint(eager = false)
+    val pairs = dayIdx
+      .select((keys :+ col("__day") :+ col("__max_us")): _*)
+      .join(dayIdx.select((keys :+ col("__day").as("__dst_day") :+
+        col("__min_us").as("__dst_min")): _*), keyCols)
+      .where(col("__dst_day") > col("__day") &&
+        col("__max_us") >= col("__dst_min") - lit(reachMicros))
+      .select((keys :+ col("__day") :+ col("__dst_day") :+
+        col("__dst_min")): _*)
+    val carried = base
+      .join(broadcast(pairs), keyCols :+ "__day")
+      .where(col(usCol) >= col("__dst_min") - lit(reachMicros))
+      .withColumn("__day_idx", col("__dst_day"))
+      .drop("__dst_day", "__dst_min")
       .withColumn("__emit", lit(false))
-    withIdx.withColumn("__emit", lit(true)).unionByName(carried)
+    base.withColumn("__day_idx", col("__day"))
+      .withColumn("__emit", lit(true))
+      .unionByName(carried)
   }
 
   /** Fused two-layer day scope for FILTERED return chains (the
@@ -245,26 +303,31 @@ object ScalableWindow {
         .drop("__valid")
       return slim(flagged).drop("__rev").withColumn("__emit", lit(true))
     }
+    // Day-as-scope-key (see dayScoped): `__day_idx` carries the DATE.
+    // Layer 1 attaches the cross-day lag seam with ONE broadcast join
+    // — the previous existing day's last value rides the day map
+    // itself (one lag over the tiny keys×days window), so the old
+    // dense-index attach + (idx+1)-seam join pair collapse into a
+    // single (keys, day) equi-join. Layer 2's carry fan-out rides the
+    // precomputed reach pairs, touching only the ≤ carryRows tail
+    // candidates per (key, day).
     val df = df0.localCheckpoint(eager = false) // feeds day map + join
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
-    // layer-1 day map: dense day rank + each day's LAST value under
-    // the within-day order — the lag-1 source for the NEXT day's
-    // first row (the only row whose within-day lag is null)
+    // layer-1 day map: each day's LAST value under the within-day
+    // order, lagged one EXISTING day — the lag-1 source for the next
+    // day's first row (the only row whose within-day lag is null);
+    // consumed once, so it needs no checkpoint of its own
     val dayMap = df
       .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
       .agg(max(struct(orderCols.map(col) :+ col(valCol).as("__v"): _*))
         .getField("__v").as("__last_v"))
-      .withColumn("__day_idx", row_number().over(idxW))
-      .localCheckpoint(eager = false)
+      .withColumn("__pdl", lag(col("__last_v"), 1).over(idxW))
     val withIdx = df.withColumn("__day", to_date(col(tsCol)))
       .join(broadcast(dayMap.select(
-        (keys :+ col("__day") :+ col("__day_idx")): _*)),
+        (keys :+ col("__day") :+ col("__pdl")): _*)),
         keyCols :+ "__day")
-      .join(broadcast(dayMap.select(
-        (keys :+ (col("__day_idx") + 1).as("__day_idx") :+
-          col("__last_v").as("__pdl")): _*)),
-        keyCols :+ "__day_idx", "left")
+      .withColumn("__day_idx", col("__day"))
     val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
       .orderBy(orderCols.map(col): _*)
     val revFrame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -279,28 +342,28 @@ object ScalableWindow {
       .drop("__valid", "__pdl", "__day")
     val rets = slim(flagged).localCheckpoint(eager = false)
     // layer-2 slice map over the FILTERED relation, keyed by the
-    // layer-1 day index (gaps left by all-invalid days are harmless —
-    // the reach rule orders by day index, it never assumes density)
+    // layer-1 day (gaps left by all-invalid days are harmless — the
+    // reach rule orders by day, it never assumes density)
     val idx2W = Window.partitionBy(keys: _*).orderBy(col("__day_idx"))
     val dayMap2 = rets
       .groupBy(keys :+ col("__day_idx"): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("__cum", sum(col("__n")).over(idx2W))
       .localCheckpoint(eager = false)
-    val tails = rets
-      .join(broadcast(dayMap2.select(
-        (keys :+ col("__day_idx") :+ col("__cum")): _*)),
-        keyCols :+ "__day_idx")
-      .filter(col("__rev") <= carryRows)
-    val destDays = dayMap2.select(
-      (keys :+ col("__day_idx").as("__dst_idx") :+
-        (col("__cum") - col("__n")).as("__cum_prev")): _*)
-    val carried = tails
-      .join(broadcast(destDays), keyCols)
+    val pairs = dayMap2
+      .select((keys :+ col("__day_idx") :+ col("__cum")): _*)
+      .join(dayMap2.select((keys :+ col("__day_idx").as("__dst_idx") :+
+        (col("__cum") - col("__n")).as("__cum_prev")): _*), keyCols)
       .where(col("__dst_idx") > col("__day_idx") &&
-        col("__cum_prev") - col("__cum") + col("__rev") <= carryRows)
+        col("__cum_prev") - col("__cum") < carryRows)
+      .select((keys :+ col("__day_idx") :+ col("__dst_idx") :+
+        (col("__cum_prev") - col("__cum")).as("__slack")): _*)
+    val carried = rets
+      .filter(col("__rev") <= carryRows)
+      .join(broadcast(pairs), keyCols :+ "__day_idx")
+      .where(col("__rev") + col("__slack") <= carryRows)
       .withColumn("__day_idx", col("__dst_idx"))
-      .drop("__dst_idx", "__cum_prev", "__rev", "__cum")
+      .drop("__dst_idx", "__slack", "__rev")
       .withColumn("__emit", lit(false))
     rets.drop("__rev").withColumn("__emit", lit(true)).unionByName(carried)
   }
@@ -350,33 +413,30 @@ object ScalableWindow {
     val df = df0.localCheckpoint(eager = false) // feeds day map + join
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
-    // day map: dense day rank + each day's LAST row's value columns
-    // (one shared max-by-struct; orderCols totally order, so the
-    // struct max picks exactly the day's last row)
-    // the previous day's last value rides the day map itself (one
-    // lag over the tiny keys×days window), so ONE broadcast join
-    // attaches both the day index and the cross-day lag seam
+    // day map: each day's LAST row's value columns (one shared
+    // max-by-struct; orderCols totally order, so the struct max picks
+    // exactly the day's last row), lagged one EXISTING day — ONE
+    // broadcast join attaches the cross-day lag seam, the day itself
+    // scopes the window (no dense index, see dayScoped), and the map
+    // is consumed once so it needs no checkpoint of its own
     val dayMap = df
       .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
       .agg(max(struct(orderCols.map(col) ++
         vals.map { case (v, _) => col(v).as(s"__v_$v") }: _*)).as("__last"))
       .select((keys :+ col("__day") :+ col("__last")): _*)
-      .withColumn("__day_idx", row_number().over(idxW))
       .withColumn("__plast", lag(col("__last"), 1).over(idxW))
-      .localCheckpoint(eager = false)
     val withIdx = df.withColumn("__day", to_date(col(tsCol)))
       .join(broadcast(dayMap.select(
-        (keys :+ col("__day") :+ col("__day_idx")) ++
+        (keys :+ col("__day")) ++
           vals.map { case (v, _) =>
             col("__plast").getField(s"__v_$v").as(s"__pdl_$v") }: _*)),
         keyCols :+ "__day")
-    val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
+    val w = Window.partitionBy((keys :+ col("__day")): _*)
       .orderBy(orderCols.map(col): _*)
     val out = vals.foldLeft(withIdx) { case (acc, (v, p)) =>
       acc.withColumn(p, coalesce(lag(col(v), 1).over(w), col(s"__pdl_$v")))
     }
-    out.drop(vals.map { case (v, _) => s"__pdl_$v" } ++
-      Seq("__day", "__day_idx"): _*)
+    out.drop(vals.map { case (v, _) => s"__pdl_$v" } :+ "__day": _*)
   }
 
   /** Fusion of [[withSeqIndex]] + [[withPrevValues]] for the ops that
@@ -420,21 +480,22 @@ object ScalableWindow {
     val keys = keyCols.map(col)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
     val totW = Window.partitionBy(keys: _*)
+    // single-consumer day map (no checkpoint of its own); the day
+    // itself scopes the window — no dense index, see dayScoped
     val dayMap0 = df
       .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
       .agg(count(lit(1)).as("__n"),
         max(struct(orderCols.map(col) ++
           vals.map { case (v, _) => col(v).as(s"__v_$v") }: _*))
           .as("__last"))
-      .withColumn("__day_idx", row_number().over(idxW))
       .withColumn("__plast", lag(col("__last"), 1).over(idxW))
       .withColumn("__off", sum(col("__n")).over(idxW) - col("__n"))
-    val dayMap = (nCol match {
+    val dayMap = nCol match {
       case Some(_) =>
         dayMap0.withColumn("__tot", sum(col("__n")).over(totW))
       case None => dayMap0
-    }).localCheckpoint(eager = false)
-    val curCols = (keys :+ col("__day") :+ col("__day_idx") :+
+    }
+    val curCols = (keys :+ col("__day") :+
       col("__off")) ++ vals.map { case (v, _) =>
         col("__plast").getField(s"__v_$v").as(s"__pdl_$v") }
     val joined = df.withColumn("__day", to_date(col(tsCol)))
@@ -443,7 +504,7 @@ object ScalableWindow {
           case Some(_) => curCols :+ col("__tot")
           case None    => curCols
         }): _*)), keyCols :+ "__day")
-    val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
+    val w = Window.partitionBy((keys :+ col("__day")): _*)
       .orderBy(orderCols.map(col): _*)
     val out0 = joined
       .withColumn(rnCol, col("__off") + row_number().over(w))
@@ -455,7 +516,7 @@ object ScalableWindow {
       case Some(n) => out.withColumnRenamed("__tot", n)
       case None    => out
     }).drop(vals.map { case (v, _) => s"__pdl_$v" } ++
-      Seq("__day", "__day_idx", "__off"): _*)
+      Seq("__day", "__off"): _*)
   }
 
   /** Exact global per-key 1-based row index (and optional group total)
@@ -497,12 +558,13 @@ object ScalableWindow {
       .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off", sum(col("__n")).over(idxW) - col("__n"))
-    val dayMap = (nCol match {
+    // single consumer (one broadcast build) — no checkpoint of its own
+    val dayMap = nCol match {
       // the total rides the keys×days map (aggregate-sized) — never
       // a count window over the corpus
       case Some(_) => dayMap0.withColumn("__tot", sum(col("__n")).over(totW))
       case None    => dayMap0
-    }).localCheckpoint(eager = false)
+    }
     val mapCols = keys :+ col("__day") :+ col("__off")
     val joined = df.withColumn("__day", to_date(col(tsCol)))
       .join(broadcast(dayMap.select(
@@ -542,37 +604,45 @@ object ScalableWindow {
       carryRows: Int): DataFrame = {
     require(carryRows >= 1, s"carryRows must be >= 1 (got $carryRows)")
     if (localRoute(df0)) return globalAugment(df0, keyCols, tsCol)
-    val df = df0.localCheckpoint(eager = false) // see dayScoped
+    // mirrored dayScoped: day-as-scope-key, forward rank, reach pairs
+    // into EARLIER days — the emitting leg takes no join, the carry
+    // join touches only the first-carryRows head candidates
     val keys = keyCols.map(col)
+    val rest = df0.columns.filterNot(keyCols.contains)
+    val headW = Window
+      .partitionBy((keys :+ col("__day")): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ranked = df0.withColumn("__day", to_date(col(tsCol)))
+      .select((keyCols :+ "__day") ++ rest map col: _*)
+      .withColumn("__rn", row_number().over(headW))
+      .localCheckpoint(eager = false)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
-    val dayIdx = df
-      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+    val dayIdx = ranked
+      .groupBy((keys :+ col("__day")): _*)
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__day_idx", row_number().over(idxW))
       .withColumn("__cum", sum(col("__n")).over(idxW))
       .localCheckpoint(eager = false)
-    val withIdx = df.withColumn("__day", to_date(col(tsCol)))
-      .join(broadcast(dayIdx.select(
-        (keys :+ col("__day") :+ col("__day_idx") :+
-          (col("__cum") - col("__n")).as("__cum_prev")): _*)),
-        keyCols :+ "__day")
-    val headW = Window
-      .partitionBy((keys :+ col("__day_idx")): _*)
-      .orderBy(orderCols.map(col): _*)
-    val heads = withIdx
-      .withColumn("__rn", row_number().over(headW))
+    // reach rule (dayScoped mirrored): head row with forward rank rn
+    // in src day reaches dst < src iff cum[src−1] − cum[dst] + rn <=
+    // carryRows; slack = cum[src−1] − cum[dst] >= 0
+    val pairs = dayIdx
+      .select((keys :+ col("__day") :+
+        (col("__cum") - col("__n")).as("__cum_prev")): _*)
+      .join(dayIdx.select((keys :+ col("__day").as("__dst_day") :+
+        col("__cum").as("__dst_cum")): _*), keyCols)
+      .where(col("__dst_day") < col("__day") &&
+        col("__cum_prev") - col("__dst_cum") < carryRows)
+      .select((keys :+ col("__day") :+ col("__dst_day") :+
+        (col("__cum_prev") - col("__dst_cum")).as("__slack")): _*)
+    val carried = ranked
       .filter(col("__rn") <= carryRows)
-    val destDays = dayIdx.select(
-      (keys :+ col("__day_idx").as("__dst_idx") :+
-        col("__cum").as("__dst_cum")): _*)
-    val carried = heads
-      .join(broadcast(destDays), keyCols)
-      .where(col("__dst_idx") < col("__day_idx") &&
-        col("__cum_prev") - col("__dst_cum") + col("__rn") <= carryRows)
-      .withColumn("__day_idx", col("__dst_idx"))
-      .drop("__dst_idx", "__dst_cum", "__rn", "__cum_prev")
+      .join(broadcast(pairs), keyCols :+ "__day")
+      .where(col("__rn") + col("__slack") <= carryRows)
+      .withColumn("__day_idx", col("__dst_day"))
+      .drop("__rn", "__dst_day", "__slack")
       .withColumn("__emit", lit(false))
-    withIdx.drop("__cum_prev").withColumn("__emit", lit(true))
+    ranked.drop("__rn").withColumn("__day_idx", col("__day"))
+      .withColumn("__emit", lit(true))
       .unionByName(carried)
   }
 
@@ -595,53 +665,62 @@ object ScalableWindow {
     require(backRows >= 0 && fwdRows >= 0 && backRows + fwdRows >= 1,
       s"need a nonzero reach (got back=$backRows, fwd=$fwdRows)")
     if (localRoute(df0)) return globalAugment(df0, keyCols, tsCol)
-    val df = df0.localCheckpoint(eager = false) // see dayScoped
+    // day-as-scope-key (see dayScoped): both ranks stack on ONE sort
+    // (same window spec, the reverse rank as a forward-frame count),
+    // the emitting leg takes no join, and each carry leg equi-joins
+    // its rank-filtered candidates against precomputed reach pairs
     val keys = keyCols.map(col)
+    val rest = df0.columns.filterNot(keyCols.contains)
+    val w = Window.partitionBy((keys :+ col("__day")): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ranked = df0.withColumn("__day", to_date(col(tsCol)))
+      .select((keyCols :+ "__day") ++ rest map col: _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rev", count(lit(1)).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .localCheckpoint(eager = false)
     val idxW = Window.partitionBy(keys: _*).orderBy(col("__day"))
-    val dayIdx = df
-      .groupBy(keys :+ to_date(col(tsCol)).as("__day"): _*)
+    val dayIdx = ranked
+      .groupBy((keys :+ col("__day")): _*)
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__day_idx", row_number().over(idxW))
       .withColumn("__cum", sum(col("__n")).over(idxW))
       .localCheckpoint(eager = false)
-    val withIdx = df.withColumn("__day", to_date(col(tsCol)))
-      .join(broadcast(dayIdx.select(
-        (keys :+ col("__day") :+ col("__day_idx") :+ col("__n") :+
-          col("__cum")): _*)),
-        keyCols :+ "__day")
-    val w = Window.partitionBy((keys :+ col("__day_idx")): _*)
-      .orderBy(orderCols.map(col): _*)
-    val ranked = withIdx
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__rev", col("__n") - col("__rn") + 1)
-      .localCheckpoint(eager = false)
-    val helperCols = Seq("__rn", "__rev", "__n", "__cum")
+    val helperCols = Seq("__rn", "__rev")
     // trailing leg: the dayScoped reach rule on the shared rank pass
-    val destBack = dayIdx.select(
-      (keys :+ col("__day_idx").as("__dst_idx") :+
-        (col("__cum") - col("__n")).as("__dst_cum_prev")): _*)
+    val pairsBack = dayIdx
+      .select((keys :+ col("__day") :+ col("__cum")): _*)
+      .join(dayIdx.select((keys :+ col("__day").as("__dst_day") :+
+        (col("__cum") - col("__n")).as("__cum_prev")): _*), keyCols)
+      .where(col("__dst_day") > col("__day") &&
+        col("__cum_prev") - col("__cum") < backRows)
+      .select((keys :+ col("__day") :+ col("__dst_day") :+
+        (col("__cum_prev") - col("__cum")).as("__slack")): _*)
     val carriedBack = ranked
-      .join(broadcast(destBack), keyCols)
-      .where(col("__dst_idx") > col("__day_idx") &&
-        col("__rev") <= backRows &&
-        col("__dst_cum_prev") - col("__cum") + col("__rev") <= backRows)
-      .withColumn("__day_idx", col("__dst_idx"))
-      .drop("__dst_idx" :: "__dst_cum_prev" :: helperCols.toList: _*)
+      .filter(col("__rev") <= backRows)
+      .join(broadcast(pairsBack), keyCols :+ "__day")
+      .where(col("__rev") + col("__slack") <= backRows)
+      .withColumn("__day_idx", col("__dst_day"))
+      .drop("__dst_day" :: "__slack" :: helperCols.toList: _*)
       .withColumn("__emit", lit(false))
     // forward leg: the dayScopedLead reach rule
-    val destFwd = dayIdx.select(
-      (keys :+ col("__day_idx").as("__dst_idx") :+
-        col("__cum").as("__dst_cum")): _*)
+    val pairsFwd = dayIdx
+      .select((keys :+ col("__day") :+
+        (col("__cum") - col("__n")).as("__cum_prev")): _*)
+      .join(dayIdx.select((keys :+ col("__day").as("__dst_day") :+
+        col("__cum").as("__dst_cum")): _*), keyCols)
+      .where(col("__dst_day") < col("__day") &&
+        col("__cum_prev") - col("__dst_cum") < fwdRows)
+      .select((keys :+ col("__day") :+ col("__dst_day") :+
+        (col("__cum_prev") - col("__dst_cum")).as("__slack")): _*)
     val carriedFwd = ranked
-      .join(broadcast(destFwd), keyCols)
-      .where(col("__dst_idx") < col("__day_idx") &&
-        col("__rn") <= fwdRows &&
-        (col("__cum") - col("__n")) - col("__dst_cum") + col("__rn") <=
-          fwdRows)
-      .withColumn("__day_idx", col("__dst_idx"))
-      .drop("__dst_idx" :: "__dst_cum" :: helperCols.toList: _*)
+      .filter(col("__rn") <= fwdRows)
+      .join(broadcast(pairsFwd), keyCols :+ "__day")
+      .where(col("__rn") + col("__slack") <= fwdRows)
+      .withColumn("__day_idx", col("__dst_day"))
+      .drop("__dst_day" :: "__slack" :: helperCols.toList: _*)
       .withColumn("__emit", lit(false))
-    ranked.drop(helperCols: _*).withColumn("__emit", lit(true))
+    ranked.drop(helperCols: _*).withColumn("__day_idx", col("__day"))
+      .withColumn("__emit", lit(true))
       .unionByName(carriedBack).unionByName(carriedFwd)
   }
 

@@ -293,8 +293,14 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("], true, 0".r.findAllIn(plan).isEmpty,
       s"global sort found in tick-bars plan:\n${plan.take(3000)}")
-    assert("Window \\[".r.findAllIn(plan).size === 1,
-      s"expected exactly one Window (row index):\n${plan.take(3000)}")
+    // exactly one corpus-side window (the per-(series, day) row index);
+    // the only other Window allowed is the keys×days day-map offset
+    // pass (visible in-plan since round 15 dropped the day map's
+    // checkpoint — it used to hide behind a Scan ExistingRDD)
+    assert("row_number\\(\\) windowspecdefinition\\(".r.findAllIn(plan).size === 1,
+      s"expected exactly one row-index Window:\n${plan.take(3000)}")
+    assert("Window \\[".r.findAllIn(plan).size <= 2,
+      s"unexpected extra Window operators:\n${plan.take(3000)}")
   }
 
   test("q146 page-cusum plan: the whole alarm path is ONE window pass") {
